@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.catalog.TableCatalog
+import graft.etl.{FactLoader, Scd2, StagingLoader}
+import graft.io.{Archiver, Sources}
+import graft.report.FraudReport
+import graft.rules.FraudRules
+import graft.schemas.Schemas
+
+/** §3.1 — the per-date batch loop (reference main.py:48-561): discover
+  * date-stamped drops, then per date load staging, archive the files,
+  * merge SCD2 dims, append facts, and append the fraud report.
+  *
+  * Dates run in CHRONOLOGICAL order (the reference's lexicographic
+  * DDMMYYYY sort misorders across months — fix per SURVEY §2.9.2).
+  * Atomicity: the reference commits per statement; here each dim swap
+  * (TableCatalog.replaceAtomic) and each fact/report write-job is the
+  * unit. Facts and the report are partitioned/appended per date so a rerun
+  * of one date is idempotent (SURVEY §7.4).
+  */
+final class Runner(spark: SparkSession, cat: TableCatalog,
+                   sourceDb: Sources.SourceDb) {
+
+  private val staging = new StagingLoader(cat, sourceDb)
+
+  def run(inputDir: String): Unit =
+    Sources.listUniqueDates(inputDir).foreach(d => runDate(inputDir, d))
+
+  def runDate(inputDir: String, dateStr: String): Unit = {
+    val date = Sources.parseDate(dateStr)
+
+    // 1. Staging truncate-reload (main.py:52-114).
+    staging.loadAll(spark, inputDir, dateStr)
+    // 2. Archive this date's input files (main.py:117).
+    Archiver.filesToArchive(inputDir, dateStr)
+
+    // 3. SCD2 merges (main.py:121-379).
+    def mergeDim(table: String, stgTable: String, spec: Scd2.DimSpec,
+                 schema: org.apache.spark.sql.types.StructType): Unit = {
+      val dim = cat.readOrEmpty(table, schema)
+      val stg = cat.read(stgTable)
+      cat.replaceAtomic(table, Scd2.merge(dim, stg, spec, date))
+    }
+    mergeDim("dim_clients_hist", "stg_clients", Scd2.clients, Schemas.dimClientsHist)
+    mergeDim("dim_accounts_hist", "stg_accounts", Scd2.accounts, Schemas.dimAccountsHist)
+    mergeDim("dim_cards_hist", "stg_cards", Scd2.cards, Schemas.dimCardsHist)
+    mergeDim("dim_terminals_hist", "stg_terminals", Scd2.terminals, Schemas.dimTerminalsHist)
+
+    // 4. Fact loads (main.py:382-410).
+    val blExisting = cat.readOrEmpty("fact_passport_blacklist", Schemas.factPassportBlacklist)
+    cat.append("fact_passport_blacklist",
+      FactLoader.blacklistRows(cat.read("stg_blacklist"), blExisting))
+    cat.append("fact_transactions",
+      FactLoader.transactionRows(cat.read("stg_transactions")))
+
+    // 5. Fraud report (main.py:414-561).
+    val txn = cat.read("fact_transactions")
+    val cards = cat.read("dim_cards_hist")
+    val accounts = cat.read("dim_accounts_hist")
+    val clients = cat.read("dim_clients_hist")
+    val terminals = cat.read("dim_terminals_hist")
+    val blacklist = cat.read("fact_passport_blacklist")
+
+    val withClient = FraudRules.txnWithClient(txn, cards, accounts, clients)
+    val cityTxn = FraudRules.cityOfTransactions(withClient, terminals)
+    val rule4 = FraudRules.crossCityRule(cityTxn)
+    val rule5 = FraudRules.bruteForceRule(withClient)
+    val report = FraudReport.assemble(txn, cards, accounts, clients,
+      blacklist, rule4, rule5, date)
+    cat.append("rep_fraud", report)
+  }
+}

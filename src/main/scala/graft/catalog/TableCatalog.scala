@@ -1,0 +1,80 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** Path-convention parquet table catalog.
+  *
+  * The reference's storage engine is PostgreSQL heap tables
+  * (reference main.ddl); our tables are parquet directories under a root.
+  * Write semantics map the reference's statement mix:
+  *
+  *   - TRUNCATE + reload (main.py:53-55)  → `overwrite`
+  *   - INSERT append (main.py:397-408)    → `append`
+  *   - UPDATE-in-place for SCD2 (main.py:142-160) has no parquet analog →
+  *     `replaceAtomic`: write the new version to a temp dir, then swap.
+  *     The swap is the atomicity unit, replacing the reference's
+  *     commit-per-statement (main.py:55, 197).
+  *
+  * At cluster scale the same calls target an object store; facts are
+  * date-partitioned so reprocessing a date is an idempotent dynamic
+  * partition overwrite (SURVEY.md §7.4), unlike the reference's blind
+  * append (main.py:397-408).
+  */
+final class TableCatalog(val spark: SparkSession, val root: String) {
+
+  def path(table: String): String = s"$root/$table"
+
+  def exists(table: String): Boolean = {
+    val p = Paths.get(path(table))
+    Files.exists(p) && Files.list(p).findFirst().isPresent
+  }
+
+  /** Read a table; if absent, an empty DataFrame with the given schema —
+    * mirrors the reference's emptiness probe branch (main.py:125). */
+  def readOrEmpty(table: String, schema: StructType): DataFrame =
+    if (exists(table)) spark.read.schema(schema).parquet(path(table))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  /** TRUNCATE+reload semantics (main.py:53-55 + the staging loads). */
+  def overwrite(table: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(path(table))
+
+  /** INSERT append semantics (main.py:382-410). */
+  def append(table: String, df: DataFrame): Unit =
+    df.write.mode("append").parquet(path(table))
+
+  /** Idempotent per-date fact load: partition by `partCol`, overwrite only
+    * the partitions present in `df`. Fixes reference quirk SURVEY §2.9.5
+    * (blind append would duplicate on reprocess) with identical output for
+    * the once-per-date flow. */
+  def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path(table))
+
+  /** Full-rewrite with atomic swap — the SCD2 dim "UPDATE" path
+    * (SURVEY.md §7.4). The new content is materialized to `<table>.tmp`
+    * first, so a mid-write failure leaves the current table intact; the
+    * directory move is the commit point. */
+  def replaceAtomic(table: String, df: DataFrame): Unit = {
+    val tmp = Paths.get(path(table) + ".tmp")
+    val dst = Paths.get(path(table))
+    deleteRecursive(tmp)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val old = Paths.get(path(table) + ".old")
+    deleteRecursive(old)
+    if (Files.exists(dst)) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old)
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

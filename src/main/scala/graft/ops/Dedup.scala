@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation — the
+  * training-data-pipeline surface this engine adds beyond the reference
+  * (which has only the blacklist anti-join dedup, main.py:382-393).
+  *
+  * All operators are `DataFrame => DataFrame`, shuffle only on compact
+  * derived keys (hashes / bands), and never collect to the driver — the
+  * properties that make them viable at 100 TB.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup via content hash: one row per distinct text with the
+    * duplicate count and the kept (minimum) id. Shuffles 16-byte md5 keys
+    * instead of full documents — at 100 TB the shuffle payload is the
+    * hash + id, not the text. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol).cast("binary")).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("keep_id"))
+
+  // --------------------------------------------------------- shingling
+
+  /** Word n-gram shingles of `textCol` (whitespace tokenization),
+    * distinct per document. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, "\\s+")
+    // sliding window of n tokens via transform over start indices
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** MinHash signature: for each of `numHashes` seeded permutations take
+    * the min of `xxhash64(shingle, seed)` over the document's shingle set.
+    * Pure codegen'd expressions — no UDF. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash + LSH banding candidate pairs (the scale path for near-dup):
+    * signature split into `bands` bands of `rowsPerBand`; documents
+    * agreeing on all rows of any band land in the same bucket; bucket
+    * join yields candidate pairs (a < b). Shuffles (band, bucket-hash)
+    * keys only. Est. Jaccard = fraction of agreeing signature positions.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash from an array of token hashes (`array<long>`): per
+    * bit, sum +1/-1 votes of each token hash's bit, sign → fingerprint
+    * bit. Near-dups differ in few bits (hamming via bit_count of xor).
+    * The 64 per-bit fold expressions are generated Scala-side so every
+    * shift amount is a constant (whole-stage-codegen friendly; Spark's
+    * shiftleft only takes literal shift amounts). */
+  def simhashFromHashes(tokenHashes: Column): Column =
+    (0 until 64).map { bit =>
+      when(aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0L, 1L).otherwise(-1L)) > 0,
+        lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming` bits. Candidate
+    * generation buckets on the fingerprint's 4 16-bit chunks (pigeonhole:
+    * ≤3 differing bits ⇒ some chunk is identical), so the join key is a
+    * 16-bit chunk, not O(n²). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = docs
+      .select(col(idCol).as("doc_id"),
+        transform(array_distinct(split(col(textCol), "\\s+")), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), simhashFromHashes(col("th")).as("fp"))
+    val chunked = fp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("fp"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("fp"), col("cc.chunk"), col("cc.ckey"))
+    val a = chunked.alias("a")
+    val b = chunked.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        call_function("bit_count", col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ----------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs via an inverted
+    * shingle index: explode distinct shingles, self-join on shingle,
+    * count common shingles per pair, Jaccard = |∩| / (|A|+|B|-|∩|).
+    * The shingle join is the classic scalable formulation (no O(n²) doc
+    * cross join); skew on ultra-common shingles is the known hazard —
+    * `maxDocFreq` drops shingles appearing in more than that many docs
+    * (stopword-shingle suppression), which both bounds skew and is
+    * standard practice at corpus scale. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJaccard: Double = 0.8,
+                   maxDocFreq: Long = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val filtered = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("shingle"),
+      Seq("shingle"))
+    val a = filtered.alias("a")
+    val b = filtered.alias("b")
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup: pairs with cosine ≥ `minCos`. Candidates come
+    * from Similarity.lshBuckets (random-hyperplane LSH) so the pair join
+    * is bucket-local; exact cosine is then computed on candidates only. */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+                       minCos: Double = 0.95, planes: Int = 12): DataFrame = {
+    val bucketed = Similarity.withLshBucket(embs, vecCol, planes)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"), col("lsh_bucket"))
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b, col("a.lsh_bucket") === col("b.lsh_bucket") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

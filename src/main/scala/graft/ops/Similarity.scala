@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *   - `bruteForceTopK` — exact cosine against every vector, global top-k.
+  *     One scan, no shuffle of vectors (top-k via TakeOrdered); the
+  *     correctness baseline.
+  *   - `lshTopK` — random-hyperplane LSH bucketing: vectors land in a
+  *     sign-bit bucket; the query probes only its own bucket (and
+  *     optionally near buckets). At 100 TB this turns a full scan into a
+  *     bucket-pruned scan when the bucketed table is written partitioned
+  *     by `lsh_bucket` (partition pruning does the skipping).
+  *
+  * All vector math is codegen'd `zip_with`/`aggregate` HOFs over doubles —
+  * no UDF, no driver-side loop.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic random hyperplanes (fixed seed): `planes` rows of
+    * `dim` doubles, embedded as plan literals. */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket id from `planes` hyperplanes (assumes 64-dim
+    * vectors by default; pass `dim` to match the embedding width). */
+  def lshBucket(vec: Column, planes: Int, dim: Int = 64): Column =
+    hyperplanes(planes, dim).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  def withLshBucket(embs: DataFrame, vecCol: String, planes: Int,
+                    dim: Int = 64): DataFrame =
+    embs.withColumn("lsh_bucket", lshBucket(col(vecCol), planes, dim))
+
+  /** Exact brute-force cosine top-k of `embs` against a literal query
+    * vector. Returns (id, cos_sim) ordered desc with id tie-break. */
+  def bruteForceTopK(embs: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame =
+    embs.select(col(idCol),
+        cosine(col(vecCol), typedLit(query)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+
+  /** LSH-pruned top-k: score only vectors in the query's bucket. With
+    * `probes > 1`, also search buckets at hamming distance 1 (multi-probe)
+    * to trade recall for scan size. */
+  def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, planes: Int = 8,
+              probes: Int = 1): DataFrame = {
+    val dim = query.length
+    val bucketed = withLshBucket(embs, vecCol, planes, dim)
+    val qBucket = hyperplanes(planes, dim).zipWithIndex.map { case (p, i) =>
+      if (p.zip(query).map { case (x, y) => x * y }.sum >= 0) 1 << i else 0
+    }.sum
+    val targets: Seq[Int] =
+      if (probes <= 1) Seq(qBucket)
+      else qBucket +: (0 until planes).map(b => qBucket ^ (1 << b))
+    bucketed.filter(col("lsh_bucket").isin(targets: _*))
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

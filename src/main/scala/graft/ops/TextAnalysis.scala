@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring, n-gram-heuristic language ID, and document fingerprinting.
+  * Everything is built from codegen'd builtin functions (no UDFs) so the
+  * expressions inline into whole-stage codegen over a 100 TB scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count, robust to empty strings. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword-unit count: runs of letters, runs of digits, and
+    * single other non-space chars — the classic pre-tokenizer regex. */
+  def regexTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+
+  /** Occurrence count of a literal word (length-delta trick — avoids a
+    * regex scan and stays identical across engines). */
+  def occurrences(text: Column, word: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(word), "")))
+      / word.length).cast("long")
+
+  /** Quality-scoring signals: lengths, token stats, punctuation ratio,
+    * stopword ratio. `stopwords` defaults to a tiny English list. */
+  def qualitySignals(docs: DataFrame, textCol: String,
+                     stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    val stopHits = stopwords.map(w =>
+      size(split(concat(lit(" "), t, lit(" ")), s"\\s${java.util.regex.Pattern.quote(w)}\\s")) - 1)
+      .reduce(_ + _)
+    docs
+      .withColumn("n_chars_sig", length(t).cast("long"))
+      .withColumn("n_tokens", toks)
+      .withColumn("mean_token_len",
+        when(toks > 0, (length(regexp_replace(t, "\\s+", "")).cast("double") / toks))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_cnt",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("long"))
+      .withColumn("stopword_cnt", stopHits.cast("long"))
+  }
+
+  /** n-gram-heuristic language ID: score each candidate language by
+    * marker-word hits, pick the argmax (ties broken by language-list
+    * order, matching a greatest/CASE chain in SQL). Returns the input
+    * plus `lang_guess`. */
+  def languageId(docs: DataFrame, textCol: String,
+                 markers: Seq[(String, Seq[String])] = DefaultMarkers): DataFrame = {
+    val scores: Seq[(String, Column)] = markers.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(col(textCol), w)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val guess = scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      coalesce(acc, when(s === best && best > 0, lit(lang)))
+    }
+    docs.withColumn("lang_guess", coalesce(guess, lit("und")))
+  }
+
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "que"),
+    "de" -> Seq("der", "und", "die"),
+    "zh" -> Seq("的", "是", "在"))
+
+  /** Polynomial rolling-hash fingerprint of the whole document: base-31
+    * over character codes, mod 1e9+7 — a cheap order-sensitive content
+    * id, unlike the order-insensitive md5 of Dedup.exact. Modular (not
+    * wrapping) arithmetic keeps every intermediate below 2^35, so it runs
+    * clean under ANSI overflow checking. Codegen'd fold over the
+    * character array. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
+}

@@ -1,0 +1,507 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.Scd2
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.rules.FraudRules
+
+/** The SURVEY §2 operator inventory mapped onto the driver's testdata
+  * tables (TESTDATA.md / FIXTURES.md §B), one named query per operator,
+  * each with matching ANSI SQL for the DuckDB oracle where the semantics
+  * are SQL-expressible (hash-function-based ops are rows-only).
+  *
+  * Hash-stability rules: money aggregates cast to DECIMAL(18,2) on BOTH
+  * sides (double sums are order-sensitive); epoch arithmetic truncates
+  * per-timestamp on both sides; every computed column is aliased
+  * identically in the DataFrame code and the SQL.
+  */
+object TestdataQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read the nanos as long and truncate to micros —
+      // exactly what DuckDB does when it loads the same file, so oracle
+      // comparisons stay aligned.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  private val d182 = DecimalType(18, 2)
+
+  /** name -> (query impl, optional DuckDB oracle SQL). */
+  val registry: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+
+    // ---------------------------------------------------------- A1/A-agg
+    "q1_agg" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 30)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(d182)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(d182)).as("sum_price"))),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+             |FROM lineitem WHERE l_quantity < 30
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ------------------------------------------------------- P1/P2/F1/F2
+    "p1_project_literals" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_name").as("full_name"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("15032021"), "ddMMyyyy").as("effective_from"),
+        lit(java.sql.Date.valueOf("3000-01-01")).as("effective_to"),
+        lit(false).as("deleted_flg"))),
+      Some("""SELECT c_custkey AS id, c_name AS full_name, c_mktsegment AS segment,
+             |  CAST(strptime('15032021', '%d%m%Y') AS DATE) AS effective_from,
+             |  DATE '3000-01-01' AS effective_to, FALSE AS deleted_flg
+             |FROM customer""".stripMargin)),
+
+    // ------------------------------------------------- P5/P6/P9 predicates
+    "p5_filter_pack" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "events")
+        .filter(col("event_type").isin("click", "view", "error") &&
+          col("value").isNotNull &&
+          col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")) &&
+          col("value").between(1, 8))
+        .select("event_id", "user_id", "value")),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type IN ('click','view','error') AND value IS NOT NULL
+             |  AND ts < TIMESTAMP '2024-01-20 00:00:00' AND value BETWEEN 1 AND 8""".stripMargin)),
+
+    // ----------------------------------------------------------- J1 star
+    "j1_star_join" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast(d182)).as("revenue"))
+    }),
+      Some("""SELECT n_name, count(*) AS cnt,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'F' GROUP BY n_name""".stripMargin)),
+
+    // ------------------------------------- J2/C6 cross-pair theta (rule 4)
+    "j2_c6_cross_pair" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id").as("trans_id"), col("ts").as("trans_date"),
+          col("user_id").as("card_num"), col("event_type").as("terminal_city"),
+          col("user_id").as("client_id"))
+      FraudRules.crossCityRule(ev)
+    }),
+      Some("""SELECT DISTINCT a.event_id AS trans_id, a.user_id AS client_id
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |WHERE a.event_type <> b.event_type
+             |  AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 3600""".stripMargin)),
+
+    // ------------------------------------------------- J3 interval join
+    "j3_interval_join" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val r1 = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val r2 = ev.select(col("user_id").as("u2"), col("ts").as("ts2"))
+      r1.join(r2, col("user_id") === col("u2") &&
+          col("ts2").between(col("ts"), col("ts") + expr("INTERVAL 20 MINUTES")))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("cnt_20min"))
+    }),
+      Some("""SELECT r1.event_id AS event_id, count(*) AS cnt_20min
+             |FROM events r1 JOIN events r2 ON r2.user_id = r1.user_id
+             |  AND r2.ts BETWEEN r1.ts AND r1.ts + INTERVAL 20 MINUTE
+             |GROUP BY r1.event_id""".stripMargin)),
+
+    // ---------------------------------------------------- J4 left outer
+    "j4_left_join" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    // ----------------------------------------------------- J5 anti join
+    "j5_anti_join" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)),
+
+    // ----------------------------------------------------- J6 semi join
+    "j6_semi_join" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)),
+
+    // --------------------------------------------------- J7 upsert join
+    "j7_upsert_join" -> (((s: SparkSession, dir: String) => {
+      val cust = t(s, dir, "customer")
+      val dim = cust.filter(col("c_custkey") % 7 =!= 0).select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        lit(java.sql.Date.valueOf("3000-01-01")).as("effective_to"))
+      val stg = cust.select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 10 === 0, "CHANGED")
+          .otherwise(col("c_mktsegment")).as("seg"))
+      stg.alias("s").join(dim.alias("d"),
+          col("s.k") === col("d.k") &&
+          col("d.effective_to") === lit(java.sql.Date.valueOf("3000-01-01")), "left")
+        .filter(col("d.k").isNull || col("d.seg") =!= col("s.seg"))
+        .select(col("s.k").as("k"), col("s.seg").as("seg"))
+    }),
+      Some("""WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+             |    DATE '3000-01-01' AS effective_to FROM customer WHERE c_custkey % 7 <> 0),
+             |  stg AS (SELECT c_custkey AS k,
+             |    CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg FROM customer)
+             |SELECT s.k AS k, s.seg AS seg
+             |FROM stg s LEFT JOIN dim d ON s.k = d.k AND d.effective_to = DATE '3000-01-01'
+             |WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin)),
+
+    // ------------------------------------------------- C1 SCD2 merge (!)
+    // Exercises the REAL Scd2.merge operator against an independent SQL
+    // formulation of the same semantics.
+    "c1_scd2_merge" -> (((s: SparkSession, dir: String) => {
+      val cust = t(s, dir, "customer")
+      val dim = cust.filter(col("c_custkey") % 7 =!= 0).select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        lit(java.sql.Date.valueOf("2020-01-01")).as("effective_from"),
+        lit(java.sql.Date.valueOf("3000-01-01")).as("effective_to"),
+        lit(false).as("deleted_flg"))
+      val stg = cust.select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 10 === 0, "CHANGED")
+          .otherwise(col("c_mktsegment")).as("seg"))
+      Scd2.merge(dim, stg, Scd2.DimSpec("k", Seq("seg")),
+        java.sql.Date.valueOf("2021-01-01"))
+    }),
+      Some("""WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+             |    DATE '2020-01-01' AS effective_from, DATE '3000-01-01' AS effective_to,
+             |    FALSE AS deleted_flg FROM customer WHERE c_custkey % 7 <> 0),
+             |  stg AS (SELECT c_custkey AS k,
+             |    CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg FROM customer)
+             |SELECT d.k AS k, d.seg AS seg, d.effective_from AS effective_from,
+             |       d.effective_to AS effective_to, d.deleted_flg AS deleted_flg
+             |FROM dim d LEFT JOIN stg s ON d.k = s.k
+             |WHERE s.k IS NULL OR NOT (d.seg <> s.seg)
+             |UNION ALL
+             |SELECT d.k, d.seg, d.effective_from, DATE '2021-01-01', TRUE
+             |FROM dim d JOIN stg s ON d.k = s.k WHERE d.seg <> s.seg
+             |UNION ALL
+             |SELECT s.k, s.seg, DATE '2021-01-01', DATE '3000-01-01', FALSE
+             |FROM stg s LEFT JOIN dim d ON d.k = s.k WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin)),
+
+    // -------------------------------------------------- A1 having count
+    "a1_having_count" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 3)),
+      Some("""SELECT o_custkey, count(*) AS cnt FROM orders
+             |GROUP BY o_custkey HAVING count(*) > 3""".stripMargin)),
+
+    // --------------------------------------- A2 array_agg/ANY membership
+    // Literal collect_list + array_contains form (SURVEY §2.4 A2).
+    "a2_any_membership" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_returnflag")).as("flags"))
+        .filter(array_contains(col("flags"), "R") && array_contains(col("flags"), "A"))
+        .select(col("l_orderkey"))),
+      Some("""SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |HAVING max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1
+             |   AND max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) = 1""".stripMargin)),
+
+    // -------------------------------------------------- A3 exact count
+    "a3_exact_count" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") === 7)
+        .select(col("l_orderkey"))),
+      Some("""SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |HAVING count(*) = 7""".stripMargin)),
+
+    // -------------------------------------------------- W1 rownum time
+    "w1_rownum_time" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))),
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey, row_number() OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+             |  FROM orders) t WHERE rn <= 3""".stripMargin)),
+
+    // ------------------------------------------------ W2 rownum amount
+    "w2_rownum_amount" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))),
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey, row_number() OVER
+             |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders) t WHERE rn <= 3""".stripMargin)),
+
+    // -------------------------------------------------------- O1 distinct
+    "o1_distinct" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment")).distinct()),
+      Some("SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")),
+
+    // ------------------------------------------------------ O4 intersect
+    "o4_intersect" -> (((s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_totalprice") > 100000).select(col("o_custkey")))
+    }),
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_totalprice > 100000""".stripMargin)),
+
+    // ------------------------------------------- F3-F8 scalar functions
+    "f_scalars" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        concat(col("event_type"), lit(" "), col("props")).as("tagged"),
+        when(col("value") < 1, "low").when(col("value") < 5, "mid")
+          .otherwise("high").as("bucket"),
+        abs(col("value") - 5.0).as("dist"),
+        (col("ts") + expr("INTERVAL 20 MINUTES")).as("ts_plus"),
+        unix_timestamp(col("ts")).as("epoch_s"))),
+      Some("""SELECT event_id, event_type || ' ' || props AS tagged,
+             |  CASE WHEN value < 1 THEN 'low' WHEN value < 5 THEN 'mid' ELSE 'high' END AS bucket,
+             |  abs(value - 5.0) AS dist,
+             |  ts + INTERVAL 20 MINUTE AS ts_plus,
+             |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+             |FROM events""".stripMargin)),
+
+    // ------------------------------------- C7 rule-5 brute-force pattern
+    // Exercises the REAL FraudRules.bruteForceRule against an independent
+    // SQL formulation (deterministic tie-breakers on both sides).
+    // The events feed is too sparse in real time for 4-in-20-minutes
+    // windows, so the mapping compresses the timeline 200× (pure integer
+    // epoch arithmetic — no timezone functions — identically on both
+    // sides); the rule itself is untouched.
+    "c7_bruteforce" -> (((s: SparkSession, dir: String) => {
+      val r = t(s, dir, "events").select(
+        col("user_id").as("client_id"),
+        col("event_id").as("trans_id"),
+        expr("timestamp_seconds(1704067200 + (unix_timestamp(ts) - 1704067200) div 200)")
+          .as("trans_date"),
+        col("value").cast(d182).as("amt"),
+        when(col("event_type").isin("click", "view"), "SUCCESS")
+          .otherwise("REJECT").as("oper_result"))
+      FraudRules.bruteForceRule(r)
+    }),
+      Some("""WITH r AS (SELECT user_id AS client_id, event_id AS trans_id,
+             |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL
+             |      ((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 200) SECOND AS trans_date,
+             |    CAST(value AS DECIMAL(18,2)) AS amt,
+             |    CASE WHEN event_type IN ('click','view') THEN 'SUCCESS' ELSE 'REJECT' END AS oper_result
+             |  FROM events),
+             |joined AS (SELECT r1.client_id, r1.trans_id AS trans_id_start,
+             |    r2.trans_id AS trans_id_20min, r2.amt AS amt_20min,
+             |    r2.trans_date AS trans_date_20min, r2.oper_result
+             |  FROM r r1 JOIN r r2 ON r2.client_id = r1.client_id
+             |    AND r2.trans_date BETWEEN r1.trans_date AND r1.trans_date + INTERVAL 20 MINUTE),
+             |win AS (SELECT *,
+             |    row_number() OVER (PARTITION BY client_id, trans_id_start
+             |      ORDER BY trans_date_20min ASC, trans_id_20min ASC) AS rn_datetime,
+             |    count(*) OVER (PARTITION BY client_id, trans_id_start) AS cnt,
+             |    max(CASE WHEN oper_result = 'SUCCESS' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY client_id, trans_id_start) AS has_success,
+             |    max(CASE WHEN oper_result = 'REJECT' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY client_id, trans_id_start) AS has_reject
+             |  FROM joined),
+             |w4 AS (SELECT *, row_number() OVER (PARTITION BY client_id, trans_id_start
+             |      ORDER BY amt_20min DESC, trans_id_20min ASC) AS rn_amt
+             |  FROM win WHERE rn_datetime <= 4 AND cnt > 3 AND has_success = 1 AND has_reject = 1)
+             |SELECT client_id, trans_id_start AS trans_id FROM w4
+             |GROUP BY client_id, trans_id_start
+             |HAVING sum(CASE WHEN rn_amt = rn_datetime THEN 1 ELSE 0 END) = 4
+             |  AND max(CASE WHEN rn_datetime = 1 THEN oper_result END) = 'REJECT'
+             |  AND max(CASE WHEN rn_datetime = 2 THEN oper_result END) = 'REJECT'
+             |  AND max(CASE WHEN rn_datetime = 3 THEN oper_result END) = 'REJECT'
+             |  AND max(CASE WHEN rn_datetime = 4 THEN oper_result END) = 'SUCCESS'""".stripMargin)),
+
+    // ------------------------------------------- C8 report-shape assembly
+    "c8_report_shape" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("c_acctbal") < 0 || col("o_totalprice") > 300000 ||
+          col("o_orderstatus") === "P")
+        .select(
+          col("o_orderkey").as("event_id"),
+          col("o_orderdate").as("event_dt"),
+          concat(col("c_name"), lit(" "), col("c_mktsegment")).as("who"),
+          when(col("c_acctbal") < 0, "NEGATIVE_BAL")
+            .when(col("o_totalprice") > 300000, "BIG_ORDER")
+            .when(col("o_orderstatus") === "P", "PENDING").as("event_type"))),
+      Some("""SELECT o_orderkey AS event_id, o_orderdate AS event_dt,
+             |  c_name || ' ' || c_mktsegment AS who,
+             |  CASE WHEN c_acctbal < 0 THEN 'NEGATIVE_BAL'
+             |       WHEN o_totalprice > 300000 THEN 'BIG_ORDER'
+             |       WHEN o_orderstatus = 'P' THEN 'PENDING' END AS event_type
+             |FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+             |WHERE c_acctbal < 0 OR o_totalprice > 300000 OR o_orderstatus = 'P'""".stripMargin)),
+
+    // ================================================== scale extensions
+
+    // ------------------------------------------------------- exact dedup
+    "x_dedup_exact" -> (((s: SparkSession, dir: String) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS dup_cnt,
+             |  min(doc_id) AS keep_id
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // ----------------------------------------------- n-gram Jaccard dedup
+    "x_dedup_ngram_jaccard" -> (((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.1, maxDocFreq = 1000)),
+      Some("""WITH splits AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM splits),
+             |tri AS (SELECT DISTINCT doc_id,
+             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+             |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+             |keep AS (SELECT shingle FROM tri GROUP BY shingle HAVING count(*) <= 1000),
+             |f AS (SELECT tri.doc_id, tri.shingle FROM tri JOIN keep USING (shingle)),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, common,
+             |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1""".stripMargin)),
+
+    // -------------------------------------- MinHash LSH (rows-only: xxhash64)
+    "x_dedup_minhash_lsh" -> (((s: SparkSession, dir: String) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")),
+      None),
+
+    // ------------------------------------------ SimHash (rows-only: xxhash64)
+    "x_dedup_simhash" -> (((s: SparkSession, dir: String) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
+      None),
+
+    // -------------------------------- embedding near-dup (rows-only: LSH)
+    "x_dedup_embedding" -> (((s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.9, planes = 8)),
+      None),
+
+    // --------------------------------------------- ANN brute-force top-k
+    "x_ann_bruteforce" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+      Some("""SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim
+             |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |WHERE e.vec_id <> 0
+             |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin)),
+
+    // ------------------------------------ ANN LSH-bucketed (rows-only)
+    "x_ann_lsh" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        q, k = 10, planes = 6, probes = 2)
+    }),
+      None),
+
+    // ------------------------------------------------- text statistics
+    "x_text_stats" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_subtokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        TextAnalysis.occurrences(col("text"), "the").as("n_the"))),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens,
+             |  CAST(length(text) AS BIGINT) AS n_chars_m,
+             |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the
+             |FROM documents""".stripMargin)),
+
+    // -------------------------------------------------- language ID
+    "x_text_langid" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("lang_guess"))),
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'and', ''))) / 3 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'of', ''))) / 2 AS BIGINT) AS s_en,
+             |  CAST((length(text) - length(replace(text, 'le', ''))) / 2 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'la', ''))) / 2 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'et', ''))) / 2 AS BIGINT) AS s_fr,
+             |  CAST((length(text) - length(replace(text, 'el', ''))) / 2 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'los', ''))) / 3 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'que', ''))) / 3 AS BIGINT) AS s_es,
+             |  CAST((length(text) - length(replace(text, 'der', ''))) / 3 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'und', ''))) / 3 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, 'die', ''))) / 3 AS BIGINT) AS s_de,
+             |  CAST((length(text) - length(replace(text, '的', ''))) / 1 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, '是', ''))) / 1 AS BIGINT)
+             |    + CAST((length(text) - length(replace(text, '在', ''))) / 1 AS BIGINT) AS s_zh
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  CASE WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+             |       WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+             |       WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+             |       WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+             |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+             |       ELSE 'zh' END AS lang_guess
+             |FROM sc""".stripMargin)),
+
+    // ------------------------------- rolling-hash fingerprint (rows-only:
+    // 64-bit wrap-around arithmetic errors in DuckDB instead of wrapping)
+    "x_text_fingerprint" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("fingerprint"))),
+      None),
+
+    // ----------------------- multimodal plumbing (rows-only: mapPartitions)
+    "x_multimodal_features" -> (((s: SparkSession, dir: String) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      graft.ops.Multimodal.extractFeatures(media, dim = 16)
+    }),
+      None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, (f, _)) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import graft.schemas.Schemas
+
+/** Structured Streaming extension (SURVEY §7.6): the reference's cadence
+  * is a daily cron batch (main.cron:1), but the same transaction feed
+  * maps naturally onto a file-source stream. This module provides:
+  *
+  *   - `readTransactionStream` — streaming read of the same `;`-separated,
+  *     decimal-comma CSV drops the batch path loads (schema shared with
+  *     io.Sources);
+  *   - `cardWindowCounts` — watermarked sliding-window txn counts per
+  *     card, the streaming analog of the rule-5 "many transactions in 20
+  *     minutes" detector;
+  *   - `velocityAlerts` — mapGroupsWithState: per-card running state
+  *     (txn count + last city + last ts) emitting an alert when the same
+  *     card appears in a different city within an hour — the streaming
+  *     analog of rule 4 (main.py:428-436) without the self-join.
+  */
+object StreamingIngest {
+
+  def readTransactionStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("sep", ";")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(Schemas.rawTransactionsCsv)
+      .csv(dir)
+      .select(
+        col("transaction_id").as("trans_id"),
+        col("transaction_date").as("trans_date"),
+        col("card_num"),
+        col("oper_type"),
+        regexp_replace(col("amount"), ",", ".")
+          .cast(DecimalType(18, 2)).as("amt"),
+        col("oper_result"),
+        col("terminal"))
+
+  /** Sliding 20-minute windows (5-minute slide) of transaction counts and
+    * SUCCESS/REJECT presence per card, with a 30-minute watermark bounding
+    * state. Late rows beyond the watermark are dropped — the streaming
+    * trade-off the batch path doesn't have. */
+  def cardWindowCounts(txns: DataFrame): DataFrame =
+    txns
+      .withWatermark("trans_date", "30 minutes")
+      .groupBy(col("card_num"),
+        window(col("trans_date"), "20 minutes", "5 minutes"))
+      .agg(
+        count(lit(1)).as("txn_cnt"),
+        max(when(col("oper_result") === "SUCCESS", 1).otherwise(0)).as("has_success"),
+        max(when(col("oper_result") === "REJECT", 1).otherwise(0)).as("has_reject"))
+
+  final case class CardState(lastCity: String, lastTsMillis: Long, txnCount: Long)
+  final case class TxnEvent(card_num: String, city: String, tsMillis: Long, trans_id: String)
+  final case class CityAlert(card_num: String, trans_id: String, prevCity: String,
+                             city: String, deltaSeconds: Long)
+
+  /** Custom per-key state via mapGroupsWithState: flags a transaction
+    * whose city differs from the card's previous city within 3600 s.
+    * State is one small record per card (bounded by ProcessingTimeTimeout)
+    * — at cluster scale this is the constant-memory alternative to the
+    * batch self-join. */
+  def velocityAlerts(spark: SparkSession, txns: DataFrame): DataFrame = {
+    import spark.implicits._
+    val events = txns.select(col("card_num"), col("city"),
+        (unix_timestamp(col("trans_date")) * 1000).as("tsMillis"), col("trans_id"))
+      .as[TxnEvent]
+    events.groupByKey(_.card_num)
+      .mapGroupsWithState[CardState, Seq[CityAlert]](GroupStateTimeout.ProcessingTimeTimeout) {
+        (card, rows, state: GroupState[CardState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsMillis, e.trans_id))
+          var st = state.getOption.getOrElse(CardState(null, Long.MinValue, 0L))
+          val alerts = Seq.newBuilder[CityAlert]
+          sorted.foreach { e =>
+            val dt = (e.tsMillis - st.lastTsMillis) / 1000
+            if (st.lastCity != null && st.lastCity != e.city && dt <= 3600)
+              alerts += CityAlert(card, e.trans_id, st.lastCity, e.city, dt)
+            st = CardState(e.city, e.tsMillis, st.txnCount + 1)
+          }
+          state.update(st)
+          state.setTimeoutDuration("1 hour")
+          alerts.result()
+      }
+      .flatMap(identity)
+      .toDF()
+  }
+}
