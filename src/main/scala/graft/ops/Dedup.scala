@@ -160,8 +160,9 @@ object Dedup {
     * from Similarity.lshBuckets (random-hyperplane LSH) so the pair join
     * is bucket-local; exact cosine is then computed on candidates only. */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
-                       minCos: Double = 0.95, planes: Int = 12): DataFrame = {
-    val bucketed = Similarity.withLshBucket(embs, vecCol, planes)
+                       minCos: Double = 0.95, planes: Int = 12,
+                       dim: Int = 64): DataFrame = {
+    val bucketed = Similarity.withLshBucket(embs, vecCol, planes, dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"), col("lsh_bucket"))
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")

@@ -407,9 +407,12 @@ object TestdataQueries {
       None),
 
     // -------------------------------- embedding near-dup (rows-only: LSH)
+    // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
+    // threshold is set where real pairs exist (0.35) and the plane count
+    // low enough that moderate-cos pairs still collide in a bucket.
     "x_dedup_embedding" -> (((s: SparkSession, dir: String) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCos = 0.9, planes = 8)),
+        minCos = 0.35, planes = 4)),
       None),
 
     // --------------------------------------------- ANN brute-force top-k

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Scale-extension operators: dedup family, ANN similarity, text analysis,
+  * multimodal plumbing. */
+class OpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup: identical texts share a hash; keep_id is the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val dups = out.filter(_._2 > 1)
+    assert(dups.length === 1 && dups.head._2 === 2L && dups.head._3 === 1L)
+    assert(out.length === 4) // 4 distinct texts
+  }
+
+  test("minhash LSH: exact dups get est_jaccard 1.0; near dups are candidates") {
+    val out = Dedup.minhashLsh(docs.filter($"doc_id" <= 4), "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) === 1.0)
+    assert(!out.contains((1L, 4L)) || out((1L, 4L)) < 0.5)
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs not paired at small radius") {
+    val pairs = Dedup.simhashPairs(docs.filter($"doc_id" <= 4), "doc_id", "text",
+      maxHamming = 3).collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: hand-computed value for a near-dup pair") {
+    // doc1/doc3 share 6 of their 7 trigrams each → |∩|=6, |∪|=8 → 0.75
+    val out = Dedup.ngramJaccard(docs.filter($"doc_id".isin(1, 3)), "doc_id", "text",
+      n = 3, minJaccard = 0.0, maxDocFreq = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(out.length === 1)
+    val ((a, b), (common, j)) = out.head
+    assert((a, b) === (1L, 3L) && common === 6L && j === 0.75)
+  }
+
+  test("embedding near-dup finds the identical vector pair") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (3L, Array(-1.0f, 0.3f, -0.5f, 0.9f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(embs, "vec_id", "embedding",
+      minCos = 0.99, planes = 4, dim = 4)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("brute-force cosine top-k: identical vector ranks first with cos ≈ 1") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+      Seq(1.0, 0.0), k = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k finds the identical vector (same bucket by construction)") {
+    val embs = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 0.6f else 0.4f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(embs, "vec_id", "embedding",
+      Seq.fill(8)(0.5), k = 1, planes = 4)
+    assert(top.collect().head.getLong(0) === 1L)
+  }
+
+  test("token counting: whitespace and BPE-ish regex variants") {
+    val rows = Seq((1L, "hello world 42 foo-bar"), (2L, ""))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.tokenCount($"text").as("t"),
+        TextAnalysis.regexTokenCount($"text").as("rt"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) === ((4L, 6L)))  // hello|world|42|foo|-|bar
+    assert(rows(2L)._1 === 0L)
+  }
+
+  test("occurrences and rolling hash are deterministic and order-sensitive") {
+    val df = Seq((1L, "ab ba"), (2L, "ba ab"), (3L, "ab ba")).toDF("id", "text")
+      .select($"id", TextAnalysis.occurrences($"text", "ab").as("occ"),
+        TextAnalysis.rollingHash($"text").as("h"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 === 1L))
+    val h = rows.map(r => r._1 -> r._3).toMap
+    assert(h(1L) === h(3L))
+    assert(h(1L) !== h(2L))
+  }
+
+  test("language ID picks the marker-winning language; no hits → 'und'") {
+    val out = TextAnalysis.languageId(Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat et la maison et le chien"),
+      (3L, "xyz qqq zzz")).toDF("doc_id", "text"), "text")
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+    assert(out(3L) === "und")
+  }
+
+  test("multimodal: stub decode is deterministic; null content → decode_ok=false") {
+    val media = Seq((1L, "some media bytes"), (2L, "some media bytes"))
+      .toDF("media_id", "txt")
+      .select($"media_id", $"txt".cast("binary").as("content"))
+      .union(Seq((3L, null: String)).toDF("media_id", "txt")
+        .select($"media_id", $"txt".cast("binary").as("content")))
+    val m = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(r => (r.getLong(0), (Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert(m(1L)._1 === m(2L)._1 && m(1L)._2)
+    assert(m(3L)._1.isEmpty && !m(3L)._2)
+  }
+
+  test("multimodal: frame sampling emits bounded per-media frame rows") {
+    val media = Seq((1L, 45000L), (2L, 500000L), (3L, 0L)).toDF("media_id", "dur")
+      .select($"media_id", struct(lit("video").as("media_type"), lit("mp4").as("format"),
+        lit(0).as("width"), lit(0).as("height"), $"dur".as("duration_ms")).as("meta"))
+    val counts = Multimodal.sampleFrames(media, stride = 10, maxFrames = 8)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) === 5L)   // 45 s / 10 → 4 → frames 0..4
+    assert(counts(2L) === 9L)   // capped at maxFrames → 0..8
+    assert(counts(3L) === 1L)   // frame 0 only
+  }
+}

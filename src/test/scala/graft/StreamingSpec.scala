@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingIngest
+import java.sql.Timestamp
+
+/** Structured Streaming extension: watermarked window counts via
+  * MemoryStream, and the stateful velocity detector (mapGroupsWithState
+  * runs in batch mode too — same code path, single batch). */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cardWindowCounts: sliding windows aggregate counts + result flags") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val txns = mem.toDF().toDF("card_num", "trans_date", "oper_result")
+    val q = StreamingIngest.cardWindowCounts(txns)
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        ("K1", ts("2021-01-01 12:00:00"), "REJECT"),
+        ("K1", ts("2021-01-01 12:04:00"), "REJECT"),
+        ("K1", ts("2021-01-01 12:09:00"), "SUCCESS"),
+        ("K2", ts("2021-01-01 12:00:00"), "SUCCESS"))
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .select("card_num", "txn_cnt", "has_success", "has_reject").collect()
+      // K1's [12:00,12:20) window sees all 3 txns with both flags
+      assert(rows.exists(r => r.getString(0) == "K1" && r.getLong(1) == 3 &&
+        r.getInt(2) == 1 && r.getInt(3) == 1))
+      assert(rows.filter(_.getString(0) == "K2").forall(_.getInt(3) == 0))
+    } finally q.stop()
+  }
+
+  test("velocityAlerts: same card in a new city within an hour fires; beyond an hour doesn't") {
+    val txns = Seq(
+      ("K1", "Moscow", ts("2021-01-01 10:00:00"), "A"),
+      ("K1", "Kazan", ts("2021-01-01 10:30:00"), "B"),   // 30 min, new city → alert
+      ("K1", "Moscow", ts("2021-01-01 13:00:00"), "C"),  // 2.5 h later → no alert
+      ("K2", "Moscow", ts("2021-01-01 10:00:00"), "D"),
+      ("K2", "Moscow", ts("2021-01-01 10:10:00"), "E"))  // same city → no alert
+      .toDF("card_num", "city", "trans_date", "trans_id")
+    val alerts = StreamingIngest.velocityAlerts(spark, txns).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(alerts.toSet === Set(("K1", "B", "Moscow", "Kazan")))
+  }
+}
