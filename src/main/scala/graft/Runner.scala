@@ -35,31 +35,45 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
     // 2. Archive this date's input files (main.py:117).
     Archiver.filesToArchive(inputDir, dateStr)
 
-    // 3. SCD2 merges (main.py:121-379).
+    // 3. SCD2 merges (main.py:121-379) against the OPEN slice only —
+    // closed history is never re-read or rewritten (O(current) per batch,
+    // SURVEY §7.4). Newly closed rows land in an effective_to-partitioned
+    // table first (dynamic overwrite → rerunning a date replaces its own
+    // partition), then the open slice swaps atomically.
     def mergeDim(table: String, stgTable: String, spec: Scd2.DimSpec,
                  schema: org.apache.spark.sql.types.StructType): Unit = {
-      val dim = cat.readOrEmpty(table, schema)
+      val open = cat.readOrEmpty(s"${table}_open", schema)
       val stg = cat.read(stgTable)
-      cat.replaceAtomic(table, Scd2.merge(dim, stg, spec, date))
+      val (newOpen, closedNow) = Scd2.mergeOpen(open, stg, spec, date)
+      cat.appendPartitioned(s"${table}_closed", closedNow, "effective_to")
+      cat.replaceAtomic(s"${table}_open", newOpen)
     }
     mergeDim("dim_clients_hist", "stg_clients", Scd2.clients, Schemas.dimClientsHist)
     mergeDim("dim_accounts_hist", "stg_accounts", Scd2.accounts, Schemas.dimAccountsHist)
     mergeDim("dim_cards_hist", "stg_cards", Scd2.cards, Schemas.dimCardsHist)
     mergeDim("dim_terminals_hist", "stg_terminals", Scd2.terminals, Schemas.dimTerminalsHist)
 
-    // 4. Fact loads (main.py:382-410).
+    // 4. Fact loads (main.py:382-410). Transactions are load-date
+    // partitioned: reprocessing a date dynamic-overwrites its own
+    // partition instead of duplicating (fixes quirk §2.9.5 with identical
+    // output for the once-per-date flow). Blacklist append is already
+    // idempotent via the anti-join.
     val blExisting = cat.readOrEmpty("fact_passport_blacklist", Schemas.factPassportBlacklist)
     cat.append("fact_passport_blacklist",
       FactLoader.blacklistRows(cat.read("stg_blacklist"), blExisting))
-    cat.append("fact_transactions",
-      FactLoader.transactionRows(cat.read("stg_transactions")))
+    cat.appendPartitioned("fact_transactions",
+      FactLoader.transactionRows(cat.read("stg_transactions"))
+        .withColumn("load_dt", org.apache.spark.sql.functions.lit(date)),
+      "load_dt")
 
-    // 5. Fraud report (main.py:414-561).
+    // 5. Fraud report (main.py:414-561). Every consumer filters
+    // deleted_flg = false, which on this layout IS the open slice — so the
+    // rules read only the small open tables, no closed-history scan.
     val txn = cat.read("fact_transactions")
-    val cards = cat.read("dim_cards_hist")
-    val accounts = cat.read("dim_accounts_hist")
-    val clients = cat.read("dim_clients_hist")
-    val terminals = cat.read("dim_terminals_hist")
+    val cards = cat.readOrEmpty("dim_cards_hist_open", Schemas.dimCardsHist)
+    val accounts = cat.readOrEmpty("dim_accounts_hist_open", Schemas.dimAccountsHist)
+    val clients = cat.readOrEmpty("dim_clients_hist_open", Schemas.dimClientsHist)
+    val terminals = cat.readOrEmpty("dim_terminals_hist_open", Schemas.dimTerminalsHist)
     val blacklist = cat.read("fact_passport_blacklist")
 
     val withClient = FraudRules.txnWithClient(txn, cards, accounts, clients)
@@ -68,6 +82,6 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
     val rule5 = FraudRules.bruteForceRule(withClient)
     val report = FraudReport.assemble(txn, cards, accounts, clients,
       blacklist, rule4, rule5, date)
-    cat.append("rep_fraud", report)
+    cat.appendPartitioned("rep_fraud", report, "report_dt")
   }
 }

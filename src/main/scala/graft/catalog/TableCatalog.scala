@@ -58,6 +58,16 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
       .partitionBy(partCol)
       .parquet(path(table))
 
+  /** Full SCD2 history = open slice ∪ effective_to-partitioned closed
+    * history. The open table is small (one row per live key) and swapped
+    * per batch; closed partitions are immutable after their date. Reading
+    * the union restores `effective_to` from the partition directory. */
+  def readScd2(base: String, schema: StructType): DataFrame = {
+    val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    readOrEmpty(s"${base}_open", schema).select(cols: _*)
+      .unionByName(readOrEmpty(s"${base}_closed", schema).select(cols: _*))
+  }
+
   /** Full-rewrite with atomic swap — the SCD2 dim "UPDATE" path
     * (SURVEY.md §7.4). The new content is materialized to `<table>.tmp`
     * first, so a mid-write failure leaves the current table intact; the

@@ -52,10 +52,23 @@ object Scd2 {
   def merge(dim: DataFrame, staging: DataFrame, spec: DimSpec,
             date: java.sql.Date): DataFrame = {
     val outCols = spec.allCols ++ scd2Cols
-
     val closedHistory = dim.filter(col("effective_to") =!= openEnd)
+    val (newOpen, closedNow) =
+      mergeOpen(dim.filter(col("effective_to") === openEnd), staging, spec, date)
+    closedHistory.select(outCols.map(col): _*)
+      .unionByName(newOpen).unionByName(closedNow)
+  }
 
-    val d = dim.filter(col("effective_to") === openEnd)
+  /** The incremental core: merge `staging` against only the CURRENT (open)
+    * slice of the dim, returning (new open set, rows closed by this
+    * batch). At scale this is what keeps the SCD2 maintenance cost
+    * O(|current| + |staging|) per batch — closed history is never read or
+    * rewritten; newly closed rows append to a separate effective_to-
+    * partitioned table (see Runner) so a rerun of the same date
+    * dynamic-overwrites its own partition instead of duplicating. */
+  def mergeOpen(open: DataFrame, staging: DataFrame, spec: DimSpec,
+                date: java.sql.Date): (DataFrame, DataFrame) = {
+    val d = open
       .select(col(spec.key).as("_k") +:
         (spec.attrs.map(a => col(a).as(s"_d_$a")) :+
          col("effective_from").as("_d_from")): _*)
@@ -90,11 +103,11 @@ object Scd2 {
     val insertNew = when(sPresent && (!dPresent || changed),
       mkStruct(col("_k"), sAttrs, lit(date), openEnd, lit(false)))
 
-    val merged = j
-      .select(explode(filter(array(keepOpen, closeNow, insertNew),
-        _.isNotNull)).as("_r"))
+    val outCols = spec.allCols ++ scd2Cols
+    def emit(branches: Column*): DataFrame = j
+      .select(explode(filter(array(branches: _*), _.isNotNull)).as("_r"))
       .select(outCols.map(c => col(s"_r.$c")): _*)
 
-    closedHistory.select(outCols.map(col): _*).unionByName(merged)
+    (emit(keepOpen, insertNew), emit(closeNow))
   }
 }

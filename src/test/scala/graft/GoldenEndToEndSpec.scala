@@ -148,14 +148,15 @@ class GoldenEndToEndSpec extends AnyFunSuite with SparkTestSession {
     runner2.runDate(s"$root/in", "02012021")
 
     // SCD2: C1 has a closed old-phone row and an open new-phone row
-    val c1 = cat.read("dim_clients_hist").filter("client_id = 'C1'")
+    def clientsHist = cat.readScd2("dim_clients_hist", graft.schemas.Schemas.dimClientsHist)
+    val c1 = clientsHist.filter("client_id = 'C1'")
       .select("phone", "effective_from", "effective_to", "deleted_flg")
       .collect().toSet
     assert(c1 === Set(
       Row("+7001", Date.valueOf("2021-01-01"), Date.valueOf("2021-01-02"), true),
       Row("+7999", Date.valueOf("2021-01-02"), Date.valueOf("3000-01-01"), false)))
     // unchanged client: still exactly one open row
-    assert(cat.read("dim_clients_hist").filter("client_id = 'C2'").count() === 1)
+    assert(clientsHist.filter("client_id = 'C2'").count() === 1)
 
     // blacklist dedup: P1 kept once with its FIRST entry_dt (quirk §2.9.4)
     val bl = cat.read("fact_passport_blacklist").collect()
@@ -165,7 +166,9 @@ class GoldenEndToEndSpec extends AnyFunSuite with SparkTestSession {
     // date-2 report: date-1 frauds re-reported with report_dt=date2 and
     // C1's NEW phone; TX9 stays clean
     val rep2 = cat.read("rep_fraud")
-      .filter("report_dt = date '2021-01-02'").collect().toSet
+      .filter("report_dt = date '2021-01-02'")
+      .select("event_dt", "passport", "fio", "phone", "event_type", "report_dt")
+      .collect().toSet
     val expectedD2 = Set(
       row("2021-01-01 09:00:00", "P1", "Ivan Ivanovich Ivanov", "+7999",
         FraudReport.BlockedPassport, "2021-01-02"),
@@ -180,5 +183,23 @@ class GoldenEndToEndSpec extends AnyFunSuite with SparkTestSession {
       row("2021-01-01 12:00:00", "P7", "Viktor Viktorovich Volkov", "+7007",
         FraudReport.BruteForce, "2021-01-02"))
     assert(rep2 === expectedD2)
+
+    // ---- reprocessing idempotency (SURVEY §7.4): restore date-2 inputs
+    // from the archive and rerun the date; partition overwrites and the
+    // SCD2 no-op must leave every table unchanged.
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(s"$root/in/archive")).iterator().asScala
+      .filter(_.getFileName.toString.contains("02012021"))
+      .foreach { p =>
+        Files.copy(p, Paths.get(s"$root/in",
+          p.getFileName.toString.stripSuffix(".backup")))
+      }
+    runner2.runDate(s"$root/in", "02012021")
+    assert(cat.read("rep_fraud").filter("report_dt = date '2021-01-02'")
+      .select("event_dt", "passport", "fio", "phone", "event_type", "report_dt")
+      .collect().toSet === expectedD2)
+    assert(cat.read("fact_transactions").count() === 17)   // 16 + TX9, no dups
+    assert(clientsHist.filter("client_id = 'C1'").count() === 2)
+    assert(cat.read("fact_passport_blacklist").count() === 2)
   }
 }
