@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graftbridge.CatalystBridge
+
+/** Codegen'd dot product over `array<float>` / `array<double>` columns.
+  *
+  * This is the one place round 1 drops below the DataFrame API: the
+  * built-in formulation (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
+  * evaluates its lambdas interpreted, one function call per element —
+  * fine for 60 k rows, a bottleneck for billions of 64-float embeddings.
+  * This expression compiles to a tight primitive loop inside whole-stage
+  * codegen (SURVEY §7.5's "custom Expression only where built-ins can't
+  * express it efficiently").
+  *
+  * Null semantics match the HOF formulation exactly (OpsSpec asserts
+  * equivalence): mismatched lengths → NULL, any NULL element → NULL.
+  * Accumulation is a sequential double-precision fold in element order —
+  * bit-identical to the HOF path, so oracle comparisons are unaffected.
+  */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = lt match {
+        case FloatType => x.getFloat(i).toDouble
+        case _ => x.getDouble(i)
+      }
+      val yv = rt match {
+        case FloatType => y.getFloat(i).toDouble
+        case _ => y.getDouble(i)
+      }
+      sum += xv * yv
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
+      def getter(arr: String, dt: DataType) = dt match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $sum += ${getter(a, elemType(left))} * ${getter(b, elemType(right))};
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: imperative (per-session) and declarative
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) paths expose
+  * the expression as SQL function `vector_dot`. */
+object GraftFunctions {
+  private val info = new ExpressionInfo(classOf[VectorDot].getName, "vector_dot")
+  private val builder = (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("vector_dot"), info, builder)
+
+  /** Column-level constructor (no registration needed). */
+  def vectorDot(a: Column, b: Column): Column =
+    CatalystBridge.column(VectorDot(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      exprs => VectorDot(exprs.head, exprs(1))))
+}

@@ -21,8 +21,14 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — the codegen'd
+    * custom expression (graft.functions.VectorDot). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vectorDot(a, b)
+
+  /** Builtin-HOF formulation of the same fold; kept as the semantic
+    * reference for VectorDot (OpsSpec asserts bit-equality). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -100,12 +100,15 @@ object FraudRules {
     // Windows + final groupBy all partition on (client_id, trans_id_start)
     // → one shuffle end to end.
     joined
-      .withColumn("rn_datetime", rnTime)
-      .withColumn("cnt", count(lit(1)).over(byGroup))
-      .withColumn("has_success",
-        max(when(col("oper_result") === "SUCCESS", 1).otherwise(0)).over(byGroup))
-      .withColumn("has_reject",
-        max(when(col("oper_result") === "REJECT", 1).otherwise(0)).over(byGroup))
+      .select(col("*"),
+        rnTime.as("rn_datetime"),
+        // one select → the three same-spec aggregates fuse into a single
+        // Window op (a withColumn chain leaves them as separate passes)
+        count(lit(1)).over(byGroup).as("cnt"),
+        max(when(col("oper_result") === "SUCCESS", 1).otherwise(0))
+          .over(byGroup).as("has_success"),
+        max(when(col("oper_result") === "REJECT", 1).otherwise(0))
+          .over(byGroup).as("has_reject"))
       .filter(col("rn_datetime") <= 4 && col("cnt") > 3 &&
         col("has_success") === 1 && col("has_reject") === 1)
       .withColumn("rn_amt", rnAmt)

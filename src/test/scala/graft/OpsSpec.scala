@@ -79,6 +79,35 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top.collect().head.getLong(0) === 1L)
   }
 
+  test("VectorDot expression ≡ HOF fold: values bit-equal, nulls match") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.1f, -0.2f), Array(0.3f, 0.7f)),
+      (3L, Array(1.0f), Array(1.0f, 2.0f)),              // length mismatch
+      (4L, Array.empty[Float], Array.empty[Float]))
+      .toDF("id", "a", "b")
+    val rows = df.select($"id",
+        Similarity.dot($"a", $"b").as("expr_dot"),
+        Similarity.dotHof($"a", $"b").as("hof_dot"))
+      .collect().map(r => r.getLong(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(rows(1L)._1 === rows(1L)._2)
+    assert(rows(1L)._1.get === 32.0)
+    assert(rows(2L)._1 === rows(2L)._2)
+    assert(rows(3L)._1.isEmpty && rows(3L)._2.isEmpty)   // mismatch → null
+    assert(rows(4L)._1 === Some(0.0))
+    // mixed float/double inputs (the typedLit query-vector case)
+    val mixed = df.filter($"id" === 1).select(
+      Similarity.dot($"a", typedlit(Seq(4.0, 5.0, 6.0))).as("d")).collect()
+    assert(mixed.head.getDouble(0) === 32.0)
+    // SQL registration path
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("vd")
+    assert(spark.sql("SELECT vector_dot(a, b) AS d FROM vd WHERE id = 1")
+      .collect().head.getDouble(0) === 32.0)
+  }
+
   test("token counting: whitespace and BPE-ish regex variants") {
     val rows = Seq((1L, "hello world 42 foo-bar"), (2L, ""))
       .toDF("id", "text")
