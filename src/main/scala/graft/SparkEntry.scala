@@ -11,9 +11,10 @@ import graft.queries.TestdataQueries
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the J1 star join + aggregation. */
+    * the full fraud pipeline (star flatten + all five rules + report
+    * assembly) on the events-derived world. */
   def entry(spark: SparkSession): DataFrame =
-    queries("j1_star_join")(spark, "/root/testdata/sf0.001")
+    queries("c9_fraud_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -365,6 +365,134 @@ object TestdataQueries {
              |FROM orders LEFT JOIN customer ON c_custkey = o_custkey
              |WHERE c_acctbal < 0 OR o_totalprice > 300000 OR o_orderstatus = 'P'""".stripMargin)),
 
+    // ------------------------- C9: the ENTIRE reference pipeline, end to
+    // end — star flatten + all five fraud rules + report assembly
+    // (main.py:414-560) through the real FraudRules/FraudReport operators,
+    // on a deterministic world derived from `events` (cards/accounts/
+    // clients/terminals/blacklist synthesized from user_id arithmetic;
+    // timeline compressed 200× as in c7). Verified against an independent
+    // DuckDB formulation of the whole report query.
+    "c9_fraud_pipeline" -> (((s: SparkSession, dir: String) => {
+      import graft.report.FraudReport
+      val ev = t(s, dir, "events")
+      val txn = ev.select(
+        col("user_id").as("card_num"),
+        col("event_id").as("trans_id"),
+        expr("timestamp_seconds(1704067200 + (unix_timestamp(ts) - 1704067200) div 200)")
+          .as("trans_date"),
+        col("value").cast(d182).as("amt"),
+        when(col("event_type").isin("click", "view"), "SUCCESS")
+          .otherwise("REJECT").as("oper_result"),
+        // a third of the cards stay at one terminal (single city) so the
+        // lower-priority brute-force rule is reachable in the report CASE
+        ((col("user_id") + when(col("user_id") % 3 === 0, lit(0))
+          .otherwise(col("event_id"))) % 20).as("terminal"))
+      val users = ev.select(col("user_id")).distinct()
+      val cards = users.select(col("user_id").as("card_num"),
+        col("user_id").as("account_num"), lit(false).as("deleted_flg"))
+      val accounts = users.select(col("user_id").as("account_num"),
+        col("user_id").as("client"),
+        when(col("user_id") % 13 === 0, lit(java.sql.Date.valueOf("2020-01-01")))
+          .otherwise(lit(java.sql.Date.valueOf("3000-01-01"))).as("valid_to"),
+        lit(false).as("deleted_flg"))
+      val clients = users.select(col("user_id").as("client_id"),
+        concat(lit("F"), col("user_id")).as("first_name"),
+        concat(lit("M"), col("user_id")).as("patrinymic"),
+        concat(lit("L"), col("user_id")).as("last_name"),
+        concat(lit("P"), col("user_id")).as("passport_num"),
+        when(col("user_id") % 11 === 0, lit(java.sql.Date.valueOf("2020-01-01")))
+          .otherwise(lit(java.sql.Date.valueOf("3000-01-01"))).as("passport_valid_to"),
+        concat(lit("+7"), col("user_id")).as("phone"),
+        lit(false).as("deleted_flg"))
+      val terminals = txn.select(col("terminal").as("terminal_id")).distinct()
+        .select(col("terminal_id"),
+          concat(lit("C"), col("terminal_id") % 7).as("terminal_city"),
+          lit(false).as("deleted_flg"))
+      val blacklist = users.filter(col("user_id") % 17 === 0)
+        .select(concat(lit("P"), col("user_id")).as("passport_num"))
+      val withClient = FraudRules.txnWithClient(txn, cards, accounts, clients)
+      val rule4 = FraudRules.crossCityRule(
+        FraudRules.cityOfTransactions(withClient, terminals))
+      val rule5 = FraudRules.bruteForceRule(withClient)
+      FraudReport.assemble(txn, cards, accounts, clients, blacklist,
+        rule4, rule5, java.sql.Date.valueOf("2024-02-01"))
+    }),
+      Some("""WITH txn AS (SELECT user_id AS card_num, event_id AS trans_id,
+             |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL
+             |      ((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 200) SECOND AS trans_date,
+             |    CAST(value AS DECIMAL(18,2)) AS amt,
+             |    CASE WHEN event_type IN ('click','view') THEN 'SUCCESS' ELSE 'REJECT' END AS oper_result,
+             |    (user_id + CASE WHEN user_id % 3 = 0 THEN 0 ELSE event_id END) % 20 AS terminal,
+             |    user_id
+             |  FROM events),
+             |users AS (SELECT DISTINCT user_id FROM events),
+             |clients AS (SELECT user_id AS client_id,
+             |    'F' || CAST(user_id AS VARCHAR) AS first_name,
+             |    'M' || CAST(user_id AS VARCHAR) AS patrinymic,
+             |    'L' || CAST(user_id AS VARCHAR) AS last_name,
+             |    'P' || CAST(user_id AS VARCHAR) AS passport_num,
+             |    CASE WHEN user_id % 11 = 0 THEN DATE '2020-01-01' ELSE DATE '3000-01-01' END AS passport_valid_to,
+             |    '+7' || CAST(user_id AS VARCHAR) AS phone
+             |  FROM users),
+             |accounts AS (SELECT user_id AS account_num, user_id AS client,
+             |    CASE WHEN user_id % 13 = 0 THEN DATE '2020-01-01' ELSE DATE '3000-01-01' END AS valid_to
+             |  FROM users),
+             |termcity AS (SELECT terminal_id, 'C' || CAST(terminal_id % 7 AS VARCHAR) AS terminal_city
+             |  FROM (SELECT DISTINCT terminal AS terminal_id FROM txn)),
+             |blacklist AS (SELECT 'P' || CAST(user_id AS VARCHAR) AS passport_num
+             |  FROM users WHERE user_id % 17 = 0),
+             |city AS (SELECT t.card_num, t.trans_id, t.trans_date, tc.terminal_city,
+             |    t.user_id AS client_id
+             |  FROM txn t JOIN termcity tc ON t.terminal = tc.terminal_id),
+             |rule4 AS (SELECT DISTINCT a.trans_id, a.client_id
+             |  FROM city a JOIN city b ON a.card_num = b.card_num
+             |  WHERE a.terminal_city <> b.terminal_city
+             |    AND abs(CAST(floor(epoch(a.trans_date)) AS BIGINT)
+             |          - CAST(floor(epoch(b.trans_date)) AS BIGINT)) <= 3600),
+             |joined AS (SELECT r1.user_id AS client_id, r1.trans_id AS trans_id_start,
+             |    r2.trans_id AS trans_id_20min, r2.amt AS amt_20min,
+             |    r2.trans_date AS trans_date_20min, r2.oper_result
+             |  FROM txn r1 JOIN txn r2 ON r2.user_id = r1.user_id
+             |    AND r2.trans_date BETWEEN r1.trans_date AND r1.trans_date + INTERVAL 20 MINUTE),
+             |win AS (SELECT *,
+             |    row_number() OVER (PARTITION BY client_id, trans_id_start
+             |      ORDER BY trans_date_20min ASC, trans_id_20min ASC) AS rn_datetime,
+             |    count(*) OVER (PARTITION BY client_id, trans_id_start) AS cnt,
+             |    max(CASE WHEN oper_result = 'SUCCESS' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY client_id, trans_id_start) AS has_success,
+             |    max(CASE WHEN oper_result = 'REJECT' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY client_id, trans_id_start) AS has_reject
+             |  FROM joined),
+             |w4 AS (SELECT *, row_number() OVER (PARTITION BY client_id, trans_id_start
+             |      ORDER BY amt_20min DESC, trans_id_20min ASC) AS rn_amt
+             |  FROM win WHERE rn_datetime <= 4 AND cnt > 3 AND has_success = 1 AND has_reject = 1),
+             |rule5 AS (SELECT client_id, trans_id_start AS trans_id FROM w4
+             |  GROUP BY client_id, trans_id_start
+             |  HAVING sum(CASE WHEN rn_amt = rn_datetime THEN 1 ELSE 0 END) = 4
+             |    AND max(CASE WHEN rn_datetime = 1 THEN oper_result END) = 'REJECT'
+             |    AND max(CASE WHEN rn_datetime = 2 THEN oper_result END) = 'REJECT'
+             |    AND max(CASE WHEN rn_datetime = 3 THEN oper_result END) = 'REJECT'
+             |    AND max(CASE WHEN rn_datetime = 4 THEN oper_result END) = 'SUCCESS')
+             |SELECT t.trans_date AS event_dt, c.passport_num AS passport,
+             |    c.first_name || ' ' || c.patrinymic || ' ' || c.last_name AS fio,
+             |    c.phone AS phone,
+             |    CASE WHEN b.passport_num IS NOT NULL THEN 'Заблокированный паспорт'
+             |         WHEN c.passport_valid_to < t.trans_date THEN 'Просроченный паспорт'
+             |         WHEN a.valid_to < t.trans_date THEN 'Недействующий договор'
+             |         WHEN h.client_id IS NOT NULL THEN 'Транзакции из разных городов за короткое время'
+             |         WHEN r5.client_id IS NOT NULL THEN 'Попытка перебора транзакций'
+             |    END AS event_type,
+             |    DATE '2024-02-01' AS report_dt
+             |FROM txn t
+             |LEFT JOIN accounts a ON a.account_num = t.card_num
+             |LEFT JOIN clients c ON c.client_id = a.client
+             |LEFT JOIN blacklist b ON c.passport_num = b.passport_num
+             |LEFT JOIN rule4 h ON h.client_id = c.client_id AND t.trans_id = h.trans_id
+             |LEFT JOIN rule5 r5 ON r5.client_id = c.client_id AND t.trans_id = r5.trans_id
+             |WHERE b.passport_num IS NOT NULL OR c.passport_valid_to < t.trans_date
+             |   OR a.valid_to < t.trans_date OR h.client_id IS NOT NULL
+             |   OR r5.client_id IS NOT NULL""".stripMargin)),
+
     // ================================================== scale extensions
 
     // ------------------------------------------------------- exact dedup
