@@ -98,12 +98,19 @@ class GoldenEndToEndSpec extends AnyFunSuite with SparkTestSession {
         "TX8C;2021-01-01 13:10:00;K8;PAYMENT;80,00;REJECT;T3",
         "TX8D;2021-01-01 13:15:00;K8;PAYMENT;25,00;SUCCESS;T3"))
 
-    // ---- date-2 drops (02012021): one clean txn; blacklist re-lists P1
-    write(s"$in/terminals_02012021.csv",
-      Seq("terminal_id,terminal_type,terminal_city,terminal_address",
-        "T1,ATM,Moscow,Addr1", "T2,POS,Kazan,Addr2", "T3,ATM,Moscow,Addr3"))
-    write(s"$in/passport_blacklist_02012021.csv",
-      Seq("passport,date", "P1,2021-01-02", "P9,2021-01-02"))
+    // ---- date-2 drops (02012021): one clean txn; blacklist re-lists P1.
+    // Date 2 arrives as NATIVE xlsx (the reference's actual format,
+    // main.py:98/111) — exercises the XlsxAdapter through the full Runner;
+    // P9's entry_dt is an Excel date serial (44198 = 2021-01-02).
+    XlsxTestWriter.writeXlsx(s"$in/terminals_02012021.xlsx", "terminals", Seq(
+      Seq("terminal_id", "terminal_type", "terminal_city", "terminal_address"),
+      Seq("T1", "ATM", "Moscow", "Addr1"),
+      Seq("T2", "POS", "Kazan", "Addr2"),
+      Seq("T3", "ATM", "Moscow", "Addr3")))
+    XlsxTestWriter.writeXlsx(s"$in/passport_blacklist_02012021.xlsx", "blacklist", Seq(
+      Seq("passport", "date"),
+      Seq("P1", "2021-01-02"),
+      Seq("P9", "#44198")))
     write(s"$in/transactions_02012021.txt",
       Seq("transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal",
         "TX9;2021-01-02 09:00:00;K6;PAYMENT;70,00;SUCCESS;T1"))
