@@ -126,6 +126,23 @@ object TestdataQueries {
              |  AND r2.ts BETWEEN r1.ts AND r1.ts + INTERVAL 20 MINUTE
              |GROUP BY r1.event_id""".stripMargin)),
 
+    // -------------------------------- J3 at scale: bucketed interval join
+    // Same semantics and SAME oracle as j3_interval_join, through
+    // ops.IntervalJoin (time-bucketed equi-join, 2× bounded fan-out —
+    // the hot-key-safe plan for 100 TB).
+    "j3_interval_bucketed" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val r1 = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val r2 = ev.select(col("user_id"), col("ts").as("ts2"))
+      graft.ops.IntervalJoin.joinWithin(r1, r2, "user_id", "ts", "ts2", 1200L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("cnt_20min"))
+    }),
+      Some("""SELECT r1.event_id AS event_id, count(*) AS cnt_20min
+             |FROM events r1 JOIN events r2 ON r2.user_id = r1.user_id
+             |  AND r2.ts BETWEEN r1.ts AND r1.ts + INTERVAL 20 MINUTE
+             |GROUP BY r1.event_id""".stripMargin)),
+
     // ---------------------------------------------------- J4 left outer
     "j4_left_join" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "customer")

@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("file-source stream: decimal-comma CSV drops flow through readTransactionStream") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-in")
+    val q = StreamingIngest.readTransactionStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("txstream")
+      .outputMode("append").start()
+    try {
+      java.nio.file.Files.write(dir.resolve("transactions_01012021.txt"),
+        ("transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal\n" +
+         "TX1;2021-01-01 09:00:00;K1;PAYMENT;1234,56;SUCCESS;T1\n" +
+         "TX2;2021-01-01 09:05:00;K2;PAYMENT;7,00;REJECT;T2").getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("txstream").orderBy("trans_id").collect()
+      assert(rows.length === 2)
+      assert(rows.head.getDecimal(4).toPlainString === "1234.56")
+      assert(rows.head.getString(0) === "TX1")
+      // a second drop arrives: only new rows appended
+      java.nio.file.Files.write(dir.resolve("transactions_02012021.txt"),
+        ("transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal\n" +
+         "TX3;2021-01-02 09:00:00;K1;PAYMENT;5,00;SUCCESS;T1").getBytes)
+      q.processAllAvailable()
+      assert(spark.table("txstream").count() === 3)
+    } finally q.stop()
+  }
+
   test("velocityAlerts: same card in a new city within an hour fires; beyond an hour doesn't") {
     val txns = Seq(
       ("K1", "Moscow", ts("2021-01-01 10:00:00"), "A"),
