@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.StandardScaler
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed anomaly scoring over the transaction stream — the
+  * unsupervised companion to the five deterministic fraud rules
+  * (rules.FraudRules): feature engineering in pure DataFrame ops, KMeans
+  * clustering, distance-to-centroid as the anomaly score.
+  *
+  * Features per transaction (all computed with one window partitioning on
+  * the entity key — single shuffle):
+  *   - amount z-score within the entity's own history;
+  *   - seconds since the entity's previous transaction (velocity);
+  *   - hour-of-day.
+  */
+object Anomaly {
+
+  /** Adds `amt_z`, `gap_s`, `hour` to `txns(entityCol, tsCol, amtCol)`. */
+  def features(txns: DataFrame, entityCol: String, tsCol: String,
+               amtCol: String): DataFrame = {
+    val byEntity = Window.partitionBy(entityCol)
+    val ordered = byEntity.orderBy(col(tsCol))
+    val mean = avg(col(amtCol)).over(byEntity)
+    val sd = stddev_pop(col(amtCol)).over(byEntity)
+    txns
+      .withColumn("amt_z",
+        when(sd > 0, (col(amtCol) - mean) / sd).otherwise(lit(0.0)))
+      .withColumn("gap_s",
+        coalesce(unix_timestamp(col(tsCol)) -
+          lag(unix_timestamp(col(tsCol)), 1).over(ordered), lit(0L))
+          .cast("double"))
+      .withColumn("hour", hour(col(tsCol)).cast("double"))
+  }
+
+  /** KMeans over standardized features; score = L2 distance (in
+    * standardized space) to the nearest POPULATED centroid — clusters
+    * holding fewer than `minClusterFraction` of the rows are excluded
+    * from scoring, because with enough k an extreme outlier captures its
+    * own centroid and would score ~0 (the classic distance-to-centroid
+    * blind spot); a vanishingly small cluster is itself the anomaly.
+    * Output = input + `cluster`, `anomaly_score`. */
+  def score(featured: DataFrame, featureCols: Seq[String], k: Int = 8,
+            seed: Long = 42L, minClusterFraction: Double = 0.02): DataFrame = {
+    val assembled = featured.withColumn("_raw", array_to_vector(
+      array(featureCols.map(c => col(c).cast("double")): _*)))
+    val scaler = new StandardScaler().setWithMean(true).setWithStd(true)
+      .setInputCol("_raw").setOutputCol("_f")
+      .fit(assembled)
+    val scaled = scaler.transform(assembled)
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("_f").setPredictionCol("cluster")
+      .fit(scaled)
+    val assigned = model.transform(scaled)
+    val sizes = assigned.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum
+    val minSize = math.max(2L, (n * minClusterFraction).toLong)
+    val kept = model.clusterCenters.zipWithIndex
+      .filter { case (_, i) => sizes.getOrElse(i, 0L) >= minSize }
+    val centroids = (if (kept.nonEmpty) kept else model.clusterCenters.zipWithIndex)
+      .map(_._1.toArray.toSeq).toSeq
+    val centroidLit = typedLit(centroids)
+    assigned
+      .withColumn("_fa", vector_to_array(col("_f")))
+      .withColumn("anomaly_score",
+        sqrt(array_min(transform(centroidLit, c =>
+          aggregate(zip_with(col("_fa"), c, (x, cc) => (x - cc) * (x - cc)),
+            lit(0.0), (acc, v) => acc + v)))))
+      .drop("_raw", "_f", "_fa")
+  }
+}

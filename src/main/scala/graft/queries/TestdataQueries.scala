@@ -586,6 +586,34 @@ object TestdataQueries {
     }),
       None),
 
+    // --------------------------------- IVF ANN (rows-only: KMeans model)
+    // Note: the synthetic embeddings are structureless gaussian noise, so
+    // nProbe/nLists bounds recall here (~top-k overlap, not identity, with
+    // brute force); MlOpsSpec asserts ≥0.9 recall on clustered data —
+    // the case IVF exists for.
+    "x_ann_ivf" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val idx = graft.ops.Ivf.build(e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", nLists = 16)
+      graft.ops.Ivf.topK(idx, "vec_id", "embedding", q, k = 10, nProbe = 4)
+    }),
+      None),
+
+    // ---------------------- MLlib anomaly scoring (rows-only: KMeans)
+    "x_anomaly_kmeans" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"), col("value"))
+      val featured = graft.ops.Anomaly.features(ev, "user_id", "ts", "value")
+      graft.ops.Anomaly.score(featured, Seq("amt_z", "gap_s", "hour"), k = 8)
+        .orderBy(col("anomaly_score").desc, col("event_id").asc)
+        .select(col("event_id"), col("user_id"), col("cluster"),
+          round(col("anomaly_score"), 4).as("anomaly_score"))
+        .limit(100)
+    }),
+      None),
+
     // ------------------------------------------------- text statistics
     "x_text_stats" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "documents").select(

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Anomaly, Ivf, Similarity}
+import java.sql.Timestamp
+
+/** MLlib-backed ops: IVF ANN recall vs brute force; anomaly scoring
+  * surfaces the planted outlier. */
+class MlOpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("IVF top-k finds the exact nearest neighbours of a query (high recall)") {
+    val rnd = new scala.util.Random(3)
+    // three well-separated gaussian blobs in 8-d + a known near-identical pair
+    def blob(center: Array[Float], n: Int, from: Int) =
+      (from until from + n).map(i => (i.toLong,
+        center.map(c => c + rnd.nextGaussian().toFloat * 0.05f)))
+    val data = blob(Array.fill(8)(1f), 60, 0) ++
+      blob(Array.fill(8)(-1f), 60, 100) ++
+      blob(Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f), 60, 200)
+    val embs = data.toDF("vec_id", "embedding")
+    val query = data.head._2.map(_.toDouble).toSeq
+
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = Ivf.build(embs, "vec_id", "embedding", nLists = 6)
+    val ivf = Ivf.topK(idx, "vec_id", "embedding", query, k = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall, brute=$brute ivf=$ivf")
+  }
+
+  test("anomaly scoring ranks a planted outlier far above routine traffic") {
+    // one entity: varied-but-routine payments, plus one wild amount
+    // planted mid-sequence with an ordinary inter-txn gap (so the amount
+    // is the only anomalous dimension)
+    var clock = Timestamp.valueOf("2021-01-01 08:00:00").getTime
+    val routine = (0 until 50).map { i =>
+      clock += (60 + (i % 7) * 90) * 1000L
+      (1L, i.toLong, new Timestamp(clock), 10.0 + (i % 10))
+    }
+    val mid = routine(25)._3.getTime + 30 * 1000L
+    val outlier = Seq((1L, 999L, new Timestamp(mid), 9999.0))
+    val txns = (routine ++ outlier).toDF("user_id", "event_id", "ts", "value")
+
+    val scored = Anomaly.score(
+      Anomaly.features(txns, "user_id", "ts", "value"),
+      Seq("amt_z", "gap_s", "hour"), k = 3)
+    val top = scored.orderBy(org.apache.spark.sql.functions.col("anomaly_score").desc)
+      .select("event_id").head().getLong(0)
+    assert(top === 999L)
+    // scores exist for every row and are non-negative
+    assert(scored.filter("anomaly_score < 0").count() === 0)
+    assert(scored.count() === 51)
+  }
+}
