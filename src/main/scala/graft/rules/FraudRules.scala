@@ -81,10 +81,12 @@ object FraudRules {
       col("client_id"), col("trans_id").as("trans_id_20min"),
       col("amt").as("amt_20min"), col("trans_date").as("trans_date_20min"),
       col("oper_result"))
-    val joined = r1.join(r2,
-      Seq("client_id")).filter(
-        col("trans_date_20min").between(col("trans_date_start"),
-          col("trans_date_start") + expr("INTERVAL 20 MINUTES")))
+    // Time-bucketed interval join (ops.IntervalJoin): the plain equi-join
+    // on client_id builds a per-client cross product before the range
+    // filter — with few hot clients that's quadratic on one reducer. The
+    // bucketed form joins on (client_id, time-cell) with fixed 2× fan-out.
+    val joined = graft.ops.IntervalJoin.joinWithin(
+      r1, r2, "client_id", "trans_date_start", "trans_date_20min", 1200L)
 
     val byGroup = Window.partitionBy("client_id", "trans_id_start")
     val rnTime = row_number().over(
