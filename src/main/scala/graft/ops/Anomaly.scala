@@ -45,14 +45,15 @@ object Anomaly {
     * blind spot); a vanishingly small cluster is itself the anomaly.
     * Output = input + `cluster`, `anomaly_score`. */
   def score(featured: DataFrame, featureCols: Seq[String], k: Int = 8,
-            seed: Long = 42L, minClusterFraction: Double = 0.02): DataFrame = {
+            seed: Long = 42L, minClusterFraction: Double = 0.02,
+            maxIter: Int = 10): DataFrame = {
     val assembled = featured.withColumn("_raw", array_to_vector(
       array(featureCols.map(c => col(c).cast("double")): _*)))
     val scaler = new StandardScaler().setWithMean(true).setWithStd(true)
       .setInputCol("_raw").setOutputCol("_f")
       .fit(assembled)
     val scaled = scaler.transform(assembled)
-    val model = new KMeans().setK(k).setSeed(seed)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_f").setPredictionCol("cluster")
       .fit(scaled)
     val assigned = model.transform(scaled)

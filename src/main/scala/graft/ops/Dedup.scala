@@ -93,10 +93,15 @@ object Dedup {
   /** 64-bit SimHash from an array of token hashes (`array<long>`): per
     * bit, sum +1/-1 votes of each token hash's bit, sign → fingerprint
     * bit. Near-dups differ in few bits (hamming via bit_count of xor).
-    * The 64 per-bit fold expressions are generated Scala-side so every
-    * shift amount is a constant (whole-stage-codegen friendly; Spark's
-    * shiftleft only takes literal shift amounts). */
+    * Delegates to the codegen'd graft.functions.SimHash64 expression —
+    * one compiled pass over the array; the builtin-HOF formulation below
+    * is kept as the semantic reference (OpsSpec asserts equality). */
   def simhashFromHashes(tokenHashes: Column): Column =
+    graft.functions.SimHash64.simhash64(tokenHashes)
+
+  /** 64 per-bit HOF folds (constant shift amounts generated Scala-side) —
+    * the reference formulation for SimHash64. */
+  def simhashFromHashesHof(tokenHashes: Column): Column =
     (0 until 64).map { bit =>
       when(aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << bit)) =!= 0L, 1L).otherwise(-1L)) > 0,
@@ -142,8 +147,13 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.8,
                    maxDocFreq: Long = 1000): DataFrame = {
+    // The exploded shingle set feeds four subplans (sizes, doc-frequency,
+    // and both sides of the pair join). The explicit repartition on
+    // `shingle` inserts ONE exchange that ReuseExchange dedups across the
+    // shingle-keyed consumers, so shingling runs once, not four times.
     val sh = docs.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("shingle"))
+      .repartition(col("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -79,6 +79,24 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(top.collect().head.getLong(0) === 1L)
   }
 
+  test("SimHash64 expression ≡ HOF fold on token-hash arrays") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "a completely different sentence entirely"),
+      (4L, "x")).toDF("id", "text")
+      .select($"id", transform(array_distinct(split($"text", "\\s+")),
+        t => xxhash64(t)).as("th"))
+      .select($"id",
+        Dedup.simhashFromHashes($"th").as("expr_fp"),
+        Dedup.simhashFromHashesHof($"th").as("hof_fp"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (id, e, h) => assert(e === h, s"id=$id") }
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(1L) !== byId(3L))
+  }
+
   test("VectorDot expression ≡ HOF fold: values bit-equal, nulls match") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
