@@ -83,8 +83,11 @@ object TestdataQueries {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
+      // only `nation` (25 rows, bounded by spec) carries a broadcast hint;
+      // customer scales with SF, so its strategy is left to size-based
+      // selection
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("n_name"))
@@ -363,7 +366,7 @@ object TestdataQueries {
     // ------------------------------------------- C8 report-shape assembly
     "c8_report_shape" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")),
+        .join(t(s, dir, "customer"),
           col("c_custkey") === col("o_custkey"), "left")
         .filter(col("c_acctbal") < 0 || col("o_totalprice") > 300000 ||
           col("o_orderstatus") === "P")

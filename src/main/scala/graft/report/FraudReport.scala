@@ -41,14 +41,16 @@ object FraudReport {
     val r = bruteForceSet.select(col("client_id").as("r_client_id"),
       col("trans_id").as("r_trans_id"))
 
-    // Dims and the blacklist are small vs the fact → broadcast left joins
-    // keep the fact un-shuffled. The rule sets are fact-derived but
-    // heavily filtered (flagged txns only) — AQE decides their strategy.
+    // No forced join hints: dims and the blacklist auto-broadcast while
+    // they fit the threshold (keeping the fact un-shuffled — the local
+    // plans show BroadcastHashJoin), and degrade to shuffle joins when a
+    // real-world dim outgrows executor memory. The rule sets are
+    // fact-derived but heavily filtered — AQE sizes them at runtime.
     txn
-      .join(broadcast(car), Seq("card_num"), "left")
-      .join(broadcast(acc), Seq("account_num"), "left")
-      .join(broadcast(cli), col("client") === col("client_id"), "left")
-      .join(broadcast(bl), col("passport_num") === col("bl_passport_num"), "left")
+      .join(car, Seq("card_num"), "left")
+      .join(acc, Seq("account_num"), "left")
+      .join(cli, col("client") === col("client_id"), "left")
+      .join(bl, col("passport_num") === col("bl_passport_num"), "left")
       .join(h, col("h_client_id") === col("client_id") &&
         col("trans_id") === col("h_trans_id"), "left")
       .join(r, col("r_client_id") === col("client_id") &&

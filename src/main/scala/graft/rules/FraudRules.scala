@@ -20,14 +20,17 @@ object FraudRules {
   /** J1 — star flatten: fact→cards→accounts→clients, current versions
     * only — the shared core of both `city_of_transactions` (main.py:422-426)
     * and `req_start_for_4_rule` (main.py:438-443; no terminals join there).
-    * Dims are orders of magnitude smaller than the fact → broadcast them
-    * so the fact never shuffles. */
+    * Dims are projected to their join/output columns; the join strategy is
+    * deliberately NOT hinted: when a dim fits the broadcast threshold AQE
+    * broadcasts it (the local plans show BroadcastHashJoin), and a
+    * 100M-row client dim falls back to a shuffle join instead of being
+    * forced into executor memory by a stale hint. */
   def txnWithClient(txn: DataFrame, cards: DataFrame, accounts: DataFrame,
                     clients: DataFrame): DataFrame =
     txn
-      .join(broadcast(current(cards).select("card_num", "account_num")), Seq("card_num"))
-      .join(broadcast(current(accounts).select(col("account_num"), col("client"))), Seq("account_num"))
-      .join(broadcast(current(clients).select(col("client_id"), col("passport_num"))),
+      .join(current(cards).select("card_num", "account_num"), Seq("card_num"))
+      .join(current(accounts).select(col("account_num"), col("client")), Seq("account_num"))
+      .join(current(clients).select(col("client_id"), col("passport_num")),
         col("client") === col("client_id"))
       .select("card_num", "trans_id", "trans_date", "amt", "oper_result",
         "terminal", "client_id", "passport_num")
@@ -36,7 +39,7 @@ object FraudRules {
     * the terminal city. */
   def cityOfTransactions(withClient: DataFrame, terminals: DataFrame): DataFrame =
     withClient
-      .join(broadcast(current(terminals).select(col("terminal_id"), col("terminal_city"))),
+      .join(current(terminals).select(col("terminal_id"), col("terminal_city")),
         col("terminal") === col("terminal_id"))
       .select("card_num", "trans_id", "trans_date", "terminal_city", "client_id")
 
