@@ -282,6 +282,29 @@ object TestdataQueries {
              |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
              |  FROM orders) t WHERE rn <= 3""".stripMargin)),
 
+    // --------------------------- W3: sliding-window aggregation — the
+    // batch formulation of streaming.StreamingIngest.cardWindowCounts
+    // (20-minute windows, 5-minute slide; every event belongs to exactly
+    // 4 windows). Window starts exported as epoch seconds so the oracle
+    // needs no timezone-sensitive timestamp construction.
+    "w3_sliding_window" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          window(col("ts"), "20 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("window_start_s"),
+          col("cnt"), col("has_error"))),
+      Some("""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type
+             |  FROM events),
+             |w AS (SELECT user_id, event_type,
+             |    (es // 300) * 300 - 300 * i AS window_start_s
+             |  FROM e, generate_series(0, 3) t(i))
+             |SELECT user_id, window_start_s, count(*) AS cnt,
+             |  max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+             |FROM w GROUP BY user_id, window_start_s""".stripMargin)),
+
     // -------------------------------------------------------- O1 distinct
     "o1_distinct" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment")).distinct()),
