@@ -29,7 +29,11 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
 
   def exists(table: String): Boolean = {
     val p = Paths.get(path(table))
-    Files.exists(p) && Files.list(p).findFirst().isPresent
+    if (!Files.exists(p)) false
+    else {
+      val s = Files.list(p)
+      try s.findFirst().isPresent finally s.close()
+    }
   }
 
   /** Read a table; if absent, an empty DataFrame with the given schema —

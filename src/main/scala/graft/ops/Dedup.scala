@@ -108,20 +108,55 @@ object Dedup {
         lit(1L << bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming` bits. Candidate
-    * generation buckets on the fingerprint's 4 16-bit chunks (pigeonhole:
-    * ≤3 differing bits ⇒ some chunk is identical), so the join key is a
-    * 16-bit chunk, not O(n²). */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val fp = docs
+  /** Engine-portable 62-bit token hash: two independent polynomial
+    * character folds (base 31 mod 1e9+7 in the low word, base 37 mod
+    * 998244353 in the high word). Unlike seeded xxhash64 it is
+    * reproducible in any SQL engine with a list fold, which is what lets
+    * the DuckDB oracle recompute SimHash fingerprints independently.
+    * Every intermediate stays below 2^35 — safe under ANSI overflow
+    * checking. Bits 30-31 and 62-63 are always zero on both sides. */
+  def portableTokenHash(tok: Column): Column = {
+    def fold(base: Long, mod: Long): Column =
+      aggregate(transform(split(tok, ""), ch => ascii(ch).cast("long")),
+        lit(0L), (acc, c) => pmod(acc * base + c, lit(mod)))
+    fold(31L, 1000000007L).bitwiseOR(shiftleft(fold(37L, 998244353L), 32))
+  }
+
+  /** Contiguous bit-chunk bounds for hamming-`k` candidate generation:
+    * k+1 chunks over the 64-bit fingerprint (pigeonhole: ≤k differing
+    * bits cannot touch all k+1 chunks, so some chunk is identical for
+    * every true pair — the recall guarantee). */
+  private[ops] def chunkBounds(maxHamming: Int): Seq[(Int, Int)] = {
+    val n = maxHamming + 1
+    require(n <= 32, s"maxHamming=$maxHamming needs $n chunks; >32 chunks of <2 bits bucket almost everything together — use a smaller threshold")
+    (0 until n).map { i => (i * 64 / n, (i + 1) * 64 / n) }
+  }
+
+  /** (doc_id, fp) SimHash fingerprints of whitespace-distinct tokens. */
+  def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                          tokenHasher: Column => Column = xxhash64(_)): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
-        transform(array_distinct(split(col(textCol), "\\s+")), t => xxhash64(t)).as("th"))
+        transform(array_distinct(split(col(textCol), "\\s+")), tokenHasher).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th")).as("fp"))
+
+  /** SimHash near-dup pairs within `maxHamming` bits. Candidate
+    * generation buckets on `maxHamming + 1` contiguous fingerprint
+    * chunks, so recall is guaranteed by pigeonhole for the requested
+    * threshold (a fixed 4-chunk scheme only guarantees hamming ≤ 3) and
+    * the join key is a small chunk, not O(n²). Chunk width shrinks as
+    * the threshold grows — the candidate volume cost of a loose
+    * threshold is explicit, not a silent recall hole. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   tokenHasher: Column => Column = xxhash64(_)): DataFrame = {
+    val fp = simhashFingerprints(docs, idCol, textCol, tokenHasher)
+    val bounds = chunkBounds(maxHamming)
     val chunked = fp.select(col("doc_id"), col("fp"),
-      explode(array((0 until 4).map { c =>
+      explode(array(bounds.zipWithIndex.map { case ((lo, hi), c) =>
+        val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
         struct(lit(c).as("chunk"),
-          shiftright(col("fp"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))
+          shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("fp"), col("cc.chunk"), col("cc.ckey"))
     val a = chunked.alias("a")

@@ -27,9 +27,14 @@ object Ivf {
                          assigned: DataFrame)
 
   /** Train the coarse quantizer and assign every vector to a cell.
-    * `assigned` = input columns + `ivf_cell`. */
+    * `assigned` = input columns + `ivf_cell`. Training is capped at
+    * `maxTrainRows` (deterministic seeded sample): coarse centroids
+    * converge on a fraction of the corpus, so the iterative fit stays
+    * O(sample) while assignment remains one full-data pass — at 100 TB
+    * the quantizer trains on ~100k vectors, not the corpus. */
   def build(embs: DataFrame, idCol: String, vecCol: String,
-            nLists: Int, seed: Long = 42L, maxIter: Int = 8): Index = {
+            nLists: Int, seed: Long = 42L, maxIter: Int = 8,
+            maxTrainRows: Long = 100000L): Index = {
     val withVec = embs.withColumn("_v", array_to_vector(
       transform(col(vecCol), x => x.cast("double"))))
     // a coarse quantizer doesn't need convergence — a few iterations give
@@ -37,7 +42,7 @@ object Ivf {
     val model = new KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_v").setPredictionCol("ivf_cell")
-      .fit(withVec)
+      .fit(Anomaly.sampleForTraining(withVec, maxTrainRows, seed))
     val assigned = model.transform(withVec).drop("_v")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }

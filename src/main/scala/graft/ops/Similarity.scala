@@ -37,8 +37,10 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic random hyperplanes (fixed seed): `planes` rows of
-    * `dim` doubles, embedded as plan literals. */
-  private def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    * `dim` doubles, embedded as plan literals. Public so an independent
+    * oracle can re-derive the exact same bucketing (the plane values are
+    * part of the operator's deterministic contract, not hidden state). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }

@@ -28,14 +28,17 @@ object TextAnalysis {
       / word.length).cast("long")
 
   /** Quality-scoring signals: lengths, token stats, punctuation ratio,
-    * stopword ratio. `stopwords` defaults to a tiny English list. */
+    * stopword ratio. `stopwords` defaults to a tiny English list.
+    * Stopwords are counted by whole-token equality over the whitespace
+    * tokenization (a regex-split length-delta undercounts adjacent
+    * occurrences and text-final stopwords — token equality is both the
+    * intended semantics and engine-portable). */
   def qualitySignals(docs: DataFrame, textCol: String,
                      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): DataFrame = {
     val t = col(textCol)
     val toks = tokenCount(t)
-    val stopHits = stopwords.map(w =>
-      size(split(concat(lit(" "), t, lit(" ")), s"\\s${java.util.regex.Pattern.quote(w)}\\s")) - 1)
-      .reduce(_ + _)
+    val stopHits = size(filter(split(trim(t), "\\s+"),
+      x => stopwords.map(w => x === w).reduce(_ || _)))
     docs
       .withColumn("n_chars_sig", length(t).cast("long"))
       .withColumn("n_tokens", toks)

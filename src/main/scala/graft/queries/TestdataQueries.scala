@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -13,10 +13,11 @@ import graft.rules.FraudRules
   * each with matching ANSI SQL for the DuckDB oracle where the semantics
   * are SQL-expressible (hash-function-based ops are rows-only).
   *
-  * Hash-stability rules: money aggregates cast to DECIMAL(18,2) on BOTH
-  * sides (double sums are order-sensitive); epoch arithmetic truncates
-  * per-timestamp on both sides; every computed column is aliased
-  * identically in the DataFrame code and the SQL.
+  * Hash-stability rules: money aggregates sum exact int64 cents
+  * (`cents`, below) on BOTH sides — double sums are order-sensitive and
+  * double→decimal tie-rounding differs across engines; epoch arithmetic
+  * truncates per-timestamp on both sides; every computed column is
+  * aliased identically in the DataFrame code and the SQL.
   */
 object TestdataQueries {
 
@@ -33,6 +34,24 @@ object TestdataQueries {
 
   private val d182 = DecimalType(18, 2)
 
+  /** Money columns arrive as doubles; summing them as DECIMAL requires a
+    * double→decimal conversion whose tie-rounding differs between engines
+    * (Spark casts via the shortest decimal string with HALF_UP, DuckDB
+    * rounds the binary value half-to-even), which flips a few cents on
+    * boundary rows and breaks the oracle hash. `floor(x*100)` is a pure
+    * IEEE op — bit-identical everywhere — so sums are exact int64 cents. */
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  /** DuckDB expression for the sign-bit LSH bucket of `v DOUBLE[]` under
+    * the SAME deterministic hyperplanes Similarity uses — the plane
+    * values are embedded as list literals (Scala Double.toString is the
+    * shortest round-trip representation, so DuckDB parses back the exact
+    * same doubles and the bucket bits agree bit-for-bit). */
+  private def bucketSql(planes: Int, dim: Int = 64): String =
+    graft.ops.Similarity.hyperplanes(planes, dim).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** name -> (query impl, optional DuckDB oracle SQL). */
   val registry: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
 
@@ -43,11 +62,11 @@ object TestdataQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast(d182)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(d182)).as("sum_price"))),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"))),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+             |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
              |FROM lineitem WHERE l_quantity < 30
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
@@ -92,10 +111,10 @@ object TestdataQueries {
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_extendedprice").cast(d182)).as("revenue"))
+          sum(cents(col("l_extendedprice"))).as("revenue_c"))
     }),
       Some("""SELECT n_name, count(*) AS cnt,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
@@ -567,24 +586,93 @@ object TestdataQueries {
              |JOIN sizes sb ON sb.doc_id = id_b
              |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1""".stripMargin)),
 
-    // -------------------------------------- MinHash LSH (rows-only: xxhash64)
-    "x_dedup_minhash_lsh" -> (((s: SparkSession, dir: String) =>
-      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")),
-      None),
+    // ------------------------------------------------------- MinHash LSH
+    // LSH banding finds the candidates; the exact 3-gram Jaccard is then
+    // recomputed per candidate pair, so the oracle (exact pairs ≥ 0.5,
+    // same formulation as x_dedup_ngram_jaccard) verifies BOTH that the
+    // banding recalls every true pair at this threshold AND that the
+    // MinHash estimate is within 0.3 of the exact value. The corpus is
+    // bimodal (true pairs ≳ 0.9, next pair ≤ 0.07), so 0.5 sits in the
+    // gap; at j ≥ 0.9 the per-pair miss probability of 8 bands × 2 rows
+    // is (1-j²)^8 ≈ 2e-6 — and the seeded hashes make it deterministic.
+    "x_dedup_minhash_lsh" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val common = size(array_intersect(col("sh_a"), col("sh_b")))
+      val jac = common.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - common)
+      Dedup.minhashLsh(docs, "doc_id", "text")
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(jac >= 0.5)
+        .select(col("id_a"), col("id_b"), common.as("common"),
+          floor(jac * 10000).cast("long").as("jaccard_e4"),
+          (abs(col("est_jaccard") - jac) <= 0.3).as("est_ok"))
+    }),
+      Some("""WITH splits AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM splits),
+             |tri AS (SELECT DISTINCT doc_id,
+             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+             |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, CAST(common AS INTEGER) AS common,
+             |  CAST(floor(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) * 10000) AS BIGINT) AS jaccard_e4,
+             |  TRUE AS est_ok
+             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin)),
 
-    // ------------------------------------------ SimHash (rows-only: xxhash64)
+    // ---------------------------------------------------------- SimHash
+    // Fingerprints use the engine-portable token hash (two polynomial
+    // folds — Dedup.portableTokenHash) precisely so DuckDB can recompute
+    // them and do the exact ALL-PAIRS hamming join: the oracle therefore
+    // proves the chunk-bucketed candidate generation recalls every pair
+    // at the requested threshold (the round-1 recall bug class).
     "x_dedup_simhash" -> (((s: SparkSession, dir: String) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)),
-      None),
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, tokenHasher = Dedup.portableTokenHash)),
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+             |    (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)),
+             |th AS (SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 31 + c) % 1000000007)
+             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 37 + c) % 998244353) << 32) AS h
+             |  FROM toks),
+             |bits AS (SELECT doc_id, b,
+             |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+             |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END AS bitval
+             |  FROM th CROSS JOIN generate_series(0, 61) t(b)
+             |  GROUP BY doc_id, b),
+             |fp AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS fp FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin)),
 
-    // -------------------------------- embedding near-dup (rows-only: LSH)
+    // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count
     // low enough that moderate-cos pairs still collide in a bucket.
+    // The hyperplanes are deterministic literals (Similarity.hyperplanes),
+    // so the oracle embeds the same planes and re-derives the bucketing
+    // and the exact cosine independently in DuckDB.
     "x_dedup_embedding" -> (((s: SparkSession, dir: String) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCos = 0.35, planes = 4)),
-      None),
+        minCos = 0.35, planes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bk AS (SELECT vec_id, v, ${bucketSql(4)} AS bucket FROM e)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+             |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin)),
 
     // --------------------------------------------- ANN brute-force top-k
     "x_ann_bruteforce" -> (((s: SparkSession, dir: String) => {
@@ -602,43 +690,107 @@ object TestdataQueries {
              |WHERE e.vec_id <> 0
              |ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10""".stripMargin)),
 
-    // ------------------------------------ ANN LSH-bucketed (rows-only)
+    // -------------------------------------------------- ANN LSH-bucketed
+    // Same deterministic-hyperplane trick as x_dedup_embedding: DuckDB
+    // recomputes the query vector's bucket, the multi-probe target set
+    // (hamming ≤ 1 flips), and the exact cosine top-k over the probed
+    // buckets. Both sides SELECT the top 10 by the unrounded cosine
+    // (rank-10/11 gap ≈ 2e-4 ≫ double noise) and project it rounded.
     "x_ann_lsh" -> (((s: SparkSession, dir: String) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         q, k = 10, planes = 6, probes = 2)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
     }),
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bk AS (SELECT vec_id, v, ${bucketSql(6)} AS bucket FROM e),
+             |qb AS (SELECT bucket AS qbucket, v AS qv FROM bk WHERE vec_id = 0)
+             |SELECT bk.vec_id AS vec_id, round(list_cosine_similarity(bk.v, qb.qv), 4) AS cos_sim
+             |FROM bk, qb
+             |WHERE bk.vec_id <> 0 AND xor(bk.bucket, qb.qbucket) IN (0, 1, 2, 4, 8, 16, 32)
+             |ORDER BY list_cosine_similarity(bk.v, qb.qv) DESC, bk.vec_id ASC
+             |LIMIT 10""".stripMargin)),
 
-    // --------------------------------- IVF ANN (rows-only: KMeans model)
-    // Note: the synthetic embeddings are structureless gaussian noise, so
-    // nProbe/nLists bounds recall here (~top-k overlap, not identity, with
-    // brute force); MlOpsSpec asserts ≥0.9 recall on clustered data —
-    // the case IVF exists for.
+    // -------------------------------------------- IVF ANN (property oracle)
+    // The centroids come from a KMeans fit, which no SQL engine can
+    // replay, so the check is an in-query recall property: the IVF top-10
+    // is compared against the brute-force top-10 computed in the same
+    // query, and the oracle pins (k, n_results, recall_ok). The synthetic
+    // embeddings are structureless gaussian noise, so nProbe=4/nLists=16
+    // bounds recall (~overlap, not identity); MlOpsSpec asserts ≥0.9
+    // recall on clustered data — the case IVF exists for.
     "x_ann_ivf" -> (((s: SparkSession, dir: String) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val idx = graft.ops.Ivf.build(e.filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", nLists = 16)
-      graft.ops.Ivf.topK(idx, "vec_id", "embedding", q, k = 10, nProbe = 4)
+      val base = e.filter(col("vec_id") =!= 0)
+      val idx = graft.ops.Ivf.build(base, "vec_id", "embedding", nLists = 16)
+      val ivfTop = graft.ops.Ivf.topK(idx, "vec_id", "embedding", q, k = 10, nProbe = 4)
+        .select(col("vec_id"))
+      def bfHits(k: Int) = Similarity.bruteForceTopK(base, "vec_id", "embedding", q, k)
+        .select(col("vec_id")).withColumn(s"hit$k", lit(1))
+      // measured on this corpus: hits@10 = 4, hits-in-top-50 = 10, stable
+      // across local[2..32]; the bounds leave margin for KMeans init
+      // shifts under a different partitioning (tools/IvfProbe).
+      ivfTop.join(bfHits(10), Seq("vec_id"), "left")
+        .join(bfHits(50), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("hit10"), lit(0))).as("h10"),
+          sum(coalesce(col("hit50"), lit(0))).as("h50"))
+        .select(lit(10).as("k"), col("n_results"),
+          (col("h10") >= 2).as("recall_ok"),
+          (col("h50") >= 8).as("top50_ok"))
     }),
-      None),
+      Some("""SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results,
+             |  TRUE AS recall_ok, TRUE AS top50_ok""".stripMargin)),
 
-    // ---------------------- MLlib anomaly scoring (rows-only: KMeans)
+    // ------------------------------- MLlib anomaly scoring (property oracle)
+    // KMeans centroids are not SQL-replayable; the oracle pins the
+    // full-data invariants instead (row count from the real table, score
+    // nonnegativity, cluster-id range). The feature engineering half of
+    // the operator has a full value-level oracle in x_anomaly_features.
     "x_anomaly_kmeans" -> (((s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events").select(
         col("user_id"), col("event_id"), col("ts"), col("value"))
       val featured = graft.ops.Anomaly.features(ev, "user_id", "ts", "value")
       graft.ops.Anomaly.score(featured, Seq("amt_z", "gap_s", "hour"), k = 8)
-        .orderBy(col("anomaly_score").desc, col("event_id").asc)
-        .select(col("event_id"), col("user_id"), col("cluster"),
-          round(col("anomaly_score"), 4).as("anomaly_score"))
-        .limit(100)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          min(col("anomaly_score")).as("min_s"))
+        .select(col("n_rows"),
+          (col("n_clusters").between(1, 8)).as("clusters_ok"),
+          (col("min_s") >= 0).as("scores_nonneg"))
     }),
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS clusters_ok,
+             |  TRUE AS scores_nonneg FROM events""".stripMargin)),
+
+    // ------------------------------------- anomaly feature engineering
+    // The deterministic half of the anomaly operator — per-entity z-score,
+    // velocity gap, hour-of-day — with a full value-level DuckDB oracle.
+    // amt_z is floor-scaled to e2: the window mean/stddev are double
+    // reductions whose summation order differs across engines (~1e-13),
+    // so 2 decimals keeps a 1e11× margin to the floor boundary.
+    "x_anomaly_features" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"), col("value"))
+      graft.ops.Anomaly.features(ev, "user_id", "ts", "value",
+          tieCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          floor(col("amt_z") * 100).cast("long").as("amt_z_e2"),
+          col("gap_s").cast("long").as("gap_s"),
+          col("hour").cast("int").as("hour"))
+    }),
+      Some("""SELECT event_id, user_id,
+             |  CAST(floor((CASE WHEN sd > 0 THEN (value - mean) / sd ELSE 0.0 END) * 100) AS BIGINT) AS amt_z_e2,
+             |  gap_s, CAST(hour(ts) AS INTEGER) AS hour
+             |FROM (SELECT event_id, user_id, ts, value,
+             |    avg(value) OVER (PARTITION BY user_id) AS mean,
+             |    stddev_pop(value) OVER (PARTITION BY user_id) AS sd,
+             |    coalesce(CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id), CAST(0 AS BIGINT)) AS gap_s
+             |  FROM events)""".stripMargin)),
 
     // ------------------------------------------------- text statistics
     "x_text_stats" -> (((s: SparkSession, dir: String) =>
@@ -685,20 +837,121 @@ object TestdataQueries {
              |       ELSE 'zh' END AS lang_guess
              |FROM sc""".stripMargin)),
 
-    // ------------------------------- rolling-hash fingerprint (rows-only:
-    // 64-bit wrap-around arithmetic errors in DuckDB instead of wrapping)
+    // ---------------------------------------- rolling-hash fingerprint
+    // The hash is MODULAR (every intermediate < 2^35, TextAnalysis
+    // .rollingHash), so DuckDB replays the identical fold with
+    // list_reduce in plain BIGINT — no wrap-around divergence.
     "x_text_fingerprint" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("fingerprint"))),
-      None),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+             |FROM documents""".stripMargin)),
 
-    // ----------------------- multimodal plumbing (rows-only: mapPartitions)
+    // ------------------------------------------------- text quality signals
+    "x_quality_signals" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars_sig"), col("n_tokens"),
+          floor(col("mean_token_len") * 10000).cast("long").as("mean_token_len_e4"),
+          col("punct_cnt"), col("stopword_cnt"))),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_sig,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             |  CAST(floor(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             |    / len(string_split_regex(trim(text), '\s+')) * 10000) AS BIGINT) AS mean_token_len_e4,
+             |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_cnt,
+             |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS stopword_cnt
+             |FROM documents""".stripMargin)),
+
+    // --------------------------------------------- multimodal features
+    // The decode kernel is the declared stub (no codec libs in this
+    // container) and the docs are ASCII, so the oracle replays the byte
+    // fold exactly: feature[j]·255 is the integer byte-sum of bucket j
+    // (recovered exactly by round — float accumulation error ≪ 0.5), and
+    // the digest Σ (j+1)·feature[j]·255 = Σ ((pos-1) mod 16 + 1)·byte is
+    // a position-weighted checksum both engines compute in exact int64.
     "x_multimodal_features" -> (((s: SparkSession, dir: String) => {
       val media = t(s, dir, "documents").select(
         col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
       graft.ops.Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), col("decode_ok"),
+          aggregate(
+            zip_with(col("feature"), sequence(lit(1), lit(16)),
+              (f, j) => round(f * 255).cast("long") * j),
+            lit(0L), (acc, v) => acc + v).as("digest"))
     }),
-      None)
+      Some("""WITH b AS (SELECT doc_id AS media_id, ord(ch) AS code, pos
+             |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch,
+             |        generate_subscripts(string_split(text, ''), 1) AS pos FROM documents))
+             |SELECT media_id, TRUE AS decode_ok,
+             |  CAST(sum(CAST(((pos - 1) % 16 + 1) AS BIGINT) * code) AS BIGINT) AS digest
+             |FROM b GROUP BY media_id""".stripMargin)),
+
+    // ------------------------------------------------ frame sampling
+    // Video metadata synthesized deterministically from n_chars (the
+    // container has no codecs — SURVEY ext), the explode shape and
+    // frame keys are the real contract and fully oracle-checked.
+    "x_frame_sampling" -> (((s: SparkSession, dir: String) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        struct(lit("video").as("media_type"), lit("mp4").as("format"),
+          lit(640).as("width"), lit(360).as("height"),
+          (col("n_chars") * 100L).as("duration_ms")).as("meta"))
+      graft.ops.Multimodal.sampleFrames(media, stride = 10, maxFrames = 8)
+    }),
+      Some("""SELECT doc_id AS media_id, CAST(t.i AS INTEGER) AS frame_idx,
+             |  CAST(doc_id AS VARCHAR) || '#' || CAST(t.i AS VARCHAR) AS frame_key
+             |FROM documents CROSS JOIN generate_series(0, 8) t(i)
+             |WHERE t.i <= greatest(least(CAST((n_chars * 100) // 10000 AS INTEGER), 8), 0)""".stripMargin)),
+
+    // ------------------------------------------- C2 fact append (idempotent)
+    // Exercises the REAL FactLoader + TableCatalog paths end to end in a
+    // scratch warehouse: two dates of transaction facts with the second
+    // date RERUN (dynamic partition overwrite must not duplicate — quirk
+    // SURVEY §2.9.5), plus two blacklist loads where the second is a
+    // superset (anti-join dedup, main.py:382-393). The oracle derives the
+    // expected final state directly from the source tables.
+    "c2_fact_append" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      import graft.etl.FactLoader
+      val cat = new TableCatalog(s,
+        java.nio.file.Files.createTempDirectory("graft_c2_").toString)
+      val o = t(s, dir, "orders")
+      def stg(d: String) =
+        o.filter(to_date(col("o_orderdate")) === lit(java.sql.Date.valueOf(d)))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .withColumn("load_dt", lit(d))
+      cat.appendPartitioned("fact_txn", FactLoader.transactionRows(stg("1995-03-01")), "load_dt")
+      cat.appendPartitioned("fact_txn", FactLoader.transactionRows(stg("1995-03-02")), "load_dt")
+      // rerun of the second date — must overwrite its own partition only
+      cat.appendPartitioned("fact_txn", FactLoader.transactionRows(stg("1995-03-02")), "load_dt")
+      val c = t(s, dir, "customer")
+      val blSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("passport_num",
+          org.apache.spark.sql.types.LongType)))
+      val bl1 = c.filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").as("passport_num"))
+      val bl2 = c.filter(col("c_custkey") % 17 === 0 || col("c_custkey") % 19 === 0)
+        .select(col("c_custkey").as("passport_num"))
+      cat.append("fact_bl", FactLoader.blacklistRows(bl1, cat.readOrEmpty("fact_bl", blSchema)))
+      cat.append("fact_bl", FactLoader.blacklistRows(bl2, cat.read("fact_bl")))
+      cat.read("fact_txn")
+        .groupBy(col("load_dt").cast("string").as("part"))
+        .agg(count(lit(1)).as("cnt"))
+        .unionByName(cat.read("fact_bl")
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("blacklist").as("part"), col("cnt")))
+    }),
+      Some("""SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS part, count(*) AS cnt
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) IN (DATE '1995-03-01', DATE '1995-03-02')
+             |GROUP BY 1
+             |UNION ALL
+             |SELECT 'blacklist' AS part, count(*) AS cnt
+             |FROM customer WHERE c_custkey % 17 = 0 OR c_custkey % 19 = 0""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
