@@ -126,7 +126,7 @@ object Dedup {
     * k+1 chunks over the 64-bit fingerprint (pigeonhole: ≤k differing
     * bits cannot touch all k+1 chunks, so some chunk is identical for
     * every true pair — the recall guarantee). */
-  private[ops] def chunkBounds(maxHamming: Int): Seq[(Int, Int)] = {
+  private[graft] def chunkBounds(maxHamming: Int): Seq[(Int, Int)] = {
     val n = maxHamming + 1
     require(n <= 32, s"maxHamming=$maxHamming needs $n chunks; >32 chunks of <2 bits bucket almost everything together — use a smaller threshold")
     (0 until n).map { i => (i * 64 / n, (i + 1) * 64 / n) }

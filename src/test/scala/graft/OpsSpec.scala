@@ -38,6 +38,49 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("simhash recall: hamming-5 pair spread across all four 16-bit chunks") {
+    // Single-token docs make the fingerprint equal the token hash (every
+    // bit's vote is ±1 from that one hash), so a controlled tokenHasher
+    // pins the exact fingerprints: hB differs from hA=0 in 5 bits, one in
+    // each of the four 16-bit chunks (two in the first) — the shape the
+    // fixed-4-chunk scheme silently dropped.
+    val pair = Seq((1L, "ta"), (2L, "tb")).toDF("doc_id", "text")
+    val hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => when(t === "ta", lit(0L))
+        .otherwise(lit((1L << 0) | (1L << 1) | (1L << 16) | (1L << 32) | (1L << 48)))
+    val at5 = Dedup.simhashPairs(pair, "doc_id", "text", maxHamming = 5,
+      tokenHasher = hasher).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(at5.toSeq === Seq(((1L, 2L), 5)))
+    // at the tight threshold the pair is correctly absent (hamming 5 > 3)
+    assert(Dedup.simhashPairs(pair, "doc_id", "text", maxHamming = 3,
+      tokenHasher = hasher).count() === 0)
+  }
+
+  test("simhash chunk bounds tile the 64 bits with k+1 chunks for any k") {
+    for (k <- Seq(0, 1, 3, 5, 15, 31)) {
+      val b = Dedup.chunkBounds(k)
+      assert(b.length === k + 1)
+      assert(b.head._1 === 0 && b.last._2 === 64)
+      b.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi === lo)
+                             case _ => }
+      b.foreach { case (lo, hi) => assert(hi > lo) }
+    }
+    assertThrows[IllegalArgumentException](Dedup.chunkBounds(32))
+  }
+
+  test("portable token hash: deterministic, order-sensitive, high bits from the second fold") {
+    val rows = Seq((1L, "abc"), (2L, "acb"), (3L, "abc")).toDF("id", "tok")
+      .select($"id", Dedup.portableTokenHash($"tok").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) === rows(3L))
+    assert(rows(1L) !== rows(2L))
+    // matches the hand-computed double fold for "abc" (97,98,99)
+    val lo = ((97L * 31 + 98) * 31 + 99) % 1000000007
+    val hi = ((97L * 37 + 98) * 37 + 99) % 998244353
+    assert(rows(1L) === (lo | (hi << 32)))
+  }
+
   test("ngram jaccard: hand-computed value for a near-dup pair") {
     // doc1/doc3 share 6 of their 7 trigrams each → |∩|=6, |∪|=8 → 0.75
     val out = Dedup.ngramJaccard(docs.filter($"doc_id".isin(1, 3)), "doc_id", "text",
