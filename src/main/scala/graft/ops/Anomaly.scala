@@ -68,22 +68,35 @@ object Anomaly {
       .setFeaturesCol("_f").setPredictionCol("cluster")
       .fit(scaler.transform(train))
     val assigned = model.transform(scaled)
-    val sizes = assigned.groupBy("cluster").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = sizes.values.sum
-    val minSize = math.max(2L, (n * minClusterFraction).toLong)
-    val kept = model.clusterCenters.zipWithIndex
-      .filter { case (_, i) => sizes.getOrElse(i, 0L) >= minSize }
-    val centroids = (if (kept.nonEmpty) kept else model.clusterCenters.zipWithIndex)
-      .map(_._1.toArray.toSeq).toSeq
-    val centroidLit = typedLit(centroids)
+    // Which clusters are "populated" is decided IN-PLAN: a tiny per-cluster
+    // count aggregate collapses to a one-row broadcast joined back onto
+    // every row. A driver-side collect here would force the whole
+    // window-feature pipeline to execute once for the sizes and again for
+    // the output — two full passes (and two shuffles) over the corpus.
+    val keptDf = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
+      .withColumn("_min", greatest(lit(2L),
+        (col("_n") * minClusterFraction).cast("long")))
+      .agg(collect_list(when(col("_cnt") >= col("_min"), col("cluster")))
+        .as("_kept"))
+    val centroidLit = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    // all-cluster fallback mirrors the previous semantics: if every
+    // cluster is below the floor, score against all centroids
+    val keptEff = when(size(col("_kept")) === 0,
+      sequence(lit(0), lit(model.clusterCenters.length - 1)))
+      .otherwise(col("_kept"))
     assigned
+      .crossJoin(broadcast(keptDf))
       .withColumn("_fa", vector_to_array(col("_f")))
       .withColumn("anomaly_score",
-        sqrt(array_min(transform(centroidLit, c =>
-          aggregate(zip_with(col("_fa"), c, (x, cc) => (x - cc) * (x - cc)),
-            lit(0.0), (acc, v) => acc + v)))))
-      .drop("_raw", "_f", "_fa")
+        sqrt(array_min(transform(
+          filter(
+            transform(centroidLit, (c, i) => struct(i.as("i"),
+              aggregate(zip_with(col("_fa"), c, (x, cc) => (x - cc) * (x - cc)),
+                lit(0.0), (acc, v) => acc + v).as("d"))),
+            s => array_contains(keptEff, s.getField("i"))),
+          s => s.getField("d")))))
+      .drop("_raw", "_f", "_fa", "_kept")
   }
 
   /** Deterministic training sample bounded by `maxRows`: one count pass

@@ -907,6 +907,32 @@ object TestdataQueries {
              |FROM documents CROSS JOIN generate_series(0, 8) t(i)
              |WHERE t.i <= greatest(least(CAST((n_chars * 100) // 10000 AS INTEGER), 8), 0)""".stripMargin)),
 
+    // --------------------------------------------------- velocity alerts
+    // The streaming rule-4 analog (StreamingIngest.velocityAlerts,
+    // mapGroupsWithState) run in BATCH mode: each card's full history
+    // arrives as one group, so the stateful scan reduces to consecutive-
+    // transaction city changes within 1 h — which is exactly a lag()
+    // formulation DuckDB can replay value-for-value. This is the only
+    // way to put the custom-state operator itself under the oracle (a
+    // live stream has no deterministic SQL equivalent).
+    "x_velocity_alerts" -> (((s: SparkSession, dir: String) => {
+      val txns = t(s, dir, "events").select(
+        col("user_id").cast("string").as("card_num"),
+        col("event_type").as("city"),
+        col("ts").as("trans_date"),
+        col("event_id").cast("string").as("trans_id"))
+      graft.streaming.StreamingIngest.velocityAlerts(s, txns)
+    }),
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS card_num, event_type AS city,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es, CAST(event_id AS VARCHAR) AS trans_id
+             |  FROM events),
+             |l AS (SELECT card_num, trans_id, city,
+             |    lag(city) OVER w AS prevCity, es - lag(es) OVER w AS deltaSeconds
+             |  FROM e WINDOW w AS (PARTITION BY card_num ORDER BY es, trans_id))
+             |SELECT card_num, trans_id, prevCity, city, deltaSeconds
+             |FROM l WHERE prevCity IS NOT NULL AND prevCity <> city
+             |  AND deltaSeconds <= 3600""".stripMargin)),
+
     // ------------------------------------------- C2 fact append (idempotent)
     // Exercises the REAL FactLoader + TableCatalog paths end to end in a
     // scratch warehouse: two dates of transaction facts with the second
