@@ -65,6 +65,10 @@ object Dedup {
       shingles(col(textCol), shingleN).as("sh"))
     val sig = sh.select(col("doc_id"),
       minhashSignature(col("sh"), numHashes).as("sig"))
+    // The explicit repartition on the join key inserts ONE exchange that
+    // ReuseExchange dedups across both sides of the self-join — without
+    // it each side recomputes the full shingle+16-hash signature pipeline
+    // (the same trick ngramJaccard uses on `shingle`).
     val banded = sig.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -72,6 +76,7 @@ object Dedup {
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .repartition(col("band"), col("bucket"))
 
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -159,6 +164,8 @@ object Dedup {
           shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("fp"), col("cc.chunk"), col("cc.ckey"))
+      // one exchange, reused by both self-join sides (see minhashLsh)
+      .repartition(col("chunk"), col("ckey"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&

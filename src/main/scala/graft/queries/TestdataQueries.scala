@@ -729,16 +729,19 @@ object TestdataQueries {
       val idx = graft.ops.Ivf.build(base, "vec_id", "embedding", nLists = 16)
       val ivfTop = graft.ops.Ivf.topK(idx, "vec_id", "embedding", q, k = 10, nProbe = 4)
         .select(col("vec_id"))
-      def bfHits(k: Int) = Similarity.bruteForceTopK(base, "vec_id", "embedding", q, k)
-        .select(col("vec_id")).withColumn(s"hit$k", lit(1))
+      // ONE brute-force scan at k=50; rank within the 50-row result
+      // (driver-small post-limit) distinguishes top-10 membership
+      val bf = Similarity.bruteForceTopK(base, "vec_id", "embedding", q, k = 50)
+        .withColumn("bf_rank", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+        .select(col("vec_id"), col("bf_rank"))
       // measured on this corpus: hits@10 = 4, hits-in-top-50 = 10, stable
       // across local[2..32]; the bounds leave margin for KMeans init
       // shifts under a different partitioning (tools/IvfProbe).
-      ivfTop.join(bfHits(10), Seq("vec_id"), "left")
-        .join(bfHits(50), Seq("vec_id"), "left")
+      ivfTop.join(bf, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_results"),
-          sum(coalesce(col("hit10"), lit(0))).as("h10"),
-          sum(coalesce(col("hit50"), lit(0))).as("h50"))
+          sum(when(col("bf_rank") <= 10, 1).otherwise(0)).as("h10"),
+          sum(when(col("bf_rank").isNotNull, 1).otherwise(0)).as("h50"))
         .select(lit(10).as("k"), col("n_results"),
           (col("h10") >= 2).as("recall_ok"),
           (col("h50") >= 8).as("top50_ok"))
