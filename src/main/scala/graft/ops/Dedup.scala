@@ -215,6 +215,36 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  // ------------------------------------------ components / canonical keep
+
+  /** Connected components over near-dup pairs: every doc in a duplicate
+    * cluster gets the cluster's minimum doc id as `comp`. This is the
+    * step that turns PAIRS into a deduplicated corpus — transitive
+    * near-dups (a~b, b~c) must collapse to one cluster even when (a,c)
+    * was never emitted as a pair. Runs GraphX's Pregel connected
+    * components (ships with Spark): the standard distributed algorithm,
+    * O(diameter) supersteps, no driver-side iteration over rows. */
+  def components(pairs: DataFrame, idA: String = "id_a",
+                 idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(edges, ()).connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("doc_id", "comp")
+  }
+
+  /** Deduplicated corpus: keep one canonical doc (minimum id) per
+    * near-dup component; docs that appear in no pair survive untouched.
+    * The anti-join ships only the (id) drop-list, never document
+    * payloads. */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = components(pairs)
+      .filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup: pairs with cosine ≥ `minCos`. Candidates come

@@ -656,6 +656,41 @@ object TestdataQueries {
              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin)),
 
+    // ------------------------------------------- near-dup components
+    // Pairs → clusters → canonical doc: GraphX connected components over
+    // the exact-Jaccard ≥ 0.5 pair graph, checked against a DuckDB
+    // recursive-CTE transitive closure (min reachable id ≡ Pregel CC
+    // label). `kept` marks the canonical survivor per cluster — the
+    // decision dedupCorpus applies to the corpus.
+    "x_dedup_components" -> (((s: SparkSession, dir: String) => {
+      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000)
+      Dedup.components(pairs)
+        .select(col("doc_id"), col("comp"),
+          (col("doc_id") === col("comp")).as("kept"))
+    }),
+      Some("""WITH RECURSIVE
+             |splits AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM splits),
+             |tri AS (SELECT DISTINCT doc_id,
+             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+             |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+             |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+             |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM p0
+             |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach AS (SELECT id AS a, id AS b FROM nodes
+             |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+             |SELECT a AS doc_id, min(b) AS comp, (a = min(b)) AS kept
+             |FROM reach GROUP BY a""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count

@@ -91,6 +91,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert((a, b) === (1L, 3L) && common === 6L && j === 0.75)
   }
 
+  test("components collapse transitive near-dup chains; dedupCorpus keeps canonical docs") {
+    // a~b, b~c must land in ONE cluster even though (a,c) was never a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d"), (9L, "e"),
+      (100L, "solo")).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 7L, 100L))
+  }
+
   test("embedding near-dup finds the identical vector pair") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
