@@ -49,6 +49,31 @@ object Ivf {
     Index(centroids, assigned)
   }
 
+  /** Persist the index: vectors partitioned by `ivf_cell` (so a probe's
+    * `isin(cells)` filter becomes PARTITION PRUNING — non-probed cells
+    * are never listed, let alone scanned), centroids in an
+    * underscore-prefixed sidecar dir that Spark's file listing ignores
+    * when reading the main table. */
+  def writeIndexed(index: Index, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(path)
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("ivf_cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Reopen a persisted index. `topK` over the result prunes partitions
+    * instead of scanning the corpus — the at-rest form of the nProbe/
+    * nLists trade. */
+  def readIndexed(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    Index(centroids, spark.read.parquet(path))
+  }
+
   /** Exact-cosine top-k over the nProbe nearest cells only. */
   def topK(index: Index, idCol: String, vecCol: String,
            query: Seq[Double], k: Int, nProbe: Int): DataFrame = {

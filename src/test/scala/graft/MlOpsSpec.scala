@@ -31,6 +31,29 @@ class MlOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.9, s"IVF recall $recall, brute=$brute ivf=$ivf")
   }
 
+  test("persisted IVF index: identical top-k after reopen, probe prunes partitions") {
+    val rnd = new scala.util.Random(7)
+    val embs = (0 until 120).map(i => (i.toLong,
+      Array.fill(8)((rnd.nextGaussian() * 0.3 + (if (i % 2 == 0) 1 else -1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val query = Seq.fill(8)(1.0)
+    val idx = Ivf.build(embs, "vec_id", "embedding", nLists = 4)
+    val direct = Ivf.topK(idx, "vec_id", "embedding", query, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    Ivf.writeIndexed(idx, path)
+    val reopened = Ivf.readIndexed(spark, path)
+    assert(reopened.centroids.map(_._1).sorted.toSeq === idx.centroids.map(_._1).sorted.toSeq)
+    val fromDisk = Ivf.topK(reopened, "vec_id", "embedding", query, k = 5, nProbe = 2)
+    assert(fromDisk.collect().map(_.getLong(0)).toSeq === direct)
+    // the probe's cell filter must reach the scan as a PARTITION filter
+    // (pruned listing), not a post-scan predicate
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"no partition pruning in plan:\n$plan")
+  }
+
   test("anomaly scoring ranks a planted outlier far above routine traffic") {
     // one entity: varied-but-routine payments, plus one wild amount
     // planted mid-sequence with an ordinary inter-txn gap (so the amount
