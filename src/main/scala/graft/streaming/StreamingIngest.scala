@@ -55,37 +55,63 @@ object StreamingIngest {
         max(when(col("oper_result") === "REJECT", 1).otherwise(0)).as("has_reject"))
 
   final case class CardState(lastCity: String, lastTsMillis: Long, txnCount: Long)
-  final case class TxnEvent(card_num: String, city: String, tsMillis: Long, trans_id: String)
+  final case class TxnEvent(card_num: String, city: String,
+                            trans_date: java.sql.Timestamp, trans_id: String) {
+    /** Second-truncated epoch millis — matches the batch oracle's
+      * floor(epoch(ts)) arithmetic. */
+    def tsMillis: Long = (trans_date.getTime / 1000L) * 1000L
+  }
   final case class CityAlert(card_num: String, trans_id: String, prevCity: String,
                              city: String, deltaSeconds: Long)
 
-  /** Custom per-key state via mapGroupsWithState: flags a transaction
+  /** Custom per-key state via flatMapGroupsWithState: flags a transaction
     * whose city differs from the card's previous city within 3600 s.
-    * State is one small record per card (bounded by ProcessingTimeTimeout)
-    * — at cluster scale this is the constant-memory alternative to the
-    * batch self-join. */
+    * State is one small record per card, evicted by EVENT-TIME timeout
+    * once the watermark passes an hour beyond the card's last activity —
+    * at cluster scale this is the constant-memory alternative to the
+    * batch self-join. (A processing-time timeout would also force the
+    * engine into a busy loop of empty micro-batches under the default
+    * trigger; event-time eviction only acts when data moves the
+    * watermark.) Append output mode means alerts flow to any sink; state
+    * survives across micro-batches (StreamingSpec drives the two-batch
+    * case), and the SAME code path run on a batch DataFrame (one group
+    * call per card, watermark a no-op, timeouts never fire) is
+    * value-level oracle-checked (`x_velocity_alerts`). */
   def velocityAlerts(spark: SparkSession, txns: DataFrame): DataFrame = {
     import spark.implicits._
-    val events = txns.select(col("card_num"), col("city"),
-        (unix_timestamp(col("trans_date")) * 1000).as("tsMillis"), col("trans_id"))
+    val streaming = txns.isStreaming
+    // the watermark rides on the event-time COLUMN, so trans_date must
+    // survive into the grouped Dataset (projecting it away detaches the
+    // watermark and the analyzer rejects the event-time timeout)
+    val events = txns
+      .withWatermark("trans_date", "2 hours")
+      .select(col("card_num"), col("city"), col("trans_date"), col("trans_id"))
       .as[TxnEvent]
     events.groupByKey(_.card_num)
-      .mapGroupsWithState[CardState, Seq[CityAlert]](GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[CardState, CityAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (card, rows, state: GroupState[CardState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.tsMillis, e.trans_id))
-          var st = state.getOption.getOrElse(CardState(null, Long.MinValue, 0L))
-          val alerts = Seq.newBuilder[CityAlert]
-          sorted.foreach { e =>
-            val dt = (e.tsMillis - st.lastTsMillis) / 1000
-            if (st.lastCity != null && st.lastCity != e.city && dt <= 3600)
-              alerts += CityAlert(card, e.trans_id, st.lastCity, e.city, dt)
-            st = CardState(e.city, e.tsMillis, st.txnCount + 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMillis, e.trans_id))
+            var st = state.getOption.getOrElse(CardState(null, Long.MinValue, 0L))
+            val alerts = Seq.newBuilder[CityAlert]
+            sorted.foreach { e =>
+              val dt = (e.tsMillis - st.lastTsMillis) / 1000
+              if (st.lastCity != null && st.lastCity != e.city && dt <= 3600)
+                alerts += CityAlert(card, e.trans_id, st.lastCity, e.city, dt)
+              st = CardState(e.city, e.tsMillis, st.txnCount + 1)
+            }
+            state.update(st)
+            // evict once the watermark passes last-activity + 1 h; in
+            // batch mode there is no watermark and timeouts don't exist
+            if (streaming)
+              state.setTimeoutTimestamp(st.lastTsMillis + 3600 * 1000L)
+            alerts.result().iterator
           }
-          state.update(st)
-          state.setTimeoutDuration("1 hour")
-          alerts.result()
       }
-      .flatMap(identity)
       .toDF()
   }
 }

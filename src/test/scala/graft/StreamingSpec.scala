@@ -61,6 +61,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("velocityAlerts as a STREAM: state carries the last city across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp, String)]
+    val txns = mem.toDF().toDF("card_num", "city", "trans_date", "trans_id")
+    val q = StreamingIngest.velocityAlerts(spark, txns)
+      .writeStream.format("memory").queryName("velalerts")
+      .outputMode("append").start()
+    try {
+      // batch 1: first sighting — no alert possible yet
+      mem.addData(("K1", "Moscow", ts("2021-01-01 10:00:00"), "A"))
+      q.processAllAvailable()
+      assert(spark.table("velalerts").count() === 0)
+      // batch 2: new city 30 min later — the alert needs batch 1's STATE
+      mem.addData(("K1", "Kazan", ts("2021-01-01 10:30:00"), "B"))
+      q.processAllAvailable()
+      val rows = spark.table("velalerts").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      assert(rows.toSet === Set(("K1", "B", "Moscow", "Kazan", 1800L)))
+    } finally q.stop()
+  }
+
   test("velocityAlerts: same card in a new city within an hour fires; beyond an hour doesn't") {
     val txns = Seq(
       ("K1", "Moscow", ts("2021-01-01 10:00:00"), "A"),
