@@ -59,14 +59,15 @@ object Anomaly {
             maxIter: Int = 10, maxTrainRows: Long = 100000L): DataFrame = {
     val assembled = featured.withColumn("_raw", array_to_vector(
       array(featureCols.map(c => col(c).cast("double")): _*)))
-    val train = sampleForTraining(assembled, maxTrainRows, seed)
-    val scaler = new StandardScaler().setWithMean(true).setWithStd(true)
-      .setInputCol("_raw").setOutputCol("_f")
-      .fit(train)
+    val (scaler, model) = fitOnSample(assembled, maxTrainRows, seed) { train =>
+      val sc = new StandardScaler().setWithMean(true).setWithStd(true)
+        .setInputCol("_raw").setOutputCol("_f")
+        .fit(train)
+      (sc, new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("_f").setPredictionCol("cluster")
+        .fit(sc.transform(train)))
+    }
     val scaled = scaler.transform(assembled)
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_f").setPredictionCol("cluster")
-      .fit(scaler.transform(train))
     val assigned = model.transform(scaled)
     // Which clusters are "populated" is decided IN-PLAN: a tiny per-cluster
     // count aggregate collapses to a one-row broadcast joined back onto
@@ -99,15 +100,17 @@ object Anomaly {
       .drop("_raw", "_f", "_fa", "_kept")
   }
 
-  /** Deterministic training sample bounded by `maxRows`: one count pass
-    * sizes the fraction, the seeded sample keeps the result reproducible.
-    * Returns the input unchanged when it already fits (and caches the
-    * training side, which both `fit` passes traverse repeatedly). */
-  private[ops] def sampleForTraining(df: DataFrame, maxRows: Long,
-                                     seed: Long): DataFrame = {
+  /** Run iterative fitting over a deterministic sample bounded by
+    * `maxRows`: one sizing pass, then the sample is cached ONLY for the
+    * duration of the fits (they traverse it many times) and unpersisted
+    * before returning — a leaked cache would pin executor storage for
+    * the session. */
+  private[ops] def fitOnSample[M](df: DataFrame, maxRows: Long, seed: Long)
+                                 (fit: DataFrame => M): M = {
     val n = df.count()
-    val t = if (n <= maxRows) df
-            else df.sample(withReplacement = false, maxRows.toDouble / n, seed)
-    t.cache()
+    val train = if (n <= maxRows) df
+                else df.sample(withReplacement = false, maxRows.toDouble / n, seed)
+    train.cache()
+    try fit(train) finally train.unpersist(blocking = false)
   }
 }

@@ -137,12 +137,18 @@ object Dedup {
     (0 until n).map { i => (i * 64 / n, (i + 1) * 64 / n) }
   }
 
-  /** (doc_id, fp) SimHash fingerprints of whitespace-distinct tokens. */
+  /** (doc_id, fp) SimHash fingerprints of whitespace-distinct tokens.
+    * Empty tokens (leading/trailing whitespace artifacts of the split)
+    * are dropped before hashing — they carry no content and their hash
+    * is the one value engines disagree on (`ascii('')` = 0 in Spark,
+    * `ord('')` = -1 in DuckDB). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
                           tokenHasher: Column => Column = xxhash64(_)): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        transform(array_distinct(split(col(textCol), "\\s+")), tokenHasher).as("th"))
+        transform(
+          filter(array_distinct(split(col(textCol), "\\s+")), t => length(t) > 0),
+          tokenHasher).as("th"))
       .select(col("doc_id"), simhashFromHashes(col("th")).as("fp"))
 
   /** SimHash near-dup pairs within `maxHamming` bits. Candidate
@@ -223,7 +229,11 @@ object Dedup {
     * near-dups (a~b, b~c) must collapse to one cluster even when (a,c)
     * was never emitted as a pair. Runs GraphX's Pregel connected
     * components (ships with Spark): the standard distributed algorithm,
-    * O(diameter) supersteps, no driver-side iteration over rows. */
+    * O(diameter) supersteps, no driver-side iteration over rows.
+    *
+    * Ids must be numeric (GraphX vertex ids are Long; a non-numeric id
+    * casts to null and fails the edge build). For string ids, derive a
+    * surrogate first — e.g. `xxhash64(id)` — and join the labels back. */
   def components(pairs: DataFrame, idA: String = "id_a",
                  idB: String = "id_b"): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}

@@ -39,10 +39,12 @@ object Ivf {
       transform(col(vecCol), x => x.cast("double"))))
     // a coarse quantizer doesn't need convergence — a few iterations give
     // the same recall/cost trade-off at a fraction of the training time
-    val model = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_v").setPredictionCol("ivf_cell")
-      .fit(Anomaly.sampleForTraining(withVec, maxTrainRows, seed))
+    val model = Anomaly.fitOnSample(withVec, maxTrainRows, seed) { train =>
+      new KMeans()
+        .setK(nLists).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("_v").setPredictionCol("ivf_cell")
+        .fit(train)
+    }
     val assigned = model.transform(withVec).drop("_v")
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }

@@ -42,6 +42,33 @@ object TestdataQueries {
     * IEEE op — bit-identical everywhere — so sums are exact int64 cents. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
+  /** Shared DuckDB CTE text for the word-trigram inverted index —
+    * distinct shingles per doc (`tri`), per-doc shingle counts
+    * (`sizes`), and candidate pair intersection counts (`p0`). Three
+    * oracles build on the same tokenization; one definition keeps them
+    * from drifting apart. */
+  private val trigramCte: String =
+    """splits AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM splits),
+      |tri AS (SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id)""".stripMargin
+
+  /** Exact-Jaccard candidate pairs over [[trigramCte]] at `minJaccard`
+    * (no doc-frequency cut — the callers that need one add it). */
+  private def trigramPairsSql(minJaccard: Double): String =
+    s"""$trigramCte,
+       |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b, common,
+       |    CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+       |  FROM p0
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= $minJaccard)""".stripMargin
+
   /** DuckDB expression for the sign-bit LSH bucket of `v DOUBLE[]` under
     * the SAME deterministic hyperplanes Similarity uses — the plane
     * values are embedded as list literals (Scala Double.toString is the
@@ -568,13 +595,7 @@ object TestdataQueries {
     "x_dedup_ngram_jaccard" -> (((s: SparkSession, dir: String) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.1, maxDocFreq = 1000)),
-      Some("""WITH splits AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-             |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM splits),
-             |tri AS (SELECT DISTINCT doc_id,
-             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-             |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-             |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
-             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
+      Some(s"""WITH $trigramCte,
              |keep AS (SELECT shingle FROM tri GROUP BY shingle HAVING count(*) <= 1000),
              |f AS (SELECT tri.doc_id, tri.shingle FROM tri JOIN keep USING (shingle)),
              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -609,22 +630,11 @@ object TestdataQueries {
           floor(jac * 10000).cast("long").as("jaccard_e4"),
           (abs(col("est_jaccard") - jac) <= 0.3).as("est_ok"))
     }),
-      Some("""WITH splits AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-             |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM splits),
-             |tri AS (SELECT DISTINCT doc_id,
-             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-             |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-             |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
-             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
-             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
+      Some(s"""WITH ${trigramPairsSql(0.5)}
              |SELECT id_a, id_b, CAST(common AS INTEGER) AS common,
-             |  CAST(floor(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) * 10000) AS BIGINT) AS jaccard_e4,
+             |  CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_e4,
              |  TRUE AS est_ok
-             |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
-             |JOIN sizes sb ON sb.doc_id = id_b
-             |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin)),
+             |FROM pairs""".stripMargin)),
 
     // ---------------------------------------------------------- SimHash
     // Fingerprints use the engine-portable token hash (two polynomial
@@ -636,7 +646,8 @@ object TestdataQueries {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, tokenHasher = Dedup.portableTokenHash)),
       Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
-             |    (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)),
+             |    (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+             |    WHERE tok <> ''),
              |th AS (SELECT doc_id,
              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
              |      list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
@@ -669,20 +680,7 @@ object TestdataQueries {
         .select(col("doc_id"), col("comp"),
           (col("doc_id") === col("comp")).as("kept"))
     }),
-      Some("""WITH RECURSIVE
-             |splits AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-             |toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM splits),
-             |tri AS (SELECT DISTINCT doc_id,
-             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-             |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-             |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
-             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id),
-             |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             |  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |pairs AS (SELECT id_a, id_b FROM p0
-             |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-             |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5),
+      Some(s"""WITH RECURSIVE ${trigramPairsSql(0.5)},
              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
              |  UNION SELECT id_b, id_a FROM pairs),
              |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -895,14 +893,20 @@ object TestdataQueries {
         .select(col("doc_id"), col("n_chars_sig"), col("n_tokens"),
           floor(col("mean_token_len") * 10000).cast("long").as("mean_token_len_e4"),
           col("punct_cnt"), col("stopword_cnt"))),
-      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_sig,
-             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-             |  CAST(floor(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-             |    / len(string_split_regex(trim(text), '\s+')) * 10000) AS BIGINT) AS mean_token_len_e4,
+      Some("""WITH q AS (SELECT doc_id, text,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    END AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_sig, n_tokens,
+             |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE CAST(floor(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             |         / n_tokens * 10000) AS BIGINT)
+             |  END AS mean_token_len_e4,
              |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_cnt,
              |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
              |    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS stopword_cnt
-             |FROM documents""".stripMargin)),
+             |FROM q""".stripMargin)),
 
     // --------------------------------------------- multimodal features
     // The decode kernel is the declared stub (no codec libs in this
@@ -981,8 +985,11 @@ object TestdataQueries {
     "c2_fact_append" -> (((s: SparkSession, dir: String) => {
       import graft.catalog.TableCatalog
       import graft.etl.FactLoader
-      val cat = new TableCatalog(s,
-        java.nio.file.Files.createTempDirectory("graft_c2_").toString)
+      // fixed scratch path (overwritten each run) — a fresh temp dir per
+      // invocation would leak a parquet tree on every Verify/Bench run
+      val scratch = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_c2_scratch").toString
+      val cat = new TableCatalog(s, scratch)
       val o = t(s, dir, "orders")
       def stg(d: String) =
         o.filter(to_date(col("o_orderdate")) === lit(java.sql.Date.valueOf(d)))

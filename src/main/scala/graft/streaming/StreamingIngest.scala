@@ -100,9 +100,16 @@ object StreamingIngest {
             val alerts = Seq.newBuilder[CityAlert]
             sorted.foreach { e =>
               val dt = (e.tsMillis - st.lastTsMillis) / 1000
-              if (st.lastCity != null && st.lastCity != e.city && dt <= 3600)
+              // dt >= 0: an event OLDER than the card's state (late
+              // arrival in a later micro-batch, admitted by the
+              // watermark) must neither alert with a negative delta nor
+              // regress the state to a stale city/timestamp — the
+              // detector is forward-only, late rows are dropped
+              if (st.lastCity != null && st.lastCity != e.city &&
+                  dt >= 0 && dt <= 3600)
                 alerts += CityAlert(card, e.trans_id, st.lastCity, e.city, dt)
-              st = CardState(e.city, e.tsMillis, st.txnCount + 1)
+              if (e.tsMillis >= st.lastTsMillis)
+                st = CardState(e.city, e.tsMillis, st.txnCount + 1)
             }
             state.update(st)
             // evict once the watermark passes last-activity + 1 h; in

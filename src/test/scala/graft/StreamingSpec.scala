@@ -79,6 +79,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       val rows = spark.table("velalerts").collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       assert(rows.toSet === Set(("K1", "B", "Moscow", "Kazan", 1800L)))
+      // batch 3: a LATE event (before batch 1's, within the watermark)
+      // must not alert with a negative delta nor regress the state
+      mem.addData(("K1", "Omsk", ts("2021-01-01 09:45:00"), "L"))
+      q.processAllAvailable()
+      assert(spark.table("velalerts").count() === 1)
+      // batch 4: an on-time event compares against KAZAN@10:30 (same
+      // city → no alert). Had the state regressed to the late Omsk row,
+      // this would be a different-city pair within the hour and a false
+      // second alert would fire.
+      mem.addData(("K1", "Kazan", ts("2021-01-01 10:40:00"), "C"))
+      q.processAllAvailable()
+      assert(spark.table("velalerts").count() === 1)
     } finally q.stop()
   }
 
