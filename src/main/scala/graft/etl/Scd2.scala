@@ -59,6 +59,17 @@ object Scd2 {
       .unionByName(newOpen).unionByName(closedNow)
   }
 
+  /** Point-in-time (as-of) read of an SCD2 history: the version of each
+    * key valid at `date`. `effective_from` is inclusive, `effective_to`
+    * exclusive — a close and its successor share the boundary date
+    * (main.py:142-143 sets effective_to = date while the new version
+    * starts at date), and the successor wins on that day. On the
+    * open/closed storage split (TableCatalog.readScd2) the closed side
+    * prunes to partitions with effective_to > date. */
+  def asOf(history: DataFrame, date: java.sql.Date): DataFrame =
+    history.filter(col("effective_from") <= lit(date) &&
+      lit(date) < col("effective_to"))
+
   /** The incremental core: merge `staging` against only the CURRENT (open)
     * slice of the dim, returning (new open set, rows closed by this
     * batch). At scale this is what keeps the SCD2 maintenance cost

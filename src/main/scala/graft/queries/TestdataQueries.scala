@@ -42,6 +42,41 @@ object TestdataQueries {
     * IEEE op — bit-identical everywhere — so sums are exact int64 cents. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
+  /** The c1 SCD2 test world: a customer-derived dim (keys not divisible
+    * by 7, original segments, open since 2020-01-01) merged with a
+    * staging snapshot where every 10th key changed segment — shared by
+    * the merge and as-of queries. */
+  private def scd2MergedDim(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val dim = cust.filter(col("c_custkey") % 7 =!= 0).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+      lit(java.sql.Date.valueOf("2020-01-01")).as("effective_from"),
+      lit(java.sql.Date.valueOf("3000-01-01")).as("effective_to"),
+      lit(false).as("deleted_flg"))
+    val stg = cust.select(col("c_custkey").as("k"),
+      when(col("c_custkey") % 10 === 0, "CHANGED")
+        .otherwise(col("c_mktsegment")).as("seg"))
+    Scd2.merge(dim, stg, Scd2.DimSpec("k", Seq("seg")),
+      java.sql.Date.valueOf("2021-01-01"))
+  }
+
+  private val scd2MergeOracleSql: String =
+    """WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    DATE '2020-01-01' AS effective_from, DATE '3000-01-01' AS effective_to,
+      |    FALSE AS deleted_flg FROM customer WHERE c_custkey % 7 <> 0),
+      |  stg AS (SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg FROM customer)
+      |SELECT d.k AS k, d.seg AS seg, d.effective_from AS effective_from,
+      |       d.effective_to AS effective_to, d.deleted_flg AS deleted_flg
+      |FROM dim d LEFT JOIN stg s ON d.k = s.k
+      |WHERE s.k IS NULL OR NOT (d.seg <> s.seg)
+      |UNION ALL
+      |SELECT d.k, d.seg, d.effective_from, DATE '2021-01-01', TRUE
+      |FROM dim d JOIN stg s ON d.k = s.k WHERE d.seg <> s.seg
+      |UNION ALL
+      |SELECT s.k, s.seg, DATE '2021-01-01', DATE '3000-01-01', FALSE
+      |FROM stg s LEFT JOIN dim d ON d.k = s.k WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin
+
   /** Shared DuckDB CTE text for the word-trigram inverted index —
     * distinct shingles per doc (`tri`), per-doc shingle counts
     * (`sizes`), and candidate pair intersection counts (`p0`). Three
@@ -246,37 +281,42 @@ object TestdataQueries {
              |FROM stg s LEFT JOIN dim d ON s.k = d.k AND d.effective_to = DATE '3000-01-01'
              |WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin)),
 
+    // ----------------------------------------------------- J8 salted join
+    // Skew-resilient equi-join through ops.SkewJoin: probe rows salt
+    // deterministically, the dim replicates ×salts — and the oracle is
+    // simply the PLAIN join, proving the salting is semantics-free.
+    "j8_salted_join" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("segment", pmod(col("user_id"), lit(5)))
+      graft.ops.SkewJoin.saltedEquiJoin(ev, users, Seq("user_id"),
+          salts = 8, discriminator = col("event_id"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("value"))).as("sum_value_c"))
+    }),
+      Some("""WITH users AS (SELECT DISTINCT user_id, user_id % 5 AS segment FROM events)
+             |SELECT segment, count(*) AS cnt,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+             |FROM events e JOIN users u ON e.user_id = u.user_id
+             |GROUP BY segment""".stripMargin)),
+
     // ------------------------------------------------- C1 SCD2 merge (!)
     // Exercises the REAL Scd2.merge operator against an independent SQL
     // formulation of the same semantics.
-    "c1_scd2_merge" -> (((s: SparkSession, dir: String) => {
-      val cust = t(s, dir, "customer")
-      val dim = cust.filter(col("c_custkey") % 7 =!= 0).select(
-        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
-        lit(java.sql.Date.valueOf("2020-01-01")).as("effective_from"),
-        lit(java.sql.Date.valueOf("3000-01-01")).as("effective_to"),
-        lit(false).as("deleted_flg"))
-      val stg = cust.select(col("c_custkey").as("k"),
-        when(col("c_custkey") % 10 === 0, "CHANGED")
-          .otherwise(col("c_mktsegment")).as("seg"))
-      Scd2.merge(dim, stg, Scd2.DimSpec("k", Seq("seg")),
-        java.sql.Date.valueOf("2021-01-01"))
-    }),
-      Some("""WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
-             |    DATE '2020-01-01' AS effective_from, DATE '3000-01-01' AS effective_to,
-             |    FALSE AS deleted_flg FROM customer WHERE c_custkey % 7 <> 0),
-             |  stg AS (SELECT c_custkey AS k,
-             |    CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS seg FROM customer)
-             |SELECT d.k AS k, d.seg AS seg, d.effective_from AS effective_from,
-             |       d.effective_to AS effective_to, d.deleted_flg AS deleted_flg
-             |FROM dim d LEFT JOIN stg s ON d.k = s.k
-             |WHERE s.k IS NULL OR NOT (d.seg <> s.seg)
-             |UNION ALL
-             |SELECT d.k, d.seg, d.effective_from, DATE '2021-01-01', TRUE
-             |FROM dim d JOIN stg s ON d.k = s.k WHERE d.seg <> s.seg
-             |UNION ALL
-             |SELECT s.k, s.seg, DATE '2021-01-01', DATE '3000-01-01', FALSE
-             |FROM stg s LEFT JOIN dim d ON d.k = s.k WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin)),
+    "c1_scd2_merge" -> (((s: SparkSession, dir: String) =>
+      scd2MergedDim(s, dir)),
+      Some(scd2MergeOracleSql)),
+
+    // ------------------------------------------- C1b SCD2 as-of read
+    // Point-in-time read over the merged history: at 2020-06-15 every
+    // key's ORIGINAL version applies (the merge closed changed rows at
+    // 2021-01-01, exclusive upper bound), including rows now flagged
+    // closed — as-of ignores deleted_flg and selects by interval.
+    "c1b_scd2_asof" -> (((s: SparkSession, dir: String) =>
+      Scd2.asOf(scd2MergedDim(s, dir), java.sql.Date.valueOf("2020-06-15"))),
+      Some(s"""SELECT * FROM ($scd2MergeOracleSql) t
+             |WHERE effective_from <= DATE '2020-06-15'
+             |  AND DATE '2020-06-15' < effective_to""".stripMargin)),
 
     // -------------------------------------------------- A1 having count
     "a1_having_count" -> (((s: SparkSession, dir: String) =>

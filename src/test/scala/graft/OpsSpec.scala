@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
 
 /** Scale-extension operators: dedup family, ANN similarity, text analysis,
   * multimodal plumbing. */
@@ -180,6 +180,18 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     df.createOrReplaceTempView("vd")
     assert(spark.sql("SELECT vector_dot(a, b) AS d FROM vd WHERE id = 1")
       .collect().head.getDouble(0) === 32.0)
+  }
+
+  test("salted equi-join ≡ plain join on a hot-key fixture") {
+    // 90 of 100 probe rows share one key — the salting target
+    val probe = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i.toLong))
+      .toDF("k", "rowid")
+    val build = Seq((1L, "hot"), (95L, "cold")).toDF("k", "attr")
+    val plain = probe.join(build, Seq("k")).select("k", "rowid", "attr")
+    val salted = SkewJoin.saltedEquiJoin(probe, build, Seq("k"),
+      salts = 4, discriminator = col("rowid")).select("k", "rowid", "attr")
+    assert(salted.collect().toSet === plain.collect().toSet)
+    assert(salted.count() === 91)
   }
 
   test("token counting: whitespace and BPE-ish regex variants") {

@@ -110,4 +110,15 @@ class Scd2Spec extends AnyFunSuite with SparkTestSession {
     assert(Scd2.cards.key === "card_num" && Scd2.cards.attrs === Seq("account_num"))
     assert(Scd2.terminals.key === "terminal_id" && Scd2.terminals.attrs.size === 3)
   }
+
+  test("asOf selects by interval: successor wins on the boundary date, closed flag ignored") {
+    val hist = dim(
+      Row("a", "v1", "x", Date.valueOf("2020-01-01"), d1, true),   // closed at d1
+      Row("a", "v2", "x", d1, open, false))                        // successor from d1
+    def ids(d: Date) = Scd2.asOf(hist, d).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(ids(Date.valueOf("2020-06-15")) === Seq(("a", "v1")))   // closed row still visible
+    assert(ids(d1) === Seq(("a", "v2")))                           // boundary → successor
+    assert(ids(Date.valueOf("2019-12-31")).isEmpty)                // before first version
+  }
 }
