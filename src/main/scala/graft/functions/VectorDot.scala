@@ -104,12 +104,25 @@ case class VectorDot(left: Expression, right: Expression)
   * (`spark.sql.extensions=graft.functions.GraftExtensions`) paths expose
   * the expression as SQL function `vector_dot`. */
 object GraftFunctions {
-  private val info = new ExpressionInfo(classOf[VectorDot].getName, "vector_dot")
-  private val builder = (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))
+
+  /** Every engine SQL function as (identifier, info, builder) — the one
+    * list both registration paths share. */
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      exprs => VectorDot(exprs.head, exprs(1))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      exprs => SimHash64(exprs.head)))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(FunctionIdentifier("vector_dot"), info, builder)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  private[functions] def injectAll(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
 
   /** Column-level constructor (no registration needed). */
   def vectorDot(a: Column, b: Column): Column =
@@ -117,9 +130,12 @@ object GraftFunctions {
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 }
 
+/** Declarative registration for deployments:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * every engine SQL function available in each new session — the
+  * driver mains (Verify / Bench / RunDaily) run with this set, so the
+  * extension path is exercised on every gate run. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier("vector_dot"),
-      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      exprs => VectorDot(exprs.head, exprs(1))))
+    GraftFunctions.injectAll(ext)
 }

@@ -175,11 +175,12 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     val mixed = df.filter($"id" === 1).select(
       Similarity.dot($"a", typedlit(Seq(4.0, 5.0, 6.0))).as("d")).collect()
     assert(mixed.head.getDouble(0) === 32.0)
-    // SQL registration path
+    // SQL registration path (covers both functions in the shared list)
     graft.functions.GraftFunctions.register(spark)
     df.createOrReplaceTempView("vd")
     assert(spark.sql("SELECT vector_dot(a, b) AS d FROM vd WHERE id = 1")
       .collect().head.getDouble(0) === 32.0)
+    assert(spark.sql("SELECT simhash64(array(1L)) AS h").head().getLong(0) === 1L)
   }
 
   test("salted equi-join ≡ plain join on a hot-key fixture") {
