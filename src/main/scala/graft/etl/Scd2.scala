@@ -53,10 +53,14 @@ object Scd2 {
             date: java.sql.Date): DataFrame = {
     val outCols = spec.allCols ++ scd2Cols
     val closedHistory = dim.filter(col("effective_to") =!= openEnd)
-    val (newOpen, closedNow) =
-      mergeOpen(dim.filter(col("effective_to") === openEnd), staging, spec, date)
+    // single-result form: all three branches explode out of ONE
+    // full-outer join pass (returning newOpen/closedNow separately, as
+    // mergeOpen does for the Runner's split storage, would execute the
+    // join once per union arm)
+    val m = mergeParts(dim.filter(col("effective_to") === openEnd),
+      staging, spec, date)
     closedHistory.select(outCols.map(col): _*)
-      .unionByName(newOpen).unionByName(closedNow)
+      .unionByName(m.emit(m.keepOpen, m.insertNew, m.closeNow))
   }
 
   /** Point-in-time (as-of) read of an SCD2 history: the version of each
@@ -79,6 +83,21 @@ object Scd2 {
     * dynamic-overwrites its own partition instead of duplicating. */
   def mergeOpen(open: DataFrame, staging: DataFrame, spec: DimSpec,
                 date: java.sql.Date): (DataFrame, DataFrame) = {
+    val m = mergeParts(open, staging, spec, date)
+    (m.emit(m.keepOpen, m.insertNew), m.emit(m.closeNow))
+  }
+
+  /** The joined merge frame plus the three conditional output branches;
+    * `emit` explodes any subset out of the SAME join. */
+  private final case class MergeParts(j: DataFrame, outCols: Seq[String],
+      keepOpen: Column, closeNow: Column, insertNew: Column) {
+    def emit(branches: Column*): DataFrame = j
+      .select(explode(filter(array(branches: _*), _.isNotNull)).as("_r"))
+      .select(outCols.map(c => col(s"_r.$c")): _*)
+  }
+
+  private def mergeParts(open: DataFrame, staging: DataFrame, spec: DimSpec,
+                         date: java.sql.Date): MergeParts = {
     val d = open
       .select(col(spec.key).as("_k") +:
         (spec.attrs.map(a => col(a).as(s"_d_$a")) :+
@@ -107,18 +126,12 @@ object Scd2 {
     val dAttrs = spec.attrs.map(a => col(s"_d_$a"))
     val sAttrs = spec.attrs.map(a => col(s"_s_$a"))
 
-    val keepOpen  = when(dPresent && !(sPresent && changed),
-      mkStruct(col("_k"), dAttrs, col("_d_from"), openEnd, lit(false)))
-    val closeNow  = when(dPresent && sPresent && changed,
-      mkStruct(col("_k"), dAttrs, col("_d_from"), lit(date), lit(true)))
-    val insertNew = when(sPresent && (!dPresent || changed),
-      mkStruct(col("_k"), sAttrs, lit(date), openEnd, lit(false)))
-
-    val outCols = spec.allCols ++ scd2Cols
-    def emit(branches: Column*): DataFrame = j
-      .select(explode(filter(array(branches: _*), _.isNotNull)).as("_r"))
-      .select(outCols.map(c => col(s"_r.$c")): _*)
-
-    (emit(keepOpen, insertNew), emit(closeNow))
+    MergeParts(j, spec.allCols ++ scd2Cols,
+      keepOpen = when(dPresent && !(sPresent && changed),
+        mkStruct(col("_k"), dAttrs, col("_d_from"), openEnd, lit(false))),
+      closeNow = when(dPresent && sPresent && changed,
+        mkStruct(col("_k"), dAttrs, col("_d_from"), lit(date), lit(true))),
+      insertNew = when(sPresent && (!dPresent || changed),
+        mkStruct(col("_k"), sAttrs, lit(date), openEnd, lit(false))))
   }
 }

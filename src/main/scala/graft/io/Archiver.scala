@@ -16,15 +16,19 @@ object Archiver {
     val root = Paths.get(dir)
     val archive = root.resolve("archive")
     Files.createDirectories(archive)
-    Files.list(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter { p =>
-        p.getFileName.toString match {
-          case datePattern(d) => d == date
-          case _ => false
+    val stream = Files.list(root)
+    val matched =
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter { p =>
+          p.getFileName.toString match {
+            case datePattern(d) => d == date
+            case _ => false
+          }
         }
-      }
-      .toSeq
+        .toSeq
+      finally stream.close()
+    matched
       .foreach { p =>
         Files.move(p, archive.resolve(p.getFileName.toString + ".backup"),
           StandardCopyOption.REPLACE_EXISTING)

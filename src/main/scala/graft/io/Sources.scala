@@ -23,8 +23,10 @@ object Sources {
     * `DDMMYYYY` strings lexicographically (main.py:33), which misorders
     * across months (SURVEY §2.9.2) — documented fix. */
   def listUniqueDates(dir: String): Seq[String] = {
-    val names = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString).toSeq
+    val stream = Files.list(Paths.get(dir))
+    val names =
+      try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally stream.close()
     names.collect { case datePattern(d) => d }
       .distinct
       .sortBy(d => LocalDate.parse(d, ddmmyyyy))
