@@ -729,6 +729,28 @@ object TestdataQueries {
              |SELECT a AS doc_id, min(b) AS comp, (a = min(b)) AS kept
              |FROM reach GROUP BY a""".stripMargin)),
 
+    // ------------------------------------------- deduplicated corpus
+    // The end product of the dedup family: the corpus minus every
+    // non-canonical member of a near-dup component (exact-Jaccard ≥ 0.5
+    // pairs → GraphX components → anti-join). Oracle drops the same ids
+    // via the recursive closure.
+    "x_dedup_corpus" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000)
+      Dedup.dedupCorpus(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+      Some(s"""WITH RECURSIVE ${trigramPairsSql(0.5)},
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach AS (SELECT id AS a, id AS b FROM nodes
+             |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> min(b))
+             |SELECT doc_id, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count
@@ -1025,11 +1047,17 @@ object TestdataQueries {
     "c2_fact_append" -> (((s: SparkSession, dir: String) => {
       import graft.catalog.TableCatalog
       import graft.etl.FactLoader
-      // fixed scratch path (overwritten each run) — a fresh temp dir per
-      // invocation would leak a parquet tree on every Verify/Bench run
-      val scratch = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_c2_scratch").toString
-      val cat = new TableCatalog(s, scratch)
+      // fixed per-SF scratch path, reset at query start: a fresh temp dir
+      // per invocation would leak a parquet tree on every Verify/Bench
+      // run, and a SHARED one would let a bigger SF's blacklist survive
+      // the anti-join and inflate a later small-SF count
+      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_c2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (java.nio.file.Files.exists(scratch))
+        java.nio.file.Files.walk(scratch)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      val cat = new TableCatalog(s, scratch.toString)
       val o = t(s, dir, "orders")
       def stg(d: String) =
         o.filter(to_date(col("o_orderdate")) === lit(java.sql.Date.valueOf(d)))
