@@ -62,6 +62,28 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
       .partitionBy(partCol)
       .parquet(path(table))
 
+  /** Bucketed overwrite for co-located joins: rows hash into `buckets`
+    * files per partition by `bucketCol` and are sorted within each, so
+    * two tables bucketed the same way join with NO shuffle and no sort
+    * (TableCatalogSpec asserts the exchange-free plan). Bucketing
+    * metadata lives in the session catalog (`spark.table(name)` to
+    * read); the files stay at this catalog's path convention. This is
+    * the at-rest co-partitioning story for fact-to-fact joins too big
+    * to broadcast and too hot to reshuffle per query. */
+  def overwriteBucketed(table: String, df: DataFrame, bucketCol: String,
+                        buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .option("path", path(table))
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed table WITH its bucket metadata (a plain parquet
+    * read of the same path would lose the co-partitioning guarantee). */
+  def readBucketed(table: String): DataFrame = spark.table(table)
+
   /** Full SCD2 history = open slice ∪ effective_to-partitioned closed
     * history. The open table is small (one row per live key) and swapped
     * per batch; closed partitions are immutable after their date. Reading

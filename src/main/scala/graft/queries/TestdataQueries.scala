@@ -281,6 +281,25 @@ object TestdataQueries {
              |FROM stg s LEFT JOIN dim d ON s.k = d.k AND d.effective_to = DATE '3000-01-01'
              |WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin)),
 
+    // ------------------------------------------- approx distinct (HLL)
+    // The at-scale replacement for exact countDistinct: Spark's
+    // HyperLogLog++ sketch merges map-side (no shuffle of raw values).
+    // The sketch estimate is engine-specific, so the oracle pins the
+    // EXACT count (DuckDB-computable) plus the bounded-error property:
+    // rsd = 0.05 ⇒ the estimate sits within ±5·rsd of exact with
+    // overwhelming margin on these cardinalities.
+    "x_approx_distinct" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.05).as("approx"))
+        .select(col("cohort"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.25).as("approx_ok"))),
+      Some("""SELECT user_id % 10 AS cohort,
+             |  count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // ----------------------------------------------------- J8 salted join
     // Skew-resilient equi-join through ops.SkewJoin: probe rows salt
     // deterministically, the dim replicates ×salts — and the oracle is
