@@ -62,27 +62,47 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
       .partitionBy(partCol)
       .parquet(path(table))
 
-  /** Bucketed overwrite for co-located joins: rows hash into `buckets`
-    * files per partition by `bucketCol` and are sorted within each, so
-    * two tables bucketed the same way join with NO shuffle and no sort
-    * (TableCatalogSpec asserts the exchange-free plan). Bucketing
-    * metadata lives in the session catalog (`spark.table(name)` to
-    * read); the files stay at this catalog's path convention. This is
-    * the at-rest co-partitioning story for fact-to-fact joins too big
-    * to broadcast and too hot to reshuffle per query. */
+  /** Bucketed overwrite for co-located joins: rows are repartitioned to
+    * ONE file per bucket, hashed by `bucketCol` and sorted within each,
+    * so two tables bucketed the same way join with NO shuffle; the
+    * per-query Sort also disappears when the scan trusts the bucket
+    * sort order (Spark ≥3 requires
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, valid
+    * only with single-file buckets — which this layout guarantees).
+    * TableCatalogSpec asserts both plans.
+    * Bucketing metadata lives in the session catalog under a name
+    * scoped to this catalog's root — two catalogs in one session don't
+    * cross-wire; read back via [[readBucketed]] (a plain parquet read
+    * of the path would lose the co-partitioning guarantee). */
   def overwriteBucketed(table: String, df: DataFrame, bucketCol: String,
                         buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite")
+    val name = bucketedName(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite")
       .option("path", path(table))
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
-      .saveAsTable(table)
+      .saveAsTable(name)
   }
 
-  /** Read a bucketed table WITH its bucket metadata (a plain parquet
-    * read of the same path would lose the co-partitioning guarantee). */
-  def readBucketed(table: String): DataFrame = spark.table(table)
+  def readBucketed(table: String): DataFrame =
+    spark.table(s"`${bucketedName(table)}`")
+
+  /** Drop the session-catalog entry (files at `path(table)` remain —
+    * same external-table lifecycle as the rest of this catalog). */
+  def dropBucketed(table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `${bucketedName(table)}`")
+
+  /** Session-catalog identifier for a bucketed table, scoped by the
+    * catalog root so same-named tables of different catalogs coexist;
+    * restricted to identifier-safe characters because it crosses into
+    * SQL-parsed territory (the path-only methods have no such limit). */
+  private def bucketedName(table: String): String = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"bucketed table name must be [A-Za-z0-9_]+, got '$table'")
+    s"graft_${table}_${Integer.toHexString(root.hashCode & 0x7fffffff)}"
+  }
 
   /** Full SCD2 history = open slice ∪ effective_to-partitioned closed
     * history. The open table is small (one row per live key) and swapped
@@ -110,7 +130,16 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     deleteRecursive(old)
   }
 
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  private def deleteRecursive(p: Path): Unit = TableCatalog.deleteRecursively(p)
+}
+
+object TableCatalog {
+  /** Recursive delete with the walk stream closed (an unclosed
+    * Files.walk leaks a directory handle per call). */
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

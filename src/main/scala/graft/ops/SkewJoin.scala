@@ -24,6 +24,8 @@ object SkewJoin {
   def saltedEquiJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                      salts: Int, discriminator: Column): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(!probe.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "input already has a _salt column — it would be silently clobbered and dropped")
     val salted = probe.withColumn("_salt",
       pmod(xxhash64(discriminator), lit(salts.toLong)).cast("int"))
     val replicated = build.withColumn("_salt",

@@ -1072,10 +1072,7 @@ object TestdataQueries {
       // the anti-join and inflate a later small-SF count
       val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         "graft_c2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      if (java.nio.file.Files.exists(scratch))
-        java.nio.file.Files.walk(scratch)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
+      TableCatalog.deleteRecursively(scratch)
       val cat = new TableCatalog(s, scratch.toString)
       val o = t(s, dir, "orders")
       def stg(d: String) =

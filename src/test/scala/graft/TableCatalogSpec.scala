@@ -19,19 +19,30 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = cat.readBucketed("bkt_left")
-        .join(cat.readBucketed("bkt_right"), Seq("k"))
-      assert(joined.count() === 500)
+      def joinPlan(): String = {
+        val joined = cat.readBucketed("bkt_left")
+          .join(cat.readBucketed("bkt_right"), Seq("k"))
+        assert(joined.count() === 500)
+        joined.queryExecution.executedPlan.toString
+      }
       // co-located: the sort-merge join reads the bucketed layout
       // directly — no Exchange (shuffle) on either side
-      val plan = joined.queryExecution.executedPlan.toString
+      val plan = joinPlan()
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle:\n$plan")
+      // sort elimination additionally needs the scan to trust the bucket
+      // sort order, which Spark ≥3 only does behind the legacy flag AND
+      // with one file per bucket — which overwriteBucketed guarantees
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val orderedPlan = joinPlan()
+      assert(!orderedPlan.contains("Sort ["),
+        s"one-file-per-bucket + legacy scan ordering should not re-sort:\n$orderedPlan")
     } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS bkt_left")
-      spark.sql("DROP TABLE IF EXISTS bkt_right")
+      cat.dropBucketed("bkt_left")
+      cat.dropBucketed("bkt_right")
     }
   }
 }
