@@ -281,6 +281,57 @@ object TestdataQueries {
              |FROM stg s LEFT JOIN dim d ON s.k = d.k AND d.effective_to = DATE '3000-01-01'
              |WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin)),
 
+    // --------------------------------------------- S2 decimal-comma CSV
+    // The production transactions parser (`;`-separated, decimal COMMA,
+    // header — reference main.py:103) under the value-level gate: a
+    // deterministic fixture derived from `events` is written once to a
+    // per-SF scratch file, read back through Sources.readTransactionsCsv,
+    // and DuckDB reads the SAME file with its own CSV reader — both the
+    // locale normalization (`12,34` → 12.34 DECIMAL) and the timestamp
+    // parse are cross-checked byte-for-byte.
+    "s2_csv_source" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratchDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_s2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      TableCatalog.deleteRecursively(scratchDir)
+      java.nio.file.Files.createDirectories(scratchDir)
+      val file = scratchDir.resolve("transactions_01012024.txt")
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      val lines = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id")).limit(2000).collect().map { r =>
+          val amt = f"${r.getDouble(4)}%.2f".replace('.', ',')
+          val ts = fmt.format(r.getTimestamp(1).toInstant)
+          s"TX${r.getLong(0)};$ts;C${r.getLong(2)};${r.getString(3)};$amt;OK;T${r.getLong(2) % 20}"
+        }
+      java.nio.file.Files.write(file, java.util.Arrays.asList(
+        ("transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal"
+          +: lines.toSeq): _*))
+      // amt re-emitted as exact int64 cents: a DECIMAL output column
+      // stringifies differently across engine bridges ("0.20" vs "0.2")
+      // even when numerically identical — same hash-stability rule as
+      // `cents` everywhere else; the locale-comma parse is still what's
+      // under test (the cast happens AFTER readTransactionsCsv's
+      // normalization to DECIMAL(18,2))
+      graft.io.Sources.readTransactionsCsv(s, file.toString)
+        .withColumn("amt_c", (col("amt") * 100).cast("long")).drop("amt")
+    }),
+      // the oracle path pins the correctness-gate SF (sf0.01 per the
+      // driver contract) — the scratch file is per-SF precisely so a
+      // later bench run at another SF cannot overwrite it before the
+      // DuckDB compare reads it
+      Some(s"""SELECT transaction_id AS trans_id, transaction_date AS trans_date,
+             |  card_num, oper_type,
+             |  CAST(CAST(replace(amount, ',', '.') AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt_c,
+             |  oper_result, terminal
+             |FROM read_csv('${sys.props("java.io.tmpdir")}/graft_s2__root_testdata_sf0_01/transactions_01012024.txt',
+             |  delim = ';', header = true,
+             |  columns = {'transaction_id': 'VARCHAR', 'transaction_date': 'TIMESTAMP',
+             |    'card_num': 'VARCHAR', 'oper_type': 'VARCHAR', 'amount': 'VARCHAR',
+             |    'oper_result': 'VARCHAR', 'terminal': 'VARCHAR'})""".stripMargin)),
+
     // ------------------------------------------- approx distinct (HLL)
     // The at-scale replacement for exact countDistinct: Spark's
     // HyperLogLog++ sketch merges map-side (no shuffle of raw values).
