@@ -281,6 +281,34 @@ object TestdataQueries {
              |FROM stg s LEFT JOIN dim d ON s.k = d.k AND d.effective_to = DATE '3000-01-01'
              |WHERE d.k IS NULL OR d.seg <> s.seg""".stripMargin)),
 
+    // --------------------------------------------- S1 date discovery
+    // The filename-date scanner over a fixture chosen to catch the
+    // reference's lexicographic-ordering bug (main.py:33, SURVEY §2.9.2):
+    // DDMMYYYY strings sort 01022021 (Feb 1) BEFORE 02012021 (Jan 2)
+    // lexicographically — chronological discovery must invert that, and
+    // the literal oracle pins the corrected order (plus dedup across
+    // files of one date and ignoring date-less names).
+    "s1_date_discovery" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_s1_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      TableCatalog.deleteRecursively(scratch)
+      java.nio.file.Files.createDirectories(scratch)
+      Seq("transactions_15122020.txt", "transactions_01022021.txt",
+        "terminals_02012021.csv", "passport_blacklist_01022021.csv",
+        "readme_nodate.txt").foreach(f =>
+        java.nio.file.Files.createFile(scratch.resolve(f)))
+      val dates = graft.io.Sources.listUniqueDates(scratch.toString)
+      import s.implicits._
+      dates.zipWithIndex.map { case (d, i) =>
+        (i, d, graft.io.Sources.parseDate(d))
+      }.toDF("ord", "date_str", "dt")
+    }),
+      Some("""SELECT * FROM (VALUES
+             |  (0, '15122020', DATE '2020-12-15'),
+             |  (1, '02012021', DATE '2021-01-02'),
+             |  (2, '01022021', DATE '2021-02-01')) t(ord, date_str, dt)""".stripMargin)),
+
     // --------------------------------------------- S2 decimal-comma CSV
     // The production transactions parser (`;`-separated, decimal COMMA,
     // header — reference main.py:103) under the value-level gate: a
