@@ -70,6 +70,12 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, valid
     * only with single-file buckets — which this layout guarantees).
     * TableCatalogSpec asserts both plans.
+    *
+    * Cost model: the write shuffles into exactly `buckets` tasks, each
+    * materializing one whole bucket — size `buckets` to the parallelism
+    * the table's JOINS should run at (hundreds-plus on a cluster), not
+    * to a file-count aesthetic; a tiny bucket count caps both the write
+    * and every subsequent co-located join.
     * Bucketing metadata lives in the session catalog under a name
     * scoped to this catalog's root — two catalogs in one session don't
     * cross-wire; read back via [[readBucketed]] (a plain parquet read
@@ -95,13 +101,15 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     spark.sql(s"DROP TABLE IF EXISTS `${bucketedName(table)}`")
 
   /** Session-catalog identifier for a bucketed table, scoped by the
-    * catalog root so same-named tables of different catalogs coexist;
-    * restricted to identifier-safe characters because it crosses into
-    * SQL-parsed territory (the path-only methods have no such limit). */
+    * catalog root so same-named tables of different catalogs coexist —
+    * the sanitized root itself (not a hash, which could collide and
+    * silently cross-wire) is the scope; restricted to identifier-safe
+    * characters because it crosses into SQL-parsed territory (the
+    * path-only methods have no such limit). */
   private def bucketedName(table: String): String = {
     require(table.matches("[A-Za-z0-9_]+"),
       s"bucketed table name must be [A-Za-z0-9_]+, got '$table'")
-    s"graft_${table}_${Integer.toHexString(root.hashCode & 0x7fffffff)}"
+    s"graft_${table}_${root.replaceAll("[^A-Za-z0-9]", "_")}"
   }
 
   /** Full SCD2 history = open slice ∪ effective_to-partitioned closed

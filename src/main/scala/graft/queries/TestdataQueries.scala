@@ -42,6 +42,23 @@ object TestdataQueries {
     * IEEE op — bit-identical everywhere — so sums are exact int64 cents. */
   private def cents(c: Column): Column = floor(c * 100).cast("long")
 
+  /** Identifier-safe per-SF token for scratch paths — trailing-slash
+    * insensitive so "/x/sf0.01" and "/x/sf0.01/" land in one place (the
+    * static oracle SQL embeds the same token via this function, so the
+    * two sides cannot drift). */
+  private def sfToken(dir: String): String =
+    dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Reset-and-create a per-SF scratch dir for queries that materialize
+    * fixtures or warehouse state (s1/s2/c2). */
+  private def scratchDir(prefix: String, dir: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"${prefix}_${sfToken(dir)}")
+    graft.catalog.TableCatalog.deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
   /** The c1 SCD2 test world: a customer-derived dim (keys not divisible
     * by 7, original segments, open since 2020-01-01) merged with a
     * staging snapshot where every 10th key changed segment — shared by
@@ -289,11 +306,7 @@ object TestdataQueries {
     // the literal oracle pins the corrected order (plus dedup across
     // files of one date and ignoring date-less names).
     "s1_date_discovery" -> (((s: SparkSession, dir: String) => {
-      import graft.catalog.TableCatalog
-      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_s1_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      TableCatalog.deleteRecursively(scratch)
-      java.nio.file.Files.createDirectories(scratch)
+      val scratch = scratchDir("graft_s1", dir)
       Seq("transactions_15122020.txt", "transactions_01022021.txt",
         "terminals_02012021.csv", "passport_blacklist_01022021.csv",
         "readme_nodate.txt").foreach(f =>
@@ -318,19 +331,17 @@ object TestdataQueries {
     // locale normalization (`12,34` → 12.34 DECIMAL) and the timestamp
     // parse are cross-checked byte-for-byte.
     "s2_csv_source" -> (((s: SparkSession, dir: String) => {
-      import graft.catalog.TableCatalog
-      val scratchDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_s2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      TableCatalog.deleteRecursively(scratchDir)
-      java.nio.file.Files.createDirectories(scratchDir)
-      val file = scratchDir.resolve("transactions_01012024.txt")
+      val file = scratchDir("graft_s2", dir).resolve("transactions_01012024.txt")
       val fmt = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
       val lines = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .orderBy(col("event_id")).limit(2000).collect().map { r =>
-          val amt = f"${r.getDouble(4)}%.2f".replace('.', ',')
+          // Locale.ROOT: the default locale may use other digit glyphs
+          // or separators, silently corrupting the fixture
+          val amt = String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(r.getDouble(4))).replace('.', ',')
           val ts = fmt.format(r.getTimestamp(1).toInstant)
           s"TX${r.getLong(0)};$ts;C${r.getLong(2)};${r.getString(3)};$amt;OK;T${r.getLong(2) % 20}"
         }
@@ -347,14 +358,15 @@ object TestdataQueries {
         .withColumn("amt_c", (col("amt") * 100).cast("long")).drop("amt")
     }),
       // the oracle path pins the correctness-gate SF (sf0.01 per the
-      // driver contract) — the scratch file is per-SF precisely so a
-      // later bench run at another SF cannot overwrite it before the
-      // DuckDB compare reads it
+      // driver contract) through the SAME sfToken sanitizer the query
+      // uses — the scratch file is per-SF precisely so a later bench
+      // run at another SF cannot overwrite it before the DuckDB compare
+      // reads it
       Some(s"""SELECT transaction_id AS trans_id, transaction_date AS trans_date,
              |  card_num, oper_type,
              |  CAST(CAST(replace(amount, ',', '.') AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt_c,
              |  oper_result, terminal
-             |FROM read_csv('${sys.props("java.io.tmpdir")}/graft_s2__root_testdata_sf0_01/transactions_01012024.txt',
+             |FROM read_csv('${sys.props("java.io.tmpdir")}/graft_s2_${sfToken("/root/testdata/sf0.01")}/transactions_01012024.txt',
              |  delim = ';', header = true,
              |  columns = {'transaction_id': 'VARCHAR', 'transaction_date': 'TIMESTAMP',
              |    'card_num': 'VARCHAR', 'oper_type': 'VARCHAR', 'amount': 'VARCHAR',
@@ -1149,10 +1161,7 @@ object TestdataQueries {
       // per invocation would leak a parquet tree on every Verify/Bench
       // run, and a SHARED one would let a bigger SF's blacklist survive
       // the anti-join and inflate a later small-SF count
-      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_c2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-      TableCatalog.deleteRecursively(scratch)
-      val cat = new TableCatalog(s, scratch.toString)
+      val cat = new TableCatalog(s, scratchDir("graft_c2", dir).toString)
       val o = t(s, dir, "orders")
       def stg(d: String) =
         o.filter(to_date(col("o_orderdate")) === lit(java.sql.Date.valueOf(d)))

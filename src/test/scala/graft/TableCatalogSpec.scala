@@ -34,12 +34,20 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
       // sort elimination additionally needs the scan to trust the bucket
       // sort order, which Spark ≥3 only does behind the legacy flag AND
       // with one file per bucket — which overwriteBucketed guarantees
+      val prevOrdering = spark.conf
+        .getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val orderedPlan = joinPlan()
-      assert(!orderedPlan.contains("Sort ["),
-        s"one-file-per-bucket + legacy scan ordering should not re-sort:\n$orderedPlan")
+      try {
+        val orderedPlan = joinPlan()
+        assert(!orderedPlan.contains("Sort ["),
+          s"one-file-per-bucket + legacy scan ordering should not re-sort:\n$orderedPlan")
+      } finally prevOrdering match {
+        case Some(v) => spark.conf
+          .set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None => spark.conf
+          .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
     } finally {
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       cat.dropBucketed("bkt_left")
       cat.dropBucketed("bkt_right")
