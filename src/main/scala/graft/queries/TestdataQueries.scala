@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.etl.Scd2
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 import graft.rules.FraudRules
+import scala.jdk.CollectionConverters._
 
 /** The SURVEY §2 operator inventory mapped onto the driver's testdata
   * tables (TESTDATA.md / FIXTURES.md §B), one named query per operator,
@@ -321,6 +322,49 @@ object TestdataQueries {
              |  (0, '15122020', DATE '2020-12-15'),
              |  (1, '02012021', DATE '2021-01-02'),
              |  (2, '01022021', DATE '2021-02-01')) t(ord, date_str, dt)""".stripMargin)),
+
+    // ------------------------------------------------- S9 file archiver
+    // Post-load archival (reference main.py:20-30, 117): only the
+    // requested date's files move to archive/ with the .backup suffix,
+    // other dates and date-less files stay. The literal oracle pins the
+    // resulting directory state.
+    "s9_archiver" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_s9", dir)
+      Seq("transactions_01012021.txt", "terminals_01012021.csv",
+        "transactions_02012021.txt", "readme.txt").foreach(f =>
+        java.nio.file.Files.createFile(scratch.resolve(f)))
+      graft.io.Archiver.filesToArchive(scratch.toString, "01012021")
+      def ls(p: java.nio.file.Path): Seq[String] = {
+        val st = java.nio.file.Files.list(p)
+        try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(_.getFileName.toString).toSeq.sorted
+        finally st.close()
+      }
+      import s.implicits._
+      (ls(scratch).map(("in", _)) ++ ls(scratch.resolve("archive")).map(("archive", _)))
+        .toDF("where", "name")
+    }),
+      Some("""SELECT * FROM (VALUES
+             |  ('in', 'readme.txt'),
+             |  ('in', 'transactions_02012021.txt'),
+             |  ('archive', 'terminals_01012021.csv.backup'),
+             |  ('archive', 'transactions_01012021.txt.backup')) t("where", name)""".stripMargin)),
+
+    // --------------------------------------------- S8 truncate-reload
+    // Staging overwrite semantics (TRUNCATE + INSERT, main.py:53-55):
+    // after two loads the table holds exactly the SECOND snapshot — no
+    // residue from the first. The oracle derives the second snapshot
+    // directly from the source table.
+    "s8_truncate_reload" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val cat = new TableCatalog(s, scratchDir("graft_s8", dir).toString)
+      val c = t(s, dir, "customer")
+      cat.overwrite("stg", c.select(col("c_custkey"), col("c_name")))
+      cat.overwrite("stg", c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name")))
+      cat.read("stg")
+    }),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0""")),
 
     // --------------------------------------------- S2 decimal-comma CSV
     // The production transactions parser (`;`-separated, decimal COMMA,
