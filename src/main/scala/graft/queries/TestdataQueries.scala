@@ -50,6 +50,10 @@ object TestdataQueries {
   private def sfToken(dir: String): String =
     dir.replaceAll("/+$", "").replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Placeholder in oracle SQL for the per-SF scratch token; bound to a
+    * concrete SF by [[oracleSqlFor]] at dump time. */
+  private val SfTokenPlaceholder = "__GRAFT_SF_TOKEN__"
+
   /** Reset-and-create a per-SF scratch dir for queries that materialize
     * fixtures or warehouse state (s1/s2/c2). */
   private def scratchDir(prefix: String, dir: String): java.nio.file.Path = {
@@ -401,16 +405,17 @@ object TestdataQueries {
       graft.io.Sources.readTransactionsCsv(s, file.toString)
         .withColumn("amt_c", (col("amt") * 100).cast("long")).drop("amt")
     }),
-      // the oracle path pins the correctness-gate SF (sf0.01 per the
-      // driver contract) through the SAME sfToken sanitizer the query
-      // uses — the scratch file is per-SF precisely so a later bench
-      // run at another SF cannot overwrite it before the DuckDB compare
-      // reads it
+      // the oracle path carries the per-SF scratch token as a placeholder
+      // that oracleSqlFor binds to the VERIFY-TIME SF dir (through the
+      // same sfToken sanitizer the query uses), so the gate can run at
+      // any SF and DuckDB reads that run's own fixture; the scratch file
+      // is per-SF precisely so a later bench run at another SF cannot
+      // overwrite it before the DuckDB compare reads it
       Some(s"""SELECT transaction_id AS trans_id, transaction_date AS trans_date,
              |  card_num, oper_type,
              |  CAST(CAST(replace(amount, ',', '.') AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt_c,
              |  oper_result, terminal
-             |FROM read_csv('${sys.props("java.io.tmpdir")}/graft_s2_${sfToken("/root/testdata/sf0.01")}/transactions_01012024.txt',
+             |FROM read_csv('${sys.props("java.io.tmpdir")}/graft_s2_${SfTokenPlaceholder}/transactions_01012024.txt',
              |  delim = ';', header = true,
              |  columns = {'transaction_id': 'VARCHAR', 'transaction_date': 'TIMESTAMP',
              |    'card_num': 'VARCHAR', 'oper_type': 'VARCHAR', 'amount': 'VARCHAR',
@@ -775,6 +780,149 @@ object TestdataQueries {
              |WHERE b.passport_num IS NOT NULL OR c.passport_valid_to < t.trans_date
              |   OR a.valid_to < t.trans_date OR h.client_id IS NOT NULL
              |   OR r5.client_id IS NOT NULL""".stripMargin)),
+
+    // --------------------- C9b: INCREMENTAL report mode (bounded scan)
+    // Same world as c9 but compressed 10× instead of 200× so the
+    // timeline spans THREE days (2024-01-01..03), materialized as a
+    // load_dt-partitioned fact like Runner's fact_transactions. The
+    // Spark side computes the last date's report the way
+    // `Runner(incrementalReport = true)` does: rule inputs scan only the
+    // {date-1, date} partitions (cross-city looks ≤ 1 h either way,
+    // brute-force ≤ 20 min forward — every rule partner of a day-D txn
+    // is in day D-1..D), report rows only the date's own partition. The
+    // oracle runs the FULL-scan formulation over all three days and
+    // restricts the output to the date — so a hash match proves the
+    // bounded two-partition scan reproduces the full scan's rows for
+    // that date exactly (VERDICT r2 #1). FraudRulesSpec asserts the
+    // partition pruning on the scan.
+    "c9b_fraud_pipeline_incremental" -> (((s: SparkSession, dir: String) => {
+      import graft.report.FraudReport
+      val ev = t(s, dir, "events")
+      val txn = ev.select(
+        col("user_id").as("card_num"),
+        col("event_id").as("trans_id"),
+        expr("timestamp_seconds(1704067200 + (unix_timestamp(ts) - 1704067200) div 10)")
+          .as("trans_date"),
+        col("value").cast(d182).as("amt"),
+        when(col("event_type").isin("click", "view"), "SUCCESS")
+          .otherwise("REJECT").as("oper_result"),
+        ((col("user_id") + when(col("user_id") % 3 === 0, lit(0))
+          .otherwise(col("event_id"))) % 20).as("terminal"))
+        // the daily-feed contract: each drop holds its day's transactions
+        .withColumn("load_dt", to_date(col("trans_date")))
+      val scratch = scratchDir("graft_c9b", dir)
+      txn.write.mode("overwrite").partitionBy("load_dt")
+        .parquet(scratch.resolve("fact").toString)
+      val fact = s.read.parquet(scratch.resolve("fact").toString)
+      val d = java.sql.Date.valueOf("2024-01-03")
+      val ruleTxn = fact.filter(col("load_dt").between(date_sub(lit(d), 1), lit(d)))
+      val baseTxn = fact.filter(col("load_dt") === lit(d))
+      val users = ev.select(col("user_id")).distinct()
+      val cards = users.select(col("user_id").as("card_num"),
+        col("user_id").as("account_num"), lit(false).as("deleted_flg"))
+      val accounts = users.select(col("user_id").as("account_num"),
+        col("user_id").as("client"),
+        when(col("user_id") % 13 === 0, lit(java.sql.Date.valueOf("2020-01-01")))
+          .otherwise(lit(java.sql.Date.valueOf("3000-01-01"))).as("valid_to"),
+        lit(false).as("deleted_flg"))
+      val clients = users.select(col("user_id").as("client_id"),
+        concat(lit("F"), col("user_id")).as("first_name"),
+        concat(lit("M"), col("user_id")).as("patrinymic"),
+        concat(lit("L"), col("user_id")).as("last_name"),
+        concat(lit("P"), col("user_id")).as("passport_num"),
+        when(col("user_id") % 11 === 0, lit(java.sql.Date.valueOf("2020-01-01")))
+          .otherwise(lit(java.sql.Date.valueOf("3000-01-01"))).as("passport_valid_to"),
+        concat(lit("+7"), col("user_id")).as("phone"),
+        lit(false).as("deleted_flg"))
+      val terminals = txn.select(col("terminal").as("terminal_id")).distinct()
+        .select(col("terminal_id"),
+          concat(lit("C"), col("terminal_id") % 7).as("terminal_city"),
+          lit(false).as("deleted_flg"))
+      val blacklist = users.filter(col("user_id") % 17 === 0)
+        .select(concat(lit("P"), col("user_id")).as("passport_num"))
+      val withClient = FraudRules.txnWithClient(ruleTxn, cards, accounts, clients)
+      val rule4 = FraudRules.crossCityRule(
+        FraudRules.cityOfTransactions(withClient, terminals))
+      val rule5 = FraudRules.bruteForceRule(withClient)
+      FraudReport.assemble(baseTxn, cards, accounts, clients, blacklist,
+        rule4, rule5, java.sql.Date.valueOf("2024-02-01"))
+    }),
+      Some("""WITH txn AS (SELECT user_id AS card_num, event_id AS trans_id,
+             |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL
+             |      ((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 10) SECOND AS trans_date,
+             |    CAST(value AS DECIMAL(18,2)) AS amt,
+             |    CASE WHEN event_type IN ('click','view') THEN 'SUCCESS' ELSE 'REJECT' END AS oper_result,
+             |    (user_id + CASE WHEN user_id % 3 = 0 THEN 0 ELSE event_id END) % 20 AS terminal,
+             |    user_id
+             |  FROM events),
+             |users AS (SELECT DISTINCT user_id FROM events),
+             |clients AS (SELECT user_id AS client_id,
+             |    'F' || CAST(user_id AS VARCHAR) AS first_name,
+             |    'M' || CAST(user_id AS VARCHAR) AS patrinymic,
+             |    'L' || CAST(user_id AS VARCHAR) AS last_name,
+             |    'P' || CAST(user_id AS VARCHAR) AS passport_num,
+             |    CASE WHEN user_id % 11 = 0 THEN DATE '2020-01-01' ELSE DATE '3000-01-01' END AS passport_valid_to,
+             |    '+7' || CAST(user_id AS VARCHAR) AS phone
+             |  FROM users),
+             |accounts AS (SELECT user_id AS account_num, user_id AS client,
+             |    CASE WHEN user_id % 13 = 0 THEN DATE '2020-01-01' ELSE DATE '3000-01-01' END AS valid_to
+             |  FROM users),
+             |termcity AS (SELECT terminal_id, 'C' || CAST(terminal_id % 7 AS VARCHAR) AS terminal_city
+             |  FROM (SELECT DISTINCT terminal AS terminal_id FROM txn)),
+             |blacklist AS (SELECT 'P' || CAST(user_id AS VARCHAR) AS passport_num
+             |  FROM users WHERE user_id % 17 = 0),
+             |city AS (SELECT t.card_num, t.trans_id, t.trans_date, tc.terminal_city,
+             |    t.user_id AS client_id
+             |  FROM txn t JOIN termcity tc ON t.terminal = tc.terminal_id),
+             |rule4 AS (SELECT DISTINCT a.trans_id, a.client_id
+             |  FROM city a JOIN city b ON a.card_num = b.card_num
+             |  WHERE a.terminal_city <> b.terminal_city
+             |    AND abs(CAST(floor(epoch(a.trans_date)) AS BIGINT)
+             |          - CAST(floor(epoch(b.trans_date)) AS BIGINT)) <= 3600),
+             |joined AS (SELECT r1.user_id AS client_id, r1.trans_id AS trans_id_start,
+             |    r2.trans_id AS trans_id_20min, r2.amt AS amt_20min,
+             |    r2.trans_date AS trans_date_20min, r2.oper_result
+             |  FROM txn r1 JOIN txn r2 ON r2.user_id = r1.user_id
+             |    AND r2.trans_date BETWEEN r1.trans_date AND r1.trans_date + INTERVAL 20 MINUTE),
+             |win AS (SELECT *,
+             |    row_number() OVER (PARTITION BY client_id, trans_id_start
+             |      ORDER BY trans_date_20min ASC, trans_id_20min ASC) AS rn_datetime,
+             |    count(*) OVER (PARTITION BY client_id, trans_id_start) AS cnt,
+             |    max(CASE WHEN oper_result = 'SUCCESS' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY client_id, trans_id_start) AS has_success,
+             |    max(CASE WHEN oper_result = 'REJECT' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY client_id, trans_id_start) AS has_reject
+             |  FROM joined),
+             |w4 AS (SELECT *, row_number() OVER (PARTITION BY client_id, trans_id_start
+             |      ORDER BY amt_20min DESC, trans_id_20min ASC) AS rn_amt
+             |  FROM win WHERE rn_datetime <= 4 AND cnt > 3 AND has_success = 1 AND has_reject = 1),
+             |rule5 AS (SELECT client_id, trans_id_start AS trans_id FROM w4
+             |  GROUP BY client_id, trans_id_start
+             |  HAVING sum(CASE WHEN rn_amt = rn_datetime THEN 1 ELSE 0 END) = 4
+             |    AND max(CASE WHEN rn_datetime = 1 THEN oper_result END) = 'REJECT'
+             |    AND max(CASE WHEN rn_datetime = 2 THEN oper_result END) = 'REJECT'
+             |    AND max(CASE WHEN rn_datetime = 3 THEN oper_result END) = 'REJECT'
+             |    AND max(CASE WHEN rn_datetime = 4 THEN oper_result END) = 'SUCCESS')
+             |SELECT t.trans_date AS event_dt, c.passport_num AS passport,
+             |    c.first_name || ' ' || c.patrinymic || ' ' || c.last_name AS fio,
+             |    c.phone AS phone,
+             |    CASE WHEN b.passport_num IS NOT NULL THEN 'Заблокированный паспорт'
+             |         WHEN c.passport_valid_to < t.trans_date THEN 'Просроченный паспорт'
+             |         WHEN a.valid_to < t.trans_date THEN 'Недействующий договор'
+             |         WHEN h.client_id IS NOT NULL THEN 'Транзакции из разных городов за короткое время'
+             |         WHEN r5.client_id IS NOT NULL THEN 'Попытка перебора транзакций'
+             |    END AS event_type,
+             |    DATE '2024-02-01' AS report_dt
+             |FROM txn t
+             |LEFT JOIN accounts a ON a.account_num = t.card_num
+             |LEFT JOIN clients c ON c.client_id = a.client
+             |LEFT JOIN blacklist b ON c.passport_num = b.passport_num
+             |LEFT JOIN rule4 h ON h.client_id = c.client_id AND t.trans_id = h.trans_id
+             |LEFT JOIN rule5 r5 ON r5.client_id = c.client_id AND t.trans_id = r5.trans_id
+             |WHERE (b.passport_num IS NOT NULL OR c.passport_valid_to < t.trans_date
+             |   OR a.valid_to < t.trans_date OR h.client_id IS NOT NULL
+             |   OR r5.client_id IS NOT NULL)
+             |  AND t.trans_date >= TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)),
 
     // ================================================== scale extensions
 
@@ -1244,6 +1392,17 @@ object TestdataQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, (f, _)) => n -> f }.toMap
 
-  def oracleSql: Map[String, String] =
-    registry.collect { case (n, (_, Some(sql))) => n -> sql }.toMap
+  /** Static contract view: any SF-dependent scratch path resolves to the
+    * correctness-gate SF (sf0.01, the driver default). Prefer
+    * [[oracleSqlFor]] when the verify-time SF dir is known. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracle SQL with scratch paths bound to the ACTUAL verify-time SF dir
+    * — [[Verify]] dumps this form, so a gate run at any SF reads the
+    * matching per-SF fixtures (VERDICT r2 #7: the s2 oracle no longer
+    * pins sf0.01). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    registry.collect { case (n, (_, Some(sql))) =>
+      n -> sql.replace(SfTokenPlaceholder, sfToken(sfDir))
+    }.toMap
 }
