@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
+import graft.catalog.TableCatalog
 import graft.schemas.Schemas
 
 /** Structured Streaming extension (SURVEY §7.6): the reference's cadence
@@ -39,6 +40,44 @@ object StreamingIngest {
           .cast(DecimalType(18, 2)).as("amt"),
         col("oper_result"),
         col("terminal"))
+
+  /** Stream-static join resolving each transaction's city from the
+    * terminals dim — the streaming analog of `city_of_transactions`
+    * (reference main.py:415-427). The dim side is broadcast explicitly:
+    * a stream-static join re-executes the static side every micro-batch,
+    * and a per-batch shuffle of the (small, slowly-changing) dim would
+    * dominate micro-batch latency; at 100 TB the FACT side is the stream
+    * and the dim still fits an executor. */
+  def withCity(txns: DataFrame, terminals: DataFrame): DataFrame =
+    txns.join(
+      broadcast(terminals.filter(!col("deleted_flg"))
+        .select(col("terminal_id"), col("terminal_city").as("city"))),
+      col("terminal") === col("terminal_id"))
+      .select(col("card_num"), col("city"), col("trans_date"), col("trans_id"))
+
+  /** Durable end of the streaming pipeline (VERDICT r2 #2): writeStream
+    * into a [[TableCatalog]] table through the exactly-once parquet file
+    * sink. The checkpoint carries the source offsets (which input files
+    * are consumed), the flatMapGroupsWithState state store, and the
+    * sink's `_spark_metadata` commit log — a killed query restarted on
+    * the same checkpoint resumes with no loss and no duplicates, and a
+    * plain `cat.read` of the table sees only committed files
+    * (StreamingSpec kills and resumes a live pipeline).
+    *
+    * Append-only by design: alerts are append-natural, and window
+    * counts append their FINAL value once the watermark closes the
+    * window. An update-mode upsert into parquet would force a per-batch
+    * partition rewrite-merge — the wrong trade for a high-volume sink;
+    * readers needing pre-final counts query the in-memory/state side,
+    * not the durable table. */
+  def startCatalogAppend(cat: TableCatalog, table: String, df: DataFrame,
+                         checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", cat.path(table))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
 
   /** Sliding 20-minute windows (5-minute slide) of transaction counts and
     * SUCCESS/REJECT presence per card, with a 30-minute watermark bounding

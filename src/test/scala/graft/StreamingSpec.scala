@@ -94,6 +94,98 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("file-source → catalog: kill, resume from checkpoint, rows equal the batch path") {
+    val root = java.nio.file.Files.createTempDirectory("stream-cat")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val cat = new graft.catalog.TableCatalog(spark, root.resolve("wh").toString)
+    val ckpt = root.resolve("ckpt").toString
+    val terminals = Seq(("T1", "Moscow", false), ("T2", "Kazan", false))
+      .toDF("terminal_id", "terminal_city", "deleted_flg")
+    def startPipeline() = {
+      val txns = StreamingIngest.readTransactionStream(spark, in.toString)
+      StreamingIngest.startCatalogAppend(cat, "stream_alerts",
+        StreamingIngest.velocityAlerts(spark,
+          StreamingIngest.withCity(txns, terminals)), ckpt)
+    }
+    def drop(name: String, rows: String*): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        ("transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal"
+          +: rows).mkString("\n").getBytes)
+
+    // drop 1: Moscow→Kazan in 30 min → one alert, durably in the catalog
+    drop("transactions_01012021.txt",
+      "A;2021-01-01 10:00:00;K1;PAYMENT;10,00;SUCCESS;T1",
+      "B;2021-01-01 10:30:00;K1;PAYMENT;20,00;SUCCESS;T2")
+    val q1 = startPipeline()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(cat.read("stream_alerts").count() === 1)
+
+    // the query is DOWN; a second drop lands meanwhile. The resumed
+    // query must pick it up from the checkpoint — with drop 1's per-card
+    // STATE restored (alert C needs Kazan@10:30) and without re-emitting
+    // drop 1's alert (no duplicates).
+    drop("transactions_02012021.txt",
+      "C;2021-01-01 10:50:00;K1;PAYMENT;30,00;SUCCESS;T1")
+    val q2 = startPipeline()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = cat.read("stream_alerts")
+      .select("card_num", "trans_id", "prevCity", "city", "deltaSeconds")
+      .collect().toSet
+    assert(streamed === Set(
+      org.apache.spark.sql.Row("K1", "B", "Moscow", "Kazan", 1800L),
+      org.apache.spark.sql.Row("K1", "C", "Kazan", "Moscow", 1200L)))
+
+    // batch-path equivalence on the same combined input
+    val batchTxns = Seq(
+      ("A", ts("2021-01-01 10:00:00"), "K1", "T1"),
+      ("B", ts("2021-01-01 10:30:00"), "K1", "T2"),
+      ("C", ts("2021-01-01 10:50:00"), "K1", "T1"))
+      .toDF("trans_id", "trans_date", "card_num", "terminal")
+    val batch = StreamingIngest.velocityAlerts(spark,
+      StreamingIngest.withCity(batchTxns, terminals))
+      .select("card_num", "trans_id", "prevCity", "city", "deltaSeconds")
+      .collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("cardWindowCounts append into the catalog: windows land once the watermark closes them") {
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-wc")
+    val cat = new graft.catalog.TableCatalog(spark, root.resolve("wh").toString)
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val txns = mem.toDF().toDF("card_num", "trans_date", "oper_result")
+    val q = StreamingIngest.startCatalogAppend(cat, "stream_window_counts",
+      StreamingIngest.cardWindowCounts(txns), root.resolve("ckpt").toString)
+    try {
+      mem.addData(
+        ("K1", ts("2021-01-01 12:00:00"), "REJECT"),
+        ("K1", ts("2021-01-01 12:04:00"), "REJECT"),
+        ("K1", ts("2021-01-01 12:09:00"), "SUCCESS"))
+      q.processAllAvailable()
+      // append mode: nothing durable until the watermark passes a
+      // window's end; two more batches move it to 13:05 - 30 min
+      mem.addData(("K2", ts("2021-01-01 13:05:00"), "SUCCESS"))
+      q.processAllAvailable()
+      mem.addData(("K2", ts("2021-01-01 13:06:00"), "SUCCESS"))
+      q.processAllAvailable()
+      val done = cat.read("stream_window_counts")
+        .selectExpr("card_num", "window.start AS ws", "txn_cnt",
+          "has_success", "has_reject")
+        .collect().toSet
+      // every K1 window is now final (all end ≤ 12:25 ≤ watermark 12:35)
+      val k1 = done.filter(_.getString(0) == "K1")
+      assert(k1.map(r => (r.getTimestamp(1), r.getLong(2))) === Set(
+        (ts("2021-01-01 11:45:00"), 2L), (ts("2021-01-01 11:50:00"), 3L),
+        (ts("2021-01-01 11:55:00"), 3L), (ts("2021-01-01 12:00:00"), 3L),
+        (ts("2021-01-01 12:05:00"), 1L)))
+      // windows holding a 12:00/12:04 REJECT flag it; the 12:05 window
+      // holds only the 12:09 SUCCESS
+      assert(k1.forall(r => r.getInt(4) ==
+        (if (r.getTimestamp(1).before(ts("2021-01-01 12:05:00"))) 1 else 0)))
+    } finally q.stop()
+  }
+
   test("velocityAlerts: same card in a new city within an hour fires; beyond an hour doesn't") {
     val txns = Seq(
       ("K1", "Moscow", ts("2021-01-01 10:00:00"), "A"),
