@@ -113,13 +113,101 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
   }
 
   /** Full SCD2 history = open slice ∪ effective_to-partitioned closed
-    * history. The open table is small (one row per live key) and swapped
-    * per batch; closed partitions are immutable after their date. Reading
-    * the union restores `effective_to` from the partition directory. */
+    * history ∪ month-compacted archive. The open table is small (one row
+    * per live key) and swapped per batch; closed partitions are immutable
+    * after their date; [[compactClosed]] migrates old date partitions
+    * into the archive. Reading the union restores `effective_to` from
+    * the partition directory (closed) or the stored column (archive). */
   def readScd2(base: String, schema: StructType): DataFrame = {
     val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
     readOrEmpty(s"${base}_open", schema).select(cols: _*)
       .unionByName(readOrEmpty(s"${base}_closed", schema).select(cols: _*))
+      .unionByName(readOrEmpty(s"${base}_closed_archive", schema).select(cols: _*))
+  }
+
+  /** Storage maintenance for the SCD2 closed history (VERDICT r2 #3 /
+    * SURVEY §4): each daily batch appends one tiny
+    * `effective_to=<date>` partition to `<base>_closed` (Runner), so
+    * years of cron runs pile up thousands of small partitions — the
+    * classic small-file problem. This migrates every date partition
+    * OLDER than `olderThan` into `<base>_closed_archive`, laid out as
+    * one `effective_month=YYYY-MM` directory of few large files with
+    * `effective_to` materialized as a data column (so nothing is lost
+    * by the coarser directories; date-range reads still skip via
+    * parquet min/max footer stats, and month-level pruning works on the
+    * directory name). Per month: ONE distributed job reads the pruned
+    * date partitions plus any existing archive month, dedups full rows,
+    * writes `ceil(bytes / targetFileBytes)` files to a temp dir, and an
+    * atomic directory move commits the month; the source date dirs are
+    * deleted after the commit.
+    *
+    * Idempotent and crash-convergent: rerunning after a crash between
+    * the month commit and the source deletion re-merges the leftover
+    * dates with the archive month — `dropDuplicates` over full rows
+    * makes that exactly-once ((key, effective_from) is unique in SCD2
+    * history, so genuine data never self-duplicates). The one window to
+    * know about: between such a crash and the rerun, `readScd2` counts
+    * the not-yet-deleted dates twice — run compaction in a maintenance
+    * window, or rerun it to converge. (A transactional table format —
+    * Delta/Iceberg — is the at-scale answer to even that window; this
+    * catalog deliberately stays plain parquet.)
+    *
+    * Recent partitions (≥ `olderThan`) are never touched, so date
+    * reruns through Runner keep their idempotent dynamic-overwrite
+    * semantics. Returns the number of date partitions archived. */
+  def compactClosed(base: String, olderThan: java.sql.Date,
+                    targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val closedPath = Paths.get(path(s"${base}_closed"))
+    if (!Files.exists(closedPath)) return 0
+    val dateDirs: Seq[(Path, java.sql.Date)] = {
+      val s = Files.list(closedPath)
+      try s.iterator().asScala.flatMap { p =>
+        val name = p.getFileName.toString
+        if (!name.startsWith("effective_to=")) None
+        else scala.util.Try(
+          java.sql.Date.valueOf(name.stripPrefix("effective_to="))).toOption
+          .filter(_.before(olderThan)).map(p -> _)
+      }.toSeq
+      finally s.close()
+    }
+    if (dateDirs.isEmpty) return 0
+    def dirBytes(p: Path): Long = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+      finally s.close()
+    }
+    dateDirs.groupBy { case (_, d) => d.toString.substring(0, 7) }
+      .toSeq.sortBy(_._1).foreach { case (month, dirs) =>
+        val monthDir = Paths.get(path(s"${base}_closed_archive"),
+          s"effective_month=$month")
+        val fromClosed = spark.read.parquet(path(s"${base}_closed"))
+          .where(col("effective_to").isin(dirs.map(_._2): _*))
+        val hasExisting = Files.exists(monthDir)
+        val merged = (if (hasExisting)
+          fromClosed.unionByName(spark.read.parquet(monthDir.toString))
+        else fromClosed).dropDuplicates()
+        val bytes = dirs.map(p => dirBytes(p._1)).sum +
+          (if (hasExisting) dirBytes(monthDir) else 0L)
+        val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        // underscore-prefixed staging names: Spark's file listing skips
+        // `_`/`.` paths, so a crash can't leak a half-written month (or a
+        // superseded one) into partition discovery as a bogus value
+        val tmp = monthDir.resolveSibling(s"_tmp_$month")
+        deleteRecursive(tmp)
+        merged.repartition(nFiles).write.parquet(tmp.toString)
+        val old = monthDir.resolveSibling(s"_old_$month")
+        deleteRecursive(old)
+        Files.createDirectories(monthDir.getParent)
+        if (Files.exists(monthDir))
+          Files.move(monthDir, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, monthDir, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursive(old)
+        dirs.foreach { case (p, _) => deleteRecursive(p) }
+      }
+    dateDirs.size
   }
 
   /** Full-rewrite with atomic swap — the SCD2 dim "UPDATE" path

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.catalog.TableCatalog
+import scala.jdk.CollectionConverters._
 
 /** Storage-layout behaviors of the parquet catalog beyond what the
   * golden E2E exercises: bucketed co-located joins. */
@@ -52,5 +53,71 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
       cat.dropBucketed("bkt_left")
       cat.dropBucketed("bkt_right")
     }
+  }
+
+  test("compactClosed: 30 daily partitions collapse into a month archive, readScd2 identical") {
+    import java.nio.file.{Files, Paths}
+    import java.sql.Date
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("graft_compact_").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("effective_from", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("effective_to", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("deleted_flg", org.apache.spark.sql.types.BooleanType)))
+
+    // 30 daily batches, each closing 3 keys — Runner's append pattern
+    val days = (1 to 30).map(i => Date.valueOf(f"2021-01-$i%02d"))
+    days.foreach { d =>
+      val rows = (1L to 3L).map(j =>
+        (d.toLocalDate.getDayOfMonth * 100L + j, s"SEG$j",
+          Date.valueOf(d.toLocalDate.minusDays(10)), d, true))
+        .toDF("k", "seg", "effective_from", "effective_to", "deleted_flg")
+      cat.appendPartitioned("dim_x_closed", rows, "effective_to")
+    }
+    cat.replaceAtomic("dim_x_open",
+      Seq((1L, "OPEN", Date.valueOf("2021-01-30"),
+        Date.valueOf("3000-01-01"), false))
+        .toDF("k", "seg", "effective_from", "effective_to", "deleted_flg"))
+
+    def parquetFiles(table: String): Int =
+      if (!Files.exists(Paths.get(cat.path(table)))) 0
+      else {
+        val s = Files.walk(Paths.get(cat.path(table)))
+        try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    def content = cat.readScd2("dim_x", schema).collect().toSet
+
+    val before = content
+    val filesBefore = parquetFiles("dim_x_closed")
+    assert(filesBefore >= 30)   // ≥1 file per date partition
+
+    // archive everything before the 29th: 28 dates → ONE month dir
+    assert(cat.compactClosed("dim_x", Date.valueOf("2021-01-29")) === 28)
+    assert(content === before)
+    assert(parquetFiles("dim_x_closed_archive") === 1)
+    val closedDirs = {
+      val s = Files.list(Paths.get(cat.path("dim_x_closed")))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("effective_to="))
+      finally s.close()
+    }
+    assert(closedDirs === 2)   // only the 29th/30th stay fine-grained
+    assert(parquetFiles("dim_x_closed") + parquetFiles("dim_x_closed_archive")
+      < filesBefore)
+
+    info(s"parquet files: before=$filesBefore, after=" +
+      s"${parquetFiles("dim_x_closed")} closed + " +
+      s"${parquetFiles("dim_x_closed_archive")} archive")
+
+    // nothing older than the cutoff left → no-op
+    assert(cat.compactClosed("dim_x", Date.valueOf("2021-01-29")) === 0)
+
+    // later run folds the remaining dates into the EXISTING month
+    assert(cat.compactClosed("dim_x", Date.valueOf("2021-02-01")) === 2)
+    assert(content === before)
+    assert(parquetFiles("dim_x_closed") === 0)
+    assert(parquetFiles("dim_x_closed_archive") === 1)
   }
 }
