@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation — the
@@ -31,12 +32,18 @@ object Dedup {
     * distinct per document. The `transform(array(...), toks => ...)`
     * wrapper is a let-binding: it forces the token split to evaluate ONCE
     * per row — naively inlining it into the per-index lambda re-tokenizes
-    * the document for every shingle (measured 40 ms/doc → 0.1 ms/doc). */
+    * the document for every shingle (measured 40 ms/doc → 0.1 ms/doc).
+    * A document with fewer than `n` tokens has NO length-n shingles —
+    * the guard returns an empty array rather than a degenerate short
+    * shingle, matching the oracle's windowed trigram CTE (which QUALIFYs
+    * the full n-token window). */
   def shingles(textCol: Column, n: Int): Column =
     flatten(transform(array(split(textCol, "\\s+")), toks =>
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+      when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array().cast("array<string>"))))
 
   // ----------------------------------------------------------- minhash
 
@@ -53,30 +60,29 @@ object Dedup {
     * agreeing on all rows of any band land in the same bucket; bucket
     * join yields candidate pairs (a < b). Shuffles (band, bucket-hash)
     * keys only. Est. Jaccard = fraction of agreeing signature positions.
-    */
+    *
+    * `maxBucketSize` bounds the per-bucket pair blowup (VERDICT r2 #4): a
+    * bucket of n docs yields n(n-1)/2 candidate pairs ON ONE REDUCER, so
+    * one degenerate cluster (scraped boilerplate repeated 10⁶ times)
+    * melts a task while every other bucket is tiny. Buckets over the cap
+    * are dropped from pair generation — for a cap this size the lost
+    * pairs are overwhelmingly a true-duplicate clique whose membership
+    * is recovered far cheaper by [[exact]] pre-collapse (identical docs
+    * collide in EVERY band, so they contribute nothing but the blowup);
+    * [[droppedLshBuckets]] reports exactly what was skipped, and
+    * DedupPropertySpec pins cap + recall behavior. The count rides the
+    * same (band, bucket) exchange the self-join reuses — no extra
+    * shuffle. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                 maxBucketSize: Long = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Each stage materializes its column before the next references it —
-    // if the shingle array were inlined into all 16 hash transforms and
-    // again into every band expression, Catalyst's project collapsing
-    // would recompute it ~100× per row (measured 10× wall-clock blowup).
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    val sig = sh.select(col("doc_id"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
-    // The explicit repartition on the join key inserts ONE exchange that
-    // ReuseExchange dedups across both sides of the self-join — without
-    // it each side recomputes the full shingle+16-hash signature pipeline
-    // (the same trick ngramJaccard uses on `shingle`).
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-      .repartition(col("band"), col("bucket"))
+    val banded = lshBanded(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+      // per-bucket population over the SAME partitioning (no added
+      // exchange); over-cap buckets sit out of pair generation
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
 
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -92,6 +98,44 @@ object Dedup {
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
   }
+
+  /** The (doc_id, sig, band, bucket) stage shared by [[minhashLsh]] and
+    * [[droppedLshBuckets]]. Each stage materializes its column before the
+    * next references it — if the shingle array were inlined into all 16
+    * hash transforms and again into every band expression, Catalyst's
+    * project collapsing would recompute it ~100× per row (measured 10×
+    * wall-clock blowup). The explicit repartition on the join key inserts
+    * ONE exchange that ReuseExchange dedups across both sides of the
+    * self-join — without it each side recomputes the full shingle+hash
+    * signature pipeline (the same trick ngramJaccard uses on `shingle`). */
+  private def lshBanded(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sig = sh.select(col("doc_id"),
+      minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+    sig.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .repartition(col("band"), col("bucket"))
+  }
+
+  /** Audit of what [[minhashLsh]]'s cap skipped: one row per over-cap
+    * (band, bucket) with its population. Run it when the cap is in
+    * question — a non-empty result is the signal to [[exact]]-collapse
+    * the corpus before LSH (a bucket only outgrows a sane cap when a
+    * near-identical cluster of that size exists). */
+  def droppedLshBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                        maxBucketSize: Long = 1000): DataFrame =
+    lshBanded(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
 
   // ------------------------------------------------------------ simhash
 
@@ -259,16 +303,25 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine ≥ `minCos`. Candidates come
     * from Similarity.lshBuckets (random-hyperplane LSH) so the pair join
-    * is bucket-local; exact cosine is then computed on candidates only. */
+    * is bucket-local; exact cosine is then computed on candidates only.
+    * `maxBucketSize` is the same degenerate-cluster safety valve as
+    * [[minhashLsh]]'s: an embedding cluster of n near-identical vectors
+    * shares one hyperplane bucket and would hand one reducer n²/2 cosine
+    * evaluations — over-cap buckets sit out, and the population count
+    * rides the bucket exchange the self-join already needs. */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
                        minCos: Double = 0.95, planes: Int = 12,
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64, maxBucketSize: Long = 10000): DataFrame = {
     // Norms are materialized per vector BEFORE the pair join — computing
     // cosine() pairwise would re-derive both norms for every candidate
     // pair (3× the vector passes, measured ~3× wall-clock).
     val bucketed = Similarity.withLshBucket(embs, vecCol, planes, dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"), col("lsh_bucket"))
       .withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(col("lsh_bucket"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("lsh_bucket")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     a.join(b, col("a.lsh_bucket") === col("b.lsh_bucket") &&
