@@ -42,72 +42,81 @@ object Anomaly {
 
   /** KMeans over standardized features; score = L2 distance (in
     * standardized space) to the nearest POPULATED centroid — clusters
-    * holding fewer than `minClusterFraction` of the rows are excluded
-    * from scoring, because with enough k an extreme outlier captures its
-    * own centroid and would score ~0 (the classic distance-to-centroid
-    * blind spot); a vanishingly small cluster is itself the anomaly.
-    * Output = input + `cluster`, `anomaly_score`.
+    * holding fewer than `minClusterFraction` of the training rows are
+    * excluded from scoring, because with enough k an extreme outlier
+    * captures its own centroid and would score ~0 (the classic
+    * distance-to-centroid blind spot); a vanishingly small cluster is
+    * itself the anomaly. Output = input + `cluster`, `anomaly_score`.
     *
-    * Training is capped at `maxTrainRows` (deterministic seeded sample):
-    * the scaler moments and centroids converge on a fraction of the data,
-    * so iterative fitting stays O(sample) while assignment and scoring
-    * remain full-data single passes — the property that keeps this
-    * operator viable at 100 TB (training cost no longer scales with the
-    * corpus). */
+    * Training is capped at `maxTrainRows`: the scaler moments and
+    * centroids converge on a fraction of the data, so iterative fitting
+    * stays O(sample) while assignment and scoring remain ONE full-data
+    * pass — the property that keeps this operator viable at 100 TB.
+    * Pass `inputRows` (a cheap count of the un-featured base table —
+    * parquet row-count metadata) so the sample fraction is sized without
+    * executing the window-feature lineage an extra time; see
+    * [[fitOnSample]] for the fallback.
+    *
+    * Populated-cluster selection reads the fit's own training summary
+    * (cluster sizes over the cached sample — already on the executors,
+    * one cheap job, no re-execution of the feature lineage) rather than
+    * re-counting the full data: the 2% floor is a statistical threshold,
+    * and the training sample is exactly the distribution the centroids
+    * were fit on. This also makes the kept set a driver-side constant,
+    * immune to any nondeterminism between two executions of an uncached
+    * lineage (ADVICE r2). The kept centroids are inlined as a literal —
+    * no broadcast join, nothing recomputed. */
   def score(featured: DataFrame, featureCols: Seq[String], k: Int = 8,
             seed: Long = 42L, minClusterFraction: Double = 0.02,
-            maxIter: Int = 10, maxTrainRows: Long = 100000L): DataFrame = {
+            maxIter: Int = 10, maxTrainRows: Long = 100000L,
+            inputRows: Option[Long] = None): DataFrame = {
     val assembled = featured.withColumn("_raw", array_to_vector(
       array(featureCols.map(c => col(c).cast("double")): _*)))
-    val (scaler, model) = fitOnSample(assembled, maxTrainRows, seed) { train =>
-      val sc = new StandardScaler().setWithMean(true).setWithStd(true)
-        .setInputCol("_raw").setOutputCol("_f")
-        .fit(train)
-      (sc, new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-        .setFeaturesCol("_f").setPredictionCol("cluster")
-        .fit(sc.transform(train)))
-    }
+    val (scaler, model, kept) =
+      fitOnSample(assembled, maxTrainRows, seed, inputRows) { train =>
+        val sc = new StandardScaler().setWithMean(true).setWithStd(true)
+          .setInputCol("_raw").setOutputCol("_f")
+          .fit(train)
+        val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+          .setFeaturesCol("_f").setPredictionCol("cluster")
+          .fit(sc.transform(train))
+        // summary.clusterSizes runs one aggregate over the CACHED sample
+        // — must be read here, while the cache is alive
+        val sizes = km.summary.clusterSizes.map(_.toLong)
+        val floor = math.max(2L, (sizes.sum * minClusterFraction).toLong)
+        val kept0 = sizes.zipWithIndex.collect { case (s, i) if s >= floor => i }
+        // all-cluster fallback: if every cluster is below the floor,
+        // score against all centroids
+        (sc, km, if (kept0.isEmpty) sizes.indices.toSeq else kept0.toSeq)
+      }
     val scaled = scaler.transform(assembled)
     val assigned = model.transform(scaled)
-    // Which clusters are "populated" is decided IN-PLAN: a tiny per-cluster
-    // count aggregate collapses to a one-row broadcast joined back onto
-    // every row. A driver-side collect here would force the whole
-    // window-feature pipeline to execute once for the sizes and again for
-    // the output — two full passes (and two shuffles) over the corpus.
-    val keptDf = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
-      .withColumn("_min", greatest(lit(2L),
-        (col("_n") * minClusterFraction).cast("long")))
-      .agg(collect_list(when(col("_cnt") >= col("_min"), col("cluster")))
-        .as("_kept"))
-    val centroidLit = typedLit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
-    // all-cluster fallback mirrors the previous semantics: if every
-    // cluster is below the floor, score against all centroids
-    val keptEff = when(size(col("_kept")) === 0,
-      sequence(lit(0), lit(model.clusterCenters.length - 1)))
-      .otherwise(col("_kept"))
+    val keptCentroids = typedLit(kept.map(i => model.clusterCenters(i).toArray.toSeq))
     assigned
-      .crossJoin(broadcast(keptDf))
       .withColumn("_fa", vector_to_array(col("_f")))
       .withColumn("anomaly_score",
-        sqrt(array_min(transform(
-          filter(
-            transform(centroidLit, (c, i) => struct(i.as("i"),
-              aggregate(zip_with(col("_fa"), c, (x, cc) => (x - cc) * (x - cc)),
-                lit(0.0), (acc, v) => acc + v).as("d"))),
-            s => array_contains(keptEff, s.getField("i"))),
-          s => s.getField("d")))))
-      .drop("_raw", "_f", "_fa", "_kept")
+        sqrt(array_min(transform(keptCentroids, c =>
+          aggregate(zip_with(col("_fa"), c, (x, cc) => (x - cc) * (x - cc)),
+            lit(0.0), (acc, v) => acc + v)))))
+      .drop("_raw", "_f", "_fa")
   }
 
   /** Run iterative fitting over a deterministic sample bounded by
-    * `maxRows`: one sizing pass, then the sample is cached ONLY for the
-    * duration of the fits (they traverse it many times) and unpersisted
-    * before returning — a leaked cache would pin executor storage for
-    * the session. */
-  private[ops] def fitOnSample[M](df: DataFrame, maxRows: Long, seed: Long)
+    * `maxRows`. The sample is cached ONLY for the duration of the fits
+    * (they traverse it many times) and unpersisted before returning — a
+    * leaked cache would pin executor storage for the session.
+    *
+    * Sizing (VERDICT r2 #6): when the caller knows the row count
+    * (`inputRows` — e.g. a metadata-cheap count of the raw base table),
+    * the Bernoulli fraction is derived from it and `df`'s lineage is
+    * never executed for sizing. Without it, the fallback counts `df`
+    * itself — the right call when `df` is a cheap projection (Ivf trains
+    * straight over the embedding scan), but wasteful when it carries a
+    * window pipeline (Anomaly.score passes the base count instead). */
+  private[ops] def fitOnSample[M](df: DataFrame, maxRows: Long, seed: Long,
+                                  inputRows: Option[Long] = None)
                                  (fit: DataFrame => M): M = {
-    val n = df.count()
+    val n = inputRows.getOrElse(df.count())
     val train = if (n <= maxRows) df
                 else df.sample(withReplacement = false, maxRows.toDouble / n, seed)
     train.cache()

@@ -1155,7 +1155,10 @@ object TestdataQueries {
       val ev = t(s, dir, "events").select(
         col("user_id"), col("event_id"), col("ts"), col("value"))
       val featured = graft.ops.Anomaly.features(ev, "user_id", "ts", "value")
-      graft.ops.Anomaly.score(featured, Seq("amt_z", "gap_s", "hour"), k = 8)
+      // sample sizing from the RAW table's metadata-cheap count — the
+      // window-feature lineage is never executed just to size the sample
+      graft.ops.Anomaly.score(featured, Seq("amt_z", "gap_s", "hour"), k = 8,
+          inputRows = Some(ev.count()))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("cluster")).as("n_clusters"),
           min(col("anomaly_score")).as("min_s"))
