@@ -113,10 +113,38 @@ object StreamingIngest {
     * trigger; event-time eviction only acts when data moves the
     * watermark.) Append output mode means alerts flow to any sink; state
     * survives across micro-batches (StreamingSpec drives the two-batch
-    * case), and the SAME code path run on a batch DataFrame (one group
-    * call per card, watermark a no-op, timeouts never fire) is
+    * case).
+    *
+    * On a BATCH DataFrame the same forward-only semantics collapse to a
+    * lag() comparison — in time-sorted order the fold's state after each
+    * row IS that row, so every row alerts against its immediate
+    * predecessor — and the batch path runs as window functions
+    * (VERDICT r2 #8): the sort SPILLS under memory pressure, where the
+    * stateful path's per-group buffer would materialize a hot card's
+    * entire history in one task's heap (per micro-batch that buffer is
+    * bounded by the trigger interval, which is why the streaming path
+    * keeps it). Path equivalence is pinned by StreamingSpec (including a
+    * skewed single-card fixture) and the batch formulation is
     * value-level oracle-checked (`x_velocity_alerts`). */
-  def velocityAlerts(spark: SparkSession, txns: DataFrame): DataFrame = {
+  def velocityAlerts(spark: SparkSession, txns: DataFrame): DataFrame =
+    if (txns.isStreaming) velocityAlertsStateful(spark, txns)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("card_num")
+        .orderBy(col("trans_date"), col("trans_id"))
+      txns
+        // second-truncated epochs, matching TxnEvent.tsMillis
+        .withColumn("_ts", unix_timestamp(col("trans_date")))
+        .withColumn("_prev_city", lag(col("city"), 1).over(w))
+        .withColumn("deltaSeconds", col("_ts") - lag(col("_ts"), 1).over(w))
+        .filter(col("_prev_city").isNotNull &&
+          col("_prev_city") =!= col("city") && col("deltaSeconds") <= 3600)
+        .select(col("card_num"), col("trans_id"),
+          col("_prev_city").as("prevCity"), col("city"), col("deltaSeconds"))
+    }
+
+  /** The stateful streaming implementation behind [[velocityAlerts]]. */
+  private def velocityAlertsStateful(spark: SparkSession, txns: DataFrame): DataFrame = {
     import spark.implicits._
     val streaming = txns.isStreaming
     // the watermark rides on the event-time COLUMN, so trans_date must

@@ -186,6 +186,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("velocityAlerts: batch (window) and streaming (stateful) paths agree on a skewed single-card history") {
+    implicit val sc = spark.sqlContext
+    // one hot card, 5000 txns: alternating cities, mostly 97 s apart with
+    // every 100th gap pushed beyond the hour — the batch path must handle
+    // the whole card without buffering it as one in-memory group
+    var t = Timestamp.valueOf("2021-01-01 00:00:00").getTime
+    val rows = (0 until 5000).map { i =>
+      t += (if (i % 100 == 99) 7200L else 97L) * 1000L
+      ("K1", Seq("Moscow", "Kazan", "Omsk")(i % 3), new Timestamp(t), f"T$i%05d")
+    }
+    // reference: a plain Scala fold over the sorted history
+    val expected = rows.sliding(2).collect {
+      case Seq(a, b) if a._2 != b._2 &&
+        (b._3.getTime - a._3.getTime) / 1000 <= 3600 =>
+        (b._4, a._2, b._2, b._3.getTime / 1000 - a._3.getTime / 1000)
+    }.toSet
+    assert(expected.size === 4949)   // 4999 successive pairs minus 50 long gaps
+
+    def shape(r: org.apache.spark.sql.Row) =
+      (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+    val batchOut = StreamingIngest.velocityAlerts(spark,
+      rows.toDF("card_num", "city", "trans_date", "trans_id"))
+      .collect().map(shape).toSet
+    assert(batchOut === expected)
+
+    val mem = MemoryStream[(String, String, Timestamp, String)]
+    val q = StreamingIngest.velocityAlerts(spark,
+      mem.toDF().toDF("card_num", "city", "trans_date", "trans_id"))
+      .writeStream.format("memory").queryName("skewcard")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("skewcard").collect().map(shape).toSet === expected)
+    } finally q.stop()
+  }
+
   test("velocityAlerts: same card in a new city within an hour fires; beyond an hour doesn't") {
     val txns = Seq(
       ("K1", "Moscow", ts("2021-01-01 10:00:00"), "A"),
