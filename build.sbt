@@ -23,10 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Local mode = driver-only JVM, so the heap IS the executor memory.
+// Default: half of MemAvailable, clamped to [4g, 48g] — the bench host
+// (~125 GiB) still gets the full 48g that local[32] wants, while a small
+// machine gets a heap its RAM can actually back instead of a fixed 48g
+// that fails to start or swaps (ADVICE r2). SPARK_DRIVER_MEM overrides.
+val driverMem: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val availKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemAvailable:") =>
+        l.split("\\s+")(1).toLong }
+      .getOrElse(16L * 1024 * 1024)
+    catch { case _: Throwable => 16L * 1024 * 1024 }   // non-Linux fallback
+  s"${math.min(49152L, math.max(4096L, availKb / 1024 / 2))}m"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = driver-only JVM, so the heap IS the executor memory;
-  // the host has ~125 GiB and local[32] runs 32 concurrent tasks
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx$driverMem",
 )

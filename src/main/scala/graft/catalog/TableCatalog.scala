@@ -101,15 +101,20 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     spark.sql(s"DROP TABLE IF EXISTS `${bucketedName(table)}`")
 
   /** Session-catalog identifier for a bucketed table, scoped by the
-    * catalog root so same-named tables of different catalogs coexist —
-    * the sanitized root itself (not a hash, which could collide and
-    * silently cross-wire) is the scope; restricted to identifier-safe
-    * characters because it crosses into SQL-parsed territory (the
-    * path-only methods have no such limit). */
+    * catalog root so same-named tables of different catalogs coexist.
+    * The sanitized root keeps the name readable, but sanitizing is
+    * lossy ('/w/x' and '/w_x' both become 'w_x' — ADVICE r2), so a
+    * short digest of the RAW root disambiguates: two catalogs collide
+    * only on a 32-bit sha256 prefix collision between roots that also
+    * sanitize identically. Restricted to identifier-safe characters
+    * because the name crosses into SQL-parsed territory (the path-only
+    * methods have no such limit). */
   private def bucketedName(table: String): String = {
     require(table.matches("[A-Za-z0-9_]+"),
       s"bucketed table name must be [A-Za-z0-9_]+, got '$table'")
-    s"graft_${table}_${root.replaceAll("[^A-Za-z0-9]", "_")}"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_${table}_${root.replaceAll("[^A-Za-z0-9]", "_")}_$digest"
   }
 
   /** Full SCD2 history = open slice ∪ effective_to-partitioned closed

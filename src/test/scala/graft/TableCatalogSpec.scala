@@ -55,6 +55,23 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bucketed names don't cross-wire between catalogs whose roots sanitize identically") {
+    val base = java.nio.file.Files.createTempDirectory("graft_coll_")
+    // '/w/x' and '/w_x' sanitize to the same token; the raw-root digest
+    // must keep their session-catalog entries distinct
+    val catA = new TableCatalog(spark, s"$base/w/x")
+    val catB = new TableCatalog(spark, s"$base/w_x")
+    try {
+      catA.overwriteBucketed("t", Seq((1L, "a")).toDF("k", "v"), "k", 2)
+      catB.overwriteBucketed("t", Seq((2L, "b")).toDF("k", "v"), "k", 2)
+      assert(catA.readBucketed("t").collect().map(_.getLong(0)).toSeq === Seq(1L))
+      assert(catB.readBucketed("t").collect().map(_.getLong(0)).toSeq === Seq(2L))
+      catB.dropBucketed("t")
+      // B's drop must not take A's entry with it
+      assert(catA.readBucketed("t").count() === 1)
+    } finally { catA.dropBucketed("t"); catB.dropBucketed("t") }
+  }
+
   test("compactClosed: 30 daily partitions collapse into a month archive, readScd2 identical") {
     import java.nio.file.{Files, Paths}
     import java.sql.Date
