@@ -239,14 +239,20 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.8,
                    maxDocFreq: Long = 1000): DataFrame = {
-    // The exploded shingle set feeds four subplans (sizes, doc-frequency,
-    // and both sides of the pair join). The explicit repartition on
-    // `shingle` inserts ONE exchange that ReuseExchange dedups across the
-    // shingle-keyed consumers, so shingling runs once, not four times.
+    // Per-doc shingle counts are the ARRAY SIZE, computed row-wise before
+    // the explode and carried through the pair join as a payload column —
+    // not a separate doc_id aggregate joined back per side (round 2's
+    // shape: a sizes aggregate plus TWO equi-joins, each a shuffle once
+    // the corpus outgrows broadcast). The exploded shingle set then feeds
+    // three subplans (doc-frequency and both sides of the pair join); the
+    // explicit repartition on `shingle` inserts ONE exchange that
+    // ReuseExchange dedups across them, so shingling runs once. End to
+    // end: two shuffles (shingle, pair), down from five.
     val sh = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+        shingles(col(textCol), n).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("shingle"))
       .repartition(col("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val filtered = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq).select("shingle"),
@@ -256,9 +262,9 @@ object Dedup {
     a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      // n_sh is constant within a doc, so min() just carries it
+      .agg(count(lit(1)).as("common"),
+        min(col("a.n_sh")).as("n_a"), min(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= minJaccard)
