@@ -20,8 +20,20 @@ import graft.io.Sources
   * main.py:36-40, SURVEY §2.9.7). Schedule with any cron runner, e.g.
   * `0 8 * * * spark-submit --class graft.tools.RunDaily ...` to mirror
   * main.cron:1.
+  *
+  * Env knobs for the round-3 scale modes:
+  *   - GRAFT_INCREMENTAL_REPORT=true — bound each date's fraud report to
+  *     its {date-1, date} partitions instead of the reference's full
+  *     history scan (Runner scaladoc documents the divergences);
+  *   - GRAFT_COMPACT_DAYS=N — after the batch loop, archive SCD2 closed
+  *     partitions older than N days before the newest processed date
+  *     into month-compacted storage (TableCatalog.compactClosed).
   */
 object RunDaily {
+  /** The four SCD2 dims Runner maintains — compaction targets. */
+  private val dims = Seq("dim_clients_hist", "dim_accounts_hist",
+    "dim_cards_hist", "dim_terminals_hist")
+
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
       "usage: RunDaily <inputDir> <warehouseDir> <sourceSnapshotDir>")
@@ -36,9 +48,24 @@ object RunDaily {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val runner = new Runner(spark, new TableCatalog(spark, warehouseDir),
-      new Sources.SnapshotSourceDb(snapshotDir))
+    val cat = new TableCatalog(spark, warehouseDir)
+    // capture before the run — Runner archives the input files
+    val dates = Sources.listUniqueDates(inputDir).map(Sources.parseDate)
+    val runner = new Runner(spark, cat,
+      new Sources.SnapshotSourceDb(snapshotDir),
+      incrementalReport =
+        sys.env.get("GRAFT_INCREMENTAL_REPORT").exists(_.toBoolean))
     runner.run(inputDir)
+    for {
+      days <- sys.env.get("GRAFT_COMPACT_DAYS").map(_.toInt)
+      newest <- dates.sorted(Ordering.by((_: java.sql.Date).getTime)).lastOption
+    } {
+      val cutoff = java.sql.Date.valueOf(newest.toLocalDate.minusDays(days))
+      dims.foreach { d =>
+        val n = cat.compactClosed(d, cutoff)
+        if (n > 0) println(s"[daily] compacted $n closed partitions of $d")
+      }
+    }
     spark.stop()
   }
 }
