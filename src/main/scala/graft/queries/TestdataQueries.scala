@@ -371,6 +371,50 @@ object TestdataQueries {
       Some("""SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0""")),
 
     // --------------------------------------------- S2 decimal-comma CSV
+    // ---------------- S10: closed-history compaction under the gate
+    // TableCatalog.compactClosed on a 151-date closed history derived
+    // from orders: dates before the cutoff migrate into month-compacted
+    // archive storage. The output is the FULL post-compaction history
+    // (content preservation is value-level checked) plus per-row archive
+    // membership and the archived-partition count — both of which DuckDB
+    // recomputes as pure date expressions over the same source, so a
+    // compaction that lost, duplicated, or mis-placed any row fails the
+    // hash. File-count and atomic-swap behavior: TableCatalogSpec.
+    "s10_compact" -> (((s: SparkSession, dir: String) => {
+      val cat = new graft.catalog.TableCatalog(s,
+        scratchDir("graft_s10", dir).toString)
+      val closed = t(s, dir, "orders")
+        .filter(col("o_orderdate") <
+          lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderstatus").as("seg"),
+          lit(java.sql.Date.valueOf("1994-01-01")).as("effective_from"),
+          col("o_orderdate").cast("date").as("effective_to"),
+          lit(true).as("deleted_flg"))
+      cat.appendPartitioned("dim_s10_closed", closed, "effective_to")
+      val n = cat.compactClosed("dim_s10", java.sql.Date.valueOf("1995-04-01"))
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("seg", StringType),
+        StructField("effective_from", DateType),
+        StructField("effective_to", DateType),
+        StructField("deleted_flg", BooleanType)))
+      val arch = cat.readOrEmpty("dim_s10_closed_archive", schema)
+        .select(col("k").as("ak")).distinct()
+      cat.readScd2("dim_s10", schema)
+        .join(arch, col("k") === col("ak"), "left")
+        .select(col("k"), col("seg"), col("effective_to"),
+          col("ak").isNotNull.as("in_archive"),
+          lit(n.toLong).as("n_archived"))
+    }),
+      Some("""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS seg,
+             |    CAST(o_orderdate AS DATE) AS effective_to
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01 00:00:00')
+             |SELECT k, seg, effective_to,
+             |  effective_to < DATE '1995-04-01' AS in_archive,
+             |  (SELECT CAST(count(DISTINCT effective_to) AS BIGINT) FROM src
+             |    WHERE effective_to < DATE '1995-04-01') AS n_archived
+             |FROM src""".stripMargin)),
+
     // The production transactions parser (`;`-separated, decimal COMMA,
     // header — reference main.py:103) under the value-level gate: a
     // deterministic fixture derived from `events` is written once to a
