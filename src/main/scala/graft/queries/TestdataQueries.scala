@@ -1386,6 +1386,75 @@ object TestdataQueries {
              |FROM l WHERE prevCity IS NOT NULL AND prevCity <> city
              |  AND deltaSeconds <= 3600""".stripMargin)),
 
+    // -------------------- streaming pipeline END TO END under the gate
+    // The whole durable streaming path — file-source CSV drops → decimal-
+    // comma parse → stream-static terminal-city join → stateful
+    // flatMapGroupsWithState velocity detector → checkpointed exactly-once
+    // parquet sink into the catalog — driven INSIDE the query across two
+    // micro-batches (the second drop lands after the first is processed,
+    // so cross-batch per-card STATE is load-bearing), then the durable
+    // table is returned. The two drops split the 200×-compressed timeline
+    // at a timestamp boundary, so the forward-only fold over two batches
+    // equals a global lag() — which DuckDB recomputes over the same CSV
+    // files. A state bug, a lost/duplicated sink row, or a parse drift
+    // fails the value-level hash.
+    "x_stream_velocity" -> (((s: SparkSession, dir: String) => {
+      import graft.streaming.StreamingIngest
+      import s.implicits._
+      val scratch = scratchDir("graft_stream", dir)
+      val in = scratch.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      val rows = t(s, dir, "events")
+        .select(col("event_id"),
+          expr("timestamp_seconds(1704067200 + (unix_timestamp(ts) - 1704067200) div 200)")
+            .as("ts2"),
+          col("user_id"),
+          ((col("user_id") + col("event_id")) % 20).as("term"))
+        .orderBy(col("ts2"), col("event_id")).limit(2000).collect()
+      val midMillis = rows(rows.length / 2).getTimestamp(1).getTime
+      def line(r: org.apache.spark.sql.Row) =
+        s"TX${r.getLong(0)};${fmt.format(r.getTimestamp(1).toInstant)};" +
+          s"C${r.getLong(2)};PAY;1,00;OK;T${r.getLong(3)}"
+      // split at a TIME boundary: every batch-1 event precedes every
+      // batch-2 event, so two-batch stateful == one global lag()
+      val (first, second) = rows.partition(_.getTimestamp(1).getTime < midMillis)
+      val hdr = "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal"
+      java.nio.file.Files.write(in.resolve("transactions_01012024.txt"),
+        java.util.Arrays.asList((hdr +: first.map(line).toSeq): _*))
+      val terminals = (0 until 20).map(tm => (s"T$tm", s"C${tm % 7}", false))
+        .toDF("terminal_id", "terminal_city", "deleted_flg")
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val q = StreamingIngest.startCatalogAppend(cat, "stream_alerts",
+        StreamingIngest.velocityAlerts(s, StreamingIngest.withCity(
+          StreamingIngest.readTransactionStream(s, in.toString), terminals)),
+        scratch.resolve("ckpt").toString)
+      try {
+        q.processAllAvailable()
+        java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
+          java.util.Arrays.asList((hdr +: second.map(line).toSeq): _*))
+        q.processAllAvailable()
+      } finally q.stop()
+      cat.read("stream_alerts")
+    }),
+      Some(s"""WITH raw AS (SELECT * FROM read_csv(
+             |    '${sys.props("java.io.tmpdir")}/graft_stream_${SfTokenPlaceholder}/in/transactions_*.txt',
+             |    delim = ';', header = true,
+             |    columns = {'transaction_id': 'VARCHAR', 'transaction_date': 'TIMESTAMP',
+             |      'card_num': 'VARCHAR', 'oper_type': 'VARCHAR', 'amount': 'VARCHAR',
+             |      'oper_result': 'VARCHAR', 'terminal': 'VARCHAR'})),
+             |t AS (SELECT card_num, transaction_id AS trans_id, transaction_date AS ts,
+             |    'C' || CAST(CAST(substr(terminal, 2) AS BIGINT) % 7 AS VARCHAR) AS city
+             |  FROM raw),
+             |l AS (SELECT card_num, trans_id, city, lag(city) OVER w AS prevCity,
+             |    CAST(floor(epoch(ts)) AS BIGINT)
+             |      - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS deltaSeconds
+             |  FROM t WINDOW w AS (PARTITION BY card_num ORDER BY ts, trans_id))
+             |SELECT card_num, trans_id, prevCity, city, deltaSeconds
+             |FROM l WHERE prevCity IS NOT NULL AND prevCity <> city
+             |  AND deltaSeconds <= 3600""".stripMargin)),
+
     // ------------------------------------------- C2 fact append (idempotent)
     // Exercises the REAL FactLoader + TableCatalog paths end to end in a
     // scratch warehouse: two dates of transaction facts with the second
