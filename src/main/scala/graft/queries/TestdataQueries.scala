@@ -391,6 +391,10 @@ object TestdataQueries {
           lit(java.sql.Date.valueOf("1994-01-01")).as("effective_from"),
           col("o_orderdate").cast("date").as("effective_to"),
           lit(true).as("deleted_flg"))
+        // one file per date — the layout Runner's per-date batches
+        // actually produce (without this, every write task emits a
+        // sliver into every one of the 151 partitions)
+        .repartition(col("effective_to"))
       cat.appendPartitioned("dim_s10_closed", closed, "effective_to")
       val n = cat.compactClosed("dim_s10", java.sql.Date.valueOf("1995-04-01"))
       val schema = StructType(Seq(
