@@ -130,6 +130,39 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
       .unionByName(readOrEmpty(s"${base}_closed_archive", schema).select(cols: _*))
   }
 
+  /** Point-in-time (time-travel) read of an SCD2 dim with the interval
+    * predicate pushed to STORAGE on every slice: the open table is tiny;
+    * the closed side's `effective_to > date` is partition pruning
+    * (effective_to IS its partition column); and the month archive keeps
+    * only directories `effective_month >= yyyy-MM(date)` — implied by
+    * `effective_to > date` because a month directory holds exactly its
+    * own dates — with parquet footer stats narrowing inside them. The
+    * row-level filter is the same interval semantics as `Scd2.asOf`
+    * (effective_from ≤ date < effective_to); the directory bounds are
+    * strictly a superset, so compaction never changes what time travel
+    * returns — only how much it reads (TableCatalogSpec pins content
+    * equality and both pruned plans). */
+  def readScd2AsOf(base: String, schema: StructType,
+                   date: java.sql.Date): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cols = schema.fieldNames.map(col).toSeq
+    val archTable = s"${base}_closed_archive"
+    val arch =
+      if (exists(archTable))
+        spark.read.schema(schema).parquet(path(archTable))
+          .where(col("effective_month") >=
+            lit(date.toLocalDate.toString.substring(0, 7)))
+          .select(cols: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    readOrEmpty(s"${base}_open", schema).select(cols: _*)
+      .unionByName(readOrEmpty(s"${base}_closed", schema)
+        .where(col("effective_to") > lit(date)).select(cols: _*))
+      .unionByName(arch)
+      .filter(col("effective_from") <= lit(date) &&
+        lit(date) < col("effective_to"))
+  }
+
   /** Storage maintenance for the SCD2 closed history (VERDICT r2 #3 /
     * SURVEY §4): each daily batch appends one tiny
     * `effective_to=<date>` partition to `<base>_closed` (Runner), so

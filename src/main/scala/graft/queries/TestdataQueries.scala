@@ -1459,6 +1459,63 @@ object TestdataQueries {
              |FROM l WHERE prevCity IS NOT NULL AND prevCity <> city
              |  AND deltaSeconds <= 3600""".stripMargin)),
 
+    // ------------- streaming at-least-once → exactly-once under the gate
+    // The second drop REDELIVERS half of the first (at-least-once file
+    // feeds: re-dropped files, replayed offsets) plus new transactions;
+    // dedupTransactions (dropDuplicatesWithinWatermark keyed on trans_id,
+    // watermark-bounded state) must collapse the redelivery ACROSS
+    // micro-batches before the checkpointed sink. DuckDB reads the same
+    // files — duplicates included — and applies DISTINCT: any missed or
+    // over-dropped key fails the value-level hash. amt re-emitted as
+    // cents (decimal stringification rule, see s2).
+    "x_stream_dedup" -> (((s: SparkSession, dir: String) => {
+      import graft.streaming.StreamingIngest
+      val scratch = scratchDir("graft_streamdd", dir)
+      val in = scratch.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      // ordered by EVENT TIME so the second drop's new rows are never
+      // beyond-watermark late (delivery order tracks event order, as in
+      // a real feed); redelivered rows may be late, but late duplicates
+      // drop either way — which is exactly the deduped outcome
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id")).limit(1000).collect().map { r =>
+          val amt = String.format(java.util.Locale.ROOT, "%.2f",
+            Double.box(r.getDouble(4))).replace('.', ',')
+          s"TX${r.getLong(0)};${fmt.format(r.getTimestamp(1).toInstant)};" +
+            s"C${r.getLong(2)};${r.getString(3)};$amt;OK;T${r.getLong(2) % 20}"
+        }
+      val hdr = "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal"
+      java.nio.file.Files.write(in.resolve("transactions_01012024.txt"),
+        java.util.Arrays.asList((hdr +: rows.take(600).toSeq): _*))
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val q = StreamingIngest.startCatalogAppend(cat, "stream_txns",
+        StreamingIngest.dedupTransactions(
+          StreamingIngest.readTransactionStream(s, in.toString)),
+        scratch.resolve("ckpt").toString)
+      try {
+        q.processAllAvailable()
+        // redelivery of rows 300-599 + the genuinely new 400
+        java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
+          java.util.Arrays.asList((hdr +: rows.drop(300).toSeq): _*))
+        q.processAllAvailable()
+      } finally q.stop()
+      cat.read("stream_txns")
+        .withColumn("amt_c", (col("amt") * 100).cast("long")).drop("amt")
+    }),
+      Some(s"""SELECT DISTINCT transaction_id AS trans_id, transaction_date AS trans_date,
+             |  card_num, oper_type,
+             |  CAST(CAST(replace(amount, ',', '.') AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt_c,
+             |  oper_result, terminal
+             |FROM read_csv('${sys.props("java.io.tmpdir")}/graft_streamdd_${SfTokenPlaceholder}/in/transactions_*.txt',
+             |  delim = ';', header = true,
+             |  columns = {'transaction_id': 'VARCHAR', 'transaction_date': 'TIMESTAMP',
+             |    'card_num': 'VARCHAR', 'oper_type': 'VARCHAR', 'amount': 'VARCHAR',
+             |    'oper_result': 'VARCHAR', 'terminal': 'VARCHAR'})""".stripMargin)),
+
     // ------------------------------------------- C2 fact append (idempotent)
     // Exercises the REAL FactLoader + TableCatalog paths end to end in a
     // scratch warehouse: two dates of transaction facts with the second

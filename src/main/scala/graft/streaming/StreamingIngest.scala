@@ -79,6 +79,23 @@ object StreamingIngest {
       .outputMode("append")
       .start()
 
+  /** Streaming exactly-once-by-key dedup: collapses re-delivered
+    * transactions by `trans_id` — the streaming analog of the batch
+    * path's idempotent loads (FactLoader's anti-join, the dynamic
+    * partition overwrite). Upstream file feeds are at-least-once in
+    * practice (re-dropped files, replayed offsets); this keeps the
+    * downstream exactly-once. State holds one key per transaction inside
+    * the event-time watermark and is evicted beyond it
+    * (dropDuplicatesWithinWatermark) — bounded state, unlike a plain
+    * streaming dropDuplicates whose key set grows forever. On a batch
+    * frame the same semantics are a plain dropDuplicates. */
+  def dedupTransactions(txns: DataFrame,
+                        watermark: String = "2 hours"): DataFrame =
+    if (txns.isStreaming)
+      txns.withWatermark("trans_date", watermark)
+        .dropDuplicatesWithinWatermark("trans_id")
+    else txns.dropDuplicates("trans_id")
+
   /** Sliding 20-minute windows (5-minute slide) of transaction counts and
     * SUCCESS/REJECT presence per card, with a 30-minute watermark bounding
     * state. Late rows beyond the watermark are dropped — the streaming

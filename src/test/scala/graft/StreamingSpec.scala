@@ -186,6 +186,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("dedupTransactions: cross-batch redelivery collapses; batch mode matches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val txns = mem.toDF().toDF("trans_id", "trans_date")
+    val q = StreamingIngest.dedupTransactions(txns)
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(("TX1", ts("2021-01-01 10:00:00")), ("TX2", ts("2021-01-01 10:01:00")))
+      q.processAllAvailable()
+      // the whole first drop is redelivered in a later micro-batch, plus
+      // one genuinely new transaction
+      mem.addData(("TX1", ts("2021-01-01 10:00:00")), ("TX2", ts("2021-01-01 10:01:00")),
+        ("TX3", ts("2021-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedupstream").select("trans_id").collect()
+        .map(_.getString(0)).sorted.toSeq === Seq("TX1", "TX2", "TX3"))
+    } finally q.stop()
+    // batch mode: same surface, plain dropDuplicates
+    assert(StreamingIngest.dedupTransactions(
+      Seq(("TX1", ts("2021-01-01 10:00:00")), ("TX1", ts("2021-01-01 10:00:00")))
+        .toDF("trans_id", "trans_date")).count() === 1)
+  }
+
   test("velocityAlerts: batch (window) and streaming (stateful) paths agree on a skewed single-card history") {
     implicit val sc = spark.sqlContext
     // one hot card, 5000 txns: alternating cities, mostly 97 s apart with

@@ -136,5 +136,17 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(content === before)
     assert(parquetFiles("dim_x_closed") === 0)
     assert(parquetFiles("dim_x_closed_archive") === 1)
+
+    // time travel over the compacted layout: same rows as filtering the
+    // full union, with the interval predicate pushed to storage
+    val asOf = Date.valueOf("2021-01-15")
+    val direct = cat.readScd2("dim_x", schema)
+      .filter(s"effective_from <= date'$asOf' and date'$asOf' < effective_to")
+      .collect().toSet
+    val pruned = cat.readScd2AsOf("dim_x", schema, asOf)
+    assert(pruned.collect().toSet === direct)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*effective_month".r.findFirstIn(plan).isDefined,
+      s"archive month dirs not pruned:\n$plan")
   }
 }
