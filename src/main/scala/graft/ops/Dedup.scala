@@ -271,6 +271,40 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** Benchmark decontamination: which training documents overlap an
+    * evaluation/benchmark set? For every (corpus doc, benchmark doc) pair
+    * sharing word n-grams, emits the shared count and the fraction of the
+    * BENCHMARK doc's shingles found in the corpus doc (the asymmetric
+    * direction that matters for leakage — a benchmark item fully
+    * contained in a large training doc is contamination even though the
+    * training doc's own fraction is tiny). Same inverted-index shape as
+    * [[ngramJaccard]]: both sides explode to (id, n_sh, shingle), join on
+    * the shingle, aggregate per pair — shuffles shingles and ids, never
+    * documents; `maxDocFreq` (applied to the CORPUS side's document
+    * frequency) drops stopword shingles, bounding skew. */
+  def crossContamination(corpus: DataFrame, corpusId: String, corpusText: String,
+                         bench: DataFrame, benchId: String, benchText: String,
+                         n: Int = 3, minOverlap: Double = 0.5,
+                         maxDocFreq: Long = 1000): DataFrame = {
+    def side(df: DataFrame, id: String, text: String, pfx: String) =
+      df.select(col(id).as(s"${pfx}_id"),
+          shingles(col(text), n).as("shs"))
+        .select(col(s"${pfx}_id"), size(col("shs")).as(s"${pfx}_n_sh"),
+          explode(col("shs")).as("shingle"))
+    val c = side(corpus, corpusId, corpusText, "corpus")
+      .repartition(col("shingle"))
+    val keep = c.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("shingle")
+    side(bench, benchId, benchText, "bench")
+      .join(c.join(keep, Seq("shingle")), Seq("shingle"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"), min(col("bench_n_sh")).as("bench_n_sh"))
+      .withColumn("bench_overlap",
+        col("common").cast("double") / col("bench_n_sh"))
+      .filter(col("bench_overlap") >= minOverlap)
+      .select("corpus_id", "bench_id", "common", "bench_overlap")
+  }
+
   // ------------------------------------------ components / canonical keep
 
   /** Connected components over near-dup pairs: every doc in a duplicate

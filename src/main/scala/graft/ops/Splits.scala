@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for corpus curation: train/val/test
+  * assignment as a PURE FUNCTION of the record id. A 100 TB pipeline
+  * cannot afford sampling drift — a rerun, a backfill, or a different
+  * engine must put every record in the same split — so the assignment is
+  * a stateless, shuffle-free projection over an engine-portable modular
+  * hash ([[Dedup.portableTokenHash]]; the oracle replays it in DuckDB),
+  * never `rand()` or a sampled materialization.
+  */
+object Splits {
+
+  /** Adds a `split` column. `fractions` are (name, weight) pairs,
+    * normalized over their sum; assignment buckets
+    * `pmod(hash(id), 10000)` by cumulative thresholds in basis points,
+    * so two calls with the same fractions agree row-for-row and splits
+    * partition the corpus exactly (every bucket falls in one range). */
+  def assignSplit(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)] =
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be non-empty positive weights")
+    val total = fractions.map(_._2).sum
+    val bucket = pmod(Dedup.portableTokenHash(col(idCol).cast("string")),
+      lit(10000L))
+    val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(w => math.round(w / total * 10000))
+    val assigned = fractions.zip(bounds).init
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), ub)) =>
+        Some(acc.fold(when(bucket < ub, name))(_.when(bucket < ub, name)))
+      }
+    df.withColumn("split",
+      assigned.fold(lit(fractions.head._1))(_.otherwise(fractions.last._1)))
+  }
+}

@@ -83,4 +83,35 @@ object TextAnalysis {
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
+
+  /** Fixed-size token chunking with overlap — context-window preparation
+    * for training/RAG: one row per chunk, covering every token (the last
+    * chunk may be short; an empty document yields no chunks).
+    * stride = chunkTokens − overlap; chunk i spans tokens
+    * [i·stride, i·stride + chunkTokens). Pure per-row codegen'd HOFs
+    * (explode over slices of the let-bound token array) — embarrassingly
+    * parallel, no shuffle, no UDF. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val nChunks = greatest(lit(0),
+      ceil((size(col("toks")) - lit(overlap)).cast("double") / stride).cast("int"))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        // sequence(1, 0) DESCENDS in Spark — guard the empty case
+        explode(transform(
+          when(nChunks >= 1, sequence(lit(0), nChunks - 1))
+            .otherwise(array().cast("array<int>")), i => {
+          struct(i.cast("long").as("chunk_id"),
+            concat_ws(" ", slice(col("toks"), i * stride + 1, lit(chunkTokens)))
+              .as("chunk_text"),
+            least(lit(chunkTokens), size(col("toks")) - i * stride)
+              .cast("long").as("n_tokens"))
+        })).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"),
+        col("c.n_tokens"))
+  }
 }

@@ -997,6 +997,41 @@ object TestdataQueries {
              |JOIN sizes sb ON sb.doc_id = id_b
              |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1""".stripMargin)),
 
+    // -------------------------------------- benchmark decontamination
+    // Training-corpus × benchmark n-gram overlap (the leakage check run
+    // before an eval set is trusted). The benchmark is synthesized as
+    // the first 12 tokens of every 20th document under remapped ids, so
+    // every item is contained in its source doc (bench_overlap 1.0
+    // there) and near-dup family members surface below it. DuckDB
+    // rebuilds both trigram sets and the asymmetric overlap.
+    "x_contamination" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("bench_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 12)).as("text"))
+      Dedup.crossContamination(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 3, minOverlap = 0.5, maxDocFreq = 1000)
+    }),
+      Some(s"""WITH $trigramCte,
+             |keep AS (SELECT shingle FROM tri GROUP BY shingle HAVING count(*) <= 1000),
+             |f AS (SELECT tri.doc_id, tri.shingle FROM tri JOIN keep USING (shingle)),
+             |bsrc AS (SELECT doc_id + 100000 AS bench_id,
+             |    array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |bsplits AS (SELECT bench_id, string_split(text, ' ') AS l FROM bsrc),
+             |btoks AS (SELECT bench_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM bsplits),
+             |btri AS (SELECT DISTINCT bench_id,
+             |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+             |  FROM btoks WINDOW w AS (PARTITION BY bench_id ORDER BY pos)
+             |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
+             |bsizes AS (SELECT bench_id, count(*) AS n_sh FROM btri GROUP BY bench_id),
+             |p AS (SELECT f.doc_id AS corpus_id, b.bench_id, count(*) AS common
+             |  FROM btri b JOIN f ON b.shingle = f.shingle GROUP BY 1, 2)
+             |SELECT corpus_id, bench_id, common,
+             |  CAST(common AS DOUBLE) / bs.n_sh AS bench_overlap
+             |FROM p JOIN bsizes bs USING (bench_id)
+             |WHERE CAST(common AS DOUBLE) / bs.n_sh >= 0.5""".stripMargin)),
+
     // ------------------------------------------------------- MinHash LSH
     // LSH banding finds the candidates; the exact 3-gram Jaccard is then
     // recomputed per candidate pair, so the oracle (exact pairs ≥ 0.5,
@@ -1287,6 +1322,47 @@ object TestdataQueries {
              |       WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
              |       ELSE 'zh' END AS lang_guess
              |FROM sc""".stripMargin)),
+
+    // -------------------------------- deterministic train/val/test split
+    // Per-row assignment verified value-level: DuckDB replays the
+    // engine-portable modular hash (same fold the fingerprint/SimHash
+    // oracles pin) and the 80/10/10 basis-point thresholds, so a drifted
+    // hash, threshold, or normalization fails the hash on any row.
+    "x_splits" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Splits.assignSplit(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")),
+      Some("""WITH h AS (SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 31 + c) % 1000000007)
+             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 37 + c) % 998244353) * 4294967296) AS hv
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN hv % 10000 < 8000 THEN 'train'
+             |       WHEN hv % 10000 < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM h""".stripMargin)),
+
+    // -------------------------- token chunking (context-window prep)
+    // 16-token chunks with 4-token overlap (stride 12) over every
+    // document; DuckDB rebuilds each chunk's text and token count from
+    // the same tokenization, so off-by-one in stride, slice bounds, or
+    // the tail chunk fails value-level.
+    "x_chunking" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 16, overlap = 4)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+             |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             |    array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk_text,
+             |    CAST(least(16, n - i*12) AS BIGINT) AS n_tokens
+             |  FROM d CROSS JOIN generate_series(0, 31) t(i)
+             |  WHERE n > 0 AND i < ceil((n - 4) / 12.0))
+             |SELECT doc_id, chunk_id, chunk_text, n_tokens FROM c""".stripMargin)),
 
     // ---------------------------------------- rolling-hash fingerprint
     // The hash is MODULAR (every intermediate < 2^35, TextAnalysis

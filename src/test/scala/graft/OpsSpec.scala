@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, Multimodal, Similarity, SkewJoin, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, SkewJoin, Splits, TextAnalysis}
 
 /** Scale-extension operators: dedup family, ANN similarity, text analysis,
   * multimodal plumbing. */
@@ -238,6 +238,57 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getLong(0), (Option(r.get(1)), r.getBoolean(2)))).toMap
     assert(m(1L)._1 === m(2L)._1 && m(1L)._2)
     assert(m(3L)._1.isEmpty && !m(3L)._2)
+  }
+
+  test("chunking: full coverage with overlap, short tail, sub-chunk and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens
+      (2L, "a b"),                                      // shorter than a chunk
+      (3L, "")                                          // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // stride 3: ceil((10-1)/3) = 3 chunks, overlapping by one token
+    assert(d1.map(c => (c._3, c._4)).toSeq === Seq(
+      ("w1 w2 w3 w4", 4L), ("w4 w5 w6 w7", 4L), ("w7 w8 w9 w10", 4L)))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
+    assert(!out.exists(_._1 == 3L))
+    // every token of doc 1 appears in some chunk (coverage)
+    assert((1 to 10).forall(i => d1.exists(_._3.split(" ").contains(s"w$i"))))
+  }
+
+  test("splits: deterministic, exhaustive, and weight-normalized") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Splits.assignSplit(df, "id").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same frame twice → identical assignment (pure function of id)
+    val b = Splits.assignSplit(df, "id").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.sum === 2000L)          // every row gets exactly one split
+    assert(a("train") > a("val") && a("train") > a("test"))
+    assert(math.abs(a("train") - 1600L) < 200, s"train share off: $a")
+    // weights normalize: (2,1,1) ≡ (0.5,0.25,0.25)
+    val c = Splits.assignSplit(df, "id",
+      Seq("x" -> 2.0, "y" -> 1.0, "z" -> 1.0)).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(c("x") - 1000L) < 150, s"normalized share off: $c")
+  }
+
+  test("crossContamination: a contained benchmark item flags its source, an unrelated one doesn't") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark physical plans")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "quick brown fox jumps over"),       // contained in doc 1
+      (11L, "unrelated benchmark question text entirely")
+    ).toDF("bench_id", "text")
+    val out = Dedup.crossContamination(corpus, "doc_id", "text",
+      bench, "bench_id", "text", n = 3, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 10L, 1.0)))
   }
 
   test("multimodal: frame sampling emits bounded per-media frame rows") {
