@@ -1347,6 +1347,29 @@ object TestdataQueries {
              |       ELSE 'test' END AS split
              |FROM h""".stripMargin)),
 
+    // ----------------------------------- gap-based sessionization
+    // 30-minute-gap sessions over the events stream, one window shuffle;
+    // DuckDB replays the lag/boundary/running-sum formulation exactly
+    // (second-truncated epochs both sides).
+    "x_sessionize" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Sessionize.sessions(t(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800L)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("span_s"))),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+             |g AS (SELECT user_id, event_id, es,
+             |    coalesce(es - lag(es) OVER w, CAST(0 AS BIGINT)) AS gap_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+             |x AS (SELECT user_id, es,
+             |    CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY es, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             |  FROM g)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |  max(es) - min(es) AS span_s
+             |FROM x GROUP BY user_id, session_idx""".stripMargin)),
+
     // -------------------------- token chunking (context-window prep)
     // 16-token chunks with 4-token overlap (stride 12) over every
     // document; DuckDB rebuilds each chunk's text and token count from

@@ -291,6 +291,22 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq === Seq((1L, 10L, 1.0)))
   }
 
+  test("sessionize: gap strictly over the threshold opens a session; boundary gap does not") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2021-01-01 10:00:00")),
+      (1L, 2L, ts("2021-01-01 10:30:00")),   // gap 1800 = threshold → same session
+      (1L, 3L, ts("2021-01-01 11:00:01")),   // gap 1801 → NEW session
+      (2L, 4L, ts("2021-01-01 10:00:00")))   // other entity independent
+      .toDF("user_id", "event_id", "ts")
+    val out = graft.ops.Sessionize.sessions(ev, "user_id", "ts", "event_id", 1800L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 0L)) === (2L, 1800L))   // events 1+2, span 30 min
+    assert(out((1L, 1L)) === (1L, 0L))      // event 3 alone
+    assert(out((2L, 0L)) === (1L, 0L))
+  }
+
   test("multimodal: frame sampling emits bounded per-media frame rows") {
     val media = Seq((1L, 45000L), (2L, 500000L), (3L, 0L)).toDF("media_id", "dur")
       .select($"media_id", struct(lit("video").as("media_type"), lit("mp4").as("format"),
