@@ -65,6 +65,32 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
+  /** Symmetric per-vector int8 quantization — the 4× memory/IO lever for
+    * embedding storage and ANN at corpus scale (float32 → int8 at rest,
+    * in shuffles, and in executor cache; recall loss is bounded by
+    * half-step error ≤ scale/2 per axis). `scale = max|v| / 127`;
+    * `q_i = clamp(⌊v_i/scale + 0.5⌋, ±127)` — floor(x+0.5) rather than
+    * round() because banker's-rounding tie behavior differs across
+    * engines and this op's contract is bit-reproducible anywhere (the
+    * oracle replays it in DuckDB). Zero vectors quantize to zeros.
+    * Output: input + `scale` (double) + `q` (array<byte>). */
+  def quantizeInt8(embs: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / 127d
+    embs
+      .withColumn("scale", scale)
+      .withColumn("q",
+        when(col("scale") === 0d, transform(v, _ => lit(0).cast("byte")))
+          .otherwise(transform(v, x =>
+            greatest(lit(-127d), least(lit(127d), floor(x / col("scale") + 0.5d)))
+              .cast("byte"))))
+  }
+
+  /** Dequantized vector (`array<double>`): `q_i * scale`. Compose with
+    * [[cosine]] for approximate scoring over quantized storage. */
+  def dequantize(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, x => x.cast("double") * scaleCol)
+
   /** LSH-pruned top-k: score only vectors in the query's bucket. With
     * `probes > 1`, also search buckets at hamming distance 1 (multi-probe)
     * to trade recall for scan size. */

@@ -841,8 +841,8 @@ object TestdataQueries {
     // oracle runs the FULL-scan formulation over all three days and
     // restricts the output to the date — so a hash match proves the
     // bounded two-partition scan reproduces the full scan's rows for
-    // that date exactly (VERDICT r2 #1). FraudRulesSpec asserts the
-    // partition pruning on the scan.
+    // that date exactly (VERDICT r2 #1). IncrementalReportSpec asserts
+    // the partition pruning on the scan.
     "c9b_fraud_pipeline_incremental" -> (((s: SparkSession, dir: String) => {
       import graft.report.FraudReport
       val ev = t(s, dir, "events")
@@ -1346,6 +1346,29 @@ object TestdataQueries {
              |       WHEN hv % 10000 < 9000 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM h""".stripMargin)),
+
+    // ------------------------------- int8 embedding quantization
+    // Per-vector symmetric quantization (scale = max|v|/127, floor(x+.5)
+    // — not round(), whose tie behavior differs across engines). DuckDB
+    // replays scale and every quantized component from the same floats;
+    // q serialized to CSV because the gate's pandas sort can't order
+    // list cells. Dequantized-cosine usage is spec'd in OpsSpec.
+    "x_quantize_int8" -> (((s: SparkSession, dir: String) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          floor(col("scale") * 1e9).cast("long").as("scale_e9"),
+          concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_csv"))),
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM v)
+             |SELECT vec_id, CAST(floor(scale * 1000000000) AS BIGINT) AS scale_e9,
+             |  array_to_string(CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+             |    ELSE list_transform(v, x ->
+             |      CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS INTEGER))
+             |    END, ',') AS q_csv
+             |FROM s""".stripMargin)),
 
     // ----------------------------------- gap-based sessionization
     // 30-minute-gap sessions over the events stream, one window shuffle;

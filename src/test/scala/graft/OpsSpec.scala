@@ -291,6 +291,30 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq === Seq((1L, 10L, 1.0)))
   }
 
+  test("int8 quantization: bounded roundtrip error, near-exact cosine, zero-vector safe") {
+    val embs = Seq(
+      (1L, Array(0.9f, -0.3f, 0.05f, 0.254f)),
+      (2L, Array(12.7f, 0.1f, -12.7f, 3.3f)),
+      (3L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(embs, "embedding")
+    val checked = q.filter($"vec_id" =!= 3L)   // cosine undefined at zero
+      .select($"vec_id", $"scale",
+        // max |dequant - v| must be within scale/2 (half quantization step)
+        aggregate(zip_with(Similarity.dequantize($"q", $"scale"),
+            transform($"embedding", x => x.cast("double")),
+          (a, b) => abs(a - b)), lit(0.0), (acc, v) => greatest(acc, v)).as("err"),
+        Similarity.cosine(Similarity.dequantize($"q", $"scale"), $"embedding").as("qcos"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(checked(id).getDouble(2) <= checked(id).getDouble(1) / 2 + 1e-12)
+      assert(checked(id).getDouble(3) > 0.999, s"cosine degraded: ${checked(id)}")
+    }
+    assert(q.filter($"vec_id" === 3L).head().getDouble(2) === 0.0)   // scale 0
+    val q3 = q.filter($"vec_id" === 3L).select($"q").head().getSeq[Byte](0)
+    assert(q3.forall(_ === 0))
+  }
+
   test("sessionize: gap strictly over the threshold opens a session; boundary gap does not") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
