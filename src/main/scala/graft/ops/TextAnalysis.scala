@@ -84,6 +84,27 @@ object TextAnalysis {
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
 
+  /** PII redaction for corpus curation: masks email addresses, 16-digit
+    * card-like numbers, and phone-like digit runs with typed
+    * placeholders, in that order (the card pass must run before the
+    * phone pass or the broader phone pattern eats the card digits).
+    * Pure codegen'd regexp_replace chain — per-row, no shuffle, no UDF.
+    * Patterns are deliberately simple and PORTABLE (plain character
+    * classes and bounded repetition — identical semantics in Java regex
+    * and RE2, which is what lets the DuckDB oracle replay the scrub):
+    * corpus scrubbing wants recall on obvious formats, not an RFC
+    * parser. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val card = "\\b\\d{16}\\b"
+    val phone = "\\+?\\d[\\d -]{7,}\\d"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        card, "<CARD>"),
+      phone, "<PHONE>")
+  }
+
   /** Fixed-size token chunking with overlap — context-window preparation
     * for training/RAG: one row per chunk, covering every token (the last
     * chunk may be short; an empty document yields no chunks).

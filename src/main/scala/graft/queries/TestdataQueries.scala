@@ -372,7 +372,7 @@ object TestdataQueries {
 
     // --------------------------------------------- S2 decimal-comma CSV
     // ---------------- S10: closed-history compaction under the gate
-    // TableCatalog.compactClosed on a 151-date closed history derived
+    // TableCatalog.compactClosed on a ~90-date closed history derived
     // from orders: dates before the cutoff migrate into month-compacted
     // archive storage. The output is the FULL post-compaction history
     // (content preservation is value-level checked) plus per-row archive
@@ -385,7 +385,7 @@ object TestdataQueries {
         scratchDir("graft_s10", dir).toString)
       val closed = t(s, dir, "orders")
         .filter(col("o_orderdate") <
-          lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+          lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
         .select(col("o_orderkey").cast("long").as("k"),
           col("o_orderstatus").as("seg"),
           lit(java.sql.Date.valueOf("1994-01-01")).as("effective_from"),
@@ -396,7 +396,7 @@ object TestdataQueries {
         // sliver into every one of the 151 partitions)
         .repartition(col("effective_to"))
       cat.appendPartitioned("dim_s10_closed", closed, "effective_to")
-      val n = cat.compactClosed("dim_s10", java.sql.Date.valueOf("1995-04-01"))
+      val n = cat.compactClosed("dim_s10", java.sql.Date.valueOf("1995-03-01"))
       val schema = StructType(Seq(
         StructField("k", LongType), StructField("seg", StringType),
         StructField("effective_from", DateType),
@@ -412,11 +412,11 @@ object TestdataQueries {
     }),
       Some("""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS seg,
              |    CAST(o_orderdate AS DATE) AS effective_to
-             |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01 00:00:00')
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00')
              |SELECT k, seg, effective_to,
-             |  effective_to < DATE '1995-04-01' AS in_archive,
+             |  effective_to < DATE '1995-03-01' AS in_archive,
              |  (SELECT CAST(count(DISTINCT effective_to) AS BIGINT) FROM src
-             |    WHERE effective_to < DATE '1995-04-01') AS n_archived
+             |    WHERE effective_to < DATE '1995-03-01') AS n_archived
              |FROM src""".stripMargin)),
 
     // The production transactions parser (`;`-separated, decimal COMMA,
@@ -1392,6 +1392,27 @@ object TestdataQueries {
              |SELECT user_id, session_idx, count(*) AS n_events,
              |  max(es) - min(es) AS span_s
              |FROM x GROUP BY user_id, session_idx""".stripMargin)),
+
+    // -------------------------------------------- PII redaction
+    // Every document gets a synthetic contact tail (email + phone +
+    // 16-digit card) appended IN the query on both sides, then scrubbed;
+    // DuckDB replays the identical three-pass regexp_replace chain
+    // (RE2 ≡ Java for these portable patterns; 'g' flag — DuckDB
+    // replaces first-match-only by default, Spark replaces all).
+    "x_redact_pii" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact u"), col("doc_id"),
+          lit("@mail.example.com or +7 915 123-45-67 card 4276123456781234 now")))
+          .as("clean"))),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or +7 915 123-45-67 card 4276123456781234 now',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{16}\b', '<CARD>', 'g'),
+             |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
+             |FROM documents""".stripMargin)),
 
     // -------------------------- token chunking (context-window prep)
     // 16-token chunks with 4-token overlap (stride 12) over every

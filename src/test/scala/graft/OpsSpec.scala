@@ -291,6 +291,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq === Seq((1L, 10L, 1.0)))
   }
 
+  test("PII redaction: emails, cards, phones masked; clean text untouched") {
+    val rows = Seq(
+      (1L, "mail me at john.doe+x@corp.example.org thanks"),
+      (2L, "card 4276123456781234 charged"),
+      (3L, "call +7 915 123-45-67 now"),
+      (4L, "a perfectly clean sentence"),
+      (5L, "both a@b.io and 12345678 90123456"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.ops.TextAnalysis.redactPii($"text").as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "mail me at <EMAIL> thanks")
+    assert(rows(2L) === "card <CARD> charged")       // card pass wins over phone
+    assert(rows(3L) === "call <PHONE> now")
+    assert(rows(4L) === "a perfectly clean sentence")
+    assert(rows(5L) === "both <EMAIL> and <PHONE>")
+  }
+
   test("int8 quantization: bounded roundtrip error, near-exact cosine, zero-vector safe") {
     val embs = Seq(
       (1L, Array(0.9f, -0.3f, 0.05f, 0.254f)),
