@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the corpus QA pass run before any table is
+  * trusted as training input: per-column row/null/distinct counts and
+  * min/max, as one TALL frame (column, n, n_null, n_distinct, min_s,
+  * max_s) so heterogeneous column types share a schema.
+  *
+  * ONE aggregation job regardless of column count: all metrics are
+  * computed in a single `agg` over the table (map-side partial
+  * aggregation does the heavy lifting; the exact distinct counts expand
+  * the aggregate but stay one logical pass), then the single result row
+  * pivots to tall via an explode of struct literals — no per-column job
+  * loop, no driver-side iteration. For corpora where exact distinct is
+  * too hot, swap `countDistinct` for `approx_count_distinct` (the
+  * HLL++ sketch path pinned by `x_approx_distinct`).
+  */
+object Profile {
+
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n"),
+        col(s"${c}__nn").as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_s"),
+        col(s"${c}__mx").as("max_s"))): _*)).as("m"))
+      .select(col("m.column"), col("m.n"), col("m.n_null"),
+        col("m.n_distinct"), col("m.min_s"), col("m.max_s"))
+  }
+}

@@ -1393,6 +1393,34 @@ object TestdataQueries {
              |  max(es) - min(es) AS span_s
              |FROM x GROUP BY user_id, session_idx""".stripMargin)),
 
+    // ------------------------------------------ data-QA profiling
+    // One-pass per-column profile over events; columns restricted to
+    // long/varchar where min/max stringification is engine-stable
+    // (double→string and timestamp→string formats differ across
+    // engines — the profile of those types is spec'd, not oracled).
+    "x_profile" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Profile.summarize(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+          col("event_id")),
+        Seq("user_id", "event_type", "event_id"))),
+      Some("""SELECT 'user_id' AS "column", count(*) AS n,
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  count(DISTINCT user_id) AS n_distinct,
+             |  CAST(min(user_id) AS VARCHAR) AS min_s, CAST(max(user_id) AS VARCHAR) AS max_s
+             |FROM events
+             |UNION ALL
+             |SELECT 'event_type', count(*),
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  count(DISTINCT event_type),
+             |  CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+             |FROM events
+             |UNION ALL
+             |SELECT 'event_id', count(*),
+             |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  count(DISTINCT event_id),
+             |  CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR)
+             |FROM events""".stripMargin)),
+
     // -------------------------------------------- PII redaction
     // Every document gets a synthetic contact tail (email + phone +
     // 16-digit card) appended IN the query on both sides, then scrubbed;

@@ -291,6 +291,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq === Seq((1L, 10L, 1.0)))
   }
 
+  test("profile: one-pass tall summary counts nulls/distincts, min/max across types") {
+    val df = Seq(
+      (Some(3.5), Some("b")), (None, Some("a")), (Some(1.25), None),
+      (Some(3.5), Some("b")))
+      .toDF("d", "s")
+    val p = graft.ops.Profile.summarize(df, Seq("d", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("d") === (4L, 1L, 2L, "1.25", "3.5"))  // nulls excluded from distinct/minmax
+    assert(p("s") === (4L, 1L, 2L, "a", "b"))
+  }
+
   test("PII redaction: emails, cards, phones masked; clean text untouched") {
     val rows = Seq(
       (1L, "mail me at john.doe+x@corp.example.org thanks"),
