@@ -79,19 +79,24 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
     // load_dt ∈ {date-1, date} partitions (partition-pruned — the
     // cross-city window spans ≤ 1 h and the brute-force window looks
     // ≤ 20 min FORWARD from a start txn, so for this batch's transactions
-    // every rule partner lives in yesterday's or today's drop), and the
-    // report itself covers only this date's partition. Per-date output
-    // equals the full scan's rows for this date (oracle query
+    // every rule partner lives in yesterday's or today's drop). The
+    // report covers this date's partition PLUS yesterday's final hour —
+    // the "late edge" whose rule windows were still open at yesterday's
+    // run (a brute-force START at 23:45 completed by today's 00:03
+    // partner, or the yesterday leg of a cross-midnight city pair,
+    // becomes detectable only today, and rule 5 flags the start txn, so
+    // without the edge those frauds would NEVER be reported) — with an
+    // anti-join against yesterday's report partition (partition-pruned,
+    // one small slice) so edge rows already reported yesterday don't
+    // repeat. Per-date output for the date's own partition equals the
+    // full scan's rows for this date (oracle query
     // c9b_fraud_pipeline_incremental pins this) under the reference's
     // feed contract: each daily drop carries that day's transactions.
-    // Divergences to know about (IncrementalReportSpec pins both):
-    // rep_fraud accumulates each fraud once — at its own date — instead
-    // of re-reporting all history every date; and a RETROACTIVE flag
-    // (yesterday's txn first implicated by a partner arriving today,
-    // possible for the symmetric cross-city rule) surfaces only through
-    // today's side of the pair — the full scan re-reports yesterday's
-    // row too. Multi-day reprocessing must replay dates in order.
-    import org.apache.spark.sql.functions.{col, date_sub, lit}
+    // Divergence to know about (IncrementalReportSpec pins it):
+    // rep_fraud accumulates each fraud ONCE — at the date it becomes
+    // detectable — instead of re-reporting all history every date.
+    // Multi-day reprocessing must replay dates in order.
+    import org.apache.spark.sql.functions.{col, date_sub, expr, lit}
     val txnAll = cat.read("fact_transactions")
     val txn =
       if (incrementalReport)
@@ -107,12 +112,33 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
     val cityTxn = FraudRules.cityOfTransactions(withClient, terminals)
     val rule4 = FraudRules.crossCityRule(cityTxn)
     val rule5 = FraudRules.bruteForceRule(withClient)
-    // Rule sets see the two-day slice; the report rows themselves cover
-    // only this date's partition in incremental mode.
-    val reportBase =
-      if (incrementalReport) txn.filter(col("load_dt") === lit(date)) else txn
-    val report = FraudReport.assemble(reportBase, cards, accounts, clients,
-      blacklist, rule4, rule5, date)
+    // Rule sets see the two-day slice; the report rows cover this date's
+    // partition plus yesterday's late edge (see the mode comment above).
+    val report =
+      if (incrementalReport) {
+        val midnight = java.sql.Timestamp.valueOf(date.toLocalDate.atStartOfDay)
+        val reportBase = txn.filter(col("load_dt") === lit(date) ||
+          (col("load_dt") === date_sub(lit(date), 1) &&
+            col("trans_date") >= lit(midnight) - expr("INTERVAL 1 HOUR")))
+        val assembled = FraudReport.assemble(reportBase, cards, accounts,
+          clients, blacklist, rule4, rule5, date)
+        // drop edge rows already reported yesterday (null-safe compare:
+        // a left-joined passport/fio/phone can be NULL). If a dim
+        // attribute changed overnight the row re-reports with the new
+        // value — exactly what the full scan does too (GoldenEndToEndSpec
+        // pins that reference behavior).
+        val prev = cat.readOrEmpty("rep_fraud", Schemas.repFraud)
+          .filter(col("report_dt") === date_sub(lit(date), 1))
+        assembled.as("n").join(prev.as("p"),
+          col("n.event_dt") <=> col("p.event_dt") &&
+            col("n.passport") <=> col("p.passport") &&
+            col("n.fio") <=> col("p.fio") &&
+            col("n.phone") <=> col("p.phone") &&
+            col("n.event_type") <=> col("p.event_type"),
+          "left_anti")
+      } else
+        FraudReport.assemble(txn, cards, accounts, clients,
+          blacklist, rule4, rule5, date)
     cat.appendPartitioned("rep_fraud", report, "report_dt")
   }
 }

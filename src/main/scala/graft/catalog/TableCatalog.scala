@@ -183,7 +183,10 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     * the month commit and the source deletion re-merges the leftover
     * dates with the archive month — `dropDuplicates` over full rows
     * makes that exactly-once ((key, effective_from) is unique in SCD2
-    * history, so genuine data never self-duplicates). The one window to
+    * history, so genuine data never self-duplicates). A crash BETWEEN
+    * the two swap moves (month dir moved aside, replacement not yet in
+    * place) is healed by a recovery preamble that restores the
+    * `_old_<month>` copy before merging — see the inline comment. The one window to
     * know about: between such a crash and the rerun, `readScd2` counts
     * the not-yet-deleted dates twice — run compaction in a maintenance
     * window, or rerun it to converge. (A transactional table format —
@@ -221,6 +224,17 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
       .toSeq.sortBy(_._1).foreach { case (month, dirs) =>
         val monthDir = Paths.get(path(s"${base}_closed_archive"),
           s"effective_month=$month")
+        // CRASH RECOVERY, before anything else: a previous run that died
+        // between its two ATOMIC_MOVEs leaves the month's only committed
+        // copy at `_old_<month>` with `monthDir` missing — restoring it
+        // first makes the interrupted swap invisible (the dates that run
+        // was merging are still in `_closed`, so the merge below simply
+        // redoes them). Without this, the rerun would rebuild the month
+        // from the leftover dates alone and then DELETE `_old_` — losing
+        // every previously-archived row of the month.
+        val old = monthDir.resolveSibling(s"_old_$month")
+        if (!Files.exists(monthDir) && Files.exists(old))
+          Files.move(old, monthDir, StandardCopyOption.ATOMIC_MOVE)
         val fromClosed = spark.read.parquet(path(s"${base}_closed"))
           .where(col("effective_to").isin(dirs.map(_._2): _*))
         val hasExisting = Files.exists(monthDir)
@@ -236,7 +250,6 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
         val tmp = monthDir.resolveSibling(s"_tmp_$month")
         deleteRecursive(tmp)
         merged.repartition(nFiles).write.parquet(tmp.toString)
-        val old = monthDir.resolveSibling(s"_old_$month")
         deleteRecursive(old)
         Files.createDirectories(monthDir.getParent)
         if (Files.exists(monthDir))

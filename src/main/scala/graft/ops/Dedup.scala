@@ -112,6 +112,14 @@ object Dedup {
                         shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"))
+      // a doc with fewer than n tokens has NO shingles and therefore no
+      // MinHash signature (array_min over empty = all-NULL sig) — left
+      // in, every such doc would share one constant hash(NULL-slice)
+      // bucket per band, pairing unrelated short docs (and, en masse,
+      // fabricating a phantom "cluster" for droppedLshBuckets). Shingle
+      // similarity is undefined below n tokens; exact/embedding dedup
+      // covers those docs.
+      .filter(size(col("sh")) > 0)
     val sig = sh.select(col("doc_id"),
       minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
     sig.select(

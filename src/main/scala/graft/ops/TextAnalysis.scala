@@ -117,10 +117,19 @@ object TextAnalysis {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
     val stride = chunkTokens - overlap
-    val nChunks = greatest(lit(0),
-      ceil((size(col("toks")) - lit(overlap)).cast("double") / stride).cast("int"))
+    // at least ONE chunk for any non-empty doc: the raw ceil zeroes out
+    // for docs with 1..overlap tokens, which would silently drop their
+    // tokens from the corpus — exactly the docs a "covering every token"
+    // contract must not lose
+    val nChunks = when(size(col("toks")) > 0,
+      greatest(lit(1),
+        ceil((size(col("toks")) - lit(overlap)).cast("double") / stride).cast("int")))
+      .otherwise(lit(0))
     docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), "\\s+").as("toks"))
+      .select(col(idCol).as("doc_id"),
+        // blank text splits to [""] — normalize to a truly empty array
+        when(length(trim(col(textCol))) > 0, split(col(textCol), "\\s+"))
+          .otherwise(array().cast("array<string>")).as("toks"))
       .select(col("doc_id"),
         // sequence(1, 0) DESCENDS in Spark — guard the empty case
         explode(transform(

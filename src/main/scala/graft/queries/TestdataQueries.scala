@@ -1451,12 +1451,16 @@ object TestdataQueries {
       TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 16, overlap = 4)),
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n
+             |  FROM documents),
+             |idx AS (SELECT unnest(range(0,
+             |    (SELECT CAST(ceil(max(n) / 12.0) AS BIGINT) + 1 FROM d))) AS i),
              |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
              |    array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk_text,
              |    CAST(least(16, n - i*12) AS BIGINT) AS n_tokens
-             |  FROM d CROSS JOIN generate_series(0, 31) t(i)
-             |  WHERE n > 0 AND i < ceil((n - 4) / 12.0))
+             |  FROM d CROSS JOIN idx
+             |  WHERE n > 0 AND i < greatest(1, ceil((n - 4) / 12.0)))
              |SELECT doc_id, chunk_id, chunk_text, n_tokens FROM c""".stripMargin)),
 
     // ---------------------------------------- rolling-hash fingerprint

@@ -148,9 +148,13 @@ object StreamingIngest {
     else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("card_num")
-        .orderBy(col("trans_date"), col("trans_id"))
+        .orderBy(col("_ts"), col("trans_id"))
       txns
-        // second-truncated epochs, matching TxnEvent.tsMillis
+        // second-truncated epochs, matching TxnEvent.tsMillis — the SORT
+        // must use the truncated value too: ordering by the raw
+        // timestamp would diverge from the stateful path (and the
+        // oracle) whenever two txns share a truncated second but differ
+        // in sub-second precision
         .withColumn("_ts", unix_timestamp(col("trans_date")))
         .withColumn("_prev_city", lag(col("city"), 1).over(w))
         .withColumn("deltaSeconds", col("_ts") - lag(col("_ts"), 1).over(w))

@@ -244,7 +244,8 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens
       (2L, "a b"),                                      // shorter than a chunk
-      (3L, "")                                          // empty → no chunks
+      (3L, ""),                                         // empty → no chunks
+      (4L, "solo")                                      // 1 token ≤ overlap
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
@@ -254,6 +255,9 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       ("w1 w2 w3 w4", 4L), ("w4 w5 w6 w7", 4L), ("w7 w8 w9 w10", 4L)))
     assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b", 2L)))
     assert(!out.exists(_._1 == 3L))
+    // a doc with 1..overlap tokens still gets its one (short) chunk —
+    // the raw ceil would zero out and silently drop it from the corpus
+    assert(out.filter(_._1 == 4L).toSeq === Seq((4L, 0L, "solo", 1L)))
     // every token of doc 1 appears in some chunk (coverage)
     assert((1 to 10).forall(i => d1.exists(_._3.split(" ").contains(s"w$i"))))
   }

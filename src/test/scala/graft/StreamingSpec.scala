@@ -247,6 +247,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("velocityAlerts batch: sub-second timestamps order by the truncated second, matching the stateful path") {
+    implicit val sc = spark.sqlContext
+    // same truncated second, raw order OPPOSITE to trans_id order: the
+    // batch window must sort by (floor-second, trans_id) like the
+    // stateful fold, not by the raw timestamp
+    val rows = Seq(
+      ("K1", "Moscow", new Timestamp(ts("2021-01-01 10:00:05").getTime + 700), "A"),
+      ("K1", "Kazan", new Timestamp(ts("2021-01-01 10:00:05").getTime + 200), "B"))
+    val shapeCols = Seq("card_num", "trans_id", "prevCity", "city", "deltaSeconds")
+    val batch = StreamingIngest.velocityAlerts(spark,
+      rows.toDF("card_num", "city", "trans_date", "trans_id"))
+      .select(shapeCols.head, shapeCols.tail: _*).collect().toSet
+    // truncated order is A(Moscow) then B(Kazan) → the alert is on B
+    assert(batch === Set(org.apache.spark.sql.Row("K1", "B", "Moscow", "Kazan", 0L)))
+    val mem = MemoryStream[(String, String, Timestamp, String)]
+    val q = StreamingIngest.velocityAlerts(spark,
+      mem.toDF().toDF("card_num", "city", "trans_date", "trans_id"))
+      .writeStream.format("memory").queryName("subsec")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("subsec")
+        .select(shapeCols.head, shapeCols.tail: _*).collect().toSet === batch)
+    } finally q.stop()
+  }
+
   test("velocityAlerts: same card in a new city within an hour fires; beyond an hour doesn't") {
     val txns = Seq(
       ("K1", "Moscow", ts("2021-01-01 10:00:00"), "A"),

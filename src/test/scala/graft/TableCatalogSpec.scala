@@ -72,6 +72,43 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     } finally { catA.dropBucketed("t"); catB.dropBucketed("t") }
   }
 
+  test("compactClosed: a crash between the swap moves heals on rerun with no data loss") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.sql.Date
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("graft_crash_").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seg", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("effective_from", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("effective_to", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("deleted_flg", org.apache.spark.sql.types.BooleanType)))
+    def appendDay(i: Int): Unit =
+      cat.appendPartitioned("dim_c_closed",
+        Seq((i.toLong, s"S$i", Date.valueOf("2020-12-01"),
+          Date.valueOf(f"2021-01-$i%02d"), true))
+          .toDF("k", "seg", "effective_from", "effective_to", "deleted_flg"),
+        "effective_to")
+
+    (1 to 10).foreach(appendDay)
+    assert(cat.compactClosed("dim_c", Date.valueOf("2021-01-11")) === 10)
+    (11 to 15).foreach(appendDay)
+
+    // simulate the crash window of a later run: the month dir was moved
+    // aside but its replacement never landed
+    val monthDir = Paths.get(cat.path("dim_c_closed_archive"), "effective_month=2021-01")
+    Files.move(monthDir, monthDir.resolveSibling("_old_2021-01"),
+      StandardCopyOption.ATOMIC_MOVE)
+
+    // rerun must restore the committed month FIRST, then fold in the
+    // leftover dates — previously-archived days 1-10 survive
+    assert(cat.compactClosed("dim_c", Date.valueOf("2021-01-16")) === 5)
+    val ks = cat.readScd2("dim_c", schema).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ks === (1L to 15L), s"lost rows after crash-rerun: $ks")
+    assert(!Files.exists(monthDir.resolveSibling("_old_2021-01")))
+  }
+
   test("compactClosed: 30 daily partitions collapse into a month archive, readScd2 identical") {
     import java.nio.file.{Files, Paths}
     import java.sql.Date
