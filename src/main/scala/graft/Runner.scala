@@ -90,12 +90,22 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
     // one small slice) so edge rows already reported yesterday don't
     // repeat. Per-date output for the date's own partition equals the
     // full scan's rows for this date (oracle query
-    // c9b_fraud_pipeline_incremental pins this) under the reference's
-    // feed contract: each daily drop carries that day's transactions.
-    // Divergence to know about (IncrementalReportSpec pins it):
-    // rep_fraud accumulates each fraud ONCE — at the date it becomes
-    // detectable — instead of re-reporting all history every date.
-    // Multi-day reprocessing must replay dates in order.
+    // c9b_fraud_pipeline_incremental pins the bounded rule-scan
+    // equality; the edge + anti-join path is pinned by
+    // IncrementalReportSpec) under the reference's feed contract: each
+    // daily drop carries that day's transactions.
+    //
+    // Scope of the guarantee, precisely: every fraud DETECTABLE FROM THE
+    // TRANSACTIONS (rule-window completion — a partner or the 4th
+    // attempt arriving the next day) is reported exactly once, at the
+    // date it becomes detectable. Per-transaction rules (blacklist,
+    // expiry) are evaluated at the transaction's own batch against that
+    // batch's reference data — a blacklist entry or dim correction
+    // arriving AFTER a transaction's batch does not retro-flag old
+    // partitions here (the full scan, re-reporting all history daily,
+    // does); that is a reference-data backfill, and full mode (or a
+    // dated rerun) is the backfill tool. Multi-day reprocessing must
+    // replay dates in order.
     import org.apache.spark.sql.functions.{col, date_sub, expr, lit}
     val txnAll = cat.read("fact_transactions")
     val txn =
@@ -116,10 +126,14 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
     // partition plus yesterday's late edge (see the mode comment above).
     val report =
       if (incrementalReport) {
-        val midnight = java.sql.Timestamp.valueOf(date.toLocalDate.atStartOfDay)
+        // midnight derived IN-PLAN (date → timestamp uses the session
+        // time zone, like every trans_date in the pipeline) — building
+        // it via java.sql.Timestamp would bake in the driver JVM's
+        // default zone and shift the edge window wherever the two differ
         val reportBase = txn.filter(col("load_dt") === lit(date) ||
           (col("load_dt") === date_sub(lit(date), 1) &&
-            col("trans_date") >= lit(midnight) - expr("INTERVAL 1 HOUR")))
+            col("trans_date") >=
+              lit(date).cast("timestamp") - expr("INTERVAL 1 HOUR")))
         val assembled = FraudReport.assemble(reportBase, cards, accounts,
           clients, blacklist, rule4, rule5, date)
         // drop edge rows already reported yesterday (null-safe compare:

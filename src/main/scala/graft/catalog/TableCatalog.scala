@@ -186,12 +186,16 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     * history, so genuine data never self-duplicates). A crash BETWEEN
     * the two swap moves (month dir moved aside, replacement not yet in
     * place) is healed by a recovery preamble that restores the
-    * `_old_<month>` copy before merging — see the inline comment. The one window to
-    * know about: between such a crash and the rerun, `readScd2` counts
-    * the not-yet-deleted dates twice — run compaction in a maintenance
-    * window, or rerun it to converge. (A transactional table format —
-    * Delta/Iceberg — is the at-scale answer to even that window; this
-    * catalog deliberately stays plain parquet.)
+    * `_old_<month>` copy before merging — see the inline comment.
+    * Read-visibility between a crash and the healing rerun, precisely:
+    * after a post-commit/pre-deletion crash `readScd2` counts the
+    * not-yet-deleted dates TWICE; after a mid-swap crash the month sits
+    * only at the underscore-prefixed `_old_` dir that file listings
+    * skip, so reads MISS that month's archived rows until the rerun
+    * restores it. Run compaction in a maintenance window and rerun
+    * after any failure. (A transactional table format — Delta/Iceberg —
+    * is the at-scale answer to even these windows; this catalog
+    * deliberately stays plain parquet.)
     *
     * Recent partitions (≥ `olderThan`) are never touched, so date
     * reruns through Runner keep their idempotent dynamic-overwrite

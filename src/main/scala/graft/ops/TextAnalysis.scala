@@ -127,8 +127,11 @@ object TextAnalysis {
       .otherwise(lit(0))
     docs
       .select(col(idCol).as("doc_id"),
-        // blank text splits to [""] — normalize to a truly empty array
-        when(length(trim(col(textCol))) > 0, split(col(textCol), "\\s+"))
+        // blank text splits to [""] — normalize to a truly empty array.
+        // rlike("\\S"), not trim(): trim strips SPACES only, so a
+        // tab/newline-only doc would sneak past it and emit a phantom
+        // chunk (and diverge from the oracle's tokenization)
+        when(col(textCol).rlike("\\S"), split(col(textCol), "\\s+"))
           .otherwise(array().cast("array<string>")).as("toks"))
       .select(col("doc_id"),
         // sequence(1, 0) DESCENDS in Spark — guard the empty case

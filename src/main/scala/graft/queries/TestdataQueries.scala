@@ -832,17 +832,19 @@ object TestdataQueries {
     // --------------------- C9b: INCREMENTAL report mode (bounded scan)
     // Same world as c9 but compressed 10× instead of 200× so the
     // timeline spans THREE days (2024-01-01..03), materialized as a
-    // load_dt-partitioned fact like Runner's fact_transactions. The
-    // Spark side computes the last date's report the way
-    // `Runner(incrementalReport = true)` does: rule inputs scan only the
-    // {date-1, date} partitions (cross-city looks ≤ 1 h either way,
-    // brute-force ≤ 20 min forward — every rule partner of a day-D txn
-    // is in day D-1..D), report rows only the date's own partition. The
-    // oracle runs the FULL-scan formulation over all three days and
-    // restricts the output to the date — so a hash match proves the
-    // bounded two-partition scan reproduces the full scan's rows for
-    // that date exactly (VERDICT r2 #1). IncrementalReportSpec asserts
-    // the partition pruning on the scan.
+    // load_dt-partitioned fact like Runner's fact_transactions. This
+    // pins the CORE bounding property of incremental mode: rule inputs
+    // scan only the {date-1, date} partitions (cross-city looks ≤ 1 h
+    // either way, brute-force ≤ 20 min forward — every rule partner of
+    // a day-D txn is in day D-1..D), report rows the date's own
+    // partition. The oracle runs the FULL-scan formulation over all
+    // three days and restricts the output to the date — a hash match
+    // proves the bounded two-partition scan reproduces the full scan's
+    // rows for that date exactly (VERDICT r2 #1). Runner's production
+    // path ADDITIONALLY reports yesterday's late edge anti-joined
+    // against yesterday's report — that layer (and the partition
+    // pruning) is pinned by IncrementalReportSpec's cross-midnight
+    // fixtures, not by this oracle.
     "c9b_fraud_pipeline_incremental" -> (((s: SparkSession, dir: String) => {
       import graft.report.FraudReport
       val ev = t(s, dir, "events")
@@ -1451,7 +1453,7 @@ object TestdataQueries {
       TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 16, overlap = 4)),
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
-             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |    CASE WHEN NOT regexp_matches(text, '\S') THEN CAST(0 AS BIGINT)
              |         ELSE CAST(len(string_split(text, ' ')) AS BIGINT) END AS n
              |  FROM documents),
              |idx AS (SELECT unnest(range(0,

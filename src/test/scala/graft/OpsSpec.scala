@@ -245,7 +245,8 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens
       (2L, "a b"),                                      // shorter than a chunk
       (3L, ""),                                         // empty → no chunks
-      (4L, "solo")                                      // 1 token ≤ overlap
+      (4L, "solo"),                                     // 1 token ≤ overlap
+      (5L, "\t\n ")                                     // whitespace-only → no chunks
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
@@ -258,6 +259,8 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // a doc with 1..overlap tokens still gets its one (short) chunk —
     // the raw ceil would zero out and silently drop it from the corpus
     assert(out.filter(_._1 == 4L).toSeq === Seq((4L, 0L, "solo", 1L)))
+    // tab/newline-only is as empty as "" (trim() would miss this)
+    assert(!out.exists(_._1 == 5L))
     // every token of doc 1 appears in some chunk (coverage)
     assert((1 to 10).forall(i => d1.exists(_._3.split(" ").contains(s"w$i"))))
   }
