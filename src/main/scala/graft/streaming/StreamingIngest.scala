@@ -79,6 +79,32 @@ object StreamingIngest {
       .outputMode("append")
       .start()
 
+  /** Watermarked stream-stream interval join: each transaction pairs
+    * with the same card's authorization events from the preceding
+    * `windowSeconds` (auth_ts ∈ [trans_date − window, trans_date]) —
+    * the enrichment step of a streaming fraud pipeline where BOTH sides
+    * are unbounded. Each side carries an event-time watermark and the
+    * join condition bounds event-time distance, which is exactly what
+    * lets Structured Streaming evict join state: a buffered row is
+    * droppable once the other side's watermark passes its last possible
+    * match (state is O(window × rate), not O(stream)). On batch frames
+    * the same expression is a plain interval join — StreamingSpec pins
+    * that both modes produce identical pairs on the same input, with the
+    * stream fed across multiple micro-batches. */
+  def txnWithRecentAuth(txns: DataFrame, auths: DataFrame,
+                        windowSeconds: Long = 600L): DataFrame = {
+    val t = (if (txns.isStreaming) txns.withWatermark("trans_date", "30 minutes")
+             else txns).alias("t")
+    val a = (if (auths.isStreaming) auths.withWatermark("auth_ts", "30 minutes")
+             else auths).alias("a")
+    t.join(a,
+        col("a.card_num") === col("t.card_num") &&
+        col("a.auth_ts") >= col("t.trans_date") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("a.auth_ts") <= col("t.trans_date"))
+      .select(col("t.card_num"), col("t.trans_id"), col("t.trans_date"),
+        col("a.auth_id"), col("a.auth_ts"), col("a.auth_result"))
+  }
+
   /** Streaming exactly-once-by-key dedup: collapses re-delivered
     * transactions by `trans_id` — the streaming analog of the batch
     * path's idempotent loads (FactLoader's anti-join, the dynamic

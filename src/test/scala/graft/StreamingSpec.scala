@@ -186,6 +186,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: cross-batch pairs found, window bounds respected, batch mode identical") {
+    implicit val sc = spark.sqlContext
+    val txMem = MemoryStream[(String, String, Timestamp)]
+    val auMem = MemoryStream[(String, String, Timestamp, String)]
+    val q = StreamingIngest.txnWithRecentAuth(
+      txMem.toDF().toDF("card_num", "trans_id", "trans_date"),
+      auMem.toDF().toDF("card_num", "auth_id", "auth_ts", "auth_result"))
+      .writeStream.format("memory").queryName("txauth")
+      .outputMode("append").start()
+    val txns = Seq(
+      ("K1", "T1", ts("2021-01-01 10:00:00")),
+      ("K1", "T2", ts("2021-01-01 10:30:00")),
+      ("K2", "T3", ts("2021-01-01 10:00:00")))
+    val auths = Seq(
+      ("K1", "A1", ts("2021-01-01 09:55:00"), "OK"),     // 5 min before T1
+      ("K1", "A2", ts("2021-01-01 10:25:00"), "DENY"),   // 5 min before T2
+      ("K1", "A3", ts("2021-01-01 09:40:00"), "OK"),     // 20 min before T1 → outside
+      ("K2", "A4", ts("2021-01-01 09:59:00"), "OK"))     // other card, T3 only
+    try {
+      // auth arrives in batch 1, its transaction only in batch 2 — the
+      // pair needs buffered join STATE across micro-batches
+      auMem.addData(auths.head)
+      txMem.addData(txns.drop(1): _*)
+      q.processAllAvailable()
+      txMem.addData(txns.head)
+      auMem.addData(auths.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("txauth").collect()
+        .map(r => (r.getString(1), r.getString(3))).toSet
+      assert(streamed === Set(("T1", "A1"), ("T2", "A2"), ("T3", "A4")))
+      // batch mode over the same rows: identical pairs
+      val batch = StreamingIngest.txnWithRecentAuth(
+        txns.toDF("card_num", "trans_id", "trans_date"),
+        auths.toDF("card_num", "auth_id", "auth_ts", "auth_result"))
+        .collect().map(r => (r.getString(1), r.getString(3))).toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("dedupTransactions: cross-batch redelivery collapses; batch mode matches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
