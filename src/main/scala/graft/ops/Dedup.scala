@@ -171,8 +171,18 @@ object Dedup {
     * reproducible in any SQL engine with a list fold, which is what lets
     * the DuckDB oracle recompute SimHash fingerprints independently.
     * Every intermediate stays below 2^35 — safe under ANSI overflow
-    * checking. Bits 30-31 and 62-63 are always zero on both sides. */
-  def portableTokenHash(tok: Column): Column = {
+    * checking. Bits 30-31 and 62-63 are always zero on both sides.
+    * Delegates to the codegen'd [[graft.functions.PortableHash62]] — one
+    * compiled pass fusing both folds; the builtin-HOF formulation below
+    * is kept as the semantic reference (FunctionsSpec asserts equality). */
+  def portableTokenHash(tok: Column): Column =
+    graft.functions.PortableHash62.portableHash62(tok)
+
+  /** Two `aggregate` HOF folds over per-character splits — the reference
+    * formulation for [[portableTokenHash]]. Interpreted lambdas and a
+    * one-char UTF8String allocation per code point make this ~an order of
+    * magnitude slower than the compiled expression on token-dense text. */
+  def portableTokenHashHof(tok: Column): Column = {
     def fold(base: Long, mod: Long): Column =
       aggregate(transform(split(tok, ""), ch => ascii(ch).cast("long")),
         lit(0L), (acc, c) => pmod(acc * base + c, lit(mod)))

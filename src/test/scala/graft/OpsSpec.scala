@@ -81,6 +81,22 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1L) === (lo | (hi << 32)))
   }
 
+  test("PortableHash62 expression ≡ HOF fold on ASCII/BMP text; null passes through") {
+    val toks = Seq("", "a", "abc", "the quick brown fox", "12345!@#",
+      "привет мир", "tab\tand newline\n", "long " * 50)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok")
+      .select($"id",
+        Dedup.portableTokenHash($"tok").as("expr_h"),
+        Dedup.portableTokenHashHof($"tok").as("hof_h"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"id=${r.getLong(0)}")
+    }
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "tok")
+      .select(Dedup.portableTokenHash($"tok").as("h")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("ngram jaccard: hand-computed value for a near-dup pair") {
     // doc1/doc3 share 6 of their 7 trigrams each → |∩|=6, |∪|=8 → 0.75
     val out = Dedup.ngramJaccard(docs.filter($"doc_id".isin(1, 3)), "doc_id", "text",
