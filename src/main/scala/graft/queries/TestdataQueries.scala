@@ -488,6 +488,28 @@ object TestdataQueries {
              |  count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // ------------------------------------------------ J9 bloom-pruned join
+    // Explicit runtime-filter pattern through ops.BloomJoin: a bloom
+    // sketch of the (selective) build side's keys prunes the probe side
+    // BEFORE its exchange, and the exact join then removes the sketch's
+    // false positives — so the oracle is the PLAIN join, proving the
+    // bloom pass is semantics-free (same trick as j8's salting oracle).
+    "j9_bloom_join" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.ops.BloomJoin.inner(li, urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 200000L)
+        .groupBy(col("o_orderstatus"), col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+    }),
+      Some("""SELECT o_orderstatus, l_returnflag, count(*) AS cnt,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderstatus, l_returnflag""".stripMargin)),
+
     // ----------------------------------------------------- J8 salted join
     // Skew-resilient equi-join through ops.SkewJoin: probe rows salt
     // deterministically, the dim replicates ×salts — and the oracle is
@@ -1729,6 +1751,82 @@ object TestdataQueries {
              |  columns = {'transaction_id': 'VARCHAR', 'transaction_date': 'TIMESTAMP',
              |    'card_num': 'VARCHAR', 'oper_type': 'VARCHAR', 'amount': 'VARCHAR',
              |    'oper_result': 'VARCHAR', 'terminal': 'VARCHAR'})""".stripMargin)),
+
+    // -------------------- streaming session windows under the gate
+    // The streaming analog of x_sessionize: session_window aggregation
+    // with watermark-evicted merge state, driven across two event-time-
+    // ordered micro-batches (sessions spanning the drop boundary must
+    // merge THROUGH state), then a far-future sentinel drop advances the
+    // watermark so every real session closes and append-mode emits its
+    // final aggregate into the checkpointed catalog sink. DuckDB replays
+    // session assembly over the same CSVs as a lag-based break at
+    // delta > gap — Spark's session_window merges windows that overlap
+    // OR touch (an event exactly `gap` after the previous one still
+    // merges), the same boundary rule as the batch Sessionize op. The
+    // sentinel card's own session never closes and is filtered from both
+    // sides.
+    "x_stream_sessionize" -> (((s: SparkSession, dir: String) => {
+      import graft.streaming.StreamingIngest
+      val scratch = scratchDir("graft_streamsess", dir)
+      val in = scratch.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      val rows = t(s, dir, "events")
+        .select(col("event_id"),
+          expr("timestamp_seconds(1704067200 + (unix_timestamp(ts) - 1704067200) div 200)")
+            .as("ts2"),
+          col("user_id"))
+        .orderBy(col("ts2"), col("event_id")).limit(2000).collect()
+      val midMillis = rows(rows.length / 2).getTimestamp(1).getTime
+      def line(r: org.apache.spark.sql.Row) =
+        s"TX${r.getLong(0)};${fmt.format(r.getTimestamp(1).toInstant)};" +
+          s"C${r.getLong(2)};PAY;1,00;OK;T0"
+      val (first, second) = rows.partition(_.getTimestamp(1).getTime < midMillis)
+      val hdr = "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal"
+      java.nio.file.Files.write(in.resolve("transactions_01012024.txt"),
+        java.util.Arrays.asList((hdr +: first.map(line).toSeq): _*))
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val q = StreamingIngest.startCatalogAppend(cat, "stream_sessions",
+        StreamingIngest.sessionWindows(
+          StreamingIngest.readTransactionStream(s, in.toString),
+          gapSeconds = 300L),
+        scratch.resolve("ckpt").toString)
+      try {
+        q.processAllAvailable()
+        java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
+          java.util.Arrays.asList((hdr +: second.map(line).toSeq): _*))
+        q.processAllAvailable()
+        // watermark-flush sentinel: far enough ahead that wm = sentinel
+        // - 30 min passes every real session's close (+300 s gap)
+        val maxMillis = rows.map(_.getTimestamp(1).getTime).max
+        val flush = java.time.Instant.ofEpochMilli(maxMillis + 100000L * 1000L)
+        java.nio.file.Files.write(in.resolve("transactions_03012024.txt"),
+          java.util.Arrays.asList(hdr,
+            s"TXFLUSH;${fmt.format(flush)};CFLUSH;PAY;1,00;OK;T0"))
+        q.processAllAvailable()
+      } finally q.stop()
+      cat.read("stream_sessions").filter(col("card_num") =!= "CFLUSH")
+    }),
+      Some(s"""WITH raw AS (SELECT * FROM read_csv(
+             |    '${sys.props("java.io.tmpdir")}/graft_streamsess_${SfTokenPlaceholder}/in/transactions_*.txt',
+             |    delim = ';', header = true,
+             |    columns = {'transaction_id': 'VARCHAR', 'transaction_date': 'TIMESTAMP',
+             |      'card_num': 'VARCHAR', 'oper_type': 'VARCHAR', 'amount': 'VARCHAR',
+             |      'oper_result': 'VARCHAR', 'terminal': 'VARCHAR'})),
+             |e AS (SELECT card_num, transaction_date AS ts FROM raw
+             |  WHERE card_num <> 'CFLUSH'),
+             |l AS (SELECT card_num, ts,
+             |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+             |        - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 300
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY card_num ORDER BY ts)),
+             |sess AS (SELECT card_num, ts, CAST(sum(brk) OVER (PARTITION BY card_num
+             |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM l)
+             |SELECT card_num, count(*) AS n_events,
+             |  min(ts) AS session_start, max(ts) AS session_end
+             |FROM sess GROUP BY card_num, sid""".stripMargin)),
 
     // ------------------------------------------- C2 fact append (idempotent)
     // Exercises the REAL FactLoader + TableCatalog paths end to end in a

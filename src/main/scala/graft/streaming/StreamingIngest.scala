@@ -122,6 +122,37 @@ object StreamingIngest {
         .dropDuplicatesWithinWatermark("trans_id")
     else txns.dropDuplicates("trans_id")
 
+  /** Event-time session windows per card — the streaming analog of the
+    * batch [[graft.ops.Sessionize]]: consecutive same-card transactions
+    * merge into one session until a gap of MORE than `gapSeconds`
+    * separates them. Spark merges `session_window`s that overlap or
+    * touch, so an event exactly `gapSeconds` after the previous one
+    * still merges — the same boundary rule as Sessionize's
+    * `gap_s > gapSeconds` break (the oracle replays it as a lag-based
+    * break at `delta > gap`).
+    *
+    * State is merged incrementally per (card, open-session) and evicted
+    * once the event-time watermark passes a session's close — O(open
+    * sessions), not O(stream). In append mode a session emits exactly
+    * once, when the watermark closes it: downstream sees only FINAL
+    * session aggregates, which is what makes the output value-level
+    * checkable. On a batch frame the same grouping is one
+    * shuffle-and-merge pass (no watermark needed). */
+  def sessionWindows(txns: DataFrame, gapSeconds: Long = 600L,
+                     watermark: String = "30 minutes"): DataFrame = {
+    val src = if (txns.isStreaming) txns.withWatermark("trans_date", watermark)
+              else txns
+    src
+      .groupBy(col("card_num"),
+        session_window(col("trans_date"), s"$gapSeconds seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("trans_date")).as("session_start"),
+        max(col("trans_date")).as("session_end"))
+      .select(col("card_num"), col("n_events"),
+        col("session_start"), col("session_end"))
+  }
+
   /** Sliding 20-minute windows (5-minute slide) of transaction counts and
     * SUCCESS/REJECT presence per card, with a 30-minute watermark bounding
     * state. Late rows beyond the watermark are dropped — the streaming

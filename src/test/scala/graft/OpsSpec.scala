@@ -199,6 +199,30 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql("SELECT simhash64(array(1L)) AS h").head().getLong(0) === 1L)
   }
 
+  test("bloom-pruned join ≡ plain join; the sketch prunes non-matching probe rows") {
+    val probe = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "pv")
+    val build = Seq((5L, "a"), (10L, "b"), (999L, "c")).toDF("bk", "bv")
+    val out = graft.ops.BloomJoin.inner(probe, build, "k", "bk", expectedItems = 10)
+    val plain = probe.join(build, $"k" === $"bk")
+    assert(out.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+    // the predicate alone prunes: 3 true keys + ~3% fp of 997 others
+    val bloom = graft.ops.BloomJoin.keyFilter(build, "bk", expectedItems = 10)
+    val survivors = probe.filter(graft.ops.BloomJoin.mightContain(bloom, $"k")).count()
+    assert(survivors >= 3 && survivors < 150, s"survivors=$survivors")
+    // and it enters the probe side as a might_contain predicate (on this
+    // in-memory fixture ConvertToLocalRelation folds the filter into the
+    // LocalTableScan at optimize time, so assert the analyzed plan)
+    assert(out.queryExecution.analyzed.toString.contains("might_contain"))
+    // on a parquet scan the predicate survives to the physical plan, in the
+    // same codegen stage as the scan — the shape j9_bloom_join relies on
+    val dir = java.nio.file.Files.createTempDirectory("bloomjoin").toString
+    probe.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val out2 = graft.ops.BloomJoin.inner(pq, build, "k", "bk", expectedItems = 10)
+    assert(out2.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(out2.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+  }
+
   test("salted equi-join ≡ plain join on a hot-key fixture") {
     // 90 of 100 probe rows share one key — the salting target
     val probe = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i.toLong))

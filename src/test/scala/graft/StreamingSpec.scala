@@ -249,6 +249,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
         .toDF("trans_id", "trans_date")).count() === 1)
   }
 
+  test("sessionWindows: boundary gap merges, gap+1 breaks; cross-batch merge through state; batch mode agrees") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val txns = mem.toDF().toDF("card_num", "trans_date")
+    val q = StreamingIngest.sessionWindows(txns, gapSeconds = 300L)
+      .writeStream.format("memory").queryName("sessstream")
+      .outputMode("append").start()
+    try {
+      // C1: events at 10:00:00 / 10:05:00 (delta == gap → merge), then a
+      // second micro-batch continues the SAME session (state merge) and a
+      // third event at +301 s breaks it
+      mem.addData(("C1", ts("2021-01-01 10:00:00")), ("C1", ts("2021-01-01 10:05:00")))
+      q.processAllAvailable()
+      mem.addData(("C1", ts("2021-01-01 10:10:00")), ("C1", ts("2021-01-01 10:15:01")))
+      q.processAllAvailable()
+      // watermark-flush sentinel closes every C1 session
+      mem.addData(("FLUSH", ts("2021-01-03 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sessstream").filter($"card_num" === "C1")
+        .collect().map(r => (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+      assert(out === Set(
+        (3L, ts("2021-01-01 10:00:00"), ts("2021-01-01 10:10:00")),
+        (1L, ts("2021-01-01 10:15:01"), ts("2021-01-01 10:15:01"))))
+    } finally q.stop()
+    // batch mode on the same events produces the same sessions
+    val batch = StreamingIngest.sessionWindows(Seq(
+      ("C1", ts("2021-01-01 10:00:00")), ("C1", ts("2021-01-01 10:05:00")),
+      ("C1", ts("2021-01-01 10:10:00")), ("C1", ts("2021-01-01 10:15:01")))
+      .toDF("card_num", "trans_date"), gapSeconds = 300L)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSet
+    assert(batch === Set(
+      (3L, ts("2021-01-01 10:00:00"), ts("2021-01-01 10:10:00")),
+      (1L, ts("2021-01-01 10:15:01"), ts("2021-01-01 10:15:01"))))
+  }
+
   test("velocityAlerts: batch (window) and streaming (stateful) paths agree on a skewed single-card history") {
     implicit val sc = spark.sqlContext
     // one hot card, 5000 txns: alternating cities, mostly 97 s apart with
