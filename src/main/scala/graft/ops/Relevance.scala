@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring for training-data curation: TF-IDF salient
+  * terms per document and BM25 ranked retrieval. Both are two-aggregation
+  * pipelines over an exploded token table — no UDFs, no driver-side
+  * iteration, and the corpus-level statistics (document frequency, average
+  * document length) stay IN-PLAN as broadcast one-row aggregates rather
+  * than `.collect()`ed constants, so the same code runs unchanged on a
+  * 100 TB corpus.
+  *
+  * Cross-engine determinism (the oracle recomputes everything in DuckDB):
+  *   - per-(doc,term) scores are `floor(x * 1e6)` int64 BEFORE any
+  *     summation, so score sums are order-insensitive;
+  *   - `avgdl` is `sum(dl)/count` with an exact integer sum — never
+  *     `avg()`, whose incremental-mean implementation differs by engine;
+  *   - rankings order by the unrounded score with a total-order tie-break
+  *     (term, then doc id), so the top-k boundary cannot flip.
+  */
+object Relevance {
+
+  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** (doc_id, term, tf) with tf = raw occurrence count — one shuffle on
+    * (doc_id, term), map-side combined. */
+  private def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(docs, idCol, textCol).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` salient terms per document by tf·idf with idf = ln(N/df):
+    * (doc_id, term, tf, df, tfidf_e6). Document frequency re-aggregates
+    * the term-count table on `term` (not the raw tokens — it is one row
+    * per (doc,term) already); N is an in-plan one-row broadcast.
+    *
+    * The rank orders by the floor-scaled INT score, not the raw double:
+    * distinct (tf, df) pairs can yield mathematically equal scores via
+    * different float paths (2·ln(1.25) vs ln(1.5625)), whose last-ulp
+    * results may order differently across engines — int comparison plus
+    * the term tie-break is a total order both engines agree on. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tc = termCounts(docs, idCol, textCol)
+    val df_ = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tc.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    val scored = tc.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_e6",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * lit(1e6))
+          .cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_e6").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf_e6"))
+  }
+
+  /** BM25 top-`k` documents for a bag of query terms:
+    * (doc_id, n_matched, score_e6), ranked by the summed-int score with
+    * doc_id as tie-break. Standard Robertson/Sparck-Jones BM25 with
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1); N and avgdl cover documents
+    * with at least one token. The probe side is filtered to the query's
+    * terms FIRST, so the per-doc join carries only matching rows — the
+    * corpus-sized tables never meet an exchange wider than the match
+    * set. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tc = termCounts(docs, idCol, textCol)
+    // per-doc length from the term-count table (sum of tfs) — no second
+    // pass over the raw tokens
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val df_ = tc.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tc.filter(col("term").isin(queryTerms: _*))
+      .join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      // constants enter as the same decimal literals the oracle SQL uses
+      // and are combined by IEEE ops on both engines (never pre-evaluated
+      // into a different literal — 1.2 + 1.0 and a literal 2.2 round
+      // differently), so the doubles agree bit-for-bit
+      .withColumn("contrib_e6",
+        floor(col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) *
+            (col("dl").cast("double") / col("avgdl"))))
+          * lit(1e6)).cast("long"))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("contrib_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+}

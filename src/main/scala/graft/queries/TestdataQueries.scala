@@ -1303,6 +1303,60 @@ object TestdataQueries {
              |  FROM events)""".stripMargin)),
 
     // ------------------------------------------------- text statistics
+    // ------------------------------------------- TF-IDF salient terms
+    // Relevance.tfIdfTopTerms: per-doc top-3 terms by tf·ln(N/df). The
+    // ranking orders by the floor-scaled INT score with the term as
+    // tie-break: the tiny vocabulary makes mathematically-equal scores
+    // via different float paths common (2·ln(1.25) = ln(1.5625)), and
+    // last-ulp doubles can order differently across engines — int
+    // comparison cannot.
+    "x_tfidf" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Relevance.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+             |  FROM documents),
+             |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY term),
+             |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tc),
+             |scored AS (SELECT tc.doc_id, tc.term, tc.tf, dfreq.df,
+             |    CAST(floor(tc.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+             |      * 1000000.0) AS BIGINT) AS tfidf_e6
+             |  FROM tc JOIN dfreq USING (term) CROSS JOIN n),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf_e6 DESC, term) AS rk FROM scored)
+             |SELECT doc_id, term, tf, df, tfidf_e6
+             |FROM rk WHERE rk <= 3""".stripMargin)),
+
+    // ------------------------------------------------ BM25 retrieval
+    // Relevance.bm25TopK: ranked retrieval for a 3-term query. Scores
+    // are per-(doc,term) contributions floor-scaled to int64 BEFORE the
+    // per-doc sum (double summation order differs across engines; int
+    // sums don't), avgdl is an exact integer sum over count (never
+    // avg()), and the top-20 boundary breaks ties on doc_id.
+    "x_bm25" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("join", "hash", "stream"), k = 20)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+             |  FROM documents),
+             |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |qdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc
+             |  WHERE term IN ('join', 'hash', 'stream') GROUP BY term),
+             |c AS (SELECT tc.doc_id,
+             |    CAST(floor(
+             |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |        * (tf * (1.2 + 1.0))
+             |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+             |        * 1000000.0) AS BIGINT) AS contrib_e6
+             |  FROM tc JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+             |SELECT doc_id, count(*) AS n_matched,
+             |  CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+             |FROM c GROUP BY doc_id
+             |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin)),
+
     "x_text_stats" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "documents").select(
         col("doc_id"),

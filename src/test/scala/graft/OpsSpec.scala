@@ -199,6 +199,34 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql("SELECT simhash64(array(1L)) AS h").head().getLong(0) === 1L)
   }
 
+  test("tf-idf top terms: hand-computed scores, ubiquitous terms score zero") {
+    val corpus = Seq(
+      (1L, "spark spark shuffle the"),
+      (2L, "flink shuffle the"),
+      (3L, "duck the")).toDF("doc_id", "text")
+    val out = graft.ops.Relevance.tfIdfTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc1: spark tf=2 df=1 → 2·ln3; shuffle tf=1 df=2 → ln1.5; the df=3 → 0
+    assert(out((1L, "spark")) === ((2L, 1L, math.floor(2.0 * math.log(3.0) * 1e6).toLong)))
+    assert(out((1L, "shuffle")) === ((1L, 2L, math.floor(math.log(3.0 / 2.0) * 1e6).toLong)))
+    assert(!out.contains((1L, "the"))) // rank 3, cut at k=2
+    // doc3 keeps 'the' (only 2 terms): tfidf exactly 0 for df=N
+    assert(out((3L, "the"))._3 === 0L)
+  }
+
+  test("bm25: doc with more query-term mass ranks first; non-matching docs absent") {
+    val corpus = Seq(
+      (1L, "join join join filter"),
+      (2L, "join filter scan scan"),
+      (3L, "scan filter scan scan")).toDF("doc_id", "text")
+    val out = graft.ops.Relevance.bm25TopK(corpus, "doc_id", "text",
+      queryTerms = Seq("join"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // doc3 never matches
+    assert(out.head._3 > out(1)._3)             // tf=3 beats tf=1 at equal dl
+    assert(out.forall(_._2 === 1L))
+  }
+
   test("bloom-pruned join ≡ plain join; the sketch prunes non-matching probe rows") {
     val probe = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "pv")
     val build = Seq((5L, "a"), (10L, "b"), (999L, "c")).toDF("bk", "bv")
