@@ -110,4 +110,47 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Approximate k-NN graph: each vector's top-`k` cosine neighbors among
+    * vectors sharing its LSH bucket — the all-pairs primitive behind
+    * near-dup clustering, diversity sampling, and graph-based ANN index
+    * builds. The candidate join is bucket-local (never O(n²) over the
+    * corpus): with `planes` hyperplanes the corpus splits into 2^planes
+    * buckets, the single explicit repartition on the bucket is the one
+    * exchange both join sides reuse, and norms are materialized per
+    * vector before the pair join (see [[graft.ops.Dedup.embeddingNearDup]]).
+    * Per-source ranking orders by unrounded cosine with the neighbor id
+    * as tie-break. Neighbors in other buckets are missed — the recall
+    * trade every bucketed ANN makes; more planes → smaller buckets →
+    * cheaper join and lower recall. */
+  def knnGraph(embs: DataFrame, idCol: String, vecCol: String,
+               k: Int = 3, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = withLshBucket(embs, vecCol, planes, dim)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"), col("lsh_bucket"))
+      .withColumn("nrm", norm(col("v")))
+      .repartition(col("lsh_bucket"))
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    val pairs = a.join(b, col("a.lsh_bucket") === col("b.lsh_bucket") &&
+        col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("src_id"), col("b.vid").as("dst_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cos_sim").desc, col("dst_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions:
+    * one dot product per output axis against the deterministic Gaussian
+    * [[hyperplanes]] (same fixed seed the LSH family uses, so an oracle
+    * can replay the projection from the plane literals). Pure codegen'd
+    * per-row work — no shuffle, no fitting pass; at 100 TB this is the
+    * cheap first stage before any pairwise computation, shrinking both
+    * the shuffle width and the downstream distance math by dim/outDim. */
+  def randomProject(embs: DataFrame, vecCol: String, outDim: Int,
+                    dim: Int = 64, outPrefix: String = "p"): DataFrame =
+    hyperplanes(outDim, dim).zipWithIndex.foldLeft(embs) { case (df, (p, i)) =>
+      df.withColumn(s"$outPrefix$i", dot(col(vecCol), typedLit(p)))
+    }
 }

@@ -1276,6 +1276,49 @@ object TestdataQueries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS clusters_ok,
              |  TRUE AS scores_nonneg FROM events""".stripMargin)),
 
+    // ------------------------------------------------------ k-NN graph
+    // Similarity.knnGraph: each vector's top-3 cosine neighbors within
+    // its LSH bucket — bucket-local candidate join, never all-pairs.
+    // DuckDB recomputes the buckets from the same deterministic plane
+    // literals and replays the per-source ranking (unrounded cosine,
+    // neighbor-id tie-break), so a missed or extra neighbor anywhere in
+    // the graph fails the hash.
+    "x_knn_graph" -> (((s: SparkSession, dir: String) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, planes = 4)
+        .select(col("src_id"), col("dst_id"), col("rk"),
+          round(col("cos_sim"), 4).as("cos_sim"))),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bk AS (SELECT vec_id, v, ${bucketSql(4)} AS bucket FROM e),
+             |p AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             |    list_cosine_similarity(a.v, b.v) AS cs
+             |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY src_id
+             |    ORDER BY cs DESC, dst_id) AS rk FROM p)
+             |SELECT src_id, dst_id, CAST(rk AS INTEGER) AS rk,
+             |  round(cs, 4) AS cos_sim
+             |FROM rk WHERE rk <= 3""".stripMargin)),
+
+    // ------------------------------------- random projection (JL) to 4-d
+    // Similarity.randomProject: per-row dot products against the
+    // deterministic Gaussian planes — no shuffle, no fit. DuckDB replays
+    // the projection from the same plane literals; outputs floor-scale
+    // to int64.
+    "x_embed_project" -> (((s: SparkSession, dir: String) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "embedding", outDim = 4)
+        .select(col("vec_id") +: (0 until 4).map(i =>
+          floor(col(s"p$i") * lit(1e6)).cast("long").as(s"p${i}_e6")): _*)),
+      Some({
+        val projCols = graft.ops.Similarity.hyperplanes(4, 64).zipWithIndex.map {
+          case (p, i) =>
+            s"CAST(floor(list_dot_product(v, ${p.mkString("[", ", ", "]")}) * 1000000.0) AS BIGINT) AS p${i}_e6"
+        }.mkString(",\n  ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |SELECT vec_id,
+           |  $projCols
+           |FROM e""".stripMargin
+      })),
+
     // ------------------------------------- anomaly feature engineering
     // The deterministic half of the anomaly operator — per-entity z-score,
     // velocity gap, hour-of-day — with a full value-level DuckDB oracle.

@@ -199,6 +199,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql("SELECT simhash64(array(1L)) AS h").head().getLong(0) === 1L)
   }
 
+  test("knn graph: identical vectors are mutual rank-1 neighbors at cos 1.0") {
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.01f * i)
+    val far = Array.tabulate(64)(i => if (i == 63) -1.0f else -0.01f * i)
+    val embs = Seq((1L, e1), (2L, e1), (3L, far)).toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(embs, "vec_id", "embedding", k = 1, planes = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 2L && math.abs(out(1L)._2 - 1.0) < 1e-9)
+    assert(out(2L)._1 === 1L && math.abs(out(2L)._2 - 1.0) < 1e-9)
+  }
+
+  test("random projection: basis vector projects to the plane's component") {
+    val basis5 = Array.tabulate(64)(i => if (i == 5) 1.0f else 0.0f)
+    val out = Similarity.randomProject(
+      Seq((1L, basis5)).toDF("vec_id", "embedding"), "embedding", outDim = 3)
+      .select($"p0", $"p1", $"p2").head()
+    val planes = Similarity.hyperplanes(3, 64)
+    (0 until 3).foreach { i =>
+      assert(math.abs(out.getDouble(i) - planes(i)(5)) < 1e-12)
+    }
+  }
+
   test("tf-idf top terms: hand-computed scores, ubiquitous terms score zero") {
     val corpus = Seq(
       (1L, "spark spark shuffle the"),
