@@ -35,4 +35,26 @@ object Splits {
     df.withColumn("split",
       assigned.fold(lit(fractions.head._1))(_.otherwise(fractions.last._1)))
   }
+
+  /** Deterministic per-group downsampling — the "cap each language /
+    * source at N documents" rebalancing step of corpus curation. Keeps a
+    * row iff `bucket(id) * group_count < cap * 10000` (integer
+    * cross-multiplication of `bucket/10000 < cap/count` — no doubles,
+    * no engine-specific rounding): groups at or under the cap survive
+    * whole, larger groups keep a hash-uniform ~`cap`-row subset. Like
+    * [[assignSplit]] the decision is a pure function of the id, so
+    * reruns, backfills and other engines keep the SAME rows, and caps
+    * nest (the cap-50 subset is contained in the cap-100 subset). The
+    * group-count side is a tiny aggregate broadcast back onto the
+    * corpus — one scan, no corpus-wide shuffle. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_n"))
+    df.join(broadcast(counts), groupCol)
+      .withColumn("grp_bucket",
+        pmod(Dedup.portableTokenHash(col(idCol).cast("string")), lit(10000L)))
+      .filter(col("grp_bucket") * col("grp_n") < lit(cap * 10000L))
+      .drop("grp_bucket", "grp_n")
+  }
 }

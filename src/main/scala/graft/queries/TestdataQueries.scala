@@ -1346,6 +1346,38 @@ object TestdataQueries {
              |  FROM events)""".stripMargin)),
 
     // ------------------------------------------------- text statistics
+    // ----------------------------------- per-language quality percentiles
+    // EXACT percentiles (Spark `percentile` ↔ DuckDB `quantile_cont`,
+    // both linear interpolation) of per-doc token counts per language,
+    // plus the count of docs under the p25 cut — the corpus-curation
+    // "drop the bottom quartile per language" decision as one
+    // aggregation + broadcast join back. Interpolated quantiles of
+    // INTEGER counts at quarter positions are exactly representable
+    // doubles, so the values hash identically across engines.
+    "x_quality_percentile" -> (((s: SparkSession, dir: String) => {
+      val q = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val stats = q.groupBy(col("lang")).agg(
+        expr("percentile(n_tokens, 0.25)").as("p25"),
+        expr("percentile(n_tokens, 0.5)").as("p50"),
+        expr("percentile(n_tokens, 0.75)").as("p75"))
+      q.join(broadcast(stats), "lang")
+        .groupBy(col("lang"), col("p25"), col("p50"), col("p75"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tokens") < col("p25"), 1L).otherwise(0L)).as("n_below_p25"))
+    }),
+      Some("""WITH q AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |st AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS p25,
+             |    quantile_cont(n_tokens, 0.5) AS p50,
+             |    quantile_cont(n_tokens, 0.75) AS p75
+             |  FROM q GROUP BY lang)
+             |SELECT q.lang, p25, p50, p75, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN n_tokens < p25 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_p25
+             |FROM q JOIN st ON q.lang = st.lang
+             |GROUP BY q.lang, p25, p50, p75""".stripMargin)),
+
     // ------------------------------------------- TF-IDF salient terms
     // Relevance.tfIdfTopTerms: per-doc top-3 terms by tf·ln(N/df). The
     // ranking orders by the floor-scaled INT score with the term as
@@ -1467,6 +1499,31 @@ object TestdataQueries {
              |       WHEN hv % 10000 < 9000 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM h""".stripMargin)),
+
+    // ------------------------------- per-group rebalancing (cap at 100)
+    // Splits.capPerGroup over languages: hash-deterministic downsampling
+    // of over-represented groups via integer cross-multiplication
+    // (bucket·n < cap·10000) — DuckDB replays the portable hash, the
+    // group counts, and the exact inequality, so the KEPT ROW SET (not
+    // just its size) must match.
+    "x_rebalance" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Splits.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", cap = 100L)),
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 31 + c) % 1000000007)
+             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 37 + c) % 998244353) * 4294967296)) % 10000 AS bucket
+             |  FROM documents),
+             |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_n
+             |  FROM documents GROUP BY lang)
+             |SELECT doc_id, h.lang FROM h JOIN n ON h.lang = n.lang
+             |WHERE bucket * grp_n < 100 * 10000""".stripMargin)),
 
     // ------------------------------- int8 embedding quantization
     // Per-vector symmetric quantization (scale = max|v|/127, floor(x+.5)

@@ -372,6 +372,26 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(c("x") - 1000L) < 150, s"normalized share off: $c")
   }
 
+  test("capPerGroup: small groups survive whole, big groups cap near target, caps nest") {
+    val rows = (1L to 1000L).map(i => (i, if (i <= 950) "big" else "small"))
+      .toDF("id", "grp")
+    val kept100 = Splits.capPerGroup(rows, "id", "grp", cap = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("grp")))
+    // the 50-row group is under the cap: all kept
+    assert(kept100.count(_._2 == "small") === 50)
+    // the 950-row group keeps a hash-uniform ~100 subset
+    val big100 = kept100.filter(_._2 == "big").map(_._1).toSet
+    assert(big100.size > 60 && big100.size < 140, s"kept ${big100.size}")
+    // determinism: a rerun keeps the identical row set
+    val rerun = Splits.capPerGroup(rows, "id", "grp", cap = 100L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(rerun === kept100.map(_._1).toSet)
+    // nesting: cap 50 ⊆ cap 100
+    val big50 = Splits.capPerGroup(rows, "id", "grp", cap = 50L)
+      .collect().filter(_.getAs[String]("grp") == "big").map(_.getAs[Long]("id")).toSet
+    assert(big50.subsetOf(big100))
+  }
+
   test("crossContamination: a contained benchmark item flags its source, an unrelated one doesn't") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
