@@ -114,7 +114,10 @@ object GraftFunctions {
       exprs => VectorDot(exprs.head, exprs(1))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      exprs => SimHash64(exprs.head)))
+      exprs => SimHash64(exprs.head)),
+    (FunctionIdentifier("portable_hash62"),
+      new ExpressionInfo(classOf[PortableHash62].getName, "portable_hash62"),
+      exprs => PortableHash62(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, info, builder) =>
@@ -132,10 +135,14 @@ object GraftFunctions {
 
 /** Declarative registration for deployments:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
-  * every engine SQL function available in each new session — the
-  * driver mains (Verify / Bench / RunDaily) run with this set, so the
-  * extension path is exercised on every gate run. */
+  * every engine SQL function available in each new session and installs
+  * the [[graft.plans.BucketRangeJoin]] optimizer rule (inert until
+  * `spark.graft.bucketRangeJoin=true`) — the driver mains
+  * (Verify / Bench / RunDaily) run with this set, so the extension path
+  * is exercised on every gate run. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(ext)
+    ext.injectOptimizerRule(_ => graft.plans.BucketRangeJoin)
+  }
 }

@@ -232,6 +232,37 @@ object TestdataQueries {
              |  AND r2.ts BETWEEN r1.ts AND r1.ts + INTERVAL 20 MINUTE
              |GROUP BY r1.event_id""".stripMargin)),
 
+    // ----------------------- J3 via the BucketRangeJoin OPTIMIZER RULE
+    // The DIRECT join formulation (same code as j3_interval_join),
+    // materialized with spark.graft.bucketRangeJoin=true so the
+    // injected Rule[LogicalPlan] rewrites it into the time-bucketed
+    // form during optimization. Same oracle as j3_interval_join: a hash
+    // match proves the rewrite is semantics-free end to end. The write
+    // inside the closure pins WHEN the rule is active (queries return
+    // lazy frames; a conf left set would leak into other queries).
+    "j3_interval_rule" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_rangejoin", dir)
+      val out = scratch.resolve("out").toString
+      s.conf.set(graft.plans.BucketRangeJoin.ConfKey, "true")
+      try {
+        val ev = t(s, dir, "events")
+        val r1 = ev.select(col("event_id"), col("user_id"), col("ts"))
+        val r2 = ev.select(col("user_id").as("u2"), col("ts").as("ts2"))
+        val df = r1.join(r2, col("user_id") === col("u2") &&
+            col("ts2").between(col("ts"), col("ts") + expr("INTERVAL 20 MINUTES")))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("cnt_20min"))
+        assert(df.queryExecution.optimizedPlan.toString.contains("_graft_ib"),
+          "BucketRangeJoin rule did not fire on the J3 shape")
+        df.write.mode("overwrite").parquet(out)
+      } finally s.conf.set(graft.plans.BucketRangeJoin.ConfKey, "false")
+      s.read.parquet(out)
+    }),
+      Some("""SELECT r1.event_id AS event_id, count(*) AS cnt_20min
+             |FROM events r1 JOIN events r2 ON r2.user_id = r1.user_id
+             |  AND r2.ts BETWEEN r1.ts AND r1.ts + INTERVAL 20 MINUTE
+             |GROUP BY r1.event_id""".stripMargin)),
+
     // -------------------------------- J3 at scale: bucketed interval join
     // Same semantics and SAME oracle as j3_interval_join, through
     // ops.IntervalJoin (time-bucketed equi-join, 2× bounded fan-out —
