@@ -50,6 +50,30 @@ object TextAnalysis {
       .withColumn("stopword_cnt", stopHits.cast("long"))
   }
 
+  /** Repetition / lexical-diversity signals — the Gopher-style quality
+    * rules that catch degenerate generated or boilerplate text: the
+    * fraction of tokens taken by the single most common term
+    * (`top_ratio`) and the type-token ratio (`ttr` = distinct/total).
+    * One explode + two aggregations, both map-side combined; ratios are
+    * floor-scaled int64 of a single int/int division, so they replay
+    * identically in any engine. Docs with no tokens produce no row. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("max_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("max_tf"),
+        floor(col("max_tf").cast("double") / col("n_tokens") * lit(1e6))
+          .cast("long").as("top_ratio_e6"),
+        floor(col("n_distinct").cast("double") / col("n_tokens") * lit(1e6))
+          .cast("long").as("ttr_e6"))
+
   /** n-gram-heuristic language ID: score each candidate language by
     * marker-word hits, pick the argmax (ties broken by language-list
     * order, matching a greatest/CASE chain in SQL). Returns the input

@@ -1377,6 +1377,22 @@ object TestdataQueries {
              |  FROM events)""".stripMargin)),
 
     // ------------------------------------------------- text statistics
+    // --------------------------------- repetition / diversity signals
+    // TextAnalysis.repetitionSignals: max-term-frequency ratio and
+    // type-token ratio per doc (the Gopher repetition rules). Ratios are
+    // one int/int division floor-scaled — bit-identical across engines.
+    "x_quality_repetition" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+             |  FROM documents),
+             |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks WHERE term <> '' GROUP BY doc_id, term)
+             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_distinct, CAST(max(tf) AS BIGINT) AS max_tf,
+             |  CAST(floor(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT) * 1000000.0) AS BIGINT) AS top_ratio_e6,
+             |  CAST(floor(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT) * 1000000.0) AS BIGINT) AS ttr_e6
+             |FROM tc GROUP BY doc_id""".stripMargin)),
+
     // ----------------------------------- per-language quality percentiles
     // EXACT percentiles (Spark `percentile` ↔ DuckDB `quantile_cont`,
     // both linear interpolation) of per-doc token counts per language,

@@ -372,6 +372,17 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(c("x") - 1000L) < 150, s"normalized share off: $c")
   }
 
+  test("repetitionSignals: hand-computed ratios; empty doc emits no row") {
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc1 "the quick brown fox jumps over the lazy dog": 9 tokens, 8
+    // distinct, 'the'×2 → top 2/9, ttr 8/9
+    assert(out(1L) === ((9L, 8L, 2L,
+      math.floor(2.0 / 9 * 1e6).toLong, math.floor(8.0 / 9 * 1e6).toLong)))
+    assert(!out.contains(5L)) // doc5 is empty
+  }
+
   test("capPerGroup: small groups survive whole, big groups cap near target, caps nest") {
     val rows = (1L to 1000L).map(i => (i, if (i <= 950) "big" else "small"))
       .toDF("id", "grp")
