@@ -17,7 +17,7 @@ import org.apache.spark.sql.graftbridge.CatalystBridge
   * one-character UTF8String per code point and dispatches two interpreted
   * lambda folds per token. This expression is a single compiled loop over
   * the string — no per-character allocation, both folds fused in one pass.
-  * FunctionsSpec asserts value equality with the HOF form.
+  * OpsSpec asserts value equality with the HOF form.
   *
   * Semantics: iterates Unicode code points (`String.codePointAt`), which
   * is exactly what DuckDB replays via

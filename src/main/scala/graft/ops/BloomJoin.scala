@@ -36,7 +36,26 @@ object BloomJoin {
     * convention. */
   def keyFilter(build: DataFrame, buildKey: String,
                 expectedItems: Long, fpp: Double = 0.03): Column = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate silently clamps both parameters to the
+    // runtime-filter session maxima (Math.min in the constructor) — a
+    // clamped sketch degrades fpp toward 1 and the pre-filter silently
+    // stops pruning. Fail loudly instead: at 100 TB a no-op bloom pass
+    // that LOOKS installed is worse than an error telling the operator
+    // to raise the confs.
+    val sess = build.sparkSession.conf
+    val maxItems = sess.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = sess.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sketch for $expectedItems items needs $numBits bits, over the " +
+        s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits) — " +
+        "BloomFilterAggregate would silently clamp and stop pruning; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits or " +
+        "lower expectedItems/fpp")
     val hashed = XxHash64(Seq(CatalystBridge.expression(build.col(buildKey))), 42L)
     val agg = new BloomFilterAggregate(hashed,
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

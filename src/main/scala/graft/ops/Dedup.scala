@@ -174,7 +174,7 @@ object Dedup {
     * checking. Bits 30-31 and 62-63 are always zero on both sides.
     * Delegates to the codegen'd [[graft.functions.PortableHash62]] — one
     * compiled pass fusing both folds; the builtin-HOF formulation below
-    * is kept as the semantic reference (FunctionsSpec asserts equality). */
+    * is kept as the semantic reference (OpsSpec asserts equality). */
   def portableTokenHash(tok: Column): Column =
     graft.functions.PortableHash62.portableHash62(tok)
 

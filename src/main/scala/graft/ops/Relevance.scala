@@ -28,8 +28,11 @@ object Relevance {
       .filter(length(col("term")) > 0)
 
   /** (doc_id, term, tf) with tf = raw occurrence count — one shuffle on
-    * (doc_id, term), map-side combined. */
-  private def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * (doc_id, term), map-side combined. The ONE tokenization contract
+    * shared by tf-idf, BM25, and `TextAnalysis.repetitionSignals` (and
+    * replayed by their DuckDB oracles): whitespace split, empty tokens
+    * dropped. */
+  private[ops] def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokens(docs, idCol, textCol).groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 

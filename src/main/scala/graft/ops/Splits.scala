@@ -50,11 +50,18 @@ object Splits {
   def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
                   cap: Long): DataFrame = {
     require(cap > 0, "cap must be positive")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("grp_n"))
+    // internal columns carry a reserved prefix so a user frame that
+    // already has e.g. a `grp_n` column can't collide into an
+    // ambiguous-reference error (or a silently wrong filter)
+    val nCol = "_graft_grp_n"
+    val bCol = "_graft_grp_bucket"
+    require(!df.columns.contains(nCol) && !df.columns.contains(bCol),
+      s"input must not contain reserved columns $nCol/$bCol")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nCol))
     df.join(broadcast(counts), groupCol)
-      .withColumn("grp_bucket",
+      .withColumn(bCol,
         pmod(Dedup.portableTokenHash(col(idCol).cast("string")), lit(10000L)))
-      .filter(col("grp_bucket") * col("grp_n") < lit(cap * 10000L))
-      .drop("grp_bucket", "grp_n")
+      .filter(col(bCol) * col(nCol) < lit(cap * 10000L))
+      .drop(bCol, nCol)
   }
 }

@@ -59,11 +59,7 @@ object TextAnalysis {
     * identically in any engine. Docs with no tokens produce no row. */
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    Relevance.termCounts(docs, idCol, textCol)
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),

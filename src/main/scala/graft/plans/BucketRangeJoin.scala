@@ -36,7 +36,10 @@ object BucketRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   private val BucketName = "_graft_ib"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(ConfKey, "false").toBoolean) plan
+    // lenient parse: this rule runs inside the optimizer for EVERY query
+    // in any session that loads GraftExtensions — an unparseable conf
+    // value must mean "off", never an optimizer-time crash
+    if (!conf.getConfString(ConfKey, "false").trim.equalsIgnoreCase("true")) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _)
           if j.resolved && !cond.references.exists(_.name == BucketName) =>
