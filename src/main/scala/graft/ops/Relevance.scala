@@ -31,8 +31,17 @@ object Relevance {
     * (doc_id, term), map-side combined. The ONE tokenization contract
     * shared by tf-idf, BM25, and `TextAnalysis.repetitionSignals` (and
     * replayed by their DuckDB oracles): whitespace split, empty tokens
-    * dropped. */
-  private[ops] def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * dropped.
+    *
+    * Public on purpose: the scoring functions consume this frame through
+    * their `*FromCounts` overloads, and each corpus statistic re-derives
+    * from it, so Catalyst re-executes the explode once per consumer when
+    * the frame is built inline (differing pushed filters defeat
+    * ReuseExchange). At exploratory SF that is fine; at 100 TB
+    * materialize it once — `termCounts(...).persist(...)` for a session,
+    * or written as a table for a corpus queried repeatedly — and every
+    * downstream score becomes a pass over counts instead of text. */
+  def termCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     tokens(docs, idCol, textCol).groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
@@ -47,8 +56,12 @@ object Relevance {
     * results may order differently across engines — int comparison plus
     * the term tie-break is a total order both engines agree on. */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 3): DataFrame = {
-    val tc = termCounts(docs, idCol, textCol)
+                    k: Int = 3): DataFrame =
+    tfIdfTopTermsFromCounts(termCounts(docs, idCol, textCol), k)
+
+  /** [[tfIdfTopTerms]] over a precomputed (doc_id, term, tf) frame —
+    * the scale path (see [[termCounts]]). */
+  def tfIdfTopTermsFromCounts(tc: DataFrame, k: Int = 3): DataFrame = {
     val df_ = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tc.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
     val scored = tc.join(df_, "term")
@@ -73,8 +86,13 @@ object Relevance {
     * set. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 20,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tc = termCounts(docs, idCol, textCol)
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromCounts(termCounts(docs, idCol, textCol), queryTerms, k, k1, b)
+
+  /** [[bm25TopK]] over a precomputed (doc_id, term, tf) frame — the
+    * scale path (see [[termCounts]]). */
+  def bm25TopKFromCounts(tc: DataFrame, queryTerms: Seq[String], k: Int = 20,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // per-doc length from the term-count table (sum of tfs) — no second
     // pass over the raw tokens
     val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
