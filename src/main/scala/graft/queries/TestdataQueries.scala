@@ -64,6 +64,19 @@ object TestdataQueries {
     p
   }
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` scoped down for the
+    * stateful streaming fixtures: each state partition costs a
+    * state-store commit per micro-batch, and the gate's batches carry a
+    * few thousand rows — 32 partitions is pure per-batch overhead at
+    * fixture scale. The checkpoint pins the value at first run, so this
+    * is a fixture-scale knob, not a semantics change (state hashing by
+    * key is partition-count-independent for results). */
+  private def withStreamPartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** The c1 SCD2 test world: a customer-derived dim (keys not divisible
     * by 7, original segments, open since 2020-01-01) merged with a
     * staging snapshot where every 10th key changed segment — shared by
@@ -1830,16 +1843,18 @@ object TestdataQueries {
       val terminals = (0 until 20).map(tm => (s"T$tm", s"C${tm % 7}", false))
         .toDF("terminal_id", "terminal_city", "deleted_flg")
       val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
-      val q = StreamingIngest.startCatalogAppend(cat, "stream_alerts",
-        StreamingIngest.velocityAlerts(s, StreamingIngest.withCity(
-          StreamingIngest.readTransactionStream(s, in.toString), terminals)),
-        scratch.resolve("ckpt").toString)
-      try {
-        q.processAllAvailable()
-        java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
-          java.util.Arrays.asList((hdr +: second.map(line).toSeq): _*))
-        q.processAllAvailable()
-      } finally q.stop()
+      withStreamPartitions(s) {
+        val q = StreamingIngest.startCatalogAppend(cat, "stream_alerts",
+          StreamingIngest.velocityAlerts(s, StreamingIngest.withCity(
+            StreamingIngest.readTransactionStream(s, in.toString), terminals)),
+          scratch.resolve("ckpt").toString)
+        try {
+          q.processAllAvailable()
+          java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
+            java.util.Arrays.asList((hdr +: second.map(line).toSeq): _*))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       cat.read("stream_alerts")
     }),
       Some(s"""WITH raw AS (SELECT * FROM read_csv(
@@ -1929,17 +1944,19 @@ object TestdataQueries {
       java.nio.file.Files.write(in.resolve("transactions_01012024.txt"),
         java.util.Arrays.asList((hdr +: rows.take(600).toSeq): _*))
       val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
-      val q = StreamingIngest.startCatalogAppend(cat, "stream_txns",
-        StreamingIngest.dedupTransactions(
-          StreamingIngest.readTransactionStream(s, in.toString)),
-        scratch.resolve("ckpt").toString)
-      try {
-        q.processAllAvailable()
-        // redelivery of rows 300-599 + the genuinely new 400
-        java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
-          java.util.Arrays.asList((hdr +: rows.drop(300).toSeq): _*))
-        q.processAllAvailable()
-      } finally q.stop()
+      withStreamPartitions(s) {
+        val q = StreamingIngest.startCatalogAppend(cat, "stream_txns",
+          StreamingIngest.dedupTransactions(
+            StreamingIngest.readTransactionStream(s, in.toString)),
+          scratch.resolve("ckpt").toString)
+        try {
+          q.processAllAvailable()
+          // redelivery of rows 300-599 + the genuinely new 400
+          java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
+            java.util.Arrays.asList((hdr +: rows.drop(300).toSeq): _*))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       cat.read("stream_txns")
         .withColumn("amt_c", (col("amt") * 100).cast("long")).drop("amt")
     }),
@@ -1988,25 +2005,27 @@ object TestdataQueries {
       java.nio.file.Files.write(in.resolve("transactions_01012024.txt"),
         java.util.Arrays.asList((hdr +: first.map(line).toSeq): _*))
       val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
-      val q = StreamingIngest.startCatalogAppend(cat, "stream_sessions",
-        StreamingIngest.sessionWindows(
-          StreamingIngest.readTransactionStream(s, in.toString),
-          gapSeconds = 300L),
-        scratch.resolve("ckpt").toString)
-      try {
-        q.processAllAvailable()
-        java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
-          java.util.Arrays.asList((hdr +: second.map(line).toSeq): _*))
-        q.processAllAvailable()
-        // watermark-flush sentinel: far enough ahead that wm = sentinel
-        // - 30 min passes every real session's close (+300 s gap)
-        val maxMillis = rows.map(_.getTimestamp(1).getTime).max
-        val flush = java.time.Instant.ofEpochMilli(maxMillis + 100000L * 1000L)
-        java.nio.file.Files.write(in.resolve("transactions_03012024.txt"),
-          java.util.Arrays.asList(hdr,
-            s"TXFLUSH;${fmt.format(flush)};CFLUSH;PAY;1,00;OK;T0"))
-        q.processAllAvailable()
-      } finally q.stop()
+      withStreamPartitions(s) {
+        val q = StreamingIngest.startCatalogAppend(cat, "stream_sessions",
+          StreamingIngest.sessionWindows(
+            StreamingIngest.readTransactionStream(s, in.toString),
+            gapSeconds = 300L),
+          scratch.resolve("ckpt").toString)
+        try {
+          q.processAllAvailable()
+          java.nio.file.Files.write(in.resolve("transactions_02012024.txt"),
+            java.util.Arrays.asList((hdr +: second.map(line).toSeq): _*))
+          q.processAllAvailable()
+          // watermark-flush sentinel: far enough ahead that wm = sentinel
+          // - 30 min passes every real session's close (+300 s gap)
+          val maxMillis = rows.map(_.getTimestamp(1).getTime).max
+          val flush = java.time.Instant.ofEpochMilli(maxMillis + 100000L * 1000L)
+          java.nio.file.Files.write(in.resolve("transactions_03012024.txt"),
+            java.util.Arrays.asList(hdr,
+              s"TXFLUSH;${fmt.format(flush)};CFLUSH;PAY;1,00;OK;T0"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       cat.read("stream_sessions").filter(col("card_num") =!= "CFLUSH")
     }),
       Some(s"""WITH raw AS (SELECT * FROM read_csv(
