@@ -1390,6 +1390,26 @@ object TestdataQueries {
              |  FROM events)""".stripMargin)),
 
     // ------------------------------------------------- text statistics
+    // ------------------------------------- approx percentile (t-digest)
+    // percentile_approx beside the exact percentile, same pattern as
+    // x_approx_distinct: the oracle recomputes the EXACT median and
+    // pins the approx within a tolerance band in-plan (the sketch path
+    // is the 100 TB default — a single-pass mergeable summary instead
+    // of a full sort — and the property proves it lands on target).
+    "x_approx_percentile" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n_tokens, 0.5)").as("p50_exact"),
+          expr("percentile_approx(n_tokens, 0.5, 100)").as("approx"))
+        .select(col("lang"), col("p50_exact"),
+          (abs(col("approx") - col("p50_exact")) <=
+            greatest(col("p50_exact") * 0.1, lit(2.0))).as("approx_ok"))),
+      Some("""SELECT lang,
+             |  quantile_cont(CAST(len(string_split(text, ' ')) AS BIGINT), 0.5) AS p50_exact,
+             |  TRUE AS approx_ok
+             |FROM documents GROUP BY lang""".stripMargin)),
+
     // --------------------------------- repetition / diversity signals
     // TextAnalysis.repetitionSignals: max-term-frequency ratio and
     // type-token ratio per doc (the Gopher repetition rules). Ratios are
