@@ -111,6 +111,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch top-k retrieval: answers MANY queries in one bucket-local
+    * pass — the batch-inference shape ([[lshTopK]] collects a single
+    * query vector to the driver; when queries are themselves a table,
+    * the right plan is an equi-join on the LSH bucket, with multi-probe
+    * as a bounded explode of the query side). Per-query ranking orders
+    * by unrounded cosine with the candidate id as tie-break. Returns
+    * (qid, cid, cos_sim, rk). */
+  def batchTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int = 5, planes: Int = 8, dim: Int = 64,
+                probes: Int = 1): DataFrame = {
+    val c = withLshBucket(corpus, vecCol, planes, dim)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        col("lsh_bucket").as("cb"))
+      .withColumn("cnrm", norm(col("cv")))
+    val q0 = withLshBucket(queries, qvecCol, planes, dim)
+      .select(col(qidCol).as("qid"), col(qvecCol).as("qv"),
+        col("lsh_bucket").as("qb"))
+      .withColumn("qnrm", norm(col("qv")))
+    // multi-probe = the query's bucket plus its hamming-1 flips; buckets
+    // are distinct, so a candidate pairs with a query at most once
+    val targets: Column =
+      if (probes <= 1) array(col("qb"))
+      else array(col("qb") +:
+        (0 until planes).map(i => col("qb").bitwiseXOR(lit(1 << i))): _*)
+    val pairs = q0.withColumn("tb", explode(targets))
+      .join(c, col("tb") === col("cb"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm")))
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Approximate k-NN graph: each vector's top-`k` cosine neighbors among
     * vectors sharing its LSH bucket — the all-pairs primitive behind
     * near-dup clustering, diversity sampling, and graph-based ANN index

@@ -1320,6 +1320,35 @@ object TestdataQueries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS clusters_ok,
              |  TRUE AS scores_nonneg FROM events""".stripMargin)),
 
+    // --------------------------------------------- batch ANN retrieval
+    // Similarity.batchTopK: five query vectors answered in ONE
+    // bucket-equi-join pass with hamming-1 multi-probe (the query side
+    // explodes to its probe set — never a per-query driver loop).
+    // DuckDB recomputes buckets, probe sets (xor bit flips), and the
+    // per-query ranking.
+    "x_ann_batch" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.batchTopK(
+        e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, planes = 6, probes = 2)
+        .select(col("qid"), col("cid"), col("rk"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+    }),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bk AS (SELECT vec_id, v, ${bucketSql(6)} AS bucket FROM e),
+             |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM bk WHERE vec_id < 5),
+             |c AS (SELECT vec_id AS cid, v AS cv, bucket AS cb FROM bk WHERE vec_id >= 5),
+             |probes AS (SELECT qid, qv,
+             |    CASE WHEN f = -1 THEN qb ELSE xor(qb, (1 << f)) END AS tb
+             |  FROM q CROSS JOIN (SELECT unnest(range(-1, 6)) AS f) t),
+             |p AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cs
+             |  FROM probes JOIN c ON c.cb = probes.tb),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY cs DESC, cid) AS rk FROM p)
+             |SELECT qid, cid, CAST(rk AS INTEGER) AS rk, round(cs, 4) AS cos_sim
+             |FROM rk WHERE rk <= 5""".stripMargin)),
+
     // ------------------------------------------------------ k-NN graph
     // Similarity.knnGraph: each vector's top-3 cosine neighbors within
     // its LSH bucket — bucket-local candidate join, never all-pairs.

@@ -209,6 +209,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L)._1 === 1L && math.abs(out(2L)._2 - 1.0) < 1e-9)
   }
 
+  test("batch ANN: each query finds its identical corpus vector at rank 1") {
+    val vecs = (0 until 3).map { j =>
+      Array.tabulate(64)(i => if (i == j * 20) 1.0f else 0.02f * (i % 5))
+    }
+    val queries = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.zipWithIndex.map { case (v, i) => (100L + i, v) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.batchTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1, planes = 4, probes = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0 until 3).foreach { i =>
+      assert(out(i.toLong)._1 === 100L + i, s"query $i")
+      assert(math.abs(out(i.toLong)._2 - 1.0) < 1e-9)
+    }
+  }
+
   test("random projection: basis vector projects to the plane's component") {
     val basis5 = Array.tabulate(64)(i => if (i == 5) 1.0f else 0.0f)
     val out = Similarity.randomProject(
@@ -270,6 +287,20 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     val out2 = graft.ops.BloomJoin.inner(pq, build, "k", "bk", expectedItems = 10)
     assert(out2.queryExecution.executedPlan.toString.contains("might_contain"))
     assert(out2.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+  }
+
+  test("bloom join: oversized sketch and bad params fail loudly, not silently clamp") {
+    val build = Seq((1L, "a")).toDF("bk", "bv")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.BloomJoin.keyFilter(build, "bk", expectedItems = 100000000L)
+    }
+    assert(e.getMessage.contains("maxNumBits"))
+    assertThrows[IllegalArgumentException] {
+      graft.ops.BloomJoin.keyFilter(build, "bk", expectedItems = 0L)
+    }
+    assertThrows[IllegalArgumentException] {
+      graft.ops.BloomJoin.keyFilter(build, "bk", expectedItems = 10L, fpp = 1.5)
+    }
   }
 
   test("salted equi-join ≡ plain join on a hot-key fixture") {
