@@ -1204,6 +1204,56 @@ object TestdataQueries {
              |SELECT doc_id, n_chars FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
 
+    // ------------------------------- corpus curation pipeline END TO END
+    // The c9 of the extension surface: near-dup dedup (exact-Jaccard
+    // pairs → connected components → canonical survivors) → per-language
+    // rebalancing (hash cap at 100) → deterministic train/val/test
+    // splits → per-(lang, split) doc and token counts. One composite
+    // oracle replays the whole chain — closure, hash caps, split
+    // thresholds, token counts — so a drift in ANY stage moves the
+    // final aggregates and fails the hash.
+    "x_curation_pipeline" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000)
+      val deduped = Dedup.dedupCorpus(docs, "doc_id", pairs)
+      val balanced = graft.ops.Splits.capPerGroup(deduped, "doc_id", "lang", cap = 100L)
+      graft.ops.Splits.assignSplit(balanced, "doc_id")
+        .select(col("lang"), col("split"),
+          TextAnalysis.tokenCount(col("text")).as("nt"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    }),
+      Some(s"""WITH RECURSIVE ${trigramPairsSql(0.5)},
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach AS (SELECT id AS a, id AS b FROM nodes
+             |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> min(b)),
+             |kept AS (SELECT doc_id, lang, text FROM documents
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+             |h AS (SELECT doc_id, lang, text,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 31 + c) % 1000000007)
+             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+             |        c -> CAST(ord(c) AS BIGINT))),
+             |      (acc, c) -> (acc * 37 + c) % 998244353) * 4294967296)) % 10000 AS bucket
+             |  FROM kept),
+             |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_n FROM kept GROUP BY lang),
+             |bal AS (SELECT h.doc_id, h.lang, h.text, h.bucket FROM h
+             |  JOIN n ON h.lang = n.lang WHERE bucket * grp_n < 100 * 10000),
+             |sp AS (SELECT lang, text,
+             |    CASE WHEN bucket < 8000 THEN 'train'
+             |         WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+             |  FROM bal)
+             |SELECT lang, split, count(*) AS n_docs,
+             |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+             |FROM sp GROUP BY lang, split""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count
