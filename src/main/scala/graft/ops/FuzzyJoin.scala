@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance record linkage (fuzzy join) at corpus scale.
+  *
+  * The naive formulation — `a JOIN b ON levenshtein(a.s, b.s) <= k` — is
+  * an all-pairs cross join: O(|A|·|B|) distance evaluations, unrunnable
+  * at 100 TB. This operator uses *deletion-neighborhood blocking* (the
+  * FastSS / symmetric-delete family): every string generates the set of
+  * variants obtainable by deleting at most `k` characters, both sides
+  * are exploded on those keys, and candidates are pairs sharing a key.
+  *
+  * Completeness (why no true pair is missed): if `lev(a, b) <= k`, an
+  * edit script of length ≤ k transforms `a` into `b`; deleting from `a`
+  * the positions the script substitutes/deletes, and from `b` the
+  * positions it substitutes/inserts, leaves the same string — so some
+  * `da ∈ del≤k(a)` equals some `db ∈ del≤k(b)`, and the pair shares the
+  * key `da`. Exact `levenshtein` then filters false candidates, so the
+  * result is EXACTLY the naive join's, at index-join cost.
+  *
+  * Scale shape: a string of length L yields 1+L keys at k=1 (O(L²) at
+  * k=2) — the exploded index is a small constant factor of the input,
+  * shuffled on short key strings. Two shuffles end-to-end: (key) for the
+  * candidate join, (pair) for the dedup. Hot keys (one deletion shared
+  * by a huge near-identical cluster) are the skew hazard, bounded by
+  * `maxKeyFreq` exactly like `Dedup.ngramJaccard`'s `maxDocFreq`: keys
+  * matching more than that many rows on either side are dropped from
+  * pair generation (a pair is lost only if ALL its shared keys are hot —
+  * which at a sane cap means a duplicate clique better collapsed by
+  * [[Dedup.exact]] first).
+  */
+object FuzzyJoin {
+
+  /** All strings obtainable from `str` by deleting at most one character
+    * (the string itself included), distinct. `sequence(1, 0)` DESCENDS in
+    * Spark, so the empty string is guarded explicitly. */
+  def deletions1(str: Column): Column = {
+    val deletes = when(length(str) >= 1,
+      transform(sequence(lit(1), length(str)), i =>
+        concat(str.substr(lit(1), i - 1), str.substr(i + 1, length(str)))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(concat(array(str), deletes))
+  }
+
+  /** Deletion neighborhood with up to `k` deletions (k ∈ {1, 2}). k=2 is
+    * the 1-deletion set of every 1-deletion variant — already "at most",
+    * since each variant set includes its own source. */
+  def deletionKeys(str: Column, k: Int): Column = {
+    require(k == 1 || k == 2, s"maxDist must be 1 or 2, got $k")
+    if (k == 1) deletions1(str)
+    else array_distinct(flatten(transform(deletions1(str), v => deletions1(v))))
+  }
+
+  /** Fuzzy join: all (left, right) row pairs whose strings are within
+    * levenshtein distance `maxDist`. Output columns are the four input
+    * columns plus `dist` (bigint). Null/empty join strings never match.
+    *
+    * The exact-distance filter uses Spark's thresholded `levenshtein`
+    * (early-exit once the running distance exceeds the threshold — the
+    * band-limited DP is O(k·L) per pair instead of O(L²)). */
+  def join(left: DataFrame, leftId: String, leftStr: String,
+           right: DataFrame, rightId: String, rightStr: String,
+           maxDist: Int, maxKeyFreq: Long = 10000): DataFrame = {
+    require(Set(leftId, leftStr, rightId, rightStr).size == 4,
+      "left/right id and string column names must all be distinct " +
+        "(alias before joining) — the output carries all four")
+    def indexed(df: DataFrame, id: String, str: String): DataFrame =
+      df.filter(col(str).isNotNull && length(col(str)) > 0)
+        .select(col(id), col(str),
+          explode(deletionKeys(col(str), maxDist)).as("dk"))
+
+    def capped(ix: DataFrame): DataFrame =
+      ix.join(
+        ix.groupBy("dk").agg(count(lit(1)).as("kf"))
+          .filter(col("kf") <= maxKeyFreq).select("dk"),
+        Seq("dk"))
+
+    val l = capped(indexed(left, leftId, leftStr)).alias("l")
+    val r = capped(indexed(right, rightId, rightStr)).alias("r")
+    l.join(r, col("l.dk") === col("r.dk"))
+      .select(col(s"l.$leftId"), col(s"l.$leftStr"),
+        col(s"r.$rightId"), col(s"r.$rightStr"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col(leftStr), col(rightStr), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Scd2
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, FuzzyJoin, Similarity, TextAnalysis}
 import graft.rules.FraudRules
 import scala.jdk.CollectionConverters._
 
@@ -1253,6 +1253,36 @@ object TestdataQueries {
              |SELECT lang, split, count(*) AS n_docs,
              |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
              |FROM sp GROUP BY lang, split""".stripMargin)),
+
+    // ---------------------------------------------------- fuzzy join
+    // Edit-distance record linkage: a deterministically-corrupted "dirty
+    // feed" (every third part, one character deleted at a key-derived
+    // position) is linked back to the distinct part-name catalog within
+    // levenshtein <= 1. The oracle is the NAIVE ALL-PAIRS join — a hash
+    // match proves the deletion-neighborhood blocking misses no pair.
+    "x_fuzzy_join" -> (((s: SparkSession, dir: String) => {
+      val part = t(s, dir, "part")
+      val catalog = part.groupBy(col("p_name").as("cat_name"))
+        .agg(min(col("p_partkey")).as("cat_id"))
+      val feed = part.filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("feed_id"),
+          expr("concat(substring(p_name, 1, cast(p_partkey % length(p_name) as int)), " +
+            "substring(p_name, cast(p_partkey % length(p_name) as int) + 2))")
+            .as("feed_name"))
+      FuzzyJoin.join(feed, "feed_id", "feed_name",
+        catalog, "cat_id", "cat_name", maxDist = 1)
+    }),
+      Some("""WITH catalog AS (
+             |  SELECT p_name AS cat_name, min(p_partkey) AS cat_id
+             |  FROM part GROUP BY p_name),
+             |feed AS (SELECT p_partkey AS feed_id,
+             |    substring(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
+             |    substring(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2) AS feed_name
+             |  FROM part WHERE p_partkey % 3 = 0)
+             |SELECT f.feed_id, f.feed_name, c.cat_id, c.cat_name,
+             |  CAST(levenshtein(f.feed_name, c.cat_name) AS BIGINT) AS dist
+             |FROM feed f JOIN catalog c
+             |  ON levenshtein(f.feed_name, c.cat_name) <= 1""".stripMargin)),
 
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
