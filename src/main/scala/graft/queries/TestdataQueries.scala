@@ -144,6 +144,13 @@ object TestdataQueries {
     * values are embedded as list literals (Scala Double.toString is the
     * shortest round-trip representation, so DuckDB parses back the exact
     * same doubles and the bucket bits agree bit-for-bit). */
+  /** The 16-bit Morton interleave as literal DuckDB SQL over `zx`/`zy` —
+    * the same 32 shift/mask terms ZOrder.zValue builds as Columns. */
+  private def interleave16Sql: String =
+    (0 until 16).map(i =>
+      s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+
   private def bucketSql(planes: Int, dim: Int = 64): String =
     graft.ops.Similarity.hyperplanes(planes, dim).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1 << i} ELSE 0 END)"
@@ -1283,6 +1290,32 @@ object TestdataQueries {
              |  CAST(levenshtein(f.feed_name, c.cat_name) AS BIGINT) AS dist
              |FROM feed f JOIN catalog c
              |  ON levenshtein(f.feed_name, c.cat_name) <= 1""".stripMargin)),
+
+    // -------------------------------------------------- z-order layout
+    // Morton-curve clustering key over (user, time): min-max integral
+    // scaling to 16 bits per dimension + bit interleave — exact integer
+    // arithmetic end to end, which the oracle replays term by term. The
+    // layout property (clustered files get tight envelopes on BOTH
+    // dims) is ZOrderSpec's; the gate pins the curve computation.
+    "x_zorder" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("user_id").as("uid"), unix_timestamp(col("ts")).as("es"))
+      graft.ops.ZOrder.withZ(ev, "uid", "es", bits = 16)
+        .select(col("event_id"), col("zx"), col("zy"), col("z"))
+    }),
+      Some(s"""WITH e AS (SELECT event_id, user_id AS uid,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+             |b AS (SELECT min(uid) AS xmin, max(uid) AS xmax,
+             |    min(es) AS ymin, max(es) AS ymax FROM e),
+             |sc AS (SELECT event_id,
+             |    CASE WHEN xmax = xmin THEN CAST(0 AS BIGINT)
+             |      ELSE ((uid - xmin) * 65535) // (xmax - xmin) END AS zx,
+             |    CASE WHEN ymax = ymin THEN CAST(0 AS BIGINT)
+             |      ELSE ((es - ymin) * 65535) // (ymax - ymin) END AS zy
+             |  FROM e CROSS JOIN b)
+             |SELECT event_id, zx, zy,
+             |  $interleave16Sql AS z
+             |FROM sc""".stripMargin)),
 
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the

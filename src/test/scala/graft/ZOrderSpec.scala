@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.ZOrder
+import java.nio.file.Files
+
+/** The Morton curve itself (golden values + integral scaling), and the
+  * property that pays for it: a z-clustered write gives every output
+  * file a tight min/max envelope on BOTH dimensions — the precondition
+  * for parquet row-group skipping under 2-D range predicates. */
+class ZOrderSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("zValue interleaves bits (golden values)") {
+    val got = Seq((3L, 1L), (0L, 3L), (5L, 0L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", 16).as("z"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(7L, 10L, 17L, 4294967295L))
+  }
+
+  test("scale maps endpoints exactly and constants to zero") {
+    val got = Seq(10L, 15L, 20L).toDF("v")
+      .select(ZOrder.scale($"v", lit(10L), lit(20L), 16).as("s"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(0L, 32767L, 65535L)) // (5*65535) div 10 = 32767
+    val const = Seq(7L).toDF("v")
+      .select(ZOrder.scale($"v", lit(7L), lit(7L), 16).as("s"))
+      .as[Long].head()
+    assert(const === 0L)
+  }
+
+  test("clustered write yields tight per-file envelopes on BOTH dims") {
+    // a full 64x64 grid; insertion order irrelevant (cluster reshuffles)
+    val grid = (0 until 4096)
+      .map(i => ((i % 64).toLong, (i / 64).toLong)).toDF("x", "y")
+    val dir = Files.createTempDirectory("zorder").toString
+    ZOrder.cluster(grid, "x", "y", bits = 6, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+
+    val back = spark.read.parquet(dir)
+    // content preserved
+    assert(back.count() === 4096L)
+    assert(back.select("x", "y").as[(Long, Long)].collect().toSet
+      === grid.as[(Long, Long)].collect().toSet)
+
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(avg($"sx").as("ax"), avg($"sy").as("ay"), count(lit(1)).as("nf"))
+      .head()
+    val (ax, ay, nf) = (spans.getDouble(0), spans.getDouble(1), spans.getLong(2))
+    assert(nf >= 8, s"expected a multi-file layout, got $nf files")
+    // global span is 63 on each dim; a 1-D sort leaves the other dim at
+    // ~63 per file, while the z-curve boxes both. Bound generously above
+    // the ideal 16x16 tile (span 15) to absorb range-boundary jitter.
+    assert(ax < 32.0, s"x envelope too wide: $ax")
+    assert(ay < 32.0, s"y envelope too wide: $ay")
+  }
+}
