@@ -1415,6 +1415,39 @@ object TestdataQueries {
     // full-data invariants instead (row count from the real table, score
     // nonnegativity, cluster-id range). The feature engineering half of
     // the operator has a full value-level oracle in x_anomaly_features.
+    // ---------------------------------------- online z-score anomaly
+    // The stateful streaming scorer (StreamingIngest.zscoreAlerts) in
+    // BATCH mode: each event scores against the card's PRIOR amount
+    // history via exact integer moments (n, Σcents, Σcents²), alerting
+    // when (n·x − S)² > k²(nQ − S²). Every output column is an exact
+    // int64 DuckDB recomputes with running window sums; only the final
+    // comparison squares in double (identical IEEE multiply on both
+    // engines). Cross-micro-batch state equivalence is StreamingSpec's.
+    "x_anomaly_zscore" -> (((s: SparkSession, dir: String) => {
+      val txns = t(s, dir, "events").select(
+        col("user_id").cast("string").as("card_num"),
+        col("ts").as("trans_date"),
+        col("event_id").cast("string").as("trans_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      graft.streaming.StreamingIngest.zscoreAlerts(s, txns, k = 2, minN = 5L)
+    }),
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS card_num,
+             |    CAST(event_id AS VARCHAR) AS trans_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+             |w AS (SELECT card_num, trans_id, cents,
+             |    CAST(count(*) OVER pw AS BIGINT) AS n_prior,
+             |    CAST(coalesce(sum(cents) OVER pw, 0) AS BIGINT) AS s,
+             |    CAST(coalesce(sum(cents * cents) OVER pw, 0) AS BIGINT) AS q
+             |  FROM e WINDOW pw AS (PARTITION BY card_num ORDER BY es, trans_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT card_num, trans_id, cents, n_prior,
+             |  n_prior * cents - s AS score_num,
+             |  n_prior * q - s * s AS score_den
+             |FROM w WHERE n_prior >= 5
+             |  AND CAST(n_prior * cents - s AS DOUBLE) * CAST(n_prior * cents - s AS DOUBLE)
+             |      > 4 * CAST(n_prior * q - s * s AS DOUBLE)""".stripMargin)),
+
     "x_anomaly_kmeans" -> (((s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events").select(
         col("user_id"), col("event_id"), col("ts"), col("value"))

@@ -266,4 +266,113 @@ object StreamingIngest {
       }
       .toDF()
   }
+
+  final case class AmtEvent(card_num: String, trans_date: java.sql.Timestamp,
+                            trans_id: String, cents: Long) {
+    def tsMillis: Long = (trans_date.getTime / 1000L) * 1000L
+  }
+  /** Per-card running moments in EXACT integer cents: count, sum, sum of
+    * squares. Integer state is what makes the alert predicate replayable
+    * bit-for-bit by the batch window formulation and the DuckDB oracle —
+    * a Welford double accumulator would drift with summation order. */
+  final case class ZState(n: Long, sum: Long, sumSq: Long, lastTsMillis: Long)
+  final case class ZAlert(card_num: String, trans_id: String, cents: Long,
+                          n_prior: Long, score_num: Long, score_den: Long)
+
+  /** Amount-deviation alerts: flags a transaction whose amount is more
+    * than `k` standard deviations from the card's PRIOR history (at
+    * least `minN` earlier transactions) — the streaming sibling of the
+    * batch KMeans scorer in [[graft.ops.Anomaly]], as online moments
+    * instead of a trained model.
+    *
+    * The test `(x − μ)² > k²σ²` is evaluated without ever forming μ or
+    * σ: with S = Σx, Q = Σx² over the n prior amounts, it rewrites to
+    * `(n·x − S)² > k²·(n·Q − S²)` — every subexpression an EXACT int64
+    * (amounts are cents), so streaming state, the batch window path,
+    * and the SQL oracle agree to the bit. Only the final comparison
+    * squares in double (the product would exceed int64); an IEEE
+    * multiply of identical operands is identical everywhere, so the
+    * filter stays deterministic. Numeric envelope: per-card S² < 2^63
+    * means |cents|·n < 3·10⁹ per key — beyond that, feed dollars not
+    * cents. A constant-history card (σ = 0) alerts on ANY deviation,
+    * the natural reading.
+    *
+    * Streaming: per-card state is one `ZState` record, evicted by
+    * event-time timeout after `evictSeconds` of inactivity; the check
+    * runs BEFORE the update, so each row scores against strictly prior
+    * history — exactly the batch path's 1-PRECEDING window. Late rows
+    * (older than the card's state) score but don't update the moments —
+    * the same forward-only discipline as [[velocityAlerts]]; batch and
+    * stream agree whenever delivery order respects event time
+    * (StreamingSpec pins the two-batch case).
+    *
+    * Batch: expanding window sums per card — hits AggregateWindowFunction
+    * codegen and SPILLS under pressure instead of buffering a hot card
+    * in one heap (the same trade as velocityAlerts' batch mode). */
+  def zscoreAlerts(spark: SparkSession, txns: DataFrame,
+                   k: Int = 3, minN: Long = 5L,
+                   evictSeconds: Long = 86400L): DataFrame =
+    if (txns.isStreaming) zscoreAlertsStateful(spark, txns, k, minN, evictSeconds)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("card_num")
+        .orderBy(col("_ts"), col("trans_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      txns
+        .withColumn("_ts", unix_timestamp(col("trans_date")))
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("_s", coalesce(sum(col("cents")).over(w), lit(0L)))
+        .withColumn("_q", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+        .withColumn("score_num", col("n_prior") * col("cents") - col("_s"))
+        .withColumn("score_den", col("n_prior") * col("_q") - col("_s") * col("_s"))
+        .filter(col("n_prior") >= minN &&
+          col("score_num").cast("double") * col("score_num").cast("double") >
+            lit((k.toLong * k).toDouble) * col("score_den").cast("double"))
+        .select(col("card_num"), col("trans_id"), col("cents"),
+          col("n_prior"), col("score_num"), col("score_den"))
+    }
+
+  /** The stateful streaming implementation behind [[zscoreAlerts]]. */
+  private def zscoreAlertsStateful(spark: SparkSession, txns: DataFrame,
+                                   k: Int, minN: Long,
+                                   evictSeconds: Long): DataFrame = {
+    import spark.implicits._
+    val streaming = txns.isStreaming
+    val k2 = (k.toLong * k).toDouble
+    val events = txns
+      .withWatermark("trans_date", "2 hours")
+      .select(col("card_num"), col("trans_date"), col("trans_id"), col("cents"))
+      .as[AmtEvent]
+    events.groupByKey(_.card_num)
+      .flatMapGroupsWithState[ZState, ZAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (card, rows, state: GroupState[ZState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMillis, e.trans_id))
+            var st = state.getOption.getOrElse(ZState(0L, 0L, 0L, Long.MinValue))
+            val alerts = Seq.newBuilder[ZAlert]
+            sorted.foreach { e =>
+              val num = st.n * e.cents - st.sum
+              val den = st.n * st.sumSq - st.sum * st.sum
+              if (st.n >= minN &&
+                  num.toDouble * num.toDouble > k2 * den.toDouble)
+                alerts += ZAlert(card, e.trans_id, e.cents, st.n, num, den)
+              // forward-only: a late row (admitted by the watermark but
+              // older than the state) scores against the state yet never
+              // updates it — moments stay in event-time order
+              if (e.tsMillis >= st.lastTsMillis)
+                st = ZState(st.n + 1, st.sum + e.cents,
+                  st.sumSq + e.cents * e.cents, e.tsMillis)
+            }
+            state.update(st)
+            if (streaming)
+              state.setTimeoutTimestamp(st.lastTsMillis + evictSeconds * 1000L)
+            alerts.result().iterator
+          }
+      }
+      .toDF()
+  }
 }

@@ -94,6 +94,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("zscoreAlerts: streaming state across micro-batches equals the batch window path") {
+    implicit val sc = spark.sqlContext
+    // card K1: five flat amounts (10.00), then a spike and a normal row
+    // arriving in a SECOND micro-batch — the spike must score against
+    // batch 1's accumulated moments. K2 never reaches minN.
+    val batch1 = Seq(
+      ("K1", ts("2021-01-01 10:00:00"), "A1", 1000L),
+      ("K1", ts("2021-01-01 10:05:00"), "A2", 1000L),
+      ("K1", ts("2021-01-01 10:10:00"), "A3", 1010L),
+      ("K1", ts("2021-01-01 10:15:00"), "A4", 990L),
+      ("K1", ts("2021-01-01 10:20:00"), "A5", 1000L),
+      ("K2", ts("2021-01-01 10:00:00"), "B1", 5000L))
+    val batch2 = Seq(
+      ("K1", ts("2021-01-01 10:25:00"), "A6", 9900L), // spike -> alert
+      ("K1", ts("2021-01-01 10:30:00"), "A7", 1000L), // pulled mean: still far? scored vs history incl. spike
+      ("K2", ts("2021-01-01 10:05:00"), "B2", 5100L))
+    val cols = Seq("card_num", "trans_date", "trans_id", "cents")
+
+    val mem = MemoryStream[(String, Timestamp, String, Long)]
+    val q = StreamingIngest.zscoreAlerts(spark, mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("zalerts")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("zalerts")
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      val batchOut = StreamingIngest.zscoreAlerts(spark,
+          (batch1 ++ batch2).toDF(cols: _*))
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batchOut)
+      // the spike itself alerts with exact integer scores
+      val spike = streamed.find(_._2 == "A6").get
+      assert(spike === (("K1", "A6", 9900L, 5L, 44500L, 1000L)))
+    } finally q.stop()
+  }
+
   test("file-source → catalog: kill, resume from checkpoint, rows equal the batch path") {
     val root = java.nio.file.Files.createTempDirectory("stream-cat")
     val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
