@@ -56,6 +56,10 @@ object FuzzyJoin {
   /** Fuzzy join: all (left, right) row pairs whose strings are within
     * levenshtein distance `maxDist`. Output columns are the four input
     * columns plus `dist` (bigint). Null/empty join strings never match.
+    * (id, str) is treated as the row key: a side containing the SAME
+    * (id, str) row twice contributes each match once, not twice — the
+    * pair-dedup that collapses multi-key candidates collapses duplicate
+    * input rows with them.
     *
     * The exact-distance filter uses Spark's thresholded `levenshtein`
     * (early-exit once the running distance exceeds the threshold — the
@@ -66,10 +70,16 @@ object FuzzyJoin {
     require(Set(leftId, leftStr, rightId, rightStr).size == 4,
       "left/right id and string column names must all be distinct " +
         "(alias before joining) — the output carries all four")
+    // the explicit repartition on `dk` inserts ONE exchange that
+    // ReuseExchange dedups across the frequency agg and the join probe —
+    // without it the explode (O(L) keys per row at k=1, O(L²) at k=2)
+    // runs twice per side (the same trap ngramJaccard's round-2 fix
+    // documents on `shingle`)
     def indexed(df: DataFrame, id: String, str: String): DataFrame =
       df.filter(col(str).isNotNull && length(col(str)) > 0)
         .select(col(id), col(str),
           explode(deletionKeys(col(str), maxDist)).as("dk"))
+        .repartition(col("dk"))
 
     def capped(ix: DataFrame): DataFrame =
       ix.join(

@@ -34,14 +34,19 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Min-max scale a long column into [0, 2^bits) with INTEGRAL
-    * arithmetic only: ((v − min) · (2^bits − 1)) div (max − min).
-    * Double scaling would round differently in the last ulp across
-    * engines; integral division is exact everywhere. A constant column
-    * (max = min) scales to 0. */
+  /** Quantize a long column into [0, 2^bits) buckets with INTEGRAL
+    * arithmetic only: (v − min) div w, where the bucket width
+    * w = (max − min) div 2^bits + 1. Division-first never overflows
+    * (a multiply-then-divide min-max scale would overflow int64 on
+    * wide-range columns like epoch micros); double scaling would round
+    * differently in the last ulp across engines. A constant column
+    * (w = 1, v = min) quantizes to 0; a domain narrower than 2^bits is
+    * mapped by identity-of-offset (small domains don't need all bits).
+    * The one envelope left: each dimension's span max − min must itself
+    * fit in int64 — i.e. don't z-order a column straddling ±2^62. */
   def scale(v: Column, minV: Column, maxV: Column, bits: Int): Column =
-    when(maxV === minV, lit(0L)).otherwise(
-      call_function("div", (v - minV) * lit((1L << bits) - 1), maxV - minV))
+    call_function("div", v - minV,
+      call_function("div", maxV - minV, lit(1L << bits)) + lit(1L))
 
   /** Attach `zx`, `zy` (scaled dims) and `z` (interleaved) to `df`.
     * Global bounds come from one column-pruned agg pass broadcast back

@@ -139,11 +139,6 @@ object TestdataQueries {
        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= $minJaccard)""".stripMargin
 
-  /** DuckDB expression for the sign-bit LSH bucket of `v DOUBLE[]` under
-    * the SAME deterministic hyperplanes Similarity uses — the plane
-    * values are embedded as list literals (Scala Double.toString is the
-    * shortest round-trip representation, so DuckDB parses back the exact
-    * same doubles and the bucket bits agree bit-for-bit). */
   /** The 16-bit Morton interleave as literal DuckDB SQL over `zx`/`zy` —
     * the same 32 shift/mask terms ZOrder.zValue builds as Columns. */
   private def interleave16Sql: String =
@@ -151,6 +146,11 @@ object TestdataQueries {
       s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " | ", ")")
 
+  /** DuckDB expression for the sign-bit LSH bucket of `v DOUBLE[]` under
+    * the SAME deterministic hyperplanes Similarity uses — the plane
+    * values are embedded as list literals (Scala Double.toString is the
+    * shortest round-trip representation, so DuckDB parses back the exact
+    * same doubles and the bucket bits agree bit-for-bit). */
   private def bucketSql(planes: Int, dim: Int = 64): String =
     graft.ops.Similarity.hyperplanes(planes, dim).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1 << i} ELSE 0 END)"
@@ -1308,10 +1308,8 @@ object TestdataQueries {
              |b AS (SELECT min(uid) AS xmin, max(uid) AS xmax,
              |    min(es) AS ymin, max(es) AS ymax FROM e),
              |sc AS (SELECT event_id,
-             |    CASE WHEN xmax = xmin THEN CAST(0 AS BIGINT)
-             |      ELSE ((uid - xmin) * 65535) // (xmax - xmin) END AS zx,
-             |    CASE WHEN ymax = ymin THEN CAST(0 AS BIGINT)
-             |      ELSE ((es - ymin) * 65535) // (ymax - ymin) END AS zy
+             |    (uid - xmin) // ((xmax - xmin) // 65536 + 1) AS zx,
+             |    (es - ymin) // ((ymax - ymin) // 65536 + 1) AS zy
              |  FROM e CROSS JOIN b)
              |SELECT event_id, zx, zy,
              |  $interleave16Sql AS z
@@ -1410,11 +1408,6 @@ object TestdataQueries {
       Some("""SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results,
              |  TRUE AS recall_ok, TRUE AS top50_ok""".stripMargin)),
 
-    // ------------------------------- MLlib anomaly scoring (property oracle)
-    // KMeans centroids are not SQL-replayable; the oracle pins the
-    // full-data invariants instead (row count from the real table, score
-    // nonnegativity, cluster-id range). The feature engineering half of
-    // the operator has a full value-level oracle in x_anomaly_features.
     // ---------------------------------------- online z-score anomaly
     // The stateful streaming scorer (StreamingIngest.zscoreAlerts) in
     // BATCH mode: each event scores against the card's PRIOR amount
@@ -1428,7 +1421,7 @@ object TestdataQueries {
         col("user_id").cast("string").as("card_num"),
         col("ts").as("trans_date"),
         col("event_id").cast("string").as("trans_id"),
-        floor(col("value") * 100).cast("long").as("cents"))
+        cents(col("value")).as("cents"))
       graft.streaming.StreamingIngest.zscoreAlerts(s, txns, k = 2, minN = 5L)
     }),
       Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS card_num,
@@ -1448,6 +1441,11 @@ object TestdataQueries {
              |  AND CAST(n_prior * cents - s AS DOUBLE) * CAST(n_prior * cents - s AS DOUBLE)
              |      > 4 * CAST(n_prior * q - s * s AS DOUBLE)""".stripMargin)),
 
+    // ------------------------------- MLlib anomaly scoring (property oracle)
+    // KMeans centroids are not SQL-replayable; the oracle pins the
+    // full-data invariants instead (row count from the real table, score
+    // nonnegativity, cluster-id range). The feature engineering half of
+    // the operator has a full value-level oracle in x_anomaly_features.
     "x_anomaly_kmeans" -> (((s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events").select(
         col("user_id"), col("event_id"), col("ts"), col("value"))

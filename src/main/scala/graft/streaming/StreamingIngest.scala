@@ -368,6 +368,9 @@ object StreamingIngest {
                   st.sumSq + e.cents * e.cents, e.tsMillis)
             }
             state.update(st)
+            // evict after `evictSeconds` of inactivity; in batch mode
+            // (reachable only if this private path is ever re-wired)
+            // there is no watermark and timeouts don't exist
             if (streaming)
               state.setTimeoutTimestamp(st.lastTsMillis + evictSeconds * 1000L)
             alerts.result().iterator

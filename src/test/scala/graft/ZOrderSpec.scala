@@ -20,15 +20,22 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Seq(7L, 10L, 17L, 4294967295L))
   }
 
-  test("scale maps endpoints exactly and constants to zero") {
+  test("scale quantizes by integral bucket width, overflow-free") {
+    // narrow domain: bucket width 1 -> offset identity
     val got = Seq(10L, 15L, 20L).toDF("v")
       .select(ZOrder.scale($"v", lit(10L), lit(20L), 16).as("s"))
       .as[Long].collect().toSeq
-    assert(got === Seq(0L, 32767L, 65535L)) // (5*65535) div 10 = 32767
+    assert(got === Seq(0L, 5L, 10L))
     val const = Seq(7L).toDF("v")
       .select(ZOrder.scale($"v", lit(7L), lit(7L), 16).as("s"))
       .as[Long].head()
     assert(const === 0L)
+    // a 2^62 span would overflow a multiply-then-divide min-max scale
+    // under ANSI; division-first stays exact and lands in [0, 2^16)
+    val wide = Seq(0L, 1L << 62).toDF("v")
+      .select(ZOrder.scale($"v", lit(0L), lit(1L << 62), 16).as("s"))
+      .as[Long].collect().toSeq
+    assert(wide === Seq(0L, 65535L))
   }
 
   test("clustered write yields tight per-file envelopes on BOTH dims") {
