@@ -1261,6 +1261,58 @@ object TestdataQueries {
              |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
              |FROM sp GROUP BY lang, split""".stripMargin)),
 
+    // ------------------------------------------------- rollup (cube family)
+    // Hierarchical subtotals in ONE pass — Spark expands the rollup into
+    // grouping sets inside a single aggregate (partial map-side combine
+    // included), where the naive formulation is three scans + a union.
+    // Rolled-up levels surface NULLs, which hash ambiguously against
+    // genuine NULL data — the standard disambiguation (grouping() bits +
+    // a sentinel label) is applied on BOTH sides; gid is computed from
+    // explicit grouping() bits because engines differ in grouping_id
+    // conventions.
+    "x_rollup" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_cents"),
+          // grouping() is only resolvable INSIDE the rollup aggregate
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("sum_cents"))
+    }),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // --------------------------------------------------------- pivot
+    // Wide-format counts per user over the CLOSED event-type domain —
+    // pivot with an explicit value list stays one aggregate pass with
+    // deterministic output columns (an unlisted-values pivot would need
+    // a distinct-scan first and column order would depend on data).
+    // Missing combinations fill 0 to match the oracle's conditional
+    // counts.
+    "x_pivot" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // ---------------------------------------------------- fuzzy join
     // Edit-distance record linkage: a deterministically-corrupted "dirty
     // feed" (every third part, one character deleted at a key-derived
