@@ -1927,6 +1927,34 @@ object TestdataQueries {
              |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
              |FROM documents""".stripMargin)),
 
+    // ----------------------- sequence packing (pretraining batches)
+    // Concatenate-and-chunk packing: documents laid on one global token
+    // tape in doc_id order, cut into 512-token context windows. The
+    // Spark side computes offsets with the two-phase DISTRIBUTED prefix
+    // sum (per-range-partition totals broadcast back + local running
+    // sums — never a global single-task window); the oracle replays the
+    // same offsets with one global window, so a drift anywhere in the
+    // partition-offset arithmetic fails value-level.
+    "x_packing" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens",
+        capacity = 512L, numPartitions = 8)
+    }),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS start_off
+             |  FROM d)
+             |SELECT doc_id, n_tokens, start_off,
+             |  start_off // 512 AS start_bin,
+             |  CASE WHEN n_tokens <= 0 THEN start_off // 512
+             |    ELSE (start_off + n_tokens - 1) // 512 END AS end_bin
+             |FROM c""".stripMargin)),
+
     // -------------------------- token chunking (context-window prep)
     // 16-token chunks with 4-token overlap (stride 12) over every
     // document; DuckDB rebuilds each chunk's text and token count from
