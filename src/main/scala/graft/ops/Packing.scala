@@ -29,31 +29,55 @@ import org.apache.spark.sql.functions._
   * point with end_bin = start_bin. */
 object Packing {
 
-  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
-                    capacity: Long, numPartitions: Int = 64): DataFrame = {
-    require(capacity > 0, s"capacity must be positive, got $capacity")
-    def intDiv(a: Column, b: Column): Column = call_function("div", a, b)
-
-    val keyed = docs.select(col(idCol), col(nTokensCol))
-      .repartitionByRange(numPartitions, col(idCol))
+  /** Distributed prefix sum: appends `outCol` = the sum of `value` over
+    * all rows STRICTLY before this one in `orderCols` order, without
+    * ever collapsing the table into a single-task global window.
+    * Range-partition by the order key; (1) per-partition totals form a
+    * tiny numPartitions-row frame whose running sum is one task over
+    * numPartitions rows (the classic small-frame exception), broadcast
+    * back; (2) a within-partition running sum rides on each partition's
+    * offset. Results depend only on the total order — range boundaries
+    * cancel out of the sum (PackingSpec proves partition-count
+    * invariance). `orderCols` must be a total order (include a unique
+    * tie-breaker). */
+  def withPrefixSum(df: DataFrame, orderCols: Seq[String], value: Column,
+                    outCol: String, numPartitions: Int = 64): DataFrame = {
+    val keyed = df.withColumn("_v", value)
+      .repartitionByRange(numPartitions, orderCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-    // phase 1: per-partition totals -> partition starting offsets.
-    // The unpartitioned window runs as ONE task over numPartitions rows
-    // (thousands at most) — the classic small-frame exception.
     val offsets = keyed.groupBy(col("_pid"))
-      .agg(sum(col(nTokensCol)).as("_ptot"))
+      .agg(sum(col("_v")).as("_ptot"))
       .withColumn("_poff", coalesce(
         sum(col("_ptot")).over(
           Window.orderBy(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("_pid"), col("_poff"))
-    // phase 2: local running sum on top of the partition offset
-    val local = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+    val local = Window.partitionBy(col("_pid"))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     keyed.join(broadcast(offsets), Seq("_pid"))
-      .withColumn("start_off",
-        col("_poff") + coalesce(sum(col(nTokensCol)).over(local), lit(0L)))
+      .withColumn(outCol,
+        col("_poff") + coalesce(sum(col("_v")).over(local), lit(0L)))
+      .drop("_pid", "_v", "_poff")
+  }
+
+  /** Global 1-based row_number over `orderCols` — the prefix sum of 1s,
+    * so it scales like [[withPrefixSum]] where a bare
+    * `row_number().over(Window.orderBy(...))` funnels everything through
+    * one task. */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[String],
+                     outCol: String = "rank",
+                     numPartitions: Int = 64): DataFrame =
+    withPrefixSum(df, orderCols, lit(1L), outCol, numPartitions)
+      .withColumn(outCol, col(outCol) + 1)
+
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+                    capacity: Long, numPartitions: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    def intDiv(a: Column, b: Column): Column = call_function("div", a, b)
+    withPrefixSum(docs.select(col(idCol), col(nTokensCol)),
+        Seq(idCol), col(nTokensCol), "start_off", numPartitions)
       .withColumn("start_bin", intDiv(col("start_off"), lit(capacity)))
       .withColumn("end_bin",
         when(col(nTokensCol) <= 0, intDiv(col("start_off"), lit(capacity)))

@@ -139,6 +139,19 @@ object TestdataQueries {
        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= $minJaccard)""".stripMargin
 
+  /** DuckDB replay of the portable 62-bit hash (PortableHash62 /
+    * Dedup.portableTokenHash) of string expression `e` — the same
+    * h31 | (h37 · 2³²) fold the splits/fingerprint oracles inline.
+    * ONE line on purpose: interpolated into stripMargin'd SQL, a
+    * line-leading bitwise `|` would be eaten as a margin marker. */
+  private def portableHashSql(e: String): String =
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007) | " +
+      s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 37 + c) % 998244353) * 4294967296))"
+
   /** The 16-bit Morton interleave as literal DuckDB SQL over `zx`/`zy` —
     * the same 32 shift/mask terms ZOrder.zValue builds as Columns. */
   private def interleave16Sql: String =
@@ -1926,6 +1939,38 @@ object TestdataQueries {
              |    '\b\d{16}\b', '<CARD>', 'g'),
              |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
              |FROM documents""".stripMargin)),
+
+    // --------------------------- contrastive triplets (pair mining)
+    // (anchor, positive, negative) training triplets: positives are the
+    // exact-Jaccard ≥ 0.5 near-dup pairs, negatives drawn by rotating a
+    // hash-ordered global ranking by a fixed shift — deterministic, so
+    // DuckDB replays the portable hash, the row_number ranking, the
+    // rotation, and the collision filter; the Spark ranking itself is
+    // the distributed prefix sum (no single-task global window).
+    "x_triplets" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pos = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Pairs.contrastiveTriplets(docs, "doc_id", pos,
+        shift = 37L, numPartitions = 8)
+    }),
+      Some(s"""WITH ${trigramPairsSql(0.5)},
+             |hh AS (SELECT doc_id,
+             |    ${portableHashSql("CAST(doc_id AS VARCHAR)")} AS hv
+             |  FROM documents),
+             |r AS (SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS rk
+             |  FROM hh),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |rot AS (SELECT r.doc_id, ((rk - 1 + 37) % n) + 1 AS nrank
+             |  FROM r CROSS JOIN nn)
+             |SELECT p.id_a AS anchor_id, p.id_b AS positive_id,
+             |  r2.doc_id AS negative_id
+             |FROM pairs p
+             |JOIN rot ON rot.doc_id = p.id_a
+             |JOIN r r2 ON r2.rk = rot.nrank
+             |WHERE r2.doc_id <> p.id_a AND r2.doc_id <> p.id_b""".stripMargin)),
 
     // ----------------------- sequence packing (pretraining batches)
     // Concatenate-and-chunk packing: documents laid on one global token
