@@ -70,16 +70,18 @@ object FuzzyJoin {
     require(Set(leftId, leftStr, rightId, rightStr).size == 4,
       "left/right id and string column names must all be distinct " +
         "(alias before joining) — the output carries all four")
-    // the explicit repartition on `dk` inserts ONE exchange that
-    // ReuseExchange dedups across the frequency agg and the join probe —
-    // without it the explode (O(L) keys per row at k=1, O(L²) at k=2)
-    // runs twice per side (the same trap ngramJaccard's round-2 fix
-    // documents on `shingle`)
+    // The key-frequency branch deliberately RE-DERIVES the explode
+    // instead of sharing an exchange with the join probe (audited on the
+    // sf0.1 plan): column pruning gives it a (str, dk)-only scan whose
+    // partial aggregation shuffles just (dk, count) — cheaper at every
+    // scale than re-reading a full-width (id, str, dk) exchange, and an
+    // explicit repartition to force reuse adds a pure extra shuffle of
+    // the fat index whenever the planner picks a broadcast join (which
+    // needs no distribution at all).
     def indexed(df: DataFrame, id: String, str: String): DataFrame =
       df.filter(col(str).isNotNull && length(col(str)) > 0)
         .select(col(id), col(str),
           explode(deletionKeys(col(str), maxDist)).as("dk"))
-        .repartition(col("dk"))
 
     def capped(ix: DataFrame): DataFrame =
       ix.join(

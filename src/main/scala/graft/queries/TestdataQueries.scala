@@ -1380,6 +1380,33 @@ object TestdataQueries {
              |  $interleave16Sql AS z
              |FROM sc""".stripMargin)),
 
+    // ------------------------------- manifest-pruned read (data skipping)
+    // The z-order payoff END TO END: events written z-clustered to
+    // scratch, a per-file min/max manifest built once, then a 2-D box
+    // probe reads only intersecting files. The oracle is the UNPRUNED
+    // filter over the same scratch parquet — row equality proves no
+    // file was wrongly skipped (the pruning benefit itself is
+    // DataSkippingSpec's measurement; file counts depend on range
+    // boundaries and don't belong in a value oracle).
+    "x_skipping_read" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_zorder", dir)
+      val zdir = scratch.resolve("events_z").toString
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("user_id").as("uid"), unix_timestamp(col("ts")).as("es"))
+      graft.ops.ZOrder.cluster(ev, "uid", "es", bits = 16, numPartitions = 8)
+        .write.mode("overwrite").parquet(zdir)
+      val stored = s.read.parquet(zdir)
+      val mf = graft.ops.DataSkipping.manifest(stored, Seq("uid", "es"))
+      graft.ops.DataSkipping.prunedRead(s, zdir, mf,
+          Seq(("uid", 2L, 9L), ("es", 1704672000L, 1705363200L)))
+        .select(col("event_id"), col("uid"), col("es"))
+    }),
+      Some(s"""SELECT event_id, uid, es
+             |FROM read_parquet(
+             |  '${sys.props("java.io.tmpdir")}/graft_zorder_${SfTokenPlaceholder}/events_z/*.parquet')
+             |WHERE uid BETWEEN 2 AND 9
+             |  AND es BETWEEN 1704672000 AND 1705363200""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count

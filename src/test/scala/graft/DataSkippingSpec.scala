@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{DataSkipping, ZOrder}
+import java.nio.file.Files
+
+/** The manifest must never lose rows (pruned read ≡ full filter), and
+  * on a z-clustered layout it must actually skip: a 2-D box probe opens
+  * a small fraction of the files, where a 1-D sort prunes only its own
+  * dimension. */
+class DataSkippingSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val grid = (0 until 4096)
+    .map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong)).toDF("id", "x", "y")
+  private val box = Seq(("x", 8L, 15L), ("y", 8L, 15L))
+
+  private def keptFiles(mf: org.apache.spark.sql.DataFrame): Long =
+    box.foldLeft(mf) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+    }.count()
+
+  test("pruned read equals the unpruned filter, and z-layout skips most files") {
+    val dir = Files.createTempDirectory("skip-z").toString
+    ZOrder.cluster(grid, "x", "y", bits = 6, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val mf = DataSkipping.manifest(stored, Seq("x", "y")).cache()
+
+    val pruned = DataSkipping.prunedRead(spark, dir, mf, box)
+      .select("id").as[Long].collect().toSet
+    val full = stored.filter($"x".between(8, 15) && $"y".between(8, 15))
+      .select("id").as[Long].collect().toSet
+    assert(pruned === full)
+    assert(full.size === 64) // the 8x8 box
+
+    val (kept, total) = (keptFiles(mf), mf.count())
+    assert(total >= 8)
+    // an 8x8 box on a 64x64 z-clustered grid touches ~1-2 of 16 tiles;
+    // leave margin for range-boundary jitter
+    assert(kept <= total / 2, s"z-layout kept $kept of $total files")
+    mf.unpersist()
+  }
+
+  test("a 1-D sorted layout cannot skip on the other dimension") {
+    val dir = Files.createTempDirectory("skip-lin").toString
+    grid.repartitionByRange(16, $"y").sortWithinPartitions($"y")
+      .write.mode("overwrite").parquet(dir)
+    val mf = DataSkipping.manifest(spark.read.parquet(dir), Seq("x", "y"))
+    // y prunes (its envelopes are tight), x does not (every file spans
+    // the full x range) -> the box keeps every file y admits
+    val keptY = mf.filter(col("max_y") >= 8 && col("min_y") <= 15).count()
+    assert(keptFiles(mf) === keptY)
+    val pruned = DataSkipping.prunedRead(spark, dir, mf, box)
+      .select("id").as[Long].collect().toSet
+    assert(pruned.size === 64) // correctness holds regardless of layout
+  }
+
+  test("a box outside the data keeps zero files and returns empty") {
+    val dir = Files.createTempDirectory("skip-empty").toString
+    grid.write.mode("overwrite").parquet(dir)
+    val mf = DataSkipping.manifest(spark.read.parquet(dir), Seq("x", "y"))
+    val out = DataSkipping.prunedRead(spark, dir, mf,
+      Seq(("x", 100L, 200L), ("y", 0L, 63L)))
+    assert(out.count() === 0L)
+  }
+}
