@@ -76,6 +76,51 @@ object Ivf {
     Index(centroids, spark.read.parquet(path))
   }
 
+  /** In-plan nearest-centroid assignment: broadcast the centroid set
+    * (nLists rows) against the vectors and keep the row with the
+    * minimum squared euclidean distance — the same metric and
+    * first-minimum tie rule as MLlib KMeans `transform`, so appended
+    * vectors land in the cell the trained model would pick
+    * (MlOpsSpec re-assigns the original corpus and gets the model's
+    * own cells back). */
+  def assignCells(centroids: Array[(Int, Array[Double])],
+                  df: DataFrame, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("ivf_cell", "_centroid"))
+    val d2 = aggregate(
+      zip_with(col(vecCol), col("_centroid"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_rid")).orderBy(col("_d2").asc, col("ivf_cell").asc)
+    df.withColumn("_rid", monotonically_increasing_id())
+      .crossJoin(cdf)
+      .withColumn("_d2", d2)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rid", "_centroid", "_d2", "_rn")
+  }
+
+  /** Incremental index maintenance: assign NEW vectors to the EXISTING
+    * coarse centroids and append them to the at-rest layout — no
+    * retrain, no rewrite of resident cells (dynamic append touches only
+    * the partitions that receive rows, and the `_centroids` sidecar is
+    * untouched). This is the standard IVF operations trade: centroids
+    * slowly drift from the true distribution as appends accumulate, so
+    * recall decays gradually and the index is REBUILT (cheap: the
+    * quantizer trains on a sample) once the appended fraction is large —
+    * meanwhile every probe sees new vectors immediately. */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+             newVectors: DataFrame, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/_centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    assignCells(centroids, newVectors, vecCol)
+      .write.mode("append").partitionBy("ivf_cell").parquet(path)
+  }
+
   /** Exact-cosine top-k over the nProbe nearest cells only. */
   def topK(index: Index, idCol: String, vecCol: String,
            query: Seq[Double], k: Int, nProbe: Int): DataFrame = {

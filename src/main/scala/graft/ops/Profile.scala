@@ -39,4 +39,30 @@ object Profile {
       .select(col("m.column"), col("m.n"), col("m.n_null"),
         col("m.n_distinct"), col("m.min_s"), col("m.max_s"))
   }
+
+  /** Equi-depth (equal-frequency) histogram of a long column: `k`
+    * buckets of ~n/k rows each with their [lo, hi] value ranges — the
+    * profile that stays informative on skewed data, where equi-WIDTH
+    * bins collapse into one hot bin.
+    *
+    * `ntile` over a global ORDER BY would funnel the table through a
+    * single task; the bucket index is instead `(rank−1)·k div n` over
+    * [[Packing.withGlobalRank]] (the two-phase distributed prefix sum)
+    * with the row count broadcast as a 1-row aggregate — every stage
+    * distributed, results deterministic given the (`valueCol`,
+    * `tieCol`) total order and engine-portable (the oracle replays rank
+    * and bucket arithmetic exactly). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, tieCol: String,
+                         k: Int, numPartitions: Int = 64): DataFrame = {
+    require(k >= 1, s"bucket count must be positive, got $k")
+    val ranked = Packing.withGlobalRank(df.select(col(valueCol), col(tieCol)),
+      Seq(valueCol, tieCol), "_rank", numPartitions)
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        call_function("div", (col("_rank") - 1) * k, col("_n")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
 }

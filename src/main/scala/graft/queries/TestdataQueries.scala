@@ -1918,6 +1918,26 @@ object TestdataQueries {
              |  max(es) - min(es) AS span_s
              |FROM x GROUP BY user_id, session_idx""".stripMargin)),
 
+    // ----------------------------------- equi-depth histogram profile
+    // 10 equal-frequency buckets over event amounts (exact cents): the
+    // bucket index is (rank−1)·k div n over the DISTRIBUTED global rank
+    // (never a single-task ntile window); DuckDB replays rank, bucket
+    // arithmetic, and per-bucket ranges value-for-value.
+    "x_histogram" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Profile.equiDepthHistogram(
+        t(s, dir, "events").select(cents(col("value")).as("cents"),
+          col("event_id")),
+        "cents", "event_id", k = 10, numPartitions = 8)),
+      Some("""WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+             |    event_id FROM events),
+             |r AS (SELECT cents,
+             |    CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT) AS rk
+             |  FROM e),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+             |SELECT ((rk - 1) * 10) // n AS bucket, count(*) AS n_rows,
+             |  min(cents) AS lo, max(cents) AS hi
+             |FROM r CROSS JOIN nn GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------ data-QA profiling
     // One-pass per-column profile over events; columns restricted to
     // long/varchar where min/max stringification is engine-stable

@@ -55,6 +55,40 @@ class MlOpsSpec extends AnyFunSuite with SparkTestSession {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("IVF append: new vectors land in the model's cells and are immediately searchable") {
+    val rnd = new scala.util.Random(11)
+    def blob(sign: Int, n: Int, from: Int) =
+      (from until from + n).map(i => (i.toLong,
+        Array.fill(8)((rnd.nextGaussian() * 0.2 + sign).toFloat)))
+    val embs = (blob(1, 50, 0) ++ blob(-1, 50, 100)).toDF("vec_id", "embedding")
+    val idx = Ivf.build(embs, "vec_id", "embedding", nLists = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
+    Ivf.writeIndexed(idx, path)
+
+    // re-assigning the original corpus against the sidecar centroids
+    // must reproduce the model's own cell assignment (same metric +
+    // first-minimum tie rule as KMeans transform)
+    val reassigned = Ivf.assignCells(idx.centroids, embs, "embedding")
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val original = idx.assigned
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(reassigned === original)
+
+    // append a fresh batch near the positive blob; no retrain
+    val fresh = blob(1, 10, 500).toDF("vec_id", "embedding")
+    Ivf.append(spark, path, fresh, "embedding")
+    val after = Ivf.readIndexed(spark, path)
+    assert(after.assigned.count() === 110L)
+    // an appended vector is its own nearest neighbour under the probe
+    val q = fresh.head().getSeq[Float](1).map(_.toDouble).toSeq
+    val top = Ivf.topK(after, "vec_id", "embedding", q, k = 1, nProbe = 2)
+      .head().getLong(0)
+    assert(top === 500L)
+    // centroid sidecar untouched by the append
+    assert(after.centroids.map(_._1).sorted.toSeq
+      === idx.centroids.map(_._1).sorted.toSeq)
+  }
+
   test("anomaly scoring ranks a planted outlier far above routine traffic") {
     // one entity: varied-but-routine payments, plus one wild amount
     // planted mid-sequence with an ordinary inter-txn gap (so the amount
