@@ -42,8 +42,12 @@ object DataSkipping {
       m.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
     }
     val files = keep.select(col("file")).collect().map(_.getString(0))
+    // basePath keeps Hive partition columns alive when reading leaf
+    // files directly, so both branches expose the table's full schema
+    // and ranges on partition columns keep working
     val base = if (files.isEmpty) spark.read.parquet(path).limit(0)
-               else spark.read.parquet(files.toIndexedSeq: _*)
+               else spark.read.option("basePath", path)
+                 .parquet(files.toIndexedSeq: _*)
     ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lo && col(c) <= hi)
     }

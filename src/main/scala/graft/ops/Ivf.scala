@@ -69,12 +69,16 @@ object Ivf {
   /** Reopen a persisted index. `topK` over the result prunes partitions
     * instead of scanning the corpus — the at-rest form of the nProbe/
     * nLists trade. */
-  def readIndexed(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
-    val centroids = spark.read.parquet(s"$path/_centroids")
+  def readIndexed(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(readCentroids(spark, path), spark.read.parquet(path))
+
+  /** The sidecar decode, shared by [[readIndexed]] and [[append]] so the
+    * two cannot drift apart on the sidecar schema. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/_centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    Index(centroids, spark.read.parquet(path))
-  }
 
   /** In-plan nearest-centroid assignment: broadcast the centroid set
     * (nLists rows) against the vectors and keep the row with the
@@ -82,9 +86,12 @@ object Ivf {
     * first-minimum tie rule as MLlib KMeans `transform`, so appended
     * vectors land in the cell the trained model would pick
     * (MlOpsSpec re-assigns the original corpus and gets the model's
-    * own cells back). */
+    * own cells back). The argmin window keys on the caller's unique
+    * `idCol` — a synthetic monotonically_increasing_id would be
+    * regenerated differently on a task retry over shuffled input,
+    * splitting one row's centroid copies across reducers. */
   def assignCells(centroids: Array[(Int, Array[Double])],
-                  df: DataFrame, vecCol: String): DataFrame = {
+                  df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cdf = broadcast(centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
@@ -94,13 +101,12 @@ object Ivf {
         (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
       lit(0.0d), (acc, x) => acc + x)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_rid")).orderBy(col("_d2").asc, col("ivf_cell").asc)
-    df.withColumn("_rid", monotonically_increasing_id())
-      .crossJoin(cdf)
+      .partitionBy(col(idCol)).orderBy(col("_d2").asc, col("ivf_cell").asc)
+    df.crossJoin(cdf)
       .withColumn("_d2", d2)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rid", "_centroid", "_d2", "_rn")
+      .drop("_centroid", "_d2", "_rn")
   }
 
   /** Incremental index maintenance: assign NEW vectors to the EXISTING
@@ -113,13 +119,9 @@ object Ivf {
     * quantizer trains on a sample) once the appended fraction is large —
     * meanwhile every probe sees new vectors immediately. */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
-             newVectors: DataFrame, vecCol: String): Unit = {
-    val centroids = spark.read.parquet(s"$path/_centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    assignCells(centroids, newVectors, vecCol)
+             newVectors: DataFrame, idCol: String, vecCol: String): Unit =
+    assignCells(readCentroids(spark, path), newVectors, idCol, vecCol)
       .write.mode("append").partitionBy("ivf_cell").parquet(path)
-  }
 
   /** Exact-cosine top-k over the nProbe nearest cells only. */
   def topK(index: Index, idCol: String, vecCol: String,

@@ -32,10 +32,18 @@ object Pairs {
       .withColumn("_h", Dedup.portableTokenHash(col(idCol).cast("string")))
     val ranked = Packing.withGlobalRank(hashed, Seq("_h", idCol), "_rank",
       numPartitions)
-    val n = ranked.agg(count(lit(1)).as("_n"))
+    // count from the SOURCE frame — the prefix sum is row-preserving,
+    // and counting `ranked` would re-execute its shuffle just to count
+    val n = docs.agg(count(lit(1)).as("_n"))
+    // a shift that is a multiple of n would rotate every anchor onto
+    // itself and the collision filter would silently drop everything;
+    // fall back to 1 in that case (n = 1 stays degenerate by nature —
+    // no valid negative exists)
+    val eff = when(pmod(lit(shift), col("_n")) === 0, lit(1L))
+      .otherwise(pmod(lit(shift), col("_n")))
     val rotated = ranked.crossJoin(broadcast(n))
       .select(col(idCol).as("anchor_id"),
-        ((col("_rank") - 1 + lit(shift)) % col("_n") + 1).as("_nrank"))
+        ((col("_rank") - 1 + eff) % col("_n") + 1).as("_nrank"))
     val byRank = ranked.select(col("_rank").as("_nrank"),
       col(idCol).as("negative_id"))
     pairs.toDF("anchor_id", "positive_id")

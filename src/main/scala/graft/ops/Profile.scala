@@ -57,7 +57,9 @@ object Profile {
     require(k >= 1, s"bucket count must be positive, got $k")
     val ranked = Packing.withGlobalRank(df.select(col(valueCol), col(tieCol)),
       Seq(valueCol, tieCol), "_rank", numPartitions)
-    val n = ranked.agg(count(lit(1)).as("_n"))
+    // count from the source — the prefix sum is row-preserving, and
+    // counting `ranked` would re-execute its shuffle just to count
+    val n = df.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bucket",
         call_function("div", (col("_rank") - 1) * k, col("_n")))

@@ -1158,16 +1158,11 @@ object TestdataQueries {
     "x_dedup_simhash" -> (((s: SparkSession, dir: String) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, tokenHasher = Dedup.portableTokenHash)),
-      Some("""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
-             |    (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+             |    (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
              |    WHERE tok <> ''),
              |th AS (SELECT doc_id,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 31 + c) % 1000000007)
-             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 37 + c) % 998244353) << 32) AS h
+             |    ${portableHashSql("tok")} AS h
              |  FROM toks),
              |bits AS (SELECT doc_id, b,
              |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
@@ -1254,14 +1249,7 @@ object TestdataQueries {
              |kept AS (SELECT doc_id, lang, text FROM documents
              |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
              |h AS (SELECT doc_id, lang, text,
-             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-             |        c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 31 + c) % 1000000007)
-             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-             |        c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 37 + c) % 998244353) * 4294967296)) % 10000 AS bucket
+             |    ${portableHashSql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
              |  FROM kept),
              |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_n FROM kept GROUP BY lang),
              |bal AS (SELECT h.doc_id, h.lang, h.text, h.bucket FROM h
@@ -1831,15 +1819,8 @@ object TestdataQueries {
     "x_splits" -> (((s: SparkSession, dir: String) =>
       graft.ops.Splits.assignSplit(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")),
-      Some("""WITH h AS (SELECT doc_id,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-             |        c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 31 + c) % 1000000007)
-             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-             |        c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 37 + c) % 998244353) * 4294967296) AS hv
+      Some(s"""WITH h AS (SELECT doc_id,
+             |    ${portableHashSql("CAST(doc_id AS VARCHAR)")} AS hv
              |  FROM documents)
              |SELECT doc_id,
              |  CASE WHEN hv % 10000 < 8000 THEN 'train'
@@ -1857,15 +1838,8 @@ object TestdataQueries {
       graft.ops.Splits.capPerGroup(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", "lang", cap = 100L)),
-      Some("""WITH h AS (SELECT doc_id, lang,
-             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-             |        c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 31 + c) % 1000000007)
-             |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
-             |        c -> CAST(ord(c) AS BIGINT))),
-             |      (acc, c) -> (acc * 37 + c) % 998244353) * 4294967296)) % 10000 AS bucket
+      Some(s"""WITH h AS (SELECT doc_id, lang,
+             |    ${portableHashSql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
              |  FROM documents),
              |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_n
              |  FROM documents GROUP BY lang)
@@ -2010,7 +1984,8 @@ object TestdataQueries {
              |    CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT) AS rk
              |  FROM hh),
              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-             |rot AS (SELECT r.doc_id, ((rk - 1 + 37) % n) + 1 AS nrank
+             |rot AS (SELECT r.doc_id,
+             |    ((rk - 1 + CASE WHEN 37 % n = 0 THEN 1 ELSE 37 % n END) % n) + 1 AS nrank
              |  FROM r CROSS JOIN nn)
              |SELECT p.id_a AS anchor_id, p.id_b AS positive_id,
              |  r2.doc_id AS negative_id

@@ -68,7 +68,7 @@ class MlOpsSpec extends AnyFunSuite with SparkTestSession {
     // re-assigning the original corpus against the sidecar centroids
     // must reproduce the model's own cell assignment (same metric +
     // first-minimum tie rule as KMeans transform)
-    val reassigned = Ivf.assignCells(idx.centroids, embs, "embedding")
+    val reassigned = Ivf.assignCells(idx.centroids, embs, "vec_id", "embedding")
       .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
     val original = idx.assigned
       .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
@@ -76,7 +76,7 @@ class MlOpsSpec extends AnyFunSuite with SparkTestSession {
 
     // append a fresh batch near the positive blob; no retrain
     val fresh = blob(1, 10, 500).toDF("vec_id", "embedding")
-    Ivf.append(spark, path, fresh, "embedding")
+    Ivf.append(spark, path, fresh, "vec_id", "embedding")
     val after = Ivf.readIndexed(spark, path)
     assert(after.assigned.count() === 110L)
     // an appended vector is its own nearest neighbour under the probe
