@@ -64,4 +64,25 @@ object Splits {
       .filter(col(bCol) * col(nCol) < lit(cap * 10000L))
       .drop(bCol, nCol)
   }
+
+  /** Deterministic per-row weighted sampling: keep each row with
+    * probability `weightNumCol / weightDen` (a per-row integer numerator
+    * against a constant denominator — e.g. a quality score against its
+    * max), decided by the row's portable hash bucket. Reproducible
+    * across runs and engines where `rand() < w` is neither; join-free,
+    * one codegen'd filter; the keep decision is the EXACT integer
+    * cross-multiplication `bucket · den < num · 10⁴` (capPerGroup's
+    * trick), so the oracle replays the kept ROW SET, not just its size.
+    * Resolution is 1/10⁴ — weights quantize to basis points. */
+  def sampleByWeight(df: DataFrame, idCol: String, weightNumCol: String,
+                     weightDen: Long): DataFrame = {
+    require(weightDen > 0, s"weightDen must be positive, got $weightDen")
+    val bCol = "_graft_w_bucket"
+    require(!df.columns.contains(bCol),
+      s"input must not contain reserved column $bCol")
+    df.withColumn(bCol,
+        pmod(Dedup.portableTokenHash(col(idCol).cast("string")), lit(10000L)))
+      .filter(col(bCol) * lit(weightDen) < col(weightNumCol) * lit(10000L))
+      .drop(bCol)
+  }
 }

@@ -1314,6 +1314,77 @@ object TestdataQueries {
              |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // --------------------------------------------------- cube subtotals
+    // The full 2^d grouping-set lattice in one aggregate pass — same
+    // sentinel/grouping-bit discipline as x_rollup, one more level
+    // (the ls-only subtotal rollup doesn't produce).
+    "x_cube" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_cents"),
+          (grouping(col("l_returnflag")) * 2 +
+            grouping(col("l_linestatus"))).cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("n"), col("sum_cents"))
+    }),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |  coalesce(l_linestatus, 'ALL') AS ls,
+             |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ----------------------------------------- weighted sampling (kept set)
+    // Deterministic per-row weighted keep: probability least(n_chars,
+    // 500)/500 decided by the portable hash bucket — DuckDB replays the
+    // hash and the integer cross-multiplication, so the kept ROW SET
+    // must match exactly (rand()-based sampling could verify only
+    // counts).
+    "x_sample_weighted" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        least(col("n_chars").cast("long"), lit(500L)).as("w_num"))
+      graft.ops.Splits.sampleByWeight(docs, "doc_id", "w_num", weightDen = 500L)
+    }),
+      Some(s"""WITH h AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |    least(CAST(n_chars AS BIGINT), 500) AS w_num,
+             |    ${portableHashSql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, n_chars, w_num FROM h
+             |WHERE bucket * 500 < w_num * 10000""".stripMargin)),
+
+    // ------------------------------------- winsorization (outlier clipping)
+    // Per-language p05/p95 clipping of token counts — the robust-stats
+    // prep step before scale-sensitive features. Interpolated exact
+    // percentiles of integer counts hash-match across engines (the
+    // x_quality_percentile precedent); the clipped value is floor-scaled
+    // to cents on both sides.
+    "x_winsorize" -> (((s: SparkSession, dir: String) => {
+      val q = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val stats = q.groupBy(col("lang")).agg(
+        expr("percentile(n_tokens, 0.05)").as("p05"),
+        expr("percentile(n_tokens, 0.95)").as("p95"))
+      q.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor(greatest(least(col("n_tokens").cast("double"), col("p95")),
+            col("p05")) * 100).cast("long").as("clipped_c"))
+    }),
+      Some("""WITH q AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |st AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS p05,
+             |    quantile_cont(n_tokens, 0.95) AS p95
+             |  FROM q GROUP BY lang)
+             |SELECT doc_id, q.lang, n_tokens,
+             |  CAST(floor(greatest(least(CAST(n_tokens AS DOUBLE), p95), p05) * 100)
+             |    AS BIGINT) AS clipped_c
+             |FROM q JOIN st ON q.lang = st.lang""".stripMargin)),
+
     // ---------------------------------------------------- fuzzy join
     // Edit-distance record linkage: a deterministically-corrupted "dirty
     // feed" (every third part, one character deleted at a key-derived

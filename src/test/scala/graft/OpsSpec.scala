@@ -434,6 +434,22 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(big50.subsetOf(big100))
   }
 
+  test("sampleByWeight: keep rate tracks the weight, endpoints exact, reruns identical") {
+    // weights 0, 1/2, 1 over disjoint id ranges
+    val rows = (1L to 3000L).map { i =>
+      (i, if (i <= 1000) 0L else if (i <= 2000) 5000L else 10000L)
+    }.toDF("id", "w")
+    val kept = Splits.sampleByWeight(rows, "id", "w", weightDen = 10000L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept.count(_ <= 1000) === 0)            // weight 0: nothing
+    assert(kept.count(_ > 2000) === 1000)          // weight 1: everything
+    val mid = kept.count(i => i > 1000 && i <= 2000)
+    assert(mid > 380 && mid < 620, s"half-weight kept $mid of 1000")
+    val rerun = Splits.sampleByWeight(rows, "id", "w", weightDen = 10000L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(rerun === kept)
+  }
+
   test("crossContamination: a contained benchmark item flags its source, an unrelated one doesn't") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
