@@ -2287,6 +2287,66 @@ object TestdataQueries {
              |FROM l WHERE prevCity IS NOT NULL AND prevCity <> city
              |  AND deltaSeconds <= 3600""".stripMargin)),
 
+    // -------------------- streaming SCD2 maintenance under the gate
+    // startScd2Maintenance driven across THREE date-ordered micro-batches
+    // (each day's staged snapshot arrives after the previous is merged,
+    // so cross-batch OPEN-SLICE STATE is load-bearing: day-2's close
+    // decision reads day-1's merge result from the catalog). Even keys
+    // change attr every day (3 versions), odd keys never do (1 open
+    // version, no-change branch exercised). DuckDB replays SCD2 as a
+    // lag-filtered version list with lead() close dates over the same
+    // deterministic literal feed; output = open ∪ closed content.
+    "x_stream_scd2" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streamscd2", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val dimSpec = graft.etl.Scd2.DimSpec("id", Seq("attr"))
+      val schema = StructType(Seq(
+        StructField("id", StringType), StructField("attr", StringType),
+        StructField("effective_from", DateType),
+        StructField("effective_to", DateType),
+        StructField("deleted_flg", BooleanType)))
+      def attr(i: Int, di: Int): String =
+        if (i % 2 == 0) ((i + di) % 3).toString else "const"
+      val mem = MemoryStream[(String, String, java.sql.Date)]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest.startScd2Maintenance(
+          cat, "dim_s", dimSpec, schema,
+          mem.toDF().toDF("id", "attr", "change_date"),
+          scratch.resolve("ckpt").toString)
+        try (0 until 3).foreach { di =>
+          val day = java.sql.Date.valueOf(f"2024-01-${di + 1}%02d")
+          mem.addData((0 until 50).map(i => (i.toString, attr(i, di), day)): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      cat.read("dim_s_open")
+        .unionByName(cat.read("dim_s_closed")
+          .select("id", "attr", "effective_from", "effective_to", "deleted_flg"))
+    }),
+      Some("""WITH feed AS (
+             |  SELECT CAST(i AS VARCHAR) AS id,
+             |    CASE WHEN i % 2 = 0 THEN CAST((i + d.di) % 3 AS VARCHAR)
+             |      ELSE 'const' END AS attr,
+             |    DATE '2024-01-01' + CAST(d.di AS INTEGER) AS day
+             |  FROM generate_series(0, 49) t(i)
+             |  CROSS JOIN generate_series(0, 2) d(di)),
+             |v AS (SELECT id, day, attr,
+             |    lag(attr) OVER (PARTITION BY id ORDER BY day) AS prev FROM feed),
+             |vers AS (SELECT id, attr, day AS eff_from FROM v
+             |  WHERE prev IS NULL OR prev <> attr),
+             |o AS (SELECT id, attr, eff_from,
+             |    coalesce(lead(eff_from) OVER (PARTITION BY id ORDER BY eff_from),
+             |      DATE '3000-01-01') AS eff_to
+             |  FROM vers)
+             |SELECT id, attr, eff_from AS effective_from,
+             |  eff_to AS effective_to,
+             |  (eff_to <> DATE '3000-01-01') AS deleted_flg
+             |FROM o""".stripMargin)),
+
     // ---------------- stream-stream interval join (batch formulation)
     // txnWithRecentAuth's join expression under the value-level gate:
     // transactions (odd events) pair with same-card authorizations

@@ -79,6 +79,47 @@ object StreamingIngest {
       .outputMode("append")
       .start()
 
+  /** Streaming SCD2 dimension maintenance: a stream of staged dim rows
+    * (key + attrs + `change_date`) applied incrementally to the SAME
+    * open/closed layout the daily batch Runner maintains. foreachBatch
+    * turns each micro-batch into one `Scd2.mergeOpen` per distinct
+    * change_date (ascending, so a batch spanning a date boundary applies
+    * in event order) — O(|open| + |batch|) per micro-batch, closed
+    * history never read or rewritten.
+    *
+    * Exactly-once by IDEMPOTENCE rather than sink atomicity: if the
+    * process dies between the closed-append and the open-swap, the
+    * checkpoint replays the batch; change detection against the
+    * already-merged open slice finds nothing new, `closedNow` comes back
+    * empty (a dynamic partition overwrite with an empty frame touches no
+    * partitions), and the swap rewrites identical content — the same
+    * crash-rerun convergence the batch Runner relies on (and if only the
+    * closed-append landed, the replay regenerates the SAME closed rows
+    * and dynamic overwrite replaces that partition with identical
+    * content). The per-batch distinct-date collect is driver-tiny (a
+    * feed spans a handful of dates per trigger). */
+  def startScd2Maintenance(cat: TableCatalog, table: String,
+                           spec: graft.etl.Scd2.DimSpec,
+                           schema: org.apache.spark.sql.types.StructType,
+                           staging: DataFrame,
+                           checkpointDir: String): StreamingQuery =
+    staging.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dates = batch.select(col("change_date")).distinct()
+          .orderBy(col("change_date")).collect().map(_.getDate(0))
+        dates.foreach { d =>
+          val open = cat.readOrEmpty(s"${table}_open", schema)
+          val stg = batch.filter(col("change_date") === d)
+            .select(spec.allCols.map(col): _*)
+          val (newOpen, closedNow) = graft.etl.Scd2.mergeOpen(open, stg, spec, d)
+          cat.appendPartitioned(s"${table}_closed", closedNow, "effective_to")
+          cat.replaceAtomic(s"${table}_open", newOpen)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Watermarked stream-stream interval join: each transaction pairs
     * with the same card's authorization events from the preceding
     * `windowSeconds` (auth_ts ∈ [trans_date − window, trans_date]) —

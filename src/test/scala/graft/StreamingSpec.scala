@@ -133,6 +133,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("streaming SCD2 maintenance: micro-batches converge to the batch merge") {
+    import org.apache.spark.sql.types._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-scd2")
+    val cat = new graft.catalog.TableCatalog(spark, root.resolve("wh").toString)
+    val dimSpec = graft.etl.Scd2.DimSpec("id", Seq("attr"))
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("attr", StringType),
+      StructField("effective_from", DateType), StructField("effective_to", DateType),
+      StructField("deleted_flg", BooleanType)))
+    val d1 = java.sql.Date.valueOf("2021-01-01")
+    val d2 = java.sql.Date.valueOf("2021-01-02")
+    val open = java.sql.Date.valueOf("3000-01-01")
+
+    val mem = MemoryStream[(String, String, java.sql.Date)]
+    val q = StreamingIngest.startScd2Maintenance(cat, "dim_x", dimSpec, schema,
+      mem.toDF().toDF("id", "attr", "change_date"),
+      root.resolve("ckpt").toString)
+    try {
+      mem.addData(("a", "x", d1), ("b", "p", d1))
+      q.processAllAvailable()
+      // batch 2: a changes, c is new — the close must see batch 1's STATE
+      mem.addData(("a", "x2", d2), ("c", "q", d2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val openRows = cat.read("dim_x_open").collect().toSet
+    assert(openRows === Set(
+      org.apache.spark.sql.Row("a", "x2", d2, open, false),
+      org.apache.spark.sql.Row("b", "p", d1, open, false),
+      org.apache.spark.sql.Row("c", "q", d2, open, false)))
+    val closedRows = cat.read("dim_x_closed")
+      .select("id", "attr", "effective_from", "effective_to", "deleted_flg")
+      .collect().toSet
+    assert(closedRows === Set(
+      org.apache.spark.sql.Row("a", "x", d1, d2, true)))
+
+    // a REPLAYED batch (same content, fresh query+checkpoint) is a no-op:
+    // change detection finds nothing, closed/open content is unchanged
+    val mem2 = MemoryStream[(String, String, java.sql.Date)]
+    val q2 = StreamingIngest.startScd2Maintenance(cat, "dim_x", dimSpec, schema,
+      mem2.toDF().toDF("id", "attr", "change_date"),
+      root.resolve("ckpt2").toString)
+    try {
+      mem2.addData(("a", "x2", d2), ("c", "q", d2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(cat.read("dim_x_open").collect().toSet === openRows)
+    assert(cat.read("dim_x_closed")
+      .select("id", "attr", "effective_from", "effective_to", "deleted_flg")
+      .collect().toSet === closedRows)
+  }
+
   test("file-source → catalog: kill, resume from checkpoint, rows equal the batch path") {
     val root = java.nio.file.Files.createTempDirectory("stream-cat")
     val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
