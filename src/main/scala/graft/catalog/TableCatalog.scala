@@ -38,11 +38,29 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
 
   /** Read a table; if absent, an empty DataFrame with the given schema —
     * mirrors the reference's emptiness probe branch (main.py:125). */
-  def readOrEmpty(table: String, schema: StructType): DataFrame =
+  def readOrEmpty(table: String, schema: StructType): DataFrame = {
+    healSwap(table)
     if (exists(table)) spark.read.schema(schema).parquet(path(table))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  def read(table: String): DataFrame = {
+    healSwap(table)
+    spark.read.parquet(path(table))
+  }
+
+  /** Heal a [[replaceAtomic]] swap interrupted between its two renames
+    * (current content moved aside, replacement not yet in place): put
+    * the `.old` copy back so a reader — or a crash-replayed streaming
+    * batch — never observes the table as missing and merges against an
+    * EMPTY slice. No-op in every healthy state; single-writer layout
+    * (the same assumption every mutation here makes). */
+  private def healSwap(table: String): Unit = {
+    val dst = Paths.get(path(table))
+    val old = Paths.get(path(table) + ".old")
+    if (!Files.exists(dst) && Files.exists(old))
+      Files.move(old, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** TRUNCATE+reload semantics (main.py:53-55 + the staging loads). */
   def overwrite(table: String, df: DataFrame): Unit =
@@ -270,6 +288,7 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     * first, so a mid-write failure leaves the current table intact; the
     * directory move is the commit point. */
   def replaceAtomic(table: String, df: DataFrame): Unit = {
+    healSwap(table)
     val tmp = Paths.get(path(table) + ".tmp")
     val dst = Paths.get(path(table))
     deleteRecursive(tmp)

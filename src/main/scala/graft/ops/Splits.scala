@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
+  /** Basis-point bucket of the record id under the portable hash — THE
+    * oracle-replayed contract every decision in this module derives
+    * from; one definition so the three call sites cannot drift. */
+  private def bpBucket(idCol: Column): Column =
+    pmod(Dedup.portableTokenHash(idCol.cast("string")), lit(10000L))
+
   /** Adds a `split` column. `fractions` are (name, weight) pairs,
     * normalized over their sum; assignment buckets
     * `pmod(hash(id), 10000)` by cumulative thresholds in basis points,
@@ -24,8 +30,7 @@ object Splits {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),
       "fractions must be non-empty positive weights")
     val total = fractions.map(_._2).sum
-    val bucket = pmod(Dedup.portableTokenHash(col(idCol).cast("string")),
-      lit(10000L))
+    val bucket = bpBucket(col(idCol))
     val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(w => math.round(w / total * 10000))
     val assigned = fractions.zip(bounds).init
@@ -59,8 +64,7 @@ object Splits {
       s"input must not contain reserved columns $nCol/$bCol")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nCol))
     df.join(broadcast(counts), groupCol)
-      .withColumn(bCol,
-        pmod(Dedup.portableTokenHash(col(idCol).cast("string")), lit(10000L)))
+      .withColumn(bCol, bpBucket(col(idCol)))
       .filter(col(bCol) * col(nCol) < lit(cap * 10000L))
       .drop(bCol, nCol)
   }
@@ -76,12 +80,15 @@ object Splits {
     * Resolution is 1/10⁴ — weights quantize to basis points. */
   def sampleByWeight(df: DataFrame, idCol: String, weightNumCol: String,
                      weightDen: Long): DataFrame = {
-    require(weightDen > 0, s"weightDen must be positive, got $weightDen")
+    // bucket·den must stay in int64 (bucket < 10⁴); numerators share the
+    // same envelope — ANSI mode would throw on overflow, but failing at
+    // construction beats failing mid-job
+    require(weightDen > 0 && weightDen <= Long.MaxValue / 10000L,
+      s"weightDen must be in (0, 2^63/10^4], got $weightDen")
     val bCol = "_graft_w_bucket"
     require(!df.columns.contains(bCol),
       s"input must not contain reserved column $bCol")
-    df.withColumn(bCol,
-        pmod(Dedup.portableTokenHash(col(idCol).cast("string")), lit(10000L)))
+    df.withColumn(bCol, bpBucket(col(idCol)))
       .filter(col(bCol) * lit(weightDen) < col(weightNumCol) * lit(10000L))
       .drop(bCol)
   }

@@ -1358,30 +1358,33 @@ object TestdataQueries {
              |WHERE bucket * 500 < w_num * 10000""".stripMargin)),
 
     // ------------------------------------- winsorization (outlier clipping)
-    // Per-language p05/p95 clipping of token counts — the robust-stats
-    // prep step before scale-sensitive features. Interpolated exact
-    // percentiles of integer counts hash-match across engines (the
-    // x_quality_percentile precedent); the clipped value is floor-scaled
-    // to cents on both sides.
+    // Per-language IQR clipping (p25/p75) of token counts — the
+    // robust-stats prep step before scale-sensitive features. QUARTER
+    // positions on purpose: interpolated quantiles of integer counts at
+    // .25/.5/.75 are exactly representable doubles (the
+    // x_quality_percentile precedent), where an 0.05 position's
+    // interpolation could differ by an ulp between Spark's and DuckDB's
+    // lerp forms and flip the floor. Clipped value floor-scaled on both
+    // sides.
     "x_winsorize" -> (((s: SparkSession, dir: String) => {
       val q = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       val stats = q.groupBy(col("lang")).agg(
-        expr("percentile(n_tokens, 0.05)").as("p05"),
-        expr("percentile(n_tokens, 0.95)").as("p95"))
+        expr("percentile(n_tokens, 0.25)").as("p25"),
+        expr("percentile(n_tokens, 0.75)").as("p75"))
       q.join(broadcast(stats), "lang")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
-          floor(greatest(least(col("n_tokens").cast("double"), col("p95")),
-            col("p05")) * 100).cast("long").as("clipped_c"))
+          floor(greatest(least(col("n_tokens").cast("double"), col("p75")),
+            col("p25")) * 100).cast("long").as("clipped_c"))
     }),
       Some("""WITH q AS (SELECT doc_id, lang,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |  FROM documents),
-             |st AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS p05,
-             |    quantile_cont(n_tokens, 0.95) AS p95
+             |st AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS p25,
+             |    quantile_cont(n_tokens, 0.75) AS p75
              |  FROM q GROUP BY lang)
              |SELECT doc_id, q.lang, n_tokens,
-             |  CAST(floor(greatest(least(CAST(n_tokens AS DOUBLE), p95), p05) * 100)
+             |  CAST(floor(greatest(least(CAST(n_tokens AS DOUBLE), p75), p25) * 100)
              |    AS BIGINT) AS clipped_c
              |FROM q JOIN st ON q.lang = st.lang""".stripMargin)),
 

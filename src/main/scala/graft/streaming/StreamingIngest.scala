@@ -91,12 +91,13 @@ object StreamingIngest {
     * process dies between the closed-append and the open-swap, the
     * checkpoint replays the batch; change detection against the
     * already-merged open slice finds nothing new, `closedNow` comes back
-    * empty (a dynamic partition overwrite with an empty frame touches no
-    * partitions), and the swap rewrites identical content — the same
-    * crash-rerun convergence the batch Runner relies on (and if only the
-    * closed-append landed, the replay regenerates the SAME closed rows
-    * and dynamic overwrite replaces that partition with identical
-    * content). The per-batch distinct-date collect is driver-tiny (a
+    * empty, the closed partition is rewritten with its own (unioned-
+    * back) content, and the swap rewrites identical open content — the
+    * same crash-rerun convergence the batch Runner relies on. A crash
+    * INSIDE the open swap's two-rename window is healed by the catalog
+    * itself (TableCatalog.healSwap restores the set-aside copy on the
+    * next read), so the replay never merges against a spuriously-empty
+    * open slice. The per-batch distinct-date collect is driver-tiny (a
     * feed spans a handful of dates per trigger). */
   def startScd2Maintenance(cat: TableCatalog, table: String,
                            spec: graft.etl.Scd2.DimSpec,
@@ -105,17 +106,35 @@ object StreamingIngest {
                            checkpointDir: String): StreamingQuery =
     staging.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val dates = batch.select(col("change_date")).distinct()
-          .orderBy(col("change_date")).collect().map(_.getDate(0))
-        dates.foreach { d =>
-          val open = cat.readOrEmpty(s"${table}_open", schema)
-          val stg = batch.filter(col("change_date") === d)
-            .select(spec.allCols.map(col): _*)
-          val (newOpen, closedNow) = graft.etl.Scd2.mergeOpen(open, stg, spec, d)
-          cat.appendPartitioned(s"${table}_closed", closedNow, "effective_to")
-          cat.replaceAtomic(s"${table}_open", newOpen)
-        }
-        ()
+        // the batch feeds the date-distinct scan plus two merge outputs
+        // per date — persist so a replayable source isn't re-read
+        // 2·|dates|+1 times per trigger
+        batch.persist()
+        try {
+          val dates = batch.select(col("change_date")).distinct()
+            .orderBy(col("change_date")).collect().map(_.getDate(0))
+          dates.foreach { d =>
+            val open = cat.readOrEmpty(s"${table}_open", schema)
+            val stg = batch.filter(col("change_date") === d)
+              .select(spec.allCols.map(col): _*)
+            val (newOpen, closedNow) = graft.etl.Scd2.mergeOpen(open, stg, spec, d)
+            // dynamic overwrite replaces the WHOLE effective_to=d
+            // partition; unlike the daily Runner (one merge per date),
+            // streaming closes the same date across many micro-batches,
+            // so the partition's current rows are unioned back in —
+            // otherwise batch N+1's write would wipe batch N's closures.
+            // Full-row dedup keeps crash replays convergent ((key,
+            // effective_from) is unique in SCD2 history).
+            val already = cat.readOrEmpty(s"${table}_closed", schema)
+              .filter(col("effective_to") === lit(d))
+            cat.appendPartitioned(s"${table}_closed",
+              closedNow.unionByName(
+                already.select(closedNow.columns.map(col): _*))
+                .dropDuplicates(),
+              "effective_to")
+            cat.replaceAtomic(s"${table}_open", newOpen)
+          }
+        } finally { batch.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .start()

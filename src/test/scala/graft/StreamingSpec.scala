@@ -157,18 +157,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       // batch 2: a changes, c is new — the close must see batch 1's STATE
       mem.addData(("a", "x2", d2), ("c", "q", d2))
       q.processAllAvailable()
+      // batch 3: ANOTHER change on the SAME date — its closed write
+      // lands in the same effective_to=d2 partition and must not wipe
+      // batch 2's closure of a
+      mem.addData(("b", "p2", d2))
+      q.processAllAvailable()
     } finally q.stop()
 
     val openRows = cat.read("dim_x_open").collect().toSet
     assert(openRows === Set(
       org.apache.spark.sql.Row("a", "x2", d2, open, false),
-      org.apache.spark.sql.Row("b", "p", d1, open, false),
+      org.apache.spark.sql.Row("b", "p2", d2, open, false),
       org.apache.spark.sql.Row("c", "q", d2, open, false)))
     val closedRows = cat.read("dim_x_closed")
       .select("id", "attr", "effective_from", "effective_to", "deleted_flg")
       .collect().toSet
     assert(closedRows === Set(
-      org.apache.spark.sql.Row("a", "x", d1, d2, true)))
+      org.apache.spark.sql.Row("a", "x", d1, d2, true),
+      org.apache.spark.sql.Row("b", "p", d1, d2, true)))
 
     // a REPLAYED batch (same content, fresh query+checkpoint) is a no-op:
     // change detection finds nothing, closed/open content is unchanged
