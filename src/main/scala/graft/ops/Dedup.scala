@@ -342,24 +342,40 @@ object Dedup {
     * rounds even on adversarial path graphs (min-label propagation and
     * Pregel CC both need O(diameter) rounds there). Replaced the GraphX
     * Pregel version in round 5: identical labels (OpsSpec cross-checks
-    * against [[componentsGraphx]] on chains/cliques/forests), but no
-    * RDD/vertex-cut materialization and ~3× faster wall-clock on the
-    * near-dup graphs of the bench corpus. Each round persists only the
-    * contracted edge list (compact: two longs), truncating lineage so
-    * the loop's plan doesn't grow with iterations.
+    * against [[componentsGraphx]] on chains/cliques/forests) at parity
+    * wall-clock on the bench corpus's pair graphs (CcProbe: 1.45 s vs
+    * 1.52 s at sf0.1), without GraphX's RDD/vertex-cut materialization
+    * or its session-lifetime cached-graph leak, and with the stronger
+    * round bound when a pathological pair graph shows up. Each round
+    * checkpoints only the contracted edge list (compact: two longs).
     *
     * Ids must be numeric (labels are computed on Long; a non-numeric id
     * casts to null and fails the edge build). For string ids, derive a
     * surrogate first — e.g. `xxhash64(id)` — and join the labels back. */
   def components(pairs: DataFrame, idA: String = "id_a",
                  idB: String = "id_b"): DataFrame = {
-    val nodes = pairs.select(explode(array(col(idA).cast("long"),
-      col(idB).cast("long"))).as("id")).distinct()
-    var edges = pairs
+    // ONE checkpointed canonical projection feeds both the node set and
+    // the edge loop — `pairs` usually carries an expensive generation
+    // pipeline (an LSH or inverted-index self-join), and deriving nodes
+    // and edges from it independently would execute that pipeline twice
+    // (measured: it doubled x_dedup_components end-to-end).
+    // Each round then ends in an EAGER localCheckpoint: the round's
+    // result is materialized and — critically — its LOGICAL plan is
+    // truncated to the checkpointed blocks. A persist() alone caches
+    // runtime blocks but leaves the logical plan growing by one round's
+    // operators per iteration, so analysis/optimization/AQE cost
+    // compounds with the iteration count (the classic
+    // iterative-DataFrame pitfall). Blocks are freed when the superseded
+    // frame is GC'd; at cluster scale with flaky executors swap for
+    // reliable `checkpoint()` under setCheckpointDir — the same trade
+    // GraphX Pregel exposes via its checkpoint interval.
+    val base = pairs
       .select(greatest(col(idA).cast("long"), col(idB).cast("long")).as("u"),
         least(col(idA).cast("long"), col(idB).cast("long")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist()
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = base.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    var edges = base.filter(col("u") =!= col("v"))
     var prevCnt = edges.count()
     var converged = prevCnt == 0L
     while (!converged) {
@@ -367,6 +383,8 @@ object Dedup {
       // minimum of u's closed neighborhood. Processing the symmetrized
       // edge list keeps every undirected edge represented (emitted from
       // its smaller endpoint) while strictly-smaller neighbors contract.
+      // No dedup here: duplicates don't multiply within a round, and the
+      // small-star distinct collapses them one shuffle later.
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val large = sym
@@ -374,7 +392,6 @@ object Dedup {
           .over(Window.partitionBy("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: orient edges large→small; hang u and all its smaller
       // neighbors off the minimum neighbor. (v,m) with v==m self-loops
       // drop; (u,m) never does (m < u by construction).
@@ -387,29 +404,21 @@ object Dedup {
           struct(col("u").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .persist()
+        .localCheckpoint(true)
       val cnt = small.count()
       // Fixpoint: the edge set is stable. Counts match every round near
       // convergence, so the (shuffle-cheap, contracted-edges-only) exact
       // set comparison runs only then — no hash-checksum leap of faith.
       converged = cnt == prevCnt && small.exceptAll(edges).isEmpty
-      edges.unpersist(blocking = false)
       edges = small
       prevCnt = cnt
     }
     // At fixpoint the edges form stars (node → component-minimum root);
-    // roots and isolated nodes label themselves. The labels are
-    // materialized (localCheckpoint: lineage cut, blocks freed on GC)
-    // BEFORE the loop's persisted edge list is released — otherwise the
-    // caller's first action would replay the entire iterative DAG from
-    // the unpersisted frames. At cluster scale with flaky executors,
-    // swap for a reliable `checkpoint()` under setCheckpointDir — the
-    // same trade GraphX Pregel exposes via its checkpoint interval.
-    val labels = nodes.join(edges, nodes("id") === edges("u"), "left")
+    // roots and isolated nodes label themselves. `edges` is already a
+    // checkpoint root, so the returned plan is one join deep — callers
+    // never replay the iterative DAG.
+    nodes.join(edges, nodes("id") === edges("u"), "left")
       .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("comp"))
-      .localCheckpoint(true)
-    edges.unpersist(blocking = false)
-    labels
   }
 
   /** GraphX Pregel connected components — the pre-round-5 implementation,
