@@ -95,8 +95,90 @@ object Dedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+        sigAgreement(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * positions. */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** The persistable LSH band index of a corpus — (doc_id, sig, band,
+    * bucket), the exact stage [[minhashLsh]] self-joins — with over-cap
+    * buckets dropped AT BUILD TIME (same degenerate-cluster valve, same
+    * default). Write it once per corpus (e.g.
+    * `catalog.overwrite("lsh_index", Dedup.lshIndex(corpus, ...))`) and
+    * incremental batches join against it via [[incrementalPairs]] without
+    * ever re-shingling the corpus — the property that turns daily dedup
+    * of a 100 TB corpus from O(corpus) per batch into O(batch). */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+               maxBucketSize: Long = 1000): DataFrame =
+    lshBanded(docs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+
+  /** Incremental near-dup candidates for a NEW batch against a corpus
+    * with a persisted [[lshIndex]]: signatures are computed for the
+    * batch only; new-vs-old candidates come from joining the batch's
+    * bands against the index, new-vs-new from the batch's own band
+    * self-join. The corpus is never re-shingled and never shuffled —
+    * with `broadcastNew` (default, for batches that fit in memory) the
+    * index side streams through a broadcast hash join map-side.
+    * Output: (id_a, id_b, est_jaccard, pair_type) with id_a < id_b and
+    * pair_type ∈ {new_old, new_new}; a doc present in BOTH sides (a
+    * re-ingest) yields its pair once, labeled new_old.
+    *
+    * Banding parameters MUST match the ones the index was built with —
+    * signatures are positional. The batch side applies the same
+    * `maxBucketSize` valve; index-side degenerate buckets were already
+    * dropped at build time. */
+  def incrementalPairs(index: DataFrame, newDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                       maxBucketSize: Long = 1000,
+                       broadcastNew: Boolean = true): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newBanded0 = lshBanded(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val newBanded = if (broadcastNew) broadcast(newBanded0) else newBanded0
+
+    val newOld = index.alias("o")
+      .join(newBanded.alias("n"),
+        col("o.band") === col("n.band") && col("o.bucket") === col("n.bucket") &&
+        col("o.doc_id") =!= col("n.doc_id"))
+      .select(col("o.doc_id").as("oid"), col("n.doc_id").as("nid"),
+        col("o.sig").as("sig_o"), col("n.sig").as("sig_n"))
+      .dropDuplicates("oid", "nid")
+      .select(least(col("oid"), col("nid")).as("id_a"),
+        greatest(col("oid"), col("nid")).as("id_b"),
+        sigAgreement(col("sig_o"), col("sig_n"), numHashes).as("est_jaccard"),
+        lit("new_old").as("pair_type"))
+
+    val a = newBanded0.alias("a")
+    val b = newBanded0.alias("b")
+    val newNew = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        sigAgreement(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"),
+        lit("new_new").as("pair_type"))
+
+    // a re-ingested doc makes the same pair surface on both paths with
+    // identical signatures — collapse deterministically to new_old
+    // (= max: "new_old" > "new_new"), the label that tells the caller
+    // the match is against the EXISTING corpus
+    newOld.unionByName(newNew)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"),
+        max(col("pair_type")).as("pair_type"))
   }
 
   /** The (doc_id, sig, band, bucket) stage shared by [[minhashLsh]] and

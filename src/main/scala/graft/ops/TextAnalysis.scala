@@ -125,6 +125,44 @@ object TextAnalysis {
       phone, "<PHONE>")
   }
 
+  /** Unigram language-model scoring — the cheap statistical stand-in for
+    * perplexity filtering in corpus curation (score docs against the
+    * corpus's own token distribution; gibberish and boilerplate sit in
+    * the tails). Two passes over a (doc_id, tok) explode: corpus token
+    * frequencies, then a per-doc average negative log-probability with
+    * add-`alpha` smoothing, p(tok) = (c + alpha) / (N + alpha·V) — the
+    * smoothing keeps NEW documents with unseen tokens scoreable against
+    * a frozen frequency table.
+    *
+    * Plan shape: the explode is repartitioned on `tok` ONCE and that
+    * exchange feeds all three consumers (frequency aggregate, totals,
+    * probe side of the frequency join) via stage reuse — the same trick
+    * ngramJaccard uses on `shingle`. The totals are a one-row aggregate
+    * broadcast in-plan. Shuffled payloads are (doc_id, tok) and the
+    * compact per-token counts, never documents.
+    *
+    * Output: (doc_id, n_toks, nll_e4) with nll_e4 = floor(mean negative
+    * ln-prob × 10⁴) — floor-scaled int64 so cross-engine summation-order
+    * ulps can't flip an oracle hash. Docs with no tokens emit no row. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"),
+        explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+          .as("tok"))
+      .repartition(col("tok"))
+    val tf = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tk.agg(count(lit(1)).as("n"),
+      countDistinct(col("tok")).as("v"))
+    tk.join(tf, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        floor(-avg(log((col("c") + lit(alpha)) /
+          (col("n") + lit(alpha) * col("v")))) * 10000)
+          .cast("long").as("nll_e4"))
+  }
+
   /** Fixed-size token chunking with overlap — context-window preparation
     * for training/RAG: one row per chunk, covering every token (the last
     * chunk may be short; an empty document yields no chunks).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Scd2
-import graft.ops.{Dedup, FuzzyJoin, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, FuzzyJoin, Similarity, TextAnalysis}
 import graft.rules.FraudRules
 import scala.jdk.CollectionConverters._
 
@@ -1149,6 +1149,48 @@ object TestdataQueries {
              |  TRUE AS est_ok
              |FROM pairs""".stripMargin)),
 
+    // -------------------------------------- incremental LSH (persisted index)
+    // The O(batch)-per-day dedup path: the 90% "existing corpus" builds a
+    // persisted band index (TableCatalog round trip through scratch
+    // parquet — the real at-rest form), then the 10% "new batch" joins
+    // against it WITHOUT re-shingling the corpus. Candidates are filtered
+    // to exact 3-gram Jaccard ≥ 0.5 in-plan, so the oracle — exact
+    // trigram pairs restricted to pairs touching a new doc — proves (a)
+    // recall of every new-touching pair through the index path, (b) zero
+    // old-old leakage, (c) the pair_type labeling, (d) the MinHash
+    // estimate bound. Same bimodal-corpus argument as x_dedup_minhash_lsh.
+    "x_dedup_incremental" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val scratch = scratchDir("graft_lshidx", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      cat.overwrite("lsh_index", Dedup.lshIndex(corpus, "doc_id", "text"))
+      val cand = Dedup.incrementalPairs(cat.read("lsh_index"), batch,
+        "doc_id", "text")
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val common = size(array_intersect(col("sh_a"), col("sh_b")))
+      val jac = common.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - common)
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(jac >= 0.5)
+        .select(col("id_a"), col("id_b"), common.as("common"),
+          floor(jac * 10000).cast("long").as("jaccard_e4"),
+          col("pair_type"),
+          (abs(col("est_jaccard") - jac) <= 0.3).as("est_ok"))
+    }),
+      Some(s"""WITH ${trigramPairsSql(0.5)}
+             |SELECT id_a, id_b, CAST(common AS INTEGER) AS common,
+             |  CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_e4,
+             |  CASE WHEN id_a % 10 = 0 AND id_b % 10 = 0 THEN 'new_new'
+             |       ELSE 'new_old' END AS pair_type,
+             |  TRUE AS est_ok
+             |FROM pairs
+             |WHERE id_a % 10 = 0 OR id_b % 10 = 0""".stripMargin)),
+
     // ---------------------------------------------------------- SimHash
     // Fingerprints use the engine-portable token hash (two polynomial
     // folds — Dedup.portableTokenHash) precisely so DuckDB can recompute
@@ -1417,6 +1459,42 @@ object TestdataQueries {
              |  CAST(levenshtein(f.feed_name, c.cat_name) AS BIGINT) AS dist
              |FROM feed f JOIN catalog c
              |  ON levenshtein(f.feed_name, c.cat_name) <= 1""".stripMargin)),
+
+    // ----------------------------------------------------- as-of join
+    // Generic backward as-of join (pandas merge_asof / kdb aj): every
+    // click gets the user's latest view AT or BEFORE it. The right side
+    // is deduped per (user, ts) first so the match is unique — DuckDB's
+    // native ASOF LEFT JOIN is the oracle, an implementation the union+
+    // window plan shares nothing with.
+    "x_asof_join" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+          col("value").as("view_value"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"), "click_ts", "ts",
+          Seq("view_id", "view_value"))
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("r_view_id").as("view_id"), col("r_ts").as("view_ts"),
+          col("r_view_value").as("view_value"))
+    }),
+      Some("""WITH v AS (
+             |  SELECT event_id AS view_id, user_id, ts, value AS view_value
+             |  FROM events WHERE event_type = 'view'
+             |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+             |    ORDER BY event_id DESC) = 1),
+             |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.click_id, c.user_id, c.click_ts,
+             |  v.view_id, v.ts AS view_ts, v.view_value
+             |FROM c ASOF LEFT JOIN v
+             |  ON c.user_id = v.user_id AND c.click_ts >= v.ts""".stripMargin)),
 
     // -------------------------------------------------- z-order layout
     // Morton-curve clustering key over (user, time): min-max integral
@@ -1754,6 +1832,27 @@ object TestdataQueries {
              |  CAST(floor(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT) * 1000000.0) AS BIGINT) AS top_ratio_e6,
              |  CAST(floor(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT) * 1000000.0) AS BIGINT) AS ttr_e6
              |FROM tc GROUP BY doc_id""".stripMargin)),
+
+    // ------------------------------------- unigram LM quality scoring
+    // The cheap perplexity-filter analog: every document scored by mean
+    // negative ln-probability of its tokens under the corpus's own
+    // smoothed unigram distribution (alpha = 0.5). Both engines replay
+    // the same p(tok) = (c + α)/(N + α·V); the score ships floor-scaled
+    // ×10⁴ so summation-order ulps can't flip the hash.
+    "x_unigram_logprob" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+        alpha = 0.5)),
+      Some("""WITH tk AS (SELECT doc_id, tok FROM
+             |    (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+             |     FROM documents) WHERE tok <> ''),
+             |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tk)
+             |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |  CAST(floor(-avg(ln((tf.c + 0.5) / (tot.n + 0.5 * tot.v))) * 10000)
+             |    AS BIGINT) AS nll_e4
+             |FROM tk JOIN tf USING (tok) CROSS JOIN tot
+             |GROUP BY tk.doc_id""".stripMargin)),
 
     // ----------------------------------- per-language quality percentiles
     // EXACT percentiles (Spark `percentile` ↔ DuckDB `quantile_cont`,

@@ -120,6 +120,16 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Set(1L, 7L, 100L))
   }
 
+  test("unigram log-prob: hand-computed smoothed scores; empty doc emits no row") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(corpus, "doc_id", "text", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // corpus: N=5 tokens, V=3 types; p(a)=2.5/6.5, p(b)=2.5/6.5, p(c)=1.5/6.5
+    def e4(xs: Double*) = math.floor(-xs.sum / xs.size * 10000).toLong
+    val pa = math.log(2.5 / 6.5); val pb = pa; val pc = math.log(1.5 / 6.5)
+    assert(out === Map(1L -> ((3L, e4(pa, pa, pb))), 2L -> ((2L, e4(pb, pc)))))
+  }
+
   test("alternating-star components ≡ GraphX Pregel on chains, cliques, forests, random graphs") {
     // The DataFrame CC (round 5) must label identically to the GraphX
     // reference it replaced. Shapes chosen to stress the algorithm:
@@ -143,6 +153,37 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === want, s"shape=$name")
     }
+  }
+
+  test("incremental LSH ≡ full LSH restricted to new-touching pairs; re-ingest labels new_old") {
+    // docs: 1~2 near-identical (old,old), 3~4 near-identical (old,new),
+    // 5~6 near-identical (new,new); 7 unrelated old
+    val mk = (i: Long, base: String) => (i, base)
+    val body = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val corpus = Seq(
+      mk(1, body + " alpha"), mk(2, body + " alpha beta"),
+      mk(3, body + " gamma"), mk(7, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(4, body + " gamma delta"), mk(5, body + " epsilon"), mk(6, body + " epsilon zeta")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.lshIndex(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalPairs(idx, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    val full = Dedup.minhashLsh(corpus.union(batch), "doc_id", "text")
+      .filter($"est_jaccard" >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newTouching = full.filter { case (a, b) => a >= 4 || b >= 4 }
+    assert(inc.filter(_._2 == "new_old").keySet.intersect(newTouching) ===
+      newTouching.filter { case (a, b) => a <= 3 || b <= 3 })
+    assert(newTouching.subsetOf(inc.keySet))
+    // no old-old pair may surface through the incremental path
+    assert(inc.keySet.forall { case (a, b) => a >= 4 || b >= 4 })
+    // re-ingest: doc 3 fed again as "new" pairs with old 3's twin via the
+    // index AND itself-vs-index — its twin pair must label new_old
+    val reIngest = Dedup.incrementalPairs(idx, corpus.filter($"doc_id" === 3), "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(3)))
+    assert(reIngest.nonEmpty && reIngest.forall(_._2 == "new_old"))
   }
 
   test("embedding near-dup finds the identical vector pair") {
