@@ -283,6 +283,50 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     dateDirs.size
   }
 
+  /** Overwrite `table` and persist a [[graft.ops.DataSkipping]] manifest
+    * (per-file min/max of `skipCols`) beside it as `<table>_manifest` —
+    * the write-time half of file-level data skipping. The manifest is
+    * computed from the files AS WRITTEN (one re-scan of the new data,
+    * the only way the stats are guaranteed to describe the bytes on
+    * disk), so it is exactly as fresh as the table. Read back through
+    * [[prunedRead]], which refuses a stale manifest rather than
+    * silently losing rows. */
+  def overwriteIndexed(table: String, df: DataFrame,
+                       skipCols: Seq[String]): Unit = {
+    overwrite(table, df)
+    overwrite(s"${table}_manifest",
+      graft.ops.DataSkipping.manifest(read(table), skipCols))
+  }
+
+  /** Manifest-pruned range read of a table written by
+    * [[overwriteIndexed]]: consults `<table>_manifest` (thousands of
+    * rows for a 100 TB table) and opens only files whose envelope
+    * intersects every range. FAILS FAST if the manifest's file set
+    * disagrees with the directory listing — a table mutated behind its
+    * manifest (plain append, manual compaction) must error, because a
+    * missing-from-manifest file would be silently skipped and its rows
+    * lost. The listing is driver-side file metadata, the same work a
+    * normal scan's file index does. */
+  def prunedRead(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val manifest = read(s"${table}_manifest")
+    val listed = manifest.select("file").collect().map(_.getString(0)).toSet
+    val onDisk = {
+      val s = Files.walk(Paths.get(path(table)))
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.toUri.toString).toSet
+      finally s.close()
+    }
+    require(listed == onDisk,
+      s"manifest for '$table' is stale: ${(onDisk -- listed).size} unlisted / " +
+        s"${(listed -- onDisk).size} missing file(s) — rewrite via overwriteIndexed")
+    graft.ops.DataSkipping.prunedRead(spark, path(table), manifest, ranges)
+  }
+
   /** Full-rewrite with atomic swap — the SCD2 dim "UPDATE" path
     * (SURVEY.md §7.4). The new content is materialized to `<table>.tmp`
     * first, so a mid-write failure leaves the current table intact; the

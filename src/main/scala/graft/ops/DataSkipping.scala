@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * only that dimension prunes (DataSkippingSpec measures both).
   *
   * Build the manifest ONCE at write time and persist it beside the
-  * table (it's a DataFrame — `TableCatalog` can store it); rebuilding
-  * per query would re-scan the table and defeat the point. */
+  * table — `TableCatalog.overwriteIndexed` does exactly that, and
+  * `TableCatalog.prunedRead` reads back through it with a freshness
+  * check; rebuilding per query would re-scan the table and defeat the
+  * point. */
 object DataSkipping {
 
   /** Per-file min/max statistics of `cols` plus row count — one output

@@ -1521,23 +1521,26 @@ object TestdataQueries {
              |FROM sc""".stripMargin)),
 
     // ------------------------------- manifest-pruned read (data skipping)
-    // The z-order payoff END TO END: events written z-clustered to
-    // scratch, a per-file min/max manifest built once, then a 2-D box
-    // probe reads only intersecting files. The oracle is the UNPRUNED
-    // filter over the same scratch parquet — row equality proves no
-    // file was wrongly skipped (the pruning benefit itself is
-    // DataSkippingSpec's measurement; file counts depend on range
-    // boundaries and don't belong in a value oracle).
+    // The z-order payoff END TO END through the catalog's PERSISTED
+    // manifest (round 5 — previously the manifest was rebuilt in-query):
+    // events written z-clustered via overwriteIndexed (which stores the
+    // per-file min/max manifest beside the table), then a 2-D box probe
+    // reads back through prunedRead — manifest freshness check, file
+    // pruning, re-applied row filter. The oracle is the UNPRUNED filter
+    // over the same scratch parquet — row equality proves no file was
+    // wrongly skipped (the pruning benefit itself is DataSkippingSpec's
+    // measurement; file counts depend on range boundaries and don't
+    // belong in a value oracle).
     "x_skipping_read" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
       val scratch = scratchDir("graft_zorder", dir)
-      val zdir = scratch.resolve("events_z").toString
+      val cat = new TableCatalog(s, scratch.toString)
       val ev = t(s, dir, "events").select(col("event_id"),
         col("user_id").as("uid"), unix_timestamp(col("ts")).as("es"))
-      graft.ops.ZOrder.cluster(ev, "uid", "es", bits = 16, numPartitions = 8)
-        .write.mode("overwrite").parquet(zdir)
-      val stored = s.read.parquet(zdir)
-      val mf = graft.ops.DataSkipping.manifest(stored, Seq("uid", "es"))
-      graft.ops.DataSkipping.prunedRead(s, zdir, mf,
+      cat.overwriteIndexed("events_z",
+        graft.ops.ZOrder.cluster(ev, "uid", "es", bits = 16, numPartitions = 8),
+        Seq("uid", "es"))
+      cat.prunedRead("events_z",
           Seq(("uid", 2L, 9L), ("es", 1704672000L, 1705363200L)))
         .select(col("event_id"), col("uid"), col("es"))
     }),

@@ -72,6 +72,33 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     } finally { catA.dropBucketed("t"); catB.dropBucketed("t") }
   }
 
+  test("overwriteIndexed + prunedRead: pruned ≡ unpruned; stale manifest refuses") {
+    val cat = new TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_skip_").toString)
+    val rows = (1L to 4000L).map(i => (i, i % 100, (i * 7) % 1000))
+      .toDF("id", "a", "b")
+    // sortWithinPartitions after a range repartition → tight per-file
+    // envelopes on `a`, so the box probe actually skips files
+    cat.overwriteIndexed("tbl",
+      rows.repartitionByRange(8, col("a")).sortWithinPartitions("a"), Seq("a", "b"))
+    val ranges = Seq(("a", 10L, 20L), ("b", 0L, 500L))
+    val pruned = cat.prunedRead("tbl", ranges)
+    val unpruned = spark.read.parquet(cat.path("tbl"))
+      .filter(col("a").between(10, 20) && col("b").between(0, 500))
+    assert(pruned.collect().toSet === unpruned.collect().toSet)
+    // the probe must open fewer files than the table holds
+    val opened = pruned.select(input_file_name()).distinct().count()
+    val total = spark.read.parquet(cat.path("tbl"))
+      .select(input_file_name()).distinct().count()
+    assert(opened < total, s"no pruning: opened $opened of $total files")
+
+    // mutate the table behind the manifest → read must refuse loudly
+    (4001L to 4005L).map(i => (i, i % 100, (i * 7) % 1000)).toDF("id", "a", "b")
+      .write.mode("append").parquet(cat.path("tbl"))
+    val e = intercept[IllegalArgumentException](cat.prunedRead("tbl", ranges))
+    assert(e.getMessage.contains("stale"))
+  }
+
   test("compactClosed: a crash between the swap moves heals on rerun with no data loss") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.sql.Date
