@@ -1643,6 +1643,53 @@ object TestdataQueries {
       Some("""SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results,
              |  TRUE AS recall_ok, TRUE AS top50_ok""".stripMargin)),
 
+    // ------------------------------------ PQ ANN (property oracle)
+    // Product quantization: codebooks from a deterministic driver-side
+    // Lloyd's fit (not SQL-replayable), so the oracle pins measured
+    // invariants. The synthetic embeddings are iid gaussian — PQ's
+    // worst case (distances concentrate) — so the meaningful checks are
+    // the DISTORTION (measured 0.54-0.58 across SFs; ≈ the k^(-2/subDim)
+    // = 0.5 rate-distortion expectation for noise, and a broken argmin
+    // or codebook would blow past 1.0) and the ADC estimate error on
+    // the returned top-10 (measured 0.33-0.40); recall proper is
+    // MlOpsSpec's clustered-data case, where PQ earns its keep. h50
+    // bound from tools/PqProbe: 8/7/3 at sf0.001/0.01/0.1.
+    "x_ann_pq" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val base = e.filter(col("vec_id") =!= 0)
+      val cb = graft.ops.Pq.trainCodebooks(base, "vec_id", "embedding", dim)
+      val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+      val enc = graft.ops.Pq.encode(base, "embedding", cb)
+      val recon = flatten(zip_with(col("pq_code"), cbLit,
+        (cd, cws) => element_at(cws, cd + 1)))
+      val errSq = aggregate(zip_with(col("embedding"), recon,
+        (x, r) => (x - r) * (x - r)), lit(0.0), (a, v) => a + v)
+      val normSq = aggregate(col("embedding"), lit(0.0), (a, v) => a + v * v)
+      val l2q = aggregate(zip_with(col("embedding"), typedLit(q),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+      val exact50 = base.withColumn("d", l2q)
+        .orderBy(col("d").asc, col("vec_id").asc).limit(50)
+        .withColumn("bf_rank", row_number().over(
+          Window.orderBy(col("d").asc, col("vec_id").asc)))
+        .select(col("vec_id"), col("bf_rank"))
+      val top = graft.ops.Pq.topK(enc, "vec_id", "pq_code", cb, q, k = 10)
+        .withColumn("exact", l2q)
+      val dist = enc.agg((sum(errSq) / sum(normSq)).as("rd")).head().getDouble(0)
+      top.join(exact50, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          avg(abs(col("adc_dist") - col("exact")) / col("exact")).as("adc_err"),
+          sum(when(col("bf_rank").isNotNull, 1).otherwise(0)).as("h50"))
+        .select(lit(10).as("k"), col("n_results"),
+          lit(dist <= 0.75).as("distortion_ok"),
+          (col("adc_err") <= 0.6).as("adc_ok"),
+          (col("h50") >= 1).as("h50_ok"))
+    }),
+      Some("""SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results,
+             |  TRUE AS distortion_ok, TRUE AS adc_ok, TRUE AS h50_ok""".stripMargin)),
+
     // ---------------------------------------- online z-score anomaly
     // The stateful streaming scorer (StreamingIngest.zscoreAlerts) in
     // BATCH mode: each event scores against the card's PRIOR amount

@@ -89,6 +89,52 @@ class MlOpsSpec extends AnyFunSuite with SparkTestSession {
       === idx.centroids.map(_._1).sorted.toSeq)
   }
 
+  test("PQ on clustered data: high recall vs exact L2, low distortion, exact roundtrip determinism") {
+    import graft.ops.Pq
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    def blob(center: Array[Float], n: Int, from: Int) =
+      (from until from + n).map(i => (i.toLong,
+        center.map(c => c + rnd.nextGaussian().toFloat * 0.05f)))
+    val data = blob(Array.fill(8)(1f), 60, 0) ++
+      blob(Array.fill(8)(-1f), 60, 100) ++
+      blob(Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f), 60, 200)
+    val embs = data.toDF("vec_id", "embedding")
+    val query = data.head._2.map(_.toDouble).toSeq
+
+    val cb = Pq.trainCodebooks(embs, "vec_id", "embedding", dim = 8, m = 4, k = 8)
+    val enc = Pq.encode(embs, "embedding", cb)
+    val l2 = aggregate(zip_with(col("embedding"), typedLit(query),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, v) => a + v)
+    val exact = embs.withColumn("d", l2)
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Pq.topK(enc, "vec_id", "pq_code", cb, query, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // what PQ promises on clustered data is CLUSTER-level fidelity:
+    // every ADC top-10 row must come from the query's own blob (ids
+    // 0-59) — within a tight blob the points are identical at
+    // quantization resolution, so exact rank inside it is tie-noise,
+    // not signal. Still require real overlap with the exact set.
+    assert(pq.forall(_ < 60), s"PQ leaked other-cluster ids: $pq")
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall on clustered data, exact=$exact pq=$pq")
+
+    // tight clusters quantize almost losslessly
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val recon = flatten(zip_with(col("pq_code"), cbLit,
+      (cd, cws) => element_at(cws, cd + 1)))
+    val errSq = aggregate(zip_with(col("embedding"), recon,
+      (x, r) => (x - r) * (x - r)), lit(0.0), (a, v) => a + v)
+    val normSq = aggregate(col("embedding"), lit(0.0), (a, v) => a + v * v)
+    val dist = enc.agg((sum(errSq) / sum(normSq)).as("rd")).head().getDouble(0)
+    assert(dist <= 0.1, s"relative distortion $dist on tight clusters")
+
+    // deterministic: retraining on the same data gives identical codebooks
+    val cb2 = Pq.trainCodebooks(embs, "vec_id", "embedding", dim = 8, m = 4, k = 8)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("anomaly scoring ranks a planted outlier far above routine traffic") {
     // one entity: varied-but-routine payments, plus one wild amount
     // planted mid-sequence with an ordinary inter-txn gap (so the amount
