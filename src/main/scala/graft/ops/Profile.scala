@@ -40,6 +40,43 @@ object Profile {
         col("m.n_distinct"), col("m.min_s"), col("m.max_s"))
   }
 
+  /** Join-key skew report — the diagnostic run BEFORE choosing a join
+    * strategy at scale (broadcast? salt? AQE skew split?): the top-`k`
+    * heaviest key values with their row counts and share of the table,
+    * plus the table-level concentration facts that decide the strategy
+    * (total rows, distinct keys, max/mean key multiplicity ratio). One
+    * count-by-key aggregate (map-side combined, shuffles one row per
+    * DISTINCT key) feeding a driver-small top-k; the single-row totals
+    * ride the same aggregate via a rollup-free second pass over the
+    * compact per-key frame. Output is one row per heavy hitter:
+    * (rank, key value as string, n_rows, share_e6, n_total, n_keys,
+    * skew_ratio_e2 = max/mean multiplicity). NULL keys count as a key
+    * (they hash to one partition like any value — the classic silent
+    * skew source) and print as "NULL". */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val perKey = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = perKey.agg(sum(col("n_rows")).as("n_total"),
+      count(lit(1)).as("n_keys"), max(col("n_rows")).as("max_rows"))
+    // TakeOrdered top-k first (distributed), THEN rank the k survivors —
+    // a global row_number window before the cut would funnel every
+    // distinct key through one task
+    perKey
+      .orderBy(col("n_rows").desc, col(keyCol).asc_nulls_first)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col(keyCol).asc_nulls_first)))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"),
+        coalesce(col(keyCol).cast("string"), lit("NULL")).as("key_value"),
+        col("n_rows"),
+        floor(col("n_rows") * lit(1e6) / col("n_total")).cast("long").as("share_e6"),
+        col("n_total"), col("n_keys"),
+        floor(col("max_rows") * col("n_keys") * lit(100) / col("n_total"))
+          .cast("long").as("skew_ratio_e2"))
+  }
+
   /** Equi-depth (equal-frequency) histogram of a long column: `k`
     * buckets of ~n/k rows each with their [lo, hi] value ranges — the
     * profile that stays informative on skewed data, where equi-WIDTH

@@ -92,7 +92,17 @@ object Relevance {
   /** [[bm25TopK]] over a precomputed (doc_id, term, tf) frame — the
     * scale path (see [[termCounts]]). */
   def bm25TopKFromCounts(tc: DataFrame, queryTerms: Seq[String], k: Int = 20,
-                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    queryContribs(tc, queryTerms, k1, b)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("contrib_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(k)
+
+  /** Per-(doc, query-term) BM25 contribution — the shared core of the
+    * exact and MaxScore-pruned rankers. */
+  private def queryContribs(tc: DataFrame, queryTerms: Seq[String],
+                            k1: Double, b: Double): DataFrame = {
     // per-doc length from the term-count table (sum of tfs) — no second
     // pass over the raw tokens
     val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -100,7 +110,7 @@ object Relevance {
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val df_ = tc.filter(col("term").isin(queryTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = tc.filter(col("term").isin(queryTerms: _*))
+    tc.filter(col("term").isin(queryTerms: _*))
       .join(broadcast(df_), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -115,9 +125,60 @@ object Relevance {
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) *
             (col("dl").cast("double") / col("avgdl"))))
           * lit(1e6)).cast("long"))
-    contrib.groupBy(col("doc_id"))
+  }
+
+  /** MaxScore-pruned BM25 top-k (Turtle & Flood's upper-bound pruning,
+    * recast for a batch engine): identical output to [[bm25TopK]] —
+    * DocsSpec asserts equality and x_bm25_pruned's oracle is the exact
+    * ranking — but docs matching ONLY low-impact query terms never
+    * enter the scoring aggregate.
+    *
+    *  1. ub(term) = max per-doc contribution of the term;
+    *  2. θ = the k-th highest single-term contribution taken per-doc —
+    *     at least k docs score ≥ θ, so θ lower-bounds the true k-th
+    *     best total;
+    *  3. terms are sorted by ub ascending; the maximal prefix whose ub
+    *     sum stays BELOW θ is non-essential — a doc matching only that
+    *     prefix tops out strictly below θ and can never reach the
+    *     top-k, tie-breaks included;
+    *  4. candidate docs = docs matching ≥1 essential term (semi-join);
+    *     only their rows flow into the exact scoring aggregate.
+    *
+    * The trade is explicit: ub/θ/essential are query-sized (|Q| rows,
+    * broadcast) but candidate selection adds a doc-id semi-join, so the
+    * pruned plan WINS when the query mixes salient terms with frequent
+    * low-idf ones (the stopword posting list stops generating
+    * candidates — at corpus scale that list is the cost) and merely
+    * breaks even on all-rare queries. */
+  def bm25TopKPrunedFromCounts(tc: DataFrame, queryTerms: Seq[String],
+                               k: Int = 20, k1: Double = 1.2,
+                               b: Double = 0.75): DataFrame = {
+    val contrib = queryContribs(tc, queryTerms, k1, b)
+    val theta = contrib.groupBy(col("doc_id")).agg(max(col("contrib_e6")).as("pmax"))
+      .orderBy(col("pmax").desc).limit(k)
+      .agg(coalesce(min(col("pmax")), lit(Long.MinValue)).as("theta"))
+    val ub = contrib.groupBy(col("term")).agg(max(col("contrib_e6")).as("ub"))
+    // |Q|-row window — the single partition is the point, not a hazard
+    val essential = ub
+      .withColumn("csum", sum(col("ub")).over(
+        Window.orderBy(col("ub").asc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(theta))
+      .filter(col("csum") >= col("theta"))
+      .select(col("term"))
+    val candidates = contrib
+      .join(broadcast(essential), Seq("term"), "left_semi")
+      .select(col("doc_id")).distinct()
+    contrib.join(candidates, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"), sum(col("contrib_e6")).as("score_e6"))
       .orderBy(col("score_e6").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** [[bm25TopKPrunedFromCounts]] from raw documents. */
+  def bm25TopKPruned(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKPrunedFromCounts(termCounts(docs, idCol, textCol), queryTerms, k, k1, b)
 }

@@ -1990,6 +1990,39 @@ object TestdataQueries {
              |FROM c GROUP BY doc_id
              |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // --------------------------------- MaxScore-pruned BM25 retrieval
+    // Same ranking contract as x_bm25, computed through upper-bound
+    // pruning: "dup" is rare (df ≈ 5% — high idf, ub ≈ 6-15× the
+    // frequent terms'), so θ from the k-th best single-term partial
+    // exceeds ub(query)+ub(the) and the two frequent posting lists
+    // become non-essential — only "dup"-matching docs enter the scoring
+    // aggregate. The oracle is the EXACT ranking (identical SQL shape
+    // to x_bm25), so a hash match proves the pruning lossless,
+    // tie-breaks included.
+    "x_bm25_pruned" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Relevance.bm25TopKPruned(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("dup", "query", "the"), k = 20)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+             |  FROM documents),
+             |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |qdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc
+             |  WHERE term IN ('dup', 'query', 'the') GROUP BY term),
+             |c AS (SELECT tc.doc_id,
+             |    CAST(floor(
+             |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |        * (tf * (1.2 + 1.0))
+             |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+             |        * 1000000.0) AS BIGINT) AS contrib_e6
+             |  FROM tc JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+             |SELECT doc_id, count(*) AS n_matched,
+             |  CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+             |FROM c GROUP BY doc_id
+             |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin)),
+
     "x_text_stats" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2134,6 +2167,29 @@ object TestdataQueries {
              |SELECT ((rk - 1) * 10) // n AS bucket, count(*) AS n_rows,
              |  min(cents) AS lo, max(cents) AS hi
              |FROM r CROSS JOIN nn GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------ join-key skew report
+    // The pre-join diagnostic: top-10 heaviest o_custkey values with
+    // their table share plus the concentration facts (distinct keys,
+    // max/mean multiplicity) that pick broadcast vs salt vs AQE. DuckDB
+    // replays the count-by-key, the (count desc, key asc) top-k and the
+    // floor-scaled ratios exactly.
+    "x_skew_report" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Profile.skewReport(t(s, dir, "orders"), "o_custkey", k = 10)),
+      Some("""WITH pk AS (SELECT o_custkey AS kv, CAST(count(*) AS BIGINT) AS n_rows
+             |  FROM orders GROUP BY o_custkey),
+             |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(n_rows) AS BIGINT) AS max_rows FROM pk),
+             |top AS (SELECT kv, n_rows,
+             |    row_number() OVER (ORDER BY n_rows DESC, kv ASC NULLS FIRST) AS rank
+             |  FROM pk QUALIFY rank <= 10)
+             |SELECT rank, coalesce(CAST(kv AS VARCHAR), 'NULL') AS key_value,
+             |  n_rows,
+             |  CAST(floor(n_rows * 1000000.0 / n_total) AS BIGINT) AS share_e6,
+             |  n_total, n_keys,
+             |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
+             |FROM top CROSS JOIN tot""".stripMargin)),
 
     // ------------------------------------------ data-QA profiling
     // One-pass per-column profile over events; columns restricted to

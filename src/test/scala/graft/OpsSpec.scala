@@ -331,6 +331,50 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.forall(_._2 === 1L))
   }
 
+  test("skew report surfaces the hot key and the NULL key with exact shares") {
+    import graft.ops.Profile
+    val rows = (Seq.fill(60)(Some("hot")) ++ Seq.fill(20)(Option.empty[String]) ++
+      (1 to 20).map(i => Some(s"k$i"))).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("id", "key")
+    val out = Profile.skewReport(df, "key", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // 100 rows, 22 distinct keys; hot=60 rows (60%), NULL=20 (20%)
+    assert(out(0) === ((1, "hot", 60L, 600000L, 100L, 22L,
+      math.floor(60.0 * 22 * 100 / 100).toLong)))
+    assert(out(1)._2 === "NULL" && out(1)._3 === 20L && out(1)._4 === 200000L)
+    assert(out.length === 3 && out(2)._3 === 1L)
+  }
+
+  test("MaxScore-pruned BM25 ≡ exact BM25: stopword-heavy, all-rare, and tiny corpora") {
+    import graft.ops.Relevance
+    val rnd = new scala.util.Random(5)
+    // 200 docs all containing the stopword; every 10th also carries one
+    // of two salient terms — the shape pruning exists for
+    val corpus = (1L to 200L).map { i =>
+      val filler = Seq.fill(5 + rnd.nextInt(10))("common").mkString(" ")
+      val salient = if (i % 10 == 0) " needle" else if (i % 10 == 5) " probe" else ""
+      (i, s"$filler the$salient")
+    }.toDF("doc_id", "text")
+    for (q <- Seq(Seq("needle", "probe", "the", "common"),
+                  Seq("needle", "probe"),       // all-rare: prune breaks even
+                  Seq("common", "the"),         // all-frequent
+                  Seq("absent_term"))) {        // no matches at all
+      val exact = Relevance.bm25TopK(corpus, "doc_id", "text", q, k = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val pruned = Relevance.bm25TopKPruned(corpus, "doc_id", "text", q, k = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(pruned === exact, s"query=$q")
+    }
+    // k larger than the matched-doc count: everything must survive
+    val small = Seq((1L, "x y"), (2L, "y z"), (3L, "z")).toDF("doc_id", "text")
+    assert(Relevance.bm25TopKPruned(small, "doc_id", "text", Seq("y", "z"), k = 10)
+      .collect().map(_.getLong(0)).toSet ===
+      Relevance.bm25TopK(small, "doc_id", "text", Seq("y", "z"), k = 10)
+        .collect().map(_.getLong(0)).toSet)
+  }
+
   test("bloom-pruned join ≡ plain join; the sketch prunes non-matching probe rows") {
     val probe = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "pv")
     val build = Seq((5L, "a"), (10L, "b"), (999L, "c")).toDF("bk", "bv")
