@@ -298,6 +298,42 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
       graft.ops.DataSkipping.manifest(read(table), skipCols))
   }
 
+  /** Append to a manifest-indexed table, extending `<table>_manifest`
+    * with stats for ONLY the newly written files — the incremental
+    * maintenance path that keeps daily appends from forcing a full
+    * manifest rebuild (a 100 TB table's manifest refresh must be
+    * O(new files), not O(table)). New files are identified by listing
+    * before and after the append (single-writer layout, like every
+    * mutation here); only they are re-scanned for min/max. After this,
+    * [[prunedRead]]'s freshness check passes again. */
+  def appendIndexed(table: String, df: DataFrame,
+                    skipCols: Seq[String]): Unit = {
+    val before = listParquetUris(table)
+    append(table, df)
+    val newFiles = (listParquetUris(table) -- before).toSeq
+    if (newFiles.nonEmpty)
+      append(s"${table}_manifest",
+        graft.ops.DataSkipping.manifest(
+          spark.read.option("basePath", path(table))
+            .parquet(newFiles: _*), skipCols))
+  }
+
+  private def listParquetUris(table: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path(table))
+    if (!Files.exists(root)) Set.empty
+    else {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.toUri.toString).toSet
+      finally s.close()
+    }
+  }
+
   /** Manifest-pruned range read of a table written by
     * [[overwriteIndexed]]: consults `<table>_manifest` (thousands of
     * rows for a 100 TB table) and opens only files whose envelope
@@ -308,19 +344,9 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     * lost. The listing is driver-side file metadata, the same work a
     * normal scan's file index does. */
   def prunedRead(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
-    import scala.jdk.CollectionConverters._
     val manifest = read(s"${table}_manifest")
     val listed = manifest.select("file").collect().map(_.getString(0)).toSet
-    val onDisk = {
-      val s = Files.walk(Paths.get(path(table)))
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
-        .map(_.toUri.toString).toSet
-      finally s.close()
-    }
+    val onDisk = listParquetUris(table)
     require(listed == onDisk,
       s"manifest for '$table' is stale: ${(onDisk -- listed).size} unlisted / " +
         s"${(listed -- onDisk).size} missing file(s) — rewrite via overwriteIndexed")

@@ -26,6 +26,18 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("keep_id"))
 
+  /** Dedup-canonical text: lowercase, punctuation stripped, whitespace
+    * runs collapsed to one space, trimmed. The standard normalization
+    * pass before exact hashing — web-scraped corpora carry the same
+    * sentence under differing case/punctuation/indentation, and raw
+    * [[exact]] treats every variant as unique. Portable character
+    * classes only (identical semantics in Java regex and RE2/DuckDB),
+    * so the oracle replays the scrub byte-for-byte. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Punct}]", ""),
+      "\\s+", " "))
+
   // --------------------------------------------------------- shingling
 
   /** Word n-gram shingles of `textCol` (whitespace tokenization),

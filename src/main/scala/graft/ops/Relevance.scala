@@ -114,18 +114,67 @@ object Relevance {
       .join(broadcast(df_), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-      // constants enter as the same decimal literals the oracle SQL uses
-      // and are combined by IEEE ops on both engines (never pre-evaluated
-      // into a different literal — 1.2 + 1.0 and a literal 2.2 round
-      // differently), so the doubles agree bit-for-bit
-      .withColumn("contrib_e6",
-        floor(col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) *
-            (col("dl").cast("double") / col("avgdl"))))
-          * lit(1e6)).cast("long"))
+      .withColumn("contrib_e6", bm25ContribE6(k1, b))
   }
+
+  /** The floor-scaled BM25 term contribution over (tf, df, n_docs, dl,
+    * avgdl) columns. Constants enter as the same decimal literals the
+    * oracle SQL uses and are combined by IEEE ops on both engines
+    * (never pre-evaluated into a different literal — 1.2 + 1.0 and a
+    * literal 2.2 round differently), so the doubles agree bit-for-bit. */
+  private def bm25ContribE6(k1: Double, b: Double): Column =
+    floor(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) *
+          (col("dl").cast("double") / col("avgdl"))))
+        * lit(1e6)).cast("long")
+
+  /** Batch retrieval: BM25 top-k per query for a whole QUERIES TABLE in
+    * one plan — the shape a retrieval/eval pipeline actually runs
+    * (thousands of queries against the corpus), where a per-query loop
+    * would launch thousands of jobs. Queries explode to distinct
+    * (query_id, term) pairs that BROADCAST-join the term-count table —
+    * the corpus-sized side never shuffles for query fan-out; a term
+    * shared by q queries fans its postings out q ways exactly as q
+    * separate runs would. df/idf are corpus-level (identical to the
+    * single-query ranker); the per-query top-k is a window partitioned
+    * by query_id, so ranking shuffles only the scored (query, doc)
+    * aggregate. Output: (query_id, doc_id, n_matched, score_e6, rk ≤ k)
+    * with the same total-order tie-break as [[bm25TopK]]. */
+  def bm25BatchTopKFromCounts(tc: DataFrame, queries: DataFrame,
+                              queryIdCol: String, queryTextCol: String,
+                              k: Int = 20, k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(filter(split(col(queryTextCol), "\\s+"),
+        t => length(t) > 0))).as("term"))
+    val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val df_ = tc.join(broadcast(qt.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tc.join(broadcast(qt), Seq("term"))
+      .join(broadcast(df_), Seq("term"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_e6", bm25ContribE6(k1, b))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("contrib_e6")).as("score_e6"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_e6").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** [[bm25BatchTopKFromCounts]] from raw documents. */
+  def bm25BatchTopK(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryTextCol: String, k: Int = 20,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25BatchTopKFromCounts(termCounts(docs, idCol, textCol), queries,
+      queryIdCol, queryTextCol, k, k1, b)
 
   /** MaxScore-pruned BM25 top-k (Turtle & Flood's upper-bound pruning,
     * recast for a batch engine): identical output to [[bm25TopK]] —

@@ -41,6 +41,23 @@ object Splits {
       assigned.fold(lit(fractions.head._1))(_.otherwise(fractions.last._1)))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: adds `fold`
+    * (0..k-1) as a pure function of the id — `pmod(bucket(id), k)` over
+    * the same portable-hash bucket every split decision here uses, so
+    * folds are reproducible across runs/engines, partition the corpus
+    * exactly, and are uniform to bucket resolution. `foldSlices(i)`
+    * then gives the (train, holdout) pair for fold i as two filters
+    * over ONE assignment — no materialization per fold. */
+  def assignFold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn("fold", pmod(bpBucket(col(idCol)), lit(k.toLong)))
+  }
+
+  /** The fold-i view over an [[assignFold]] frame: (train = fold ≠ i,
+    * holdout = fold = i). */
+  def foldSlices(assigned: DataFrame, i: Int): (DataFrame, DataFrame) =
+    (assigned.filter(col("fold") =!= i), assigned.filter(col("fold") === i))
+
   /** Deterministic per-group downsampling — the "cap each language /
     * source at N documents" rebalancing step of corpus curation. Keeps a
     * row iff `bucket(id) * group_count < cap * 10000` (integer

@@ -1069,6 +1069,26 @@ object TestdataQueries {
              |  min(doc_id) AS keep_id
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // ------------------------------------------ normalized exact dedup
+    // The canonicalization pass before exact hashing (case /
+    // punctuation / whitespace variants of one sentence must collide):
+    // lower → strip [[:punct:]] → collapse \s+ → trim, then the same
+    // md5-groupBy as x_dedup_exact. Both engines run the identical
+    // portable regex chain (DuckDB needs the 'g' flag; Spark replaces
+    // globally by default).
+    "x_dedup_normalized" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exact(docs.withColumn("text", Dedup.normalized(col("text"))),
+        "doc_id", "text")
+    }),
+      Some("""WITH n AS (SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+             |  FROM documents)
+             |SELECT md5(ntext) AS content_hash, count(*) AS dup_cnt,
+             |  min(doc_id) AS keep_id
+             |FROM n GROUP BY md5(ntext)""".stripMargin)),
+
     // ----------------------------------------------- n-gram Jaccard dedup
     "x_dedup_ngram_jaccard" -> (((s: SparkSession, dir: String) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
@@ -2023,6 +2043,49 @@ object TestdataQueries {
              |FROM c GROUP BY doc_id
              |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // ------------------------------------- batch multi-query BM25
+    // A 3-query table answered in ONE plan (the retrieval/eval shape —
+    // per-query loops don't scale to query logs): queries explode to
+    // (query_id, term), broadcast against the term counts, per-query
+    // top-5 by window. DuckDB replays the whole fan-out including the
+    // corpus-level df/idf and the rank tie-break.
+    "x_bm25_batch" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val queries = Seq(("q1", "join hash"), ("q2", "dup window"),
+        ("q3", "the query scan")).toDF("query_id", "qtext")
+      graft.ops.Relevance.bm25BatchTopK(t(s, dir, "documents"), "doc_id",
+        "text", queries, "query_id", "qtext", k = 5)
+    }),
+      Some("""WITH q AS (SELECT * FROM (VALUES ('q1', 'join hash'),
+             |    ('q2', 'dup window'), ('q3', 'the query scan'))
+             |    t(query_id, qtext)),
+             |qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+             |  FROM q),
+             |toks AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+             |  FROM documents),
+             |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tc GROUP BY doc_id),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |qdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc
+             |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+             |c AS (SELECT qt.query_id, tc.doc_id,
+             |    CAST(floor(
+             |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |        * (tf * (1.2 + 1.0))
+             |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+             |        * 1000000.0) AS BIGINT) AS contrib_e6
+             |  FROM tc JOIN qt USING (term) JOIN qdf USING (term)
+             |  JOIN dl USING (doc_id) CROSS JOIN stats),
+             |g AS (SELECT query_id, doc_id, count(*) AS n_matched,
+             |    CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+             |  FROM c GROUP BY query_id, doc_id)
+             |SELECT query_id, doc_id, n_matched, score_e6, rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score_e6 DESC, doc_id) AS rk FROM g) t
+             |WHERE rk <= 5""".stripMargin)),
+
     "x_text_stats" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2083,6 +2146,16 @@ object TestdataQueries {
              |       WHEN hv % 10000 < 9000 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM h""".stripMargin)),
+
+    // --------------------------------- k-fold assignment (k = 5)
+    // Cross-validation folds as a pure function of the id — same
+    // portable-hash bucket as x_splits, mod k. Per-doc value oracle.
+    "x_kfold" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Splits.assignFold(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", k = 5)),
+      Some(s"""SELECT doc_id,
+             |  (${portableHashSql("CAST(doc_id AS VARCHAR)")} % 10000) % 5 AS fold
+             |FROM documents""".stripMargin)),
 
     // ------------------------------- per-group rebalancing (cap at 100)
     // Splits.capPerGroup over languages: hash-deterministic downsampling

@@ -24,6 +24,18 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.length === 4) // 4 distinct texts
   }
 
+  test("normalized dedup: case/punctuation/whitespace variants collide, content differences don't") {
+    val variants = Seq(
+      (1L, "The quick brown fox."),
+      (2L, "the  quick   brown fox"),
+      (3L, "THE QUICK, BROWN FOX!!"),
+      (4L, "  the quick brown fox  "),
+      (5L, "the slow brown fox")).toDF("doc_id", "text")
+    val out = Dedup.exact(variants.withColumn("text", Dedup.normalized($"text")),
+      "doc_id", "text").collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((4L, 1L), (1L, 5L)))
+  }
+
   test("minhash LSH: exact dups get est_jaccard 1.0; near dups are candidates") {
     val out = Dedup.minhashLsh(docs.filter($"doc_id" <= 4), "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -375,6 +387,25 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
         .collect().map(_.getLong(0)).toSet)
   }
 
+  test("batch BM25 ≡ per-query BM25 for every query in the table") {
+    import graft.ops.Relevance
+    val corpus = docs // the shared OpsSpec doc fixture
+    val queries = Seq(("a", "quick brown"), ("b", "lazy dog fox"),
+      ("c", "absent_term")).toDF("query_id", "qtext")
+    val batch = Relevance.bm25BatchTopK(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 5)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq).toMap
+    for ((qid, terms) <- Seq("a" -> Seq("quick", "brown"),
+      "b" -> Seq("lazy", "dog", "fox"), "c" -> Seq("absent_term"))) {
+      val single = Relevance.bm25TopK(corpus, "doc_id", "text", terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) === single, s"query=$qid")
+    }
+  }
+
   test("bloom-pruned join ≡ plain join; the sketch prunes non-matching probe rows") {
     val probe = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "pv")
     val build = Seq((5L, "a"), (10L, "b"), (999L, "c")).toDF("bk", "bv")
@@ -542,6 +573,23 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     val big50 = Splits.capPerGroup(rows, "id", "grp", cap = 50L)
       .collect().filter(_.getAs[String]("grp") == "big").map(_.getAs[Long]("id")).toSet
     assert(big50.subsetOf(big100))
+  }
+
+  test("k-fold: folds partition the corpus, slices are disjoint and complete, reruns identical") {
+    val ids = (1L to 500L).map(i => Tuple1(i)).toDF("id")
+    val assigned = Splits.assignFold(ids, "id", k = 5)
+    val byFold = assigned.groupBy($"fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet === (0L to 4L).toSet)
+    assert(byFold.values.sum === 500L)
+    // roughly uniform (hash buckets): each fold within [60, 140] of 100
+    assert(byFold.values.forall(n => n >= 60 && n <= 140), byFold.toString)
+    val (train, holdout) = Splits.foldSlices(assigned, 2)
+    assert(train.count() + holdout.count() === 500L)
+    assert(train.filter($"fold" === 2).count() === 0L)
+    val again = Splits.assignFold(ids, "id", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === assigned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("sampleByWeight: keep rate tracks the weight, endpoints exact, reruns identical") {

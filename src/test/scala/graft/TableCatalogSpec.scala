@@ -99,6 +99,28 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("appendIndexed extends the manifest incrementally; prunedRead stays exact") {
+    val cat = new TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_skipa_").toString)
+    val day1 = (1L to 2000L).map(i => (i, i % 50)).toDF("id", "a")
+    cat.overwriteIndexed("tbl", day1.repartitionByRange(4, col("a")), Seq("a"))
+    val manifestRows1 = cat.read("tbl_manifest").count()
+    // a day-2 append touching a DISJOINT value range: the manifest grows
+    // by only the new files, and pruning still reads exactly right
+    val day2 = (2001L to 3000L).map(i => (i, 100 + i % 20)).toDF("id", "a")
+    cat.appendIndexed("tbl", day2.repartitionByRange(2, col("a")), Seq("a"))
+    val manifestRows2 = cat.read("tbl_manifest").count()
+    assert(manifestRows2 > manifestRows1 &&
+      manifestRows2 <= manifestRows1 + 2)
+    val pruned = cat.prunedRead("tbl", Seq(("a", 100L, 119L)))
+    val unpruned = spark.read.parquet(cat.path("tbl"))
+      .filter(col("a").between(100, 119))
+    assert(pruned.collect().toSet === unpruned.collect().toSet)
+    // the day-1 files (a ≤ 49) must not be opened for the day-2 box
+    val opened = pruned.select(input_file_name()).distinct().count()
+    assert(opened <= 2, s"day-1 files opened: $opened")
+  }
+
   test("compactClosed: a crash between the swap moves heals on rerun with no data loss") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.sql.Date
