@@ -2628,6 +2628,50 @@ object TestdataQueries {
              |  (eff_to <> DATE '3000-01-01') AS deleted_flg
              |FROM o""".stripMargin)),
 
+    // ------------------- streaming incremental near-dup maintenance
+    // The corpus arrives as 3 MemoryStream micro-batches; each batch
+    // dedups against the persisted band index of everything before it
+    // (new-vs-old broadcast, new-vs-new self-join), then appends its
+    // own bands/docs. The accumulated pair table, exact-filtered at
+    // jaccard ≥ 0.5, must equal a ONE-SHOT full-corpus dedup — the
+    // oracle is the same full trigram-pair closure as the batch dedup
+    // queries, so a pair emitted twice (replay bug), missed (index
+    // gap), or leaked old-old fails the hash.
+    "x_stream_lsh" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streamlsh", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val docs = t(s, dir, "documents")
+      val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String)]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest.startDedupMaintenance(
+          cat, "docs", "lsh_index", "pairs",
+          mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          scratch.resolve("ckpt").toString)
+        try rows.grouped(rows.length / 3 + 1).foreach { g =>
+          mem.addData(g.toSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      val common = size(array_intersect(col("sh_a"), col("sh_b")))
+      val jac = common.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - common)
+      cat.read("pairs")
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(jac >= 0.5)
+        .select(col("id_a"), col("id_b"), common.as("common"),
+          floor(jac * 10000).cast("long").as("jaccard_e4"))
+    }),
+      Some(s"""WITH ${trigramPairsSql(0.5)}
+             |SELECT id_a, id_b, CAST(common AS INTEGER) AS common,
+             |  CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_e4
+             |FROM pairs""".stripMargin)),
+
     // ---------------- stream-stream interval join (batch formulation)
     // txnWithRecentAuth's join expression under the value-level gate:
     // transactions (odd events) pair with same-card authorizations

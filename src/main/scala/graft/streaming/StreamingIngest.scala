@@ -139,6 +139,79 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming near-dup maintenance: a document stream (`idCol`,
+    * `textCol`) continuously deduplicated against everything ingested
+    * before it, via the persisted-index incremental path
+    * ([[graft.ops.Dedup.incrementalPairs]]). Per micro-batch:
+    *
+    *   1. candidate pairs = batch vs the persisted band index
+    *      (new-vs-old, broadcast map-side) ∪ batch vs itself
+    *      (new-vs-new) — appended to `pairsTable`;
+    *   2. the batch's band rows append to `indexTable` and its docs to
+    *      `docsTable` — so the NEXT batch sees this one as "old".
+    *
+    * Across batches every true pair is emitted EXACTLY ONCE, when its
+    * later doc arrives — the accumulated pair table equals a one-shot
+    * LSH over the final corpus (x_stream_lsh pins that against the
+    * full-corpus trigram oracle; StreamingSpec pins candidate-set
+    * equality with `minhashLsh` and replay convergence). Per-batch cost
+    * is O(batch × matched buckets): the corpus is never re-shingled,
+    * its index is only ever scanned map-side and appended to.
+    *
+    * At-least-once delivery and crash replays converge by keyed
+    * anti-joins rather than sink atomicity (the same discipline as
+    * [[startScd2Maintenance]]): pairs dedup on (id_a, id_b) against the
+    * already-written table, index/docs appends dedup on doc_id against
+    * the index, so a replayed or re-delivered batch adds nothing. The
+    * batch-side `maxBucketSize` valve applies per micro-batch; a
+    * degenerate cluster arriving SPREAD across many batches instead
+    * grows index buckets unboundedly — audit with
+    * [[graft.ops.Dedup.droppedLshBuckets]] over the corpus table and
+    * exact-collapse first, as in the batch path. */
+  def startDedupMaintenance(cat: TableCatalog, docsTable: String,
+                            indexTable: String, pairsTable: String,
+                            docs: DataFrame, idCol: String, textCol: String,
+                            checkpointDir: String,
+                            shingleN: Int = 3, bands: Int = 8,
+                            rowsPerBand: Int = 2,
+                            maxBucketSize: Long = 1000): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.ops.Dedup
+        // the batch feeds pair generation, the index append and the docs
+        // append — persist so a replayable source isn't re-read per use
+        batch.persist()
+        try {
+          val idxSchema = Dedup.lshIndex(batch.limit(0), idCol, textCol,
+            shingleN, bands, rowsPerBand, maxBucketSize).schema
+          val idx = cat.readOrEmpty(indexTable, idxSchema)
+          val knownIds = idx.select(col("doc_id")).distinct()
+          val pairs = Dedup.incrementalPairs(idx, batch, idCol, textCol,
+            shingleN, bands, rowsPerBand, maxBucketSize)
+          val already =
+            if (cat.exists(pairsTable))
+              cat.read(pairsTable).select(col("id_a"), col("id_b"))
+            else pairs.select(col("id_a"), col("id_b")).limit(0)
+          cat.append(pairsTable,
+            pairs.join(already, Seq("id_a", "id_b"), "left_anti"))
+          // each append dedups against ITS OWN table — deduping the docs
+          // append against the index (or vice versa) would let a crash
+          // between the two appends permanently drop rows on replay
+          cat.append(indexTable,
+            Dedup.lshIndex(batch, idCol, textCol, shingleN, bands,
+              rowsPerBand, maxBucketSize)
+              .join(knownIds, Seq("doc_id"), "left_anti"))
+          val knownDocs =
+            if (cat.exists(docsTable)) cat.read(docsTable).select(col(idCol))
+            else batch.select(col(idCol)).limit(0)
+          cat.append(docsTable,
+            batch.select(col(idCol), col(textCol))
+              .join(knownDocs, Seq(idCol), "left_anti"))
+        } finally { batch.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Watermarked stream-stream interval join: each transaction pairs
     * with the same card's authorization events from the preceding
     * `windowSeconds` (auth_ts ∈ [trans_date − window, trans_date]) —

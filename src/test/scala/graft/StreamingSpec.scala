@@ -192,6 +192,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .collect().toSet === closedRows)
   }
 
+  test("streaming dedup maintenance: accumulated pairs ≡ one-shot LSH; re-delivery is a no-op") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-lsh")
+    val cat = new graft.catalog.TableCatalog(spark, root.resolve("wh").toString)
+    val body = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val allDocs = Seq(
+      (1L, body + " alpha"), (2L, body + " alpha beta"),      // batch-1 pair
+      (3L, body + " gamma"), (4L, "unrelated words entirely different content here"),
+      (5L, body + " gamma delta"),                            // pairs with 3 across batches
+      (6L, body + " epsilon"), (7L, body + " epsilon zeta")   // batch-3 pair
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIngest.startDedupMaintenance(cat, "docs", "lsh_index",
+      "pairs", mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      root.resolve("ckpt").toString)
+    try {
+      Seq(allDocs.slice(0, 4), allDocs.slice(4, 5), allDocs.slice(5, 7))
+        .foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      // re-deliver batch 2 (at-least-once source): nothing may change
+      val before = cat.read("pairs").collect().toSet
+      mem.addData(allDocs.slice(4, 5): _*)
+      q.processAllAvailable()
+      assert(cat.read("pairs").collect().toSet === before)
+    } finally q.stop()
+
+    val streamPairs = cat.read("pairs")
+      .select(col("id_a"), col("id_b"), col("est_jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val oneShot = graft.ops.Dedup.minhashLsh(
+      allDocs.toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamPairs === oneShot)
+    // every doc lands in docs/index exactly once, despite the re-delivery
+    assert(cat.read("docs").count() === allDocs.length)
+    assert(cat.read("lsh_index").select("doc_id").distinct().count() === 7)
+    assert(cat.read("lsh_index").groupBy("doc_id", "band", "bucket").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("file-source → catalog: kill, resume from checkpoint, rows equal the batch path") {
     val root = java.nio.file.Files.createTempDirectory("stream-cat")
     val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
