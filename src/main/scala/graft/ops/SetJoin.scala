@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (the
+  * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) —
+  * the LOSSLESS counterpart to the approximate near-dup paths
+  * ([[Dedup.minhashLsh]], [[Dedup.simhashPairs]]): every pair with
+  * Jaccard ≥ the threshold is guaranteed to be emitted, with no
+  * probabilistic recall and no `maxDocFreq` shingle drop.
+  *
+  * Why it scales: a pair with Jaccard ≥ t and token sets A, B must share
+  * a token inside the first `|A| − ⌈t·|A|⌉ + 1` tokens of A when both
+  * sides order their tokens identically (pigeonhole over the canonical
+  * order — if the prefixes were disjoint, the overlap is capped below
+  * the threshold). So only that PREFIX is exploded into the inverted
+  * index — at t = 0.8 roughly a fifth of the full-index volume
+  * [[Dedup.ngramJaccard]] shuffles — and ordering tokens by ascending
+  * global document frequency puts the RAREST tokens in the prefix, which
+  * minimizes candidate fan-out (a stopword shingle shared by half the
+  * corpus sits at the back of every list and never generates a
+  * candidate; no df cutoff needed).
+  *
+  * Beyond the reference's equality joins (main.py:382-430) — this is the
+  * training-data-curation join ("which documents are ≥80% the same
+  * shingles") at exact semantics.
+  */
+object SetJoin {
+
+  /** All pairs of documents whose word-`n`-gram shingle sets have
+    * Jaccard ≥ `minJaccard`, exactly. Output: (id_a, id_b, common,
+    * jaccard) with id_a < id_b — the same shape as
+    * [[Dedup.ngramJaccard]], but lossless (that operator trades the
+    * `maxDocFreq` shingle drop for skew safety; this one suppresses
+    * frequent-token fan-out by construction instead).
+    *
+    * Plan shape (five narrow shuffles, payloads are ids + short shingle
+    * strings except the final array fetch):
+    *   1. explode distinct shingles → repartition(shingle); the one
+    *      exchange is reused by the doc-frequency aggregate AND the
+    *      order-assembly consumer (same trick as ngramJaccard).
+    *   2. per-doc canonical order: sort tokens by (global df, token),
+    *      keep the array + its size.
+    *   3. explode ONLY the prefix; self-join on the prefix token with
+    *      the size filter t·|B| ≤ |A| ≤ |B| pushed into the join.
+    *   4. dedup candidate pairs on (id_a, id_b) — a pair sharing k
+    *      prefix tokens verifies once.
+    *   5. fetch both token arrays back by doc_id and verify exact
+    *      Jaccard via array_intersect. Fetch-back ships each doc's
+    *      array ONCE per join side; carrying the array through the
+    *      prefix explode would duplicate it per prefix token (~20× at
+    *      100-token docs).
+    *
+    * The FP guard: `⌈t·|A|⌉` computed in doubles can land a hair above
+    * the true integer (0.8·5 → 4.0000000000000009 ⇒ ⌈⌉ = 5) and silently
+    * shorten the prefix — a recall hole. The 1e-9 slack only ever
+    * LENGTHENS the prefix, which costs candidates, never correctness. */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard=$minJaccard must be in (0, 1]")
+    val sh = docs
+      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .repartition(col("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // canonical per-doc order: ascending (df, shingle) — deterministic,
+    // identical on every node, rare tokens first
+    val ordered = sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"))
+    val prefixed = ordered
+      .withColumn("plen",
+        (col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr("slice(toks, 1, plen)")).as("ptok"))
+
+    val a = prefixed.alias("a")
+    val b = prefixed.alias("b")
+    val candidates = a.join(b,
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") &&
+        // size filter: J ≥ t ⇒ min ≥ t·max (same 1e-9 slack direction)
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(minJaccard) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val ta = ordered.select(col("doc_id").as("id_a"), col("toks").as("toks_a"),
+      col("sz").as("n_a"))
+    val tb = ordered.select(col("doc_id").as("id_b"), col("toks").as("toks_b"),
+      col("sz").as("n_b"))
+    candidates.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long").as("common"),
+        col("n_a"), col("n_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Scd2
-import graft.ops.{AsOfJoin, Dedup, FuzzyJoin, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, FuzzyJoin, SetJoin, Similarity, TextAnalysis}
 import graft.rules.FraudRules
 import scala.jdk.CollectionConverters._
 
@@ -1104,6 +1104,17 @@ object TestdataQueries {
              |FROM pairs JOIN sizes sa ON sa.doc_id = id_a
              |JOIN sizes sb ON sb.doc_id = id_b
              |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1""".stripMargin)),
+
+    // ----------------------------- exact set-similarity join (prefix filter)
+    // The lossless counterpart to the LSH/maxDocFreq near-dup paths:
+    // prefix filtering explodes only each doc's rarest ⌈(1−t)·|doc|⌉+1
+    // shingles, and the oracle is the ALL-pairs exact Jaccard — so the
+    // gate proves the pruning drops nothing at this threshold.
+    "x_setjoin_prefix" -> (((s: SparkSession, dir: String) =>
+      SetJoin.prefixJaccardJoin(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.3)),
+      Some(s"""WITH ${trigramPairsSql(0.3)}
+             |SELECT id_a, id_b, common, jaccard FROM pairs""".stripMargin)),
 
     // -------------------------------------- benchmark decontamination
     // Training-corpus × benchmark n-gram overlap (the leakage check run

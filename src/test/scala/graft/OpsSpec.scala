@@ -119,6 +119,58 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert((a, b) === (1L, 3L) && common === 6L && j === 0.75)
   }
 
+  test("prefix jaccard join: matches the exact all-pairs result, hand-checked pair included") {
+    // 24 docs built from 4 base sentences with per-doc suffix variation —
+    // overlapping shingle sets at a range of true Jaccards. The baseline
+    // is ngramJaccard with maxDocFreq beyond any df (= exact all-pairs).
+    val bases = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "one two three four five six seven eight nine",
+      "spark engines shuffle data across many executors daily")
+    // ids 18-23 are exact duplicates of 0-5 so the t=0.8 case has pairs
+    val varied = (0 until 18).map { i =>
+      (i.toLong, bases(i % 4) + s" tail${i / 4} tail${i / 8} end")
+    }
+    val corpus = (varied ++ varied.take(6).map { case (i, s) => (i + 18, s) })
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP))))
+      .toMap
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = canon(Dedup.ngramJaccard(corpus, "doc_id", "text",
+        n = 3, minJaccard = t, maxDocFreq = 1000000))
+      val pruned = canon(graft.ops.SetJoin.prefixJaccardJoin(corpus, "doc_id", "text",
+        n = 3, minJaccard = t))
+      assert(pruned === exact, s"threshold $t")
+      assert(exact.nonEmpty, s"threshold $t produced no pairs — fixture too weak")
+    }
+    // hand-checked: docs 1/3 from the OpsSpec corpus share 6 of 8 union trigrams
+    val out = graft.ops.SetJoin.prefixJaccardJoin(
+      docs.filter($"doc_id".isin(1, 3)), "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(out.toSeq === Seq(((1L, 3L), (6L, 0.75))))
+  }
+
+  test("prefix jaccard join: a universal stopword shingle generates no candidates at the prefix") {
+    // every doc shares the 'common stop word*' shingles but differs in its
+    // rare head — pairs below threshold must NOT surface, and the shared
+    // shingles sort to the BACK of the canonical order (high-df suffix),
+    // so they stay out of every prefix at t=0.8 (plen = 2 of 7, covered
+    // by the three df=1 head shingles).
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, s"rare$i unique$i head$i common stop word sequence here always")
+    }.toDF("doc_id", "text")
+    val out = graft.ops.SetJoin.prefixJaccardJoin(corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.8)
+    assert(out.count() === 0L)
+    // sanity: the same corpus at a loose threshold does pair (true J = 4/10)
+    val loose = graft.ops.SetJoin.prefixJaccardJoin(corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.3)
+    assert(loose.count() === 40L * 39 / 2)
+  }
+
   test("components collapse transitive near-dup chains; dedupCorpus keeps canonical docs") {
     // a~b, b~c must land in ONE cluster even though (a,c) was never a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
