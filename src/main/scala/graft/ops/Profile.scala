@@ -77,6 +77,70 @@ object Profile {
           .cast("long").as("skew_ratio_e2"))
   }
 
+  /** Exact top-`k` most frequent values of a column without shuffling
+    * the long tail — the corpus-vocabulary question ("which tokens /
+    * URLs / shingles dominate") where the distinct-value count is the
+    * scale hazard: a plain count-by-value aggregate shuffles one row
+    * per DISTINCT value, billions for web-scale vocabularies, to
+    * produce a k-row answer.
+    *
+    * Two passes:
+    *   1. candidate generation: per-partition Misra-Gries summaries of
+    *      `capacity` counters (mapPartitions — genuinely imperative
+    *      bounded-state logic, the documented exception to
+    *      expression-only operators). An item absent from a partition's
+    *      summary has partition-local count ≤ n_p/(capacity+1); summing
+    *      over partitions, any value with GLOBAL count > N/(capacity+1)
+    *      survives in at least one summary — the candidate set provably
+    *      contains every sufficiently-heavy hitter, and its size is
+    *      bounded by partitions × capacity regardless of N.
+    *   2. exact recount: broadcast the candidate values, semi-join the
+    *      column (map-side filter — the tail is dropped BEFORE the
+    *      exchange), count exactly, take the top k with a deterministic
+    *      (count desc, value asc) order.
+    *
+    * The result is the EXACT top-k whenever the true k-th frequency
+    * exceeds N/(capacity+1) — `capacity` is the explicit knob trading
+    * summary memory for how far down the tail exactness reaches
+    * (ProfileSpec pins the guarantee; the x_heavy_hitters oracle is the
+    * full count-by-value top-k). NULLs are excluded (no frequency
+    * semantics). */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int,
+                   capacity: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(capacity >= k, s"capacity $capacity must be >= k $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val candidates = vals.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        counts.get(v) match {
+          case Some(c) => counts.update(v, c + 1)
+          case None if counts.size < capacity => counts.update(v, 1L)
+          case None =>
+            // decrement-all: each event burns capacity+1 count mass
+            // (capacity decrements + the skipped item), so events number
+            // ≤ n_p/(capacity+1) — O(n_p) total despite the O(capacity)
+            // sweep
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.filterInPlace((_, c) => c > 0)
+        }
+      }
+      counts.keysIterator
+    }.toDF("v").distinct()
+    vals.join(broadcast(candidates), Seq("v"), "left_semi")
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("v").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("v").asc)))
+      .select(col("rank"), col("v").as("value"), col("cnt"))
+  }
+
   /** Equi-depth (equal-frequency) histogram of a long column: `k`
     * buckets of ~n/k rows each with their [lo, hi] value ranges — the
     * profile that stays informative on skewed data, where equi-WIDTH

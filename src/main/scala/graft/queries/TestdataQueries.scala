@@ -2275,6 +2275,25 @@ object TestdataQueries {
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
 
+    // --------------------------------------- heavy hitters (exact top-k)
+    // Token frequencies over the documents corpus: Misra-Gries candidate
+    // pass + exact recount. The oracle is the FULL count-by-value top-k,
+    // so the gate proves the bounded-state pruning loses nothing at this
+    // (k, capacity) on a Zipf-shaped vocabulary.
+    "x_heavy_hitters" -> (((s: SparkSession, dir: String) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.ops.Profile.heavyHitters(toks, "tok", k = 20, capacity = 512)
+    }),
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+             |  FROM documents),
+             |cnts AS (SELECT tok AS value, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM toks WHERE length(tok) > 0 GROUP BY tok
+             |  ORDER BY cnt DESC, value ASC LIMIT 20)
+             |SELECT row_number() OVER (ORDER BY cnt DESC, value ASC) AS rank,
+             |  value, cnt FROM cnts""".stripMargin)),
+
     // ------------------------------------------ data-QA profiling
     // One-pass per-column profile over events; columns restricted to
     // long/varchar where min/max stringification is engine-stable

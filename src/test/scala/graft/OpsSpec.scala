@@ -411,6 +411,31 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.length === 3 && out(2)._3 === 1L)
   }
 
+  test("heavy hitters: exact top-k under tight capacity; ties break lexicographically") {
+    import graft.ops.Profile
+    // Zipf-ish: value "v$i" appears 2^(10-i) times for i in 1..8, plus a
+    // 500-value distinct tail of singletons. N = 1020 + 500; with
+    // capacity 64 the guarantee threshold N/(cap+1) ≈ 23.4 — every true
+    // top-5 count (512..32) clears it, so top-5 must be EXACT even
+    // though the tail alone overflows each partition's summary.
+    val rows = (1 to 8).flatMap(i => Seq.fill(1 << (10 - i))(s"v$i")) ++
+      (1 to 500).map(i => s"tail$i")
+    val df = scala.util.Random.shuffle(rows).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    val out = Profile.heavyHitters(df, "value", k = 5, capacity = 64).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === (1 to 5).map(i => (i, s"v$i", (1L << (10 - i)))))
+    // guarantee precondition the fixture relies on (documents why exact)
+    assert((1L << 5) > rows.size / 65)
+
+    // tie-break: equal counts order by value ascending, rank dense-free
+    val ties = Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(2)("z")
+    val tdf = ties.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "value")
+    val tout = Profile.heavyHitters(tdf, "value", k = 3, capacity = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(tout.toSeq === Seq((1, "a", 3L), (2, "b", 3L), (3, "z", 2L)))
+  }
+
   test("MaxScore-pruned BM25 ≡ exact BM25: stopword-heavy, all-rare, and tiny corpora") {
     import graft.ops.Relevance
     val rnd = new scala.util.Random(5)
