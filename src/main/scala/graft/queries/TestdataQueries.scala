@@ -611,6 +611,41 @@ object TestdataQueries {
              |WHERE effective_from <= DATE '2020-06-15'
              |  AND DATE '2020-06-15' < effective_to""".stripMargin)),
 
+    // ------------------------------------------- snapshot diff (CDC)
+    // Full-extract change capture: old = customers not divisible by 7,
+    // new = customers not divisible by 11 with segments rewritten for
+    // %10 keys — yielding all three change types from one deterministic
+    // derivation both engines replay.
+    "x_snapshot_diff" -> (((s: SparkSession, dir: String) => {
+      val cust = t(s, dir, "customer")
+      val oldSnap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val newSnap = cust.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, "CHANGED")
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"))
+      graft.etl.SnapshotDiff.diff(oldSnap, newSnap,
+        keys = Seq("c_custkey"), compareCols = Seq("c_mktsegment", "c_nationkey"))
+    }),
+      Some("""WITH oldt AS (SELECT c_custkey, c_mktsegment, c_nationkey
+             |    FROM customer WHERE c_custkey % 7 <> 0),
+             |newt AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment,
+             |    c_nationkey FROM customer WHERE c_custkey % 11 <> 0)
+             |SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+             |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+             |       WHEN n.c_custkey IS NULL THEN 'delete' ELSE 'update' END AS change_type,
+             |  CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+             |       ELSE concat_ws(',',
+             |         CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'c_mktsegment' END,
+             |         CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey THEN 'c_nationkey' END)
+             |  END AS changed_cols
+             |FROM oldt o FULL JOIN newt n ON o.c_custkey = n.c_custkey
+             |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+             |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+             |   OR o.c_nationkey IS DISTINCT FROM n.c_nationkey""".stripMargin)),
+
     // -------------------------------------------------- A1 having count
     "a1_having_count" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "orders").groupBy(col("o_custkey"))
