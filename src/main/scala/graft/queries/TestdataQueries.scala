@@ -2310,6 +2310,48 @@ object TestdataQueries {
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
 
+    // ------------------------------------ expectations (batch validation)
+    // One-pass declarative constraint check over events: a range rule, a
+    // set rule, a pattern rule, and an always-passing not-null rule.
+    // Metrics is the per-rule violation tally; the rows query pins the
+    // row-level violation lists (rule order, 3VL: NULL predicate =
+    // violation) that the clean/quarantine split derives from.
+    "x_expectations" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Expectations.metrics(t(s, dir, "events"), Seq(
+        graft.ops.Expectations.between("value", 0, 20),
+        graft.ops.Expectations.inSet("event_type", Seq("click", "view", "purchase")),
+        graft.ops.Expectations.matches("props", "\"k\": [0-9]+"),
+        graft.ops.Expectations.notNull("user_id")))),
+      Some("""SELECT 'value_between' AS rule, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN NOT coalesce(value >= 0 AND value <= 20, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+             |FROM events
+             |UNION ALL
+             |SELECT 'event_type_in_set', count(*),
+             |  CAST(sum(CASE WHEN NOT coalesce(event_type IN ('click', 'view', 'purchase'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM events
+             |UNION ALL
+             |SELECT 'props_matches', count(*),
+             |  CAST(sum(CASE WHEN NOT coalesce(regexp_matches(props, '"k": [0-9]+'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM events
+             |UNION ALL
+             |SELECT 'user_id_not_null', count(*),
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |FROM events""".stripMargin)),
+
+    "x_expectations_rows" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Expectations.quarantine(t(s, dir, "events"), Seq(
+        graft.ops.Expectations.between("value", 0, 20),
+        graft.ops.Expectations.inSet("event_type", Seq("click", "view", "purchase"))))
+        .select(col("event_id"),
+          concat_ws(",", col("violations")).as("violated"))),
+      Some("""SELECT event_id, concat_ws(',',
+             |    CASE WHEN NOT coalesce(value >= 0 AND value <= 20, FALSE) THEN 'value_between' END,
+             |    CASE WHEN NOT coalesce(event_type IN ('click', 'view', 'purchase'), FALSE) THEN 'event_type_in_set' END)
+             |  AS violated
+             |FROM events
+             |WHERE NOT coalesce(value >= 0 AND value <= 20, FALSE)
+             |   OR NOT coalesce(event_type IN ('click', 'view', 'purchase'), FALSE)""".stripMargin)),
+
     // --------------------------------------- heavy hitters (exact top-k)
     // Token frequencies over the documents corpus: Misra-Gries candidate
     // pass + exact recount. The oracle is the FULL count-by-value top-k,
