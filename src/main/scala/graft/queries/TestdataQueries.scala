@@ -672,6 +672,20 @@ object TestdataQueries {
       Some("""SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
              |HAVING count(*) = 7""".stripMargin)),
 
+    // --------------------------------- top-k per group via aggregation
+    // The bounded-buffer alternative to the W1/W2 window form: shuffles
+    // ≤k entries per (group, map partition) instead of every row, and
+    // never sorts a whole group. The oracle IS the window form — the
+    // gate pins the two plans equal.
+    "x_topk_group" -> (((s: SparkSession, dir: String) =>
+      graft.ops.TopK.perGroup(t(s, dir, "orders"), Seq("o_custkey"),
+        "o_totalprice", "o_orderkey", k = 3)),
+      Some("""SELECT o_custkey, rank, o_orderkey AS id, o_totalprice AS v
+             |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+             |  FROM orders) t WHERE rank <= 3""".stripMargin)),
+
     // -------------------------------------------------- W1 rownum time
     "w1_rownum_time" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "orders")
