@@ -2324,6 +2324,30 @@ object TestdataQueries {
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
 
+    // ------------------------------------- mixture under per-source budget
+    // Training-set mixing: longest-documents-first per source until the
+    // source's char budget is spent (two overridden budgets + a
+    // default). The engine side rides the distributed prefix sum; the
+    // oracle replays the same greedy cutoff with a plain per-source
+    // window, proving the two-phase sum computes the identical
+    // cumulative.
+    "x_mixture" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").withColumn("neg_chars", -col("n_chars"))
+      graft.ops.Mixture.byBudget(docs, "doc_id", "source", "n_chars",
+        priorityCols = Seq("neg_chars"),
+        budgets = Map("src0" -> 2000L, "src1" -> 12000L),
+        defaultBudget = 4000L)
+    }),
+      Some("""WITH c AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS cost,
+             |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY -n_chars, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS cum_before
+             |  FROM documents)
+             |SELECT doc_id, source, cost, cum_before FROM c
+             |WHERE cum_before < CASE source WHEN 'src0' THEN 2000
+             |  WHEN 'src1' THEN 12000 ELSE 4000 END""".stripMargin)),
+
     // ------------------------------------ expectations (batch validation)
     // One-pass declarative constraint check over events: a range rule, a
     // set rule, a pattern rule, and an always-passing not-null rule.

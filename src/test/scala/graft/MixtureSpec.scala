@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Mixture
+
+/** Budget-capped mixture: greedy cutoff semantics, per-source budget
+  * overrides, and partition-count invariance of the distributed
+  * cumulative. */
+class MixtureSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // source a: costs 5,4,3,2,1 in priority (ascending p) order
+  // source b: costs 10,10
+  private val docs = Seq(
+    (1L, "a", 1, 5L), (2L, "a", 2, 4L), (3L, "a", 3, 3L),
+    (4L, "a", 4, 2L), (5L, "a", 5, 1L),
+    (6L, "b", 1, 10L), (7L, "b", 2, 10L))
+    .toDF("id", "src", "p", "cost")
+
+  private def run(budgets: Map[String, Long], default: Long,
+                  parts: Int = 64): Map[Long, Long] =
+    Mixture.byBudget(docs, "id", "src", "cost", Seq("p"), budgets, default,
+      numPartitions = parts)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+  test("greedy cutoff: the crossing document is kept, the next is not") {
+    // a @ budget 10: cum_before 0,5,9,12 → keep 1,2,3 (3 crosses), drop 4
+    // b @ default 10: keep 6 (crossing), drop 7
+    val out = run(Map("a" -> 10L), default = 10L)
+    assert(out === Map(1L -> 0L, 2L -> 5L, 3L -> 9L, 6L -> 0L))
+  }
+
+  test("per-source overrides and default budgets are independent") {
+    val out = run(Map("a" -> 1L), default = 25L)
+    // a: only the first doc (cum_before 0 < 1); b: everything (20 ≤ 25)
+    assert(out.keySet === Set(1L, 6L, 7L))
+    assert(out(7L) === 10L)
+  }
+
+  test("zero budget excludes a source entirely") {
+    val out = run(Map("b" -> 0L), default = 100L)
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("cumulative is invariant to the prefix-sum partition count") {
+    val one = run(Map.empty, default = 8L, parts = 1)
+    val many = run(Map.empty, default = 8L, parts = 7)
+    assert(one === many)
+    assert(one === Map(1L -> 0L, 2L -> 5L, 6L -> 0L))
+  }
+}
