@@ -86,6 +86,31 @@ object Splits {
       .drop(bCol, nCol)
   }
 
+  /** EXACTLY `k` rows per group (fewer only when the group is smaller),
+    * chosen hash-uniformly and deterministically: rows rank by a
+    * fine-grained portable-hash priority (ties by id) and the k best
+    * per group survive. Where [[capPerGroup]] keeps a ~cap-sized subset
+    * with a join-free filter (the at-scale default), this gives the
+    * exact-count contract evaluation sets need — at the cost of a
+    * per-group selection, which rides [[TopK.perGroup]]'s bounded-buffer
+    * aggregation (≤k entries per group per map partition; no full-group
+    * sort). Output: (groupCols..., rank, id) — ids only; semi-join back
+    * for payloads so the selection never shuffles document bodies.
+    * The 10⁶-resolution priority is exactly representable in the
+    * aggregator's double and replayable by the oracle (the full 62-bit
+    * hash is not: doubles lose bits past 2⁵³). */
+  def sampleExactPerGroup(df: DataFrame, idCol: String,
+                          groupCols: Seq[String], k: Int): DataFrame = {
+    val pCol = "_graft_s_prio"
+    require(!df.columns.contains(pCol),
+      s"input must not contain reserved column $pCol")
+    val prioritized = df.withColumn(pCol,
+      -pmod(Dedup.portableTokenHash(col(idCol).cast("string")), lit(1000000L))
+        .cast("double"))
+    TopK.perGroup(prioritized, groupCols, pCol, idCol, k)
+      .select((groupCols.map(col) :+ col("rank")) :+ col("id"): _*)
+  }
+
   /** Deterministic per-row weighted sampling: keep each row with
     * probability `weightNumCol / weightDen` (a per-row integer numerator
     * against a constant denominator — e.g. a quality score against its

@@ -2324,6 +2324,21 @@ object TestdataQueries {
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
 
+    // ------------------------------- exact k-per-group deterministic sample
+    // Two orders per customer, hash-ranked: the eval-set contract
+    // ("exactly k, reproducibly") on top of the bounded-buffer top-k.
+    // The oracle replays the portable-hash priority and both
+    // tie-breaks.
+    "x_sample_group" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Splits.sampleExactPerGroup(t(s, dir, "orders"),
+        "o_orderkey", Seq("o_custkey"), k = 2)),
+      Some(s"""SELECT o_custkey, rank, id FROM (
+             |  SELECT o_custkey, o_orderkey AS id,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY ${portableHashSql("CAST(o_orderkey AS VARCHAR)")} % 1000000,
+             |        o_orderkey) AS rank
+             |  FROM orders) t WHERE rank <= 2""".stripMargin)),
+
     // ------------------------------------- mixture under per-source budget
     // Training-set mixing: longest-documents-first per source until the
     // source's char budget is spent (two overridden budgets + a

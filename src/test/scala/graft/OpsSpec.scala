@@ -621,6 +621,22 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(c("x") - 1000L) < 150, s"normalized share off: $c")
   }
 
+  test("sampleExactPerGroup: exactly k per big group, whole small groups, deterministic") {
+    val rows = (1L to 300L).map(i => (i, if (i <= 288) "big" else s"tiny${i % 3}"))
+      .toDF("id", "grp")
+    val out = Splits.sampleExactPerGroup(rows, "id", Seq("grp"), k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byGrp = out.groupBy(_._1)
+    assert(byGrp("big").length === 5)
+    // 12 tiny rows over 3 groups (4 each, under k) — all survive, ranks contiguous
+    assert(byGrp.filterKeys(_ != "big").values.map(_.length).sum === 12)
+    assert(byGrp.values.forall(g => g.map(_._2).sorted.toSeq === (1 to g.length)))
+    // pure function of the id: rerun identical
+    val rerun = Splits.sampleExactPerGroup(rows, "id", Seq("grp"), k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rerun.toSet === out.toSet)
+  }
+
   test("repetitionSignals: hand-computed ratios; empty doc emits no row") {
     val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
