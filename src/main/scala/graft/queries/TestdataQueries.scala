@@ -152,6 +152,20 @@ object TestdataQueries {
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 37 + c) % 998244353) * 4294967296))"
 
+  /** The fixed-point PageRank oracle: `iterations` damped rounds in
+    * chained CTEs over the e/nodes/deg/nn prelude, integer-exact (`//`
+    * and the 85/100 damping replay ops.PageRank's int64 arithmetic
+    * bit-for-bit — no doubles, so no summation-order drift). */
+  private def pagerankRoundsSql(iterations: Int): String =
+    (1 to iterations).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""c$i AS (SELECT e.dst, p.pr // d.deg AS c
+         |  FROM e JOIN $prev p ON e.src = p.id JOIN deg d ON d.src = e.src),
+         |s$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS m FROM c$i GROUP BY dst),
+         |p$i AS (SELECT nodes.id, 150000000000 // nn.n + (85 * coalesce(s$i.m, 0)) // 100 AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN s$i ON s$i.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+
   /** The 16-bit Morton interleave as literal DuckDB SQL over `zx`/`zy` —
     * the same 32 shift/mask terms ZOrder.zValue builds as Columns. */
   private def interleave16Sql: String =
@@ -2323,6 +2337,25 @@ object TestdataQueries {
              |  n_total, n_keys,
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
+
+    // ----------------------------------------- PageRank (link centrality)
+    // Three damped power-iteration rounds over a deterministic
+    // customer→order-bucket graph (hub structure from the modulo).
+    // Integer fixed-point end to end, so the oracle's chained-CTE
+    // replay hash-matches exactly.
+    "x_pagerank" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "orders").select(col("o_custkey").as("src"),
+        (col("o_orderkey") % 500).as("dst"))
+      graft.ops.PageRank.run(e, "src", "dst", iterations = 3)
+    }),
+      Some(s"""WITH e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % 500 AS dst
+             |    FROM orders),
+             |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+             |p0 AS (SELECT id, 1000000000000 // n AS pr FROM nodes CROSS JOIN nn),
+             |${pagerankRoundsSql(3)}
+             |SELECT id, pr AS pr_e12 FROM p3""".stripMargin)),
 
     // ------------------------------- exact k-per-group deterministic sample
     // Two orders per customer, hash-ranked: the eval-set contract
