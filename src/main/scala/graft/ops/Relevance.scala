@@ -230,4 +230,38 @@ object Relevance {
                      queryTerms: Seq[String], k: Int = 20,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25TopKPrunedFromCounts(termCounts(docs, idCol, textCol), queryTerms, k, k1, b)
+
+  /** Positional inverted index: (doc_id, tok, pos), pos 1-based over the
+    * RAW whitespace split (empty artifacts dropped after position
+    * assignment, so positions are stable whether or not the text has
+    * doubled spaces — and the oracle's generate_subscripts agrees).
+    * Like [[Dedup.lshIndex]] this is the persistable corpus artifact:
+    * write it once, and phrase queries probe postings instead of
+    * re-tokenizing text. */
+  def positionalIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos0", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+
+  /** Exact phrase search over a [[positionalIndex]]: documents
+    * containing `phrase` as consecutive tokens, with the match count
+    * and first position. The scale property a LIKE scan lacks: each
+    * phrase word filters the index to ITS postings only (at 100 TB,
+    * partition/row-group pruning on `tok` makes that a sliver of the
+    * corpus), and adjacency is equi-joins on the aligned start
+    * position — no full-text pass, no regex. Word i's postings shift
+    * to `pos − i`, so a phrase occurrence is one (doc_id, start) key
+    * present in every slice; positions are unique per document, so the
+    * joins cannot fan out. */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val slices = phrase.zipWithIndex.map { case (w, i) =>
+      index.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    slices.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
 }

@@ -2338,6 +2338,29 @@ object TestdataQueries {
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
 
+    // ---------------------------------------------- exact phrase search
+    // Consecutive-token phrase matching via the positional inverted
+    // index: each word probes its own postings and adjacency is an
+    // equi-join on the aligned start — the oracle replays positions
+    // with generate_subscripts over the same regex split.
+    "x_phrase_search" -> (((s: SparkSession, dir: String) => {
+      val idx = graft.ops.Relevance.positionalIndex(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.ops.Relevance.phraseSearch(idx, Seq("slow", "hash", "batch"))
+    }),
+      Some("""WITH sp AS (SELECT doc_id, string_split_regex(text, '\s+') AS l
+             |    FROM documents),
+             |tk AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+             |  FROM sp),
+             |tf AS (SELECT doc_id, tok, pos FROM tk WHERE length(tok) > 0),
+             |m0 AS (SELECT doc_id, pos AS start FROM tf WHERE tok = 'slow'),
+             |m1 AS (SELECT doc_id, pos - 1 AS start FROM tf WHERE tok = 'hash'),
+             |m2 AS (SELECT doc_id, pos - 2 AS start FROM tf WHERE tok = 'batch')
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+             |  min(start) AS first_pos
+             |FROM m0 JOIN m1 USING (doc_id, start) JOIN m2 USING (doc_id, start)
+             |GROUP BY doc_id""".stripMargin)),
+
     // ----------------------------------------- PageRank (link centrality)
     // Three damped power-iteration rounds over a deterministic
     // customer→order-bucket graph (hub structure from the modulo).

@@ -436,6 +436,26 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(tout.toSeq === Seq((1, "a", 3L), (2, "b", 3L), (3, "z", 2L)))
   }
 
+  test("phrase search: consecutive-token matches only, with counts and first position") {
+    import graft.ops.Relevance
+    val corpus = Seq(
+      (1L, "the cat sat on the mat the cat sat again"),  // "the cat sat" ×2
+      (2L, "cat the sat"),                               // words present, order wrong
+      (3L, "the cat naps"),                              // prefix only
+      (4L, "a lathe cat sat down"))                      // substring trap: "lathe"≠"the"
+      .toDF("doc_id", "text")
+    val idx = Relevance.positionalIndex(corpus, "doc_id", "text")
+    val out = Relevance.phraseSearch(idx, Seq("the", "cat", "sat")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 2L, 1)))
+    // repeated-word phrase: overlapping occurrences each count
+    val rep = Seq((9L, "go go go stop")).toDF("doc_id", "text")
+    val ridx = Relevance.positionalIndex(rep, "doc_id", "text")
+    val rout = Relevance.phraseSearch(ridx, Seq("go", "go")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rout.toSeq === Seq((9L, 2L, 1)))
+  }
+
   test("MaxScore-pruned BM25 ≡ exact BM25: stopword-heavy, all-rare, and tiny corpora") {
     import graft.ops.Relevance
     val rnd = new scala.util.Random(5)
