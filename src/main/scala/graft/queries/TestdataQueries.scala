@@ -2338,6 +2338,65 @@ object TestdataQueries {
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
 
+    // ------------------------------------------ funnel / cohort analytics
+    // Strict-sequence conversion funnel (first view, first click AFTER
+    // it, first purchase after that) — each stage is a filtered min
+    // aggregate chained on the entity key; the oracle replays the
+    // chain with correlated min-joins.
+    "x_funnel" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Events.funnel(t(s, dir, "events"), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))),
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS view_ts FROM events
+             |    WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(ts) AS click_ts FROM events e
+             |    JOIN s1 ON e.user_id = s1.user_id
+             |    WHERE event_type = 'click' AND ts > view_ts GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(ts) AS purchase_ts FROM events e
+             |    JOIN s2 ON e.user_id = s2.user_id
+             |    WHERE event_type = 'purchase' AND ts > click_ts GROUP BY e.user_id)
+             |SELECT s1.user_id, view_ts, click_ts, purchase_ts,
+             |  1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+             |    + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END AS stages_done
+             |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    "x_cohort" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Events.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+      Some("""WITH a AS (SELECT DISTINCT user_id AS e, CAST(ts AS DATE) AS d
+             |    FROM events),
+             |c AS (SELECT e, min(d) AS cohort_date FROM a GROUP BY e)
+             |SELECT cohort_date, date_diff('day', cohort_date, d) AS day_offset,
+             |  CAST(count(DISTINCT e) AS BIGINT) AS n_active
+             |FROM a JOIN c USING (e) GROUP BY 1, 2""".stripMargin)),
+
+    // --------------------------------------- semi-structured (JSON) props
+    // Typed extraction from the JSON props column via from_json (the
+    // engine's native JSON path); the oracle re-derives the value with
+    // a regex so the check is implementation-independent.
+    "x_json_extract" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "events")
+        .select(from_json(col("props"),
+            StructType(Seq(StructField("k", IntegerType)))).getField("k")
+          .cast("long").as("k_val"))
+        .groupBy(pmod(col("k_val"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k_val")).as("k_sum"))),
+      Some("""WITH v AS (SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+             |      AS BIGINT) AS k_val FROM events)
+             |SELECT k_val % 10 AS k_mod, count(*) AS cnt,
+             |  CAST(sum(k_val) AS BIGINT) AS k_sum
+             |FROM v GROUP BY 1""".stripMargin)),
+
+    // -------------------------------------------------- unpivot (melt)
+    "x_unpivot" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+          "metric", "value")),
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+             |FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'retail', p_retailprice FROM part""".stripMargin)),
+
     // ---------------------------------------------- exact phrase search
     // Consecutive-token phrase matching via the positional inverted
     // index: each word probes its own postings and adjacency is an

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Events
+
+/** Funnel strict-sequence semantics and cohort retention cells. */
+class EventsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: strict order, stalls recorded, out-of-order and pre-stage repeats ignored") {
+    val events = Seq(
+      // user 1 completes in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: click BEFORE first view — doesn't count; stalls at view
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 09:30:00")),
+      // user 3: purchase before click — stalls at click
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "purchase", ts("2024-01-01 08:10:00")),
+      (3L, "click", ts("2024-01-01 08:20:00")),
+      // user 4 never views — absent from the funnel
+      (4L, "purchase", ts("2024-01-01 07:00:00")),
+      // user 5: second click after view counts even though first was before
+      (5L, "view", ts("2024-01-01 06:00:00")),
+      (5L, "click", ts("2024-01-01 05:00:00")),
+      (5L, "click", ts("2024-01-01 06:30:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(4),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L))
+    assert(out(1L) === ((3, Some(ts("2024-01-01 10:05:00")),
+      Some(ts("2024-01-01 10:10:00")))))
+    assert(out(2L)._1 === 1)
+    assert(out(3L)._1 === 2 && out(3L)._2 === Some(ts("2024-01-01 08:20:00")))
+    assert(out(5L)._1 === 2 && out(5L)._2 === Some(ts("2024-01-01 06:30:00")))
+  }
+
+  test("cohort retention: cohorts by first date, distinct-daily activity cells") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")), // same cell
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-02 01:00:00")),
+      (3L, ts("2024-01-02 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = Events.cohortRetention(events, "user_id", "ts").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(out === Set(
+      ("2024-01-01", 0, 2L),  // users 1,2 on their first day
+      ("2024-01-01", 1, 1L),  // user 2 back next day
+      ("2024-01-01", 2, 1L),  // user 1 back on day 2
+      ("2024-01-02", 0, 1L))) // user 3's cohort
+  }
+}
