@@ -68,11 +68,19 @@ object SetJoin {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // canonical per-doc order: ascending (df, shingle) — deterministic,
     // identical on every node, rare tokens first
+    // ONE materialization (the components()/PageRank pattern): three
+    // consumers read this frame — the prefix explode and both
+    // verification fetch-backs — and each would otherwise re-execute
+    // the explode + df join + per-doc sort-assembly (measured 3× the
+    // operator's wall-clock; ReuseExchange only dedups the exchange
+    // below the aggregate, not the aggregate itself). At corpus scale
+    // the ordered-token frame is the artifact you'd persist as a table.
     val ordered = sh.join(dfreq, Seq("shingle"))
       .groupBy("doc_id")
       .agg(transform(sort_array(collect_list(struct(col("df"), col("shingle")))),
         x => x.getField("shingle")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"))
+      .localCheckpoint(true)
     val prefixed = ordered
       .withColumn("plen",
         (col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1).cast("int"))

@@ -1172,11 +1172,15 @@ object TestdataQueries {
     // The lossless counterpart to the LSH/maxDocFreq near-dup paths:
     // prefix filtering explodes only each doc's rarest ⌈(1−t)·|doc|⌉+1
     // shingles, and the oracle is the ALL-pairs exact Jaccard — so the
-    // gate proves the pruning drops nothing at this threshold.
+    // gate proves the pruning drops nothing at this threshold. t=0.8 is
+    // the operator's design regime (short rare-token prefixes); at
+    // loose thresholds the prefix covers most of each doc and the
+    // candidate set degenerates toward all-pairs — use ngramJaccard's
+    // aggregate-count formulation there instead.
     "x_setjoin_prefix" -> (((s: SparkSession, dir: String) =>
       SetJoin.prefixJaccardJoin(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.3)),
-      Some(s"""WITH ${trigramPairsSql(0.3)}
+        n = 3, minJaccard = 0.8)),
+      Some(s"""WITH ${trigramPairsSql(0.8)}
              |SELECT id_a, id_b, common, jaccard FROM pairs""".stripMargin)),
 
     // -------------------------------------- benchmark decontamination
