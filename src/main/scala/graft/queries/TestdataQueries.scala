@@ -2951,6 +2951,38 @@ object TestdataQueries {
              |  CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_e4
              |FROM pairs""".stripMargin)),
 
+    // ------------------------------------ resample + forward fill
+    // Daily grid per user over the purchase series, each point carrying
+    // the latest purchase at or before it. DuckDB's native ASOF join
+    // fills the same grid — an independent implementation of both the
+    // grid arithmetic and the fill.
+    "x_resample" -> (((s: SparkSession, dir: String) => {
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.Resample.resampleFill(p, "user_id", "ts", Seq("value"), 86400L)
+        .select(col("user_id"), col("grid_ts"),
+          col("r_ts").as("last_ts"), col("r_value").as("last_value"))
+    }),
+      Some("""WITH p AS (SELECT user_id, ts, value FROM events
+             |    WHERE event_type = 'purchase'
+             |    QUALIFY row_number() OVER (PARTITION BY user_id, ts
+             |      ORDER BY event_id DESC) = 1),
+             |b AS (SELECT user_id,
+             |    CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+             |    CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+             |  FROM p GROUP BY 1),
+             |g AS (SELECT user_id, unnest(generate_series(lo // 86400 * 86400,
+             |    hi, 86400)) AS gs FROM b),
+             |gt AS (SELECT user_id, CAST(to_timestamp(gs) AS TIMESTAMP) AS grid_ts
+             |  FROM g)
+             |SELECT gt.user_id, gt.grid_ts, p.ts AS last_ts, p.value AS last_value
+             |FROM gt ASOF LEFT JOIN p
+             |  ON gt.user_id = p.user_id AND p.ts <= gt.grid_ts""".stripMargin)),
+
     // ---------------- stream-stream interval join (batch formulation)
     // txnWithRecentAuth's join expression under the value-level gate:
     // transactions (odd events) pair with same-card authorizations

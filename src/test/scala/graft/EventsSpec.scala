@@ -42,6 +42,28 @@ class EventsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(5L)._1 === 2 && out(5L)._2 === Some(ts("2024-01-01 06:30:00")))
   }
 
+  test("resampleFill: step-floored grid start, forward fill across gaps, single-event key") {
+    val series = Seq(
+      (1L, ts("2024-01-01 10:00:30"), 5.0),
+      (1L, ts("2024-01-01 10:03:10"), 7.0),   // gap: 10:01 and 10:02 fill with 5.0
+      (2L, ts("2024-01-01 00:00:00"), 9.0))   // single event, aligned
+      .toDF("k", "ts", "v")
+    val out = graft.ops.Resample.resampleFill(series, "k", "ts", Seq("v"), 60L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq === Seq(
+      // grid floors to 10:00:00, BEFORE the first event — an honest
+      // leading null, not a back-fill
+      (1L, "2024-01-01 10:00:00.0", None),
+      (1L, "2024-01-01 10:01:00.0", Some(5.0)),
+      (1L, "2024-01-01 10:02:00.0", Some(5.0)),
+      // the 10:03:10 event is after the 10:03 point — still the old value
+      (1L, "2024-01-01 10:03:00.0", Some(5.0)),
+      // aligned single event matches its own grid point (<=)
+      (2L, "2024-01-01 00:00:00.0", Some(9.0))))
+  }
+
   test("cohort retention: cohorts by first date, distinct-daily activity cells") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")), // same cell
