@@ -91,6 +91,26 @@ object Similarity {
   def dequantize(qCol: Column, scaleCol: Column): Column =
     transform(qCol, x => x.cast("double") * scaleCol)
 
+  /** Per-group mean pooling of embeddings (chunk embeddings → document
+    * embedding, cluster centroids, label prototypes), elementwise and
+    * EXACT: each element quantizes to `floor(v·10⁶)` int64 BEFORE
+    * summation, so group sums are independent of partitioning /
+    * summation order and the oracle replays them bit-for-bit (a double
+    * mean differs in the last ulps between any two summation orders).
+    * Tall output — (group, pos, n_vecs, mean_e6) — via one posexplode
+    * feeding one map-side-combined aggregate; the shuffle carries
+    * (group, dim-index, partial sum) triples, never vectors. Mixed
+    * dimensionalities pool per-position over the vectors that have that
+    * position (n_vecs is per-cell). */
+  def meanPoolE6(embs: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    embs
+      .select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("_v").cast("double") * 1e6).cast("long")).as("sum_e6"))
+      .withColumn("mean_e6", call_function("div", col("sum_e6"), col("n_vecs")))
+
   /** LSH-pruned top-k: score only vectors in the query's bucket. With
     * `probes > 1`, also search buckets at hamming distance 1 (multi-probe)
     * to trade recall for scan size. */

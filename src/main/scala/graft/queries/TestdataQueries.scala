@@ -2951,6 +2951,22 @@ object TestdataQueries {
              |  CAST(floor(jaccard * 10000) AS BIGINT) AS jaccard_e4
              |FROM pairs""".stripMargin)),
 
+    // ------------------------------------ embedding mean pooling
+    // Label prototypes from the embeddings table: elementwise mean per
+    // (label, dimension), fixed-point-exact so the oracle's unnest
+    // replay hash-matches.
+    "x_embed_pool" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Similarity.meanPoolE6(t(s, dir, "embeddings"),
+        "label", "embedding")),
+      Some("""WITH u AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+             |      AS BIGINT) AS v_e6
+             |  FROM embeddings)
+             |SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(v_e6) AS BIGINT) AS sum_e6,
+             |  CAST(sum(v_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_e6
+             |FROM u GROUP BY 1, 2""".stripMargin)),
+
     // ------------------------------------ resample + forward fill
     // Daily grid per user over the purchase series, each point carrying
     // the latest purchase at or before it. DuckDB's native ASOF join

@@ -641,6 +641,19 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(c("x") - 1000L) < 150, s"normalized share off: $c")
   }
 
+  test("meanPoolE6: hand-computed elementwise means, negatives included") {
+    val embs = Seq(
+      ("a", Seq(1.0f, -0.5f)), ("a", Seq(2.0f, -1.5f)), ("b", Seq(10.0f, 0.25f)))
+      .toDF("grp", "vec")
+    val out = Similarity.meanPoolE6(embs, "grp", "vec").collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", 0)) === ((2L, 3000000L, 1500000L)))
+    assert(out(("a", 1)) === ((2L, -2000000L, -1000000L)))
+    assert(out(("b", 0)) === ((1L, 10000000L, 10000000L)))
+    assert(out(("b", 1)) === ((1L, 250000L, 250000L)))
+  }
+
   test("sampleExactPerGroup: exactly k per big group, whole small groups, deterministic") {
     val rows = (1L to 300L).map(i => (i, if (i <= 288) "big" else s"tiny${i % 3}"))
       .toDF("id", "grp")
