@@ -43,6 +43,10 @@ object Expectations {
     require(rules.nonEmpty, "expectations need at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
+    // withColumn would silently REPLACE a user column of the same name,
+    // and clean() would then drop it — data loss, not just a collision
+    require(!df.columns.contains("violations") && !df.columns.contains("is_valid"),
+      "input must not contain reserved columns violations/is_valid")
     df.withColumn("violations",
         filter(array(rules.map(r =>
           when(!coalesce(r.predicate, lit(false)), r.name)): _*),
@@ -68,8 +72,11 @@ object Expectations {
   def metrics(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val annotated = annotate(df, rules)
     val aggs = rules.zipWithIndex.map { case (r, i) =>
-      sum(when(array_contains(col("violations"), r.name), 1L).otherwise(0L))
-        .as(s"__v$i")
+      // coalesce: an EMPTY batch must report 0 violations, not NULL —
+      // this module's own doctrine is that 3VL unknowns don't pass
+      coalesce(
+        sum(when(array_contains(col("violations"), r.name), 1L).otherwise(0L)),
+        lit(0L)).as(s"__v$i")
     }
     annotated.agg(count(lit(1)).as("__n"), aggs: _*)
       .select(explode(array(rules.zipWithIndex.map { case (r, i) =>

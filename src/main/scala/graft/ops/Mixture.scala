@@ -40,9 +40,18 @@ object Mixture {
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
       "budgets must be non-negative")
     val spark = docs.sparkSession
+    // a negative cost (upstream corruption) would make the cumulative
+    // non-monotonic and let every later document sneak back under the
+    // budget — fail loudly in-plan instead of overshooting silently
+    val guardedCost = {
+      val c = col(costCol).cast("long")
+      when(c < 0L, raise_error(concat(
+        lit(s"Mixture.byBudget: negative $costCol: "), c.cast("string"))))
+        .otherwise(c)
+    }
     val base = docs.select(
       (Seq(sourceCol) ++ priorityCols ++ Seq(idCol)).distinct.map(col) :+
-        col(costCol).cast("long").as("_cost"): _*)
+        guardedCost.as("_cost"): _*)
     val ordered = Packing.withPrefixSum(base,
       Seq(sourceCol) ++ priorityCols ++ Seq(idCol), col("_cost"),
       "_gcum", numPartitions)
@@ -54,14 +63,10 @@ object Mixture {
         sum(col("_stot")).over(Window.orderBy(col(sourceCol))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(sourceCol), col("_soff"))
-    val overrides =
-      if (budgets.isEmpty)
-        spark.emptyDataFrame
-          .withColumn(sourceCol, lit(""))
-          .withColumn("_budget_o", lit(0L))
-          .limit(0)
-      else
-        spark.createDataFrame(budgets.toSeq).toDF(sourceCol, "_budget_o")
+    // createDataFrame handles the empty map fine (the tuple type is
+    // static), so no special case
+    val overrides = spark.createDataFrame(budgets.toSeq)
+      .toDF(sourceCol, "_budget_o")
     ordered
       .join(broadcast(srcOffsets), Seq(sourceCol))
       .join(broadcast(overrides), Seq(sourceCol), "left")

@@ -75,7 +75,6 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
                     capacity: Long, numPartitions: Int = 64): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    def intDiv(a: Column, b: Column): Column = call_function("div", a, b)
     withPrefixSum(docs.select(col(idCol), col(nTokensCol)),
         Seq(idCol), col(nTokensCol), "start_off", numPartitions)
       .withColumn("start_bin", intDiv(col("start_off"), lit(capacity)))

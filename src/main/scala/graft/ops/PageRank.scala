@@ -35,8 +35,6 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
-    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      call_function("div", a, b)
     // one checkpointed edge projection feeds degrees, nodes, and every
     // round (the components() lesson: don't re-execute the upstream
     // pair/edge pipeline per consumer)
@@ -48,6 +46,8 @@ object PageRank {
       .distinct().localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = nodes.count()
+    // empty graph → empty result, not a driver-side division crash
+    if (n == 0L) return nodes.withColumn("pr_e12", lit(0L))
     val base = (Scale * 15L / 100L) / n
     var pr = nodes.withColumn("pr", lit(Scale / n))
     for (_ <- 1 to iterations) {

@@ -163,7 +163,7 @@ object Profile {
     val n = df.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bucket",
-        call_function("div", (col("_rank") - 1) * k, col("_n")))
+        intDiv((col("_rank") - 1) * k, col("_n")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))

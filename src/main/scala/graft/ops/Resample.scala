@@ -28,9 +28,14 @@ object Resample {
     val epoch = unix_timestamp(col(tsCol))
     val bounds = series.groupBy(col(keyCol))
       .agg(min(epoch).as("_lo"), max(epoch).as("_hi"))
+    // TRUE floor to the step boundary (lo − pmod(lo, step); pmod is
+    // non-negative): `div`-then-multiply truncates toward zero, which
+    // for pre-epoch timestamps rounds the grid start UP past `lo` —
+    // dropping the leading grid point, or crashing sequence() outright
+    // when the whole span is pre-1970
     val grid = bounds.select(col(keyCol),
       explode(sequence(
-        call_function("div", col("_lo"), lit(stepSeconds)) * stepSeconds,
+        col("_lo") - pmod(col("_lo"), lit(stepSeconds)),
         col("_hi"), lit(stepSeconds))).as("_gs"))
       .select(col(keyCol), timestamp_seconds(col("_gs")).as("grid_ts"))
     AsOfJoin.asOf(grid,

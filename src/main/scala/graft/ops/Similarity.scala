@@ -109,7 +109,7 @@ object Similarity {
       .groupBy(col(groupCol), col("pos"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(floor(col("_v").cast("double") * 1e6).cast("long")).as("sum_e6"))
-      .withColumn("mean_e6", call_function("div", col("sum_e6"), col("n_vecs")))
+      .withColumn("mean_e6", intDiv(col("sum_e6"), col("n_vecs")))
 
   /** LSH-pruned top-k: score only vectors in the query's bucket. With
     * `probes > 1`, also search buckets at hamming distance 1 (multi-probe)

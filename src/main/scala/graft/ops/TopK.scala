@@ -52,10 +52,22 @@ object TopK {
 
   /** Top `k` rows per group by `valueCol` descending (ties by `idCol`
     * ascending): (groupCols..., rank, id, v). Null ordering values are
-    * excluded — a row that can't rank doesn't compete. */
+    * excluded — a row that can't rank doesn't compete. `idCol` must be
+    * integral (it rides the buffer as a Long): a string id would cast
+    * to NULL and kill the aggregator mid-job with an opaque
+    * null-in-non-nullable error, and a fractional id would silently
+    * truncate the tie-break — hash string ids to longs first
+    * (`xxhash64`) and join back. */
   def perGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
                idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    val idType = df.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"idCol $idCol must be an integral type, got $idType — hash string ids " +
+        "to longs (xxhash64) and join back")
     val agg = udaf(new TopKAggregator(k))
     df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col): _*)

@@ -45,8 +45,8 @@ object ZOrder {
     * The one envelope left: each dimension's span max − min must itself
     * fit in int64 — i.e. don't z-order a column straddling ±2^62. */
   def scale(v: Column, minV: Column, maxV: Column, bits: Int): Column =
-    call_function("div", v - minV,
-      call_function("div", maxV - minV, lit(1L << bits)) + lit(1L))
+    intDiv(v - minV,
+      intDiv(maxV - minV, lit(1L << bits)) + lit(1L))
 
   /** Attach `zx`, `zy` (scaled dims) and `z` (interleaved) to `df`.
     * Global bounds come from one column-pruned agg pass broadcast back

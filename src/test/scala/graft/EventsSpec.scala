@@ -64,6 +64,17 @@ class EventsSpec extends AnyFunSuite with SparkTestSession {
       (2L, "2024-01-01 00:00:00.0", Some(9.0))))
   }
 
+  test("resampleFill floors the grid start for pre-epoch timestamps too") {
+    val series = Seq((1L, ts("1969-12-31 23:59:30"), 4.0))
+      .toDF("k", "ts", "v")
+    val out = graft.ops.Resample.resampleFill(series, "k", "ts", Seq("v"), 60L)
+      .collect().map(r => (r.getTimestamp(1).toString,
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // grid floors DOWN to 23:59:00 (truncation-toward-zero would round
+    // up past the event and crash the sequence)
+    assert(out.toSeq === Seq(("1969-12-31 23:59:00.0", None)))
+  }
+
   test("cohort retention: cohorts by first date, distinct-daily activity cells") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")), // same cell

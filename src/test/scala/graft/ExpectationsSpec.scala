@@ -53,6 +53,18 @@ class ExpectationsSpec extends AnyFunSuite with SparkTestSession {
     assert(bad.toSeq === Seq(2L)) // row 4 (NULL) passes now
   }
 
+  test("reserved output columns are rejected; empty batches report zero violations") {
+    val clash = Seq((1L, true)).toDF("id", "is_valid")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.annotate(clash, Seq(Expectations.notNull("id")))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val empty = df.filter(col("id") < 0)
+    val m = Expectations.metrics(empty, rules).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(m.toSeq === Seq(("value_between", 0L, 0L), ("etype_in_set", 0L, 0L)))
+  }
+
   test("duplicateKeys and danglingKeys surface the non-row-local violations") {
     val d = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
     val dups = Expectations.duplicateKeys(d, Seq("k")).collect()

@@ -36,6 +36,11 @@ class PageRankSpec extends AnyFunSuite with SparkTestSession {
     assert(out.values.sum <= 1000000000000L)
   }
 
+  test("an empty edge frame yields an empty result, not a division crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(PageRank.run(empty, "s", "d").collect().isEmpty)
+  }
+
   test("results are identical across reruns and shuffle-partition settings") {
     val edges = (1L to 200L).map(i => (i, i * 31 % 97))
     val a = ranks(edges, iters = 3)

@@ -41,6 +41,14 @@ class TopKSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSet === Set((1L, 1, 10L), (2L, 1, 20L)))
   }
 
+  test("non-integral id column is rejected at construction, not mid-job") {
+    val df = Seq(("g", "doc-1", 1.0)).toDF("g", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, Seq("g"), "v", "id", k = 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("physical plan aggregates partially map-side (no full-group sort)") {
     val df = Seq((1L, 1L, 1.0)).toDF("g", "id", "v")
     val plan = TopK.perGroup(df, Seq("g"), "v", "id", k = 2)
