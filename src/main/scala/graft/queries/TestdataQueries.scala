@@ -2342,6 +2342,70 @@ object TestdataQueries {
              |  CAST(floor(max_rows * n_keys * 100 / n_total) AS BIGINT) AS skew_ratio_e2
              |FROM top CROSS JOIN tot""".stripMargin)),
 
+    // ------------------------------- MAD robust outliers (median/median)
+    // Median absolute deviation per event type over exact cents: medians
+    // of int64s interpolate to halves/quarters (exactly representable),
+    // and the 5·MAD outlier test compares those exact values — no
+    // stddev, no mean, robust to the outliers it is hunting.
+    "x_mad" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(c, 0.5)").as("med_c"))
+      val dev = ev.join(med, Seq("event_type"))
+        .withColumn("dev", abs(col("c") - col("med_c")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad_c"))
+      dev.join(mad, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("med_c")).as("med_c"),
+          min(col("mad_c")).as("mad_c"),
+          sum(when(col("dev") > col("mad_c") * 5, 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+             |    FROM events),
+             |m AS (SELECT event_type, quantile_cont(c, 0.5) AS med_c
+             |  FROM e GROUP BY 1),
+             |d AS (SELECT e.event_type, abs(c - med_c) AS dev, med_c
+             |  FROM e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_c
+             |  FROM d GROUP BY 1)
+             |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  min(med_c) AS med_c, min(mad_c) AS mad_c,
+             |  CAST(sum(CASE WHEN dev > 5 * mad_c THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM d JOIN md USING (event_type) GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------- rolling range-frame window
+    // 7-day trailing spend per user over daily purchase totals — the
+    // RANGE frame (value-based, gap-aware: 6 PRECEDING means six DAYS,
+    // not six rows) that no other query pins. Exact int64 cents
+    // throughout, so the window sums hash-match.
+    "x_rolling" -> (((s: SparkSession, dir: String) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum(cents(col("value"))).as("day_cents"))
+        .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("roll_cents", sum(col("day_cents")).over(w))
+        .withColumn("roll_days", count(lit(1)).over(w))
+        .select("user_id", "d", "day_cents", "roll_cents", "roll_days")
+    }),
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |n AS (SELECT *, date_diff('day', DATE '2024-01-01', d) AS dn FROM daily)
+             |SELECT user_id, d, day_cents,
+             |  CAST(sum(day_cents) OVER (PARTITION BY user_id ORDER BY dn
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+             |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY dn
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_days
+             |FROM n""".stripMargin)),
+
     // ------------------------------------------ funnel / cohort analytics
     // Strict-sequence conversion funnel (first view, first click AFTER
     // it, first purchase after that) — each stage is a filtered min
