@@ -42,6 +42,16 @@ class MixtureSpec extends AnyFunSuite with SparkTestSession {
     assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("no whole-source sort task: the only Window over the source key is the tiny offsets frame") {
+    val plan = graft.ops.Mixture.byBudget(docs, "id", "src", "cost", Seq("p"),
+      Map.empty, defaultBudget = 10L).queryExecution.executedPlan.toString
+    // the data-sized cumulative must ride the range-partitioned prefix
+    // sum, and the per-source offsets must come back as a broadcast of
+    // the tiny aggregate — not a corpus-wide partition-by-source window
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("cumulative is invariant to the prefix-sum partition count") {
     val one = run(Map.empty, default = 8L, parts = 1)
     val many = run(Map.empty, default = 8L, parts = 7)

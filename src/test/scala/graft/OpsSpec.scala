@@ -411,6 +411,14 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.length === 3 && out(2)._3 === 1L)
   }
 
+  test("heavy hitters: the recount semi-join broadcasts candidates (tail dropped map-side)") {
+    import graft.ops.Profile
+    val df = (1L to 100L).map(i => (i, s"v${i % 7}")).toDF("id", "value")
+    val plan = Profile.heavyHitters(df, "value", k = 3, capacity = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
   test("heavy hitters: exact top-k under tight capacity; ties break lexicographically") {
     import graft.ops.Profile
     // Zipf-ish: value "v$i" appears 2^(10-i) times for i in 1..8, plus a
