@@ -151,12 +151,20 @@ object Dedup {
                        idCol: String, textCol: String,
                        shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                        maxBucketSize: Long = 1000,
-                       broadcastNew: Boolean = true): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val newBanded0 = lshBanded(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
+                       broadcastNew: Boolean = true): DataFrame =
+    incrementalPairsBanded(index,
+      lshIndex(newDocs, idCol, textCol, shingleN, bands, rowsPerBand,
+        maxBucketSize),
+      bands * rowsPerBand, broadcastNew)
+
+  /** [[incrementalPairs]] over an ALREADY-banded batch (the exact frame
+    * [[lshIndex]] produces). The streaming maintenance loop builds the
+    * batch's band index once, persists it, and feeds it both here and
+    * to the index append — calling the doc-level overload there ran the
+    * CPU-heavy shingle+signature pipeline twice per micro-batch. */
+  def incrementalPairsBanded(index: DataFrame, newBanded0: DataFrame,
+                             numHashes: Int,
+                             broadcastNew: Boolean = true): DataFrame = {
     val newBanded = if (broadcastNew) broadcast(newBanded0) else newBanded0
 
     val newOld = index.alias("o")

@@ -181,13 +181,15 @@ object StreamingIngest {
         // the batch feeds pair generation, the index append and the docs
         // append — persist so a replayable source isn't re-read per use
         batch.persist()
+        // the batch's band index feeds BOTH pair generation and the
+        // index append — build the shingle+signature pipeline once
+        val banded = Dedup.lshIndex(batch, idCol, textCol,
+          shingleN, bands, rowsPerBand, maxBucketSize).persist()
         try {
-          val idxSchema = Dedup.lshIndex(batch.limit(0), idCol, textCol,
-            shingleN, bands, rowsPerBand, maxBucketSize).schema
-          val idx = cat.readOrEmpty(indexTable, idxSchema)
+          val idx = cat.readOrEmpty(indexTable, banded.schema)
           val knownIds = idx.select(col("doc_id")).distinct()
-          val pairs = Dedup.incrementalPairs(idx, batch, idCol, textCol,
-            shingleN, bands, rowsPerBand, maxBucketSize)
+          val pairs = Dedup.incrementalPairsBanded(idx, banded,
+            bands * rowsPerBand)
           val already =
             if (cat.exists(pairsTable))
               cat.read(pairsTable).select(col("id_a"), col("id_b"))
@@ -198,16 +200,14 @@ object StreamingIngest {
           // append against the index (or vice versa) would let a crash
           // between the two appends permanently drop rows on replay
           cat.append(indexTable,
-            Dedup.lshIndex(batch, idCol, textCol, shingleN, bands,
-              rowsPerBand, maxBucketSize)
-              .join(knownIds, Seq("doc_id"), "left_anti"))
+            banded.join(knownIds, Seq("doc_id"), "left_anti"))
           val knownDocs =
             if (cat.exists(docsTable)) cat.read(docsTable).select(col(idCol))
             else batch.select(col(idCol)).limit(0)
           cat.append(docsTable,
             batch.select(col(idCol), col(textCol))
               .join(knownDocs, Seq(idCol), "left_anti"))
-        } finally { batch.unpersist(); () }
+        } finally { banded.unpersist(); batch.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .start()
