@@ -58,6 +58,39 @@ object Events {
       .withColumnRenamed("_e", entityCol)
   }
 
+  /** First-order Markov transition matrix over an entity's event-type
+    * sequence: for every consecutive pair (src → dst) within an entity,
+    * the transition count and its row-normalized probability as e6
+    * fixed point (`floor(n·10⁶ / row_total)` — a pure IEEE divide, so
+    * the value is engine-portable).
+    *
+    * Ordering is pinned to whole epoch SECONDS plus the tie column
+    * (the [[Sessionize]] convention): sub-second precision differs
+    * between parquet readers (nanos vs micros), so ordering on the raw
+    * timestamp would be engine-dependent on close events. One window
+    * shuffle on the entity produces the lag pairs; the count and the
+    * row total ride one groupBy + one small window over the (src, dst)
+    * matrix — at most |types|² rows, trivially broadcastable
+    * downstream. */
+  def transitions(events: DataFrame, entityCol: String, typeCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol))
+      .orderBy(unix_timestamp(col(tsCol)), col(tieCol))
+    val pairs = events
+      .select(col(entityCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("_dst", lead(col(typeCol), 1).over(w))
+      .filter(col("_dst").isNotNull)
+    val counts = pairs
+      .groupBy(col(typeCol).as("src"), col("_dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val rowW = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    counts
+      .withColumn("row_total", sum(col("n")).over(rowW))
+      .withColumn("p_e6",
+        floor(col("n") * lit(1000000.0d) / col("row_total")).cast("long"))
+  }
+
   /** Cohort retention: entities cohort by the DATE of their first
     * event; each (cohort_date, day_offset) cell counts the distinct
     * entities of that cohort active that day. Two aggregates — first

@@ -2406,6 +2406,126 @@ object TestdataQueries {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_days
              |FROM n""".stripMargin)),
 
+    // --------------------------------------- Markov transition matrix
+    // First-order event-type transitions per user (lead over the
+    // Sessionize ordering convention: whole epoch seconds + event_id,
+    // so sub-second reader precision can't flip the sequence), row-
+    // normalized to e6 fixed-point probabilities — floor of a pure
+    // IEEE divide, portable across engines.
+    "x_markov" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Events.transitions(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+             |p AS (SELECT event_type AS src, lead(event_type) OVER
+             |    (PARTITION BY user_id ORDER BY es, event_id) AS dst FROM e),
+             |c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+             |  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2)
+             |SELECT src, dst, n,
+             |  CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+             |  CAST(floor(n * 1000000.0 / (sum(n) OVER (PARTITION BY src)))
+             |    AS BIGINT) AS p_e6
+             |FROM c""".stripMargin)),
+
+    // ------------------------------ distribution windows (ntile pack)
+    // Per-nation quartile assignment + percent_rank + cume_dist over
+    // customer balances — the rank-distribution window family no other
+    // query pins. The ordering is (exact cents, custkey): unique, so
+    // rank = row position in both engines; the fractional ranks are
+    // single IEEE divides of small ints, e6-floored. Partitioned
+    // windows shuffle once on the partition key; a GLOBAL equi-depth
+    // split at scale belongs to Profile.equiDepth (x_histogram), which
+    // avoids the one-task ORDER BY this family would need un-partitioned.
+    "x_ntile" -> (((s: SparkSession, dir: String) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        cents(col("c_acctbal")).as("bal_c"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("bal_c"), col("c_custkey"))
+      c.select(col("nation"), col("c_custkey"), col("bal_c"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        floor(percent_rank().over(w) * lit(1000000.0d)).cast("long")
+          .as("pct_rank_e6"),
+        floor(cume_dist().over(w) * lit(1000000.0d)).cast("long")
+          .as("cume_e6"))
+    }),
+      Some("""WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer)
+             |SELECT nation, c_custkey, bal_c,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT)
+             |    AS pct_rank_e6,
+             |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cume_e6
+             |FROM c WINDOW w AS (PARTITION BY nation ORDER BY bal_c, c_custkey)"""
+        .stripMargin)),
+
+    // ------------------------------- grouped least-squares regression
+    // Per-event-type linear trend of spend (exact cents) on day number:
+    // the five sufficient statistics (n, Σx, Σy, Σx², Σxy) are exact
+    // int64 sums — order-insensitive, hash-stable — and slope/intercept
+    // are derived from them by IEEE arithmetic written identically on
+    // both sides. One map-side-combined aggregate; no window, no join.
+    "x_regression" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        cents(col("value")).as("y"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .filter(col("den") =!= 0L)
+        .withColumn("slope_e6",
+          floor(lit(1000000.0d) * col("num") / col("den")).cast("long"))
+        .withColumn("icept_e6",
+          floor((lit(1000000.0d) * col("sy") -
+            (lit(1000000.0d) * col("num") / col("den")) * col("sx")) / col("n"))
+            .cast("long"))
+    }),
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             |      AS BIGINT) AS x,
+             |    CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+             |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM e GROUP BY 1),
+             |d AS (SELECT *, n * sxy - sx * sy AS num,
+             |    n * sxx - sx * sx AS den FROM s)
+             |SELECT event_type, n, sx, sy, sxx, sxy, num, den,
+             |  CAST(floor(1000000.0 * num / den) AS BIGINT) AS slope_e6,
+             |  CAST(floor((1000000.0 * sy - (1000000.0 * num / den) * sx) / n)
+             |    AS BIGINT) AS icept_e6
+             |FROM d WHERE den <> 0""".stripMargin)),
+
+    // ------------------------------------------- triangle counting
+    // Per-part triangle participation in the co-purchase graph (parts
+    // sharing an order). The Spark side orients edges low→high by
+    // (degree, id) so wedge enumeration is O(√m)-bounded per vertex —
+    // skew-safe without salting; the oracle counts the same triangles
+    // with the plain a<b three-way join (correctness, not scale).
+    "x_triangles" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.Triangles
+      val edges = Triangles.cooccurrenceEdges(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      Triangles.perVertexCounts(edges)
+    }),
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |    FROM lineitem),
+             |e AS (SELECT a.p AS a, b.p AS b FROM op a
+             |  JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+             |tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT vertex, CAST(count(*) AS BIGINT) AS n_tri FROM (
+             |  SELECT u AS vertex FROM tri
+             |  UNION ALL SELECT x FROM tri
+             |  UNION ALL SELECT y FROM tri)
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------ funnel / cohort analytics
     // Strict-sequence conversion funnel (first view, first click AFTER
     // it, first purchase after that) — each stage is a filtered min

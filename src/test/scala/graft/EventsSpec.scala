@@ -90,4 +90,35 @@ class EventsSpec extends AnyFunSuite with SparkTestSession {
       ("2024-01-01", 2, 1L),  // user 1 back on day 2
       ("2024-01-02", 0, 1L))) // user 3's cohort
   }
+
+  test("transitions: per-entity consecutive pairs, row-normalized e6") {
+    val events = Seq(
+      // user 1: a -> b -> a  (transitions a->b, b->a)
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "b", ts("2024-01-01 10:01:00")),
+      (1L, 12L, "a", ts("2024-01-01 10:02:00")),
+      // user 2: a -> b (one transition; no cross-user pair with user 1)
+      (2L, 20L, "a", ts("2024-01-01 10:00:30")),
+      (2L, 21L, "b", ts("2024-01-01 10:03:00")),
+      // user 3: single event — no transitions
+      (3L, 30L, "b", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.transitions(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((2L, 2L, 1000000L)),   // both a-transitions go to b
+      ("b", "a") -> ((1L, 1L, 1000000L))))
+  }
+
+  test("transitions: same-second ties ordered by the tie column") {
+    val events = Seq(
+      (1L, 2L, "b", ts("2024-01-01 10:00:00")),
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")), // same second, lower id first
+      (1L, 3L, "c", ts("2024-01-01 10:00:01")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Events.transitions(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("a", "b"), ("b", "c")))
+  }
 }
