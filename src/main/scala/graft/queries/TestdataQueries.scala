@@ -2526,6 +2526,43 @@ object TestdataQueries {
              |  UNION ALL SELECT y FROM tri)
              |GROUP BY 1""".stripMargin)),
 
+    // ---------------------------------------------- Count-Min sketch
+    // Sublinear frequency estimation: a 3×512 sketch built over order
+    // custkeys in ONE bounded aggregation (map-side combine caps each
+    // partition's shuffle at depth·width cells), probed for the top-20
+    // customers beside their exact counts. The salted hashes are the
+    // engine-portable 62-bit fold, so DuckDB rebuilds the sketch cell
+    // for cell and the `est` column hash-matches EXACTLY — collisions
+    // and all — while est ≥ n pins the no-underestimate guarantee.
+    "x_countmin" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.Sketches
+      val src = t(s, dir, "orders").select(col("o_custkey").cast("long").as("k"))
+      val sketch = Sketches.countMinBuild(src, col("k"), depth = 3, width = 512)
+      val top = src.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k").asc).limit(20)
+      val est = Sketches.countMinEstimate(sketch, top.select(col("k")),
+        col("k"), depth = 3, width = 512)
+      top.join(est, top("k") === est("key"))
+        .select(col("k"), col("n"), col("est"))
+    }),
+      Some(s"""WITH src AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+             |d AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
+             |cells AS (SELECT i,
+             |    ${portableHashSql("'cm' || i || ':' || CAST(k AS VARCHAR)")} % 512
+             |      AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM src CROSS JOIN d GROUP BY 1, 2),
+             |exact AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1),
+             |top AS (SELECT * FROM exact ORDER BY n DESC, k LIMIT 20),
+             |probes AS (SELECT top.k, d.i,
+             |    ${portableHashSql("'cm' || d.i || ':' || CAST(top.k AS VARCHAR)")} % 512
+             |      AS bucket
+             |  FROM top CROSS JOIN d),
+             |est AS (SELECT p.k, min(coalesce(c.cnt, 0)) AS est FROM probes p
+             |  LEFT JOIN cells c ON c.i = p.i AND c.bucket = p.bucket GROUP BY 1)
+             |SELECT top.k, top.n, CAST(est.est AS BIGINT) AS est
+             |FROM top JOIN est ON top.k = est.k""".stripMargin)),
+
     // ------------------------------------------ funnel / cohort analytics
     // Strict-sequence conversion funnel (first view, first click AFTER
     // it, first purchase after that) — each stage is a filtered min
