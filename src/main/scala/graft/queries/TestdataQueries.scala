@@ -2563,6 +2563,42 @@ object TestdataQueries {
              |SELECT top.k, top.n, CAST(est.est AS BIGINT) AS est
              |FROM top JOIN est ON top.k = est.k""".stripMargin)),
 
+    // ------------------------------- incremental aggregate maintenance
+    // Materialized-view maintenance end to end in a scratch warehouse:
+    // seven yearly batches of orders each append ONE partial-state
+    // partition (count/sum/min/max per customer — O(batch) maintenance,
+    // the raw year is never re-scanned), aged states are compacted into
+    // a base partition, and the reader merges states — never facts.
+    // The oracle recomputes the aggregate directly from all orders, so
+    // the gate proves partial-merge == full recompute through the real
+    // TableCatalog append/compact/read cycle.
+    "x_incremental_agg" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      import graft.ops.IncrementalAgg
+      val cat = new TableCatalog(s, scratchDir("graft_iagg", dir).toString)
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        cents(col("o_totalprice")).as("c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      (1995 to 2001).foreach { yy =>
+        val batch = o.filter(col("y") === yy.toString)
+        cat.appendPartitioned("agg_state",
+          IncrementalAgg.partials(batch, Seq("o_custkey"), col("c"))
+            .withColumn("batch", lit(yy.toString)), "batch")
+      }
+      val compacted = IncrementalAgg.compact(cat.read("agg_state"),
+        Seq("o_custkey"), "batch", cutoff = "1999")
+      cat.overwrite("agg_state_c", compacted)
+      IncrementalAgg.merge(cat.read("agg_state_c"), Seq("o_custkey"))
+    }),
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_c,
+             |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS min_c,
+             |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS max_c
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------ funnel / cohort analytics
     // Strict-sequence conversion funnel (first view, first click AFTER
     // it, first purchase after that) — each stage is a filtered min
