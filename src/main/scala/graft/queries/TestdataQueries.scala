@@ -3293,6 +3293,46 @@ object TestdataQueries {
              |  AND a.auth_ts BETWEEN t.trans_date - INTERVAL 600 SECOND
              |                    AND t.trans_date""".stripMargin)),
 
+    // ------------- stream-stream LEFT OUTER join under the gate
+    // Same enrichment as x_stream_authjoin but keeping transactions with
+    // NO in-window authorization as null-extended rows — the outer
+    // stream-stream join whose streaming emission is watermark-gated
+    // (the engine may emit a null row only after proving no match can
+    // still arrive; StreamingSpec pins that timing). Here the batch
+    // formulation puts the null-extension semantics themselves under
+    // the value-level gate as a plain LEFT JOIN.
+    "x_stream_authjoin_outer" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("string").as("card_num"),
+        col("event_id"),
+        expr("timestamp_seconds(1704067200 + (unix_timestamp(ts) - 1704067200) div 200)")
+          .as("ts2"))
+      val txns = ev.filter(col("event_id") % 2 === 1).select(
+        col("card_num"), concat(lit("T"), col("event_id")).as("trans_id"),
+        col("ts2").as("trans_date"))
+      val auths = ev.filter(col("event_id") % 2 === 0).select(
+        col("card_num"), concat(lit("A"), col("event_id")).as("auth_id"),
+        col("ts2").as("auth_ts"),
+        when(col("event_id") % 3 === 0, "DENY").otherwise("OK").as("auth_result"))
+      graft.streaming.StreamingIngest.txnWithRecentAuth(txns, auths,
+        joinType = "left_outer")
+    }),
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS card_num, event_id,
+             |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL
+             |      ((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 200) SECOND AS ts2
+             |  FROM events),
+             |t AS (SELECT card_num, 'T' || CAST(event_id AS VARCHAR) AS trans_id,
+             |    ts2 AS trans_date FROM e WHERE event_id % 2 = 1),
+             |a AS (SELECT card_num, 'A' || CAST(event_id AS VARCHAR) AS auth_id,
+             |    ts2 AS auth_ts,
+             |    CASE WHEN event_id % 3 = 0 THEN 'DENY' ELSE 'OK' END AS auth_result
+             |  FROM e WHERE event_id % 2 = 0)
+             |SELECT t.card_num, t.trans_id, t.trans_date,
+             |  a.auth_id, a.auth_ts, a.auth_result
+             |FROM t LEFT JOIN a ON a.card_num = t.card_num
+             |  AND a.auth_ts BETWEEN t.trans_date - INTERVAL 600 SECOND
+             |                    AND t.trans_date""".stripMargin)),
+
     // ------------- streaming at-least-once → exactly-once under the gate
     // The second drop REDELIVERS half of the first (at-least-once file
     // feeds: re-dropped files, replayed offsets) plus new transactions;

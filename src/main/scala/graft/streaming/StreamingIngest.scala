@@ -223,9 +223,18 @@ object StreamingIngest {
     * match (state is O(window × rate), not O(stream)). On batch frames
     * the same expression is a plain interval join — StreamingSpec pins
     * that both modes produce identical pairs on the same input, with the
-    * stream fed across multiple micro-batches. */
+    * stream fed across multiple micro-batches.
+    *
+    * `joinType = "left_outer"` keeps every transaction: one with no
+    * in-window authorization emits null-extended — in streaming mode
+    * only once the auth-side watermark passes its window (the engine
+    * must prove no match can still arrive before emitting the null
+    * row), which StreamingSpec pins by advancing the watermark and
+    * watching the unmatched row appear exactly then. On batch frames
+    * it is a plain left outer interval join. */
   def txnWithRecentAuth(txns: DataFrame, auths: DataFrame,
-                        windowSeconds: Long = 600L): DataFrame = {
+                        windowSeconds: Long = 600L,
+                        joinType: String = "inner"): DataFrame = {
     val t = (if (txns.isStreaming) txns.withWatermark("trans_date", "30 minutes")
              else txns).alias("t")
     val a = (if (auths.isStreaming) auths.withWatermark("auth_ts", "30 minutes")
@@ -233,7 +242,8 @@ object StreamingIngest {
     t.join(a,
         col("a.card_num") === col("t.card_num") &&
         col("a.auth_ts") >= col("t.trans_date") - expr(s"INTERVAL $windowSeconds SECONDS") &&
-        col("a.auth_ts") <= col("t.trans_date"))
+        col("a.auth_ts") <= col("t.trans_date"),
+        joinType)
       .select(col("t.card_num"), col("t.trans_id"), col("t.trans_date"),
         col("a.auth_id"), col("a.auth_ts"), col("a.auth_result"))
   }

@@ -363,6 +363,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: null row emits only after the watermark closes its window; batch mode identical") {
+    implicit val sc = spark.sqlContext
+    val txMem = MemoryStream[(String, String, Timestamp)]
+    val auMem = MemoryStream[(String, String, Timestamp, String)]
+    val q = StreamingIngest.txnWithRecentAuth(
+      txMem.toDF().toDF("card_num", "trans_id", "trans_date"),
+      auMem.toDF().toDF("card_num", "auth_id", "auth_ts", "auth_result"),
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("txauthouter")
+      .outputMode("append").start()
+    def pairs() = spark.table("txauthouter").collect()
+      .map(r => (r.getString(1), Option(r.getString(3)))).toSet
+    try {
+      // T1 matches A1; TX has NO authorization — its null row must NOT
+      // appear until the engine can prove no match can still arrive
+      txMem.addData(("K1", "T1", ts("2021-01-01 10:00:00")),
+        ("K3", "TX", ts("2021-01-01 10:01:00")))
+      auMem.addData(("K1", "A1", ts("2021-01-01 09:55:00"), "OK"))
+      q.processAllAvailable()
+      assert(pairs() === Set(("T1", Some("A1"))),
+        "null-extended row leaked before the watermark closed its window")
+      // both sides jump 2 h ahead: watermarks (30 min lag) pass TX's
+      // match window end, so the next cycles must emit TX null-extended
+      txMem.addData(("K9", "T9", ts("2021-01-01 12:00:00")))
+      auMem.addData(("K9", "A9", ts("2021-01-01 12:00:00"), "OK"))
+      q.processAllAvailable()
+      auMem.addData(("K9", "A9b", ts("2021-01-01 12:30:00"), "OK"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(pairs().contains(("TX", None)),
+        "unmatched transaction never emitted after watermark passed")
+      assert(pairs() - (("T9", Some("A9b"))) ===
+        Set(("T1", Some("A1")), ("T9", Some("A9")), ("TX", None)))
+    } finally q.stop()
+    // batch mode: plain left outer interval join over the same rows
+    val batch = StreamingIngest.txnWithRecentAuth(
+      Seq(("K1", "T1", ts("2021-01-01 10:00:00")),
+        ("K3", "TX", ts("2021-01-01 10:01:00")))
+        .toDF("card_num", "trans_id", "trans_date"),
+      Seq(("K1", "A1", ts("2021-01-01 09:55:00"), "OK"))
+        .toDF("card_num", "auth_id", "auth_ts", "auth_result"),
+      joinType = "left_outer")
+      .collect().map(r => (r.getString(1), Option(r.getString(3)))).toSet
+    assert(batch === Set(("T1", Some("A1")), ("TX", None)))
+  }
+
   test("dedupTransactions: cross-batch redelivery collapses; batch mode matches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
