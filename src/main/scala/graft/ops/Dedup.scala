@@ -547,6 +547,33 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware deduplicated corpus: within each near-dup component
+    * keep the member ranked FIRST by `quality` (descending, id
+    * ascending on ties) — "longest document wins" and its cousins —
+    * instead of [[dedupCorpus]]'s arbitrary minimum id. Training-data
+    * pipelines prefer this form: duplicate clusters usually contain one
+    * full document plus truncated or boilerplate-wrapped copies, and
+    * min-id keeps a random one.
+    *
+    * Same shuffle shape as [[dedupCorpus]] plus one window over the
+    * component id: component membership (ids only) joins back to the
+    * docs just to read the quality column, the rank rides a window
+    * partitioned by component (components are near-dup clusters —
+    * small by construction; the hot-key cap in the pair generators
+    * bounds them), and the anti-join ships only dropped ids. */
+  def dedupCorpusBy(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    quality: Column): DataFrame = {
+    val members = components(pairs)
+      .join(docs.select(col(idCol).as("doc_id"), quality.as("_q")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp")).orderBy(col("_q").desc, col("doc_id").asc)
+    val drop = members
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup: pairs with cosine ≥ `minCos`. Candidates come

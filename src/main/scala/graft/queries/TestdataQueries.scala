@@ -1359,6 +1359,34 @@ object TestdataQueries {
              |SELECT doc_id, n_chars FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
 
+    // ------------------------------ quality-aware canonical selection
+    // Same components as x_dedup_corpus, but the survivor of each
+    // near-dup cluster is the LONGEST member (n_chars desc, id asc on
+    // ties) instead of the minimum id — the curation-grade rule
+    // (duplicate clusters hold one full doc plus truncated copies; the
+    // judge is which member survives, so a drift in the ranking flips
+    // rows and fails the hash).
+    "x_dedup_canonical" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000)
+      Dedup.dedupCorpusBy(docs, "doc_id", pairs, col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+      Some(s"""WITH RECURSIVE ${trigramPairsSql(0.5)},
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach AS (SELECT id AS a, id AS b FROM nodes
+             |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+             |ranked AS (SELECT c.doc_id, row_number() OVER
+             |    (PARTITION BY c.comp ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+             |  FROM comp c JOIN documents d USING (doc_id)),
+             |dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+             |SELECT doc_id, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
+
     // ------------------------------- corpus curation pipeline END TO END
     // The c9 of the extension surface: near-dup dedup (exact-Jaccard
     // pairs → connected components → canonical survivors) → per-language

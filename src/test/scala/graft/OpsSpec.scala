@@ -184,6 +184,18 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === Set(1L, 7L, 100L))
   }
 
+  test("dedupCorpusBy keeps the best-quality member per component, tie-broken by id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val corpus = Seq(
+      (1L, "a", 10L), (2L, "bbbb", 40L), (3L, "c", 10L),   // longest: 2
+      (7L, "dd", 20L), (9L, "ee", 20L),                    // tie → min id 7
+      (100L, "solo", 5L))                                  // untouched
+      .toDF("doc_id", "text", "n_chars")
+    val kept = Dedup.dedupCorpusBy(corpus, "doc_id", pairs, col("n_chars"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 7L, 100L))
+  }
+
   test("unigram log-prob: hand-computed smoothed scores; empty doc emits no row") {
     val corpus = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramLogProb(corpus, "doc_id", "text", alpha = 0.5)
