@@ -660,6 +660,99 @@ object TestdataQueries {
              |   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
              |   OR o.c_nationkey IS DISTINCT FROM n.c_nationkey""".stripMargin)),
 
+    // ----------------------------------------- CDC changeset round trip
+    // The closure of the snapshot-diff story: a value-carrying changeset
+    // (insert/update rows ship their NEW values) replayed onto the old
+    // snapshot must reconstruct the new one EXACTLY — the oracle is the
+    // new snapshot itself, so any drift in diff classification, value
+    // carriage, or the null-safe retire anti-join fails the hash. This
+    // is what lets a full-extract source be consumed incrementally:
+    // ship the delta, not the 100 TB snapshot.
+    "x_cdc_apply" -> (((s: SparkSession, dir: String) => {
+      import graft.etl.SnapshotDiff
+      val cust = t(s, dir, "customer")
+      val oldSnap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val newSnap = cust.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, "CHANGED")
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"))
+      val cs = SnapshotDiff.changes(oldSnap, newSnap,
+        keys = Seq("c_custkey"), compareCols = Seq("c_mktsegment", "c_nationkey"))
+      SnapshotDiff.applyChanges(oldSnap, cs,
+        keys = Seq("c_custkey"), compareCols = Seq("c_mktsegment", "c_nationkey"))
+    }),
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+             |    AS c_mktsegment,
+             |  c_nationkey
+             |FROM customer WHERE c_custkey % 11 <> 0""".stripMargin)),
+
+    // ------------------------------------------------ weighted median
+    // Lower weighted median of line price (exact cents) weighted by
+    // quantity, per return flag: the smallest value whose cumulative
+    // weight reaches half the total. Pre-aggregating per distinct value
+    // bounds the window input at |distinct values| and the comparison
+    // `2·cumw ≥ totw` stays in exact integers — no interpolation, no
+    // doubles, so the hash pins the exact crossover row.
+    "x_weighted_median" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      val pv = li.groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
+      val wcum = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy(col("g"))
+      pv.withColumn("cw", sum(col("vw")).over(wcum))
+        .withColumn("tw", sum(col("vw")).over(wtot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("g"))
+        .agg(min(col("v")).as("wmedian_c"), max(col("tw")).as("total_w"))
+    }),
+      Some("""WITH li AS (SELECT l_returnflag AS g,
+             |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |pv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS vw
+             |  FROM li GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |    CAST(sum(vw) OVER (PARTITION BY g ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             |    CAST(sum(vw) OVER (PARTITION BY g) AS BIGINT) AS tw
+             |  FROM pv)
+             |SELECT g, CAST(min(v) AS BIGINT) AS wmedian_c,
+             |  CAST(max(tw) AS BIGINT) AS total_w
+             |FROM cum WHERE cw * 2 >= tw GROUP BY 1""".stripMargin)),
+
+    // --------------------------------------- Gini diversity (rational)
+    // Per-user event-type diversity: gini = 1 − Σ(nᵢ/n)² computed as
+    // the rational (n² − Σnᵢ²)/n² — numerator and denominator are exact
+    // int64s, the e6 projection is one IEEE divide. The entropy-style
+    // diversity measure WITHOUT logs, chosen precisely because ln()'s
+    // last-bit rounding is libm-dependent and would break the
+    // cross-engine hash that this rational form keeps exact.
+    "x_gini" -> (((s: SparkSession, dir: String) => {
+      val c = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("ni"))
+      c.groupBy(col("user_id"))
+        .agg(sum(col("ni")).as("n"), sum(col("ni") * col("ni")).as("ss"),
+          count(lit(1)).as("n_types"))
+        .withColumn("gini_e6",
+          floor(lit(1000000.0d) * (col("n") * col("n") - col("ss")) /
+            (col("n") * col("n"))).cast("long"))
+    }),
+      Some("""WITH c AS (SELECT user_id, event_type,
+             |    CAST(count(*) AS BIGINT) AS ni FROM events GROUP BY 1, 2),
+             |g AS (SELECT user_id, CAST(sum(ni) AS BIGINT) AS n,
+             |    CAST(sum(ni * ni) AS BIGINT) AS ss,
+             |    CAST(count(*) AS BIGINT) AS n_types
+             |  FROM c GROUP BY 1)
+             |SELECT user_id, n, ss, n_types,
+             |  CAST(floor(1000000.0 * (n * n - ss) / (n * n)) AS BIGINT)
+             |    AS gini_e6
+             |FROM g""".stripMargin)),
+
     // -------------------------------------------------- A1 having count
     "a1_having_count" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "orders").groupBy(col("o_custkey"))

@@ -54,4 +54,31 @@ class SnapshotDiffSpec extends AnyFunSuite with SparkTestSession {
     // a spurious insert+delete pair
     assert(out.toSeq === Seq((true, "update", "seg")))
   }
+
+  test("changes/applyChanges round trip reconstructs the new snapshot exactly") {
+    val o = Seq((1L, "keep"), (2L, "old"), (3L, "gone")).toDF("k", "seg")
+    val n = Seq((1L, "keep"), (2L, "new"), (4L, "fresh")).toDF("k", "seg")
+    val cs = SnapshotDiff.changes(o, n, Seq("k"), Seq("seg"))
+    val byType = cs.collect()
+      .map(r => r.getString(1) -> (r.getLong(0), Option(r.getString(2)))).toSeq
+      .groupMap(_._1)(_._2)
+    assert(byType("update") === Seq((2L, Some("new"))))
+    assert(byType("insert") === Seq((4L, Some("fresh"))))
+    assert(byType("delete") === Seq((3L, None))) // deletes carry no values
+    val rebuilt = SnapshotDiff.applyChanges(o, cs, Seq("k"), Seq("seg"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rebuilt === Set((1L, "keep"), (2L, "new"), (4L, "fresh")))
+  }
+
+  test("applyChanges retires a NULL-keyed row null-safely") {
+    val o = Seq((Option.empty[Long], "old"), (Some(1L), "a")).toDF("k", "seg")
+    val n = Seq((Option.empty[Long], "new"), (Some(1L), "a")).toDF("k", "seg")
+    val cs = SnapshotDiff.changes(o, n, Seq("k"), Seq("seg"))
+    val rebuilt = SnapshotDiff.applyChanges(o, cs, Seq("k"), Seq("seg"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1))).toSet
+    // the equality anti-join would keep the stale null-keyed "old" row
+    // AND add "new" — the null-safe condition replaces it instead
+    assert(rebuilt === Set((None, "new"), (Some(1L), "a")))
+  }
 }
