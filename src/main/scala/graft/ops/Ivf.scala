@@ -123,22 +123,54 @@ object Ivf {
     assignCells(readCentroids(spark, path), newVectors, idCol, vecCol)
       .write.mode("append").partitionBy("ivf_cell").parquet(path)
 
-  /** Exact-cosine top-k over the nProbe nearest cells only. */
-  def topK(index: Index, idCol: String, vecCol: String,
-           query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+  /** The nProbe cells whose centroids are cosine-nearest to the query —
+    * the driver-side probe set (centroids are ≤ nLists rows; this never
+    * touches the corpus). */
+  def probeCells(index: Index, query: Seq[Double], nProbe: Int): Array[Int] = {
     def cos(a: Array[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / math.sqrt(na * nb)
     }
-    val cells = index.centroids.sortBy { case (_, c) => -cos(c, query) }
+    index.centroids.sortBy { case (_, c) => -cos(c, query) }
       .take(nProbe).map(_._1)
+  }
+
+  /** Exact-cosine top-k over the nProbe nearest cells only. */
+  def topK(index: Index, idCol: String, vecCol: String,
+           query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val cells = probeCells(index, query, nProbe)
     index.assigned
       .filter(col("ivf_cell").isin(cells.toIndexedSeq: _*))
       .select(col(idCol),
         (Similarity.dot(col(vecCol), typedLit(query)) /
           (Similarity.norm(col(vecCol)) * math.sqrt(query.map(x => x * x).sum)))
           .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF+PQ — the standard billion-scale ANN composition: the coarse
+    * quantizer prunes the scan to nProbe cells (partition pruning on a
+    * persisted index), PQ ADC ranks the candidates with m table lookups
+    * per row (no vector arithmetic touches the scan), and only the
+    * `shortlist` ADC-best rows pay an exact cosine for the final
+    * re-rank. Cost per query at 100 TB: read nProbe/nLists of the
+    * corpus as integer codes, one TakeOrdered, then exact math on a
+    * driver-small shortlist — the full-precision vectors of non-
+    * shortlisted rows are never needed, which is what makes a
+    * codes-only at-rest layout (vectors elsewhere) viable. */
+  def topKIvfPq(index: Index, codebooks: Array[Array[Array[Double]]],
+                idCol: String, vecCol: String, query: Seq[Double],
+                k: Int, nProbe: Int, shortlist: Int = 50): DataFrame = {
+    val cells = probeCells(index, query, nProbe)
+    val cand = index.assigned.filter(col("ivf_cell").isin(cells.toIndexedSeq: _*))
+    val short = Pq.topK(Pq.encode(cand, vecCol, codebooks),
+      idCol, "pq_code", codebooks, query, shortlist)
+    short.select(col(idCol),
+      (Similarity.dot(col(vecCol), typedLit(query)) /
+        (Similarity.norm(col(vecCol)) * math.sqrt(query.map(x => x * x).sum)))
+        .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }

@@ -1909,6 +1909,49 @@ object TestdataQueries {
       Some("""SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results,
              |  TRUE AS distortion_ok, TRUE AS adc_ok, TRUE AS h50_ok""".stripMargin)),
 
+    // ------------------------------- IVF+PQ composed ANN (property)
+    // The billion-scale composition: coarse cells prune the scan
+    // (nProbe/nLists of the corpus), ADC ranks candidates with integer
+    // code lookups only, and just the 50-row shortlist pays exact
+    // cosine. Property oracle (codebooks + KMeans are driver-trained,
+    // not SQL-replayable): result count, shortlist recall vs the
+    // brute-force top-50, and agreement with plain IVF on the same
+    // probes — the composed path can only lose candidates PQ misranks.
+    // Measured (tools/IvfPqProbe, stable across local[2..32]):
+    // h10=4/3, h50=10/7, ivf_agree=8/5 at sf0.01/sf0.1 — bounds sit
+    // below the worst measurement to leave KMeans-init margin.
+    "x_ann_ivfpq" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      val dimN = e.select(size(col("embedding"))).head().getInt(0)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val base = e.filter(col("vec_id") =!= 0)
+      val idx = graft.ops.Ivf.build(base, "vec_id", "embedding", nLists = 16)
+      val cb = graft.ops.Pq.trainCodebooks(base, "vec_id", "embedding", dimN)
+      val top = graft.ops.Ivf.topKIvfPq(idx, cb, "vec_id", "embedding", q,
+        k = 10, nProbe = 4, shortlist = 50)
+        .select(col("vec_id"))
+      val bf = Similarity.bruteForceTopK(base, "vec_id", "embedding", q, k = 50)
+        .withColumn("bf_rank", row_number().over(
+          Window.orderBy(col("cos_sim").desc, col("vec_id").asc)))
+        .select(col("vec_id"), col("bf_rank"))
+      val ivfOnly = graft.ops.Ivf.topK(idx, "vec_id", "embedding", q,
+        k = 10, nProbe = 4).select(col("vec_id").as("ivf_id"))
+      top.join(bf, Seq("vec_id"), "left")
+        .join(ivfOnly, col("vec_id") === col("ivf_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(when(col("bf_rank") <= 10, 1).otherwise(0)).as("h10"),
+          sum(when(col("bf_rank").isNotNull, 1).otherwise(0)).as("h50"),
+          sum(when(col("ivf_id").isNotNull, 1).otherwise(0)).as("ivf_agree"))
+        .select(lit(10).as("k"), col("n_results"),
+          (col("h10") >= 2).as("recall_ok"),
+          (col("h50") >= 5).as("top50_ok"),
+          (col("ivf_agree") >= 4).as("ivf_agree_ok"))
+    }),
+      Some("""SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results,
+             |  TRUE AS recall_ok, TRUE AS top50_ok, TRUE AS ivf_agree_ok"""
+        .stripMargin)),
+
     // ---------------------------------------- online z-score anomaly
     // The stateful streaming scorer (StreamingIngest.zscoreAlerts) in
     // BATCH mode: each event scores against the card's PRIOR amount

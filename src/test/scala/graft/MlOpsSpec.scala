@@ -31,6 +31,31 @@ class MlOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.9, s"IVF recall $recall, brute=$brute ivf=$ivf")
   }
 
+  test("IVF+PQ composed top-k keeps high recall on clustered data") {
+    val rnd = new scala.util.Random(11)
+    // well-separated blobs: PQ's GOOD case (structure to quantize), so
+    // the composed path should track brute force closely
+    def blob(center: Array[Float], n: Int, from: Int) =
+      (from until from + n).map(i => (i.toLong,
+        center.map(c => c + rnd.nextGaussian().toFloat * 0.05f)))
+    val data = blob(Array.fill(8)(1f), 60, 0) ++
+      blob(Array.fill(8)(-1f), 60, 100) ++
+      blob(Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f), 60, 200)
+    val embs = data.toDF("vec_id", "embedding")
+    val query = data.head._2.map(_.toDouble).toSeq
+
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = Ivf.build(embs, "vec_id", "embedding", nLists = 6)
+    val cb = graft.ops.Pq.trainCodebooks(embs, "vec_id", "embedding",
+      dim = 8, m = 4, k = 8)
+    val composed = Ivf.topKIvfPq(idx, cb, "vec_id", "embedding", query,
+      k = 10, nProbe = 2, shortlist = 30)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute intersect composed).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF+PQ recall $recall, brute=$brute got=$composed")
+  }
+
   test("persisted IVF index: identical top-k after reopen, probe prunes partitions") {
     val rnd = new scala.util.Random(7)
     val embs = (0 until 120).map(i => (i.toLong,
