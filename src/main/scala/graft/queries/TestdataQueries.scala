@@ -753,6 +753,101 @@ object TestdataQueries {
              |    AS gini_e6
              |FROM g""".stripMargin)),
 
+    // ------------------------------------- vocabulary OOV coverage
+    // Tokenizer-coverage audit: the corpus top-1000 tokens (count desc,
+    // token asc — binary collation in both engines) form the
+    // vocabulary; every doc reports its token count, out-of-vocabulary
+    // count, and e6 OOV rate. The vocab is a TakeOrdered over the
+    // token-count aggregate (never a global sort) and rides a broadcast
+    // join back over the exploded tokens — the shape that survives a
+    // 100 TB corpus because the vocabulary, not the corpus, is the
+    // broadcast side.
+    "x_vocab_oov" -> (((s: SparkSession, dir: String) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_e6",
+          floor(lit(1000000.0d) * col("n_oov") / col("n_tokens")).cast("long"))
+    }),
+      Some("""WITH splits AS (SELECT doc_id, string_split(text, ' ') AS l
+             |    FROM documents),
+             |toks AS (SELECT doc_id, unnest(l) AS tok FROM splits),
+             |nz AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+             |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt
+             |    FROM nz GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 1000)),
+             |j AS (SELECT nz.doc_id, nz.tok, v.tok AS vtok
+             |  FROM nz LEFT JOIN vocab v ON nz.tok = v.tok)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov,
+             |  CAST(floor(1000000.0 *
+             |    sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) / count(*))
+             |    AS BIGINT) AS oov_e6
+             |FROM j GROUP BY 1""".stripMargin)),
+
+    // --------------------------------- grouped Pearson correlation
+    // Per-nation correlation between a customer's balance (exact cents)
+    // and their order count. The six sufficient statistics are EXACT
+    // int64 sums — order-insensitive, so partitioning can't move the
+    // hash (a double Σx² would be summation-order-sensitive and break
+    // it; ANSI mode turns any future overflow into a loud error, and
+    // Σx² fits int64 to ~9M customers per nation). Only the DERIVED
+    // terms (covariance, variances, r) promote to double — n·Σxy-style
+    // products would overflow int64 at large SF — with the expression
+    // written identically on both sides: IEEE multiply/divide/sqrt are
+    // exactly rounded, so the e6 projection hash-matches.
+    "x_grouped_corr" -> (((s: SparkSession, dir: String) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        cents(col("c_acctbal")).as("x"))
+      val ord = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("y"))
+      val xy = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .select(col("nation"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      xy.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("corr_e6",
+          floor(lit(1000000.0d) * (nD * col("sxy") - sxD * col("sy")) /
+            (sqrt(nD * col("sxx") - sxD * col("sx")) *
+             sqrt(nD * col("syy") - syD * col("sy"))))
+            .cast("long"))
+        .select(col("nation"), col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy"), col("corr_e6"))
+    }),
+      Some("""WITH ord AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+             |    FROM orders GROUP BY 1),
+             |xy AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) AS x,
+             |    coalesce(y, 0) AS y
+             |  FROM customer LEFT JOIN ord ON c_custkey = o_custkey),
+             |g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM xy GROUP BY 1)
+             |SELECT nation, n, sx, sy, sxx, syy, sxy,
+             |  CAST(floor(1000000.0 *
+             |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             |    AS BIGINT) AS corr_e6
+             |FROM g""".stripMargin)),
+
     // -------------------------------------------------- A1 having count
     "a1_having_count" -> (((s: SparkSession, dir: String) =>
       t(s, dir, "orders").groupBy(col("o_custkey"))
