@@ -2155,6 +2155,77 @@ object TestdataQueries {
              |  round(cs, 4) AS cos_sim
              |FROM rk WHERE rk <= 3""".stripMargin)),
 
+    // --------------------------------- k-NN classification + confusion
+    // ML-evaluation surface: each vector's label is predicted by the
+    // majority vote of its k=5 LSH-bucketed nearest neighbours (vote
+    // count desc, label asc on ties) and compared against its true
+    // label — output is the confusion matrix. Fully value-level: DuckDB
+    // replays buckets, ranking, vote, and tie-break, so one flipped
+    // neighbour anywhere moves a matrix cell and fails the hash.
+    "x_knn_classify" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "embeddings")
+      val g = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, planes = 4)
+      val lbl = e.select(col("vec_id"), col("label").cast("long").as("lab"))
+      val votes = g.join(lbl.withColumnRenamed("vec_id", "dst_id")
+          .withColumnRenamed("lab", "nb_lab"), Seq("dst_id"))
+        .groupBy(col("src_id"), col("nb_lab"))
+        .agg(count(lit(1)).as("v"))
+      val w = Window.partitionBy(col("src_id"))
+        .orderBy(col("v").desc, col("nb_lab").asc)
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src_id").as("vec_id"), col("nb_lab").as("pred"))
+      pred.join(lbl, Seq("vec_id"))
+        .groupBy(col("lab").as("true_label"), col("pred").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |bk AS (SELECT vec_id, lab, v, ${bucketSql(4)} AS bucket FROM e),
+             |p AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id, b.lab AS nb_lab,
+             |    list_cosine_similarity(a.v, b.v) AS cs
+             |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY src_id
+             |    ORDER BY cs DESC, dst_id) AS rk FROM p),
+             |votes AS (SELECT src_id, nb_lab, CAST(count(*) AS BIGINT) AS v
+             |  FROM rk WHERE rk <= 5 GROUP BY 1, 2),
+             |pred AS (SELECT src_id, nb_lab AS pred FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY src_id
+             |      ORDER BY v DESC, nb_lab ASC) AS rn FROM votes)
+             |  WHERE rn = 1)
+             |SELECT e.lab AS true_label, pred.pred AS pred_label,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM pred JOIN e ON e.vec_id = pred.src_id
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------- half-life decayed aggregation
+    // Recency weighting without libm: a one-day half-life decay
+    // floor(cents·2²⁰ / 2^age) is EXACT integer arithmetic — powers of
+    // two are the only decay base whose weights an engine pair can
+    // agree on bit-for-bit (0.9^age via pow() is libm-dependent).
+    // One map-side-combined aggregate; the anchor is a fixed date so
+    // reruns are deterministic.
+    "x_decayed_sum" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        cents(col("value")).as("c"),
+        datediff(lit("2024-01-31").cast("date"), to_date(col("ts")))
+          .cast("long").as("age"))
+      ev.withColumn("dv",
+          expr("c * 1048576L div shiftleft(1L, cast(age as int))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("dv")).as("decayed_e20"),
+          sum(col("c")).as("raw_c"))
+    }),
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS c,
+             |    CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
+             |      AS BIGINT) AS age FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(c * 1048576 // (CAST(1 AS BIGINT) << age)) AS BIGINT)
+             |    AS decayed_e20,
+             |  CAST(sum(c) AS BIGINT) AS raw_c
+             |FROM ev GROUP BY 1""".stripMargin)),
+
     // ------------------------------------- random projection (JL) to 4-d
     // Similarity.randomProject: per-row dot products against the
     // deterministic Gaussian planes — no shuffle, no fit. DuckDB replays

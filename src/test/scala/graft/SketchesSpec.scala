@@ -45,6 +45,15 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert(total === 3L * 10000L)
   }
 
+  test("build aggregates partially map-side (bounded shuffle payload)") {
+    val data = (1 to 1000).map(_.toLong).toDF("k")
+    val plan = Sketches.countMinBuild(data, col("k"), depth = 3, width = 64)
+      .queryExecution.executedPlan.toString
+    // partial + final HashAggregate pair: each map partition ships at
+    // most depth*width cells, not its raw rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("absent key with empty cells estimates zero") {
     // single key occupies depth cells; with a wide sketch a distant key
     // almost surely probes empty cells -> 0 via the left-join coalesce

@@ -31,6 +31,16 @@ class TrianglesSpec extends AnyFunSuite with SparkTestSession {
     assert(Triangles.perVertexCounts(edges).count() === 0L)
   }
 
+  test("wedge and closing joins are equi-joins — no nested-loop fallback") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val plan = Triangles.perVertexCounts(edges)
+      .queryExecution.executedPlan.toString
+    // the inequality (dst < dst) must ride an equi-join on src as a
+    // post-condition, never degrade the join itself to a nested loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join in:\n$plan")
+  }
+
   test("cooccurrenceEdges: distinct-membership pairs, weight = shared groups") {
     val df = Seq(
       ("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 2L), // duplicate membership
