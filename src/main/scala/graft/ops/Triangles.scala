@@ -41,7 +41,13 @@ object Triangles {
     * with a < b (undirected, no duplicates). Returns (vertex, n_tri)
     * for vertices in at least one triangle. */
   def perVertexCounts(edges: DataFrame): DataFrame = {
+    // the edge list feeds FOUR subtrees (degrees, both wedge sides, the
+    // closing probe); an upstream generator — a co-occurrence self-join,
+    // a knn pipeline — would otherwise execute once per consumer. The
+    // eager localCheckpoint materializes it exactly once (the
+    // Dedup.components convention).
     val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint(true)
     // total degree per vertex — the orientation key
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -2832,21 +2832,34 @@ object TestdataQueries {
              |FROM d WHERE den <> 0""".stripMargin)),
 
     // ------------------------------------------- triangle counting
-    // Per-part triangle participation in the co-purchase graph (parts
-    // sharing an order). The Spark side orients edges low→high by
-    // (degree, id) so wedge enumeration is O(√m)-bounded per vertex —
-    // skew-safe without salting; the oracle counts the same triangles
-    // with the plain a<b three-way join (correctness, not scale).
+    // Per-vertex triangle participation in the undirected k-NN graph —
+    // the local-clustering signal of the embedding space. The edge set
+    // is BOUNDED-DEGREE by construction (≤ 2k per vertex), so wedge
+    // volume is O(k²·|V|): the graph choice, not just the (degree, id)
+    // orientation inside Triangles, is what keeps triangle counting
+    // linear at corpus scale. (The first cut ran on the co-purchase
+    // graph — avg degree ~120 at sf0.1, 72M wedges, 85 s; a dense
+    // co-occurrence graph needs a weight threshold BEFORE triangle
+    // counting.) Oracle: knn CTE → undirected edge distinct → plain
+    // three-way join.
     "x_triangles" -> (((s: SparkSession, dir: String) => {
       import graft.ops.Triangles
-      val edges = Triangles.cooccurrenceEdges(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+      val g = Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, planes = 4)
+      val edges = g.select(least(col("src_id"), col("dst_id")).as("a"),
+        greatest(col("src_id"), col("dst_id")).as("b")).distinct()
       Triangles.perVertexCounts(edges)
     }),
-      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |    FROM lineitem),
-             |e AS (SELECT a.p AS a, b.p AS b FROM op a
-             |  JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      Some(s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |    FROM embeddings),
+             |bk AS (SELECT vec_id, v, ${bucketSql(4)} AS bucket FROM e0),
+             |p AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             |    list_cosine_similarity(a.v, b.v) AS cs
+             |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY src_id
+             |    ORDER BY cs DESC, dst_id) AS rk FROM p),
+             |e AS (SELECT DISTINCT least(src_id, dst_id) AS a,
+             |    greatest(src_id, dst_id) AS b FROM rk WHERE rk <= 3),
              |tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y
              |  FROM e e1 JOIN e e2 ON e1.b = e2.a
              |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
@@ -2911,9 +2924,14 @@ object TestdataQueries {
         year(col("o_orderdate")).cast("string").as("y"))
       (1995 to 2001).foreach { yy =>
         val batch = o.filter(col("y") === yy.toString)
+        // one file per state partition: a batch's state is orders of
+        // magnitude smaller than its facts, and a single sorted file
+        // per batch is the at-rest shape merge-on-read wants (32
+        // shuffle-partition files per tiny batch was pure write/list
+        // overhead — measured 3x the whole query's cost at sf0.1)
         cat.appendPartitioned("agg_state",
           IncrementalAgg.partials(batch, Seq("o_custkey"), col("c"))
-            .withColumn("batch", lit(yy.toString)), "batch")
+            .withColumn("batch", lit(yy.toString)).coalesce(1), "batch")
       }
       val compacted = IncrementalAgg.compact(cat.read("agg_state"),
         Seq("o_custkey"), "batch", cutoff = "1999")
