@@ -353,6 +353,49 @@ final class TableCatalog(val spark: SparkSession, val root: String) {
     graft.ops.DataSkipping.prunedRead(spark, path(table), manifest, ranges)
   }
 
+  /** Targeted deletion from a partitioned table — the
+    * right-to-be-forgotten / takedown primitive a training-data
+    * warehouse needs: purge every row matching `cond` while rewriting
+    * ONLY the partitions that contain matches. One full scan finds the
+    * affected partition values (ships partition values, not rows, to
+    * the driver — partition-metadata scale); the survivors of those
+    * partitions are rewritten via dynamic partition overwrite;
+    * partitions the condition never touches keep their files
+    * byte-for-byte (TableCatalogSpec pins that via file mtimes).
+    * Dynamic overwrite cannot CLEAR a partition whose survivors are
+    * empty (no incoming rows → untouched), so fully-purged partitions
+    * are removed explicitly — without that step their rows would
+    * silently survive. Returns (affected, fullyRemoved) partition
+    * values. */
+  def deleteWhere(table: String, partCol: String,
+                  cond: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val full = read(table)
+    val affected = full.filter(cond).select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return (Nil, Nil)
+    // EAGER materialization: the survivors are about to overwrite the
+    // very files their plan reads from — a lazy write would race its
+    // own input (and Spark's self-overwrite guard would reject it).
+    // Affected partitions are a purge's working set, expected small
+    // next to the table.
+    val survivors = full
+      .filter(col(partCol).cast("string").isin(affected: _*))
+      .filter(!cond)
+      .localCheckpoint(true)
+    val survivorParts = survivors.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val gone = affected.filterNot(survivorParts)
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path(table))
+    gone.foreach { v =>
+      TableCatalog.deleteRecursively(Paths.get(s"${path(table)}/$partCol=$v"))
+    }
+    (affected, gone)
+  }
+
   /** Full-rewrite with atomic swap — the SCD2 dim "UPDATE" path
     * (SURVEY.md §7.4). The new content is materialized to `<table>.tmp`
     * first, so a mid-write failure leaves the current table intact; the

@@ -152,6 +152,28 @@ object TestdataQueries {
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 37 + c) % 998244353) * 4294967296))"
 
+  /** Cell-exact Count-Min replay over order custkeys (3×512, salted
+    * portable hashes) — shared by x_countmin and x_stream_countmin,
+    * whose persisted streaming state must equal the one-shot sketch. */
+  private lazy val countMinOracleSql: String =
+    s"""WITH src AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+       |d AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
+       |cells AS (SELECT i,
+       |    ${portableHashSql("'cm' || i || ':' || CAST(k AS VARCHAR)")} % 512
+       |      AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM src CROSS JOIN d GROUP BY 1, 2),
+       |exact AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1),
+       |top AS (SELECT * FROM exact ORDER BY n DESC, k LIMIT 20),
+       |probes AS (SELECT top.k, d.i,
+       |    ${portableHashSql("'cm' || d.i || ':' || CAST(top.k AS VARCHAR)")} % 512
+       |      AS bucket
+       |  FROM top CROSS JOIN d),
+       |est AS (SELECT p.k, min(coalesce(c.cnt, 0)) AS est FROM probes p
+       |  LEFT JOIN cells c ON c.i = p.i AND c.bucket = p.bucket GROUP BY 1)
+       |SELECT top.k, top.n, CAST(est.est AS BIGINT) AS est
+       |FROM top JOIN est ON top.k = est.k""".stripMargin
+
   /** The fixed-point PageRank oracle: `iterations` damped rounds in
     * chained CTEs over the e/nodes/deg/nn prelude, integer-exact (`//`
     * and the 85/100 damping replay ops.PageRank's int64 arithmetic
@@ -2888,23 +2910,76 @@ object TestdataQueries {
       top.join(est, top("k") === est("key"))
         .select(col("k"), col("n"), col("est"))
     }),
-      Some(s"""WITH src AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
-             |d AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
-             |cells AS (SELECT i,
-             |    ${portableHashSql("'cm' || i || ':' || CAST(k AS VARCHAR)")} % 512
-             |      AS bucket,
-             |    CAST(count(*) AS BIGINT) AS cnt
-             |  FROM src CROSS JOIN d GROUP BY 1, 2),
-             |exact AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1),
-             |top AS (SELECT * FROM exact ORDER BY n DESC, k LIMIT 20),
-             |probes AS (SELECT top.k, d.i,
-             |    ${portableHashSql("'cm' || d.i || ':' || CAST(top.k AS VARCHAR)")} % 512
-             |      AS bucket
-             |  FROM top CROSS JOIN d),
-             |est AS (SELECT p.k, min(coalesce(c.cnt, 0)) AS est FROM probes p
-             |  LEFT JOIN cells c ON c.i = p.i AND c.bucket = p.bucket GROUP BY 1)
-             |SELECT top.k, top.n, CAST(est.est AS BIGINT) AS est
-             |FROM top JOIN est ON top.k = est.k""".stripMargin)),
+      Some(countMinOracleSql)),
+
+    // ----------------------- streaming Count-Min maintenance under the gate
+    // The sketch absorbed from a STREAM: three micro-batches of order
+    // custkeys merge into the persisted state (cell sums add — the
+    // commutative-monoid property that makes sketches distributable),
+    // with the micro-batch id committed in the same atomic swap so a
+    // replayed batch is never double-counted. The final state must
+    // equal the one-shot sketch over all orders — the oracle is
+    // x_countmin's cell-exact replay, verbatim.
+    "x_stream_countmin" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ops.Sketches
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streamcm", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val src = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("k"),
+          col("o_orderkey").cast("long").as("ok"))
+      // bounded fixture feed (the x_stream_dedup convention): keys
+      // partitioned into three drops by order key
+      val keys = src.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val mem = MemoryStream[Long]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest.startSketchMaintenance(
+          cat, "cm_state", mem.toDF().toDF("k"), "k",
+          scratch.resolve("ckpt").toString, depth = 3, width = 512)
+        try (0 until 3).foreach { i =>
+          mem.addData(keys.collect { case (k, ok) if ok % 3 == i => k }
+            .toIndexedSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val state = cat.read("cm_state").select(col("row"), col("bucket"), col("cnt"))
+      val top = src.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("k").asc).limit(20)
+      val est = Sketches.countMinEstimate(state, top.select(col("k")),
+        col("k"), depth = 3, width = 512)
+      top.join(est, top("k") === est("key"))
+        .select(col("k"), col("n"), col("est"))
+    }),
+      Some(countMinOracleSql)),
+
+    // ------------------------------------ targeted deletion (GDPR purge)
+    // Right-to-be-forgotten through the real catalog: a year-partitioned
+    // fact copy of orders purges every row of the %13 customers —
+    // rewriting ONLY partitions that contain matches (untouched years
+    // keep their files byte-for-byte; TableCatalogSpec pins that via
+    // mtimes, plus the explicit clearing of fully-purged partitions
+    // that dynamic overwrite alone cannot do). Oracle: the surviving
+    // rows recomputed directly from orders.
+    "x_gdpr_delete" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val cat = new TableCatalog(s, scratchDir("graft_gdpr", dir).toString)
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      cat.appendPartitioned("fact_g", o, "y")
+      cat.deleteWhere("fact_g", "y", col("o_custkey") % 13 === 0)
+      cat.read("fact_g")
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+    }),
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_c
+             |FROM orders WHERE o_custkey % 13 <> 0
+             |GROUP BY 1""".stripMargin)),
 
     // ------------------------------- incremental aggregate maintenance
     // Materialized-view maintenance end to end in a scratch warehouse:

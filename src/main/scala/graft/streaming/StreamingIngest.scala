@@ -212,6 +212,49 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming Count-Min maintenance: a persisted sketch continuously
+    * absorbing a keyed stream. Sketches are commutative monoids — cell
+    * sums add — so merging per-batch sketches yields EXACTLY the
+    * one-shot sketch over everything ingested (x_stream_countmin pins
+    * that against the cell-exact DuckDB replay), and that mergeability
+    * is the whole reason sketches work in a distributed/streaming
+    * setting. Per batch: build the batch's own sketch (bounded at
+    * depth·width cells), sum it into the persisted state, and commit
+    * both the state and the micro-batch id in ONE atomic directory
+    * swap — a crash-replayed batch sees `applied_batch ≥ its id` and
+    * skips, so counts are never double-absorbed (counting is not
+    * idempotent; anti-join tricks don't apply — the marker must ride
+    * the same commit as the data, which the atomic swap provides). */
+  def startSketchMaintenance(cat: TableCatalog, table: String,
+                             stream: DataFrame, keyCol: String,
+                             checkpointDir: String,
+                             depth: Int = 3, width: Int = 512): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("row", IntegerType), StructField("bucket", LongType),
+          StructField("cnt", LongType), StructField("applied_batch", LongType)))
+        val cur = cat.readOrEmpty(table, schema)
+        val applied = cur.agg(max(col("applied_batch"))).head() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+        if (batchId > applied) {
+          val bs = graft.ops.Sketches.countMinBuild(batch, col(keyCol),
+            depth, width)
+          val merged = cur.select(col("row"), col("bucket"), col("cnt"))
+            .unionByName(bs)
+            .groupBy(col("row"), col("bucket"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .withColumn("applied_batch", lit(batchId))
+          // a sketch is KBs — one file, one atomic swap
+          cat.replaceAtomic(table, merged.coalesce(1))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Watermarked stream-stream interval join: each transaction pairs
     * with the same card's authorization events from the preceding
     * `windowSeconds` (auth_ts ∈ [trans_date − window, trans_date]) —

@@ -363,6 +363,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("sketch maintenance: merged micro-batch sketches equal the one-shot sketch; batch id rides the state") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val scratch = java.nio.file.Files.createTempDirectory("cmstream")
+    val cat = new graft.catalog.TableCatalog(spark, scratch.resolve("wh").toString)
+    val mem = MemoryStream[Long]
+    val q = StreamingIngest.startSketchMaintenance(cat, "cm",
+      mem.toDF().toDF("k"), "k", scratch.resolve("ckpt").toString,
+      depth = 2, width = 16)
+    val all = (1L to 40L) ++ (1L to 10L) ++ Seq.fill(25)(7L)
+    try {
+      all.grouped(30).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = cat.read("cm")
+    // commutative-monoid property: the streamed state IS the one-shot
+    // sketch over the concatenation of all batches
+    val oneShot = graft.ops.Sketches.countMinBuild(
+      all.toDF("k"), org.apache.spark.sql.functions.col("k"),
+      depth = 2, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = state.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === oneShot)
+    // the replay guard's marker committed with the data, at the last batch id
+    assert(state.select("applied_batch").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("stream-stream LEFT OUTER join: null row emits only after the watermark closes its window; batch mode identical") {
     implicit val sc = spark.sqlContext
     val txMem = MemoryStream[(String, String, Timestamp)]

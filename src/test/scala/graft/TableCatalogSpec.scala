@@ -235,4 +235,37 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert("PartitionFilters: \\[[^\\]]*effective_month".r.findFirstIn(plan).isDefined,
       s"archive month dirs not pruned:\n$plan")
   }
+
+  test("deleteWhere: partition-scoped purge, untouched files byte-identical, emptied partitions cleared") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("gdpr").toString
+    val cat = new TableCatalog(spark, root)
+    // p1: mixed; p2: ALL rows match (must be fully cleared); p3: untouched
+    val rows = Seq(
+      (1L, "keep", "p1"), (2L, "purge", "p1"),
+      (3L, "purge", "p2"), (4L, "purge", "p2"),
+      (5L, "keep", "p3"), (6L, "keep", "p3"))
+      .toDF("id", "tag", "p")
+    cat.appendPartitioned("t", rows, "p")
+    def mtimes(part: String): Map[String, Long] = {
+      val d = Paths.get(s"$root/t/p=$part")
+      if (!Files.exists(d)) Map.empty
+      else Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis).toMap
+    }
+    val p3Before = mtimes("p3")
+    Thread.sleep(5) // let any rewrite land a distinguishable mtime
+    val (affected, gone) = cat.deleteWhere("t", "p", col("tag") === "purge")
+    assert(affected.toSet === Set("p1", "p2") && gone === Seq("p2"))
+    assert(cat.read("t").collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      === Set((1L, "p1"), (5L, "p3"), (6L, "p3")))
+    // the untouched partition kept its exact files
+    assert(mtimes("p3") === p3Before)
+    // the fully-purged partition directory is gone (dynamic overwrite
+    // alone cannot clear it)
+    assert(!Files.exists(Paths.get(s"$root/t/p=p2")))
+    // no-op when nothing matches
+    assert(cat.deleteWhere("t", "p", col("tag") === "absent") === ((Nil, Nil)))
+  }
 }
