@@ -2954,6 +2954,107 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // ---------------------------------------- association rules
+    // Market-basket metrics over co-purchased part pairs (support ≥ 2
+    // orders): support/confidence/lift as e6 fixed point — pure IEEE
+    // divides over exact int64 counts, with the corpus size carried
+    // IN-PLAN (one-row aggregate broadcast by the cross join, not a
+    // driver-side collect). The pair generator is the per-group
+    // self-join bounded by basket size; everything downstream is keyed
+    // on items.
+    "x_assoc_rules" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.Triangles
+      val li = t(s, dir, "lineitem")
+      val op = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = Triangles.cooccurrenceEdges(li, "l_orderkey", "l_partkey",
+        minCount = 2L)
+      val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val tot = op.agg(countDistinct(col("o")).as("n_orders"))
+      edges
+        .join(cnt.select(col("p").as("a"), col("n").as("na")), Seq("a"))
+        .join(cnt.select(col("p").as("b"), col("n").as("nb")), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("w"), col("na"), col("nb"),
+          col("n_orders"),
+          floor(lit(1000000.0d) * col("w") / col("n_orders")).cast("long")
+            .as("support_e6"),
+          floor(lit(1000000.0d) * col("w") / col("na")).cast("long")
+            .as("conf_e6"),
+          floor(lit(1000000.0d) * col("w") * col("n_orders") /
+            (col("na") * col("nb"))).cast("long").as("lift_e6"))
+    }),
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |    FROM lineitem),
+             |e AS (SELECT a.p AS a, b.p AS b, CAST(count(*) AS BIGINT) AS w
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |c AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+             |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op)
+             |SELECT a, b, w, ca.n AS na, cb.n AS nb, n_orders,
+             |  CAST(floor(1000000.0 * w / n_orders) AS BIGINT) AS support_e6,
+             |  CAST(floor(1000000.0 * w / ca.n) AS BIGINT) AS conf_e6,
+             |  CAST(floor(1000000.0 * w * n_orders / (ca.n * cb.n)) AS BIGINT)
+             |    AS lift_e6
+             |FROM e JOIN c ca ON ca.p = e.a JOIN c cb ON cb.p = e.b
+             |CROSS JOIN tot""".stripMargin)),
+
+    // ---------------------------------------- schema-evolution read
+    // A table whose later batches grew a column: batch 1 writes
+    // (key, seg), batch 2 writes (key, seg, nation). mergeSchema
+    // reconciles the footers and null-fills the old rows — the
+    // evolution path a long-lived warehouse table needs (cheap here:
+    // schema union at planning time; at scale prefer an explicit
+    // migration for tables with thousands of files, since mergeSchema
+    // reads every footer). Oracle: the same union with NULLs.
+    "x_schema_evolution" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_schevo", dir)
+      val cust = t(s, dir, "customer")
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$scratch/t/b=1")
+      cust.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("nation"))
+        .write.mode("overwrite").parquet(s"$scratch/t/b=2")
+      s.read.option("mergeSchema", "true").parquet(s"$scratch/t")
+        .select(col("c_custkey"), col("c_mktsegment"), col("nation"))
+    }),
+      Some("""SELECT c_custkey, c_mktsegment, CAST(NULL AS BIGINT) AS nation
+             |FROM customer WHERE c_custkey % 2 = 0
+             |UNION ALL
+             |SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT)
+             |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)),
+
+    // ------------------------------------------------ GROUPING SETS
+    // The explicit grouping-sets lattice — (status, year), (status),
+    // () — with per-column grouping flags (portable across engines,
+    // unlike the bit-packed grouping_id whose bit order is
+    // engine-defined) distinguishing real NULL groups from aggregated
+    // ones. Completes the OLAP family beside x_rollup and x_cube.
+    "x_grouping_sets" -> (((s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        cents(col("o_totalprice")).as("c"))
+      o.groupingSets(
+          Seq(Seq(col("st"), col("y")), Seq(col("st")), Seq()),
+          col("st"), col("y"))
+        .agg(grouping(col("st")).cast("long").as("g_st"),
+          grouping(col("y")).cast("long").as("g_y"),
+          count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+        .select(col("st"), col("y"), col("g_st"), col("g_y"),
+          col("n"), col("sum_c"))
+    }),
+      Some("""SELECT o_orderstatus AS st, CAST(year(o_orderdate) AS BIGINT) AS y,
+             |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+             |  CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_y,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_c
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+             |  (o_orderstatus), ())""".stripMargin)),
+
     // ------------------------------------ targeted deletion (GDPR purge)
     // Right-to-be-forgotten through the real catalog: a year-partitioned
     // fact copy of orders purges every row of the %13 customers —
