@@ -2891,6 +2891,110 @@ object TestdataQueries {
              |  UNION ALL SELECT y FROM tri)
              |GROUP BY 1""".stripMargin)),
 
+    // ------------------------------------------- gaps and islands
+    // Consecutive-day activity streaks per user — the classic
+    // rn-difference trick: within a user's DISTINCT active days,
+    // day_number − row_number is constant exactly along a run of
+    // consecutive days, so one window plus one groupBy finds every
+    // island without self-joins or iteration. Output: streak count,
+    // longest streak, total active days.
+    "x_gaps_islands" -> (((s: SparkSession, dir: String) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val islands = days
+        .withColumn("grp", col("d") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"),
+          sum(col("len")).as("active_days"))
+    }),
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             |      AS BIGINT) AS d FROM events),
+             |g AS (SELECT user_id, d,
+             |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+             |  FROM days),
+             |islands AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+             |  CAST(max(len) AS BIGINT) AS max_streak,
+             |  CAST(sum(len) AS BIGINT) AS active_days
+             |FROM islands GROUP BY 1""".stripMargin)),
+
+    // ---------------------------------------- feature-store composite
+    // A per-user feature table assembled from four operator families in
+    // one job — the feature-engineering capstone beside the fraud (c9)
+    // and curation (x_curation_pipeline) composites: event volume +
+    // exact spend, type-diversity Gini, half-life decayed spend, and
+    // longest activity streak, joined on the entity key (every side is
+    // already one row per user, so the joins are co-partitioned by
+    // AQE). The oracle replays all four feature families in one SQL —
+    // drift in ANY feature moves its column and fails the hash.
+    "x_feature_store" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val base = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("spend_c"))
+      val gini = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("ni"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("ni")).as("n"), sum(col("ni") * col("ni")).as("ss"))
+        .select(col("user_id"),
+          floor(lit(1000000.0d) * (col("n") * col("n") - col("ss")) /
+            (col("n") * col("n"))).cast("long").as("gini_e6"))
+      val decayed = ev.select(col("user_id"), cents(col("value")).as("c"),
+          datediff(lit("2024-01-31").cast("date"), to_date(col("ts")))
+            .cast("long").as("age"))
+        .withColumn("dv",
+          expr("c * 1048576L div shiftleft(1L, cast(age as int))"))
+        .groupBy(col("user_id")).agg(sum(col("dv")).as("decayed_e20"))
+      val streak = {
+        val days = ev.select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("d")).distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        days.withColumn("grp", col("d") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+      }
+      base.join(gini, Seq("user_id"))
+        .join(decayed, Seq("user_id"))
+        .join(streak, Seq("user_id"))
+    }),
+      Some("""WITH base AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS spend_c
+             |  FROM events GROUP BY 1),
+             |tc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS ni
+             |  FROM events GROUP BY 1, 2),
+             |gini AS (SELECT user_id,
+             |    CAST(floor(1000000.0 * (sum(ni) * sum(ni) - sum(ni * ni)) /
+             |      (sum(ni) * sum(ni))) AS BIGINT) AS gini_e6
+             |  FROM tc GROUP BY 1),
+             |dec AS (SELECT user_id,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT) * 1048576 //
+             |      (CAST(1 AS BIGINT) << date_diff('day', CAST(ts AS DATE),
+             |        DATE '2024-01-31'))) AS BIGINT) AS decayed_e20
+             |  FROM events GROUP BY 1),
+             |days AS (SELECT DISTINCT user_id,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             |      AS BIGINT) AS d FROM events),
+             |isl AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+             |  FROM (SELECT user_id, d,
+             |      d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+             |    FROM days) GROUP BY user_id, grp),
+             |streak AS (SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+             |  FROM isl GROUP BY 1)
+             |SELECT base.user_id, n_events, spend_c, gini_e6, decayed_e20,
+             |  max_streak
+             |FROM base JOIN gini USING (user_id) JOIN dec USING (user_id)
+             |JOIN streak USING (user_id)""".stripMargin)),
+
     // ---------------------------------------------- Count-Min sketch
     // Sublinear frequency estimation: a 3×512 sketch built over order
     // custkeys in ONE bounded aggregation (map-side combine caps each
