@@ -2891,6 +2891,72 @@ object TestdataQueries {
              |  UNION ALL SELECT y FROM tri)
              |GROUP BY 1""".stripMargin)),
 
+    // ------------------------------- persisted HLL sketches (merge)
+    // The distinct-count sibling of x_stream_countmin's maintenance
+    // story: per-(type, day) HyperLogLog sketches are PERSISTED as
+    // binary state (KBs per cell — the incremental form: a new day adds
+    // one sketch row, never re-scans history), then merged across days
+    // for the full-range distinct estimate. Property oracle for the
+    // estimate (DataSketches internals aren't SQL-replayable) beside
+    // exact values the oracle recomputes: distinct days and exact
+    // distinct users. lgk=12 → ~1.6% relative error; the 5% bound
+    // leaves margin.
+    "x_hll_merge" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_hll", dir)
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(s"$scratch/sketches")
+      val merged = s.read.parquet(s"$scratch/sketches")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact") * lit(0.05d)).as("est_ok"))
+    }),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |  TRUE AS est_ok
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ------------------------------------------- IQR fence outliers
+    // The third robust-outlier family beside MAD (x_mad) and z-score
+    // (x_anomaly_zscore): Tukey fences at Q1/Q3 ± 1.5·IQR over exact
+    // cents — interpolated quartiles of int64s are exactly
+    // representable (quarters), so the fences and the counts they gate
+    // hash-match.
+    "x_outlier_iqr" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+      val q = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(c, 0.25)").as("q1"),
+          expr("percentile(c, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      ev.join(q, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"),
+          max(col("hi")).as("hi"),
+          sum(when(col("c") < col("lo") || col("c") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+    }),
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+             |q AS (SELECT event_type, quantile_cont(c, 0.25) AS q1,
+             |    quantile_cont(c, 0.75) AS q3 FROM e GROUP BY 1),
+             |f AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+             |    q3 + (q3 - q1) * 1.5 AS hi FROM q)
+             |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  min(lo) AS lo, max(hi) AS hi,
+             |  CAST(sum(CASE WHEN c < lo OR c > hi THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM e JOIN f USING (event_type) GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------- gaps and islands
     // Consecutive-day activity streaks per user — the classic
     // rn-difference trick: within a user's DISTINCT active days,
