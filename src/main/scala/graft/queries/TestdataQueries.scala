@@ -3124,6 +3124,24 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // ------------------------------------------------------ EXCEPT
+    // The set-difference completing the set-op family beside
+    // o4_intersect: customers active in 1995-Q1 who never returned that
+    // year — Spark plans EXCEPT as a distinct left-anti join, so the
+    // shuffle carries distinct keys only.
+    "x_except" -> (((s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+      val q1 = o.filter(month(col("o_orderdate")) <= 3).select(col("o_custkey"))
+      val rest = o.filter(month(col("o_orderdate")) > 3).select(col("o_custkey"))
+      q1.except(rest)
+    }),
+      Some("""SELECT o_custkey FROM orders
+             |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) <= 3
+             |EXCEPT
+             |SELECT o_custkey FROM orders
+             |WHERE year(o_orderdate) = 1995 AND month(o_orderdate) > 3"""
+        .stripMargin)),
+
     // ---------------------------------------- association rules
     // Market-basket metrics over co-purchased part pairs (support ≥ 2
     // orders): support/confidence/lift as e6 fixed point — pure IEEE
