@@ -3124,6 +3124,56 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // ------------------------------------------- JSON-lines source
+    // The third file format on the source surface (CSV, Excel, …): the
+    // engine writes documents as JSONL and reads them back through an
+    // explicit schema; DuckDB parses the SAME file with read_json, so
+    // the gate covers the round trip through the actual bytes — a
+    // serializer/parser drift on either side fails the hash. Schema-on-
+    // read with an explicit StructType: inference would cost an extra
+    // pass at scale and can mis-type sparse columns.
+    "x_jsonl_source" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_jsonl", dir)
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").json(s"$scratch/docs")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(s"$scratch/docs")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+      Some(s"""SELECT doc_id, lang, n_chars
+             |FROM read_json('${sys.props("java.io.tmpdir")}/graft_jsonl_${SfTokenPlaceholder}/docs/*.json',
+             |  columns = {'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+             |    'n_chars': 'BIGINT'})""".stripMargin)),
+
+    // ------------------------------------------------ ORC round trip
+    // Columnar-format interop: the customer table written as
+    // segment-partitioned ORC and read back through partition
+    // discovery, aggregated per segment. DuckDB cannot read ORC, so
+    // the oracle recomputes from the source table — the round trip
+    // (write, partition discovery, scan, agg) is what's under test.
+    "x_orc_roundtrip" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_orc", dir)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("bal_c"),
+          col("c_mktsegment"))
+        .write.mode("overwrite").partitionBy("c_mktsegment")
+        .orc(s"$scratch/cust")
+      s.read.orc(s"$scratch/cust")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_bal_c"))
+    }),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_bal_c
+             |FROM customer GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------------------ EXCEPT
     // The set-difference completing the set-op family beside
     // o4_intersect: customers active in 1995-Q1 who never returned that
