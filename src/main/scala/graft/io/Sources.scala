@@ -57,6 +57,45 @@ object Sources {
         col("oper_result"),
         col("terminal"))
 
+  /** Parse-time quarantine: [[readTransactionsCsv]] with PERMISSIVE
+    * corrupt-record capture. A malformed line (wrong field count,
+    * unparseable timestamp) must neither kill the load (FAILFAST) nor
+    * silently turn into nulls (plain PERMISSIVE): it lands in the
+    * quarantine frame with its raw text for reprocessing, the standard
+    * ingest discipline for an unattended daily feed. Returns
+    * (good, quarantined-raw-lines). One scan serves both — the split is
+    * a filter on the corrupt-record column, not a second parse. Spark
+    * requires the corrupt column's rows to be cached or re-parsed on
+    * access from the same pass (SPARK-21610), hence the eager split on
+    * a persisted parse. */
+  def readTransactionsCsvQuarantined(spark: SparkSession,
+                                     path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = StructType(
+      Schemas.rawTransactionsCsv.fields :+ StructField("_corrupt_record", StringType))
+    val parsed = spark.read
+      .option("sep", ";")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .persist()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .select(
+        col("transaction_id").as("trans_id"),
+        col("transaction_date").as("trans_date"),
+        col("card_num"),
+        col("oper_type"),
+        regexp_replace(col("amount"), ",", ".")
+          .cast(DecimalType(18, 2)).as("amt"),
+        col("oper_result"),
+        col("terminal"))
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
+
   /** S3/S4 — the reference reads xlsx via pandas (main.py:98, 111). There
     * is no Spark Excel datasource in this offline build, so tabular drops
     * plug in through this adapter seam; the engine-native implementation

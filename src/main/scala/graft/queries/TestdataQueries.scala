@@ -3124,6 +3124,50 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // -------------------------------------- parse-time quarantine
+    // Ingest discipline for an unattended feed: every 7th fixture row
+    // carries an unparseable timestamp; PERMISSIVE + corrupt-record
+    // capture must route exactly those rows (with their raw text) to
+    // quarantine while the rest load normally — one scan serves both
+    // outputs. Amounts are written as exact comma-cents so the good
+    // side's sum is the standard `cents` the oracle recomputes from
+    // the source rows; the corruption rule (id % 7) is replayed by the
+    // oracle, so a swallowed or over-quarantined row moves a count.
+    "x_quarantine" -> (((s: SparkSession, dir: String) => {
+      val file = scratchDir("graft_quar", dir).resolve("transactions_03012024.txt")
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      val lines = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("event_id")).limit(2000).collect().map { r =>
+          val c = math.floor(r.getDouble(3) * 100).toLong
+          val amt = s"${c / 100},${"%02d".format(c % 100)}"
+          val ts = if (r.getLong(0) % 7 == 0) "NOT-A-TIMESTAMP"
+                   else fmt.format(r.getTimestamp(1).toInstant)
+          s"TX${r.getLong(0)};$ts;C${r.getLong(2)};purchase;$amt;OK;T1"
+        }
+      java.nio.file.Files.write(file, java.util.Arrays.asList(
+        ("transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal"
+          +: lines.toSeq): _*))
+      val (good, bad) = graft.io.Sources.readTransactionsCsvQuarantined(
+        s, file.toString)
+      good.agg(count(lit(1)).as("n"),
+          sum((col("amt") * 100).cast("long")).as("amt_c"))
+        .select(lit("good").as("kind"), col("n"), col("amt_c"))
+        .unionByName(bad.agg(count(lit(1)).as("n"))
+          .select(lit("quarantined").as("kind"), col("n"),
+            lit(null).cast("long").as("amt_c")))
+    }),
+      Some("""WITH src AS (SELECT event_id, value FROM events
+             |  ORDER BY event_id LIMIT 2000)
+             |SELECT 'good' AS kind, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS amt_c
+             |FROM src WHERE event_id % 7 <> 0
+             |UNION ALL
+             |SELECT 'quarantined', CAST(count(*) AS BIGINT),
+             |  CAST(NULL AS BIGINT)
+             |FROM src WHERE event_id % 7 = 0""".stripMargin)),
+
     // ------------------------------------------- JSON-lines source
     // The third file format on the source surface (CSV, Excel, …): the
     // engine writes documents as JSONL and reads them back through an

@@ -32,6 +32,28 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(df.filter("trans_date = timestamp '2021-01-01 09:00:00'").count() === 1)
   }
 
+  test("quarantine reader: corrupt rows carry raw text, good rows parse; edge inputs") {
+    val dir = Files.createTempDirectory("graft-quar")
+    val f = dir.resolve("transactions_01012021.txt")
+    Files.write(f, java.util.Arrays.asList(
+      "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal",
+      "T1;2021-01-01 09:00:00;C1;PAY;12,50;OK;TERM1",
+      "T2;NOT-A-TIMESTAMP;C2;PAY;1,00;OK;TERM1",   // bad timestamp → quarantine
+      "T3;2021-01-01 10:00:00;C3;PAY;7,00;OK;TERM2"))
+    val (good, bad) = Sources.readTransactionsCsvQuarantined(spark, f.toString)
+    assert(good.collect().map(_.getString(0)).sorted.toSeq === Seq("T1", "T3"))
+    // the quarantined row keeps its ORIGINAL raw text for reprocessing
+    val raw = bad.collect().map(_.getString(0))
+    assert(raw.length === 1 && raw.head.startsWith("T2;NOT-A-TIMESTAMP"))
+    // clean input → empty quarantine; fully-broken input → empty good side
+    val clean = dir.resolve("clean.txt")
+    Files.write(clean, java.util.Arrays.asList(
+      "transaction_id;transaction_date;card_num;oper_type;amount;oper_result;terminal",
+      "T9;2021-01-01 09:00:00;C9;PAY;1,00;OK;TERM1"))
+    val (g2, b2) = Sources.readTransactionsCsvQuarantined(spark, clean.toString)
+    assert(g2.count() === 1 && b2.count() === 0)
+  }
+
   test("S9: archiver moves only the date's files, creates archive/ defensively") {
     val dir = Files.createTempDirectory("graft-arch")
     Seq("transactions_01012021.txt", "transactions_02012021.txt", "readme.md")
