@@ -3124,6 +3124,92 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // ------------------------------- first/last_value frame semantics
+    // The window family's classic pitfall, pinned explicitly: with the
+    // DEFAULT frame (range unbounded-preceding → current-row),
+    // last_value is just the current row; the useful "per-partition
+    // last" needs the full-frame override. Both engines replay both
+    // frames, plus nth_value on the full frame — each customer's
+    // first/second/latest order keys by date.
+    "x_first_last" -> (((s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"))
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(ord).as("first_default"),
+          last(col("o_orderkey")).over(ord).as("last_default"),
+          last(col("o_orderkey")).over(full).as("last_full"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_full"))
+    }),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  first_value(o_orderkey) OVER w AS first_default,
+             |  last_value(o_orderkey) OVER w AS last_default,
+             |  last_value(o_orderkey) OVER wf AS last_full,
+             |  nth_value(o_orderkey, 2) OVER wf AS second_full
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate ASC, o_orderkey ASC),
+             |  wf AS (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate ASC, o_orderkey ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin)),
+
+    // --------------------------------------- Levenshtein distances
+    // String-similarity scoring with the BUILT-IN edit distance both
+    // engines implement identically over unicode code points —
+    // complementing FuzzyJoin's deletion-neighborhood candidate
+    // generation (which avoids computing this on all pairs) with the
+    // direct metric itself: each customer name against its +1000
+    // neighbor, distance histogram.
+    "x_levenshtein" -> (((s: SparkSession, dir: String) => {
+      val d16 = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("p"))
+      val a = d16.alias("a"); val b = d16.alias("b")
+      a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(levenshtein(col("a.p"), col("b.p")).as("d"))
+        .groupBy(col("d").cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+    }),
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 16) AS p FROM documents)
+             |SELECT CAST(levenshtein(a.p, b.p) AS BIGINT) AS d,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM p a JOIN p b ON a.doc_id + 1 = b.doc_id
+             |GROUP BY 1""".stripMargin)),
+
+    // ----------------------------------------- ANSI try_* arithmetic
+    // ANSI mode is ON (Spark 4 default): bare division by zero or an
+    // overflowing cast THROWS. try_divide/try_cast are the sanctioned
+    // null-on-error escape hatches — pinned against DuckDB's
+    // NULLIF/TRY_CAST equivalents on a real zero-denominator case
+    // (customers with no 1996 orders) and an out-of-range cast.
+    "x_try_arith" -> (((s: SparkSession, dir: String) => {
+      val o = t(s, dir, "orders")
+      val per = o.groupBy(col("o_custkey"))
+        .agg(sum(when(year(col("o_orderdate")) === 1995, cents(col("o_totalprice")))
+            .otherwise(0L)).as("c95"),
+          sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("n96"))
+      // multiplier chosen so the int64 product is safe (ANSI would
+      // throw on a long overflow BEFORE try_cast could catch it) while
+      // any non-zero value still overflows int32 → NULL
+      per.select(col("o_custkey"), col("c95"), col("n96"),
+        try_divide(col("c95"), col("n96")).as("per96"),
+        expr("try_cast(c95 * 1000L as int)").as("overflow_int"))
+    }),
+      Some("""WITH per AS (SELECT o_custkey,
+             |    CAST(sum(CASE WHEN year(o_orderdate) = 1995
+             |      THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS c95,
+             |    CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n96
+             |  FROM orders GROUP BY 1)
+             |SELECT o_custkey, c95, n96,
+             |  CAST(c95 AS DOUBLE) / NULLIF(n96, 0) AS per96,
+             |  TRY_CAST(c95 * 1000 AS INTEGER) AS overflow_int
+             |FROM per""".stripMargin)),
+
     // -------------------------------------- parse-time quarantine
     // Ingest discipline for an unattended feed: every 7th fixture row
     // carries an unparseable timestamp; PERMISSIVE + corrupt-record
