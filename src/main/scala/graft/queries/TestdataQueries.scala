@@ -3124,6 +3124,43 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // --------------------------------- peak concurrency (sweep line)
+    // Max simultaneous open intervals per user — each event opens a
+    // 5-minute presence window; the sweep turns intervals into ±1
+    // boundary events and a running sum per user, whose max is the
+    // peak. One union, one window, one aggregate: no interval
+    // self-join, so cost is O(n log n) by partition instead of the
+    // O(n²) pairwise-overlap formulation. Boundary order pins
+    // END-BEFORE-START at the same instant (a window closing exactly
+    // when another opens does not overlap it) via the delta sort key.
+    "x_concurrency" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("s"))
+        .withColumn("e", col("s") + 300L)
+      val bounds = ev.select(col("user_id"), col("s").as("at"), lit(1L).as("delta"))
+        .unionByName(ev.select(col("user_id"), col("e").as("at"),
+          lit(-1L).as("delta")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("at").asc, col("delta").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("open", sum(col("delta")).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("open")).as("peak"), count(lit(1)).as("n_bounds"))
+    }),
+      Some("""WITH ev AS (SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+             |b AS (SELECT user_id, s AS at, CAST(1 AS BIGINT) AS delta FROM ev
+             |  UNION ALL
+             |  SELECT user_id, s + 300, CAST(-1 AS BIGINT) FROM ev),
+             |r AS (SELECT user_id,
+             |    CAST(sum(delta) OVER (PARTITION BY user_id
+             |      ORDER BY at ASC, delta ASC ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS open
+             |  FROM b)
+             |SELECT user_id, CAST(max(open) AS BIGINT) AS peak,
+             |  CAST(count(*) AS BIGINT) AS n_bounds
+             |FROM r GROUP BY 1""".stripMargin)),
+
     // ------------------------------- first/last_value frame semantics
     // The window family's classic pitfall, pinned explicitly: with the
     // DEFAULT frame (range unbounded-preceding → current-row),
