@@ -3124,6 +3124,45 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // ----------------------------------------- raw-SQL entry path
+    // The engine's ANSI SQL front door — reference users write SQL, so
+    // one registry query runs END TO END through spark.sql over temp
+    // views (TPC-H Q3 shape: segment-filtered customers × orders ×
+    // lineitem, grouped revenue, top-10). The oracle is near-verbatim
+    // the same SQL: the point is that the text itself is portable.
+    // Catalyst treats the parsed plan identically to the DataFrame
+    // form — filters push to the scans, dims broadcast.
+    "x_sql_api" -> (((s: SparkSession, dir: String) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+          CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+            AS BIGINT)) AS BIGINT) AS revenue_c,
+          CAST(o_orderdate AS DATE) AS odate
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue_c DESC, l_orderkey ASC
+        LIMIT 10""")
+    }),
+      Some("""SELECT l_orderkey,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS revenue_c,
+             |  CAST(o_orderdate AS DATE) AS odate
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue_c DESC, l_orderkey ASC
+             |LIMIT 10""".stripMargin)),
+
     // --------------------------------- peak concurrency (sweep line)
     // Max simultaneous open intervals per user — each event opens a
     // 5-minute presence window; the sweep turns intervals into ±1
