@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact weighted median at scale. The textbook formulation — one
+  * running-sum window over every distinct value of a group — puts a
+  * group's ENTIRE value domain through one task: with a handful of
+  * groups and billions of distinct values that single-reducer window is
+  * the query. This implementation finds the same exact crossover in two
+  * bounded phases:
+  *
+  *   1. bucket the value domain (≤ `buckets` fixed-width ranges per
+  *      group, derived from the group's min/max — a tiny broadcast
+  *      aggregate) and run the crossing search over per-bucket weight
+  *      sums: the window touches ≤ `buckets` rows per group;
+  *   2. re-scan ONLY the crossing bucket's values (≈ domain/`buckets`
+  *      of the distinct values), offset by the weight mass before it,
+  *      and find the exact value where 2·cum ≥ total.
+  *
+  * Both windows are bounded regardless of corpus size; the heavy
+  * structure — the per-(group, value) pre-aggregation — is a plain
+  * map-side-combined shuffle that any exact algorithm needs anyway.
+  * Semantics identical to the one-window form (lower weighted median:
+  * smallest v with 2·cumw(v) ≥ totw), which the spec pins by equality
+  * on random inputs and the oracle pins value-level.
+  */
+object WeightedQuantile {
+
+  /** (group, wmedian_c, total_w) — exact lower weighted median of
+    * `valueCol` (integral) weighted by `weightCol` per `groupCol`. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    // the exact per-(g, v) weights — the unavoidable shuffle. It feeds
+    // THREE subtrees (bounds, the bucket histogram, the phase-2 probe);
+    // the eager checkpoint materializes the raw-data aggregation once
+    // (the Dedup.components convention — measured 3× end-to-end
+    // without it).
+    val pv = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
+      .localCheckpoint(true)
+    // per-group domain bounds and totals: tiny, broadcast back
+    val bounds = pv.groupBy(col("g"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(col("vw")).as("tw"))
+    // fixed bucket width ≥ 1; bucket id ≤ `buckets`
+    // integer `div`, not `/`: double division would round bucket edges
+    // for domains past 2^53 and could misplace edge values into a
+    // neighbouring bucket, breaking the crossing search's monotonicity
+    val withB = pv.join(broadcast(bounds), Seq("g"))
+      .withColumn("bw",
+        greatest(lit(1L), expr(s"(vmax - vmin) div ${buckets}L + 1L")))
+      .withColumn("bkt", expr("(v - vmin) div bw"))
+    // phase 1: crossing bucket per group (window over ≤ buckets rows)
+    val perBucket = withB.groupBy(col("g"), col("bkt"))
+      .agg(sum(col("vw")).as("bw_sum"))
+    val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumB = perBucket
+      .withColumn("cum", sum(col("bw_sum")).over(wb))
+      .withColumn("before", col("cum") - col("bw_sum"))
+      .join(broadcast(bounds.select(col("g"), col("tw"))), Seq("g"))
+    // renamed keys break the shared lineage (cumB → crossing is a
+    // self-join Spark would otherwise reject as ambiguous)
+    val crossing = cumB.filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(col("bkt")).as("target_bkt"))
+      .select(col("g").as("gc"), col("target_bkt"))
+    val offset = cumB.join(crossing,
+        col("g") === col("gc") && col("bkt") === col("target_bkt"))
+      .select(col("g").as("go"), col("target_bkt").as("tb"),
+        col("before"), col("tw").as("tw2"))
+    // phase 2: exact crossover inside the one crossing bucket
+    val wv = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(offset, col("g") === col("go") && col("bkt") === col("tb"))
+      .withColumn("cum_in", sum(col("vw")).over(wv))
+      .filter((col("before") + col("cum_in")) * 2 >= col("tw2"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("wmedian_c"), max(col("tw2")).as("total_w"))
+  }
+}

@@ -152,6 +152,24 @@ object TestdataQueries {
       s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 37 + c) % 998244353) * 4294967296))"
 
+  /** Exact lower-weighted-median crossover per return flag — shared by
+    * the direct (x_weighted_median) and bucketed
+    * (x_weighted_median_bucketed) formulations, which must agree. */
+  private lazy val weightedMedianOracleSql: String =
+    """WITH li AS (SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      |pv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS vw
+      |  FROM li GROUP BY 1, 2),
+      |cum AS (SELECT g, v,
+      |    CAST(sum(vw) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+      |    CAST(sum(vw) OVER (PARTITION BY g) AS BIGINT) AS tw
+      |  FROM pv)
+      |SELECT g, CAST(min(v) AS BIGINT) AS wmedian_c,
+      |  CAST(max(tw) AS BIGINT) AS total_w
+      |FROM cum WHERE cw * 2 >= tw GROUP BY 1""".stripMargin
+
   /** Cell-exact Count-Min replay over order custkeys (3×512, salted
     * portable hashes) — shared by x_countmin and x_stream_countmin,
     * whose persisted streaming state must equal the one-shot sketch. */
@@ -714,10 +732,11 @@ object TestdataQueries {
     // ------------------------------------------------ weighted median
     // Lower weighted median of line price (exact cents) weighted by
     // quantity, per return flag: the smallest value whose cumulative
-    // weight reaches half the total. Pre-aggregating per distinct value
-    // bounds the window input at |distinct values| and the comparison
-    // `2·cumw ≥ totw` stays in exact integers — no interpolation, no
-    // doubles, so the hash pins the exact crossover row.
+    // weight reaches half the total. This is the DIRECT one-window
+    // form — right while a group's distinct values fit one task (they
+    // do here by orders of magnitude); its scale sibling below finds
+    // the identical crossover with bounded windows. Same j3 direct/
+    // bucketed pairing. Exact integers throughout.
     "x_weighted_median" -> (((s: SparkSession, dir: String) => {
       val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
         cents(col("l_extendedprice")).as("v"),
@@ -732,19 +751,26 @@ object TestdataQueries {
         .groupBy(col("g"))
         .agg(min(col("v")).as("wmedian_c"), max(col("tw")).as("total_w"))
     }),
-      Some("""WITH li AS (SELECT l_returnflag AS g,
-             |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
-             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
-             |pv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS vw
-             |  FROM li GROUP BY 1, 2),
-             |cum AS (SELECT g, v,
-             |    CAST(sum(vw) OVER (PARTITION BY g ORDER BY v
-             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
-             |    CAST(sum(vw) OVER (PARTITION BY g) AS BIGINT) AS tw
-             |  FROM pv)
-             |SELECT g, CAST(min(v) AS BIGINT) AS wmedian_c,
-             |  CAST(max(tw) AS BIGINT) AS total_w
-             |FROM cum WHERE cw * 2 >= tw GROUP BY 1""".stripMargin)),
+      Some(weightedMedianOracleSql)),
+
+    // --------------------------------- weighted median (scale path)
+    // The SAME exact crossover via ops.WeightedQuantile's two-phase
+    // bucketed search: the direct form above puts a group's ENTIRE
+    // distinct-value domain through one window task (3 return flags →
+    // 3 reducers no matter the corpus size); here the windows are
+    // bounded at 4096 bucket rows (phase 1) plus one bucket's values
+    // (phase 2), so the operator survives groups whose value domains
+    // exceed a task. Locally the extra stages cost ~2× the direct form
+    // (SCALE.md) — the classic constant-vs-asymptotics trade the j3
+    // direct/bucketed pair also documents. Identical oracle: both
+    // formulations must land on the same row.
+    "x_weighted_median_bucketed" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      graft.ops.WeightedQuantile.weightedMedian(li, "g", "v", "w")
+    }),
+      Some(weightedMedianOracleSql)),
 
     // --------------------------------------- Gini diversity (rational)
     // Per-user event-type diversity: gini = 1 − Σ(nᵢ/n)² computed as

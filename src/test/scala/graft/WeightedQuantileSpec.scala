@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.WeightedQuantile
+
+/** The bucketed two-phase weighted median must equal the one-window
+  * textbook form on any input — including bucket-edge values, single-
+  * value groups, and tiny bucket counts that force multi-value
+  * buckets. */
+class WeightedQuantileSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] = {
+    val pv = df.groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pv.withColumn("cw", sum(col("vw")).over(wcum))
+      .withColumn("tw", sum(col("vw")).over(Window.partitionBy(col("g"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("m"), max(col("tw")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  private def bucketed(df: org.apache.spark.sql.DataFrame, buckets: Int) =
+    WeightedQuantile.weightedMedian(df, "g", "v", "w", buckets)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hand cases: even/odd mass, ties, single value, negative values") {
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),          // odd → 2
+      ("b", 10L, 5L), ("b", 20L, 5L),                       // tie → lower (10)
+      ("c", 7L, 100L),                                      // single value
+      ("d", -5L, 3L), ("d", 0L, 1L), ("d", 5L, 1L))         // negative domain → -5
+      .toDF("g", "v", "w")
+    val expect = Map("a" -> ((2L, 3L)), "b" -> ((10L, 10L)),
+      "c" -> ((7L, 100L)), "d" -> ((-5L, 5L)))
+    assert(bucketed(df, 4096) === expect)
+    assert(bucketed(df, 2) === expect) // multi-value buckets
+    assert(naive(df) === expect)
+  }
+
+  test("equals the one-window form on random inputs at several bucket counts") {
+    val gen = Gen.listOfN(200, for {
+      g <- Gen.oneOf("x", "y", "z")
+      v <- Gen.choose(-10000L, 10000L)
+      w <- Gen.choose(1L, 50L)
+    } yield (g, v, w))
+    (1 to 4).foreach { i =>
+      val rows = gen(Gen.Parameters.default, Seed(700L + i))
+        .getOrElse(fail("gen failed"))
+      val df = rows.toDF("g", "v", "w")
+      val reference = naive(df)
+      Seq(2, 7, 64, 4096).foreach { b =>
+        assert(bucketed(df, b) === reference, s"iteration $i buckets=$b")
+      }
+    }
+  }
+}
