@@ -31,8 +31,21 @@ object WeightedQuantile {
   /** (group, wmedian_c, total_w) — exact lower weighted median of
     * `valueCol` (integral) weighted by `weightCol` per `groupCol`. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-                     weightCol: String, buckets: Int = 4096): DataFrame = {
+                     weightCol: String, buckets: Int = 4096): DataFrame =
+    weightedQuantile(df, groupCol, valueCol, weightCol, 1L, 2L, buckets)
+      .withColumnRenamed("wquantile_c", "wmedian_c")
+
+  /** Exact lower weighted quantile at the RATIONAL position
+    * `qNum/qDen` (e.g. 1/2 = median, 9/10 = p90): the smallest v with
+    * qDen·cumw(v) ≥ qNum·totw — the comparison stays in exact int64,
+    * so any engine lands on the same row (a floating q would make the
+    * crossover row rounding-dependent). Same bounded two-phase search
+    * as the median. */
+  def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String, qNum: Long, qDen: Long,
+                       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    require(qNum >= 0 && qDen > 0 && qNum <= qDen, s"bad quantile $qNum/$qDen")
     // the exact per-(g, v) weights — the unavoidable shuffle. It feeds
     // THREE subtrees (bounds, the bucket histogram, the phase-2 probe);
     // the eager checkpoint materializes the raw-data aggregation once
@@ -65,7 +78,7 @@ object WeightedQuantile {
       .join(broadcast(bounds.select(col("g"), col("tw"))), Seq("g"))
     // renamed keys break the shared lineage (cumB → crossing is a
     // self-join Spark would otherwise reject as ambiguous)
-    val crossing = cumB.filter(col("cum") * 2 >= col("tw"))
+    val crossing = cumB.filter(col("cum") * qDen >= col("tw") * qNum)
       .groupBy(col("g"))
       .agg(min(col("bkt")).as("target_bkt"))
       .select(col("g").as("gc"), col("target_bkt"))
@@ -78,8 +91,8 @@ object WeightedQuantile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(offset, col("g") === col("go") && col("bkt") === col("tb"))
       .withColumn("cum_in", sum(col("vw")).over(wv))
-      .filter((col("before") + col("cum_in")) * 2 >= col("tw2"))
+      .filter((col("before") + col("cum_in")) * qDen >= col("tw2") * qNum)
       .groupBy(col("g"))
-      .agg(min(col("v")).as("wmedian_c"), max(col("tw2")).as("total_w"))
+      .agg(min(col("v")).as("wquantile_c"), max(col("tw2")).as("total_w"))
   }
 }

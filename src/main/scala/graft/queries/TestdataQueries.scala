@@ -772,6 +772,32 @@ object TestdataQueries {
     }),
       Some(weightedMedianOracleSql)),
 
+    // ------------------------------ weighted p90 (rational quantile)
+    // The general form at 9/10: the crossover rule qDen·cumw ≥
+    // qNum·totw stays in exact int64 (a floating 0.9 would make the
+    // crossover row rounding-dependent at mass boundaries), replayed
+    // verbatim by the oracle.
+    "x_weighted_p90" -> (((s: SparkSession, dir: String) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        cents(col("l_extendedprice")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      graft.ops.WeightedQuantile.weightedQuantile(li, "g", "v", "w",
+        qNum = 9L, qDen = 10L)
+    }),
+      Some("""WITH li AS (SELECT l_returnflag AS g,
+             |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |pv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS vw
+             |  FROM li GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |    CAST(sum(vw) OVER (PARTITION BY g ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             |    CAST(sum(vw) OVER (PARTITION BY g) AS BIGINT) AS tw
+             |  FROM pv)
+             |SELECT g, CAST(min(v) AS BIGINT) AS wquantile_c,
+             |  CAST(max(tw) AS BIGINT) AS total_w
+             |FROM cum WHERE cw * 10 >= tw * 9 GROUP BY 1""".stripMargin)),
+
     // --------------------------------------- Gini diversity (rational)
     // Per-user event-type diversity: gini = 1 − Σ(nᵢ/n)² computed as
     // the rational (n² − Σnᵢ²)/n² — numerator and denominator are exact

@@ -44,6 +44,18 @@ class WeightedQuantileSpec extends AnyFunSuite with SparkTestSession {
     assert(naive(df) === expect)
   }
 
+  test("rational quantiles: p90 crossover, q=0 → min, q=1 → max") {
+    val df = Seq(("a", 1L, 9L), ("a", 2L, 80L), ("a", 3L, 10L), ("a", 9L, 1L))
+      .toDF("g", "v", "w") // tot=100; cum: 9, 89, 99, 100
+    def q(n: Long, d: Long) =
+      WeightedQuantile.weightedQuantile(df, "g", "v", "w", n, d)
+        .head().getLong(1)
+    assert(q(9, 10) === 3L)  // smallest v with 10*cum >= 9*100 → cum 99 at v=3
+    assert(q(89, 100) === 2L) // exact boundary: 100*89 >= 89*100 at v=2
+    assert(q(0, 1) === 1L)
+    assert(q(1, 1) === 9L)
+  }
+
   test("equals the one-window form on random inputs at several bucket counts") {
     val gen = Gen.listOfN(200, for {
       g <- Gen.oneOf("x", "y", "z")
