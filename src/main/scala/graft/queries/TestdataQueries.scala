@@ -3176,6 +3176,58 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // ----------------------------------- exact AUC (Mann–Whitney)
+    // The ranking-quality metric for a trained scorer, computed
+    // EXACTLY: AUC = U/(n₁n₀) with midranks for ties, where 2·midrank
+    // = 2·lo + tie − 1 keeps everything in int64 until one final IEEE
+    // divide. Global ranks come from Packing.withGlobalRank (the
+    // distributed prefix-sum rank) — a bare row_number() over a global
+    // ORDER BY would funnel every scored entity through ONE task,
+    // which is the whole reason this metric is usually approximated at
+    // scale. Score: total spend; label: more purchases than clicks.
+    "x_auc" -> (((s: SparkSession, dir: String) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("sc"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+               sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
+            .otherwise(0L).as("y"))
+      val ranked = graft.ops.Packing.withGlobalRank(per,
+        Seq("sc", "user_id"), "pos")
+      val grp = ranked.groupBy(col("sc").as("sc2"))
+        .agg(min(col("pos")).as("lo"), count(lit(1)).as("tie"))
+      val mid2 = ranked.join(grp, col("sc") === col("sc2"))
+        .withColumn("mr2", lit(2L) * col("lo") + col("tie") - 1L)
+      mid2.agg(
+          sum(when(col("y") === 1L, col("mr2")).otherwise(0L)).as("r1_2"),
+          sum(col("y")).as("n1"), count(lit(1)).as("n"))
+        .withColumn("n0", col("n") - col("n1"))
+        .withColumn("u2", col("r1_2") - col("n1") * (col("n1") + 1))
+        .withColumn("auc_e6",
+          floor(lit(1000000.0d) * col("u2") /
+            (lit(2.0d) * col("n1") * col("n0"))).cast("long"))
+        .select(col("n1"), col("n0"), col("u2"), col("auc_e6"))
+    }),
+      Some("""WITH per AS (SELECT user_id,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+             |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |       > sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      THEN 1 ELSE 0 END AS y
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT *, row_number() OVER (ORDER BY sc, user_id) AS pos
+             |  FROM per),
+             |g AS (SELECT sc AS sc2, CAST(min(pos) AS BIGINT) AS lo,
+             |    CAST(count(*) AS BIGINT) AS tie FROM r GROUP BY 1),
+             |m AS (SELECT r.y, 2 * g.lo + g.tie - 1 AS mr2
+             |  FROM r JOIN g ON r.sc = g.sc2),
+             |a AS (SELECT
+             |    CAST(sum(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS r1_2,
+             |    CAST(sum(y) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS n
+             |  FROM m)
+             |SELECT n1, n - n1 AS n0, r1_2 - n1 * (n1 + 1) AS u2,
+             |  CAST(floor(1000000.0 * (r1_2 - n1 * (n1 + 1)) /
+             |    (2.0 * n1 * (n - n1))) AS BIGINT) AS auc_e6
+             |FROM a""".stripMargin)),
+
     // ----------------------------------------- raw-SQL entry path
     // The engine's ANSI SQL front door — reference users write SQL, so
     // one registry query runs END TO END through spark.sql over temp
