@@ -3228,6 +3228,84 @@ object TestdataQueries {
              |    (2.0 * n1 * (n - n1))) AS BIGINT) AS auc_e6
              |FROM a""".stripMargin)),
 
+    // ------------------------------------ calibration deciles
+    // Reliability diagram data for the same scorer/label pair as
+    // x_auc: decile membership comes from the DISTRIBUTED global rank
+    // — bin = (10·(pos−1)) div n, equal-mass bins without a one-task
+    // ntile — and each bin reports its exact positive rate as e6. A
+    // miscalibrated-scorer audit is a training-pipeline staple; every
+    // number here is an exact integer until the final divide.
+    "x_calibration" -> (((s: SparkSession, dir: String) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("sc"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+               sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
+            .otherwise(0L).as("y"))
+      val ranked = graft.ops.Packing.withGlobalRank(per,
+        Seq("sc", "user_id"), "pos")
+      val n = Window.partitionBy()
+      ranked
+        .withColumn("nn", count(lit(1)).over(n))
+        .withColumn("bin", expr("(10 * (pos - 1)) div nn"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_bin"), sum(col("y")).as("n_pos"),
+          min(col("sc")).as("sc_min"), max(col("sc")).as("sc_max"))
+        .withColumn("rate_e6",
+          floor(lit(1000000.0d) * col("n_pos") / col("n_bin")).cast("long"))
+    }),
+      Some("""WITH per AS (SELECT user_id,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+             |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |       > sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      THEN 1 ELSE 0 END AS y
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT *, row_number() OVER (ORDER BY sc, user_id) AS pos,
+             |    count(*) OVER () AS nn FROM per),
+             |b AS (SELECT (10 * (pos - 1)) // nn AS bin, y, sc FROM r)
+             |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_bin,
+             |  CAST(sum(y) AS BIGINT) AS n_pos,
+             |  CAST(min(sc) AS BIGINT) AS sc_min,
+             |  CAST(max(sc) AS BIGINT) AS sc_max,
+             |  CAST(floor(1000000.0 * sum(y) / count(*)) AS BIGINT) AS rate_e6
+             |FROM b GROUP BY 1""".stripMargin)),
+
+    // ----------------------------------- precision/recall at k
+    // Retrieval-style eval for the spend scorer: the top-100 by
+    // (score desc, id) — a TakeOrdered, never a global sort — scored
+    // against the purchase-heavy label; precision@k and recall@k as
+    // e6 beside the exact hit count.
+    "x_precision_at_k" -> (((s: SparkSession, dir: String) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("sc"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+               sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
+            .otherwise(0L).as("y"))
+      val top = per.orderBy(col("sc").desc, col("user_id").asc).limit(100)
+      val tot = per.agg(sum(col("y")).as("total_pos"))
+      top.agg(count(lit(1)).as("k"), sum(col("y")).as("hits"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("hits"), col("total_pos"),
+          floor(lit(1000000.0d) * col("hits") / col("k")).cast("long")
+            .as("precision_e6"),
+          floor(lit(1000000.0d) * col("hits") / col("total_pos")).cast("long")
+            .as("recall_e6"))
+    }),
+      Some("""WITH per AS (SELECT user_id,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+             |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |       > sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      THEN 1 ELSE 0 END AS y
+             |  FROM events GROUP BY 1),
+             |top AS (SELECT * FROM per ORDER BY sc DESC, user_id ASC LIMIT 100),
+             |tot AS (SELECT CAST(sum(y) AS BIGINT) AS total_pos FROM per)
+             |SELECT CAST(count(*) AS BIGINT) AS k,
+             |  CAST(sum(y) AS BIGINT) AS hits, total_pos,
+             |  CAST(floor(1000000.0 * sum(y) / count(*)) AS BIGINT)
+             |    AS precision_e6,
+             |  CAST(floor(1000000.0 * sum(y) / total_pos) AS BIGINT)
+             |    AS recall_e6
+             |FROM top CROSS JOIN tot GROUP BY total_pos""".stripMargin)),
+
     // ----------------------------------------- raw-SQL entry path
     // The engine's ANSI SQL front door — reference users write SQL, so
     // one registry query runs END TO END through spark.sql over temp
