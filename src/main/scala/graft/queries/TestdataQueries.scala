@@ -192,6 +192,46 @@ object TestdataQueries {
        |SELECT top.k, top.n, CAST(est.est AS BIGINT) AS est
        |FROM top JOIN est ON top.k = est.k""".stripMargin
 
+  /** One BPE merge round in DuckDB: pair counts over `cur${r-1}` via the
+    * trigramCte-style unnest+lead, the deterministic argmax, and the
+    * greedy left-to-right rewrite in PURE WINDOW SQL. Greedy semantics
+    * without a fold: overlapping candidates only occur for a == b
+    * (tok[p]=a ∧ tok[p+1]=b=a chains), where greedy keeps every ODD
+    * offset within a run of consecutive candidate positions — a
+    * gaps-and-islands parity rule. A merged position emits the fused
+    * symbol; the position after a merged one is dropped; everything
+    * else passes through. (A struct-state list_reduce replay of the
+    * Spark fold crashes DuckDB on real columns — the semantics, not
+    * the technique, are what the oracle must mirror.) */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"cur${r - 1}"
+    s"""tok$r AS (SELECT doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) AS pos FROM $prev),
+       |cnt$r AS (SELECT p1, p2, count(*) AS c FROM (
+       |    SELECT tok AS p1, lead(tok) OVER
+       |      (PARTITION BY doc_id ORDER BY pos) AS p2 FROM tok$r
+       |    QUALIFY p2 IS NOT NULL) GROUP BY 1, 2),
+       |best$r AS (SELECT p1, p2 FROM cnt$r ORDER BY c DESC, p1, p2 LIMIT 1),
+       |cand$r AS (SELECT t.doc_id, t.pos FROM tok$r t
+       |  JOIN tok$r n ON n.doc_id = t.doc_id AND n.pos = t.pos + 1
+       |  CROSS JOIN best$r WHERE t.tok = p1 AND n.tok = p2),
+       |mrg$r AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, row_number() OVER
+       |      (PARTITION BY doc_id, grp ORDER BY pos) AS off
+       |    FROM (SELECT doc_id, pos, pos - row_number() OVER
+       |        (PARTITION BY doc_id ORDER BY pos) AS grp FROM cand$r))
+       |  WHERE off % 2 = 1),
+       |cur$r AS (SELECT doc_id, list(newtok ORDER BY pos) AS toks FROM (
+       |    SELECT t.doc_id, t.pos,
+       |      CASE WHEN m.pos IS NOT NULL THEN p1 || '_' || p2
+       |           ELSE t.tok END AS newtok
+       |    FROM tok$r t CROSS JOIN best$r
+       |    LEFT JOIN mrg$r m ON m.doc_id = t.doc_id AND m.pos = t.pos
+       |    LEFT JOIN mrg$r d ON d.doc_id = t.doc_id AND d.pos = t.pos - 1
+       |    WHERE d.pos IS NULL)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   /** The fixed-point PageRank oracle: `iterations` damped rounds in
     * chained CTEs over the e/nodes/deg/nn prelude, integer-exact (`//`
     * and the 85/100 damping replay ops.PageRank's int64 arithmetic
@@ -3176,6 +3216,40 @@ object TestdataQueries {
     }),
       Some(countMinOracleSql)),
 
+    // ---------------------------- BPE-style merge induction (3 rounds)
+    // Tokenizer training's core loop at word granularity: three rounds
+    // of corpus-argmax adjacent-pair fusion with greedy left-to-right
+    // rewriting (ops.Bpe). The oracle replays ALL of it — pair counts,
+    // the deterministic argmax, and the rewrite fold (DuckDB
+    // list_reduce with (acc, pending) struct state ≡ Spark's aggregate
+    // HOF) — and the output fingerprints every rewritten sequence with
+    // the portable hash, so one wrong merge anywhere in any round
+    // fails the hash. R rounds = R corpus passes with only (pair,
+    // count) rows ever shuffled: the honest BPE cost model.
+    "x_bpe" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)")
+          .as("toks"))
+      val before = docs.select(col("doc_id"), size(col("toks")).as("n_before"))
+      val (merged, _) = graft.ops.Bpe.train(docs, "doc_id", rounds = 3)
+      merged
+        .select(col("doc_id"), size(col("toks")).as("n_after"),
+          graft.functions.PortableHash62.portableHash62(
+            concat_ws(" ", col("toks"))).as("fp"))
+        .join(before, Seq("doc_id"))
+    }),
+      Some(s"""WITH cur0 AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+             |  FROM documents),
+             |${bpeRoundSql(1)},
+             |${bpeRoundSql(2)},
+             |${bpeRoundSql(3)}
+             |SELECT c3.doc_id, CAST(len(c3.toks) AS BIGINT) AS n_after,
+             |  ${portableHashSql("array_to_string(c3.toks, ' ')")} AS fp,
+             |  CAST(len(c0.toks) AS BIGINT) AS n_before
+             |FROM cur3 c3 JOIN cur0 c0 ON c0.doc_id = c3.doc_id"""
+        .stripMargin)),
+
     // ----------------------------------- exact AUC (Mann–Whitney)
     // The ranking-quality metric for a trained scorer, computed
     // EXACTLY: AUC = U/(n₁n₀) with midranks for ties, where 2·midrank
@@ -3191,8 +3265,11 @@ object TestdataQueries {
           when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
                sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
             .otherwise(0L).as("y"))
+      // ranked feeds the tie-group aggregate AND the midrank join; the
+      // eager checkpoint runs the scan + prefix-sum rank machinery once
+      // (measured ~4 executions → 5.5 s without it)
       val ranked = graft.ops.Packing.withGlobalRank(per,
-        Seq("sc", "user_id"), "pos")
+        Seq("sc", "user_id"), "pos").localCheckpoint(true)
       val grp = ranked.groupBy(col("sc").as("sc2"))
         .agg(min(col("pos")).as("lo"), count(lit(1)).as("tie"))
       val mid2 = ranked.join(grp, col("sc") === col("sc2"))
@@ -3242,7 +3319,7 @@ object TestdataQueries {
                sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
             .otherwise(0L).as("y"))
       val ranked = graft.ops.Packing.withGlobalRank(per,
-        Seq("sc", "user_id"), "pos")
+        Seq("sc", "user_id"), "pos").localCheckpoint(true)
       val n = Window.partitionBy()
       ranked
         .withColumn("nn", count(lit(1)).over(n))
