@@ -3265,11 +3265,14 @@ object TestdataQueries {
           when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
                sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
             .otherwise(0L).as("y"))
-      // ranked feeds the tie-group aggregate AND the midrank join; the
-      // eager checkpoint runs the scan + prefix-sum rank machinery once
-      // (measured ~4 executions → 5.5 s without it)
-      val ranked = graft.ops.Packing.withGlobalRank(per,
-        Seq("sc", "user_id"), "pos").localCheckpoint(true)
+      // checkpoint BEFORE ranking: repartitionByRange's sampling pass
+      // executes its input once more, so un-materialized `per` would
+      // re-aggregate the full event table per pass (probed: the rank
+      // stage alone cost 2.2 s on 1500 rows); downstream consumers then
+      // re-derive cheaply from the materialized rows
+      val perCk = per.localCheckpoint(true)
+      val ranked = graft.ops.Packing.withGlobalRank(perCk,
+        Seq("sc", "user_id"), "pos")
       val grp = ranked.groupBy(col("sc").as("sc2"))
         .agg(min(col("pos")).as("lo"), count(lit(1)).as("tie"))
       val mid2 = ranked.join(grp, col("sc") === col("sc2"))
@@ -3318,8 +3321,8 @@ object TestdataQueries {
           when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
                sum(when(col("event_type") === "click", 1L).otherwise(0L)), 1L)
             .otherwise(0L).as("y"))
-      val ranked = graft.ops.Packing.withGlobalRank(per,
-        Seq("sc", "user_id"), "pos").localCheckpoint(true)
+      val ranked = graft.ops.Packing.withGlobalRank(
+        per.localCheckpoint(true), Seq("sc", "user_id"), "pos")
       val n = Window.partitionBy()
       ranked
         .withColumn("nn", count(lit(1)).over(n))
