@@ -24,6 +24,40 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(merge(Seq(), "a", "b") === Seq())
   }
 
+  test("mergeOnce equals a plain-Scala greedy reference on random sequences") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def reference(toks: Seq[String], a: String, b: String): Seq[String] = {
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += s"${a}_$b"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      a <- Gen.oneOf("a", "b", "c")
+      b <- Gen.oneOf("a", "b", "c")
+    } yield (toks, a, b)
+    // one Spark job for all cases: build a DF of sequences, merge each
+    val cases = (1 to 60).map(i => gen(Gen.Parameters.default, Seed(i.toLong))
+      .getOrElse(fail(s"gen failed @$i")))
+    cases.groupBy(c => (c._2, c._3)).foreach { case ((a, b), cs) =>
+      val got = cs.zipWithIndex.map { case ((toks, _, _), j) => (j, toks) }
+        .toDF("i", "toks")
+        .select(col("i"), Bpe.mergeOnce(col("toks"), a, b).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      cs.zipWithIndex.foreach { case ((toks, _, _), j) =>
+        assert(got(j) === reference(toks, a, b),
+          s"pair ($a,$b) on $toks")
+      }
+    }
+  }
+
   test("train: rounds pick the deterministic argmax and compound") {
     // "w x" dominates round 1; after fusing, "w_x y" dominates round 2
     val docs = Seq(
