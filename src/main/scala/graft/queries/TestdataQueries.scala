@@ -3250,6 +3250,36 @@ object TestdataQueries {
              |FROM cur3 c3 JOIN cur0 c0 ON c0.doc_id = c3.doc_id"""
         .stripMargin)),
 
+    // ----------------------- BPE at character granularity (2 rounds)
+    // The same machinery as x_bpe on CHARACTER symbols — actual
+    // byte-pair encoding: two merge rounds over the first 40
+    // characters of each doc, fingerprinted per doc. Pins the claim
+    // that Bpe's fold/argmax are granularity-agnostic; the oracle
+    // splits per character exactly like the portable-hash replays do.
+    "x_bpe_char" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr("filter(split(substring(text, 1, 40), ''), c -> c <> '')")
+          .as("toks"))
+      val before = docs.select(col("doc_id"), size(col("toks")).as("n_before"))
+      val (merged, _) = graft.ops.Bpe.train(docs, "doc_id", rounds = 2)
+      merged
+        .select(col("doc_id"), size(col("toks")).as("n_after"),
+          graft.functions.PortableHash62.portableHash62(
+            concat_ws(" ", col("toks"))).as("fp"))
+        .join(before, Seq("doc_id"))
+    }),
+      Some(s"""WITH cur0 AS (SELECT doc_id,
+             |    list_filter(string_split(substr(text, 1, 40), ''),
+             |      c -> c <> '') AS toks
+             |  FROM documents),
+             |${bpeRoundSql(1)},
+             |${bpeRoundSql(2)}
+             |SELECT c2.doc_id, CAST(len(c2.toks) AS BIGINT) AS n_after,
+             |  ${portableHashSql("array_to_string(c2.toks, ' ')")} AS fp,
+             |  CAST(len(c0.toks) AS BIGINT) AS n_before
+             |FROM cur2 c2 JOIN cur0 c0 ON c0.doc_id = c2.doc_id"""
+        .stripMargin)),
+
     // ----------------------------------- exact AUC (Mann–Whitney)
     // The ranking-quality metric for a trained scorer, computed
     // EXACTLY: AUC = U/(n₁n₀) with midranks for ties, where 2·midrank
