@@ -3455,6 +3455,43 @@ object TestdataQueries {
              |ORDER BY revenue_c DESC, l_orderkey ASC
              |LIMIT 10""".stripMargin)),
 
+    // ------------------------------- time-weighted average (TWAP)
+    // Duration-weighted mean event value per user: each observation
+    // holds until the next one (lead delta in whole epoch seconds —
+    // the Sessionize ordering convention), so a value's weight is the
+    // time it was in force, not its sample count — the metric plain
+    // AVG silently gets wrong on irregular series. Σ(v·dt) and Σdt
+    // stay exact int64; one window + one aggregate.
+    "x_twap" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"), col("event_id"),
+        cents(col("value")).as("c"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("es").asc, col("event_id").asc)
+      ev.withColumn("dt", lead(col("es"), 1).over(w) - col("es"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"), sum(col("dt")).as("span_s"),
+          sum(col("c") * col("dt")).as("vt"))
+        .filter(col("span_s") > 0)
+        .withColumn("twap_c_e2",
+          floor(lit(100.0d) * col("vt") / col("span_s")).cast("long"))
+    }),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+             |d AS (SELECT user_id, c,
+             |    lead(es) OVER (PARTITION BY user_id
+             |      ORDER BY es ASC, event_id ASC) - es AS dt
+             |  FROM e),
+             |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+             |    CAST(sum(dt) AS BIGINT) AS span_s,
+             |    CAST(sum(c * dt) AS BIGINT) AS vt
+             |  FROM d WHERE dt IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_holds, span_s, vt,
+             |  CAST(floor(100.0 * vt / span_s) AS BIGINT) AS twap_c_e2
+             |FROM g WHERE span_s > 0""".stripMargin)),
+
     // --------------------------------- peak concurrency (sweep line)
     // Max simultaneous open intervals per user — each event opens a
     // 5-minute presence window; the sweep turns intervals into ±1
