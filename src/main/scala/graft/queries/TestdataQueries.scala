@@ -232,6 +232,65 @@ object TestdataQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  /** The x_bpe_apply oracle: replay sample-trained BPE (`rounds` merges
+    * induced on the first `sampleN` docs in portable-hash order) and the
+    * sequential merge-table apply over the WHOLE corpus, then
+    * fingerprint every rewritten doc. Two tricks keep 2×`rounds` rewrite
+    * stages tractable in DuckDB:
+    *   - every chain CTE is MATERIALIZED (DuckDB inlines by default; an
+    *     inlined 24-deep chain re-opens the parquet per reference);
+    *   - each greedy rewrite is ONE string `replace`: tokens joined with
+    *     DOUBLED chr(1) separators and the pattern wrapped in single
+    *     separators makes non-overlapping left-to-right `replace` exactly
+    *     the greedy leftmost merge fold ([a,a,b]: '␁a␁␁a␁␁b␁' matches
+    *     '␁a␁␁b␁' only at the second 'a' → [a, a_b]; [a,b,a,b]: the
+    *     consumed trailing '␁' leaves the next occurrence's own '␁'
+    *     intact → [a_b, a_b] — mergeOnce's exact overlap rule).
+    * Training rounds count pairs with the proven unnest+lead argmax
+    * (count desc, p1, p2 — binary collation, matching the driver-local
+    * UTF-8-byte tie-break in Bpe.trainOnSample). */
+  private def bpeApplyOracleSql(rounds: Int, sampleN: Int): String = {
+    val sep = "chr(1)"
+    def wrap(listExpr: String) =
+      s"$sep || array_to_string($listExpr, $sep || $sep) || $sep"
+    val pat = s"$sep || p1 || $sep || $sep || p2 || $sep"
+    val rep = s"$sep || p1 || '_' || p2 || $sep"
+    def bestSql(r: Int) =
+      s"""scnt$r AS MATERIALIZED (SELECT p1, p2, count(*) AS c FROM (
+         |    SELECT tok AS p1, lead(tok) OVER
+         |      (PARTITION BY doc_id ORDER BY pos) AS p2
+         |    FROM (SELECT doc_id, unnest(toks) AS tok,
+         |      generate_subscripts(toks, 1) AS pos FROM samp${r - 1})
+         |    QUALIFY p2 IS NOT NULL) GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT p1, p2 FROM scnt$r
+         |  ORDER BY c DESC, p1, p2 LIMIT 1)""".stripMargin
+    def sampRewrite(r: Int) =
+      s"""samp$r AS MATERIALIZED (SELECT doc_id,
+         |  list_filter(string_split(replace(${wrap("toks")}, $pat, $rep),
+         |    $sep), t -> t <> '') AS toks
+         |  FROM samp${r - 1} CROSS JOIN best$r)""".stripMargin
+    def curRewrite(r: Int) =
+      s"""cur$r AS MATERIALIZED (SELECT doc_id, replace(s, $pat, $rep) AS s
+         |  FROM cur${r - 1} CROSS JOIN best$r)""".stripMargin
+    val parts = Seq(
+      "corpus AS MATERIALIZED (SELECT doc_id, " +
+        "list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks " +
+        "FROM documents)",
+      s"""samp0 AS MATERIALIZED (SELECT doc_id, toks FROM corpus
+         |  ORDER BY ${portableHashSql("CAST(doc_id AS VARCHAR)")}, doc_id
+         |  LIMIT $sampleN)""".stripMargin) ++
+      (1 to rounds).flatMap(r => Seq(bestSql(r), sampRewrite(r))) ++
+      Seq(s"cur0 AS MATERIALIZED (SELECT doc_id, ${wrap("toks")} AS s FROM corpus)") ++
+      (1 to rounds).map(curRewrite) ++
+      Seq(s"""fin AS (SELECT doc_id, list_filter(string_split(s, $sep),
+             |  t -> t <> '') AS toks FROM cur$rounds)""".stripMargin)
+    s"""WITH ${parts.mkString(",\n")}
+       |SELECT c0.doc_id, CAST(len(c0.toks) AS BIGINT) AS n_before,
+       |  CAST(len(fin.toks) AS BIGINT) AS n_after,
+       |  ${portableHashSql("array_to_string(fin.toks, ' ')")} AS fp
+       |FROM fin JOIN corpus c0 ON c0.doc_id = fin.doc_id""".stripMargin
+  }
+
   /** The fixed-point PageRank oracle: `iterations` damped rounds in
     * chained CTEs over the e/nodes/deg/nn prelude, integer-exact (`//`
     * and the 85/100 damping replay ops.PageRank's int64 arithmetic
@@ -3279,6 +3338,33 @@ object TestdataQueries {
              |  CAST(len(c0.toks) AS BIGINT) AS n_before
              |FROM cur2 c2 JOIN cur0 c0 ON c0.doc_id = c2.doc_id"""
         .stripMargin)),
+
+    // --------------- sample-trained BPE + one-pass merge-table apply
+    // The scale-safe tokenizer pipeline (VERDICT r5 top_next): a
+    // 24-entry merge table is induced on a bounded deterministic
+    // sample (96 docs in portable-hash order — the Pq.trainCodebooks
+    // sidecar pattern, driver-local microseconds), then the WHOLE
+    // table is applied corpus-wide in exactly ONE pass by the
+    // codegen'd BpeApply kernel — vs x_bpe's R-corpus-rewrites cost
+    // model, which is honest for induction but unusable for applying
+    // a real 10k-50k-merge vocabulary. The oracle replays everything:
+    // sample selection, all 24 training argmaxes, and the sequential
+    // 24-fold rewrite of every corpus doc, fingerprinted per doc — so
+    // one wrong merge choice OR one kernel deviation from sequential
+    // semantics anywhere fails the hash.
+    "x_bpe_apply" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)")
+          .as("toks"))
+      val merges = graft.ops.Bpe.trainOnSample(docs, "doc_id",
+        rounds = 24, maxTrainRows = 96)
+      val applied = graft.ops.Bpe.applyMerges(col("toks"), merges)
+      docs.select(col("doc_id"), size(col("toks")).as("n_before"),
+        size(applied).as("n_after"),
+        graft.functions.PortableHash62.portableHash62(
+          concat_ws(" ", applied)).as("fp"))
+    }),
+      Some(bpeApplyOracleSql(rounds = 24, sampleN = 96))),
 
     // ----------------------------------- exact AUC (Mann–Whitney)
     // The ranking-quality metric for a trained scorer, computed
