@@ -232,6 +232,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("streaming dedup maintenance: a crashed attempt's orphan partitions " +
+      "are overwritten on replay, never treated as committed corpus") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-lsh-crash")
+    val cat = new graft.catalog.TableCatalog(spark, root.resolve("wh").toString)
+    val body = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val allDocs = Seq((1L, body + " alpha"), (2L, body + " alpha beta"))
+    // simulate a first attempt of micro-batch 0 that crashed AFTER its
+    // partition writes but BEFORE the commit marker: a near-identical
+    // ghost doc sits in batch_id=0 of index+docs, and a bogus pair in
+    // pairs. If the replay read it as "old corpus", pair (1, 999) or
+    // (2, 999) would appear; if partitions appended instead of
+    // overwrote, the bogus pair would survive.
+    val ghost = graft.ops.Dedup.lshIndex(
+        Seq((999L, body + " alpha")).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("batch_id", lit(0L))
+    cat.appendPartitioned("lsh_index", ghost, "batch_id")
+    cat.appendPartitioned("docs",
+      Seq((999L, body + " alpha")).toDF("doc_id", "text")
+        .withColumn("batch_id", lit(0L)), "batch_id")
+    cat.appendPartitioned("pairs",
+      Seq((1L, 999L, 1.0, "new_new")).toDF("id_a", "id_b", "est_jaccard",
+        "pair_type").withColumn("batch_id", lit(0L)), "batch_id")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIngest.startDedupMaintenance(cat, "docs", "lsh_index",
+      "pairs", mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      root.resolve("ckpt").toString)
+    try {
+      mem.addData(allDocs: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamPairs = cat.read("pairs")
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs === Set((1L, 2L)), "orphan rows leaked into results")
+    assert(cat.read("docs").select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(cat.read("lsh_index").select(col("doc_id")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the marker committed the replayed batch
+    assert(cat.read("pairs__commit").head().getLong(0) === 0L)
+  }
+
   test("file-source → catalog: kill, resume from checkpoint, rows equal the batch path") {
     val root = java.nio.file.Files.createTempDirectory("stream-cat")
     val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
