@@ -94,10 +94,10 @@ object StreamingIngest {
     * empty, the closed partition is rewritten with its own (unioned-
     * back) content, and the swap rewrites identical open content — the
     * same crash-rerun convergence the batch Runner relies on. A crash
-    * INSIDE the open swap's two-rename window is healed by the catalog
-    * itself (TableCatalog.healSwap restores the set-aside copy on the
-    * next read), so the replay never merges against a spuriously-empty
-    * open slice. The per-batch distinct-date collect is driver-tiny (a
+    * anywhere inside the open swap leaves the committed `_version`
+    * snapshot pointer untouched (TableCatalog.replaceAtomic commits by
+    * one atomic pointer rename), so the replay never merges against a
+    * spuriously-empty or half-written open slice. The per-batch distinct-date collect is driver-tiny (a
     * feed spans a handful of dates per trigger). */
   def startScd2Maintenance(cat: TableCatalog, table: String,
                            spec: graft.etl.Scd2.DimSpec,

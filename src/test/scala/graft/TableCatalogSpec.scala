@@ -121,6 +121,88 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(opened <= 2, s"day-1 files opened: $opened")
   }
 
+  test("replaceAtomic: a reader concurrent with looping swaps sees exactly " +
+      "one committed snapshot, never a mix or a missing table") {
+    val root = java.nio.file.Files.createTempDirectory("cat-snap")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    def gen(v: Long) = spark.range(200).toDF()
+      .select(col("id"), lit(v).as("ver"))
+    cat.replaceAtomic("snap_t", gen(0L))
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val writer = new Thread(() => {
+      var v = 1L
+      while (!stop.get()) { cat.replaceAtomic("snap_t", gen(v)); v += 1 }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    try {
+      (1 to 25).foreach { _ =>
+        // each read must be entirely ONE version: 200 rows, one ver value
+        val rows = cat.read("snap_t").select(col("ver")).collect()
+        if (rows.length != 200 || rows.map(_.getLong(0)).distinct.length != 1)
+          failed.compareAndSet(null,
+            s"rows=${rows.length} vers=${rows.map(_.getLong(0)).distinct.toSeq}")
+      }
+    } finally { stop.set(true); writer.join(30000) }
+    assert(failed.get() === null)
+    writer.join(30000)
+    // the pointer names the newest snapshot on disk
+    val vs = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cat.path("snap_t")))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("_v\\d+")).map(_.drop(2).toLong).toSeq
+      finally s.close()
+    }
+    assert(cat.currentVersion("snap_t") === Some(vs.max))
+  }
+
+  test("replaceAtomic: aged-out snapshots prune, the previous one survives " +
+      "regardless of age") {
+    val root = java.nio.file.Files.createTempDirectory("cat-snap-ret")
+    // retention 0: anything older than the previous snapshot may go at once
+    val cat = new TableCatalog(spark, root.resolve("wh").toString,
+      snapshotRetentionMs = 0L)
+    (1 to 4).foreach { v =>
+      cat.replaceAtomic("snap_r", Seq((v.toLong, s"v$v")).toDF("k", "s"))
+    }
+    val snaps = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cat.path("snap_r")))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("_v\\d+")).map(_.drop(2).toLong).toSeq.sorted
+      finally s.close()
+    }
+    // current (4) plus the always-kept previous (3); 1 and 2 pruned
+    assert(snaps === Seq(3L, 4L))
+    assert(cat.read("snap_r").head().getLong(0) === 4L)
+  }
+
+  test("replaceAtomic: migrates a legacy plain-file table and stays " +
+      "readable through readOrEmpty/readScd2 paths") {
+    val root = java.nio.file.Files.createTempDirectory("cat-snap-legacy")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.overwrite("dim_y_open", Seq((1L, "A")).toDF("k", "seg"))   // legacy layout
+    assert(cat.currentVersion("dim_y_open").isEmpty)
+    cat.replaceAtomic("dim_y_open", Seq((1L, "B"), (2L, "C")).toDF("k", "seg"))
+    assert(cat.currentVersion("dim_y_open") === Some(1L))
+    // shadowed legacy files are gone; reads resolve the snapshot
+    assert(cat.read("dim_y_open").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet === Set((1L, "B"), (2L, "C")))
+    val schema = cat.read("dim_y_open").schema
+    assert(cat.readOrEmpty("dim_y_open", schema).count() === 2)
+    val plain = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cat.path("dim_y_open")))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_v") || n == "_version").toSeq
+      finally s.close()
+    }
+    assert(plain.isEmpty, s"legacy files not migrated: $plain")
+  }
+
   test("compactClosed: a crash between the swap moves heals on rerun with no data loss") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.sql.Date
