@@ -417,7 +417,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * values. */
   def deleteWhere(table: String, partCol: String,
                   cond: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val full = read(table)
     val affected = full.filter(cond).select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq
@@ -427,9 +427,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // own input (and Spark's self-overwrite guard would reject it).
     // Affected partitions are a purge's working set, expected small
     // next to the table.
+    // survivors = rows where cond IS NOT TRUE: a NULL-evaluating row
+    // (nullable predicate column) is NOT a match and must survive —
+    // plain !cond maps NULL→NULL and the filter would silently drop it,
+    // over-deleting in a right-to-be-forgotten path.
     val survivors = full
       .filter(col(partCol).cast("string").isin(affected: _*))
-      .filter(!cond)
+      .filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
     val survivorParts = survivors.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -439,7 +443,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .partitionBy(partCol)
       .parquet(path(table))
     gone.foreach { v =>
-      TableCatalog.deleteRecursively(Paths.get(s"${path(table)}/$partCol=$v"))
+      // Spark percent-escapes special characters (space, colon, '/', …)
+      // in partition directory names; deleting the raw "$partCol=$v"
+      // path would miss those directories and the purged rows would
+      // silently survive — escape exactly the way the writer does.
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+      TableCatalog.deleteRecursively(
+        Paths.get(s"${path(table)}/$partCol=$escaped"))
     }
     (affected, gone)
   }

@@ -93,7 +93,15 @@ object Sources {
         col("terminal"))
     val bad = parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (good, bad)
+    // Materialize both sides of the split eagerly and release the
+    // parse cache before returning — otherwise every call leaks the
+    // cached blocks for the session lifetime. localCheckpoint severs
+    // the lineage too, so later reads of the returned frames can never
+    // fall back to re-parsing the corrupt column (SPARK-21610).
+    val goodM = good.localCheckpoint(true)
+    val badM = bad.localCheckpoint(true)
+    parsed.unpersist()
+    (goodM, badM)
   }
 
   /** S3/S4 — the reference reads xlsx via pandas (main.py:98, 111). There

@@ -54,6 +54,21 @@ class SketchesSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("NULL keys keep the never-underestimate guarantee") {
+    // a NULL key present in the build input must estimate >= its true
+    // count — pre-fix it bucketed to NULL, the estimate join never
+    // matched, and est=0 underestimated
+    val data = (Seq.fill(5)(Option.empty[String]) ++
+      Seq.fill(3)(Some("a")) ++ Seq.fill(2)(Some("b"))).toDF("k")
+    val sketch = Sketches.countMinBuild(data, col("k"), depth = 4, width = 1024)
+    val keys = Seq(Option.empty[String], Some("a"), Some("b")).toDF("k")
+    val est = Sketches.countMinEstimate(sketch, keys, col("k"),
+      depth = 4, width = 1024)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(est(None) >= 5L, s"NULL key underestimated: ${est(None)}")
+    assert(est(Some("a")) >= 3L && est(Some("b")) >= 2L)
+  }
+
   test("absent key with empty cells estimates zero") {
     // single key occupies depth cells; with a wide sketch a distant key
     // almost surely probes empty cells -> 0 via the left-join coalesce

@@ -350,4 +350,53 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     // no-op when nothing matches
     assert(cat.deleteWhere("t", "p", col("tag") === "absent") === ((Nil, Nil)))
   }
+
+  test("deleteWhere: NULL-evaluating rows survive (cond IS NOT TRUE semantics)") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("gdpr-null").toString
+    val cat = new TableCatalog(spark, root)
+    // nullable predicate column: rows 2 and 4 have tag NULL — the
+    // condition evaluates to NULL there, which is NOT a match; a purge
+    // must keep them (pre-fix !cond dropped them silently)
+    val rows = Seq(
+      (1L, Some("purge"), "p1"), (2L, Option.empty[String], "p1"),
+      (3L, Some("keep"), "p1"), (4L, Option.empty[String], "p2"),
+      (5L, Some("purge"), "p2"))
+      .toDF("id", "tag", "p")
+    cat.appendPartitioned("tn", rows, "p")
+    val (affected, gone) = cat.deleteWhere("tn", "p", col("tag") === "purge")
+    assert(affected.toSet === Set("p1", "p2") && gone.isEmpty)
+    assert(cat.read("tn").select(col("id")).collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L, 4L))
+  }
+
+  test("deleteWhere: fully-purged partition with special characters in its " +
+      "value is really cleared") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("gdpr-esc").toString
+    val cat = new TableCatalog(spark, root)
+    // partition values Spark percent-escapes in directory names: the
+    // explicit-clear step must resolve the ESCAPED directory or the
+    // purged rows silently survive
+    val rows = Seq(
+      (1L, "purge", "2024-01-01 00:00:00"),
+      (2L, "purge", "a:b/c"),
+      (3L, "keep", "plain"))
+      .toDF("id", "tag", "p")
+    cat.appendPartitioned("te", rows, "p")
+    val (affected, gone) = cat.deleteWhere("te", "p", col("tag") === "purge")
+    assert(affected.toSet === Set("2024-01-01 00:00:00", "a:b/c"))
+    assert(gone.toSet === Set("2024-01-01 00:00:00", "a:b/c"))
+    // the purged rows are unreadable afterwards — not merely unlisted
+    assert(cat.read("te").select(col("id")).collect().map(_.getLong(0)).toSeq
+      === Seq(3L))
+    // and their directories are gone from disk
+    val dirs = {
+      val s = Files.list(java.nio.file.Paths.get(cat.path("te")))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("p=")).toSeq
+      finally s.close()
+    }
+    assert(dirs.length === 1, s"leftover partition dirs: $dirs")
+  }
 }
