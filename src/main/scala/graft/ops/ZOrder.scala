@@ -26,12 +26,24 @@ object ZOrder {
 
   /** Interleave the low `bits` bits of two non-negative longs:
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** n-column Morton interleave: bit i of dimension j lands at position
+    * n·i + j — the 2-D [[zValue]] generalized (dimension order = bit
+    * significance order: earlier columns take the lower lanes, exactly
+    * as x did). The interleaved width n·bits must stay under 63 so the
+    * curve key fits a non-negative long under ANSI mode. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 1, "need at least one dimension")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must be in [1,63], got $n*$bits")
+    (for {
+      i <- 0 until bits
+      (c, j) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + j))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Quantize a long column into [0, 2^bits) buckets with INTEGRAL
@@ -64,6 +76,29 @@ object ZOrder {
       .drop("_xmin", "_xmax", "_ymin", "_ymax")
   }
 
+  /** n-column [[withZ]]: attach `z0..z{n-1}` (scaled dims, in `cols`
+    * order) and `z` (interleaved). Same one-pass broadcast-bounds
+    * shape — the agg row just carries 2n cells instead of 4. Real
+    * layout tuning wants more than two dimensions (e.g. user × time ×
+    * amount for a fraud store); each extra dimension costs curve
+    * resolution (bits ≤ 63/n), the standard Morton trade. */
+  def withZN(df: DataFrame, cols: Seq[String], bits: Int = 10): DataFrame = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"n*bits must fit 63 bits, got ${cols.size}*$bits")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"_min$i"), max(col(c)).as(s"_max$i"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val scaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+      case (acc, (c, i)) => acc.withColumn(s"z$i",
+        scale(col(c), col(s"_min$i"), col(s"_max$i"), bits))
+    }
+    scaled
+      .withColumn("z",
+        zValueN(cols.indices.map(i => col(s"z$i")), bits))
+      .drop(cols.indices.flatMap(i => Seq(s"_min$i", s"_max$i")): _*)
+  }
+
   /** Rewrite `df` clustered along the Z-curve over (`xCol`, `yCol`):
     * range-partition by z into `numPartitions` output slices and sort
     * within each, so every written file covers one compact z-interval —
@@ -71,6 +106,13 @@ object ZOrder {
   def cluster(df: DataFrame, xCol: String, yCol: String,
               bits: Int = 16, numPartitions: Int = 64): DataFrame =
     withZ(df, xCol, yCol, bits)
+      .repartitionByRange(numPartitions, col("z"))
+      .sortWithinPartitions(col("z"))
+
+  /** n-column [[cluster]]. */
+  def clusterN(df: DataFrame, cols: Seq[String],
+               bits: Int = 10, numPartitions: Int = 64): DataFrame =
+    withZN(df, cols, bits)
       .repartitionByRange(numPartitions, col("z"))
       .sortWithinPartitions(col("z"))
 }

@@ -38,6 +38,50 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
     assert(wide === Seq(0L, 65535L))
   }
 
+  test("zValueN: 3-D interleave golden values; 2-D form is the n=2 case") {
+    // n=3, bits=2: bit i of dim j lands at 3i+j.
+    // (1,1,1) -> 0b000111 = 7; (3,0,0) -> 1 + 8 = 9; (0,3,3) -> 2+4+16+32 = 54
+    val got = Seq((1L, 1L, 1L), (3L, 0L, 0L), (0L, 3L, 3L))
+      .toDF("a", "b", "c")
+      .select(ZOrder.zValueN(Seq($"a", $"b", $"c"), 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(7L, 9L, 54L))
+    // the 2-D entry point is exactly zValueN(n=2)
+    val pair = Seq((3L, 1L)).toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", 16).as("a"),
+        ZOrder.zValueN(Seq($"x", $"y"), 16).as("b")).head()
+    assert(pair.getLong(0) === pair.getLong(1))
+    // width guard: 7 dims * 10 bits > 63
+    intercept[IllegalArgumentException] {
+      ZOrder.zValueN((1 to 7).map(_ => lit(1L)), 10)
+    }
+  }
+
+  test("clusterN: 3-D clustered write bounds every file's envelope on ALL dims") {
+    // a full 16^3 cube
+    val cube = (0 until 4096).map { i =>
+      ((i % 16).toLong, ((i / 16) % 16).toLong, (i / 256).toLong)
+    }.toDF("x", "y", "w")
+    val dir = Files.createTempDirectory("zorder-nd").toString
+    ZOrder.clusterN(cube, Seq("x", "y", "w"), bits = 4, numPartitions = 8)
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4096L)
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"),
+        (max($"w") - min($"w")).as("sw"))
+      .agg(avg($"sx").as("ax"), avg($"sy").as("ay"), avg($"sw").as("aw"),
+        count(lit(1)).as("nf"))
+      .head()
+    assert(spans.getLong(3) >= 4, s"expected a multi-file layout, got ${spans.getLong(3)} files")
+    // global span is 15 per dim; 8 curve-contiguous slices of a 3-D
+    // Morton cube keep every dimension's average envelope strictly
+    // below the global span (a 1-D sort leaves two dims at ~15)
+    assert(spans.getDouble(0) < 12.0, s"x envelope too wide: ${spans.getDouble(0)}")
+    assert(spans.getDouble(1) < 12.0, s"y envelope too wide: ${spans.getDouble(1)}")
+    assert(spans.getDouble(2) < 12.0, s"w envelope too wide: ${spans.getDouble(2)}")
+  }
+
   test("clustered write yields tight per-file envelopes on BOTH dims") {
     // a full 64x64 grid; insertion order irrelevant (cluster reshuffles)
     val grid = (0 until 4096)
