@@ -94,6 +94,32 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def read(table: String): DataFrame =
     spark.read.parquet(readPath(table))
 
+  /** Snapshot versions of `table` still on disk, ascending — the
+    * retained time-travel horizon (bounded: current + previous, plus
+    * anything younger than `snapshotRetentionMs`). */
+  def versions(table: String): Seq[Long] = {
+    val p = Paths.get(path(table))
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("_v\\d+")).map(_.drop(2).toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Time travel: read snapshot `v` of a versioned table. Snapshots are
+    * immutable once committed, so this is an ordinary parquet scan of
+    * the `_v<v>` directory — the whole cost of time travel was already
+    * paid by [[replaceAtomic]]'s copy-on-write layout. Fails loudly for
+    * a version outside the retained horizon ([[versions]]). */
+  def readVersion(table: String, v: Long): DataFrame = {
+    require(Files.exists(snapDir(table, v)),
+      s"version $v of '$table' is not on disk (retained: ${versions(table).mkString(", ")})")
+    spark.read.parquet(snapDir(table, v).toString)
+  }
+
   /** Heal a [[replaceAtomic]] swap interrupted between its two renames
     * (current content moved aside, replacement not yet in place): put
     * the `.old` copy back so a reader — or a crash-replayed streaming

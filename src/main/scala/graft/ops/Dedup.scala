@@ -524,8 +524,11 @@ object Dedup {
   }
 
   /** GraphX Pregel connected components — the pre-round-5 implementation,
-    * kept as the independent semantic reference for [[components]]
-    * (OpsSpec asserts label equality on structured and random graphs). */
+    * kept ONLY as the independent semantic reference for [[components]]
+    * (OpsSpec asserts label equality on structured and random graphs).
+    * NOT a performance path: the RDD round-trip forfeits Tungsten and
+    * whole-stage codegen, and it benched 4-5× slower than the
+    * alternating-star DataFrame loop — never benchmark or ship this. */
   private[graft] def componentsGraphx(pairs: DataFrame, idA: String = "id_a",
                                       idB: String = "id_b"): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}

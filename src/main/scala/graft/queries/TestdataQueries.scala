@@ -811,6 +811,38 @@ object TestdataQueries {
              |WHERE effective_from <= DATE '2020-06-15'
              |  AND DATE '2020-06-15' < effective_to""".stripMargin)),
 
+    // ----------------------------------------------- time travel read
+    // The payoff of the snapshot-versioned commit layout: two
+    // replaceAtomic commits of a dimension, then snapshot 1 read back
+    // AFTER snapshot 2 committed — copy-on-write makes the old version
+    // an ordinary immutable parquet scan (readVersion), and the current
+    // read resolves 2. The output joins both versions per key (v2 NULL
+    // where version 2 dropped the row), so the oracle re-derives both
+    // states from the source table and any pointer/retention bug — a
+    // stale read, a pruned previous snapshot — breaks the hash.
+    "x_time_travel" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_tt", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal_c"))
+      cat.replaceAtomic("dim_tt", base)
+      cat.replaceAtomic("dim_tt",
+        base.filter(col("k") % 10 =!= 0)
+          .withColumn("bal_c", col("bal_c") + lit(100L)))
+      cat.readVersion("dim_tt", 1L)
+        .select(col("k"), col("bal_c").as("bal_v1"))
+        .join(cat.read("dim_tt").select(col("k"), col("bal_c").as("bal_v2")),
+          Seq("k"), "left")
+    }),
+      Some("""WITH v1 AS (SELECT c_custkey AS k,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_v1 FROM customer),
+             |v2 AS (SELECT c_custkey AS k,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) + 100 AS bal_v2
+             |  FROM customer WHERE c_custkey % 10 <> 0)
+             |SELECT v1.k, v1.bal_v1, v2.bal_v2
+             |FROM v1 LEFT JOIN v2 ON v1.k = v2.k""".stripMargin)),
+
     // ------------------------------------------- snapshot diff (CDC)
     // Full-extract change capture: old = customers not divisible by 7,
     // new = customers not divisible by 11 with segments rewritten for
@@ -1012,6 +1044,29 @@ object TestdataQueries {
              |    sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) / count(*))
              |    AS BIGINT) AS oov_e6
              |FROM j GROUP BY 1""".stripMargin)),
+
+    // --------------------------------------- skyline (Pareto frontier)
+    // Per-user activity points (event count, summed value cents); the
+    // frontier = users no other user beats on both axes. The operator
+    // is the sweep identity (groupBy(x) + two-phase exclusive prefix
+    // max — Skyline.pareto2D, never an all-pairs join); the oracle IS
+    // the all-pairs dominance definition, so the identity itself is
+    // what the hash pins. Tie semantics included: exact-duplicate
+    // frontier points all survive.
+    "x_skyline" -> (((s: SparkSession, dir: String) => {
+      val pts = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("val_c"))
+      graft.ops.Skyline.pareto2D(pts, "n_events", "val_c")
+        .select(col("user_id"), col("n_events"), col("val_c"))
+    }),
+      Some("""WITH p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS val_c
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, n_events, val_c FROM p
+             |WHERE NOT EXISTS (SELECT 1 FROM p q
+             |  WHERE q.n_events >= p.n_events AND q.val_c >= p.val_c
+             |    AND (q.n_events > p.n_events OR q.val_c > p.val_c))""".stripMargin)),
 
     // --------------------------------- grouped Pearson correlation
     // Per-nation correlation between a customer's balance (exact cents)

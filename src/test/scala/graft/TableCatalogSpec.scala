@@ -159,6 +159,22 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.currentVersion("snap_t") === Some(vs.max))
   }
 
+  test("readVersion: time travel to the previous snapshot; pruned/unknown " +
+      "versions fail loudly") {
+    val root = java.nio.file.Files.createTempDirectory("cat-tt")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.replaceAtomic("tt", Seq((1L, "old")).toDF("k", "s"))
+    cat.replaceAtomic("tt", Seq((1L, "new"), (2L, "added")).toDF("k", "s"))
+    assert(cat.versions("tt") === Seq(1L, 2L))
+    assert(cat.readVersion("tt", 1L).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet === Set((1L, "old")))
+    assert(cat.readVersion("tt", 2L).count() === 2L)
+    // current read still resolves the committed pointer
+    assert(cat.read("tt").count() === 2L)
+    val e = intercept[IllegalArgumentException](cat.readVersion("tt", 9L))
+    assert(e.getMessage.contains("retained"))
+  }
+
   test("replaceAtomic: aged-out snapshots prune, the previous one survives " +
       "regardless of age") {
     val root = java.nio.file.Files.createTempDirectory("cat-snap-ret")
