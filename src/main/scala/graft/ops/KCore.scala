@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition — the maximal subgraph in which every vertex
+  * keeps degree ≥ k. The standard iterative peel: drop vertices whose
+  * current degree is below k, discard edges touching them, repeat until
+  * a fixpoint (dropping one vertex can push its neighbors below k, so
+  * the cascade must re-run). The k-core is the usual "dense interaction
+  * backbone" extract — spam rings, power-user communities — and the
+  * degeneracy preprocessing step for heavier graph ops.
+  *
+  * Scale shape, same discipline as [[PageRank]]/[[Dedup.components]]:
+  * each round is one groupBy(degree) + two semi joins on the edge list
+  * — all key-partitioned shuffles, nothing driver-side except the
+  * fixpoint counter; every round localCheckpoints so the plan stays one
+  * round deep instead of growing by three joins per round. Rounds are
+  * data-bounded (each non-final round removes ≥1 vertex); `maxRounds`
+  * caps the worst case, and the deterministic round structure is what
+  * lets the DuckDB oracle replay the peel round by round.
+  */
+object KCore {
+
+  /** Symmetrize a directed edge list: both directions, self-loops
+    * dropped, duplicates collapsed — so degree = outgoing count. */
+  def symmetrize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Peel `edges` (symmetric form, see [[symmetrize]]) to the k-core;
+    * returns surviving vertices with their in-core degree. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var n = e.count()
+    var rounds = 0
+    var done = n == 0
+    while (!done && rounds < maxRounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      val e2 = e
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      done = n2 == n
+      e = e2; n = n2; rounds += 1
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+}

@@ -168,4 +168,59 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
+
+  /** Referential-integrity audit — one row per declared relationship:
+    * (rel, n_child, n_orphan, orphan_e6). A warehouse ingesting
+    * independent feeds checks FK closure BEFORE joins silently drop
+    * rows (an inner join "loses" orphans with no error — this surfaces
+    * them as a number a gate can threshold on). One pass per
+    * relationship: left join child FKs against the distinct parent
+    * keys and count the misses map-side — the parent key set ships
+    * compressed through the join's shuffle, never the child payload.
+    * NULL FKs count as orphans (a NULL never joins — exactly the
+    * silent-drop case the audit exists to catch). */
+  def refIntegrity(child: DataFrame, fkCol: String,
+                   parent: DataFrame, pkCol: String, rel: String): DataFrame =
+    child.select(col(fkCol).as("fk"))
+      .join(parent.select(col(pkCol).as("fk")).distinct()
+          .withColumn("_hit", lit(1)),
+        Seq("fk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+      .select(lit(rel).as("rel"), col("n_child"), col("n_orphan"),
+        // empty-child guard: 0/0 is NaN and ANSI floor(..).cast throws
+        when(col("n_child") > 0,
+          floor(lit(1000000.0d) * col("n_orphan") / col("n_child"))
+            .cast("long")).as("orphan_e6"))
+
+  /** EXACT join-size prediction without running the join — the planning
+    * probe behind "can this join be materialized at all": inner-join
+    * cardinality = Σ over matching keys of cntL·cntR, computed on the
+    * per-key COUNT frames (one row per distinct key), so the heavy
+    * tables are touched once each for a count-by-key and the final join
+    * is distinct-keys × distinct-keys — free next to the join being
+    * sized, and exact where sketch-based estimates can be off by the
+    * very skew factor one is probing for. Output also carries the
+    * distinct-key overlap and the max single-key contribution (the
+    * skew share AQE would have to split). NULL keys are excluded on
+    * both sides — an inner equi-join can never match them. */
+  def joinCardinality(left: DataFrame, lKey: String,
+                      right: DataFrame, rKey: String): DataFrame = {
+    val a = left.filter(col(lKey).isNotNull)
+      .groupBy(col(lKey).as("k")).agg(count(lit(1)).as("cl"))
+    val b = right.filter(col(rKey).isNotNull)
+      .groupBy(col(rKey).as("k")).agg(count(lit(1)).as("cr"))
+    a.join(b, Seq("k"), "full")
+      .agg(
+        sum(coalesce(col("cl"), lit(0L))).as("n_left"),
+        sum(coalesce(col("cr"), lit(0L))).as("n_right"),
+        sum(when(col("cl").isNotNull, 1L).otherwise(0L)).as("keys_left"),
+        sum(when(col("cr").isNotNull, 1L).otherwise(0L)).as("keys_right"),
+        sum(when(col("cl").isNotNull && col("cr").isNotNull, 1L)
+          .otherwise(0L)).as("keys_common"),
+        sum(when(col("cl").isNotNull && col("cr").isNotNull,
+          col("cl") * col("cr")).otherwise(0L)).as("join_rows"),
+        max(when(col("cl").isNotNull && col("cr").isNotNull,
+          col("cl") * col("cr"))).as("max_key_rows"))
+  }
 }

@@ -312,6 +312,43 @@ object TestdataQueries {
       s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " | ", ")")
 
+  /** The k-core peel unrolled as chained DuckDB CTEs: round i derives
+    * degrees from e{i-1}, keeps vertices with deg ≥ k, and filters
+    * edges to kept endpoints — the same rounds KCore.kcore runs (peel
+    * is monotone: at fixpoint further rounds are identities).
+    * MATERIALIZED is load-bearing: each round references the previous
+    * CTE twice, so inlining doubles the join tree per round — 2^rounds
+    * plan blowup (measured: the inlined form never finishes at 8
+    * rounds; materialized runs in ~1 s). */
+  private def kcorePeelSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT src AS id FROM e${i - 1} GROUP BY 1
+         |  HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN n$i a ON e.src = a.id JOIN n$i b ON e.dst = b.id)""".stripMargin
+    }.mkString(",\n")
+
+  /** The Hilbert xy2d bit walk as chained DuckDB CTEs over (hx, hy,
+    * hd), top level first — the same `bits` projection steps
+    * Hilbert.withHilbert builds (quadrant digit + frame rotation per
+    * level). Each CTE is referenced exactly once, so no MATERIALIZED is
+    * needed — the chain stays linear. `keep` = payload columns carried
+    * through. */
+  private def hilbertSql(bits: Int, keep: String): String =
+    (bits - 1 to 0 by -1).map { level =>
+      val s = 1L << level
+      val j = bits - level // h1 is the first step after h0
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      val x1 = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - hx ELSE hx END)"
+      val y1 = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN ${s - 1} - hy ELSE hy END)"
+      s"""h$j AS (SELECT $keep,
+         |  CASE WHEN $ry = 0 THEN $y1 ELSE $x1 END AS hx,
+         |  CASE WHEN $ry = 0 THEN $x1 ELSE $y1 END AS hy,
+         |  hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+         |  FROM h${j - 1})""".stripMargin
+    }.mkString(",\n")
+
   /** The n-column Morton interleave as literal DuckDB SQL over
     * `z0..z{n-1}` — the same n·bits shift/mask terms ZOrder.zValueN
     * builds as Columns (bit i of dim j → position n·i+j). */
@@ -1044,6 +1081,73 @@ object TestdataQueries {
              |    sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) / count(*))
              |    AS BIGINT) AS oov_e6
              |FROM j GROUP BY 1""".stripMargin)),
+
+    // -------------------------------------------- k-core decomposition
+    // The 5-core of the order–supplier bipartite graph from lineitem
+    // (supplier node ids offset into their own range): iterative peel —
+    // drop vertices with degree < 5, discard their edges, repeat until
+    // fixpoint — KCore.kcore runs the cascade with per-round
+    // localCheckpoints; the oracle unrolls the same rounds as chained
+    // CTEs (peeling is monotone, so once both engines reach fixpoint
+    // extra unrolled rounds are no-ops and the hash can't drift).
+    "x_kcore" -> (((s: SparkSession, dir: String) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("src"),
+          (col("l_suppkey") + lit(100000000L)).as("dst"))
+        .distinct()
+      graft.ops.KCore.kcore(
+        graft.ops.KCore.symmetrize(edges, "src", "dst"), k = 5,
+        maxRounds = 8)
+    }),
+      Some(s"""WITH d AS (SELECT DISTINCT l_orderkey AS src,
+             |    l_suppkey + 100000000 AS dst FROM lineitem),
+             |e0 AS MATERIALIZED (SELECT src, dst FROM d
+             |  UNION SELECT dst AS src, src AS dst FROM d),
+             |${kcorePeelSql(5, 8)}
+             |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+             |FROM e8 GROUP BY 1""".stripMargin)),
+
+    // --------------------------------------- referential-integrity audit
+    // FK-closure audit (Profile.refIntegrity): orphan counts per
+    // declared relationship, with orphans manufactured deterministically
+    // by auditing against FILTERED parents — the real tables are clean,
+    // and an audit that can only ever print zero proves nothing.
+    "x_ri_audit" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.Profile
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      Profile.refIntegrity(orders, "o_custkey",
+          t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0),
+          "c_custkey", "orders->customer")
+        .unionByName(Profile.refIntegrity(li, "l_suppkey",
+          t(s, dir, "supplier").filter(col("s_suppkey") % 5 =!= 0),
+          "s_suppkey", "lineitem->supplier"))
+        .unionByName(Profile.refIntegrity(li, "l_orderkey",
+          orders, "o_orderkey", "lineitem->orders"))
+    }),
+      Some("""WITH rels AS (
+             |  SELECT 'orders->customer' AS rel, o_custkey AS fk FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem->supplier', l_suppkey FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem->orders', l_orderkey FROM lineitem),
+             |pks AS (
+             |  SELECT 'orders->customer' AS rel, c_custkey AS pk
+             |    FROM customer WHERE c_custkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'lineitem->supplier', s_suppkey FROM supplier
+             |    WHERE s_suppkey % 5 <> 0
+             |  UNION ALL
+             |  SELECT 'lineitem->orders', o_orderkey FROM orders)
+             |SELECT r.rel, CAST(count(*) AS BIGINT) AS n_child,
+             |  CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_orphan,
+             |  CAST(floor(1000000.0 *
+             |    sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) / count(*))
+             |    AS BIGINT) AS orphan_e6
+             |FROM rels r LEFT JOIN (SELECT DISTINCT rel, pk FROM pks) p
+             |  ON r.rel = p.rel AND r.fk = p.pk
+             |GROUP BY 1""".stripMargin)),
 
     // --------------------------------------- skyline (Pareto frontier)
     // Per-user activity points (event count, summed value cents); the
@@ -2144,6 +2248,105 @@ object TestdataQueries {
              |SELECT event_id, z0, z1, z2,
              |  ${interleaveNdSql(3, 10)} AS z
              |FROM sc""".stripMargin)),
+
+    // ------------------------------------------- Hilbert-curve layout
+    // ZOrder's sibling with true locality (consecutive curve positions
+    // are grid neighbors — HilbertSpec pins the adjacency property
+    // Morton lacks). Same integral min-max scaling as x_zorder, then
+    // the xy2d bit walk; the oracle replays every rotation level as a
+    // chained CTE.
+    "x_hilbert" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("user_id").as("uid"), unix_timestamp(col("ts")).as("es"))
+      graft.ops.Hilbert.withH(ev, "uid", "es", bits = 10)
+        .select(col("event_id"), col("zx"), col("zy"), col("h"))
+    }),
+      Some(s"""WITH e AS (SELECT event_id, user_id AS uid,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+             |b AS (SELECT min(uid) AS xmin, max(uid) AS xmax,
+             |    min(es) AS ymin, max(es) AS ymax FROM e),
+             |h0 AS (SELECT event_id,
+             |    (uid - xmin) // ((xmax - xmin) // 1024 + 1) AS hx,
+             |    (es - ymin) // ((ymax - ymin) // 1024 + 1) AS hy,
+             |    CAST(0 AS BIGINT) AS hd
+             |  FROM e CROSS JOIN b),
+             |hs AS (SELECT event_id, hx AS zx, hy AS zy FROM h0),
+             |${hilbertSql(10, "event_id")}
+             |SELECT hs.event_id, hs.zx, hs.zy, h10.hd AS h
+             |FROM hs JOIN h10 ON hs.event_id = h10.event_id""".stripMargin)),
+
+    // -------------------------------------------- join-size prediction
+    // Exact inner-join cardinality WITHOUT running the join
+    // (Profile.joinCardinality): per-key count frames joined on the
+    // distinct keys — Σ cntL·cntR plus overlap and max-single-key
+    // stats, the numbers that decide broadcast vs salt vs AQE before a
+    // 100 TB join is launched. Orders deliberately filtered to make
+    // left/right key sets differ.
+    "x_join_cardinality" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Profile.joinCardinality(
+        t(s, dir, "orders").filter(col("o_orderkey") % 4 =!= 0), "o_custkey",
+        t(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0), "c_custkey")),
+      Some("""WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cl
+             |    FROM orders WHERE o_orderkey % 4 <> 0 AND o_custkey IS NOT NULL
+             |    GROUP BY 1),
+             |b AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cr
+             |    FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey IS NOT NULL
+             |    GROUP BY 1)
+             |SELECT CAST(sum(coalesce(cl, 0)) AS BIGINT) AS n_left,
+             |  CAST(sum(coalesce(cr, 0)) AS BIGINT) AS n_right,
+             |  CAST(sum(CASE WHEN cl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS keys_left,
+             |  CAST(sum(CASE WHEN cr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS keys_right,
+             |  CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1
+             |    ELSE 0 END) AS BIGINT) AS keys_common,
+             |  CAST(sum(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+             |    THEN cl * cr ELSE 0 END) AS BIGINT) AS join_rows,
+             |  CAST(max(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+             |    THEN cl * cr END) AS BIGINT) AS max_key_rows
+             |FROM a FULL JOIN b USING (k)""".stripMargin)),
+
+    // ------------------------------------------------ bitemporal read
+    // Valid time × transaction time, composed from machinery the
+    // catalog already has: per-customer valid-time intervals derived
+    // from their order history (lead window), committed TWICE via
+    // replaceAtomic (v2 = a correction dropping every third order),
+    // then the question a regulated reprocess actually asks — "what
+    // did we BELIEVE (tx version 1) was true AS OF valid date D?" —
+    // answered by readVersion(1) + the interval as-of filter. The
+    // oracle re-derives tx-version 1 from source, so a reader that
+    // silently resolves the CURRENT version fails the hash (v2's
+    // dropped orders shift interval boundaries).
+    "x_bitemporal" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_bt", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      def dim(src: DataFrame): DataFrame = src
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("effective_from"),
+          cents(col("o_totalprice")).as("price_c"), col("o_orderkey"))
+        .withColumn("effective_to",
+          coalesce(lead(col("effective_from"), 1).over(
+            Window.partitionBy(col("k"))
+              .orderBy(col("effective_from"), col("o_orderkey"))),
+            lit(java.sql.Timestamp.valueOf("9999-12-31 00:00:00"))))
+        .drop("o_orderkey")
+      val orders = t(s, dir, "orders")
+      cat.replaceAtomic("dim_bt", dim(orders))
+      cat.replaceAtomic("dim_bt", dim(orders.filter(col("o_orderkey") % 3 =!= 0)))
+      val asOf = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      cat.readVersion("dim_bt", 1L)
+        .filter(col("effective_from") <= asOf && asOf < col("effective_to"))
+        .select(col("k"), col("effective_from"), col("price_c"))
+    }),
+      Some("""WITH d AS (SELECT o_custkey AS k, o_orderdate AS effective_from,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             |    coalesce(lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey),
+             |      TIMESTAMP '9999-12-31 00:00:00') AS effective_to
+             |  FROM orders)
+             |SELECT k, effective_from, price_c FROM d
+             |WHERE effective_from <= TIMESTAMP '1998-01-01 00:00:00'
+             |  AND TIMESTAMP '1998-01-01 00:00:00' < effective_to""".stripMargin)),
 
     // ------------------------------- manifest-pruned read (data skipping)
     // The z-order payoff END TO END through the catalog's PERSISTED

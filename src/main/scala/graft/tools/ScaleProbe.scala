@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
   * (dimension tables `region`/`nation` stay as-is, and `*_nationkey` /
   * `*_regionkey` columns keep referencing them). Entity keys shift by
   * copy·OFFSET so every copy joins within itself exactly like the
-  * original; document text gets a per-copy suffix so near-dup/LSH
-  * regimes keep their density instead of degenerating into 10-way
-  * exact-dup cliques.
+  * original. Crucially the probe scales EXTENT, not DENSITY — a first
+  * attempt that replicated rows verbatim measured workload quadratics,
+  * not the engine (10× events in the same time range = 100× interval-
+  * join pair work; 10 near-identical copies of each doc = 10-cliques in
+  * every near-dup graph):
+  *   - event timestamps shift by copy·span, so per-hour density — what
+  *     interval/sessionize/velocity costs actually key on — is
+  *     constant while history grows 10×;
+  *   - document copies keep their token MULTISET but get a per-copy
+  *     hash-shuffled word order, so token stats stay realistic while
+  *     shingle sets differ — near-dup density per doc stays that of
+  *     the original corpus instead of growing with `copies`.
   */
 object ScaleProbe {
   private val Offset = 1000000000L
@@ -27,15 +36,36 @@ object ScaleProbe {
     "l_orderkey", "l_partkey", "l_suppkey",
     "event_id", "user_id", "doc_id", "vec_id")
 
-  def scaleTable(df: DataFrame, copies: Int, withTextTag: Boolean): DataFrame =
+  def scaleTable(df: DataFrame, copies: Int, name: String): DataFrame = {
+    // event-time span (nanos-long form) for per-copy time shifting
+    val tsSpan: Long =
+      if (name == "events") {
+        val r = df.agg(min(col("ts")), max(col("ts"))).head()
+        r.getLong(1) - r.getLong(0) + 86400L * 1000000000L
+      } else 0L
     (0 until copies).map { i =>
       val shifted = df.columns.foldLeft(df) { (acc, c) =>
         if (shiftCols(c)) acc.withColumn(c, col(c) + lit(i * Offset)) else acc
       }
-      if (withTextTag && i > 0)
-        shifted.withColumn("text", concat(col("text"), lit(s" c$i")))
-      else shifted
+      val timed =
+        if (name == "events" && i > 0)
+          shifted.withColumn("ts", col("ts") + lit(i * tsSpan))
+        else shifted
+      if (name == "documents" && i > 0)
+        // vocabulary-disjoint ISOMORPHIC copy: every word carries a
+        // copy suffix — word order, token frequencies (the Zipf shape
+        // frequency-based pruning keys on) and within-copy near-dup
+        // structure are preserved exactly, while copies share no
+        // shingles. Rejected alternatives, both measured: verbatim
+        // copies create 10-cliques in every near-dup graph (quadratic
+        // pair work), and hash-shuffled word order flattens the shingle
+        // distribution and degenerates prefix/maxDocFreq pruning.
+        timed.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(i.toString))), " "))
+      else timed
     }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -72,8 +102,7 @@ object ScaleProbe {
       }
       scaled.foreach { n =>
         val df = spark.read.parquet(s"$srcDir/$n.parquet")
-        scaleTable(df, copies, withTextTag = n == "documents")
-          .write.parquet(s"$dstDir/$n.parquet")
+        scaleTable(df, copies, n).write.parquet(s"$dstDir/$n.parquet")
       }
       // nanosAsLong turned ts into a LONG of nanos on write; the t()
       // reader expects TIMESTAMP(NANOS) or the nanos-long form — it

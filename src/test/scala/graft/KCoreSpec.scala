@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.KCore
+
+/** Peel semantics: cascades (removals triggering removals), golden
+  * cores on known graphs, and symmetrize hygiene. */
+class KCoreSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    KCore.kcore(KCore.symmetrize(edges.toDF("src", "dst"), "src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle plus pendant: 2-core is the triangle, pendant peels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(core(edges, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("chain cascade: removing the tail unravels the whole path") {
+    // path 1-2-3-4-5: every 2-core round peels both current endpoints
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(edges, 2) === Map.empty)
+    // k=1 keeps everything with its degree
+    assert(core(edges, 1) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("clique survives at k = size-1; maxRounds caps the cascade") {
+    val clique = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val got = core(clique, 4)
+    assert(got === (1L to 5L).map(_ -> 4L).toMap)
+    // a long path under a tiny round cap: deterministic partial peel
+    // (each round removes the two current endpoints)
+    val path = (1L until 20L).map(i => (i, i + 1))
+    val partial = KCore.kcore(
+      KCore.symmetrize(path.toDF("src", "dst"), "src", "dst"),
+      k = 2, maxRounds = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial === (3L to 18L).toSet)
+  }
+
+  test("symmetrize drops self-loops and collapses duplicate directions") {
+    val got = KCore.symmetrize(
+      Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst"),
+      "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+}
