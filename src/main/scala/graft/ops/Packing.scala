@@ -42,9 +42,17 @@ object Packing {
     * tie-breaker). */
   def withPrefixSum(df: DataFrame, orderCols: Seq[String], value: Column,
                     outCol: String, numPartitions: Int = 64): DataFrame = {
+    // The eager localCheckpoint pins ONE sampled range partitioning:
+    // `keyed` feeds both the offsets aggregate and the final join, and
+    // RangePartitioner draws its boundary sample with an RDD-id-derived
+    // seed — two independent executions of the exchange can place
+    // boundary-adjacent rows in different partitions, misaligning every
+    // offset after the first divergence (caught at sf0.1: exchange
+    // reuse usually hides this, but it is not guaranteed).
     val keyed = df.withColumn("_v", value)
       .repartitionByRange(numPartitions, orderCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = keyed.groupBy(col("_pid"))
       .agg(sum(col("_v")).as("_ptot"))
       .withColumn("_poff", coalesce(

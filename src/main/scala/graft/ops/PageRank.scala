@@ -64,4 +64,52 @@ object PageRank {
     }
     pr.select(col("id"), col("pr").as("pr_e12"))
   }
+
+  /** Personalized PageRank: identical damped power iteration, but ALL
+    * teleport mass returns to `seeds` instead of spreading uniformly —
+    * rank becomes proximity to the seed set (the "more like these"
+    * expansion query: trusted-domain seeding in corpus curation,
+    * account-ring expansion in fraud). Init mass and the 15% restart
+    * both split `div nSeeds` across seeds only; everything else —
+    * exact int64 fixed-point, per-round localCheckpoint, (node, long)
+    * shuffles — is [[run]]. Non-seed nodes with no inflow hold rank 0.
+    * `seeds` must be a subset of the graph's nodes (ids not in the
+    * graph are counted in nSeeds but their mass escapes the graph). */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: DataFrame, seedCol: String,
+                      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct().localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nSeeds = sd.count()
+    if (nSeeds == 0L) return nodes.withColumn("pr_e12", lit(0L))
+    val seeded = nodes.join(sd.withColumn("_s", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_s").isNotNull, lit((Scale * 15L / 100L) / nSeeds))
+          .otherwise(lit(0L)).as("base"),
+        when(col("_s").isNotNull, lit(Scale / nSeeds))
+          .otherwise(lit(0L)).as("pr"))
+      .localCheckpoint(true)
+    var pr = seeded.select(col("id"), col("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(pr, e("src") === pr("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), intDiv(col("pr"), col("deg")).as("c"))
+      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      pr = seeded.join(inSum, seeded("id") === inSum("dst"), "left")
+        .select(col("id"),
+          (col("base") + intDiv(lit(85L) * coalesce(col("m"), lit(0L)), lit(100L)))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id"), col("pr").as("pr_e12"))
+  }
 }

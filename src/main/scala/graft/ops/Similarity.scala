@@ -111,6 +111,48 @@ object Similarity {
         sum(floor(col("_v").cast("double") * 1e6).cast("long")).as("sum_e6"))
       .withColumn("mean_e6", intDiv(col("sum_e6"), col("n_vecs")))
 
+  /** Centroid silhouette on SQUARED distances — the clustering-quality
+    * score per point: a² = squared distance to the own-label centroid,
+    * b² = min squared distance to any other label's centroid,
+    * s = (b² − a²) / max(a², b²) in [−1, 1], projected to e6.
+    * (The classic all-pairs silhouette is O(n²); the centroid variant
+    * is the standard scale substitute and one relational pass here.)
+    *
+    * Exactness discipline: elements quantize to `floor(v·2¹²)` int64
+    * (a POWER-OF-TWO scale, so the float→int step itself is exact, not
+    * rounded), centroids stay as (Σq, n) integer rationals, and the
+    * per-dim terms (q·n − Σq)² are exact int64 summed relationally —
+    * integer addition is order-independent, so no partitioning can
+    * move the result. Only the final a²/b² division and the s ratio
+    * promote to double — one exactly-rounded expression written
+    * identically in the oracle. The per-point-per-label work is
+    * |points|·dims·|labels| rows of (long, long) — shuffles carry dim
+    * terms, never vectors, and labels are the only fan-out factor. */
+  def silhouetteE6(embs: DataFrame, idCol: String, labelCol: String,
+                   vecCol: String): DataFrame = {
+    val dims = embs.select(col(idCol).as("_id"), col(labelCol).as("_own"),
+        posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .withColumn("q", floor(col("_v").cast("double") * 4096).cast("long"))
+    val cent = dims.groupBy(col("_own").as("_lbl"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val terms = dims.join(cent, Seq("pos"))
+      .select(col("_id"), col("_own"), col("_lbl"),
+        (col("q") * col("n") - col("s")).as("t"), col("n"))
+    val d2 = terms.groupBy(col("_id"), col("_own"), col("_lbl"), col("n"))
+      .agg(sum(col("t") * col("t")).as("num"))
+      .withColumn("d2",
+        col("num").cast("double") / (col("n") * col("n")).cast("double"))
+    d2.groupBy(col("_id").as(idCol), col("_own").as(labelCol))
+      .agg(min(when(col("_lbl") === col("_own"), col("d2"))).as("a2"),
+        min(when(col("_lbl") =!= col("_own"), col("d2"))).as("b2"))
+      .withColumn("s_e6",
+        when(col("b2").isNull || (col("a2") === 0d && col("b2") === 0d),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0d) * (col("b2") - col("a2")) /
+            greatest(col("a2"), col("b2"))).cast("long")))
+      .select(col(idCol), col(labelCol), col("s_e6"))
+  }
+
   /** LSH-pruned top-k: score only vectors in the query's bucket. With
     * `probes > 1`, also search buckets at hamming distance 1 (multi-probe)
     * to trade recall for scan size. */

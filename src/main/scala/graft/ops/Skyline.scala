@@ -29,9 +29,12 @@ object Skyline {
   private def withPrefixMaxDesc(df: DataFrame, orderCol: String,
                                 value: Column, outCol: String,
                                 numPartitions: Int): DataFrame = {
+    // eager checkpoint pins one sampled range partitioning for both
+    // consumers of `keyed` — see Packing.withPrefixSum's note
     val keyed = df.withColumn("_v", value)
       .repartitionByRange(numPartitions, col(orderCol).desc)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = keyed.groupBy(col("_pid"))
       .agg(max(col("_v")).as("_ptot"))
       .withColumn("_poff",

@@ -305,6 +305,22 @@ object TestdataQueries {
          |  FROM nodes CROSS JOIN nn LEFT JOIN s$i ON s$i.dst = nodes.id)""".stripMargin
     }.mkString(",\n")
 
+  /** Personalized-PageRank rounds: [[pagerankRoundsSql]] with the
+    * teleport term restricted to the seed set (`seedPred` over
+    * nodes.id, mass split `// ns.n` across seeds) — replaying
+    * ops.PageRank.runPersonalized's int64 arithmetic bit-for-bit. */
+  private def pprRoundsSql(iterations: Int, seedPred: String): String =
+    (1 to iterations).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""c$i AS (SELECT e.dst, p.pr // d.deg AS c
+         |  FROM e JOIN $prev p ON e.src = p.id JOIN deg d ON d.src = e.src),
+         |s$i AS (SELECT dst, CAST(sum(c) AS BIGINT) AS m FROM c$i GROUP BY dst),
+         |p$i AS (SELECT nodes.id,
+         |    CASE WHEN $seedPred THEN 150000000000 // ns.n ELSE 0 END
+         |      + (85 * coalesce(s$i.m, 0)) // 100 AS pr
+         |  FROM nodes CROSS JOIN ns LEFT JOIN s$i ON s$i.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+
   /** The 16-bit Morton interleave as literal DuckDB SQL over `zx`/`zy` —
     * the same 32 shift/mask terms ZOrder.zValue builds as Columns. */
   private def interleave16Sql: String =
@@ -4423,6 +4439,68 @@ object TestdataQueries {
              |p0 AS (SELECT id, 1000000000000 // n AS pr FROM nodes CROSS JOIN nn),
              |${pagerankRoundsSql(3)}
              |SELECT id, pr AS pr_e12 FROM p3""".stripMargin)),
+
+    // ------------------------------------- personalized PageRank
+    // Same graph and fixed-point arithmetic as x_pagerank, but ALL
+    // teleport mass returns to the seed set (custkeys % 50 = 0) —
+    // rank becomes proximity to the seeds ("more like these" corpus
+    // expansion / account-ring spread). Non-seed sources hold 0 until
+    // inflow reaches them, so the oracle catches any drift in the
+    // restricted restart.
+    "x_ppr" -> (((s: SparkSession, dir: String) => {
+      val e = t(s, dir, "orders").select(col("o_custkey").as("src"),
+        (col("o_orderkey") % 500).as("dst"))
+      val seeds = t(s, dir, "orders")
+        .select(col("o_custkey").as("id"))
+        .filter(col("id") % 50 === 0).distinct()
+      graft.ops.PageRank.runPersonalized(e, "src", "dst", seeds, "id",
+        iterations = 3)
+    }),
+      Some(s"""WITH e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % 500 AS dst
+             |    FROM orders),
+             |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+             |sd AS (SELECT DISTINCT o_custkey AS id FROM orders
+             |  WHERE o_custkey % 50 = 0),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sd),
+             |p0 AS (SELECT nodes.id,
+             |    CASE WHEN nodes.id IN (SELECT id FROM sd)
+             |      THEN 1000000000000 // ns.n ELSE 0 END AS pr
+             |  FROM nodes CROSS JOIN ns),
+             |${pprRoundsSql(3, "nodes.id IN (SELECT id FROM sd)")}
+             |SELECT id, pr AS pr_e12 FROM p3""".stripMargin)),
+
+    // --------------------------------------- silhouette (cluster QA)
+    // Centroid silhouette on squared distances over the labeled
+    // embeddings — the clustering-quality score per vector, exact
+    // int64 end to end (power-of-two quantization, integer centroid
+    // rationals, (q·n − Σq)² terms) with one identically-written
+    // double projection at the end.
+    "x_silhouette" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Similarity.silhouetteE6(t(s, dir, "embeddings"),
+        "vec_id", "label", "embedding")),
+      Some("""WITH dims AS (SELECT vec_id, label AS own,
+             |    generate_subscripts(embedding, 1) AS pos,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 4096)
+             |      AS BIGINT) AS q
+             |  FROM embeddings),
+             |cent AS (SELECT own AS lbl, pos, CAST(sum(q) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM dims GROUP BY 1, 2),
+             |d2 AS (SELECT vec_id, own, lbl, n,
+             |    CAST(sum((q * n - s) * (q * n - s)) AS BIGINT) AS num
+             |  FROM dims JOIN cent USING (pos) GROUP BY 1, 2, 3, 4),
+             |ab AS (SELECT vec_id, own AS label,
+             |    min(CASE WHEN lbl = own
+             |      THEN CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) END) AS a2,
+             |    min(CASE WHEN lbl <> own
+             |      THEN CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) END) AS b2
+             |  FROM d2 GROUP BY 1, 2)
+             |SELECT vec_id, label,
+             |  CASE WHEN b2 IS NULL OR (a2 = 0 AND b2 = 0) THEN NULL
+             |    ELSE CAST(floor(1000000.0 * (b2 - a2) / greatest(a2, b2))
+             |      AS BIGINT) END AS s_e6
+             |FROM ab""".stripMargin)),
 
     // ------------------------------- exact k-per-group deterministic sample
     // Two orders per customer, hash-ranked: the eval-set contract
