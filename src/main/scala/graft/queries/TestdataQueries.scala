@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Scd2
-import graft.ops.{AsOfJoin, Dedup, FuzzyJoin, SetJoin, Similarity, TextAnalysis}
+import graft.ops.{intDiv, AsOfJoin, Dedup, FuzzyJoin, SetJoin, Similarity, TextAnalysis}
 import graft.rules.FraudRules
 import scala.jdk.CollectionConverters._
 
@@ -4501,6 +4501,90 @@ object TestdataQueries {
              |    ELSE CAST(floor(1000000.0 * (b2 - a2) / greatest(a2, b2))
              |      AS BIGINT) END AS s_e6
              |FROM ab""".stripMargin)),
+
+    // ------------------------------------ rendezvous (consistent) sharding
+    // Highest-random-weight routing of customers to 8 shards: argmax
+    // over salted portable hashes, a pure zero-shuffle expression
+    // (Shard.rendezvousShard). The oracle refolds every salted hash
+    // and replays the argmax relationally (QUALIFY over hash DESC,
+    // shard ASC), so a drift in the salt format, the fold, or the tie
+    // order moves assignments and fails the hash.
+    "x_shard" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Shard.withShard(
+        t(s, dir, "customer").select(col("c_custkey")), "c_custkey", 8)),
+      Some(s"""WITH ks AS (SELECT c_custkey,
+             |    unnest(generate_series(0, 7)) AS sh FROM customer),
+             |h AS (SELECT c_custkey, sh,
+             |    ${portableHashSql("CAST(c_custkey AS VARCHAR) || ':' || CAST(sh AS VARCHAR)")} AS hv
+             |  FROM ks)
+             |SELECT c_custkey, CAST(sh AS BIGINT) AS shard FROM h
+             |QUALIFY row_number() OVER (PARTITION BY c_custkey
+             |  ORDER BY hv DESC, sh ASC) = 1""".stripMargin)),
+
+    // ------------------------------------------------ mode per group
+    // Modal event type per user with the deterministic tie order every
+    // grouped-mode needs (count DESC, value ASC) — one count aggregate
+    // + one bounded per-user window, never a global sort.
+    "x_mode" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "events").groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("event_type").asc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))),
+      Some("""SELECT user_id, event_type AS mode_type,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM events GROUP BY user_id, event_type
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY count(*) DESC, event_type ASC) = 1""".stripMargin)),
+
+    // --------------------------------------- quantile normalization
+    // Map each nation's balance distribution onto the GLOBAL balance
+    // distribution (the cross-batch feature-alignment transform):
+    // per-group rank q of n maps to global position
+    // floor((q−1)·(N−1)/(n−1))+1, whose global order statistic is the
+    // normalized value. Both ranks ride the two-phase distributed
+    // prefix sum (Packing.withGlobalRank) — integer-exact end to end,
+    // so the oracle's window replay matches bit-for-bit. Singleton
+    // groups pin to the global median position.
+    "x_quantile_norm" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.Packing
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        cents(col("c_acctbal")).as("bal_c"))
+      val g = Packing.withGlobalRank(cust, Seq("bal_c", "c_custkey"), "gpos")
+        .localCheckpoint(true)
+      val n = g.count()
+      val grouped = g.withColumn("q", row_number().over(
+          Window.partitionBy(col("nation"))
+            .orderBy(col("bal_c"), col("c_custkey"))))
+        .withColumn("gn", count(lit(1)).over(Window.partitionBy(col("nation"))))
+      val withTarget = grouped.withColumn("tpos",
+        when(col("gn") === 1, lit((n - 1) / 2 + 1))
+          .otherwise(intDiv((col("q") - 1) * lit(n - 1), col("gn") - 1) + 1))
+      withTarget.join(
+          g.select(col("gpos").as("tpos"), col("bal_c").as("norm_c")),
+          Seq("tpos"))
+        .select(col("c_custkey"), col("nation"), col("bal_c"), col("norm_c"))
+    }),
+      Some("""WITH c AS (SELECT c_custkey,
+             |    CAST(c_nationkey AS BIGINT) AS nation,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+             |  FROM customer),
+             |g AS (SELECT *, CAST(row_number() OVER (ORDER BY bal_c, c_custkey)
+             |      AS BIGINT) AS gpos,
+             |    CAST(count(*) OVER () AS BIGINT) AS nn,
+             |    CAST(row_number() OVER (PARTITION BY nation
+             |      ORDER BY bal_c, c_custkey) AS BIGINT) AS q,
+             |    CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS gn
+             |  FROM c),
+             |tt AS (SELECT c_custkey, nation, bal_c,
+             |    CASE WHEN gn = 1 THEN (nn - 1) // 2 + 1
+             |      ELSE ((q - 1) * (nn - 1)) // (gn - 1) + 1 END AS tpos
+             |  FROM g)
+             |SELECT tt.c_custkey, tt.nation, tt.bal_c, g.bal_c AS norm_c
+             |FROM tt JOIN g ON g.gpos = tt.tpos""".stripMargin)),
 
     // ------------------------------- exact k-per-group deterministic sample
     // Two orders per customer, hash-ranked: the eval-set contract
