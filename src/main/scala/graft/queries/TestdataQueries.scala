@@ -786,6 +786,49 @@ object TestdataQueries {
              |  columns = {'terminal': 'VARCHAR', 'name': 'VARCHAR',
              |    'nation': 'BIGINT', 'bal_c': 'BIGINT'})""".stripMargin)),
 
+    // ------------------------------------------------ S5 JDBC source
+    // The live-database ingest path (ref main.py:65-94) under the
+    // value-level gate at last (VERDICT r5 missing #4's sibling —
+    // previously spec-only): deterministic supplier-derived rows are
+    // INSERTed into an embedded in-memory Derby over JDBC, read back
+    // through spark.read.jdbc, and the DuckDB oracle recomputes the
+    // same rows from the supplier table — so type mapping (BIGINT /
+    // VARCHAR round-trips), row completeness, and the projection all
+    // hash-check. Derby ships in Spark's jar directory; the per-SF db
+    // name keeps gate runs at different SFs independent. Production
+    // partitioned JDBC reads stay behind Sources.JdbcSourceDb.
+    "x_jdbc_source" -> (((s: SparkSession, dir: String) => {
+      val url = s"jdbc:derby:memory:graftv_${sfToken(dir)};create=true"
+      val rows = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("nation"),
+          cents(col("s_acctbal")).as("bal_c"))
+        .orderBy(col("s_suppkey")).collect()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE suppliers")
+        catch { case _: java.sql.SQLException => () } // first run: no table
+        st.execute("CREATE TABLE suppliers (k BIGINT, name VARCHAR(64), " +
+          "nation BIGINT, bal_c BIGINT)")
+        st.close()
+        val ps = conn.prepareStatement("INSERT INTO suppliers VALUES (?, ?, ?, ?)")
+        rows.foreach { r =>
+          ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+          ps.setLong(3, r.getLong(2)); ps.setLong(4, r.getLong(3))
+          ps.addBatch()
+        }
+        ps.executeBatch(); ps.close()
+      } finally conn.close()
+      s.read.jdbc(url, "suppliers", new java.util.Properties())
+        .select(col("K").as("k"), col("NAME").as("name"),
+          col("NATION").as("nation"), col("BAL_C").as("bal_c"))
+    }),
+      Some("""SELECT s_suppkey AS k, s_name AS name,
+             |  CAST(s_nationkey AS BIGINT) AS nation,
+             |  CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_c
+             |FROM supplier""".stripMargin)),
+
     // ------------------------------------------- approx distinct (HLL)
     // The at-scale replacement for exact countDistinct: Spark's
     // HyperLogLog++ sketch merges map-side (no shuffle of raw values).

@@ -45,11 +45,20 @@ class MixtureSpec extends AnyFunSuite with SparkTestSession {
   test("no whole-source sort task: the only Window over the source key is the tiny offsets frame") {
     val plan = graft.ops.Mixture.byBudget(docs, "id", "src", "cost", Seq("p"),
       Map.empty, defaultBudget = 10L).queryExecution.executedPlan.toString
-    // the data-sized cumulative must ride the range-partitioned prefix
-    // sum, and the per-source offsets must come back as a broadcast of
-    // the tiny aggregate — not a corpus-wide partition-by-source window
-    assert(plan.contains("rangepartitioning"), plan)
+    // the data-sized cumulative must ride the two-phase prefix sum, and
+    // the per-source offsets must come back as a broadcast of the tiny
+    // aggregate — not a corpus-wide partition-by-source window. Since
+    // the partition-consistency fix, the range exchange happens INSIDE
+    // the prefix sum's pinned checkpoint (the plan reads it back as an
+    // ExistingRDD scan), so the visible plan shows the checkpoint scan
+    // + the pid-local window + the broadcast — and no data-sized
+    // Window partitioned by the source column anywhere.
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("windowspecdefinition(_pid"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // a corpus-wide per-source window would show src as the window
+    // PARTITION spec: windowspecdefinition(src#N, <order>...)
+    assert(!"windowspecdefinition\\(src#\\d+,".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("cumulative is invariant to the prefix-sum partition count") {
