@@ -34,8 +34,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val p = Paths.get(path(table))
     if (!Files.exists(p)) false
     else {
+      // a writer lock alone (crashed holder that never wrote data) is
+      // not table content
       val s = Files.list(p)
-      try s.findFirst().isPresent finally s.close()
+      try s.anyMatch(f => f.getFileName.toString != "_writer.lock")
+      finally s.close()
     }
   }
 
@@ -492,7 +495,46 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * files) table is migrated on its first versioned write: its files
     * are shadowed by the pointer and then removed — the one remaining
     * legacy-reader window, paid once. */
-  def replaceAtomic(table: String, df: DataFrame): Unit = {
+  /** Cooperative single-writer lease on `table`: an atomic `_writer.lock`
+    * create guards the mutation; a crashed holder's lock goes stale
+    * after `leaseMs` and is stolen (delete + re-acquire), so an
+    * unattended daily batch never wedges on a dead predecessor. This
+    * turns the layout's documented single-writer ASSUMPTION into an
+    * enforced invariant — without it, two concurrent [[replaceAtomic]]
+    * callers compute the same next version and one commit is silently
+    * lost. Waiters poll (commits are seconds, not hot loops); waiting
+    * longer than a full lease fails loudly rather than queueing
+    * unboundedly. */
+  def withTableLock[T](table: String, leaseMs: Long = 60000L)(body: => T): T = {
+    val dir = Paths.get(path(table))
+    Files.createDirectories(dir)
+    val lock = dir.resolve("_writer.lock")
+    val deadline = System.currentTimeMillis() + leaseMs
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis > leaseMs
+            catch { case _: java.nio.file.NoSuchFileException => true }
+          if (stale) {
+            try Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+          } else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"writer lock on '$table' held past a full lease ($leaseMs ms)")
+          else Thread.sleep(50)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  def replaceAtomic(table: String, df: DataFrame): Unit =
+    withTableLock(table) { replaceAtomicLocked(table, df) }
+
+  private def replaceAtomicLocked(table: String, df: DataFrame): Unit = {
     healSwap(table)
     val cur = currentVersion(table)
     val next = cur.getOrElse(0L) + 1L
@@ -512,6 +554,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s.iterator().asScala
           .filterNot(_.getFileName.toString.startsWith("_v"))
           .filterNot(_.getFileName.toString == "_version")
+          .filterNot(_.getFileName.toString == "_writer.lock") // held by US
           .foreach(deleteRecursive)
       } finally s.close()
     }

@@ -159,6 +159,63 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.currentVersion("snap_t") === Some(vs.max))
   }
 
+  test("withTableLock: two concurrent writers serialize — every commit " +
+      "lands as its own version, none lost") {
+    val root = java.nio.file.Files.createTempDirectory("cat-lock")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    val perWriter = 5
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val ts = (1 to 2).map { w =>
+      new Thread(() => {
+        try (1 to perWriter).foreach { i =>
+          cat.replaceAtomic("locked_t",
+            Seq((w.toLong, i.toLong)).toDF("writer", "seq"))
+        } catch { case e: Throwable => failed.compareAndSet(null, e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(failed.get() === null, s"writer failed: ${failed.get()}")
+    // serialized commits: the committed version counts every write —
+    // a lost update would leave currentVersion below 2*perWriter
+    assert(cat.currentVersion("locked_t") === Some(2L * perWriter))
+    assert(cat.read("locked_t").count() === 1L)
+    // lock released
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("locked_t"), "_writer.lock")))
+  }
+
+  test("withTableLock: a stale lock from a crashed holder is stolen after " +
+      "the lease; a fresh one blocks until released") {
+    val root = java.nio.file.Files.createTempDirectory("cat-lock-stale")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    val dir = java.nio.file.Paths.get(cat.path("stale_t"))
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve("_writer.lock")
+    java.nio.file.Files.createFile(lock)
+    // age the lock past the lease
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    // steals and proceeds instead of wedging on the dead predecessor
+    cat.replaceAtomic("stale_t", Seq((1L, "x")).toDF("k", "s"))
+    assert(cat.read("stale_t").count() === 1L)
+    assert(!java.nio.file.Files.exists(lock))
+    // a LIVE holder's lock blocks the waiter until the holder releases
+    val t0 = System.currentTimeMillis()
+    var releasedAt = 0L
+    val holder = new Thread(() =>
+      cat.withTableLock("gate_t") {
+        Thread.sleep(400); releasedAt = System.currentTimeMillis()
+      })
+    holder.start()
+    Thread.sleep(100) // let the holder acquire first
+    cat.withTableLock("gate_t") {
+      assert(releasedAt > 0L, "waiter entered while holder still inside")
+    }
+    holder.join(10000)
+    assert(System.currentTimeMillis() - t0 >= 400L)
+  }
+
   test("readVersion: time travel to the previous snapshot; pruned/unknown " +
       "versions fail loudly") {
     val root = java.nio.file.Files.createTempDirectory("cat-tt")
