@@ -495,6 +495,31 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * files) table is migrated on its first versioned write: its files
     * are shadowed by the pointer and then removed — the one remaining
     * legacy-reader window, paid once. */
+  /** Atomic single-value commit marker — the lightweight cousin of
+    * [[replaceAtomic]] for ONE long of bookkeeping state (a streaming
+    * high-water mark): write-aside + atomic rename, no Spark job, no
+    * snapshot dirs. Same commit-point semantics (the rename), ~zero
+    * cost — a 1-row parquet table here pays a full write job plus
+    * snapshot retention per commit, which measurably taxes per-batch
+    * maintenance (x_stream_lsh: 12 marker commits per run). */
+  def putMarker(name: String, value: Long): Unit = {
+    val dir = Paths.get(path(name))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve("_marker.tmp")
+    Files.write(tmp, value.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("_marker"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The committed marker value, if ever put. */
+  def getMarker(name: String): Option[Long] = {
+    val f = Paths.get(path(name), "_marker")
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
   /** Cooperative single-writer lease on `table`: an atomic `_writer.lock`
     * create guards the mutation; a crashed holder's lock goes stale
     * after `leaseMs` and is stolen (delete + re-acquire), so an

@@ -166,8 +166,8 @@ object StreamingIngest {
     *     partitioned by `batch_id` and written with dynamic partition
     *     OVERWRITE, so a replayed batch rewrites its own partitions
     *     byte-for-byte instead of appending duplicates. The committed
-    *     high-water mark (`<pairsTable>__commit`, one row, swapped
-    *     atomically LAST — the [[startSketchMaintenance]] pattern) makes
+    *     high-water mark (`<pairsTable>__commit` — an atomic marker
+    *     FILE, TableCatalog.putMarker, renamed into place LAST) makes
     *     fully-committed replays skip without touching any table, and
     *     pair generation reads only the committed index prefix
     *     (`batch_id <= applied`), so a crashed attempt's orphan
@@ -198,14 +198,7 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.Dedup
         val marker = s"${pairsTable}__commit"
-        val markerSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("applied_batch",
-            org.apache.spark.sql.types.LongType)))
-        val applied = cat.readOrEmpty(marker, markerSchema)
-          .agg(max(col("applied_batch"))).head() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
+        val applied = cat.getMarker(marker).getOrElse(-1L)
         if (batchId > applied) {
           // the batch feeds pair generation, the index append and the
           // docs append — persist so a replayable source isn't re-read
@@ -253,10 +246,10 @@ object StreamingIngest {
               cat.appendPartitioned(docsTable, stamp(freshDocs), "batch_id")
               // the commit marker rides LAST: once it lands, replays of
               // this batch skip; until it lands, replays overwrite the
-              // same partitions
-              cat.replaceAtomic(marker,
-                stamp(batch.sparkSession.range(1).toDF())
-                  .select(col("batch_id").as("applied_batch")).coalesce(1))
+              // same partitions. An atomic marker FILE, not a 1-row
+              // table — same rename commit point at ~zero per-batch
+              // cost (TableCatalog.putMarker)
+              cat.putMarker(marker, batchId)
             } finally {
               if (fresh ne banded) fresh.unpersist()
               if (knownIds != null) knownIds.unpersist()

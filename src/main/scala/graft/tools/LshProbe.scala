@@ -71,9 +71,7 @@ object LshProbe {
             .withColumn("batch_id", lit(batchId.toLong)), "batch_id")
       }
       timed("marker swap") {
-        cat.replaceAtomic("pairs__commit",
-          spark.range(1).toDF().select(lit(batchId.toLong).as("applied_batch"))
-            .coalesce(1))
+        cat.putMarker("pairs__commit", batchId.toLong)
       }
       applied = batchId.toLong
       banded.unpersist(); batch.unpersist(); knownIds.unpersist(); fresh.unpersist()

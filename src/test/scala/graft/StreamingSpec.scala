@@ -274,7 +274,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("lsh_index").select(col("doc_id")).distinct().collect()
       .map(_.getLong(0)).toSet === Set(1L, 2L))
     // the marker committed the replayed batch
-    assert(cat.read("pairs__commit").head().getLong(0) === 0L)
+    assert(cat.getMarker("pairs__commit") === Some(0L))
   }
 
   test("file-source → catalog: kill, resume from checkpoint, rows equal the batch path") {
