@@ -5153,6 +5153,94 @@ object TestdataQueries {
              |  CAST(sum(v_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_e6
              |FROM u GROUP BY 1, 2""".stripMargin)),
 
+    // ------------------------------- linear-interpolation gap fill
+    // resampleFill's sibling for continuous signals: each daily grid
+    // point linearly interpolated between its surrounding purchase
+    // values (exact int64 deltas, ONE identically-written double
+    // division; grid-on-observation takes the observed value, leading
+    // gap NULL, trailing gap holds). The oracle replays the union +
+    // two ignore-nulls windows and the same interpolation line.
+    "x_interpolate" -> (((s: SparkSession, dir: String) => {
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("ts"))
+            .orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"), cents(col("value")).as("vc"))
+      graft.ops.Resample.interpolateLinear(p, "user_id", "ts", "vc", 86400L)
+    }),
+      Some("""WITH p AS (SELECT user_id, ts,
+             |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+             |    WHERE event_type = 'purchase'
+             |    QUALIFY row_number() OVER (PARTITION BY user_id, ts
+             |      ORDER BY event_id DESC) = 1),
+             |o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             |    vc, 1 AS is_obs FROM p),
+             |b AS (SELECT user_id, min(es) AS lo, max(es) AS hi
+             |  FROM o GROUP BY 1),
+             |g AS (SELECT user_id,
+             |    unnest(generate_series(lo - lo % 86400, hi, 86400)) AS es,
+             |    CAST(NULL AS BIGINT) AS vc, 0 AS is_obs FROM b),
+             |u AS (SELECT * FROM o UNION ALL SELECT * FROM g),
+             |w AS (SELECT user_id, es, is_obs,
+             |    last_value(CASE WHEN is_obs = 1 THEN es END IGNORE NULLS)
+             |      OVER wp AS pes,
+             |    last_value(CASE WHEN is_obs = 1 THEN vc END IGNORE NULLS)
+             |      OVER wp AS pvc,
+             |    first_value(CASE WHEN is_obs = 1 THEN es END IGNORE NULLS)
+             |      OVER wn AS nes,
+             |    first_value(CASE WHEN is_obs = 1 THEN vc END IGNORE NULLS)
+             |      OVER wn AS nvc
+             |  FROM u WINDOW
+             |    wp AS (PARTITION BY user_id ORDER BY es ASC, is_obs DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wn AS (PARTITION BY user_id ORDER BY es ASC, is_obs DESC
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, CAST(to_timestamp(es) AS TIMESTAMP) AS grid_ts,
+             |  CASE WHEN pes IS NULL THEN NULL
+             |    WHEN nes IS NULL OR nes = pes THEN pvc
+             |    ELSE CAST(floor(CAST(pvc AS DOUBLE) +
+             |      CAST((nvc - pvc) * (es - pes) AS DOUBLE) /
+             |      CAST(nes - pes AS DOUBLE)) AS BIGINT) END AS interp_c
+             |FROM w WHERE is_obs = 0""".stripMargin)),
+
+    // --------------------------------------- Benford first-digit audit
+    // The classic fabricated-numbers screen: first significant digit
+    // distribution of order totals vs Benford expectation. The nine
+    // expected shares are mathematical constants embedded as literals
+    // on BOTH sides (floor(1e6·log10(1+1/d)) — no runtime log, so no
+    // cross-engine libm question). Exact counts, e6 shares.
+    "x_benford" -> (((s: SparkSession, dir: String) => {
+      val digits = t(s, dir, "orders")
+        .select(cents(col("o_totalprice")).as("c"))
+        .filter(col("c") > 0)
+        .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      val expected = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+        66946L, 57991L, 51152L, 45757L)
+      val expCol = element_at(
+        array(expected.map(lit): _*), col("digit").cast("int"))
+      digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(digits.agg(count(lit(1)).as("nt"))))
+        .select(col("digit"), col("n"),
+          floor(lit(1000000.0d) * col("n") / col("nt")).cast("long")
+            .as("share_e6"),
+          expCol.as("benford_e6"))
+    }),
+      Some("""WITH d AS (SELECT CAST(substr(CAST(
+             |      CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             |      1, 1) AS BIGINT) AS digit
+             |  FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d),
+             |e AS (SELECT * FROM (VALUES (1, 301029), (2, 176091),
+             |    (3, 124938), (4, 96910), (5, 79181), (6, 66946),
+             |    (7, 57991), (8, 51152), (9, 45757)) AS v(dg, be6))
+             |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(floor(1000000.0 * count(*) / any_value(nt)) AS BIGINT)
+             |    AS share_e6,
+             |  CAST(any_value(be6) AS BIGINT) AS benford_e6
+             |FROM d CROSS JOIN t JOIN e ON e.dg = d.digit
+             |GROUP BY digit""".stripMargin)),
+
     // ------------------------------------ resample + forward fill
     // Daily grid per user over the purchase series, each point carrying
     // the latest purchase at or before it. DuckDB's native ASOF join
