@@ -60,27 +60,16 @@ object SetJoin {
                         n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"minJaccard=$minJaccard must be in (0, 1]")
-    val sh = docs
-      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .select(col("doc_id"), explode(col("shs")).as("shingle"))
-      .repartition(col("shingle"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // canonical per-doc order: ascending (df, shingle) — deterministic,
-    // identical on every node, rare tokens first
-    // ONE materialization (the components()/PageRank pattern): three
-    // consumers read this frame — the prefix explode and both
-    // verification fetch-backs — and each would otherwise re-execute
-    // the explode + df join + per-doc sort-assembly (measured 3× the
-    // operator's wall-clock; ReuseExchange only dedups the exchange
-    // below the aggregate, not the aggregate itself). At corpus scale
-    // the ordered-token frame is the artifact you'd persist as a table.
-    val ordered = sh.join(dfreq, Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(transform(sort_array(collect_list(struct(col("df"), col("shingle")))),
-        x => x.getField("shingle")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"))
-      .localCheckpoint(true)
+    // identical on every node, rare tokens first. ONE materialization
+    // (the components()/PageRank pattern): three consumers read the
+    // ordered frame — the prefix explode and both verification
+    // fetch-backs — and each would otherwise re-execute the explode +
+    // df join + per-doc sort-assembly (measured 3× the operator's
+    // wall-clock; ReuseExchange only dedups the exchange below the
+    // aggregate, not the aggregate itself). At corpus scale the
+    // ordered-token frame is the artifact you'd persist as a table.
+    val ordered = orderedTokens(docs, idCol, textCol, n)
     val prefixed = ordered
       .withColumn("plen",
         (col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1).cast("int"))
@@ -109,5 +98,73 @@ object SetJoin {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "common", "jaccard")
+  }
+
+  /** Directed exact CONTAINMENT join: all ordered pairs (a, b), a ≠ b,
+    * with |A∩B| / |A| ≥ `minContainment` — the quote/subset detector
+    * (a benchmark item inside a training document, a truncated copy
+    * inside its source) that Jaccard structurally misses: a 20-token
+    * quote in a 2000-token page has Jaccard ≈ 0.01 but containment 1.0.
+    *
+    * Prefix filtering applies on the PROBE side only: a qualifying A
+    * must share a token inside its first |A| − ⌈t·|A|⌉ + 1 canonically-
+    * ordered tokens (pigeonhole: if that prefix misses B entirely, the
+    * overlap is capped at ⌈t·|A|⌉ − 1 < t·|A|). The INDEX side has no
+    * size relation to exploit — any B, however large, may contain A —
+    * so it explodes fully: the asymmetric cost model of quote
+    * detection, probes pay a short rare-token prefix, the corpus pays
+    * its inverted index once. Same canonical df-order, candidate
+    * dedup, and fetch-back verification as [[prefixJaccardJoin]]; same
+    * 1e-9 slack direction (only ever lengthens the prefix). Output:
+    * (id_a, id_b, common, containment_e6) — e6 fixed-point, exact. */
+  def prefixContainmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, minContainment: Double = 0.8): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment=$minContainment must be in (0, 1]")
+    val ordered = orderedTokens(docs, idCol, textCol, n)
+    val probe = ordered
+      .withColumn("plen",
+        (col("sz") - ceil(lit(minContainment) * col("sz") - lit(1e-9)) + 1).cast("int"))
+      .select(col("doc_id").as("id_a"),
+        explode(expr("slice(toks, 1, plen)")).as("ptok"))
+    val index = ordered
+      .select(col("doc_id").as("id_b"), explode(col("toks")).as("ptok"))
+    val candidates = probe.join(index,
+        probe("ptok") === index("ptok") && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val ta = ordered.select(col("doc_id").as("id_a"), col("toks").as("toks_a"),
+      col("sz").as("n_a"))
+    val tb = ordered.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    candidates.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+          .as("common"),
+        col("n_a"))
+      .filter(col("common").cast("double") >=
+        lit(minContainment) * col("n_a") - lit(1e-9))
+      .select(col("id_a"), col("id_b"), col("common"),
+        floor(lit(1000000.0d) * col("common") / col("n_a")).cast("long")
+          .as("containment_e6"))
+  }
+
+  /** Canonical ordered token arrays per doc — (doc_id, toks, sz) with
+    * tokens sorted by ascending (global df, token), checkpointed ONCE
+    * for the multiple consumers every prefix join has (see the note in
+    * [[prefixJaccardJoin]]). */
+  private def orderedTokens(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .repartition(col("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("sz"))
+      .localCheckpoint(true)
   }
 }

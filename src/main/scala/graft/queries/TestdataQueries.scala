@@ -1817,6 +1817,27 @@ object TestdataQueries {
       Some(s"""WITH ${trigramPairsSql(0.8)}
              |SELECT id_a, id_b, common, jaccard FROM pairs""".stripMargin)),
 
+    // ----------------------------- exact containment join (quote/subset)
+    // The directed |A∩B|/|A| ≥ t join Jaccard structurally misses (a
+    // short quote inside a long page). Probe-side prefix filtering
+    // only — the index side explodes fully, the asymmetric cost model
+    // of quote detection. The oracle is the ALL-pairs exact directed
+    // containment, so the gate proves the probe prefix lossless.
+    "x_setjoin_containment" -> (((s: SparkSession, dir: String) =>
+      SetJoin.prefixContainmentJoin(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minContainment = 0.8)),
+      Some(s"""WITH $trigramCte,
+             |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(count(*) AS BIGINT) AS common
+             |  FROM tri a JOIN tri b ON a.shingle = b.shingle
+             |    AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, common,
+             |  CAST(floor(1000000.0 * common / sa.n_sh) AS BIGINT)
+             |    AS containment_e6
+             |FROM p0 JOIN sizes sa ON sa.doc_id = id_a
+             |WHERE CAST(common AS DOUBLE) >= 0.8 * sa.n_sh - 1e-9""".stripMargin)),
+
     // -------------------------------------- benchmark decontamination
     // Training-corpus × benchmark n-gram overlap (the leakage check run
     // before an eval set is trusted). The benchmark is synthesized as

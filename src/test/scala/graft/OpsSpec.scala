@@ -171,6 +171,24 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(loose.count() === 40L * 39 / 2)
   }
 
+  test("containment join finds a quote inside a long page that Jaccard misses") {
+    // doc 1 is a 6-token quote fully embedded in doc 2's 40-token page:
+    // containment(1→2) = 1.0 while Jaccard ≈ 4/38 — far below any
+    // useful threshold. Direction matters: the page is NOT contained
+    // in the quote.
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val page = ("intro words here " + quote + " " +
+      (1 to 30).map(i => s"filler$i").mkString(" "))
+    val corpus = Seq((1L, quote), (2L, page)).toDF("doc_id", "text")
+    val out = graft.ops.SetJoin.prefixContainmentJoin(
+      corpus, "doc_id", "text", n = 3, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 1000000L)))
+    val jac = graft.ops.SetJoin.prefixJaccardJoin(
+      corpus, "doc_id", "text", n = 3, minJaccard = 0.5)
+    assert(jac.count() === 0L)
+  }
+
   test("components collapse transitive near-dup chains; dedupCorpus keeps canonical docs") {
     // a~b, b~c must land in ONE cluster even though (a,c) was never a pair
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
