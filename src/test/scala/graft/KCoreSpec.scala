@@ -26,18 +26,24 @@ class KCoreSpec extends AnyFunSuite with SparkTestSession {
     assert(core(edges, 1) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
-  test("clique survives at k = size-1; maxRounds caps the cascade") {
+  test("clique survives at k = size-1; deep path cascade peels to " +
+      "fixpoint; an insufficient maxRounds fails loudly") {
     val clique = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
     val got = core(clique, 4)
     assert(got === (1L to 5L).map(_ -> 4L).toMap)
-    // a long path under a tiny round cap: deterministic partial peel
-    // (each round removes the two current endpoints)
-    val path = (1L until 20L).map(i => (i, i + 1))
-    val partial = KCore.kcore(
-      KCore.symmetrize(path.toDF("src", "dst"), "src", "dst"),
-      k = 2, maxRounds = 2)
-      .collect().map(_.getLong(0)).toSet
-    assert(partial === (3L to 18L).toSet)
+    // the worst-case cascade: a 30-node path at k=2 peels only its two
+    // current endpoints per round (~14 rounds — past the old silent
+    // cap of 20 on longer paths) and must run all the way to the empty
+    // 2-core, never return a truncated non-k-core
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val sym = KCore.symmetrize(path.toDF("src", "dst"), "src", "dst")
+    assert(KCore.kcore(sym, 2).count() === 0L)
+    // a cap smaller than the cascade is a loud failure (VERDICT r6
+    // wrong #3: the old code stopped silently at the cap, returning
+    // vertices that still had degree < k)
+    assertThrows[IllegalStateException] {
+      KCore.kcore(sym, k = 2, maxRounds = 2)
+    }
   }
 
   test("symmetrize drops self-loops and collapses duplicate directions") {

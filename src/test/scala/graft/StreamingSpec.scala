@@ -438,6 +438,79 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("dedup maintenance survives a checkpoint RESET: the old marker reads " +
+      "as foreign, state wipes, the reprocess equals one-shot (ADVICE r6)") {
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("stream-lsh-reset")
+    val cat = new graft.catalog.TableCatalog(spark, root.resolve("wh").toString)
+    val body = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val allDocs = Seq(
+      (1L, body + " alpha"), (2L, body + " alpha beta"),
+      (3L, body + " gamma"), (4L, body + " gamma delta"))
+    // incarnation 1 sees only the first half of the corpus
+    val mem1 = MemoryStream[(Long, String)]
+    val q1 = StreamingIngest.startDedupMaintenance(cat, "docs", "lsh_index",
+      "pairs", mem1.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      root.resolve("ckptA").toString)
+    try { mem1.addData(allDocs.take(2): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(cat.read("pairs").count() === 1L)
+    // checkpoint reset: a NEW checkpoint restarts batch ids at 0 while
+    // the old marker survives. Pre-fix, batchId <= applied held for
+    // every batch and the whole reprocess was silently skipped — pairs
+    // would stay at 1 row forever (total data loss). Token-keyed
+    // markers read the old one as absent, wipe the derived state, and
+    // reprocess cleanly.
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamingIngest.startDedupMaintenance(cat, "docs", "lsh_index",
+      "pairs", mem2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      root.resolve("ckptB").toString)
+    try {
+      mem2.addData(allDocs.take(2): _*); q2.processAllAvailable()
+      mem2.addData(allDocs.drop(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamPairs = cat.read("pairs")
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ops.Dedup.minhashLsh(
+      allDocs.toDF("doc_id", "text"), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs === oneShot)
+    assert(cat.read("docs").select("doc_id").distinct().count() === 4L)
+  }
+
+  test("sketch maintenance REFUSES a checkpoint reset loudly — counting " +
+      "is not idempotent, silent skip and re-absorb are both wrong") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val scratch = java.nio.file.Files.createTempDirectory("cmreset")
+    val cat = new graft.catalog.TableCatalog(spark, scratch.resolve("wh").toString)
+    val mem1 = MemoryStream[Long]
+    val q1 = StreamingIngest.startSketchMaintenance(cat, "cmr",
+      mem1.toDF().toDF("k"), "k", scratch.resolve("ckptA").toString,
+      depth = 2, width = 16)
+    try { mem1.addData(1L, 2L, 3L); q1.processAllAvailable() }
+    finally q1.stop()
+    val mem2 = MemoryStream[Long]
+    val q2 = StreamingIngest.startSketchMaintenance(cat, "cmr",
+      mem2.toDF().toDF("k"), "k", scratch.resolve("ckptB").toString,
+      depth = 2, width = 16)
+    val thrown = intercept[Exception] {
+      try { mem2.addData(4L); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(thrown).exists(c =>
+      c.getMessage != null && c.getMessage.contains("different streaming query")),
+      s"expected the incarnation guard, got: $thrown")
+    // the sketch state itself is untouched by the refused run
+    assert(cat.read("cmr").select("applied_batch").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("stream-stream LEFT OUTER join: null row emits only after the watermark closes its window; batch mode identical") {
     implicit val sc = spark.sqlContext
     val txMem = MemoryStream[(String, String, Timestamp)]

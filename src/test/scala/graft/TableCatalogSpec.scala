@@ -216,6 +216,135 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(System.currentTimeMillis() - t0 >= 400L)
   }
 
+  test("withTableLock: N waiters racing ONE stale lock — exactly one body " +
+      "at a time (meta-lease stale-break, r6 race)") {
+    val root = java.nio.file.Files.createTempDirectory("cat-steal")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    val dir = java.nio.file.Paths.get(cat.path("race_t"))
+    java.nio.file.Files.createDirectories(dir)
+    val lock = dir.resolve("_writer.lock")
+    java.nio.file.Files.createFile(lock)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    // the old delete-steal had a TOCTOU hole here: A judges stale, B
+    // steals + re-creates, A's pending delete removes B's FRESH lock
+    // and both run the body concurrently. With rename-steal exactly one
+    // waiter wins each acquisition.
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val ts = (1 to 4).map { w =>
+      new Thread(() => {
+        try cat.withTableLock("race_t", leaseMs = 60000L) {
+          if (inside.incrementAndGet() > 1) overlap.set(true)
+          Thread.sleep(150)
+          inside.decrementAndGet()
+        } catch { case e: Throwable => failed.compareAndSet(null, e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(failed.get() === null, s"waiter failed: ${failed.get()}")
+    assert(!overlap.get(), "two stealers held the lock simultaneously")
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
+  test("withTableLock: a LIVE holder outlasting the lease keeps the lock " +
+      "(heartbeat) and release ignores a lock it does not own") {
+    val root = java.nio.file.Files.createTempDirectory("cat-hb")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    // holder's body runs 3× the lease: without the mtime heartbeat a
+    // waiter would judge it stale mid-write and steal (ADVICE r6 —
+    // a large parquet job easily outlasts 60 s)
+    val holder = new Thread(() =>
+      cat.withTableLock("hb_t", leaseMs = 300L) {
+        entered.countDown()
+        if (inside.incrementAndGet() > 1) overlap.set(true)
+        Thread.sleep(1000)
+        inside.decrementAndGet()
+      })
+    holder.start()
+    entered.await()
+    Thread.sleep(400) // well past the lease — heartbeat must have refreshed
+    // a deadline-bounded waiter still times out loudly on the live lock
+    assertThrows[IllegalStateException] {
+      cat.withTableLock("hb_t", leaseMs = 300L) { fail("entered while held") }
+    }
+    holder.join(30000)
+    assert(!overlap.get())
+    // release-by-token: a foreign lock placed after release is left alone
+    val lock = java.nio.file.Paths.get(cat.path("hb_t"), "_writer.lock")
+    java.nio.file.Files.write(lock, "someone-else".getBytes("UTF-8"))
+    assert(java.nio.file.Files.exists(lock))
+    java.nio.file.Files.delete(lock)
+  }
+
+  test("plain writes refuse a snapshot-versioned table (r6: deleteWhere " +
+      "purge that deletes nothing)") {
+    val cat = new TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("cat-guard").toString)
+    cat.replaceAtomic("vt", Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // before the guard: deleteWhere read through the pointer but wrote
+    // survivors as plain files the pointer shadows — reported success,
+    // every reader kept serving the purged rows
+    assertThrows[IllegalArgumentException] {
+      cat.deleteWhere("vt", "k", col("s") === "a")
+    }
+    assertThrows[IllegalArgumentException] {
+      cat.overwrite("vt", Seq((9L, "z")).toDF("k", "s"))
+    }
+    assertThrows[IllegalArgumentException] {
+      cat.append("vt", Seq((9L, "z")).toDF("k", "s"))
+    }
+    assertThrows[IllegalArgumentException] {
+      cat.appendPartitioned("vt", Seq((9L, "z")).toDF("k", "s"), "k")
+    }
+    // the versioned path still works and readers see every row
+    cat.replaceAtomic("vt", cat.read("vt").filter(col("s") =!= "a"))
+    assert(cat.read("vt").collect().map(_.getString(1)).toSeq === Seq("b"))
+  }
+
+  test("markers are keyed by owner token; publishBatch commits N tables " +
+      "under ONE marker that rides last") {
+    val cat = new TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("cat-pub").toString)
+    cat.putMarker("m", 7L, "query-A")
+    assert(cat.getMarker("m") === Some(7L))
+    assert(cat.getMarkerFor("m", "query-A") === Some(7L))
+    // a different incarnation reads the marker as absent — batch ids
+    // restarting at 0 must not look already-applied (ADVICE r6)
+    assert(cat.getMarkerFor("m", "query-B") === None)
+    assert(cat.getMarkerWithToken("m") === Some((7L, "query-A")))
+
+    cat.publishBatch("pub__commit", 0L, "q1", Seq(
+      "pub_a" -> Seq((1L, "x")).toDF("id", "v"),
+      "pub_b" -> Seq((1L, 10L), (2L, 20L)).toDF("id", "n")))
+    cat.publishBatch("pub__commit", 1L, "q1", Seq(
+      "pub_a" -> Seq((2L, "y")).toDF("id", "v"),
+      "pub_b" -> Seq((3L, 30L)).toDF("id", "n")))
+    assert(cat.getMarkerFor("pub__commit", "q1") === Some(1L))
+    // partition discovery recovers batch_id; both batches visible
+    val a = cat.read("pub_a")
+    assert(a.columns.toSet === Set("id", "v", "batch_id"))
+    // schemaless partition discovery infers batch_id as int — readers
+    // wanting long pass an explicit schema, as the streaming path does
+    assert(a.select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(0L, 1L))
+    assert(cat.read("pub_b").count() === 3L)
+    // a replay of batch 1 (crash before marker) rewrites its own
+    // partition instead of duplicating
+    cat.publishBatch("pub__commit", 1L, "q1", Seq(
+      "pub_a" -> Seq((2L, "y")).toDF("id", "v"),
+      "pub_b" -> Seq((3L, 30L)).toDF("id", "n")))
+    assert(cat.read("pub_b").count() === 3L)
+    // clean-slate drop for a foreign incarnation
+    cat.dropBatchPartitions("pub_a")
+    assert(!cat.exists("pub_a") || cat.read("pub_a").count() === 0L)
+  }
+
   test("readVersion: time travel to the previous snapshot; pruned/unknown " +
       "versions fail loudly") {
     val root = java.nio.file.Files.createTempDirectory("cat-tt")
