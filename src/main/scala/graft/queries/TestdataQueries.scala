@@ -365,6 +365,62 @@ object TestdataQueries {
          |  FROM h${j - 1})""".stripMargin
     }.mkString(",\n")
 
+  /** Skilling's n-D Hilbert transform as literal DuckDB SQL — one
+    * chained CTE per in-place step of the C loop (Hilbert.withHilbertN
+    * replays the same steps as Column projections): inverse-undo per
+    * (bit plane, dimension), sequential Gray decode, trailing xor-mask,
+    * then the transposed-coordinate interleave with dimension 0 most
+    * significant. Expects a CTE `s0` carrying `$key, g0..g{n-1}`; the
+    * chain ends in `hnd` with `$key, hd`. Single-reference CTEs form a
+    * linear projection chain (no MATERIALIZED needed — the 2^rounds
+    * explosion only bites CTEs referenced twice). */
+  private def hilbertNdSql(n: Int, bits: Int, key: String): String = {
+    val gs = 0 until n
+    val steps = scala.collection.mutable.Buffer[String]()
+    var prev = "s0"
+    var idx = 0
+    def cte(exprs: Seq[String]): Unit = {
+      idx += 1
+      steps += s"s$idx AS (SELECT $key, ${exprs.mkString(", ")} FROM $prev)"
+      prev = s"s$idx"
+    }
+    for (level <- bits - 1 to 1 by -1) {
+      val q = 1L << level
+      val p = q - 1
+      for (i <- 0 until n) {
+        if (i == 0)
+          cte(gs.map { j =>
+            if (j == 0) s"CASE WHEN (g0 & $q) != 0 THEN xor(g0, $p) ELSE g0 END AS g0"
+            else s"g$j"
+          })
+        else
+          cte(gs.map { j =>
+            if (j == 0)
+              s"CASE WHEN (g$i & $q) != 0 THEN xor(g0, $p) " +
+                s"ELSE xor(g0, xor(g0, g$i) & $p) END AS g0"
+            else if (j == i)
+              s"CASE WHEN (g$i & $q) != 0 THEN g$i " +
+                s"ELSE xor(g$i, xor(g0, g$i) & $p) END AS g$i"
+            else s"g$j"
+          })
+      }
+    }
+    for (i <- 1 until n)
+      cte(gs.map(j => if (j == i) s"xor(g$i, g${i - 1}) AS g$i" else s"g$j"))
+    val t =
+      if (bits == 1) "CAST(0 AS BIGINT)"
+      else (1 until bits).map { k =>
+        s"(CASE WHEN (g${n - 1} & ${1L << k}) != 0 THEN ${(1L << k) - 1} ELSE 0 END)"
+      }.reduce((a, b) => s"xor($a, $b)")
+    cte(gs.map(j => s"g$j") :+ s"$t AS t")
+    cte(gs.map(j => s"xor(g$j, t) AS g$j"))
+    val interleave = (for { i <- 0 until n; j <- 0 until bits }
+      yield s"(((g$i >> $j) & 1) << ${j * n + (n - 1 - i)})")
+      .mkString("(", " | ", ")")
+    (steps :+ s"hnd AS (SELECT $key, $interleave AS hd FROM $prev)")
+      .mkString(",\n")
+  }
+
   /** The n-column Morton interleave as literal DuckDB SQL over
     * `z0..z{n-1}` — the same n·bits shift/mask terms ZOrder.zValueN
     * builds as Columns (bit i of dim j → position n·i+j). */
@@ -2354,6 +2410,40 @@ object TestdataQueries {
              |${hilbertSql(10, "event_id")}
              |SELECT hs.event_id, hs.zx, hs.zy, h10.hd AS h
              |FROM hs JOIN h10 ON hs.event_id = h10.event_id""".stripMargin)),
+
+    // --------------------------------------- n-D Hilbert-curve layout
+    // Hilbert catches up with ZOrder.zValueN (VERDICT r6 missing #4 —
+    // the curve whose reason to exist is locality should not stop at
+    // 2-D): (user, time, amount-cents) through Skilling's transform at
+    // 10 bits each, same fixture as x_zorder_nd so the two layouts are
+    // directly comparable. The oracle replays every in-place step of
+    // the transform — 27 bit-plane CTEs, the Gray decode, the trailing
+    // mask, the transposed interleave — so a single mis-ordered xor
+    // anywhere in the walk fails the hash. HilbertSpec holds the n=3
+    // walk to the adjacency property itself; this query pins the
+    // engine-side arithmetic at data scale.
+    "x_hilbert_nd" -> (((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("user_id").as("uid"), unix_timestamp(col("ts")).as("es"),
+        cents(col("value")).as("vc"))
+      graft.ops.Hilbert.withHN(ev, Seq("uid", "es", "vc"), bits = 10)
+        .select(col("event_id"), col("z0"), col("z1"), col("z2"), col("h"))
+    }),
+      Some(s"""WITH e AS (SELECT event_id, user_id AS uid,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+             |b AS (SELECT min(uid) AS min0, max(uid) AS max0,
+             |    min(es) AS min1, max(es) AS max1,
+             |    min(vc) AS min2, max(vc) AS max2 FROM e),
+             |sc AS (SELECT event_id,
+             |    (uid - min0) // ((max0 - min0) // 1024 + 1) AS z0,
+             |    (es - min1) // ((max1 - min1) // 1024 + 1) AS z1,
+             |    (vc - min2) // ((max2 - min2) // 1024 + 1) AS z2
+             |  FROM e CROSS JOIN b),
+             |s0 AS (SELECT event_id, z0 AS g0, z1 AS g1, z2 AS g2 FROM sc),
+             |${hilbertNdSql(3, 10, "event_id")}
+             |SELECT sc.event_id, sc.z0, sc.z1, sc.z2, hnd.hd AS h
+             |FROM sc JOIN hnd ON sc.event_id = hnd.event_id""".stripMargin)),
 
     // -------------------------------------------- join-size prediction
     // Exact inner-join cardinality WITHOUT running the join

@@ -63,6 +63,56 @@ class HilbertSpec extends AnyFunSuite with SparkTestSession {
     assert(spans.getDouble(0) < 32.0 && spans.getDouble(1) < 32.0)
   }
 
+  test("n=3: bijective over the full 8x8x8 cube and every consecutive " +
+      "curve step is a grid neighbor (Skilling walk)") {
+    val cube = (for { x <- 0 until 8; y <- 0 until 8; z <- 0 until 8 }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val walk = Hilbert.withHilbertN(cube, Seq("x", "y", "z"), bits = 3)
+      .select("h", "x", "y", "z").as[(Long, Long, Long, Long)].collect()
+    // bijection onto [0, 8^3)
+    assert(walk.map(_._1).toSet === (0L until 512L).toSet)
+    // the Hilbert property in 3-D: manhattan distance 1 between every
+    // pair of consecutive positions — all 511 steps, no power-of-two
+    // seam jumps (the z-order comparison in the 2-D test above)
+    walk.sortBy(_._1).sliding(2).foreach {
+      case Array((_, x1, y1, z1), (h2, x2, y2, z2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) === 1L,
+          s"jump into h=$h2: ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+      case _ => ()
+    }
+  }
+
+  test("n=4 bijection at bits=2; withHN scales real columns; clusterN " +
+      "envelopes are compact") {
+    val grid4 = (for { a <- 0 until 4; b <- 0 until 4; c <- 0 until 4; d <- 0 until 4 }
+      yield (a.toLong, b.toLong, c.toLong, d.toLong)).toDF("a", "b", "c", "d")
+    val hs = Hilbert.withHilbertN(grid4, Seq("a", "b", "c", "d"), bits = 2)
+      .select("h").as[Long].collect()
+    assert(hs.toSet === (0L until 256L).toSet)
+    // withHN: quantization bounds from data, index attached
+    val pts = (0 until 1000)
+      .map(i => (i.toLong * 7 % 101, i.toLong * 13 % 97, i.toLong * 3 % 89))
+      .toDF("u", "v", "w")
+    val withH = Hilbert.withHN(pts, Seq("u", "v", "w"), bits = 5)
+    assert(withH.columns.contains("h") && withH.count() === 1000L)
+    // clusterN: files cover compact 3-D boxes
+    val cube = (for { x <- 0 until 16; y <- 0 until 16; z <- 0 until 16 }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val dir = java.nio.file.Files.createTempDirectory("hilbert3").toString
+    Hilbert.clusterN(cube, Seq("x", "y", "z"), bits = 4, numPartitions = 8)
+      .write.mode("overwrite").parquet(dir)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"),
+        (max($"z") - min($"z")).as("sz"))
+      .agg(avg($"sx").as("ax"), avg($"sy").as("ay"), avg($"sz").as("az"))
+      .head()
+    // 4096 cells over >=8 files: a random layout would average near the
+    // full 15-span on every axis; Hilbert boxes stay well under
+    assert(spans.getDouble(0) < 12.0 && spans.getDouble(1) < 12.0 &&
+      spans.getDouble(2) < 12.0)
+  }
+
   private implicit class Tuple3Ops(a: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] = a.map(t => (t._1, t._2) -> t._3).toMap
   }
