@@ -21,7 +21,8 @@ import graft.schemas.Schemas
   */
 final class Runner(spark: SparkSession, cat: TableCatalog,
                    sourceDb: Sources.SourceDb,
-                   incrementalReport: Boolean = false) {
+                   incrementalReport: Boolean = false,
+                   onBeforeReport: () => Unit = () => ()) {
 
   private val staging = new StagingLoader(cat, sourceDb)
 
@@ -66,6 +67,8 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
       FactLoader.transactionRows(cat.read("stg_transactions"))
         .withColumn("load_dt", org.apache.spark.sql.functions.lit(date)),
       "load_dt")
+
+    onBeforeReport()
 
     // 5. Fraud report (main.py:414-561). Every consumer filters
     // deleted_flg = false, which on this layout IS the open slice — so the
@@ -141,8 +144,19 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
         // attribute changed overnight the row re-reports with the new
         // value — exactly what the full scan does too (GoldenEndToEndSpec
         // pins that reference behavior).
-        val prev = cat.readOrEmpty("rep_fraud", Schemas.repFraud)
-          .filter(col("report_dt") === date_sub(lit(date), 1))
+        // Yesterday's partition is consulted only if yesterday COMMITTED
+        // (its date marker landed): an uncommitted — crashed-mid-date —
+        // predecessor may hold a partial report partition, and an
+        // anti-join against half a day would suppress rows arbitrarily.
+        // Replaying dates in order (the documented reprocessing
+        // contract) rewrites and commits yesterday first, so in the
+        // normal sequential flow this filter is a no-op.
+        val prevDate = java.sql.Date.valueOf(date.toLocalDate.minusDays(1))
+        val prev =
+          if (Runner.isDateCommitted(cat, prevDate))
+            cat.readOrEmpty("rep_fraud", Schemas.repFraud)
+              .filter(col("report_dt") === date_sub(lit(date), 1))
+          else cat.readOrEmpty("rep_fraud", Schemas.repFraud).limit(0)
         assembled.as("n").join(prev.as("p"),
           col("n.event_dt") <=> col("p.event_dt") &&
             col("n.passport") <=> col("p.passport") &&
@@ -154,5 +168,59 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
         FraudReport.assemble(txn, cards, accounts, clients,
           blacklist, rule4, rule5, date)
     cat.appendPartitioned("rep_fraud", report, "report_dt")
+
+    // 6. Publish marker (VERDICT r6 next #5): the date is COMMITTED only
+    // once its report partition has landed — the last write of the batch.
+    // A crash anywhere above leaves this date's fact/report partitions
+    // (possibly partial) on disk but invisible to the marker-aware read
+    // path ([[Runner.publishedRead]]); the rerun's dynamic per-partition
+    // overwrites rewrite exactly those partitions and then commit.
+    // Reference fidelity is untouched: direct reads (what the reference's
+    // consumers do) see identical bytes; the marker is an ADDITIVE
+    // publish protocol for consumers that want never-partial dates.
+    cat.putMarker(Runner.dateCommitMarker(date), date.toLocalDate.toEpochDay)
   }
+}
+
+object Runner {
+  /** Marker table-name for one ingest date's publish commit. Lives under
+    * `_commits/` at the catalog root — outside every data table's
+    * directory, so partition discovery never sees it. */
+  def dateCommitMarker(date: java.sql.Date): String = s"_commits/$date"
+
+  def isDateCommitted(cat: TableCatalog, date: java.sql.Date): Boolean =
+    cat.getMarker(dateCommitMarker(date)).isDefined
+
+  /** Every date whose runDate completed through its report write. */
+  def committedDates(cat: TableCatalog): Seq[java.sql.Date] = {
+    val dir = java.nio.file.Paths.get(cat.path("_commits"))
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => cat.getMarker(s"_commits/$n").isDefined)
+        .map(java.sql.Date.valueOf).toSeq.sortBy(_.toLocalDate.toEpochDay)
+      finally s.close()
+    }
+  }
+
+  /** Marker-aware read of a date-partitioned pipeline table: rows of
+    * uncommitted (crashed-mid-publish) dates are absent. The IN-filter is
+    * on the partition column with a literal list → partition-pruned at
+    * the scan; committed-date count is O(days), driver-side tiny. */
+  def publishedRead(cat: TableCatalog, table: String, partCol: String)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dates = committedDates(cat)
+    if (!cat.exists(table)) cat.spark.emptyDataFrame
+    else if (dates.isEmpty) cat.read(table).limit(0)
+    else cat.read(table).filter(col(partCol).isin(dates: _*))
+  }
+
+  def publishedTransactions(cat: TableCatalog): org.apache.spark.sql.DataFrame =
+    publishedRead(cat, "fact_transactions", "load_dt")
+
+  def publishedReport(cat: TableCatalog): org.apache.spark.sql.DataFrame =
+    publishedRead(cat, "rep_fraud", "report_dt")
 }
