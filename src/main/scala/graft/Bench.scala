@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   * collection overhead). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The JSON result line must be the FIRST (and only) stdout line —
+    // the driver truncates long output from the tail, and Spark/log4j
+    // startup chatter printed to stdout before our println pushed the
+    // JSON past the cut (VERDICT r6 #6). Route everything else to
+    // stderr for the duration of the run, restore, then print.
+    val realOut = System.out
+    System.setOut(new java.io.PrintStream(new java.io.FileOutputStream(
+      java.io.FileDescriptor.err), true))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -46,7 +54,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.setOut(realOut)
+    realOut.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    realOut.flush()
     spark.stop()
   }
 }

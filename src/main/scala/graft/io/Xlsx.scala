@@ -223,11 +223,19 @@ object Xlsx {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val strings = mutable.LinkedHashMap[String, Int]()
     def sst(s: String): Int = strings.getOrElseUpdate(s, strings.size)
+    // escapes both text and attribute context (quotes matter only in the
+    // latter, but &quot; is valid in both — one function serves)
     def esc(s: String): String = s.replace("&", "&amp;")
-      .replace("<", "&lt;").replace(">", "&gt;")
+      .replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+    // bijective base-26 column name: A..Z, AA..AZ, BA.. (0 → A, 26 → AA)
+    def colName(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { n -= 1; sb.insert(0, ('A' + n % 26).toChar); n /= 26 }
+      sb.toString
+    }
 
     def cellXml(rowIdx: Int, colIdx: Int, v: String): String = {
-      val ref = s"${('A' + colIdx).toChar}${rowIdx + 1}"
+      val ref = s"${colName(colIdx)}${rowIdx + 1}"
       if (v == null) ""
       else if (v.startsWith("#")) s"""<c r="$ref"><v>${v.drop(1)}</v></c>"""
       else s"""<c r="$ref" t="s"><v>${sst(v)}</v></c>"""
@@ -243,7 +251,15 @@ object Xlsx {
     val workbookXml =
       s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>"""
     val relsXml =
-      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/></Relationships>"""
+    // the two package-level parts external consumers (Excel, pandas/
+    // openpyxl) require to open the zip as an OOXML package at all:
+    // content-type declarations for every part, and the root rel that
+    // points at the workbook (ADVICE r6)
+    val contentTypesXml =
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>"""
+    val rootRelsXml =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""
 
     val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
     def put(name: String, content: String): Unit = {
@@ -251,6 +267,8 @@ object Xlsx {
       zos.write(content.getBytes("UTF-8")); zos.closeEntry()
     }
     try {
+      put("[Content_Types].xml", contentTypesXml)
+      put("_rels/.rels", rootRelsXml)
       put("xl/workbook.xml", workbookXml)
       put("xl/_rels/workbook.xml.rels", relsXml)
       put("xl/sharedStrings.xml", sstXml)

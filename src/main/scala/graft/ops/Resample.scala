@@ -54,6 +54,15 @@ object Resample {
     * the observed value (the interpolation weight is 0); before the
     * first observation → NULL; after the last → hold (forward fill).
     *
+    * Duplicate (key, ts) observations are collapsed to the GREATEST
+    * value before interpolation — the [[AsOfJoin]] greatest-payload tie
+    * contract, enforced here (not just assumed) because the two window
+    * passes would otherwise pick prev/next among same-instant
+    * duplicates by partition-local sort order, i.e. nondeterministically
+    * (ADVICE r6). The collapse is a partial-aggregating groupBy: with
+    * few duplicates it's map-side combine + the exchange the window
+    * needed anyway.
+    *
     * One union of grid + observations hash-partitioned by key, two
     * key-local windows (prev via last-ignore-nulls over the preceding
     * frame, next via first-ignore-nulls over the following) — the
@@ -65,6 +74,7 @@ object Resample {
     val epoch = unix_timestamp(col(tsCol))
     val obs = series.select(col(keyCol), epoch.as("_es"),
         col(valueCol).cast("long").as("_vc"))
+      .groupBy(col(keyCol), col("_es")).agg(max(col("_vc")).as("_vc"))
       .withColumn("_obs", lit(1))
     val bounds = obs.groupBy(col(keyCol))
       .agg(min(col("_es")).as("_lo"), max(col("_es")).as("_hi"))

@@ -5290,7 +5290,7 @@ object TestdataQueries {
              |b AS (SELECT user_id, min(es) AS lo, max(es) AS hi
              |  FROM o GROUP BY 1),
              |g AS (SELECT user_id,
-             |    unnest(generate_series(lo - lo % 86400, hi, 86400)) AS es,
+             |    unnest(generate_series(lo // 86400 * 86400, hi, 86400)) AS es,
              |    CAST(NULL AS BIGINT) AS vc, 0 AS is_obs FROM b),
              |u AS (SELECT * FROM o UNION ALL SELECT * FROM g),
              |w AS (SELECT user_id, es, is_obs,
