@@ -35,8 +35,7 @@ object Bench {
     // codegen warm-up that would otherwise land on whichever
     // events-based query sorts first).
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet").count()
+    graft.queries.TestdataQueries.readEvents(spark, sfDir).count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
 
@@ -46,18 +45,45 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          Some(e.toString)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    System.setOut(realOut)
-    realOut.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    realOut.flush()
+    val errors = results.collect { case (n, _, Some(e)) => n -> e }
+    val errJson = errors
+      .map { case (n, e) => jstr(n) + ":" + jstr(e.take(300)) }
+      .mkString("{", ",", "}")
+    // A failed query must not be billed as a near-zero "success": exclude
+    // its wall-to-exception time from the total and report it loudly.
+    val total = results.collect { case (_, v, None) => v }.sum
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","failed":${errors.size},"errors":$errJson}"""
+    // Durable artifact for the board: the driver keeps only a bounded TAIL
+    // of stdout, which can front-truncate the long per-query line. The
+    // file survives; the SHORT total-only line printed LAST survives the
+    // tail cut too.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson + "\n")
     spark.stop()
+    // Print after stop(): shutdown-hook chatter can no longer interleave,
+    // and the redirect stays in effect for the whole Spark lifetime.
+    System.setOut(realOut)
+    realOut.println(fullJson)
+    realOut.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":${errors.size}}""")
+    realOut.flush()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

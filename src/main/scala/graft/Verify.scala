@@ -24,6 +24,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // local-dev subsetting only — the driver never sets this
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -31,6 +32,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.toString).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +51,13 @@ object Verify {
     val json = graft.queries.TestdataQueries.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The driver's correctness artifact silently OMITS queries whose dump
+    // threw (CORRECTNESS_r07 listed 122 of 179 names with no trace of the
+    // other 57) — record failures in-repo so an omission is diagnosable
+    // from the verify dir alone. Empty object on a green run.
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
     spark.stop()
   }
 }

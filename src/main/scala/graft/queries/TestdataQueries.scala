@@ -22,16 +22,29 @@ import scala.jdk.CollectionConverters._
   */
 object TestdataQueries {
 
+  /** Schema-adaptive events reader. The driver's generator has shipped
+    * `ts` with two physical types across rounds: TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects (read the nanos as long and
+    * truncate to micros — exactly what DuckDB does on load, keeping
+    * oracle comparisons aligned), and plain timestamp[us] without
+    * timezone (Spark reads TIMESTAMP_NTZ; cast to the session-TZ
+    * timestamp so downstream unix_timestamp arithmetic is unchanged).
+    * Branch on the observed schema rather than assuming either — the
+    * generator may flip again (it did between r6 and r7, which broke 57
+    * of 179 oracle queries for a round). */
+  private[graft] def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the nanos as long and truncate to micros —
-      // exactly what DuckDB does when it loads the same file, so oracle
-      // comparisons stay aligned.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") readEvents(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
 
   private val d182 = DecimalType(18, 2)
 
@@ -5286,11 +5299,12 @@ object TestdataQueries {
              |    QUALIFY row_number() OVER (PARTITION BY user_id, ts
              |      ORDER BY event_id DESC) = 1),
              |o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
-             |    vc, 1 AS is_obs FROM p),
+             |    max(vc) AS vc, 1 AS is_obs FROM p GROUP BY 1, 2),
              |b AS (SELECT user_id, min(es) AS lo, max(es) AS hi
              |  FROM o GROUP BY 1),
              |g AS (SELECT user_id,
-             |    unnest(generate_series(lo // 86400 * 86400, hi, 86400)) AS es,
+             |    unnest(generate_series(lo - ((lo % 86400) + 86400) % 86400,
+             |      hi, 86400)) AS es,
              |    CAST(NULL AS BIGINT) AS vc, 0 AS is_obs FROM b),
              |u AS (SELECT * FROM o UNION ALL SELECT * FROM g),
              |w AS (SELECT user_id, es, is_obs,
@@ -5376,8 +5390,8 @@ object TestdataQueries {
              |    CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
              |    CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
              |  FROM p GROUP BY 1),
-             |g AS (SELECT user_id, unnest(generate_series(lo // 86400 * 86400,
-             |    hi, 86400)) AS gs FROM b),
+             |g AS (SELECT user_id, unnest(generate_series(
+             |    lo - ((lo % 86400) + 86400) % 86400, hi, 86400)) AS gs FROM b),
              |gt AS (SELECT user_id, CAST(to_timestamp(gs) AS TIMESTAMP) AS grid_ts
              |  FROM g)
              |SELECT gt.user_id, gt.grid_ts, p.ts AS last_ts, p.value AS last_value

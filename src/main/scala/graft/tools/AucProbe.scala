@@ -9,13 +9,11 @@ object AucProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def tm(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $name%-22s ${(System.nanoTime()-t0)/1e9}%6.2f s  (rows=$n)")
     }
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.queries.TestdataQueries.readEvents(spark, dir)
     tm("events.count")(ev.count())
     val per = ev.groupBy(col("user_id"))
       .agg(sum(floor(col("value")*100).cast("long")).as("sc"),

@@ -37,11 +37,13 @@ object ScaleProbe {
     "event_id", "user_id", "doc_id", "vec_id")
 
   def scaleTable(df: DataFrame, copies: Int, name: String): DataFrame = {
-    // event-time span (nanos-long form) for per-copy time shifting
+    // event-time span in MICROS for per-copy time shifting; the caller
+    // normalizes ts to TimestampType via TestdataQueries.readEvents
     val tsSpan: Long =
       if (name == "events") {
-        val r = df.agg(min(col("ts")), max(col("ts"))).head()
-        r.getLong(1) - r.getLong(0) + 86400L * 1000000000L
+        val r = df.agg(unix_micros(min(col("ts"))),
+          unix_micros(max(col("ts")))).head()
+        r.getLong(1) - r.getLong(0) + 86400L * 1000000L
       } else 0L
     (0 until copies).map { i =>
       val shifted = df.columns.foldLeft(df) { (acc, c) =>
@@ -49,7 +51,8 @@ object ScaleProbe {
       }
       val timed =
         if (name == "events" && i > 0)
-          shifted.withColumn("ts", col("ts") + lit(i * tsSpan))
+          shifted.withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + lit(i * tsSpan)))
         else shifted
       if (name == "documents" && i > 0)
         // vocabulary-disjoint ISOMORPHIC copy: every word carries a
@@ -94,19 +97,19 @@ object ScaleProbe {
       val plain = Seq("region", "nation")
       val scaled = Seq("customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
-      // events.parquet carries TIMESTAMP(NANOS); pass it through as-is
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       plain.foreach { n =>
         spark.read.parquet(s"$srcDir/$n.parquet")
           .write.parquet(s"$dstDir/$n.parquet")
       }
       scaled.foreach { n =>
-        val df = spark.read.parquet(s"$srcDir/$n.parquet")
+        // normalize events.ts to TimestampType up front (schema-adaptive
+        // over the generator's nanos/us variants); written back as
+        // TIMESTAMP(MICROS), which t()'s reader passes through unchanged
+        val df =
+          if (n == "events") graft.queries.TestdataQueries.readEvents(spark, srcDir)
+          else spark.read.parquet(s"$srcDir/$n.parquet")
         scaleTable(df, copies, n).write.parquet(s"$dstDir/$n.parquet")
       }
-      // nanosAsLong turned ts into a LONG of nanos on write; the t()
-      // reader expects TIMESTAMP(NANOS) or the nanos-long form — it
-      // re-applies the same conf, so the long round-trips identically
       println(f"[probe] generated $dstDir at ${copies}x in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
