@@ -49,6 +49,10 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
       val (newOpen, closedNow) = Scd2.mergeOpen(open, stg, spec, date)
       cat.appendPartitioned(s"${table}_closed", closedNow, "effective_to")
       cat.replaceAtomic(s"${table}_open", newOpen)
+      // ANALYZE the fresh snapshot (one agg job over the small open
+      // slice) so the report's dim joins below are hinted from persisted
+      // stats at the right version, not Spark's 10 MB filesize default.
+      cat.analyze(s"${table}_open")
     }
     mergeDim("dim_clients_hist", "stg_clients", Scd2.clients, Schemas.dimClientsHist)
     mergeDim("dim_accounts_hist", "stg_accounts", Scd2.accounts, Schemas.dimAccountsHist)
@@ -115,10 +119,14 @@ final class Runner(spark: SparkSession, cat: TableCatalog,
       if (incrementalReport)
         txnAll.filter(col("load_dt").between(date_sub(lit(date), 1), lit(date)))
       else txnAll
-    val cards = cat.readOrEmpty("dim_cards_hist_open", Schemas.dimCardsHist)
-    val accounts = cat.readOrEmpty("dim_accounts_hist_open", Schemas.dimAccountsHist)
-    val clients = cat.readOrEmpty("dim_clients_hist_open", Schemas.dimClientsHist)
-    val terminals = cat.readOrEmpty("dim_terminals_hist_open", Schemas.dimTerminalsHist)
+    // Dims read with the stats-driven broadcast hint (analyzed at merge
+    // time above): a dim that stats prove small hash-builds regardless
+    // of Spark's filesize threshold; one that outgrew the bound (or
+    // whose stats are stale) degrades to the planner's own choice.
+    val cards = cat.readOrEmptyHinted("dim_cards_hist_open", Schemas.dimCardsHist)
+    val accounts = cat.readOrEmptyHinted("dim_accounts_hist_open", Schemas.dimAccountsHist)
+    val clients = cat.readOrEmptyHinted("dim_clients_hist_open", Schemas.dimClientsHist)
+    val terminals = cat.readOrEmptyHinted("dim_terminals_hist_open", Schemas.dimTerminalsHist)
     val blacklist = cat.read("fact_passport_blacklist")
 
     val withClient = FraudRules.txnWithClient(txn, cards, accounts, clients)

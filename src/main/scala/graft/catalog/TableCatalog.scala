@@ -124,6 +124,147 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     spark.read.parquet(snapDir(table, v).toString)
   }
 
+  // ------------------------------------------- table statistics (ANALYZE)
+  // At warehouse scale plans should not depend on runtime size probes
+  // alone: AQE only re-plans AFTER a shuffle materializes, so the
+  // broadcast-vs-SMJ choice for a dimension join is made from static
+  // estimates. Persisting row counts, on-disk bytes, and per-column
+  // approximate NDV as a `_stats.json` sidecar (the ANALYZE TABLE model)
+  // lets consumers hint plans from facts about the data instead of
+  // Spark's 10 MB filesize default — see [[readHinted]]. Stats carry the
+  // snapshot version they describe; a consumer ignores stats that don't
+  // match the committed version (stale after an un-analyzed write).
+
+  private def statsFile(table: String): Path =
+    Paths.get(path(table), "_stats.json")
+
+  /** Compute and persist statistics for `table`: exact row count,
+    * on-disk bytes of the readable snapshot, and approximate NDV
+    * (HyperLogLog++, ±2% default) for `cols` (default: every column).
+    * ONE aggregation job over the table — all NDV sketches ride the
+    * same pass. Returns the stats it wrote. */
+  def analyze(table: String, cols: Seq[String] = Seq.empty): TableCatalog.TableStats = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+    val df = read(table)
+    val targets =
+      (if (cols.nonEmpty) cols else df.columns.toSeq)
+        .filter(df.columns.contains)
+    val aggs = count(lit(1L)).as("_rows") +:
+      targets.map(c => approx_count_distinct(col(c)).as(s"_ndv_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndv = targets.zipWithIndex
+      .map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val st = TableCatalog.TableStats(currentVersion(table), row.getLong(0),
+      TableCatalog.dirBytes(Paths.get(readPath(table))), ndv)
+    val tmp = Paths.get(path(table), "_stats.json.tmp")
+    Files.write(tmp, TableCatalog.renderStats(st)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, statsFile(table))
+    st
+  }
+
+  /** Persisted statistics of `table`, if [[analyze]] has run. */
+  def stats(table: String): Option[TableCatalog.TableStats] =
+    if (!Files.exists(statsFile(table))) None
+    else TableCatalog.parseStats(new String(
+      Files.readAllBytes(statsFile(table)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Read `table` with a statistics-driven broadcast hint: when fresh
+    * stats (same snapshot version as the committed pointer) say the
+    * table is at most `broadcastBytes` on disk, mark it `broadcast()` so
+    * a subsequent join hash-builds on it regardless of Spark's filesize
+    * threshold; otherwise read plain and let Catalyst/AQE decide. The
+    * default is deliberately above Spark's 10 MB
+    * autoBroadcastJoinThreshold: a stats-backed decision can afford to
+    * broadcast a 50 MB dim where a blind default must stay conservative.
+    * Parquet compression means in-memory size runs 2-5× the on-disk
+    * figure — size `broadcastBytes` against executor memory with that
+    * multiplier in mind. */
+  def readHinted(table: String, broadcastBytes: Long = 64L << 20): DataFrame =
+    hinted(read(table), table, broadcastBytes)
+
+  /** [[readOrEmpty]] with the same stats-driven broadcast hint as
+    * [[readHinted]] — the form the Runner's dim reads use. */
+  def readOrEmptyHinted(table: String, schema: StructType,
+                        broadcastBytes: Long = 64L << 20): DataFrame =
+    hinted(readOrEmpty(table, schema), table, broadcastBytes)
+
+  private def hinted(df: DataFrame, table: String,
+                     broadcastBytes: Long): DataFrame =
+    stats(table) match {
+      case Some(st) if st.version == currentVersion(table) &&
+          st.sizeBytes <= broadcastBytes =>
+        org.apache.spark.sql.functions.broadcast(df)
+      case _ => df
+    }
+
+  // ------------------------------------------- named snapshots (tags)
+  // Tags extend time travel past the retention window: a tag is a
+  // pointer file `_tag_<name>` holding a snapshot version, written with
+  // the same write-aside + atomic-rename protocol as `_version`. The
+  // retention sweep in [[replaceAtomicLocked]] never prunes a tagged
+  // snapshot, so `readTag` works indefinitely — the named-snapshot
+  // model of Iceberg tags / Delta named versions, at pointer-file cost.
+
+  private val TagName = "[A-Za-z0-9][A-Za-z0-9_.-]*".r
+
+  private def tagFile(table: String, name: String): Path = {
+    require(TagName.matches(name) && !name.endsWith(".tmp"),
+      s"tag name '$name' must match ${TagName.regex} and not end in .tmp")
+    Paths.get(path(table), s"_tag_$name")
+  }
+
+  /** Pin the current committed snapshot of `table` under `name`;
+    * returns the pinned version. Re-tagging an existing name moves it
+    * (atomic — a concurrent reader sees old or new, never neither). */
+  def tag(table: String, name: String): Long = {
+    val dst = tagFile(table, name)
+    val v = currentVersion(table).getOrElse(throw new IllegalStateException(
+      s"'$table' has no committed snapshot to tag (write via replaceAtomic first)"))
+    val tmp = Paths.get(path(table), s"_tagtmp_$name")
+    Files.write(tmp, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, dst)
+    v
+  }
+
+  /** All tags of `table`: name → pinned snapshot version. */
+  def tags(table: String): Map[String, Long] = {
+    val p = Paths.get(path(table))
+    if (!Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_tag_"))
+        .map { f => f.drop(5) -> tagVersion(table, f.drop(5)).get }
+        .toMap
+      finally s.close()
+    }
+  }
+
+  private def tagVersion(table: String, name: String): Option[Long] = {
+    val f = tagFile(table, name)
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** Read the snapshot pinned by `name` — equivalent to
+    * `readVersion(table, tags(table)(name))`. */
+  def readTag(table: String, name: String): DataFrame = {
+    val v = tagVersion(table, name).getOrElse(throw new IllegalArgumentException(
+      s"no tag '$name' on '$table' (tags: ${tags(table).keys.toSeq.sorted.mkString(", ")})"))
+    readVersion(table, v)
+  }
+
+  /** Drop a tag; the snapshot it pinned becomes prunable at the next
+    * retention sweep (it is NOT deleted here — an in-flight reader that
+    * resolved the tag moments ago still has its window). */
+  def dropTag(table: String, name: String): Unit =
+    committer.delete(tagFile(table, name))
+
   /** Heal a [[replaceAtomic]] swap interrupted between its two renames
     * (current content moved aside, replacement not yet in place): put
     * the `.old` copy back so a reader — or a crash-replayed streaming
@@ -156,12 +297,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def overwrite(table: String, df: DataFrame): Unit = {
     requirePlain(table, "overwrite")
     df.write.mode("overwrite").parquet(path(table))
+    invalidateStats(table)
   }
 
   /** INSERT append semantics (main.py:382-410). */
   def append(table: String, df: DataFrame): Unit = {
     requirePlain(table, "append")
     df.write.mode("append").parquet(path(table))
+    invalidateStats(table)
   }
 
   /** Idempotent per-date fact load: partition by `partCol`, overwrite only
@@ -174,7 +317,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path(table))
+    invalidateStats(table)
   }
+
+  /** Plain tables have no snapshot version to staleness-check stats
+    * against, so every mutation drops the sidecar — stale stats that
+    * under-estimate a grown fact table would mis-hint a broadcast, the
+    * one failure mode worse than no stats. (Versioned tables keep theirs:
+    * the version mismatch makes staleness detectable at read time.) */
+  private def invalidateStats(table: String): Unit =
+    committer.delete(statsFile(table))
 
   /** Bucketed overwrite for co-located joins: rows are repartitioned to
     * ONE file per bucket, hashed by `bucketCol` and sorted within each,
@@ -505,6 +657,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       TableCatalog.deleteRecursively(
         Paths.get(s"${path(table)}/$partCol=$escaped"))
     }
+    invalidateStats(table)
     (affected, gone)
   }
 
@@ -776,16 +929,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           .foreach(deleteRecursive)
       } finally s.close()
     }
-    // retention: always keep the immediately-previous snapshot; prune
-    // older ones only once they have aged past the retention window
+    // retention: always keep the immediately-previous snapshot and every
+    // tagged snapshot; prune the rest once aged past the retention window
     cur.foreach { c =>
       val cutoff = System.currentTimeMillis() - snapshotRetentionMs
+      val pinned = tags(table).values.toSet
       val s = Files.list(Paths.get(path(table)))
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .filter(_.getFileName.toString.matches("_v\\d+"))
           .filter(_.getFileName.toString.drop(2).toLong < c)
+          .filterNot(p => pinned(p.getFileName.toString.drop(2).toLong))
           .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach(deleteRecursive)
       } finally s.close()
@@ -796,6 +951,47 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 }
 
 object TableCatalog {
+  /** Persisted table statistics — see [[TableCatalog.analyze]].
+    * `version` is the snapshot version the stats describe (None for
+    * plain append-style tables); consumers treat a version mismatch as
+    * stale. `ndv` is approximate (HyperLogLog++). */
+  final case class TableStats(version: Option[Long], rows: Long,
+                              sizeBytes: Long, ndv: Map[String, Long])
+
+  private[catalog] def renderStats(st: TableStats): String = {
+    // column names come from parquet schemas — identifier-shaped; guard
+    // anyway so a hostile name cannot break the JSON frame
+    def safe(s: String) = s.replaceAll("[\"\\\\\\p{Cntrl}]", "_")
+    val ver = st.version.map(v => s""""version":$v,""").getOrElse("")
+    val ndv = st.ndv.toSeq.sortBy(_._1)
+      .map { case (c, n) => s""""${safe(c)}":$n""" }.mkString("{", ",", "}")
+    s"""{$ver"rows":${st.rows},"sizeBytes":${st.sizeBytes},"ndv":$ndv}"""
+  }
+
+  private[catalog] def parseStats(s: String): Option[TableStats] = {
+    def field(name: String): Option[Long] =
+      ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+    for { rows <- field("rows"); bytes <- field("sizeBytes") } yield {
+      val ndv = "\"ndv\":\\{([^}]*)\\}".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("")
+      val pairs = "\"([^\"]+)\":(\\d+)".r.findAllMatchIn(ndv)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+      TableStats(field("version"), rows, bytes, pairs)
+    }
+  }
+
+  /** Total regular-file bytes under `p` (walk stream closed). */
+  private[catalog] def dirBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(Files.size).sum
+      } finally s.close()
+    }
+
   /** Recursive delete with the walk stream closed (an unclosed
     * Files.walk leaks a directory handle per call). */
   def deleteRecursively(p: Path): Unit =

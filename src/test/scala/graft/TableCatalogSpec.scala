@@ -601,4 +601,83 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(dirs.length === 1, s"leftover partition dirs: $dirs")
   }
+
+  test("tags: a tagged snapshot survives the retention sweep; readTag " +
+      "matches readVersion; dropTag makes it prunable") {
+    val root = java.nio.file.Files.createTempDirectory("cat-tags")
+    // retention 0: untagged superseded snapshots may prune immediately
+    val cat = new TableCatalog(spark, root.resolve("wh").toString,
+      snapshotRetentionMs = 0L)
+    cat.replaceAtomic("tg", Seq((1L, "v1")).toDF("k", "s"))
+    assert(cat.tag("tg", "release-1") === 1L)
+    (2 to 5).foreach { v =>
+      cat.replaceAtomic("tg", (1 to v).map(i => (i.toLong, s"v$v")).toDF("k", "s"))
+    }
+    // v1 pinned by the tag; v4 kept as immediately-previous; v2/v3 pruned
+    assert(cat.versions("tg") === Seq(1L, 4L, 5L))
+    assert(cat.tags("tg") === Map("release-1" -> 1L))
+    assert(cat.readTag("tg", "release-1").collect().toSeq ===
+      cat.readVersion("tg", 1L).collect().toSeq)
+    // re-tagging moves the pointer atomically
+    cat.tag("tg", "release-1")
+    assert(cat.tags("tg") === Map("release-1" -> 5L))
+    // the formerly pinned v1 is now prunable — next swap sweeps it
+    cat.replaceAtomic("tg", Seq((9L, "v6")).toDF("k", "s"))
+    assert(!cat.versions("tg").contains(1L))
+    cat.dropTag("tg", "release-1")
+    assert(cat.tags("tg").isEmpty)
+    val e = intercept[IllegalArgumentException](cat.readTag("tg", "release-1"))
+    assert(e.getMessage.contains("no tag"))
+    intercept[IllegalArgumentException](cat.tag("tg", "../escape"))
+  }
+
+  test("analyze/stats: persisted rows + NDV; plain-table mutations " +
+      "invalidate the sidecar") {
+    val root = java.nio.file.Files.createTempDirectory("cat-stats")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.overwrite("f", Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "seg"))
+    val st = cat.analyze("f")
+    assert(st.rows === 3L && st.version.isEmpty)
+    assert(st.ndv("k") === 3L && st.ndv("seg") === 2L)
+    assert(st.sizeBytes > 0L)
+    assert(cat.stats("f").contains(st)) // round-trips through the sidecar
+    // an append changes the data → the sidecar must not survive to lie
+    cat.append("f", Seq((4L, "c")).toDF("k", "seg"))
+    assert(cat.stats("f").isEmpty)
+  }
+
+  test("stats-driven broadcast: the SAME join flips SortMergeJoin -> " +
+      "BroadcastHashJoin when fresh stats prove the dim small, and flips " +
+      "back when a new snapshot makes them stale") {
+    val root = java.nio.file.Files.createTempDirectory("cat-stats-bhj")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    val dim = (1 to 50).map(i => (i.toLong, s"seg$i")).toDF("k", "seg")
+    cat.replaceAtomic("dim_s", dim)
+    val fact = spark.range(10000).select(
+      (col("id") % 50 + 1).as("k"), col("id").as("amount"))
+    def plan(d: org.apache.spark.sql.DataFrame): String =
+      fact.join(d, "k").queryExecution.executedPlan.toString
+    // isolate the stats effect: Spark's own filesize-threshold broadcast off
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val blind = plan(cat.readHinted("dim_s"))
+      assert(blind.contains("SortMergeJoin") && !blind.contains("BroadcastHashJoin"),
+        s"expected SMJ without stats:\n$blind")
+      cat.analyze("dim_s")
+      val informed = plan(cat.readHinted("dim_s"))
+      assert(informed.contains("BroadcastHashJoin"),
+        s"expected stats-driven BHJ:\n$informed")
+      // a dim beyond the budget keeps the planner's choice
+      val capped = plan(cat.readHinted("dim_s", broadcastBytes = 1L))
+      assert(capped.contains("SortMergeJoin"), s"expected SMJ over budget:\n$capped")
+      // new snapshot, no re-analyze: stats version mismatch → no hint
+      cat.replaceAtomic("dim_s", dim.unionAll(Seq((51L, "seg51")).toDF("k", "seg")))
+      val stale = plan(cat.readHinted("dim_s"))
+      assert(stale.contains("SortMergeJoin"),
+        s"stale stats must not broadcast:\n$stale")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
