@@ -7,43 +7,38 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * contract explicit and swappable (VERDICT r6 missing #2): all
   * higher-level commit protocols — the `_version` pointer swap, marker
   * files, the writer lease, the multi-table batch publish — are built
-  * from exactly these three calls.
+  * from exactly these calls.
   *
-  * [[PosixCommitter]], the default, maps them onto POSIX filesystem
+  * Two pointer models ship:
+  *
+  * [[PosixCommitter]], the default, maps commits onto POSIX filesystem
   * guarantees: `rename(2)` is atomic within a filesystem, and
   * `O_CREAT|O_EXCL` is an atomic create-if-absent. HDFS offers the same
   * pair (atomic namenode rename, `create` without overwrite), so this
   * implementation carries to HDFS-backed clusters unchanged.
   *
-  * S3-class object stores offer NEITHER primitive: "rename" is
-  * copy+delete (non-atomic, O(bytes)), and plain PUT is
-  * last-writer-wins (S3 conditional writes — `If-None-Match` — have
-  * narrowed this, but a portable committer can't assume them). A
-  * correct object-store Committer therefore cannot implement these
-  * three calls directly; the established design replaces the
-  * rename-as-commit protocol with an append-only COMMIT LOG, the
-  * Delta/Iceberg pattern:
-  *
-  *   - commits append a numbered log entry (`_log/00000N.json`) naming
-  *     the data files of version N; readers list the log and take the
-  *     highest contiguous entry — the log entry, not a rename, is the
-  *     commit point;
-  *   - mutual exclusion for the N+1 slot comes from a conditional-PUT
-  *     (where available) or an external coordination service (a
-  *     DynamoDB-style lock table — the S3A/Delta-on-S3 answer);
-  *   - stale-writer fencing uses the log slot number itself: a writer
-  *     that lost the slot race re-reads and retries, never overwrites.
-  *
-  * That design changes the COMMIT layer only — snapshot directories,
-  * immutable data files, bounded retention and the read paths above it
-  * are already log-structured and carry over. It is deliberately not
-  * implemented here: this catalog stays plain-parquet-on-a-filesystem,
-  * and pretending rename-atomicity on S3 would be silently unsafe.
+  * [[LogCommitter]] implements the object-store design: S3-class stores
+  * offer NO atomic rename ("rename" is copy+delete, non-atomic,
+  * O(bytes)) and plain PUT is last-writer-wins, so the rename-as-commit
+  * protocol is replaced by an append-only COMMIT LOG per pointer — the
+  * Delta/Iceberg pattern. A pointer commit appends a numbered slot
+  * entry; the highest slot IS the committed value; the slot claim is a
+  * conditional create-with-content (locally `Files.move` without
+  * REPLACE_EXISTING — the stand-in for a conditional PUT / If-None-Match
+  * write). A loser of the slot race observes the collision, re-reads,
+  * and retries against the next slot — it can never overwrite. Data
+  * directories (immutable, write-once `_vN` snapshots and batch
+  * partitions) keep POSIX moves locally; on a real object store those
+  * moves disappear entirely — data files are written once under unique
+  * names and only the log commits them, which is exactly why the commit
+  * layer is the only thing this trait needs to swap.
   */
 trait Committer {
-  /** Atomically move `src` to `dst` (file or directory). `dst` must not
-    * exist for directories; for files an existing `dst` is replaced
-    * atomically (POSIX rename semantics). Throws on failure. */
+  /** Atomically move `src` to `dst`. For DIRECTORIES this is a data-file
+    * layout move (`dst` must not exist). For regular FILES it is a
+    * pointer commit: `dst`'s committed content becomes `src`'s bytes,
+    * atomically with respect to concurrent [[read]]s; an existing
+    * commit is superseded, never torn. Throws on failure. */
   def atomicRename(src: Path, dst: Path): Unit
 
   /** Atomically create an empty file at `p` if and only if nothing
@@ -51,8 +46,21 @@ trait Committer {
     * path already exists. The mutual-exclusion primitive. */
   def createIfAbsent(p: Path): Boolean
 
-  /** Best-effort delete of a single file; absent is success. */
+  /** Delete the pointer at `p` (for [[LogCommitter]]: append a
+    * tombstone); absent is success. */
   def delete(p: Path): Unit
+
+  /** The committed content of pointer `p`, None if absent/deleted. */
+  def read(p: Path): Option[Array[Byte]]
+
+  /** Whether pointer `p` has committed content. */
+  def exists(p: Path): Boolean = read(p).isDefined
+
+  /** Names (relative to `dir`) of committed pointers whose file name
+    * starts with `prefix` — the listing primitive behind tag
+    * enumeration. Returns pointer names as the writer spelled them
+    * (log-layout internals are not surfaced). */
+  def listPointers(dir: Path, prefix: String): Seq[String]
 }
 
 /** POSIX/HDFS implementation — see the trait note for the contract. */
@@ -65,4 +73,139 @@ object PosixCommitter extends Committer {
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
   def delete(p: Path): Unit = Files.deleteIfExists(p)
+
+  def read(p: Path): Option[Array[Byte]] =
+    try Some(Files.readAllBytes(p))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
+  def listPointers(dir: Path, prefix: String): Seq[String] =
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith(prefix) && !n.endsWith(".tmp"))
+          .toSeq
+      } finally s.close()
+    }
+}
+
+/** Append-only commit-log implementation (see the trait note).
+  *
+  * Layout: pointer `<p>` is backed by directory `<p>.__log/` holding
+  * slot files `s00000000000000000001`, `s...02`, …; each slot's CONTENT
+  * is the full pointer value (a 0-byte slot is a tombstone — the
+  * pointer reads as absent). The highest slot wins; slots are claimed
+  * by a conditional create-with-content, so two racing writers can
+  * both succeed — in different slots, totally ordered — and a reader
+  * concurrent with any number of commits resolves a complete value
+  * (slot files are write-once: fully materialized elsewhere, then
+  * moved in). There is no compaction; pointer values are tens of bytes
+  * and slots accrue at commit cadence (a production log checkpoints,
+  * as Delta's does — out of scope for the local form).
+  *
+  * Reads fall back to a PLAIN file at `<p>` when no log exists, so a
+  * catalog switched from [[PosixCommitter]] keeps resolving pointers
+  * it committed before the switch; the first log commit supersedes the
+  * plain file permanently (read preference: log over plain).
+  *
+  * [[createIfAbsent]] stays a direct conditional create — the lease
+  * lock's claim primitive maps to a conditional PUT on stores that
+  * offer one (the documented alternative is an external lock service);
+  * DIRECTORY moves delegate to POSIX (immutable data layout, local
+  * only — see the trait note). */
+object LogCommitter extends Committer {
+  private val SlotWidth = 20
+
+  private def logDir(p: Path): Path =
+    p.resolveSibling(p.getFileName.toString + ".__log")
+
+  private def slotOf(name: String): Option[Long] =
+    if (name.length == SlotWidth + 1 && name.charAt(0) == 's' &&
+        name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
+    else None
+
+  private def maxSlot(log: Path): Option[(Long, Path)] =
+    if (!Files.exists(log)) None
+    else {
+      val s = Files.list(log)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .flatMap(f => slotOf(f.getFileName.toString).map(_ -> f))
+          .toSeq.sortBy(_._1).lastOption
+      } finally s.close()
+    }
+
+  /** Append `bytes` as the next slot of pointer `p`. The claim is a
+    * move-without-replace of a fully-written temp file — atomic
+    * create-with-content; a collision means another writer took the
+    * slot, so re-list and retry on the one after. */
+  private def commitSlot(p: Path, bytes: Array[Byte]): Unit = {
+    val log = logDir(p)
+    Files.createDirectories(log)
+    val tmp = log.resolve(s".inflight-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    var committed = false
+    while (!committed) {
+      val next = maxSlot(log).map(_._1).getOrElse(0L) + 1L
+      val slot = log.resolve("s" + ("%0" + SlotWidth + "d").format(next))
+      try { Files.move(tmp, slot); committed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
+
+  def atomicRename(src: Path, dst: Path): Unit =
+    if (Files.isDirectory(src)) Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+    else {
+      val bytes = Files.readAllBytes(src)
+      commitSlot(dst, bytes)
+      Files.deleteIfExists(src)
+    }
+
+  def createIfAbsent(p: Path): Boolean =
+    try { Files.createFile(p); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  def delete(p: Path): Unit = {
+    if (Files.exists(logDir(p)))
+      commitSlot(p, Array.emptyByteArray) // tombstone
+    Files.deleteIfExists(p) // plain files (locks, pre-switch pointers)
+  }
+
+  def read(p: Path): Option[Array[Byte]] =
+    maxSlot(logDir(p)) match {
+      case Some((_, slot)) =>
+        val bytes =
+          try Files.readAllBytes(slot)
+          catch { case _: java.nio.file.NoSuchFileException =>
+            // the slot we chose was never deletable; defensive only
+            return read(p)
+          }
+        if (bytes.isEmpty) None else Some(bytes)
+      case None => PosixCommitter.read(p) // pre-switch plain pointer
+    }
+
+  def listPointers(dir: Path, prefix: String): Seq[String] =
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val logged = {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.startsWith(prefix) && n.endsWith(".__log"))
+            .map(_.stripSuffix(".__log"))
+            .toSeq
+        } finally s.close()
+      }
+      // legacy plain pointers still resolve unless a log supersedes them
+      val plain = PosixCommitter.listPointers(dir, prefix)
+        .filterNot(logged.contains)
+      (logged ++ plain).filter(n => exists(dir.resolve(n)))
+    }
 }

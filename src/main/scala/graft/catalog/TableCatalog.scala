@@ -69,10 +69,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** Committed snapshot version of `table`, if it uses the versioned
     * layout (i.e. was ever written by [[replaceAtomic]]). */
   def currentVersion(table: String): Option[Long] =
-    if (Files.exists(versionFile(table)))
-      Some(new String(Files.readAllBytes(versionFile(table)),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-    else None
+    committer.read(versionFile(table)).map(b =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
 
   private def snapDir(table: String, v: Long): Path =
     Paths.get(path(table), s"_v$v")
@@ -165,10 +163,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   /** Persisted statistics of `table`, if [[analyze]] has run. */
   def stats(table: String): Option[TableCatalog.TableStats] =
-    if (!Files.exists(statsFile(table))) None
-    else TableCatalog.parseStats(new String(
-      Files.readAllBytes(statsFile(table)),
-      java.nio.charset.StandardCharsets.UTF_8))
+    committer.read(statsFile(table)).flatMap(b => TableCatalog.parseStats(
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Read `table` with a statistics-driven broadcast hint: when fresh
     * stats (same snapshot version as the committed pointer) say the
@@ -229,27 +225,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   }
 
   /** All tags of `table`: name → pinned snapshot version. */
-  def tags(table: String): Map[String, Long] = {
-    val p = Paths.get(path(table))
-    if (!Files.exists(p)) Map.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(p)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_tag_"))
-        .map { f => f.drop(5) -> tagVersion(table, f.drop(5)).get }
-        .toMap
-      finally s.close()
-    }
-  }
+  def tags(table: String): Map[String, Long] =
+    committer.listPointers(Paths.get(path(table)), "_tag_")
+      .flatMap { f =>
+        val name = f.drop(5)
+        tagVersion(table, name).map(name -> _)
+      }.toMap
 
-  private def tagVersion(table: String, name: String): Option[Long] = {
-    val f = tagFile(table, name)
-    if (Files.exists(f))
-      Some(new String(Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  private def tagVersion(table: String, name: String): Option[Long] =
+    committer.read(tagFile(table, name)).map(b =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
 
   /** Read the snapshot pinned by `name` — equivalent to
     * `readVersion(table, tags(table)(name))`. */
@@ -694,14 +679,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     getMarkerWithToken(name).map(_._1)
 
   /** Marker value + owner token (empty string for tokenless markers). */
-  def getMarkerWithToken(name: String): Option[(Long, String)] = {
-    val f = Paths.get(path(name), "_marker")
-    if (Files.exists(f)) {
-      val lines = new String(Files.readAllBytes(f),
+  def getMarkerWithToken(name: String): Option[(Long, String)] =
+    committer.read(Paths.get(path(name), "_marker")).map { b =>
+      val lines = new String(b,
         java.nio.charset.StandardCharsets.UTF_8).split("\n", 2)
-      Some((lines(0).trim.toLong, if (lines.length > 1) lines(1).trim else ""))
-    } else None
-  }
+      (lines(0).trim.toLong, if (lines.length > 1) lines(1).trim else "")
+    }
 
   /** The marker value IF it was committed under `token`; a marker owned
     * by a different token reads as absent — the Delta txn-version

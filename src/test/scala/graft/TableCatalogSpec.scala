@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.catalog.TableCatalog
+import graft.catalog.{Committer, LogCommitter, PosixCommitter, TableCatalog}
 import scala.jdk.CollectionConverters._
 
 /** Storage-layout behaviors of the parquet catalog beyond what the
@@ -121,10 +121,18 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(opened <= 2, s"day-1 files opened: $opened")
   }
 
-  test("replaceAtomic: a reader concurrent with looping swaps sees exactly " +
+  // the swap-consistency and lock-race suites run against BOTH committers:
+  // the POSIX rename pointer and the append-only commit log must give the
+  // same guarantees (the commit layer is the only thing that differs)
+  private val committers: Seq[(String, Committer)] =
+    Seq("posix" -> PosixCommitter, "log" -> LogCommitter)
+
+  committers.foreach { case (cname, cmtr) =>
+  test(s"replaceAtomic[$cname]: a reader concurrent with looping swaps sees exactly " +
       "one committed snapshot, never a mix or a missing table") {
     val root = java.nio.file.Files.createTempDirectory("cat-snap")
-    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    val cat = new TableCatalog(spark, root.resolve("wh").toString,
+      committer = cmtr)
     def gen(v: Long) = spark.range(200).toDF()
       .select(col("id"), lit(v).as("ver"))
     cat.replaceAtomic("snap_t", gen(0L))
@@ -157,6 +165,7 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
       finally s.close()
     }
     assert(cat.currentVersion("snap_t") === Some(vs.max))
+  }
   }
 
   test("withTableLock: two concurrent writers serialize — every commit " +
@@ -216,10 +225,12 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(System.currentTimeMillis() - t0 >= 400L)
   }
 
-  test("withTableLock: N waiters racing ONE stale lock — exactly one body " +
+  committers.foreach { case (cname, cmtr) =>
+  test(s"withTableLock[$cname]: N waiters racing ONE stale lock — exactly one body " +
       "at a time (meta-lease stale-break, r6 race)") {
     val root = java.nio.file.Files.createTempDirectory("cat-steal")
-    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    val cat = new TableCatalog(spark, root.resolve("wh").toString,
+      committer = cmtr)
     val dir = java.nio.file.Paths.get(cat.path("race_t"))
     java.nio.file.Files.createDirectories(dir)
     val lock = dir.resolve("_writer.lock")
@@ -247,6 +258,7 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(failed.get() === null, s"waiter failed: ${failed.get()}")
     assert(!overlap.get(), "two stealers held the lock simultaneously")
     assert(!java.nio.file.Files.exists(lock))
+  }
   }
 
   test("withTableLock: a LIVE holder outlasting the lease keeps the lock " +
@@ -679,5 +691,66 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
       assert(stale.contains("SortMergeJoin"),
         s"stale stats must not broadcast:\n$stale")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("LogCommitter crash-replay: leftover inflight/write-aside files from " +
+      "a crashed commit never corrupt the pointer; the next commit proceeds") {
+    val root = java.nio.file.Files.createTempDirectory("cat-log-crash")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString,
+      committer = LogCommitter)
+    cat.replaceAtomic("lt", Seq((1L, "v1")).toDF("k", "s"))
+    assert(cat.currentVersion("lt") === Some(1L))
+    // simulate a writer that died at every intermediate point: a fully
+    // written but unmoved inflight slot, and a write-aside _version.tmp
+    val dir = java.nio.file.Paths.get(cat.path("lt"))
+    val log = dir.resolve("_version.__log")
+    java.nio.file.Files.write(log.resolve(".inflight-deadbeef"),
+      "999".getBytes)
+    java.nio.file.Files.write(dir.resolve("_version.tmp"), "999".getBytes)
+    // junk is invisible to reads and replaced commits win the next slot
+    assert(cat.currentVersion("lt") === Some(1L))
+    cat.replaceAtomic("lt", Seq((2L, "v2")).toDF("k", "s"))
+    assert(cat.currentVersion("lt") === Some(2L))
+    assert(cat.read("lt").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("LogCommitter: markers + publishBatch commit through the log and " +
+      "replay idempotently after a crash between publish and marker") {
+    val root = java.nio.file.Files.createTempDirectory("cat-log-pub")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString,
+      committer = LogCommitter)
+    def payload(v: Long) = Seq((v, s"b$v")).toDF("k", "s")
+    cat.publishBatch("_m/q1", 0L, "tokA", Seq("out1" -> payload(10L)))
+    assert(cat.getMarkerFor("_m/q1", "tokA") === Some(0L))
+    // crash window: batch 1's tables landed but the marker commit was
+    // lost — the replayed batch must overwrite the same batch_id
+    // partitions (not duplicate) and land the marker exactly once
+    cat.publishBatch("_m/q1", 1L, "tokA", Seq("out1" -> payload(11L)))
+    cat.publishBatch("_m/q1", 1L, "tokA", Seq("out1" -> payload(11L)))
+    assert(cat.getMarkerFor("_m/q1", "tokA") === Some(1L))
+    assert(cat.read("out1").count() === 2L) // batch 0 + one copy of batch 1
+    // a different checkpoint incarnation reads the marker as absent
+    assert(cat.getMarkerFor("_m/q1", "tokB").isEmpty)
+  }
+
+  test("LogCommitter migration: pointers committed by PosixCommitter keep " +
+      "resolving, and the first log commit supersedes them") {
+    val root = java.nio.file.Files.createTempDirectory("cat-log-mig")
+    val posixCat = new TableCatalog(spark, root.resolve("wh").toString)
+    posixCat.replaceAtomic("mt", Seq((1L, "posix")).toDF("k", "s"))
+    posixCat.tag("mt", "rel")
+    val logCat = new TableCatalog(spark, root.resolve("wh").toString,
+      committer = LogCommitter)
+    // plain-file pointers resolve through the fallback read
+    assert(logCat.currentVersion("mt") === Some(1L))
+    assert(logCat.tags("mt") === Map("rel" -> 1L))
+    logCat.replaceAtomic("mt", Seq((2L, "log")).toDF("k", "s"))
+    assert(logCat.currentVersion("mt") === Some(2L))
+    assert(logCat.read("mt").collect().map(_.getString(1)).toSeq === Seq("log"))
+    // tags written via the log coexist with the legacy plain tag
+    logCat.tag("mt", "rel2")
+    assert(logCat.tags("mt") === Map("rel" -> 1L, "rel2" -> 2L))
+    logCat.dropTag("mt", "rel")
+    assert(logCat.tags("mt") === Map("rel2" -> 2L))
   }
 }
