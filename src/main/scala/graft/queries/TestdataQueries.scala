@@ -1008,6 +1008,81 @@ object TestdataQueries {
              |SELECT v1.k, v1.bal_v1, v2.bal_v2
              |FROM v1 LEFT JOIN v2 ON v1.k = v2.k""".stripMargin)),
 
+    // ------------------------------------- named snapshot tags (r8)
+    // Time travel PAST the retention window: v1 is tagged, three more
+    // swaps land under zero retention (so every untagged superseded
+    // snapshot except the immediately-previous one is pruned), and the
+    // tag still resolves v1 exactly — the pin is the only reason the
+    // bytes survive. Content identical to the x_time_travel derivation
+    // so the oracle replays both sides from the source table.
+    "x_snapshot_tag" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_tag", dir)
+      val cat = new TableCatalog(s, scratch.toString,
+        snapshotRetentionMs = 0L)
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal_c"))
+      cat.replaceAtomic("dim_tg", base)
+      cat.tag("dim_tg", "baseline")
+      (1 to 3).foreach { i =>
+        cat.replaceAtomic("dim_tg",
+          base.filter(col("k") % 10 =!= 0)
+            .withColumn("bal_c", col("bal_c") + lit(100L * i)))
+      }
+      // v2 and v3 are swept (untagged, aged out at retention 0); the
+      // tagged v1 must still be on disk
+      require(!cat.versions("dim_tg").contains(2L) &&
+        cat.versions("dim_tg").contains(1L),
+        s"retention should keep only tagged/recent: ${cat.versions("dim_tg")}")
+      cat.readTag("dim_tg", "baseline")
+        .select(col("k"), col("bal_c").as("bal_tagged"))
+        .join(cat.read("dim_tg").select(col("k"), col("bal_c").as("bal_now")),
+          Seq("k"), "left")
+    }),
+      Some("""WITH v1 AS (SELECT c_custkey AS k,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_tagged
+             |  FROM customer),
+             |vn AS (SELECT c_custkey AS k,
+             |    CAST(floor(c_acctbal * 100) AS BIGINT) + 300 AS bal_now
+             |  FROM customer WHERE c_custkey % 10 <> 0)
+             |SELECT v1.k, v1.bal_tagged, vn.bal_now
+             |FROM v1 LEFT JOIN vn ON v1.k = vn.k""".stripMargin)),
+
+    // --------------------------- commit-log catalog + ANALYZE (r8)
+    // The same committed content must come out of the append-only
+    // commit-log pointer protocol (LogCommitter — the object-store
+    // design) as out of POSIX renames: a two-swap catalog cycle runs
+    // entirely log-backed, the dim is ANALYZEd, and the read comes
+    // through the stats-driven broadcast hint (fresh stats at the
+    // committed version → the join hash-builds on the dim). The oracle
+    // knows nothing of storage — identical values prove the protocol.
+    "x_commit_log" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.{LogCommitter, TableCatalog}
+      val scratch = scratchDir("graft_clog", dir)
+      val cat = new TableCatalog(s, scratch.toString,
+        committer = LogCommitter)
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          cents(col("c_acctbal")).as("bal_c"))
+      cat.replaceAtomic("dim_cl", base)
+      cat.replaceAtomic("dim_cl",
+        base.filter(col("k") % 7 =!= 0))
+      val st = cat.analyze("dim_cl")
+      require(st.version.contains(2L), s"stats should stamp v2: $st")
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), cents(col("o_totalprice")).as("price_c"))
+      orders.join(cat.readHinted("dim_cl"), Seq("k"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_price_c"))
+    }),
+      Some("""WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg
+             |  FROM customer WHERE c_custkey % 7 <> 0)
+             |SELECT dim.seg, count(*) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM orders JOIN dim ON orders.o_custkey = dim.k
+             |GROUP BY dim.seg""".stripMargin)),
+
     // ------------------------------------------- snapshot diff (CDC)
     // Full-extract change capture: old = customers not divisible by 7,
     // new = customers not divisible by 11 with segments rewritten for
