@@ -104,6 +104,103 @@ object TextAnalysis {
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram with a
+    * portable polynomial fold, slide a window of `w` consecutive gram
+    * hashes, and keep the MINIMUM of each window (rightmost position on
+    * ties — the paper's robust-winnowing rule), deduplicating the
+    * selections. Guarantee: any shared token run of length ≥ w+k-1
+    * yields at least one shared fingerprint, while only ~2/(w+1) of
+    * positions are retained — position-robust substring dedup at a
+    * fraction of the index size, which is precisely what shingle-set
+    * Jaccard (order-blind) and whole-doc hashes (brittle to one edit)
+    * both miss.
+    *
+    * Plan shape for 100 TB: everything — token hashes, gram hashes, the
+    * window minima — is a chain of higher-order functions over arrays
+    * INSIDE one projection, so selection is per-row, shuffle-free, and
+    * whole-stage codegen'd; only the (doc_id, pos, fp) selections leave
+    * the scan. Docs shorter than k tokens produce no grams (strict
+    * definition); when a doc has fewer than w grams its single
+    * truncated window selects among all of them, so every doc with ≥ k
+    * tokens gets at least one fingerprint.
+    *
+    * The hash is modular (base 31, mod 1e9+7; every intermediate
+    * < 2^35) at both the char→token and token→gram levels, so an
+    * oracle replays it exactly in plain BIGINT.
+    *
+    * Expression-shape caveat that shapes the implementation: Spark's
+    * higher-order array functions are interpreted (CodegenFallback),
+    * and CollapseProject inlines chained withColumn stages into ONE
+    * projection — so a lambda that references a previous stage's array
+    * column re-evaluates that array's WHOLE expression at every
+    * reference, compounding per nesting level (measured: minutes per
+    * 500 docs). Each intermediate array is therefore bound exactly once
+    * via the single-element `transform(array(x), v => …)` let-binding,
+    * which keeps evaluation linear while staying one shuffle-free
+    * projection. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val P = 1000000007L
+    val charFold = (t: Column) => aggregate(
+      transform(split(t, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, c) => pmod(acc * 31L + c, lit(P)))
+    def gramsOf(th: Column): Column =
+      transform(sequence(lit(0), size(th) - lit(k)),
+        i => aggregate(sequence(lit(1), lit(k)), lit(0L),
+          (acc, j) => pmod(acc * 31L + element_at(th, i + j), lit(P))))
+    def selOf(g: Column): Column = array_distinct(
+      transform(sequence(lit(0), greatest(size(g) - lit(w), lit(0))),
+        j => aggregate(
+          sequence(j, least(j + lit(w - 1), size(g) - lit(1))),
+          struct(lit(Long.MaxValue).as("fp"), lit(-1).as("pos")),
+          (acc, p) => when(
+            element_at(g, p + 1) <= acc.getField("fp"),
+            struct(element_at(g, p + 1).as("fp"), p.as("pos")))
+            .otherwise(acc))))
+    // let toks = split(text); let th = token hashes; let g = gram
+    // hashes; emit selections — each bound once, evaluated once
+    val sel = element_at(
+      transform(array(split(col(textCol), " ")), toks =>
+        element_at(
+          transform(array(transform(toks, charFold)), th =>
+            element_at(
+              transform(array(gramsOf(th)), g => selOf(g)), 1)),
+          1)),
+      1)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .filter(size(split(col(textCol), " ")) >= k)
+      .select(col("doc_id"), explode(sel).as("_s"))
+      .select(col("doc_id"), col("_s.pos").cast("long").as("pos"),
+        col("_s.fp").as("fp"))
+  }
+
+  /** MOSS-style similarity pairs over [[winnow]] fingerprints: docs
+    * sharing at least `minShared` distinct selected fingerprints. The
+    * inverted fingerprint index is the join key — `maxDocFreq` drops
+    * boilerplate fingerprints (the skew bound and standard practice,
+    * same posture as ngramJaccard's shingle cap), so bucket fan-out is
+    * bounded and the join never goes all-pairs. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Int = 2,
+                  maxDocFreq: Int = 100): DataFrame = {
+    val fps = winnow(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDocFreq)
+      .select(col("fp"))
+    val idx = fps.join(keep, Seq("fp"))
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** PII redaction for corpus curation: masks email addresses, 16-digit
     * card-like numbers, and phone-like digit runs with typed
     * placeholders, in that order (the card pass must run before the

@@ -5073,6 +5073,91 @@ object TestdataQueries {
              |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
              |FROM documents""".stripMargin)),
 
+    // ----------------------------------- winnowing fingerprints (MOSS)
+    // Schleimer et al. SIGMOD'03: k-gram hashes, sliding window of w,
+    // keep each window's minimum (rightmost on ties). The oracle
+    // replays the identical modular hash chain, computes window minima
+    // with a ROWS frame, and recovers the rightmost achiever per
+    // window by a max(pos) join — selection-for-selection equality,
+    // not just counts. Both sides: k=3 tokens, w=4 grams.
+    "x_winnow" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |h AS (SELECT doc_id,
+             |    list_transform(tk, t -> list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(string_split(t, ''),
+             |          c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 1000000007)) AS th,
+             |    CAST(len(tk) AS BIGINT) AS n FROM d),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+             |      (a, x) -> (a * 31 + x) % 1000000007) AS gh
+             |  FROM h CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(n) AS BIGINT) FROM h))) AS i) idx
+             |  WHERE i <= n - 3),
+             |ng AS (SELECT doc_id, max(pos) AS maxpos FROM g GROUP BY doc_id),
+             |wm AS (SELECT doc_id, pos AS j,
+             |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             |  FROM g),
+             |wj AS (SELECT wm.doc_id, wm.j, wm.wmin
+             |  FROM wm JOIN ng USING (doc_id)
+             |  WHERE wm.j <= ng.maxpos - 3 OR wm.j = 0),
+             |sel AS (SELECT wj.doc_id, max(s.pos) AS pos, wj.wmin AS fp
+             |  FROM wj JOIN g s ON s.doc_id = wj.doc_id
+             |    AND s.pos BETWEEN wj.j AND wj.j + 3 AND s.gh = wj.wmin
+             |  GROUP BY wj.doc_id, wj.j, wj.wmin)
+             |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin)),
+
+    // ------------------------------ winnowing similarity pairs (MOSS)
+    // The inverted fingerprint index joined to itself: doc pairs
+    // sharing ≥ 2 distinct winnowed fingerprints, boilerplate
+    // fingerprints capped at docFreq ≤ 100 (the skew bound). Catches
+    // copied RUNS (order-sensitive) that set-Jaccard credits and
+    // whole-doc hashes miss.
+    "x_winnow_pairs" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDocFreq = 100)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |h AS (SELECT doc_id,
+             |    list_transform(tk, t -> list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(string_split(t, ''),
+             |          c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 1000000007)) AS th,
+             |    CAST(len(tk) AS BIGINT) AS n FROM d),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+             |      (a, x) -> (a * 31 + x) % 1000000007) AS gh
+             |  FROM h CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(n) AS BIGINT) FROM h))) AS i) idx
+             |  WHERE i <= n - 3),
+             |ng AS (SELECT doc_id, max(pos) AS maxpos FROM g GROUP BY doc_id),
+             |wm AS (SELECT doc_id, pos AS j,
+             |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             |  FROM g),
+             |wj AS (SELECT wm.doc_id, wm.j, wm.wmin
+             |  FROM wm JOIN ng USING (doc_id)
+             |  WHERE wm.j <= ng.maxpos - 3 OR wm.j = 0),
+             |sel AS (SELECT wj.doc_id, max(s.pos) AS pos, wj.wmin AS fp
+             |  FROM wj JOIN g s ON s.doc_id = wj.doc_id
+             |    AND s.pos BETWEEN wj.j AND wj.j + 3 AND s.gh = wj.wmin
+             |  GROUP BY wj.doc_id, wj.j, wj.wmin),
+             |fp2 AS (SELECT DISTINCT doc_id, fp FROM sel),
+             |ok AS (SELECT fp FROM fp2 GROUP BY fp
+             |  HAVING count(*) BETWEEN 2 AND 100),
+             |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(count(*) AS BIGINT) AS shared_fps
+             |  FROM fp2 a JOIN ok USING (fp) JOIN fp2 b USING (fp)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b, shared_fps FROM pr
+             |WHERE shared_fps >= 2""".stripMargin)),
+
     // ------------------------------------------------- text quality signals
     "x_quality_signals" -> (((s: SparkSession, dir: String) =>
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")

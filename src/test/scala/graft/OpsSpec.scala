@@ -868,4 +868,50 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(counts(2L) === 9L)   // capped at maxFrames → 0..8
     assert(counts(3L) === 1L)   // frame 0 only
   }
+
+  test("winnow: any shared token run of length >= w+k-1 yields a shared " +
+      "fingerprint; short docs and edits behave per the MOSS contract") {
+    import graft.ops.TextAnalysis
+    val k = 3; val w = 4
+    val sharedRun = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $sharedRun and a tail"),
+      (2L, s"$sharedRun completely different continuation text now"),
+      (3L, "tiny doc"),                      // < k tokens: no fingerprints
+      (4L, "one two three")                  // exactly k tokens: 1 gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnow(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the SIGMOD'03 guarantee: docs 1 and 2 share a w+k-1 run
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      s"no shared fingerprint across the shared run: $byDoc")
+    assert(!byDoc.contains(3L), "sub-k doc must yield no fingerprints")
+    assert(byDoc(4L).size === 1, "a k-token doc has exactly one gram/fp")
+    // density: selections are a strict subset of gram positions
+    val doc1Grams = docs.filter($"doc_id" === 1L)
+      .select(size(split($"text", " "))).head().getInt(0) - k + 1
+    assert(byDoc(1L).size < doc1Grams)
+    // rightmost-min tie rule is deterministic: rerun is identical
+    val again = TextAnalysis.winnow(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === out.toSet)
+  }
+
+  test("winnowPairs: order-sensitive copy detection — a moved paragraph " +
+      "still pairs, disjoint docs never do") {
+    import graft.ops.TextAnalysis
+    val para = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (10L, s"intro sentence goes first $para closing words"),
+      (11L, s"$para then entirely new material follows afterwards"),
+      (12L, "totally different content about spark shuffles and parquet files"),
+      (13L, "more unrelated text concerning window functions and joins only")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)), s"moved paragraph not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L || p._1 == 13L || p._2 == 13L))
+  }
 }
