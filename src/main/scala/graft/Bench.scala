@@ -50,7 +50,15 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
           Some(e.toString)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // free the finished query's cached/localCheckpoint blocks NOW
+      // (outside its timing): iterative ops checkpoint per round and
+      // those blocks otherwise linger until GC, inflating memory
+      // pressure — and times — for every query after them
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (name, elapsed, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

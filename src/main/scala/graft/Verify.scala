@@ -34,6 +34,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = Option(e.getMessage).getOrElse(e.toString).take(500)
       }
+      // drop the finished query's cached/localCheckpoint blocks so
+      // iterative ops' per-round checkpoints don't pile up across 183
+      // queries (same hygiene as Bench)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
