@@ -195,6 +195,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       case _ => df
     }
 
+  /** System-R equi-join cardinality estimate from PERSISTED stats:
+    * |A ⋈ B| ≈ rows(A)·rows(B) / max(ndv(A.key), ndv(B.key)) — the
+    * uniform-distribution containment assumption every cost-based
+    * optimizer starts from. None when either side lacks fresh stats
+    * (version mismatch) or the key column was not analyzed. Unlike
+    * [[graft.ops.Profile.joinCardinality]] (exact, but a job over both
+    * tables), this is a pure metadata lookup — the form a planner can
+    * afford to call while enumerating join orders; the Profile op is
+    * the ground truth a spec checks it against. */
+  def estimateJoinRows(tableA: String, keyA: String,
+                       tableB: String, keyB: String): Option[Long] = {
+    def fresh(t: String): Option[TableCatalog.TableStats] =
+      stats(t).filter(_.version == currentVersion(t))
+    for {
+      a <- fresh(tableA); b <- fresh(tableB)
+      na <- a.ndv.get(keyA); nb <- b.ndv.get(keyB)
+      if na > 0 && nb > 0
+    } yield (BigInt(a.rows) * BigInt(b.rows) / BigInt(math.max(na, nb)))
+      .min(BigInt(Long.MaxValue)).toLong
+  }
+
   // ------------------------------------------- named snapshots (tags)
   // Tags extend time travel past the retention window: a tag is a
   // pointer file `_tag_<name>` holding a snapshot version, written with

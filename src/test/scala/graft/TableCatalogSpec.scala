@@ -753,4 +753,27 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     logCat.dropTag("mt", "rel")
     assert(logCat.tags("mt") === Map("rel2" -> 2L))
   }
+
+  test("estimateJoinRows: the System-R metadata estimate tracks the exact " +
+      "join size on FK-shaped data and refuses stale or unanalyzed inputs") {
+    val root = java.nio.file.Files.createTempDirectory("cat-joinest")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    // dim: 50 unique keys; fact: 4000 rows uniformly over those keys
+    cat.replaceAtomic("dim_j", (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    cat.replaceAtomic("fact_j", spark.range(4000)
+      .select((col("id") % 50 + 1).as("k"), col("id").as("m")))
+    assert(cat.estimateJoinRows("fact_j", "k", "dim_j", "k").isEmpty,
+      "no stats yet -> no estimate")
+    cat.analyze("dim_j"); cat.analyze("fact_j")
+    val est = cat.estimateJoinRows("fact_j", "k", "dim_j", "k").get
+    val exact = cat.read("fact_j").join(cat.read("dim_j"), "k").count()
+    assert(exact === 4000L)
+    // NDV is HLL-approximate (±2%): the estimate must land within 10%
+    assert(math.abs(est - exact) <= exact / 10, s"est=$est exact=$exact")
+    // unanalyzed key column -> None
+    assert(cat.estimateJoinRows("fact_j", "nope", "dim_j", "k").isEmpty)
+    // a new snapshot makes one side's stats stale -> None
+    cat.replaceAtomic("dim_j", (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    assert(cat.estimateJoinRows("fact_j", "k", "dim_j", "k").isEmpty)
+  }
 }
