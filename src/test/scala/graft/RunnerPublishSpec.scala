@@ -57,10 +57,15 @@ class RunnerPublishSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("crash between fact and report: date invisible until rerun commits") {
+  // the crash-replay suite runs against BOTH committers — the marker
+  // protocol must converge identically over POSIX renames and the
+  // append-only commit log (VERDICT r7 next #8)
+  Seq("posix" -> graft.catalog.PosixCommitter,
+      "log" -> graft.catalog.LogCommitter).foreach { case (cname, cmtr) =>
+  test(s"crash between fact and report [$cname]: date invisible until rerun commits") {
     val root = Files.createTempDirectory("graft-publish").toString
     setupWorld(root)
-    val cat = new TableCatalog(spark, s"$root/warehouse")
+    val cat = new TableCatalog(spark, s"$root/warehouse", committer = cmtr)
     val db = new Sources.SnapshotSourceDb(s"$root/src")
     val d1 = Date.valueOf("2021-01-01")
     val d2 = Date.valueOf("2021-01-02")
@@ -111,6 +116,7 @@ class RunnerPublishSpec extends AnyFunSuite with SparkTestSession {
     assert(Runner.publishedReport(cat)
       .filter(s"report_dt = date '2021-01-02'").count() === 2)
     assert(cat.read("fact_passport_blacklist").count() === 1)
+  }
   }
 
   test("publishedRead prunes partitions at the scan") {
