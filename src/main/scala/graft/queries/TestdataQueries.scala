@@ -5158,6 +5158,63 @@ object TestdataQueries {
              |SELECT id_a, id_b, shared_fps FROM pr
              |WHERE shared_fps >= 2""".stripMargin)),
 
+    // ----------------------- winnow-driven corpus dedup (composition)
+    // The operator families compose: winnowPairs (order-sensitive
+    // copied-run detection) feeds the same dedupCorpus used by the
+    // Jaccard path — connected components over the pair graph, keep
+    // the minimum id per cluster, anti-join the drop list. The oracle
+    // rebuilds the identical pair graph and replays the closure.
+    "x_winnow_dedup" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxDocFreq = 100)
+      Dedup.dedupCorpus(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |h AS (SELECT doc_id,
+             |    list_transform(tk, t -> list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(string_split(t, ''),
+             |          c -> CAST(ord(c) AS BIGINT))),
+             |      (a, c) -> (a * 31 + c) % 1000000007)) AS th,
+             |    CAST(len(tk) AS BIGINT) AS n FROM d),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+             |      (a, x) -> (a * 31 + x) % 1000000007) AS gh
+             |  FROM h CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(n) AS BIGINT) FROM h))) AS i) idx
+             |  WHERE i <= n - 3),
+             |ng AS (SELECT doc_id, max(pos) AS maxpos FROM g GROUP BY doc_id),
+             |wm AS (SELECT doc_id, pos AS j,
+             |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+             |  FROM g),
+             |wj AS (SELECT wm.doc_id, wm.j, wm.wmin
+             |  FROM wm JOIN ng USING (doc_id)
+             |  WHERE wm.j <= ng.maxpos - 3 OR wm.j = 0),
+             |sel AS (SELECT wj.doc_id, max(s.pos) AS pos, wj.wmin AS fp
+             |  FROM wj JOIN g s ON s.doc_id = wj.doc_id
+             |    AND s.pos BETWEEN wj.j AND wj.j + 3 AND s.gh = wj.wmin
+             |  GROUP BY wj.doc_id, wj.j, wj.wmin),
+             |fp2 AS (SELECT DISTINCT doc_id, fp FROM sel),
+             |ok AS (SELECT fp FROM fp2 GROUP BY fp
+             |  HAVING count(*) BETWEEN 2 AND 100),
+             |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM fp2 a JOIN ok USING (fp) JOIN fp2 b USING (fp)
+             |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+             |  HAVING count(*) >= 2),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+             |  UNION SELECT id_b, id_a FROM pr),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach AS (SELECT id AS a, id AS b FROM nodes
+             |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a
+             |  HAVING a <> min(b))
+             |SELECT doc_id, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
+
     // ------------------------------------------------- text quality signals
     "x_quality_signals" -> (((s: SparkSession, dir: String) =>
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
