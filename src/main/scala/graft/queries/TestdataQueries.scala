@@ -3280,6 +3280,41 @@ object TestdataQueries {
              |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the
              |FROM documents""".stripMargin)),
 
+    // ------------------------------------------ tokenizer fertility
+    // The multilingual-corpus budgeting metric: subword units per
+    // whitespace word, per (lang, source) stratum — the number that
+    // decides how many TOKENS a corpus slice actually costs to train
+    // on. Exact int64 sums; ONE floor division at the end, so the
+    // oracle hash-matches despite the ratio.
+    "x_tokenizer_fertility" -> (((s: SparkSession, dir: String) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("nt"),
+          TextAnalysis.regexTokenCount(col("text")).as("ns"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_words"),
+          sum(col("ns")).as("sum_subtokens"))
+        .withColumn("fertility_e6",
+          when(col("sum_words") > 0,
+            floor(col("sum_subtokens") * lit(1000000L) / col("sum_words"))
+              .cast("long"))
+            .otherwise(lit(null).cast("long")))),
+      Some("""WITH d AS (SELECT lang, source,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |    END AS nt,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS ns
+             |  FROM documents)
+             |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS sum_words,
+             |  CAST(sum(ns) AS BIGINT) AS sum_subtokens,
+             |  CASE WHEN sum(nt) > 0 THEN CAST(floor(
+             |      CAST(sum(ns) AS BIGINT) * 1000000 / CAST(sum(nt) AS BIGINT))
+             |    AS BIGINT) ELSE NULL END AS fertility_e6
+             |FROM d GROUP BY lang, source""".stripMargin)),
+
     // -------------------------------------------------- language ID
     "x_text_langid" -> (((s: SparkSession, dir: String) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "text")
