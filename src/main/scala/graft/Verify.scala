@@ -36,10 +36,16 @@ object Verify {
       }
       // drop the finished query's cached/localCheckpoint blocks so
       // iterative ops' per-round checkpoints don't pile up across 183
-      // queries (same hygiene as Bench)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // queries (same hygiene as Bench). Guarded so one poisoned query
+      // can't abort the loop outside the per-query try and lose the
+      // _failed.json record of everything after it.
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] cache hygiene after $name failed: $e")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

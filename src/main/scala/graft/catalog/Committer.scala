@@ -103,9 +103,25 @@ object PosixCommitter extends Committer {
   * both succeed — in different slots, totally ordered — and a reader
   * concurrent with any number of commits resolves a complete value
   * (slot files are write-once: fully materialized elsewhere, then
-  * moved in). There is no compaction; pointer values are tens of bytes
-  * and slots accrue at commit cadence (a production log checkpoints,
-  * as Delta's does — out of scope for the local form).
+  * moved in).
+  *
+  * COMPACTION (VERDICT r8 #1): slots would otherwise accrue at commit
+  * cadence forever, and every read LISTs the log — O(#commits) on
+  * exactly the object-store target where LIST is the expensive call.
+  * So once a log holds [[LogCommitter.CompactEvery]] slot files, the
+  * committer folds the committed value into a write-once CHECKPOINT
+  * file `c<slot>` (same number line as the `s<slot>` files, content =
+  * the full pointer value at that slot) and deletes every entry the
+  * checkpoint subsumes — the Delta/Iceberg log-checkpoint move. Reads
+  * resolve max(slot, checkpoint); a LIST therefore returns
+  * O(CompactEvery) names no matter how many commits the pointer has
+  * taken. Ordering makes it crash- and race-safe: the checkpoint lands
+  * (atomic move-without-replace) BEFORE anything is deleted, so the
+  * highest-numbered entry on disk carries the committed value at every
+  * instant; a reader that picked a just-deleted entry re-lists; a crash
+  * mid-compaction leaves only subsumed files the next compaction
+  * removes; a stale compactor re-creating an old checkpoint number can
+  * never outrank (or delete) a newer one.
   *
   * Reads fall back to a PLAIN file at `<p>` when no log exists, so a
   * catalog switched from [[PosixCommitter]] keeps resolving pointers
@@ -120,30 +136,50 @@ object PosixCommitter extends Committer {
 object LogCommitter extends Committer {
   private val SlotWidth = 20
 
+  /** Compact once a log holds this many slot files. The post-compaction
+    * LIST size is O(CompactEvery): at most CompactEvery-1 live slots, a
+    * checkpoint or two (a raced/stale compactor can briefly leave an
+    * extra), and any in-flight temp. */
+  private[graft] val CompactEvery = 8
+
   private def logDir(p: Path): Path =
     p.resolveSibling(p.getFileName.toString + ".__log")
 
-  private def slotOf(name: String): Option[Long] =
-    if (name.length == SlotWidth + 1 && name.charAt(0) == 's' &&
+  private def fmt(n: Long): String = ("%0" + SlotWidth + "d").format(n)
+
+  private def numOf(name: String, kind: Char): Option[Long] =
+    if (name.length == SlotWidth + 1 && name.charAt(0) == kind &&
         name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
     else None
 
-  private def maxSlot(log: Path): Option[(Long, Path)] =
-    if (!Files.exists(log)) None
+  /** One LIST of the log: (number, path, isCheckpoint) for every slot
+    * (`s<n>`) and checkpoint (`c<n>`) file. */
+  private def entries(log: Path): Seq[(Long, Path, Boolean)] =
+    if (!Files.exists(log)) Seq.empty
     else {
       val s = Files.list(log)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .flatMap(f => slotOf(f.getFileName.toString).map(_ -> f))
-          .toSeq.sortBy(_._1).lastOption
+        s.iterator().asScala.flatMap { f =>
+          val n = f.getFileName.toString
+          numOf(n, 's').map(m => (m, f, false)) orElse
+            numOf(n, 'c').map(m => (m, f, true))
+        }.toSeq
       } finally s.close()
     }
+
+  /** The entry carrying the committed value: highest number wins; at an
+    * equal number slot and checkpoint hold identical bytes by
+    * construction — prefer the checkpoint (the slot is the one
+    * compaction deletes first). */
+  private def maxEntry(log: Path): Option[(Long, Path)] =
+    entries(log).sortBy(e => (e._1, e._3)).lastOption.map(e => (e._1, e._2))
 
   /** Append `bytes` as the next slot of pointer `p`. The claim is a
     * move-without-replace of a fully-written temp file — atomic
     * create-with-content; a collision means another writer took the
-    * slot, so re-list and retry on the one after. */
+    * slot, so re-list and retry on the one after. The winner triggers
+    * compaction when the slot count reaches [[CompactEvery]]. */
   private def commitSlot(p: Path, bytes: Array[Byte]): Unit = {
     val log = logDir(p)
     Files.createDirectories(log)
@@ -151,10 +187,50 @@ object LogCommitter extends Committer {
     Files.write(tmp, bytes)
     var committed = false
     while (!committed) {
-      val next = maxSlot(log).map(_._1).getOrElse(0L) + 1L
-      val slot = log.resolve("s" + ("%0" + SlotWidth + "d").format(next))
-      try { Files.move(tmp, slot); committed = true }
+      val es = entries(log)
+      val next = es.map(_._1).maxOption.getOrElse(0L) + 1L
+      val slot = log.resolve("s" + fmt(next))
+      try {
+        Files.move(tmp, slot); committed = true
+        if (es.count(!_._3) + 1 >= CompactEvery) compact(log)
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
+
+  /** Fold the committed value into checkpoint `c<maxSlot>`, then delete
+    * every entry it subsumes (numbers below it, plus the slot file at
+    * its own number). See the class note for the race/crash argument;
+    * the loop re-resolves when another compactor deletes the source
+    * entry mid-copy. */
+  private def compact(log: Path): Unit = {
+    var done = false
+    while (!done) {
+      maxEntry(log) match {
+        case None => done = true
+        case Some((n, src)) =>
+          val ck = log.resolve("c" + fmt(n))
+          val bytes =
+            if (Files.exists(ck)) Some(Array.emptyByteArray) // already checkpointed; content moot
+            else
+              try Some(Files.readAllBytes(src))
+              catch { case _: java.nio.file.NoSuchFileException => None } // raced; re-list
+          bytes match {
+            case None => () // loop: re-resolve maxEntry
+            case Some(b) =>
+              if (!Files.exists(ck)) {
+                val tmp = log.resolve(s".ckpt-${java.util.UUID.randomUUID()}")
+                Files.write(tmp, b)
+                try Files.move(tmp, ck)
+                catch { case _: java.nio.file.FileAlreadyExistsException =>
+                  Files.deleteIfExists(tmp) } // another compactor won — same bytes
+              }
+              entries(log).foreach { case (m, f, isC) =>
+                if (m < n || (m == n && !isC)) Files.deleteIfExists(f)
+              }
+              done = true
+          }
+      }
     }
   }
 
@@ -177,12 +253,13 @@ object LogCommitter extends Committer {
   }
 
   def read(p: Path): Option[Array[Byte]] =
-    maxSlot(logDir(p)) match {
-      case Some((_, slot)) =>
+    maxEntry(logDir(p)) match {
+      case Some((_, entry)) =>
         val bytes =
-          try Files.readAllBytes(slot)
+          try Files.readAllBytes(entry)
           catch { case _: java.nio.file.NoSuchFileException =>
-            // the slot we chose was never deletable; defensive only
+            // compaction deleted the entry between our LIST and this
+            // read — the surviving checkpoint carries the value; re-resolve
             return read(p)
           }
         if (bytes.isEmpty) None else Some(bytes)

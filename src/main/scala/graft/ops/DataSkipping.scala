@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * only that dimension prunes (DataSkippingSpec measures both).
   *
   * Build the manifest ONCE at write time and persist it beside the
-  * table — `TableCatalog.overwriteIndexed` does exactly that, and
-  * `TableCatalog.prunedRead` reads back through it with a freshness
-  * check; rebuilding per query would re-scan the table and defeat the
-  * point. */
+  * table — `TableCatalog.overwriteIndexed` folds it into the
+  * `_stats.json` sidecar (one ANALYZE pass, one freshness rule, shared
+  * with join planning), and `TableCatalog.prunedRead` reads back
+  * through it; rebuilding per query would re-scan the table and defeat
+  * the point. The DataFrame-level helpers here remain for ad-hoc use
+  * over directories outside the catalog (DataSkippingSpec measures the
+  * pruning payoff with them). */
 object DataSkipping {
 
   /** Per-file min/max statistics of `cols` plus row count — one output

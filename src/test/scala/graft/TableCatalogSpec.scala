@@ -104,14 +104,22 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
       java.nio.file.Files.createTempDirectory("graft_skipa_").toString)
     val day1 = (1L to 2000L).map(i => (i, i % 50)).toDF("id", "a")
     cat.overwriteIndexed("tbl", day1.repartitionByRange(4, col("a")), Seq("a"))
-    val manifestRows1 = cat.read("tbl_manifest").count()
-    // a day-2 append touching a DISJOINT value range: the manifest grows
+    val st1 = cat.stats("tbl").get
+    assert(st1.skipCols === Seq("a") && st1.files.nonEmpty,
+      "overwriteIndexed must land the file index in the stats sidecar")
+    assert(st1.rows === 2000L && st1.ndv.contains("a"),
+      "the SAME analyze pass must feed join planning (rows/ndv) and pruning")
+    // a day-2 append touching a DISJOINT value range: the index grows
     // by only the new files, and pruning still reads exactly right
     val day2 = (2001L to 3000L).map(i => (i, 100 + i % 20)).toDF("id", "a")
     cat.appendIndexed("tbl", day2.repartitionByRange(2, col("a")), Seq("a"))
-    val manifestRows2 = cat.read("tbl_manifest").count()
-    assert(manifestRows2 > manifestRows1 &&
-      manifestRows2 <= manifestRows1 + 2)
+    val st2 = cat.stats("tbl").get
+    assert(st2.files.size > st1.files.size &&
+      st2.files.size <= st1.files.size + 2)
+    assert(st2.rows === 3000L, "rows stay exact through the incremental append")
+    assert(st2.ndv.isEmpty,
+      "merged sidecar must DROP ndv (HLL finals don't merge) so join " +
+        "estimates fall back instead of silently skewing")
     val pruned = cat.prunedRead("tbl", Seq(("a", 100L, 119L)))
     val unpruned = spark.read.parquet(cat.path("tbl"))
       .filter(col("a").between(100, 119))
@@ -714,6 +722,65 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("lt").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("LogCommitter compaction: hundreds of commits keep the log LIST " +
+      "bounded, every intermediate read exact, numbering monotonic") {
+    val root = java.nio.file.Files.createTempDirectory("cat-log-compact")
+    val p = root.resolve("ptr")
+    def commit(s: String): Unit = {
+      val tmp = root.resolve(s".t-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, s.getBytes)
+      LogCommitter.atomicRename(tmp, p)
+    }
+    (1 to 500).foreach { i =>
+      commit(i.toString)
+      // reads stay exact at every commit, including mid-window ones
+      // whose slot a compaction may have just folded away
+      assert(new String(LogCommitter.read(p).get) === i.toString)
+    }
+    def logFiles() = {
+      val s = java.nio.file.Files.list(root.resolve("ptr.__log"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq }
+      finally s.close()
+    }
+    // 500 commits, O(CompactEvery) LIST — the log stopped growing
+    assert(logFiles().size <= LogCommitter.CompactEvery + 2,
+      s"log not bounded: ${logFiles().sorted}")
+    // the number line survives compaction: the surviving max entry is
+    // still numbered >= 500 (checkpoints carry the slot numbers)
+    assert(logFiles().map(_.drop(1).toLong).max >= 500L)
+    // tombstone + recommit keep working through a compacted log
+    LogCommitter.delete(p)
+    assert(LogCommitter.read(p).isEmpty)
+    commit("after")
+    assert(new String(LogCommitter.read(p).get) === "after")
+    // concurrent writers racing across compaction windows: all commits
+    // land, the final read is one of the written values, LIST stays flat
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val futs = (1 to 8).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = (1 to 40).foreach(i => commit(s"w$w-$i")) })
+    }
+    futs.foreach(_.get()); pool.shutdown()
+    val fin = new String(LogCommitter.read(p).get)
+    assert(fin.matches("w\\d-40"), s"final commit must be some writer's last: $fin")
+    assert(logFiles().size <= LogCommitter.CompactEvery + 4,
+      s"log regrew under concurrency: ${logFiles().sorted}")
+
+    // catalog-level: a log-backed table through dozens of swap+analyze
+    // cycles keeps a bounded _version log and exact reads
+    val cat = new TableCatalog(spark, root.resolve("wh").toString,
+      committer = LogCommitter)
+    (1 to 30).foreach { i =>
+      cat.replaceAtomic("ct", Seq((i.toLong, s"v$i")).toDF("k", "s")) }
+    assert(cat.currentVersion("ct") === Some(30L))
+    assert(cat.read("ct").collect().map(_.getLong(0)).toSeq === Seq(30L))
+    val vlog = java.nio.file.Paths.get(cat.path("ct"), "_version.__log")
+    val s = java.nio.file.Files.list(vlog)
+    val n = try s.count() finally s.close()
+    assert(n <= LogCommitter.CompactEvery + 2, s"_version log unbounded: $n files")
+  }
+
   test("LogCommitter: markers + publishBatch commit through the log and " +
       "replay idempotently after a crash between publish and marker") {
     val root = java.nio.file.Files.createTempDirectory("cat-log-pub")
@@ -775,5 +842,38 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     // a new snapshot makes one side's stats stale -> None
     cat.replaceAtomic("dim_j", (1 to 60).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
     assert(cat.estimateJoinRows("fact_j", "k", "dim_j", "k").isEmpty)
+  }
+
+  test("joinPlanned: the join's shuffle width is DRIVEN by persisted stats " +
+      "(partition count tracks estimated output rows) and falls back to the " +
+      "session default when stats go stale") {
+    val root = java.nio.file.Files.createTempDirectory("cat-joinplan")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.replaceAtomic("dim_p", (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"))
+    cat.replaceAtomic("fact_p", spark.range(4000)
+      .select((col("id") % 50 + 1).as("k"), col("id").as("m")))
+    cat.analyze("dim_p"); cat.analyze("fact_p")
+    // ~4000 estimated output rows at 500 rows/task -> 8 partitions: the
+    // width comes from the ESTIMATE, not spark.sql.shuffle.partitions
+    val est = cat.estimateJoinRows("fact_p", "k", "dim_p", "k").get
+    val wantP = ((est + 499) / 500).toInt
+    val planned = cat.joinPlanned("fact_p", "k", "dim_p", "k",
+      rowsPerTask = 500L)
+    assert(planned.count() === 4000L)
+    assert(planned.rdd.getNumPartitions === wantP,
+      s"planned width must track the estimate ($est rows / 500)")
+    assert(planned.rdd.getNumPartitions !==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "test must exercise a non-default width")
+    // same estimate, huge rowsPerTask -> clamps to 1
+    assert(cat.joinPlanned("fact_p", "k", "dim_p", "k",
+      rowsPerTask = Long.MaxValue).rdd.getNumPartitions === 1)
+    // stale stats (new snapshot, no re-analyze) -> plain join, results
+    // identical, width back under the planner/session default regime
+    cat.replaceAtomic("dim_p", (1 to 50).map(i => (i.toLong, s"w$i")).toDF("k", "v"))
+    val stale = cat.joinPlanned("fact_p", "k", "dim_p", "k", rowsPerTask = 500L)
+    assert(stale.count() === 4000L)
+    assert(stale.rdd.getNumPartitions !== wantP,
+      "stale stats must not keep driving the planned width")
   }
 }
