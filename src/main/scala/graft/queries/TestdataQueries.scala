@@ -1083,6 +1083,44 @@ object TestdataQueries {
              |FROM orders JOIN dim ON orders.o_custkey = dim.k
              |GROUP BY dim.seg""".stripMargin)),
 
+    // ------------------------- stats-planned join width (r9)
+    // The join-cardinality estimate DRIVING a plan (VERDICT r8 next
+    // #3), value-gated: both sides are ANALYZEd, the shuffle width is
+    // required in-query to come from the System-R estimate (not the
+    // session default), and the join runs through joinPlanned — each
+    // side hash-repartitioned on its key to the planned width, which
+    // the join reuses. The oracle replays the plain join: identical
+    // values prove planning never changes results, and the require()s
+    // make the bench/verify surface fail loudly if the estimate ever
+    // stops feeding the plan.
+    "x_join_planned" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_jplan", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      cat.replaceAtomic("dim_jp", t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg")))
+      cat.replaceAtomic("fact_jp", t(s, dir, "orders")
+        .select(col("o_custkey").as("k"), cents(col("o_totalprice")).as("price_c")))
+      cat.analyze("dim_jp"); cat.analyze("fact_jp")
+      val rowsPerTask = 1000L
+      val planned = cat.plannedShufflePartitions(
+        "fact_jp", "k", "dim_jp", "k", rowsPerTask = rowsPerTask)
+      require(planned.exists(_ >= 1),
+        s"fresh stats on both sides must yield a planned width, got $planned")
+      val joined = cat.joinPlanned("fact_jp", "k", "dim_jp", "k",
+        rowsPerTask = rowsPerTask)
+      require(joined.rdd.getNumPartitions == planned.get,
+        s"join must run at the planned width ${planned.get}, " +
+          s"got ${joined.rdd.getNumPartitions}")
+      joined.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_price_c"))
+    }),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // ------------------------------------------- snapshot diff (CDC)
     // Full-extract change capture: old = customers not divisible by 7,
     // new = customers not divisible by 11 with segments rewritten for
@@ -2764,9 +2802,15 @@ object TestdataQueries {
       val top = graft.ops.Pq.topK(enc, "vec_id", "pq_code", cb, q, k = 10)
         .withColumn("exact", l2q)
       val dist = enc.agg((sum(errSq) / sum(normSq)).as("rd")).head().getDouble(0)
+      // Relative ADC error only over neighbors at nonzero exact
+      // distance: a corpus can contain the query vector itself (the sf1
+      // extent probe's key-shifted copies do — caught by the r9 sf1
+      // correctness gate as a division by zero under ANSI mode), and a
+      // zero-distance hit has no meaningful relative error.
       top.join(exact50, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("n_results"),
-          avg(abs(col("adc_dist") - col("exact")) / col("exact")).as("adc_err"),
+          avg(when(col("exact") > 0.0,
+            abs(col("adc_dist") - col("exact")) / col("exact"))).as("adc_err"),
           sum(when(col("bf_rank").isNotNull, 1).otherwise(0)).as("h50"))
         .select(lit(10).as("k"), col("n_results"),
           lit(dist <= 0.75).as("distortion_ok"),
