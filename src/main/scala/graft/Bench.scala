@@ -111,9 +111,13 @@ object Bench {
     // Durable artifact for the board: the driver keeps only a bounded TAIL
     // of stdout, which can front-truncate the long per-query line. The
     // file survives; the SHORT total-only line printed LAST survives the
-    // tail cut too.
+    // tail cut too. A SPARK_GRAFT_ONLY subset run writes a SIDE file —
+    // it must never clobber the committed full-surface artifact with a
+    // handful of queries (bitten in r9).
+    val artifact =
+      if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_SUBSET.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullJson + "\n")
+      java.nio.file.Paths.get(artifact), fullJson + "\n")
     spark.stop()
     // Print after stop(): shutdown-hook chatter can no longer interleave,
     // and the redirect stays in effect for the whole Spark lifetime.

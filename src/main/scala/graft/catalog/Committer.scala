@@ -186,16 +186,19 @@ object LogCommitter extends Committer {
     val tmp = log.resolve(s".inflight-${java.util.UUID.randomUUID()}")
     Files.write(tmp, bytes)
     var committed = false
+    var slots = 0
     while (!committed) {
       val es = entries(log)
       val next = es.map(_._1).maxOption.getOrElse(0L) + 1L
       val slot = log.resolve("s" + fmt(next))
-      try {
-        Files.move(tmp, slot); committed = true
-        if (es.count(!_._3) + 1 >= CompactEvery) compact(log)
-      }
+      try { Files.move(tmp, slot); committed = true; slots = es.count(!_._3) + 1 }
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
+    // compaction runs AFTER the claim loop: the commit is durable the
+    // instant the move lands, and a compaction failure must surface as
+    // its own error, never as a phantom commit failure the caller would
+    // retry into a duplicate slot
+    if (slots >= CompactEvery) compact(log)
   }
 
   /** Fold the committed value into checkpoint `c<maxSlot>`, then delete
