@@ -201,7 +201,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           TableCatalog.FileStats(r.getString(0),
             r.getLong(r.fieldIndex("_rows")), bound("_min"), bound("_max"))
         }.toSeq
-        (g, fs)
+        // ZERO-ROW files (an empty-DataFrame write leaves a schema-only
+        // part file) produce no aggregation row but ARE on disk — index
+        // them with empty bounds (never scanned: no range can match) or
+        // prunedRead's file-set freshness check would refuse forever
+        val indexed = fs.map(_.file).toSet
+        val empties = (listParquetUrisAt(Paths.get(pinnedDir)) -- indexed)
+          .toSeq.sorted
+          .map(TableCatalog.FileStats(_, 0L, Map.empty, Map.empty))
+        (g, fs ++ empties)
       }
     val (rowCount, ndv) = rowsAndNdv(globalRow)
     val st = TableCatalog.TableStats(ver, rowCount,
@@ -692,7 +700,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val aggs = count(lit(1L)).as("_rows") +:
         skipCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"_min_$c"),
           max(col(c).cast("long")).as(s"_max_$c")))
-      val fs = spark.read.option("basePath", path(table))
+      val scanned = spark.read.option("basePath", path(table))
         .parquet(newFiles: _*)
         .groupBy(input_file_name().as("_graft_file"))
         .agg(aggs.head, aggs.tail: _*)
@@ -704,6 +712,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           TableCatalog.FileStats(r.getString(0),
             r.getLong(r.fieldIndex("_rows")), bound("_min"), bound("_max"))
         }.toSeq
+      // zero-row new files (empty-DataFrame append) yield no agg row —
+      // index them with empty bounds, same reasoning as analyze()
+      val fs = scanned ++ (newFiles.toSet -- scanned.map(_.file))
+        .toSeq.sorted.map(TableCatalog.FileStats(_, 0L, Map.empty, Map.empty))
       val merged = prev.copy(
         rows = prev.rows + fs.map(_.rows).sum,
         sizeBytes = TableCatalog.dirBytes(Paths.get(readPath(table))),
@@ -717,12 +729,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
-  private def listParquetUris(table: String): Set[String] = {
+  // resolve through the snapshot pointer, as every read does — walking
+  // the table path of a versioned table would sweep up retained old
+  // snapshots
+  private def listParquetUris(table: String): Set[String] =
+    listParquetUrisAt(Paths.get(readPath(table)))
+
+  private def listParquetUrisAt(root: Path): Set[String] = {
     import scala.jdk.CollectionConverters._
-    // resolve through the snapshot pointer, as every read does — walking
-    // the table path of a versioned table would sweep up retained old
-    // snapshots
-    val root = Paths.get(readPath(table))
     if (!Files.exists(root)) Set.empty
     else {
       val s = Files.walk(root)

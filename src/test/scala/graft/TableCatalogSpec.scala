@@ -127,6 +127,12 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     // the day-1 files (a ≤ 49) must not be opened for the day-2 box
     val opened = pruned.select(input_file_name()).distinct().count()
     assert(opened <= 2, s"day-1 files opened: $opened")
+    // an EMPTY append (Spark may leave a schema-only part file that no
+    // aggregation row describes) must keep the index file-set-fresh —
+    // a zero-row file gets an empty-bounds entry, never a stale refusal
+    cat.appendIndexed("tbl", day2.limit(0), Seq("a"))
+    val pruned2 = cat.prunedRead("tbl", Seq(("a", 100L, 119L)))
+    assert(pruned2.collect().toSet === unpruned.collect().toSet)
   }
 
   // the swap-consistency and lock-race suites run against BOTH committers:
@@ -755,13 +761,24 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     commit("after")
     assert(new String(LogCommitter.read(p).get) === "after")
     // concurrent writers racing across compaction windows: all commits
-    // land, the final read is one of the written values, LIST stays flat
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // land, the final read is one of the written values, LIST stays flat.
+    // A reader hammers the pointer throughout — every mid-race read must
+    // resolve a committed value (the checkpoint-before-delete ordering),
+    // never absent, never a torn/partial value.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = pool.submit(new Runnable {
+      def run(): Unit = while (!stop.get()) {
+        val v = LogCommitter.read(p).map(new String(_))
+        if (!v.exists(s => s == "after" || s.matches("w\\d-\\d+")))
+          throw new AssertionError(s"mid-race read resolved $v")
+      }
+    })
     val futs = (1 to 8).map { w =>
       pool.submit(new Runnable {
         def run(): Unit = (1 to 40).foreach(i => commit(s"w$w-$i")) })
     }
-    futs.foreach(_.get()); pool.shutdown()
+    futs.foreach(_.get()); stop.set(true); reader.get(); pool.shutdown()
     val fin = new String(LogCommitter.read(p).get)
     assert(fin.matches("w\\d-40"), s"final commit must be some writer's last: $fin")
     assert(logFiles().size <= LogCommitter.CompactEvery + 4,
