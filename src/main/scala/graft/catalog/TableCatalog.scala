@@ -303,28 +303,49 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         math.max(1L, (est + rowsPerTask - 1) / rowsPerTask)).toInt
     }
 
-  /** Equi-join of two catalog tables with the shuffle width PLANNED from
-    * persisted stats: when both sides carry fresh stats, each side is
-    * hash-repartitioned on its key to [[plannedShufflePartitions]] —
-    * the join reuses that partitioning (same key, same count on both
-    * sides satisfies the join's required distribution, so no second
-    * exchange) and the width tracks estimated OUTPUT rows instead of a
-    * static default. The explicit count is deliberately AQE-proof:
-    * user-specified repartitions are never coalesced, so the plan a spec
-    * observes is the plan a cluster runs. Stale or absent stats on
-    * either side → a plain join, exactly the pre-stats behavior. */
+  /** Equi-join of two catalog tables PLANNED from persisted stats, in
+    * preference order:
+    *
+    *  1. a side whose fresh stats prove it at most `broadcastBytes` on
+    *     disk is broadcast — NO shuffle on either side (pre-partitioning
+    *     a fact for a broadcast join is pure wasted exchange);
+    *  2. otherwise both sides are hash-repartitioned on their key to
+    *     [[plannedShufflePartitions]] — the join reuses that
+    *     partitioning (same key, same count on both sides satisfies the
+    *     join's required distribution, so no second exchange) and the
+    *     width tracks estimated OUTPUT rows instead of a static
+    *     default. The explicit count is deliberately AQE-proof:
+    *     user-specified repartitions are never coalesced, so the plan a
+    *     spec observes is the plan a cluster runs;
+    *  3. stale or absent stats on either side → a plain join, exactly
+    *     the pre-stats behavior.
+    *
+    * For a non-inner join the broadcast branch only hints a side whose
+    * rows must all be visible to a single task stream legally (Spark
+    * ignores/translates illegal broadcast sides itself — the hint never
+    * changes results, only the plan). */
   def joinPlanned(tableA: String, keyA: String, tableB: String, keyB: String,
                   joinType: String = "inner",
                   rowsPerTask: Long = 2L << 20,
-                  maxPartitions: Int = 4096): DataFrame = {
+                  maxPartitions: Int = 4096,
+                  broadcastBytes: Long = 64L << 20): DataFrame = {
     val a = read(tableA); val b = read(tableB)
     def joinOf(l: DataFrame, r: DataFrame): DataFrame =
       if (keyA == keyB) l.join(r, Seq(keyA), joinType)
       else l.join(r, l(keyA) === r(keyB), joinType)
-    plannedShufflePartitions(tableA, keyA, tableB, keyB,
-        rowsPerTask, maxPartitions) match {
-      case Some(n) => joinOf(a.repartition(n, a(keyA)), b.repartition(n, b(keyB)))
-      case None => joinOf(a, b)
+    def freshSize(t: String): Option[Long] =
+      stats(t).filter(_.version == currentVersion(t)).map(_.sizeBytes)
+    import org.apache.spark.sql.functions.broadcast
+    (freshSize(tableA), freshSize(tableB)) match {
+      case (Some(sa), Some(sb)) if math.min(sa, sb) <= broadcastBytes =>
+        if (sb <= sa) joinOf(a, broadcast(b)) else joinOf(broadcast(a), b)
+      case _ =>
+        plannedShufflePartitions(tableA, keyA, tableB, keyB,
+            rowsPerTask, maxPartitions) match {
+          case Some(n) =>
+            joinOf(a.repartition(n, a(keyA)), b.repartition(n, b(keyB)))
+          case None => joinOf(a, b)
+        }
     }
   }
 

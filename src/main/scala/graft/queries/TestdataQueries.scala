@@ -1107,8 +1107,12 @@ object TestdataQueries {
         "fact_jp", "k", "dim_jp", "k", rowsPerTask = rowsPerTask)
       require(planned.exists(_ >= 1),
         s"fresh stats on both sides must yield a planned width, got $planned")
+      // broadcastBytes = 0 forces the repartition branch (at fixture
+      // scale the dim's stats would otherwise take the no-shuffle
+      // broadcast branch, which has no width to assert — the spec
+      // covers that branch)
       val joined = cat.joinPlanned("fact_jp", "k", "dim_jp", "k",
-        rowsPerTask = rowsPerTask)
+        rowsPerTask = rowsPerTask, broadcastBytes = 0L)
       require(joined.rdd.getNumPartitions == planned.get,
         s"join must run at the planned width ${planned.get}, " +
           s"got ${joined.rdd.getNumPartitions}")

@@ -872,10 +872,12 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     cat.analyze("dim_p"); cat.analyze("fact_p")
     // ~4000 estimated output rows at 500 rows/task -> 8 partitions: the
     // width comes from the ESTIMATE, not spark.sql.shuffle.partitions
+    // (broadcastBytes = 0 forces the repartition branch for the width
+    // assertions; the broadcast branch is asserted separately below)
     val est = cat.estimateJoinRows("fact_p", "k", "dim_p", "k").get
     val wantP = ((est + 499) / 500).toInt
     val planned = cat.joinPlanned("fact_p", "k", "dim_p", "k",
-      rowsPerTask = 500L)
+      rowsPerTask = 500L, broadcastBytes = 0L)
     assert(planned.count() === 4000L)
     assert(planned.rdd.getNumPartitions === wantP,
       s"planned width must track the estimate ($est rows / 500)")
@@ -884,7 +886,17 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
       "test must exercise a non-default width")
     // same estimate, huge rowsPerTask -> clamps to 1
     assert(cat.joinPlanned("fact_p", "k", "dim_p", "k",
-      rowsPerTask = Long.MaxValue).rdd.getNumPartitions === 1)
+      rowsPerTask = Long.MaxValue, broadcastBytes = 0L)
+      .rdd.getNumPartitions === 1)
+    // fresh stats proving the dim small -> the no-shuffle broadcast
+    // branch: neither side repartitions, the join hash-builds on the dim
+    val bcJoined = cat.joinPlanned("fact_p", "k", "dim_p", "k",
+      rowsPerTask = 500L)
+    assert(bcJoined.count() === 4000L)
+    assert(bcJoined.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "small-side fresh stats must take the broadcast branch")
+    assert(bcJoined.rdd.getNumPartitions !== wantP,
+      "broadcast branch must not pay the planned repartition")
     // stale stats (new snapshot, no re-analyze) -> plain join, results
     // identical, width back under the planner/session default regime
     cat.replaceAtomic("dim_p", (1 to 50).map(i => (i.toLong, s"w$i")).toDF("k", "v"))
