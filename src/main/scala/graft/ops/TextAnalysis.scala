@@ -104,6 +104,41 @@ object TextAnalysis {
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
 
+  /** Corpus-wide repeated exact n-grams — the memorization-risk /
+    * boilerplate diagnostic of training-data curation (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022, motivates exactly this view: verbatim sequences repeated
+    * across documents are what models memorize): every n-token gram
+    * occurring in at least `minDocs` DISTINCT documents, with its
+    * document frequency and total occurrence count. Complements the
+    * pairwise ops — ngramJaccard/winnowPairs say which DOC PAIRS
+    * overlap; this says which SEQUENCES recur, feeding dedup-policy
+    * tuning (what to cut) rather than pair detection.
+    *
+    * Plan shape for 100 TB: gram extraction is one shuffle-free
+    * projection (tokens let-bound once — the interpreted-HOF
+    * re-evaluation pitfall documented at [[winnow]]); the single
+    * shuffle carries (gram, doc_id) into one hash aggregation whose
+    * distinct-count rides the same exchange (partial aggregation
+    * map-side). The output is the gram table itself — bounded by the
+    * `minDocs` filter, no driver materialization. */
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1, s"n and minDocs must be positive")
+    val grams = element_at(
+      transform(array(split(col(textCol), " ")), toks =>
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))), 1)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .filter(size(split(col(textCol), " ")) >= n) // sequence() must not run backwards
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram with a

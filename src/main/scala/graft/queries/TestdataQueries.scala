@@ -5298,6 +5298,28 @@ object TestdataQueries {
              |SELECT doc_id, n_chars FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin)),
 
+    // --------------------- corpus-wide repeated exact n-grams (r9)
+    // The memorization-risk / boilerplate diagnostic (Lee et al. ACL'22):
+    // every 5-token gram appearing in ≥ 2 distinct docs, with document
+    // frequency and total occurrences. Complements the pairwise ops —
+    // which DOC PAIRS overlap is ngramJaccard/winnowPairs; which
+    // SEQUENCES recur (what a dedup policy should cut) is this. The
+    // oracle regenerates the grams by literal token slicing, so hash
+    // equality pins the gram STRINGS, not a proxy.
+    "x_repeated_ngrams" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.repeatedNgrams(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+             |g AS (SELECT doc_id, array_to_string(tk[i+1:i+5], ' ') AS gram
+             |  FROM d CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(len(tk)) AS BIGINT) FROM d))) AS i) idx
+             |  WHERE i <= len(tk) - 5)
+             |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  count(*) AS n_occ
+             |FROM g GROUP BY gram
+             |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
     // ------------------------------------------------- text quality signals
     "x_quality_signals" -> (((s: SparkSession, dir: String) =>
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")

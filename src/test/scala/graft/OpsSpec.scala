@@ -914,4 +914,31 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.contains((10L, 11L)), s"moved paragraph not detected: $pairs")
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L || p._1 == 13L || p._2 == 13L))
   }
+
+  test("repeatedNgrams: cross-doc verbatim sequences surface with exact " +
+      "doc and occurrence counts; within-doc repeats alone do not") {
+    import graft.ops.TextAnalysis
+    val boiler = "subscribe to our newsletter for updates" // 6 tokens
+    val docs = Seq(
+      (1L, s"article one body text $boiler trailing words"),
+      (2L, s"$boiler article two completely different body"),
+      (3L, s"third article also ends with $boiler"),
+      // within-doc repetition only — must NOT appear at minDocs=2
+      (4L, "echo echo echo echo echo echo echo echo echo echo"),
+      (5L, "short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedNgrams(docs, "doc_id", "text",
+      n = 5, minDocs = 2) // gram -> (n_docs, n_occ)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the 6-token boilerplate yields two 5-gram windows, each in 3 docs
+    val w1 = "subscribe to our newsletter for"
+    val w2 = "to our newsletter for updates"
+    assert(out.get(w1).contains((3L, 3L)), s"missing $w1: $out")
+    assert(out.get(w2).contains((3L, 3L)), s"missing $w2: $out")
+    // doc 4's 6 within-doc "echo..." grams never cross a doc boundary
+    assert(!out.keys.exists(_.startsWith("echo")),
+      s"within-doc repetition leaked into the cross-doc table: $out")
+    // every surviving gram is in >= 2 docs and occ >= docs
+    assert(out.values.forall { case (d, o) => d >= 2 && o >= d })
+  }
 }
