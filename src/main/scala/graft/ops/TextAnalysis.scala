@@ -139,6 +139,43 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Per-document duplicated-text fraction — the filter signal built on
+    * [[repeatedNgrams]] (the "fraction of characters in duplicated
+    * n-grams" cut used by web-scale curation pipelines: a doc that is
+    * mostly corpus-duplicated text is boilerplate/spam; a doc with a
+    * small duplicated slice merely quotes): for every doc with ≥ n
+    * tokens, its gram count, how many of those grams occur in ≥
+    * `minDocs` distinct docs corpus-wide, and the fraction as
+    * floor-scaled basis points (integral DIV — exact int64, so an
+    * oracle replays it without FP drift).
+    *
+    * Plan shape: the (doc_id, gram) explode is ONE projection consumed
+    * by both the corpus docFreq aggregate and the per-doc counts; the
+    * duplicated-gram set joins back on `gram` (never all-pairs, skew
+    * bounded by the same Zipf head `minDocs` trims). */
+  def duplicatedGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = element_at(
+      transform(array(split(col(textCol), " ")), toks =>
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))), 1)
+    val g = docs
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("gram"))
+    val perDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = g.join(dup, Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        expr("(coalesce(n_dup, 0L) * 10000L) DIV n_grams").as("dup_frac_e4"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram with a

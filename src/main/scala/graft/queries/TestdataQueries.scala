@@ -5320,6 +5320,32 @@ object TestdataQueries {
              |FROM g GROUP BY gram
              |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
 
+    // ------------- per-doc duplicated-text fraction (filter signal, r9)
+    // repeatedNgrams composed back onto documents: what FRACTION of each
+    // doc's 5-grams is corpus-duplicated — the boilerplate/spam cut of
+    // web-scale curation (a mostly-duplicated doc is dropped; a doc
+    // that merely quotes keeps a low fraction). Basis points via
+    // integral DIV on both engines, so the hash is FP-drift-proof.
+    "x_dup_fraction" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.duplicatedGramFraction(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, minDocs = 2)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+             |g AS (SELECT doc_id, array_to_string(tk[i+1:i+5], ' ') AS gram
+             |  FROM d CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(len(tk)) AS BIGINT) FROM d))) AS i) idx
+             |  WHERE i <= len(tk) - 5),
+             |df AS (SELECT gram FROM g GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+             |dd AS (SELECT doc_id, count(*) AS n_dup
+             |  FROM g JOIN df USING (gram) GROUP BY doc_id)
+             |SELECT pd.doc_id, pd.n_grams,
+             |  coalesce(dd.n_dup, 0) AS n_dup,
+             |  CAST(coalesce(dd.n_dup, 0) * 10000 // pd.n_grams AS BIGINT)
+             |    AS dup_frac_e4
+             |FROM pd LEFT JOIN dd USING (doc_id)""".stripMargin)),
+
     // ------------------------------------------------- text quality signals
     "x_quality_signals" -> (((s: SparkSession, dir: String) =>
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")

@@ -941,4 +941,27 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // every surviving gram is in >= 2 docs and occ >= docs
     assert(out.values.forall { case (d, o) => d >= 2 && o >= d })
   }
+
+  test("duplicatedGramFraction: fully-duplicated docs score 10000 bp, " +
+      "originals 0, a quoting doc in between; sub-n docs emit no row") {
+    import graft.ops.TextAnalysis
+    val boiler = "one two three four five" // exactly one 5-gram
+    val docs = Seq(
+      (1L, boiler),                                   // 1/1 dup -> 10000
+      (2L, boiler),                                   // 1/1 dup -> 10000
+      (3L, s"fresh unique opening words here $boiler"), // 6 grams, 1 dup
+      (4L, "entirely original content with no repeats anywhere at all"),
+      (5L, "tiny")                                    // < n tokens: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedGramFraction(docs, "doc_id", "text",
+      n = 5, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((1L, 1L, 10000L)))
+    assert(out(2L) === ((1L, 1L, 10000L)))
+    assert(out(3L) === ((6L, 1L, 1666L)), s"quoting doc: ${out(3L)}")
+    assert(out(4L)._2 === 0L && out(4L)._3 === 0L)
+    assert(!out.contains(5L), "sub-n doc must emit no row")
+  }
 }
