@@ -2668,14 +2668,25 @@ object TestdataQueries {
       cat.overwriteIndexed("events_z",
         graft.ops.ZOrder.cluster(ev, "uid", "es", bits = 16, numPartitions = 8),
         Seq("uid", "es"))
-      cat.prunedRead("events_z",
-          Seq(("uid", 2L, 9L), ("es", 1704672000L, 1705363200L)))
+      // day-2 leg: a DISJOINT uid slice lands via the INCREMENTAL index
+      // path (appendIndexed — only the new files are scanned for
+      // envelopes), so the driver gate covers both index maintenance
+      // modes; the second probe reads rows reachable only through the
+      // appended files' index entries
+      cat.appendIndexed("events_z",
+        graft.ops.ZOrder.cluster(ev.withColumn("uid", col("uid") + lit(100000L)),
+          "uid", "es", bits = 16, numPartitions = 4),
+        Seq("uid", "es"))
+      val es = ("es", 1704672000L, 1705363200L)
+      cat.prunedRead("events_z", Seq(("uid", 2L, 9L), es))
+        .unionByName(
+          cat.prunedRead("events_z", Seq(("uid", 100002L, 100009L), es)))
         .select(col("event_id"), col("uid"), col("es"))
     }),
       Some(s"""SELECT event_id, uid, es
              |FROM read_parquet(
              |  '${sys.props("java.io.tmpdir")}/graft_zorder_${SfTokenPlaceholder}/events_z/*.parquet')
-             |WHERE uid BETWEEN 2 AND 9
+             |WHERE (uid BETWEEN 2 AND 9 OR uid BETWEEN 100002 AND 100009)
              |  AND es BETWEEN 1704672000 AND 1705363200""".stripMargin)),
 
     // --------------------------------------------- embedding near-dup
