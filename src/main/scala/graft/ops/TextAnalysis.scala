@@ -122,22 +122,59 @@ object TextAnalysis {
     * distinct-count rides the same exchange (partial aggregation
     * map-side). The output is the gram table itself — bounded by the
     * `minDocs` filter, no driver materialization. */
-  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 5, minDocs: Int = 2): DataFrame = {
-    require(n >= 1 && minDocs >= 1, s"n and minDocs must be positive")
+  /** (doc_id, gram) explode of every n-token gram — the shared front of
+    * the repeated-ngram family. One shuffle-free projection; tokens are
+    * let-bound once (the interpreted-HOF pitfall documented at
+    * [[winnow]]); sub-n docs are filtered before `sequence` can run
+    * backwards. */
+  private def gramExplode(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
     val grams = element_at(
       transform(array(split(col(textCol), " ")), toks =>
         transform(sequence(lit(0), size(toks) - lit(n)),
           i => array_join(slice(toks, i + lit(1), lit(n)), " "))), 1)
     docs
       .select(col(idCol).as("doc_id"), col(textCol))
-      .filter(size(split(col(textCol), " ")) >= n) // sequence() must not run backwards
+      .filter(size(split(col(textCol), " ")) >= n)
       .select(col("doc_id"), explode(grams).as("gram"))
+  }
+
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1, s"n and minDocs must be positive")
+    gramExplode(docs, idCol, textCol, n)
       .groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Per-batch PARTIAL of the corpus gram table, for incrementally
+    * maintained repeated-ngram state under the append-only ingest
+    * contract (each doc_id arrives in exactly one batch — the same
+    * contract the incremental LSH index relies on): per-gram distinct
+    * docs and occurrences WITHIN the batch. Both fields are then
+    * additive across batches, so maintenance is O(|batch|) and the
+    * corpus is never re-exploded. Deliberately UNFILTERED: a gram seen
+    * once per batch can cross `minDocs` only at merge time — filtering
+    * partials is the classic incremental-aggregation bug, and the
+    * oracle equality of the composed query exists to catch it. */
+  def repeatedNgramsPartial(batch: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5): DataFrame =
+    gramExplode(batch, idCol, textCol, n)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+
+  /** Merge any set of [[repeatedNgramsPartial]] states to the exact
+    * corpus table [[repeatedNgrams]] would compute over the batches'
+    * union, then apply `minDocs`. States are orders of magnitude
+    * smaller than the exploded grams; merge order cannot change the
+    * result (sums of per-batch-disjoint doc counts). */
+  def repeatedNgramsMerge(states: DataFrame, minDocs: Int = 2): DataFrame =
+    states.groupBy(col("gram"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
 
   /** Per-document duplicated-text fraction — the filter signal built on
     * [[repeatedNgrams]] (the "fraction of characters in duplicated
@@ -155,14 +192,7 @@ object TextAnalysis {
     * bounded by the same Zipf head `minDocs` trims). */
   def duplicatedGramFraction(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val grams = element_at(
-      transform(array(split(col(textCol), " ")), toks =>
-        transform(sequence(lit(0), size(toks) - lit(n)),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " "))), 1)
-    val g = docs
-      .select(col(idCol).as("doc_id"), col(textCol))
-      .filter(size(split(col(textCol), " ")) >= n)
-      .select(col("doc_id"), explode(grams).as("gram"))
+    val g = gramExplode(docs, idCol, textCol, n)
     val dup = g.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("_df"))
       .filter(col("_df") >= minDocs)

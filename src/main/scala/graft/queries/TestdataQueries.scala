@@ -5357,6 +5357,40 @@ object TestdataQueries {
              |    AS dup_frac_e4
              |FROM pd LEFT JOIN dd USING (doc_id)""".stripMargin)),
 
+    // ------------- incrementally maintained gram table (r9)
+    // The repeated-ngram table under the append-only ingest contract:
+    // three disjoint batches each contribute an UNFILTERED per-gram
+    // partial (batch-local distinct docs + occurrences) appended to a
+    // catalog state table; merge-on-read sums the partials and only
+    // then applies minDocs. The oracle is the BATCH recompute over the
+    // whole corpus — equality proves cross-batch duplicates (a gram
+    // seen once per batch) are found at merge, the exact case filtering
+    // partials too early silently loses. O(batch) per ingest; the
+    // corpus is never re-exploded.
+    "x_ngram_incremental" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_nginc", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val docs = t(s, dir, "documents")
+      (0 to 2).foreach { b =>
+        cat.append("gram_state",
+          TextAnalysis.repeatedNgramsPartial(
+            docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            "doc_id", "text", n = 5))
+      }
+      TextAnalysis.repeatedNgramsMerge(cat.read("gram_state"), minDocs = 2)
+    }),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+             |g AS (SELECT doc_id, array_to_string(tk[i+1:i+5], ' ') AS gram
+             |  FROM d CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(len(tk)) AS BIGINT) FROM d))) AS i) idx
+             |  WHERE i <= len(tk) - 5)
+             |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  count(*) AS n_occ
+             |FROM g GROUP BY gram
+             |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
     // ------------------------------------------------- text quality signals
     "x_quality_signals" -> (((s: SparkSession, dir: String) =>
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")

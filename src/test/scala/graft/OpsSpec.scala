@@ -964,4 +964,29 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(out(4L)._2 === 0L && out(4L)._3 === 0L)
     assert(!out.contains(5L), "sub-n doc must emit no row")
   }
+
+  test("repeatedNgrams partial+merge == direct, including grams whose " +
+      "duplication only exists ACROSS batches") {
+    import graft.ops.TextAnalysis
+    val boiler = "click here to learn more"
+    val docs = Seq(
+      (1L, s"batch one doc body $boiler"),     // doc_id % 3 = 1
+      (2L, s"$boiler batch two doc body"),     // doc_id % 3 = 2: the
+      // boiler gram is a SINGLETON in each batch — only merge sees 2
+      (3L, "unique text in one batch only"),
+      (4L, "more unique text somewhere else"),
+      (5L, "third doc with entirely original closing words")
+    ).toDF("doc_id", "text")
+    val direct = TextAnalysis.repeatedNgrams(docs, "doc_id", "text",
+      n = 5, minDocs = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val states = (0 to 2).map(b => TextAnalysis.repeatedNgramsPartial(
+      docs.filter(pmod($"doc_id", lit(3)) === b), "doc_id", "text", n = 5))
+      .reduce(_ unionByName _)
+    val merged = TextAnalysis.repeatedNgramsMerge(states, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === direct, s"merge drift:\n merged=$merged\n direct=$direct")
+    // the boiler gram is singleton in every batch — only merge finds it
+    assert(direct.exists(_._1 == boiler), s"fixture lost its cross-batch gram")
+  }
 }
