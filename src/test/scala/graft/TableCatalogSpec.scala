@@ -784,6 +784,40 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(logFiles().size <= LogCommitter.CompactEvery + 4,
       s"log regrew under concurrency: ${logFiles().sorted}")
 
+    // crash injection: every intermediate compaction state a crash can
+    // leave behind must read correctly and converge on later commits
+    val crash = root.resolve("crashptr")
+    val clog = root.resolve("crashptr.__log")
+    java.nio.file.Files.createDirectories(clog)
+    def slotFile(kind: Char, i: Long, v: String): Unit =
+      java.nio.file.Files.write(
+        clog.resolve(kind + ("%020d".format(i))), v.getBytes)
+    (1L to 5L).foreach(i => slotFile('s', i, s"v$i"))
+    // (a) crashed AFTER checkpoint write, BEFORE subsumed-slot deletion:
+    // a stale c3 below live slots — highest entry (s5) must still win
+    slotFile('c', 3L, "v3")
+    assert(new String(LogCommitter.read(crash).get) === "v5")
+    // (b) commits continue over the crashed state; numbering stays
+    // monotonic past both slots and the stale checkpoint
+    (6L to 20L).foreach { i =>
+      val tmp = root.resolve(s".t$i")
+      java.nio.file.Files.write(tmp, s"v$i".getBytes)
+      LogCommitter.atomicRename(tmp, crash)
+      assert(new String(LogCommitter.read(crash).get) === s"v$i")
+    }
+    // (c) the compactions triggered along the way cleaned the crash
+    // debris: stale c3 and the pre-crash slots are gone, log bounded
+    val crashFiles = {
+      val s = java.nio.file.Files.list(clog)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq }
+      finally s.close()
+    }
+    assert(!crashFiles.contains("c" + "%020d".format(3L)),
+      s"stale checkpoint survived compaction: ${crashFiles.sorted}")
+    assert(crashFiles.size <= LogCommitter.CompactEvery + 2,
+      s"crash debris kept the log unbounded: ${crashFiles.sorted}")
+
     // catalog-level: a log-backed table through dozens of swap+analyze
     // cycles keeps a bounded _version log and exact reads
     val cat = new TableCatalog(spark, root.resolve("wh").toString,
