@@ -176,6 +176,41 @@ object TextAnalysis {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Corpus data card: the per-stratum datasheet a training-data team
+    * reads before anything else — document/token/char volumes, length
+    * extremes, and how many docs are byte-exact duplicates of another
+    * doc ANYWHERE in the corpus, attributed to their stratum (a stratum
+    * can be polluted by copies living in other strata; grouping the
+    * dup count within strata would miss exactly those). All fields are
+    * exact integers (avg by integral DIV), so the card replays in plain
+    * SQL.
+    *
+    * Plan shape: one aggregation over the strata columns; the exact-dup
+    * side groups on md5(text) — 32-byte digests shuffle, never document
+    * bodies — and joins the duplicated-digest set back (semi-shaped,
+    * skew-bounded: a digest's count is its duplicate family size). */
+  def corpusCard(docs: DataFrame, idCol: String, textCol: String,
+                 strataCols: Seq[String]): DataFrame = {
+    val ks = strataCols.map(col)
+    val toks = size(split(col(textCol), " ")).cast("long")
+    val base = docs.groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(toks).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        max(toks).as("max_tokens"))
+      .withColumn("avg_tokens", expr("n_tokens DIV n_docs"))
+    val dupDigests = docs.groupBy(md5(col(textCol)).as("_h"))
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2)
+      .select(col("_h"))
+    val dupByStratum = docs.withColumn("_h", md5(col(textCol)))
+      .join(dupDigests, Seq("_h"))
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_exact_dup"))
+    base.join(dupByStratum, strataCols, "left")
+      .withColumn("n_exact_dup", coalesce(col("n_exact_dup"), lit(0L)))
+  }
+
   /** Per-document duplicated-text fraction — the filter signal built on
     * [[repeatedNgrams]] (the "fraction of characters in duplicated
     * n-grams" cut used by web-scale curation pipelines: a doc that is

@@ -5357,6 +5357,31 @@ object TestdataQueries {
              |    AS dup_frac_e4
              |FROM pd LEFT JOIN dd USING (doc_id)""".stripMargin)),
 
+    // --------------------------------- corpus data card (r9)
+    // The per-(source, lang) datasheet: volumes, length extremes, and
+    // docs that are byte-exact duplicates of another doc ANYWHERE in
+    // the corpus attributed to their stratum (within-stratum grouping
+    // would miss cross-strata copies). Digests (md5) shuffle, never
+    // bodies; every field is an exact integer.
+    "x_data_card" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.corpusCard(t(s, dir, "documents"), "doc_id", "text",
+        Seq("source", "lang"))),
+      Some("""WITH base AS (SELECT source, lang, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |    CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+             |  FROM documents GROUP BY source, lang),
+             |dt AS (SELECT md5(text) AS h FROM documents
+             |  GROUP BY md5(text) HAVING count(*) >= 2),
+             |db AS (SELECT source, lang, count(*) AS n_exact_dup
+             |  FROM documents JOIN dt ON md5(text) = dt.h
+             |  GROUP BY source, lang)
+             |SELECT base.source, base.lang, n_docs, n_tokens, n_chars,
+             |  max_tokens,
+             |  CAST(n_tokens // n_docs AS BIGINT) AS avg_tokens,
+             |  coalesce(db.n_exact_dup, 0) AS n_exact_dup
+             |FROM base LEFT JOIN db USING (source, lang)""".stripMargin)),
+
     // ------------- incrementally maintained gram table (r9)
     // The repeated-ngram table under the append-only ingest contract:
     // three disjoint batches each contribute an UNFILTERED per-gram

@@ -989,4 +989,25 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     // the boiler gram is singleton in every batch — only merge finds it
     assert(direct.exists(_._1 == boiler), s"fixture lost its cross-batch gram")
   }
+
+  test("corpusCard: exact per-stratum volumes; cross-strata byte-exact " +
+      "copies count in EVERY stratum that holds one") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "web", "en", "shared page body text"),   // dup of doc 3 (cross-strata)
+      (2L, "web", "en", "original web english doc"),
+      (3L, "books", "en", "shared page body text"), // dup of doc 1
+      (4L, "books", "de", "einzigartiger deutscher text")
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = TextAnalysis.corpusCard(docs, "doc_id", "text",
+      Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6), r.getLong(7))).toMap
+    // (n_docs, n_tokens, avg_tokens, n_exact_dup)
+    assert(out(("web", "en")) === ((2L, 8L, 4L, 1L)),
+      s"web/en card wrong: ${out(("web", "en"))}")
+    assert(out(("books", "en")) === ((1L, 4L, 4L, 1L)),
+      "the books copy of a web page must count as a dup in books/en")
+    assert(out(("books", "de")) === ((1L, 3L, 3L, 0L)))
+  }
 }
