@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash62.portableHash62
+
+/** Target-distribution data selection for pretraining corpora — the
+  * DSIR shape (Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", NeurIPS 2023): score every raw document by
+  * how target-like its hashed n-gram feature distribution is, where
+  * "target-like" is the per-feature ratio of target to raw counts over
+  * a fixed hashed-feature space. The paper's log-likelihood-ratio
+  * importance weight is replaced by the exact integer rational form
+  * this engine uses everywhere floats would break oracle replay (the
+  * Gini/decayed-sum precedent): per-bucket ratio
+  * `r_b = (tgt_b + 1) * scale DIV (raw_b + 1)` (+1 Laplace smoothing on
+  * both counts), per-document score the mean of its gram occurrences'
+  * ratios, `score = sum(r) DIV n_grams`. The global
+  * rawTotal/targetTotal normalizer multiplies every bucket by the same
+  * constant, so it is rank-preserving and omitted — scores order
+  * documents exactly as the normalized arithmetic-mean importance
+  * would.
+  *
+  * Plan shape for 100 TB: the (doc, gram) explode is ONE shuffle-free
+  * projection (tokens let-bound once — the interpreted-HOF pitfall
+  * documented at [[TextAnalysis.winnow]]); the feature table is
+  * aggregated to AT MOST `buckets` rows (hashed feature space is fixed,
+  * independent of corpus size) and broadcast back onto the exploded
+  * grams — never a shuffle join against the corpus; the per-document
+  * mean is the one data-sized aggregation, carrying a single long per
+  * gram. Overflow headroom: a bucket's count at 10^13 grams over 2^12
+  * buckets is ~2.4e9; times scale 1e6 stays < 2^63.
+  */
+object Selection {
+
+  /** Per-document DSIR importance scores of `docs` against the target
+    * subset marked by boolean column `isTarget` (the target
+    * distribution is ESTIMATED FROM the same frame — pass e.g.
+    * `col("lang") === "en"` to up-weight documents n-gram-similar to
+    * the English slice). Features are hashed word `n`-grams folded into
+    * `buckets` buckets by the engine-portable 62-bit hash (non-negative,
+    * so plain `%` agrees across engines). Documents with fewer than `n`
+    * tokens have no features and are omitted (no evidence either way —
+    * the caller's keep/drop policy decides their fate explicitly).
+    *
+    * Output: (doc_id, n_grams, score_e6) — deterministic exact int64,
+    * replayable in ANSI SQL by rebuilding bucket counts with the same
+    * hash. Selection on top is a threshold or a weighted sample
+    * ([[Splits]]); the score column is the operator. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, n: Int = 2, buckets: Int = 1024,
+                 scale: Long = 1000000L): DataFrame = {
+    require(n >= 1 && buckets >= 1 && scale >= 1,
+      s"n, buckets, scale must be positive, got n=$n buckets=$buckets scale=$scale")
+    // let toks = split(text) ONCE (single-element transform binding);
+    // sub-n docs filtered before `sequence` could run backwards
+    val grams = element_at(
+      transform(array(split(col(textCol), " ")), toks =>
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))), 1)
+    val g = docs
+      .select(col(idCol).as("doc_id"), isTarget.cast("boolean").as("_tgt"),
+        col(textCol))
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(col("doc_id"), col("_tgt"), explode(grams).as("gram"))
+      .select(col("doc_id"), col("_tgt"),
+        (portableHash62(col("gram")) % buckets).as("bucket"))
+    // hashed-feature table: bounded by `buckets` regardless of corpus
+    // size — the broadcast is a design invariant, not a size guess
+    val ratios = g.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_raw"),
+        count(when(col("_tgt"), lit(1))).as("_tgtc"))
+      .select(col("bucket"),
+        intDiv((col("_tgtc") + 1L) * scale, col("_raw") + 1L).as("_r"))
+    g.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("_r")).as("_sum"))
+      .select(col("doc_id"), col("n_grams"),
+        intDiv(col("_sum"), col("n_grams")).as("score_e6"))
+  }
+
+  /** Deterministic per-epoch global training order — the reproducible
+    * corpus shuffle a multi-epoch pretraining run needs (each epoch a
+    * different but seed-fixed permutation, identical on every re-run
+    * and on any cluster size): for each epoch `e`, documents are
+    * ordered by the portable hash of `"{seed}{e}:{id}"` (doc_id
+    * tie-break), assigned a contiguous 0-based index within the epoch,
+    * and batched by `idx DIV batchSize`.
+    *
+    * The within-epoch index is the two-phase distributed prefix rank
+    * ([[Packing.withGlobalRank]] over (epoch, hash, id) — never a
+    * single-task global window); subtracting `(epoch-1) * corpusSize`
+    * converts the global tape position to the per-epoch index, with the
+    * corpus size carried IN-PLAN as a broadcast 1-row aggregate (the
+    * x_assoc_rules pattern — no driver collect). Batches never straddle
+    * epochs by construction. */
+  /** Non-linear mix of the two independent folds inside
+    * [[portableHash62]] — REQUIRED before using the hash as a SORT key
+    * on short strings: an unwrapped polynomial fold is order-preserving
+    * (for a 5-char key the leading-char weight is 31⁴ ≈ 9.2e5, far
+    * below the 1e9+7 modulus, so "ep1:0" < "ep1:1" < … hash in ID
+    * order and the "shuffle" degenerates to the identity — caught by
+    * SelectionSpec's distinct-permutations case). The product of the
+    * two residues wraps the modulus ~1e9 times, destroying the linear
+    * structure, while staying exact int64 on both engines
+    * (lo < 1e9+7, hi < 998244353 ⇒ lo·hi < 2⁶³). */
+  private def mix62(h: Column): Column = {
+    val lo = h % 4294967296L
+    val hi = intDiv(h, lit(4294967296L))
+    (lo * hi + lo + hi) % 1000000007L
+  }
+
+  def epochOrder(docs: DataFrame, idCol: String, epochs: Int,
+                 batchSize: Long, seed: String = "ep",
+                 numPartitions: Int = 64): DataFrame = {
+    require(epochs >= 1 && batchSize >= 1,
+      s"epochs and batchSize must be positive, got $epochs/$batchSize")
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val nDocs = ids.agg(count(lit(1)).as("_n"))
+    val tape = ids
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .withColumn("_h", mix62(portableHash62(
+        concat(lit(seed), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")))))
+    Packing.withGlobalRank(tape, Seq("epoch", "_h", "doc_id"), "_gr",
+        numPartitions)
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+        (col("_gr") - 1L - (col("epoch") - 1L) * col("_n")).as("idx"))
+      .withColumn("batch", intDiv(col("idx"), lit(batchSize)))
+  }
+}

@@ -176,6 +176,161 @@ object TextAnalysis {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Positional variant of [[gramExplode]]: (doc_id, pos, gram) with
+    * `pos` the 0-based token index the gram starts at — the front of
+    * span-level dedup, where WHERE a duplicate sits matters. Same
+    * let-binding discipline, still one shuffle-free projection. */
+  private def gramExplodePos(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int): DataFrame = {
+    val grams = element_at(
+      transform(array(split(col(textCol), " ")), toks =>
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))), 1)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .filter(size(split(col(textCol), " ")) >= n)
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+  }
+
+  /** Span-level exact-substring dedup planner (the actionable half of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022 — their ExactSubstr variant CUTS duplicated
+    * spans from documents instead of dropping whole documents):
+    * for every document, the merged token-index intervals
+    * [cut_start, cut_end) covered by at least one n-gram that occurs in
+    * ≥ `minDocs` distinct documents corpus-wide. Overlapping and
+    * back-to-back duplicated grams coalesce into one maximal cut span
+    * (the classic islands merge), so the output is the minimal set of
+    * disjoint spans an excision pass would remove — [[repeatedNgrams]]
+    * says WHICH sequences recur; this says WHERE to cut them.
+    *
+    * Plan shape for 100 TB: the positional explode is one shuffle-free
+    * projection; the duplicated-gram set joins back on `gram`
+    * (docFreq-bounded, the same Zipf head `minDocs` trims — never
+    * all-pairs); the islands merge windows PER DOCUMENT (partition =
+    * doc_id), so window state is bounded by document length, not corpus
+    * size. Exact int64 indices end to end. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val g = gramExplodePos(docs, idCol, textCol, n)
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("gram"))
+    val covered = g.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("pos").cast("long").as("_start"),
+        (col("pos") + n).cast("long").as("_end"))
+    // islands: a span starts a new island iff it begins strictly after
+    // the running max end of everything before it (ties impossible —
+    // one gram per position); adjacency (start == prev end) merges
+    val prev = Window.partitionBy(col("doc_id")).orderBy(col("_start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    covered
+      .withColumn("_new",
+        when(col("_start") > coalesce(max(col("_end")).over(prev),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(run))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("_start")).as("cut_start"),
+        max(col("_end")).as("cut_end"))
+      .select(col("doc_id"), col("cut_start"), col("cut_end"),
+        (col("cut_end") - col("cut_start")).as("n_tokens_cut"))
+  }
+
+  /** Executes the [[dedupSpans]] cut list: every document with its
+    * duplicated spans REMOVED — the excision pass itself (Lee et al.
+    * ACL'22 ExactSubstr dedup applied, not just planned). Documents
+    * with no duplicated spans (including sub-n docs, which have no
+    * grams) pass through verbatim; a fully-duplicated document becomes
+    * the empty string rather than disappearing (the caller's
+    * drop-empty policy stays explicit).
+    *
+    * Plan shape: the per-doc cut list aggregates to AT MOST a handful
+    * of (start, end) structs per document (merged disjoint spans) and
+    * joins back on doc_id; token filtering is one higher-order
+    * projection per row — no exploded-token shuffle. Output tokens are
+    * single-space rejoined (corpus contract: whitespace-normalized
+    * text, the same contract every gram operator here assumes). */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val cuts = dedupSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("cut_start"), col("cut_end"))).as("_cuts"))
+    val noCuts = array().cast("array<struct<cut_start:bigint,cut_end:bigint>>")
+    val kept = element_at(
+      transform(array(split(col(textCol), " ")), toks =>
+        filter(toks, (_, i) => !exists(col("_cuts"),
+          c => i.cast("long") >= c.getField("cut_start") &&
+            i.cast("long") < c.getField("cut_end")))), 1)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("_cuts", coalesce(col("_cuts"), noCuts))
+      .select(col("doc_id"), array_join(kept, " ").as("text_clean"),
+        size(kept).cast("long").as("n_tokens_kept"))
+  }
+
+  /** The published Gopher document-quality rule set (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", 2021, Appendix A1.1), as a per-document rule
+    * table: word count in [50, 100000], mean word length in [3, 10],
+    * symbol-to-word ratio < 0.1 (# and ellipsis), < 90% of lines
+    * bullet-led, < 30% of lines ellipsis-ended, ≥ 80% of words with an
+    * alphabetic character, ≥ 2 distinct stop words of the paper's
+    * eight. Emitting one boolean PER RULE (plus the conjunction `keep`)
+    * is the operational shape: curation teams tune and audit rules
+    * individually before composing them.
+    *
+    * Every ratio threshold is evaluated by integer cross-multiplication
+    * (mean word length in [3,10] ⇔ 3·words ≤ chars ≤ 10·words), so the
+    * table is exact int64/boolean — no division, no FP, replayable in
+    * ANSI SQL. One shuffle-free projection over the scan. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val lines = split(col(textCol), "\n")
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+          .as("n_word_chars"),
+        (occurrences(col(textCol), "#") +
+          occurrences(col(textCol), "...") +
+          occurrences(col(textCol), "…")).as("n_symbols"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => trim(l).rlike("^[-*•]")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+          .cast("long").as("n_ellipsis_lines"),
+        size(filter(toks, t => t.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha_words"),
+        size(array_intersect(array_distinct(toks),
+          array(stops.map(lit): _*))).cast("long").as("n_stop_distinct"))
+      .withColumn("r_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("r_mean_word_len",
+        col("n_word_chars") >= col("n_words") * 3L &&
+          col("n_word_chars") <= col("n_words") * 10L)
+      .withColumn("r_symbol_ratio", col("n_symbols") * 10L < col("n_words"))
+      .withColumn("r_bullet_lines",
+        col("n_bullet_lines") * 10L < col("n_lines") * 9L)
+      .withColumn("r_ellipsis_lines",
+        col("n_ellipsis_lines") * 10L < col("n_lines") * 3L)
+      .withColumn("r_alpha_words",
+        col("n_alpha_words") * 5L >= col("n_words") * 4L)
+      .withColumn("r_stop_words", col("n_stop_distinct") >= 2L)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stop_words"))
+  }
+
   /** Corpus data card: the per-stratum datasheet a training-data team
     * reads before anything else — document/token/char volumes, length
     * extremes, and how many docs are byte-exact duplicates of another

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Scd2
-import graft.ops.{intDiv, AsOfJoin, Dedup, FuzzyJoin, SetJoin, Similarity, TextAnalysis}
+import graft.ops.{intDiv, AsOfJoin, Dedup, FuzzyJoin, Selection, SetJoin, Similarity, TextAnalysis}
 import graft.rules.FraudRules
 import scala.jdk.CollectionConverters._
 
@@ -5415,6 +5415,232 @@ object TestdataQueries {
              |  count(*) AS n_occ
              |FROM g GROUP BY gram
              |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // ------------- Gopher quality rule table (r9, second sitting)
+    // Rae et al. 2021 Appendix A1.1, one boolean per rule + the
+    // conjunction; every ratio as integer cross-multiplication so the
+    // table replays exactly.
+    "x_gopher_rules" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")),
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+             |    CAST((length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3
+             |      + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
+             |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             |    CAST(len(list_filter(string_split(text, chr(10)),
+             |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+             |    CAST(len(list_filter(string_split(text, chr(10)),
+             |      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS BIGINT) AS n_ellipsis_lines,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+             |    CAST(len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+             |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_distinct
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+             |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_distinct,
+             |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+             |  n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+             |    AS r_mean_word_len,
+             |  n_symbols * 10 < n_words AS r_symbol_ratio,
+             |  n_bullet_lines * 10 < n_lines * 9 AS r_bullet_lines,
+             |  n_ellipsis_lines * 10 < n_lines * 3 AS r_ellipsis_lines,
+             |  n_alpha_words * 5 >= n_words * 4 AS r_alpha_words,
+             |  n_stop_distinct >= 2 AS r_stop_words,
+             |  (n_words >= 50 AND n_words <= 100000)
+             |    AND (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+             |    AND (n_symbols * 10 < n_words)
+             |    AND (n_bullet_lines * 10 < n_lines * 9)
+             |    AND (n_ellipsis_lines * 10 < n_lines * 3)
+             |    AND (n_alpha_words * 5 >= n_words * 4)
+             |    AND (n_stop_distinct >= 2) AS keep
+             |FROM b""".stripMargin)),
+
+    // ------------- streaming quality-filtered ingest (r9, second sitting)
+    // The curation filter in the ingest path: a JSONL document feed is
+    // gopherRules-scored per micro-batch and only passing docs reach
+    // the catalog table — filter-at-ingest, the shape that avoids ever
+    // landing (and re-scanning) the rejected 20–50% at 100 TB. Two
+    // micro-batches; the oracle replays the batch filter over the same
+    // corpus, so stream-vs-batch equality is the gate. The conjunction
+    // uses the four rules that discriminate on this synthetic corpus
+    // (the stop-word rule is structurally zero here — its vocabulary
+    // simply lacks the Gopher stop words; rule sets are tuned per
+    // corpus, which is why gopherRules emits per-rule booleans).
+    "x_stream_quality" -> (((s: SparkSession, dir: String) => {
+      import graft.streaming.StreamingIngest
+      import java.nio.file.Files
+      val scratch = scratchDir("graft_streamq", dir)
+      val in = scratch.resolve("in")
+      Files.createDirectories(in)
+      def drop(b: Int, cond: Column): Unit = {
+        val st = scratch.resolve(s"stage_b$b")
+        t(s, dir, "documents").filter(cond).select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").json(st.toString)
+        val listing = Files.list(st)
+        val part = (try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".json"))
+          finally listing.close())
+          .getOrElse(throw new IllegalStateException(s"no json part in $st"))
+        Files.move(part, in.resolve(s"b$b.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      drop(0, col("doc_id") % 2 === 0)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      withStreamPartitions(s) {
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val stream = s.readStream.schema(schema).json(in.toString)
+        val clean = TextAnalysis.gopherRules(stream, "doc_id", "text")
+          .filter(col("r_word_count") && col("r_mean_word_len") &&
+            col("r_symbol_ratio") && col("r_alpha_words"))
+          .select(col("doc_id"), col("n_words"), col("n_word_chars"))
+        val q = StreamingIngest.startCatalogAppend(cat, "clean_docs", clean,
+          scratch.resolve("ckpt").toString)
+        try {
+          q.processAllAvailable()
+          drop(1, col("doc_id") % 2 === 1)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      cat.read("clean_docs")
+    }),
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_word_chars,
+             |    CAST((length(text) - length(replace(text, '#', '')))
+             |      + (length(text) - length(replace(text, '...', ''))) // 3
+             |      + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_symbols,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_word_chars FROM b
+             |WHERE n_words >= 50 AND n_words <= 100000
+             |  AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+             |  AND n_symbols * 10 < n_words
+             |  AND n_alpha_words * 5 >= n_words * 4""".stripMargin)),
+
+    // ------------- DSIR importance scores (r9, second sitting)
+    // Target-distribution data selection (Xie et al. NeurIPS'23): score
+    // every doc by the mean target/raw count ratio of its hashed
+    // word-bigram features, target = the English slice. The bucket
+    // table is bounded (512 rows) and broadcast; scores are the exact
+    // integer rational form, so DuckDB rebuilds the feature table with
+    // the same portable hash and the hash gate is FP-drift-proof.
+    "x_dsir" -> (((s: SparkSession, dir: String) =>
+      Selection.dsirScores(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", n = 2, buckets = 512)),
+      Some(s"""WITH d AS (SELECT doc_id, lang = 'en' AS tgt,
+             |    string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+             |g AS (SELECT doc_id, tgt, array_to_string(tk[i+1:i+2], ' ') AS gram
+             |  FROM d CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(len(tk)) AS BIGINT) FROM d))) AS i) idx
+             |  WHERE i <= len(tk) - 2),
+             |gb AS (SELECT doc_id, tgt,
+             |    ${portableHashSql("gram")} % 512 AS bucket FROM g),
+             |bt AS (SELECT bucket, count(*) AS raw_c,
+             |    count(*) FILTER (WHERE tgt) AS tgt_c
+             |  FROM gb GROUP BY bucket),
+             |r AS (SELECT bucket,
+             |    (tgt_c + 1) * 1000000 // (raw_c + 1) AS rr FROM bt)
+             |SELECT doc_id, count(*) AS n_grams,
+             |  CAST(sum(rr) // count(*) AS BIGINT) AS score_e6
+             |FROM gb JOIN r USING (bucket)
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ------------- span-level exact-substring dedup (r9, second sitting)
+    // Lee et al. ACL'22 ExactSubstr: per doc, the merged token-index
+    // intervals covered by corpus-duplicated 5-grams — the cut list an
+    // excision pass executes. Overlap AND adjacency coalesce (islands
+    // merge windowed per doc, state bounded by doc length).
+    "x_dedup_spans" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.dedupSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+             |g AS (SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+5], ' ') AS gram
+             |  FROM d CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(len(tk)) AS BIGINT) FROM d))) AS i) idx
+             |  WHERE i <= len(tk) - 5),
+             |df AS (SELECT gram FROM g GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT doc_id, pos AS s, pos + 5 AS e
+             |  FROM g JOIN df USING (gram)),
+             |m AS (SELECT doc_id, s, e,
+             |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM cov),
+             |isl AS (SELECT doc_id, s, e,
+             |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY s
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM m)
+             |SELECT doc_id, min(s) AS cut_start, max(e) AS cut_end,
+             |  max(e) - min(s) AS n_tokens_cut
+             |FROM isl GROUP BY doc_id, island""".stripMargin)),
+
+    // ------------- span excision applied (r9, second sitting)
+    // The dedupSpans cut list executed: cleaned text with duplicated
+    // spans removed. The oracle takes the DIRECT covered-positions
+    // route (union of [pos, pos+5) per duplicated gram) — equality
+    // with the Spark side's merged-islands route proves interval
+    // merging loses/adds no token.
+    "x_dedup_excise" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.exciseSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents),
+             |d5 AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 5),
+             |g AS (SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+5], ' ') AS gram
+             |  FROM d5 CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(len(tk)) AS BIGINT) FROM d5))) AS i) idx
+             |  WHERE i <= len(tk) - 5),
+             |df AS (SELECT gram FROM g GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, pos FROM g JOIN df USING (gram)),
+             |cp AS (SELECT DISTINCT doc_id, pos + o AS p
+             |  FROM cov CROSS JOIN (SELECT unnest(range(0, 5)) AS o) off),
+             |tok AS (SELECT d.doc_id, i AS p, tk[i+1] AS tok
+             |  FROM d CROSS JOIN (SELECT unnest(range(0,
+             |    (SELECT CAST(max(len(tk)) AS BIGINT) FROM d))) AS i) idx
+             |  WHERE i < len(tk)),
+             |keep AS (SELECT tok.doc_id, tok.p, tok.tok
+             |  FROM tok LEFT JOIN cp ON tok.doc_id = cp.doc_id AND tok.p = cp.p
+             |  WHERE cp.p IS NULL)
+             |SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean,
+             |  CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept
+             |FROM d LEFT JOIN (SELECT doc_id,
+             |    string_agg(tok, ' ' ORDER BY p) AS text_clean,
+             |    count(*) AS n
+             |  FROM keep GROUP BY doc_id) k USING (doc_id)""".stripMargin)),
+
+    // ------------- deterministic epoch shuffle (r9, second sitting)
+    // Reproducible multi-epoch training order: per epoch, docs ordered
+    // by the portable hash of "ep{e}:{id}" and batched by the 0-based
+    // within-epoch index. The index is the two-phase distributed prefix
+    // rank (never a one-task global window); the oracle's one-task
+    // row_number replay is the semantics it must equal.
+    "x_epoch_shuffle" -> (((s: SparkSession, dir: String) =>
+      Selection.epochOrder(t(s, dir, "documents"), "doc_id",
+        epochs = 2, batchSize = 64)),
+      Some(s"""WITH e AS (SELECT doc_id, unnest(range(1, 3)) AS epoch
+             |  FROM documents),
+             |h AS (SELECT doc_id, epoch,
+             |    ${portableHashSql("'ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS hraw
+             |  FROM e),
+             |m AS (SELECT doc_id, epoch,
+             |    (hraw % 4294967296 * (hraw // 4294967296)
+             |      + hraw % 4294967296 + hraw // 4294967296) % 1000000007 AS hv
+             |  FROM h),
+             |r AS (SELECT doc_id, epoch,
+             |    row_number() OVER (PARTITION BY epoch ORDER BY hv, doc_id) - 1
+             |      AS idx
+             |  FROM m)
+             |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, idx,
+             |  CAST(idx // 64 AS BIGINT) AS batch
+             |FROM r""".stripMargin)),
 
     // ------------------------------------------------- text quality signals
     "x_quality_signals" -> (((s: SparkSession, dir: String) =>

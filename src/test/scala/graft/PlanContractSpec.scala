@@ -31,7 +31,11 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       "p5_filter_pack", "w1_rownum_time", "o1_distinct",
       "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_simhash",
       "x_winnow_pairs", "x_repeated_ngrams", "x_dup_fraction",
-      "x_setjoin_prefix", "x_bm25", "x_phrase_search", "x_knn_graph")
+      "x_setjoin_prefix", "x_bm25", "x_phrase_search", "x_knn_graph",
+      // r9 second sitting: the DSIR bucket join and the span-dedup
+      // gram joins are key-equi by construction; the epoch shuffle's
+      // only non-equi join is the deliberate 1-row count broadcast
+      "x_dsir", "x_dedup_spans", "x_dedup_excise", "x_gopher_rules")
     stateless.foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
