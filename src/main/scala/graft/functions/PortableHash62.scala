@@ -79,4 +79,21 @@ case class PortableHash62(child: Expression) extends UnaryExpression {
 object PortableHash62 {
   def portableHash62(str: Column): Column =
     CatalystBridge.column(PortableHash62(CatalystBridge.expression(str)))
+
+  /** Non-linear mix of the two folds — REQUIRED before using the hash
+    * as a sort key or uniform bucket on SHORT strings: an unwrapped
+    * polynomial fold is order-preserving (for a 5-char key the
+    * leading-char weight is 31⁴ ≈ 9.2e5, far below the 1e9+7 modulus,
+    * so "ep1:0" < "ep1:1" < … hash in ID order and a hash "shuffle"
+    * degenerates to the identity — caught by SelectionSpec). The
+    * product of the two residues wraps the modulus ~1e9 times,
+    * destroying the linear structure, while staying exact int64 on
+    * both engines (lo < 1e9+7, hi < 998244353 ⇒ lo·hi < 2⁶³).
+    * SQL replay: `(h%2³² * (h//2³²) + h%2³² + h//2³²) % 1000000007`. */
+  def mix62(h: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    val lo = h % 4294967296L
+    val hi = call_function("div", h, lit(4294967296L))
+    (lo * hi + lo + hi) % 1000000007L
+  }
 }

@@ -76,4 +76,59 @@ object Mixture {
       .select(col(idCol), col(sourceCol), col("_cost").as("cost"),
         col("cum_before"))
   }
+
+  /** Temperature-resampled mixture at α = 1/2 — the multilingual
+    * rebalancing of XLM-R-style pretraining (Conneau et al., "Unsupervised
+    * Cross-lingual Representation Learning at Scale", ACL 2020: sample
+    * groups ∝ n^α with α < 1 so head languages stop drowning the tail):
+    * per-group weights w_g = ⌊√n_g⌋ (EXACT integer square root — the
+    * float floor is corrected by cross-multiplication, so the weight
+    * replays in ANSI SQL), a document budget apportioned to groups by
+    * the largest-remainder (Hamilton) method — base shares by integral
+    * DIV, the leftover units to the largest remainders, group-name
+    * ascending on ties — and a deterministic hash-rate selection inside
+    * each group.
+    *
+    * The apportionment runs on the per-group frame (#groups rows — the
+    * small-frame window exception); the data-sized side is ONE
+    * broadcast join + codegen'd filter: keep a doc iff
+    * `bucket(id) · n_g < alloc_g · 10⁶` — no per-group sort, no
+    * global window, reproducible across runs, engines, and cluster
+    * sizes. Allocations sum to EXACTLY `budget`; realized counts track
+    * allocations at 1/10⁶ rate resolution (the exact-k-per-group
+    * contract, when needed, is [[Splits.sampleExactPerGroup]]'s).
+    * Envelope: budget ≤ 10¹² and bucket < 10⁶ keep every product under
+    * 2⁶³ for groups up to 10¹² docs. */
+  def byTemperature(docs: DataFrame, idCol: String, groupCol: String,
+                    budget: Long, seed: String = "tm"): DataFrame = {
+    require(budget >= 0 && budget <= 1000000000000L,
+      s"budget must be in [0, 1e12], got $budget")
+    import graft.functions.PortableHash62.{mix62, portableHash62}
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val s0 = floor(sqrt(col("n_docs").cast("double"))).cast("long")
+    val weighted = counts.withColumn("weight",
+      when((s0 + 1L) * (s0 + 1L) <= col("n_docs"), s0 + 1L)
+        .when(s0 * s0 > col("n_docs"), s0 - 1L)
+        .otherwise(s0))
+    val totals = weighted.agg(sum(col("weight")).as("_wtot"))
+    val wAll = Window.orderBy(col("rem").desc, col(groupCol).asc)
+    val alloc = weighted.crossJoin(broadcast(totals))
+      .withColumn("base", graft.ops.intDiv(lit(budget) * col("weight"),
+        col("_wtot")))
+      .withColumn("rem", (lit(budget) * col("weight")) % col("_wtot"))
+      .withColumn("_rk", row_number().over(wAll).cast("long"))
+      .withColumn("_tbase", sum(col("base")).over(wAll.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("alloc", col("base") +
+        when(col("_rk") <= lit(budget) - col("_tbase"), 1L).otherwise(0L))
+      .select(col(groupCol), col("n_docs"), col("weight"), col("alloc"))
+    val bucket = pmod(mix62(portableHash62(
+      concat(lit(s"$seed:"), col("doc_id").cast("string")))), lit(1000000L))
+    docs.select(col(idCol).as("doc_id"), col(groupCol))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(bucket * col("n_docs") < col("alloc") * 1000000L)
+      .select(col("doc_id"), col(groupCol), col("n_docs"), col("weight"),
+        col("alloc"))
+  }
 }

@@ -94,21 +94,8 @@ object Selection {
     * corpus size carried IN-PLAN as a broadcast 1-row aggregate (the
     * x_assoc_rules pattern — no driver collect). Batches never straddle
     * epochs by construction. */
-  /** Non-linear mix of the two independent folds inside
-    * [[portableHash62]] — REQUIRED before using the hash as a SORT key
-    * on short strings: an unwrapped polynomial fold is order-preserving
-    * (for a 5-char key the leading-char weight is 31⁴ ≈ 9.2e5, far
-    * below the 1e9+7 modulus, so "ep1:0" < "ep1:1" < … hash in ID
-    * order and the "shuffle" degenerates to the identity — caught by
-    * SelectionSpec's distinct-permutations case). The product of the
-    * two residues wraps the modulus ~1e9 times, destroying the linear
-    * structure, while staying exact int64 on both engines
-    * (lo < 1e9+7, hi < 998244353 ⇒ lo·hi < 2⁶³). */
-  private def mix62(h: Column): Column = {
-    val lo = h % 4294967296L
-    val hi = intDiv(h, lit(4294967296L))
-    (lo * hi + lo + hi) % 1000000007L
-  }
+  private def mix62(h: Column): Column =
+    graft.functions.PortableHash62.mix62(h)
 
   def epochOrder(docs: DataFrame, idCol: String, epochs: Int,
                  batchSize: Long, seed: String = "ep",

@@ -5581,6 +5581,46 @@ object TestdataQueries {
              |  max(e) - min(s) AS n_tokens_cut
              |FROM isl GROUP BY doc_id, island""".stripMargin)),
 
+    // ------------- temperature-resampled mixture (r9, second sitting)
+    // XLM-R α=1/2 sampling: per-lang weights ⌊√n⌋ (float sqrt corrected
+    // to the exact isqrt by cross-multiplication), a 200-doc budget
+    // apportioned by largest remainder, then a deterministic hash-rate
+    // selection per lang. The oracle replays weights, apportionment,
+    // and the kept ROW SET — not just sizes.
+    "x_temperature_mix" -> (((s: SparkSession, dir: String) =>
+      graft.ops.Mixture.byTemperature(t(s, dir, "documents"), "doc_id",
+        "lang", budget = 200L)),
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang),
+             |w0 AS (SELECT lang, n_docs,
+             |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0
+             |  FROM c),
+             |w AS (SELECT lang, n_docs,
+             |    CASE WHEN (s0+1)*(s0+1) <= n_docs THEN s0+1
+             |         WHEN s0*s0 > n_docs THEN s0-1 ELSE s0 END AS weight
+             |  FROM w0),
+             |t AS (SELECT sum(weight) AS wtot FROM w),
+             |a0 AS (SELECT lang, n_docs, weight,
+             |    200 * weight // wtot AS base, (200 * weight) % wtot AS rem
+             |  FROM w CROSS JOIN t),
+             |a1 AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk,
+             |    sum(base) OVER () AS tbase FROM a0),
+             |al AS (SELECT lang, n_docs, weight,
+             |    CAST(base + CASE WHEN rk <= 200 - tbase THEN 1 ELSE 0 END
+             |      AS BIGINT) AS alloc
+             |  FROM a1),
+             |h AS (SELECT doc_id, lang,
+             |    ${portableHashSql("'tm:' || CAST(doc_id AS VARCHAR)")} AS hraw
+             |  FROM documents),
+             |bk AS (SELECT doc_id, lang,
+             |    ((hraw % 4294967296 * (hraw // 4294967296)
+             |      + hraw % 4294967296 + hraw // 4294967296) % 1000000007)
+             |      % 1000000 AS bucket
+             |  FROM h)
+             |SELECT bk.doc_id, bk.lang, al.n_docs, al.weight, al.alloc
+             |FROM bk JOIN al USING (lang)
+             |WHERE bk.bucket * al.n_docs < al.alloc * 1000000""".stripMargin)),
+
     // ------------- span excision applied (r9, second sitting)
     // The dedupSpans cut list executed: cleaned text with duplicated
     // spans removed. The oracle takes the DIRECT covered-positions

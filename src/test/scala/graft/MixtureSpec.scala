@@ -67,4 +67,38 @@ class MixtureSpec extends AnyFunSuite with SparkTestSession {
     assert(one === many)
     assert(one === Map(1L -> 0L, 2L -> 5L, 6L -> 0L))
   }
+
+  // ----------------------------------------------------- byTemperature
+
+  test("temperature mix: exact isqrt weights, Hamilton allocations sum to budget") {
+    // groups: 100, 50, 10, 2 docs → isqrt weights 10, 7, 3, 1 (W = 21)
+    // budget 40: raw shares 400/21=19.05, 280/21=13.33, 120/21=5.71, 40/21=1.90
+    // bases 19,13,5,1 (=38); remainders 1,7,15,19 → 2 extras to d(19), c(15)
+    val docs = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++
+      Seq.fill(10)("c") ++ Seq.fill(2)("d"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
+    val alloc = Mixture.byTemperature(docs, "id", "grp", budget = 40L)
+      .select("grp", "n_docs", "weight", "alloc").distinct()
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(alloc("a") === ((100L, 10L, 19L)))
+    assert(alloc("b") === ((50L, 7L, 13L)))
+    assert(alloc("c") === ((10L, 3L, 6L)))
+    assert(alloc("d") === ((2L, 1L, 2L)))
+    assert(alloc.values.map(_._3).sum === 40L)
+  }
+
+  test("temperature mix: selection is deterministic and keeps all when alloc >= n") {
+    val docs = (Seq.fill(64)("big") ++ Seq.fill(3)("tiny"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
+    // weights 8 and 1; budget 30 → shares 240/9=26.67, 30/9=3.33 →
+    // bases 26,3; rem 6,3 → extra to big → alloc 27, 3. tiny: 3 >= 3 docs
+    def kept = Mixture.byTemperature(docs, "id", "grp", budget = 30L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val k1 = kept
+    assert(k1 === kept, "hash-rate selection must be reproducible")
+    val tiny = docs.filter($"grp" === "tiny").collect()
+      .map(r => (r.getLong(0), "tiny")).toSet
+    assert(tiny.subsetOf(k1), "alloc >= n must keep the whole group")
+  }
 }
