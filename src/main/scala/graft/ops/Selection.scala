@@ -117,4 +117,31 @@ object Selection {
         (col("_gr") - 1L - (col("epoch") - 1L) * col("_n")).as("idx"))
       .withColumn("batch", intDiv(col("idx"), lit(batchSize)))
   }
+
+  /** Curriculum-ordered training tape (Bengio et al., "Curriculum
+    * Learning", ICML 2009; the length-staged variant is sequence-length
+    * warmup à la Press et al. 2021): documents ordered by an ascending
+    * caller-defined difficulty `phase` (length tier, quality decile,
+    * noise score — any deterministic integer), SHUFFLED WITHIN each
+    * phase by the seeded mixed hash, and batched by the global 0-based
+    * tape index. One tape, so consecutive batches walk easy → hard;
+    * a batch may straddle a phase boundary (the tape is one training
+    * run, not per-phase datasets — split on `phase` for those).
+    *
+    * Same scale shape as [[epochOrder]]: the order is the two-phase
+    * distributed prefix rank over (phase, hash, id) — never a one-task
+    * global window. */
+  def curriculumOrder(docs: DataFrame, idCol: String, phase: Column,
+                      batchSize: Long, seed: String = "cu",
+                      numPartitions: Int = 64): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    val tape = docs
+      .select(col(idCol).as("doc_id"), phase.cast("long").as("phase"))
+      .withColumn("_h", mix62(portableHash62(
+        concat(lit(s"$seed:"), col("doc_id").cast("string")))))
+    Packing.withGlobalRank(tape, Seq("phase", "_h", "doc_id"), "_gr",
+        numPartitions)
+      .select(col("doc_id"), col("phase"), (col("_gr") - 1L).as("idx"))
+      .withColumn("batch", intDiv(col("idx"), lit(batchSize)))
+  }
 }

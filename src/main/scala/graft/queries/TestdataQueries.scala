@@ -5581,6 +5581,64 @@ object TestdataQueries {
              |  max(e) - min(s) AS n_tokens_cut
              |FROM isl GROUP BY doc_id, island""".stripMargin)),
 
+    // ------------- SemDeDup-shaped embedding dedup (r9, second sitting)
+    // Cluster-scoped semantic dedup (Abbas et al. 2023, "SemDeDup"):
+    // near-dup pairs found ONLY within deterministic LSH buckets (the
+    // role k-means clusters play in the paper — the same O(n²) →
+    // O(cluster²) cut), closed into components, one representative kept
+    // per component (min id). The oracle replays buckets, pairwise
+    // cosine, the RECURSIVE closure, and the keep set.
+    "x_semdedup" -> (((s: SparkSession, dir: String) => {
+      val embs = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDup(embs, "vec_id", "embedding",
+        minCos = 0.35, planes = 4)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupCorpus(embs.select(col("vec_id")), "vec_id", pairs)
+    }),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |bk AS (SELECT vec_id, v, ${bucketSql(4)} AS bucket FROM e),
+             |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+             |  UNION SELECT id_b, id_a FROM pr),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach AS (SELECT id AS a, id AS b FROM nodes
+             |  UNION SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.b),
+             |dropped AS (SELECT a AS vec_id FROM reach GROUP BY a
+             |  HAVING a <> min(b))
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin)),
+
+    // ------------- curriculum-ordered tape (r9, second sitting)
+    // Easy-to-hard training order: length-tier phases (the sequence-
+    // length-warmup curriculum), seeded shuffle within phase, global
+    // batch index on the distributed prefix rank. The oracle's one-task
+    // row_number replay is the semantics the two-phase rank must equal.
+    "x_curriculum" -> (((s: SparkSession, dir: String) =>
+      Selection.curriculumOrder(t(s, dir, "documents"), "doc_id",
+        phase = least(intDiv(TextAnalysis.tokenCount(col("text")), lit(20L)),
+          lit(4L)),
+        batchSize = 64)),
+      Some(s"""WITH q AS (SELECT doc_id,
+             |    least(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             |      // 20, 4) AS phase
+             |  FROM documents),
+             |h AS (SELECT doc_id, phase,
+             |    ${portableHashSql("'cu:' || CAST(doc_id AS VARCHAR)")} AS hraw
+             |  FROM q),
+             |m AS (SELECT doc_id, phase,
+             |    (hraw % 4294967296 * (hraw // 4294967296)
+             |      + hraw % 4294967296 + hraw // 4294967296) % 1000000007 AS hv
+             |  FROM h),
+             |r AS (SELECT doc_id, phase,
+             |    row_number() OVER (ORDER BY phase, hv, doc_id) - 1 AS idx
+             |  FROM m)
+             |SELECT doc_id, CAST(phase AS BIGINT) AS phase, idx,
+             |  CAST(idx // 64 AS BIGINT) AS batch
+             |FROM r""".stripMargin)),
+
     // ------------- temperature-resampled mixture (r9, second sitting)
     // XLM-R α=1/2 sampling: per-lang weights ⌊√n⌋ (float sqrt corrected
     // to the exact isqrt by cross-multiplication), a 200-doc budget

@@ -102,6 +102,20 @@ class SelectionSpec extends AnyFunSuite with SparkTestSession {
     assert(e1 !== e2)
   }
 
+  test("curriculum: phases are non-decreasing along the tape, idx contiguous") {
+    val docs = (0L until 90L).map(i => (i, i % 3)).toDF("doc_id", "tier")
+    val out = Selection.curriculumOrder(docs, "doc_id", col("tier"),
+        batchSize = 10, numPartitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sorted === (0L until 90L).toArray)
+    val byIdx = out.sortBy(_._3)
+    assert(byIdx.map(_._2) === byIdx.map(_._2).sorted, "phase must ascend")
+    out.foreach { case (_, _, idx, b) => assert(b === idx / 10) }
+    // within a phase the order is NOT the id order (the shuffle shuffles)
+    val p0 = byIdx.filter(_._2 == 0L).map(_._1)
+    assert(p0.toSeq !== p0.sorted.toSeq)
+  }
+
   // --------------------------------------------------------- dedupSpans
 
   test("dedup spans: overlapping and adjacent duplicated grams merge; unique docs absent") {
