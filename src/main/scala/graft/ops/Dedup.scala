@@ -609,4 +609,37 @@ object Dedup {
           .as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Cross-source near-duplicate overlap matrix — the mixture-design
+    * view of [[ngramJaccard]]: which sources scrape the same content?
+    * A corpus mixer weighting sources independently double-counts
+    * whatever they share; this aggregates the near-dup pairs up to
+    * unordered (source, source) cells so a datasheet (x_data_card) can
+    * show overlap mass and a mixture can discount it. Diagonal cells
+    * (source_a = source_b) are within-source duplication.
+    *
+    * Per-pair similarity contributes floor(jaccard·10⁶) — one exact
+    * IEEE division of int64s then a floor, summed as int64 — so the
+    * cell totals are order-insensitive and oracle-replayable.
+    * Scale shape: the pair set is the operator's output (bounded by
+    * minJaccard/maxDocFreq, orders smaller than the corpus); the two
+    * id→source joins shuffle only (id, source) pairs. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, n: Int = 3, minJaccard: Double = 0.1,
+                    maxDocFreq: Long = 1000): DataFrame = {
+    val pairs = ngramJaccard(docs, idCol, textCol, n, minJaccard, maxDocFreq)
+    val src = docs.select(col(idCol).as("_sid"), col(srcCol).as("_src"))
+    pairs
+      .join(src.select(col("_sid").as("id_a"), col("_src").as("_src_a")),
+        Seq("id_a"))
+      .join(src.select(col("_sid").as("id_b"), col("_src").as("_src_b")),
+        Seq("id_b"))
+      .select(
+        least(col("_src_a"), col("_src_b")).as("source_a"),
+        greatest(col("_src_a"), col("_src_b")).as("source_b"),
+        floor(col("jaccard") * 1000000.0d).cast("long").as("_j_e6"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_j_e6")).as("sum_jaccard_e6"))
+  }
 }

@@ -144,4 +144,87 @@ object Selection {
       .select(col("doc_id"), col("phase"), (col("_gr") - 1L).as("idx"))
       .withColumn("batch", intDiv(col("idx"), lit(batchSize)))
   }
+
+  /** Per-group 1-based rank over `orderCols` WITHOUT a per-group
+    * single-task sort: a `row_number() OVER (PARTITION BY grp ORDER BY
+    * …)` puts each group in ONE sort partition, so the biggest group
+    * (the dominant language of a 100 TB corpus) becomes the straggler.
+    * Instead the GLOBAL two-phase prefix rank runs over
+    * (grpCols ++ orderCols) — range-partitioned, no single task — and
+    * each group's local rank is recovered as
+    * `global_rank − min(global_rank in group) + 1`; the per-group bases
+    * are a #groups-row aggregate broadcast back. Exactly equal to the
+    * window form (SelectionSpec pins it), cheaper by the group-sort.
+    *
+    * `grpCols ++ orderCols` must be a total order (unique tie-breaker
+    * included); group cardinality must be broadcastable (languages,
+    * sources — not user ids). */
+  def groupedRank(df: DataFrame, grpCols: Seq[String],
+                  orderCols: Seq[String], outCol: String = "rank",
+                  numPartitions: Int = 64): DataFrame = {
+    val ranked = Packing.withGlobalRank(df, grpCols ++ orderCols, "_grank",
+      numPartitions)
+    val bases = ranked.groupBy(grpCols.map(col): _*)
+      .agg(min(col("_grank")).as("_gbase"))
+    ranked.join(broadcast(bases), grpCols)
+      .withColumn(outCol, col("_grank") - col("_gbase") + 1L)
+      .drop("_grank", "_gbase")
+  }
+
+  /** Per-group SQL `ntile(k)` in closed form over the distributed
+    * [[groupedRank]] — same scale argument, same tie discipline, and
+    * bit-equal to the window `ntile` the oracle replays: with group
+    * size n, q = n DIV k, r = n MOD k, the first r buckets take q+1
+    * rows and the rest q (bigger buckets first, exactly the SQL
+    * spec), so
+    * `bucket = (rank−1) DIV (q+1) + 1`            for rank ≤ r·(q+1)
+    * `bucket = r + (rank − r·(q+1) − 1) DIV q + 1` otherwise
+    * (the q = 0 case — fewer rows than buckets — falls entirely into
+    * the first branch: every row its own bucket). */
+  def groupedNtile(df: DataFrame, grpCols: Seq[String],
+                   orderCols: Seq[String], k: Int,
+                   outCol: String = "bucket_no",
+                   numPartitions: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val ranked = groupedRank(df, grpCols, orderCols, "_rk", numPartitions)
+    val sizes = ranked.groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val q = intDiv(col("_n"), lit(k.toLong))
+    val r = col("_n") % k
+    ranked.join(broadcast(sizes), grpCols)
+      .withColumn(outCol,
+        when(col("_rk") <= r * (q + 1L),
+          intDiv(col("_rk") - 1L, q + 1L) + 1L)
+          .otherwise(r + intDiv(col("_rk") - r * (q + 1L) - 1L, q) + 1L)
+          .cast("int"))
+      .drop("_rk", "_n")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020): each document scored by the corpus-unigram negative
+    * log-likelihood ([[TextAnalysis.unigramLogProb]] — the cheap
+    * stand-in for CCNet's KenLM perplexity), then split per language
+    * into equal-count head / middle / tail thirds (most → least
+    * fluent). CCNet trains on head+middle and drops tail; emitting the
+    * label keeps that policy (and any re-cut) downstream.
+    *
+    * The per-language thirds are [[groupedNtile]] over
+    * (nll_e4, doc_id) — no per-language single-task sort, ties broken
+    * deterministically. Documents with no tokens have no score and no
+    * bucket (omitted, as in unigramLogProb). Output: (doc_id, <grp>,
+    * n_toks, nll_e4, bucket ∈ head|middle|tail). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        grpCol: String, alpha: Double = 0.5,
+                        numPartitions: Int = 64): DataFrame = {
+    val lm = TextAnalysis.unigramLogProb(docs, idCol, textCol, alpha)
+      .join(docs.select(col(idCol).as("doc_id"), col(grpCol)), Seq("doc_id"))
+    groupedNtile(lm, Seq(grpCol), Seq("nll_e4", "doc_id"), 3, "_b",
+        numPartitions)
+      .withColumn("bucket",
+        when(col("_b") === 1, "head")
+          .when(col("_b") === 2, "middle").otherwise("tail"))
+      .select(col("doc_id"), col(grpCol), col("n_toks"), col("nll_e4"),
+        col("bucket"))
+  }
 }

@@ -594,4 +594,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"),
         col("c.n_tokens"))
   }
+
+  /** Zipf rank-frequency diagnostic per group (language/source) — the
+    * corpus-health check a datasheet wants: natural text follows
+    * freq(r) ∝ r^−s with s ≈ 1 (Zipf 1949; Piantadosi 2014 for the
+    * modern survey), while machine-generated spam, boilerplate, and
+    * tokenizer damage bend the curve. Token frequencies are ranked per
+    * group (freq desc, token asc — deterministic ties) and the curve is
+    * sampled at power-of-two ranks 1, 2, 4, …, 2^`maxExp`; OLS of
+    * ln(freq) against log₂(rank) over those points gives the slope —
+    * per-doubling ln-frequency drop, ≈ −ln 2 · s, so s ≈ 1 shows as
+    * slope_e6 ≈ −693147.
+    *
+    * Everything that must hash-match the oracle is exact int64: x is
+    * the doubling index (round(log₂ rank) of an exact power), y is
+    * floor(ln(freq)·10⁶) of an INTEGER count (one libm call per point —
+    * no cross-engine summation-order exposure), and the OLS runs on
+    * integer sums with a single final division, the x_regression
+    * discipline. Ranking uses the distributed [[Selection.groupedRank]]
+    * (vocabularies are sub-corpus-sized but still far past a one-task
+    * sort at 100 TB — the dominant language's vocabulary all lands in
+    * one window partition otherwise).
+    *
+    * Output: one row per group with ≥2 sampled points —
+    * (grp, n_points, f1, slope_e6). */
+  def zipfSlope(docs: DataFrame, textCol: String, grpCol: String,
+                maxExp: Int = 8, numPartitions: Int = 64): DataFrame = {
+    require(maxExp >= 1, s"maxExp must be >= 1, got $maxExp")
+    val powers = (0 to maxExp).map(1L << _)
+    val tf = docs
+      .select(col(grpCol).as("grp"),
+        explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+          .as("tok"))
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("_negfreq", -col("freq"))
+    val pts = Selection.groupedRank(tf, Seq("grp"),
+        Seq("_negfreq", "tok"), "rank", numPartitions)
+      .filter(col("rank").isin(powers: _*))
+      .select(col("grp"), col("freq"),
+        round(log2(col("rank"))).cast("long").as("x"),
+        floor(log(col("freq")) * 1000000.0d).cast("long").as("y"))
+    pts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_points"),
+        max(when(col("x") === 0, col("freq"))).as("f1"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("_num", col("n_points") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("_den", col("n_points") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("_den") =!= 0L)
+      .select(col("grp").as(grpCol), col("n_points"), col("f1"),
+        floor(col("_num").cast("double") / col("_den").cast("double"))
+          .cast("long").as("slope_e6"))
+  }
 }

@@ -139,6 +139,41 @@ object TestdataQueries {
       |  QUALIFY lead(tok, 2) OVER w IS NOT NULL),
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tri GROUP BY doc_id)""".stripMargin
 
+  /** Smoothed corpus-unigram negative-log-likelihood per document —
+    * ONE definition shared by the x_unigram_logprob and x_ccnet_buckets
+    * oracles (the two must score documents identically or the bucket
+    * cuts drift from the scores they claim to rank). Mirrors
+    * [[graft.ops.TextAnalysis.unigramLogProb]] at alpha = 0.5. */
+  private val unigramLmCte: String =
+    """tk AS (SELECT doc_id, tok FROM
+      |    (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |     FROM documents) WHERE tok <> ''),
+      |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tk),
+      |lm AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |    CAST(floor(-avg(ln((tf.c + 0.5) / (tot.n + 0.5 * tot.v))) * 10000)
+      |      AS BIGINT) AS nll_e4
+      |  FROM tk JOIN tf USING (tok) CROSS JOIN tot
+      |  GROUP BY tk.doc_id)""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Pii.luhnValid]] over string expression
+    * `m`: strip non-digits, reverse, double every second digit with
+    * digit-sum folding, valid iff length 13–19 and total ≡ 0 (mod 10).
+    * The digit list is re-spelled per use (no SQL let-binding in a
+    * lambda position); ONE builder so the three call sites cannot
+    * drift. */
+  private def luhnSql(m: String): String = {
+    val digits =
+      s"list_reverse(string_split(regexp_replace($m, '[^0-9]', '', 'g'), ''))"
+    s"(len($digits) BETWEEN 13 AND 19 AND coalesce(list_sum(" +
+      s"list_transform(range(1, len($digits) + 1), i -> " +
+      s"CASE WHEN (i - 1) % 2 = 0 THEN CAST($digits[i] AS INTEGER) " +
+      s"WHEN CAST($digits[i] AS INTEGER) * 2 > 9 " +
+      s"THEN CAST($digits[i] AS INTEGER) * 2 - 9 " +
+      s"ELSE CAST($digits[i] AS INTEGER) * 2 END)), 0) % 10 = 0)"
+  }
+
   /** Exact-Jaccard candidate pairs over [[trigramCte]] at `minJaccard`
     * (no doc-frequency cut — the callers that need one add it). */
   private def trigramPairsSql(minJaccard: Double): String =
@@ -3151,17 +3186,138 @@ object TestdataQueries {
     "x_unigram_logprob" -> (((s: SparkSession, dir: String) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
         alpha = 0.5)),
-      Some("""WITH tk AS (SELECT doc_id, tok FROM
-             |    (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
-             |     FROM documents) WHERE tok <> ''),
-             |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
-             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             |    CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tk)
-             |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-             |  CAST(floor(-avg(ln((tf.c + 0.5) / (tot.n + 0.5 * tot.v))) * 10000)
-             |    AS BIGINT) AS nll_e4
-             |FROM tk JOIN tf USING (tok) CROSS JOIN tot
-             |GROUP BY tk.doc_id""".stripMargin)),
+      Some(s"""WITH $unigramLmCte
+             |SELECT doc_id, n_toks, nll_e4 FROM lm""".stripMargin)),
+
+    // ------------------------------------ CCNet perplexity bucketing
+    // The CCNet head/middle/tail cut: per-language equal-count thirds
+    // of the unigram-LM score (most -> least fluent). The oracle is the
+    // textbook window ntile; the engine side is the closed-form
+    // distributed ntile over a two-phase global rank
+    // (Selection.groupedNtile) — no per-language single-task sort, and
+    // SelectionSpec pins the closed form to the window semantics.
+    "x_ccnet_buckets" -> (((s: SparkSession, dir: String) =>
+      Selection.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text",
+        "lang")),
+      Some(s"""WITH $unigramLmCte
+             |SELECT lm.doc_id, d.lang, lm.n_toks, lm.nll_e4,
+             |  CASE ntile(3) OVER (PARTITION BY d.lang
+             |      ORDER BY lm.nll_e4, lm.doc_id)
+             |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             |  END AS bucket
+             |FROM lm JOIN documents d ON d.doc_id = lm.doc_id""".stripMargin)),
+
+    // --------------------------------------------- PII scan with Luhn
+    // The scan side of the PII pipeline (x_redact_pii is the rewrite
+    // side): per-class occurrence counts plus Luhn mod-10 validation of
+    // card-shaped digit runs, computed with codegen'd HOFs — no UDF.
+    // The synthetic corpus carries no PII, so both engines inject the
+    // SAME deterministic doctored spans (one Luhn-valid card, one
+    // formatted-but-invalid — the validator must split them).
+    "x_pii_scan" -> (((s: SparkSession, dir: String) => {
+      val dirty = t(s, dir, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 415-555-0199 now"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" card 4111-1111-1111-1111 on file"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" card 4111 1111 1111 1112 rejected"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" from 10.0.0.1"))
+          .otherwise(lit(""))))
+      graft.ops.Pii.scan(dirty, "doc_id", "text")
+    }),
+      Some(s"""WITH dirty AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+             |        || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-0199 now' ELSE '' END
+             |    || CASE WHEN doc_id % 13 = 0 THEN ' card 4111-1111-1111-1111 on file' ELSE '' END
+             |    || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1112 rejected' ELSE '' END
+             |    || CASE WHEN doc_id % 19 = 0 THEN ' from 10.0.0.1' ELSE '' END AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |    CAST(len(regexp_extract_all(text,
+             |      '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone,
+             |    CAST(len(regexp_extract_all(text,
+             |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+             |    regexp_extract_all(text,
+             |      '\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b') AS cards
+             |  FROM dirty)
+             |SELECT doc_id, n_email, n_phone, n_ipv4,
+             |  CAST(len(cards) AS BIGINT) AS n_card_like,
+             |  CAST(len(list_filter(cards, m -> ${luhnSql("m")})) AS BIGINT)
+             |    AS n_card_valid,
+             |  n_email + n_phone + n_ipv4
+             |    + CAST(len(list_filter(cards, m -> ${luhnSql("m")})) AS BIGINT)
+             |    > 0 AS has_pii
+             |FROM c""".stripMargin)),
+
+    // ------------------------------------ cross-source overlap matrix
+    // Mixture-design analytics over the near-dup pair set: how much
+    // content do sources share? Unordered (source, source) cells with
+    // pair counts and exact floor-scaled Jaccard mass; the diagonal is
+    // within-source duplication. Same inverted-index pair generation
+    // (and the same keep-cut) as x_dedup_ngram_jaccard.
+    "x_source_overlap" -> (((s: SparkSession, dir: String) =>
+      Dedup.sourceOverlap(t(s, dir, "documents"), "doc_id", "text",
+        "source", n = 3, minJaccard = 0.1, maxDocFreq = 1000)),
+      Some(s"""WITH $trigramCte,
+             |keep AS (SELECT shingle FROM tri GROUP BY shingle HAVING count(*) <= 1000),
+             |f AS (SELECT tri.doc_id, tri.shingle FROM tri JOIN keep USING (shingle)),
+             |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b,
+             |    CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+             |  FROM p0 JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1),
+             |lab AS (SELECT least(da.source, db.source) AS source_a,
+             |    greatest(da.source, db.source) AS source_b,
+             |    CAST(floor(jaccard * 1000000.0) AS BIGINT) AS j_e6
+             |  FROM pairs JOIN documents da ON da.doc_id = pairs.id_a
+             |  JOIN documents db ON db.doc_id = pairs.id_b)
+             |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(j_e6) AS BIGINT) AS sum_jaccard_e6
+             |FROM lab GROUP BY 1, 2""".stripMargin)),
+
+    // --------------------------------------- Zipf rank-frequency slope
+    // Corpus-health datasheet row: OLS slope of ln(freq) vs log2(rank)
+    // at power-of-two ranks per language — natural text sits near
+    // -ln 2 x 10^6 ~ -693147 (Zipf s ~ 1); spam/boilerplate bends it.
+    // x and y are exact int64 (one libm ln per point), the OLS is
+    // integer sums with one final division — the x_regression
+    // discipline; ranking is the distributed two-phase grouped rank.
+    "x_zipf" -> (((s: SparkSession, dir: String) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", "lang",
+        maxExp = 8)),
+      Some("""WITH tk AS (SELECT lang, tok FROM (SELECT lang,
+             |      unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+             |  WHERE tok <> ''),
+             |tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq
+             |  FROM tk GROUP BY 1, 2),
+             |ranked AS (SELECT lang, freq, row_number() OVER
+             |    (PARTITION BY lang ORDER BY freq DESC, tok ASC) AS rank FROM tf),
+             |pts AS (SELECT lang, freq,
+             |    CAST(round(log2(rank)) AS BIGINT) AS x,
+             |    CAST(floor(ln(freq) * 1000000.0) AS BIGINT) AS y
+             |  FROM ranked WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256)),
+             |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+             |    max(CASE WHEN x = 0 THEN freq END) AS f1,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             |    sum(x * y) AS sxy
+             |  FROM pts GROUP BY 1),
+             |d AS (SELECT *, n_points * sxy - sx * sy AS num,
+             |    n_points * sxx - sx * sx AS den FROM s)
+             |SELECT lang, n_points, f1,
+             |  CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT)
+             |    AS slope_e6
+             |FROM d WHERE den <> 0""".stripMargin)),
 
     // ----------------------------------- per-language quality percentiles
     // EXACT percentiles (Spark `percentile` ↔ DuckDB `quantile_cont`,

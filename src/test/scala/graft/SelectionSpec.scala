@@ -198,4 +198,69 @@ class SelectionSpec extends AnyFunSuite with SparkTestSession {
     assert(!out(7L)._6)
     assert(!out(8L)._7 && out(8L)._1, "stopword violator must still have ≥50 words")
   }
+
+  // ------------------------------------- groupedRank / groupedNtile
+
+  /** Awkward group sizes on purpose: n < k, n = k, n % k ∈ {0, 1, 2},
+    * plus duplicate order values resolved by the id tie-breaker. */
+  private val ntileRows = {
+    val rows = for {
+      (grp, n) <- Seq("a" -> 1, "b" -> 3, "c" -> 4, "d" -> 6, "e" -> 11)
+      i <- 1 to n
+    } yield (grp, (i % 4).toLong, (i * 7 % n + n * 100).toLong)
+    rows.toDF("grp", "v", "id")
+  }
+
+  test("groupedRank equals the window row_number") {
+    val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+    val want = ntileRows.withColumn("rank", row_number().over(w))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getInt(3)).toMap
+    val got = Selection.groupedRank(ntileRows, Seq("grp"), Seq("v", "id"),
+        numPartitions = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        r.getLong(r.fieldIndex("rank")).toInt).toMap
+    assert(got === want)
+  }
+
+  test("groupedNtile closed form equals the window ntile for k = 1..5") {
+    for (k <- 1 to 5) {
+      val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+      val want = ntileRows.withColumn("b", ntile(k).over(w))
+        .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getInt(3)).toMap
+      val got = Selection.groupedNtile(ntileRows, Seq("grp"), Seq("v", "id"),
+          k, numPartitions = 3)
+        .collect().map(r => (r.getString(0), r.getLong(2)) ->
+          r.getInt(r.fieldIndex("bucket_no"))).toMap
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  // ------------------------------------------------ perplexityBuckets
+
+  test("perplexityBuckets: per-group thirds ordered by score, sizes within 1") {
+    val docs = (1L to 20L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // token mix varies per doc so scores spread
+      val text = (("common " * (i % 5 + 1).toInt) + s"rare$i unique$i").trim
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = Selection.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(r.fieldIndex("nll_e4")), r.getString(r.fieldIndex("bucket"))))
+    assert(out.length === 20)
+    for (lang <- Seq("en", "de")) {
+      val g = out.filter(_._2 == lang)
+      val sizes = g.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(Set("head", "middle", "tail").subsetOf(sizes.keySet))
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes: $sizes")
+      // bucket order must follow (nll_e4, doc_id) order
+      def key(t: (Long, String, Long, String)) = (t._3, t._1)
+      val h = g.filter(_._4 == "head").map(key)
+      val m = g.filter(_._4 == "middle").map(key)
+      val tl = g.filter(_._4 == "tail").map(key)
+      val ord = Ordering.Tuple2[Long, Long]
+      assert(ord.lt(h.max, m.min) && ord.lt(m.max, tl.min),
+        s"$lang buckets must be contiguous in score order")
+    }
+  }
 }
