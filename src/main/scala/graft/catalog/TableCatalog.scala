@@ -695,6 +695,30 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     analyze(table, cols = skipCols, skipCols = skipCols)
   }
 
+  /** OPTIMIZE … ZORDER BY — the table-maintenance verb Delta/Iceberg
+    * run against cold data: rewrite the CURRENT snapshot clustered
+    * along the Morton curve of `cols` (long-typed — [[graft.ops.ZOrder]]'s
+    * integral-scale contract) and refresh the unified stats/skipping
+    * sidecar over the same columns, so a subsequent [[prunedRead]] box
+    * probe on ANY of the clustered dimensions touches only the few
+    * files whose z-interval envelope intersects the box.
+    *
+    * The rewrite is an ordinary versioned commit ([[replaceAtomic]]):
+    * concurrent readers keep the snapshot they opened, time travel and
+    * tags still reach the pre-optimize layout, a crash leaves the
+    * pointer on the old version — OPTIMIZE changes LAYOUT, never
+    * contents, and gets no special commit path for it. The curve
+    * helper columns are dropped before the write (layout metadata must
+    * not leak into the user's schema). Returns the fresh stats. */
+  def optimizeZOrder(table: String, cols: Seq[String], bits: Int = 10,
+                     numPartitions: Int = 16): TableCatalog.TableStats = {
+    val clustered = graft.ops.ZOrder.clusterN(read(table), cols, bits,
+        numPartitions)
+      .drop("z" +: cols.indices.map(i => s"z$i"): _*)
+    replaceAtomic(table, clustered)
+    analyze(table, cols = cols, skipCols = cols)
+  }
+
   /** Append to a skip-indexed table, extending the sidecar's file
     * section with envelopes for ONLY the newly written files — the
     * incremental maintenance path that keeps daily appends from forcing

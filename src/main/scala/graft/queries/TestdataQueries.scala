@@ -2724,6 +2724,39 @@ object TestdataQueries {
              |WHERE (uid BETWEEN 2 AND 9 OR uid BETWEEN 100002 AND 100009)
              |  AND es BETWEEN 1704672000 AND 1705363200""".stripMargin)),
 
+    // ------------------------------------------ OPTIMIZE ZORDER verb
+    // Table maintenance on the VERSIONED path: a hash-scattered
+    // lineitem projection is committed, rewritten in place by
+    // TableCatalog.optimizeZOrder (Morton-clustered versioned commit +
+    // unified stats/skipping sidecar refresh in one verb), and probed
+    // through prunedRead. The oracle replays the box over raw lineitem,
+    // so a wrong file envelope — which silently DROPS files from the
+    // probe — surfaces as missing rows, not as a quietly slower scan.
+    // DataSkippingSpec asserts the layout half (kept-file count).
+    "x_zorder_optimize" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_optimize", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_partkey").cast("long").as("pkey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      cat.replaceAtomic("li_opt", li.repartition(8))
+      cat.optimizeZOrder("li_opt", Seq("okey", "pkey"), bits = 10,
+        numPartitions = 8)
+      cat.prunedRead("li_opt", Seq(("okey", 1L, 1000L), ("pkey", 1L, 500L)))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"),
+          min(col("okey")).as("min_okey"), max(col("pkey")).as("max_pkey"))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c,
+             |  CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+             |  CAST(max(l_partkey) AS BIGINT) AS max_pkey
+             |FROM lineitem
+             |WHERE l_orderkey BETWEEN 1 AND 1000
+             |  AND l_partkey BETWEEN 1 AND 500""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count

@@ -65,4 +65,33 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestSession {
       Seq(("x", 100L, 200L), ("y", 0L, 63L)))
     assert(out.count() === 0L)
   }
+
+  test("optimizeZOrder: versioned rewrite keeps contents, box probes skip files") {
+    import graft.catalog.TableCatalog
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("skip-opt").toString)
+    // seed SCATTERED through the versioned path (hash layout: every
+    // file spans the whole grid, nothing prunable)
+    cat.replaceAtomic("t", grid.repartition(16))
+    val before = cat.read("t").collect().map(_.toSeq).toSet
+    val st = cat.optimizeZOrder("t", Seq("x", "y"), bits = 6,
+      numPartitions = 16)
+    assert(cat.currentVersion("t") === Some(2L),
+      "OPTIMIZE must be an ordinary versioned commit")
+    assert(st.rows === 4096L && st.skipCols === Seq("x", "y"))
+    val after = cat.read("t")
+    assert(after.columns.toSeq === Seq("id", "x", "y"),
+      "curve helper columns must not leak into the schema")
+    assert(after.collect().map(_.toSeq).toSet === before,
+      "OPTIMIZE changes layout, never contents")
+    val pruned = cat.prunedRead("t", box)
+    assert(pruned.select("id").as[Long].collect().toSet ===
+      grid.filter($"x".between(8, 15) && $"y".between(8, 15))
+        .select("id").as[Long].collect().toSet)
+    val (kept, total) =
+      (pruned.inputFiles.length, after.inputFiles.length)
+    assert(total >= 8, s"expected ~16 files, got $total")
+    assert(kept <= total / 2,
+      s"post-OPTIMIZE box probe kept $kept of $total files")
+  }
 }
