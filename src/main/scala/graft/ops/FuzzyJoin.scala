@@ -99,4 +99,60 @@ object FuzzyJoin {
         levenshtein(col(leftStr), col(rightStr), maxDist).cast("long"))
       .filter(col("dist") >= 0)
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,
+    * JASA 1969) over BLOCKED candidates: pairs sharing the blocking key
+    * are scored by summed per-field agreement weights and classified by
+    * the two-threshold decision rule — `match` above `upper`,
+    * `non_match` below `lower`, `possible` (clerical review) between.
+    *
+    * `fields` carries (column, agreeWeight, disagreeWeight) with the
+    * caller's weights standing in for the theory's log-likelihood
+    * ratios log(m/u) and log((1−m)/(1−u)) as EXACT integers (the
+    * engine-wide fixed-point discipline — float logs would make the
+    * score order-sensitive). A NULL on either side contributes 0: no
+    * evidence either way, per the missing-at-random treatment.
+    *
+    * Scale shape: candidates come from an equi-join on `blockCols` —
+    * never all-pairs — and `maxBlockRows` drops blocks larger than that
+    * on EITHER side before pair generation (the standard oversized-
+    * block guard: a degenerate block of n rows is n² pairs handed to
+    * one reducer; real deployments re-block such rows on a finer key).
+    * Scoring is one codegen'd projection on the joined rows.
+    *
+    * Output: (id_a, id_b, score, decision) for every surviving
+    * candidate pair — the caller filters to the decision class it
+    * wants (emitting all three keeps the clerical-review band, the
+    * point of the FS model, visible). */
+  def linkage(a: DataFrame, idA: String, b: DataFrame, idB: String,
+              blockCols: Seq[String], fields: Seq[(String, Long, Long)],
+              upper: Long, lower: Long,
+              maxBlockRows: Long = 10000): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(upper >= lower, s"thresholds inverted: upper=$upper lower=$lower")
+    def side(df: DataFrame, id: String, pfx: String): DataFrame = {
+      val sel = col(id).as(s"${pfx}id") +:
+        (blockCols.map(c => col(c).as(s"_bk_$c")) ++
+          fields.map { case (f, _, _) => col(f).as(s"$pfx$f") })
+      val keyed = df.select(sel: _*)
+      // oversized-block guard, applied per side BEFORE the pair join
+      val ok = keyed.groupBy(blockCols.map(c => col(s"_bk_$c")): _*)
+        .agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= maxBlockRows)
+        .drop("_bn")
+      keyed.join(ok, blockCols.map(c => s"_bk_$c"))
+    }
+    val score = fields.map { case (f, wa, wd) =>
+      when(col(s"_a_$f").isNull || col(s"_b_$f").isNull, lit(0L))
+        .when(col(s"_a_$f") === col(s"_b_$f"), lit(wa))
+        .otherwise(lit(wd))
+    }.reduce(_ + _)
+    side(a, idA, "_a_").join(side(b, idB, "_b_"), blockCols.map(c => s"_bk_$c"))
+      .select(col("_a_id").as("id_a"), col("_b_id").as("id_b"),
+        score.as("score"))
+      .withColumn("decision",
+        when(col("score") >= upper, "match")
+          .when(col("score") <= lower, "non_match").otherwise("possible"))
+  }
 }

@@ -2462,6 +2462,71 @@ object TestdataQueries {
              |FROM feed f JOIN catalog c
              |  ON levenshtein(f.feed_name, c.cat_name) <= 1""".stripMargin)),
 
+    // ---------------------------- Fellegi-Sunter record linkage
+    // Blocked probabilistic linkage of the customer table against a
+    // deterministically perturbed copy (upper-cased names, truncated
+    // addresses, scrambled segments on fixed key residues — both
+    // engines build the same dirty copy). Blocking on (nation, balance
+    // bucket); integer agreement weights; the two-threshold decision
+    // keeps all three classes (match / possible / non_match) visible.
+    "x_record_linkage" -> (((s: SparkSession, dir: String) => {
+      // phone/email are SYNTHESIZED deterministically (the driver's
+      // customer table carries no contact columns) and then perturbed
+      // on fixed key residues — both engines build the same dirty copy
+      val a = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("cid"), col("c_name").as("name"),
+        concat(lit("555-"), (col("c_custkey") % 10000).cast("string"))
+          .as("phone"),
+        concat(lower(col("c_mktsegment")), lit("-"),
+          col("c_custkey").cast("string"), lit("@ex.com")).as("email"),
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nk"),
+        floor(col("c_acctbal") / 100.0d).cast("long").as("balb"))
+      val b = a
+        .withColumn("name",
+          when(col("cid") % 3 === 0, upper(col("name"))).otherwise(col("name")))
+        .withColumn("phone",
+          when(col("cid") % 11 === 0, lit("555-0000")).otherwise(col("phone")))
+        .withColumn("email",
+          when(col("cid") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("email")))
+        .withColumn("seg",
+          when(col("cid") % 7 === 0, lit("UNKNOWN")).otherwise(col("seg")))
+      FuzzyJoin.linkage(a, "cid", b, "cid", Seq("nk", "balb"),
+        Seq(("name", 24L, -8L), ("phone", 30L, -10L), ("email", 20L, -6L),
+          ("seg", 5L, -5L)),
+        upper = 40L, lower = 0L)
+    }),
+      Some("""WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS cid,
+             |    c_name AS name,
+             |    '555-' || CAST(c_custkey % 10000 AS VARCHAR) AS phone,
+             |    lower(c_mktsegment) || '-' || CAST(c_custkey AS VARCHAR)
+             |      || '@ex.com' AS email,
+             |    c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nk,
+             |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS balb
+             |  FROM customer),
+             |b AS (SELECT cid,
+             |    CASE WHEN cid % 3 = 0 THEN upper(name) ELSE name END AS name,
+             |    CASE WHEN cid % 11 = 0 THEN '555-0000' ELSE phone END AS phone,
+             |    CASE WHEN cid % 13 = 0 THEN NULL ELSE email END AS email,
+             |    CASE WHEN cid % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+             |    nk, balb FROM a),
+             |p AS (SELECT a.cid AS id_a, b.cid AS id_b,
+             |    CAST(CASE WHEN a.name IS NULL OR b.name IS NULL THEN 0
+             |          WHEN a.name = b.name THEN 24 ELSE -8 END
+             |      + CASE WHEN a.phone IS NULL OR b.phone IS NULL THEN 0
+             |          WHEN a.phone = b.phone THEN 30 ELSE -10 END
+             |      + CASE WHEN a.email IS NULL OR b.email IS NULL THEN 0
+             |          WHEN a.email = b.email THEN 20 ELSE -6 END
+             |      + CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0
+             |          WHEN a.seg = b.seg THEN 5 ELSE -5 END AS BIGINT) AS score
+             |  FROM a JOIN b ON a.nk = b.nk AND a.balb = b.balb)
+             |SELECT id_a, id_b, score,
+             |  CASE WHEN score >= 40 THEN 'match'
+             |    WHEN score <= 0 THEN 'non_match'
+             |    ELSE 'possible' END AS decision
+             |FROM p""".stripMargin)),
+
     // ----------------------------------------------------- as-of join
     // Generic backward as-of join (pandas merge_asof / kdb aj): every
     // click gets the user's latest view AT or BEFORE it. The right side

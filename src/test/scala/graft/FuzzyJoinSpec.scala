@@ -85,4 +85,37 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestSession {
       r.limit(20), "rid", "rstr", maxDist = 1)
     assert(uncapped.count() === 400L)
   }
+
+  // -------------------------------------------- Fellegi-Sunter linkage
+
+  private val fsFields = Seq(("name", 24L, -8L), ("phone", 30L, -10L))
+
+  test("linkage: agreement weights sum, thresholds classify, NULLs are neutral") {
+    val a = Seq((1L, 10L, "alice", "555-01"), (2L, 10L, "bob", "555-02"),
+      (3L, 20L, "carol", null)).toDF("id", "blk", "name", "phone")
+    val b = Seq((11L, 10L, "alice", "555-01"),  // full agree: 54 -> match
+      (12L, 10L, "bob", "555-99"),              // name only: 24-10=14 -> possible
+      (13L, 20L, "carol", "555-03")             // null phone: 24+0 -> possible
+    ).toDF("id", "blk", "name", "phone")
+    val out = FuzzyJoin.linkage(a, "id", b, "id", Seq("blk"), fsFields,
+        upper = 40L, lower = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out((1L, 11L)) === ((54L, "match")))
+    assert(out((2L, 12L)) === ((14L, "possible")))
+    assert(out((3L, 13L)) === ((24L, "possible")))
+    // cross pair in block 10: both fields disagree -> -18 non_match
+    assert(out((1L, 12L)) === ((-18L, "non_match")))
+    assert(!out.contains((1L, 13L)), "different blocks never pair")
+  }
+
+  test("linkage: oversized blocks are dropped before pair generation") {
+    val big = (1L to 50L).map(i => (i, 1L, s"n$i", s"p$i"))
+    val small = Seq((100L, 2L, "x", "y"))
+    val a = (big ++ small).toDF("id", "blk", "name", "phone")
+    val out = FuzzyJoin.linkage(a, "id", a, "id", Seq("blk"), fsFields,
+      upper = 40L, lower = 0L, maxBlockRows = 10L)
+    // block 1 (50 rows -> 2500 pairs) dropped; block 2 survives
+    assert(out.select("id_a").as[Long].collect().toSeq === Seq(100L))
+  }
 }
