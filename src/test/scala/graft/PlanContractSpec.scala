@@ -35,12 +35,28 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       // r9 second sitting: the DSIR bucket join and the span-dedup
       // gram joins are key-equi by construction; the epoch shuffle's
       // only non-equi join is the deliberate 1-row count broadcast
-      "x_dsir", "x_dedup_spans", "x_dedup_excise", "x_gopher_rules")
+      "x_dsir", "x_dedup_spans", "x_dedup_excise", "x_gopher_rules",
+      // r9 third sitting: the overlap matrix rides the shingle-equi
+      // pair join, linkage is blocking-key-equi, ccnet/zipf ride the
+      // grouped two-phase rank (1-row/bases broadcasts only)
+      "x_pii_scan", "x_ccnet_buckets", "x_source_overlap", "x_zipf",
+      "x_record_linkage")
     stateless.foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
         s"$n plans a cartesian product:\n${p.take(2000)}")
     }
+  }
+
+  test("ccnet bucketing never plans a per-group ntile window") {
+    // the closed-form distributed ntile must keep the dominant
+    // language out of a single window partition: the plan may sort
+    // within range partitions but must contain NO ntile window
+    // function (a refactor back to ntile().over(partitionBy(lang))
+    // reintroduces the one-task-per-language sort)
+    val p = plan("x_ccnet_buckets")
+    assert(!p.toLowerCase.contains("ntile("),
+      s"x_ccnet_buckets plans a window ntile:\n${p.take(2000)}")
   }
 
   test("predicate pushdown reaches the parquet scan for the filter pack") {
