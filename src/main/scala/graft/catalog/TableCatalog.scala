@@ -719,6 +719,30 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     analyze(table, cols = cols, skipCols = cols)
   }
 
+  /** OPTIMIZE (small-file compaction) — the other maintenance verb: a
+    * table fed by streaming micro-batches or daily increments accretes
+    * files far below the scan-efficient size, and at 100 TB the
+    * per-file open/footer cost (and the object-store LIST/GET count)
+    * comes to dominate the read path. Rewrites the CURRENT snapshot
+    * into ⌈bytes / targetBytes⌉ output files via `coalesce` — a
+    * shuffle-FREE narrow repack (compaction moves no row across a
+    * partitioning; paying an exchange here would double the verb's
+    * I/O for nothing) — through the same versioned commit as
+    * [[optimizeZOrder]]: readers undisturbed, time travel intact,
+    * crash-safe. If the table carries a skipping sidecar the manifest
+    * is rebuilt over the new files in the same verb (same skip
+    * columns); otherwise the version stamp marks old stats stale.
+    * Returns the file count after compaction. */
+  def compactSmallFiles(table: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val bytes = TableCatalog.dirBytes(Paths.get(readPath(table)))
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val skips = stats(table).map(_.skipCols).getOrElse(Seq.empty)
+    replaceAtomic(table, read(table).coalesce(nFiles))
+    if (skips.nonEmpty) analyze(table, cols = skips, skipCols = skips)
+    listParquetUris(table).size
+  }
+
   /** Append to a skip-indexed table, extending the sidecar's file
     * section with envelopes for ONLY the newly written files — the
     * incremental maintenance path that keeps daily appends from forcing

@@ -2822,6 +2822,32 @@ object TestdataQueries {
              |WHERE l_orderkey BETWEEN 1 AND 1000
              |  AND l_partkey BETWEEN 1 AND 500""".stripMargin)),
 
+    // --------------------------------- OPTIMIZE small-file compaction
+    // The other maintenance verb: a 64-tiny-file orders projection is
+    // committed, compacted by TableCatalog.compactSmallFiles (coalesce
+    // repack through the versioned commit — shuffle-free), and read
+    // back. n_files = 1 is deterministic here (targetBytes far above
+    // the table size), so the output row proves the repack HAPPENED and
+    // the aggregate proves it lost nothing — both oracle-checked.
+    "x_optimize_compact" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_compact", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      cat.replaceAtomic("o_small", o.repartition(64))
+      val nFiles = cat.compactSmallFiles("o_small", targetBytes = 1L << 30)
+      cat.read("o_small")
+        .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("sum_total_c"))
+        .withColumn("n_files", lit(nFiles.toLong))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_total_c,
+             |  CAST(1 AS BIGINT) AS n_files
+             |FROM orders""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count
@@ -5385,6 +5411,47 @@ object TestdataQueries {
              |  CASE WHEN n_tokens <= 0 THEN start_off // 512
              |    ELSE (start_off + n_tokens - 1) // 512 END AS end_bin
              |FROM c""".stripMargin)),
+
+    // ---------------------------- packing efficiency report
+    // The batch-yield summary a packing run is judged by: windows used,
+    // token utilization (exact ppm — concat-and-chunk wastes only the
+    // final window's tail), and how many documents straddle a window
+    // boundary (the attention-mask / document-boundary cost of packing
+    // densely). Derived from the same packSequences tape as x_packing,
+    // all-integer so the one aggregate row hashes exactly.
+    "x_packing_efficiency" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens",
+          capacity = 512L, numPartitions = 8)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (max(col("end_bin")) + 1L).as("n_windows"),
+          count(when(col("end_bin") > col("start_bin"), lit(1)))
+            .as("n_straddling"))
+        .withColumn("util_ppm",
+          intDiv(col("total_tokens") * 1000000L, col("n_windows") * 512L))
+    }),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS start_off
+             |  FROM d),
+             |p AS (SELECT doc_id, n_tokens, start_off // 512 AS start_bin,
+             |    CASE WHEN n_tokens <= 0 THEN start_off // 512
+             |      ELSE (start_off + n_tokens - 1) // 512 END AS end_bin
+             |  FROM c)
+             |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(max(end_bin) + 1 AS BIGINT) AS n_windows,
+             |  CAST(count(CASE WHEN end_bin > start_bin THEN 1 END) AS BIGINT)
+             |    AS n_straddling,
+             |  CAST(sum(n_tokens) * 1000000 // ((max(end_bin) + 1) * 512)
+             |    AS BIGINT) AS util_ppm
+             |FROM p""".stripMargin)),
 
     // -------------------------- token chunking (context-window prep)
     // 16-token chunks with 4-token overlap (stride 12) over every

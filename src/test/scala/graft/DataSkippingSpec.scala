@@ -94,4 +94,25 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestSession {
     assert(kept <= total / 2,
       s"post-OPTIMIZE box probe kept $kept of $total files")
   }
+
+  test("compactSmallFiles: versioned repack, contents kept, index rebuilt") {
+    import graft.catalog.TableCatalog
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("skip-compact").toString)
+    cat.replaceAtomic("t", grid.repartition(64))
+    assert(cat.read("t").inputFiles.length >= 32, "seed must be fragmented")
+    // skip-indexed BEFORE compaction: the verb must rebuild the manifest
+    cat.analyze("t", cols = Seq("x", "y"), skipCols = Seq("x", "y"))
+    val before = cat.read("t").collect().map(_.toSeq).toSet
+    val n = cat.compactSmallFiles("t", targetBytes = 1L << 30)
+    assert(n === 1, s"one ~1GB target file expected, got $n")
+    assert(cat.currentVersion("t") === Some(2L))
+    assert(cat.read("t").inputFiles.length === 1)
+    assert(cat.read("t").collect().map(_.toSeq).toSet === before)
+    // prunedRead works against the POST-compaction manifest (a stale
+    // manifest would fail its file-set freshness check loudly)
+    val pruned = cat.prunedRead("t", box)
+    assert(pruned.count() ===
+      grid.filter($"x".between(8, 15) && $"y".between(8, 15)).count())
+  }
 }
