@@ -217,8 +217,14 @@ object Selection {
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         grpCol: String, alpha: Double = 0.5,
                         numPartitions: Int = 64): DataFrame = {
+    // pin the SCORED frame (one row per doc — O(#docs), the same weight
+    // class as the prefix-sum's own internal checkpoint) before the
+    // rank: the range partitioner's boundary-sampling pass would
+    // otherwise re-execute the whole unigram pipeline a second time
+    // (measured 2× at sf0.1 — tools/CcnetProbe)
     val lm = TextAnalysis.unigramLogProb(docs, idCol, textCol, alpha)
       .join(docs.select(col(idCol).as("doc_id"), col(grpCol)), Seq("doc_id"))
+      .localCheckpoint(true)
     groupedNtile(lm, Seq(grpCol), Seq("nll_e4", "doc_id"), 3, "_b",
         numPartitions)
       .withColumn("bucket",

@@ -622,6 +622,9 @@ object TextAnalysis {
                 maxExp: Int = 8, numPartitions: Int = 64): DataFrame = {
     require(maxExp >= 1, s"maxExp must be >= 1, got $maxExp")
     val powers = (0 to maxExp).map(1L << _)
+    // pinned for the same reason perplexityBuckets pins its scored
+    // frame: the grouped rank's range-boundary sample would re-run the
+    // tokenize+aggregate otherwise; the vocab frame is sub-corpus-sized
     val tf = docs
       .select(col(grpCol).as("grp"),
         explode(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
@@ -629,6 +632,7 @@ object TextAnalysis {
       .groupBy(col("grp"), col("tok"))
       .agg(count(lit(1)).as("freq"))
       .withColumn("_negfreq", -col("freq"))
+      .localCheckpoint(true)
     val pts = Selection.groupedRank(tf, Seq("grp"),
         Seq("_negfreq", "tok"), "rank", numPartitions)
       .filter(col("rank").isin(powers: _*))

@@ -100,4 +100,59 @@ class OpsPropertySpec extends AnyFunSuite with SparkTestSession {
       assert(rebuilt === n.toSet, s"iteration $i")
     }
   }
+
+  test("groupedNtile: closed form equals the window ntile on random groups") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial sizes: groups smaller than k, equal to k, any remainder,
+    // heavy duplicate order-values (tie-break carried entirely by id)
+    val rowsGen = Gen.listOfN(160, for {
+      g <- Gen.choose(0, 9)
+      v <- Gen.choose(0L, 3L)
+    } yield (s"g$g", v)).map(_.zipWithIndex.map { case ((g, v), i) =>
+      (g, v, i.toLong)
+    })
+    (1 to 4).foreach { i =>
+      val df = sample(rowsGen, 500L + i).toDF("grp", "v", "id")
+      for (k <- Seq(1, 3, 7)) {
+        val w = Window.partitionBy("grp").orderBy(col("v"), col("id"))
+        val want = df.withColumn("b", ntile(k).over(w)).collect()
+          .map(r => (r.getString(0), r.getLong(2)) -> r.getInt(3)).toMap
+        val got = graft.ops.Selection.groupedNtile(df, Seq("grp"),
+            Seq("v", "id"), k, numPartitions = 7)
+          .collect().map(r => (r.getString(0), r.getLong(2)) ->
+            r.getInt(r.fieldIndex("bucket_no"))).toMap
+        assert(got === want, s"iteration $i k=$k")
+      }
+    }
+  }
+
+  test("luhnValid: computed check digits pass, any single-digit mutation fails") {
+    val baseGen = Gen.listOfN(15, Gen.choose(0, 9))
+    def checkDigit(base: List[Int]): Int = {
+      // standard Luhn check-digit construction over the reversed base
+      val s = base.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 0) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      (10 - s % 10) % 10
+    }
+    val cases = (1 to 20).map { i =>
+      val base = sample(baseGen, 900L + i)
+      val pan = (base :+ checkDigit(base)).mkString
+      val mutPos = sample(Gen.choose(0, 15), 950L + i)
+      val mutated = pan.updated(mutPos,
+        ('0' + (pan(mutPos) - '0' + 1 + i % 9) % 10).toChar)
+      (pan, mutated)
+    }
+    val out = cases.toDF("pan", "mut")
+      .select(graft.ops.Pii.luhnValid(col("pan")).as("ok"),
+        graft.ops.Pii.luhnValid(col("mut")).as("mok"),
+        col("pan"), col("mut"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getBoolean(0), s"valid PAN rejected: ${r.getString(2)}")
+      if (r.getString(2) != r.getString(3))
+        assert(!r.getBoolean(1),
+          s"single-digit mutation accepted: ${r.getString(3)}")
+    }
+  }
 }
