@@ -2213,6 +2213,59 @@ object TestdataQueries {
              |SELECT a AS doc_id, min(b) AS comp, (a = min(b)) AS kept
              |FROM reach GROUP BY a""".stripMargin)),
 
+    // ---------------------------------------- near-dup cluster quality
+    // Audit surface for the dedup caps: per near-dup cluster, its size,
+    // edge count, the weakest in-cluster similarity, the mean similarity,
+    // and the edge density. A cluster with low min-jaccard or low density
+    // is a chain of pairwise matches gluing genuinely-different docs
+    // together (the transitive-closure failure mode every LSH pipeline
+    // must watch); this is the signal that tunes minJaccard/caps before
+    // a 100 TB run deletes the wrong documents. All similarity stats are
+    // exact int64 e4 fixed-point (per-pair floor, integer sums/divides),
+    // so the oracle comparison is at value level with no float-order
+    // sensitivity.
+    "x_cluster_quality" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.intDiv
+      // pinned: both the component loop and the edge-stats aggregation
+      // consume `pairs`, and the inverted-index pair generation is the
+      // expensive part — same single-materialization rule as
+      // Dedup.components' internal projection
+      val pairs = Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000).localCheckpoint(true)
+      val comp = Dedup.components(pairs)
+      val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+      val e4 = floor(col("jaccard") * 10000).cast("long")
+      val edges = pairs
+        .join(comp.select(col("doc_id").as("id_a"), col("comp")), Seq("id_a"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_edges"), min(e4).as("min_jaccard_e4"),
+          sum(e4).as("sum_e4"))
+      sizes.join(edges, Seq("comp"))
+        .select(col("comp"), col("csize"), col("n_edges"),
+          col("min_jaccard_e4"),
+          intDiv(col("sum_e4"), col("n_edges")).as("avg_jaccard_e4"),
+          intDiv(lit(20000L) * col("n_edges"),
+            col("csize") * (col("csize") - 1)).as("density_e4"))
+    }),
+      Some(s"""WITH RECURSIVE ${trigramPairsSql(0.5)},
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach AS (SELECT id AS a, id AS b FROM nodes
+             |  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+             |cl_sizes AS (SELECT comp, count(*) AS csize FROM comp GROUP BY comp),
+             |es AS (SELECT c.comp, count(*) AS n_edges,
+             |    min(CAST(floor(jaccard * 10000) AS BIGINT)) AS min_jaccard_e4,
+             |    CAST(sum(CAST(floor(jaccard * 10000) AS BIGINT)) AS BIGINT)
+             |      AS sum_e4
+             |  FROM pairs p JOIN comp c ON p.id_a = c.doc_id
+             |  GROUP BY c.comp)
+             |SELECT s.comp, s.csize, e.n_edges, e.min_jaccard_e4,
+             |  e.sum_e4 // e.n_edges AS avg_jaccard_e4,
+             |  (20000 * e.n_edges) // (s.csize * (s.csize - 1)) AS density_e4
+             |FROM cl_sizes s JOIN es e USING (comp)""".stripMargin)),
+
     // ------------------------------------------- deduplicated corpus
     // The end product of the dedup family: the corpus minus every
     // non-canonical member of a near-dup component (exact-Jaccard ≥ 0.5
@@ -2526,6 +2579,88 @@ object TestdataQueries {
              |    WHEN score <= 0 THEN 'non_match'
              |    ELSE 'possible' END AS decision
              |FROM p""".stripMargin)),
+
+    // ------------------------------------------- golden-record survivorship
+    // The consolidation step AFTER linkage: three synthesized source
+    // systems disagree about each customer (case-mangled names, per-source
+    // phones with gaps, per-source emails with a recency stamp), and
+    // Survivorship.golden picks each field by an explicit deterministic
+    // rule — majority vote for name, trusted-source priority for phone,
+    // latest-timestamp for email, max for balance. The oracle replays
+    // every rule with window functions; tie-breaks are pinned (smallest
+    // value) on both sides, so the comparison is at value level.
+    "x_golden_record" -> (((s: SparkSession, dir: String) => {
+      import graft.ops.Survivorship
+      val c = t(s, dir, "customer")
+      val srcs = (1 to 3).map { src =>
+        c.select(
+          col("c_custkey").cast("long").as("cid"),
+          lit(src.toLong).as("src"),
+          (src match {
+            case 1 => col("c_name")
+            case 2 => when(col("c_custkey") % 3 === 0, upper(col("c_name")))
+              .otherwise(col("c_name"))
+            case _ => when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+              .otherwise(col("c_name"))
+          }).as("name"),
+          when(col("c_custkey") % (6 + src) === 0, lit(null).cast("string"))
+            .otherwise(concat(lit(s"555-$src-"),
+              (col("c_custkey") % 10000).cast("string"))).as("phone"),
+          when((col("c_custkey") + src) % 13 === 0, lit(null).cast("string"))
+            .otherwise(concat(lower(col("c_mktsegment")), lit("-"),
+              col("c_custkey").cast("string"), lit(s"-s$src@ex.com")))
+            .as("email"),
+          (floor(col("c_acctbal")).cast("long") + lit(10L * src)).as("bal"),
+          ((col("c_custkey") * 37 + src * 101) % 9973).cast("long").as("ts"))
+      }.reduce(_ unionByName _)
+      Survivorship.golden(srcs, "cid", Seq(
+        Survivorship.MostFrequent("name"),
+        Survivorship.BySourcePriority("phone", "src"),
+        Survivorship.Latest("email", "ts"),
+        Survivorship.MaxValue("bal")))
+    }),
+      Some("""WITH r AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS cid,
+             |    CAST(s.src AS BIGINT) AS src,
+             |    CASE WHEN s.src = 2 AND c_custkey % 3 = 0 THEN upper(c_name)
+             |         WHEN s.src = 3 AND c_custkey % 5 = 0 THEN NULL
+             |         ELSE c_name END AS name,
+             |    CASE WHEN c_custkey % (6 + s.src) = 0 THEN NULL
+             |         ELSE '555-' || CAST(s.src AS VARCHAR) || '-' ||
+             |              CAST(c_custkey % 10000 AS VARCHAR) END AS phone,
+             |    CASE WHEN (c_custkey + s.src) % 13 = 0 THEN NULL
+             |         ELSE lower(c_mktsegment) || '-' ||
+             |              CAST(c_custkey AS VARCHAR) || '-s' ||
+             |              CAST(s.src AS VARCHAR) || '@ex.com' END AS email,
+             |    CAST(floor(c_acctbal) AS BIGINT) + 10 * CAST(s.src AS BIGINT)
+             |      AS bal,
+             |    CAST((c_custkey * 37 + s.src * 101) % 9973 AS BIGINT) AS ts
+             |  FROM customer, (VALUES (1), (2), (3)) s(src)),
+             |mode_name AS (
+             |  SELECT cid, name FROM (
+             |    SELECT cid, name, row_number() OVER (PARTITION BY cid
+             |        ORDER BY cnt DESC, name ASC) AS rn
+             |    FROM (SELECT cid, name, count(*) AS cnt FROM r
+             |          WHERE name IS NOT NULL GROUP BY cid, name))
+             |  WHERE rn = 1),
+             |pick_phone AS (
+             |  SELECT cid, phone FROM (
+             |    SELECT cid, phone, row_number() OVER (PARTITION BY cid
+             |        ORDER BY src ASC, phone ASC) AS rn
+             |    FROM r WHERE phone IS NOT NULL) WHERE rn = 1),
+             |pick_email AS (
+             |  SELECT cid, email FROM (
+             |    SELECT cid, email, row_number() OVER (PARTITION BY cid
+             |        ORDER BY ts DESC, email ASC) AS rn
+             |    FROM r WHERE email IS NOT NULL) WHERE rn = 1),
+             |base AS (SELECT cid, count(*) AS n_records, max(bal) AS bal
+             |  FROM r GROUP BY cid)
+             |SELECT base.cid, base.n_records, mode_name.name,
+             |  pick_phone.phone, pick_email.email, base.bal
+             |FROM base
+             |LEFT JOIN mode_name USING (cid)
+             |LEFT JOIN pick_phone USING (cid)
+             |LEFT JOIN pick_email USING (cid)""".stripMargin)),
 
     // ----------------------------------------------------- as-of join
     // Generic backward as-of join (pandas merge_asof / kdb aj): every
