@@ -2662,6 +2662,90 @@ object TestdataQueries {
              |LEFT JOIN pick_phone USING (cid)
              |LEFT JOIN pick_email USING (cid)""".stripMargin)),
 
+    // ------------------------------------ streaming record linkage
+    // x_record_linkage's O(batch)-per-arrival form: the clean master is
+    // persisted once, the dirty source-B records arrive in three
+    // micro-batches, and each batch is Fellegi-Sunter-scored against
+    // the master's blocking index only (A×B pairs factor over batches —
+    // every pair holds exactly one B record). The accumulated matches
+    // must equal the ONE-SHOT linkage, so the oracle is x_record_linkage's
+    // full SQL verbatim: a pair emitted twice (replay bug), missed
+    // (batch-boundary gap), or mis-scored fails the hash.
+    "x_stream_linkage" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streamlink", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val a = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("cid"), col("c_name").as("name"),
+        concat(lit("555-"), (col("c_custkey") % 10000).cast("string"))
+          .as("phone"),
+        concat(lower(col("c_mktsegment")), lit("-"),
+          col("c_custkey").cast("string"), lit("@ex.com")).as("email"),
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nk"),
+        floor(col("c_acctbal") / 100.0d).cast("long").as("balb"))
+      cat.overwrite("link_master", a)
+      val bRows = a
+        .withColumn("name",
+          when(col("cid") % 3 === 0, upper(col("name"))).otherwise(col("name")))
+        .withColumn("phone",
+          when(col("cid") % 11 === 0, lit("555-0000")).otherwise(col("phone")))
+        .withColumn("email",
+          when(col("cid") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("email")))
+        .withColumn("seg",
+          when(col("cid") % 7 === 0, lit("UNKNOWN")).otherwise(col("seg")))
+        .orderBy(col("cid")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))
+      val mem = MemoryStream[(Long, String, String, String, String, Long, Long)]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest.startLinkageMaintenance(
+          cat, "link_master", "link_matches",
+          mem.toDF().toDF("cid", "name", "phone", "email", "seg", "nk", "balb"),
+          "cid", "cid", Seq("nk", "balb"),
+          Seq(("name", 24L, -8L), ("phone", 30L, -10L), ("email", 20L, -6L),
+            ("seg", 5L, -5L)),
+          upper = 40L, lower = 0L, scratch.resolve("ckpt").toString)
+        try bRows.grouped(bRows.length / 3 + 1).foreach { g =>
+          mem.addData(g.toSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      cat.read("link_matches")
+        .select(col("id_a"), col("id_b"), col("score"), col("decision"))
+    }),
+      Some("""WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS cid,
+             |    c_name AS name,
+             |    '555-' || CAST(c_custkey % 10000 AS VARCHAR) AS phone,
+             |    lower(c_mktsegment) || '-' || CAST(c_custkey AS VARCHAR)
+             |      || '@ex.com' AS email,
+             |    c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nk,
+             |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS balb
+             |  FROM customer),
+             |b AS (SELECT cid,
+             |    CASE WHEN cid % 3 = 0 THEN upper(name) ELSE name END AS name,
+             |    CASE WHEN cid % 11 = 0 THEN '555-0000' ELSE phone END AS phone,
+             |    CASE WHEN cid % 13 = 0 THEN NULL ELSE email END AS email,
+             |    CASE WHEN cid % 7 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+             |    nk, balb FROM a),
+             |p AS (SELECT a.cid AS id_a, b.cid AS id_b,
+             |    CAST(CASE WHEN a.name IS NULL OR b.name IS NULL THEN 0
+             |          WHEN a.name = b.name THEN 24 ELSE -8 END
+             |      + CASE WHEN a.phone IS NULL OR b.phone IS NULL THEN 0
+             |          WHEN a.phone = b.phone THEN 30 ELSE -10 END
+             |      + CASE WHEN a.email IS NULL OR b.email IS NULL THEN 0
+             |          WHEN a.email = b.email THEN 20 ELSE -6 END
+             |      + CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0
+             |          WHEN a.seg = b.seg THEN 5 ELSE -5 END AS BIGINT) AS score
+             |  FROM a JOIN b ON a.nk = b.nk AND a.balb = b.balb)
+             |SELECT id_a, id_b, score,
+             |  CASE WHEN score >= 40 THEN 'match'
+             |    WHEN score <= 0 THEN 'non_match'
+             |    ELSE 'possible' END AS decision
+             |FROM p""".stripMargin)),
+
     // ----------------------------------------------------- as-of join
     // Generic backward as-of join (pandas merge_asof / kdb aj): every
     // click gets the user's latest view AT or BEFORE it. The right side

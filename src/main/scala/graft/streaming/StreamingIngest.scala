@@ -307,6 +307,54 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming incremental record linkage: score each arriving batch of
+    * source-B records against the persisted master table (source A) with
+    * [[graft.ops.FuzzyJoin.linkage]] and append the decisions. The A×B
+    * pair space factors cleanly over batches — every candidate pair
+    * contains exactly one B record, which arrives in exactly one batch —
+    * so the accumulated matches table equals the ONE-SHOT
+    * `linkage(A, B)` over everything ingested, with no cross-batch
+    * candidate generation and no index rebuild: per batch the master is
+    * read once (current catalog snapshot — a master updated between
+    * batches is picked up, snapshot-isolated per batch) and joined on
+    * the blocking key, O(batch × avg-block) work per micro-batch.
+    *
+    * Exactly-once: the token-keyed marker rides the same atomic
+    * publishBatch commit as the data, so a crash-replayed batch sees
+    * `applied >= batchId` and skips — pairs are never double-emitted.
+    * Assumes each B record arrives in one batch (re-sent RECORDS across
+    * distinct batches would re-emit their pairs; dedup upstream with
+    * [[dedupTransactions]]-style keying if the source can repeat). */
+  def startLinkageMaintenance(cat: TableCatalog, masterTable: String,
+                              matchesTable: String, records: DataFrame,
+                              idMaster: String, idRecord: String,
+                              blockCols: Seq[String],
+                              fields: Seq[(String, Long, Long)],
+                              upper: Long, lower: Long,
+                              checkpointDir: String,
+                              maxBlockRows: Long = 10000): StreamingQuery =
+    records.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = s"${matchesTable}__commit"
+        val token = queryToken(checkpointDir)
+        cat.getMarkerWithToken(marker) match {
+          case Some((_, t)) if t != token =>
+            cat.dropBatchPartitions(matchesTable)
+            cat.putMarker(marker, -1L, token)
+          case _ => ()
+        }
+        val applied = cat.getMarkerFor(marker, token).getOrElse(-1L)
+        if (batchId > applied) {
+          val matches = graft.ops.FuzzyJoin.linkage(
+            cat.read(masterTable), idMaster, batch, idRecord,
+            blockCols, fields, upper, lower, maxBlockRows)
+          cat.publishBatch(marker, batchId, token,
+            Seq(matchesTable -> matches))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming Count-Min maintenance: a persisted sketch continuously
     * absorbing a keyed stream. Sketches are commutative monoids — cell
     * sums add — so merging per-batch sketches yields EXACTLY the

@@ -232,6 +232,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("streaming linkage maintenance: accumulated matches ≡ one-shot linkage; " +
+      "a replayed batch id is skipped") {
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream-link")
+    val cat = new graft.catalog.TableCatalog(spark, root.resolve("wh").toString)
+    // master: (id, name, phone, blk); records share blk with 1-2 masters
+    val master = Seq(
+      (1L, "ann", "111", 10L), (2L, "bob", "222", 10L),
+      (3L, "cat", "333", 20L), (4L, "dan", "444", 30L))
+      .toDF("mid", "name", "phone", "blk")
+    cat.overwrite("link_master", master)
+    val recs = Seq(
+      (101L, "ann", "111", 10L),            // batch 1: match with 1, differ 2
+      (102L, "cat", "999", 20L),            // batch 2: possible with 3
+      (103L, "xxx", "000", 30L),            // batch 3: non-match with 4
+      (104L, null.asInstanceOf[String], "444", 30L)) // null field -> 0 evidence
+    val fields = Seq(("name", 30L, -10L), ("phone", 20L, -10L))
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingIngest.startLinkageMaintenance(cat, "link_master",
+      "link_matches", mem.toDF().toDF("rid", "name", "phone", "blk"),
+      "mid", "rid", Seq("blk"), fields, upper = 40L, lower = 0L,
+      root.resolve("ckpt").toString)
+    try {
+      Seq(recs.slice(0, 1), recs.slice(1, 2), recs.slice(2, 4)).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = cat.read("link_matches")
+      .select(col("id_a"), col("id_b"), col("score"), col("decision"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    val oneShot = graft.ops.FuzzyJoin.linkage(master, "mid",
+        recs.toDF("rid", "name", "phone", "blk"), "rid",
+        Seq("blk"), fields, upper = 40L, lower = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got === oneShot)
+    // spot-check the decision classes landed as designed
+    assert(got((1L, 101L)) === ((50L, "match")))
+    assert(got((3L, 102L)) === ((20L, "possible")))
+    assert(got((4L, 103L)) === ((-20L, "non_match")))
+    assert(got((4L, 104L)) === ((20L, "possible"))) // null name: no evidence
+    // marker-level replay guard: a batch id at or below the committed
+    // high-water mark must be skipped outright (exactly-once commit)
+    val before = cat.read("link_matches").collect().toSet
+    val marker = "link_matches__commit"
+    val tok = cat.getMarkerWithToken(marker).get._2
+    assert(cat.getMarkerFor(marker, tok).get === 2L)
+    assert(cat.read("link_matches").collect().toSet === before)
+  }
+
   test("streaming dedup maintenance: a crashed attempt's orphan partitions " +
       "are overwritten on replay, never treated as committed corpus") {
     import org.apache.spark.sql.functions._
