@@ -40,7 +40,10 @@ class PlanContractSpec extends AnyFunSuite with SparkTestSession {
       // pair join, linkage is blocking-key-equi, ccnet/zipf ride the
       // grouped two-phase rank (1-row/bases broadcasts only)
       "x_pii_scan", "x_ccnet_buckets", "x_source_overlap", "x_zipf",
-      "x_record_linkage")
+      "x_record_linkage",
+      // r9 fourth sitting: survivorship is entity-keyed aggregation +
+      // co-partitioned mode joins — no pair space at all
+      "x_golden_record")
     stateless.foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
