@@ -743,6 +743,76 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     listParquetUris(table).size
   }
 
+  /** VACUUM: delete crashed-writer residue from a table directory — the
+    * Delta/Iceberg VACUUM adapted to this catalog's commit protocols.
+    * Every mutation here is write-aside-then-atomic-rename, so a writer
+    * that dies between the two leaves exactly one of three residue
+    * classes, each invisible to readers but real on disk:
+    *
+    *  - `write_aside`: `_version.tmp`, `_stats.json.tmp-<uuid>`,
+    *    `_tagtmp_<name>-<uuid>` — pointer/sidecar bytes, tiny;
+    *  - `uncommitted_snapshot`: a `_vN` directory with N above the
+    *    committed pointer — the FULL data of the crashed overwrite, the
+    *    class that matters at 100 TB (a one-table-overwrite crash
+    *    strands a table-sized directory that no read, retention sweep,
+    *    or re-attempt of a DIFFERENT version will ever reclaim);
+    *  - `staging`: `_tmp_<...>` compaction staging directories.
+    *
+    * Runs under the writer lock (no live writer to race; the next
+    * attempt of version N deletes `_vN` itself, so vacuuming it under
+    * the lock is the same cleanup, earlier). `graceMs` additionally
+    * spares residue younger than the grace window — the lease lock can
+    * expire under a stalled-but-alive writer, and mtime <= cutoff uses
+    * <= so grace 0 means "everything" with no same-millisecond flake.
+    * Committed state is never touched: the pointer, committed `_vN`
+    * snapshots (retention's job, not vacuum's), `_tag_*` pins,
+    * `_stats.json`, lock files, and LogCommitter `*.__log` directories
+    * all fall outside the three residue patterns by construction.
+    *
+    * Returns (category, files, bytes) per residue class found and
+    * deleted, category-sorted — the audit record an operator wants
+    * from a fleet-wide vacuum pass. */
+  def vacuum(table: String, graceMs: Long = 3600000L): Seq[(String, Long, Long)] =
+    withTableLock(table) {
+      require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
+      healSwap(table)
+      val dir = Paths.get(path(table))
+      if (!Files.exists(dir)) Seq.empty
+      else {
+        val cutoff = System.currentTimeMillis() - graceMs
+        val committed = currentVersion(table).getOrElse(-1L)
+        // belt-and-braces: no current verb can tag an uncommitted
+        // version, but a future restore/rollback could leave a tagged
+        // snapshot above the pointer — never vacuum a pin
+        val pinned = tags(table).values.toSet
+        def ageOk(p: Path): Boolean =
+          try Files.getLastModifiedTime(p).toMillis <= cutoff
+          catch { case _: java.io.IOException => false }
+        val s = Files.list(dir)
+        val targets = try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.flatMap { p =>
+            val n = p.getFileName.toString
+            val cls =
+              if (n == "_version.tmp" || n.startsWith("_stats.json.tmp-") ||
+                  n.startsWith("_tagtmp_")) Some("write_aside")
+              else if (n.length > 2 && n.startsWith("_v") &&
+                  n.drop(2).forall(_.isDigit) && n.drop(2).toLong > committed &&
+                  !pinned(n.drop(2).toLong))
+                Some("uncommitted_snapshot")
+              else if (n.startsWith("_tmp_")) Some("staging")
+              else None
+            cls.filter(_ => ageOk(p)).map(c => (c, p))
+          }.toList
+        } finally s.close()
+        targets.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, ps) =>
+          val bytes = ps.map(t => TableCatalog.dirBytes(t._2)).sum
+          ps.foreach(t => deleteRecursive(t._2))
+          (c, ps.size.toLong, bytes)
+        }
+      }
+    }
+
   /** Append to a skip-indexed table, extending the sidecar's file
     * section with envelopes for ONLY the newly written files — the
     * incremental maintenance path that keeps daily appends from forcing

@@ -149,6 +149,62 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** ROUGE-N overlap metrics (Lin, "ROUGE: A Package for Automatic
+    * Evaluation of Summaries", ACL 2004 WS) for given document pairs:
+    * clipped word-n-gram overlap between a reference (`id_a`) and a
+    * candidate (`id_b`), reported as precision/recall/F1. The classic
+    * summarization-eval metric doubles as a near-dup *explanation*
+    * signal in curation: jaccard says THAT two docs overlap, ROUGE's
+    * clipped counts say how much of each side is covered.
+    *
+    * All outputs are exact integers: overlap is a clipped-multiset sum
+    * (Σ min(count_ref, count_cand) per gram), the gram totals are
+    * row-wise token arithmetic, and P/R/F1 are e4 fixed-point integer
+    * divisions — with P = ov/n_cand and R = ov/n_ref, F1 reduces to
+    * 2·ov/(n_ref+n_cand), so no float touches the result and a SQL
+    * oracle replays it term by term.
+    *
+    * Scale shape: per-doc gram counts are one hash aggregation; the
+    * overlap is `pairs ⋈ grams(ref) ⋈ grams(cand)` — work
+    * O(Σ_pairs |grams(ref)|), ROUGE's own cost, NEVER all-pairs (the
+    * caller supplies the pair list, pre-blocked by LSH/jaccard/linkage).
+    * Pairs whose sides share no gram still emit a row (zero scores):
+    * an eval metric that silently drops pairs misreports the corpus. */
+  def rougeN(docs: DataFrame, idCol: String, textCol: String,
+             pairs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val cnt = gramExplode(docs, idCol, textCol, n)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val tot = docs.select(col(idCol).as("doc_id"),
+      greatest(size(split(col(textCol), " ")) - lit(n) + 1, lit(0))
+        .cast("long").as("ng"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val ov = p
+      .join(cnt.select(col("doc_id").as("id_a"), col("gram"),
+        col("c").as("ca")), Seq("id_a"))
+      .join(cnt.select(col("doc_id").as("id_b"), col("gram"),
+        col("c").as("cb")), Seq("id_b", "gram"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+    p.join(ov, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("overlap"))
+      .join(tot.select(col("doc_id").as("id_a"), col("ng").as("n_ref")),
+        Seq("id_a"))
+      .join(tot.select(col("doc_id").as("id_b"), col("ng").as("n_cand")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        col("n_ref"), col("n_cand"),
+        when(col("n_cand") > 0,
+          intDiv(col("overlap") * 10000L, col("n_cand")))
+          .otherwise(0L).as("rouge_p_e4"),
+        when(col("n_ref") > 0,
+          intDiv(col("overlap") * 10000L, col("n_ref")))
+          .otherwise(0L).as("rouge_r_e4"),
+        when(col("n_ref") + col("n_cand") > 0,
+          intDiv(col("overlap") * 20000L, col("n_ref") + col("n_cand")))
+          .otherwise(0L).as("rouge_f1_e4"))
+  }
+
   /** Per-batch PARTIAL of the corpus gram table, for incrementally
     * maintained repeated-ngram state under the append-only ingest
     * contract (each doc_id arrives in exactly one batch — the same

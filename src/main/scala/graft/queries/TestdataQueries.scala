@@ -1118,6 +1118,51 @@ object TestdataQueries {
              |FROM orders JOIN dim ON orders.o_custkey = dim.k
              |GROUP BY dim.seg""".stripMargin)),
 
+    // ------------------------------- VACUUM crashed-writer residue (r9)
+    // The storage-reclaim verb, value-gated like x_commit_log: a
+    // versioned table accretes all three crash-residue classes
+    // (pointer/sidecar write-asides, a full uncommitted _vN snapshot,
+    // compaction staging), vacuum must report EXACTLY those classes and
+    // delete them, and the committed snapshots must read back
+    // byte-identically — which the oracle proves by replaying the
+    // post-vacuum aggregate over raw customer. A vacuum that over-deletes
+    // (touching _v1/_v2, the pointer, or the stats sidecar) changes rows;
+    // one that under-deletes fails the require.
+    "x_vacuum" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      import java.nio.file.{Files, Paths}
+      val scratch = scratchDir("graft_vacuum", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("bal_c"))
+      cat.replaceAtomic("dim_vac", base)
+      cat.replaceAtomic("dim_vac", base.filter(col("k") % 7 =!= 0))
+      val p = Paths.get(cat.path("dim_vac"))
+      Files.write(p.resolve("_version.tmp"), "9".getBytes)
+      Files.write(p.resolve("_stats.json.tmp-dead"), "{}".getBytes)
+      val orphan = p.resolve("_v99")
+      Files.createDirectories(orphan)
+      Files.write(orphan.resolve("dead.parquet"), Array.fill(16)(0.toByte))
+      val stage = p.resolve("_tmp_1999-01")
+      Files.createDirectories(stage)
+      Files.write(stage.resolve("dead"), Array.fill(4)(0.toByte))
+      val rep = cat.vacuum("dim_vac", graceMs = 0L)
+      require(rep.map(r => (r._1, r._2)) == Seq(("staging", 1L),
+        ("uncommitted_snapshot", 1L), ("write_aside", 2L)),
+        s"vacuum report off: $rep")
+      require(!Files.exists(orphan) && !Files.exists(stage),
+        "residue must be gone")
+      require(cat.versions("dim_vac") == Seq(1L, 2L),
+        "committed snapshots must survive vacuum")
+      cat.read("dim_vac").groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_bal_c"))
+    }),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_bal_c
+             |FROM customer WHERE c_custkey % 7 <> 0
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------- stats-planned join width (r9)
     // The join-cardinality estimate DRIVING a plan (VERDICT r8 next
     // #3), value-gated: both sides are ANALYZEd, the shuffle width is
@@ -2265,6 +2310,51 @@ object TestdataQueries {
              |  e.sum_e4 // e.n_edges AS avg_jaccard_e4,
              |  (20000 * e.n_edges) // (s.csize * (s.csize - 1)) AS density_e4
              |FROM cl_sizes s JOIN es e USING (comp)""".stripMargin)),
+
+    // --------------------------------------------- ROUGE-N pair metrics
+    // Clipped word-bigram overlap (ROUGE-2 P/R/F1, Lin ACL'04 WS) over
+    // the near-dup candidate pairs: jaccard says THAT two docs overlap,
+    // ROUGE's clipped counts say how much of each side is covered —
+    // the asymmetric view that separates "truncated copy" from "shared
+    // boilerplate". Everything integer (clipped-multiset sums, e4
+    // integer divisions; F1 = 2·ov/(n_ref+n_cand) exactly), so the
+    // oracle replays the metric term by term over the same pair set.
+    "x_rouge" -> (((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 1000)
+      TextAnalysis.rougeN(docs, "doc_id", "text", pairs, n = 2)
+    }),
+      Some(s"""WITH ${trigramPairsSql(0.5)},
+             |rtoks AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |  FROM documents),
+             |gcnt AS (SELECT doc_id, gram, count(*) AS c FROM (
+             |    SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram
+             |    FROM rtoks, UNNEST(generate_series(1, len(tk) - 1)) AS u(i))
+             |  GROUP BY doc_id, gram),
+             |tot AS (SELECT doc_id,
+             |    CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS ng FROM rtoks),
+             |ov AS (SELECT p.id_a, p.id_b,
+             |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+             |  FROM pairs p
+             |  JOIN gcnt a ON a.doc_id = p.id_a
+             |  JOIN gcnt b ON b.doc_id = p.id_b AND b.gram = a.gram
+             |  GROUP BY 1, 2)
+             |SELECT p.id_a, p.id_b, coalesce(o.overlap, 0) AS overlap,
+             |  ta.ng AS n_ref, tb.ng AS n_cand,
+             |  CASE WHEN tb.ng > 0
+             |    THEN (coalesce(o.overlap, 0) * 10000) // tb.ng
+             |    ELSE 0 END AS rouge_p_e4,
+             |  CASE WHEN ta.ng > 0
+             |    THEN (coalesce(o.overlap, 0) * 10000) // ta.ng
+             |    ELSE 0 END AS rouge_r_e4,
+             |  CASE WHEN ta.ng + tb.ng > 0
+             |    THEN (coalesce(o.overlap, 0) * 20000) // (ta.ng + tb.ng)
+             |    ELSE 0 END AS rouge_f1_e4
+             |FROM pairs p
+             |LEFT JOIN ov o ON o.id_a = p.id_a AND o.id_b = p.id_b
+             |JOIN tot ta ON ta.doc_id = p.id_a
+             |JOIN tot tb ON tb.doc_id = p.id_b""".stripMargin)),
 
     // ------------------------------------------- deduplicated corpus
     // The end product of the dedup family: the corpus minus every

@@ -915,6 +915,28 @@ class OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L || p._1 == 13L || p._2 == 13L))
   }
 
+  test("rougeN: clipped bigram overlap gives exact e4 P/R/F1; repeats clip; " +
+      "no-overlap pairs still emit a zero row") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d"),   // bigrams {ab, bc, cd}
+      (2L, "a b c x"),   // bigrams {ab, bc, cx}
+      (3L, "a a a a"),   // bigrams {aa x3} — clipping case
+      (4L, "a a b b")    // bigrams {aa, ab, bb}
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = TextAnalysis.rougeN(docs, "doc_id", "text", pairs, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // (1,2): overlap {ab, bc} = 2 of 3 each side -> P=R=F1=6666
+    assert(out((1L, 2L)) === ((2L, 3L, 3L, 6666L, 6666L, 6666L)))
+    // (3,4): ref has aa x3, cand has aa x1 -> clipped overlap 1, not 3
+    assert(out((3L, 4L)) === ((1L, 3L, 3L, 3333L, 3333L, 3333L)))
+    // (1,3): disjoint gram sets -> zero row, pair NOT dropped
+    assert(out((1L, 3L)) === ((0L, 3L, 3L, 0L, 0L, 0L)))
+  }
+
   test("repeatedNgrams: cross-doc verbatim sequences surface with exact " +
       "doc and occurrence counts; within-doc repeats alone do not") {
     import graft.ops.TextAnalysis

@@ -939,4 +939,55 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(stale.rdd.getNumPartitions !== wantP,
       "stale stats must not keep driving the planned width")
   }
+
+  test("vacuum: every crash-residue class deleted, grace window spares the " +
+      "young, committed state byte-for-byte untouched") {
+    import java.nio.file.{Files, Paths}
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("graft_vac_").toString)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    cat.replaceAtomic("t", df)
+    cat.replaceAtomic("t", df.filter(col("k") === 1L))
+    cat.tag("t", "pin")
+    cat.analyze("t")
+    val dir = Paths.get(cat.path("t"))
+    def age(p: java.nio.file.Path): Unit = Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    // the three residue classes, all aged 2 minutes
+    Files.write(dir.resolve("_version.tmp"), "9".getBytes)
+    Files.write(dir.resolve("_stats.json.tmp-dead"), "{}".getBytes)
+    Files.write(dir.resolve("_tagtmp_x-dead"), "1".getBytes)
+    val orphan = dir.resolve("_v99")
+    Files.createDirectory(orphan)
+    Files.write(orphan.resolve("dead.parquet"), Array.fill(32)(7.toByte))
+    val stage = dir.resolve("_tmp_1999-01")
+    Files.createDirectory(stage)
+    Files.write(stage.resolve("dead"), Array.fill(8)(7.toByte))
+    Seq(dir.resolve("_version.tmp"), dir.resolve("_stats.json.tmp-dead"),
+      dir.resolve("_tagtmp_x-dead"), orphan, stage).foreach(age)
+    // plus one residue file YOUNGER than the grace window
+    Files.write(dir.resolve("_stats.json.tmp-young"), "{}".getBytes)
+
+    val rep = cat.vacuum("t", graceMs = 60000L)
+    assert(rep.map(r => (r._1, r._2)) === Seq(("staging", 1L),
+      ("uncommitted_snapshot", 1L), ("write_aside", 3L)))
+    assert(rep.forall(_._3 > 0L), s"bytes must be accounted: $rep")
+    assert(!Files.exists(orphan) && !Files.exists(stage))
+    assert(Files.exists(dir.resolve("_stats.json.tmp-young")),
+      "grace window must spare young residue")
+    // a second pass with grace 0 sweeps the straggler (mtime <= cutoff:
+    // same-millisecond files are NOT flaky-spared)
+    assert(cat.vacuum("t", graceMs = 0L).map(r => (r._1, r._2)) ===
+      Seq(("write_aside", 1L)))
+    assert(cat.vacuum("t", graceMs = 0L).isEmpty, "vacuum is idempotent")
+    // committed state untouched
+    assert(cat.currentVersion("t") === Some(2L))
+    assert(cat.versions("t") === Seq(1L, 2L))
+    assert(cat.read("t").count() === 1L)
+    assert(cat.readTag("t", "pin").count() === 1L)
+    assert(cat.stats("t").isDefined, "committed sidecar must survive")
+    // unknown table: no-op, not an error
+    assert(cat.vacuum("never_written") === Seq.empty)
+  }
 }
