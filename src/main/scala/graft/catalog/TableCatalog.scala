@@ -143,10 +143,30 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * min/max envelope of those columns (as Long) — the file-skipping
     * index [[prunedRead]] consumes — via GROUPING SETS ((file), ()):
     * one scan feeds join planning AND scan pruning, one sidecar carries
-    * both, one freshness rule governs them (VERDICT r8 #5). Returns the
-    * stats it wrote. */
+    * both, one freshness rule governs them (VERDICT r8 #5).
+    *
+    * With `bloomCols`, a second (column-pruned) pass builds a per-file
+    * BLOOM FILTER of each listed column — the equality-probe half of
+    * data skipping that min/max envelopes cannot provide: on a layout
+    * not clustered by `c`, every file's [min, max] of a high-NDV `c`
+    * spans the whole domain and a point probe prunes nothing, while a
+    * Bloom filter answers "might this file contain v?" with a bounded
+    * false-positive rate — the Parquet column-bloom / Delta bloom-index
+    * design, hoisted to file level so the decision happens BEFORE any
+    * file is opened. Filters are sized from the largest file:
+    * bits = nextPow2(maxRowsPerFile × bloomBitsPerRow), so the
+    * false-positive rate is ≤ (1 − e^(−k/bitsPerRow))^k ≈ 0.2 % at the
+    * defaults (k = 3, 12 bits/row) regardless of scale factor. The
+    * filter is built DISTRIBUTED at word granularity (explode the k hash
+    * positions, `bit_or` per 64-bit word, one packed row per file ×
+    * column) — the driver only ever holds the finished bitsets it must
+    * serialize, never per-row positions. Read back via
+    * [[prunedReadPoint]]. Returns the stats it wrote. */
   def analyze(table: String, cols: Seq[String] = Seq.empty,
-              skipCols: Seq[String] = Seq.empty): TableCatalog.TableStats = {
+              skipCols: Seq[String] = Seq.empty,
+              bloomCols: Seq[String] = Seq.empty,
+              bloomHashes: Int = 3,
+              bloomBitsPerRow: Int = 12): TableCatalog.TableStats = {
     import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
     // Capture the snapshot BEFORE the aggregation job and pin both the
     // scan and the byte count to it: a concurrent replaceAtomic during
@@ -167,6 +187,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val skips = skipCols.filter(df.columns.contains)
     require(skips.size == skipCols.size,
       s"skip column(s) ${skipCols.diff(skips).mkString(", ")} not in '$table'")
+    val blooms = bloomCols.filter(df.columns.contains)
+    require(blooms.size == bloomCols.size,
+      s"bloom column(s) ${bloomCols.diff(blooms).mkString(", ")} not in '$table'")
+    require(blooms.isEmpty || (bloomHashes >= 1 && bloomBitsPerRow >= 1),
+      s"bloomHashes/bloomBitsPerRow must be >= 1, got $bloomHashes/$bloomBitsPerRow")
     import org.apache.spark.sql.functions.{input_file_name, max, min}
     val aggs = (count(lit(1L)).as("_rows") +:
       targets.map(c => approx_count_distinct(col(c)).as(s"_ndv_$c"))) ++
@@ -176,7 +201,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       (r.getLong(r.fieldIndex("_rows")),
         targets.map(c => c -> r.getLong(r.fieldIndex(s"_ndv_$c"))).toMap)
     val (globalRow, files) =
-      if (skips.isEmpty)
+      if (skips.isEmpty && blooms.isEmpty)
         (df.agg(aggs.head, aggs.tail: _*).head(),
           Seq.empty[TableCatalog.FileStats])
       else {
@@ -212,8 +237,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         (g, fs ++ empties)
       }
     val (rowCount, ndv) = rowsAndNdv(globalRow)
+    val bloomed =
+      if (blooms.isEmpty) files
+      else {
+        val maxRows = files.map(_.rows).maxOption.getOrElse(0L)
+        val m = math.max(1024L,
+          TableCatalog.nextPow2(maxRows * bloomBitsPerRow))
+        val idx = bloomIndex(df, blooms, bloomHashes, m)
+        files.map(f => f.copy(bloom = idx.getOrElse(f.file, Map.empty)))
+      }
     val st = TableCatalog.TableStats(ver, rowCount,
-      TableCatalog.dirBytes(Paths.get(pinnedDir)), ndv, skips, files)
+      TableCatalog.dirBytes(Paths.get(pinnedDir)), ndv, skips, bloomed,
+      blooms, if (blooms.isEmpty) 0 else bloomHashes,
+      if (blooms.isEmpty) 0 else bloomBitsPerRow)
     // Skip the sidecar write when the pointer moved mid-job — the stats
     // describe a superseded snapshot and would only overwrite fresher
     // ones. (If a commit lands between this check and the rename, the
@@ -346,6 +382,138 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             joinOf(a.repartition(n, a(keyA)), b.repartition(n, b(keyB)))
           case None => joinOf(a, b)
         }
+    }
+  }
+
+  /** Left-deep join ORDER over a connected equi-join graph, chosen by
+    * System-R dynamic programming over PERSISTED stats — the classic
+    * Selinger enumeration, run entirely on sidecar metadata (no data
+    * touched). Each edge `(tableA, colA, tableB, colB)` is an equi-join
+    * predicate; subset cardinalities use the containment assumption
+    * |S ⋈ t| = |S|·|t| / Π max(ndv(key sides)) over the connecting
+    * edges, and the plan cost is the sum of intermediate-result sizes —
+    * the quantity that prices every shuffle and hash build the executor
+    * will pay. DP extends only along edges (never a cross product), so
+    * enumeration is O(2^n · n · |E|) with n ≤ 16 — metadata scale.
+    *
+    * Returns None when ANY table lacks fresh stats (version mismatch)
+    * or an edge key was not analyzed — the caller falls back to the
+    * written order; a cost-based decision from stale statistics is
+    * worse than no decision (it broadcasts/orders from facts about a
+    * table that no longer exists). A disconnected graph is a caller
+    * bug and throws. */
+  def planJoinOrder(
+      edges: Seq[(String, String, String, String)]): Option[Seq[String]] = {
+    val tables = edges.flatMap(e => Seq(e._1, e._3)).distinct
+    require(tables.size >= 2, s"join graph needs >= 2 tables, got $tables")
+    require(tables.size <= 16,
+      s"DP enumeration capped at 16 tables, got ${tables.size}")
+    val idx = tables.zipWithIndex.toMap
+    val n = tables.size
+    // connectivity check is independent of stats freshness — a caller
+    // bug must throw, not silently fall back
+    val adj = Array.fill(n)(0)
+    edges.foreach { e =>
+      val (a, b) = (idx(e._1), idx(e._3))
+      require(a != b, s"self-edge on ${e._1}")
+      adj(a) |= 1 << b; adj(b) |= 1 << a
+    }
+    var reach = 1
+    var grew = true
+    while (grew) {
+      val next = (0 until n).filter(i => (reach & (1 << i)) != 0)
+        .foldLeft(reach)((r, i) => r | adj(i))
+      grew = next != reach; reach = next
+    }
+    require(reach == (1 << n) - 1,
+      s"join graph over $tables is disconnected — add the missing edge")
+    def fresh(t: String): Option[TableCatalog.TableStats] =
+      stats(t).filter(_.version == currentVersion(t))
+    val stOpt = tables.map(t => t -> fresh(t)).toMap
+    if (stOpt.values.exists(_.isEmpty)) return None
+    val st = stOpt.map { case (k, v) => k -> v.get }
+    def ndv(t: String, c: String): Option[Long] = st(t).ndv.get(c).filter(_ > 0)
+    val sels = edges.map { case (a, ca, b, cb) =>
+      (ndv(a, ca), ndv(b, cb)) match {
+        case (Some(na), Some(nb)) =>
+          Some((idx(a), idx(b), BigInt(math.max(na, nb))))
+        case _ => None
+      }
+    }
+    if (sels.exists(_.isEmpty)) return None
+    val es = sels.flatten
+    val rowsOf = tables.map(t => BigInt(math.max(1L, st(t).rows)))
+    def estOf(mask: Int): BigInt = {
+      var num = BigInt(1)
+      var i = 0
+      while (i < n) { if ((mask & (1 << i)) != 0) num *= rowsOf(i); i += 1 }
+      var den = BigInt(1)
+      es.foreach { case (a, b, s) =>
+        if ((mask & (1 << a)) != 0 && (mask & (1 << b)) != 0) den *= s }
+      (num / den).max(BigInt(1))
+    }
+    val full = (1 << n) - 1
+    val cost = new Array[BigInt](1 << n)
+    val parent = Array.fill(1 << n)(-1)
+    (0 until n).foreach(i => cost(1 << i) = BigInt(0))
+    var mask = 1
+    while (mask <= full) {
+      if (cost(mask) != null && mask != full) {
+        var t = 0
+        while (t < n) {
+          if ((mask & (1 << t)) == 0 && (adj(t) & mask) != 0) {
+            val nm = mask | (1 << t)
+            val c = cost(mask) + estOf(nm)
+            if (cost(nm) == null || c < cost(nm)) { cost(nm) = c; parent(nm) = t }
+          }
+          t += 1
+        }
+      }
+      mask += 1
+    }
+    // backtrack the last-added table per subset down to the seed
+    var m = full
+    var order = List.empty[String]
+    while (parent(m) >= 0) {
+      order = tables(parent(m)) :: order
+      m &= ~(1 << parent(m))
+    }
+    val seed = (0 until n).find(i => m == (1 << i)).get
+    Some(tables(seed) :: order)
+  }
+
+  /** Execute an inner equi-join graph in the order [[planJoinOrder]]
+    * chose (falling back to first-appearance order on stale/absent
+    * stats), broadcasting every joined side whose fresh stats prove it
+    * within `broadcastBytes` — the multi-way companion of
+    * [[joinPlanned]], and the consumer that makes the Selinger
+    * enumeration a real planning decision rather than a printed
+    * estimate. INNER only: outer joins are not freely reorderable, and
+    * a silent reorder of one would change results, not just plans.
+    * Key column names must be unambiguous across the joined tables
+    * (Spark errors loudly otherwise — TPC-H-style prefixed schemas
+    * satisfy this by construction). */
+  def joinOrdered(edges: Seq[(String, String, String, String)],
+                  broadcastBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tables = edges.flatMap(e => Seq(e._1, e._3)).distinct
+    val order = planJoinOrder(edges).getOrElse(tables)
+    def freshSize(t: String): Option[Long] =
+      stats(t).filter(_.version == currentVersion(t)).map(_.sizeBytes)
+    def side(t: String): DataFrame = {
+      val d = read(t)
+      if (freshSize(t).exists(_ <= broadcastBytes)) broadcast(d) else d
+    }
+    var inPlan = Set(order.head)
+    order.tail.foldLeft(read(order.head)) { (acc, t) =>
+      val conds = edges.collect {
+        case (a, ca, b, cb) if inPlan(a) && b == t => col(ca) === col(cb)
+        case (a, ca, b, cb) if inPlan(b) && a == t => col(cb) === col(ca)
+      }
+      require(conds.nonEmpty,
+        s"'$t' joins nothing already in the plan — planner bug")
+      inPlan += t
+      acc.join(side(t), conds.reduce(_ && _), "inner")
     }
   }
 
@@ -690,9 +858,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * through [[prunedRead]], which refuses a stale index rather than
     * silently losing rows. */
   def overwriteIndexed(table: String, df: DataFrame,
-                       skipCols: Seq[String]): Unit = {
+                       skipCols: Seq[String],
+                       bloomCols: Seq[String] = Seq.empty): Unit = {
     overwrite(table, df)
-    analyze(table, cols = skipCols, skipCols = skipCols)
+    analyze(table, cols = skipCols, skipCols = skipCols,
+      bloomCols = bloomCols)
   }
 
   /** OPTIMIZE … ZORDER BY — the table-maintenance verb Delta/Iceberg
@@ -826,8 +996,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * (the safe fallback) until the next full [[analyze]]. */
   def appendIndexed(table: String, df: DataFrame,
                     skipCols: Seq[String]): Unit = {
-    val prev = stats(table).filter(_.skipCols.nonEmpty).getOrElse(
-      throw new IllegalStateException(
+    val prev = stats(table)
+      .filter(st => st.skipCols.nonEmpty || st.bloomCols.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
         s"'$table' has no skipping index — write it via overwriteIndexed first"))
     require(prev.skipCols == skipCols,
       s"append skipCols $skipCols != indexed ${prev.skipCols} for '$table'")
@@ -853,8 +1024,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         }.toSeq
       // zero-row new files (empty-DataFrame append) yield no agg row —
       // index them with empty bounds, same reasoning as analyze()
-      val fs = scanned ++ (newFiles.toSet -- scanned.map(_.file))
+      val scannedFs = scanned ++ (newFiles.toSet -- scanned.map(_.file))
         .toSeq.sorted.map(TableCatalog.FileStats(_, 0L, Map.empty, Map.empty))
+      // bloom-indexed table: filter the NEW files with the persisted
+      // hash count / sizing rule (per-file filter length is
+      // self-describing, so append legs may carry a different size
+      // than the original ANALYZE — the probe decodes each file's own)
+      val fs =
+        if (prev.bloomCols.isEmpty) scannedFs
+        else {
+          val maxRows = scannedFs.map(_.rows).maxOption.getOrElse(0L)
+          val m = math.max(1024L,
+            TableCatalog.nextPow2(maxRows * prev.bloomBitsPerRow))
+          val idx = bloomIndex(
+            spark.read.option("basePath", path(table)).parquet(newFiles: _*),
+            prev.bloomCols, prev.bloomHashes, m)
+          scannedFs.map(f => f.copy(bloom = idx.getOrElse(f.file, Map.empty)))
+        }
       val merged = prev.copy(
         rows = prev.rows + fs.map(_.rows).sum,
         sizeBytes = TableCatalog.dirBytes(Paths.get(readPath(table))),
@@ -922,6 +1108,105 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         .parquet(keep.map(_.file): _*)
     ranges.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi) }
+  }
+
+  /** Per-file Bloom bitsets of `cols` over `src` (power-of-two size
+    * `m`), built distributed at word granularity: explode the k hash
+    * positions of every value, `bit_or` the single-bit contributions
+    * per (file, column, 64-bit word), then collect ONE packed row per
+    * (file, column) — the driver never holds per-row positions, only
+    * the finished filters the sidecar must carry. Hash family:
+    * xxhash64(seed, cast(col as string)) for seeds 1..k — reproduced
+    * verbatim (same expression) by [[prunedReadPoint]]'s probe. */
+  private def bloomIndex(src: DataFrame, cols: Seq[String], k: Int,
+                         m: Long): Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions.{array, col, collect_list, explode,
+      expr, input_file_name, lit, pmod, shiftright, struct, xxhash64}
+    val pairs = cols.flatMap(c => (1 to k).map(seed =>
+      struct(lit(c).as("c"),
+        pmod(xxhash64(lit(seed), col(c).cast("string")), lit(m)).as("p"))))
+    val words = (m / 64).toInt
+    src
+      .select(input_file_name().as("f"), explode(array(pairs: _*)).as("e"))
+      .select(col("f"), col("e.c").as("c"), col("e.p").as("p"))
+      .groupBy(col("f"), col("c"), shiftright(col("p"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").as("b"))
+      .groupBy(col("f"), col("c"))
+      .agg(collect_list(struct(col("w"), col("b"))).as("ws"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) =>
+        f -> rows.map { r =>
+          val ws = r.getSeq[org.apache.spark.sql.Row](2)
+            .map(x => (x.getLong(0), x.getLong(1)))
+          r.getString(1) -> TableCatalog.packBloom(words, ws)
+        }.toMap
+      }
+  }
+
+  /** The files of bloom-indexed `table` that MIGHT contain a row
+    * matching every equality probe — the pruning decision of
+    * [[prunedReadPoint]], exposed so a spec can measure it. Freshness
+    * is the same file-set equality rule as [[prunedRead]]; a file
+    * without a filter for a probed column held no rows at index time
+    * and is dropped (no row to match). */
+  def pointKeepFiles(table: String,
+                     probes: Seq[(String, Any)]): Seq[String] = {
+    val st = stats(table).filter(_.bloomCols.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no bloom index — analyze with bloomCols first"))
+    probes.foreach { case (c, v) =>
+      require(st.bloomCols.contains(c),
+        s"'$c' is not a bloom column of '$table' (indexed: ${st.bloomCols.mkString(", ")})")
+      require(v != null, s"NULL probe on '$c': equality never matches NULL")
+    }
+    val listed = st.files.map(_.file).toSet
+    val onDisk = listParquetUris(table)
+    require(listed == onDisk,
+      s"bloom index for '$table' is stale: ${(onDisk -- listed).size} unlisted / " +
+        s"${(listed -- onDisk).size} missing file(s) — re-analyze")
+    // raw 64-bit hashes of each (probe, seed) through the SAME Spark
+    // expression the index used — one LocalTableScan row, no table scan;
+    // the per-file modulus is applied driver-side so files indexed at
+    // different sizes (append legs) all answer correctly
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val hashCols = probes.zipWithIndex.flatMap { case ((_, v), i) =>
+      (1 to st.bloomHashes).map(s =>
+        xxhash64(lit(s), lit(v).cast("string")).as(s"h_${i}_$s")) }
+    val hrow = spark.range(1).select(hashCols: _*).head()
+    val hashes = probes.zipWithIndex.map { case ((c, _), i) =>
+      c -> (1 to st.bloomHashes).map(s =>
+        hrow.getLong(hrow.fieldIndex(s"h_${i}_$s"))) }
+    st.files.filter { f =>
+      hashes.forall { case (c, hs) =>
+        f.bloom.get(c).exists { b64 =>
+          val w = TableCatalog.unpackBloom(b64)
+          val m = w.length.toLong * 64L
+          hs.forall { h =>
+            val p = java.lang.Math.floorMod(h, m)
+            (w((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0L
+          }
+        }
+      }
+    }.map(_.file)
+  }
+
+  /** Bloom-pruned POINT read: open only the files whose Bloom filters
+    * say they might contain every probed value, then re-apply the
+    * row-level equality predicates. The complement of [[prunedRead]]:
+    * range probes prune by min/max envelope (clustered layouts), point
+    * probes prune by per-file Bloom filter (ANY layout — the needle-in-
+    * 100 TB lookup where envelopes of a high-NDV column span the whole
+    * domain and prune nothing). False positives cost an extra file
+    * scan; false negatives are impossible by construction, and
+    * `x_bloom_skipping`'s oracle (the unpruned filter) is the proof. */
+  def prunedReadPoint(table: String, probes: Seq[(String, Any)]): DataFrame = {
+    val keep = pointKeepFiles(table, probes)
+    import org.apache.spark.sql.functions.{col, lit}
+    val base =
+      if (keep.isEmpty) read(table).limit(0)
+      else spark.read.option("basePath", path(table)).parquet(keep: _*)
+    probes.foldLeft(base) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
   }
 
   /** Targeted deletion from a partitioned table — the
@@ -1277,9 +1562,14 @@ object TableCatalog {
     * probe API is Long-ranged) for each skip column. A column absent
     * from `min`/`max` was all-NULL in that file (min/max ignore NULLs),
     * so no range can match it — the pruner drops such files, exactly
-    * what the row-level predicate would do. */
+    * what the row-level predicate would do. `bloom` carries the
+    * equality-probe half of the index: per bloom column a base64-packed
+    * bitset (length encodes the filter size — files indexed at
+    * different times may carry different sizes); absent for files with
+    * no rows, which the point pruner drops for the same reason. */
   final case class FileStats(file: String, rows: Long,
-                             min: Map[String, Long], max: Map[String, Long])
+                             min: Map[String, Long], max: Map[String, Long],
+                             bloom: Map[String, String] = Map.empty)
 
   /** Persisted table statistics — see [[TableCatalog.analyze]].
     * `version` is the snapshot version the stats describe (None for
@@ -1287,11 +1577,18 @@ object TableCatalog {
     * stale. `ndv` is approximate (HyperLogLog++). `skipCols`/`files`
     * carry the file-level skipping index (VERDICT r8 #5: ONE sidecar,
     * ONE freshness protocol — the same ANALYZE pass feeds join planning
-    * and scan pruning); empty for tables analyzed without skip columns. */
+    * and scan pruning); empty for tables analyzed without skip columns.
+    * `bloomCols`/`bloomHashes`/`bloomBitsPerRow` describe the per-file
+    * Bloom filters for equality probes ([[TableCatalog.prunedReadPoint]]);
+    * the hash count and sizing rule persist so incremental appends
+    * index new files compatibly with the original ANALYZE. */
   final case class TableStats(version: Option[Long], rows: Long,
                               sizeBytes: Long, ndv: Map[String, Long],
                               skipCols: Seq[String] = Seq.empty,
-                              files: Seq[FileStats] = Seq.empty)
+                              files: Seq[FileStats] = Seq.empty,
+                              bloomCols: Seq[String] = Seq.empty,
+                              bloomHashes: Int = 0,
+                              bloomBitsPerRow: Int = 0)
 
   // Jackson (on Spark's own classpath) replaces the r8 regex parser: a
   // first-match regex over the whole string mis-parsed an ndv column
@@ -1306,9 +1603,15 @@ object TableCatalog {
     root.put("sizeBytes", st.sizeBytes)
     val ndv = root.putObject("ndv")
     st.ndv.toSeq.sortBy(_._1).foreach { case (c, n) => ndv.put(c, n) }
-    if (st.skipCols.nonEmpty || st.files.nonEmpty) {
+    if (st.skipCols.nonEmpty || st.files.nonEmpty || st.bloomCols.nonEmpty) {
       val sk = root.putArray("skipCols")
       st.skipCols.foreach(sk.add)
+      if (st.bloomCols.nonEmpty) {
+        val bc = root.putArray("bloomCols")
+        st.bloomCols.foreach(bc.add)
+        root.put("bloomHashes", st.bloomHashes)
+        root.put("bloomBitsPerRow", st.bloomBitsPerRow)
+      }
       val fs = root.putArray("files")
       st.files.sortBy(_.file).foreach { f =>
         val o = fs.addObject()
@@ -1318,6 +1621,10 @@ object TableCatalog {
         f.min.toSeq.sortBy(_._1).foreach { case (c, v) => mn.put(c, v) }
         val mx = o.putObject("max")
         f.max.toSeq.sortBy(_._1).foreach { case (c, v) => mx.put(c, v) }
+        if (f.bloom.nonEmpty) {
+          val bl = o.putObject("bloom")
+          f.bloom.toSeq.sortBy(_._1).foreach { case (c, v) => bl.put(c, v) }
+        }
       }
     }
     om.writeValueAsString(root)
@@ -1332,17 +1639,46 @@ object TableCatalog {
         def longMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, Long] =
           if (o == null) Map.empty
           else o.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+        def strMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+          if (o == null) Map.empty
+          else o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
         val files = Option(n.get("files")).toSeq
           .flatMap(_.elements().asScala)
           .map(f => FileStats(f.get("file").asText, f.get("rows").asLong,
-            longMap(f.get("min")), longMap(f.get("max"))))
+            longMap(f.get("min")), longMap(f.get("max")), strMap(f.get("bloom"))))
         val skipCols = Option(n.get("skipCols")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText)
+        val bloomCols = Option(n.get("bloomCols")).toSeq
           .flatMap(_.elements().asScala).map(_.asText)
         Some(TableStats(Option(n.get("version")).map(_.asLong),
           n.get("rows").asLong, n.get("sizeBytes").asLong,
-          longMap(n.get("ndv")), skipCols, files))
+          longMap(n.get("ndv")), skipCols, files, bloomCols,
+          Option(n.get("bloomHashes")).map(_.asInt).getOrElse(0),
+          Option(n.get("bloomBitsPerRow")).map(_.asInt).getOrElse(0)))
       }
     } catch { case _: Exception => None }
+
+  private[catalog] def nextPow2(n: Long): Long =
+    if (n <= 1L) 1L else java.lang.Long.highestOneBit(n - 1L) << 1
+
+  /** Pack sparse (word, bits) pairs into a base64 bitset of `words`
+    * 64-bit words — the sidecar encoding of one file's Bloom filter. */
+  private[catalog] def packBloom(words: Int, set: Seq[(Long, Long)]): String = {
+    val arr = new Array[Long](words)
+    set.foreach { case (w, b) => arr(w.toInt) |= b }
+    val bb = java.nio.ByteBuffer.allocate(words * 8)
+    bb.asLongBuffer().put(arr)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  /** Inverse of [[packBloom]]; the array length recovers the filter
+    * size (bits = 64 × words), so files indexed at different times can
+    * carry different sizes side by side. */
+  private[catalog] def unpackBloom(s: String): Array[Long] = {
+    val lb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+      .asLongBuffer()
+    val arr = new Array[Long](lb.remaining()); lb.get(arr); arr
+  }
 
   /** Total regular-file bytes under `p` (walk stream closed). */
   private[catalog] def dirBytes(p: Path): Long =

@@ -3098,6 +3098,45 @@ object TestdataQueries {
              |WHERE (uid BETWEEN 2 AND 9 OR uid BETWEEN 100002 AND 100009)
              |  AND es BETWEEN 1704672000 AND 1705363200""".stripMargin)),
 
+    // ------------------------------- bloom-pruned point read (equality)
+    // The equality half of data skipping: on a round-robin-scattered
+    // layout every file's min/max envelope of okey spans ~the whole
+    // domain, so RANGE pruning keeps all 8 files — the per-file Bloom
+    // filter is what answers "might this file contain okey 1?" before
+    // any file is opened (the Parquet-bloom/Delta-bloom-index design at
+    // file granularity; sizing tracks rows/file, so the false-positive
+    // rate is scale-invariant). The in-query require() pins the pruning
+    // itself (≤ half the files opened — okey 1's handful of rows lands
+    // in at most a few files); the oracle replays the unpruned equality
+    // over raw lineitem, so a wrongly skipped file surfaces as missing
+    // rows. BloomSkippingSpec covers append-leg maintenance, staleness
+    // refusal, and conjunctive probes.
+    "x_bloom_skipping" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_bloom", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_partkey").cast("long").as("pkey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      cat.overwriteIndexed("li_bloom", li.repartition(8),
+        skipCols = Seq.empty, bloomCols = Seq("okey"))
+      val kept = cat.pointKeepFiles("li_bloom", Seq(("okey", 1L)))
+      val total = cat.stats("li_bloom").get.files.size
+      require(kept.size <= total / 2,
+        s"bloom probe kept ${kept.size} of $total files — no pruning happened")
+      cat.prunedReadPoint("li_bloom", Seq(("okey", 1L)))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"),
+          min(col("pkey")).as("min_pkey"), max(col("pkey")).as("max_pkey"))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c,
+             |  CAST(min(l_partkey) AS BIGINT) AS min_pkey,
+             |  CAST(max(l_partkey) AS BIGINT) AS max_pkey
+             |FROM lineitem
+             |WHERE l_orderkey = 1""".stripMargin)),
+
     // ------------------------------------------ OPTIMIZE ZORDER verb
     // Table maintenance on the VERSIONED path: a hash-scattered
     // lineitem projection is committed, rewritten in place by

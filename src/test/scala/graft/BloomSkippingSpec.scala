@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.Files
+
+/** The Bloom half of data skipping: a point probe on a hash-scattered
+  * layout — where every file's min/max envelope spans the whole domain
+  * and range pruning keeps everything — must open only the file(s)
+  * that can contain the value (false positives bounded by the filter
+  * sizing, false negatives impossible), and the pruned read must equal
+  * the unpruned filter bit for bit. */
+class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // one row per id, round-robin scattered: a probed id lives in EXACTLY
+  // one of the 16 files, so (kept - 1) counts false positives directly —
+  // and every file's min/max id envelope spans ~the whole domain, the
+  // layout where range pruning keeps everything
+  private def table = (0 until 10000)
+    .map(i => (i.toLong, s"u$i", i.toLong % 7)).toDF("id", "name", "grp")
+    .repartition(16)
+
+  private def freshCat(): TableCatalog =
+    new TableCatalog(spark, Files.createTempDirectory("bloom-cat").toString)
+
+  test("point read equals the unpruned filter and skips nearly all files") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id", "name"))
+    val total = cat.stats("t").get.files.size
+    assert(total === 16)
+
+    val kept = cat.pointKeepFiles("t", Seq(("id", 777L)))
+    assert(kept.nonEmpty && kept.size <= 3,
+      s"expected ~1 of $total files, kept ${kept.size}")
+
+    val pruned = cat.prunedReadPoint("t", Seq(("id", 777L)))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(pruned === Set((777L, "u777")))
+  }
+
+  test("string probes prune too, and multi-probe is a conjunction") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id", "name"))
+    val byName = cat.prunedReadPoint("t", Seq(("name", "u4242")))
+      .select("id").as[Long].collect().toSet
+    assert(byName === Set(4242L))
+    // conjunction of two probes that no single row satisfies
+    val cross = cat.prunedReadPoint("t", Seq(("id", 1L), ("name", "u2")))
+    assert(cross.count() === 0L)
+  }
+
+  test("an absent value keeps ~no files and returns empty") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id"))
+    val kept = cat.pointKeepFiles("t", Seq(("id", -123456789L)))
+    assert(kept.size <= 2, s"absent value kept ${kept.size} files")
+    assert(cat.prunedReadPoint("t", Seq(("id", -123456789L))).count() === 0L)
+  }
+
+  test("a table mutated behind its index refuses to answer") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id"))
+    // an out-of-band writer the catalog never saw: duplicate a data
+    // file on disk (catalog verbs like append() invalidate the sidecar
+    // themselves — this is the residual class only the file-set
+    // equality check catches)
+    val dir = java.nio.file.Paths.get(cat.path("t"))
+    val part = Files.list(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, dir.resolve("part-rogue.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      cat.prunedReadPoint("t", Seq(("id", 777L)))
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
+  test("appendIndexed extends the bloom index over only the new files") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id", "name"))
+    val day2 = (20000 until 21000)
+      .map(i => (i.toLong, s"u$i", i.toLong % 7)).toDF("id", "name", "grp")
+      .repartition(4)
+    cat.appendIndexed("t", day2, skipCols = Seq.empty)
+    val st = cat.stats("t").get
+    assert(st.files.size === 20)
+    assert(st.files.forall(_.bloom.contains("id")))
+
+    // a value reachable only through the appended files' filters
+    val hit = cat.prunedReadPoint("t", Seq(("id", 20500L)))
+      .select("name").as[String].collect().toSet
+    assert(hit === Set("u20500"))
+    val kept = cat.pointKeepFiles("t", Seq(("id", 20500L)))
+    assert(kept.size <= 3, s"day-2 probe kept ${kept.size} of 20 files")
+    // day-1 values still resolve through the original filters
+    assert(cat.prunedReadPoint("t", Seq(("id", 777L))).count() === 1L)
+  }
+
+  test("probing a non-bloom column or a NULL value errors loudly") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id"))
+    assert(intercept[IllegalArgumentException] {
+      cat.pointKeepFiles("t", Seq(("grp", 1L)))
+    }.getMessage.contains("not a bloom column"))
+    assert(intercept[IllegalArgumentException] {
+      cat.pointKeepFiles("t", Seq(("id", null)))
+    }.getMessage.contains("NULL"))
+  }
+
+  test("bloom composes with the min/max envelope on the same sidecar") {
+    val cat = freshCat()
+    // range-clustered by grp, bloomed on id: one ANALYZE feeds both
+    cat.overwriteIndexed("t",
+      (0 until 10000).map(i => (i.toLong, s"u$i", i.toLong % 7))
+        .toDF("id", "name", "grp").repartitionByRange(8, col("id")),
+      skipCols = Seq("id"), bloomCols = Seq("name"))
+    val ranged = cat.prunedRead("t", Seq(("id", 100L, 199L)))
+    assert(ranged.count() === 100L)
+    val pointed = cat.prunedReadPoint("t", Seq(("name", "u5000")))
+      .select("id").as[Long].collect().toSet
+    assert(pointed === Set(5000L))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.Files
+
+/** The Selinger enumeration must pick the order the statistics imply —
+  * most-selective dimension first, so every later join sees the
+  * smallest possible intermediate — and must refuse to plan from stale
+  * stats. Result equality with the naive order is the value contract
+  * (inner joins commute; only the COST differs). */
+class JoinOrderSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  // fact(100k) -- a (selective: 10 of 1000 groups) -- b (non-selective)
+  // joining a first shrinks the fact 100x; joining b first shrinks ~1x.
+  private def buildCat(): TableCatalog = {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("joinorder").toString)
+    val fact = (0 until 100000)
+      .map(i => (i.toLong, i.toLong % 1000, i.toLong % 40)).toDF("f_id", "f_a", "f_b")
+    val a = (0 until 10).map(i => (i.toLong, s"a$i")).toDF("a_key", "a_name")
+    val b = (0 until 40).map(i => (i.toLong, s"b$i")).toDF("b_key", "b_name")
+    cat.replaceAtomic("fact", fact)
+    cat.replaceAtomic("dim_a", a)
+    cat.replaceAtomic("dim_b", b)
+    Seq("fact", "dim_a", "dim_b").foreach(t => cat.analyze(t))
+    cat
+  }
+
+  private val edges = Seq(
+    ("fact", "f_a", "dim_a", "a_key"),
+    ("fact", "f_b", "dim_b", "b_key"))
+
+  test("the stats-optimal order joins the selective dimension first") {
+    val cat = buildCat()
+    // est(fact ⋈ a) = 100k·10/max(1000,10) = 1000;
+    // est(fact ⋈ b) = 100k·40/max(40,40) = 100k — a must come first
+    assert(cat.planJoinOrder(edges) === Some(Seq("fact", "dim_a", "dim_b")))
+    // the chosen order is a property of the STATISTICS, not of how the
+    // caller happened to list the edges
+    assert(cat.planJoinOrder(edges.reverse) ===
+      Some(Seq("fact", "dim_a", "dim_b")))
+  }
+
+  test("joinOrdered equals the naive fold regardless of chosen order") {
+    val cat = buildCat()
+    val planned = cat.joinOrdered(edges)
+      .agg(count(lit(1)).as("n"), sum(col("f_id")).as("s"))
+      .as[(Long, Long)].head()
+    val naive = cat.read("fact")
+      .join(cat.read("dim_a"), col("f_a") === col("a_key"))
+      .join(cat.read("dim_b"), col("f_b") === col("b_key"))
+      .agg(count(lit(1)).as("n"), sum(col("f_id")).as("s"))
+      .as[(Long, Long)].head()
+    assert(planned === naive)
+    assert(planned._1 === 1000L) // 10 of 1000 f_a groups survive
+  }
+
+  test("stale stats on any table → no plan, and execution falls back") {
+    val cat = buildCat()
+    // overwrite bumps the version; dim_a's stats now describe v(n-1)
+    cat.replaceAtomic("dim_a",
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("a_key", "a_name"))
+    assert(cat.planJoinOrder(edges) === None)
+    // fallback executes in first-appearance order, result still right
+    assert(cat.joinOrdered(edges).count() === 1000L)
+  }
+
+  test("an un-analyzed edge key or a disconnected graph is refused") {
+    val cat = buildCat()
+    // key absent from ndv: analyze dim_a on the name column only
+    cat.analyze("dim_a", cols = Seq("a_name"))
+    assert(cat.planJoinOrder(edges) === None)
+    assertThrows[IllegalArgumentException] {
+      cat.planJoinOrder(Seq(
+        ("fact", "f_a", "dim_a", "a_key"),
+        ("dim_b", "b_key", "dim_c", "c_key"))) // dim_c floats free? no — disconnected pair
+    }
+  }
+
+  test("a deeper chain orders by cumulative intermediate size") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("joinorder-chain").toString)
+    // chain: t1(50k) -- t2(50k, same key ndv) -- t3(5 rows)
+    // optimal left-deep plans from the t3 end: (t3 ⋈ t2) is 50k·5/ndv…
+    val t1 = (0 until 50000).map(i => (i.toLong, i.toLong)).toDF("x1", "k12")
+    val t2 = (0 until 50000).map(i => (i.toLong, i.toLong % 5)).toDF("k12b", "k23")
+    val t3 = (0 until 5).map(i => (i.toLong, s"v$i")).toDF("k23b", "label")
+    cat.replaceAtomic("t1", t1); cat.replaceAtomic("t2", t2)
+    cat.replaceAtomic("t3", t3)
+    Seq("t1", "t2", "t3").foreach(t => cat.analyze(t))
+    val chain = Seq(("t1", "k12", "t2", "k12b"), ("t2", "k23", "t3", "k23b"))
+    val plan = cat.planJoinOrder(chain).get
+    // every left-deep order of this chain ties at 100k intermediate
+    // rows under the containment formula — the invariant to pin is the
+    // edge-connected enumeration: (t1, t3) share no edge, so no plan
+    // may start with that cross product
+    assert(plan.toSet === Set("t1", "t2", "t3"))
+    assert(!(Set(plan.head, plan(1)) === Set("t1", "t3")),
+      s"plan $plan crossed the disconnected pair first")
+    assert(cat.joinOrdered(chain).count() === 50000L)
+  }
+}
