@@ -3137,6 +3137,58 @@ object TestdataQueries {
              |FROM lineitem
              |WHERE l_orderkey = 1""".stripMargin)),
 
+    // --------------------------------- Selinger join ordering (CBO)
+    // The System-R enumeration run as a real planning decision: four
+    // catalog tables (orders star out to region), each ANALYZEd, the
+    // 3-edge join graph DP-ordered from persisted rows/NDV only — no
+    // data touched at plan time — then executed left-deep with
+    // stats-proven small sides broadcast. The in-query require() pins
+    // that the STATS-DRIVEN path planned (fresh stats on all four →
+    // Some(order) whose seed is a fact-adjacent table, never a
+    // cross product); the oracle replays the join chain in SQL, so any
+    // order the planner picks must reproduce it value-for-value.
+    // JoinOrderSpec pins the chosen orders on synthetic stats and the
+    // stale-stats fallback.
+    "x_join_ordered" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_joinorder", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      cat.replaceAtomic("jo_orders", t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("o_ckey"),
+        cents(col("o_totalprice")).as("total_c")))
+      cat.replaceAtomic("jo_customer", t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ckey"),
+        col("c_nationkey").cast("long").as("c_nkey")))
+      cat.replaceAtomic("jo_nation", t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nkey"),
+        col("n_regionkey").cast("long").as("n_rkey")))
+      cat.replaceAtomic("jo_region", t(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("rkey"),
+        col("r_name").as("r_name")))
+      Seq("jo_orders", "jo_customer", "jo_nation", "jo_region")
+        .foreach(tb => cat.analyze(tb))
+      val edges = Seq(
+        ("jo_orders", "o_ckey", "jo_customer", "ckey"),
+        ("jo_customer", "c_nkey", "jo_nation", "nkey"),
+        ("jo_nation", "n_rkey", "jo_region", "rkey"))
+      val plan = cat.planJoinOrder(edges)
+      require(plan.isDefined,
+        "fresh stats on all four tables must yield a DP plan")
+      cat.joinOrdered(edges)
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("sum_total_c"))
+    }),
+      Some("""SELECT r_name,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_total_c
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
     // ------------------------------------------ OPTIMIZE ZORDER verb
     // Table maintenance on the VERSIONED path: a hash-scattered
     // lineitem projection is committed, rewritten in place by
