@@ -517,6 +517,50 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  // ------------------------------------------- materialized agg views
+  // The optimizer half of IncrementalAgg: createAggView materializes
+  // the per-key (n, sum_c, min_c, max_c) partial state of a fact as an
+  // ordinary versioned table AND registers it in `_mv_registry.json`,
+  // which graft.plans.MvRewrite (injected via GraftExtensions) consults
+  // to silently answer matching aggregations over the fact from the
+  // view. Freshness is structural: the registry records the fact's
+  // immutable snapshot directory, so overwriting the fact moves reads
+  // to a new path and the stale view stops matching — see MvRewrite.
+
+  private def mvRegistryFile: Path = Paths.get(root, "_mv_registry.json")
+
+  /** Materialize the aggregate view `view` = per-`keyCols` partials of
+    * `fact.valueCol`, register it for transparent rewrite, and enable
+    * the rewrite rule in this session. Re-running refreshes the view
+    * against the fact's current snapshot (the MV analog of REFRESH
+    * MATERIALIZED VIEW). The fact must be versioned ([[replaceAtomic]]):
+    * a plain table's path never changes, so a stale view could keep
+    * answering after the fact moved underneath it. */
+  def createAggView(view: String, fact: String, keyCols: Seq[String],
+                    valueCol: String): Unit = {
+    require(currentVersion(fact).isDefined,
+      s"aggregate view over '$fact' requires a versioned fact (replaceAtomic)")
+    val factPath = readPath(fact)
+    import org.apache.spark.sql.functions.col
+    replaceAtomic(view,
+      graft.ops.IncrementalAgg.partials(read(fact), keyCols, col(valueCol)))
+    val entry = TableCatalog.MvEntry(view, normalized(factPath),
+      normalized(readPath(view)), keyCols, valueCol)
+    val merged = TableCatalog.parseMvRegistry(
+      committer.read(mvRegistryFile).map(new String(_,
+        java.nio.charset.StandardCharsets.UTF_8)).getOrElse("[]"))
+      .filterNot(_.view == view) :+ entry
+    val tmp = Paths.get(root,
+      s"_mv_registry.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.renderMvRegistry(merged)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, mvRegistryFile)
+    spark.conf.set(graft.plans.MvRewrite.ConfKey, mvRegistryFile.toString)
+  }
+
+  private def normalized(p: String): String =
+    Paths.get(p).toAbsolutePath.normalize().toString
+
   // ------------------------------------------- named snapshots (tags)
   // Tags extend time travel past the retention window: a tag is a
   // pointer file `_tag_<name>` holding a snapshot version, written with
@@ -1657,6 +1701,36 @@ object TableCatalog {
           Option(n.get("bloomBitsPerRow")).map(_.asInt).getOrElse(0)))
       }
     } catch { case _: Exception => None }
+
+  /** One registered aggregate view (see [[TableCatalog.createAggView]]
+    * / [[graft.plans.MvRewrite]]). */
+  final case class MvEntry(view: String, factPath: String, mvPath: String,
+                           keys: Seq[String], value: String)
+
+  private[catalog] def renderMvRegistry(es: Seq[MvEntry]): String = {
+    val arr = om.createArrayNode()
+    es.sortBy(_.view).foreach { e =>
+      val o = arr.addObject()
+      o.put("view", e.view)
+      o.put("factPath", e.factPath)
+      o.put("mvPath", e.mvPath)
+      val k = o.putArray("keys")
+      e.keys.foreach(k.add)
+      o.put("value", e.value)
+    }
+    om.writeValueAsString(arr)
+  }
+
+  private[catalog] def parseMvRegistry(s: String): Seq[MvEntry] =
+    try {
+      import scala.jdk.CollectionConverters._
+      om.readTree(s).elements().asScala.map { e =>
+        MvEntry(e.get("view").asText, e.get("factPath").asText,
+          e.get("mvPath").asText,
+          e.get("keys").elements().asScala.map(_.asText).toSeq,
+          e.get("value").asText)
+      }.toSeq
+    } catch { case _: Exception => Seq.empty }
 
   private[catalog] def nextPow2(n: Long): Long =
     if (n <= 1L) 1L else java.lang.Long.highestOneBit(n - 1L) << 1

@@ -144,5 +144,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(ext)
     ext.injectOptimizerRule(_ => graft.plans.BucketRangeJoin)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }

@@ -1,0 +1,164 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Transparent materialized-view rewrite — the optimizer half of the
+  * [[graft.ops.IncrementalAgg]] maintenance story: a registered
+  * aggregate view (per-key `n / sum_c / min_c / max_c` partials of a
+  * fact, written by `TableCatalog.createAggView`) silently answers any
+  * matching aggregation over the fact, so a 100 TB fact scan becomes a
+  * keys-sized MV scan with NO caller cooperation — the classic
+  * algebraic query/view matching of warehouse engines (Goldstein &
+  * Larson, SIGMOD'01), scoped to the shapes the partial state can
+  * answer exactly:
+  *
+  *   - grouping columns ⊆ the view's key columns (attribute refs only),
+  *   - aggregates from {count(lit), sum(v), min(v), max(v)} over the
+  *     view's value column — no DISTINCT, no FILTER clause
+  *     (count(1) → coalesce(sum(n), 0) keeps the non-null type),
+  *
+  * rewritten by substituting the view scan for the fact scan and
+  * re-aggregating the partials (partials of partials are partials —
+  * the same monoid property the maintenance path relies on). Output
+  * names, exprIds, and types are preserved, so the rewrite is
+  * invisible to the parent plan.
+  *
+  * FRESHNESS is structural, not a timestamp: the registry records the
+  * fact's immutable SNAPSHOT directory (`_vN`), and the rule matches
+  * scans by root path. Overwriting the fact moves its pointer to
+  * `_vN+1`, new reads scan the new directory, and the stale view
+  * simply stops matching — no version check can race, because the
+  * thing compared IS the data's identity. The rule is inert unless
+  * [[ConfKey]] points at a registry file (set by `createAggView`). */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.mvRegistry"
+
+  private[plans] final case class MvDef(view: String, factPath: String,
+                                        mvPath: String, keys: Seq[String],
+                                        value: String)
+
+  // mtime-cached registry parse: the rule runs on every query in a
+  // session that registered a view — re-reading a small JSON only when
+  // it changed keeps the per-query planning cost at a stat(2)
+  @volatile private var cached: (String, Long, Seq[MvDef]) = null
+
+  private[plans] def registry(path: String): Seq[MvDef] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Seq.empty
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    val c = cached
+    if (c != null && c._1 == path && c._2 == mtime) return c._3
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val defs =
+      try om.readTree(Files.readAllBytes(p)).elements().asScala.map { e =>
+        MvDef(e.get("view").asText, e.get("factPath").asText,
+          e.get("mvPath").asText,
+          e.get("keys").elements().asScala.map(_.asText).toSeq,
+          e.get("value").asText)
+      }.toSeq
+      catch { case _: Exception => Seq.empty } // malformed registry = off
+    cached = (path, mtime, defs)
+    defs
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val reg = conf.getConfString(ConfKey, "")
+    if (reg.isEmpty) plan
+    else {
+      val defs = registry(reg)
+      if (defs.isEmpty) plan
+      else plan.transformUp {
+        case agg: Aggregate =>
+          scanRoot(agg.child)
+            .flatMap(root => defs.find(_.factPath == root))
+            .flatMap(mv => rewrite(agg, mv))
+            .getOrElse(agg)
+      }
+    }
+  }
+
+  /** The single normalized root path of a bare fact scan: a
+    * LogicalRelation, optionally under the attribute-only Project that
+    * column pruning inserts. Anything else (filters, joins, computed
+    * projections) is out of scope for the partial state. */
+  private def scanRoot(p: LogicalPlan): Option[String] = p match {
+    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanRoot(child)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+          Some(fs.location.rootPaths.head.toUri.getPath)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    val groupsOk = agg.groupingExpressions.forall {
+      case a: AttributeReference => mv.keys.contains(a.name)
+      case _ => false
+    }
+    if (!groupsOk) return None
+    // a fresh scan per rewrite: reusing a cached plan would reuse its
+    // exprIds, and two rewritten aggregates in one query must not alias
+    val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
+      .queryExecution.analyzed
+    val mvOut = mvPlan.output.map(a => a.name -> a).toMap
+    val needed = mv.keys ++ Seq("n", "sum_c", "min_c", "max_c")
+    if (!needed.forall(mvOut.contains)) return None
+
+    var ok = true
+    def rewriteAgg(ae: AggregateExpression): Expression =
+      if (ae.isDistinct || ae.filter.isDefined) { ok = false; ae }
+      else ae.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) =>
+          Coalesce(Seq(
+            ae.copy(aggregateFunction = Sum(mvOut("n"))), Literal(0L)))
+        case s: Sum if attrNamed(s.child, mv.value) =>
+          ae.copy(aggregateFunction = s.withNewChildren(Seq(mvOut("sum_c")))
+            .asInstanceOf[AggregateFunction])
+        case m: Min if attrNamed(m.child, mv.value) =>
+          ae.copy(aggregateFunction = Min(mvOut("min_c")))
+        case m: Max if attrNamed(m.child, mv.value) =>
+          ae.copy(aggregateFunction = Max(mvOut("max_c")))
+        case _ => ok = false; ae
+      }
+    def rewriteExpr(e: Expression): Expression = e match {
+      case ae: AggregateExpression => rewriteAgg(ae)
+      case a: AttributeReference =>
+        if (mv.keys.contains(a.name)) mvOut(a.name) else { ok = false; a }
+      case other => other.mapChildren(rewriteExpr)
+    }
+    val newAggs = agg.aggregateExpressions.map {
+      case a: AttributeReference if mv.keys.contains(a.name) =>
+        Alias(mvOut(a.name), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        Alias(rewriteExpr(al.child), al.name)(al.exprId, al.qualifier,
+          al.explicitMetadata, al.nonInheritableMetadataKeys)
+      case _ => ok = false; null
+    }
+    if (!ok) return None
+    val newGroups = agg.groupingExpressions
+      .map(g => mvOut(g.asInstanceOf[AttributeReference].name))
+    val out = Aggregate(newGroups, newAggs, mvPlan)
+    // the substitution must be invisible: same names, ids, and types —
+    // refuse (rather than mis-plan) any shape where it is not
+    if (out.output.map(a => (a.exprId, a.name, a.dataType)) ==
+        agg.output.map(a => (a.exprId, a.name, a.dataType))) Some(out)
+    else None
+  }
+
+  private def attrNamed(e: Expression, name: String): Boolean = e match {
+    case a: AttributeReference => a.name == name
+    case _ => false
+  }
+}

@@ -3189,6 +3189,51 @@ object TestdataQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin)),
 
+    // --------------------------- transparent materialized-view rewrite
+    // The optimizer half of x_incremental_agg: a lineitem fact is
+    // committed versioned, createAggView materializes its per-partkey
+    // partial state AND registers it, and the SAME aggregation a user
+    // would write against the fact is silently answered from the view —
+    // the in-query require() pins that the optimized plan scans the
+    // view path and not the fact (plan identity), while the oracle
+    // replays the aggregation over raw lineitem, so the rewrite must be
+    // value-invisible. MvRewriteSpec pins the no-rewrite shapes
+    // (DISTINCT, count(col), filters, non-key grouping) and the
+    // structural staleness rule (fact overwrite → view stops matching).
+    "x_mv_rewrite" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_mv", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      cat.replaceAtomic("mv_fact", t(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("pkey"),
+        col("l_suppkey").cast("long").as("skey"),
+        cents(col("l_extendedprice")).as("price_c")))
+      cat.createAggView("mv_by_part", "mv_fact", Seq("pkey"), "price_c")
+      val q = cat.read("mv_fact").groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_price_c"),
+          min(col("price_c")).as("min_price_c"),
+          max(col("price_c")).as("max_price_c"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.head.toUri.getPath
+      }
+      require(scanned.nonEmpty && scanned.forall(_.contains("mv_by_part")),
+        s"aggregate was not answered from the view (scans: $scanned)")
+      q
+    }),
+      Some("""SELECT CAST(l_partkey AS BIGINT) AS pkey,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c,
+             |  CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS min_price_c,
+             |  CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS max_price_c
+             |FROM lineitem
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------ OPTIMIZE ZORDER verb
     // Table maintenance on the VERSIONED path: a hash-scattered
     // lineitem projection is committed, rewritten in place by
