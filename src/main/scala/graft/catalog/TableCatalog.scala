@@ -833,6 +833,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     import scala.jdk.CollectionConverters._
     val closedPath = Paths.get(path(s"${base}_closed"))
     if (!Files.exists(closedPath)) return 0
+    // compaction MOVES files; deletion vectors reference rows by file
+    // identity, so compacting under live vectors would silently
+    // resurrect deleted rows — fold them in first
+    require(!hasDv(s"${base}_closed"),
+      s"'${base}_closed' carries deletion vectors — applyDeleteVectors before compacting")
     val dateDirs: Seq[(Path, java.sql.Date)] = {
       val s = Files.list(closedPath)
       try s.iterator().asScala.flatMap { p =>
@@ -949,6 +954,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * Returns the file count after compaction. */
   def compactSmallFiles(table: String, targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(!hasDv(table),
+      s"'$table' carries deletion vectors — applyDeleteVectors before compacting")
     val bytes = TableCatalog.dirBytes(Paths.get(readPath(table)))
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val skips = stats(table).map(_.skipCols).getOrElse(Seq.empty)
@@ -1109,11 +1116,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     if (!Files.exists(root)) Set.empty
     else {
       val s = Files.walk(root)
+      // mirror Spark's listing semantics: any path COMPONENT below the
+      // walk root starting with '_' or '.' is metadata, not data — the
+      // `_dv` deletion-vector sidecar in particular must never count as
+      // table files (Spark's own scans skip it the same way)
+      def hiddenUnder(p: Path): Boolean =
+        root.relativize(p).iterator().asScala.exists { c =>
+          val n = c.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
       try s.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("_") &&
-          !p.getFileName.toString.startsWith("."))
+          !hiddenUnder(p))
         .map(_.toUri.toString).toSet
       finally s.close()
     }
@@ -1271,7 +1286,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                   cond: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     requirePlain(table, "deleteWhere")
-    val full = read(table)
+    // read THROUGH the deletion vectors: a partition rewrite must not
+    // resurrect rows a prior deleteVectorize removed (the rewritten
+    // partitions fold their vectors in as a side effect; vectors for
+    // untouched partitions keep applying via their unchanged files)
+    val full = readMor(table)
     val affected = full.filter(cond).select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq
     if (affected.isEmpty) return (Nil, Nil)
@@ -1307,6 +1326,126 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
     invalidateStats(table)
     (affected, gone)
+  }
+
+  // ------------------------------------------- deletion vectors (MoR)
+  // Merge-on-read deletes — the Delta/Iceberg-v2 answer to "delete 0.1%
+  // of rows from a 100 TB table": instead of rewriting every touched
+  // file ([[deleteWhere]]'s copy-on-write partition rewrite), the
+  // deleted rows' (file, position) pairs are written DISTRIBUTED as a
+  // parquet sidecar under `<table>/_dv/`, and reads anti-join them away.
+  // Positions come from the file-source `_metadata.row_index` column —
+  // stable because data files are immutable once written. Delete cost
+  // is O(matches) written + one scan; read cost is one anti-join whose
+  // build side is exactly the deleted rows (AQE broadcasts it while
+  // small). [[applyDeleteVectors]] folds the vectors into a rewrite
+  // when they accrete — the same MoR-then-compact lifecycle as the
+  // commit log's checkpointing.
+
+  private def dvDir(table: String): Path = Paths.get(path(table), "_dv")
+
+  private def hasDv(table: String): Boolean =
+    listParquetFilesUnder(dvDir(table)).nonEmpty
+
+  // the `_dv` dir is metadata: list its parts directly (listParquetUrisAt
+  // deliberately refuses to see under '_' components)
+  private def listParquetFilesUnder(p: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet") &&
+        !f.getFileName.toString.startsWith("_") &&
+        !f.getFileName.toString.startsWith(".")).toSeq
+      finally s.close()
+    }
+  }
+
+  /** The table tagged with its file/position identity, with every
+    * delete-vectored row anti-joined away. `_dv_file`/`_dv_pos` stay in
+    * the output for the delete path to reuse. */
+  private def morTagged(table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tagged = read(table)
+      .withColumn("_dv_file", col("_metadata.file_path"))
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+    if (!hasDv(table)) tagged
+    else {
+      val dels = spark.read.option("recursiveFileLookup", "true")
+        .parquet(dvDir(table).toString)
+      tagged.join(dels,
+        tagged("_dv_file") === dels("file") && tagged("_dv_pos") === dels("pos"),
+        "left_anti")
+    }
+  }
+
+  /** Read `table` with deletion vectors applied (merge-on-read). A
+    * table with no vectors reads plain — same plan, no join. */
+  def readMor(table: String): DataFrame =
+    if (hasDv(table)) morTagged(table).drop("_dv_file", "_dv_pos")
+    else read(table)
+
+  /** DELETE matching rows WITHOUT rewriting any data file: the live
+    * (not-yet-deleted) rows matching `cond` have their (file, position)
+    * pairs written as a new immutable vector under `_dv/` — staged
+    * write-aside, committed by one atomic directory move, so a
+    * concurrent [[readMor]] sees the whole vector or none of it.
+    * NULL-evaluating rows are not matches and survive (same
+    * right-to-be-forgotten rule as [[deleteWhere]]). Anti-joining the
+    * EXISTING vectors first makes the verb idempotent: re-running the
+    * same condition writes nothing and returns 0. Plain tables only —
+    * a versioned table's delete is a [[replaceAtomic]] rewrite (its
+    * snapshot dirs are the atomicity mechanism already). Returns the
+    * number of newly deleted rows. */
+  def deleteVectorize(table: String, cond: org.apache.spark.sql.Column): Long =
+    withTableLock(table) {
+      requirePlain(table, "deleteVectorize")
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val hits = morTagged(table)
+        .filter(coalesce(cond, lit(false)))
+        .select(col("_dv_file").as("file"), col("_dv_pos").as("pos"))
+      val staging = Paths.get(path(table),
+        s"_tmp_dv-${java.util.UUID.randomUUID()}")
+      hits.write.parquet(staging.toString)
+      val n = spark.read.parquet(staging.toString).count()
+      if (n == 0L) { deleteRecursive(staging); 0L }
+      else {
+        Files.createDirectories(dvDir(table))
+        committer.atomicRename(staging,
+          dvDir(table).resolve(s"dv-${java.util.UUID.randomUUID()}"))
+        invalidateStats(table)
+        n
+      }
+    }
+
+  /** Fold accreted deletion vectors into the data files: survivors are
+    * rewritten, the old data files and every vector are removed, and
+    * subsequent plain reads need no anti-join. The swap (delete olds,
+    * move staged parts in) is NOT atomic for concurrent readers — the
+    * same in-place semantics as every plain-table [[overwrite]]; run it
+    * as maintenance, like [[compactSmallFiles]] for versioned tables.
+    * Returns the number of rows the fold removed for good. */
+  def applyDeleteVectors(table: String): Long = withTableLock(table) {
+    requirePlain(table, "applyDeleteVectors")
+    if (!hasDv(table)) return 0L
+    val before = read(table).count()
+    // eager: the survivors' plan reads the very files deleted below
+    val survivors = readMor(table).localCheckpoint(true)
+    val after = survivors.count()
+    val staging = Paths.get(path(table),
+      s"_tmp_dvapply-${java.util.UUID.randomUUID()}")
+    survivors.write.parquet(staging.toString)
+    listParquetUris(table).foreach(u =>
+      Files.deleteIfExists(Paths.get(java.net.URI.create(u))))
+    listParquetFilesUnder(staging).zipWithIndex.foreach { case (f, i) =>
+      Files.move(f, Paths.get(path(table),
+        s"part-dvapply-$i-${java.util.UUID.randomUUID()}.parquet"))
+    }
+    deleteRecursive(staging)
+    deleteRecursive(dvDir(table))
+    invalidateStats(table)
+    before - after
   }
 
   /** Full-rewrite with a snapshot-versioned commit — the SCD2 dim

@@ -3293,6 +3293,54 @@ object TestdataQueries {
              |  CAST(1 AS BIGINT) AS n_files
              |FROM orders""".stripMargin)),
 
+    // ------------------------------------ deletion vectors (merge-on-read)
+    // The instant-delete path deleteWhere's partition rewrite can't
+    // give: deleting 1% of a plain lineitem projection writes ONLY the
+    // (file, position) vector sidecar — the in-query require()s pin
+    // that zero data files changed, that re-deleting is idempotent
+    // (0 new rows), and that folding the vectors (applyDeleteVectors)
+    // removes exactly the vectored count. Both the merge-on-read
+    // aggregate and the post-fold plain aggregate must equal the
+    // oracle's NOT(cond) replay — a vector that missed a row, double-
+    // counted one, or resurrected one shows up as a value mismatch.
+    "x_delete_vectors" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_dv", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      cat.overwrite("li_mor", t(s, dir, "lineitem").select(
+        col("l_partkey").cast("long").as("pkey"),
+        cents(col("l_extendedprice")).as("price_c")).repartition(8))
+      val before = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cat.path("li_mor"))).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      val deadCond = pmod(col("pkey"), lit(97)) === 0
+      val n1 = cat.deleteVectorize("li_mor", deadCond)
+      require(n1 > 0, "the 1-in-97 partkey condition matched nothing")
+      require(cat.deleteVectorize("li_mor", deadCond) == 0L,
+        "re-deleting the same condition must be idempotent")
+      val after = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cat.path("li_mor"))).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      require(before == after, "a data file changed under merge-on-read delete")
+      val mor = cat.readMor("li_mor")
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"))
+        .head()
+      require(cat.applyDeleteVectors("li_mor") == n1,
+        "folding the vectors removed a different row count than vectored")
+      val folded = cat.read("li_mor")
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"))
+      require(folded.head() == mor,
+        "post-fold plain read disagrees with the merge-on-read view")
+      folded.withColumn("n_deleted", lit(n1))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             |    WHERE l_partkey % 97 = 0) AS n_deleted
+             |FROM lineitem
+             |WHERE NOT (l_partkey % 97 = 0)""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.{Files, Paths}
+
+/** Deletion vectors must delete WITHOUT touching data files, apply
+  * idempotently, accumulate across conditions, fold away via apply,
+  * and compose with the partition-rewrite delete — and a versioned
+  * table must be refused (its deletes are snapshot rewrites). */
+class DeleteVectorSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def freshCat(): TableCatalog =
+    new TableCatalog(spark, Files.createTempDirectory("dv-cat").toString)
+
+  private def mk(cat: TableCatalog, name: String): Unit =
+    cat.overwrite(name, (0 until 10000)
+      .map(i => (i.toLong, i.toLong % 100, s"r$i")).toDF("id", "grp", "s")
+      .repartition(8))
+
+  private def dataFiles(cat: TableCatalog, name: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(Paths.get(cat.path(name)))
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("_dv") && !p.toString.contains("_tmp"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    finally s.close()
+  }
+
+  test("delete touches no data file and readMor equals the filter") {
+    val cat = freshCat(); mk(cat, "t")
+    val before = dataFiles(cat, "t")
+    val n = cat.deleteVectorize("t", col("grp") === 7)
+    assert(n === 100L)
+    assert(dataFiles(cat, "t") === before, "a data file changed")
+    assert(cat.readMor("t").count() === 9900L)
+    assert(cat.readMor("t").filter(col("grp") === 7).count() === 0L)
+    // plain read still sees everything — the vectors are metadata
+    assert(cat.read("t").count() === 10000L)
+  }
+
+  test("re-deleting the same condition is idempotent (0 new rows)") {
+    val cat = freshCat(); mk(cat, "t")
+    assert(cat.deleteVectorize("t", col("grp") === 7) === 100L)
+    assert(cat.deleteVectorize("t", col("grp") === 7) === 0L)
+    assert(cat.readMor("t").count() === 9900L)
+  }
+
+  test("vectors accumulate across conditions; overlap counts once") {
+    val cat = freshCat(); mk(cat, "t")
+    assert(cat.deleteVectorize("t", col("grp") === 7) === 100L)
+    // overlaps grp=7 on ids ≡ 7 (mod 100) below 5000 — already dead
+    assert(cat.deleteVectorize("t", col("id") < 5000 && col("grp") === 7) === 0L)
+    assert(cat.deleteVectorize("t", col("id") < 50) === 49L) // id 7 is dead
+    assert(cat.readMor("t").count() === 10000L - 100L - 49L)
+  }
+
+  test("NULL-evaluating rows survive (right-to-be-forgotten rule)") {
+    val cat = freshCat()
+    cat.overwrite("t", Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+      .toDF("id", "v"))
+    assert(cat.deleteVectorize("t", col("v") > 1) === 1L)
+    assert(cat.readMor("t").select("id").as[Long].collect().toSet
+      === Set(1L, 2L))
+  }
+
+  test("applyDeleteVectors folds, clears vectors, plain read agrees") {
+    val cat = freshCat(); mk(cat, "t")
+    cat.deleteVectorize("t", col("grp") === 7)
+    cat.deleteVectorize("t", col("id") < 50)
+    val folded = cat.applyDeleteVectors("t")
+    assert(folded === 149L)
+    assert(!Files.exists(Paths.get(cat.path("t"), "_dv")))
+    assert(cat.read("t").count() === 9851L)
+    assert(cat.read("t").filter(col("grp") === 7).count() === 0L)
+    // a second apply is a no-op
+    assert(cat.applyDeleteVectors("t") === 0L)
+  }
+
+  test("deleteWhere reads through the vectors (no resurrection)") {
+    val cat = freshCat()
+    cat.appendPartitioned("t", (0 until 1000)
+      .map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dt"), "dt")
+    assert(cat.deleteVectorize("t", col("id") < 100) === 100L)
+    // partition rewrite of d0 must not bring back its vectored rows
+    val (affected, _) = cat.deleteWhere("t", "dt", col("id") >= 900)
+    assert(affected.nonEmpty)
+    assert(cat.readMor("t").count() === 1000L - 100L - 100L)
+    assert(cat.readMor("t").filter(col("id") < 100).count() === 0L)
+  }
+
+  test("a versioned table is refused; compaction refuses live vectors") {
+    val cat = freshCat()
+    cat.replaceAtomic("v", Seq((1L, 2L)).toDF("id", "v"))
+    assertThrows[IllegalArgumentException] {
+      cat.deleteVectorize("v", col("id") === 1)
+    }
+    mk(cat, "t")
+    cat.deleteVectorize("t", col("grp") === 7)
+    assertThrows[IllegalArgumentException] {
+      cat.compactSmallFiles("t")
+    }
+  }
+}
