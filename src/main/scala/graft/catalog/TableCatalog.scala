@@ -1328,6 +1328,70 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     (affected, gone)
   }
 
+  /** ANSI MERGE INTO on a versioned table — the general DML verb the
+    * SCD2 merge is a specialization of: one full-outer join of target
+    * and `source` on `keyCols`, then per row
+    *
+    *  - matched, `deleteWhenMatched` true  → row dropped,
+    *  - matched otherwise                  → source row (UPDATE SET *),
+    *  - source-only                        → source row (INSERT *),
+    *  - target-only                        → target row kept,
+    *
+    * committed as ONE [[replaceAtomic]] snapshot (crash-safe, readers
+    * keep their snapshot, time travel reaches the pre-merge state).
+    * Column sets must match; `deleteWhenMatched` may reference source
+    * columns and evaluates NULL→false (a NULL predicate must not
+    * delete — same rule as [[deleteWhere]]). ANSI's cardinality rule is
+    * enforced: duplicate keys in `source` would make the merge
+    * nondeterministic (which source row wins?), so they error loudly
+    * up front. Returns (updated, deleted, inserted, unchanged).
+    *
+    * Scale shape: one key-equi shuffle join (AQE broadcasts a small
+    * source), one action projection, one snapshot write — cost is
+    * O(target + source), never pair-quadratic; the counts ride the
+    * same materialized result the write consumes. */
+  def mergeInto(table: String, source: DataFrame, keyCols: Seq[String],
+                deleteWhenMatched: Option[org.apache.spark.sql.Column] = None)
+      : (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, sum, when}
+    val target = read(table)
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"column mismatch: target ${target.columns.sorted.mkString(",")} vs " +
+        s"source ${source.columns.sorted.mkString(",")}")
+    require(keyCols.nonEmpty && keyCols.forall(target.columns.contains),
+      s"key columns $keyCols must exist in '$table'")
+    val dupes = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+    require(dupes.isEmpty,
+      s"MERGE source has duplicate key ${dupes.headOption.map(_.toSeq.init).getOrElse(Seq())} — " +
+        "ANSI cardinality violation (nondeterministic which row wins)")
+    val dataCols = target.columns.toSeq
+    val t = target.select(struct(dataCols.map(col): _*).as("_t"),
+      struct(keyCols.map(col): _*).as("_tk"))
+    // the delete predicate references SOURCE columns — evaluate it on
+    // the source before struct-packing hides those names
+    val s = source.select(struct(dataCols.map(col): _*).as("_s"),
+      struct(keyCols.map(col): _*).as("_sk"),
+      deleteWhenMatched.map(c => coalesce(c, lit(false)))
+        .getOrElse(lit(false)).as("_del"))
+    val joined = t.join(s, col("_tk") === col("_sk"), "full_outer")
+      .select(col("_t"), col("_s"),
+        when(col("_tk").isNull, lit("insert"))
+          .when(col("_sk").isNull, lit("keep"))
+          .otherwise(when(col("_del"), lit("delete")).otherwise(lit("update")))
+          .as("_action"))
+      .localCheckpoint(true) // counts and write must see ONE evaluation
+    val counts = joined.groupBy(col("_action")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = joined.filter(col("_action") =!= "delete")
+      .select(when(col("_action") === "keep", col("_t")).otherwise(col("_s"))
+        .as("_row"))
+      .select(dataCols.map(c => col(s"_row.$c").as(c)): _*)
+    replaceAtomic(table, merged)
+    (counts.getOrElse("update", 0L), counts.getOrElse("delete", 0L),
+      counts.getOrElse("insert", 0L), counts.getOrElse("keep", 0L))
+  }
+
   // ------------------------------------------- deletion vectors (MoR)
   // Merge-on-read deletes — the Delta/Iceberg-v2 answer to "delete 0.1%
   // of rows from a 100 TB table": instead of rewriting every touched

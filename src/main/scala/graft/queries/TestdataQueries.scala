@@ -3293,6 +3293,60 @@ object TestdataQueries {
              |  CAST(1 AS BIGINT) AS n_files
              |FROM orders""".stripMargin)),
 
+    // ------------------------------------------------ ANSI MERGE INTO
+    // The general DML verb over a versioned orders target: source rows
+    // update matched keys (+1 cent marker), delete matched multiples of
+    // 10, insert unmatched keys; the result is ONE snapshot commit. The
+    // output row carries the final-table aggregate AND the four action
+    // counts, each replayed by the oracle as set algebra over raw
+    // orders — a row routed to the wrong action changes a count or the
+    // sum and fails the hash. MergeIntoSpec pins NULL-predicate,
+    // cardinality-violation, time-travel, and composite-key behavior.
+    "x_merge_into" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_merge", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      cat.replaceAtomic("m_orders", o.filter(pmod(col("okey"), lit(3)) =!= 0))
+      val src = o.filter(pmod(col("okey"), lit(2)) === 0)
+        .withColumn("total_c", col("total_c") + 1)
+      val (u, d, i, k) = cat.mergeInto("m_orders", src, Seq("okey"),
+        deleteWhenMatched = Some(pmod(col("okey"), lit(10)) === 0))
+      require(u > 0 && d > 0 && i > 0 && k > 0,
+        s"merge fixture must exercise every action, got u=$u d=$d i=$i k=$k")
+      cat.read("m_orders")
+        .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("sum_total_c"))
+        .withColumn("n_updated", lit(u)).withColumn("n_deleted", lit(d))
+        .withColumn("n_inserted", lit(i)).withColumn("n_kept", lit(k))
+    }),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS tc
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) + 1 AS tc
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |m AS (
+             |  SELECT k, tc FROM t WHERE k NOT IN (SELECT k FROM s)
+             |  UNION ALL
+             |  SELECT s.k, s.tc FROM s JOIN t ON s.k = t.k WHERE s.k % 10 <> 0
+             |  UNION ALL
+             |  SELECT k, tc FROM s WHERE k NOT IN (SELECT k FROM t))
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(tc) AS BIGINT) AS sum_total_c,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s JOIN t ON s.k = t.k
+             |    WHERE s.k % 10 <> 0) AS n_updated,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s JOIN t ON s.k = t.k
+             |    WHERE s.k % 10 = 0) AS n_deleted,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM s
+             |    WHERE k NOT IN (SELECT k FROM t)) AS n_inserted,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM t
+             |    WHERE k NOT IN (SELECT k FROM s)) AS n_kept
+             |FROM m""".stripMargin)),
+
     // ------------------------------------ deletion vectors (merge-on-read)
     // The instant-delete path deleteWhere's partition rewrite can't
     // give: deleting 1% of a plain lineitem projection writes ONLY the
