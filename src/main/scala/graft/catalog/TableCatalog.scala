@@ -532,24 +532,82 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** Materialize the aggregate view `view` = per-`keyCols` partials of
     * `fact.valueCol`, register it for transparent rewrite, and enable
     * the rewrite rule in this session. Re-running refreshes the view
-    * against the fact's current snapshot (the MV analog of REFRESH
-    * MATERIALIZED VIEW). The fact must be versioned ([[replaceAtomic]]):
-    * a plain table's path never changes, so a stale view could keep
-    * answering after the fact moved underneath it. */
+    * (the MV analog of REFRESH MATERIALIZED VIEW). Freshness depends on
+    * the fact's layout:
+    *
+    *  - VERSIONED fact ([[replaceAtomic]]): the registry pins the
+    *    immutable `_vN` snapshot path — an overwrite moves reads to a
+    *    new path and the stale view stops matching structurally;
+    *  - PLAIN fact (append-style): the path never changes, so the
+    *    registry pins the exact FILE SET the view covers, and the
+    *    rewrite rule compares it against the matched scan's own file
+    *    index (already materialized for the scan — no extra LIST). An
+    *    append un-matches the view until
+    *    [[refreshAggViewIncremental]] folds the new files in at
+    *    O(new data) cost — the daily-load maintenance loop. */
   def createAggView(view: String, fact: String, keyCols: Seq[String],
                     valueCol: String): Unit = {
-    require(currentVersion(fact).isDefined,
-      s"aggregate view over '$fact' requires a versioned fact (replaceAtomic)")
-    val factPath = readPath(fact)
     import org.apache.spark.sql.functions.col
+    require(!hasDv(fact),
+      s"'$fact' carries deletion vectors — applyDeleteVectors before " +
+        "registering an aggregate view (the view must describe the bytes " +
+        "a bare scan of the fact returns)")
+    val factDf = read(fact)
     replaceAtomic(view,
-      graft.ops.IncrementalAgg.partials(read(fact), keyCols, col(valueCol)))
-    val entry = TableCatalog.MvEntry(view, normalized(factPath),
-      normalized(readPath(view)), keyCols, valueCol)
-    val merged = TableCatalog.parseMvRegistry(
+      graft.ops.IncrementalAgg.partials(factDf, keyCols, col(valueCol)))
+    val files =
+      if (currentVersion(fact).isDefined) Seq.empty[String]
+      else factDf.inputFiles.toSeq.sorted
+    writeMvEntry(TableCatalog.MvEntry(view, normalized(readPath(fact)),
+      normalized(readPath(view)), keyCols, valueCol, files))
+  }
+
+  /** Fold a plain fact's NEW files into its aggregate view — partials
+    * of only the appended data merged with the view's existing state
+    * (states are states: the same monoid the maintenance path relies
+    * on; min/max stay exact because plain facts only gain files), then
+    * one versioned view commit and a registry update. O(new files) —
+    * the 100 TB daily-load answer to full REFRESH. Files REMOVED from
+    * the fact (compaction, manual surgery) break the append-only
+    * premise: the refresh falls back to a full [[createAggView]]
+    * recompute. Returns the number of new files folded in (0 = already
+    * fresh; -1 = full recompute taken). */
+  def refreshAggViewIncremental(view: String, fact: String): Int = {
+    val entry = mvRegistry().find(_.view == view).getOrElse(
+      throw new IllegalArgumentException(
+        s"no registered aggregate view '$view' — createAggView first"))
+    require(entry.factFiles.nonEmpty,
+      s"'$view' covers a versioned fact — re-run createAggView to refresh")
+    val factDf = read(fact)
+    val current = factDf.inputFiles.toSeq.sorted
+    val removed = entry.factFiles.toSet -- current
+    if (removed.nonEmpty) {
+      createAggView(view, fact, entry.keys, entry.value)
+      return -1
+    }
+    val newFiles = current.toSet -- entry.factFiles
+    if (newFiles.isEmpty) return 0
+    import org.apache.spark.sql.functions.col
+    val delta = graft.ops.IncrementalAgg.partials(
+      spark.read.option("basePath", path(fact))
+        .parquet(newFiles.toSeq.sorted: _*)
+        .select(factDf.columns.map(col).toIndexedSeq: _*),
+      entry.keys, col(entry.value))
+    val merged = graft.ops.IncrementalAgg.merge(
+      read(view).unionByName(delta), entry.keys)
+    replaceAtomic(view, merged)
+    writeMvEntry(entry.copy(mvPath = normalized(readPath(view)),
+      factFiles = current))
+    newFiles.size
+  }
+
+  private def mvRegistry(): Seq[TableCatalog.MvEntry] =
+    TableCatalog.parseMvRegistry(
       committer.read(mvRegistryFile).map(new String(_,
         java.nio.charset.StandardCharsets.UTF_8)).getOrElse("[]"))
-      .filterNot(_.view == view) :+ entry
+
+  private def writeMvEntry(entry: TableCatalog.MvEntry): Unit = {
+    val merged = mvRegistry().filterNot(_.view == entry.view) :+ entry
     val tmp = Paths.get(root,
       s"_mv_registry.json.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, TableCatalog.renderMvRegistry(merged)
@@ -1906,9 +1964,13 @@ object TableCatalog {
     } catch { case _: Exception => None }
 
   /** One registered aggregate view (see [[TableCatalog.createAggView]]
-    * / [[graft.plans.MvRewrite]]). */
+    * / [[graft.plans.MvRewrite]]). `factFiles` is empty for a
+    * snapshot-versioned fact (path identity IS freshness); for a plain
+    * fact it pins the exact file set the view covers, compared against
+    * the matched scan's own file index at rewrite time. */
   final case class MvEntry(view: String, factPath: String, mvPath: String,
-                           keys: Seq[String], value: String)
+                           keys: Seq[String], value: String,
+                           factFiles: Seq[String] = Seq.empty)
 
   private[catalog] def renderMvRegistry(es: Seq[MvEntry]): String = {
     val arr = om.createArrayNode()
@@ -1920,6 +1982,10 @@ object TableCatalog {
       val k = o.putArray("keys")
       e.keys.foreach(k.add)
       o.put("value", e.value)
+      if (e.factFiles.nonEmpty) {
+        val f = o.putArray("factFiles")
+        e.factFiles.sorted.foreach(f.add)
+      }
     }
     om.writeValueAsString(arr)
   }
@@ -1931,7 +1997,9 @@ object TableCatalog {
         MvEntry(e.get("view").asText, e.get("factPath").asText,
           e.get("mvPath").asText,
           e.get("keys").elements().asScala.map(_.asText).toSeq,
-          e.get("value").asText)
+          e.get("value").asText,
+          Option(e.get("factFiles")).toSeq
+            .flatMap(_.elements().asScala).map(_.asText))
       }.toSeq
     } catch { case _: Exception => Seq.empty }
 

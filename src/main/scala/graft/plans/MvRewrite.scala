@@ -43,7 +43,8 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private[plans] final case class MvDef(view: String, factPath: String,
                                         mvPath: String, keys: Seq[String],
-                                        value: String)
+                                        value: String,
+                                        factFiles: Seq[String] = Seq.empty)
 
   // mtime-cached registry parse: the rule runs on every query in a
   // session that registered a view — re-reading a small JSON only when
@@ -63,7 +64,9 @@ object MvRewrite extends Rule[LogicalPlan] {
         MvDef(e.get("view").asText, e.get("factPath").asText,
           e.get("mvPath").asText,
           e.get("keys").elements().asScala.map(_.asText).toSeq,
-          e.get("value").asText)
+          e.get("value").asText,
+          Option(e.get("factFiles")).toSeq
+            .flatMap(_.elements().asScala).map(_.asText))
       }.toSeq
       catch { case _: Exception => Seq.empty } // malformed registry = off
     cached = (path, mtime, defs)
@@ -79,24 +82,34 @@ object MvRewrite extends Rule[LogicalPlan] {
       else plan.transformUp {
         case agg: Aggregate =>
           scanRoot(agg.child)
-            .flatMap(root => defs.find(_.factPath == root))
+            .flatMap { case (root, files) =>
+              // versioned fact: the immutable snapshot path IS the
+              // freshness proof. Plain fact: the registry pins the file
+              // set, compared against the scan's own (already
+              // materialized) file index — an appended-but-unrefreshed
+              // view silently stops matching, no extra LIST paid.
+              defs.find(d => d.factPath == root &&
+                (d.factFiles.isEmpty || d.factFiles.toSet == files))
+            }
             .flatMap(mv => rewrite(agg, mv))
             .getOrElse(agg)
       }
     }
   }
 
-  /** The single normalized root path of a bare fact scan: a
-    * LogicalRelation, optionally under the attribute-only Project that
-    * column pruning inserts. Anything else (filters, joins, computed
-    * projections) is out of scope for the partial state. */
-  private def scanRoot(p: LogicalPlan): Option[String] = p match {
+  /** The single normalized root path of a bare fact scan plus its file
+    * index: a LogicalRelation, optionally under the attribute-only
+    * Project that column pruning inserts. Anything else (filters,
+    * joins, computed projections) is out of scope for the partial
+    * state. */
+  private def scanRoot(p: LogicalPlan): Option[(String, Set[String])] = p match {
     case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
       scanRoot(child)
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-          Some(fs.location.rootPaths.head.toUri.getPath)
+          Some((fs.location.rootPaths.head.toUri.getPath,
+            fs.location.inputFiles.toSet))
         case _ => None
       }
     case _ => None

@@ -3293,6 +3293,54 @@ object TestdataQueries {
              |  CAST(1 AS BIGINT) AS n_files
              |FROM orders""".stripMargin)),
 
+    // ---------------------------- incremental MV refresh (plain fact)
+    // The maintenance loop of x_mv_rewrite for an append-style fact:
+    // day-1 lineitem rows (odd orderkeys) are loaded plain, the view
+    // registered (freshness = the exact FILE SET, checked against the
+    // matched scan's own file index); the day-2 append (even orderkeys)
+    // un-matches the view — pinned by an in-query require() — and
+    // refreshAggViewIncremental folds ONLY the appended files' partials
+    // into the view state (O(new data), min/max exact because plain
+    // facts only gain files). The final aggregation must be answered
+    // from the refreshed view (plan-identity require) and must equal
+    // the oracle's full-lineitem replay — a partial that failed to
+    // merge, or a stale view answering early, breaks the hash.
+    "x_mv_incremental" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_mvinc", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_partkey").cast("long").as("pkey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      cat.overwrite("inc_fact", li.filter(pmod(col("okey"), lit(2)) === 1))
+      cat.createAggView("inc_view", "inc_fact", Seq("pkey"), "price_c")
+      cat.append("inc_fact", li.filter(pmod(col("okey"), lit(2)) === 0))
+      def agg = cat.read("inc_fact").groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_price_c"))
+      def scansOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toUri.getPath
+        }
+      require(scansOf(agg).forall(!_.contains("inc_view")),
+        "a stale view answered after the append")
+      val folded = cat.refreshAggViewIncremental("inc_view", "inc_fact")
+      require(folded > 0, s"append produced no new files to fold ($folded)")
+      val q = agg
+      require(scansOf(q).nonEmpty && scansOf(q).forall(_.contains("inc_view")),
+        s"refreshed view did not answer the aggregation (${scansOf(q)})")
+      q
+    }),
+      Some("""SELECT CAST(l_partkey AS BIGINT) AS pkey,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM lineitem
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------------ ANSI MERGE INTO
     // The general DML verb over a versioned orders target: source rows
     // update matched keys (+1 cent marker), delete matched multiples of

@@ -105,12 +105,65 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestSession {
     assert(q2.as[(Long, Long)].head() === ((0L, 100L)))
   }
 
-  test("a plain (unversioned) fact is refused") {
+  test("a plain fact matches by file-set identity; appends un-match it") {
     val cat = new TableCatalog(spark,
       Files.createTempDirectory("mv-plain").toString)
-    cat.overwrite("plainf", Seq((1L, 2L)).toDF("k", "v"))
+    cat.overwrite("pf", (0 until 1000).map(i => (i.toLong % 10, i.toLong))
+      .toDF("k", "v"))
+    cat.createAggView("pf_v", "pf", Seq("k"), "v")
+    def q = cat.read("pf").groupBy("k").agg(sum("v").as("s"))
+    assert(scans(q).head.contains("pf_v"))
+    // an append changes the fact's file set → the view must go silent
+    cat.append("pf", Seq((3L, 100000L)).toDF("k", "v"))
+    assert(scans(q).forall(!_.contains("pf_v")),
+      "stale plain-fact view answered after an append")
+    assert(q.filter(col("k") === 3).as[(Long, Long)].head()._2
+      === (3L until 1000L by 10L).sum + 100000L)
+  }
+
+  test("incremental refresh folds ONLY the new files, O(new data)") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("mv-incr").toString)
+    cat.overwrite("pf", (0 until 1000).map(i => (i.toLong % 10, i.toLong))
+      .toDF("k", "v").repartition(4))
+    cat.createAggView("pf_v", "pf", Seq("k"), "v")
+    assert(cat.refreshAggViewIncremental("pf_v", "pf") === 0) // fresh
+    cat.append("pf", (1000 until 1200).map(i => (i.toLong % 10, i.toLong))
+      .toDF("k", "v").repartition(2))
+    val folded = cat.refreshAggViewIncremental("pf_v", "pf")
+    assert(folded === 2, s"expected the 2 appended files, got $folded")
+    def q = cat.read("pf").groupBy("k").agg(
+      count(lit(1)).as("n"), sum("v").as("s"), min("v").as("lo"), max("v").as("hi"))
+    assert(scans(q).head.contains("pf_v"))
+    val expect = (0 until 1200).map(i => (i.toLong % 10, i.toLong))
+      .groupBy(_._1).map { case (k, xs) =>
+        (k, xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).min, xs.map(_._2).max) }
+      .toSet
+    assert(q.as[(Long, Long, Long, Long, Long)].collect().toSet === expect)
+  }
+
+  test("a shrunken fact file set forces the full-recompute fallback") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("mv-shrink").toString)
+    cat.overwrite("pf", (0 until 100).map(i => (i.toLong % 5, i.toLong))
+      .toDF("k", "v").repartition(4))
+    cat.createAggView("pf_v", "pf", Seq("k"), "v")
+    cat.overwrite("pf", (0 until 50).map(i => (i.toLong % 5, i.toLong))
+      .toDF("k", "v")) // fewer files, different content
+    assert(cat.refreshAggViewIncremental("pf_v", "pf") === -1)
+    def q = cat.read("pf").agg(sum("v").as("s"))
+    assert(scans(q).head.contains("pf_v"))
+    assert(q.as[Long].head() === (0L until 50L).sum)
+  }
+
+  test("a fact carrying deletion vectors is refused") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("mv-dv").toString)
+    cat.overwrite("pf", (0 until 100).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    cat.deleteVectorize("pf", col("k") < 10)
     assertThrows[IllegalArgumentException] {
-      cat.createAggView("pv", "plainf", Seq("k"), "v")
+      cat.createAggView("pf_v", "pf", Seq("k"), "v")
     }
   }
 }
