@@ -558,9 +558,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val files =
       if (currentVersion(fact).isDefined) Seq.empty[String]
       else factDf.inputFiles.toSeq.sorted
+    // an empty plain fact would register with an empty file pin —
+    // indistinguishable from the versioned (path-identity) form, so a
+    // later load could never un-match the view. Load first.
+    require(currentVersion(fact).isDefined || files.nonEmpty,
+      s"plain fact '$fact' holds no files yet — load data before " +
+        "registering an aggregate view over it")
     writeMvEntry(TableCatalog.MvEntry(view, normalized(readPath(fact)),
       normalized(readPath(view)), keyCols, valueCol, files))
   }
+
+  /** Names of the aggregate views registered in this catalog. */
+  def aggViewNames: Seq[String] = mvRegistry().map(_.view)
 
   /** Fold a plain fact's NEW files into its aggregate view — partials
     * of only the appended data merged with the view's existing state
@@ -606,15 +615,21 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       committer.read(mvRegistryFile).map(new String(_,
         java.nio.charset.StandardCharsets.UTF_8)).getOrElse("[]"))
 
-  private def writeMvEntry(entry: TableCatalog.MvEntry): Unit = {
-    val merged = mvRegistry().filterNot(_.view == entry.view) :+ entry
-    val tmp = Paths.get(root,
-      s"_mv_registry.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, TableCatalog.renderMvRegistry(merged)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    committer.atomicRename(tmp, mvRegistryFile)
-    spark.conf.set(graft.plans.MvRewrite.ConfKey, mvRegistryFile.toString)
-  }
+  // the registry is ONE file shared by every view: the read-merge-write
+  // must serialize across views (two concurrent createAggViews for
+  // DIFFERENT views would otherwise drop one entry), so it runs under a
+  // root-level lease lock ("_mv" is a lock-only directory — the '_'
+  // prefix keeps it invisible to scans, like every other sidecar)
+  private def writeMvEntry(entry: TableCatalog.MvEntry): Unit =
+    withTableLock("_mv") {
+      val merged = mvRegistry().filterNot(_.view == entry.view) :+ entry
+      val tmp = Paths.get(root,
+        s"_mv_registry.json.tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, TableCatalog.renderMvRegistry(merged)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmp, mvRegistryFile)
+      spark.conf.set(graft.plans.MvRewrite.ConfKey, mvRegistryFile.toString)
+    }
 
   private def normalized(p: String): String =
     Paths.get(p).toAbsolutePath.normalize().toString

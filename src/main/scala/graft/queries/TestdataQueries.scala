@@ -3293,6 +3293,60 @@ object TestdataQueries {
              |  CAST(1 AS BIGINT) AS n_files
              |FROM orders""".stripMargin)),
 
+    // ------------------------ streaming aggregate-view maintenance
+    // The MV loop closed over a live feed: a bounded lineitem slice
+    // (okey < 3000, stable at every SF) arrives as 3 MemoryStream
+    // micro-batches; each lands in the plain fact as one atomic
+    // batch_id partition and the registered view folds exactly the new
+    // files (created on batch 0, incrementally refreshed after). The
+    // final aggregation must be silently answered FROM THE VIEW (plan
+    // require) and equal the oracle's replay of the whole slice — a
+    // batch the view missed, double-folded, or half-published breaks
+    // the hash. StreamingMvSpec pins replay convergence and the
+    // foreign-incarnation reset.
+    "x_stream_mv" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streammv", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val slice = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 3000)
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_partkey").cast("long").as("pkey"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .as[(Long, Long, Long)].collect()
+      val mem = MemoryStream[(Long, Long, Long)]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest.startAggViewMaintenance(
+          cat, "smv_fact", "smv_view", Seq("pkey"), "price_c",
+          mem.toDF().toDF("okey", "pkey", "price_c"),
+          scratch.resolve("ckpt").toString)
+        try (0 until 3).foreach { bi =>
+          mem.addData(slice.filter(_._1 % 3 == bi).toIndexedSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val agg = cat.read("smv_fact").groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_price_c"))
+      val scanned = agg.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.head.toUri.getPath
+      }
+      require(scanned.nonEmpty && scanned.forall(_.contains("smv_view")),
+        s"stream-maintained view did not answer the aggregation ($scanned)")
+      agg
+    }),
+      Some("""SELECT CAST(l_partkey AS BIGINT) AS pkey,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM lineitem
+             |WHERE l_orderkey < 3000
+             |GROUP BY 1""".stripMargin)),
+
     // ---------------------------- incremental MV refresh (plain fact)
     // The maintenance loop of x_mv_rewrite for an append-style fact:
     // day-1 lineitem rows (odd orderkeys) are loaded plain, the view

@@ -108,6 +108,52 @@ object StreamingIngest {
       .outputMode("append")
       .start()
 
+  /** Streaming aggregate-view maintenance — the MV loop closed over a
+    * live feed: each micro-batch lands in the plain fact as one atomic
+    * `batch_id` partition ([[TableCatalog.publishBatch]]: staged write,
+    * atomic rename, marker LAST), then the registered view folds
+    * exactly the new files in ([[TableCatalog.refreshAggViewIncremental]])
+    * — O(batch) per trigger, and every aggregation a consumer runs
+    * against the fact keeps being silently answered from the view
+    * between triggers (graft.plans.MvRewrite, file-set freshness).
+    *
+    * Replay-safety splits cleanly across the two halves: a re-delivered
+    * batch id skips the publish (marker high-water mark, incarnation-
+    * token-keyed like every maintainer here), and the refresh is driven
+    * by the FILE-SET diff — a replayed batch that rewrote its partition
+    * (crash before marker) surfaces as removed+added files and takes
+    * the full-recompute fallback, converging instead of double-counting
+    * (the property the absorb-only sketch maintenance cannot have). A
+    * foreign checkpoint incarnation wipes the batch partitions and lets
+    * the view recompute — the convergent reset. The view is CREATED on
+    * the first published batch (a plain fact must hold files before
+    * registration), refreshed incrementally ever after. */
+  def startAggViewMaintenance(cat: TableCatalog, fact: String, view: String,
+                              keyCols: Seq[String], valueCol: String,
+                              stream: DataFrame,
+                              checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = s"${view}__aggview"
+        val token = queryToken(checkpointDir)
+        cat.getMarkerWithToken(marker) match {
+          case Some((_, t)) if t != token =>
+            cat.dropBatchPartitions(fact)
+            cat.putMarker(marker, -1L, token)
+          case _ => ()
+        }
+        val applied = cat.getMarkerFor(marker, token).getOrElse(-1L)
+        if (batchId > applied)
+          cat.publishBatch(marker, batchId, token, Seq(fact -> batch))
+        if (cat.aggViewNames.contains(view))
+          cat.refreshAggViewIncremental(view, fact)
+        else
+          cat.createAggView(view, fact, keyCols, valueCol)
+        () // foreachBatch wants Unit; the refresh's count is diagnostics
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming SCD2 dimension maintenance: a stream of staged dim rows
     * (key + attrs + `change_date`) applied incrementally to the SAME
     * open/closed layout the daily batch Runner maintains. foreachBatch
