@@ -497,7 +497,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                   broadcastBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val tables = edges.flatMap(e => Seq(e._1, e._3)).distinct
-    val order = planJoinOrder(edges).getOrElse(tables)
+    // stale-stats fallback must still be EDGE-CONNECTED left-deep:
+    // first-appearance order can strand a table whose only edge points
+    // at a not-yet-joined one (e.g. A-B, C-D, B-D listed in that
+    // order), which would fail the join-condition require below on
+    // perfectly valid input. BFS over the edge graph from the first
+    // table preserves the caller's rough intent and is always legal.
+    def bfsOrder: Seq[String] = {
+      val adj = tables.map(t => t -> edges.collect {
+        case (a, _, b, _) if a == t => b
+        case (a, _, b, _) if b == t => a
+      }).toMap
+      val out = scala.collection.mutable.ArrayBuffer(tables.head)
+      val seen = scala.collection.mutable.Set(tables.head)
+      var i = 0
+      while (i < out.size) {
+        adj(out(i)).foreach(n => if (seen.add(n)) out += n)
+        i += 1
+      }
+      out.toSeq
+    }
+    val order = planJoinOrder(edges).getOrElse(bfsOrder)
     def freshSize(t: String): Option[Long] =
       stats(t).filter(_.version == currentVersion(t)).map(_.sizeBytes)
     def side(t: String): DataFrame = {
@@ -628,6 +648,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       Files.write(tmp, TableCatalog.renderMvRegistry(merged)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       committer.atomicRename(tmp, mvRegistryFile)
+      // two writes inside one mtime granule must not leave the rule
+      // serving the older parse (same-millisecond create+refresh)
+      graft.plans.MvRewrite.invalidateCache()
       spark.conf.set(graft.plans.MvRewrite.ConfKey, mvRegistryFile.toString)
     }
 
@@ -726,10 +749,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "silently keep seeing the committed snapshot. Use replaceAtomic " +
         "for whole-table rewrites of a versioned table.")
 
-  /** TRUNCATE+reload semantics (main.py:53-55 + the staging loads). */
+  /** TRUNCATE+reload semantics (main.py:53-55 + the staging loads).
+    * Clears any deletion-vector sidecar: every old row is replaced, so
+    * the vectors are moot — leaving them would orphan entries that pay
+    * a useless anti-join on every readMor and trip the live-vector
+    * guards forever (the only other unblock being a pointless
+    * applyDeleteVectors rewrite of the just-loaded table). */
   def overwrite(table: String, df: DataFrame): Unit = {
     requirePlain(table, "overwrite")
     df.write.mode("overwrite").parquet(path(table))
+    deleteRecursive(dvDir(table))
     invalidateStats(table)
   }
 
@@ -1427,6 +1456,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                 deleteWhenMatched: Option[org.apache.spark.sql.Column] = None)
       : (Long, Long, Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, sum, when}
+    // a plain target converts to the versioned layout on commit
+    // (replaceAtomic drops the shadowed files) — legal, EXCEPT under
+    // live deletion vectors, which this bare read would ignore and
+    // silently resurrect into the merge result
+    require(!hasDv(table),
+      s"'$table' carries deletion vectors — applyDeleteVectors before MERGE")
     val target = read(table)
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"column mismatch: target ${target.columns.sorted.mkString(",")} vs " +
@@ -1829,6 +1864,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   private def replaceAtomicLocked(table: String, df: DataFrame): Unit = {
     healSwap(table)
+    // centralized deletion-vector guard: converting a plain table that
+    // carries live vectors would snapshot the bare (vectors-ignored)
+    // read and silently resurrect deleted rows — every rewriting verb
+    // that funnels here (optimizeZOrder, mergeInto, compactSmallFiles,
+    // direct replaceAtomic) is covered by this one require
+    require(currentVersion(table).isDefined || !hasDv(table),
+      s"'$table' carries deletion vectors — applyDeleteVectors before " +
+        "rewriting it into the versioned layout")
     val cur = currentVersion(table)
     val next = cur.getOrElse(0L) + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
@@ -2005,7 +2048,7 @@ object TableCatalog {
     om.writeValueAsString(arr)
   }
 
-  private[catalog] def parseMvRegistry(s: String): Seq[MvEntry] =
+  private[graft] def parseMvRegistry(s: String): Seq[MvEntry] =
     try {
       import scala.jdk.CollectionConverters._
       om.readTree(s).elements().asScala.map { e =>

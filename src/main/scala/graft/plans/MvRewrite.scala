@@ -41,35 +41,33 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.mvRegistry"
 
-  private[plans] final case class MvDef(view: String, factPath: String,
-                                        mvPath: String, keys: Seq[String],
-                                        value: String,
-                                        factFiles: Seq[String] = Seq.empty)
+  // the registry codec lives in ONE place — TableCatalog.parseMvRegistry,
+  // the same parser the writer round-trips through — so a format change
+  // cannot desynchronize the rule's copy (it HAS no copy); a parse
+  // failure reads as an empty registry = rule off.
+  private[plans] type MvDef = graft.catalog.TableCatalog.MvEntry
 
-  // mtime-cached registry parse: the rule runs on every query in a
-  // session that registered a view — re-reading a small JSON only when
-  // it changed keeps the per-query planning cost at a stat(2)
-  @volatile private var cached: (String, Long, Seq[MvDef]) = null
+  // cached registry parse keyed on (path, mtime, size): the rule runs
+  // on every query in a session that registered a view, so re-parse
+  // only when the file observably changed. writeMvEntry additionally
+  // invalidates this cache explicitly — two registry writes inside one
+  // mtime granule (fast local FS) must not serve the older parse.
+  @volatile private var cached: (String, Long, Long, Seq[MvDef]) = null
+
+  private[graft] def invalidateCache(): Unit = cached = null
 
   private[plans] def registry(path: String): Seq[MvDef] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return Seq.empty
     val mtime = Files.getLastModifiedTime(p).toMillis
+    val size = Files.size(p)
     val c = cached
-    if (c != null && c._1 == path && c._2 == mtime) return c._3
-    import scala.jdk.CollectionConverters._
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val defs =
-      try om.readTree(Files.readAllBytes(p)).elements().asScala.map { e =>
-        MvDef(e.get("view").asText, e.get("factPath").asText,
-          e.get("mvPath").asText,
-          e.get("keys").elements().asScala.map(_.asText).toSeq,
-          e.get("value").asText,
-          Option(e.get("factFiles")).toSeq
-            .flatMap(_.elements().asScala).map(_.asText))
-      }.toSeq
-      catch { case _: Exception => Seq.empty } // malformed registry = off
-    cached = (path, mtime, defs)
+    if (c != null && c._1 == path && c._2 == mtime && c._3 == size)
+      return c._4
+    val defs = graft.catalog.TableCatalog.parseMvRegistry(
+      new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+    cached = (path, mtime, size, defs)
     defs
   }
 

@@ -80,6 +80,26 @@ class JoinOrderSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("the stale-stats fallback stays edge-connected (BFS, not listing order)") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("joinorder-bfs").toString)
+    // A-B, C-D, B-D listed so first-appearance order [A,B,C,D] would
+    // reach C before anything it joins — the shape that must NOT throw
+    val mk = (n: String, c1: String, c2: String) =>
+      cat.replaceAtomic(n, (0 until 100).map(i => (i.toLong % 10, i.toLong % 10))
+        .toDF(c1, c2))
+    mk("ta", "a_k", "a_x"); mk("tb", "b_k", "b_m")
+    mk("tc", "c_k", "c_x"); mk("td", "d_k", "d_m")
+    val edges = Seq(
+      ("ta", "a_k", "tb", "b_k"),
+      ("tc", "c_k", "td", "d_k"),
+      ("tb", "b_m", "td", "d_m"))
+    // NO analyze: stats absent on every table → planJoinOrder None
+    assert(cat.planJoinOrder(edges) === None)
+    // 1000 (ta⋈tb, 10 per key²×10 keys) × 10 (td per b_m) × 10 (tc per d_k)
+    assert(cat.joinOrdered(edges).count() === 100000L)
+  }
+
   test("a deeper chain orders by cumulative intermediate size") {
     val cat = new TableCatalog(spark,
       Files.createTempDirectory("joinorder-chain").toString)

@@ -70,6 +70,16 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestSession {
       === Set((1L, 10L), (2L, 21L), (3L, 30L)))
   }
 
+  test("a target carrying deletion vectors is refused") {
+    val cat = freshCat()
+    cat.overwrite("pt", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    cat.deleteVectorize("pt", col("k") === 1)
+    val e = intercept[IllegalArgumentException] {
+      cat.mergeInto("pt", Seq((3L, 30L)).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
+
   test("composite keys join on the whole tuple") {
     val cat = freshCat()
     cat.replaceAtomic("t", Seq((1L, "x", 1L), (1L, "y", 2L))

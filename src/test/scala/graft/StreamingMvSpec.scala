@@ -41,7 +41,9 @@ class StreamingMvSpec extends AnyFunSuite with SparkTestSession {
       val agg = cat.read("f").groupBy("k")
         .agg(count(lit(1)).as("n"), sum("x").as("s"),
           min("x").as("lo"), max("x").as("hi"))
-      assert(scans(agg).head.contains("v"), s"batch $b not folded")
+      // "/v/" — the view's own path segment; a bare contains("v") would
+      // match the "smv" temp-dir prefix in every scan path
+      assert(scans(agg).head.contains("/v/"), s"batch $b not folded")
       val expect = fed.groupBy(_._1).map { case (k, xs) =>
         (k, xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).min, xs.map(_._2).max) }
       assert(agg.as[(Long, Long, Long, Long, Long)].collect().toSet
@@ -59,7 +61,7 @@ class StreamingMvSpec extends AnyFunSuite with SparkTestSession {
       q2.processAllAvailable()
     } finally q2.stop()
     val agg2 = cat.read("f").agg(count(lit(1)).as("n"), sum("x").as("s"))
-    assert(scans(agg2).head.contains("v"))
+    assert(scans(agg2).head.contains("/v/"))
     assert(agg2.as[(Long, Long)].head() ===
       ((50L, (0L until 50L).sum)))
   }
