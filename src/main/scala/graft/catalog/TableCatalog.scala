@@ -715,6 +715,29 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     readVersion(table, v)
   }
 
+  /** RESTORE: roll `table` back to snapshot `v` (or a tag via
+    * [[restoreTag]]) by committing a NEW snapshot that replicates the
+    * old content — the Delta/Iceberg RESTORE semantics. History stays
+    * monotonic (version n+1 holds v's rows; nothing is rewound), so
+    * concurrent readers, time travel, tags, and the retention sweep
+    * all behave exactly as for any other commit; the bad versions
+    * remain inspectable until retention prunes them. The copy is
+    * deliberate: re-pointing at the old directory would couple the
+    * restored table's lifetime to a snapshot the sweep already
+    * considers prunable. Returns the new version. */
+  def restore(table: String, v: Long): Long = {
+    val content = readVersion(table, v) // fails loudly outside the horizon
+    replaceAtomic(table, content)
+    currentVersion(table).get
+  }
+
+  /** [[restore]] to the snapshot a tag pins. */
+  def restoreTag(table: String, name: String): Long = {
+    val v = tagVersion(table, name).getOrElse(throw new IllegalArgumentException(
+      s"no tag '$name' on '$table' (tags: ${tags(table).keys.toSeq.sorted.mkString(", ")})"))
+    restore(table, v)
+  }
+
   /** Drop a tag; the snapshot it pinned becomes prunable at the next
     * retention sweep (it is NOT deleted here — an in-flight reader that
     * resolved the tag moments ago still has its window). */

@@ -3293,6 +3293,40 @@ object TestdataQueries {
              |  CAST(1 AS BIGINT) AS n_files
              |FROM orders""".stripMargin)),
 
+    // ------------------------------------------------ RESTORE verb
+    // The rollback story end to end: good orders snapshot committed and
+    // tagged, a corrupted deploy committed over it (totals zeroed), then
+    // restoreTag replays the GOOD content as a new monotonic commit —
+    // the in-query require()s pin the version arithmetic (v3 = copy of
+    // v1) and that the bad version remains inspectable history; the
+    // oracle replays the good content from raw orders, so a restore
+    // that resurrected the corrupted rows fails the hash.
+    "x_restore" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_restore", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      cat.replaceAtomic("r_orders", o)
+      val good = cat.tag("r_orders", "good")
+      cat.replaceAtomic("r_orders", o.withColumn("total_c", lit(0L)))
+      val restored = cat.restoreTag("r_orders", "good")
+      require(restored == good + 2,
+        s"expected restore commit v${good + 2}, got v$restored")
+      require(cat.readVersion("r_orders", good + 1)
+          .agg(sum(col("total_c"))).head().getLong(0) == 0L,
+        "the corrupted version must remain inspectable history")
+      cat.read("r_orders")
+        .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("sum_total_c"),
+          max(col("okey")).as("max_okey"))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_total_c,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_okey
+             |FROM orders""".stripMargin)),
+
     // ------------------------ streaming aggregate-view maintenance
     // The MV loop closed over a live feed: a bounded lineitem slice
     // (okey < 3000, stable at every SF) arrives as 3 MemoryStream
