@@ -237,17 +237,25 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         (g, fs ++ empties)
       }
     val (rowCount, ndv) = rowsAndNdv(globalRow)
-    val bloomed =
-      if (blooms.isEmpty) files
-      else {
-        val maxRows = files.map(_.rows).maxOption.getOrElse(0L)
-        val m = math.max(1024L,
-          TableCatalog.nextPow2(maxRows * bloomBitsPerRow))
-        val idx = bloomIndex(df, blooms, bloomHashes, m)
-        files.map(f => f.copy(bloom = idx.getOrElse(f.file, Map.empty)))
-      }
+    // a full ANALYZE re-describes every file: clear prior legs (and any
+    // orphaned ones, when blooms were dropped from the index)
+    deleteRecursive(bloomDir(table))
+    // size the table after the old legs are gone and BEFORE new ones
+    // land: for a plain table the legs live inside the measured
+    // directory, and filter bytes must not inflate the size the
+    // broadcast budget is judged against
+    val sizeBytes = TableCatalog.dirBytes(Paths.get(pinnedDir))
+    if (blooms.nonEmpty) {
+      val maxRows = files.map(_.rows).maxOption.getOrElse(0L)
+      val m = math.max(1024L,
+        TableCatalog.nextPow2(maxRows * bloomBitsPerRow))
+      // leg rides BEFORE the stats sidecar: a reader that resolves the
+      // fresh stats must find the filters (pointKeepFiles fails loudly,
+      // never lossily, if it cannot)
+      writeBloomLeg(table, bloomIndex(df, blooms, bloomHashes, m))
+    }
     val st = TableCatalog.TableStats(ver, rowCount,
-      TableCatalog.dirBytes(Paths.get(pinnedDir)), ndv, skips, bloomed,
+      sizeBytes, ndv, skips, files,
       blooms, if (blooms.isEmpty) 0 else bloomHashes,
       if (blooms.isEmpty) 0 else bloomBitsPerRow)
     // Skip the sidecar write when the pointer moved mid-job — the stats
@@ -1206,17 +1214,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // hash count / sizing rule (per-file filter length is
       // self-describing, so append legs may carry a different size
       // than the original ANALYZE — the probe decodes each file's own)
-      val fs =
-        if (prev.bloomCols.isEmpty) scannedFs
-        else {
-          val maxRows = scannedFs.map(_.rows).maxOption.getOrElse(0L)
-          val m = math.max(1024L,
-            TableCatalog.nextPow2(maxRows * prev.bloomBitsPerRow))
-          val idx = bloomIndex(
-            spark.read.option("basePath", path(table)).parquet(newFiles: _*),
-            prev.bloomCols, prev.bloomHashes, m)
-          scannedFs.map(f => f.copy(bloom = idx.getOrElse(f.file, Map.empty)))
-        }
+      // and land them as one immutable `_bloom/` leg — O(new files)
+      if (prev.bloomCols.nonEmpty) {
+        val maxRows = scannedFs.map(_.rows).maxOption.getOrElse(0L)
+        val m = math.max(1024L,
+          TableCatalog.nextPow2(maxRows * prev.bloomBitsPerRow))
+        writeBloomLeg(table, bloomIndex(
+          spark.read.option("basePath", path(table)).parquet(newFiles: _*),
+          prev.bloomCols, prev.bloomHashes, m))
+      }
+      val fs = scannedFs
       val merged = prev.copy(
         rows = prev.rows + fs.map(_.rows).sum,
         sizeBytes = TableCatalog.dirBytes(Paths.get(readPath(table))),
@@ -1294,6 +1301,38 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       d.filter(col(c) >= lo && col(c) <= hi) }
   }
 
+  private def bloomDir(table: String): Path = Paths.get(path(table), "_bloom")
+
+  /** Append one immutable bloom leg: staged at top level (vacuum's
+    * `_tmp_` staging class covers a crashed writer), committed by one
+    * atomic move into `_bloom/`. */
+  private def writeBloomLeg(table: String,
+                            entries: Map[String, Map[String, String]]): Unit = {
+    val tmp = Paths.get(path(table),
+      s"_tmp_bloom-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.renderBloomLeg(entries)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.createDirectories(bloomDir(table))
+    committer.atomicRename(tmp,
+      bloomDir(table).resolve(s"leg-${java.util.UUID.randomUUID()}.json"))
+  }
+
+  /** All bloom legs of `table`, merged (legs are per-file disjoint). */
+  private def loadBlooms(table: String): Map[String, Map[String, String]] = {
+    import scala.jdk.CollectionConverters._
+    val dir = bloomDir(table)
+    if (!Files.exists(dir)) return Map.empty
+    val s = Files.list(dir)
+    val legs = try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("leg-")).toSeq
+    finally s.close()
+    legs.foldLeft(Map.empty[String, Map[String, String]]) { (acc, p) =>
+      acc ++ TableCatalog.parseBloomLeg(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Per-file Bloom bitsets of `cols` over `src` (power-of-two size
     * `m`), built distributed at word granularity: explode the k hash
     * positions of every value, `bit_or` the single-bit contributions
@@ -1361,15 +1400,24 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val hashes = probes.zipWithIndex.map { case ((c, _), i) =>
       c -> (1 to st.bloomHashes).map(s =>
         hrow.getLong(hrow.fieldIndex(s"h_${i}_$s"))) }
+    // bitsets load from the `_bloom/` legs, NOT the stats sidecar —
+    // planning-path stats() parses stay KB-sized however many filter
+    // bytes the table carries. LOUD, never lossy: a file with rows but
+    // no filter for a probed column means the index is incomplete
+    // (half-written legs, manual deletion) — dropping it would silently
+    // lose rows, so refuse instead.
+    val blooms = loadBlooms(table)
     st.files.filter { f =>
-      hashes.forall { case (c, hs) =>
-        f.bloom.get(c).exists { b64 =>
-          val w = TableCatalog.unpackBloom(b64)
-          val m = w.length.toLong * 64L
-          hs.forall { h =>
-            val p = java.lang.Math.floorMod(h, m)
-            (w((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0L
-          }
+      f.rows > 0L && hashes.forall { case (c, hs) =>
+        val b64 = blooms.get(f.file).flatMap(_.get(c)).getOrElse(
+          throw new IllegalStateException(
+            s"bloom index of '$table' is incomplete: no '$c' filter for " +
+              s"${f.file} (${f.rows} rows) — re-analyze with bloomCols"))
+        val w = TableCatalog.unpackBloom(b64)
+        val m = w.length.toLong * 64L
+        hs.forall { h =>
+          val p = java.lang.Math.floorMod(h, m)
+          (w((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0L
         }
       }
     }.map(_.file)
@@ -1948,14 +1996,12 @@ object TableCatalog {
     * probe API is Long-ranged) for each skip column. A column absent
     * from `min`/`max` was all-NULL in that file (min/max ignore NULLs),
     * so no range can match it — the pruner drops such files, exactly
-    * what the row-level predicate would do. `bloom` carries the
-    * equality-probe half of the index: per bloom column a base64-packed
-    * bitset (length encodes the filter size — files indexed at
-    * different times may carry different sizes); absent for files with
-    * no rows, which the point pruner drops for the same reason. */
+    * what the row-level predicate would do. The equality-probe half of
+    * the index (per-file Bloom bitsets) lives in `_bloom/` leg files,
+    * not here: the bitsets dominate the sidecar at scale and must not
+    * be parsed on every planning call — see renderStats. */
   final case class FileStats(file: String, rows: Long,
-                             min: Map[String, Long], max: Map[String, Long],
-                             bloom: Map[String, String] = Map.empty)
+                             min: Map[String, Long], max: Map[String, Long])
 
   /** Persisted table statistics — see [[TableCatalog.analyze]].
     * `version` is the snapshot version the stats describe (None for
@@ -1998,6 +2044,13 @@ object TableCatalog {
         root.put("bloomHashes", st.bloomHashes)
         root.put("bloomBitsPerRow", st.bloomBitsPerRow)
       }
+      // bloom BITSETS deliberately do not render here: at warehouse
+      // scale they dominate the sidecar (measured 22 MB of a 22.4 MB
+      // _stats.json at sf1 — 23% of the table's own bytes), and
+      // stats() is parsed on EVERY planning call (readHinted,
+      // estimateJoinRows), not just point probes. They live in
+      // immutable `_bloom/` leg files ([[TableCatalog!.renderBloomLeg]])
+      // loaded only by pointKeepFiles.
       val fs = root.putArray("files")
       st.files.sortBy(_.file).foreach { f =>
         val o = fs.addObject()
@@ -2007,10 +2060,6 @@ object TableCatalog {
         f.min.toSeq.sortBy(_._1).foreach { case (c, v) => mn.put(c, v) }
         val mx = o.putObject("max")
         f.max.toSeq.sortBy(_._1).foreach { case (c, v) => mx.put(c, v) }
-        if (f.bloom.nonEmpty) {
-          val bl = o.putObject("bloom")
-          f.bloom.toSeq.sortBy(_._1).foreach { case (c, v) => bl.put(c, v) }
-        }
       }
     }
     om.writeValueAsString(root)
@@ -2025,13 +2074,10 @@ object TableCatalog {
         def longMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, Long] =
           if (o == null) Map.empty
           else o.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
-        def strMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
-          if (o == null) Map.empty
-          else o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
         val files = Option(n.get("files")).toSeq
           .flatMap(_.elements().asScala)
           .map(f => FileStats(f.get("file").asText, f.get("rows").asLong,
-            longMap(f.get("min")), longMap(f.get("max")), strMap(f.get("bloom"))))
+            longMap(f.get("min")), longMap(f.get("max"))))
         val skipCols = Option(n.get("skipCols")).toSeq
           .flatMap(_.elements().asScala).map(_.asText)
         val bloomCols = Option(n.get("bloomCols")).toSeq
@@ -2083,6 +2129,29 @@ object TableCatalog {
             .flatMap(_.elements().asScala).map(_.asText))
       }.toSeq
     } catch { case _: Exception => Seq.empty }
+
+  /** One `_bloom/` leg file: {file: {col: base64-bitset}} for the files
+    * one ANALYZE or indexed-append pass covered. Legs are immutable and
+    * per-file disjoint (a full ANALYZE clears the directory first), so
+    * loading is a read-and-merge, and an append writes O(new files). */
+  private[catalog] def renderBloomLeg(
+      entries: Map[String, Map[String, String]]): String = {
+    val root = om.createObjectNode()
+    entries.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+      val o = root.putObject(f)
+      cols.toSeq.sortBy(_._1).foreach { case (c, b) => o.put(c, b) }
+    }
+    om.writeValueAsString(root)
+  }
+
+  private[catalog] def parseBloomLeg(s: String): Map[String, Map[String, String]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      om.readTree(s).properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala
+          .map(c => c.getKey -> c.getValue.asText).toMap
+      }.toMap
+    } catch { case _: Exception => Map.empty }
 
   private[catalog] def nextPow2(n: Long): Long =
     if (n <= 1L) 1L else java.lang.Long.highestOneBit(n - 1L) << 1

@@ -90,7 +90,12 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
     cat.appendIndexed("t", day2, skipCols = Seq.empty)
     val st = cat.stats("t").get
     assert(st.files.size === 20)
-    assert(st.files.forall(_.bloom.contains("id")))
+    // the bitsets live as immutable _bloom/ legs: one from the full
+    // ANALYZE, one per indexed append — never inside _stats.json
+    import scala.jdk.CollectionConverters._
+    val legs = Files.list(java.nio.file.Paths.get(cat.path("t"), "_bloom"))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(legs.count(_.startsWith("leg-")) === 2)
 
     // a value reachable only through the appended files' filters
     val hit = cat.prunedReadPoint("t", Seq(("id", 20500L)))
@@ -100,6 +105,33 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.size <= 3, s"day-2 probe kept ${kept.size} of 20 files")
     // day-1 values still resolve through the original filters
     assert(cat.prunedReadPoint("t", Seq(("id", 777L))).count() === 1L)
+  }
+
+  test("the stats sidecar stays small; a vanished leg is loud, not lossy") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id", "name"))
+    // planning-path stats() must never pay for filter bytes: the
+    // sidecar holds rows/envelopes only, the bitsets live in _bloom/
+    val statsBytes = Files.size(
+      java.nio.file.Paths.get(cat.path("t"), "_stats.json"))
+    val legBytes = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(java.nio.file.Paths.get(cat.path("t"), "_bloom"))
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+      finally s.close()
+    }
+    assert(statsBytes < 20000, s"stats sidecar carries $statsBytes bytes")
+    assert(legBytes > statsBytes, "bitsets missing from the legs")
+    // an incomplete index (manual deletion, half-written legs) must
+    // refuse — dropping the unfiltered file would silently lose rows
+    TableCatalog.deleteRecursively(
+      java.nio.file.Paths.get(cat.path("t"), "_bloom"))
+    val e = intercept[IllegalStateException] {
+      cat.prunedReadPoint("t", Seq(("id", 777L)))
+    }
+    assert(e.getMessage.contains("incomplete"))
   }
 
   test("probing a non-bloom column or a NULL value errors loudly") {
