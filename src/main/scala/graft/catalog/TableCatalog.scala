@@ -393,6 +393,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Estimated rows of `table` surviving the closed range `lo..hi` on
+    * integer column `c`, from the PERSISTED per-file envelopes:
+    * Σ over files of rows_f × |range ∩ [min_f, max_f]| / |[min_f, max_f]|
+    * — the System-R uniform-selectivity model upgraded from table-level
+    * min/max to file granularity, so a clustered layout (disjoint
+    * envelopes) answers near-exactly while a scattered one degrades to
+    * the classic uniform estimate. Pure metadata — no data touched.
+    * None when the column is not an analyzed skip column or the stats
+    * are stale. */
+  def estimateRangeRows(table: String, c: String, lo: Long,
+                        hi: Long): Option[Long] = {
+    if (hi < lo) return Some(0L)
+    stats(table)
+      .filter(st => st.version == currentVersion(table) &&
+        st.skipCols.contains(c) && st.files.nonEmpty)
+      .map { st =>
+        st.files.map { f =>
+          (f.min.get(c), f.max.get(c)) match {
+            case (Some(mn), Some(mx)) if mx >= lo && mn <= hi =>
+              val width = BigInt(mx) - BigInt(mn) + 1
+              val covered = BigInt(math.min(hi, mx)) - BigInt(math.max(lo, mn)) + 1
+              (BigInt(f.rows) * covered / width).toLong
+            case _ => 0L // disjoint envelope or all-NULL column
+          }
+        }.sum
+      }
+  }
+
   /** Left-deep join ORDER over a connected equi-join graph, chosen by
     * System-R dynamic programming over PERSISTED stats — the classic
     * Selinger enumeration, run entirely on sidecar metadata (no data
@@ -409,9 +437,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * written order; a cost-based decision from stale statistics is
     * worse than no decision (it broadcasts/orders from facts about a
     * table that no longer exists). A disconnected graph is a caller
-    * bug and throws. */
-  def planJoinOrder(
-      edges: Seq[(String, String, String, String)]): Option[Seq[String]] = {
+    * bug and throws.
+    *
+    * `filters` (table → closed range on an integer column) makes the
+    * enumeration FILTER-AWARE — the full System-R shape: each filtered
+    * table's base cardinality scales by [[estimateRangeRows]] before
+    * the DP, so a selective predicate on a big table can flip the whole
+    * order (join the shrunken side first). A filter whose column lacks
+    * envelope stats contributes no scaling (conservative: unfiltered
+    * rows), never a refusal. */
+  def planJoinOrder(edges: Seq[(String, String, String, String)],
+                    filters: Map[String, (String, Long, Long)] = Map.empty)
+      : Option[Seq[String]] = {
     val tables = edges.flatMap(e => Seq(e._1, e._3)).distinct
     require(tables.size >= 2, s"join graph needs >= 2 tables, got $tables")
     require(tables.size <= 16,
@@ -450,7 +487,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
     if (sels.exists(_.isEmpty)) return None
     val es = sels.flatten
-    val rowsOf = tables.map(t => BigInt(math.max(1L, st(t).rows)))
+    val rowsOf = tables.map { t =>
+      val base = math.max(1L, st(t).rows)
+      val filtered = filters.get(t).flatMap { case (c, lo, hi) =>
+        estimateRangeRows(t, c, lo, hi) }.getOrElse(base)
+      BigInt(math.max(1L, math.min(base, filtered)))
+    }
     def estOf(mask: Int): BigInt = {
       var num = BigInt(1)
       var i = 0
@@ -500,9 +542,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * a silent reorder of one would change results, not just plans.
     * Key column names must be unambiguous across the joined tables
     * (Spark errors loudly otherwise — TPC-H-style prefixed schemas
-    * satisfy this by construction). */
+    * satisfy this by construction).
+    *
+    * With `filters`, each filtered table's scan carries its range
+    * predicate (pushed to the parquet reader by Catalyst) and the
+    * BROADCAST decision judges the filtered size — on-disk bytes scaled
+    * by the estimated surviving fraction — so a selective predicate can
+    * turn a shuffle join into a broadcast one: the classic CBO win the
+    * unfiltered sizeBytes could never see. */
   def joinOrdered(edges: Seq[(String, String, String, String)],
-                  broadcastBytes: Long = 64L << 20): DataFrame = {
+                  broadcastBytes: Long = 64L << 20,
+                  filters: Map[String, (String, Long, Long)] = Map.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val tables = edges.flatMap(e => Seq(e._1, e._3)).distinct
     // stale-stats fallback must still be EDGE-CONNECTED left-deep:
@@ -525,15 +576,30 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       }
       out.toSeq
     }
-    val order = planJoinOrder(edges).getOrElse(bfsOrder)
-    def freshSize(t: String): Option[Long] =
-      stats(t).filter(_.version == currentVersion(t)).map(_.sizeBytes)
+    val order = planJoinOrder(edges, filters).getOrElse(bfsOrder)
+    def filteredSize(t: String): Option[Long] =
+      stats(t).filter(_.version == currentVersion(t)).map { s =>
+        val frac = for {
+          (c, lo, hi) <- filters.get(t)
+          est <- estimateRangeRows(t, c, lo, hi)
+          if s.rows > 0
+        } yield (BigInt(s.sizeBytes) * BigInt(est) /
+          BigInt(s.rows)).toLong
+        frac.map(math.min(_, s.sizeBytes)).getOrElse(s.sizeBytes)
+      }
+    def scan(t: String): DataFrame = {
+      val base = read(t)
+      filters.get(t) match {
+        case Some((c, lo, hi)) => base.filter(col(c) >= lo && col(c) <= hi)
+        case None => base
+      }
+    }
     def side(t: String): DataFrame = {
-      val d = read(t)
-      if (freshSize(t).exists(_ <= broadcastBytes)) broadcast(d) else d
+      val d = scan(t)
+      if (filteredSize(t).exists(_ <= broadcastBytes)) broadcast(d) else d
     }
     var inPlan = Set(order.head)
-    order.tail.foldLeft(read(order.head)) { (acc, t) =>
+    order.tail.foldLeft(scan(order.head)) { (acc, t) =>
       val conds = edges.collect {
         case (a, ca, b, cb) if inPlan(a) && b == t => col(ca) === col(cb)
         case (a, ca, b, cb) if inPlan(b) && a == t => col(cb) === col(ca)

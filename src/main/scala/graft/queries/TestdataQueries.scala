@@ -3189,6 +3189,56 @@ object TestdataQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin)),
 
+    // ------------------- filter-aware Selinger (selectivity estimates)
+    // The full System-R shape: the orders fact is ANALYZEd WITH okey
+    // envelopes, the join graph is DP-ordered with the okey<=3000
+    // filter's estimateRangeRows selectivity scaled into the fact's
+    // base cardinality (pure sidecar metadata — no data touched at plan
+    // time), and execution pushes the same range to the scan while the
+    // broadcast decision judges the FILTERED size. The require() pins
+    // that the filtered plan exists; the oracle replays the filtered
+    // chain, so an estimator that changed row routing (rather than just
+    // cost) would break the hash. JoinOrderSpec pins the estimator's
+    // accuracy and the order flip itself.
+    "x_join_filtered" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_joinfilter", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      cat.replaceAtomic("jf_orders", t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("o_ckey"),
+        cents(col("o_totalprice")).as("total_c")))
+      cat.replaceAtomic("jf_customer", t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ckey"),
+        col("c_nationkey").cast("long").as("c_nkey")))
+      cat.replaceAtomic("jf_nation", t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nkey"),
+        col("n_name").as("n_name")))
+      cat.analyze("jf_orders", skipCols = Seq("okey"))
+      cat.analyze("jf_customer"); cat.analyze("jf_nation")
+      val edges = Seq(
+        ("jf_orders", "o_ckey", "jf_customer", "ckey"),
+        ("jf_customer", "c_nkey", "jf_nation", "nkey"))
+      val flt = Map("jf_orders" -> (("okey", 1L, 3000L)))
+      require(cat.planJoinOrder(edges, flt).isDefined,
+        "fresh stats + envelopes must yield a filter-aware DP plan")
+      require(cat.estimateRangeRows("jf_orders", "okey", 1L, 3000L)
+          .exists(_ > 0L),
+        "the okey envelope must yield a positive selectivity estimate")
+      cat.joinOrdered(edges, filters = flt)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("sum_total_c"))
+    }),
+      Some("""SELECT n_name,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_total_c
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderkey BETWEEN 1 AND 3000
+             |GROUP BY n_name""".stripMargin)),
+
     // --------------------------- transparent materialized-view rewrite
     // The optimizer half of x_incremental_agg: a lineitem fact is
     // committed versioned, createAggView materializes its per-partkey

@@ -80,6 +80,52 @@ class JoinOrderSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("estimateRangeRows is near-exact on clustered envelopes") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("rangeest").toString)
+    cat.replaceAtomic("r", (0 until 10000).map(i => (i.toLong, i.toLong % 7))
+      .toDF("id", "g").repartitionByRange(8, col("id")))
+    cat.analyze("r", skipCols = Seq("id"))
+    val est = cat.estimateRangeRows("r", "id", 1000L, 2999L).get
+    assert(math.abs(est - 2000L) <= 200L, s"estimate $est for exact 2000")
+    assert(cat.estimateRangeRows("r", "id", 50000L, 60000L) === Some(0L))
+    // un-analyzed column → no estimate, never a guess
+    assert(cat.estimateRangeRows("r", "g", 0L, 3L) === None)
+  }
+
+  test("a selective filter flips the join order (filter-aware Selinger)") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("filterorder").toString)
+    // unfiltered: dim_a (100 of 1000 keys → est 10k) beats dim_b
+    // (est 100k) and joins first; filtering dim_b to ~1 row makes
+    // est(fact ⋈ b) = 100k/40 = 2.5k < 10k and must flip the order
+    val fact = (0 until 100000)
+      .map(i => (i.toLong, i.toLong % 1000, i.toLong % 40)).toDF("f_id", "f_a", "f_b")
+    val a = (0 until 100).map(i => (i.toLong, s"a$i")).toDF("a_key", "a_name")
+    val b = (0 until 40).map(i => (i.toLong, i.toLong * 100)).toDF("b_key", "b_attr")
+    cat.replaceAtomic("fact", fact)
+    cat.replaceAtomic("dim_a", a)
+    cat.replaceAtomic("dim_b", b.repartitionByRange(4, col("b_key")))
+    cat.analyze("fact"); cat.analyze("dim_a")
+    cat.analyze("dim_b", skipCols = Seq("b_key"))
+    val edges = Seq(
+      ("fact", "f_a", "dim_a", "a_key"),
+      ("fact", "f_b", "dim_b", "b_key"))
+    assert(cat.planJoinOrder(edges) === Some(Seq("fact", "dim_a", "dim_b")))
+    val flt = Map("dim_b" -> (("b_key", 0L, 0L)))
+    assert(cat.planJoinOrder(edges, flt) ===
+      Some(Seq("fact", "dim_b", "dim_a")))
+    // execution applies the filter and stays value-correct
+    val planned = cat.joinOrdered(edges, filters = flt)
+      .agg(count(lit(1)).as("n")).as[Long].head()
+    val naive = cat.read("fact")
+      .join(cat.read("dim_a"), col("f_a") === col("a_key"))
+      .join(cat.read("dim_b").filter(col("b_key") === 0),
+        col("f_b") === col("b_key"))
+      .count()
+    assert(planned === naive)
+  }
+
   test("the stale-stats fallback stays edge-connected (BFS, not listing order)") {
     val cat = new TableCatalog(spark,
       Files.createTempDirectory("joinorder-bfs").toString)
