@@ -237,23 +237,33 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         (g, fs ++ empties)
       }
     val (rowCount, ndv) = rowsAndNdv(globalRow)
-    // a full ANALYZE re-describes every file: clear prior legs (and any
-    // orphaned ones, when blooms were dropped from the index)
-    deleteRecursive(bloomDir(table))
-    // size the table after the old legs are gone and BEFORE new ones
-    // land: for a plain table the legs live inside the measured
-    // directory, and filter bytes must not inflate the size the
-    // broadcast budget is judged against
-    val sizeBytes = TableCatalog.dirBytes(Paths.get(pinnedDir))
+    // sideband bytes (bloom legs, deletion vectors) live inside a plain
+    // table's directory and must not inflate the size the broadcast
+    // budget is judged against
+    val sizeBytes = dataBytes(pinnedDir)
+    // bloom swap order keeps the index AVAILABLE at every instant: the
+    // NEW leg lands first (atomic move), THEN the superseded legs are
+    // deleted — a crash mid-rebuild (the bloomIndex job can run minutes
+    // at scale) or a concurrent point probe sees old, old+new (merge
+    // conflicts are content-identical: same files, same hash family,
+    // same sizing), or new, never an empty directory under fresh stats.
+    // When blooms were DROPPED from the index the old legs are cleared.
+    val oldLegs = {
+      import scala.jdk.CollectionConverters._
+      val dir = bloomDir(table)
+      if (!Files.exists(dir)) Seq.empty[Path]
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+    }
     if (blooms.nonEmpty) {
       val maxRows = files.map(_.rows).maxOption.getOrElse(0L)
       val m = math.max(1024L,
         TableCatalog.nextPow2(maxRows * bloomBitsPerRow))
-      // leg rides BEFORE the stats sidecar: a reader that resolves the
-      // fresh stats must find the filters (pointKeepFiles fails loudly,
-      // never lossily, if it cannot)
       writeBloomLeg(table, bloomIndex(df, blooms, bloomHashes, m))
     }
+    oldLegs.foreach(p => deleteRecursive(p))
     val st = TableCatalog.TableStats(ver, rowCount,
       sizeBytes, ndv, skips, files,
       blooms, if (blooms.isEmpty) 0 else bloomHashes,
@@ -403,22 +413,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * None when the column is not an analyzed skip column or the stats
     * are stale. */
   def estimateRangeRows(table: String, c: String, lo: Long,
-                        hi: Long): Option[Long] = {
+                        hi: Long): Option[Long] =
+    stats(table).filter(_.version == currentVersion(table))
+      .flatMap(st => estimateRangeRowsFrom(st, c, lo, hi))
+
+  // the planning paths (planJoinOrder, joinOrdered's broadcast sizing)
+  // already hold freshness-checked TableStats — estimating from them
+  // directly keeps one sidecar parse per table per plan, not four
+  private def estimateRangeRowsFrom(st: TableCatalog.TableStats, c: String,
+                                    lo: Long, hi: Long): Option[Long] = {
     if (hi < lo) return Some(0L)
-    stats(table)
-      .filter(st => st.version == currentVersion(table) &&
-        st.skipCols.contains(c) && st.files.nonEmpty)
-      .map { st =>
-        st.files.map { f =>
-          (f.min.get(c), f.max.get(c)) match {
-            case (Some(mn), Some(mx)) if mx >= lo && mn <= hi =>
-              val width = BigInt(mx) - BigInt(mn) + 1
-              val covered = BigInt(math.min(hi, mx)) - BigInt(math.max(lo, mn)) + 1
-              (BigInt(f.rows) * covered / width).toLong
-            case _ => 0L // disjoint envelope or all-NULL column
-          }
-        }.sum
+    if (!st.skipCols.contains(c) || st.files.isEmpty) return None
+    Some(st.files.map { f =>
+      (f.min.get(c), f.max.get(c)) match {
+        case (Some(mn), Some(mx)) if mx >= lo && mn <= hi =>
+          val width = BigInt(mx) - BigInt(mn) + 1
+          val covered = BigInt(math.min(hi, mx)) - BigInt(math.max(lo, mn)) + 1
+          (BigInt(f.rows) * covered / width).toLong
+        case _ => 0L // disjoint envelope or all-NULL column
       }
+    }.sum)
   }
 
   /** Left-deep join ORDER over a connected equi-join graph, chosen by
@@ -453,6 +467,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(tables.size >= 2, s"join graph needs >= 2 tables, got $tables")
     require(tables.size <= 16,
       s"DP enumeration capped at 16 tables, got ${tables.size}")
+    // a typo'd filter key would otherwise be silently DROPPED from the
+    // executed query — loud validation, same rule as prunedRead's
+    // unknown-column refusal
+    require(filters.keySet.subsetOf(tables.toSet),
+      s"filter table(s) ${filters.keySet.diff(tables.toSet).mkString(", ")} " +
+        s"not in the join graph ($tables)")
     val idx = tables.zipWithIndex.toMap
     val n = tables.size
     // connectivity check is independent of stats freshness — a caller
@@ -490,7 +510,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val rowsOf = tables.map { t =>
       val base = math.max(1L, st(t).rows)
       val filtered = filters.get(t).flatMap { case (c, lo, hi) =>
-        estimateRangeRows(t, c, lo, hi) }.getOrElse(base)
+        estimateRangeRowsFrom(st(t), c, lo, hi) }.getOrElse(base)
       BigInt(math.max(1L, math.min(base, filtered)))
     }
     def estOf(mask: Int): BigInt = {
@@ -556,6 +576,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val tables = edges.flatMap(e => Seq(e._1, e._3)).distinct
+    require(filters.keySet.subsetOf(tables.toSet),
+      s"filter table(s) ${filters.keySet.diff(tables.toSet).mkString(", ")} " +
+        s"not in the join graph ($tables)")
     // stale-stats fallback must still be EDGE-CONNECTED left-deep:
     // first-appearance order can strand a table whose only edge points
     // at a not-yet-joined one (e.g. A-B, C-D, B-D listed in that
@@ -581,7 +604,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       stats(t).filter(_.version == currentVersion(t)).map { s =>
         val frac = for {
           (c, lo, hi) <- filters.get(t)
-          est <- estimateRangeRows(t, c, lo, hi)
+          est <- estimateRangeRowsFrom(s, c, lo, hi)
           if s.rows > 0
         } yield (BigInt(s.sizeBytes) * BigInt(est) /
           BigInt(s.rows)).toLong
@@ -647,20 +670,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "registering an aggregate view (the view must describe the bytes " +
         "a bare scan of the fact returns)")
     val factDf = read(fact)
-    replaceAtomic(view,
-      graft.ops.IncrementalAgg.partials(factDf, keyCols, col(valueCol)))
     val files =
       if (currentVersion(fact).isDefined) Seq.empty[String]
       else factDf.inputFiles.toSeq.sorted
     // an empty plain fact would register with an empty file pin —
     // indistinguishable from the versioned (path-identity) form, so a
-    // later load could never un-match the view. Load first.
+    // later load could never un-match the view. Validate BEFORE the
+    // view commit: failing after it would leave an orphaned,
+    // unregistered view table behind.
     require(currentVersion(fact).isDefined || files.nonEmpty,
       s"plain fact '$fact' holds no files yet — load data before " +
         "registering an aggregate view over it")
+    replaceAtomic(view,
+      graft.ops.IncrementalAgg.partials(factDf, keyCols, col(valueCol)))
     writeMvEntry(TableCatalog.MvEntry(view, normalized(readPath(fact)),
       normalized(readPath(view)), keyCols, valueCol, files))
   }
+
+  /** Whether `table` currently holds any committed data file — the
+    * guard a maintenance loop needs before registering state derived
+    * from it (an empty parquet directory cannot even infer a schema). */
+  def hasDataFiles(table: String): Boolean = listParquetUris(table).nonEmpty
 
   /** Names of the aggregate views registered in this catalog. */
   def aggViewNames: Seq[String] = mvRegistry().map(_.view)
@@ -801,8 +831,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * considers prunable. Returns the new version. */
   def restore(table: String, v: Long): Long = {
     val content = readVersion(table, v) // fails loudly outside the horizon
+    // the commit's OWN version, not a post-hoc pointer read — a
+    // concurrent writer landing right after would otherwise make the
+    // caller pin/tag the wrong (non-restored) snapshot
     replaceAtomic(table, content)
-    currentVersion(table).get
   }
 
   /** [[restore]] to the snapshot a tag pins. */
@@ -1292,7 +1324,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val fs = scannedFs
       val merged = prev.copy(
         rows = prev.rows + fs.map(_.rows).sum,
-        sizeBytes = TableCatalog.dirBytes(Paths.get(readPath(table))),
+        sizeBytes = dataBytes(readPath(table)), // legs/vectors excluded
         ndv = Map.empty,
         files = prev.files ++ fs)
       val tmp = Paths.get(path(table),
@@ -1368,6 +1400,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   }
 
   private def bloomDir(table: String): Path = Paths.get(path(table), "_bloom")
+
+  /** Data bytes under `dir`, EXCLUDING sideband artifacts (bloom legs,
+    * deletion vectors) that live inside a plain table's directory:
+    * every size a broadcast budget is judged against must describe the
+    * rows a scan returns, not the index bytes beside them. */
+  private def dataBytes(dir: String): Long =
+    TableCatalog.dirBytes(Paths.get(dir)) -
+      Seq("_bloom", "_dv").map(n =>
+        TableCatalog.dirBytes(Paths.get(dir, n))).sum
 
   /** Append one immutable bloom leg: staged at top level (vacuum's
     * `_tmp_` staging class covers a crashed writer), committed by one
@@ -1996,16 +2037,21 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
-  def replaceAtomic(table: String, df: DataFrame): Unit =
+  /** Returns the version this call committed — read it from the return
+    * value, never from a post-hoc [[currentVersion]] (a concurrent
+    * writer can land between the commit and the re-read). */
+  def replaceAtomic(table: String, df: DataFrame): Long =
     withTableLock(table) { replaceAtomicLocked(table, df) }
 
-  private def replaceAtomicLocked(table: String, df: DataFrame): Unit = {
+  private def replaceAtomicLocked(table: String, df: DataFrame): Long = {
     healSwap(table)
     // centralized deletion-vector guard: converting a plain table that
     // carries live vectors would snapshot the bare (vectors-ignored)
     // read and silently resurrect deleted rows — every rewriting verb
     // that funnels here (optimizeZOrder, mergeInto, compactSmallFiles,
-    // direct replaceAtomic) is covered by this one require
+    // direct replaceAtomic) hits this backstop; mergeInto and
+    // compactSmallFiles ALSO pre-check for fail-fast (before their
+    // expensive computation, with a verb-specific message)
     require(currentVersion(table).isDefined || !hasDv(table),
       s"'$table' carries deletion vectors — applyDeleteVectors before " +
         "rewriting it into the versioned layout")
@@ -2051,6 +2097,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           .foreach(deleteRecursive)
       } finally s.close()
     }
+    next
   }
 
   private def deleteRecursive(p: Path): Unit = TableCatalog.deleteRecursively(p)

@@ -145,10 +145,14 @@ object StreamingIngest {
         val applied = cat.getMarkerFor(marker, token).getOrElse(-1L)
         if (batchId > applied)
           cat.publishBatch(marker, batchId, token, Seq(fact -> batch))
-        if (cat.aggViewNames.contains(view))
-          cat.refreshAggViewIncremental(view, fact)
-        else
-          cat.createAggView(view, fact, keyCols, valueCol)
+        // a zero-row opening batch leaves the fact without data files:
+        // no schema to infer, nothing to register — wait for data
+        if (cat.hasDataFiles(fact)) {
+          if (cat.aggViewNames.contains(view))
+            cat.refreshAggViewIncremental(view, fact)
+          else
+            cat.createAggView(view, fact, keyCols, valueCol)
+        }
         () // foreachBatch wants Unit; the refresh's count is diagnostics
       }
       .option("checkpointLocation", checkpointDir)
@@ -463,6 +467,7 @@ object StreamingIngest {
             .withColumn("applied_batch", lit(batchId))
           // a sketch is KBs — one file, one atomic swap
           cat.replaceAtomic(table, merged.coalesce(1))
+          ()
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -93,8 +93,10 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
     // the bitsets live as immutable _bloom/ legs: one from the full
     // ANALYZE, one per indexed append — never inside _stats.json
     import scala.jdk.CollectionConverters._
-    val legs = Files.list(java.nio.file.Paths.get(cat.path("t"), "_bloom"))
-      .iterator().asScala.map(_.getFileName.toString).toSeq
+    val legStream = Files.list(java.nio.file.Paths.get(cat.path("t"), "_bloom"))
+    val legs =
+      try legStream.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally legStream.close()
     assert(legs.count(_.startsWith("leg-")) === 2)
 
     // a value reachable only through the appended files' filters
