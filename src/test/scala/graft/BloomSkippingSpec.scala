@@ -136,6 +136,22 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("incomplete"))
   }
 
+  test("a rebuild caught between new-leg-landed and old-legs-deleted still answers") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id"))
+    // simulate the crash window: the superseded leg is still present
+    // beside the fresh one (re-ANALYZE writes new before deleting old)
+    val dir = java.nio.file.Paths.get(cat.path("t"), "_bloom")
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    val leg = try s.iterator().asScala.next() finally s.close()
+    Files.copy(leg, dir.resolve("leg-stale-duplicate.json"))
+    val hit = cat.prunedReadPoint("t", Seq(("id", 777L)))
+      .select("name").as[String].collect().toSet
+    assert(hit === Set("u777"))
+  }
+
   test("probing a non-bloom column or a NULL value errors loudly") {
     val cat = freshCat()
     cat.overwriteIndexed("t", table, skipCols = Seq.empty,
