@@ -61,6 +61,15 @@ trait Committer {
     * enumeration. Returns pointer names as the writer spelled them
     * (log-layout internals are not surfaced). */
   def listPointers(dir: Path, prefix: String): Seq[String]
+
+  /** A cheap change-detection key for pointer `p`: two calls returning
+    * the same value mean the committed content is unchanged (the
+    * converse need not hold — a spurious key change only costs a
+    * re-read). None = this committer cannot answer without reading;
+    * callers then skip caching. Backs the stats-head parse cache
+    * (VERDICT r9 next #1) without assuming the pointer is one plain
+    * file. */
+  def fingerprint(p: Path): Option[(Long, Long)] = None
 }
 
 /** POSIX/HDFS implementation — see the trait note for the contract. */
@@ -91,6 +100,15 @@ object PosixCommitter extends Committer {
           .toSeq
       } finally s.close()
     }
+
+  // (mtime, size) of the plain file: a rename-committed pointer gets a
+  // fresh mtime per commit. Absent reads as a sentinel so "no sidecar"
+  // caches too. Same-millisecond same-size rewrites are the documented
+  // residual (the MvRewrite.registry caveat) — in-JVM writers invalidate
+  // explicitly, so the window is cross-JVM only.
+  override def fingerprint(p: Path): Option[(Long, Long)] =
+    try Some((Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+    catch { case _: java.io.IOException => Some((-1L, -1L)) }
 }
 
 /** Append-only commit-log implementation (see the trait note).

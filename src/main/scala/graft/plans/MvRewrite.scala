@@ -120,9 +120,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     if (!groupsOk) return None
     // a fresh scan per rewrite: reusing a cached plan would reuse its
-    // exprIds, and two rewritten aggregates in one query must not alias
-    val mvPlan = SparkSession.active.read.parquet(mv.mvPath)
-      .queryExecution.analyzed
+    // exprIds, and two rewritten aggregates in one query must not alias.
+    // GUARDED (ADVICE r9): a dropped/manually-deleted view table — or,
+    // cross-JVM, a retention sweep landing between a stale registry
+    // read and this scan — must disable the rewrite for this query, not
+    // fail an innocent aggregate with a path-not-found AnalysisException.
+    if (!Files.exists(Paths.get(mv.mvPath))) return None
+    val mvPlan =
+      try SparkSession.active.read.parquet(mv.mvPath).queryExecution.analyzed
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
     val needed = mv.keys ++ Seq("n", "sum_c", "min_c", "max_c")
     if (!needed.forall(mvOut.contains)) return None

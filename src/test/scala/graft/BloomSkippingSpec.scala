@@ -29,7 +29,7 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
     val cat = freshCat()
     cat.overwriteIndexed("t", table, skipCols = Seq.empty,
       bloomCols = Seq("id", "name"))
-    val total = cat.stats("t").get.files.size
+    val total = cat.fileEnvelopes("t").size
     assert(total === 16)
 
     val kept = cat.pointKeepFiles("t", Seq(("id", 777L)))
@@ -88,8 +88,7 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
       .map(i => (i.toLong, s"u$i", i.toLong % 7)).toDF("id", "name", "grp")
       .repartition(4)
     cat.appendIndexed("t", day2, skipCols = Seq.empty)
-    val st = cat.stats("t").get
-    assert(st.files.size === 20)
+    assert(cat.fileEnvelopes("t").size === 20)
     // the bitsets live as immutable _bloom/ legs: one from the full
     // ANALYZE, one per indexed append — never inside _stats.json
     import scala.jdk.CollectionConverters._

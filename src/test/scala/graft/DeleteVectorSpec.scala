@@ -85,7 +85,9 @@ class DeleteVectorSpec extends AnyFunSuite with SparkTestSession {
     val cat = freshCat()
     cat.appendPartitioned("t", (0 until 1000)
       .map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dt"), "dt")
-    assert(cat.deleteVectorize("t", col("id") < 100) === 100L)
+    // autoFold disabled: the MoR-compose path is the thing under test
+    assert(cat.deleteVectorize("t", col("id") < 100, autoFoldAt = 2d) === 100L)
+    assert(cat.hasDeleteVectors("t"))
     // partition rewrite of d0 must not bring back its vectored rows
     val (affected, _) = cat.deleteWhere("t", "dt", col("id") >= 900)
     assert(affected.nonEmpty)
@@ -93,7 +95,41 @@ class DeleteVectorSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readMor("t").filter(col("id") < 100).count() === 0L)
   }
 
-  test("a versioned table is refused; compaction refuses live vectors") {
+  test("fold preserves a partitioned table's directory layout") {
+    val cat = freshCat()
+    cat.appendPartitioned("t", (0 until 1000)
+      .map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dt"), "dt")
+    cat.deleteVectorize("t", col("id") < 100, autoFoldAt = 2d)
+    assert(cat.applyDeleteVectors("t") === 100L)
+    // layout survived: partition dirs still present, no flat root files
+    val dirs = Files.list(Paths.get(cat.path("t")))
+    import scala.jdk.CollectionConverters._
+    val names = try dirs.iterator().asScala.map(_.getFileName.toString).toSet
+      finally dirs.close()
+    assert(names.count(_.startsWith("dt=")) === 4)
+    assert(!names.exists(_.endsWith(".parquet")), s"flat files leaked: $names")
+    // partition-addressed verbs still work on the folded table: a
+    // deleteWhere purge must actually remove its rows (the ADVICE r9
+    // resurrection scenario)
+    cat.deleteWhere("t", "dt", col("id") >= 900)
+    assert(cat.readMor("t").count() === 1000L - 100L - 100L)
+    assert(cat.read("t").filter(col("id") < 100).count() === 0L)
+  }
+
+  test("crossing the auto-fold threshold folds in the same verb") {
+    val cat = freshCat(); mk(cat, "t")
+    // 100 of 10000 rows: 1% < 10% — vectors persist
+    assert(cat.deleteVectorize("t", col("grp") === 7) === 100L)
+    assert(cat.hasDeleteVectors("t"))
+    // +900 new (grp 7 already dead) → 1000 vectored of 10000 = 10% —
+    // threshold reached, folded in the same call
+    assert(cat.deleteVectorize("t", col("grp") < 10) === 900L)
+    assert(!cat.hasDeleteVectors("t"))
+    assert(cat.read("t").count() === 9000L) // plain read: fold is physical
+    assert(cat.readMor("t").count() === 9000L)
+  }
+
+  test("a versioned table is refused; compaction FOLDS live vectors") {
     val cat = freshCat()
     cat.replaceAtomic("v", Seq((1L, 2L)).toDF("id", "v"))
     assertThrows[IllegalArgumentException] {
@@ -101,8 +137,17 @@ class DeleteVectorSpec extends AnyFunSuite with SparkTestSession {
     }
     mk(cat, "t")
     cat.deleteVectorize("t", col("grp") === 7)
-    assertThrows[IllegalArgumentException] {
-      cat.compactSmallFiles("t")
-    }
+    // VERDICT r9 next #3: compaction folds instead of refusing — the
+    // committed snapshot holds only survivors and the read plan has no
+    // anti-join leg left
+    val nFiles = cat.compactSmallFiles("t")
+    assert(nFiles >= 1)
+    assert(!cat.hasDeleteVectors("t"))
+    assert(cat.read("t").count() === 9900L)
+    assert(cat.read("t").filter(col("grp") === 7).count() === 0L)
+    // the read plan lost its anti-join leg: no vectors → readMor is a
+    // bare scan, no Join operator anywhere in it
+    assert(!cat.readMor("t").queryExecution.executedPlan.toString
+      .toLowerCase.contains("join"))
   }
 }

@@ -70,14 +70,19 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestSession {
       === Set((1L, 10L), (2L, 21L), (3L, 30L)))
   }
 
-  test("a target carrying deletion vectors is refused") {
+  test("a target carrying deletion vectors folds them into the merge") {
     val cat = freshCat()
-    cat.overwrite("pt", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
-    cat.deleteVectorize("pt", col("k") === 1)
-    val e = intercept[IllegalArgumentException] {
+    cat.overwrite("pt", Seq((1L, 10L), (2L, 20L), (4L, 40L)).toDF("k", "v"))
+    cat.deleteVectorize("pt", col("k") === 1, autoFoldAt = 2d)
+    assert(cat.hasDeleteVectors("pt"))
+    // the vectored row neither matches nor survives as "keep": the
+    // merge reads through readMor and the committed snapshot folds it
+    val (u, d, i, kept) =
       cat.mergeInto("pt", Seq((3L, 30L)).toDF("k", "v"), Seq("k"))
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    assert((u, d, i, kept) === ((0L, 0L, 1L, 2L)))
+    assert(!cat.hasDeleteVectors("pt"))
+    assert(cat.read("pt").as[(Long, Long)].collect().toSet
+      === Set((2L, 20L), (3L, 30L), (4L, 40L)))
   }
 
   test("composite keys join on the whole tuple") {

@@ -161,7 +161,9 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestSession {
       Files.createTempDirectory("mv-dv").toString)
     cat.overwrite("pf", (0 until 100).map(i => (i.toLong, i.toLong))
       .toDF("k", "v"))
-    cat.deleteVectorize("pf", col("k") < 10)
+    // autoFold disabled: live vectors are the refusal under test (10 of
+    // 100 rows would otherwise fold at the default 10% threshold)
+    cat.deleteVectorize("pf", col("k") < 10, autoFoldAt = 2d)
     assertThrows[IllegalArgumentException] {
       cat.createAggView("pf_v", "pf", Seq("k"), "v")
     }

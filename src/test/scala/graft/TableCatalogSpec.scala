@@ -105,8 +105,9 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     val day1 = (1L to 2000L).map(i => (i, i % 50)).toDF("id", "a")
     cat.overwriteIndexed("tbl", day1.repartitionByRange(4, col("a")), Seq("a"))
     val st1 = cat.stats("tbl").get
-    assert(st1.skipCols === Seq("a") && st1.files.nonEmpty,
-      "overwriteIndexed must land the file index in the stats sidecar")
+    val env1 = cat.fileEnvelopes("tbl")
+    assert(st1.skipCols === Seq("a") && env1.nonEmpty,
+      "overwriteIndexed must land the file index in the manifest legs")
     assert(st1.rows === 2000L && st1.ndv.contains("a"),
       "the SAME analyze pass must feed join planning (rows/ndv) and pruning")
     // a day-2 append touching a DISJOINT value range: the index grows
@@ -114,8 +115,10 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     val day2 = (2001L to 3000L).map(i => (i, 100 + i % 20)).toDF("id", "a")
     cat.appendIndexed("tbl", day2.repartitionByRange(2, col("a")), Seq("a"))
     val st2 = cat.stats("tbl").get
-    assert(st2.files.size > st1.files.size &&
-      st2.files.size <= st1.files.size + 2)
+    val env2 = cat.fileEnvelopes("tbl")
+    assert(env2.size > env1.size && env2.size <= env1.size + 2)
+    assert(st2.fileCount === env2.size.toLong,
+      "the head's fileCount must track the manifest")
     assert(st2.rows === 3000L, "rows stay exact through the incremental append")
     assert(st2.ndv.isEmpty,
       "merged sidecar must DROP ndv (HLL finals don't merge) so join " +
