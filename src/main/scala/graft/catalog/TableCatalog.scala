@@ -223,8 +223,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // measured in SCALE.md r10). The per-file collect is bounded — one
     // row per data file, the same driver-side weight as a scan's file
     // index.
-    val gAggs = count(lit(1L)).as("_rows") +:
-      targets.map(c => approx_count_distinct(col(c)).as(s"_ndv_$c"))
+    val gAggs = (count(lit(1L)).as("_rows") +:
+      targets.map(c => approx_count_distinct(col(c)).as(s"_ndv_$c"))) ++
+      // non-null counts for histogram columns ride the same pass: the
+      // boundaries are built over non-null values only, so the
+      // estimator must spread THIS mass, not `rows` (NULLs never match
+      // a range predicate — a 90 %-NULL column would otherwise
+      // over-estimate every range 10×)
+      hcols.map(c => count(col(c)).as(s"_nn_$c"))
     val globalRow = df.agg(gAggs.head, gAggs.tail: _*).head()
     val files: Seq[TableCatalog.FileStats] =
       if (skips.isEmpty && blooms.isEmpty) Seq.empty
@@ -328,7 +334,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       sizeBytes, ndv, skips,
       blooms, if (blooms.isEmpty) 0 else bloomHashes,
       if (blooms.isEmpty) 0 else bloomBitsPerRow,
-      files.size.toLong, gen, hists)
+      files.size.toLong, gen, hists,
+      hists.keys.map(c =>
+        c -> globalRow.getLong(globalRow.fieldIndex(s"_nn_$c"))).toMap)
     // Skip the sidecar write when the pointer moved mid-job — the stats
     // describe a superseded snapshot and would only overwrite fresher
     // ones. (If a commit lands between this check and the rename, the
@@ -336,13 +344,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // way.) Unique temp name: concurrent analyzers must not share a
     // write-aside path.
     if (currentVersion(table) == ver) {
-      val tmp = Paths.get(path(table),
-        s"_stats.json.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, TableCatalog.renderStats(st)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      committer.atomicRename(tmp, statsFile(table))
-      TableCatalog.invalidateHead(
-        statsFile(table).toAbsolutePath.normalize().toString)
+      commitHead(table, st)
       // prune manifest generations this commit superseded, KEEPING the
       // immediately-previous one (in-flight readers of the old head —
       // the snapshot-retention rule applied to the manifest); a crashed
@@ -391,25 +393,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     stats(table) match {
       case Some(st) if st.manifestGen.nonEmpty =>
         val gen = manifestDir(table).resolve(st.manifestGen)
-        val legs: Seq[Path] = {
-          import scala.jdk.CollectionConverters._
-          if (!Files.exists(gen)) Seq.empty
-          else {
-            val s = Files.list(gen)
-            try s.iterator().asScala
-              .filter(p => Files.isRegularFile(p) &&
-                p.getFileName.toString.startsWith("leg-"))
-              .toSeq.sortBy(_.getFileName.toString)
-            finally s.close()
+        // the whole list→stat→read walk guards against the generation
+        // being pruned CONCURRENTLY (another JVM's second analyze, or
+        // vacuum, between our head read and these stat calls): any IO
+        // error degrades to "no envelopes" — the same answer as the
+        // missing-dir branch — and prunedRead then refuses loudly,
+        // instead of a NoSuchFileException escaping into the planning
+        // path (joinOrdered, estimateRangeRows).
+        try {
+          val legs: Seq[Path] = {
+            import scala.jdk.CollectionConverters._
+            if (!Files.exists(gen)) Seq.empty
+            else {
+              val s = Files.list(gen)
+              try s.iterator().asScala
+                .filter(p => Files.isRegularFile(p) &&
+                  p.getFileName.toString.startsWith("leg-"))
+                .toSeq.sortBy(_.getFileName.toString)
+              finally s.close()
+            }
           }
-        }
-        val sig = legs.map(p => (p.getFileName.toString,
-          Files.getLastModifiedTime(p).toMillis, Files.size(p)))
-        TableCatalog.cachedEnvelopes(gen.toAbsolutePath.normalize().toString,
-          sig,
-          () => legs.flatMap(p => TableCatalog.parseEnvLeg(
-            new String(Files.readAllBytes(p),
-              java.nio.charset.StandardCharsets.UTF_8))))
+          val sig = legs.map(p => (p.getFileName.toString,
+            Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+          TableCatalog.cachedEnvelopes(gen.toAbsolutePath.normalize().toString,
+            sig,
+            () => legs.flatMap(p => TableCatalog.parseEnvLeg(
+              new String(Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.UTF_8))))
+        } catch { case _: java.io.IOException => Seq.empty }
       case _ => Seq.empty
     }
 
@@ -574,7 +585,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     if (hi < lo) return Some(0L)
     st.histograms.get(c).filter(_.size >= 2).map { b =>
       val nB = b.size - 1
-      val perBucket = st.rows.toDouble / nB
+      // the boundaries describe the NON-NULL values only — spread that
+      // mass (legacy heads without the count degrade to rows: an
+      // over-estimate, never an under-estimate)
+      val mass = st.histNonNull.getOrElse(c, st.rows)
+      val perBucket = mass.toDouble / nB
       var est = 0.0
       var i = 0
       while (i < nB) {
@@ -587,7 +602,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         }
         i += 1
       }
-      math.min(st.rows, math.round(est))
+      math.min(mass, math.round(est))
     }.orElse {
       if (!st.skipCols.contains(c)) None
       else {
@@ -931,15 +946,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val (inserted, _, added, removed) =
         changedRowsBetween(fact, pinnedV.get, curV)
       if (removed.isEmpty) {
-        import org.apache.spark.sql.functions.col
-        val delta = graft.ops.IncrementalAgg.partials(
-          inserted, entry.keys, col(entry.value))
-        val merged = graft.ops.IncrementalAgg.merge(
-          read(view).unionByName(delta), entry.keys)
-        replaceAtomicLocked(view, merged)
-        writeMvEntry(entry.copy(
-          factPath = normalized(snapDir(fact, curV).toString),
-          mvPath = normalized(readPath(view))))
+        foldDeltaLocked(view, entry, inserted, mv => entry.copy(
+          factPath = normalized(snapDir(fact, curV).toString), mvPath = mv))
         return added.size
       }
     }
@@ -960,20 +968,32 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         if (newFiles.isEmpty) 0
         else {
           import org.apache.spark.sql.functions.col
-          val delta = graft.ops.IncrementalAgg.partials(
+          foldDeltaLocked(view, entry,
             spark.read.option("basePath", path(fact))
               .parquet(newFiles.toSeq.sorted: _*)
               .select(factDf.columns.map(col).toIndexedSeq: _*),
-            entry.keys, col(entry.value))
-          val merged = graft.ops.IncrementalAgg.merge(
-            read(view).unionByName(delta), entry.keys)
-          replaceAtomicLocked(view, merged)
-          writeMvEntry(entry.copy(mvPath = normalized(readPath(view)),
-            factFiles = current))
+            mv => entry.copy(mvPath = mv, factFiles = current))
           newFiles.size
         }
       }
     }
+
+  // THE delta-fold commit both refresh paths share: partials of the
+  // delta rows union into the view's current state, re-merge, one
+  // versioned commit, then the registry entry re-pins to the fresh
+  // view path (`reEntry` receives that path — the entry copy is the
+  // only thing the two paths legitimately differ in).
+  private def foldDeltaLocked(view: String, entry: TableCatalog.MvEntry,
+                              deltaRows: DataFrame,
+                              reEntry: String => TableCatalog.MvEntry): Unit = {
+    import org.apache.spark.sql.functions.col
+    val delta = graft.ops.IncrementalAgg.partials(
+      deltaRows, entry.keys, col(entry.value))
+    val merged = graft.ops.IncrementalAgg.merge(
+      read(view).unionByName(delta), entry.keys)
+    replaceAtomicLocked(view, merged)
+    writeMvEntry(reEntry(normalized(readPath(view))))
+  }
 
   private def mvRegistry(): Seq[TableCatalog.MvEntry] =
     TableCatalog.parseMvRegistry(
@@ -1408,11 +1428,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                      numPartitions: Int = 16): TableCatalog.TableStats = {
     // live vectors fold into the rewrite — same rule as
     // [[compactSmallFiles]]: OPTIMIZE is exactly when accreted MoR
-    // state should disappear, not a verb that refuses until it does
-    val clustered = graft.ops.ZOrder.clusterN(readMor(table), cols, bits,
-        numPartitions)
-      .drop("z" +: cols.indices.map(i => s"z$i"): _*)
+    // state should disappear, not a verb that refuses until it does.
+    // The readMor plan is BUILT inside the lock (its file index and
+    // `_dv` scan pin at construction): built outside, a deleteVectorize
+    // landing before the commit would have its vectors swept by
+    // foldsDv=true without ever being folded in — silent resurrection.
     withTableLock(table) {
+      val clustered = graft.ops.ZOrder.clusterN(readMor(table), cols, bits,
+          numPartitions)
+        .drop("z" +: cols.indices.map(i => s"z$i"): _*)
       replaceAtomicLocked(table, clustered, foldsDv = true)
     }
     analyze(table, cols = cols, skipCols = cols)
@@ -1608,15 +1632,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         // histograms are DROPPED like NDV: quantile summaries of the
         // pre-append distribution would silently skew estimateRangeRows
         histograms = Map.empty,
+        histNonNull = Map.empty,
         fileCount = prev.fileCount + fs.size)
-      val tmp = Paths.get(path(table),
-        s"_stats.json.tmp-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, TableCatalog.renderStats(merged)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      committer.atomicRename(tmp, statsFile(table))
-      TableCatalog.invalidateHead(
-        statsFile(table).toAbsolutePath.normalize().toString)
+      commitHead(table, merged)
     }
+  }
+
+  // THE stats-head commit protocol — write-aside under a unique temp
+  // name, one atomic pointer rename, then drop the (path, mtime, size)
+  // parse-cache entry so this JVM re-reads its own commit. Every
+  // head-writing verb (analyze, appendIndexed) must go through here: a
+  // site that forgot the invalidation would serve the superseded head
+  // from cache until its mtime ticked.
+  private def commitHead(table: String, st: TableCatalog.TableStats): Unit = {
+    val tmp = Paths.get(path(table),
+      s"_stats.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.renderStats(st)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, statsFile(table))
+    TableCatalog.invalidateHead(
+      statsFile(table).toAbsolutePath.normalize().toString)
   }
 
   // resolve through the snapshot pointer, as every read does — walking
@@ -1901,6 +1936,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       TableCatalog.deleteRecursively(
         Paths.get(s"${path(table)}/$partCol=$escaped"))
     }
+    // the rewritten partitions' vectors now reference deleted files —
+    // inert for reads, but left in place they pin hasDeleteVectors true
+    // forever (refusing SQL reads / ANALYZE) and skew the auto-fold
+    // ratio. Prune under the lock so a concurrent deleteVectorize (which
+    // holds it for its whole verb) can't land a vector mid-sweep.
+    if (hasDv(table)) withTableLock(table) { pruneOrphanVectorsLocked(table) }
     invalidateStats(table)
     (affected, gone)
   }
@@ -1936,6 +1977,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // FOLD into the merge: the target reads through readMor, so deleted
     // rows neither match nor survive as "keep" rows, and the committed
     // snapshot needs no vectors (same fold rule as compactSmallFiles).
+    // The join + materialization run OUTSIDE the table lock (they are
+    // the verb's heavy jobs), so the commit is OPTIMISTIC: snapshot
+    // version and vector state are captured here and re-checked under
+    // the lock — a concurrent replaceAtomic/deleteVectorize between
+    // read and commit fails the merge LOUDLY (retry) instead of
+    // foldsDv=true silently sweeping vectors the merge never saw.
+    val v0 = currentVersion(table)
+    val dv0 = dvFingerprint(table)
     val target = readMor(table)
     require(target.columns.sorted.sameElements(source.columns.sorted),
       s"column mismatch: target ${target.columns.sorted.mkString(",")} vs " +
@@ -1969,7 +2018,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .select(when(col("_action") === "keep", col("_t")).otherwise(col("_s"))
         .as("_row"))
       .select(dataCols.map(c => col(s"_row.$c").as(c)): _*)
-    withTableLock(table) { replaceAtomicLocked(table, merged, foldsDv = true) }
+    withTableLock(table) {
+      require(currentVersion(table) == v0 && dvFingerprint(table) == dv0,
+        s"concurrent write to '$table' during MERGE (snapshot or " +
+          "delete-vector state moved since the target was read) — retry")
+      replaceAtomicLocked(table, merged, foldsDv = true)
+    }
     (counts.getOrElse("update", 0L), counts.getOrElse("delete", 0L),
       counts.getOrElse("insert", 0L), counts.getOrElse("keep", 0L))
   }
@@ -1992,6 +2046,31 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   private def hasDv(table: String): Boolean =
     listParquetFilesUnder(dvDir(table)).nonEmpty
+
+  // identity of the current deletion-vector state — vector part files
+  // are write-once under UUID names, so the sorted name set IS the
+  // state. Used for optimistic concurrency where a verb computes its
+  // content outside the table lock (mergeInto) and must detect a
+  // vector committed in between: foldsDv=true would otherwise sweep
+  // those vectors unseen — silent resurrection of the deleted rows.
+  private def dvFingerprint(table: String): Seq[String] =
+    listParquetFilesUnder(dvDir(table)).map(_.getFileName.toString).sorted
+
+  // `_dv.file` carries the scan's rendering of a file path (Hadoop
+  // style, "file:/tmp/x") while the driver's file lists are java.net
+  // URIs ("file:///tmp/x") — normalize BOTH to the bare absolute path
+  // before any live-vs-vector comparison: a raw string join silently
+  // matches nothing, which would turn "prune the orphans" into "prune
+  // everything" (resurrecting live deletes) and zero the fold ratio.
+  private def livePathsDf(table: String): DataFrame =
+    spark.createDataset(listParquetUris(table).toSeq.map(u =>
+      Paths.get(java.net.URI.create(u)).toString))(
+      org.apache.spark.sql.Encoders.STRING).toDF("_live_f")
+
+  private def dvPathNormalized(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c,
+      "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
 
   // the `_dv` dir is metadata: list its parts directly (listParquetUrisAt
   // deliberately refuses to see under '_' components)
@@ -2073,14 +2152,66 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         committer.atomicRename(staging,
           dvDir(table).resolve(s"dv-${java.util.UUID.randomUUID()}"))
         invalidateStats(table)
-        val bare = read(table).count()
-        val vectored = spark.read.option("recursiveFileLookup", "true")
-          .parquet(dvDir(table).toString).count()
-        if (bare > 0L && vectored.toDouble / bare >= autoFoldAt)
-          applyDeleteVectorsLocked(table)
+        // pure-MoR mode (autoFoldAt > 1) skips the threshold check
+        // entirely — its two jobs (footer count + vector count) would
+        // evaluate a comparison that can never be true, betraying the
+        // mode's whole point (cheap O(matches) deletes)
+        if (autoFoldAt <= 1.0) {
+          val bare = read(table).count()
+          // only vectors naming LIVE files count toward the ratio:
+          // partition rewrites (deleteWhere, applyDeleteVectors'
+          // partitioned path) orphan entries whose files are gone —
+          // morTagged's anti-join ignores those, and counting them
+          // would let a 1-row delete trigger a spurious full-table fold
+          val dels = spark.read.option("recursiveFileLookup", "true")
+            .parquet(dvDir(table).toString)
+          val vectored = dels
+            .join(livePathsDf(table),
+              dvPathNormalized(dels("file")) === col("_live_f"), "left_semi")
+            .count()
+          if (bare > 0L && vectored.toDouble / bare >= autoFoldAt)
+            applyDeleteVectorsLocked(table)
+        }
         n
       }
     }
+
+  /** Drop `_dv` entries whose data file no longer exists — vectors
+    * orphaned when a partition rewrite ([[deleteWhere]]) replaced the
+    * files they reference. Orphans are semantically inert (the MoR
+    * anti-join never matches them) but operationally toxic: they keep
+    * [[hasDeleteVectors]] true forever (refusing SQL reads and ANALYZE
+    * of a table with zero live vectors) and inflate the auto-fold
+    * ratio. Swap order keeps concurrent readers correct: the surviving
+    * vectors land as a NEW leg first (duplicate (file,pos) pairs are
+    * harmless — the anti-join is idempotent), then the old legs are
+    * removed; a reader sees old, old+new, or new, never a window where
+    * live vectors are missing. */
+  private def pruneOrphanVectorsLocked(table: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    if (!hasDv(table)) return
+    val olds: Seq[Path] = {
+      val s = Files.list(dvDir(table))
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val dels = spark.read.option("recursiveFileLookup", "true")
+      .parquet(dvDir(table).toString)
+    // eager: the survivors' plan reads the very legs deleted below
+    val kept = dels.join(livePathsDf(table),
+        dvPathNormalized(dels("file")) === col("_live_f"), "left_semi")
+      .localCheckpoint(true)
+    if (kept.count() > 0L) {
+      val staging = Paths.get(path(table),
+        s"_tmp_dv-${java.util.UUID.randomUUID()}")
+      kept.write.parquet(staging.toString)
+      committer.atomicRename(staging,
+        dvDir(table).resolve(s"dv-${java.util.UUID.randomUUID()}"))
+      olds.foreach(deleteRecursive)
+    } else {
+      deleteRecursive(dvDir(table))
+    }
+  }
 
   /** Fold accreted deletion vectors into the data files: survivors are
     * rewritten, the old data files and every vector are removed, and
@@ -2573,12 +2704,30 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val (f1, f2) = (byName(d1), byName(d2))
     val removed = (f1 -- f2.keySet).values.toSeq.sorted
     val added = (f2 -- f1.keySet).values.toSeq.sorted
+    // each side reads with ITS OWN snapshot's schema. Forcing v2's
+    // schema onto v1's files would null out renamed/dropped columns and
+    // silently mis-drive the change feed (every surviving key becomes
+    // an 'update', real updates mask) — and a schema-changing rewrite
+    // between the versions is exactly when that happens, so it is
+    // REFUSED loudly instead: the O(delta) feed promises equality with
+    // SnapshotDiff over the full snapshots, which needs matching
+    // columns anyway.
+    val schema1 = spark.read.parquet(d1.toString).schema
     val schema = spark.read.parquet(d2.toString).schema
-    def scoped(files: Seq[String]): DataFrame =
+    require(schema1.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
+        .sameElements(schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)),
+      s"'$table' changed schema between v$v1 and v$v2 " +
+        s"(${schema1.fieldNames.sorted.mkString(",")} vs " +
+        s"${schema.fieldNames.sorted.mkString(",")}) — a change feed " +
+        "across a schema change is not well-defined; diff the snapshots " +
+        "directly (SnapshotDiff over readVersion) with an explicit mapping")
+    def scoped(sch: StructType, files: Seq[String]): DataFrame =
       if (files.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
-    (scoped(added), scoped(removed), added, removed)
+      else spark.read.schema(sch).parquet(files: _*)
+        .select(schema.fieldNames.map( // one column ORDER on both sides
+          org.apache.spark.sql.functions.col): _*)
+    (scoped(schema, added), scoped(schema1, removed), added, removed)
   }
 
   private def deleteRecursive(p: Path): Unit = TableCatalog.deleteRecursively(p)
@@ -2614,7 +2763,12 @@ object TableCatalog {
     * compatibly. `histograms` maps a column to its equi-depth bucket
     * boundaries (B+1 longs for B buckets — [[TableCatalog.analyze]]'s
     * `histCols`), the skew-proof selectivity model
-    * [[TableCatalog.estimateRangeRows]] prefers over uniform-in-envelope. */
+    * [[TableCatalog.estimateRangeRows]] prefers over uniform-in-envelope;
+    * `histNonNull` is the NON-NULL row count the boundaries were built
+    * over — the mass the buckets spread (NULLs never match a range
+    * predicate, so spreading all `rows` would over-estimate every range
+    * on a nully column by 1/(non-null fraction); the envelope model
+    * already gets this right because min/max ignore NULLs). */
   final case class TableStats(version: Option[Long], rows: Long,
                               sizeBytes: Long, ndv: Map[String, Long],
                               skipCols: Seq[String] = Seq.empty,
@@ -2623,7 +2777,8 @@ object TableCatalog {
                               bloomBitsPerRow: Int = 0,
                               fileCount: Long = 0L,
                               manifestGen: String = "",
-                              histograms: Map[String, Seq[Long]] = Map.empty)
+                              histograms: Map[String, Seq[Long]] = Map.empty,
+                              histNonNull: Map[String, Long] = Map.empty)
 
   // Jackson (on Spark's own classpath) replaces the r8 regex parser: a
   // first-match regex over the whole string mis-parsed an ndv column
@@ -2664,6 +2819,8 @@ object TableCatalog {
         val a = h.putArray(c)
         bs.foreach(a.add)
       }
+      val nn = root.putObject("histNonNull")
+      st.histNonNull.toSeq.sortBy(_._1).foreach { case (c, n) => nn.put(c, n) }
     }
     om.writeValueAsString(root)
   }
@@ -2696,7 +2853,7 @@ object TableCatalog {
           Option(n.get("bloomBitsPerRow")).map(_.asInt).getOrElse(0),
           Option(n.get("fileCount")).map(_.asLong).getOrElse(0L),
           Option(n.get("manifestGen")).map(_.asText).getOrElse(""),
-          hists))
+          hists, longMap(n.get("histNonNull"))))
       }
     } catch { case _: Exception => None }
 

@@ -97,8 +97,14 @@ class GraftSqlCatalog extends DsV2TableCatalog {
         "applyDeleteVectors (or let the auto-fold threshold run) first")
     val dir = version match {
       case Some(v) =>
+        // resolve against the COMMITTED pointer, not bare existence: a
+        // writer that crashed mid `_v<next>` write leaves a partial,
+        // uncommitted directory on disk (vacuum reclaims it after the
+        // grace window) — serving it would silently return partial
+        // rows. Only v <= currentVersion is ever a committed snapshot.
+        val committed = cat.currentVersion(t).exists(v <= _)
         val d = Paths.get(cat.path(t), s"_v$v")
-        if (!Files.exists(d)) throw new NoSuchTableException(ident)
+        if (!committed || !Files.exists(d)) throw new NoSuchTableException(ident)
         d.toString
       case None =>
         cat.currentVersion(t) match {

@@ -108,4 +108,17 @@ class CdcSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](
       cat.changesBetween("t", v1, v2, Seq("nope")))
   }
+
+  test("a schema change between the versions is refused loudly") {
+    val cat = freshCat()
+    val v1 = cat.appendAtomic("t", Seq((1L, 2L)).toDF("k", "v"))
+    // rewrite that ADDS a column: v1's files read under v2's schema
+    // would null it out and every surviving key would misclassify as
+    // an 'update' — the feed refuses instead of lying (r10 review)
+    val v2 = cat.replaceAtomic("t",
+      Seq((1L, 2L, 9L)).toDF("k", "v", "w"))
+    val e = intercept[IllegalArgumentException](
+      cat.changesBetween("t", v1, v2, Seq("k")))
+    assert(e.getMessage.contains("schema"))
+  }
 }

@@ -150,4 +150,26 @@ class DeleteVectorSpec extends AnyFunSuite with SparkTestSession {
     assert(!cat.readMor("t").queryExecution.executedPlan.toString
       .toLowerCase.contains("join"))
   }
+
+  test("a partition rewrite prunes exactly the vectors it orphans") {
+    val cat = freshCat()
+    cat.appendPartitioned("t", (0 until 1000)
+      .map(i => (i.toLong, s"d${i % 4}")).toDF("id", "dt"), "dt")
+    // ids 0..7 span all four partitions
+    assert(cat.deleteVectorize("t", col("id") < 8, autoFoldAt = 2d) === 8L)
+    // rewrite ONLY d0: its vectors orphan (their files are replaced)
+    // and must be pruned; d1–d3's vectors stay live and keep applying
+    cat.deleteWhere("t", "dt", col("dt") === "d0" && col("id") >= 900)
+    assert(cat.hasDeleteVectors("t"), "live vectors for d1-d3 must survive")
+    assert(cat.readMor("t").filter(col("id") < 8).count() === 0L)
+    // rewrite EVERY partition: all vectors orphan → the sidecar clears
+    // entirely, so SQL reads and ANALYZE stop refusing a table with
+    // zero live vectors (the r10 review finding)
+    cat.deleteWhere("t", "dt", col("id") >= 800)
+    assert(!cat.hasDeleteVectors("t"),
+      "orphaned vectors must not pin hasDeleteVectors forever")
+    cat.analyze("t") // would throw while vectors appeared live
+    assert(cat.readMor("t").count() ===
+      cat.read("t").count(), "no vectors: MoR and bare read agree")
+  }
 }

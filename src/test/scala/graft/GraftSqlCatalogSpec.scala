@@ -64,4 +64,18 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"SELECT * FROM $g.d VERSION AS OF 99").collect())
       .getMessage.nonEmpty)
   }
+
+  test("an uncommitted snapshot directory is never served") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v"))
+    // a crashed writer's partial `_v7` sits on disk with the pointer
+    // still at 1 — `VERSION AS OF 7` must refuse (r10 review: bare
+    // Files.exists served partial rows), not read the half-written dir
+    Files.createDirectories(java.nio.file.Paths.get(cat.path("d"), "_v7"))
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM $g.d VERSION AS OF 7").collect())
+      .getMessage.nonEmpty)
+    // the committed version still resolves
+    assert(spark.sql(s"SELECT k FROM $g.d VERSION AS OF 1").count() === 1L)
+  }
 }

@@ -223,4 +223,24 @@ class JoinOrderSpec extends AnyFunSuite with SparkTestSession {
       s"plan $plan crossed the disconnected pair first")
     assert(cat.joinOrdered(chain).count() === 50000L)
   }
+
+  test("histogram estimates spread the NON-NULL mass on a nully column") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("histnull").toString)
+    // 90% NULL: the boundaries describe only the 5000 non-null values.
+    // Spreading all 50k rows would estimate ~50k for the full domain —
+    // a 10× over-estimate on exactly the shape the histogram exists to
+    // fix (r10 review). NULLs never match a range predicate.
+    val df = (0 until 50000).map { i =>
+      (i.toLong, if (i % 10 == 0) Some((i.toLong * 37) % 10000) else None)
+    }.toDF("id", "x")
+    cat.replaceAtomic("nully", df)
+    cat.analyze("nully", histCols = Seq("x"))
+    val est = cat.estimateRangeRows("nully", "x", 0L, 10000L).get
+    assert(est <= 5000L && est > 2500L,
+      s"full-domain estimate $est should be ~the 5000 non-null rows")
+    // and the estimate can never exceed the non-null mass
+    assert(cat.estimateRangeRows("nully", "x", Long.MinValue,
+      Long.MaxValue).get <= 5000L)
+  }
 }
