@@ -117,9 +117,100 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * paid by [[replaceAtomic]]'s copy-on-write layout. Fails loudly for
     * a version outside the retained horizon ([[versions]]). */
   def readVersion(table: String, v: Long): DataFrame = {
+    // committed-pointer check first: a writer that crashed mid
+    // `_v<next>` write leaves a partial, uncommitted directory on disk
+    // until vacuum's grace window — bare existence would serve its
+    // half-written rows as a real snapshot (r10 review, same hole the
+    // SQL catalog's VERSION AS OF had)
+    require(currentVersion(table).exists(v <= _),
+      s"version $v of '$table' was never committed " +
+        s"(pointer: ${currentVersion(table).getOrElse(-1L)})")
     require(Files.exists(snapDir(table, v)),
       s"version $v of '$table' is not on disk (retained: ${versions(table).mkString(", ")})")
     spark.read.parquet(snapDir(table, v).toString)
+  }
+
+  // ------------------------------------------- commit history
+  // One write-once JSON entry per versioned commit under `_history/` —
+  // the DESCRIBE HISTORY / audit-log answer: which verb produced each
+  // snapshot, when, and how big it landed. The entry is written BEFORE
+  // the pointer rename so a committed version always has one; readers
+  // filter to `version <= pointer`, which hides the orphan entry a
+  // crashed attempt leaves (a retry of the same version supersedes it —
+  // consumers keep the LATEST entry per version). Entries are ~100 B
+  // and bounded by commit count, not data size; retention keeps them
+  // all (the log is the audit trail that outlives pruned snapshots, and
+  // the TIMESTAMP AS OF index).
+
+  private def historyDir(table: String): Path =
+    Paths.get(path(table), "_history")
+
+  private def writeHistoryEntry(table: String, v: Long, op: String): Unit = {
+    val snap = snapDir(table, v)
+    val o = TableCatalog.newHistoryNode(v, System.currentTimeMillis(), op,
+      listParquetUrisAt(snap).size.toLong, dataBytes(snap.toString))
+    Files.createDirectories(historyDir(table))
+    val tmp = Paths.get(path(table),
+      s"_tmp_hist-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, o.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp,
+      historyDir(table).resolve(f"h$v%012d-${java.util.UUID.randomUUID()}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Commit log of `table` as a DataFrame — one row per COMMITTED
+    * version: (version, ts_millis, op, files, bytes), ascending. The
+    * distributed read (json source over the `_history/` dir) keeps the
+    * driver out of the loop however long the log grows; the
+    * latest-entry-per-version rule collapses a crashed attempt's
+    * superseded entry via one bounded aggregation (max over a struct
+    * ordered by ts first — never a global window). Versions older than
+    * this feature simply have no row. */
+  def history(table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val schema = StructType.fromDDL(
+      "version LONG, tsMillis LONG, op STRING, files LONG, bytes LONG")
+    val cur = currentVersion(table).getOrElse(-1L)
+    if (!Files.exists(historyDir(table)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(
+          "version LONG, ts_millis LONG, op STRING, files LONG, bytes LONG"))
+    spark.read.schema(schema).json(historyDir(table).toString)
+      .filter(col("version") <= cur)
+      .groupBy(col("version"))
+      .agg(max(struct(col("tsMillis"), col("op"), col("files"),
+        col("bytes"))).as("e"))
+      .select(col("version"), col("e.tsMillis").as("ts_millis"),
+        col("e.op").as("op"), col("e.files").as("files"),
+        col("e.bytes").as("bytes"))
+      .orderBy(col("version"))
+  }
+
+  /** The committed version current AT `tsMillis` — the latest commit
+    * whose entry timestamp is <= the probe — or None before the first
+    * logged commit. Driver-side over the history entries (one LIST +
+    * KB reads, bounded by commit count — the same weight as a snapshot
+    * listing); this is the `TIMESTAMP AS OF` resolver the SQL catalog
+    * uses. */
+  def versionAtTimestamp(table: String, tsMillis: Long): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val dir = historyDir(table)
+    if (!Files.exists(dir)) return None
+    val cur = currentVersion(table).getOrElse(return None)
+    val entries = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .toSeq finally s.close()
+    }
+    entries.flatMap { p =>
+      TableCatalog.parseHistoryNode(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+      .filter(e => e._1 <= cur)
+      .groupBy(_._1).map(_._2.maxBy(_._2)) // latest entry per version
+      .filter(_._2 <= tsMillis)
+      .map(_._1).maxOption
   }
 
   // ------------------------------------------- table statistics (ANALYZE)
@@ -991,7 +1082,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       deltaRows, entry.keys, col(entry.value))
     val merged = graft.ops.IncrementalAgg.merge(
       read(view).unionByName(delta), entry.keys)
-    replaceAtomicLocked(view, merged)
+    replaceAtomicLocked(view, merged, op = "MV_REFRESH")
     writeMvEntry(reEntry(normalized(readPath(view))))
   }
 
@@ -1095,7 +1186,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // the commit's OWN version, not a post-hoc pointer read — a
     // concurrent writer landing right after would otherwise make the
     // caller pin/tag the wrong (non-restored) snapshot
-    replaceAtomic(table, content)
+    withTableLock(table) { replaceAtomicLocked(table, content, op = "RESTORE") }
   }
 
   /** [[restore]] to the snapshot a tag pins. */
@@ -1437,7 +1528,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val clustered = graft.ops.ZOrder.clusterN(readMor(table), cols, bits,
           numPartitions)
         .drop("z" +: cols.indices.map(i => s"z$i"): _*)
-      replaceAtomicLocked(table, clustered, foldsDv = true)
+      replaceAtomicLocked(table, clustered, foldsDv = true,
+        op = "OPTIMIZE_ZORDER")
     }
     analyze(table, cols = cols, skipCols = cols)
   }
@@ -1467,7 +1559,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val skips = stats(table).map(_.skipCols).getOrElse(Seq.empty)
     withTableLock(table) {
       replaceAtomicLocked(table, readMor(table).coalesce(nFiles),
-        foldsDv = true)
+        foldsDv = true, op = "OPTIMIZE_COMPACT")
     }
     if (skips.nonEmpty) analyze(table, cols = skips, skipCols = skips)
     listParquetUris(table).size
@@ -2022,7 +2114,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       require(currentVersion(table) == v0 && dvFingerprint(table) == dv0,
         s"concurrent write to '$table' during MERGE (snapshot or " +
           "delete-vector state moved since the target was read) — retry")
-      replaceAtomicLocked(table, merged, foldsDv = true)
+      replaceAtomicLocked(table, merged, foldsDv = true, op = "MERGE")
     }
     (counts.getOrElse("update", 0L), counts.getOrElse("delete", 0L),
       counts.getOrElse("insert", 0L), counts.getOrElse("keep", 0L))
@@ -2545,7 +2637,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     withTableLock(table) { replaceAtomicLocked(table, df) }
 
   private def replaceAtomicLocked(table: String, df: DataFrame,
-                                  foldsDv: Boolean = false): Long = {
+                                  foldsDv: Boolean = false,
+                                  op: String = "REPLACE"): Long = {
     healSwap(table)
     // centralized deletion-vector guard: converting a plain table that
     // carries live vectors would snapshot the bare (vectors-ignored)
@@ -2564,6 +2657,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val next = cur.getOrElse(0L) + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
     df.write.mode("overwrite").parquet(snapDir(table, next).toString)
+    // history BEFORE the pointer: a committed version always has its
+    // entry (readers filter to <= the pointer, so a crashed attempt's
+    // orphan entry is invisible and superseded on retry)
+    writeHistoryEntry(table, next, op)
     // the commit: write-aside + atomic rename of the pointer file
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
@@ -2579,6 +2676,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           .filterNot(_.getFileName.toString.startsWith("_v"))
           .filterNot(_.getFileName.toString == "_version")
           .filterNot(_.getFileName.toString.startsWith("_writer.lock")) // held by US
+          .filterNot(_.getFileName.toString == "_history") // v1's own entry
           .foreach(deleteRecursive)
       } finally s.close()
     }
@@ -2645,6 +2743,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             s"part-file name collision in '$table': ${src.getFileName}")
           Files.createLink(dst, src)
         }
+        writeHistoryEntry(table, next, "APPEND")
         val tmp = Paths.get(path(table), "_version.tmp")
         Files.write(tmp, next.toString.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
@@ -2785,6 +2884,23 @@ object TableCatalog {
   // literally named "version" as the snapshot version (ADVICE r8), and
   // the nested files section would only widen that class.
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[catalog] def newHistoryNode(v: Long, ts: Long, op: String,
+                                      files: Long, bytes: Long): String = {
+    val o = om.createObjectNode()
+    o.put("version", v); o.put("tsMillis", ts); o.put("op", op)
+    o.put("files", files); o.put("bytes", bytes)
+    om.writeValueAsString(o)
+  }
+
+  /** (version, tsMillis, op), or None on malformed content. */
+  private[catalog] def parseHistoryNode(s: String): Option[(Long, Long, String)] =
+    try {
+      val n = om.readTree(s)
+      if (n == null || !n.has("version") || !n.has("tsMillis")) None
+      else Some((n.get("version").asLong, n.get("tsMillis").asLong,
+        Option(n.get("op")).map(_.asText).getOrElse("")))
+    } catch { case _: Exception => None }
 
   private[catalog] def renderStats(st: TableStats): String = {
     val root = om.createObjectNode()

@@ -3769,6 +3769,78 @@ object TestdataQueries {
              |  CAST(n_regionkey AS BIGINT) AS rkey_v1
              |FROM nation""".stripMargin)),
 
+    // ------------------------------------------- commit history (audit)
+    // DESCRIBE HISTORY for the versioned catalog: every commit logs the
+    // verb that produced it (one ~100 B write-once entry, bounded by
+    // commit count, never data size). The query drives four different
+    // verbs over disjoint thirds of orders and pins the logged op
+    // sequence + landed sizes in require(); the returned aggregate is
+    // over the final table, which the verbs must have reassembled into
+    // exactly the full orders slice for the oracle to match.
+    "x_history" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_history", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      cat.replaceAtomic("h_orders", o.filter(col("okey") % 3 === 0))
+      cat.appendAtomic("h_orders", o.filter(col("okey") % 3 === 1))
+      cat.mergeInto("h_orders", o.filter(col("okey") % 3 === 2), Seq("okey"))
+      cat.compactSmallFiles("h_orders")
+      val hr = cat.history("h_orders")
+        .select(col("version"), col("op"), col("files"), col("bytes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      require(hr.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L),
+        s"one history row per committed version: ${hr.mkString(",")}")
+      require(hr.map(_._2).toSeq ==
+        Seq("REPLACE", "APPEND", "MERGE", "OPTIMIZE_COMPACT"),
+        s"logged verbs: ${hr.map(_._2).mkString(",")}")
+      require(hr.forall(e => e._3 > 0L && e._4 > 0L),
+        "files/bytes must describe the landed snapshot")
+      require(cat.versionAtTimestamp("h_orders",
+        System.currentTimeMillis()) == Some(4L),
+        "a now-probe must resolve the current version")
+      cat.read("h_orders").agg(count(lit(1)).as("n_rows"),
+        sum(col("total_c")).as("sum_total_c"))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_total_c
+             |FROM orders""".stripMargin)),
+
+    // ------------------------------------------- TIMESTAMP AS OF (SQL)
+    // Time travel by wall clock through plain SQL: the history log maps
+    // an instant captured BETWEEN two commits back to the first
+    // version, so the query must return the PRE-rewrite rkey values —
+    // a resolver that lands on the current snapshot (or rounds the
+    // wrong way) fails the oracle hash on every row.
+    "x_time_travel" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_timetravel", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("rkey"))
+      cat.replaceAtomic("tn", n)
+      Thread.sleep(30)
+      val between = new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(30)
+      cat.replaceAtomic("tn", n.withColumn("rkey", col("rkey") + 100))
+      val cname = "gts_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      s.sql(s"""SELECT nkey, n_name, rkey
+               |FROM $cname.tn TIMESTAMP AS OF '$between'""".stripMargin)
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name,
+             |  CAST(n_regionkey AS BIGINT) AS rkey
+             |FROM nation""".stripMargin)),
+
     // --------------------------------------------- embedding near-dup
     // The synthetic embeddings top out at pairwise cos ≈ 0.48, so the
     // threshold is set where real pairs exist (0.35) and the plane count

@@ -89,6 +89,19 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     parquetTable(ident, Some(v))
   }
 
+  /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds since epoch;
+    * the commit-history log resolves it to the latest version committed
+    * at that instant (refused before the first logged commit — serving
+    * the current snapshot for a pre-history probe would silently lie
+    * about what existed then). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tableOf(ident)
+    if (!cat.exists(t)) throw new NoSuchTableException(ident)
+    val v = cat.versionAtTimestamp(t, timestamp / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    parquetTable(ident, Some(v))
+  }
+
   private def parquetTable(ident: Identifier, version: Option[Long]): Table = {
     val t = tableOf(ident)
     if (!cat.exists(t)) throw new NoSuchTableException(ident)

@@ -78,4 +78,21 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     // the committed version still resolves
     assert(spark.sql(s"SELECT k FROM $g.d VERSION AS OF 1").count() === 1L)
   }
+
+  test("TIMESTAMP AS OF travels through plain SQL") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("d", Seq((1L, "a")).toDF("k", "s"))
+    Thread.sleep(30)
+    val between = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(30)
+    cat.replaceAtomic("d", Seq((1L, "b")).toDF("k", "s"))
+    assert(spark.sql(s"SELECT s FROM $g.d TIMESTAMP AS OF '$between'")
+      .as[String].head() === "a")
+    assert(spark.sql(s"SELECT s FROM $g.d").as[String].head() === "b")
+    // a probe before the first commit refuses — serving the current
+    // snapshot for a pre-history instant would lie about what existed
+    assert(intercept[Exception](spark.sql(
+      s"SELECT * FROM $g.d TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+      .getMessage.nonEmpty)
+  }
 }
