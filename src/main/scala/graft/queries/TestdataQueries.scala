@@ -3810,6 +3810,49 @@ object TestdataQueries {
              |    AS sum_total_c
              |FROM orders""".stripMargin)),
 
+    // --------------------------------------------- change-feed mirror
+    // The CDC consumer loop end-to-end: a downstream replica maintained
+    // from the commit-version change feed — bootstrap (full snapshot as
+    // inserts), an append-only O(delta) catch-up, then a rewrite with
+    // updates AND deletes — with the offset checkpoint advancing only
+    // after each apply. The require()s pin the per-step sync results
+    // (Resync → Delta → Delta → Fresh); the returned replica rows must
+    // hash-equal the oracle's direct computation of the final upstream
+    // state, so a feed that misclassified, double-applied, or dropped a
+    // change breaks value equality row-for-row.
+    "x_cdc_mirror" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      import graft.streaming.ChangeFeed
+      val scratch = scratchDir("graft_cdcmirror", dir)
+      val cat = new TableCatalog(s, scratch.resolve("wh").toString)
+      val ckpt = scratch.resolve("offsets/src.offset")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      cat.replaceAtomic("m_src", o.filter(col("okey") % 3 === 0))
+      require(ChangeFeed.mirror(cat, "m_src", "m_dst", Seq("okey"), ckpt) ==
+        ChangeFeed.Resync(1L), "bootstrap must ship the initial snapshot")
+      cat.appendAtomic("m_src", o.filter(col("okey") % 3 === 1))
+      require(ChangeFeed.mirror(cat, "m_src", "m_dst", Seq("okey"), ckpt) ==
+        ChangeFeed.Delta(1L, 2L), "append catch-up must be a delta")
+      cat.replaceAtomic("m_src", cat.read("m_src")
+        .filter(col("okey") % 5 =!= 0)
+        .withColumn("total_c", when(col("okey") % 7 === 0,
+          col("total_c") + 100L).otherwise(col("total_c"))))
+      require(ChangeFeed.mirror(cat, "m_src", "m_dst", Seq("okey"), ckpt) ==
+        ChangeFeed.Delta(2L, 3L), "rewrite catch-up must be a delta")
+      require(ChangeFeed.mirror(cat, "m_src", "m_dst", Seq("okey"), ckpt) ==
+        ChangeFeed.Fresh, "a caught-up consumer must do nothing")
+      cat.read("m_dst").select(col("okey"), col("total_c"))
+    }),
+      Some("""SELECT CAST(o_orderkey AS BIGINT) AS okey,
+             |  CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+             |    + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
+             |    AS BIGINT) AS total_c
+             |FROM orders
+             |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0"""
+        .stripMargin)),
+
     // ------------------------------------------- TIMESTAMP AS OF (SQL)
     // Time travel by wall clock through plain SQL: the history log maps
     // an instant captured BETWEEN two commits back to the first

@@ -1,0 +1,206 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{broadcast, col}
+
+import graft.catalog.TableCatalog
+
+/** Streaming consumption of the versioned catalog's change feed — the
+  * `readChangeFeed`-style consumer loop over [[TableCatalog
+  * .changesBetween]]: offsets are COMMIT VERSIONS, a checkpoint file
+  * remembers the last version a consumer processed, and each sync
+  * reads exactly the delta `(checkpoint, current]` at O(delta) cost
+  * (the feed scans only files added/removed between the versions —
+  * appendAtomic's hard-link overlap makes shared files cancel by
+  * name).
+  *
+  * Delivery is AT-LEAST-ONCE by construction — the offset commits
+  * AFTER the handler returns, so a crash between the two replays the
+  * same version range — which becomes exactly-once for an idempotent
+  * handler. [[mirror]] is the built-in idempotent consumer: it retires
+  * every key the feed mentions and re-inserts the insert/update rows,
+  * so replaying a range reconverges to the same downstream state.
+  *
+  * Scale shape: the poll reads two KB-sized pointers (checkpoint +
+  * `_version`); a fresh consumer does no work at all. A behind
+  * consumer reads O(delta) rows however large the table is. The one
+  * O(table) event is HORIZON LOSS — the checkpointed version aged out
+  * of snapshot retention (a lapped consumer) or the table changed
+  * schema — where the feed is undefined and the consumer either
+  * resyncs from the full current snapshot or fails loudly, per
+  * `onHorizonLoss`. The offset checkpoint uses the same write-aside +
+  * atomic-rename protocol as every catalog pointer.
+  *
+  * Reference anchor: the reference's cron loop re-extracts full
+  * PostgreSQL tables every run (main.cron:1, main.py:60-80); this
+  * consumer is the incremental replacement — ship the changeset, not
+  * the snapshot. */
+object ChangeFeed {
+
+  /** What a [[sync]] did: nothing to do, a delta applied, or a full
+    * resync (horizon loss — the O(table) fallback, flagged so callers
+    * can alert on it: at 100 TB a resync is an incident, not a tick). */
+  sealed trait SyncResult
+  case object Fresh extends SyncResult
+  final case class Delta(fromVersion: Long, toVersion: Long) extends SyncResult
+  final case class Resync(toVersion: Long) extends SyncResult
+
+  sealed trait HorizonPolicy
+  /** Reprocess the full current snapshot (feed = every row as insert). */
+  case object ResyncOnLoss extends HorizonPolicy
+  /** Throw — for consumers that cannot absorb a full snapshot. */
+  case object FailOnLoss extends HorizonPolicy
+
+  private def readOffset(checkpoint: Path): Option[Long] =
+    if (!Files.exists(checkpoint)) None
+    else Some(new String(Files.readAllBytes(checkpoint),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+
+  private def commitOffset(checkpoint: Path, v: Long): Unit = {
+    Option(checkpoint.getParent).foreach(Files.createDirectories(_))
+    val tmp = checkpoint.resolveSibling(
+      s"${checkpoint.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, checkpoint, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One incremental catch-up of a consumer over `table`'s commits.
+    *
+    *  - First call (no checkpoint): `process` receives the full current
+    *    snapshot as inserts — the initial-snapshot semantics every CDC
+    *    stream needs — and the offset pins to the current version.
+    *  - Steady state: `process(feed, from, to)` receives the classified
+    *    O(delta) feed for `(from, to]`; the offset advances only after
+    *    it returns (at-least-once).
+    *  - Horizon loss: per `onHorizonLoss`.
+    *
+    * `process` must treat the feed as at-least-once: a crash between
+    * process and offset commit replays the range. */
+  def sync(cat: TableCatalog, table: String, keys: Seq[String],
+           checkpoint: Path,
+           onHorizonLoss: HorizonPolicy = ResyncOnLoss)
+          (process: (DataFrame, SyncResult) => Unit): SyncResult = {
+    val cur = cat.currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' is not a versioned table — the change feed needs " +
+          "commit versions (replaceAtomic/appendAtomic writers)"))
+    val from = readOffset(checkpoint)
+    def fullAsInserts(result: SyncResult): SyncResult = {
+      val snap = cat.readVersion(table, cur)
+      val asFeed = snap.select(
+        keys.map(col) ++
+          Seq(org.apache.spark.sql.functions.lit("insert").as("change_type")) ++
+          snap.columns.filterNot(keys.contains).map(col).toSeq: _*)
+      process(asFeed, result)
+      commitOffset(checkpoint, cur)
+      result
+    }
+    from match {
+      case None => fullAsInserts(Resync(cur))
+      case Some(v) if v >= cur => Fresh
+      case Some(v) =>
+        val feed =
+          try Some(cat.changesBetween(table, v, cur, keys))
+          catch {
+            case e: IllegalArgumentException if onHorizonLoss == FailOnLoss =>
+              throw new IllegalStateException(
+                s"change feed for '$table' lost its horizon at v$v " +
+                  s"(current v$cur) and the consumer forbids resync", e)
+            case _: IllegalArgumentException => None
+          }
+        feed match {
+          case Some(f) =>
+            val r = Delta(v, cur)
+            process(f, r)
+            commitOffset(checkpoint, cur)
+            r
+          case None => fullAsInserts(Resync(cur))
+        }
+    }
+  }
+
+  /** Maintain `dst` as a replica of versioned `src`, one catch-up per
+    * call — the built-in IDEMPOTENT consumer: every key the feed
+    * mentions is retired from the replica (one null-safe anti-join
+    * whose build side is the delta's keys — broadcast while small),
+    * then insert/update rows come back with their new values, and the
+    * result commits as ONE snapshot. Replaying a range reconverges
+    * (retire-then-reinsert of already-applied rows is a no-op), so the
+    * at-least-once offset protocol yields an exactly-once replica.
+    * The apply WRITE is O(replica) — the price of one-directory
+    * snapshots; the feed READ side stays O(delta), which is what a
+    * lapped 100 TB consumer pays for. */
+  def mirror(cat: TableCatalog, src: String, dst: String,
+             keys: Seq[String], checkpoint: Path): SyncResult =
+    sync(cat, src, keys, checkpoint) { (feed, result) =>
+      result match {
+        case Resync(_) =>
+          cat.replaceAtomic(dst, feed.drop("change_type"))
+        case Delta(_, to) if cat.currentVersion(dst).isEmpty =>
+          // the replica vanished between syncs (dropped, or never
+          // bootstrapped under this checkpoint): a delta can't rebuild
+          // it — copy the full source snapshot the offset is about to
+          // pin. O(table), same class as a resync; loud in the logs
+          // via the commit history's REPLACE on dst.
+          cat.replaceAtomic(dst, cat.readVersion(src, to))
+        case Delta(_, _) =>
+          val existing = cat.read(dst)
+          val feedKeys = feed.select(keys.map(col): _*).distinct().alias("fk")
+          val cond = keys.map(k =>
+            col(s"d.$k") <=> col(s"fk.$k")).reduce(_ && _)
+          val survivors = existing.alias("d")
+            .join(broadcast(feedKeys), cond, "left_anti")
+          val incoming = feed.filter(col("change_type") =!= "delete")
+            .drop("change_type")
+          cat.replaceAtomic(dst, survivors.unionByName(incoming))
+        case Fresh => () // sync never invokes the handler when fresh
+      }
+    }
+
+  /** A stopped/running poll loop over [[sync]]/[[mirror]] catch-ups. */
+  final class Handle(thread: Thread, running: AtomicBoolean,
+                     err: AtomicReference[Throwable],
+                     ticksDone: AtomicLong) {
+    def stop(): Unit = { running.set(false); thread.interrupt(); thread.join(30000) }
+    def lastError: Option[Throwable] = Option(err.get())
+    def ticks: Long = ticksDone.get()
+    def isAlive: Boolean = thread.isAlive
+  }
+
+  /** Poll `src`'s version pointer every `intervalMs` and run one
+    * catch-up when it moved — the daemon form of [[sync]]. A tick that
+    * throws records the error and keeps polling (a transient race must
+    * not kill a long-lived replica loop); `Handle.lastError` surfaces
+    * it. The poll cost at idle is two pointer reads — no Spark job. */
+  def start(cat: TableCatalog, src: String, keys: Seq[String],
+            checkpoint: Path, intervalMs: Long = 1000L)
+           (tick: () => Unit): Handle = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    val running = new AtomicBoolean(true)
+    val err = new AtomicReference[Throwable]()
+    val ticks = new AtomicLong(0L)
+    val t = new Thread(() => {
+      while (running.get()) {
+        try {
+          val cur = cat.currentVersion(src)
+          val off = readOffset(checkpoint)
+          if (cur.isDefined && cur != off) { tick(); ticks.incrementAndGet() }
+          err.set(null)
+        } catch {
+          case _: InterruptedException => ()
+          case e: Throwable => err.set(e)
+        }
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => () }
+      }
+    }, s"graft-changefeed-$src")
+    t.setDaemon(true)
+    t.start()
+    new Handle(t, running, err, ticks)
+  }
+}
