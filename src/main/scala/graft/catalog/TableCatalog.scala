@@ -1303,10 +1303,47 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(name)
+    // the bucket spec must outlive this JVM: the session catalog is
+    // in-memory, so without a sidecar a NEW session would read the path
+    // as plain parquet and silently re-shuffle every join a 100 TB
+    // bucketed write existed to avoid. ~100 B, same write-aside +
+    // atomic-move protocol as every pointer; the registered schema is
+    // captured so re-registration never depends on inference.
+    val spec = TableCatalog.renderBucketSpec(bucketCol, buckets,
+      spark.table(s"`$name`").schema.toDDL)
+    val tmp = Paths.get(path(table),
+      s"_tmp_buckets-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path(table), "_buckets.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def readBucketed(table: String): DataFrame =
-    spark.table(s"`${bucketedName(table)}`")
+  /** Read a bucketed table WITH its co-partitioning guarantee. When the
+    * session catalog already holds the registration (the writing
+    * session) this is one lookup; in a FRESH session the table is
+    * re-registered from the `_buckets.json` sidecar via `CREATE TABLE …
+    * CLUSTERED BY … INTO n BUCKETS LOCATION path` — the bucket layout
+    * on disk is self-describing (writer-stamped `_0000N` file names),
+    * so recovery is pure metadata: no data read, no re-bucketing, and
+    * the next join still elides its exchanges. */
+  def readBucketed(table: String): DataFrame = {
+    val name = bucketedName(table)
+    if (!spark.catalog.tableExists(s"`$name`")) {
+      val specFile = Paths.get(path(table), "_buckets.json")
+      require(Files.exists(specFile),
+        s"'$table' is not registered in this session and has no " +
+          "_buckets.json sidecar — overwriteBucketed writes both")
+      val (c, n, ddl) = TableCatalog.parseBucketSpec(
+        new String(Files.readAllBytes(specFile),
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse(
+        throw new IllegalStateException(
+          s"unreadable _buckets.json for '$table'"))
+      spark.sql(s"""CREATE TABLE `$name` ($ddl) USING PARQUET
+                   |CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS
+                   |LOCATION '${path(table)}'""".stripMargin)
+    }
+    spark.table(s"`$name`")
+  }
 
   /** Drop the session-catalog entry (files at `path(table)` remain —
     * same external-table lifecycle as the rest of this catalog). */
@@ -2892,6 +2929,24 @@ object TableCatalog {
     o.put("files", files); o.put("bytes", bytes)
     om.writeValueAsString(o)
   }
+
+  private[catalog] def renderBucketSpec(col: String, buckets: Int,
+                                        schemaDdl: String): String = {
+    val o = om.createObjectNode()
+    o.put("bucketCol", col); o.put("buckets", buckets)
+    o.put("schema", schemaDdl)
+    om.writeValueAsString(o)
+  }
+
+  /** (bucketCol, buckets, schemaDDL), or None on malformed content. */
+  private[catalog] def parseBucketSpec(s: String): Option[(String, Int, String)] =
+    try {
+      val n = om.readTree(s)
+      if (n == null || !n.has("bucketCol") || !n.has("buckets") ||
+          !n.has("schema")) None
+      else Some((n.get("bucketCol").asText, n.get("buckets").asInt,
+        n.get("schema").asText))
+    } catch { case _: Exception => None }
 
   /** (version, tsMillis, op), or None on malformed content. */
   private[catalog] def parseHistoryNode(s: String): Option[(Long, Long, String)] =

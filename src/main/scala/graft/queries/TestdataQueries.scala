@@ -3810,6 +3810,50 @@ object TestdataQueries {
              |    AS sum_total_c
              |FROM orders""".stripMargin)),
 
+    // --------------------------------------------- bucketed co-located join
+    // The shuffle-amortization story: both sides bucketed on the join
+    // key at write time, so the fact-fact join elides its exchanges —
+    // at 100 TB, ONE bucketed write pays the shuffle every subsequent
+    // join of these tables would otherwise repeat. The session entries
+    // are dropped first, so the query also proves the `_buckets.json`
+    // sidecar recovery path: a fresh JVM re-registers from metadata
+    // (no re-bucketing) and still gets the exchange-free plan, pinned
+    // by the in-query require; values ride the ordinary oracle hash.
+    "x_bucketed_join" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_bucketed", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("ckey"))
+      val l = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("okey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      cat.overwriteBucketed("b_orders", o, "okey", 8)
+      cat.overwriteBucketed("b_lineitem", l, "okey", 8)
+      // simulate a fresh session: only files + sidecar remain
+      cat.dropBucketed("b_orders"); cat.dropBucketed("b_lineitem")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = cat.readBucketed("b_orders")
+          .join(cat.readBucketed("b_lineitem"), Seq("okey"))
+          .groupBy(col("ckey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("price_c")).as("sum_price_c"))
+        require(!j.queryExecution.executedPlan.toString
+            .contains("Exchange hashpartitioning(okey"),
+          "bucketed co-located join must not shuffle on the join key")
+        j
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+      Some("""SELECT CAST(o_custkey AS BIGINT) AS ckey,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+             |    AS BIGINT) AS sum_price_c
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_custkey""".stripMargin)),
+
     // --------------------------------------------- change-feed mirror
     // The CDC consumer loop end-to-end: a downstream replica maintained
     // from the commit-version change feed — bootstrap (full snapshot as

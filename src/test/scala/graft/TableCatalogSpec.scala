@@ -55,6 +55,34 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("the bucket spec survives the session: sidecar re-registration keeps joins shuffle-free") {
+    val cat = new TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_bktsc_").toString)
+    val left = (1L to 500L).map(i => (i, i * 2)).toDF("k", "lv")
+    val right = (1L to 500L by 5).map(i => (i, i * 3)).toDF("k", "rv")
+    cat.overwriteBucketed("sl", left, "k", 4)
+    cat.overwriteBucketed("sr", right, "k", 4)
+    // simulate a fresh JVM: the in-memory session catalog forgets the
+    // registration; only the files and the _buckets.json sidecar remain
+    cat.dropBucketed("sl"); cat.dropBucketed("sr")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = cat.readBucketed("sl").join(cat.readBucketed("sr"), Seq("k"))
+      assert(joined.count() === 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the recovered registration is pure metadata (no re-bucketing)
+      // and the co-partitioning guarantee is intact
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"re-registered bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      cat.dropBucketed("sl"); cat.dropBucketed("sr")
+    }
+    // a table never bucketed has no sidecar to recover from — loud
+    assertThrows[IllegalArgumentException](cat.readBucketed("nope"))
+  }
+
   test("bucketed names don't cross-wire between catalogs whose roots sanitize identically") {
     val base = java.nio.file.Files.createTempDirectory("graft_coll_")
     // '/w/x' and '/w_x' sanitize to the same token; the raw-root digest
@@ -386,8 +414,10 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readVersion("tt", 2L).count() === 2L)
     // current read still resolves the committed pointer
     assert(cat.read("tt").count() === 2L)
+    // above the pointer: the committed-pointer guard fires first (a
+    // crashed writer's partial _vN must never be served — r10 review)
     val e = intercept[IllegalArgumentException](cat.readVersion("tt", 9L))
-    assert(e.getMessage.contains("retained"))
+    assert(e.getMessage.contains("never committed"))
   }
 
   test("replaceAtomic: aged-out snapshots prune, the previous one survives " +
@@ -428,7 +458,9 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
       val s = java.nio.file.Files.list(
         java.nio.file.Paths.get(cat.path("dim_y_open")))
       try s.iterator().asScala.map(_.getFileName.toString)
-        .filterNot(n => n.startsWith("_v") || n == "_version").toSeq
+        .filterNot(n => n.startsWith("_v") || n == "_version" ||
+          n == "_history") // the commit log is snapshot machinery
+        .toSeq
       finally s.close()
     }
     assert(plain.isEmpty, s"legacy files not migrated: $plain")
