@@ -94,7 +94,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   }
 
   def read(table: String): DataFrame =
-    spark.read.parquet(readPath(table))
+    // an evolved table reads under its DECLARED schema (see the schema
+    // log): its snapshot holds files from before and after the change,
+    // and footer inference would pick whichever file it sampled first.
+    // Never-evolved tables have no log — plain inference, no extra cost.
+    currentVersion(table).flatMap(v => resolveSchema(table, v)) match {
+      case Some(sch) => spark.read.schema(sch).parquet(readPath(table))
+      case None => spark.read.parquet(readPath(table))
+    }
 
   /** Snapshot versions of `table` still on disk, ascending — the
     * retained time-travel horizon (bounded: current + previous, plus
@@ -127,7 +134,56 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"(pointer: ${currentVersion(table).getOrElse(-1L)})")
     require(Files.exists(snapDir(table, v)),
       s"version $v of '$table' is not on disk (retained: ${versions(table).mkString(", ")})")
-    spark.read.parquet(snapDir(table, v).toString)
+    // time travel under the schema the table HAD at v (schema log):
+    // a later evolution must not widen history, nor footer sampling
+    // narrow it
+    resolveSchema(table, v) match {
+      case Some(sch) => spark.read.schema(sch).parquet(snapDir(table, v).toString)
+      case None => spark.read.parquet(snapDir(table, v).toString)
+    }
+  }
+
+  // ------------------------------------------- schema log (evolution)
+  // A versioned table's DECLARED schema, per version — the piece that
+  // makes additive schema evolution safe on hard-linked snapshots:
+  // after an evolving append the snapshot holds files written under
+  // BOTH schemas, and footer inference would pick whichever file it
+  // sampled first (silently dropping the new column, or the old rows'
+  // values). The log is a tiny whole-file-rewritten JSON array of
+  // (version, DDL) entries, appended only when the schema actually
+  // changes; [[resolveSchema]] answers "the schema AS OF version v" as
+  // the latest entry at or below v, so time travel sees the shape the
+  // table had then. Tables that never evolved have no log and keep
+  // footer inference (zero cost, zero behavior change).
+
+  private def schemaLogFile(table: String): Path =
+    Paths.get(path(table), "_schema.json")
+
+  private def schemaLog(table: String): Seq[(Long, String)] =
+    committer.read(schemaLogFile(table))
+      .map(b => TableCatalog.parseSchemaLog(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8)))
+      .getOrElse(Seq.empty)
+
+  /** The declared schema of `table` as of version `v` — None when the
+    * table never evolved (callers fall back to footer inference). */
+  def resolveSchema(table: String, v: Long): Option[StructType] =
+    schemaLog(table).filter(_._1 <= v).lastOption
+      .map(e => StructType.fromDDL(e._2))
+
+  // written BEFORE the pointer rename, like the history entry: an
+  // entry for an uncommitted version is invisible (resolveSchema
+  // filters to <= the probe version, probes never exceed the pointer)
+  // and a retry's rewrite supersedes it
+  private def appendSchemaEntry(table: String, v: Long, ddl: String): Unit = {
+    val entries = schemaLog(table)
+    if (entries.lastOption.exists(_._2 == ddl)) return
+    val tmp = Paths.get(path(table),
+      s"_tmp_schema-${java.util.UUID.randomUUID()}")
+    Files.write(tmp,
+      TableCatalog.renderSchemaLog(entries.filter(_._1 < v) :+ (v -> ddl))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, schemaLogFile(table))
   }
 
   // ------------------------------------------- commit history
@@ -286,7 +342,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       case Some(v) => snapDir(table, v).toString
       case None => healSwap(table); path(table)
     }
-    val df = spark.read.parquet(pinnedDir)
+    // evolved tables analyze under the declared schema — footer
+    // sampling on a mixed-schema snapshot would randomly drop columns
+    val df = ver.flatMap(v => resolveSchema(table, v)) match {
+      case Some(sch) => spark.read.schema(sch).parquet(pinnedDir)
+      case None => spark.read.parquet(pinnedDir)
+    }
     val targets =
       (if (cols.nonEmpty) cols else df.columns.toSeq)
         .filter(df.columns.contains)
@@ -2694,6 +2755,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val next = cur.getOrElse(0L) + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
     df.write.mode("overwrite").parquet(snapDir(table, next).toString)
+    // a full rewrite re-DECLARES the schema: when a schema log exists
+    // (the table evolved at some point) this commit's shape supersedes
+    // it — without the entry, resolveSchema would keep answering the
+    // pre-rewrite union for every later version
+    if (schemaLog(table).nonEmpty)
+      appendSchemaEntry(table, next,
+        StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL)
     // history BEFORE the pointer: a committed version always has its
     // entry (readers filter to <= the pointer, so a crashed attempt's
     // orphan entry is invisible and superseded on retry)
@@ -2756,7 +2824,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * The version-to-version FILE-SET OVERLAP this creates is what makes
     * [[changesBetween]] O(delta): shared names contribute nothing to a
     * change feed, so only the appended files are ever read back. */
-  def appendAtomic(table: String, df: DataFrame): Long = withTableLock(table) {
+  def appendAtomic(table: String, df: DataFrame,
+                   mergeSchema: Boolean = false): Long = withTableLock(table) {
     healSwap(table)
     currentVersion(table) match {
       case None =>
@@ -2768,9 +2837,39 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             "use append() for plain tables or replaceAtomic to convert")
         replaceAtomicLocked(table, df)
       case Some(cur) =>
+        // SCHEMA EVOLUTION gate: the hard-link layout mixes old and new
+        // files in one snapshot, so a silent schema drift would leave
+        // reads at the mercy of footer sampling. Same column set →
+        // plain append. Additive drift (columns added or omitted,
+        // common types agree) → requires the explicit mergeSchema
+        // opt-in (Delta's rule); the union schema lands in the schema
+        // log so every read and time travel is deterministic, missing
+        // columns null-fill on either side. A TYPE conflict is never
+        // mergeable — refuse loudly.
+        val curSchema = resolveSchema(table, cur).getOrElse(
+          spark.read.parquet(snapDir(table, cur).toString).schema)
+        val curTypes = curSchema.map(f => f.name -> f.dataType).toMap
+        val newTypes = df.schema.map(f => f.name -> f.dataType).toMap
+        val conflicts = curTypes.keySet.intersect(newTypes.keySet)
+          .filter(k => curTypes(k) != newTypes(k)).toSeq.sorted
+        require(conflicts.isEmpty,
+          s"appendAtomic to '$table': column type conflict on " +
+            s"${conflicts.mkString(", ")} — evolution is additive only")
+        val evolved = curTypes.keySet != newTypes.keySet
+        require(!evolved || mergeSchema,
+          s"appendAtomic to '$table': schema drift (table has " +
+            s"${curSchema.fieldNames.sorted.mkString(",")}; append has " +
+            s"${df.schema.fieldNames.sorted.mkString(",")}) — pass " +
+            "mergeSchema = true to evolve additively, or align the columns")
+        val mergedSchema = StructType(
+          (curSchema.fields ++
+            df.schema.fields.filterNot(f => curTypes.contains(f.name)))
+            .map(_.copy(nullable = true))) // null-filled on one side
         val next = cur + 1L
         deleteRecursive(snapDir(table, next)) // a crashed prior attempt
         df.write.parquet(snapDir(table, next).toString)
+        if (evolved || schemaLog(table).nonEmpty)
+          appendSchemaEntry(table, next, mergedSchema.toDDL)
         listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
           val src = Paths.get(java.net.URI.create(u))
           val dst = snapDir(table, next).resolve(src.getFileName)
@@ -2848,8 +2947,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // REFUSED loudly instead: the O(delta) feed promises equality with
     // SnapshotDiff over the full snapshots, which needs matching
     // columns anyway.
-    val schema1 = spark.read.parquet(d1.toString).schema
-    val schema = spark.read.parquet(d2.toString).schema
+    val schema1 = resolveSchema(table, v1).getOrElse(
+      spark.read.parquet(d1.toString).schema)
+    val schema = resolveSchema(table, v2).getOrElse(
+      spark.read.parquet(d2.toString).schema)
     require(schema1.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
         .sameElements(schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)),
       s"'$table' changed schema between v$v1 and v$v2 " +
@@ -2929,6 +3030,27 @@ object TableCatalog {
     o.put("files", files); o.put("bytes", bytes)
     om.writeValueAsString(o)
   }
+
+  private[catalog] def renderSchemaLog(entries: Seq[(Long, String)]): String = {
+    val arr = om.createArrayNode()
+    entries.foreach { case (v, ddl) =>
+      val o = arr.addObject(); o.put("version", v); o.put("ddl", ddl)
+    }
+    om.writeValueAsString(arr)
+  }
+
+  /** Ascending (version, DDL) entries; empty on malformed content. */
+  private[catalog] def parseSchemaLog(s: String): Seq[(Long, String)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val n = om.readTree(s)
+      if (n == null || !n.isArray) Seq.empty
+      else n.elements().asScala.flatMap { e =>
+        if (e.has("version") && e.has("ddl"))
+          Some(e.get("version").asLong -> e.get("ddl").asText)
+        else None
+      }.toSeq.sortBy(_._1)
+    } catch { case _: Exception => Seq.empty }
 
   private[catalog] def renderBucketSpec(col: String, buckets: Int,
                                         schemaDdl: String): String = {

@@ -3810,6 +3810,45 @@ object TestdataQueries {
              |    AS sum_total_c
              |FROM orders""".stripMargin)),
 
+    // --------------------------------------------- schema evolution
+    // Additive evolution on the hard-linked snapshot layout: half of
+    // orders lands without the priority column, the other half appends
+    // WITH it under the explicit mergeSchema opt-in, so the committed
+    // snapshot mixes file schemas and only the schema log makes reads
+    // deterministic (footer sampling would randomly drop the column or
+    // the old rows). The aggregate groups on the null-filled column —
+    // every old row must surface as the sentinel bucket, every new row
+    // under its real priority, value-exact against the oracle's direct
+    // computation.
+    "x_evolution_log" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_evolog", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"),
+        col("o_orderpriority").as("prio"))
+      cat.replaceAtomic("e_orders",
+        o.filter(col("okey") % 2 === 0).drop("prio"))
+      cat.appendAtomic("e_orders", o.filter(col("okey") % 2 === 1),
+        mergeSchema = true)
+      require(cat.read("e_orders").columns.toSeq == Seq("okey", "total_c", "prio"),
+        "the declared schema must be the evolution union, in order")
+      require(cat.readVersion("e_orders", 1L).columns.toSeq ==
+        Seq("okey", "total_c"),
+        "time travel must read the pre-evolution shape")
+      cat.read("e_orders")
+        .groupBy(coalesce(col("prio"), lit("NONE")).as("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("sum_total_c"))
+    }),
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+             |    ELSE 'NONE' END AS prio,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_total_c
+             |FROM orders
+             |GROUP BY 1""".stripMargin)),
+
     // --------------------------------------------- bucketed co-located join
     // The shuffle-amortization story: both sides bucketed on the join
     // key at write time, so the fact-fact join elides its exchanges —
@@ -3903,9 +3942,9 @@ object TestdataQueries {
     // version, so the query must return the PRE-rewrite rkey values —
     // a resolver that lands on the current snapshot (or rounds the
     // wrong way) fails the oracle hash on every row.
-    "x_time_travel" -> (((s: SparkSession, dir: String) => {
+    "x_timestamp_as_of" -> (((s: SparkSession, dir: String) => {
       import graft.catalog.TableCatalog
-      val scratch = scratchDir("graft_timetravel", dir)
+      val scratch = scratchDir("graft_tsasof", dir)
       val cat = new TableCatalog(s, scratch.toString)
       val n = t(s, dir, "nation").select(
         col("n_nationkey").cast("long").as("nkey"),
@@ -7805,8 +7844,16 @@ object TestdataQueries {
              |FROM customer WHERE c_custkey % 17 = 0 OR c_custkey % 19 = 0""".stripMargin))
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // the registry is a Seq so a DUPLICATE name is expressible — and a
+    // Map would silently keep the last body while the oracle kept the
+    // last SQL, shipping a query that never runs (this bit r10:
+    // a second x_schema_evolution masked the first). Refuse loudly.
+    val names = registry.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     registry.map { case (n, (f, _)) => n -> f }.toMap
+  }
 
   /** Static contract view: any SF-dependent scratch path resolves to the
     * correctness-gate SF (sf0.01, the driver default). Prefer

@@ -125,13 +125,18 @@ class GraftSqlCatalog extends DsV2TableCatalog {
           case None => cat.path(t) // plain append-style table
         }
     }
+    // an evolved table reads under its DECLARED schema (the catalog's
+    // schema log) — footer inference over a mixed-schema snapshot
+    // would sample one file's shape
+    val declared = version.orElse(cat.currentVersion(t))
+      .flatMap(v => cat.resolveSchema(t, v))
     // the stock ParquetTable is WRITABLE (FileTable extends
     // SupportsWrite), and an INSERT would mutate an immutable snapshot
     // directory behind the version pointer — wrap it read-only so DML
     // fails at ANALYSIS with a capability error, not silently on disk
     new GraftSqlCatalog.ReadOnlyTable(ParquetTable(s"$catalogName.$t",
-      SparkSession.active, CaseInsensitiveStringMap.empty(), Seq(dir), None,
-      classOf[ParquetFileFormat]))
+      SparkSession.active, CaseInsensitiveStringMap.empty(), Seq(dir),
+      declared, classOf[ParquetFileFormat]))
   }
 
   private def readOnly(verb: String): Nothing =
