@@ -1324,6 +1324,50 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     invalidateStats(table)
   }
 
+  /** Replace exactly the `parts` partitions of a partitioned plain
+    * table with `df`'s rows — dynamic partition overwrite for the
+    * populated ones, an explicit directory drop for any listed
+    * partition `df` holds no rows for (a fully-emptied partition must
+    * disappear; the writer never touches a directory it has no rows
+    * for). This is [[deleteWhere]]'s swap generalized into the
+    * partition-granular APPLY primitive: consumers (the partitioned
+    * change-feed mirror) compute a rebuilt slice however they like and
+    * commit it at O(changed partitions), never O(table). Rows outside
+    * `parts` are filtered out defensively — an apply must not leak
+    * writes into partitions it didn't claim. `df` must be EAGER if its
+    * plan reads the partitions being replaced (localCheckpoint — same
+    * rule as deleteWhere's survivors). */
+  def overwritePartitions(table: String, df: DataFrame, partCol: String,
+                          parts: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    requirePlain(table, "overwritePartitions")
+    if (parts.isEmpty) return
+    val scoped = df.filter(col(partCol).cast("string").isin(parts: _*))
+    val present = scoped.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (present.nonEmpty)
+      scoped.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(path(table))
+    parts.filterNot(present).foreach { v =>
+      // escape exactly the way the writer does (deleteWhere's rule)
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+      TableCatalog.deleteRecursively(
+        Paths.get(s"${path(table)}/$partCol=$escaped"))
+    }
+    invalidateStats(table)
+  }
+
+  /** Remove a PLAIN table entirely — directory, sidecars, and all.
+    * Versioned tables are refused: their lifecycle belongs to the
+    * snapshot pointer (retention, tags, RESTORE), not a rm. */
+  def dropPlain(table: String): Unit = {
+    requirePlain(table, "dropPlain")
+    deleteRecursive(Paths.get(path(table)))
+  }
+
   /** Plain tables have no snapshot version to staleness-check stats
     * against, so every mutation drops the sidecar — stale stats that
     * under-estimate a grown fact table would mis-hint a broadcast, the
@@ -2112,27 +2156,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val survivorParts = survivors.select(col(partCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     val gone = affected.filterNot(survivorParts)
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(path(table))
-    gone.foreach { v =>
-      // Spark percent-escapes special characters (space, colon, '/', …)
-      // in partition directory names; deleting the raw "$partCol=$v"
-      // path would miss those directories and the purged rows would
-      // silently survive — escape exactly the way the writer does.
-      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v)
-      TableCatalog.deleteRecursively(
-        Paths.get(s"${path(table)}/$partCol=$escaped"))
-    }
+    // the swap itself — dynamic overwrite of surviving partitions,
+    // explicit drop of fully-purged ones — is the shared primitive
+    overwritePartitions(table, survivors, partCol, affected)
     // the rewritten partitions' vectors now reference deleted files —
     // inert for reads, but left in place they pin hasDeleteVectors true
     // forever (refusing SQL reads / ANALYZE) and skew the auto-fold
     // ratio. Prune under the lock so a concurrent deleteVectorize (which
     // holds it for its whole verb) can't land a vector mid-sweep.
     if (hasDv(table)) withTableLock(table) { pruneOrphanVectorsLocked(table) }
-    invalidateStats(table)
     (affected, gone)
   }
 

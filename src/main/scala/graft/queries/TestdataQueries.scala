@@ -3936,6 +3936,47 @@ object TestdataQueries {
              |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0"""
         .stripMargin)),
 
+    // ----------------------------------- partitioned change-feed mirror
+    // The O(changed-partitions) apply: the replica is a year-partitioned
+    // plain table and each catch-up rewrites only the partitions the
+    // feed names — bootstrap, a one-partition append, then a rewrite
+    // that empties a whole year (its directory must disappear, like
+    // deleteWhere's purge). The require()s pin the sync results and the
+    // dropped directory; the replica's full row set rides the oracle
+    // hash against the final upstream state computed directly.
+    "x_cdc_mirror_part" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      import graft.streaming.ChangeFeed
+      val scratch = scratchDir("graft_cdcpart", dir)
+      val cat = new TableCatalog(s, scratch.resolve("wh").toString)
+      val ckpt = scratch.resolve("offsets/src.offset")
+      val o = t(s, dir, "orders").select(
+        concat(lit("y"), year(col("o_orderdate"))).as("dt"),
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      cat.replaceAtomic("p_src", o.filter(col("okey") % 2 === 0))
+      require(ChangeFeed.mirrorPartitioned(cat, "p_src", "p_dst",
+        Seq("dt", "okey"), "dt", ckpt) == ChangeFeed.Resync(1L))
+      cat.appendAtomic("p_src",
+        o.filter(col("okey") % 2 === 1 && col("dt") === "y1995"))
+      require(ChangeFeed.mirrorPartitioned(cat, "p_src", "p_dst",
+        Seq("dt", "okey"), "dt", ckpt) == ChangeFeed.Delta(1L, 2L))
+      cat.replaceAtomic("p_src", cat.read("p_src").filter(col("dt") =!= "y1998"))
+      require(ChangeFeed.mirrorPartitioned(cat, "p_src", "p_dst",
+        Seq("dt", "okey"), "dt", ckpt) == ChangeFeed.Delta(2L, 3L))
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(cat.path("p_dst"), "dt=y1998")),
+        "an emptied partition's directory must disappear from the replica")
+      cat.read("p_dst").select(col("dt"), col("okey"), col("total_c"))
+    }),
+      Some("""SELECT 'y' || CAST(year(o_orderdate) AS VARCHAR) AS dt,
+             |  CAST(o_orderkey AS BIGINT) AS okey,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c
+             |FROM orders
+             |WHERE (o_orderkey % 2 = 0
+             |    OR (o_orderkey % 2 = 1 AND year(o_orderdate) = 1995))
+             |  AND year(o_orderdate) <> 1998""".stripMargin)),
+
     // ------------------------------------------- TIMESTAMP AS OF (SQL)
     // Time travel by wall clock through plain SQL: the history log maps
     // an instant captured BETWEEN two commits back to the first
