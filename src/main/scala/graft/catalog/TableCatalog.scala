@@ -269,6 +269,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .map(_._1).maxOption
   }
 
+  /** Latest committed op per version — the driver-side commit-metadata
+    * view of the history log (one LIST + KB reads, bounded by commit
+    * count) that [[changedRowsBetween]] uses to prove a commit
+    * `dataChange=false`. Latest entry per version wins (a crashed
+    * attempt's superseded entry loses, same rule as [[history]]);
+    * versions older than the log simply have no key — consumers must
+    * treat an absent op as contentful. */
+  private def commitOps(table: String): Map[Long, String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = historyDir(table)
+    if (!Files.exists(dir)) return Map.empty
+    val entries = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
+        .toSeq finally s.close()
+    }
+    entries.flatMap(p => TableCatalog.parseHistoryNode(new String(
+        Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)))
+      .groupBy(_._1).map { case (v, es) => v -> es.maxBy(_._2)._3 }
+  }
+
   // ------------------------------------------- table statistics (ANALYZE)
   // At warehouse scale plans should not depend on runtime size probes
   // alone: AQE only re-plans AFTER a shuffle materializes, so the
@@ -2937,7 +2958,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * `SnapshotDiff.changes(readVersion(v1), readVersion(v2), …)` —
     * the fallback CdcSpec pins. Versioned tables never carry deletion
     * vectors (deleteVectorize refuses them), so the file diff is the
-    * complete story. */
+    * complete story.
+    *
+    * LAYOUT-ONLY commits contribute nothing ([[changedRowsBetween]]'s
+    * `dataChange=false` rule): an interval spanning OPTIMIZE never pays
+    * the rewrite's renamed files, and a maintenance-only interval is
+    * answered from commit metadata without reading a byte. */
   def changesBetween(table: String, v1: Long, v2: Long,
                      keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "changesBetween needs at least one key column")
@@ -2958,19 +2984,86 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * −deleted), correct for duplicate-keyed facts where the classified
     * feed is not defined. File lists are returned so a consumer can make
     * O(metadata) decisions (e.g. "no removed files → append-only delta,
-    * min/max stay foldable") before running any job. */
+    * min/max stay foldable") before running any job.
+    *
+    * OPTIMIZE commits are `dataChange=false` (the Delta rule): an
+    * OPTIMIZE_COMPACT / OPTIMIZE_ZORDER commit rewrites every file NAME
+    * while provably preserving content (a versioned predecessor exists,
+    * and versioned tables refuse deleteVectorize, so fold-on-OPTIMIZE
+    * had nothing to fold) — a name diff straddling one would read the
+    * whole rewritten table just to discover nothing changed, O(table)
+    * per maintenance run for every mirror. So, from the commit-history
+    * ops (O(commits) driver metadata): (a) layout-only commits at either
+    * END of the interval shrink it — content is identical one version
+    * over, even when the abandoned endpoint's snapshot is already
+    * pruned; (b) a maintenance-ONLY interval returns empty deltas with
+    * zero files read; (c) a layout-only commit in the INTERIOR is
+    * skipped by composing the per-step name diffs over the retained
+    * chain, names cancelling across steps (add@i + remove@j = carried
+    * bytes; RESTORE re-linking original names cancels symmetrically),
+    * so an append→optimize→append interval reads exactly the two
+    * appends. Fallback (pruned interior snapshot, a version missing its
+    * history entry, interior schema drift): the direct endpoint diff —
+    * always correct, just not always O(delta). */
   def changedRowsBetween(table: String, v1: Long, v2: Long)
       : (DataFrame, DataFrame, Seq[String], Seq[String]) = {
     require(v1 <= v2, s"changedRowsBetween needs v1 <= v2, got $v1 > $v2")
-    Seq(v1, v2).foreach(v => require(Files.exists(snapDir(table, v)),
+    val ops = commitOps(table)
+    def layoutOnly(v: Long): Boolean = {
+      val o = ops.getOrElse(v, "")
+      o == "OPTIMIZE_COMPACT" || o == "OPTIMIZE_ZORDER"
+    }
+    // endpoint shrink: content(v) == content(v-1) under a layout-only
+    // commit, so the interval [lo, hi] below answers for [v1, v2]. The
+    // walk only ever LANDS on a retained snapshot; the endpoint it
+    // abandons needs no files at all — a feed whose v2 was immediately
+    // compacted (the routine maintenance race) still answers O(delta).
+    var hi = v2
+    while (hi > v1 && layoutOnly(hi) && Files.exists(snapDir(table, hi - 1)))
+      hi -= 1
+    var lo = v1
+    while (lo < hi && layoutOnly(lo + 1) && Files.exists(snapDir(table, lo + 1)))
+      lo += 1
+    Seq(lo, hi).foreach(v => require(Files.exists(snapDir(table, v)),
       s"version $v of '$table' is not on disk (retained: ${versions(table).mkString(", ")})"))
-    val (d1, d2) = (snapDir(table, v1), snapDir(table, v2))
+    val (d1, d2) = (snapDir(table, lo), snapDir(table, hi))
     def byName(d: Path): Map[String, String] =
       listParquetUrisAt(d).map(u =>
         Paths.get(java.net.URI.create(u)).getFileName.toString -> u).toMap
-    val (f1, f2) = (byName(d1), byName(d2))
-    val removed = (f1 -- f2.keySet).values.toSeq.sorted
-    val added = (f2 -- f1.keySet).values.toSeq.sorted
+    val endSchema = resolveSchema(table, hi).getOrElse(
+      spark.read.parquet(d2.toString).schema)
+    def sameCols(a: StructType, b: StructType): Boolean =
+      a.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
+        .sameElements(b.fields.map(f => (f.name, f.dataType)).sortBy(_._1))
+    val interior = ((lo + 1) until hi).toSeq
+    val composable = interior.exists(layoutOnly) &&
+      (lo to hi).forall(v => Files.exists(snapDir(table, v))) &&
+      interior.forall(v =>
+        resolveSchema(table, v).forall(s => sameCols(s, endSchema)))
+    val (added, removed) =
+      if (composable) {
+        // per-step compose, skipping layout-only steps; a name added by
+        // one step and removed by a later one is carried bytes (or a
+        // RESTORE round trip) and cancels — the maps hold O(delta) names
+        var addedM = Map.empty[String, String]
+        var removedM = Map.empty[String, String]
+        var prev = byName(d1)
+        ((lo + 1) to hi).foreach { v =>
+          val cur = byName(snapDir(table, v))
+          if (!layoutOnly(v)) {
+            (cur -- prev.keySet).foreach { case (k, u) =>
+              if (removedM.contains(k)) removedM -= k else addedM += (k -> u) }
+            (prev -- cur.keySet).foreach { case (k, u) =>
+              if (addedM.contains(k)) addedM -= k else removedM += (k -> u) }
+          }
+          prev = cur
+        }
+        (addedM.values.toSeq.sorted, removedM.values.toSeq.sorted)
+      } else {
+        val (f1, f2) = (byName(d1), byName(d2))
+        ((f2 -- f1.keySet).values.toSeq.sorted,
+          (f1 -- f2.keySet).values.toSeq.sorted)
+      }
     // each side reads with ITS OWN snapshot's schema. Forcing v2's
     // schema onto v1's files would null out renamed/dropped columns and
     // silently mis-drive the change feed (every surviving key becomes
@@ -2979,12 +3072,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // REFUSED loudly instead: the O(delta) feed promises equality with
     // SnapshotDiff over the full snapshots, which needs matching
     // columns anyway.
-    val schema1 = resolveSchema(table, v1).getOrElse(
+    val schema1 = resolveSchema(table, lo).getOrElse(
       spark.read.parquet(d1.toString).schema)
-    val schema = resolveSchema(table, v2).getOrElse(
-      spark.read.parquet(d2.toString).schema)
-    require(schema1.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
-        .sameElements(schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1)),
+    val schema = endSchema
+    require(sameCols(schema1, schema),
       s"'$table' changed schema between v$v1 and v$v2 " +
         s"(${schema1.fieldNames.sorted.mkString(",")} vs " +
         s"${schema.fieldNames.sorted.mkString(",")}) — a change feed " +

@@ -3769,6 +3769,47 @@ object TestdataQueries {
              |  CAST(n_regionkey AS BIGINT) AS rkey_v1
              |FROM nation""".stripMargin)),
 
+    // ------------------------- change feed across OPTIMIZE (dataChange)
+    // OPTIMIZE commits rename every file while provably preserving
+    // content, so the feed treats them as dataChange=false (the Delta
+    // rule): the in-query require()s pin that (a) a maintenance-only
+    // interval answers from commit metadata with ZERO files listed and
+    // (b) the feed across append→OPTIMIZE→append opens only the four
+    // appended files — the direct name diff would re-read the whole
+    // compacted table just to discover the rewrite changed nothing.
+    "x_cdc_dchange" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_cdcd", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ckey"),
+        cents(col("c_acctbal")).as("bal_c"),
+        col("c_nationkey").cast("long").as("nk"))
+      val v1 = cat.appendAtomic("dc_cust",
+        c.filter(pmod(col("ckey"), lit(3)) === 1).repartition(2))
+      val v2 = cat.appendAtomic("dc_cust",
+        c.filter(pmod(col("ckey"), lit(3)) === 2).repartition(2))
+      val v3 = { cat.compactSmallFiles("dc_cust")
+        cat.currentVersion("dc_cust").get }
+      require(v3 == v2 + 1, s"OPTIMIZE must commit one version, got $v3")
+      val (_, _, a0, r0) = cat.changedRowsBetween("dc_cust", v2, v3)
+      require(a0.isEmpty && r0.isEmpty,
+        s"maintenance-only interval must be empty metadata-only, got " +
+          s"${a0.size} added / ${r0.size} removed")
+      val v4 = cat.appendAtomic("dc_cust",
+        c.filter(pmod(col("ckey"), lit(3)) === 0).repartition(2))
+      val feed = cat.changesBetween("dc_cust", v1, v4, Seq("ckey"))
+      require(feed.inputFiles.length <= 4,
+        s"dataChange=false violated: feed across OPTIMIZE read " +
+          s"${feed.inputFiles.length} files where the appends wrote 4")
+      feed
+    }),
+      Some("""WITH c AS (SELECT c_custkey AS ckey,
+             |  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+             |  CAST(c_nationkey AS BIGINT) AS nk FROM customer)
+             |SELECT ckey, 'insert' AS change_type, bal_c, nk
+             |FROM c WHERE ckey % 3 <> 1""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by

@@ -109,6 +109,66 @@ class CdcSpec extends AnyFunSuite with SparkTestSession {
       cat.changesBetween("t", v1, v2, Seq("nope")))
   }
 
+  test("a maintenance-only interval answers from metadata: zero files read") {
+    val cat = freshCat()
+    val v1 = cat.appendAtomic("t",
+      (0 until 2000).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+        .repartition(6))
+    cat.compactSmallFiles("t")
+    val v2 = cat.currentVersion("t").get
+    assert(v2 === v1 + 1)
+    val (ins, del, added, removed) = cat.changedRowsBetween("t", v1, v2)
+    // OPTIMIZE renamed every file, but the commit is dataChange=false:
+    // the endpoint shrink proves content equality from the history ops
+    // and never opens the rewritten files
+    assert(added.isEmpty && removed.isEmpty)
+    assert(ins.inputFiles.isEmpty && del.inputFiles.isEmpty)
+    assert(cat.changesBetween("t", v1, v2, Seq("k")).count() === 0L)
+  }
+
+  test("an interior OPTIMIZE is skipped: append-optimize-append reads two appends") {
+    val cat = freshCat()
+    val v1 = cat.appendAtomic("t",
+      (0 until 2000).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+        .repartition(4))
+    cat.appendAtomic("t",
+      (2000 until 2100).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+        .repartition(2))
+    cat.compactSmallFiles("t") // renames EVERYTHING, changes nothing
+    val v4 = cat.appendAtomic("t",
+      (2100 until 2200).map(i => (i.toLong, i.toLong)).toDF("k", "v")
+        .repartition(2))
+    val (ins, del, added, removed) = cat.changedRowsBetween("t", v1, v4)
+    // the direct v1-vs-v4 name diff would see every post-compaction name
+    // as new and re-read the whole table; the per-step compose reads
+    // exactly the two appended increments
+    assert(removed.isEmpty, s"compaction leaked removals: $removed")
+    assert(added.size === 4, s"expected the 4 appended files, got $added")
+    assert(del.inputFiles.isEmpty)
+    assert(ins.count() === 200L)
+    // classified feed still equals the full-snapshot SnapshotDiff
+    val feed = cat.changesBetween("t", v1, v4, Seq("k"))
+    val full = SnapshotDiff.changes(
+      cat.readVersion("t", v1), cat.readVersion("t", v4), Seq("k"), Seq("v"))
+    assert(feed.orderBy("k").collect().toSeq ===
+      full.orderBy("k").collect().toSeq)
+  }
+
+  test("a contentful rewrite after an OPTIMIZE still reports the rewrite") {
+    val cat = freshCat()
+    val v1 = cat.appendAtomic("t",
+      (0 until 500).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.compactSmallFiles("t")
+    val v3 = cat.replaceAtomic("t",
+      (0 until 500).map(i => (i.toLong, if (i % 5 == 0) i + 1L else i.toLong))
+        .toDF("k", "v"))
+    val feed = cat.changesBetween("t", v1, v3, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(r.fieldIndex("change_type"))))
+    assert(feed.count(_._2 == "update") === 100)
+    assert(feed.count(_._2 == "insert") === 0)
+    assert(feed.count(_._2 == "delete") === 0)
+  }
+
   test("a schema change between the versions is refused loudly") {
     val cat = freshCat()
     val v1 = cat.appendAtomic("t", Seq((1L, 2L)).toDF("k", "v"))
