@@ -3810,6 +3810,52 @@ object TestdataQueries {
              |SELECT ckey, 'insert' AS change_type, bal_c, nk
              |FROM c WHERE ckey % 3 <> 1""".stripMargin)),
 
+    // ----------------------------- SQL DML through the versioned catalog
+    // The write half of the DSv2 surface (r10): CREATE TABLE AS /
+    // INSERT INTO / INSERT OVERWRITE in PLAIN SQL resolve to the
+    // catalog's own commit verbs via the V1Write bridge — each SQL
+    // statement is a real versioned commit (lock, hard-link carry,
+    // history entry, change-feed visibility). The require() pins the
+    // logged verb sequence; the output joins the current snapshot to
+    // the pre-overwrite version, so a write that bypassed the pointer
+    // (or an overwrite that failed to retain v3) fails the hash.
+    "x_sql_insert" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_sqlins", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val cname = "gins_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("rkey"))
+        .createOrReplaceTempView(s"${cname}_nation")
+      s.sql(s"""CREATE TABLE $cname.sn AS
+               |SELECT nkey, n_name, rkey FROM ${cname}_nation
+               |WHERE nkey % 2 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cname.sn
+               |SELECT nkey, n_name, rkey FROM ${cname}_nation
+               |WHERE nkey % 2 = 1""".stripMargin)
+      val vPre = cat.currentVersion("sn").get
+      s.sql(s"""INSERT OVERWRITE $cname.sn
+               |SELECT nkey, n_name, rkey + 100 AS rkey FROM $cname.sn""".stripMargin)
+      val ops = cat.history("sn").orderBy("version")
+        .select("op").collect().map(_.getString(0)).toSeq
+      require(ops == Seq("REPLACE", "APPEND", "APPEND", "REPLACE"),
+        s"SQL DML must land as commit verbs, history logged $ops")
+      s.sql(s"""SELECT cur.nkey, cur.n_name, cur.rkey, old.rkey AS rkey_v1
+               |FROM $cname.sn AS cur
+               |JOIN (SELECT nkey, rkey FROM $cname.sn VERSION AS OF $vPre) old
+               |  ON cur.nkey = old.nkey""".stripMargin)
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name,
+             |  CAST(n_regionkey + 100 AS BIGINT) AS rkey,
+             |  CAST(n_regionkey AS BIGINT) AS rkey_v1
+             |FROM nation""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by

@@ -2,13 +2,15 @@ package graft.sql
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog => DsV2TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => DsV2TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -29,13 +31,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `ParquetTable` over that path — the scan, pushdown, pruning, and
   * vectorized reader are stock Spark; this plugin contributes only the
   * snapshot resolution, which is the whole point of the layout (the
-  * cost of time travel was paid at commit time). Read-only by design:
-  * writes go through the Scala verbs, whose commit protocols (locks,
-  * pointer swaps, retention) a blind `INSERT INTO` could not honor.
-  * Reads carry BARE-SCAN semantics, exactly like `TableCatalog.read` —
-  * a table with live deletion vectors is refused loudly rather than
-  * silently resurrecting deleted rows (fold first; the auto-fold
-  * threshold keeps vectors transient). */
+  * cost of time travel was paid at commit time). Reads carry BARE-SCAN
+  * semantics, exactly like `TableCatalog.read` — a table with live
+  * deletion vectors is refused loudly rather than silently resurrecting
+  * deleted rows (fold first; the auto-fold threshold keeps vectors
+  * transient).
+  *
+  * DML writes THROUGH the commit protocols (r10): `INSERT INTO g.t`
+  * and `INSERT OVERWRITE g.t` resolve to [[graft.catalog.TableCatalog
+  * .appendAtomic]] / `replaceAtomic` via a DSv2 `V1Write` — the write
+  * takes the table's writer lock, lands a hard-link snapshot, stamps
+  * the history log, and feeds the change feed, identical to the Scala
+  * verb (because it IS the Scala verb; a raw parquet INSERT into the
+  * snapshot directory is exactly what this catalog exists to prevent).
+  * `CREATE TABLE` / CTAS commit an empty v1 and append into it. Time
+  * travel stays read-only — there is no INSERT into the past — and
+  * schema drift on INSERT is refused by appendAtomic's evolution gate
+  * (SQL users evolve via the Scala `mergeSchema` opt-in, an explicit
+  * act). */
 class GraftSqlCatalog extends DsV2TableCatalog {
 
   private var catalogName: String = _
@@ -131,12 +144,16 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     val declared = version.orElse(cat.currentVersion(t))
       .flatMap(v => cat.resolveSchema(t, v))
     // the stock ParquetTable is WRITABLE (FileTable extends
-    // SupportsWrite), and an INSERT would mutate an immutable snapshot
-    // directory behind the version pointer — wrap it read-only so DML
-    // fails at ANALYSIS with a capability error, not silently on disk
-    new GraftSqlCatalog.ReadOnlyTable(ParquetTable(s"$catalogName.$t",
+    // SupportsWrite) — but ITS write would drop plain parquet files
+    // into an immutable snapshot directory behind the version pointer.
+    // Wrap it: scans delegate to stock parquet; the write capability is
+    // re-routed through the catalog's own commit verbs, and a
+    // time-travel load (version.isDefined) advertises no write at all,
+    // so DML against the past fails at ANALYSIS with a capability error
+    new GraftSqlCatalog.VersionedTable(ParquetTable(s"$catalogName.$t",
       SparkSession.active, CaseInsensitiveStringMap.empty(), Seq(dir),
-      declared, classOf[ParquetFileFormat]))
+      declared, classOf[ParquetFileFormat]), cat, t,
+      writable = version.isEmpty)
   }
 
   private def readOnly(verb: String): Nothing =
@@ -145,10 +162,31 @@ class GraftSqlCatalog extends DsV2TableCatalog {
         "whose commit protocols (writer lease, pointer swap, retention) " +
         "SQL DDL cannot honor")
 
+  /** CREATE TABLE (and the create half of CTAS): commit an EMPTY v1
+    * through replaceAtomic, so the table is born versioned — history
+    * entry, schema carried by the (single, zero-row) parquet file,
+    * ready for INSERT INTO. Partitioning transforms are refused: the
+    * versioned layout derives skipping from stats/Z-order, not from
+    * Hive directories (partitioned plain tables keep the Scala API). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: java.util.Map[String, String]): Table = {
+    val t = tableOf(ident)
+    require(partitions.isEmpty,
+      s"$catalogName tables are not Hive-partitioned — cluster with " +
+        "optimizeZOrder / analyze(skipCols) instead")
+    if (cat.exists(t))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(t))
+    val spark = SparkSession.active
+    // repartition(1) forces ONE zero-row part file, so the snapshot
+    // carries the declared schema in a parquet footer — an empty dir
+    // would fail schema inference on the first read
+    cat.replaceAtomic(t, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1))
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
@@ -160,20 +198,44 @@ class GraftSqlCatalog extends DsV2TableCatalog {
 }
 
 object GraftSqlCatalog {
-  /** A BATCH_READ-only view of a ParquetTable: scans delegate, write
-    * capabilities are simply not advertised, so `INSERT INTO` fails in
-    * analysis ("table does not support append") instead of writing
-    * plain files into an immutable `_vN` snapshot directory. */
-  private final class ReadOnlyTable(delegate: ParquetTable)
-      extends Table with SupportsRead {
+  /** Scans delegate to the stock ParquetTable over the resolved
+    * snapshot; writes are re-routed through the catalog's commit verbs
+    * via the DSv2 V1Write bridge — `INSERT INTO` → appendAtomic,
+    * `INSERT OVERWRITE` (WriteBuilder.truncate) → replaceAtomic — so a
+    * SQL write takes the writer lock, hard-links the carried files,
+    * logs history, and shows up in the change feed exactly like the
+    * Scala verb. A time-travel load (`writable = false`) advertises
+    * BATCH_READ only: `INSERT INTO t VERSION AS OF 3` fails in
+    * analysis, not on disk. */
+  private final class VersionedTable(delegate: ParquetTable,
+      cat: graft.catalog.TableCatalog, table: String, writable: Boolean)
+      extends Table with SupportsRead with SupportsWrite {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] = delegate.partitioning()
     override def properties(): java.util.Map[String, String] =
       delegate.properties()
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      if (writable)
+        java.util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      else java.util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       delegate.newScanBuilder(options)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(writable, s"$table: a time-travel relation is read-only")
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, o: Boolean): Unit =
+                if (overwrite || o) cat.replaceAtomic(table, data)
+                else cat.appendAtomic(table, data)
+            }
+        }
+      }
+    }
   }
 }

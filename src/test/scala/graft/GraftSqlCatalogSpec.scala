@@ -51,11 +51,10 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       === Set("p"))
   }
 
-  test("the catalog is read-only; unknown tables/versions are loud") {
+  test("DDL stays refused; unknown tables/versions are loud") {
     val (cat, g) = freshSqlCat()
     cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v"))
-    val w = intercept[Exception](
-      spark.sql(s"INSERT INTO $g.d VALUES (9, 9)"))
+    val w = intercept[Exception](spark.sql(s"DROP TABLE $g.d"))
     assert(w.getMessage.toLowerCase.contains("read-only") ||
       w.getMessage.toLowerCase.contains("unsupported"))
     assert(intercept[Exception](
@@ -63,6 +62,54 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(intercept[Exception](
       spark.sql(s"SELECT * FROM $g.d VERSION AS OF 99").collect())
       .getMessage.nonEmpty)
+  }
+
+  test("INSERT INTO / OVERWRITE write through the commit verbs") {
+    val (cat, g) = freshSqlCat()
+    val v1 = cat.replaceAtomic("d", Seq((1L, 2L), (2L, 3L)).toDF("k", "v"))
+    spark.sql(s"INSERT INTO $g.d VALUES (9, 9)")
+    // the SQL write is a REAL versioned commit: pointer advanced,
+    // history logged as APPEND, prior snapshot carried by hard link
+    val v2 = cat.currentVersion("d").get
+    assert(v2 === v1 + 1)
+    assert(spark.sql(s"SELECT sum(k) FROM $g.d").as[Long].head() === 12L)
+    val ops = cat.history("d").orderBy("version")
+      .select("op").as[String].collect().toSeq
+    assert(ops.last === "APPEND")
+    // and the change feed sees exactly the inserted row
+    val feed = cat.changesBetween("d", v1, v2, Seq("k")).collect()
+    assert(feed.map(r => (r.getLong(0),
+      r.getString(r.fieldIndex("change_type")))).toSeq === Seq((9L, "insert")))
+    // INSERT OVERWRITE → replaceAtomic: full rewrite, old version retained
+    spark.sql(s"INSERT OVERWRITE $g.d VALUES (5, 5)")
+    assert(spark.sql(s"SELECT k FROM $g.d").as[Long].collect().toSeq === Seq(5L))
+    assert(spark.sql(s"SELECT count(*) FROM $g.d VERSION AS OF $v2")
+      .as[Long].head() === 3L)
+    // schema drift is refused by the evolution gate, not silently cast
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $g.d VALUES (1, 2, 3)"))
+    assert(e.getMessage.nonEmpty)
+    // time travel is read-only: no INSERT into the past
+    assertThrows[Exception](
+      spark.sql(s"INSERT INTO $g.d VERSION AS OF $v2 VALUES (1, 1)"))
+  }
+
+  test("CREATE TABLE + CTAS are born versioned and INSERTable") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.fresh (k BIGINT, s STRING)")
+    assert(cat.currentVersion("fresh").contains(1L) ||
+      cat.currentVersion("fresh").isDefined)
+    assert(spark.sql(s"SELECT count(*) FROM $g.fresh").as[Long].head() === 0L)
+    spark.sql(s"INSERT INTO $g.fresh VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql(s"SELECT sum(k) FROM $g.fresh").as[Long].head() === 3L)
+    spark.sql(s"CREATE TABLE $g.ctas AS SELECT k, s FROM $g.fresh WHERE k = 2")
+    assert(spark.sql(s"SELECT k, s FROM $g.ctas").as[(Long, String)]
+      .collect().toSeq === Seq((2L, "b")))
+    // duplicate CREATE is loud; partitioned CREATE is refused
+    assertThrows[Exception](
+      spark.sql(s"CREATE TABLE $g.fresh (k BIGINT)"))
+    assertThrows[Exception](
+      spark.sql(s"CREATE TABLE $g.part (k BIGINT) PARTITIONED BY (k)"))
   }
 
   test("an uncommitted snapshot directory is never served") {
