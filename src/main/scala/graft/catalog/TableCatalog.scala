@@ -290,6 +290,97 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .groupBy(_._1).map { case (v, es) => v -> es.maxBy(_._2)._3 }
   }
 
+  // --------------------------------------- CHECK constraints (invariants)
+  // Write-path invariants — the Delta CHECK-constraint model: a
+  // constraint is a named SQL boolean predicate registered on the table
+  // and enforced INLINE in every subsequent write's own scan (a
+  // codegen'd when/raise_error filter — no second validation pass, no
+  // extra job at 100 TB). A violating row fails the write job BEFORE
+  // the commit point, so the version pointer never moves and readers
+  // never see a half-valid batch. NULL predicate results count as
+  // violations (an invariant is an assertion; "unknown" is not
+  // "proven" — the same 3VL rule as [[graft.ops.Expectations.Rule]];
+  // write `c IS NULL OR c > 0` for nullable-but-in-range). The sidecar
+  // is table metadata, not snapshot state: it applies from registration
+  // forward, and ALTER-time validation (one job over the rows a read
+  // returns, paid once) guarantees existing data already conforms.
+
+  private def constraintsFile(table: String): Path =
+    Paths.get(path(table), "_constraints.json")
+
+  /** The registered constraints of `table`: (name, SQL predicate). */
+  def constraintsOf(table: String): Seq[(String, String)] = {
+    val f = constraintsFile(table)
+    if (!Files.exists(f)) Seq.empty
+    else TableCatalog.parseConstraints(new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Register constraint `name` on `table`. Existing rows must already
+    * satisfy the predicate (the Delta ALTER ADD CONSTRAINT rule): one
+    * validation count over [[readMor]] — vectored-out rows are not
+    * data — paid once at ALTER time, refused loudly with the violation
+    * count otherwise. The predicate must reference existing columns
+    * (an unresolvable expression fails here, not at the first write). */
+  def addConstraint(table: String, name: String, predicate: String): Unit =
+    withTableLock(table) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+        s"constraint name must be an identifier, got '$name'")
+      val cur = constraintsOf(table)
+      require(!cur.exists(_._1 == name),
+        s"constraint '$name' already exists on '$table'")
+      val pred = expr(predicate)
+      if (exists(table)) {
+        val bad = readMor(table).filter(not(coalesce(pred, lit(false)))).count()
+        require(bad == 0L,
+          s"cannot add constraint '$name' to '$table': $bad existing " +
+            s"row(s) violate ($predicate)")
+      }
+      writeConstraints(table, cur :+ (name -> predicate))
+    }
+
+  def dropConstraint(table: String, name: String): Unit =
+    withTableLock(table) {
+      val cur = constraintsOf(table)
+      require(cur.exists(_._1 == name), s"no constraint '$name' on '$table'")
+      writeConstraints(table, cur.filterNot(_._1 == name))
+    }
+
+  private def writeConstraints(table: String,
+                               cs: Seq[(String, String)]): Unit = {
+    Files.createDirectories(Paths.get(path(table)))
+    val tmp = Paths.get(path(table),
+      s"_tmp_constraints-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.renderConstraints(cs).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, constraintsFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Wrap a frame about to be WRITTEN to `table` in its constraint
+    * checks: one filter whose condition is true for conforming rows and
+    * `raise_error` (with the constraint name and the offending row as
+    * JSON) otherwise. The check rides the write's existing scan inside
+    * whole-stage codegen — zero extra pass, zero extra shuffle; the
+    * error branch (and its to_json) evaluates only on a violation. The
+    * optimizer cannot elide it: the filter's outcome determines the
+    * row set as far as Catalyst knows. */
+  private def enforced(table: String, df: DataFrame): DataFrame = {
+    val cs = constraintsOf(table)
+    if (cs.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions._
+      val cond = cs.map { case (n, p) =>
+        when(coalesce(expr(p), lit(false)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"constraint '$n' violated ($p): row="),
+            to_json(struct(df.columns.map(col): _*)))))
+      }.reduce(_ && _)
+      df.filter(cond)
+    }
+  }
+
   // ------------------------------------------- table statistics (ANALYZE)
   // At warehouse scale plans should not depend on runtime size probes
   // alone: AQE only re-plans AFTER a shuffle materializes, so the
@@ -1320,7 +1411,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * applyDeleteVectors rewrite of the just-loaded table). */
   def overwrite(table: String, df: DataFrame): Unit = {
     requirePlain(table, "overwrite")
-    df.write.mode("overwrite").parquet(path(table))
+    enforced(table, df).write.mode("overwrite").parquet(path(table))
     deleteRecursive(dvDir(table))
     invalidateStats(table)
   }
@@ -1328,7 +1419,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** INSERT append semantics (main.py:382-410). */
   def append(table: String, df: DataFrame): Unit = {
     requirePlain(table, "append")
-    df.write.mode("append").parquet(path(table))
+    enforced(table, df).write.mode("append").parquet(path(table))
     invalidateStats(table)
   }
 
@@ -1338,7 +1429,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the once-per-date flow. */
   def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
     requirePlain(table, "appendPartitioned")
-    df.write.mode("overwrite")
+    enforced(table, df).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path(table))
@@ -2630,10 +2721,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       math.max(1, staged.size))
     try {
       import scala.jdk.CollectionConverters._
-      val failures = pool.invokeAll(staged.map { case (_, df, staging, _) =>
+      val failures = pool.invokeAll(staged.map { case (table, df, staging, _) =>
         new java.util.concurrent.Callable[Option[Throwable]] {
           def call(): Option[Throwable] =
-            try { df.write.parquet(staging.toString); None }
+            try { enforced(table, df).write.parquet(staging.toString); None }
             catch { case e: Throwable => Some(e) }
         }
       }.asJava).asScala.flatMap(_.get())
@@ -2807,7 +2898,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val cur = currentVersion(table)
     val next = cur.getOrElse(0L) + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
-    df.write.mode("overwrite").parquet(snapDir(table, next).toString)
+    enforced(table, df).write.mode("overwrite")
+      .parquet(snapDir(table, next).toString)
     // a full rewrite re-DECLARES the schema: when a schema log exists
     // (the table evolved at some point) this commit's shape supersedes
     // it — without the entry, resolveSchema would keep answering the
@@ -2920,7 +3012,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             .map(_.copy(nullable = true))) // null-filled on one side
         val next = cur + 1L
         deleteRecursive(snapDir(table, next)) // a crashed prior attempt
-        df.write.parquet(snapDir(table, next).toString)
+        enforced(table, df).write.parquet(snapDir(table, next).toString)
         if (evolved || schemaLog(table).nonEmpty)
           appendSchemaEntry(table, next, mergedSchema.toDDL)
         listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
@@ -3201,6 +3293,36 @@ object TableCatalog {
       else Some((n.get("version").asLong, n.get("tsMillis").asLong,
         Option(n.get("op")).map(_.asText).getOrElse("")))
     } catch { case _: Exception => None }
+
+  private[catalog] def renderConstraints(cs: Seq[(String, String)]): String = {
+    val root = om.createObjectNode()
+    val arr = root.putArray("constraints")
+    cs.foreach { case (n, p) =>
+      val o = arr.addObject(); o.put("name", n); o.put("predicate", p) }
+    root.toString
+  }
+
+  /** LOUD on a corrupt sidecar: silently returning "no constraints"
+    * would disable enforcement for every later write — an unreadable
+    * invariant file is an incident, not an empty list. */
+  private[catalog] def parseConstraints(s: String): Seq[(String, String)] = {
+    val n =
+      try om.readTree(s)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"unreadable _constraints.json: ${e.getMessage}", e) }
+    val arr = if (n == null) null else n.get("constraints")
+    if (arr == null || !arr.isArray)
+      throw new IllegalStateException(
+        "unreadable _constraints.json: no 'constraints' array")
+    import scala.jdk.CollectionConverters._
+    arr.elements().asScala.map { e =>
+      val (a, b) = (e.get("name"), e.get("predicate"))
+      if (a == null || b == null)
+        throw new IllegalStateException(
+          "unreadable _constraints.json: entry missing name/predicate")
+      a.asText -> b.asText
+    }.toSeq
+  }
 
   private[catalog] def renderStats(st: TableStats): String = {
     val root = om.createObjectNode()

@@ -3856,6 +3856,42 @@ object TestdataQueries {
              |  CAST(n_regionkey AS BIGINT) AS rkey_v1
              |FROM nation""".stripMargin)),
 
+    // ------------------------------- CHECK constraints (write invariants)
+    // Delta-model invariants enforced INLINE in the write's own scan
+    // (when/raise_error filter — no second validation pass): the
+    // require()s pin that a violating batch fails BEFORE the commit
+    // point (pointer unmoved, content clean) and that ALTER refuses a
+    // constraint existing rows violate. The output aggregates the final
+    // table; had the violating batch leaked — or the valid one been
+    // blocked — the counts and sums fail the hash.
+    "x_constraints" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_cons", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val v1 = cat.replaceAtomic("co", o.filter(col("okey") % 2 === 0))
+      cat.addConstraint("co", "total_nonneg", "total_c >= 0")
+      val altered =
+        try { cat.addConstraint("co", "okey_tiny", "okey < 100"); true }
+        catch { case _: IllegalArgumentException => false }
+      require(!altered, "ALTER must refuse a constraint existing rows violate")
+      val failed =
+        try { cat.appendAtomic("co", o.filter(col("okey") % 2 === 1)
+            .withColumn("total_c", -col("total_c") - 1)); false }
+        catch { case _: Exception => true }
+      require(failed, "a violating append must fail the write job")
+      require(cat.currentVersion("co").contains(v1),
+        "violating append moved the version pointer")
+      cat.appendAtomic("co", o.filter(col("okey") % 2 === 1))
+      cat.read("co").groupBy((col("okey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("total_c")).as("sum_c"))
+    }),
+      Some("""SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by
