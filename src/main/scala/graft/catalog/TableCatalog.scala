@@ -381,6 +381,133 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  // ------------------------- catalog snapshots (multi-table transactions)
+  // Cross-TABLE consistency — the catalog-level analog of the per-table
+  // version pointer (the Iceberg/Nessie multi-table-commit model): a
+  // fraud report joins facts to dims, and two single-table commits can
+  // interleave with the report's two reads, joining yesterday's dim to
+  // today's fact. [[commitAll]] lands each table's OWN versioned commit
+  // (its lock, hard links, history, change feed — unchanged), then
+  // commits ONE catalog-version pointer whose snapshot file pins every
+  // table to a version; [[readConsistent]] resolves through that pin,
+  // so a consistent reader sees all-old or all-new, never a mix. Each
+  // pinned version is tagged (`cpin_<c>`) against the retention sweep,
+  // so the LATEST catalog snapshot is always readable however many
+  // single-table commits later move the bare pointers; superseded
+  // generations un-pin (bounded: one tag per table) and age out like
+  // any other time travel.
+  //
+  // Crash windows, by construction: a writer dying between the table
+  // commits and the catalog pointer rename leaves advanced TABLE
+  // pointers but the OLD catalog snapshot fully pinned and consistent —
+  // a retry of the same txn simply re-lands (the per-table verbs are
+  // the crash-safe ones; the catalog file is write-aside + rename).
+  // The one residue class: a crashed txn that introduced a BRAND-NEW
+  // table leaves its `cpin` tag unreferenced until a later txn
+  // includes the table or a vacuum sweeps it — one tag file, bounded.
+
+  private def catalogDir: Path = Paths.get(root, "_catalog")
+  private def cversionFile: Path = catalogDir.resolve("_cversion")
+  private def cpinsFile(c: Long): Path = catalogDir.resolve(s"c$c.json")
+  private def pinName(c: Long): String = s"cpin_$c"
+
+  /** The committed catalog version — None before the first
+    * [[commitAll]]. */
+  def catalogVersion: Option[Long] =
+    if (!Files.exists(cversionFile)) None
+    else Some(new String(Files.readAllBytes(cversionFile),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+
+  /** The table→version pins of catalog snapshot `c`. */
+  def catalogPins(c: Long): Map[String, Long] = {
+    val f = cpinsFile(c)
+    require(Files.exists(f),
+      s"catalog version $c has no snapshot file (committed: ${catalogVersion.getOrElse("none")})")
+    TableCatalog.parsePins(new String(Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Commit `replace` (full rewrites) and `append` (atomic appends)
+    * across MULTIPLE tables as one catalog-version bump. Single-table
+    * readers see each table commit as usual; [[readConsistent]] readers
+    * flip from all-old to all-new at the catalog pointer rename.
+    * Untouched tables carry their previous pins forward, so one
+    * snapshot always describes the whole catalog. Returns the new
+    * catalog version. */
+  def commitAll(replace: Seq[(String, DataFrame)],
+                append: Seq[(String, DataFrame)] = Seq.empty): Long =
+    withTableLock("_catalog") {
+      val names = (replace ++ append).map(_._1)
+      require(names.nonEmpty, "commitAll needs at least one write")
+      require(names.distinct.size == names.size,
+        s"duplicate table in commitAll: ${names.diff(names.distinct).mkString(", ")}")
+      require(names.forall(t => !t.startsWith("_") && !t.startsWith(".")),
+        "table names must not start with _ or .")
+      val cPrev = catalogVersion
+      val cNext = cPrev.getOrElse(0L) + 1L
+      val prevPins = cPrev.map(catalogPins).getOrElse(Map.empty[String, Long])
+      var pins = prevPins
+      // 1. every table's own crash-safe commit protocol, unchanged
+      replace.foreach { case (t, df) => pins += (t -> replaceAtomic(t, df)) }
+      append.foreach { case (t, df) => pins += (t -> appendAtomic(t, df)) }
+      // 2. pin EVERY referenced version (new and carried) under the new
+      //    generation's tag — retention must never prune a version the
+      //    latest catalog snapshot resolves to. Tagging carried pins
+      //    re-asserts them under the new name; a crashed prior
+      //    attempt's same-name tag is simply overwritten.
+      pins.toSeq.sortBy(_._1).foreach { case (t, v) =>
+        tagAt(t, pinName(cNext), v) }
+      // 3. the commit point: snapshot file, then pointer rename
+      Files.createDirectories(catalogDir)
+      val body = TableCatalog.renderPins(pins)
+      val tmpS = catalogDir.resolve(
+        s"_tmp_c$cNext-${java.util.UUID.randomUUID()}")
+      Files.write(tmpS, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmpS, cpinsFile(cNext))
+      val tmpV = catalogDir.resolve(
+        s"_tmp_cversion-${java.util.UUID.randomUUID()}")
+      Files.write(tmpV, cNext.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmpV, cversionFile)
+      // 4. un-pin the superseded generation (bounded by table count);
+      //    its snapshot FILE stays for readConsistentAt time travel
+      //    within the retention window
+      cPrev.foreach(p => prevPins.keys.foreach(t => dropTag(t, pinName(p))))
+      cNext
+    }
+
+  /** Pin `v` of `table` under tag `name` — [[tag]] for a version other
+    * than the current one. Only versions still on disk are pinnable
+    * (the caller just committed or carries a pin that kept it). */
+  private def tagAt(table: String, name: String, v: Long): Unit =
+    withTableLock(table) {
+      require(Files.exists(snapDir(table, v)),
+        s"cannot pin '$table' v$v: snapshot not on disk")
+      val tmp = Paths.get(path(table),
+        s"_tagtmp_$name-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmp, tagFile(table, name))
+    }
+
+  /** Read `table` at the CURRENT catalog snapshot — all-old or all-new
+    * across every table of the same snapshot, never a mix. */
+  def readConsistent(table: String): DataFrame =
+    readConsistentAt(table, catalogVersion.getOrElse(
+      throw new IllegalStateException(
+        "no catalog snapshot committed yet — commitAll first")))
+
+  /** Read `table` as catalog snapshot `c` pinned it (catalog-level time
+    * travel; older generations stay readable within the retention
+    * window, the latest forever via its pins). */
+  def readConsistentAt(table: String, c: Long): DataFrame = {
+    val pins = catalogPins(c)
+    val v = pins.getOrElse(table, throw new IllegalArgumentException(
+      s"'$table' is not part of catalog snapshot c$c " +
+        s"(tables: ${pins.keys.toSeq.sorted.mkString(", ")})"))
+    readVersion(table, v)
+  }
+
   // ------------------------------------------- table statistics (ANALYZE)
   // At warehouse scale plans should not depend on runtime size probes
   // alone: AQE only re-plans AFTER a shuffle materializes, so the
@@ -3293,6 +3420,28 @@ object TableCatalog {
       else Some((n.get("version").asLong, n.get("tsMillis").asLong,
         Option(n.get("op")).map(_.asText).getOrElse("")))
     } catch { case _: Exception => None }
+
+  private[catalog] def renderPins(pins: Map[String, Long]): String = {
+    val root = om.createObjectNode()
+    val o = root.putObject("pins")
+    pins.toSeq.sortBy(_._1).foreach { case (t, v) => o.put(t, v) }
+    root.toString
+  }
+
+  /** LOUD on corruption — a catalog snapshot that silently lost a pin
+    * would resolve a consistent read to the wrong version. */
+  private[catalog] def parsePins(s: String): Map[String, Long] = {
+    val n =
+      try om.readTree(s)
+      catch { case e: Exception => throw new IllegalStateException(
+        s"unreadable catalog snapshot: ${e.getMessage}", e) }
+    val o = if (n == null) null else n.get("pins")
+    if (o == null || !o.isObject)
+      throw new IllegalStateException(
+        "unreadable catalog snapshot: no 'pins' object")
+    import scala.jdk.CollectionConverters._
+    o.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+  }
 
   private[catalog] def renderConstraints(cs: Seq[(String, String)]): String = {
     val root = om.createObjectNode()

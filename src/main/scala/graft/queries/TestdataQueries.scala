@@ -3892,6 +3892,49 @@ object TestdataQueries {
              |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // --------------------------- multi-table transactions (catalog pins)
+    // commitAll + readConsistent: cross-table snapshot isolation on top
+    // of the per-table pointers. The require() pins the torn-read
+    // scenario this exists for — a single-table commit advances the
+    // BARE fact pointer while the consistent view stays on the last
+    // catalog snapshot (fact and dim all-old) — and the output joins
+    // fact to dim through the consistent view after the second txn, so
+    // a pin resolving to the wrong version fails the hash.
+    "x_txn" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_txn", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("ckey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ckey"),
+        col("c_nationkey").cast("long").as("nk"))
+      val evens = o.filter(col("okey") % 2 === 0)
+      cat.commitAll(replace = Seq("tx_fact" -> evens, "tx_dim" -> c))
+      val nEven = evens.count()
+      // a lone single-table commit = the torn state a crash (or an
+      // interleaved writer) produces: bare readers move, consistent
+      // readers do not
+      cat.replaceAtomic("tx_fact", o)
+      require(cat.read("tx_fact").count() > nEven,
+        "bare pointer must see the single-table commit")
+      require(cat.readConsistent("tx_fact").count() == nEven,
+        "consistent view must stay on the catalog snapshot")
+      val c2 = cat.commitAll(replace = Seq("tx_fact" -> o))
+      require(cat.catalogPins(c2).contains("tx_dim"),
+        "untouched tables must carry their pins forward")
+      cat.readConsistent("tx_fact")
+        .join(cat.readConsistent("tx_dim"), "ckey")
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n"), sum(col("total_c")).as("sum_c"))
+    }),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.TableCatalog
+import java.nio.file.Files
+
+/** Catalog snapshots — multi-table atomic commits: commitAll lands each
+  * table's own versioned commit, then one catalog-version pointer pins
+  * them all; readConsistent resolves through the pins, so cross-table
+  * readers see all-old or all-new, never a mix, and the pins hold the
+  * referenced snapshots against the retention sweep. */
+class TxnSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("commitAll flips consistent readers atomically; bare reads move per table") {
+    val cat = new TableCatalog(spark, Files.createTempDirectory("txn").toString)
+    val c1 = cat.commitAll(replace = Seq(
+      "fact" -> Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      "dim" -> Seq((1L, "a"), (2L, "b")).toDF("k", "s")))
+    assert(c1 === 1L && cat.catalogVersion.contains(1L))
+    assert(cat.readConsistent("fact").count() === 2L)
+    assert(cat.readConsistent("dim").count() === 2L)
+    // a SINGLE-table commit outside the txn: the bare pointer moves,
+    // the consistent view stays pinned — no fact-from-today joined to
+    // dim-from-yesterday for readers who opt into the snapshot
+    cat.replaceAtomic("fact", Seq((1L, 11L), (2L, 21L), (3L, 31L)).toDF("k", "v"))
+    assert(cat.read("fact").count() === 3L)
+    assert(cat.readConsistent("fact").count() === 2L)
+    // the next txn touches only fact; dim's pin carries forward
+    val c2 = cat.commitAll(replace = Seq(
+      "fact" -> Seq((9L, 90L)).toDF("k", "v")))
+    assert(c2 === 2L)
+    assert(cat.readConsistent("fact").count() === 1L)
+    assert(cat.readConsistent("dim").count() === 2L)
+    // catalog-level time travel: generation 1 still resolves both
+    assert(cat.readConsistentAt("fact", 1L).count() === 2L)
+    assert(cat.readConsistentAt("dim", 1L).count() === 2L)
+  }
+
+  test("pins hold the snapshot against an aggressive retention sweep") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("txn0").toString, snapshotRetentionMs = 0L)
+    cat.commitAll(replace = Seq("t" -> Seq((1L, 1L)).toDF("k", "v")))
+    val pinned = cat.catalogPins(cat.catalogVersion.get)("t")
+    // several single-table commits; retention-0 prunes every unpinned
+    // old snapshot immediately
+    (0 until 3).foreach(i =>
+      cat.replaceAtomic("t", Seq((i.toLong, i.toLong)).toDF("k", "v")))
+    // the bare old versions are gone, the PINNED one is readable
+    assert(cat.readConsistent("t").count() === 1L)
+    assert(cat.readVersion("t", pinned).collect().toSeq.nonEmpty)
+    // moving the catalog forward un-pins the old generation; after one
+    // more commit's sweep the version ages out like any other
+    cat.commitAll(replace = Seq("t" -> Seq((7L, 7L)).toDF("k", "v")))
+    cat.replaceAtomic("t", Seq((8L, 8L)).toDF("k", "v"))
+    assertThrows[Exception](cat.readVersion("t", pinned).collect())
+  }
+
+  test("a partial txn (crash before the pointer) leaves the old snapshot consistent") {
+    val cat = new TableCatalog(spark, Files.createTempDirectory("txnc").toString)
+    cat.commitAll(replace = Seq(
+      "a" -> Seq((1L, 1L)).toDF("k", "v"),
+      "b" -> Seq((1L, 1L)).toDF("k", "v")))
+    // simulate a txn that died after landing table a but before the
+    // catalog pointer: a single-table commit IS that state
+    cat.replaceAtomic("a", Seq((2L, 2L), (3L, 3L)).toDF("k", "v"))
+    assert(cat.readConsistent("a").count() === 1L)
+    assert(cat.readConsistent("b").count() === 1L)
+    // the retry re-lands both tables and flips the snapshot
+    cat.commitAll(replace = Seq(
+      "a" -> Seq((2L, 2L), (3L, 3L)).toDF("k", "v"),
+      "b" -> Seq((2L, 2L)).toDF("k", "v")))
+    assert(cat.readConsistent("a").count() === 2L)
+    assert(cat.readConsistent("b").count() === 1L)
+  }
+
+  test("bad inputs are loud") {
+    val cat = new TableCatalog(spark, Files.createTempDirectory("txne").toString)
+    assertThrows[IllegalStateException](cat.readConsistent("t"))
+    assertThrows[IllegalArgumentException](cat.commitAll(Seq.empty))
+    assertThrows[IllegalArgumentException](cat.commitAll(Seq(
+      "t" -> Seq((1L, 1L)).toDF("k", "v"),
+      "t" -> Seq((2L, 2L)).toDF("k", "v"))))
+    cat.commitAll(replace = Seq("t" -> Seq((1L, 1L)).toDF("k", "v")))
+    assertThrows[IllegalArgumentException](cat.readConsistent("ghost"))
+    assertThrows[IllegalArgumentException](cat.readConsistentAt("t", 99L))
+  }
+}
