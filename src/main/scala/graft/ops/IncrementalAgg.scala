@@ -22,20 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
-  /** Per-key partial state of one batch: (n, sum_c, min_c, max_c) over
-    * an exact-integer value column. One shuffle on the keys, partials
-    * combined map-side. */
+  /** Per-key partial state of one batch: (n, sum_c, min_c, max_c,
+    * cnt_c) over an exact-integer value column — `n` counts rows,
+    * `cnt_c` counts NON-NULL values, the distinction `avg`/`count(v)`
+    * rewrites need (avg divides by the non-null count; conflating the
+    * two silently shifts every average of a nullable column). One
+    * shuffle on the keys, partials combined map-side. */
   def partials(batch: DataFrame, keyCols: Seq[String], value: Column): DataFrame =
     batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(value).as("sum_c"),
-        min(value).as("min_c"), max(value).as("max_c"))
+        min(value).as("min_c"), max(value).as("max_c"),
+        count(value).as("cnt_c"))
 
   /** Merge any set of partial states back to the exact aggregate over
-    * their union — count/sum add, min/max fold. */
+    * their union — counts/sum add, min/max fold. */
   def merge(states: DataFrame, keyCols: Seq[String]): DataFrame =
     states.groupBy(keyCols.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
-        min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+        min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"),
+        sum(col("cnt_c")).as("cnt_c"))
 
   /** Fold the states of `batchCols` values ≤ `cutoff` into one compacted
     * base state labeled `cutoff` (states are states: merging partials
@@ -48,6 +53,6 @@ object IncrementalAgg {
     merge(old, keyCols).withColumn(batchCol, lit(cutoff))
       .unionByName(recent.select(
         (keyCols.map(col) ++ Seq(col("n"), col("sum_c"), col("min_c"),
-          col("max_c"), col(batchCol))): _*))
+          col("max_c"), col("cnt_c"), col(batchCol))): _*))
   }
 }

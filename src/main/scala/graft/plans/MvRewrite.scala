@@ -11,9 +11,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 
 /** Transparent materialized-view rewrite — the optimizer half of the
   * [[graft.ops.IncrementalAgg]] maintenance story: a registered
-  * aggregate view (per-key `n / sum_c / min_c / max_c` partials of a
-  * fact, written by `TableCatalog.createAggView`) silently answers any
-  * matching aggregation over the fact, so a 100 TB fact scan becomes a
+  * aggregate view (per-key `n / sum_c / min_c / max_c / cnt_c`
+  * partials of a fact, written by `TableCatalog.createAggView`)
+  * silently answers any matching `count(*)/count(v)/sum/min/max/avg`
+  * aggregation over the fact, so a 100 TB fact scan becomes a
   * keys-sized MV scan with NO caller cooperation — the classic
   * algebraic query/view matching of warehouse engines (Goldstein &
   * Larson, SIGMOD'01), scoped to the shapes the partial state can
@@ -140,6 +141,26 @@ object MvRewrite extends Rule[LogicalPlan] {
         case Count(Seq(Literal(_, _))) =>
           Coalesce(Seq(
             ae.copy(aggregateFunction = Sum(mvOut("n"))), Literal(0L)))
+        // count(v) = Σ cnt_c — the NON-NULL count column (views built
+        // before cnt_c existed simply don't match these two shapes)
+        case Count(Seq(c)) if attrNamed(c, mv.value) &&
+            mvOut.contains("cnt_c") =>
+          Coalesce(Seq(
+            ae.copy(aggregateFunction = Sum(mvOut("cnt_c"))), Literal(0L)))
+        // avg(v) = Σ sum_c / Σ cnt_c, LEGACY divide so an all-NULL
+        // group yields NULL (Average's own evaluate expression divides
+        // the same way) — dividing by n would silently shift every
+        // average of a nullable column. The output-identity check
+        // refuses decimal averages (our quotient is Double).
+        case a: Average if attrNamed(a.child, mv.value) &&
+            mvOut.contains("cnt_c") =>
+          val sumE = AggregateExpression(
+            Sum(mvOut("sum_c")), ae.mode, isDistinct = false)
+          val cntE = AggregateExpression(
+            Sum(mvOut("cnt_c")), ae.mode, isDistinct = false)
+          Divide(Cast(sumE, org.apache.spark.sql.types.DoubleType),
+            Cast(cntE, org.apache.spark.sql.types.DoubleType),
+            EvalMode.LEGACY)
         case s: Sum if attrNamed(s.child, mv.value) =>
           ae.copy(aggregateFunction = s.withNewChildren(Seq(mvOut("sum_c")))
             .asInstanceOf[AggregateFunction])

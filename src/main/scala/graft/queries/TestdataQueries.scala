@@ -3306,7 +3306,8 @@ object TestdataQueries {
       val q = cat.read("mv_fact").groupBy(col("pkey"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_price_c"),
           min(col("price_c")).as("min_price_c"),
-          max(col("price_c")).as("max_price_c"))
+          max(col("price_c")).as("max_price_c"),
+          count(col("price_c")).as("cnt_items"))
       val scanned = q.queryExecution.optimizedPlan.collect {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation.asInstanceOf[
@@ -3324,7 +3325,8 @@ object TestdataQueries {
              |  CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
              |    AS min_price_c,
              |  CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-             |    AS max_price_c
+             |    AS max_price_c,
+             |  CAST(count(l_extendedprice) AS BIGINT) AS cnt_items
              |FROM lineitem
              |GROUP BY 1""".stripMargin)),
 
@@ -6278,7 +6280,8 @@ object TestdataQueries {
              |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              |    AS min_c,
              |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             |    AS max_c
+             |    AS max_c,
+             |  CAST(count(o_totalprice) AS BIGINT) AS cnt_c
              |FROM orders GROUP BY 1""".stripMargin)),
 
     // ------------------------------------------ funnel / cohort analytics

@@ -53,6 +53,35 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestSession {
         min("v").as("lo"), max("v").as("hi")).schema)
   }
 
+  test("avg and count(v) rewrite through cnt_c, NULL-correct") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("mv-avg").toString)
+    // a NULLABLE value column: avg divides by the non-null count, so a
+    // rewrite dividing by n (the row count) would shift every group
+    // containing a NULL — the case cnt_c exists for
+    val fact = (0 until 9000)
+      .map(i => (i.toLong % 7, if (i % 3 == 0) None else Some(i.toLong)))
+      .toDF("k1", "v").withColumn("k2", lit(0L))
+      .select("k1", "k2", "v")
+    cat.replaceAtomic("factn", fact)
+    cat.createAggView("factn_by_k", "factn", Seq("k1", "k2"), "v")
+    val q = cat.read("factn").groupBy("k1")
+      .agg(avg("v").as("a"), count(col("v")).as("c"),
+        count(lit(1)).as("n"))
+    assert(scans(q).head.contains("factn_by_k"), s"got ${scans(q)}")
+    val reg = spark.conf.get(graft.plans.MvRewrite.ConfKey)
+    spark.conf.unset(graft.plans.MvRewrite.ConfKey)
+    val direct = try cat.read("factn").groupBy("k1")
+      .agg(avg("v").as("a"), count(col("v")).as("c"),
+        count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+    finally spark.conf.set(graft.plans.MvRewrite.ConfKey, reg)
+    assert(q.collect().map(_.toSeq).toSet === direct)
+    // distinct stays un-rewritten (falls back to the fact scan)
+    val d = cat.read("factn").groupBy("k1")
+      .agg(countDistinct(col("v")).as("nd"))
+    assert(scans(d).head.contains("factn") && !scans(d).head.contains("by_k"))
+  }
+
   test("the global (ungrouped) aggregate rewrites too") {
     val cat = buildCat()
     val q = cat.read("fact").agg(count(lit(1)).as("n"), sum("v").as("s"))
@@ -71,13 +100,12 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestSession {
 
   test("shapes the partials cannot answer exactly do not rewrite") {
     val cat = buildCat()
-    // count of a COLUMN (null-sensitive), distinct, avg, non-key group,
-    // aggregate over a non-value column, filtered fact
+    // distinct, non-key group, aggregate over a non-value column,
+    // filtered fact (count(v)/avg DO rewrite since cnt_c — see the
+    // dedicated positive test)
     val fact = cat.read("fact")
     val noRewrite = Seq(
-      fact.groupBy("k1").agg(count(col("v")).as("x")),
       fact.groupBy("k1").agg(countDistinct(col("v")).as("x")),
-      fact.groupBy("k1").agg(avg(col("v")).as("x")),
       fact.groupBy("v").agg(count(lit(1)).as("x")),
       fact.groupBy("k1").agg(sum(col("k2")).as("x")),
       fact.filter(col("k2") === 1).groupBy("k1").agg(sum("v").as("x")))
