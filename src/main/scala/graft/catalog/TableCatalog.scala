@@ -490,6 +490,72 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       committer.atomicRename(tmp, tagFile(table, name))
     }
 
+  /** VACUUM for the catalog-snapshot machinery — the multi-table analog
+    * of the per-table [[vacuum]], sweeping the residue classes
+    * [[commitAll]]'s crash analysis documents: `_catalog/_tmp_*`
+    * write-asides, SUPERSEDED snapshot files (older generations past
+    * the grace window — the current one is never touched, so the
+    * latest consistent view stays fully resolvable), and orphaned
+    * `cpin_<c>` tags whose generation is not the committed one (a
+    * crashed txn's pins, or pins left on a table a later txn dropped
+    * from the write set). Runs under the catalog lock so an in-flight
+    * commitAll's fresh pins are never judged (grace window + lock —
+    * the same double protection as every sweep here). Returns
+    * (class, count, bytes) per residue class. */
+  def vacuumCatalog(graceMs: Long = 3600000L): Seq[(String, Long, Long)] =
+    withTableLock("_catalog") {
+      require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
+      val cutoff = System.currentTimeMillis() - graceMs
+      def ageOk(p: Path): Boolean =
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: java.io.IOException => false }
+      val curC = catalogVersion
+      import scala.jdk.CollectionConverters._
+      val inCatalog: List[(String, Path)] =
+        if (!Files.exists(catalogDir)) Nil
+        else {
+          val s = Files.list(catalogDir)
+          try s.iterator().asScala.flatMap { p =>
+            val n = p.getFileName.toString
+            val cls =
+              if (n.startsWith("_tmp_")) Some("write_aside")
+              else if (n.matches("c\\d+\\.json") &&
+                  !curC.contains(n.drop(1).dropRight(5).toLong))
+                Some("superseded_snapshot")
+              else None
+            cls.filter(_ => ageOk(p)).map(c => (c, p))
+          }.toList finally s.close()
+        }
+      val rootDir = Paths.get(root)
+      val tables: Seq[String] =
+        if (!Files.exists(rootDir)) Seq.empty
+        else {
+          val s = Files.list(rootDir)
+          try s.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            .map(_.getFileName.toString).toSeq
+          finally s.close()
+        }
+      val orphanPins: List[(String, Path)] = tables.flatMap { t =>
+        tags(t).keys.filter(_.startsWith("cpin_")).flatMap { name =>
+          val gen = name.drop(5)
+          val stale = gen.forall(_.isDigit) &&
+            !curC.contains(gen.toLong)
+          val f = Paths.get(path(t), s"_tag_$name")
+          if (stale && Files.exists(f) && ageOk(f)) Some(("orphan_pin", f))
+          else None
+        }
+      }.toList
+      (inCatalog ++ orphanPins).groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (c, ps) =>
+          val bytes = ps.map(t => TableCatalog.dirBytes(t._2)).sum
+          ps.foreach(t => deleteRecursive(t._2))
+          (c, ps.size.toLong, bytes)
+      }
+    }
+
   /** Read `table` at the CURRENT catalog snapshot — all-old or all-new
     * across every table of the same snapshot, never a mix. */
   def readConsistent(table: String): DataFrame =

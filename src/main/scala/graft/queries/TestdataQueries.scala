@@ -1163,6 +1163,40 @@ object TestdataQueries {
              |FROM customer WHERE c_custkey % 7 <> 0
              |GROUP BY 1""".stripMargin)),
 
+    // ---------------------- catalog-level VACUUM (multi-table txn residue)
+    // The multi-table-commit machinery's crashed-writer sweep: an
+    // orphan cpin tag (a generation that never committed), a catalog
+    // write-aside, and the superseded generation's snapshot file are
+    // fabricated/aged, vacuumCatalog reports them by class, and the
+    // LIVE generation must survive — readConsistent still resolves
+    // every pin afterwards, which is what the output proves.
+    "x_vacuum_catalog" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      import java.nio.file.{Files, Paths}
+      val scratch = scratchDir("graft_cvac", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("bal_c"))
+      cat.commitAll(replace = Seq("cv_dim" -> base))
+      cat.commitAll(replace = Seq(
+        "cv_dim" -> base.filter(col("k") % 7 =!= 0)))
+      Files.write(Paths.get(cat.path("cv_dim"), "_tag_cpin_99"), "1".getBytes)
+      Files.write(Paths.get(cat.root, "_catalog", "_tmp_dead"), "x".getBytes)
+      val rep = cat.vacuumCatalog(graceMs = 0L)
+      require(rep.map(r => (r._1, r._2)) == Seq(("orphan_pin", 1L),
+        ("superseded_snapshot", 1L), ("write_aside", 1L)),
+        s"vacuumCatalog report off: $rep")
+      require(cat.vacuumCatalog(graceMs = 0L).isEmpty,
+        "second sweep must find a clean catalog")
+      cat.readConsistent("cv_dim").groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_bal_c"))
+    }),
+      Some("""SELECT c_mktsegment AS seg, count(*) AS n,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_bal_c
+             |FROM customer WHERE c_custkey % 7 <> 0
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------- stats-planned join width (r9)
     // The join-cardinality estimate DRIVING a plan (VERDICT r8 next
     // #3), value-gated: both sides are ANALYZEd, the shuffle width is

@@ -74,6 +74,26 @@ class TxnSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readConsistent("b").count() === 1L)
   }
 
+  test("vacuumCatalog sweeps crashed-txn residue, never the live generation") {
+    val cat = new TableCatalog(spark, Files.createTempDirectory("txnv").toString)
+    cat.commitAll(replace = Seq("t" -> Seq((1L, 1L)).toDF("k", "v")))
+    cat.commitAll(replace = Seq("t" -> Seq((2L, 2L)).toDF("k", "v")))
+    // fabricate the documented residue: a crashed txn's orphan pin (a
+    // generation that never committed) and a catalog write-aside
+    Files.write(java.nio.file.Paths.get(cat.path("t"), "_tag_cpin_99"),
+      "1".getBytes)
+    Files.write(java.nio.file.Paths.get(cat.root, "_catalog", "_tmp_junk"),
+      "x".getBytes)
+    val swept = cat.vacuumCatalog(graceMs = 0L).map(r => r._1 -> r._2).toMap
+    assert(cat.vacuumCatalog(graceMs = 0L).isEmpty) // second run: clean
+    assert(swept.getOrElse("orphan_pin", 0L) >= 1L)
+    assert(swept.getOrElse("write_aside", 0L) >= 1L)
+    assert(swept.getOrElse("superseded_snapshot", 0L) >= 1L) // c1.json aged out
+    // the live generation still resolves; generation 1 is now gone
+    assert(cat.readConsistent("t").count() === 1L)
+    assertThrows[IllegalArgumentException](cat.readConsistentAt("t", 1L))
+  }
+
   test("bad inputs are loud") {
     val cat = new TableCatalog(spark, Files.createTempDirectory("txne").toString)
     assertThrows[IllegalStateException](cat.readConsistent("t"))
