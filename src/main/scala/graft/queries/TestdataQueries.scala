@@ -3971,6 +3971,41 @@ object TestdataQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin)),
 
+    // ----------------------- SQL ALTER TABLE ADD COLUMN (evolution DDL)
+    // Additive evolution from PLAIN SQL: ALTER commits a zero-row
+    // mergeSchema append (no data rewritten — old files null-fill on
+    // read), and the next INSERT carries the new column. The output
+    // unions pre- and post-evolution rows, so a wrong union schema, a
+    // lost null-fill, or an ALTER that rewrote/dropped rows fails the
+    // hash.
+    "x_sql_alter" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_sqlalter", dir)
+      new TableCatalog(s, scratch.toString) // root laid out
+      val cname = "galt_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("rkey"))
+        .createOrReplaceTempView(s"${cname}_nation")
+      s.sql(s"""CREATE TABLE $cname.an AS
+               |SELECT nkey, n_name FROM ${cname}_nation""".stripMargin)
+      s.sql(s"ALTER TABLE $cname.an ADD COLUMN rkey BIGINT")
+      s.sql(s"""INSERT INTO $cname.an
+               |SELECT nkey + 100, n_name, rkey FROM ${cname}_nation""".stripMargin)
+      s.sql(s"""SELECT nkey, n_name, coalesce(rkey, -1L) AS rkey
+               |FROM $cname.an""".stripMargin)
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name,
+             |  CAST(-1 AS BIGINT) AS rkey FROM nation
+             |UNION ALL
+             |SELECT CAST(n_nationkey + 100 AS BIGINT), n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by

@@ -188,8 +188,38 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** ALTER TABLE … ADD COLUMN: additive schema evolution through the
+    * catalog's own machinery — a zero-row `appendAtomic(mergeSchema)`
+    * commits a new version whose declared (schema-log) shape is the
+    * union, no data rewritten: old files null-fill the new column on
+    * read, time travel keeps the shape each version HAD, and the
+    * change feed refuses to span the evolution (already its rule).
+    * Everything except a top-level ADD COLUMN stays refused — DROP and
+    * RENAME would change what existing bytes mean. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tableOf(ident)
+    if (!cat.exists(t)) throw new NoSuchTableException(ident)
+    val cur = loadTable(ident).schema()
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
+        val n = a.fieldNames()(0)
+        require(!cur.fieldNames.contains(n),
+          s"column '$n' already exists in '$t'")
+        org.apache.spark.sql.types.StructField(n, a.dataType(),
+          nullable = true)
+      case other =>
+        readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
+    }
+    require(adds.map(_.name).distinct.size == adds.size,
+      "duplicate column in ADD COLUMNS")
+    val spark = SparkSession.active
+    cat.appendAtomic(t, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(adds.toArray)).repartition(1), mergeSchema = true)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
 

@@ -94,6 +94,28 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"INSERT INTO $g.d VERSION AS OF $v2 VALUES (1, 1)"))
   }
 
+  test("ALTER TABLE ADD COLUMN evolves additively; DROP/RENAME stay refused") {
+    val (cat, g) = freshSqlCat()
+    val v1 = cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v"))
+    spark.sql(s"ALTER TABLE $g.d ADD COLUMN w BIGINT")
+    // no data rewritten: the declared schema is the union, old rows
+    // null-fill, and INSERT can now carry the new column
+    assert(spark.table(s"$g.d").columns.toSeq === Seq("k", "v", "w"))
+    assert(spark.sql(s"SELECT w FROM $g.d").collect().map(_.isNullAt(0)).toSeq
+      === Seq(true))
+    spark.sql(s"INSERT INTO $g.d VALUES (2, 3, 4)")
+    assert(spark.sql(s"SELECT sum(w) FROM $g.d").as[Long].head() === 4L)
+    // time travel keeps the shape v1 HAD
+    assert(spark.sql(s"SELECT * FROM $g.d VERSION AS OF $v1").columns.toSeq
+      === Seq("k", "v"))
+    // everything that changes what existing bytes mean stays refused
+    assertThrows[Exception](spark.sql(s"ALTER TABLE $g.d DROP COLUMN v"))
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $g.d RENAME COLUMN v TO q"))
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $g.d ADD COLUMN v BIGINT")) // duplicate
+  }
+
   test("CREATE TABLE + CTAS are born versioned and INSERTable") {
     val (cat, g) = freshSqlCat()
     spark.sql(s"CREATE TABLE $g.fresh (k BIGINT, s STRING)")
