@@ -4006,6 +4006,82 @@ object TestdataQueries {
              |SELECT CAST(n_nationkey + 100 AS BIGINT), n_name,
              |  CAST(n_regionkey AS BIGINT) FROM nation""".stripMargin)),
 
+    // --------------------- change feed shipped to Structured Streaming
+    // shipFeed materializes the classified feed as one atomic
+    // `commit_version=<v>/` partition per commit, and STOCK Structured
+    // Streaming tails it (readStream.parquet — no custom source). The
+    // require()s pin per-version idempotence (a replay with a lost
+    // checkpoint ships zero new files) and that the OPTIMIZE commit
+    // shipped nothing (dataChange=false); the output is everything the
+    // file stream delivered, hashed against the oracle's replay of all
+    // three contentful commits.
+    "x_cdc_stream" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      import graft.streaming.ChangeFeed
+      import java.nio.file.Files
+      val scratch = scratchDir("graft_cdcs", dir)
+      val cat = new TableCatalog(s, scratch.resolve("wh").toString)
+      val feedDir = scratch.resolve("feed")
+      val ckpt = scratch.resolve("offsets/cs.offset")
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ckey"),
+        cents(col("c_acctbal")).as("bal_c"),
+        col("c_nationkey").cast("long").as("nk"))
+      cat.appendAtomic("cs_cust",
+        c.filter(pmod(col("ckey"), lit(3)) =!= 0).repartition(2))
+      ChangeFeed.shipFeed(cat, "cs_cust", Seq("ckey"), feedDir, ckpt)
+      cat.appendAtomic("cs_cust",
+        c.filter(pmod(col("ckey"), lit(3)) === 0).repartition(2))
+      cat.compactSmallFiles("cs_cust") // dataChange=false: ships nothing
+      val next = c.filter(pmod(col("ckey"), lit(5)) =!= 0)
+        .withColumn("bal_c", when(pmod(col("ckey"), lit(7)) === 0,
+          col("bal_c") + 100).otherwise(col("bal_c")))
+      cat.replaceAtomic("cs_cust", next)
+      ChangeFeed.shipFeed(cat, "cs_cust", Seq("ckey"), feedDir, ckpt)
+      val shipped = {
+        import scala.jdk.CollectionConverters._
+        val l = Files.list(feedDir)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("commit_version=")).toSeq.sorted
+        finally l.close()
+      }
+      require(shipped == Seq("commit_version=1", "commit_version=2",
+        "commit_version=4"),
+        s"OPTIMIZE must ship nothing, replays nothing twice: $shipped")
+      Files.delete(ckpt) // lost checkpoint: the replay must ship 0 files
+      val before = s.read.parquet(feedDir.toString).inputFiles.toSet
+      ChangeFeed.shipFeed(cat, "cs_cust", Seq("ckey"), feedDir, ckpt)
+      require(s.read.parquet(feedDir.toString).inputFiles.toSet == before,
+        "a replayed shipFeed double-shipped files")
+      val sch = s.read.parquet(feedDir.toString).schema
+      val outDir = scratch.resolve("out")
+      s.readStream.schema(sch).parquet(feedDir.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", scratch.resolve("sckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(180000)
+      s.read.parquet(outDir.toString)
+        .select(col("ckey"), col("change_type"), col("bal_c"), col("nk"),
+          col("commit_version"))
+    }),
+      Some("""WITH c AS (SELECT c_custkey AS ckey,
+             |  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+             |  CAST(c_nationkey AS BIGINT) AS nk FROM customer)
+             |SELECT ckey, 'insert' AS change_type, bal_c, nk,
+             |  CAST(1 AS BIGINT) AS commit_version
+             |FROM c WHERE ckey % 3 <> 0
+             |UNION ALL
+             |SELECT ckey, 'insert', bal_c, nk, CAST(2 AS BIGINT)
+             |FROM c WHERE ckey % 3 = 0
+             |UNION ALL
+             |SELECT ckey, 'delete', CAST(NULL AS BIGINT),
+             |  CAST(NULL AS BIGINT), CAST(4 AS BIGINT)
+             |FROM c WHERE ckey % 5 = 0
+             |UNION ALL
+             |SELECT ckey, 'update', bal_c + 100, nk, CAST(4 AS BIGINT)
+             |FROM c WHERE ckey % 5 <> 0 AND ckey % 7 = 0""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by

@@ -222,6 +222,80 @@ object ChangeFeed {
     }
   }
 
+  /** Ship the change feed into an append-only FEED DIRECTORY that stock
+    * Structured Streaming consumes — `spark.readStream.parquet(feedDir)`
+    * with full watermark/stateful/exactly-once semantics and no custom
+    * source code (the Delta `_change_data` materialization, done at
+    * catch-up time instead of commit time so untailed tables never pay
+    * it). Layout: one Hive partition `commit_version=<v>/` per shipped
+    * commit, holding the classified `(keys…, change_type, values…)`
+    * feed of exactly that commit; the partition directory is staged and
+    * ATOMIC-RENAMED in, so the file source either sees a commit's whole
+    * feed or none of it, and the `commit_version` partition column
+    * gives consumers commit ordering for free (a source column of that
+    * name is refused up front — it would silently shadow).
+    *
+    * Idempotence is per VERSION, not per range: each catch-up ships
+    * commit-by-commit, committing the offset after each, and a replayed
+    * version whose directory already exists is skipped — so the
+    * at-least-once offset protocol never double-ships a file (shipped
+    * files cannot be retracted, which is also why horizon loss is
+    * always FATAL here: a resync cannot be expressed to a consumer
+    * that already read the shipped history). Layout-only commits
+    * (`dataChange=false` OPTIMIZE) ship nothing — detected from the
+    * O(metadata) file lists, no read. First call ships the full current
+    * snapshot as inserts under its commit version (initial-snapshot
+    * semantics). Returns what [[sync]] would. */
+  def shipFeed(cat: TableCatalog, table: String, keys: Seq[String],
+               feedDir: Path, checkpoint: Path): SyncResult = {
+    val cur = cat.currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' is not a versioned table — the change feed needs " +
+          "commit versions (replaceAtomic/appendAtomic writers)"))
+    require(!cat.read(table).columns.contains("commit_version"),
+      s"'$table' has a 'commit_version' column — the feed's partition " +
+        "column would shadow it")
+    def ship(v: Long, df: DataFrame): Unit = {
+      val dst = feedDir.resolve(s"commit_version=$v")
+      if (Files.exists(dst)) return // an already-shipped replay
+      Files.createDirectories(feedDir)
+      val staging = feedDir.resolve(
+        s"_staging_v$v-${java.util.UUID.randomUUID()}")
+      df.write.parquet(staging.toString)
+      Files.move(staging, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+    def ordered(df: DataFrame): DataFrame = df.select(
+      keys.map(col) ++ Seq(col("change_type")) ++
+        df.columns.filterNot(c => keys.contains(c) || c == "change_type")
+          .map(col).toSeq: _*)
+    readOffset(checkpoint) match {
+      case None =>
+        val snap = cat.readVersion(table, cur)
+        ship(cur, ordered(snap.withColumn("change_type",
+          org.apache.spark.sql.functions.lit("insert"))))
+        commitOffset(checkpoint, cur)
+        Resync(cur)
+      case Some(v) if v >= cur => Fresh
+      case Some(v) =>
+        ((v + 1) to cur).foreach { w =>
+          val (_, _, added, removed) =
+            try cat.changedRowsBetween(table, w - 1, w)
+            catch {
+              case e: IllegalArgumentException =>
+                throw new IllegalStateException(
+                  s"feed shipping for '$table' lost its horizon at " +
+                    s"v${w - 1} (current v$cur): shipped files cannot be " +
+                    "retracted, so a resync is not expressible — " +
+                    "re-bootstrap a NEW feed directory", e)
+            }
+          if (added.nonEmpty || removed.nonEmpty)
+            ship(w, ordered(cat.changesBetween(table, w - 1, w, keys)))
+          commitOffset(checkpoint, w)
+        }
+        Delta(v, cur)
+    }
+  }
+
   /** A stopped/running poll loop over [[sync]]/[[mirror]] catch-ups. */
   final class Handle(thread: Thread, running: AtomicBoolean,
                      err: AtomicReference[Throwable],

@@ -132,4 +132,52 @@ class ChangeFeedSpec extends AnyFunSuite with SparkTestSession {
     } finally h.stop()
     assert(!h.isAlive)
   }
+
+  test("shipFeed: stock Structured Streaming tails the shipped feed") {
+    val (cat, ckpt) = fresh()
+    val feedDir = ckpt.getParent.resolve("feed")
+    cat.replaceAtomic("src", (0 until 40).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    assert(ChangeFeed.shipFeed(cat, "src", Seq("k"), feedDir, ckpt) ===
+      ChangeFeed.Resync(1L))
+    cat.appendAtomic("src", (40 until 50).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    cat.compactSmallFiles("src") // dataChange=false: must ship NOTHING
+    cat.replaceAtomic("src", cat.read("src").filter(col("k") =!= 0)
+      .localCheckpoint(true))
+    assert(ChangeFeed.shipFeed(cat, "src", Seq("k"), feedDir, ckpt) ===
+      ChangeFeed.Delta(1L, 4L))
+    def dirs() = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(feedDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("commit_version=")).toSet finally s.close()
+    }
+    assert(dirs() === Set("commit_version=1", "commit_version=2",
+      "commit_version=4"), s"got ${dirs()}") // v=3 OPTIMIZE shipped nothing
+    // a replay (lost checkpoint) never double-ships a file
+    Files.delete(ckpt)
+    val before = spark.read.parquet(feedDir.toString).inputFiles.toSet
+    ChangeFeed.shipFeed(cat, "src", Seq("k"), feedDir, ckpt)
+    assert(spark.read.parquet(feedDir.toString).inputFiles.toSet === before)
+    // the stock file source tails it: no custom source, exactly-once
+    val sch = spark.read.parquet(feedDir.toString).schema
+    val outDir = ckpt.getParent.resolve("out")
+    val q = spark.readStream.schema(sch).parquet(feedDir.toString)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation",
+        ckpt.getParent.resolve("stream_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(outDir.toString)
+    // commit 1: 40 inserts; commit 2: 10 inserts; commit 4: 1 delete
+    assert(got.count() === 51L)
+    val del = got.filter(col("change_type") === "delete").collect()
+    assert(del.map(_.getLong(del.head.fieldIndex("k"))).toSeq === Seq(0L))
+    assert(del.forall(_.isNullAt(del.head.fieldIndex("v")))) // feed contract
+    assert(got.filter(col("commit_version") === 4).count() === 1L)
+  }
 }
