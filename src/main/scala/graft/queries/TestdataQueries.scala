@@ -3961,10 +3961,17 @@ object TestdataQueries {
       val c2 = cat.commitAll(replace = Seq("tx_fact" -> o))
       require(cat.catalogPins(c2).contains("tx_dim"),
         "untouched tables must carry their pins forward")
-      cat.readConsistent("tx_fact")
-        .join(cat.readConsistent("tx_dim"), "ckey")
-        .groupBy("nk")
-        .agg(count(lit(1)).as("n"), sum(col("total_c")).as("sum_c"))
+      // the consistent read in PLAIN SQL: the `c<N>` namespace resolves
+      // every table as generation c2 pinned it
+      val cname = "gtxn_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      s.sql(s"""SELECT d.nk, count(*) AS n, sum(f.total_c) AS sum_c
+               |FROM $cname.c$c2.tx_fact f
+               |JOIN $cname.c$c2.tx_dim d ON f.ckey = d.ckey
+               |GROUP BY d.nk""".stripMargin)
     }),
       Some("""SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n,
              |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c

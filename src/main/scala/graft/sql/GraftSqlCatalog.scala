@@ -74,6 +74,15 @@ class GraftSqlCatalog extends DsV2TableCatalog {
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    namespace match {
+      case Array(GenNs(g)) =>
+        return (try cat.catalogPins(g.toLong)
+          catch { case _: IllegalArgumentException =>
+            throw new NoSuchNamespaceException(namespace) })
+          .keys.toSeq.sorted
+          .map(t => Identifier.of(namespace, t)).toArray
+      case _ => ()
+    }
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     val root = Paths.get(cat.root)
     if (!Files.exists(root)) return Array.empty
@@ -88,11 +97,39 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     finally s.close()
   }
 
+  // `c<N>` namespaces expose CATALOG SNAPSHOTS (multi-table txn
+  // generations): `g.c3.fact JOIN g.c3.dim` reads both tables as
+  // generation 3 pinned them — cross-table consistency in plain SQL,
+  // the query-side of TableCatalog.readConsistentAt. Generation reads
+  // are time travel, hence read-only.
+  private val GenNs = "c(\\d+)".r
+
+  private def pinnedVersion(ident: Identifier): Option[Long] =
+    ident.namespace() match {
+      case Array(GenNs(g)) =>
+        val pins =
+          try cat.catalogPins(g.toLong)
+          catch { case _: IllegalArgumentException =>
+            throw new NoSuchTableException(ident) }
+        Some(pins.getOrElse(ident.name(),
+          throw new NoSuchTableException(ident)))
+      case _ => None
+    }
+
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && cat.exists(ident.name())
+    ident.namespace() match {
+      case Array(GenNs(g)) =>
+        (try cat.catalogPins(g.toLong).contains(ident.name())
+         catch { case _: IllegalArgumentException => false })
+      case _ => ident.namespace().isEmpty && cat.exists(ident.name())
+    }
 
   override def loadTable(ident: Identifier): Table =
-    parquetTable(ident, None)
+    pinnedVersion(ident) match {
+      case Some(v) =>
+        parquetTable(Identifier.of(Array.empty, ident.name()), Some(v))
+      case None => parquetTable(ident, None)
+    }
 
   /** `VERSION AS OF <v>` — resolve the immutable `_v<v>` snapshot. */
   override def loadTable(ident: Identifier, version: String): Table = {

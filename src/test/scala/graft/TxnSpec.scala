@@ -74,6 +74,31 @@ class TxnSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readConsistent("b").count() === 1L)
   }
 
+  test("the c<N> SQL namespace reads a whole generation consistently") {
+    val cat = new TableCatalog(spark, Files.createTempDirectory("txns").toString)
+    val c1 = cat.commitAll(replace = Seq(
+      "fact" -> Seq((1L, 10L)).toDF("k", "v"),
+      "dim" -> Seq((1L, "a")).toDF("k", "s")))
+    cat.replaceAtomic("fact", Seq((1L, 99L), (2L, 98L)).toDF("k", "v"))
+    val g = "gns" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$g",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$g.root", cat.root)
+    // bare name = moved pointer; c1 namespace = the pinned generation
+    assert(spark.sql(s"SELECT count(*) FROM $g.fact").as[Long].head() === 2L)
+    assert(spark.sql(
+      s"""SELECT f.v, d.s FROM $g.c$c1.fact f
+         |JOIN $g.c$c1.dim d ON f.k = d.k""".stripMargin)
+      .as[(Long, String)].collect().toSeq === Seq((10L, "a")))
+    assert(spark.sql(s"SHOW TABLES IN $g.c$c1").count() === 2L)
+    // a generation read is time travel: INSERT refuses in analysis
+    assertThrows[Exception](
+      spark.sql(s"INSERT INTO $g.c$c1.fact VALUES (9, 9)"))
+    // unknown generation / table not in the generation are loud
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $g.c99.fact").collect())
+  }
+
   test("vacuumCatalog sweeps crashed-txn residue, never the live generation") {
     val cat = new TableCatalog(spark, Files.createTempDirectory("txnv").toString)
     cat.commitAll(replace = Seq("t" -> Seq((1L, 1L)).toDF("k", "v")))
