@@ -194,12 +194,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   // filter to `version <= pointer`, which hides the orphan entry a
   // crashed attempt leaves (a retry of the same version supersedes it —
   // consumers keep the LATEST entry per version). Entries are ~100 B
-  // and bounded by commit count, not data size; retention keeps them
-  // all (the log is the audit trail that outlives pruned snapshots, and
-  // the TIMESTAMP AS OF index).
+  // and bounded by commit count, not data size; retention keeps the
+  // LOG's content forever (the audit trail outlives pruned snapshots,
+  // and it is the TIMESTAMP AS OF index) — but NOT as a flat
+  // ever-growing directory: the change feed made the log a planning
+  // hot path (commit ops prove dataChange=false), and a streaming
+  // writer commits thousands of times a day, so an O(commits) LIST +
+  // read per feed sync is the same disease the r8 LogCommitter and the
+  // r9 stats sidecar had. Same cure: every 8th commit FOLDS the loose
+  // entries into one cumulative JSONL rollup (`hr<v>-…`, superseding
+  // the previous rollup and deleting what it folded), so the directory
+  // holds ≤ ~8 loose entries + 1 rollup; the rollup parse is cached
+  // per (path, mtime, size) like the MV registry's. Both shapes are
+  // line-JSON with the same fields, so the distributed [[history]]
+  // read is unchanged. Crash anywhere mid-compaction leaves both
+  // rollup and folded entries — latest-entry-per-version collapse
+  // makes the duplicates harmless, the next rollup retries the sweep.
 
   private def historyDir(table: String): Path =
     Paths.get(path(table), "_history")
+
+  private val HistoryCompactEvery = 8L
 
   private def writeHistoryEntry(table: String, v: Long, op: String): Unit = {
     val snap = snapDir(table, v)
@@ -212,6 +227,87 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     Files.move(tmp,
       historyDir(table).resolve(f"h$v%012d-${java.util.UUID.randomUUID()}.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    if (v % HistoryCompactEvery == 0L) compactHistoryLog(table, v)
+  }
+
+  /** Fold every history file describing a version ≤ `upTo` into one
+    * cumulative JSONL rollup and delete the folded files. Runs inside
+    * the committing verb's writer lock (single log writer); cost is
+    * ≤ ~8 loose entries + the previous rollup, amortized over 8
+    * commits — the Delta-checkpoint shape. */
+  private def compactHistoryLog(table: String, upTo: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dir = historyDir(table)
+    val files = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toList
+      finally s.close()
+    }
+    val lines = files.flatMap(p =>
+      new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator
+          .filter(_.nonEmpty).toList)
+    val latest = lines.flatMap(TableCatalog.parseHistoryFull)
+      .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq
+    val (fold, _) = latest.partition(_._1 <= upTo)
+    if (fold.isEmpty) return
+    val body = fold.sortBy(_._1)
+      .map(e => TableCatalog.newHistoryNode(e._1, e._2, e._3, e._4, e._5))
+      .mkString("", "\n", "\n")
+    val tmp = Paths.get(path(table),
+      s"_tmp_hist-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp,
+      dir.resolve(f"hr$upTo%012d-${java.util.UUID.randomUUID()}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // sweep what the rollup folded: loose entries ≤ upTo, older rollups
+    files.foreach { p =>
+      val n = p.getFileName.toString
+      val folded =
+        if (n.startsWith("hr")) n.drop(2).takeWhile(_.isDigit).toLong < upTo
+        else n.startsWith("h") && n.drop(1).headOption.exists(_.isDigit) &&
+          n.drop(1).takeWhile(_.isDigit).toLong <= upTo
+      if (folded) Files.deleteIfExists(p)
+    }
+  }
+
+  /** All history entries of `table`, driver-side: (version, tsMillis,
+    * op, files, bytes), latest entry per version. Post-compaction the
+    * directory holds ≤ ~8 loose files + 1 rollup, and the rollup's
+    * parse is cached on (path, mtime, size) — the call is O(new
+    * commits), not O(all commits). */
+  private def historyEntries(table: String): Seq[(Long, Long, String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val dir = historyDir(table)
+    if (!Files.exists(dir)) return Seq.empty
+    val files = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toList
+      finally s.close()
+    }
+    files.flatMap { p =>
+      val key = p.toString
+      val (mtime, size) =
+        try (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+        catch { case _: java.io.IOException => (-1L, -1L) }
+      val cached = TableCatalog.historyParseCache.get(key)
+      if (cached != null && cached._1 == mtime && cached._2 == size) cached._3
+      else {
+        val parsed =
+          try new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator
+            .filter(_.nonEmpty).flatMap(TableCatalog.parseHistoryFull).toSeq
+          catch { case _: java.io.IOException => Seq.empty }
+        // only rollups are worth remembering (loose entries are read
+        // once and folded); an unbounded cache of dead paths would be
+        // its own leak
+        if (p.getFileName.toString.startsWith("hr"))
+          TableCatalog.historyParseCache.put(key, (mtime, size, parsed))
+        parsed
+      }
+    }.groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
   }
 
   /** Commit log of `table` as a DataFrame — one row per COMMITTED
@@ -250,45 +346,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * listing); this is the `TIMESTAMP AS OF` resolver the SQL catalog
     * uses. */
   def versionAtTimestamp(table: String, tsMillis: Long): Option[Long] = {
-    import scala.jdk.CollectionConverters._
-    val dir = historyDir(table)
-    if (!Files.exists(dir)) return None
     val cur = currentVersion(table).getOrElse(return None)
-    val entries = {
-      val s = Files.list(dir)
-      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
-        .toSeq finally s.close()
-    }
-    entries.flatMap { p =>
-      TableCatalog.parseHistoryNode(new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8))
-    }
+    historyEntries(table)
       .filter(e => e._1 <= cur)
-      .groupBy(_._1).map(_._2.maxBy(_._2)) // latest entry per version
       .filter(_._2 <= tsMillis)
       .map(_._1).maxOption
   }
 
   /** Latest committed op per version — the driver-side commit-metadata
-    * view of the history log (one LIST + KB reads, bounded by commit
-    * count) that [[changedRowsBetween]] uses to prove a commit
-    * `dataChange=false`. Latest entry per version wins (a crashed
-    * attempt's superseded entry loses, same rule as [[history]]);
-    * versions older than the log simply have no key — consumers must
-    * treat an absent op as contentful. */
-  private def commitOps(table: String): Map[Long, String] = {
-    import scala.jdk.CollectionConverters._
-    val dir = historyDir(table)
-    if (!Files.exists(dir)) return Map.empty
-    val entries = {
-      val s = Files.list(dir)
-      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".json"))
-        .toSeq finally s.close()
-    }
-    entries.flatMap(p => TableCatalog.parseHistoryNode(new String(
-        Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)))
-      .groupBy(_._1).map { case (v, es) => v -> es.maxBy(_._2)._3 }
-  }
+    * view of the history log that [[changedRowsBetween]] uses to prove
+    * a commit `dataChange=false`. O(new commits) after rollup
+    * compaction ([[historyEntries]]'s cache), never O(all commits).
+    * Latest entry per version wins (a crashed attempt's superseded
+    * entry loses, same rule as [[history]]); versions older than the
+    * log simply have no key — consumers must treat an absent op as
+    * contentful. */
+  private def commitOps(table: String): Map[Long, String] =
+    historyEntries(table).map(e => e._1 -> e._3).toMap
 
   // --------------------------------------- CHECK constraints (invariants)
   // Write-path invariants — the Delta CHECK-constraint model: a
@@ -3439,6 +3513,30 @@ object TableCatalog {
     om.writeValueAsString(o)
   }
 
+  /** One history line → (version, tsMillis, op, files, bytes); None on
+    * a malformed line (skipped — one torn write must not hide the
+    * log). */
+  private[catalog] def parseHistoryFull(s: String)
+      : Option[(Long, Long, String, Long, Long)] =
+    try {
+      val n = om.readTree(s)
+      if (n == null || !n.has("version") || !n.has("tsMillis")) None
+      else Some((n.get("version").asLong, n.get("tsMillis").asLong,
+        Option(n.get("op")).map(_.asText).getOrElse(""),
+        Option(n.get("files")).map(_.asLong).getOrElse(0L),
+        Option(n.get("bytes")).map(_.asLong).getOrElse(0L)))
+    } catch { case _: Exception => None }
+
+  /** Rollup-file parse cache keyed (path → mtime, size, entries) — the
+    * MvRewrite registry-cache shape: a rollup is immutable once
+    * written, so a hit costs zero I/O beyond the stat. Bounded by the
+    * number of LIVE rollup files ever touched by this JVM (one per
+    * table, superseded names drop out of the listing and just age in
+    * the map). */
+  private[catalog] val historyParseCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Seq[(Long, Long, String, Long, Long)])]()
+
   private[catalog] def renderSchemaLog(entries: Seq[(Long, String)]): String = {
     val arr = om.createArrayNode()
     entries.foreach { case (v, ddl) =>
@@ -3479,14 +3577,6 @@ object TableCatalog {
     } catch { case _: Exception => None }
 
   /** (version, tsMillis, op), or None on malformed content. */
-  private[catalog] def parseHistoryNode(s: String): Option[(Long, Long, String)] =
-    try {
-      val n = om.readTree(s)
-      if (n == null || !n.has("version") || !n.has("tsMillis")) None
-      else Some((n.get("version").asLong, n.get("tsMillis").asLong,
-        Option(n.get("op")).map(_.asText).getOrElse("")))
-    } catch { case _: Exception => None }
-
   private[catalog] def renderPins(pins: Map[String, Long]): String = {
     val root = om.createObjectNode()
     val o = root.putObject("pins")

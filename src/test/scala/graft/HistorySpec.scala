@@ -78,4 +78,42 @@ class HistorySpec extends AnyFunSuite with SparkTestSession {
     val h = cat.history("t").select(col("version")).as[Long].collect().toSeq
     assert(h === Seq(1L, 2L))
   }
+
+  test("rollup compaction bounds the log directory, loses nothing") {
+    val cat = freshCat()
+    (0 until 30).foreach(i =>
+      cat.appendAtomic("t", Seq((i.toLong, i.toLong)).toDF("k", "v")))
+    // 30 commits, rollups every 8: the directory must hold ≤ ~8 loose
+    // entries + 1 rollup — never the 30-file flat log a feed sync
+    // would have to LIST and read on every catch-up
+    def listing() = {
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Paths.get(cat.path("t"), "_history")
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toList
+      finally s.close()
+    }
+    val names = listing()
+    assert(names.size <= 10, s"log not compacted: ${names.size} files")
+    assert(names.count(_.startsWith("hr")) === 1,
+      s"exactly one live rollup expected: $names")
+    // the full audit trail survives the folds, in order, ops intact
+    val h = cat.history("t")
+    assert(h.count() === 30L)
+    val ops = h.orderBy("version").select("op").as[String].collect().toSeq
+    assert(ops.head === "REPLACE" && ops.tail.forall(_ == "APPEND"),
+      s"ops lost in the fold: $ops")
+    // TIMESTAMP AS OF still resolves entries that now live in the rollup
+    val ts5 = cat.history("t").filter(col("version") === 5)
+      .select("ts_millis").as[Long].head()
+    assert(cat.versionAtTimestamp("t", ts5).exists(_ >= 5L))
+    // and the dataChange=false proof still reads folded ops: an
+    // OPTIMIZE followed by appends keeps the feed O(delta) across it
+    cat.compactSmallFiles("t")
+    cat.appendAtomic("t", Seq((99L, 99L)).toDF("k", "v"))
+    val (_, _, added, removed) =
+      cat.changedRowsBetween("t", 30L, cat.currentVersion("t").get)
+    assert(removed.isEmpty && added.size === 1,
+      s"layout skip broke across the rollup: +${added.size}/-${removed.size}")
+  }
 }
