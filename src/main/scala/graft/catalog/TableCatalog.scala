@@ -763,23 +763,40 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // over-estimate every range 10×)
       hcols.map(c => count(col(c)).as(s"_nn_$c"))
     val globalRow = df.agg(gAggs.head, gAggs.tail: _*).head()
+    // STRING skip columns keep their native envelopes (URL prefixes,
+    // categorical codes — a 100 TB layout clustered by a string key
+    // must prune without a numeric surrogate); everything else stays
+    // the Long probe contract. min/max run under Spark's own string
+    // ordering, and every driver-side compare uses the same unsigned
+    // UTF-8 order (TableCatalog.utf8Cmp) — a JVM-order compare would
+    // silently drop files beyond the BMP.
+    val strSkips = skips.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val numSkips = skips.filterNot(strSkips.contains)
     val files: Seq[TableCatalog.FileStats] =
       if (skips.isEmpty && blooms.isEmpty) Seq.empty
       else {
         val fAggs = count(lit(1L)).as("_rows") +:
-          skips.flatMap(c => Seq(min(col(c).cast("long")).as(s"_min_$c"),
-            max(col(c).cast("long")).as(s"_max_$c")))
+          (numSkips.flatMap(c => Seq(min(col(c).cast("long")).as(s"_min_$c"),
+            max(col(c).cast("long")).as(s"_max_$c"))) ++
+           strSkips.flatMap(c => Seq(min(col(c)).as(s"_smin_$c"),
+            max(col(c)).as(s"_smax_$c"))))
         val fs = df
           .groupBy(input_file_name().as("_graft_file"))
           .agg(fAggs.head, fAggs.tail: _*)
           .collect()
           .map { r =>
-            def bound(prefix: String): Map[String, Long] = skips.flatMap { c =>
+            def bound(prefix: String): Map[String, Long] = numSkips.flatMap { c =>
               val i = r.fieldIndex(s"${prefix}_$c")
               if (r.isNullAt(i)) None else Some(c -> r.getLong(i))
             }.toMap
+            def sbound(prefix: String): Map[String, String] = strSkips.flatMap { c =>
+              val i = r.fieldIndex(s"${prefix}_$c")
+              if (r.isNullAt(i)) None else Some(c -> r.getString(i))
+            }.toMap
             TableCatalog.FileStats(r.getString(0),
-              r.getLong(r.fieldIndex("_rows")), bound("_min"), bound("_max"))
+              r.getLong(r.fieldIndex("_rows")), bound("_min"), bound("_max"),
+              sbound("_smin"), sbound("_smax"))
           }.toSeq
         // ZERO-ROW files (an empty-DataFrame write leaves a schema-only
         // part file) produce no aggregation row but ARE on disk — index
@@ -2200,20 +2217,32 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val newFiles = (listParquetUris(table) -- before).toSeq
     if (newFiles.nonEmpty) {
       import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+      // same string/numeric split as analyze(): appended legs must
+      // carry the same envelope kind per column as the base manifest
+      val strSkips = skipCols.filter(c =>
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+      val numSkips = skipCols.filterNot(strSkips.contains)
       val aggs = count(lit(1L)).as("_rows") +:
-        skipCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"_min_$c"),
-          max(col(c).cast("long")).as(s"_max_$c")))
+        (numSkips.flatMap(c => Seq(min(col(c).cast("long")).as(s"_min_$c"),
+          max(col(c).cast("long")).as(s"_max_$c"))) ++
+         strSkips.flatMap(c => Seq(min(col(c)).as(s"_smin_$c"),
+          max(col(c)).as(s"_smax_$c"))))
       val scanned = spark.read.option("basePath", path(table))
         .parquet(newFiles: _*)
         .groupBy(input_file_name().as("_graft_file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { r =>
-          def bound(prefix: String): Map[String, Long] = skipCols.flatMap { c =>
+          def bound(prefix: String): Map[String, Long] = numSkips.flatMap { c =>
             val i = r.fieldIndex(s"${prefix}_$c")
             if (r.isNullAt(i)) None else Some(c -> r.getLong(i))
           }.toMap
+          def sbound(prefix: String): Map[String, String] = strSkips.flatMap { c =>
+            val i = r.fieldIndex(s"${prefix}_$c")
+            if (r.isNullAt(i)) None else Some(c -> r.getString(i))
+          }.toMap
           TableCatalog.FileStats(r.getString(0),
-            r.getLong(r.fieldIndex("_rows")), bound("_min"), bound("_max"))
+            r.getLong(r.fieldIndex("_rows")), bound("_min"), bound("_max"),
+            sbound("_smin"), sbound("_smax"))
         }.toSeq
       // zero-row new files (empty-DataFrame append) yield no agg row —
       // index them with empty bounds, same reasoning as analyze()
@@ -2307,11 +2336,24 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * missing-from-index file would be silently skipped and its rows
     * lost. Range columns must be indexed skip columns — a typo'd column
     * errors rather than silently scanning everything. */
-  def prunedRead(table: String, ranges: Seq[(String, Long, Long)]): DataFrame = {
+  def prunedRead(table: String, ranges: Seq[(String, Long, Long)]): DataFrame =
+    prunedReadRanges(table, ranges, Seq.empty)
+
+  /** [[prunedRead]] with STRING range probes alongside the Long ones —
+    * the envelope prune for layouts clustered by a string key (URL
+    * prefix scans, categorical slices). String bounds compare in
+    * unsigned UTF-8 order, matching Spark's own string ordering that
+    * built the envelopes ([[TableCatalog.utf8Cmp]] — a JVM-order
+    * compare would silently drop files beyond the BMP). Same
+    * no-false-negative contract: pruning drops only files whose
+    * envelope PROVES no row can match; the row-level predicate
+    * re-applies after. */
+  def prunedReadRanges(table: String, ranges: Seq[(String, Long, Long)],
+                       strRanges: Seq[(String, String, String)]): DataFrame = {
     val st = stats(table).filter(_.skipCols.nonEmpty).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no skipping index — write it via overwriteIndexed"))
-    ranges.foreach { case (c, _, _) =>
+    (ranges.map(_._1) ++ strRanges.map(_._1)).foreach { c =>
       require(st.skipCols.contains(c),
         s"'$c' is not a skip column of '$table' (indexed: ${st.skipCols.mkString(", ")})") }
     val envs = fileEnvelopes(table)
@@ -2321,15 +2363,21 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       s"manifest for '$table' is stale: ${(onDisk -- listed).size} unlisted / " +
         s"${(listed -- onDisk).size} missing file(s) — rewrite via overwriteIndexed")
     // a file lacking a bound (all-NULL column) can hold no matching row
-    val keep = envs.filter(f => ranges.forall { case (c, lo, hi) =>
-      f.max.get(c).exists(_ >= lo) && f.min.get(c).exists(_ <= hi) })
-    import org.apache.spark.sql.functions.col
+    val keep = envs.filter(f =>
+      ranges.forall { case (c, lo, hi) =>
+        f.max.get(c).exists(_ >= lo) && f.min.get(c).exists(_ <= hi) } &&
+      strRanges.forall { case (c, lo, hi) =>
+        f.smax.get(c).exists(TableCatalog.utf8Cmp(_, lo) >= 0) &&
+          f.smin.get(c).exists(TableCatalog.utf8Cmp(_, hi) <= 0) })
+    import org.apache.spark.sql.functions.{col, lit}
     val base =
       if (keep.isEmpty) read(table).limit(0)
       else spark.read.option("basePath", path(table))
         .parquet(keep.map(_.file): _*)
-    ranges.foldLeft(base) { case (d, (c, lo, hi)) =>
+    val numFiltered = ranges.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi) }
+    strRanges.foldLeft(numFiltered) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
   }
 
   private def bloomDir(table: String): Path = Paths.get(path(table), "_bloom")
@@ -3463,7 +3511,27 @@ object TableCatalog {
     * not here: the bitsets dominate the sidecar at scale and must not
     * be parsed on every planning call — see renderStats. */
   final case class FileStats(file: String, rows: Long,
-                             min: Map[String, Long], max: Map[String, Long])
+                             min: Map[String, Long], max: Map[String, Long],
+                             smin: Map[String, String] = Map.empty,
+                             smax: Map[String, String] = Map.empty)
+
+  /** Spark's string ordering is UNSIGNED UTF-8 byte order
+    * (UTF8String.compareTo); Java's String.compareTo is UTF-16 code
+    * units — they disagree beyond the BMP, and a driver-side prune
+    * using the wrong order would silently DROP files holding matching
+    * rows. All envelope comparisons for string columns go through
+    * this. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** Persisted table statistics — the PLANNING HEAD of the sidecar,
     * KB-sized INDEPENDENT of file count (VERDICT r9 next #1): every
@@ -3717,6 +3785,14 @@ object TableCatalog {
       f.min.toSeq.sortBy(_._1).foreach { case (c, v) => mn.put(c, v) }
       val mx = o.putObject("max")
       f.max.toSeq.sortBy(_._1).foreach { case (c, v) => mx.put(c, v) }
+      if (f.smin.nonEmpty) {
+        val sn = o.putObject("smin")
+        f.smin.toSeq.sortBy(_._1).foreach { case (c, v) => sn.put(c, v) }
+      }
+      if (f.smax.nonEmpty) {
+        val sx = o.putObject("smax")
+        f.smax.toSeq.sortBy(_._1).foreach { case (c, v) => sx.put(c, v) }
+      }
     }
     om.writeValueAsString(arr)
   }
@@ -3727,9 +3803,13 @@ object TableCatalog {
       def longMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, Long] =
         if (o == null) Map.empty
         else o.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+      def strMap(o: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+        if (o == null) Map.empty
+        else o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
       om.readTree(s).elements().asScala.map { f =>
         FileStats(f.get("file").asText, f.get("rows").asLong,
-          longMap(f.get("min")), longMap(f.get("max")))
+          longMap(f.get("min")), longMap(f.get("max")),
+          strMap(f.get("smin")), strMap(f.get("smax")))
       }.toSeq
     } catch { case _: Exception => Seq.empty }
 

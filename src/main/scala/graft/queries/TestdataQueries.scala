@@ -1197,6 +1197,39 @@ object TestdataQueries {
              |FROM customer WHERE c_custkey % 7 <> 0
              |GROUP BY 1""".stripMargin)),
 
+    // ----------------------- string-envelope file skipping (native)
+    // A layout range-clustered by a STRING key prunes by native string
+    // envelopes (URL-prefix / categorical slices — no numeric
+    // surrogate). Bounds compare in unsigned UTF-8 order, the order
+    // Spark's own min/max built them in. The require() pins that the
+    // probe actually skipped files; the oracle replays the BETWEEN on
+    // raw customer, so a wrong envelope (which silently DROPS files)
+    // surfaces as missing rows.
+    "x_skipping_string" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_sskip", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ckey"),
+        col("c_name"),
+        cents(col("c_acctbal")).as("bal_c"))
+      cat.overwriteIndexed("sk_cust",
+        c.repartitionByRange(16, col("c_name")), Seq("c_name"))
+      val lo = "Customer#000000100"
+      val hi = "Customer#000000399"
+      val pruned = cat.prunedReadRanges("sk_cust", Seq.empty,
+        Seq(("c_name", lo, hi)))
+      val total = cat.read("sk_cust").inputFiles.length
+      require(pruned.inputFiles.length * 2 <= total,
+        s"string envelopes pruned nothing: ${pruned.inputFiles.length}/$total")
+      pruned.select(col("ckey"), col("c_name"), col("bal_c"))
+    }),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS ckey, c_name,
+             |  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+             |FROM customer
+             |WHERE c_name BETWEEN 'Customer#000000100' AND 'Customer#000000399'
+             |""".stripMargin)),
+
     // ------------------------- stats-planned join width (r9)
     // The join-cardinality estimate DRIVING a plan (VERDICT r8 next
     // #3), value-gated: both sides are ANALYZEd, the shuffle width is

@@ -115,4 +115,38 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestSession {
     assert(pruned.count() ===
       grid.filter($"x".between(8, 15) && $"y".between(8, 15)).count())
   }
+
+  test("string skip columns prune by native envelopes, no surrogate") {
+    import graft.catalog.TableCatalog
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("skip-str").toString)
+    // a layout range-clustered by a string key — the URL-prefix shape
+    val docs = (0 until 4000)
+      .map(i => (f"k$i%04d", i.toLong)).toDF("sk", "v")
+    cat.overwriteIndexed("t",
+      docs.repartitionByRange(16, col("sk")), Seq("sk", "v"))
+    val pruned = cat.prunedReadRanges("t", Seq.empty,
+      Seq(("sk", "k0100", "k0399")))
+    // correctness: pruned ≡ the full filter
+    assert(pruned.select("sk").as[String].collect().sorted.toSeq ===
+      (100 until 400).map(i => f"k$i%04d"))
+    // and it actually skipped: 300/4000 keys over 16 range files
+    val opened = pruned.inputFiles.length
+    val total = cat.read("t").inputFiles.length
+    assert(opened <= 3 && total >= 12,
+      s"string envelope did not prune: opened $opened of $total")
+    // mixed numeric + string probes compose
+    val both = cat.prunedReadRanges("t", Seq(("v", 150L, 250L)),
+      Seq(("sk", "k0100", "k0399")))
+    assert(both.count() === 101L)
+    // appendIndexed extends the manifest with string envelopes too
+    cat.appendIndexed("t",
+      Seq(("zz9999", 99999L)).toDF("sk", "v"), Seq("sk", "v"))
+    val tail = cat.prunedReadRanges("t", Seq.empty, Seq(("sk", "zz", "zzz")))
+    assert(tail.count() === 1L && tail.inputFiles.length === 1)
+    // all-NULL string column in a file: no bound, never matches, and
+    // non-BMP keys order by UTF-8 bytes (the Spark order), not UTF-16
+    assert(TableCatalog.utf8Cmp("😀", "�") > 0) // 😀 > U+FFFD in UTF-8
+    assert("😀".compareTo("�") < 0)             // JVM disagrees
+  }
 }
