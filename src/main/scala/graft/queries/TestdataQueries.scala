@@ -4122,6 +4122,50 @@ object TestdataQueries {
              |SELECT ckey, 'update', bal_c + 100, nk, CAST(4 AS BIGINT)
              |FROM c WHERE ckey % 5 <> 0 AND ckey % 7 = 0""".stripMargin)),
 
+    // --------------------------------- SQL DELETE through the catalog
+    // DELETE FROM in plain SQL: the predicate arrives as DSv2 V2
+    // predicates and translates node-for-node (including the % the V1
+    // filter bridge silently drops — the motivating bug: a scan-style
+    // conversion losing one OR branch is a silent PARTIAL delete);
+    // survivors re-commit as one versioned snapshot. The require()s
+    // pin the changesBetween classification (deletes only, exact
+    // count); the oracle replays the complement on raw orders.
+    "x_sql_delete" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_sqldel", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val cname = "gdel_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val v1 = cat.replaceAtomic("del_o", o)
+      val nBefore = o.count()
+      s.sql(s"DELETE FROM $cname.del_o WHERE okey % 10 = 0 OR total_c < 2000000")
+      val feed = cat.changesBetween("del_o", v1, v1 + 1, Seq("okey"))
+      val byType = feed.groupBy("change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byType.keySet == Set("delete"),
+        s"DELETE must classify as deletes only, got $byType")
+      require(byType("delete") ==
+        nBefore - cat.read("del_o").count(),
+        "feed delete count != rows removed")
+      cat.read("del_o")
+        .agg(count(lit(1)).as("n"), sum(col("total_c")).as("sum_c"),
+          min(col("okey")).as("min_okey"))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_c,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_okey
+             |FROM orders
+             |WHERE NOT (o_orderkey % 10 = 0
+             |  OR CAST(floor(o_totalprice * 100) AS BIGINT) < 2000000)
+             |""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by

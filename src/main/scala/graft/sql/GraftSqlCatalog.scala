@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => DsV2TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog => DsV2TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -274,9 +274,66 @@ object GraftSqlCatalog {
     * Scala verb. A time-travel load (`writable = false`) advertises
     * BATCH_READ only: `INSERT INTO t VERSION AS OF 3` fails in
     * analysis, not on disk. */
+  /** DSv2 V2 Predicate → Column for DELETE. We implement the V2 form
+    * DIRECTLY (not the V1 `sources.Filter` bridge) because Spark's
+    * V2→V1 conversion is the SCAN-pushdown kind: it silently DROPS an
+    * untranslatable branch — sound for a scan filter whose residual
+    * re-applies, catastrophic for a DELETE, which has no residual
+    * (observed: `k % 10 = 0 OR v > 95` arrived as the lone
+    * `GreaterThan(v, 95)` — a silent partial delete). Here an
+    * untranslatable node makes the WHOLE predicate None and
+    * canDeleteWhere refuses in analysis. Semantics are preserved
+    * exactly: the translation targets the same engine that parsed the
+    * query. */
+  private def v2ToColumn(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, NamedReference}
+    import org.apache.spark.sql.functions.{col, lit, not}
+    e match {
+      case n: NamedReference => Some(col(n.fieldNames().mkString(".")))
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(l.dataType)(l.value)))
+      case g: GeneralScalarExpression =>
+        val ch = g.children().toIndexedSeq.map(v2ToColumn)
+        if (ch.exists(_.isEmpty)) return None
+        val c = ch.flatten
+        (g.name(), c) match {
+          case ("=", Seq(a, b)) => Some(a === b)
+          case ("<>", Seq(a, b)) => Some(a =!= b)
+          case ("<=>", Seq(a, b)) => Some(a <=> b)
+          case (">", Seq(a, b)) => Some(a > b)
+          case (">=", Seq(a, b)) => Some(a >= b)
+          case ("<", Seq(a, b)) => Some(a < b)
+          case ("<=", Seq(a, b)) => Some(a <= b)
+          case ("AND", Seq(a, b)) => Some(a && b)
+          case ("OR", Seq(a, b)) => Some(a || b)
+          case ("NOT", Seq(a)) => Some(not(a))
+          case ("IS_NULL", Seq(a)) => Some(a.isNull)
+          case ("IS_NOT_NULL", Seq(a)) => Some(a.isNotNull)
+          case ("IN", a +: rest) if rest.nonEmpty => Some(a.isin(rest: _*))
+          case ("+", Seq(a, b)) => Some(a + b)
+          case ("-", Seq(a, b)) => Some(a - b)
+          case ("-", Seq(a)) => Some(-a)
+          case ("*", Seq(a, b)) => Some(a * b)
+          case ("/", Seq(a, b)) => Some(a / b)
+          case ("%", Seq(a, b)) => Some(a % b)
+          case ("ABS", Seq(a)) => Some(org.apache.spark.sql.functions.abs(a))
+          case ("STARTS_WITH", Seq(a, b)) => Some(a.startsWith(b))
+          case ("ENDS_WITH", Seq(a, b)) => Some(a.endsWith(b))
+          case ("CONTAINS", Seq(a, b)) => Some(a.contains(b))
+          case ("ALWAYS_TRUE", _) => Some(lit(true))
+          case ("ALWAYS_FALSE", _) => Some(lit(false))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   private final class VersionedTable(delegate: ParquetTable,
       cat: graft.catalog.TableCatalog, table: String, writable: Boolean)
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] = delegate.partitioning()
@@ -289,6 +346,30 @@ object GraftSqlCatalog {
       else java.util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       delegate.newScanBuilder(options)
+    /** `DELETE FROM g.t WHERE …`: survivors re-commit as one versioned
+      * snapshot (the rewrite form of Delta's DELETE — readers keep
+      * their snapshot, history logs REPLACE, the change feed classifies
+      * the deletes). An untranslatable predicate refuses in ANALYSIS
+      * rather than mistranslating — see [[GraftSqlCatalog.v2ToColumn]]
+      * for why the V1 filter bridge must not be trusted here. */
+    override def canDeleteWhere(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Boolean =
+      writable && predicates.forall(v2ToColumn(_).isDefined)
+    override def deleteWhere(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit = {
+      require(writable, s"$table: a time-travel relation is read-only")
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val cols = predicates.toIndexedSeq.map(p => v2ToColumn(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate not translatable: $p")))
+      val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
+      // 3VL: DELETE removes rows where cond is TRUE; NULL keeps
+      cat.replaceAtomic(table,
+        cat.read(table).filter(not(coalesce(cond, lit(false)))))
+    }
+
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       require(writable, s"$table: a time-travel relation is read-only")
       new WriteBuilder with SupportsTruncate {

@@ -94,6 +94,24 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"INSERT INTO $g.d VERSION AS OF $v2 VALUES (1, 1)"))
   }
 
+  test("DELETE FROM rewrites survivors as one versioned commit") {
+    val (cat, g) = freshSqlCat()
+    val v1 = cat.replaceAtomic("d",
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    spark.sql(s"DELETE FROM $g.d WHERE k % 10 = 0 OR v > 95")
+    assert(spark.sql(s"SELECT count(*) FROM $g.d").as[Long].head() === 86L)
+    // a real versioned commit: old snapshot retained, history REPLACE,
+    // the change feed classifies the deletes
+    assert(spark.sql(s"SELECT count(*) FROM $g.d VERSION AS OF $v1")
+      .as[Long].head() === 100L)
+    val feed = cat.changesBetween("d", v1, v1 + 1, Seq("k"))
+    assert(feed.filter(col("change_type") === "delete").count() === 14L)
+    assert(feed.filter(col("change_type") =!= "delete").count() === 0L)
+    // DELETE against time travel refuses in analysis
+    assertThrows[Exception](
+      spark.sql(s"DELETE FROM $g.d VERSION AS OF $v1 WHERE k = 1"))
+  }
+
   test("ALTER TABLE ADD COLUMN evolves additively; DROP/RENAME stay refused") {
     val (cat, g) = freshSqlCat()
     val v1 = cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v"))
