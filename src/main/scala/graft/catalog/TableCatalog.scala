@@ -276,38 +276,57 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * op, files, bytes), latest entry per version. Post-compaction the
     * directory holds ≤ ~8 loose files + 1 rollup, and the rollup's
     * parse is cached on (path, mtime, size) — the call is O(new
-    * commits), not O(all commits). */
+    * commits), not O(all commits).
+    *
+    * CONCURRENCY (review r10): a reader's list-then-read races the
+    * writer's compaction sweep — a file listed here may be folded and
+    * DELETED before it is read. Swallowing that read would silently
+    * drop entries (TIMESTAMP AS OF resolving to the wrong version);
+    * instead a vanished file restarts the whole list+read (the new
+    * rollup holds everything the deleted files held), bounded retries,
+    * LOUD if the directory won't settle. */
   private def historyEntries(table: String): Seq[(Long, Long, String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
     val dir = historyDir(table)
     if (!Files.exists(dir)) return Seq.empty
-    val files = {
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json")).toList
-      finally s.close()
-    }
-    files.flatMap { p =>
-      val key = p.toString
-      val (mtime, size) =
-        try (Files.getLastModifiedTime(p).toMillis, Files.size(p))
-        catch { case _: java.io.IOException => (-1L, -1L) }
-      val cached = TableCatalog.historyParseCache.get(key)
-      if (cached != null && cached._1 == mtime && cached._2 == size) cached._3
-      else {
-        val parsed =
-          try new String(Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8).linesIterator
-            .filter(_.nonEmpty).flatMap(TableCatalog.parseHistoryFull).toSeq
-          catch { case _: java.io.IOException => Seq.empty }
-        // only rollups are worth remembering (loose entries are read
-        // once and folded); an unbounded cache of dead paths would be
-        // its own leak
-        if (p.getFileName.toString.startsWith("hr"))
-          TableCatalog.historyParseCache.put(key, (mtime, size, parsed))
-        parsed
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val files = {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".json")).toList
+        finally s.close()
       }
-    }.groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
+      try {
+        return files.flatMap { p =>
+          val key = p.toString
+          val (mtime, size) =
+            (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+          val cached = TableCatalog.historyParseCache.get(key)
+          if (cached != null && cached._1 == mtime && cached._2 == size)
+            cached._3
+          else {
+            val parsed = new String(Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8).linesIterator
+              .filter(_.nonEmpty).flatMap(TableCatalog.parseHistoryFull).toSeq
+            // only rollups are worth remembering (loose entries are
+            // read once and folded); putRollup evicts the table's
+            // superseded generation so the cache stays one live entry
+            // per table, not one per compaction ever run
+            if (p.getFileName.toString.startsWith("hr"))
+              TableCatalog.putRollupCache(key, (mtime, size, parsed))
+            parsed
+          }
+        }.groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sortBy(_._1)
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= 5) throw new IllegalStateException(
+            s"history of '$table' would not settle after $attempt " +
+              s"list+read attempts (concurrent compaction?)", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit log of `table` as a DataFrame — one row per COMMITTED
@@ -319,24 +338,21 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * ordered by ts first — never a global window). Versions older than
     * this feature simply have no row. */
   def history(table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max, struct}
-    val schema = StructType.fromDDL(
-      "version LONG, tsMillis LONG, op STRING, files LONG, bytes LONG")
+    // driver-side via historyEntries, NOT a distributed json scan of
+    // the directory (review r10): a json-source read lists files and
+    // reads them in tasks — a compaction sweep between the two fails
+    // the query (or, with ignoreMissingFiles, silently drops entries).
+    // historyEntries retries the list+read atomically; its weight is
+    // one cached rollup + ≤ ~8 loose entries, the same driver cost
+    // versionAtTimestamp always paid.
     val cur = currentVersion(table).getOrElse(-1L)
-    if (!Files.exists(historyDir(table)))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(
-          "version LONG, ts_millis LONG, op STRING, files LONG, bytes LONG"))
-    spark.read.schema(schema).json(historyDir(table).toString)
-      .filter(col("version") <= cur)
-      .groupBy(col("version"))
-      .agg(max(struct(col("tsMillis"), col("op"), col("files"),
-        col("bytes"))).as("e"))
-      .select(col("version"), col("e.tsMillis").as("ts_millis"),
-        col("e.op").as("op"), col("e.files").as("files"),
-        col("e.bytes").as("bytes"))
-      .orderBy(col("version"))
+    val rows = historyEntries(table).filter(_._1 <= cur)
+      .map(e => org.apache.spark.sql.Row(e._1, e._2, e._3, e._4, e._5))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000 + 1)),
+      StructType.fromDDL(
+        "version LONG, ts_millis LONG, op STRING, files LONG, bytes LONG"))
+      .orderBy(org.apache.spark.sql.functions.col("version"))
   }
 
   /** The committed version current AT `tsMillis` — the latest commit
@@ -509,18 +525,28 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * snapshot always describes the whole catalog. Returns the new
     * catalog version. */
   def commitAll(replace: Seq[(String, DataFrame)],
-                append: Seq[(String, DataFrame)] = Seq.empty): Long =
+                append: Seq[(String, DataFrame)] = Seq.empty,
+                drop: Seq[String] = Seq.empty): Long =
     withTableLock("_catalog") {
       val names = (replace ++ append).map(_._1)
-      require(names.nonEmpty, "commitAll needs at least one write")
+      require(names.nonEmpty || drop.nonEmpty,
+        "commitAll needs at least one write or drop")
       require(names.distinct.size == names.size,
         s"duplicate table in commitAll: ${names.diff(names.distinct).mkString(", ")}")
       require(names.forall(t => !t.startsWith("_") && !t.startsWith(".")),
         "table names must not start with _ or .")
+      require(drop.intersect(names).isEmpty,
+        s"cannot both write and drop: ${drop.intersect(names).mkString(", ")}")
       val cPrev = catalogVersion
       val cNext = cPrev.getOrElse(0L) + 1L
       val prevPins = cPrev.map(catalogPins).getOrElse(Map.empty[String, Long])
-      var pins = prevPins
+      // carried pins: `drop` removes a table from the snapshot
+      // explicitly; a carried pin whose snapshot VANISHED (table dir
+      // removed out-of-band) is dropped rather than wedging every
+      // future transaction on an unsatisfiable tagAt (review r10 —
+      // there was no code path that could ever drop a pin)
+      var pins = (prevPins -- drop).filter { case (t, pv) =>
+        names.contains(t) || Files.exists(snapDir(t, pv)) }
       // 1. every table's own crash-safe commit protocol, unchanged
       replace.foreach { case (t, df) => pins += (t -> replaceAtomic(t, df)) }
       append.foreach { case (t, df) => pins += (t -> appendAtomic(t, df)) }
@@ -615,8 +641,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val orphanPins: List[(String, Path)] = tables.flatMap { t =>
         tags(t).keys.filter(_.startsWith("cpin_")).flatMap { name =>
           val gen = name.drop(5)
-          val stale = gen.forall(_.isDigit) &&
-            !curC.contains(gen.toLong)
+          // only tags WE could have minted are judged: a user tag that
+          // merely starts with cpin_ (empty or unparseable suffix) is
+          // left alone — and must not crash the sweep (review r10:
+          // "".toLong aborted every vacuumCatalog run)
+          val stale = gen.nonEmpty && gen.length <= 18 &&
+            gen.forall(_.isDigit) && !curC.contains(gen.toLong)
           val f = Paths.get(path(t), s"_tag_$name")
           if (stale && Files.exists(f) && ageOk(f)) Some(("orphan_pin", f))
           else None
@@ -1535,10 +1565,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                               deltaRows: DataFrame,
                               reEntry: String => TableCatalog.MvEntry): Unit = {
     import org.apache.spark.sql.functions.col
-    val delta = graft.ops.IncrementalAgg.partials(
+    val state = read(view)
+    val deltaAll = graft.ops.IncrementalAgg.partials(
       deltaRows, entry.keys, col(entry.value))
+    // a view materialized before cnt_c existed keeps refreshing in its
+    // own shape (review r10): the delta drops the column the state
+    // never had — a strict unionByName would fail every refresh and
+    // nothing routes legacy views to the full-recompute fallback
+    val delta =
+      if (state.columns.contains("cnt_c")) deltaAll else deltaAll.drop("cnt_c")
     val merged = graft.ops.IncrementalAgg.merge(
-      read(view).unionByName(delta), entry.keys)
+      state.unionByName(delta), entry.keys)
     replaceAtomicLocked(view, merged, op = "MV_REFRESH")
     writeMvEntry(reEntry(normalized(readPath(view))))
   }
@@ -2356,6 +2393,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     (ranges.map(_._1) ++ strRanges.map(_._1)).foreach { c =>
       require(st.skipCols.contains(c),
         s"'$c' is not a skip column of '$table' (indexed: ${st.skipCols.mkString(", ")})") }
+    // probe KIND must match the column's envelope kind (review r10): a
+    // Long probe on a string skip column finds no numeric bounds in any
+    // file and would silently keep ZERO files — an empty result instead
+    // of an error, the exact opposite of this function's loud contract
+    if (ranges.nonEmpty || strRanges.nonEmpty) {
+      val schema = read(table).schema
+      ranges.map(_._1).foreach(c => require(
+        schema(c).dataType != org.apache.spark.sql.types.StringType,
+        s"'$c' is a STRING skip column — probe it via strRanges"))
+      strRanges.map(_._1).foreach(c => require(
+        schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"'$c' is not a string column — probe it via the Long ranges"))
+    }
     val envs = fileEnvelopes(table)
     val listed = envs.map(_.file).toSet
     val onDisk = listParquetUris(table)
@@ -3597,13 +3647,24 @@ object TableCatalog {
 
   /** Rollup-file parse cache keyed (path → mtime, size, entries) — the
     * MvRewrite registry-cache shape: a rollup is immutable once
-    * written, so a hit costs zero I/O beyond the stat. Bounded by the
-    * number of LIVE rollup files ever touched by this JVM (one per
-    * table, superseded names drop out of the listing and just age in
-    * the map). */
+    * written, so a hit costs zero I/O beyond the stat. Each rollup is
+    * CUMULATIVE (O(commits) entries), and every compaction mints a new
+    * UUID name — caching each generation would retain O(commits²)
+    * heap in a long-lived streaming writer (review r10). putRollupCache
+    * therefore evicts the table's superseded generation on insert:
+    * one live entry per `_history` directory, ever. */
   private[catalog] val historyParseCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, (Long, Long, Seq[(Long, Long, String, Long, Long)])]()
+
+  private[catalog] def putRollupCache(
+      key: String, v: (Long, Long, Seq[(Long, Long, String, Long, Long)])): Unit = {
+    val dir = key.substring(0, key.lastIndexOf('/') + 1)
+    import scala.jdk.CollectionConverters._
+    historyParseCache.keySet().asScala
+      .filter(k => k != key && k.startsWith(dir)).foreach(historyParseCache.remove)
+    historyParseCache.put(key, v)
+  }
 
   private[catalog] def renderSchemaLog(entries: Seq[(Long, String)]): String = {
     val arr = om.createArrayNode()

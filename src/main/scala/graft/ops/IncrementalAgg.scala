@@ -35,12 +35,17 @@ object IncrementalAgg {
         count(value).as("cnt_c"))
 
   /** Merge any set of partial states back to the exact aggregate over
-    * their union — counts/sum add, min/max fold. */
-  def merge(states: DataFrame, keyCols: Seq[String]): DataFrame =
-    states.groupBy(keyCols.map(col): _*)
-      .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
-        min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"),
-        sum(col("cnt_c")).as("cnt_c"))
+    * their union — counts/sum add, min/max fold. State written before
+    * `cnt_c` existed merges without it (legacy views keep refreshing;
+    * they just never answer the avg/count(v) rewrite shapes). */
+  def merge(states: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val base = Seq(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
+      min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+    val aggs =
+      if (states.columns.contains("cnt_c")) base :+ sum(col("cnt_c")).as("cnt_c")
+      else base
+    states.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Fold the states of `batchCols` values ≤ `cutoff` into one compacted
     * base state labeled `cutoff` (states are states: merging partials
@@ -50,9 +55,10 @@ object IncrementalAgg {
               cutoff: String): DataFrame = {
     val old = states.filter(col(batchCol) <= cutoff)
     val recent = states.filter(col(batchCol) > cutoff)
+    val stateCols = Seq("n", "sum_c", "min_c", "max_c") ++
+      (if (states.columns.contains("cnt_c")) Seq("cnt_c") else Seq.empty)
     merge(old, keyCols).withColumn(batchCol, lit(cutoff))
       .unionByName(recent.select(
-        (keyCols.map(col) ++ Seq(col("n"), col("sum_c"), col("min_c"),
-          col("max_c"), col("cnt_c"), col(batchCol))): _*))
+        (keyCols.map(col) ++ stateCols.map(col) :+ col(batchCol)): _*))
   }
 }

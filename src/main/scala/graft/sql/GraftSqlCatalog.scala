@@ -209,6 +209,9 @@ class GraftSqlCatalog extends DsV2TableCatalog {
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
     val t = tableOf(ident)
+    require(!t.startsWith("_") && !t.startsWith("."),
+      s"table name '$t' collides with the catalog's internal namespace " +
+        "(write-asides, sidecars) and would be unlistable")
     require(partitions.isEmpty,
       s"$catalogName tables are not Hive-partitioned — cluster with " +
         "optimizeZOrder / analyze(skipCols) instead")
@@ -244,6 +247,16 @@ class GraftSqlCatalog extends DsV2TableCatalog {
         val n = a.fieldNames()(0)
         require(!cur.fieldNames.contains(n),
           s"column '$n' already exists in '$t'")
+        // old rows null-fill the new column, so NOT NULL is
+        // unsatisfiable by construction — refuse loudly rather than
+        // silently downgrading the declared invariant (review r10);
+        // same for a position: the union schema appends
+        require(a.isNullable,
+          s"ADD COLUMN $n NOT NULL is impossible here: existing rows " +
+            "null-fill the new column (add nullable, backfill, then " +
+            "enforce via addConstraint)")
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns append")
         org.apache.spark.sql.types.StructField(n, a.dataType(),
           nullable = true)
       case other =>

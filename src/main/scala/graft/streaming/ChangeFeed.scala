@@ -278,7 +278,11 @@ object ChangeFeed {
       case Some(v) if v >= cur => Fresh
       case Some(v) =>
         ((v + 1) to cur).foreach { w =>
-          val (_, _, added, removed) =
+          // ONE changedRowsBetween per version; the classified feed is
+          // built from its frames directly (changesBetween would
+          // re-run the whole metadata walk — history parse, snapshot
+          // listings — a second time per shipped commit, review r10)
+          val (inserted, deleted, added, removed) =
             try cat.changedRowsBetween(table, w - 1, w)
             catch {
               case e: IllegalArgumentException =>
@@ -288,8 +292,14 @@ object ChangeFeed {
                     "retracted, so a resync is not expressible — " +
                     "re-bootstrap a NEW feed directory", e)
             }
-          if (added.nonEmpty || removed.nonEmpty)
-            ship(w, ordered(cat.changesBetween(table, w - 1, w, keys)))
+          if (added.nonEmpty || removed.nonEmpty) {
+            val schema = inserted.schema
+            keys.foreach(k => require(schema.fieldNames.contains(k),
+              s"key '$k' not in '$table' (${schema.fieldNames.mkString(", ")})"))
+            val compareCols = schema.fieldNames.filterNot(keys.contains).toSeq
+            ship(w, ordered(graft.etl.SnapshotDiff.changes(
+              deleted, inserted, keys, compareCols)))
+          }
           commitOffset(checkpoint, w)
         }
         Delta(v, cur)

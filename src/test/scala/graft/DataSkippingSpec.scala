@@ -148,5 +148,10 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestSession {
     // non-BMP keys order by UTF-8 bytes (the Spark order), not UTF-16
     assert(TableCatalog.utf8Cmp("😀", "�") > 0) // 😀 > U+FFFD in UTF-8
     assert("😀".compareTo("�") < 0)             // JVM disagrees
+    // a probe of the WRONG KIND is loud, never a silent empty result
+    assertThrows[IllegalArgumentException](
+      cat.prunedReadRanges("t", Seq(("sk", 0L, 100L)), Seq.empty))
+    assertThrows[IllegalArgumentException](
+      cat.prunedReadRanges("t", Seq.empty, Seq(("v", "a", "z"))))
   }
 }

@@ -132,6 +132,13 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"ALTER TABLE $g.d RENAME COLUMN v TO q"))
     assertThrows[Exception](
       spark.sql(s"ALTER TABLE $g.d ADD COLUMN v BIGINT")) // duplicate
+    // NOT NULL is unsatisfiable (old rows null-fill): refused, not
+    // silently downgraded to nullable
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $g.d ADD COLUMN nn BIGINT NOT NULL"))
+    // reserved names never land in the internal namespace
+    assertThrows[Exception](
+      spark.sql(s"CREATE TABLE $g.`_tmp_x` (k BIGINT)"))
   }
 
   test("CREATE TABLE + CTAS are born versioned and INSERTable") {

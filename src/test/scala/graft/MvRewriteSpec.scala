@@ -170,6 +170,30 @@ class MvRewriteSpec extends AnyFunSuite with SparkTestSession {
     assert(q.as[(Long, Long, Long, Long, Long)].collect().toSet === expect)
   }
 
+  test("a pre-cnt_c legacy view keeps refreshing in its own shape") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("mv-legacy").toString)
+    cat.overwrite("pf", (0 until 500).map(i => (i.toLong % 10, i.toLong))
+      .toDF("k", "v").repartition(2))
+    cat.createAggView("pf_v", "pf", Seq("k"), "v")
+    // strip cnt_c: the on-disk shape of a view materialized before the
+    // column existed (the registry entry is untouched)
+    cat.replaceAtomic("pf_v", cat.read("pf_v").drop("cnt_c")
+      .localCheckpoint(true))
+    cat.append("pf", (500 until 600).map(i => (i.toLong % 10, i.toLong))
+      .toDF("k", "v").repartition(1))
+    // the strict-union failure mode: this threw AnalysisException and
+    // nothing routed legacy views to the recompute fallback
+    assert(cat.refreshAggViewIncremental("pf_v", "pf") === 1)
+    assert(!cat.read("pf_v").columns.contains("cnt_c")) // stays legacy
+    val got = cat.read("pf_v").orderBy("k")
+      .select("k", "n", "sum_c").as[(Long, Long, Long)].collect().toSet
+    val expect = (0 until 600).map(i => (i.toLong % 10, i.toLong))
+      .groupBy(_._1).map { case (k, xs) =>
+        (k, xs.size.toLong, xs.map(_._2).sum) }.toSet
+    assert(got === expect)
+  }
+
   test("a shrunken fact file set forces the full-recompute fallback") {
     val cat = new TableCatalog(spark,
       Files.createTempDirectory("mv-shrink").toString)

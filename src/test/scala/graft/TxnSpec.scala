@@ -119,6 +119,28 @@ class TxnSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](cat.readConsistentAt("t", 1L))
   }
 
+  test("drop removes a pin; a vanished carried table never wedges; junk cpin tags survive") {
+    val cat = new TableCatalog(spark, Files.createTempDirectory("txnd").toString)
+    cat.commitAll(replace = Seq(
+      "keep" -> Seq((1L, 1L)).toDF("k", "v"),
+      "gone" -> Seq((2L, 2L)).toDF("k", "v"),
+      "dropme" -> Seq((3L, 3L)).toDF("k", "v")))
+    // a user tag that merely LOOKS like a pin must not crash the sweep
+    Files.write(java.nio.file.Paths.get(cat.path("keep"), "_tag_cpin_"),
+      "1".getBytes)
+    cat.vacuumCatalog(graceMs = 0L) // would have thrown NumberFormatException
+    // out-of-band removal of a carried table (no drop verb was used)
+    TableCatalog.deleteRecursively(java.nio.file.Paths.get(cat.path("gone")))
+    val c2 = cat.commitAll(
+      replace = Seq("keep" -> Seq((9L, 9L)).toDF("k", "v")),
+      drop = Seq("dropme"))
+    val pins = cat.catalogPins(c2)
+    assert(pins.keySet === Set("keep"), s"got $pins")
+    assert(cat.readConsistent("keep").count() === 1L)
+    assertThrows[IllegalArgumentException](
+      cat.commitAll(Seq("t" -> Seq((1L, 1L)).toDF("k", "v")), drop = Seq("t")))
+  }
+
   test("bad inputs are loud") {
     val cat = new TableCatalog(spark, Files.createTempDirectory("txne").toString)
     assertThrows[IllegalStateException](cat.readConsistent("t"))
