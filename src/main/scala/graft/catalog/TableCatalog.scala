@@ -3281,23 +3281,93 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     Files.write(tmp, next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     committer.atomicRename(tmp, versionFile(table))
-    if (cur.isEmpty) {
-      // first versioned write over a legacy table: drop the shadowed
-      // plain files (anything not part of the snapshot machinery)
-      val s = Files.list(Paths.get(path(table)))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filterNot(_.getFileName.toString.startsWith("_v"))
-          .filterNot(_.getFileName.toString == "_version")
-          .filterNot(_.getFileName.toString.startsWith("_writer.lock")) // held by US
-          .filterNot(_.getFileName.toString == "_history") // v1's own entry
-          .foreach(deleteRecursive)
-      } finally s.close()
-    }
+    if (cur.isEmpty) sweepShadowedPlain(table)
     // retention: always keep the immediately-previous snapshot and every
     // tagged snapshot; prune the rest once aged past the retention window
     cur.foreach(c => pruneSnapshots(table, c))
+    next
+  }
+
+  /** First versioned write over a legacy table: drop the shadowed
+    * plain files (anything not part of the snapshot machinery). */
+  private def sweepShadowedPlain(table: String): Unit = {
+    val s = Files.list(Paths.get(path(table)))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("_v"))
+        .filterNot(_.getFileName.toString == "_version")
+        .filterNot(_.getFileName.toString.startsWith("_writer.lock")) // held by US
+        .filterNot(_.getFileName.toString == "_history") // v1's own entry
+        .foreach(deleteRecursive)
+    } finally s.close()
+  }
+
+  /** Commit already-staged parquet part files as `table`'s next FULL
+    * snapshot — the file-level half of [[replaceAtomic]] for writers
+    * that landed their output through Spark's own parquet `BatchWrite`
+    * (the SQL row-level commands: `UPDATE` / `MERGE INTO` / the
+    * rewrite form of `DELETE` compute their replacement rows and write
+    * them to a `_tmp_rlo_*` staging directory under the table; this
+    * verb RENAMES those files into `_vN+1` — O(files) metadata moves
+    * on the same filesystem, never a second data copy, which is what
+    * keeps a 100 TB copy-on-write statement at 1× write
+    * amplification). Staging residue from a crashed statement is the
+    * `_tmp_` class [[vacuum]] already sweeps.
+    *
+    * `expect` is optimistic concurrency: the replacement rows were
+    * COMPUTED from snapshot `expect` (the scan of an immutable `_v`
+    * directory), so any commit that landed since makes them stale —
+    * refused loudly under the lock, the statement re-runs. Same for a
+    * deletion vector that landed mid-statement: the scan was a bare
+    * snapshot read, so folding the staged rows over it would resurrect
+    * the vectored deletes. CHECK constraints are validated over the
+    * staged files (one extra scan, only when constraints exist) —
+    * the DataFrame verbs validate inline in the write scan, but these
+    * rows were written by Spark's planner, outside [[enforced]]. */
+  def replaceFromStaged(table: String, staged: Path, op: String,
+                        expect: Option[Long],
+                        schema: StructType): Long = withTableLock(table) {
+    healSwap(table)
+    require(currentVersion(table) == expect,
+      s"'$table' moved (expected v${expect.getOrElse(0L)}, now " +
+        s"v${currentVersion(table).getOrElse(0L)}) since this row-level " +
+        "statement scanned it — the staged rewrite is stale; re-run")
+    require(!hasDv(table),
+      s"'$table' grew deletion vectors mid-statement — the scan was a " +
+        "bare snapshot read; re-run")
+    require(Files.exists(staged), s"staging dir vanished: $staged")
+    if (constraintsOf(table).nonEmpty)
+      enforced(table, spark.read.parquet(staged.toString)).count()
+    val next = expect.getOrElse(0L) + 1L
+    val snap = snapDir(table, next)
+    deleteRecursive(snap) // a crashed prior attempt
+    Files.createDirectories(snap)
+    val s = Files.list(staged)
+    val moved = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => Files.move(p, snap.resolve(p.getFileName.toString)))
+        .length
+    } finally s.close()
+    deleteRecursive(staged)
+    // an all-rows-removed rewrite stages NOTHING: land the declared
+    // schema as one zero-row file so the snapshot stays readable
+    if (moved == 0)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .repartition(1).write.mode("overwrite").parquet(snap.toString)
+    if (schemaLog(table).nonEmpty)
+      appendSchemaEntry(table, next,
+        StructType(schema.fields.map(_.copy(nullable = true))).toDDL)
+    writeHistoryEntry(table, next, op)
+    val tmp = Paths.get(path(table), "_version.tmp")
+    Files.write(tmp, next.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, versionFile(table))
+    if (expect.isEmpty) sweepShadowedPlain(table)
+    expect.foreach(c => pruneSnapshots(table, c))
     next
   }
 

@@ -4166,6 +4166,108 @@ object TestdataQueries {
              |  OR CAST(floor(o_totalprice * 100) AS BIGINT) < 2000000)
              |""".stripMargin)),
 
+    // ------------------------------------- SQL UPDATE (row-level op)
+    // `UPDATE g.t SET … WHERE …` through the DSv2 group-based row-level
+    // path: Spark plans ReplaceData over the operation's scan, the
+    // replacement rows stage through the stock parquet BatchWrite, and
+    // replaceFromStaged renames them into the next snapshot (1× write
+    // amplification, optimistic version check). The require()s pin the
+    // parts the oracle can't see: the history op is UPDATE, the change
+    // feed classifies EXACTLY the touched keys as updates (zero
+    // inserts/deletes — the group-granularity scan contract; a scan
+    // that honored pushed filters would delete every untouched row).
+    "x_sql_update" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_sqlupd", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val cname = "gupd_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val v1 = cat.replaceAtomic("upd_o", o)
+      val nTouched = o.filter(col("okey") % 7 === 3).count()
+      s.sql(s"UPDATE $cname.upd_o SET total_c = total_c + 100 " +
+        "WHERE okey % 7 = 3")
+      require(cat.history("upd_o").orderBy("version").select("op")
+        .collect().map(_.getString(0)).last == "UPDATE",
+        "history must log the UPDATE commit")
+      val byType = cat.changesBetween("upd_o", v1, v1 + 1, Seq("okey"))
+        .groupBy("change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byType == Map("update" -> nTouched),
+        s"UPDATE must classify exactly the touched keys, got $byType")
+      require(cat.read("upd_o").count() == o.count(),
+        "untouched rows must survive the rewrite")
+      cat.read("upd_o")
+        .agg(count(lit(1)).as("n"), sum(col("total_c")).as("sum_c"))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)
+             |    + CASE WHEN o_orderkey % 7 = 3 THEN 100 ELSE 0 END)
+             |    AS BIGINT) AS sum_c
+             |FROM orders""".stripMargin)),
+
+    // --------------------------------------- SQL MERGE INTO (row-level)
+    // All three action kinds in one statement — WHEN MATCHED AND <cond>
+    // DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT — through
+    // the same ReplaceData path, committed as ONE versioned snapshot.
+    // Target = orders with okey%3!=0; source = orders with okey%2=0, so
+    // matched keys are {%3!=0, %2=0}, inserts are {%3=0, %2=0}, and the
+    // oracle replays the action arithmetic over plain orders.
+    "x_sql_merge" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_sqlmrg", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val cname = "gmrg_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val v1 = cat.replaceAtomic("mrg_t", o.filter(col("okey") % 3 =!= 0))
+      o.filter(col("okey") % 2 === 0).createOrReplaceTempView("mrg_src")
+      s.sql(
+        s"""MERGE INTO $cname.mrg_t AS t USING mrg_src AS s ON t.okey = s.okey
+           |WHEN MATCHED AND s.total_c < 5000000 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET total_c = s.total_c + 7
+           |WHEN NOT MATCHED THEN INSERT (okey, total_c)
+           |  VALUES (s.okey, s.total_c)
+           |""".stripMargin)
+      require(cat.history("mrg_t").orderBy("version").select("op")
+        .collect().map(_.getString(0)).last == "MERGE",
+        "history must log the MERGE commit")
+      val byType = cat.changesBetween("mrg_t", v1, v1 + 1, Seq("okey"))
+        .groupBy("change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(Set("insert", "update", "delete").subsetOf(byType.keySet),
+        s"all three MERGE action kinds must land, got $byType")
+      cat.read("mrg_t")
+        .agg(count(lit(1)).as("n"), sum(col("total_c")).as("sum_c"),
+          sum(col("okey")).as("sum_okey"))
+    }),
+      Some("""WITH oc AS (SELECT o_orderkey AS okey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c
+             |  FROM orders),
+             |merged AS (
+             |  SELECT okey, total_c FROM oc
+             |  WHERE okey % 3 <> 0 AND okey % 2 <> 0
+             |  UNION ALL
+             |  SELECT okey, total_c + 7 FROM oc
+             |  WHERE okey % 3 <> 0 AND okey % 2 = 0 AND total_c >= 5000000
+             |  UNION ALL
+             |  SELECT okey, total_c FROM oc
+             |  WHERE okey % 3 = 0 AND okey % 2 = 0)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(total_c) AS BIGINT) AS sum_c,
+             |  CAST(sum(okey) AS BIGINT) AS sum_okey
+             |FROM merged""".stripMargin)),
+
     // ------------------------------------------- commit history (audit)
     // DESCRIBE HISTORY for the versioned catalog: every commit logs the
     // verb that produced it (one ~100 B write-once entry, bounded by

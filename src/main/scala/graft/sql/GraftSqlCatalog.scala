@@ -158,6 +158,7 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     require(!cat.hasDeleteVectors(t),
       s"'$t' carries live deletion vectors — SQL reads are bare scans; " +
         "applyDeleteVectors (or let the auto-fold threshold run) first")
+    val current = cat.currentVersion(t)
     val dir = version match {
       case Some(v) =>
         // resolve against the COMMITTED pointer, not bare existence: a
@@ -165,12 +166,12 @@ class GraftSqlCatalog extends DsV2TableCatalog {
         // uncommitted directory on disk (vacuum reclaims it after the
         // grace window) — serving it would silently return partial
         // rows. Only v <= currentVersion is ever a committed snapshot.
-        val committed = cat.currentVersion(t).exists(v <= _)
+        val committed = current.exists(v <= _)
         val d = Paths.get(cat.path(t), s"_v$v")
         if (!committed || !Files.exists(d)) throw new NoSuchTableException(ident)
         d.toString
       case None =>
-        cat.currentVersion(t) match {
+        current match {
           case Some(v) => Paths.get(cat.path(t), s"_v$v").toString
           case None => cat.path(t) // plain append-style table
         }
@@ -190,7 +191,7 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     new GraftSqlCatalog.VersionedTable(ParquetTable(s"$catalogName.$t",
       SparkSession.active, CaseInsensitiveStringMap.empty(), Seq(dir),
       declared, classOf[ParquetFileFormat]), cat, t,
-      writable = version.isEmpty)
+      writable = version.isEmpty, loadedVersion = current)
   }
 
   private def readOnly(verb: String): Nothing =
@@ -345,8 +346,10 @@ object GraftSqlCatalog {
   }
 
   private final class VersionedTable(delegate: ParquetTable,
-      cat: graft.catalog.TableCatalog, table: String, writable: Boolean)
-      extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+      cat: graft.catalog.TableCatalog, table: String, writable: Boolean,
+      loadedVersion: Option[Long])
+      extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+      with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] = delegate.partitioning()
@@ -354,9 +357,36 @@ object GraftSqlCatalog {
       delegate.properties()
     override def capabilities(): java.util.Set[TableCapability] =
       if (writable)
+        // BATCH_WRITE backs the row-level (UPDATE / MERGE) ReplaceData
+        // write; INSERT keeps its V1 path — physical planning keys off
+        // the Write INSTANCE (V1Write vs batch), not the capability set
         java.util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.BATCH_WRITE,
           TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
       else java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+    /** `UPDATE g.t SET …` / `MERGE INTO g.t …` (and the rewrite form of
+      * DELETE when the predicate defeats [[canDeleteWhere]]): Spark's
+      * group-based row-level path. The statement's replacement rows are
+      * staged through the stock parquet `BatchWrite` and committed as
+      * one versioned snapshot by [[graft.catalog.TableCatalog
+      * .replaceFromStaged]] — writer lock, optimistic version check
+      * against the snapshot the statement SCANNED, history entry,
+      * change feed, 1× write amplification (files rename into the
+      * snapshot, no second copy). Copy-on-write semantics: the whole
+      * table rewrites; the O(delta) forms remain the Scala
+      * `mergeInto` / `deleteVectorize`. */
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+      require(writable, s"$table: a time-travel relation is read-only")
+      new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+        override def build()
+            : org.apache.spark.sql.connector.write.RowLevelOperation =
+          new GraftRowLevelOperation(delegate, cat, table, loadedVersion,
+            info.command())
+      }
+    }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       delegate.newScanBuilder(options)
     /** `DELETE FROM g.t WHERE …`: survivors re-commit as one versioned
@@ -396,6 +426,113 @@ object GraftSqlCatalog {
                 else cat.appendAtomic(table, data)
             }
         }
+      }
+    }
+  }
+
+  /** One SQL row-level statement (UPDATE / MERGE / rewrite-DELETE) as
+    * Spark's group-based `RowLevelOperation`.
+    *
+    * THE SCAN REFUSES ALL PUSHDOWN, deliberately. Group-based planning
+    * (`GroupBasedRowLevelOperationScanPlanning`) pushes the statement's
+    * condition into this scan at GROUP granularity — the contract is
+    * "return every row of any group that MIGHT match", and the write
+    * replaces exactly the groups scanned. A stock parquet ScanBuilder
+    * would honor the pushed condition at ROW-GROUP/row granularity,
+    * silently dropping non-matching rows from the replacement data —
+    * every row the statement did NOT touch would be DELETED. Hiding
+    * the pushdown interfaces makes the one group "the whole table",
+    * matching what [[graft.catalog.TableCatalog.replaceFromStaged]]
+    * commits. (Delta/Iceberg track scanned files and replace only
+    * those; this catalog's snapshot unit is the table, so the honest
+    * group is the table.)
+    *
+    * `expect` pins the snapshot version the statement scanned —
+    * `replaceFromStaged` refuses to commit over a concurrent write
+    * (optimistic concurrency, the same rule the Scala `mergeInto`
+    * enforces under its lock). */
+  private final class GraftRowLevelOperation(delegate: ParquetTable,
+      cat: graft.catalog.TableCatalog, table: String, expect: Option[Long],
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+      extends org.apache.spark.sql.connector.write.RowLevelOperation {
+    import org.apache.spark.sql.connector.read.Scan
+    import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+
+    override def command(): RowLevelOperation.Command = cmd
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder { // no pushdown interfaces — see class doc
+        override def build(): Scan = delegate.newScanBuilder(options).build()
+      }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val staging = Paths.get(cat.path(table), "_tmp_rlo_" +
+        java.util.UUID.randomUUID().toString.replace("-", ""))
+      // the stock parquet BatchWrite does the distributed writing and
+      // its committer the task-level atomicity; staging lives UNDER the
+      // table dir (same filesystem → the commit is pure renames) in the
+      // `_tmp_` class vacuum() already sweeps if the statement crashes
+      val inner = ParquetTable(s"$table-rlo-staging", SparkSession.active,
+        CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+        Some(info.schema()), classOf[ParquetFileFormat])
+        .newWriteBuilder(info).build()
+      new WriteBuilder {
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite = new BatchWrite {
+            private val b = inner.toBatch
+            override def createBatchWriterFactory(
+                p: PhysicalWriteInfo): DataWriterFactory =
+              new OpStrippingFactory(b.createBatchWriterFactory(p),
+                info.schema())
+            override def useCommitCoordinator: Boolean = b.useCommitCoordinator
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              b.commit(messages) // staged part files land
+              cat.replaceFromStaged(table, staging, cmd.toString, expect,
+                info.schema())
+            }
+            override def abort(messages: Array[WriterCommitMessage]): Unit =
+              try b.abort(messages)
+              finally graft.catalog.TableCatalog.deleteRecursively(staging)
+          }
+        }
+      }
+    }
+  }
+
+  /** Strips the leading `__row_operation` column Spark's group-based
+    * rewrite prepends to every replacement row. When the operation
+    * declares NO metadata attributes (this catalog's tables have no
+    * metadata columns), `ReplaceDataExec.writingTask` falls back to the
+    * plain `DataWritingSparkTask`, which hands the writer the RAW query
+    * output — operation column included — instead of applying the row
+    * projection it applies on the metadata path (connectors like
+    * Iceberg never hit this: they always require `_file`, so they
+    * always get the projecting task). Writing that raw row through the
+    * parquet writer overflows the declared schema. The wrapper projects
+    * each (1 + n)-field row onto its n data columns with Spark's own
+    * `ProjectingInternalRow` — zero-copy per row — and passes
+    * already-clean rows through untouched. */
+  private final class OpStrippingFactory(
+      inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+      schema: StructType)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long)
+        : org.apache.spark.sql.connector.write.DataWriter[
+          org.apache.spark.sql.catalyst.InternalRow] = {
+      val w = inner.createWriter(partitionId, taskId)
+      val n = schema.length
+      new org.apache.spark.sql.connector.write.DataWriter[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+          schema, (1 to n).toIndexedSeq)
+        override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+          if (row.numFields == n + 1) { proj.project(row); w.write(proj) }
+          else w.write(row)
+        override def commit()
+            : org.apache.spark.sql.connector.write.WriterCommitMessage =
+          w.commit()
+        override def abort(): Unit = w.abort()
+        override def close(): Unit = w.close()
       }
     }
   }

@@ -159,6 +159,80 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"CREATE TABLE $g.part (k BIGINT) PARTITIONED BY (k)"))
   }
 
+  test("UPDATE rewrites matching rows; untouched rows survive pushdown") {
+    val (cat, g) = freshSqlCat()
+    val v1 = cat.replaceAtomic("d",
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    spark.sql(s"UPDATE $g.d SET v = v + 1000 WHERE k % 10 = 3")
+    // the group-granularity trap: if the statement's condition reached
+    // the parquet reader as a row filter, the 90 NON-matching rows
+    // would have vanished from the replacement — assert they survived
+    assert(spark.sql(s"SELECT count(*) FROM $g.d").as[Long].head() === 100L)
+    assert(spark.sql(s"SELECT sum(v) FROM $g.d").as[Long].head()
+      === (0 until 100).map(_.toLong).sum + 10 * 1000L)
+    assert(spark.sql(s"SELECT v FROM $g.d WHERE k = 13").as[Long].head()
+      === 1013L)
+    // a real versioned commit: history op UPDATE, old snapshot readable
+    assert(cat.history("d").orderBy("version").select("op")
+      .as[String].collect().last === "UPDATE")
+    assert(spark.sql(s"SELECT sum(v) FROM $g.d VERSION AS OF $v1")
+      .as[Long].head() === (0 until 100).map(_.toLong).sum)
+    // the change feed classifies exactly the 10 touched keys as updates
+    val feed = cat.changesBetween("d", v1, v1 + 1, Seq("k"))
+    assert(feed.filter(col("change_type") === "update").count() === 10L)
+    assert(feed.filter(col("change_type") === "insert").count() === 0L)
+    // UPDATE against time travel refuses in analysis
+    assertThrows[Exception](
+      spark.sql(s"UPDATE $g.d VERSION AS OF $v1 SET v = 0 WHERE k = 1"))
+  }
+
+  test("MERGE INTO routes matched/unmatched actions through one commit") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t",
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v"))
+    Seq((2L, 200L), (3L, -1L), (4L, 400L)).toDF("k", "v")
+      .createOrReplaceTempView("src")
+    spark.sql(
+      s"""MERGE INTO $g.t AS t USING src AS s ON t.k = s.k
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, 'new', s.v)
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT k, s, v FROM $g.t ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq
+      === Seq((1L, "a", 10L), (2L, "b", 200L), (4L, "new", 400L)))
+    assert(cat.history("t").orderBy("version").select("op")
+      .as[String].collect().last === "MERGE")
+    // optimistic concurrency: a staged rewrite over a MOVED table refuses
+    val stale = intercept[Exception](cat.replaceFromStaged("t",
+      java.nio.file.Paths.get(cat.path("t"), "_tmp_rlo_x"), "UPDATE",
+      Some(1L), spark.table(s"$g.t").schema))
+    assert(stale.getMessage.contains("moved"))
+  }
+
+  test("DELETE with an untranslatable predicate falls back to the rewrite") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("d",
+      Seq((1L, "aa"), (2L, "bbb"), (3L, "c")).toDF("k", "s"))
+    // length(s) defeats the metadata-delete translation (canDeleteWhere
+    // false) — previously this statement was REFUSED; the row-level
+    // rewrite now handles it
+    spark.sql(s"DELETE FROM $g.d WHERE length(s) > 2")
+    assert(spark.sql(s"SELECT k FROM $g.d ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 3L))
+    // delete-all stages zero files: the snapshot stays readable
+    spark.sql(s"DELETE FROM $g.d WHERE length(s) > 0")
+    assert(spark.sql(s"SELECT count(*) FROM $g.d").as[Long].head() === 0L)
+    assert(spark.table(s"$g.d").columns.toSeq === Seq("k", "s"))
+    // no staging residue survives a completed statement
+    val leftovers = Files.list(java.nio.file.Paths.get(cat.path("d")))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(!leftovers.iterator().asScala.exists(
+        _.getFileName.toString.startsWith("_tmp_rlo_")))
+    } finally leftovers.close()
+  }
+
   test("an uncommitted snapshot directory is never served") {
     val (cat, g) = freshSqlCat()
     cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v"))
