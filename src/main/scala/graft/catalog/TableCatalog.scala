@@ -1771,13 +1771,35 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * plan reads the partitions being replaced (localCheckpoint — same
     * rule as deleteWhere's survivors). */
   def overwritePartitions(table: String, df: DataFrame, partCol: String,
-                          parts: Seq[String]): Unit = {
+                          parts: Seq[String]): Unit =
+    overwritePartitionsOpt(table, df, partCol, parts.map(Option(_)))
+
+  /** [[overwritePartitions]] with NULL as a first-class partition:
+    * Spark's Hive layout stores a NULL partition value as the
+    * `__HIVE_DEFAULT_PARTITION__` directory, and `isin` never matches
+    * NULL — so null-keyed rows need their own routing branch or a
+    * partition-granular apply silently never touches them. Empty
+    * strings are refused loudly: the layout collapses `""` into the
+    * same directory as NULL, so `""` would round-trip as NULL — a
+    * silent key rewrite, worse than a failure. */
+  def overwritePartitionsOpt(table: String, df: DataFrame, partCol: String,
+                             parts: Seq[Option[String]]): Unit = {
     import org.apache.spark.sql.functions.col
     requirePlain(table, "overwritePartitions")
     if (parts.isEmpty) return
-    val scoped = df.filter(col(partCol).cast("string").isin(parts: _*))
-    val present = scoped.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
+    require(!parts.contains(Some("")),
+      s"empty-string '$partCol' partition value: the Hive layout stores " +
+        "it in the NULL partition directory, silently rewriting the key " +
+        "to NULL on read-back")
+    val pc = col(partCol).cast("string")
+    val nonNull = parts.flatten
+    val keep =
+      if (nonNull.isEmpty) pc.isNull
+      else if (parts.contains(None)) pc.isin(nonNull: _*) || pc.isNull
+      else pc.isin(nonNull: _*)
+    val scoped = df.filter(keep)
+    val present = scoped.select(pc)
+      .distinct().collect().map(r => Option(r.getString(0))).toSet
     if (present.nonEmpty)
       scoped.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1785,10 +1807,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         .parquet(path(table))
     parts.filterNot(present).foreach { v =>
       // escape exactly the way the writer does (deleteWhere's rule)
-      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v)
+      val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName)
       TableCatalog.deleteRecursively(
-        Paths.get(s"${path(table)}/$partCol=$escaped"))
+        Paths.get(s"${path(table)}/$partCol=$dirName"))
     }
     invalidateStats(table)
   }
@@ -1799,6 +1823,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def dropPlain(table: String): Unit = {
     requirePlain(table, "dropPlain")
     deleteRecursive(Paths.get(path(table)))
+  }
+
+  /** DROP TABLE, plain OR versioned — the destructive verb behind SQL
+    * `DROP TABLE` and Spark's CTAS failure cleanup (a failed CTAS write
+    * invokes `catalog.dropTable` to remove the half-born table; refusing
+    * there masks the root-cause write error and strands an empty v1).
+    * The whole tree goes — snapshots, history, tags, sidecars — under
+    * the writer lock so the removal cannot interleave with an in-flight
+    * commit. Returns false when the table does not exist (the DSv2
+    * `dropTable` contract). Unlike [[vacuum]], this is not retention:
+    * time travel on a dropped table is gone by user intent. */
+  def dropTable(table: String): Boolean = {
+    if (!exists(table)) return false
+    withTableLock(table) {
+      deleteRecursive(Paths.get(path(table)))
+    }
+    // evict the metadata head caches keyed by this table's sidecar
+    // paths — a re-created table of the same name must not inherit them
+    TableCatalog.invalidateHead(
+      statsFile(table).toAbsolutePath.normalize().toString)
+    true
   }
 
   /** Plain tables have no snapshot version to staleness-check stats
@@ -3243,6 +3288,22 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def replaceAtomic(table: String, df: DataFrame): Long =
     withTableLock(table) { replaceAtomicLocked(table, df) }
 
+  /** [[replaceAtomic]] with optimistic concurrency: `df` was COMPUTED
+    * from snapshot `expect` (e.g. SQL DELETE's survivors plan resolved
+    * against the version current when the statement started), so a
+    * commit that landed since makes it stale — refused loudly under the
+    * lock, the statement re-runs. The same rule [[replaceFromStaged]]
+    * and [[mergeInto]] already enforce. */
+  def replaceAtomicExpect(table: String, df: DataFrame,
+                          expect: Option[Long], op: String = "REPLACE"): Long =
+    withTableLock(table) {
+      require(currentVersion(table) == expect,
+        s"'$table' moved (expected v${expect.getOrElse(0L)}, now " +
+          s"v${currentVersion(table).getOrElse(0L)}) — the statement's " +
+          "input snapshot is stale; re-run it")
+      replaceAtomicLocked(table, df, op = op)
+    }
+
   private def replaceAtomicLocked(table: String, df: DataFrame,
                                   foldsDv: Boolean = false,
                                   op: String = "REPLACE"): Long = {
@@ -3299,6 +3360,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         .filterNot(_.getFileName.toString == "_version")
         .filterNot(_.getFileName.toString.startsWith("_writer.lock")) // held by US
         .filterNot(_.getFileName.toString == "_history") // v1's own entry
+        // CHECK constraints are declarative invariants on the TABLE, not
+        // descriptions of the swept files — they must survive conversion
+        // (stale _stats.json/_bloom legs, by contrast, describe the
+        // deleted plain files and are correctly swept)
+        .filterNot(_.getFileName.toString == "_constraints.json")
         .foreach(deleteRecursive)
     } finally s.close()
   }

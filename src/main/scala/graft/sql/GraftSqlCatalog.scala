@@ -272,7 +272,12 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** DROP TABLE — also Spark's cleanup hook when a non-atomic CTAS
+    * write fails after [[createTable]] committed the empty v1: refusing
+    * here would mask the original write error behind an
+    * UnsupportedOperationException AND strand the half-born table. */
+  override def dropTable(ident: Identifier): Boolean =
+    cat.dropTable(tableOf(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("ALTER TABLE RENAME")
@@ -408,9 +413,15 @@ object GraftSqlCatalog {
         throw new UnsupportedOperationException(
           s"DELETE predicate not translatable: $p")))
       val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
+      // optimistic concurrency: the survivors plan resolves against the
+      // snapshot current NOW — pin it, and let the commit verb re-check
+      // under the writer lock so a commit landing between this read and
+      // the lock fails loudly instead of being silently overwritten
+      // (the same re-check mergeInto and replaceFromStaged perform)
+      val expect = cat.currentVersion(table)
       // 3VL: DELETE removes rows where cond is TRUE; NULL keeps
-      cat.replaceAtomic(table,
-        cat.read(table).filter(not(coalesce(cond, lit(false)))))
+      cat.replaceAtomicExpect(table,
+        cat.read(table).filter(not(coalesce(cond, lit(false)))), expect)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -201,10 +201,18 @@ object ChangeFeed {
           // spans few partitions per sync — the premise of partitioned
           // mirroring); collect() here is the same bounded list
           // deleteWhere holds
+          // Option-typed so a NULL partition-key value (which the
+          // feed's null-safe <=> key join deliberately supports) routes
+          // to the NULL partition instead of vanishing from an isin
           val affected = feed.select(col(partCol).cast("string"))
-            .distinct().collect().map(_.getString(0)).toSeq
+            .distinct().collect().map(r => Option(r.getString(0))).toSeq
           if (affected.nonEmpty) {
-            val inPart = col(partCol).cast("string").isin(affected: _*)
+            val pc = col(partCol).cast("string")
+            val nonNull = affected.flatten
+            val inPart =
+              if (nonNull.isEmpty) pc.isNull
+              else if (affected.contains(None)) pc.isin(nonNull: _*) || pc.isNull
+              else pc.isin(nonNull: _*)
             val feedKeys = feed.select(keys.map(col): _*).distinct().alias("fk")
             val cond = keys.map(k =>
               col(s"d.$k") <=> col(s"fk.$k")).reduce(_ && _)
@@ -215,7 +223,7 @@ object ChangeFeed {
             val rebuilt = survivors
               .unionByName(incoming)
               .localCheckpoint(true) // reads the very partitions replaced
-            cat.overwritePartitions(dst, rebuilt, partCol, affected)
+            cat.overwritePartitionsOpt(dst, rebuilt, partCol, affected)
           }
         case Fresh => ()
       }

@@ -75,6 +75,20 @@ class ConstraintSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("t").count() === 2L)
   }
 
+  test("plain->versioned conversion preserves registered constraints") {
+    val cat = freshCat()
+    cat.overwrite("t", Seq((1L, 5L)).toDF("k", "v")) // plain layout
+    cat.addConstraint("t", "v_pos", "v >= 0")
+    // first versioned commit sweeps the shadowed plain files — the
+    // constraint sidecar is table metadata, not file metadata, and
+    // must survive the sweep
+    cat.replaceAtomic("t", Seq((1L, 5L), (2L, 6L)).toDF("k", "v"))
+    assert(cat.constraintsOf("t") === Seq("v_pos" -> "v >= 0"))
+    assertThrows[Exception](
+      cat.appendAtomic("t", Seq((3L, -1L)).toDF("k", "v")))
+    assert(cat.read("t").count() === 2L)
+  }
+
   test("a corrupt constraints sidecar is an incident, not an empty list") {
     val cat = freshCat()
     cat.replaceAtomic("t", Seq((1L, 5L)).toDF("k", "v"))

@@ -51,10 +51,10 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       === Set("p"))
   }
 
-  test("DDL stays refused; unknown tables/versions are loud") {
+  test("RENAME stays refused; unknown tables/versions are loud") {
     val (cat, g) = freshSqlCat()
     cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v"))
-    val w = intercept[Exception](spark.sql(s"DROP TABLE $g.d"))
+    val w = intercept[Exception](spark.sql(s"ALTER TABLE $g.d RENAME TO $g.e"))
     assert(w.getMessage.toLowerCase.contains("read-only") ||
       w.getMessage.toLowerCase.contains("unsupported"))
     assert(intercept[Exception](
@@ -62,6 +62,54 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(intercept[Exception](
       spark.sql(s"SELECT * FROM $g.d VERSION AS OF 99").collect())
       .getMessage.nonEmpty)
+  }
+
+  test("DROP TABLE removes plain and versioned tables; IF EXISTS is quiet") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v")) // versioned
+    cat.append("p", Seq((1L, 2L)).toDF("k", "v"))        // plain
+    spark.sql(s"DROP TABLE $g.d")
+    spark.sql(s"DROP TABLE $g.p")
+    assert(!cat.exists("d") && !cat.exists("p"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(cat.path("d"))))
+    spark.sql(s"DROP TABLE IF EXISTS $g.ghost") // absent: quiet no-op
+    // a re-created table of the dropped name starts from scratch
+    cat.replaceAtomic("d", Seq((9L, 9L)).toDF("k", "v"))
+    assert(cat.currentVersion("d").contains(1L))
+    assert(cat.read("d").as[(Long, Long)].collect().toSeq === Seq((9L, 9L)))
+  }
+
+  test("a failed CTAS surfaces the write error and leaves no half-born table") {
+    val (cat, g) = freshSqlCat()
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $g.broken AS " +
+        "SELECT id, CAST(raise_error('ctas-boom') AS BIGINT) AS v FROM range(3)"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("ctas-boom")),
+      s"the ROOT write error must surface, not the cleanup: ${chain(e)}")
+    // Spark's non-atomic CTAS invoked dropTable to clean up
+    assert(!cat.exists("broken"))
+  }
+
+  test("SQL DELETE refuses to commit over a concurrent write (lost update)") {
+    val (cat, _) = freshSqlCat()
+    val v1 = cat.replaceAtomic("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    // the statement's survivors plan, resolved against v1
+    val survivors = cat.read("t").filter(col("k") =!= 1L)
+    // a concurrent commit lands between the scan and the lock
+    cat.appendAtomic("t", Seq((3L, 30L)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](
+      cat.replaceAtomicExpect("t", survivors, Some(v1)))
+    assert(e.getMessage.contains("moved"))
+    // nothing was overwritten: the concurrent append survives
+    assert(cat.read("t").count() === 3L)
+    // with the CURRENT version pinned the commit goes through
+    cat.replaceAtomicExpect("t",
+      cat.read("t").filter(col("k") =!= 1L), cat.currentVersion("t"))
+    assert(cat.read("t").as[(Long, Long)].collect().toSet ===
+      Set((2L, 20L), (3L, 30L)))
   }
 
   test("INSERT INTO / OVERWRITE write through the commit verbs") {

@@ -80,6 +80,48 @@ class MirrorPartitionedSpec extends AnyFunSuite with SparkTestSession {
     assert(!Files.exists(Paths.get(cat.path("dst"), "dt=d3")))
   }
 
+  test("NULL partition-key rows route to the NULL partition, not the void") {
+    val (cat, ckpt) = fresh()
+    def df(rs: Seq[(Option[String], Long, Long)]) =
+      rs.toDF("dt", "id", "v")
+    val base = df(Seq((Some("d0"), 0L, 0L), (Some("d1"), 1L, 1L),
+      (None, 2L, 2L), (None, 3L, 3L)))
+    cat.replaceAtomic("src", base)
+    ChangeFeed.mirrorPartitioned(cat, "src", "dst", Seq("dt", "id"), "dt", ckpt)
+    def all(t: String): Set[(Option[String], Long, Long)] =
+      cat.read(t).select(col("dt"), col("id"), col("v"))
+        .as[(Option[String], Long, Long)].collect().toSet
+    assert(all("dst") === all("src"))
+    val d0Before = partFiles(cat, "dst", "d0")
+    // v2 touches ONLY null-keyed rows: update id=2, delete id=3
+    cat.replaceAtomic("src", df(Seq((Some("d0"), 0L, 0L),
+      (Some("d1"), 1L, 1L), (None, 2L, 22L))))
+    assert(ChangeFeed.mirrorPartitioned(cat, "src", "dst",
+      Seq("dt", "id"), "dt", ckpt) === ChangeFeed.Delta(1L, 2L))
+    assert(all("dst") === all("src"),
+      "null-keyed changes were silently dropped from the replica")
+    assert(partFiles(cat, "dst", "d0") === d0Before,
+      "a non-null partition was rewritten by a null-only delta")
+    // v3 deletes the LAST null-keyed row: the NULL directory disappears
+    cat.replaceAtomic("src", df(Seq((Some("d0"), 0L, 0L), (Some("d1"), 1L, 1L))))
+    ChangeFeed.mirrorPartitioned(cat, "src", "dst", Seq("dt", "id"), "dt", ckpt)
+    assert(all("dst") === all("src"))
+    assert(!Files.exists(Paths.get(cat.path("dst"),
+      "dt=__HIVE_DEFAULT_PARTITION__")),
+      "an emptied NULL partition must disappear like any other")
+  }
+
+  test("empty-string partition values are refused, not silently NULLed") {
+    val (cat, _) = fresh()
+    cat.append("flat", Seq(("", 1L, 1L), ("d0", 2L, 2L)).toDF("dt", "id", "v"))
+    // the Hive layout stores "" in the NULL directory — a silent key
+    // rewrite on round-trip; the partition-granular apply refuses it
+    val e = intercept[IllegalArgumentException](
+      cat.overwritePartitions("flat2",
+        Seq(("", 1L, 1L)).toDF("dt", "id", "v"), "dt", Seq("")))
+    assert(e.getMessage.contains("empty-string"))
+  }
+
   test("partCol outside the keys is refused up front") {
     val (cat, ckpt) = fresh()
     cat.replaceAtomic("src", Seq(("d0", 1L, 1L)).toDF("dt", "id", "v"))
