@@ -89,14 +89,15 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
       .repartition(4)
     cat.appendIndexed("t", day2, skipCols = Seq.empty)
     assert(cat.fileEnvelopes("t").size === 20)
-    // the bitsets live as immutable _bloom/ legs: one from the full
-    // ANALYZE, one per indexed append — never inside _stats.json
+    // the bitsets live as per-file _bloom/ sidecars: one per data file
+    // (16 from the full ANALYZE + 4 from the append) — never inside
+    // _stats.json, and never merged into one driver-side blob
     import scala.jdk.CollectionConverters._
     val legStream = Files.list(java.nio.file.Paths.get(cat.path("t"), "_bloom"))
     val legs =
       try legStream.iterator().asScala.map(_.getFileName.toString).toSeq
       finally legStream.close()
-    assert(legs.count(_.startsWith("leg-")) === 2)
+    assert(legs.count(_.startsWith("f-")) === 20)
 
     // a value reachable only through the appended files' filters
     val hit = cat.prunedReadPoint("t", Seq(("id", 20500L)))
@@ -135,20 +136,69 @@ class BloomSkippingSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("incomplete"))
   }
 
-  test("a rebuild caught between new-leg-landed and old-legs-deleted still answers") {
+  test("a rebuild caught between new-sidecars-landed and old-deleted still answers") {
     val cat = freshCat()
     cat.overwriteIndexed("t", table, skipCols = Seq.empty,
       bloomCols = Seq("id"))
-    // simulate the crash window: the superseded leg is still present
-    // beside the fresh one (re-ANALYZE writes new before deleting old)
+    // simulate the crash window: a superseded sidecar (dead data file)
+    // is still present beside the fresh ones — probes look up by
+    // candidate file name and never scan the directory, so the orphan
+    // is unreachable, not a wrong answer
     val dir = java.nio.file.Paths.get(cat.path("t"), "_bloom")
     import scala.jdk.CollectionConverters._
     val s = Files.list(dir)
     val leg = try s.iterator().asScala.next() finally s.close()
-    Files.copy(leg, dir.resolve("leg-stale-duplicate.json"))
+    Files.copy(leg, dir.resolve(
+      "f-00000000000000000000000000000000deadbeef.json"))
     val hit = cat.prunedReadPoint("t", Seq(("id", 777L)))
       .select("name").as[String].collect().toSet
     assert(hit === Set("u777"))
+  }
+
+  test("probe IO is O(candidates) and cached — never O(table files)") {
+    val cat = freshCat()
+    cat.overwriteIndexed("t", table, skipCols = Seq.empty,
+      bloomCols = Seq("id"))
+    val p0 = TableCatalog.bloomSidecarParses.get()
+    assert(cat.pointKeepFiles("t", Seq(("id", 777L))).nonEmpty)
+    val cold = TableCatalog.bloomSidecarParses.get() - p0
+    assert(cold <= 16, s"cold probe parsed $cold sidecars for 16 files")
+    // warm probes parse NOTHING — one parse per sidecar per fingerprint
+    // change, however many probes run
+    val p1 = TableCatalog.bloomSidecarParses.get()
+    cat.pointKeepFiles("t", Seq(("id", 778L)))
+    cat.pointKeepFiles("t", Seq(("id", 9999L)))
+    cat.pointKeepFiles("t", Seq(("id", -5L)))
+    assert(TableCatalog.bloomSidecarParses.get() === p1,
+      "a warm probe re-parsed an unchanged sidecar")
+    // appended files cost only THEIR sidecars; day-1 entries stay cached
+    val day2 = (20000 until 21000)
+      .map(i => (i.toLong, s"u$i", i.toLong % 7)).toDF("id", "name", "grp")
+      .repartition(4)
+    cat.appendIndexed("t", day2, skipCols = Seq.empty)
+    val p2 = TableCatalog.bloomSidecarParses.get()
+    assert(cat.prunedReadPoint("t", Seq(("id", 20500L))).count() === 1L)
+    val delta = TableCatalog.bloomSidecarParses.get() - p2
+    assert(delta <= 4, s"probe after append parsed $delta (> the 4 new files)")
+  }
+
+  test("an envelope-pruned file's sidecar is never read, even cold") {
+    val cat = freshCat()
+    // range-clustered AND bloomed on id: the min/max envelope already
+    // names the one candidate file, so the probe's sidecar IO is
+    // O(candidates) on the FIRST touch — independent of the other 15
+    cat.overwriteIndexed("t",
+      (0 until 10000).map(i => (i.toLong, s"u$i", i.toLong % 7))
+        .toDF("id", "name", "grp").repartitionByRange(16, col("id")),
+      skipCols = Seq("id"), bloomCols = Seq("id"))
+    val p0 = TableCatalog.bloomSidecarParses.get()
+    val kept = cat.pointKeepFiles("t", Seq(("id", 777L)))
+    assert(kept.size === 1)
+    val cold = TableCatalog.bloomSidecarParses.get() - p0
+    assert(cold <= 2,
+      s"a clustered point probe read $cold sidecars — the envelope " +
+        "prefilter must bound IO to the candidate files")
+    assert(cat.prunedReadPoint("t", Seq(("id", 777L))).count() === 1L)
   }
 
   test("probing a non-bloom column or a NULL value errors loudly") {
