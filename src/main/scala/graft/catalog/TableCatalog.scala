@@ -2144,21 +2144,73 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * not leak into the user's schema). Returns the fresh stats. */
   def optimizeZOrder(table: String, cols: Seq[String], bits: Int = 10,
                      numPartitions: Int = 16): TableCatalog.TableStats = {
-    // live vectors fold into the rewrite — same rule as
-    // [[compactSmallFiles]]: OPTIMIZE is exactly when accreted MoR
-    // state should disappear, not a verb that refuses until it does.
-    // The readMor plan is BUILT inside the lock (its file index and
-    // `_dv` scan pin at construction): built outside, a deleteVectorize
-    // landing before the commit would have its vectors swept by
-    // foldsDv=true without ever being folded in — silent resurrection.
-    withTableLock(table) {
-      val clustered = graft.ops.ZOrder.clusterN(readMor(table), cols, bits,
-          numPartitions)
-        .drop("z" +: cols.indices.map(i => s"z$i"): _*)
-      replaceAtomicLocked(table, clustered, foldsDv = true,
-        op = "OPTIMIZE_ZORDER")
-    }
+    stagedRewrite(table, "OPTIMIZE_ZORDER")(mor =>
+      graft.ops.ZOrder.clusterN(mor, cols, bits, numPartitions)
+        .drop("z" +: cols.indices.map(i => s"z$i"): _*))
     analyze(table, cols = cols, skipCols = cols)
+  }
+
+  /** The maintenance-rewrite protocol both OPTIMIZE verbs share: run
+    * the EXPENSIVE rewrite (hours at 100 TB) against a pinned snapshot
+    * with NO lock held, then take the writer lock only for the O(files)
+    * pointer swap — a concurrent appendAtomic waits for a rename, never
+    * for the rewrite (VERDICT r10 next #2: the locked rewrite blocked
+    * every streaming append on the table for its whole duration).
+    *
+    * Optimistic validation under the lock: the pinned (version, file
+    * set, deletion-vector state) must be unchanged — the staged bytes
+    * are exactly the pinned snapshot's content with its vectors folded,
+    * so ANY intervening commit (append, replace, new vector) makes them
+    * stale. Stale → discard the staging and re-run against the fresh
+    * snapshot; after `MaxOptimisticAttempts` losses the verb degrades
+    * to the locked rewrite (the pre-r11 behavior), trading availability
+    * for guaranteed termination on a write-hot table. Live vectors fold
+    * into the rewrite in every mode — OPTIMIZE is exactly when accreted
+    * MoR state should disappear. No constraint re-scan under the lock:
+    * the staged rows are the table's own rows (layout-only), validated
+    * when they were first written. */
+  private[graft] def stagedRewrite(table: String, op: String)
+                                  (build: DataFrame => DataFrame): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      if (attempt > TableCatalog.MaxOptimisticAttempts) {
+        // contended fallback: correctness under the lock, old behavior
+        withTableLock(table) {
+          replaceAtomicLocked(table, build(readMor(table)), foldsDv = true,
+            op = op)
+        }
+        done = true
+      } else {
+        // PIN the input state, then build+write unlocked. The readMor
+        // plan pins its file index and `_dv` scan at construction, so
+        // the staged bytes describe exactly this state even if the
+        // table moves mid-write (versioned snapshots are immutable).
+        val pinVer = currentVersion(table)
+        val pinFiles = listParquetUris(table)
+        val pinDv = dvFingerprint(table)
+        val schema = readMor(table).schema
+        val staging = Paths.get(path(table),
+          s"_tmp_opt-${java.util.UUID.randomUUID()}") // vacuum's _tmp_ class
+        build(readMor(table)).write.parquet(staging.toString)
+        val committed = withTableLock(table) {
+          healSwap(table)
+          val fresh = currentVersion(table) == pinVer &&
+            listParquetUris(table) == pinFiles &&
+            dvFingerprint(table) == pinDv
+          if (fresh) {
+            commitStagedLocked(table, staging, op, pinVer, schema)
+            // the folded vectors' sidecar: swept by the plain->versioned
+            // conversion sweep when pinVer was None; a versioned table
+            // never carries one (deleteVectorize is plain-only)
+            true
+          } else false
+        }
+        if (committed) done = true
+        else deleteRecursive(staging) // lost the race; retry fresh
+      }
+    }
   }
 
   /** OPTIMIZE (small-file compaction) — the other maintenance verb: a
@@ -2184,10 +2236,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val bytes = dataBytes(readPath(table))
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val skips = stats(table).map(_.skipCols).getOrElse(Seq.empty)
-    withTableLock(table) {
-      replaceAtomicLocked(table, readMor(table).coalesce(nFiles),
-        foldsDv = true, op = "OPTIMIZE_COMPACT")
-    }
+    stagedRewrite(table, "OPTIMIZE_COMPACT")(_.coalesce(nFiles))
     if (skips.nonEmpty) analyze(table, cols = skips, skipCols = skips)
     listParquetUris(table).size
   }
@@ -3433,9 +3482,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(!hasDv(table),
       s"'$table' grew deletion vectors mid-statement — the scan was a " +
         "bare snapshot read; re-run")
-    require(Files.exists(staged), s"staging dir vanished: $staged")
     if (constraintsOf(table).nonEmpty)
       enforced(table, spark.read.parquet(staged.toString)).count()
+    commitStagedLocked(table, staged, op, expect, schema)
+  }
+
+  /** The LOCKED half of a staged swap: rename `staged`'s part files
+    * into `_vN+1` and move the pointer. Caller holds the table lock and
+    * has already validated whatever freshness its verb requires. */
+  private def commitStagedLocked(table: String, staged: Path, op: String,
+                                 expect: Option[Long],
+                                 schema: StructType): Long = {
+    require(Files.exists(staged), s"staging dir vanished: $staged")
     val next = expect.getOrElse(0L) + 1L
     val snap = snapDir(table, next)
     deleteRecursive(snap) // a crashed prior attempt
@@ -4044,6 +4102,11 @@ object TableCatalog {
   /** Envelope entries per manifest leg file — sized so one leg parses
     * in ~ms and the analyze writer never buffers more than a chunk. */
   private[catalog] val EnvLegEntries = 8192
+
+  /** Unlocked-staging attempts an OPTIMIZE makes before degrading to
+    * the locked rewrite — each loss means a full re-stage, so a small
+    * bound keeps a write-hot table from thrashing the rewrite forever. */
+  private[graft] val MaxOptimisticAttempts = 3
 
   // (fingerprint)-keyed parse caches, the MvRewrite.registry discipline
   // (VERDICT r9 next #1): stats() runs on every planning decision and
