@@ -40,6 +40,44 @@ class StatsHeadSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.stats("big").get.fileCount === 64L)
   }
 
+  test("envelope legs are written by executor tasks, never a driver collect") {
+    val cat = freshCat()
+    // the leg writer REFUSES outside a task (TaskContext guard), so
+    // analyze completing at all proves the envelopes went distributed;
+    // calling it driver-side trips the guard — pinning the invariant
+    // from both directions
+    val e = intercept[IllegalArgumentException](
+      TableCatalog.writeLegPartition("/tmp/x", "/tmp/x", Seq("id"), Seq.empty)(
+        Iterator.empty))
+    assert(e.getMessage.contains("executor tasks"))
+    mk(cat, "t", 32)
+    // the distributed write chunks per task partition: with 32 files the
+    // generation holds >1 leg, and the merged envelopes are exactly the
+    // per-file truth the old collect-then-render path produced
+    val gen = Paths.get(cat.path("t"), "_manifest",
+      cat.stats("t").get.manifestGen)
+    val legs = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(gen)
+      try s.iterator().asScala.count(
+        _.getFileName.toString.startsWith("leg-"))
+      finally s.close()
+    }
+    assert(legs > 1, s"expected multiple task-written legs, got $legs")
+    val envs = cat.fileEnvelopes("t")
+    assert(envs.size === 32)
+    assert(envs.map(_.rows).sum === 20000L)
+    // spot-verify one file's envelope against a direct scan of it
+    val f = envs.maxBy(_.rows)
+    val direct = spark.read.parquet(
+      java.nio.file.Paths.get(java.net.URI.create(f.file)).toString)
+      .agg(min(col("id")), max(col("id")), count(lit(1)))
+      .head()
+    assert(f.min("id") === direct.getLong(0))
+    assert(f.max("id") === direct.getLong(1))
+    assert(f.rows === direct.getLong(2))
+  }
+
   test("pruning answers identically through the split sidecar") {
     val cat = freshCat()
     val df = (1L to 8000L).map(i => (i, i % 100)).toDF("id", "a")
