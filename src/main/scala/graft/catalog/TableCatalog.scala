@@ -29,6 +29,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                          val snapshotRetentionMs: Long = 15L * 60 * 1000,
                          val committer: Committer = PosixCommitter) {
 
+  // field-id column mapping (RENAME/DROP as metadata commits) rides
+  // Spark's native parquet field-id support: writers stamp ids into the
+  // file schema, readers whose declared schema carries ids match
+  // columns BY ID. Both flags are inert for schemas without ids, so
+  // never-renamed tables see zero behavior change.
+  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   def path(table: String): String = s"$root/$table"
 
   def exists(table: String): Boolean = {
@@ -159,32 +167,117 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def schemaLogFile(table: String): Path =
     Paths.get(path(table), "_schema.json")
 
-  private def schemaLog(table: String): Seq[(Long, String)] =
+  private def schemaLog(table: String): Seq[TableCatalog.SchemaEntry] =
     committer.read(schemaLogFile(table))
       .map(b => TableCatalog.parseSchemaLog(new String(b,
         java.nio.charset.StandardCharsets.UTF_8)))
       .getOrElse(Seq.empty)
 
   /** The declared schema of `table` as of version `v` — None when the
-    * table never evolved (callers fall back to footer inference). */
+    * table never evolved (callers fall back to footer inference). When
+    * the entry carries field ids (the table renamed/dropped a column at
+    * some point), the returned fields are id-stamped so every consumer
+    * — read, time travel, analyze, the SQL catalog — matches file
+    * columns BY ID instead of by name. */
   def resolveSchema(table: String, v: Long): Option[StructType] =
-    schemaLog(table).filter(_._1 <= v).lastOption
-      .map(e => StructType.fromDDL(e._2))
+    schemaLog(table).filter(_.version <= v).lastOption
+      .map(e => TableCatalog.stampIds(StructType.fromDDL(e.ddl), e.ids))
 
   // written BEFORE the pointer rename, like the history entry: an
   // entry for an uncommitted version is invisible (resolveSchema
   // filters to <= the probe version, probes never exceed the pointer)
   // and a retry's rewrite supersedes it
-  private def appendSchemaEntry(table: String, v: Long, ddl: String): Unit = {
+  private def appendSchemaEntry(table: String, v: Long, ddl: String,
+      ids: Map[String, Int] = Map.empty, nextId: Int = 0): Unit = {
     val entries = schemaLog(table)
-    if (entries.lastOption.exists(_._2 == ddl)) return
+    val e = TableCatalog.SchemaEntry(v, ddl, ids, nextId)
+    if (entries.lastOption.exists(le =>
+      le.ddl == ddl && le.ids == ids)) return
     val tmp = Paths.get(path(table),
       s"_tmp_schema-${java.util.UUID.randomUUID()}")
     Files.write(tmp,
-      TableCatalog.renderSchemaLog(entries.filter(_._1 < v) :+ (v -> ddl))
+      TableCatalog.renderSchemaLog(entries.filter(_.version < v) :+ e)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     committer.atomicRename(tmp, schemaLogFile(table))
   }
+
+  // ------------------------------------- field-id registry (_fieldids)
+  // See [[TableCatalog.IdMarker]]. The marker is a pointer (committer
+  // read/write) beside the schema log; it exists so a RENAME can prove
+  // "every live file is id-stamped, consistently" without reading a
+  // single footer.
+
+  private def idMarkerFile(table: String): Path =
+    Paths.get(path(table), "_fieldids.json")
+
+  private[graft] def idMarker(table: String): Option[TableCatalog.IdMarker] =
+    committer.read(idMarkerFile(table)).flatMap(b =>
+      TableCatalog.parseIdMarker(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8)))
+
+  private def writeIdMarker(table: String, m: TableCatalog.IdMarker): Unit = {
+    val tmp = Paths.get(path(table),
+      s"_tmp_fieldids-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.renderIdMarker(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, idMarkerFile(table))
+  }
+
+  /** Id assignment for a FULL REWRITE about to commit `schema` as
+    * version `next`: surviving names keep their ids (so an OPTIMIZE
+    * never invalidates a later rename's history), new names draw fresh
+    * monotone ids, vanished names' ids retire forever. Seeds 1..n in
+    * declared order on a table with no (valid) marker. */
+  private def rewriteIds(table: String, schema: StructType,
+                         next: Long): TableCatalog.IdMarker = {
+    val prev = idMarker(table).filter(m =>
+      currentVersion(table).exists(m.since <= _))
+    val base = prev.map(_.ids).getOrElse(Map.empty[String, Int])
+    var nid = prev.map(_.nextId).getOrElse(1)
+    val ids = schema.fieldNames.map { n =>
+      n -> base.getOrElse(n, { val i = nid; nid += 1; i })
+    }.toMap
+    TableCatalog.IdMarker(next, nid, ids)
+  }
+
+  /** `df` with field-id metadata on every column the assignment names —
+    * a zero-cost projection (Column.as with explicit metadata), applied
+    * immediately before a write because Spark drops column metadata
+    * across transformations (measured: an aliased arithmetic column
+    * loses it), so stamping any earlier would silently un-stamp. */
+  private def stampDf(df: DataFrame,
+                      ids: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = TableCatalog.stampIds(df.schema, ids)
+    if (target == df.schema) df // nothing to stamp or strip
+    else df.select(target.fields.map(f =>
+      col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+  }
+
+  /** [[stampDf]] with no assignment: strips inherited field ids. Every
+    * plain-table and derived-artifact write goes through this — see
+    * [[TableCatalog.stripFieldIds]] for why a leak is a corruption. */
+  private[graft] def stripDf(df: DataFrame): DataFrame = stampDf(df, Map.empty)
+
+  /** Id assignment for an APPEND: the marker's ids extended with fresh
+    * ones for evolving columns — None when the table has no valid
+    * marker (then the append stamps nothing, honestly). */
+  private def appendIds(table: String, cur: Long,
+      dfSchema: StructType): Option[TableCatalog.IdMarker] =
+    idMarker(table) match {
+      case Some(m) if m.since <= cur =>
+        var nid = m.nextId
+        val fresh = dfSchema.fieldNames.filterNot(m.ids.contains).map { n =>
+          n -> { val i = nid; nid += 1; i } }
+        Some(m.copy(nextId = nid, ids = m.ids ++ fresh))
+      case Some(_) =>
+        // a crashed rewrite's marker names an uncommitted version — its
+        // id view may not describe the live files; retire it rather
+        // than stamping appends against a wrong baseline
+        committer.delete(idMarkerFile(table))
+        None
+      case None => None
+    }
 
   // ------------------------------------------- commit history
   // One write-once JSON entry per versioned commit under `_history/` —
@@ -1743,7 +1836,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * applyDeleteVectors rewrite of the just-loaded table). */
   def overwrite(table: String, df: DataFrame): Unit = {
     requirePlain(table, "overwrite")
-    enforced(table, df).write.mode("overwrite").parquet(path(table))
+    enforced(table, stripDf(df)).write.mode("overwrite").parquet(path(table))
     deleteRecursive(dvDir(table))
     invalidateStats(table)
   }
@@ -1751,7 +1844,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** INSERT append semantics (main.py:382-410). */
   def append(table: String, df: DataFrame): Unit = {
     requirePlain(table, "append")
-    enforced(table, df).write.mode("append").parquet(path(table))
+    enforced(table, stripDf(df)).write.mode("append").parquet(path(table))
     invalidateStats(table)
   }
 
@@ -1761,7 +1854,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the once-per-date flow. */
   def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
     requirePlain(table, "appendPartitioned")
-    enforced(table, df).write.mode("overwrite")
+    enforced(table, stripDf(df)).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path(table))
@@ -1808,7 +1901,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       if (nonNull.isEmpty) pc.isNull
       else if (parts.contains(None)) pc.isin(nonNull: _*) || pc.isNull
       else pc.isin(nonNull: _*)
-    val scoped = df.filter(keep)
+    val scoped = stripDf(df.filter(keep))
     val present = scoped.select(pc)
       .distinct().collect().map(r => Option(r.getString(0))).toSet
     if (present.nonEmpty)
@@ -2194,17 +2287,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         val pinVer = currentVersion(table)
         val pinFiles = listParquetUris(table)
         val pinDv = dvFingerprint(table)
-        val schema = readMor(table).schema
+        val built = build(readMor(table))
+        // a full rewrite re-stamps field ids (surviving names keep
+        // theirs — an OPTIMIZE must never invalidate a later rename's
+        // time travel); the marker lands under the lock, pointer-before
+        val m = rewriteIds(table, built.schema, pinVer.getOrElse(0L) + 1L)
         val staging = Paths.get(path(table),
           s"_tmp_opt-${java.util.UUID.randomUUID()}") // vacuum's _tmp_ class
-        build(readMor(table)).write.parquet(staging.toString)
+        stampDf(built, m.ids).write.parquet(staging.toString)
         val committed = withTableLock(table) {
           healSwap(table)
           val fresh = currentVersion(table) == pinVer &&
             listParquetUris(table) == pinFiles &&
             dvFingerprint(table) == pinDv
           if (fresh) {
-            commitStagedLocked(table, staging, op, pinVer, schema)
+            writeIdMarker(table, m)
+            commitStagedLocked(table, staging, op, pinVer, built.schema,
+              ids = m.ids, nextId = m.nextId)
             // the folded vectors' sidecar: swept by the plain->versioned
             // conversion sweep when pinVer was None; a versioned table
             // never carries one (deleteVectorize is plain-only)
@@ -3408,15 +3507,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val cur = currentVersion(table)
     val next = cur.getOrElse(0L) + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
-    enforced(table, df).write.mode("overwrite")
+    // a full rewrite controls every byte it lands: stamp stable field
+    // ids into the files (surviving names keep theirs) and record the
+    // assignment in the marker BEFORE the pointer — a crash leaves
+    // since > committed, which every consumer treats as "not stamped"
+    val m = rewriteIds(table, df.schema, next)
+    enforced(table, stampDf(df, m.ids)).write.mode("overwrite")
       .parquet(snapDir(table, next).toString)
+    writeIdMarker(table, m)
     // a full rewrite re-DECLARES the schema: when a schema log exists
     // (the table evolved at some point) this commit's shape supersedes
     // it — without the entry, resolveSchema would keep answering the
-    // pre-rewrite union for every later version
-    if (schemaLog(table).nonEmpty)
+    // pre-rewrite union for every later version. Id-bearing logs stay
+    // id-bearing (this commit's files are stamped with exactly m.ids).
+    if (schemaLog(table).nonEmpty) {
+      val carriesIds = schemaLog(table).last.ids.nonEmpty
       appendSchemaEntry(table, next,
-        StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL)
+        StructType(df.schema.fields.map(_.copy(nullable = true))).toDDL,
+        ids = if (carriesIds) m.ids else Map.empty,
+        nextId = if (carriesIds) m.nextId else 0)
+    }
     // history BEFORE the pointer: a committed version always has its
     // entry (readers filter to <= the pointer, so a crashed attempt's
     // orphan entry is invisible and superseded on retry)
@@ -3449,6 +3559,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         // (stale _stats.json/_bloom legs, by contrast, describe the
         // deleted plain files and are correctly swept)
         .filterNot(_.getFileName.toString == "_constraints.json")
+        // the converting commit wrote its own id marker just before the
+        // pointer — table metadata, like the constraints
+        .filterNot(_.getFileName.toString == "_fieldids.json")
         .foreach(deleteRecursive)
     } finally s.close()
   }
@@ -3488,15 +3601,35 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "bare snapshot read; re-run")
     if (constraintsOf(table).nonEmpty)
       enforced(table, spark.read.parquet(staged.toString)).count()
-    commitStagedLocked(table, staged, op, expect, schema)
+    // Spark's planner wrote the staged files and DROPS column metadata,
+    // so they carry no field-id stamps: retire the marker (before the
+    // pointer — a crash leaves the conservative "not stamped" state)
+    // and let the re-declared schema entry drop its ids with it, so
+    // reads of this and later versions return to name matching — sound,
+    // because this full rewrite's files carry the logical names. Time
+    // travel below keeps its id-stamped entries and the stamped files
+    // they describe.
+    committer.delete(idMarkerFile(table))
+    // declare=true: the staged files carry whatever partial field-id
+    // layout Spark's planner left (pass-through columns keep their
+    // stamps, rewritten ones lose them) — an explicit declared schema
+    // keeps every later read off footer inference, which would id-match
+    // that partial layout against files a later append adds
+    commitStagedLocked(table, staged, op, expect, schema, declare = true)
   }
 
   /** The LOCKED half of a staged swap: rename `staged`'s part files
     * into `_vN+1` and move the pointer. Caller holds the table lock and
-    * has already validated whatever freshness its verb requires. */
+    * has already validated whatever freshness its verb requires.
+    * `ids` non-empty means the caller stamped the staged files with
+    * these field ids (the OPTIMIZE path) — the schema entry and the
+    * zero-row fallback file then carry them too. */
   private def commitStagedLocked(table: String, staged: Path, op: String,
                                  expect: Option[Long],
-                                 schema: StructType): Long = {
+                                 schema: StructType,
+                                 ids: Map[String, Int] = Map.empty,
+                                 nextId: Int = 0,
+                                 declare: Boolean = false): Long = {
     require(Files.exists(staged), s"staging dir vanished: $staged")
     val next = expect.getOrElse(0L) + 1L
     val snap = snapDir(table, next)
@@ -3515,11 +3648,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // schema as one zero-row file so the snapshot stays readable
     if (moved == 0)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        TableCatalog.stampIds(schema, ids))
         .repartition(1).write.mode("overwrite").parquet(snap.toString)
-    if (schemaLog(table).nonEmpty)
+    if (declare || schemaLog(table).nonEmpty) {
+      val carriesIds = schemaLog(table).lastOption.exists(_.ids.nonEmpty)
       appendSchemaEntry(table, next,
-        StructType(schema.fields.map(_.copy(nullable = true))).toDDL)
+        StructType(schema.fields.map(f => f.copy(nullable = true,
+          metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL,
+        ids = if (carriesIds) ids else Map.empty,
+        nextId = if (carriesIds) nextId else 0)
+    }
     writeHistoryEntry(table, next, op)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
@@ -3606,9 +3745,36 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             .map(_.copy(nullable = true))) // null-filled on one side
         val next = cur + 1L
         deleteRecursive(snapDir(table, next)) // a crashed prior attempt
-        enforced(table, df).write.parquet(snapDir(table, next).toString)
-        if (evolved || schemaLog(table).nonEmpty)
-          appendSchemaEntry(table, next, mergedSchema.toDDL)
+        // appends extend the id registry: existing names keep their
+        // stamps, evolving columns draw fresh ids; a table without a
+        // valid marker appends unstamped files (stays un-renameable
+        // until a full rewrite, never inconsistently stamped)
+        val mIds = appendIds(table, cur, df.schema)
+        val carriesIds = schemaLog(table).lastOption.exists(_.ids.nonEmpty)
+        // a RENAMED table's carried files hold pre-rename column names
+        // readable only BY ID — appending unstamped files would force a
+        // choice between two silent corruptions (id-read throws on the
+        // new files, name-read nulls the old). Refuse instead.
+        require(!carriesIds || mIds.isDefined,
+          s"'$table' reads by field id but its id marker is gone " +
+            "(a crashed rewrite, or a SQL row-level statement rewrote " +
+            "the files) — run compactSmallFiles/optimizeZOrder to " +
+            "re-stamp before appending")
+        // stamp under the marker's assignment; without one, STRIP the
+        // inherited ids instead (a partially-stamped file read under an
+        // inference schema null-fills the ids it lacks — worse than the
+        // loud mixed-layout refusal a fully-stripped file produces)
+        enforced(table, stampDf(df, mIds.map(_.ids).getOrElse(Map.empty)))
+          .write.parquet(snapDir(table, next).toString)
+        mIds.foreach(writeIdMarker(table, _))
+        if (evolved || schemaLog(table).nonEmpty) {
+          val entryIds = mIds.filter(_ => carriesIds)
+          appendSchemaEntry(table, next, mergedSchema.toDDL,
+            ids = entryIds.map(m =>
+              mergedSchema.fieldNames.flatMap(n =>
+                m.ids.get(n).map(n -> _)).toMap).getOrElse(Map.empty),
+            nextId = entryIds.map(_.nextId).getOrElse(0))
+        }
         listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
           val src = Paths.get(java.net.URI.create(u))
           val dst = snapDir(table, next).resolve(src.getFileName)
@@ -3626,6 +3792,105 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         pruneSnapshots(table, cur)
         next
     }
+  }
+
+  /** ALTER TABLE … RENAME COLUMN as a METADATA commit — no data file is
+    * read or written (VERDICT r10 next #4). Mechanics: every live file
+    * is already stamped with stable field ids (the [[TableCatalog
+    * .IdMarker]] invariant, established by any full DataFrame rewrite),
+    * so the new version simply hard-links the current snapshot's files
+    * and appends a schema-log entry whose DDL carries the new logical
+    * name bound to the OLD id — readers match by id and the bytes never
+    * move. Time travel keeps the name each version declared. Refused
+    * when the files cannot be proven stamped (run compactSmallFiles /
+    * optimizeZOrder once — a full rewrite stamps), when a CHECK
+    * constraint's predicate mentions the column (its text would
+    * silently stop binding), or when a registered aggregate view is
+    * keyed on it. Returns the committed version. */
+  def renameColumn(table: String, from: String, to: String): Long =
+    alterColumnMeta(table, "RENAME_COLUMN", from,
+      requireTo = Some(to)) { (schema, ids) =>
+      (StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+        ids.map { case (n, i) => (if (n == from) to else n) -> i })
+    }
+
+  /** ALTER TABLE … DROP COLUMN as a metadata commit — the other half of
+    * column mapping. The dropped column's id retires forever (`nextId`
+    * is monotone), so a later ADD COLUMN of the same name gets a fresh
+    * id and can never resurrect the dropped bytes still sitting in old
+    * files — the failure mode name-based layouts have and the reason
+    * Delta gates DROP behind column mapping. Same preconditions as
+    * [[renameColumn]]. */
+  def dropColumn(table: String, name: String): Long = {
+    alterColumnMeta(table, "DROP_COLUMN", name, requireTo = None) {
+      (schema, ids) =>
+        require(schema.fields.length > 1,
+          s"cannot drop '$name': it is the only column of '$table'")
+        (StructType(schema.fields.filterNot(_.name == name)), ids - name)
+    }
+  }
+
+  private def alterColumnMeta(table: String, op: String, target: String,
+      requireTo: Option[String])(
+      change: (StructType, Map[String, Int]) => (StructType, Map[String, Int]))
+      : Long = withTableLock(table) {
+    healSwap(table)
+    val cur = currentVersion(table).getOrElse(throw new IllegalArgumentException(
+      s"'$table' is not a versioned table — column mapping needs the " +
+        "snapshot layout (replaceAtomic/appendAtomic writers)"))
+    val m = idMarker(table).filter(_.since <= cur).getOrElse(
+      throw new IllegalStateException(
+        s"'$table' has no valid field-id marker — its files cannot be " +
+          "proven id-stamped (pre-mapping table, or a SQL row-level " +
+          "statement rewrote them); run compactSmallFiles or " +
+          "optimizeZOrder once, then retry"))
+    val schema = resolveSchema(table, cur).getOrElse(
+      spark.read.parquet(snapDir(table, cur).toString).schema)
+    require(schema.fieldNames.contains(target),
+      s"'$target' is not a column of '$table' " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    requireTo.foreach(to => require(!schema.fieldNames.contains(to),
+      s"column '$to' already exists in '$table'"))
+    val word = java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(target) + "\\b")
+    constraintsOf(table).foreach { case (n, p) =>
+      require(!word.matcher(p).find(),
+        s"constraint '$n' ($p) references '$target' — drop the " +
+          "constraint first, alter, then re-add it under the new shape")
+    }
+    mvRegistry().filter(_.factPath.startsWith(path(table) + "/")).foreach { e =>
+      require(!e.keys.contains(target) && e.value != target,
+        s"aggregate view '${e.view}' is keyed on '$target' — drop the " +
+          "view first, alter, then re-create it")
+    }
+    val (newSchema, newIds) = change(schema, m.ids)
+    // every declared column must carry an id — the marker covers the
+    // current names by the stamping invariant
+    newSchema.fieldNames.foreach(n => require(newIds.contains(n),
+      s"internal: no field id for '$n' in the marker of '$table'"))
+    val next = cur + 1L
+    deleteRecursive(snapDir(table, next)) // a crashed prior attempt
+    Files.createDirectories(snapDir(table, next))
+    listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
+      val src = Paths.get(java.net.URI.create(u))
+      Files.createLink(snapDir(table, next).resolve(src.getFileName), src)
+    }
+    // the cleaned StructType (ids stripped) renders the DDL; the entry's
+    // ids map re-binds each logical name to its stable id
+    val ddl = StructType(newSchema.fields.map(f =>
+      f.copy(nullable = true,
+        metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
+    appendSchemaEntry(table, next, ddl, ids = newSchema.fieldNames.map(n =>
+      n -> newIds(n)).toMap, nextId = m.nextId)
+    writeIdMarker(table, m.copy(ids = newIds)) // since unchanged: same files
+    writeHistoryEntry(table, next, op)
+    val tmp = Paths.get(path(table), "_version.tmp")
+    Files.write(tmp, next.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, versionFile(table))
+    pruneSnapshots(table, cur)
+    next
   }
 
   /** CHANGE DATA FEED between two retained snapshots, O(delta) where
@@ -3750,30 +4015,55 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         ((f2 -- f1.keySet).values.toSeq.sorted,
           (f1 -- f2.keySet).values.toSeq.sorted)
       }
-    // each side reads with ITS OWN snapshot's schema. Forcing v2's
-    // schema onto v1's files would null out renamed/dropped columns and
-    // silently mis-drive the change feed (every surviving key becomes
-    // an 'update', real updates mask) — and a schema-changing rewrite
-    // between the versions is exactly when that happens, so it is
-    // REFUSED loudly instead: the O(delta) feed promises equality with
-    // SnapshotDiff over the full snapshots, which needs matching
-    // columns anyway.
+    // The feed's shape is HI's declared schema. The removed (lo) side
+    // reads under a schema chosen by what the schema log can PROVE:
+    //  - same columns        -> lo's own schema (the pre-r11 behavior);
+    //  - pure addition       -> hi's schema: old files null-fill exactly
+    //    the columns lo never had (VERDICT r10 next #5 — an ADD COLUMN
+    //    between a consumer's checkpoint and the head used to force an
+    //    O(table) resync);
+    //  - rename/drop, hi ids -> hi's ID-STAMPED schema: old files
+    //    re-bind renamed columns by stable id, dropped columns project
+    //    away; an old file that is NOT stamped refuses loudly at scan
+    //    time (Spark's no-field-ids error, pinned by FieldIdProbeSpec)
+    //    — never a silent null-fill;
+    //  - a TYPE conflict on a shared name, or a removal without ids,
+    //    stays refused loudly: no mapping can make those well-defined.
     val schema1 = resolveSchema(table, lo).getOrElse(
       spark.read.parquet(d1.toString).schema)
     val schema = endSchema
-    require(sameCols(schema1, schema),
-      s"'$table' changed schema between v$v1 and v$v2 " +
-        s"(${schema1.fieldNames.sorted.mkString(",")} vs " +
-        s"${schema.fieldNames.sorted.mkString(",")}) — a change feed " +
-        "across a schema change is not well-defined; diff the snapshots " +
-        "directly (SnapshotDiff over readVersion) with an explicit mapping")
+    val hiHasIds = schemaLog(table).filter(_.version <= hi)
+      .lastOption.exists(_.ids.nonEmpty)
+    val t1 = schema1.fields.map(f => f.name -> f.dataType).toMap
+    val tH = schema.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = (t1.keySet intersect tH.keySet)
+      .filter(n => t1(n) != tH(n)).toSeq.sorted
+    require(conflicts.isEmpty,
+      s"'$table' changed column TYPES between v$v1 and v$v2 " +
+        s"(${conflicts.mkString(", ")}) — a change feed across a type " +
+        "change is not well-defined; diff the snapshots directly " +
+        "(SnapshotDiff over readVersion) with an explicit mapping")
+    val loOnly = t1.keySet -- tH.keySet
+    val loReadSchema =
+      if (sameCols(schema1, schema)) schema1
+      else if (loOnly.isEmpty) schema // additive: null-fill under hi
+      else if (hiHasIds) schema       // rename/drop: re-bind by field id
+      else throw new IllegalArgumentException(
+        s"'$table' changed schema between v$v1 and v$v2 " +
+          s"(${schema1.fieldNames.sorted.mkString(",")} vs " +
+          s"${schema.fieldNames.sorted.mkString(",")}) without field ids " +
+          "— a feed across a rename/removal needs the column-mapping " +
+          "lineage (renameColumn/dropColumn); diff the snapshots " +
+          "directly with an explicit mapping")
     def scoped(sch: StructType, files: Seq[String]): DataFrame =
       if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(sch).parquet(files: _*)
-        .select(schema.fieldNames.map( // one column ORDER on both sides
-          org.apache.spark.sql.functions.col): _*)
-    (scoped(schema, added), scoped(schema1, removed), added, removed)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        TableCatalog.stripFieldIds(schema))
+      else stripDf( // the feed is a DERIVED artifact: ids must not leak
+        spark.read.schema(sch).parquet(files: _*)
+          .select(schema.fieldNames.map( // one column ORDER on both sides
+            org.apache.spark.sql.functions.col): _*))
+    (scoped(schema, added), scoped(loReadSchema, removed), added, removed)
   }
 
   private def deleteRecursive(p: Path): Unit = TableCatalog.deleteRecursively(p)
@@ -3895,26 +4185,109 @@ object TableCatalog {
     historyParseCache.put(key, v)
   }
 
-  private[catalog] def renderSchemaLog(entries: Seq[(Long, String)]): String = {
+  /** One schema-log entry: the DECLARED logical schema as of `version`,
+    * plus (once a rename/drop has seeded them) the stable FIELD IDS of
+    * each logical column — the per-version half of column mapping.
+    * `nextId` is monotone and never reused, so a re-added column name
+    * can never resurrect a dropped column's bytes. Entries without ids
+    * keep pure name-based reads (the pre-r11 behavior, zero cost). */
+  final case class SchemaEntry(version: Long, ddl: String,
+                               ids: Map[String, Int] = Map.empty,
+                               nextId: Int = 0)
+
+  private[catalog] def renderSchemaLog(entries: Seq[SchemaEntry]): String = {
     val arr = om.createArrayNode()
-    entries.foreach { case (v, ddl) =>
-      val o = arr.addObject(); o.put("version", v); o.put("ddl", ddl)
+    entries.foreach { e =>
+      val o = arr.addObject(); o.put("version", e.version); o.put("ddl", e.ddl)
+      if (e.ids.nonEmpty) {
+        val m = o.putObject("ids")
+        e.ids.toSeq.sortBy(_._1).foreach { case (n, i) => m.put(n, i) }
+        o.put("next", e.nextId)
+      }
     }
     om.writeValueAsString(arr)
   }
 
-  /** Ascending (version, DDL) entries; empty on malformed content. */
-  private[catalog] def parseSchemaLog(s: String): Seq[(Long, String)] =
+  /** Ascending entries; empty on malformed content. */
+  private[catalog] def parseSchemaLog(s: String): Seq[SchemaEntry] =
     try {
       import scala.jdk.CollectionConverters._
       val n = om.readTree(s)
       if (n == null || !n.isArray) Seq.empty
       else n.elements().asScala.flatMap { e =>
-        if (e.has("version") && e.has("ddl"))
-          Some(e.get("version").asLong -> e.get("ddl").asText)
-        else None
-      }.toSeq.sortBy(_._1)
+        if (e.has("version") && e.has("ddl")) {
+          val ids =
+            if (!e.has("ids")) Map.empty[String, Int]
+            else e.get("ids").properties().asScala
+              .map(p => p.getKey -> p.getValue.asInt).toMap
+          Some(SchemaEntry(e.get("version").asLong, e.get("ddl").asText,
+            ids, if (e.has("next")) e.get("next").asInt else 0))
+        } else None
+      }.toSeq.sortBy(_.version)
     } catch { case _: Exception => Seq.empty }
+
+  /** The parquet field-id metadata key Spark's reader/writer honor
+    * (`spark.sql.parquet.fieldId.{read,write}.enabled`). */
+  private[graft] val FieldIdKey = "parquet.field.id"
+
+  /** Stamp stable field ids onto a schema's columns as Spark metadata —
+    * the writer puts them in the parquet file schema; a reader whose
+    * schema carries them matches columns BY ID, which is what makes
+    * RENAME a metadata operation. Columns without an assigned id are
+    * actively STRIPPED of any inherited id: field-id metadata rides
+    * footer inference and projections, so a pass-through column from a
+    * stamped read arrives pre-stamped — and a file whose id layout only
+    * PARTIALLY matches its reader's schema resolves the missing ids as
+    * silent NULLs. Stamped layouts must be all-or-exactly-these. */
+  private[graft] def stampIds(schema: StructType,
+                              ids: Map[String, Int]): StructType =
+    StructType(schema.fields.map { f =>
+      val base = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldIdKey)
+      ids.get(f.name) match {
+        case Some(id) =>
+          f.copy(metadata = base.putLong(FieldIdKey, id.toLong).build())
+        case None => f.copy(metadata = base.build())
+      }
+    })
+
+  /** The inverse guard: a schema with every field-id stripped. Applied
+    * to DERIVED artifacts (change feeds, plain-table writes, exported
+    * frames): ids inherited through inference/projection would land a
+    * partial id layout in files the catalog does not govern, and any
+    * later inference-schema read of a MIX of such files null-fills the
+    * ids it can't find — the silent corruption class the id discipline
+    * exists to prevent. Only catalog-governed table files carry ids. */
+  private[graft] def stripFieldIds(schema: StructType): StructType =
+    stampIds(schema, Map.empty)
+
+  /** The writer-side id registry `_fieldids.json`: every data file in
+    * snapshots `>= since` carries exactly these (name -> id) stamps
+    * (later additive extensions included). Maintained by the verbs that
+    * control their file bytes — full rewrites reset `since`, appends
+    * extend `ids` — and DELETED by the staged row-level path (Spark's
+    * planner drops column metadata, so those files are unstamped).
+    * RENAME/DROP require a marker with `since <= currentVersion`;
+    * anything else refuses with "full-rewrite once to stamp". */
+  final case class IdMarker(since: Long, nextId: Int, ids: Map[String, Int])
+
+  private[catalog] def renderIdMarker(m: IdMarker): String = {
+    val o = om.createObjectNode()
+    o.put("since", m.since); o.put("next", m.nextId)
+    val mm = o.putObject("ids")
+    m.ids.toSeq.sortBy(_._1).foreach { case (n, i) => mm.put(n, i) }
+    om.writeValueAsString(o)
+  }
+
+  private[catalog] def parseIdMarker(s: String): Option[IdMarker] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val n = om.readTree(s)
+      if (n == null || !n.has("since") || !n.has("ids")) None
+      else Some(IdMarker(n.get("since").asLong, n.get("next").asInt,
+        n.get("ids").properties().asScala
+          .map(p => p.getKey -> p.getValue.asInt).toMap))
+    } catch { case _: Exception => None }
 
   private[catalog] def renderBucketSpec(col: String, buckets: Int,
                                         schemaDdl: String): String = {

@@ -6517,6 +6517,70 @@ object TestdataQueries {
              |SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT)
              |FROM customer WHERE c_custkey % 2 = 1""".stripMargin)),
 
+    // --------------------------- column mapping: RENAME by field id
+    // ALTER ... RENAME COLUMN as a METADATA commit (the Delta column-
+    // mapping model on Spark's native parquet fieldId read path): half
+    // of customer lands under the OLD name, the column renames with no
+    // rewrite (pinned: the rename snapshot hard-links the same file
+    // names), the other half appends THROUGH the new name, and one
+    // aggregate reads both file generations under the renamed schema.
+    // Oracle: the same aggregate straight off customer.
+    "x_evolution_rename" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val cat = new TableCatalog(s, scratchDir("graft_rename", dir).toString)
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), cents(col("c_acctbal")).as("bal"))
+      val v1 = cat.replaceAtomic("c", cust.filter(col("k") % 2 === 0))
+      val names1 = s.read.parquet(cat.path("c") + s"/_v$v1")
+        .inputFiles.map(_.split('/').last).sorted.toSeq
+      val v2 = cat.renameColumn("c", "seg", "segment")
+      val names2 = s.read.parquet(cat.path("c") + s"/_v$v2")
+        .inputFiles.map(_.split('/').last).sorted.toSeq
+      require(names1 == names2,
+        "RENAME COLUMN rewrote data files — it must be metadata-only")
+      require(cat.readVersion("c", v1).columns.contains("seg"),
+        "time travel must keep the name each version declared")
+      cat.appendAtomic("c", cust.filter(col("k") % 2 === 1)
+        .select(col("k"), col("seg").as("segment"), col("bal")))
+      cat.read("c").groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal"))
+    }),
+      Some("""SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_bal
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // --------------------- change feed across an ADD COLUMN boundary
+    // The feed no longer refuses additive evolution: old-version files
+    // null-fill the added column under the union schema, so an interval
+    // spanning ADD COLUMN classifies truthfully instead of forcing an
+    // O(table) resync (VERDICT r10 next #5). The evolving append is
+    // also O(delta) ACROSS the boundary — pinned: no removed files, so
+    // only the appended rows are read. Oracle: the expected inserts
+    // recomputed from orders.
+    "x_cdc_evolved" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val cat = new TableCatalog(s, scratchDir("graft_cdcevo", dir).toString)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("c"))
+      val v1 = cat.replaceAtomic("f", o.filter(col("k") % 3 =!= 0))
+      cat.appendAtomic("f",
+        o.filter(col("k") % 3 === 0).withColumn("src", lit("late")),
+        mergeSchema = true)
+      val v2 = cat.currentVersion("f").get
+      val (_, _, _, removed) = cat.changedRowsBetween("f", v1, v2)
+      require(removed.isEmpty,
+        "an evolving append's feed must stay O(delta): no removed files")
+      cat.changesBetween("f", v1, v2, Seq("k"))
+        .groupBy(col("change_type"), col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+    }),
+      Some("""SELECT 'insert' AS change_type, 'late' AS src,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_c
+             |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)),
+
     // ------------------------------------------------ GROUPING SETS
     // The explicit grouping-sets lattice — (status, year), (status),
     // () — with per-column grouping flags (portable across engines,

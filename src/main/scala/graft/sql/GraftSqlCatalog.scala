@@ -260,6 +260,17 @@ class GraftSqlCatalog extends DsV2TableCatalog {
           "ADD COLUMN ... FIRST/AFTER is not supported: evolved columns append")
         org.apache.spark.sql.types.StructField(n, a.dataType(),
           nullable = true)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"nested RENAME COLUMN is not supported: ${r.fieldNames().mkString(".")}")
+        // metadata-only through the catalog's column-mapping verb
+        cat.renameColumn(t, r.fieldNames()(0), r.newName())
+        return loadTable(ident)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"nested DROP COLUMN is not supported: ${d.fieldNames().mkString(".")}")
+        cat.dropColumn(t, d.fieldNames()(0))
+        return loadTable(ident)
       case other =>
         readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
     }

@@ -269,7 +269,10 @@ object ChangeFeed {
       Files.createDirectories(feedDir)
       val staging = feedDir.resolve(
         s"_staging_v$v-${java.util.UUID.randomUUID()}")
-      df.write.parquet(staging.toString)
+      // the feed is a DERIVED artifact: strip inherited field-id stamps
+      // (a partial id layout in feed files makes any inference-schema
+      // read of the directory null-fill the ids it can't find)
+      cat.stripDf(df).write.parquet(staging.toString)
       Files.move(staging, dst, StandardCopyOption.ATOMIC_MOVE)
     }
     def ordered(df: DataFrame): DataFrame = df.select(

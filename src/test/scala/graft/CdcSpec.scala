@@ -169,16 +169,51 @@ class CdcSpec extends AnyFunSuite with SparkTestSession {
     assert(feed.count(_._2 == "delete") === 0)
   }
 
-  test("a schema change between the versions is refused loudly") {
+  test("additive evolution null-fills the feed; a TYPE change stays refused") {
     val cat = freshCat()
-    val v1 = cat.appendAtomic("t", Seq((1L, 2L)).toDF("k", "v"))
-    // rewrite that ADDS a column: v1's files read under v2's schema
-    // would null it out and every surviving key would misclassify as
-    // an 'update' — the feed refuses instead of lying (r10 review)
+    val v1 = cat.appendAtomic("t", Seq((1L, 2L), (2L, 5L)).toDF("k", "v"))
+    // a rewrite that ADDS a column: old rows null-fill it, so the feed
+    // classifies truthfully under the new shape — k=1 gained a w value
+    // (update), k=2's w is NULL on both sides (no change). Pre-r11 this
+    // interval forced an O(table) resync by refusing.
     val v2 = cat.replaceAtomic("t",
-      Seq((1L, 2L, 9L)).toDF("k", "v", "w"))
+      Seq((1L, 2L, Some(9L)), (2L, 5L, None: Option[Long]))
+        .toDF("k", "v", "w"))
+    val feed = cat.changesBetween("t", v1, v2, Seq("k")).collect()
+      .map(r => (r.getLong(r.fieldIndex("k")),
+        r.getString(r.fieldIndex("change_type"))))
+    assert(feed.toSet === Set((1L, "update")), s"got ${feed.toSeq}")
+    // a TYPE change has no honest mapping: still refused loudly
+    val v3 = cat.replaceAtomic("t",
+      Seq((1L, "2", Some(9L))).toDF("k", "v", "w"))
     val e = intercept[IllegalArgumentException](
-      cat.changesBetween("t", v1, v2, Seq("k")))
-    assert(e.getMessage.contains("schema"))
+      cat.changesBetween("t", v2, v3, Seq("k")))
+    assert(e.getMessage.contains("TYPES"))
+  }
+
+  test("the feed survives a RENAME: removed files re-bind by field id") {
+    val cat = freshCat()
+    val v1 = cat.replaceAtomic("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    cat.renameColumn("t", "v", "w")
+    // a metadata-only rename ships NOTHING: same file names hard-linked
+    val v2 = cat.currentVersion("t").get
+    val (_, _, added, removed) = cat.changedRowsBetween("t", v1, v2)
+    assert(added.isEmpty && removed.isEmpty,
+      "a rename must be O(0) in the feed — the bytes never moved")
+    // a rewrite through the NEW name: the removed side holds files whose
+    // physical column is still 'v' — classification re-binds them by id
+    val v3 = cat.replaceAtomic("t", Seq((1L, 10L), (2L, 99L)).toDF("k", "w"))
+    val feed = cat.changesBetween("t", v1, v3, Seq("k"))
+    assert(feed.columns.contains("w"), s"feed shape: ${feed.columns.toSeq}")
+    val got = feed.collect().map(r => (r.getLong(r.fieldIndex("k")),
+      r.getString(r.fieldIndex("change_type")),
+      if (r.isNullAt(r.fieldIndex("w"))) -1L else r.getLong(r.fieldIndex("w"))))
+    assert(got.toSet === Set((2L, "update", 99L)), s"got ${got.toSeq}")
+    // an append through the new name feeds as a plain O(delta) insert
+    cat.appendAtomic("t", Seq((3L, 30L)).toDF("k", "w"))
+    val f2 = cat.changesBetween("t", v3, cat.currentVersion("t").get, Seq("k"))
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getString(r.fieldIndex("change_type"))))
+    assert(f2.toSet === Set((3L, "insert")))
   }
 }

@@ -160,7 +160,7 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"DELETE FROM $g.d VERSION AS OF $v1 WHERE k = 1"))
   }
 
-  test("ALTER TABLE ADD COLUMN evolves additively; DROP/RENAME stay refused") {
+  test("ALTER TABLE ADD COLUMN evolves additively; bad alters stay refused") {
     val (cat, g) = freshSqlCat()
     val v1 = cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v"))
     spark.sql(s"ALTER TABLE $g.d ADD COLUMN w BIGINT")
@@ -174,12 +174,13 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     // time travel keeps the shape v1 HAD
     assert(spark.sql(s"SELECT * FROM $g.d VERSION AS OF $v1").columns.toSeq
       === Seq("k", "v"))
-    // everything that changes what existing bytes mean stays refused
-    assertThrows[Exception](spark.sql(s"ALTER TABLE $g.d DROP COLUMN v"))
-    assertThrows[Exception](
-      spark.sql(s"ALTER TABLE $g.d RENAME COLUMN v TO q"))
+    // DROP/RENAME are now metadata commits through column mapping
+    // (ColumnMappingSpec covers them); what stays refused is anything
+    // that would change what existing bytes mean without the mapping
     assertThrows[Exception](
       spark.sql(s"ALTER TABLE $g.d ADD COLUMN v BIGINT")) // duplicate
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $g.d ALTER COLUMN v TYPE INT")) // type change
     // NOT NULL is unsatisfiable (old rows null-fill): refused, not
     // silently downgraded to nullable
     assertThrows[Exception](

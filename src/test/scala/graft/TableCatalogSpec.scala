@@ -459,7 +459,8 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
         java.nio.file.Paths.get(cat.path("dim_y_open")))
       try s.iterator().asScala.map(_.getFileName.toString)
         .filterNot(n => n.startsWith("_v") || n == "_version" ||
-          n == "_history") // the commit log is snapshot machinery
+          n == "_history" || // the commit log is snapshot machinery
+          n == "_fieldids.json") // the converting commit's own id marker
         .toSeq
       finally s.close()
     }
