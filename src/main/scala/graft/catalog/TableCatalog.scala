@@ -1921,6 +1921,84 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     invalidateStats(table)
   }
 
+  // ---------------------------------- partitioned plain tables (SQL)
+  // `CREATE TABLE ... PARTITIONED BY (col)` through the DSv2 catalog:
+  // the identity-transform layout maps onto the catalog's existing
+  // Hive-partitioned plain tables (appendPartitioned /
+  // overwritePartitions / deleteWhere). The spec sidecar makes the
+  // layout self-describing across sessions — declared schema included,
+  // so an empty just-created table reads without a footer to infer
+  // from — exactly the `_buckets.json` discipline.
+
+  private def partSpecFile(table: String): Path =
+    Paths.get(path(table), "_partspec.json")
+
+  /** The partition column and declared schema of a SQL-created
+    * partitioned plain table, if it is one. */
+  def partitionSpec(table: String): Option[(String, StructType)] =
+    committer.read(partSpecFile(table)).flatMap(b =>
+      TableCatalog.parsePartSpec(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8)))
+      .map { case (c, ddl) => (c, StructType.fromDDL(ddl)) }
+
+  /** Declare an EMPTY partitioned plain table (the create half of a
+    * partitioned CTAS): just the spec sidecar — the first insert lands
+    * the first files. */
+  def createPartitioned(table: String, schema: StructType,
+                        partCol: String): Unit = {
+    require(schema.fieldNames.contains(partCol),
+      s"partition column '$partCol' not in the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(!exists(table), s"'$table' already exists")
+    Files.createDirectories(Paths.get(path(table)))
+    writePartSpec(table, partCol, schema)
+  }
+
+  private def writePartSpec(table: String, partCol: String,
+                            schema: StructType): Unit = {
+    val tmp = Paths.get(path(table),
+      s"_tmp_partspec-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.renderPartSpec(partCol,
+      TableCatalog.stripFieldIds(schema).toDDL)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, partSpecFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** SQL `INSERT INTO` a partitioned plain table: a plain APPEND under
+    * the Hive layout (rows add; existing partitions keep their files —
+    * unlike [[appendPartitioned]], whose dynamic overwrite is the
+    * idempotent reprocess-a-date verb, not INSERT semantics). */
+  def insertPartitioned(table: String, df: DataFrame): Unit = {
+    val (pcol, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use append()/appendPartitioned"))
+    require(df.columns.toSet == declared.fieldNames.toSet,
+      s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
+        s"(${declared.fieldNames.sorted.mkString(",")})")
+    enforced(table, stripDf(df)).write.mode("append")
+      .partitionBy(pcol).parquet(path(table))
+    invalidateStats(table)
+  }
+
+  /** SQL `INSERT OVERWRITE` / TRUNCATE of a partitioned plain table:
+    * replace everything, keep the layout. The spec sidecar is
+    * re-asserted AFTER the write (Spark's static overwrite clears the
+    * directory); a crash between leaves a readable unpartitioned-plain
+    * table that the next overwrite heals. */
+  def overwritePartitionedAll(table: String, df: DataFrame): Unit = {
+    val (pcol, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use overwrite()"))
+    require(df.columns.toSet == declared.fieldNames.toSet,
+      s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
+        s"(${declared.fieldNames.sorted.mkString(",")})")
+    enforced(table, stripDf(df)).write.mode("overwrite")
+      .partitionBy(pcol).parquet(path(table))
+    writePartSpec(table, pcol, declared)
+    invalidateStats(table)
+  }
+
   /** Remove a PLAIN table entirely — directory, sidecars, and all.
     * Versioned tables are refused: their lifecycle belongs to the
     * snapshot pointer (retention, tags, RESTORE), not a rm. */
@@ -2842,9 +2920,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // partitions fold their vectors in as a side effect; vectors for
     // untouched partitions keep applying via their unchanged files)
     val full = readMor(table)
+    // Option-typed so a NULL partition value routes to the NULL
+    // partition instead of silently surviving the purge (isin never
+    // matches NULL — the mirrorPartitioned rule, ADVICE r10)
     val affected = full.filter(cond).select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct().collect().map(r => Option(r.getString(0))).toSeq
     if (affected.isEmpty) return (Nil, Nil)
+    val pc = col(partCol).cast("string")
+    val nonNull = affected.flatten
+    val inPart =
+      if (nonNull.isEmpty) pc.isNull
+      else if (affected.contains(None)) pc.isin(nonNull: _*) || pc.isNull
+      else pc.isin(nonNull: _*)
     // EAGER materialization: the survivors are about to overwrite the
     // very files their plan reads from — a lazy write would race its
     // own input (and Spark's self-overwrite guard would reject it).
@@ -2855,22 +2942,22 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // plain !cond maps NULL→NULL and the filter would silently drop it,
     // over-deleting in a right-to-be-forgotten path.
     val survivors = full
-      .filter(col(partCol).cast("string").isin(affected: _*))
+      .filter(inPart)
       .filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
-    val survivorParts = survivors.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSet
+    val survivorParts = survivors.select(pc)
+      .distinct().collect().map(r => Option(r.getString(0))).toSet
     val gone = affected.filterNot(survivorParts)
     // the swap itself — dynamic overwrite of surviving partitions,
     // explicit drop of fully-purged ones — is the shared primitive
-    overwritePartitions(table, survivors, partCol, affected)
+    overwritePartitionsOpt(table, survivors, partCol, affected)
     // the rewritten partitions' vectors now reference deleted files —
     // inert for reads, but left in place they pin hasDeleteVectors true
     // forever (refusing SQL reads / ANALYZE) and skew the auto-fold
     // ratio. Prune under the lock so a concurrent deleteVectorize (which
     // holds it for its whole verb) can't land a vector mid-sweep.
     if (hasDv(table)) withTableLock(table) { pruneOrphanVectorsLocked(table) }
-    (affected, gone)
+    (affected.map(_.orNull), gone.map(_.orNull))
   }
 
   /** ANSI MERGE INTO on a versioned table — the general DML verb the
@@ -4287,6 +4374,19 @@ object TableCatalog {
       else Some(IdMarker(n.get("since").asLong, n.get("next").asInt,
         n.get("ids").properties().asScala
           .map(p => p.getKey -> p.getValue.asInt).toMap))
+    } catch { case _: Exception => None }
+
+  private[catalog] def renderPartSpec(col: String, schemaDdl: String): String = {
+    val o = om.createObjectNode()
+    o.put("partCol", col); o.put("schema", schemaDdl)
+    om.writeValueAsString(o)
+  }
+
+  private[catalog] def parsePartSpec(s: String): Option[(String, String)] =
+    try {
+      val n = om.readTree(s)
+      if (n == null || !n.has("partCol") || !n.has("schema")) None
+      else Some((n.get("partCol").asText, n.get("schema").asText))
     } catch { case _: Exception => None }
 
   private[catalog] def renderBucketSpec(col: String, buckets: Int,

@@ -3828,6 +3828,15 @@ object TestdataQueries {
       s.conf.set(s"spark.sql.catalog.$cname",
         classOf[graft.sql.GraftSqlCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      // the SQL maintenance surface (VERDICT r10 next #6): DESCRIBE
+      // HISTORY and OPTIMIZE as stored procedures, no Scala API
+      val hist = s.sql(s"CALL $cname.system.describe_history('sn')")
+        .select("op").collect().map(_.getString(0)).toSeq
+      require(hist == Seq("REPLACE", "REPLACE"),
+        s"describe_history through SQL returned $hist")
+      require(s.sql(s"CALL $cname.system.optimize('sn')")
+        .collect().head.getLong(0) >= 1L, "optimize returned no file count")
+      // time travel still resolves across the maintenance commit
       s.sql(s"""SELECT cur.nkey, cur.n_name, cur.rkey, old.rkey AS rkey_v1
                |FROM $cname.sn AS cur
                |JOIN (SELECT nkey, rkey FROM $cname.sn VERSION AS OF $v1) AS old
@@ -3837,6 +3846,44 @@ object TestdataQueries {
              |  CAST(n_regionkey + 100 AS BIGINT) AS rkey,
              |  CAST(n_regionkey AS BIGINT) AS rkey_v1
              |FROM nation""".stripMargin)),
+
+    // -------------------- SQL partitioned tables (identity transform)
+    // `CREATE TABLE ... PARTITIONED BY (y)` maps onto the catalog's
+    // Hive-partitioned plain layout: INSERT INTO appends, DELETE routes
+    // through the partition-granular purge (a fully-purged year's
+    // directory disappears — pinned in-query), and the scan partition-
+    // prunes. Oracle: the surviving rows recomputed from orders.
+    "x_sql_partitioned" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlpart", dir)
+      val cname = "gsqlp_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val view = s"ord_$cname"
+      t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cname.po (okey BIGINT, price_c BIGINT, " +
+        "y STRING) PARTITIONED BY (y)")
+      s.sql(s"INSERT INTO $cname.po SELECT okey, price_c, y FROM $view")
+      s.sql(s"DELETE FROM $cname.po WHERE y = '1995'")
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(scratch.toString, "po", "y=1995")),
+        "a fully-purged partition's directory must disappear")
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(scratch.toString, "po", "y=1996")),
+        "surviving partitions must keep their directories")
+      s.sql(s"SELECT y, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.po GROUP BY y")
+    }),
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_c
+             |FROM orders WHERE year(o_orderdate) <> 1995
+             |GROUP BY 1""".stripMargin)),
 
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving

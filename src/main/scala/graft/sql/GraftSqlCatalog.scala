@@ -49,10 +49,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * schema drift on INSERT is refused by appendAtomic's evolution gate
   * (SQL users evolve via the Scala `mergeSchema` opt-in, an explicit
   * act). */
-class GraftSqlCatalog extends DsV2TableCatalog {
+class GraftSqlCatalog extends DsV2TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var cat: graft.catalog.TableCatalog = _
+
+  /** The SQL maintenance surface (VERDICT r10 next #6): the catalog's
+    * audit and maintenance verbs as stored procedures —
+    * `CALL g.system.describe_history('t')`, `optimize`, `vacuum`,
+    * `restore` — so a SQL-first operator runs the whole table lifecycle
+    * without the Scala API. Each procedure is a thin binding onto the
+    * corresponding catalog verb; results come back as rows. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftSqlCatalog.ProcedureNames
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")) ||
+        !GraftSqlCatalog.ProcedureNames.contains(ident.name()))
+      throw new RuntimeException(
+        s"no procedure $catalogName.${ident.namespace().mkString(".")}" +
+          s".${ident.name()} — available: " +
+          GraftSqlCatalog.ProcedureNames.map(n => s"$catalogName.system.$n")
+            .mkString(", "))
+    new GraftSqlCatalog.GraftProcedure(ident.name(), cat)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -176,11 +201,16 @@ class GraftSqlCatalog extends DsV2TableCatalog {
           case None => cat.path(t) // plain append-style table
         }
     }
+    // a SQL-created partitioned plain table reads under its spec's
+    // declared schema (works even while empty) and exposes its identity
+    // partitioning so EXPLAIN shows partition pruning for what it is
+    val partSpec = if (current.isEmpty) cat.partitionSpec(t) else None
     // an evolved table reads under its DECLARED schema (the catalog's
     // schema log) — footer inference over a mixed-schema snapshot
     // would sample one file's shape
-    val declared = version.orElse(cat.currentVersion(t))
-      .flatMap(v => cat.resolveSchema(t, v))
+    val declared = partSpec.map(_._2).orElse(
+      version.orElse(cat.currentVersion(t))
+        .flatMap(v => cat.resolveSchema(t, v)))
     // the stock ParquetTable is WRITABLE (FileTable extends
     // SupportsWrite) — but ITS write would drop plain parquet files
     // into an immutable snapshot directory behind the version pointer.
@@ -191,7 +221,8 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     new GraftSqlCatalog.VersionedTable(ParquetTable(s"$catalogName.$t",
       SparkSession.active, CaseInsensitiveStringMap.empty(), Seq(dir),
       declared, classOf[ParquetFileFormat]), cat, t,
-      writable = version.isEmpty, loadedVersion = current)
+      writable = version.isEmpty, loadedVersion = current,
+      partCol = partSpec.map(_._1))
   }
 
   private def readOnly(verb: String): Nothing =
@@ -203,9 +234,13 @@ class GraftSqlCatalog extends DsV2TableCatalog {
   /** CREATE TABLE (and the create half of CTAS): commit an EMPTY v1
     * through replaceAtomic, so the table is born versioned — history
     * entry, schema carried by the (single, zero-row) parquet file,
-    * ready for INSERT INTO. Partitioning transforms are refused: the
-    * versioned layout derives skipping from stats/Z-order, not from
-    * Hive directories (partitioned plain tables keep the Scala API). */
+    * ready for INSERT INTO. `PARTITIONED BY (col)` with a single
+    * IDENTITY transform maps to the catalog's Hive-partitioned PLAIN
+    * layout instead (the appendPartitioned family: partition-pruned
+    * scans, O(changed partitions) deleteWhere); anything fancier —
+    * bucket/temporal transforms, multi-column specs — stays refused,
+    * since the versioned layout derives skipping from stats/Z-order,
+    * not directories. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -213,12 +248,22 @@ class GraftSqlCatalog extends DsV2TableCatalog {
     require(!t.startsWith("_") && !t.startsWith("."),
       s"table name '$t' collides with the catalog's internal namespace " +
         "(write-asides, sidecars) and would be unlistable")
-    require(partitions.isEmpty,
-      s"$catalogName tables are not Hive-partitioned — cluster with " +
-        "optimizeZOrder / analyze(skipCols) instead")
     if (cat.exists(t))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(t))
+    if (partitions.nonEmpty) {
+      val pcol = partitions.toSeq match {
+        case Seq(p) if p.name == "identity" && p.references().length == 1 &&
+            p.references()(0).fieldNames().length == 1 =>
+          p.references()(0).fieldNames()(0)
+        case other => throw new UnsupportedOperationException(
+          s"$catalogName supports PARTITIONED BY (<one identity column>) " +
+            s"only — got ${other.mkString(", ")}; cluster versioned " +
+            "tables with optimizeZOrder / analyze(skipCols) instead")
+      }
+      cat.createPartitioned(t, schema, pcol)
+      return loadTable(ident)
+    }
     val spark = SparkSession.active
     // repartition(1) forces ONE zero-row part file, so the snapshot
     // carries the declared schema in a parquet footer — an empty dir
@@ -295,6 +340,88 @@ class GraftSqlCatalog extends DsV2TableCatalog {
 }
 
 object GraftSqlCatalog {
+  private[sql] val ProcedureNames =
+    Seq("describe_history", "optimize", "vacuum", "restore")
+
+  /** One maintenance procedure, bound to its catalog verb. Results are
+    * small driver-side row sets (history entries, vacuum audit lines,
+    * the committed version) returned through a DSv2 [[LocalScan]] —
+    * the verbs themselves do their heavy work distributed. */
+  private[sql] final class GraftProcedure(proc: String,
+      cat: graft.catalog.TableCatalog)
+      extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure {
+    import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+    import org.apache.spark.sql.types.{DataTypes => DT}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def name(): String = proc
+    override def description(): String = proc match {
+      case "describe_history" => "commit history of a versioned table"
+      case "optimize" => "compact small files (staged rewrite, lock-free)"
+      case "vacuum" => "sweep crashed-writer residue; returns the audit"
+      case "restore" => "commit a retained snapshot as the new version"
+    }
+
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = proc
+        override def description(): String = GraftProcedure.this.description()
+        override def isDeterministic: Boolean = false // verbs mutate state
+
+        override def parameters(): Array[ProcedureParameter] = proc match {
+          case "describe_history" => Array(
+            ProcedureParameter.in("table", DT.StringType).build())
+          case "optimize" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("target_mb", DT.LongType)
+              .defaultValue("128").build())
+          case "vacuum" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("grace_ms", DT.LongType)
+              .defaultValue("3600000").build())
+          case "restore" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("version", DT.LongType).build())
+        }
+
+        override def call(input: InternalRow)
+            : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+          val table = input.getUTF8String(0).toString
+          val (resultSchema, resultRows): (StructType, Seq[InternalRow]) =
+            proc match {
+            case "describe_history" =>
+              val st = StructType.fromDDL(
+                "version LONG, ts_millis LONG, op STRING, files LONG, bytes LONG")
+              val rs = cat.history(table).orderBy("version").collect().toSeq
+                .map(r => InternalRow(r.getLong(0), r.getLong(1),
+                  UTF8String.fromString(r.getString(2)), r.getLong(3),
+                  r.getLong(4)))
+              (st, rs)
+            case "optimize" =>
+              val n = cat.compactSmallFiles(table,
+                targetBytes = input.getLong(1) << 20)
+              (StructType.fromDDL("files_after LONG"),
+                Seq(InternalRow(n.toLong)))
+            case "vacuum" =>
+              val audit = cat.vacuum(table, graceMs = input.getLong(1))
+              (StructType.fromDDL("category STRING, files LONG, bytes LONG"),
+                audit.map { case (c, f, b) =>
+                  InternalRow(UTF8String.fromString(c), f, b) })
+            case "restore" =>
+              val v = cat.restore(table, input.getLong(1))
+              (StructType.fromDDL("restored_as LONG"), Seq(InternalRow(v)))
+          }
+          java.util.Collections.singletonList(
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[InternalRow] = resultRows.toArray
+              override def readSchema(): StructType = resultSchema
+              override def description(): String = s"graft.system.$proc"
+            }: org.apache.spark.sql.connector.read.Scan).iterator()
+        }
+      }
+  }
+
   /** Scans delegate to the stock ParquetTable over the resolved
     * snapshot; writes are re-routed through the catalog's commit verbs
     * via the DSv2 V1Write bridge — `INSERT INTO` → appendAtomic,
@@ -363,12 +490,14 @@ object GraftSqlCatalog {
 
   private final class VersionedTable(delegate: ParquetTable,
       cat: graft.catalog.TableCatalog, table: String, writable: Boolean,
-      loadedVersion: Option[Long])
+      loadedVersion: Option[Long], partCol: Option[String] = None)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
-    override def partitioning(): Array[Transform] = delegate.partitioning()
+    override def partitioning(): Array[Transform] =
+      partCol.map(c => Array(org.apache.spark.sql.connector.expressions
+        .Expressions.identity(c))).getOrElse(delegate.partitioning())
     override def properties(): java.util.Map[String, String] =
       delegate.properties()
     override def capabilities(): java.util.Set[TableCapability] =
@@ -424,15 +553,24 @@ object GraftSqlCatalog {
         throw new UnsupportedOperationException(
           s"DELETE predicate not translatable: $p")))
       val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
-      // optimistic concurrency: the survivors plan resolves against the
-      // snapshot current NOW — pin it, and let the commit verb re-check
-      // under the writer lock so a commit landing between this read and
-      // the lock fails loudly instead of being silently overwritten
-      // (the same re-check mergeInto and replaceFromStaged perform)
-      val expect = cat.currentVersion(table)
-      // 3VL: DELETE removes rows where cond is TRUE; NULL keeps
-      cat.replaceAtomicExpect(table,
-        cat.read(table).filter(not(coalesce(cond, lit(false)))), expect)
+      partCol match {
+        case Some(pc) =>
+          // partitioned plain table: the catalog's partition-granular
+          // purge — rewrites ONLY partitions containing matches,
+          // O(changed partitions), the layout's whole point
+          cat.deleteWhere(table, pc, coalesce(cond, lit(false)))
+        case None =>
+          // optimistic concurrency: the survivors plan resolves against
+          // the snapshot current NOW — pin it, and let the commit verb
+          // re-check under the writer lock so a commit landing between
+          // this read and the lock fails loudly instead of being
+          // silently overwritten (the same re-check mergeInto and
+          // replaceFromStaged perform)
+          val expect = cat.currentVersion(table)
+          // 3VL: DELETE removes rows where cond is TRUE; NULL keeps
+          cat.replaceAtomicExpect(table,
+            cat.read(table).filter(not(coalesce(cond, lit(false)))), expect)
+      }
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -444,8 +582,14 @@ object GraftSqlCatalog {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame, o: Boolean): Unit =
-                if (overwrite || o) cat.replaceAtomic(table, data)
-                else cat.appendAtomic(table, data)
+                partCol match {
+                  case Some(_) => // partitioned plain layout
+                    if (overwrite || o) cat.overwritePartitionedAll(table, data)
+                    else cat.insertPartitioned(table, data)
+                  case None =>
+                    if (overwrite || o) cat.replaceAtomic(table, data)
+                    else cat.appendAtomic(table, data)
+                }
             }
         }
       }
@@ -488,6 +632,17 @@ object GraftSqlCatalog {
       }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      // the refusal lives HERE, not in newRowLevelOperationBuilder:
+      // Spark builds the row-level operation during ANALYSIS for every
+      // DELETE too, and a partition-granular DELETE later optimizes to
+      // the metadata-only deleteWhere path without ever planning this
+      // write — only UPDATE/MERGE (and an untranslatable DELETE) reach
+      // it, and those WOULD rewrite the partitioned layout away
+      require(cat.partitionSpec(table).isEmpty,
+        s"'$table' is a partitioned PLAIN table — row-level UPDATE/MERGE " +
+          "rewrite into the versioned layout and would destroy the " +
+          "partitioning; use DELETE (partition-granular) or INSERT " +
+          "OVERWRITE, or re-create the table unpartitioned")
       val staging = Paths.get(cat.path(table), "_tmp_rlo_" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       // the stock parquet BatchWrite does the distributed writing and

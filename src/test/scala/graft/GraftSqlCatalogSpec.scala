@@ -64,6 +64,86 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       .getMessage.nonEmpty)
   }
 
+  test("CALL g.system.* runs the maintenance lifecycle from plain SQL") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t", (0 until 100).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v").repartition(8))
+    spark.sql(s"INSERT INTO $g.t VALUES (1000, 1000)")
+    // DESCRIBE HISTORY as rows
+    val hist = spark.sql(s"CALL $g.system.describe_history('t')")
+    assert(hist.columns.toSeq ===
+      Seq("version", "ts_millis", "op", "files", "bytes"))
+    assert(hist.select("op").as[String].collect().toSeq ===
+      Seq("REPLACE", "APPEND"))
+    // OPTIMIZE compacts to one file (the default 128 MB target)
+    assert(spark.sql(s"CALL $g.system.optimize('t')")
+      .as[Long].head() === 1L)
+    // RESTORE re-commits the appended version's content
+    spark.sql(s"CALL $g.system.restore('t', 2)")
+    assert(cat.read("t").count() === 101L)
+    assert(spark.sql(s"CALL $g.system.describe_history('t')")
+      .select("op").as[String].collect().last === "RESTORE")
+    // VACUUM returns the audit shape (nothing crashed here: empty)
+    val vac = spark.sql(s"CALL $g.system.vacuum('t', 0)")
+    assert(vac.columns.toSeq === Seq("category", "files", "bytes"))
+    // unknown procedures and bad args are loud
+    assertThrows[Exception](spark.sql(s"CALL $g.system.nope('t')"))
+    assertThrows[Exception](
+      spark.sql(s"CALL $g.system.restore('t', 99)").collect())
+  }
+
+  test("PARTITIONED BY (identity col) maps onto the plain partitioned layout") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(
+      s"CREATE TABLE $g.f (k BIGINT, v BIGINT, dt STRING) PARTITIONED BY (dt)")
+    spark.sql(s"INSERT INTO $g.f VALUES (1, 10, 'd1'), (2, 20, 'd2')")
+    spark.sql(s"INSERT INTO $g.f VALUES (3, 30, 'd1')") // INSERT appends
+    assert(spark.sql(s"SELECT sum(v) FROM $g.f").as[Long].head() === 60L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("f"), "dt=d1")))
+    // the layout prunes: a dt probe reads only its directory
+    val pruned = spark.sql(s"SELECT * FROM $g.f WHERE dt = 'd1'")
+    assert(pruned.count() === 2L)
+    // the scan's input partitions name only the probed directory
+    // (unwrap AQE: the BatchScan lives inside the adaptive plan)
+    val physical = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scannedFiles = physical.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.flatten.collect {
+          case p: org.apache.spark.sql.execution.datasources.FilePartition =>
+            p.files.map(_.filePath.toString).toSeq
+        }.flatten
+    }.flatten
+    assert(scannedFiles.nonEmpty && scannedFiles.forall(_.contains("dt=d1")),
+      s"partition pruning failed: $scannedFiles plan=${physical.treeString}")
+    assert(physical.treeString.contains("PartitionFilters: [isnotnull(dt"),
+      s"no partition filter in the scan:\n${physical.treeString}")
+    // DELETE routes through the partition-granular purge
+    spark.sql(s"DELETE FROM $g.f WHERE dt = 'd2'")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("f"), "dt=d2")),
+      "a fully-purged partition's directory must disappear")
+    assert(spark.sql(s"SELECT count(*) FROM $g.f").as[Long].head() === 2L)
+    // INSERT OVERWRITE replaces everything but keeps the layout
+    spark.sql(s"INSERT OVERWRITE $g.f VALUES (9, 90, 'd9')")
+    assert(spark.sql(s"SELECT k FROM $g.f").as[Long].collect().toSeq
+      === Seq(9L))
+    assert(cat.partitionSpec("f").map(_._1) === Some("dt"))
+    // row-level UPDATE would rewrite into the versioned layout: refused
+    assertThrows[Exception](spark.sql(s"UPDATE $g.f SET v = 1"))
+    // only a single identity transform is supported
+    assertThrows[Exception](spark.sql(
+      s"CREATE TABLE $g.f2 (k BIGINT, a STRING, b STRING) " +
+        "PARTITIONED BY (a, b)"))
+    assertThrows[Exception](spark.sql(
+      s"CREATE TABLE $g.f3 (k BIGINT, a STRING) " +
+        "PARTITIONED BY (bucket(4, k))"))
+  }
+
   test("DROP TABLE removes plain and versioned tables; IF EXISTS is quiet") {
     val (cat, g) = freshSqlCat()
     cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v")) // versioned
@@ -201,11 +281,10 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"CREATE TABLE $g.ctas AS SELECT k, s FROM $g.fresh WHERE k = 2")
     assert(spark.sql(s"SELECT k, s FROM $g.ctas").as[(Long, String)]
       .collect().toSeq === Seq((2L, "b")))
-    // duplicate CREATE is loud; partitioned CREATE is refused
+    // duplicate CREATE is loud (identity-partitioned CREATE is now
+    // supported — its own test covers the partitioned layout)
     assertThrows[Exception](
       spark.sql(s"CREATE TABLE $g.fresh (k BIGINT)"))
-    assertThrows[Exception](
-      spark.sql(s"CREATE TABLE $g.part (k BIGINT) PARTITIONED BY (k)"))
   }
 
   test("UPDATE rewrites matching rows; untouched rows survive pushdown") {
