@@ -619,17 +619,48 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * catalog version. */
   def commitAll(replace: Seq[(String, DataFrame)],
                 append: Seq[(String, DataFrame)] = Seq.empty,
-                drop: Seq[String] = Seq.empty): Long =
+                drop: Seq[String] = Seq.empty): Long = {
+    val names = (replace ++ append).map(_._1)
+    require(names.nonEmpty || drop.nonEmpty,
+      "commitAll needs at least one write or drop")
+    require(names.distinct.size == names.size,
+      s"duplicate table in commitAll: ${names.diff(names.distinct).mkString(", ")}")
+    require(names.forall(t => !t.startsWith("_") && !t.startsWith(".")),
+      "table names must not start with _ or .")
+    require(drop.intersect(names).isEmpty,
+      s"cannot both write and drop: ${drop.intersect(names).mkString(", ")}")
+    // 0. STAGE every member's data write with NO lock held (the
+    //    stagedRewrite discipline applied to transactions — VERDICT r10
+    //    next #2's "apply the same to commitAll"): the catalog lock
+    //    used to cover every member byte, serializing unrelated
+    //    transactions behind the slowest data write. Each staged member
+    //    pins the field-id assignment it stamped; under the lock the
+    //    assignment is revalidated and a loser (concurrent rename /
+    //    rewrite of that table) falls back to an inline locked write of
+    //    the SAME DataFrame — correctness always, staging when
+    //    uncontended. First writes on absent/plain append targets stage
+    //    nothing (they land as full rewrites inline, as before).
+    final case class StagedMember(table: String, df: DataFrame,
+        isReplace: Boolean, staging: Option[Path],
+        m: Option[TableCatalog.IdMarker])
+    val members = (replace.map(x => (x, true)) ++
+        append.map(x => (x, false))).map { case ((t, df), isRep) =>
+      val cur = currentVersion(t)
+      val m =
+        if (isRep) Some(rewriteIds(t, df.schema, cur.getOrElse(0L) + 1L))
+        else cur.flatMap(c => appendIds(t, c, df.schema))
+      val staging =
+        if (isRep || cur.isDefined) {
+          Files.createDirectories(Paths.get(path(t)))
+          val p = Paths.get(path(t),
+            s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
+          enforced(t, stampDf(df, m.map(_.ids).getOrElse(Map.empty)))
+            .write.parquet(p.toString)
+          Some(p)
+        } else None
+      StagedMember(t, df, isRep, staging, m)
+    }
     withTableLock("_catalog") {
-      val names = (replace ++ append).map(_._1)
-      require(names.nonEmpty || drop.nonEmpty,
-        "commitAll needs at least one write or drop")
-      require(names.distinct.size == names.size,
-        s"duplicate table in commitAll: ${names.diff(names.distinct).mkString(", ")}")
-      require(names.forall(t => !t.startsWith("_") && !t.startsWith(".")),
-        "table names must not start with _ or .")
-      require(drop.intersect(names).isEmpty,
-        s"cannot both write and drop: ${drop.intersect(names).mkString(", ")}")
       val cPrev = catalogVersion
       val cNext = cPrev.getOrElse(0L) + 1L
       val prevPins = cPrev.map(catalogPins).getOrElse(Map.empty[String, Long])
@@ -640,9 +671,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // there was no code path that could ever drop a pin)
       var pins = (prevPins -- drop).filter { case (t, pv) =>
         names.contains(t) || Files.exists(snapDir(t, pv)) }
-      // 1. every table's own crash-safe commit protocol, unchanged
-      replace.foreach { case (t, df) => pins += (t -> replaceAtomic(t, df)) }
-      append.foreach { case (t, df) => pins += (t -> appendAtomic(t, df)) }
+      // 1. every table's own crash-safe commit protocol — swap-only
+      //    when the staging is still valid, inline locked write when not
+      members.foreach { sw =>
+        pins += (sw.table -> withTableLock(sw.table) {
+          healSwap(sw.table)
+          commitStagedMemberLocked(sw.table, sw.df, sw.isReplace,
+            sw.staging, sw.m)
+        })
+      }
       // 2. pin EVERY referenced version (new and carried) under the new
       //    generation's tag — retention must never prune a version the
       //    latest catalog snapshot resolves to. Tagging carried pins
@@ -668,6 +705,52 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       cPrev.foreach(p => prevPins.keys.foreach(t => dropTag(t, pinName(p))))
       cNext
     }
+  }
+
+  /** One transaction member's commit under ITS table lock: swap the
+    * pre-staged files in when the id assignment pinned at staging time
+    * still matches (no concurrent rename/rewrite of this table), else
+    * discard the staging and run the inline locked write — the
+    * stagedRewrite validate-or-retry rule, with the member's DataFrame
+    * as the always-correct fallback. */
+  private def commitStagedMemberLocked(table: String, df: DataFrame,
+      isReplace: Boolean, staging: Option[Path],
+      m: Option[TableCatalog.IdMarker]): Long = {
+    val cur = currentVersion(table)
+    def discard(): Unit = staging.foreach(deleteRecursive)
+    if (isReplace) {
+      val fresh = rewriteIds(table, df.schema, cur.getOrElse(0L) + 1L)
+      val stagedOk = staging.isDefined && m.exists(_.ids == fresh.ids) &&
+        // the DV guard replaceAtomicLocked enforces — a plain table
+        // carrying live vectors must refuse (txn replaces don't fold)
+        (cur.isDefined || !hasDv(table))
+      if (!stagedOk) { discard(); replaceAtomicLocked(table, df) }
+      else {
+        writeIdMarker(table, fresh)
+        commitStagedLocked(table, staging.get, "REPLACE", cur, df.schema,
+          ids = fresh.ids, nextId = fresh.nextId)
+      }
+    } else cur match {
+      case None => discard(); appendAtomicLocked(table, df, mergeSchema = false)
+      case Some(c) =>
+        val fresh = appendIds(table, c, df.schema)
+        val stagedOk = staging.isDefined &&
+          fresh.map(_.ids) == m.map(_.ids)
+        if (!stagedOk) { discard(); appendAtomicLocked(table, df, false) }
+        else appendCommitLocked(table, c, df.schema, mergeSchema = false,
+          fresh, dst => {
+            Files.createDirectories(dst)
+            val s = Files.list(staging.get)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet"))
+                .foreach(p => Files.move(p, dst.resolve(p.getFileName)))
+            } finally s.close()
+            deleteRecursive(staging.get)
+          })
+    }
+  }
 
   /** Pin `v` of `table` under tag `name` — [[tag]] for a version other
     * than the current one. Only versions still on disk are pinnable
@@ -3792,6 +3875,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def appendAtomic(table: String, df: DataFrame,
                    mergeSchema: Boolean = false): Long = withTableLock(table) {
     healSwap(table)
+    appendAtomicLocked(table, df, mergeSchema)
+  }
+
+  private def appendAtomicLocked(table: String, df: DataFrame,
+                                 mergeSchema: Boolean): Long =
     currentVersion(table) match {
       case None =>
         // a plain table's files would be SHADOWED (and swept) by the
@@ -3802,83 +3890,91 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             "use append() for plain tables or replaceAtomic to convert")
         replaceAtomicLocked(table, df)
       case Some(cur) =>
-        // SCHEMA EVOLUTION gate: the hard-link layout mixes old and new
-        // files in one snapshot, so a silent schema drift would leave
-        // reads at the mercy of footer sampling. Same column set →
-        // plain append. Additive drift (columns added or omitted,
-        // common types agree) → requires the explicit mergeSchema
-        // opt-in (Delta's rule); the union schema lands in the schema
-        // log so every read and time travel is deterministic, missing
-        // columns null-fill on either side. A TYPE conflict is never
-        // mergeable — refuse loudly.
-        val curSchema = resolveSchema(table, cur).getOrElse(
-          spark.read.parquet(snapDir(table, cur).toString).schema)
-        val curTypes = curSchema.map(f => f.name -> f.dataType).toMap
-        val newTypes = df.schema.map(f => f.name -> f.dataType).toMap
-        val conflicts = curTypes.keySet.intersect(newTypes.keySet)
-          .filter(k => curTypes(k) != newTypes(k)).toSeq.sorted
-        require(conflicts.isEmpty,
-          s"appendAtomic to '$table': column type conflict on " +
-            s"${conflicts.mkString(", ")} — evolution is additive only")
-        val evolved = curTypes.keySet != newTypes.keySet
-        require(!evolved || mergeSchema,
-          s"appendAtomic to '$table': schema drift (table has " +
-            s"${curSchema.fieldNames.sorted.mkString(",")}; append has " +
-            s"${df.schema.fieldNames.sorted.mkString(",")}) — pass " +
-            "mergeSchema = true to evolve additively, or align the columns")
-        val mergedSchema = StructType(
-          (curSchema.fields ++
-            df.schema.fields.filterNot(f => curTypes.contains(f.name)))
-            .map(_.copy(nullable = true))) // null-filled on one side
-        val next = cur + 1L
-        deleteRecursive(snapDir(table, next)) // a crashed prior attempt
-        // appends extend the id registry: existing names keep their
-        // stamps, evolving columns draw fresh ids; a table without a
-        // valid marker appends unstamped files (stays un-renameable
-        // until a full rewrite, never inconsistently stamped)
         val mIds = appendIds(table, cur, df.schema)
-        val carriesIds = schemaLog(table).lastOption.exists(_.ids.nonEmpty)
-        // a RENAMED table's carried files hold pre-rename column names
-        // readable only BY ID — appending unstamped files would force a
-        // choice between two silent corruptions (id-read throws on the
-        // new files, name-read nulls the old). Refuse instead.
-        require(!carriesIds || mIds.isDefined,
-          s"'$table' reads by field id but its id marker is gone " +
-            "(a crashed rewrite, or a SQL row-level statement rewrote " +
-            "the files) — run compactSmallFiles/optimizeZOrder to " +
-            "re-stamp before appending")
-        // stamp under the marker's assignment; without one, STRIP the
-        // inherited ids instead (a partially-stamped file read under an
-        // inference schema null-fills the ids it lacks — worse than the
-        // loud mixed-layout refusal a fully-stripped file produces)
-        enforced(table, stampDf(df, mIds.map(_.ids).getOrElse(Map.empty)))
-          .write.parquet(snapDir(table, next).toString)
-        mIds.foreach(writeIdMarker(table, _))
-        if (evolved || schemaLog(table).nonEmpty) {
-          val entryIds = mIds.filter(_ => carriesIds)
-          appendSchemaEntry(table, next, mergedSchema.toDDL,
-            ids = entryIds.map(m =>
-              mergedSchema.fieldNames.flatMap(n =>
-                m.ids.get(n).map(n -> _)).toMap).getOrElse(Map.empty),
-            nextId = entryIds.map(_.nextId).getOrElse(0))
-        }
-        listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
-          val src = Paths.get(java.net.URI.create(u))
-          val dst = snapDir(table, next).resolve(src.getFileName)
-          // Spark part-file names carry a per-job UUID — a collision
-          // means something else wrote here; refuse, never overwrite
-          require(!Files.exists(dst),
-            s"part-file name collision in '$table': ${src.getFileName}")
-          Files.createLink(dst, src)
-        }
-        writeHistoryEntry(table, next, "APPEND")
-        val tmp = Paths.get(path(table), "_version.tmp")
-        Files.write(tmp, next.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        committer.atomicRename(tmp, versionFile(table))
-        pruneSnapshots(table, cur)
-        next
+        appendCommitLocked(table, cur, df.schema, mergeSchema, mIds,
+          // stamp under the marker's assignment; without one, STRIP the
+          // inherited ids instead (a partially-stamped file read under
+          // an inference schema null-fills the ids it lacks — worse
+          // than the loud mixed-layout refusal a stripped file gives)
+          dst => enforced(table,
+            stampDf(df, mIds.map(_.ids).getOrElse(Map.empty)))
+            .write.parquet(dst.toString))
     }
+
+  /** The locked append commit, with the NEW files landed by `land`
+    * (either the df write — [[appendAtomic]] — or a rename of already-
+    * staged files — [[commitAll]]'s unlocked staging). Runs the schema
+    * evolution gate, extends the id registry, hard-links the carried
+    * files, and moves the pointer. */
+  private def appendCommitLocked(table: String, cur: Long,
+      dfSchema: StructType, mergeSchema: Boolean,
+      mIds: Option[TableCatalog.IdMarker], land: Path => Unit): Long = {
+    // SCHEMA EVOLUTION gate: the hard-link layout mixes old and new
+    // files in one snapshot, so a silent schema drift would leave
+    // reads at the mercy of footer sampling. Same column set →
+    // plain append. Additive drift (columns added or omitted,
+    // common types agree) → requires the explicit mergeSchema
+    // opt-in (Delta's rule); the union schema lands in the schema
+    // log so every read and time travel is deterministic, missing
+    // columns null-fill on either side. A TYPE conflict is never
+    // mergeable — refuse loudly.
+    val curSchema = resolveSchema(table, cur).getOrElse(
+      spark.read.parquet(snapDir(table, cur).toString).schema)
+    val curTypes = curSchema.map(f => f.name -> f.dataType).toMap
+    val newTypes = dfSchema.map(f => f.name -> f.dataType).toMap
+    val conflicts = curTypes.keySet.intersect(newTypes.keySet)
+      .filter(k => curTypes(k) != newTypes(k)).toSeq.sorted
+    require(conflicts.isEmpty,
+      s"appendAtomic to '$table': column type conflict on " +
+        s"${conflicts.mkString(", ")} — evolution is additive only")
+    val evolved = curTypes.keySet != newTypes.keySet
+    require(!evolved || mergeSchema,
+      s"appendAtomic to '$table': schema drift (table has " +
+        s"${curSchema.fieldNames.sorted.mkString(",")}; append has " +
+        s"${dfSchema.fieldNames.sorted.mkString(",")}) — pass " +
+        "mergeSchema = true to evolve additively, or align the columns")
+    val mergedSchema = StructType(
+      (curSchema.fields ++
+        dfSchema.fields.filterNot(f => curTypes.contains(f.name)))
+        .map(_.copy(nullable = true))) // null-filled on one side
+    val carriesIds = schemaLog(table).lastOption.exists(_.ids.nonEmpty)
+    // a RENAMED table's carried files hold pre-rename column names
+    // readable only BY ID — appending unstamped files would force a
+    // choice between two silent corruptions (id-read throws on the
+    // new files, name-read nulls the old). Refuse instead.
+    require(!carriesIds || mIds.isDefined,
+      s"'$table' reads by field id but its id marker is gone " +
+        "(a crashed rewrite, or a SQL row-level statement rewrote " +
+        "the files) — run compactSmallFiles/optimizeZOrder to " +
+        "re-stamp before appending")
+    val next = cur + 1L
+    deleteRecursive(snapDir(table, next)) // a crashed prior attempt
+    land(snapDir(table, next))
+    mIds.foreach(writeIdMarker(table, _))
+    if (evolved || schemaLog(table).nonEmpty) {
+      val entryIds = mIds.filter(_ => carriesIds)
+      appendSchemaEntry(table, next, mergedSchema.toDDL,
+        ids = entryIds.map(m =>
+          mergedSchema.fieldNames.flatMap(n =>
+            m.ids.get(n).map(n -> _)).toMap).getOrElse(Map.empty),
+        nextId = entryIds.map(_.nextId).getOrElse(0))
+    }
+    listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
+      val src = Paths.get(java.net.URI.create(u))
+      val dst = snapDir(table, next).resolve(src.getFileName)
+      // Spark part-file names carry a per-job UUID — a collision
+      // means something else wrote here; refuse, never overwrite
+      require(!Files.exists(dst),
+        s"part-file name collision in '$table': ${src.getFileName}")
+      Files.createLink(dst, src)
+    }
+    writeHistoryEntry(table, next, "APPEND")
+    val tmp = Paths.get(path(table), "_version.tmp")
+    Files.write(tmp, next.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, versionFile(table))
+    pruneSnapshots(table, cur)
+    next
   }
 
   /** ALTER TABLE … RENAME COLUMN as a METADATA commit — no data file is

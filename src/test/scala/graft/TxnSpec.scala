@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, udf}
 import graft.catalog.TableCatalog
 import java.nio.file.Files
 
@@ -141,6 +142,55 @@ class TxnSpec extends AnyFunSuite with SparkTestSession {
       cat.commitAll(Seq("t" -> Seq((1L, 1L)).toDF("k", "v")), drop = Seq("t")))
   }
 
+  test("member data writes stage OUTSIDE the catalog lock; a mid-stage commit survives") {
+    val cat = new TableCatalog(spark, Files.createTempDirectory("txn").toString)
+    cat.commitAll(replace = Seq("t" -> Seq((1L, 1L)).toDF("k", "v")))
+    val lockFile = java.nio.file.Paths.get(cat.root, "_catalog", "_writer.lock")
+    // the probe runs INSIDE the member's staging write: in local mode
+    // the task shares the JVM, so observing the catalog lock file held
+    // during evaluation would prove the r10 shape (lock around the
+    // data writes) is back
+    TxnSpec.lockSeenDuringStage.set(false)
+    TxnSpec.probedRows.set(0)
+    val lockPath = lockFile.toString
+    val probe = udf((k: Long) => {
+      TxnSpec.probedRows.incrementAndGet()
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(lockPath)))
+        TxnSpec.lockSeenDuringStage.set(true)
+      k
+    })
+    val c = cat.commitAll(
+      replace = Seq("t" ->
+        Seq((5L, 50L), (6L, 60L)).toDF("k", "v")
+          .withColumn("k", probe(col("k")))),
+      append = Seq("t2" -> Seq((7L, 70L)).toDF("k", "v")))
+    assert(TxnSpec.probedRows.get() > 0, "the probe never evaluated")
+    assert(!TxnSpec.lockSeenDuringStage.get(),
+      "the catalog lock was HELD during a member's data write — " +
+        "staging must happen before the lock")
+    assert(cat.catalogVersion.contains(c))
+    assert(cat.readConsistent("t").orderBy("k").as[(Long, Long)]
+      .collect().toSeq === Seq((5L, 50L), (6L, 60L)))
+    assert(cat.readConsistent("t2").as[(Long, Long)].head() === ((7L, 70L)))
+    // a commit landing BETWEEN staging and the lock: simulate by
+    // staging against a version that then moves — the member falls back
+    // to the inline locked write and nothing is lost (exercised via a
+    // replace whose table is rewritten concurrently in the same JVM by
+    // the staging itself being stale: here we just re-run a txn after
+    // an out-of-band commit and assert convergence)
+    cat.replaceAtomic("t", Seq((8L, 80L)).toDF("k", "v"))
+    cat.commitAll(replace = Seq("t" -> Seq((9L, 90L)).toDF("k", "v")))
+    assert(cat.readConsistent("t").as[(Long, Long)].head() === ((9L, 90L)))
+    // no staging residue
+    val leftovers = java.nio.file.Files.list(
+      java.nio.file.Paths.get(cat.path("t")))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(!leftovers.iterator().asScala
+        .exists(_.getFileName.toString.startsWith("_tmp_txn-")))
+    } finally leftovers.close()
+  }
+
   test("bad inputs are loud") {
     val cat = new TableCatalog(spark, Files.createTempDirectory("txne").toString)
     assertThrows[IllegalStateException](cat.readConsistent("t"))
@@ -152,4 +202,11 @@ class TxnSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](cat.readConsistent("ghost"))
     assertThrows[IllegalArgumentException](cat.readConsistentAt("t", 99L))
   }
+}
+
+object TxnSpec {
+  // shared with executor tasks (local mode: same JVM) by the
+  // stage-outside-the-lock probe
+  val lockSeenDuringStage = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val probedRows = new java.util.concurrent.atomic.AtomicInteger(0)
 }
