@@ -263,7 +263,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * ones for evolving columns — None when the table has no valid
     * marker (then the append stamps nothing, honestly). */
   private def appendIds(table: String, cur: Long,
-      dfSchema: StructType): Option[TableCatalog.IdMarker] =
+      dfSchema: StructType,
+      repair: Boolean = true): Option[TableCatalog.IdMarker] =
     idMarker(table) match {
       case Some(m) if m.since <= cur =>
         var nid = m.nextId
@@ -273,8 +274,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       case Some(_) =>
         // a crashed rewrite's marker names an uncommitted version — its
         // id view may not describe the live files; retire it rather
-        // than stamping appends against a wrong baseline
-        committer.delete(idMarkerFile(table))
+        // than stamping appends against a wrong baseline. Only under
+        // the writer lock (repair = true): an UNLOCKED staging call
+        // that read `cur` an instant ago cannot tell a crashed marker
+        // from a CONCURRENT rewrite's live one — deleting here would
+        // destroy the live assignment. Staging passes repair = false
+        // and lets the under-lock revalidation sort it out.
+        if (repair) committer.delete(idMarkerFile(table))
         None
       case None => None
     }
@@ -642,13 +648,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     //    nothing (they land as full rewrites inline, as before).
     final case class StagedMember(table: String, df: DataFrame,
         isReplace: Boolean, staging: Option[Path],
-        m: Option[TableCatalog.IdMarker])
+        m: Option[TableCatalog.IdMarker], cons: Seq[(String, String)])
     val members = (replace.map(x => (x, true)) ++
         append.map(x => (x, false))).map { case ((t, df), isRep) =>
       val cur = currentVersion(t)
+      val cons = constraintsOf(t)
       val m =
         if (isRep) Some(rewriteIds(t, df.schema, cur.getOrElse(0L) + 1L))
-        else cur.flatMap(c => appendIds(t, c, df.schema))
+        else cur.flatMap(c => appendIds(t, c, df.schema, repair = false))
       val staging =
         if (isRep || cur.isDefined) {
           Files.createDirectories(Paths.get(path(t)))
@@ -658,7 +665,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             .write.parquet(p.toString)
           Some(p)
         } else None
-      StagedMember(t, df, isRep, staging, m)
+      StagedMember(t, df, isRep, staging, m, cons)
     }
     withTableLock("_catalog") {
       val cPrev = catalogVersion
@@ -677,7 +684,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         pins += (sw.table -> withTableLock(sw.table) {
           healSwap(sw.table)
           commitStagedMemberLocked(sw.table, sw.df, sw.isReplace,
-            sw.staging, sw.m)
+            sw.staging, sw.m, cons0 = Some(sw.cons))
         })
       }
       // 2. pin EVERY referenced version (new and carried) under the new
@@ -715,26 +722,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * as the always-correct fallback. */
   private def commitStagedMemberLocked(table: String, df: DataFrame,
       isReplace: Boolean, staging: Option[Path],
-      m: Option[TableCatalog.IdMarker]): Long = {
+      m: Option[TableCatalog.IdMarker],
+      op: String = "REPLACE",
+      cons0: Option[Seq[(String, String)]] = None): Long = {
     val cur = currentVersion(table)
     def discard(): Unit = staging.foreach(deleteRecursive)
+    // constraints enforced during the UNLOCKED staging write judged the
+    // set as of staging time — one added since must judge these rows
+    // too, so a changed set voids the staging (the inline fallback
+    // re-enforces, loudly refusing a violation)
+    val consOk = cons0.forall(_ == constraintsOf(table))
     if (isReplace) {
       val fresh = rewriteIds(table, df.schema, cur.getOrElse(0L) + 1L)
-      val stagedOk = staging.isDefined && m.exists(_.ids == fresh.ids) &&
+      val stagedOk = staging.isDefined && consOk &&
+        m.exists(_.ids == fresh.ids) &&
         // the DV guard replaceAtomicLocked enforces — a plain table
         // carrying live vectors must refuse (txn replaces don't fold)
         (cur.isDefined || !hasDv(table))
-      if (!stagedOk) { discard(); replaceAtomicLocked(table, df) }
+      if (!stagedOk) { discard(); replaceAtomicLocked(table, df, op = op) }
       else {
         writeIdMarker(table, fresh)
-        commitStagedLocked(table, staging.get, "REPLACE", cur, df.schema,
+        commitStagedLocked(table, staging.get, op, cur, df.schema,
           ids = fresh.ids, nextId = fresh.nextId)
       }
     } else cur match {
       case None => discard(); appendAtomicLocked(table, df, mergeSchema = false)
       case Some(c) =>
         val fresh = appendIds(table, c, df.schema)
-        val stagedOk = staging.isDefined &&
+        val stagedOk = staging.isDefined && consOk &&
           fresh.map(_.ids) == m.map(_.ids)
         if (!stagedOk) { discard(); appendAtomicLocked(table, df, false) }
         else appendCommitLocked(table, c, df.schema, mergeSchema = false,
@@ -3639,7 +3654,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * value, never from a post-hoc [[currentVersion]] (a concurrent
     * writer can land between the commit and the re-read). */
   def replaceAtomic(table: String, df: DataFrame): Long =
-    withTableLock(table) { replaceAtomicLocked(table, df) }
+    replaceStaged(table, df, expect = None, op = "REPLACE", () => ())
 
   /** [[replaceAtomic]] with optimistic concurrency: `df` was COMPUTED
     * from snapshot `expect` (e.g. SQL DELETE's survivors plan resolved
@@ -3649,13 +3664,43 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * and [[mergeInto]] already enforce. */
   def replaceAtomicExpect(table: String, df: DataFrame,
                           expect: Option[Long], op: String = "REPLACE"): Long =
+    replaceStaged(table, df, Some(expect), op, () => ())
+
+  /** The staged full-rewrite commit both public replace verbs share:
+    * the data write runs with NO lock held (the [[stagedRewrite]] /
+    * [[commitAll]] discipline — a table-sized rewrite must never hold
+    * the lease for its duration); the lock covers revalidation (field
+    * ids, constraint set, DV guard, and the `expect` snapshot check)
+    * plus a file MOVE. A voided staging falls back to the inline
+    * locked write of the same DataFrame — correctness always, staging
+    * when uncontended. `afterStage` is the specs' deterministic race
+    * window. */
+  private[graft] def replaceStaged(table: String, df: DataFrame,
+      expect: Option[Option[Long]], op: String,
+      afterStage: () => Unit): Long = {
+    val cur = currentVersion(table)
+    val cons0 = constraintsOf(table)
+    val m = rewriteIds(table, df.schema, cur.getOrElse(0L) + 1L)
+    Files.createDirectories(Paths.get(path(table)))
+    val staging = Paths.get(path(table),
+      s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
+    enforced(table, stampDf(df, m.ids)).write.parquet(staging.toString)
+    afterStage()
     withTableLock(table) {
-      require(currentVersion(table) == expect,
-        s"'$table' moved (expected v${expect.getOrElse(0L)}, now " +
-          s"v${currentVersion(table).getOrElse(0L)}) — the statement's " +
-          "input snapshot is stale; re-run it")
-      replaceAtomicLocked(table, df, op = op)
+      healSwap(table)
+      expect.foreach { e =>
+        if (currentVersion(table) != e) {
+          deleteRecursive(staging)
+          require(false,
+            s"'$table' moved (expected v${e.getOrElse(0L)}, now " +
+              s"v${currentVersion(table).getOrElse(0L)}) — the statement's " +
+              "input snapshot is stale; re-run it")
+        }
+      }
+      commitStagedMemberLocked(table, df, isReplace = true, Some(staging),
+        Some(m), op = op, cons0 = Some(cons0))
     }
+  }
 
   private def replaceAtomicLocked(table: String, df: DataFrame,
                                   foldsDv: Boolean = false,
@@ -3732,6 +3777,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         // the converting commit wrote its own id marker just before the
         // pointer — table metadata, like the constraints
         .filterNot(_.getFileName.toString == "_fieldids.json")
+        // a CONCURRENT staged writer's in-flight data (this commit
+        // deleted its own staging before sweeping): not plain-table
+        // files, invisible to readers, and sweeping them here races a
+        // live write — crashed residue is vacuum's `_tmp_` class
+        .filterNot(_.getFileName.toString.startsWith("_tmp_"))
         .foreach(deleteRecursive)
     } finally s.close()
   }
@@ -3873,10 +3923,70 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * [[changesBetween]] O(delta): shared names contribute nothing to a
     * change feed, so only the appended files are ever read back. */
   def appendAtomic(table: String, df: DataFrame,
-                   mergeSchema: Boolean = false): Long = withTableLock(table) {
-    healSwap(table)
-    appendAtomicLocked(table, df, mergeSchema)
-  }
+                   mergeSchema: Boolean = false): Long =
+    appendAtomicStaged(table, df, mergeSchema, () => ())
+
+  /** [[appendAtomic]] with the data write STAGED outside the writer
+    * lock — the last commit verb that still held the lease across its
+    * data write (OPTIMIZE and commitAll's members were staged in this
+    * round's earlier sittings). The append's files land in a `_tmp_txn`
+    * staging directory unlocked; under the lock the field-id
+    * assignment and constraint set are revalidated and the files MOVE
+    * (rename cost) into the snapshot. A concurrent append does NOT
+    * invalidate the staging — both land, in lock order — so the common
+    * contention case pays zero rework; only a mid-stage rewrite /
+    * rename / constraint change (which change what the staged bytes
+    * should contain) falls back to the inline locked write of the same
+    * DataFrame. `afterStage` is the deterministic race window for
+    * specs, the [[stagedRewrite]] build-callback pattern. */
+  private[graft] def appendAtomicStaged(table: String, df: DataFrame,
+      mergeSchema: Boolean, afterStage: () => Unit): Long =
+    currentVersion(table) match {
+      case None =>
+        // first versioned write: a full rewrite, inline as before (the
+        // plain-shadowing refusal and conversion sweep live there)
+        withTableLock(table) { healSwap(table)
+          appendAtomicLocked(table, df, mergeSchema) }
+      case Some(c0) =>
+        val m0 = appendIds(table, c0, df.schema, repair = false)
+        val cons0 = constraintsOf(table)
+        Files.createDirectories(Paths.get(path(table)))
+        val staging = Paths.get(path(table),
+          s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
+        // constraints enforce during this unlocked write — a violation
+        // throws before any lock is taken, and the set is re-checked
+        // under the lock (a constraint added mid-stage must judge
+        // these rows: fallback re-enforces inline)
+        enforced(table, stampDf(df, m0.map(_.ids).getOrElse(Map.empty)))
+          .write.parquet(staging.toString)
+        afterStage()
+        withTableLock(table) {
+          healSwap(table)
+          currentVersion(table) match {
+            case Some(c) =>
+              val fresh = appendIds(table, c, df.schema)
+              if (fresh.map(_.ids) == m0.map(_.ids) &&
+                  constraintsOf(table) == cons0)
+                appendCommitLocked(table, c, df.schema, mergeSchema, fresh,
+                  dst => {
+                    Files.createDirectories(dst)
+                    val s = Files.list(staging)
+                    try {
+                      import scala.jdk.CollectionConverters._
+                      s.iterator().asScala
+                        .filter(_.getFileName.toString.endsWith(".parquet"))
+                        .foreach(p => Files.move(p, dst.resolve(p.getFileName)))
+                    } finally s.close()
+                    deleteRecursive(staging)
+                  })
+              else { deleteRecursive(staging)
+                appendAtomicLocked(table, df, mergeSchema) }
+            case None => // dropped / reverted to plain mid-stage
+              deleteRecursive(staging)
+              appendAtomicLocked(table, df, mergeSchema)
+          }
+        }
+    }
 
   private def appendAtomicLocked(table: String, df: DataFrame,
                                  mergeSchema: Boolean): Long =

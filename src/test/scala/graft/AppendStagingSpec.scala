@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.{Files, Paths}
+
+/** The staged-append protocol: appendAtomic's data write runs with NO
+  * lock held; the lock covers only revalidation + a file MOVE. The
+  * `afterStage` hook is the deterministic race window (the
+  * stagedRewrite build-callback pattern) — whatever commits inside it
+  * is exactly "a writer landing while this append's data write was in
+  * flight", which under the pre-staging design could not happen (the
+  * append held the lease for its whole write). */
+class AppendStagingSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def freshCat(): TableCatalog =
+    new TableCatalog(spark, Files.createTempDirectory("apst-cat").toString)
+
+  private def noResidue(cat: TableCatalog, t: String): Unit = {
+    val s = Files.list(Paths.get(cat.path(t)))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(!s.iterator().asScala
+        .exists(_.getFileName.toString.startsWith("_tmp_txn-")),
+        "staging residue survived the commit")
+    } finally s.close()
+  }
+
+  test("a concurrent append mid-stage does NOT invalidate the staging; both land") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (0 until 100).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    val v = cat.appendAtomicStaged("t",
+      Seq((2000L, 2000L)).toDF("k", "v"), mergeSchema = false, () => {
+        // the racer: a plain append committing inside the stage window
+        cat.appendAtomic("t", Seq((1000L, 1000L)).toDF("k", "v"))
+      })
+    // the racer took v2, the staged append landed on top as v3 — no
+    // rework (same ids, same constraints ⇒ the staged bytes are valid
+    // against ANY newer version of the same schema)
+    assert(v === 3L)
+    assert(cat.read("t").count() === 102L)
+    assert(cat.read("t").filter(col("k") >= 1000L).count() === 2L)
+    noResidue(cat, "t")
+  }
+
+  test("a rename mid-stage changes the id assignment: fallback inline, correct under the new name") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (0 until 10).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    val v = cat.appendAtomicStaged("t",
+      Seq((100L, 100L)).toDF("k", "v2"), mergeSchema = false, () => {
+        cat.renameColumn("t", "v", "v2")
+      })
+    assert(v === 3L)
+    // the appended row reads under the renamed column alongside the
+    // id-rebound old files — nothing null-filled, nothing lost
+    assert(cat.read("t").columns.toSeq === Seq("k", "v2"))
+    assert(cat.read("t").count() === 11L)
+    assert(cat.read("t").filter(col("v2").isNull).count() === 0L)
+    noResidue(cat, "t")
+  }
+
+  test("a constraint added mid-stage judges the staged rows: violating append refuses") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 5).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    val e = intercept[Exception] {
+      cat.appendAtomicStaged("t",
+        Seq((-1L, -1L)).toDF("k", "v"), mergeSchema = false, () => {
+          cat.addConstraint("t", "k_pos", "k > 0")
+        })
+    }
+    assert(e.getMessage.contains("k_pos"))
+    // the refused append left neither data nor staging behind
+    assert(cat.read("t").count() === 5L)
+    noResidue(cat, "t")
+  }
+
+  test("a full rewrite mid-stage: the append lands on the NEW snapshot, never the old") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (0 until 10).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    // same column names survive the rewrite, so ids stay stable: the
+    // staged bytes remain valid and must stack on the rewrite's files
+    val v = cat.appendAtomicStaged("t",
+      Seq((100L, 100L)).toDF("k", "v"), mergeSchema = false, () => {
+        cat.replaceAtomic("t", (0 until 10).map(i => (i.toLong + 50L, i.toLong))
+          .toDF("k", "v"))
+      })
+    assert(cat.read("t").count() === 11L)
+    assert(cat.read("t").filter(col("k") === 100L).count() === 1L)
+    // the rewrite's content (k shifted by 50) is what the append joined
+    assert(cat.read("t").filter(col("k") < 50L).count() === 0L)
+    assert(v === cat.currentVersion("t").get)
+    noResidue(cat, "t")
+  }
+}
