@@ -1898,6 +1898,190 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def dropTag(table: String, name: String): Unit =
     committer.delete(tagFile(table, name))
 
+  // --------------------------------- branches (write-audit-publish)
+  // A branch is an UNPUBLISHED append staged beside the table: new data
+  // files land in `_branchdata_<name>/`, a pointer file
+  // `_branch_<name>` records the base snapshot plus the id assignment
+  // the branch's files are stamped under — main readers never see
+  // either (reads resolve `_v<current>` only). The WAP loop (Iceberg's
+  // stage-commit/audit/fast-forward; the reference has no equivalent —
+  // its loads publish sight-unseen, main.py's daily cron): a pipeline
+  // writes to the branch, audits the WOULD-BE table state
+  // ([[readBranch]] under the same CHECK constraints via
+  // [[auditBranch]], plus any ad-hoc queries), then [[publishBranch]]
+  // commits the branch's files as one ordinary versioned APPEND.
+  //
+  // Branches here are append-only — deliberately the variant whose
+  // publish is safe to REBASE: branch rows only ADD, so a main-line
+  // commit landing mid-audit doesn't stale the branch and publish
+  // lands on the MOVED head (Iceberg's cherry-pick of an append
+  // snapshot). The full-rewrite WAP shape is already covered by
+  // [[replaceAtomicExpect]] with the audit between stage and commit.
+  //
+  // Scale posture: a branch write costs O(branch data) and holds no
+  // lock; audit reads base ∪ branch (one parquet scan, distributed);
+  // publish holds the writer lock only for a constraint re-check over
+  // the BRANCH files (never the table) plus the hard-link append
+  // commit. Nothing on this path is O(table).
+
+  private def branchPtrFile(table: String, name: String): Path = {
+    require(TagName.matches(name) && !name.endsWith(".tmp"),
+      s"branch name '$name' must match ${TagName.regex} and not end in .tmp")
+    Paths.get(path(table), s"_branch_$name")
+  }
+
+  private def branchDataDir(table: String, name: String): Path =
+    Paths.get(path(table), s"_branchdata_$name")
+
+  /** Open branches of `table`: name → base snapshot version. */
+  def branches(table: String): Map[String, Long] =
+    committer.listPointers(Paths.get(path(table)), "_branch_")
+      .flatMap { f =>
+        val n = f.drop("_branch_".length)
+        branchMeta(table, n).map(n -> _.base)
+      }.toMap
+
+  // pointer payload: base version, the id assignment branch files are
+  // stamped under (frozen at creation so every branch write stamps
+  // identically, whatever happens on main meanwhile), and the declared
+  // schema DDL (publish never trusts footer sampling of a mixed dir)
+  private case class BranchMeta(base: Long, ids: Option[(Map[String, Int], Int)],
+                                ddl: String)
+
+  private def branchMeta(table: String, name: String): Option[BranchMeta] =
+    committer.read(branchPtrFile(table, name)).map { b =>
+      val lines = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1)
+      val ids =
+        if (lines(1).isEmpty) None
+        else Some((lines(1).split(",").map { kv =>
+          val i = kv.lastIndexOf('=')
+          kv.take(i) -> kv.drop(i + 1).toInt
+        }.toMap, lines(2).toInt))
+      BranchMeta(lines(0).toLong, ids, lines(3))
+    }
+
+  /** Stage `df` onto branch `name` — created at the CURRENT head on
+    * first write. No lock is held: the files land in the branch's own
+    * directory (part-file names carry per-job UUIDs, so successive
+    * writes accumulate without collision) and main-line readers and
+    * writers are untouched. CHECK constraints enforce inline — a
+    * violating row refuses HERE, before anything could publish it —
+    * and again at publish (the set may have grown since). Returns the
+    * branch's base version. */
+  def appendToBranch(table: String, name: String, df: DataFrame): Long = {
+    val cur = currentVersion(table).getOrElse(throw new IllegalStateException(
+      s"'$table' is not versioned — branches stage against snapshots; " +
+        "write it via replaceAtomic/appendAtomic first"))
+    val meta = branchMeta(table, name).getOrElse {
+      val m = appendIds(table, cur, df.schema, repair = false)
+      val created = BranchMeta(cur, m.map(x => (x.ids, x.nextId)),
+        StructType(df.schema.fields.map(_.copy(nullable = true,
+          metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL)
+      val tmp = Paths.get(path(table),
+        s"_brtmp_$name-${java.util.UUID.randomUUID()}")
+      val idsLine = created.ids.map(_._1.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(",")).getOrElse("")
+      val nextLine = created.ids.map(_._2.toString).getOrElse("0")
+      Files.write(tmp, s"${created.base}\n$idsLine\n$nextLine\n${created.ddl}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmp, branchPtrFile(table, name))
+      created
+    }
+    val declared = StructType.fromDDL(meta.ddl)
+    val declTypes = declared.map(f => f.name -> f.dataType).toMap
+    val dfTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    require(declTypes == dfTypes,
+      s"branch '$name' of '$table' is declared (${declared.fieldNames.sorted
+        .mkString(",")}) but this write has (${df.schema.fieldNames.sorted
+        .mkString(",")}) — branches don't evolve; align the columns")
+    enforced(table, stampDf(df, meta.ids.map(_._1).getOrElse(Map.empty)))
+      .write.mode("append").parquet(branchDataDir(table, name).toString)
+    meta.base
+  }
+
+  /** The WOULD-BE table state if branch `name` published right now
+    * against its base: base snapshot ∪ branch files, under the schema
+    * the base declared. This is the audit surface — run row counts,
+    * quality checks, ad-hoc queries against it before publishing. */
+  def readBranch(table: String, name: String): DataFrame = {
+    val meta = branchMeta(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
+        s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
+    val dir = branchDataDir(table, name)
+    val paths = Seq(snapDir(table, meta.base).toString) ++
+      (if (Files.exists(dir)) Seq(dir.toString) else Nil)
+    resolveSchema(table, meta.base) match {
+      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case None =>
+        spark.read.schema(StructType.fromDDL(meta.ddl)).parquet(paths: _*)
+    }
+  }
+
+  /** Enforce the table's CHECK constraints over [[readBranch]] —
+    * throws naming the violated constraint, else returns the would-be
+    * row count. The audit half of write-audit-publish. */
+  def auditBranch(table: String, name: String): Long =
+    enforced(table, readBranch(table, name)).count()
+
+  /** Publish branch `name`: commit its files as one versioned APPEND
+    * on the CURRENT head — which may have moved past the branch's base
+    * (append-only branches rebase safely; see the section comment).
+    * Under the lock: the frozen id assignment must still be the live
+    * one (a rename or row-level rewrite since the stage makes the
+    * staged stamps lie — refuse, re-stage), and CHECK constraints
+    * re-enforce over the branch files only (a constraint added
+    * mid-branch must judge these rows; existing rows already
+    * conformed). An empty branch publishes as a no-op. The branch is
+    * consumed. Returns the committed (or current) version. */
+  def publishBranch(table: String, name: String): Long = withTableLock(table) {
+    healSwap(table)
+    val meta = branchMeta(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
+        s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
+    val cur = currentVersion(table).getOrElse(throw new IllegalStateException(
+      s"'$table' lost its versioned pointer while branch '$name' was open"))
+    val dir = branchDataDir(table, name)
+    val sch = StructType.fromDDL(meta.ddl)
+    def consume(): Unit = {
+      committer.delete(branchPtrFile(table, name))
+      deleteRecursive(dir)
+    }
+    if (!Files.exists(dir) || listParquetUrisAt(dir).isEmpty) {
+      consume(); cur
+    } else {
+      val fresh = appendIds(table, cur, sch)
+      require(fresh.map(_.ids) == meta.ids.map(_._1),
+        s"'$table' changed its field-id assignment while branch '$name' " +
+          "was staged (a rename or row-level rewrite landed) — the " +
+          "branch's stamps are stale; drop and re-stage it")
+      if (constraintsOf(table).nonEmpty)
+        enforced(table, spark.read.schema(TableCatalog.stampIds(sch,
+          meta.ids.map(_._1).getOrElse(Map.empty))).parquet(dir.toString))
+          .count()
+      val v = appendCommitLocked(table, cur, sch, mergeSchema = false,
+        fresh, dst => {
+          Files.createDirectories(dst)
+          val s = Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .foreach(p => Files.move(p, dst.resolve(p.getFileName)))
+          } finally s.close()
+        }, op = "PUBLISH")
+      consume()
+      v
+    }
+  }
+
+  /** Abandon branch `name`: delete its files and pointer. The base
+    * snapshot it pinned becomes prunable at the next retention sweep. */
+  def dropBranch(table: String, name: String): Unit = {
+    committer.delete(branchPtrFile(table, name))
+    deleteRecursive(branchDataDir(table, name))
+  }
+
   /** Heal a [[replaceAtomic]] swap interrupted between its two renames
     * (current content moved aside, replacement not yet in place): put
     * the `.old` copy back so a reader — or a crash-replayed streaming
@@ -2578,7 +2762,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             val n = p.getFileName.toString
             val cls =
               if (n == "_version.tmp" || n.startsWith("_stats.json.tmp-") ||
-                  n.startsWith("_tagtmp_")) Some("write_aside")
+                  n.startsWith("_tagtmp_") || n.startsWith("_brtmp_"))
+                Some("write_aside")
               else if (n.length > 2 && n.startsWith("_v") &&
                   n.drop(2).forall(_.isDigit) && n.drop(2).toLong > committed &&
                   !pinned(n.drop(2).toLong))
@@ -3891,7 +4076,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   private def pruneSnapshots(table: String, keepBelow: Long): Unit = {
     val cutoff = System.currentTimeMillis() - snapshotRetentionMs
-    val pinned = tags(table).values.toSet
+    // an open branch's audit surface is base ∪ branch — the base
+    // snapshot must outlive the branch, exactly like a tagged one
+    val pinned = tags(table).values.toSet ++ branches(table).values.toSet
     val s = Files.list(Paths.get(path(table)))
     try {
       import scala.jdk.CollectionConverters._
@@ -4018,7 +4205,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * files, and moves the pointer. */
   private def appendCommitLocked(table: String, cur: Long,
       dfSchema: StructType, mergeSchema: Boolean,
-      mIds: Option[TableCatalog.IdMarker], land: Path => Unit): Long = {
+      mIds: Option[TableCatalog.IdMarker], land: Path => Unit,
+      op: String = "APPEND"): Long = {
     // SCHEMA EVOLUTION gate: the hard-link layout mixes old and new
     // files in one snapshot, so a silent schema drift would leave
     // reads at the mercy of footer sampling. Same column set →
@@ -4078,7 +4266,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"part-file name collision in '$table': ${src.getFileName}")
       Files.createLink(dst, src)
     }
-    writeHistoryEntry(table, next, "APPEND")
+    writeHistoryEntry(table, next, op)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))

@@ -1083,6 +1083,58 @@ object TestdataQueries {
              |SELECT v1.k, v1.bal_tagged, vn.bal_now
              |FROM v1 LEFT JOIN vn ON v1.k = vn.k""".stripMargin)),
 
+    // --------------------------- write-audit-publish branches (r11)
+    // The WAP loop end-to-end: a load stages onto a branch (invisible
+    // to main readers), the would-be state is audited under the
+    // table's CHECK constraints (a violating stage refuses), main
+    // moves on independently, and publish lands the branch as one
+    // versioned APPEND rebased onto the moved head. The oracle is the
+    // pure relational content — three UNION ALL slices — so the hash
+    // proves isolation, audit, and rebase all preserved the data.
+    "x_wap_branch" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_wap", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("rk"))
+      cat.replaceAtomic("dim_wap", base)
+      cat.addConstraint("dim_wap", "k_nonneg", "k >= 0")
+      val nBase = base.count()
+      val nBranch = base.filter(col("rk") === 1L).count()
+      // stage: a derived slice onto the branch — main must not see it
+      cat.appendToBranch("dim_wap", "load", base.filter(col("rk") === 1L)
+        .select((col("k") + lit(100L)).as("k"), col("name"), col("rk")))
+      require(cat.read("dim_wap").count() == nBase,
+        "branch rows leaked into the main read")
+      // audit: constraints + expected count over the would-be state
+      require(cat.auditBranch("dim_wap", "load") == nBase + nBranch,
+        "audit saw the wrong would-be state")
+      // a violating stage refuses at the write — the gate is real
+      val refused =
+        try { cat.appendToBranch("dim_wap", "load",
+          Seq((-1L, "BAD", 0L)).toDF("k", "name", "rk")); false }
+        catch { case e: Exception
+          if String.valueOf(e.getMessage).contains("k_nonneg") => true }
+      require(refused, "a constraint-violating branch write must refuse")
+      // main moves mid-branch; publish rebases onto the new head
+      cat.appendAtomic("dim_wap", base.filter(col("rk") === 3L)
+        .select((col("k") + lit(200L)).as("k"), col("name"), col("rk")))
+      cat.publishBranch("dim_wap", "load")
+      require(cat.branches("dim_wap").isEmpty, "publish must consume the branch")
+      cat.read("dim_wap").select(col("k"), col("name"), col("rk"))
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             |  CAST(n_regionkey AS BIGINT) AS rk FROM nation
+             |UNION ALL
+             |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 1
+             |UNION ALL
+             |SELECT CAST(n_nationkey AS BIGINT) + 200, n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 3""".stripMargin)),
+
     // --------------------------- commit-log catalog + ANALYZE (r8)
     // The same committed content must come out of the append-only
     // commit-log pointer protocol (LogCommitter — the object-store
