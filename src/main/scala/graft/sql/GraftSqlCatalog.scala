@@ -341,7 +341,8 @@ class GraftSqlCatalog extends DsV2TableCatalog
 
 object GraftSqlCatalog {
   private[sql] val ProcedureNames =
-    Seq("describe_history", "optimize", "vacuum", "restore")
+    Seq("describe_history", "optimize", "vacuum", "restore",
+      "audit_branch", "publish_branch", "drop_branch")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -361,6 +362,9 @@ object GraftSqlCatalog {
       case "optimize" => "compact small files (staged rewrite, lock-free)"
       case "vacuum" => "sweep crashed-writer residue; returns the audit"
       case "restore" => "commit a retained snapshot as the new version"
+      case "audit_branch" => "enforce CHECK constraints over a staged branch"
+      case "publish_branch" => "commit a staged branch as one APPEND"
+      case "drop_branch" => "abandon a staged branch and its files"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -383,6 +387,9 @@ object GraftSqlCatalog {
           case "restore" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("version", DT.LongType).build())
+          case "audit_branch" | "publish_branch" | "drop_branch" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("branch", DT.StringType).build())
         }
 
         override def call(input: InternalRow)
@@ -411,6 +418,15 @@ object GraftSqlCatalog {
             case "restore" =>
               val v = cat.restore(table, input.getLong(1))
               (StructType.fromDDL("restored_as LONG"), Seq(InternalRow(v)))
+            case "audit_branch" =>
+              val n = cat.auditBranch(table, input.getUTF8String(1).toString)
+              (StructType.fromDDL("would_be_rows LONG"), Seq(InternalRow(n)))
+            case "publish_branch" =>
+              val v = cat.publishBranch(table, input.getUTF8String(1).toString)
+              (StructType.fromDDL("published_as LONG"), Seq(InternalRow(v)))
+            case "drop_branch" =>
+              cat.dropBranch(table, input.getUTF8String(1).toString)
+              (StructType.fromDDL("dropped LONG"), Seq(InternalRow(1L)))
           }
           java.util.Collections.singletonList(
             new org.apache.spark.sql.connector.read.LocalScan {

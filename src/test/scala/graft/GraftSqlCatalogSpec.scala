@@ -92,6 +92,27 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"CALL $g.system.restore('t', 99)").collect())
   }
 
+  test("CALL g.system audit_branch/publish_branch/drop_branch drive the WAP loop") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t", (1 to 10).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    cat.addConstraint("t", "k_pos", "k > 0")
+    cat.appendToBranch("t", "load", Seq((100L, 100L)).toDF("k", "v"))
+    // audit from SQL: the would-be row count
+    assert(spark.sql(s"CALL $g.system.audit_branch('t', 'load')")
+      .as[Long].head() === 11L)
+    // main is still unaware
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 10L)
+    assert(spark.sql(s"CALL $g.system.publish_branch('t', 'load')")
+      .as[Long].head() === 2L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 11L)
+    // a second branch, abandoned from SQL
+    cat.appendToBranch("t", "bad", Seq((200L, 200L)).toDF("k", "v"))
+    spark.sql(s"CALL $g.system.drop_branch('t', 'bad')").collect()
+    assert(cat.branches("t").isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 11L)
+  }
+
   test("PARTITIONED BY (identity col) maps onto the plain partitioned layout") {
     val (cat, g) = freshSqlCat()
     spark.sql(
