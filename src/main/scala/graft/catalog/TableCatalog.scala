@@ -2752,6 +2752,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         // version, but a future restore/rollback could leave a tagged
         // snapshot above the pointer — never vacuum a pin
         val pinned = tags(table).values.toSet
+        // a `_branchdata_` dir whose pointer is GONE is residue of a
+        // dropBranch/publish that crashed between its two deletes —
+        // unreachable (every branch verb resolves the pointer first),
+        // safe to sweep. A dir WITH a live pointer is an open branch:
+        // never swept here, however old — staged data is the user's.
+        val openBranches = branches(table).keySet
         def ageOk(p: Path): Boolean =
           try Files.getLastModifiedTime(p).toMillis <= cutoff
           catch { case _: java.io.IOException => false }
@@ -2769,6 +2775,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                   !pinned(n.drop(2).toLong))
                 Some("uncommitted_snapshot")
               else if (n.startsWith("_tmp_")) Some("staging")
+              else if (n.startsWith("_branchdata_") &&
+                  !openBranches(n.drop("_branchdata_".length)))
+                Some("branch_orphan")
               else None
             cls.filter(_ => ageOk(p)).map(c => (c, p))
           }.toList

@@ -125,4 +125,21 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
         p.getFileName.toString.startsWith("_branch")))
     } finally s.close()
   }
+
+  test("vacuum sweeps orphaned branch data but never an open branch") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranch("t", "open", Seq((9L, 9L)).toDF("k", "v"))
+    // simulate a dropBranch that crashed between its two deletes:
+    // pointer gone, data dir left behind
+    cat.appendToBranch("t", "crashed", Seq((8L, 8L)).toDF("k", "v"))
+    Files.delete(Paths.get(cat.path("t"), "_branch_crashed"))
+    val audit = cat.vacuum("t", graceMs = 0L).map(x => x._1 -> x._2).toMap
+    assert(audit.contains("branch_orphan"), s"audit: $audit")
+    assert(!Files.exists(Paths.get(cat.path("t"), "_branchdata_crashed")))
+    // the open branch survived, data intact, still publishable
+    assert(Files.exists(Paths.get(cat.path("t"), "_branchdata_open")))
+    cat.publishBranch("t", "open")
+    assert(cat.read("t").count() === 4L)
+  }
 }
