@@ -982,7 +982,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // estimator must spread THIS mass, not `rows` (NULLs never match
       // a range predicate — a 90 %-NULL column would otherwise
       // over-estimate every range 10×)
-      hcols.map(c => count(col(c)).as(s"_nn_$c"))
+      hcols.map(c => count(col(c)).as(s"_nn_$c")) ++
+      // MERGEABLE NDV sketches ride the same pass too — one global HLL
+      // sketch per column (NOT per file: the per-file-sketch shape was
+      // the r9 x_skipping_read regression), so appendIndexed can union
+      // in the new files' sketches instead of dropping NDV
+      targets.map(c => org.apache.spark.sql.functions
+        .hll_sketch_agg(ndvInput(df.schema(c))).as(s"_hll_$c"))
     val globalRow = df.agg(gAggs.head, gAggs.tail: _*).head()
     // STRING skip columns keep their native envelopes (URL prefixes,
     // categorical codes — a 100 TB layout clustered by a string key
@@ -1040,6 +1046,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val rowCount = globalRow.getLong(globalRow.fieldIndex("_rows"))
     val ndv = targets.map(c =>
       c -> globalRow.getLong(globalRow.fieldIndex(s"_ndv_$c"))).toMap
+    // an all-NULL / zero-row column yields a null sketch — omitted (its
+    // NDV is 0; a later merge contributes nothing for it either)
+    val ndvSketches: Map[String, Array[Byte]] = targets.flatMap { c =>
+      val i = globalRow.fieldIndex(s"_hll_$c")
+      if (globalRow.isNullAt(i)) None
+      else Some(c -> globalRow.getAs[Array[Byte]](i))
+    }.toMap
     // Equi-depth histogram boundaries (VERDICT r9 next #4): B+1
     // approximate quantiles per requested column — Spark's own ANALYZE
     // histogram model (ApproximatePercentile: bounded-memory GK
@@ -1110,13 +1123,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         deleteRecursive(manifestDir(table).resolve(newGen))
         ""
       } else newGen
+    val nonce =
+      if (ndvSketches.isEmpty) ""
+      else java.util.UUID.randomUUID().toString
     val st = TableCatalog.TableStats(ver, rowCount,
       sizeBytes, ndv, skips,
       blooms, if (blooms.isEmpty) 0 else bloomHashes,
       if (blooms.isEmpty) 0 else bloomBitsPerRow,
       fileIndex.size.toLong, gen, hists,
       hists.keys.map(c =>
-        c -> globalRow.getLong(globalRow.fieldIndex(s"_nn_$c"))).toMap)
+        c -> globalRow.getLong(globalRow.fieldIndex(s"_nn_$c"))).toMap,
+      ndvNonce = nonce)
     // Skip the sidecar write when the pointer moved mid-job — the stats
     // describe a superseded snapshot and would only overwrite fresher
     // ones. (If a commit lands between this check and the rename, the
@@ -1124,6 +1141,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // way.) Unique temp name: concurrent analyzers must not share a
     // write-aside path.
     if (currentVersion(table) == ver) {
+      // sketches land BEFORE the head: ndvNonce is the commit pointer
+      // (a crashed analyze leaves an unreferenced sidecar the next
+      // write overwrites; a nonce mismatch reads as "no sketches")
+      if (nonce.nonEmpty) writeNdvSketches(table, nonce, ndvSketches)
       commitHead(table, st)
       // prune manifest generations this commit superseded, KEEPING the
       // immediately-previous one (in-flight readers of the old head —
@@ -1140,6 +1161,68 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       }
     }
     st
+  }
+
+  // ---------------------------------- mergeable NDV sketches (_ndvsketch)
+  // Per-column DataSketches HLL sketches beside the head — the piece
+  // that lets [[appendIndexed]] keep NDV FRESH at O(new files) instead
+  // of dropping it (HLL *finals* don't merge; the sketches do, via
+  // hll_union_agg). NOT on the planning path: the head carries only the
+  // NDV numbers plus `ndvNonce`, the commit pointer into this sidecar;
+  // only analyze (write) and appendIndexed (read-merge-write) touch it.
+  // Size is O(analyzed columns) — ~1.5 KB per column at the default
+  // lgConfigK=12, independent of rows and files.
+
+  private def ndvSketchFile(table: String): Path =
+    Paths.get(path(table), "_ndvsketch.json")
+
+  private def writeNdvSketches(table: String, nonce: String,
+      sketches: Map[String, Array[Byte]]): Unit = {
+    val o = TableCatalog.om.createObjectNode()
+    o.put("nonce", nonce)
+    val sk = o.putObject("sketches")
+    sketches.toSeq.sortBy(_._1).foreach { case (c, b) =>
+      sk.put(c, java.util.Base64.getEncoder.encodeToString(b)) }
+    val tmp = Paths.get(path(table),
+      s"_tmp_ndvsketch-${java.util.UUID.randomUUID()}") // vacuum's class
+    Files.write(tmp, TableCatalog.om.writeValueAsString(o)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, ndvSketchFile(table))
+  }
+
+  private def readNdvSketches(table: String)
+      : Option[(String, Map[String, Array[Byte]])] =
+    committer.read(ndvSketchFile(table)).flatMap { b =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val n = TableCatalog.om.readTree(
+          new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        val sk = Option(n.get("sketches")).map(_.properties().asScala
+          .map(e => e.getKey ->
+            java.util.Base64.getDecoder.decode(e.getValue.asText())).toMap)
+          .getOrElse(Map.empty[String, Array[Byte]])
+        Option(n.get("nonce")).map(_.asText() -> sk)
+      } catch { case _: Exception => None }
+    }
+
+  /** The column expression NDV sketches are built over — factored so
+    * ANALYZE and the incremental append feed hll_sketch_agg IDENTICAL
+    * inputs per column (a mapping drift between the two would merge
+    * sketches of different value domains). Types the sketch aggregate
+    * accepts natively pass through; everything else casts to a
+    * canonical 1:1 string rendering (distinctness preserved). */
+  private def ndvInput(f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(f.name).cast("long")
+      case BooleanType | DateType => col(f.name).cast("int")
+      case StringType | BinaryType => col(f.name)
+      case TimestampType | TimestampNTZType => col(f.name).cast("long")
+      case _ => col(f.name).cast("string")
+    }
   }
 
   /** Persisted statistics of `table` (the KB-sized planning HEAD), if
@@ -2809,10 +2892,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * O(new files), not O(table)). New files are identified by listing
     * before and after the append (single-writer layout, like every
     * mutation here); only they are re-scanned. Row count and bytes are
-    * maintained exactly; NDV is DROPPED from the merged sidecar — HLL
-    * finals don't merge, so a stale NDV would silently skew
-    * [[estimateJoinRows]]; absent NDV makes the estimate return None
-    * (the safe fallback) until the next full [[analyze]]. */
+    * maintained exactly; NDV stays FRESH by merging the `_ndvsketch`
+    * sidecar's per-column HLL sketches with sketches of the NEW files
+    * (hll_union_agg — O(new data) per append, the same cost class as
+    * the envelope leg). When the sidecar is absent or stale, NDV is
+    * DROPPED instead (HLL point estimates don't merge) so
+    * [[estimateJoinRows]] returns None — the safe fallback — until the
+    * next full [[analyze]]. Histograms always drop: quantile summaries
+    * of the pre-append distribution don't merge. */
   def appendIndexed(table: String, df: DataFrame,
                     skipCols: Seq[String]): Unit = {
     val prev = stats(table)
@@ -2878,12 +2965,57 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // reader sees the old legs or old+new, both consistent with the
       // directory (the appended data files are already on disk)
       writeEnvLeg(table, prev.manifestGen, fs)
+      // NDV stays FRESH through the append when the sketch sidecar is
+      // live: sketch the NEW files (one column-pruned pass, O(new
+      // data)), hll_union each column with the stored sketch, re-commit
+      // sketches + estimates under a fresh nonce. The pre-sketch
+      // fallback (no sidecar / nonce mismatch / column vanished from
+      // the append's schema) keeps the old honest behavior: DROP NDV so
+      // join estimates fall back instead of silently skewing.
+      val (mergedNdv, mergedNonce) = readNdvSketches(table) match {
+        case Some((nonce0, prevSk))
+            if nonce0 == prev.ndvNonce && nonce0.nonEmpty &&
+              prev.ndv.keySet.subsetOf(prevSk.keySet) =>
+          import org.apache.spark.sql.functions.{hll_sketch_agg, hll_union_agg, hll_sketch_estimate}
+          val newScan = spark.read.option("basePath", path(table))
+            .parquet(newFiles: _*)
+          val skCols = prev.ndv.keySet.toSeq.sorted
+          if (skCols.forall(newScan.columns.contains)) {
+            val skAggs = skCols.map(c =>
+              hll_sketch_agg(ndvInput(newScan.schema(c))).as(s"_hll_$c"))
+            val row = newScan.agg(skAggs.head, skAggs.tail: _*).head()
+            // (col, sketch) pairs — prev always, new when non-null
+            // (all-NULL new slice adds nothing) — merged in ONE tiny job
+            val pairs = skCols.flatMap { c =>
+              val i = row.fieldIndex(s"_hll_$c")
+              (prevSk(c) +: (if (row.isNullAt(i)) Seq.empty
+                else Seq(row.getAs[Array[Byte]](i)))).map(b => (c, b))
+            }
+            import spark.implicits._
+            val merged = pairs.toDF("c", "sk")
+              .groupBy("c")
+              .agg(hll_union_agg(org.apache.spark.sql.functions.col("sk"))
+                .as("sk"))
+              .select(org.apache.spark.sql.functions.col("c"),
+                org.apache.spark.sql.functions.col("sk"),
+                hll_sketch_estimate(org.apache.spark.sql.functions.col("sk"))
+                  .as("est"))
+              .collect()
+            val nonce = java.util.UUID.randomUUID().toString
+            writeNdvSketches(table, nonce, merged.map(r =>
+              r.getString(0) -> r.getAs[Array[Byte]](1)).toMap)
+            (merged.map(r => r.getString(0) -> r.getLong(2)).toMap, nonce)
+          } else (Map.empty[String, Long], "")
+        case _ => (Map.empty[String, Long], "")
+      }
       val merged = prev.copy(
         rows = prev.rows + fs.map(_.rows).sum,
         sizeBytes = dataBytes(readPath(table)), // legs/vectors excluded
-        ndv = Map.empty,
-        // histograms are DROPPED like NDV: quantile summaries of the
-        // pre-append distribution would silently skew estimateRangeRows
+        ndv = mergedNdv,
+        ndvNonce = mergedNonce,
+        // histograms are DROPPED (unlike NDV, which the sketch sidecar
+        // keeps mergeable): quantile summaries of the pre-append
+        // distribution would silently skew estimateRangeRows
         histograms = Map.empty,
         histNonNull = Map.empty,
         fileCount = prev.fileCount + fs.size)
@@ -3872,28 +4004,46 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private[graft] def replaceStaged(table: String, df: DataFrame,
       expect: Option[Option[Long]], op: String,
       afterStage: () => Unit): Long = {
-    val cur = currentVersion(table)
-    val cons0 = constraintsOf(table)
-    val m = rewriteIds(table, df.schema, cur.getOrElse(0L) + 1L)
-    Files.createDirectories(Paths.get(path(table)))
-    val staging = Paths.get(path(table),
-      s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
-    enforced(table, stampDf(df, m.ids)).write.parquet(staging.toString)
-    afterStage()
-    withTableLock(table) {
-      healSwap(table)
-      expect.foreach { e =>
-        if (currentVersion(table) != e) {
-          deleteRecursive(staging)
-          require(false,
-            s"'$table' moved (expected v${e.getOrElse(0L)}, now " +
-              s"v${currentVersion(table).getOrElse(0L)}) — the statement's " +
-              "input snapshot is stale; re-run it")
+    var attempt = 0
+    var result = Option.empty[Long]
+    while (result.isEmpty) {
+      attempt += 1
+      val last = attempt > TableCatalog.MaxOptimisticAttempts
+      val cur = currentVersion(table)
+      val cons0 = constraintsOf(table)
+      val m = rewriteIds(table, df.schema, cur.getOrElse(0L) + 1L)
+      Files.createDirectories(Paths.get(path(table)))
+      val staging = Paths.get(path(table),
+        s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
+      enforced(table, stampDf(df, m.ids)).write.parquet(staging.toString)
+      afterStage()
+      result = withTableLock(table) {
+        healSwap(table)
+        expect.foreach { e =>
+          if (currentVersion(table) != e) {
+            deleteRecursive(staging)
+            require(false,
+              s"'$table' moved (expected v${e.getOrElse(0L)}, now " +
+                s"v${currentVersion(table).getOrElse(0L)}) — the statement's " +
+                "input snapshot is stale; re-run it")
+          }
         }
+        // the same freshness predicate commitStagedMemberLocked applies
+        // — checked HERE so a lost race re-stages unlocked instead of
+        // falling through to an inline data write under the lease; the
+        // degrade (attempt cap) keeps the old always-correct inline path
+        val curL = currentVersion(table)
+        val ok = rewriteIds(table, df.schema,
+            curL.getOrElse(0L) + 1L).ids == m.ids &&
+          constraintsOf(table) == cons0 && (curL.isDefined || !hasDv(table))
+        if (ok || last)
+          Some(commitStagedMemberLocked(table, df, isReplace = true,
+            Some(staging), Some(m), op = op, cons0 = Some(cons0)))
+        else None
       }
-      commitStagedMemberLocked(table, df, isReplace = true, Some(staging),
-        Some(m), op = op, cons0 = Some(cons0))
+      if (result.isEmpty) deleteRecursive(staging)
     }
+    result.get
   }
 
   private def replaceAtomicLocked(table: String, df: DataFrame,
@@ -4136,34 +4286,47 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * DataFrame. `afterStage` is the deterministic race window for
     * specs, the [[stagedRewrite]] build-callback pattern. */
   private[graft] def appendAtomicStaged(table: String, df: DataFrame,
-      mergeSchema: Boolean, afterStage: () => Unit): Long =
-    currentVersion(table) match {
-      case None =>
-        // first versioned write: a full rewrite, inline as before (the
-        // plain-shadowing refusal and conversion sweep live there)
-        withTableLock(table) { healSwap(table)
-          appendAtomicLocked(table, df, mergeSchema) }
-      case Some(c0) =>
-        val m0 = appendIds(table, c0, df.schema, repair = false)
-        val cons0 = constraintsOf(table)
-        Files.createDirectories(Paths.get(path(table)))
-        val staging = Paths.get(path(table),
-          s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
-        // constraints enforce during this unlocked write — a violation
-        // throws before any lock is taken, and the set is re-checked
-        // under the lock (a constraint added mid-stage must judge
-        // these rows: fallback re-enforces inline)
-        enforced(table, stampDf(df, m0.map(_.ids).getOrElse(Map.empty)))
-          .write.parquet(staging.toString)
-        afterStage()
-        withTableLock(table) {
-          healSwap(table)
-          currentVersion(table) match {
-            case Some(c) =>
-              val fresh = appendIds(table, c, df.schema)
-              if (fresh.map(_.ids) == m0.map(_.ids) &&
-                  constraintsOf(table) == cons0)
-                appendCommitLocked(table, c, df.schema, mergeSchema, fresh,
+      mergeSchema: Boolean, afterStage: () => Unit): Long = {
+    var attempt = 0
+    var result = Option.empty[Long]
+    while (result.isEmpty) {
+      attempt += 1
+      result = currentVersion(table) match {
+        case None =>
+          // first versioned write: a full rewrite, inline as before
+          // (the plain-shadowing refusal and conversion sweep live
+          // there)
+          Some(withTableLock(table) { healSwap(table)
+            appendAtomicLocked(table, df, mergeSchema) })
+        case Some(_) if attempt > TableCatalog.MaxOptimisticAttempts =>
+          // contended degrade: correctness under the lock, old
+          // behavior — three lost stagings mean the table is being
+          // renamed/rewritten in a tight loop, not appended to
+          Some(withTableLock(table) { healSwap(table)
+            appendAtomicLocked(table, df, mergeSchema) })
+        case Some(c0) =>
+          val m0 = appendIds(table, c0, df.schema, repair = false)
+          val cons0 = constraintsOf(table)
+          Files.createDirectories(Paths.get(path(table)))
+          val staging = Paths.get(path(table),
+            s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
+          // constraints enforce during this unlocked write — a
+          // violation throws before any lock is taken, and the set is
+          // re-checked under the lock (one added mid-stage must judge
+          // these rows: the retry re-stages against the new set)
+          enforced(table, stampDf(df, m0.map(_.ids).getOrElse(Map.empty)))
+            .write.parquet(staging.toString)
+          afterStage()
+          val committed = withTableLock(table) {
+            healSwap(table)
+            val freshIds = currentVersion(table)
+              .map(c => appendIds(table, c, df.schema))
+            currentVersion(table) match {
+              case Some(c)
+                if freshIds.exists(_.map(_.ids) == m0.map(_.ids)) &&
+                  constraintsOf(table) == cons0 =>
+                Some(appendCommitLocked(table, c, df.schema, mergeSchema,
+                  freshIds.get,
                   dst => {
                     Files.createDirectories(dst)
                     val s = Files.list(staging)
@@ -4171,18 +4334,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                       import scala.jdk.CollectionConverters._
                       s.iterator().asScala
                         .filter(_.getFileName.toString.endsWith(".parquet"))
-                        .foreach(p => Files.move(p, dst.resolve(p.getFileName)))
+                        .foreach(p =>
+                          Files.move(p, dst.resolve(p.getFileName)))
                     } finally s.close()
                     deleteRecursive(staging)
-                  })
-              else { deleteRecursive(staging)
-                appendAtomicLocked(table, df, mergeSchema) }
-            case None => // dropped / reverted to plain mid-stage
-              deleteRecursive(staging)
-              appendAtomicLocked(table, df, mergeSchema)
+                  }))
+              case _ =>
+                // a rename / rewrite / constraint change landed
+                // mid-stage (the staged bytes are stamped or judged
+                // against a dead state), or the table dropped — void
+                // the staging and RE-STAGE unlocked, never write data
+                // under the lease (the disease this verb cures)
+                None
+            }
           }
-        }
+          if (committed.isEmpty) deleteRecursive(staging)
+          committed
+      }
     }
+    result.get
+  }
 
   private def appendAtomicLocked(table: String, df: DataFrame,
                                  mergeSchema: Boolean): Long =
@@ -4624,7 +4795,11 @@ object TableCatalog {
                               fileCount: Long = 0L,
                               manifestGen: String = "",
                               histograms: Map[String, Seq[Long]] = Map.empty,
-                              histNonNull: Map[String, Long] = Map.empty)
+                              histNonNull: Map[String, Long] = Map.empty,
+                              // commit pointer into `_ndvsketch.json`
+                              // (mergeable per-column HLL sketches);
+                              // empty = no sketches, appends drop NDV
+                              ndvNonce: String = "")
 
   // Jackson (on Spark's own classpath) replaces the r8 regex parser: a
   // first-match regex over the whole string mis-parsed an ndv column
@@ -4899,6 +5074,7 @@ object TableCatalog {
       val nn = root.putObject("histNonNull")
       st.histNonNull.toSeq.sortBy(_._1).foreach { case (c, n) => nn.put(c, n) }
     }
+    if (st.ndvNonce.nonEmpty) root.put("ndvNonce", st.ndvNonce)
     om.writeValueAsString(root)
   }
 
@@ -4930,7 +5106,8 @@ object TableCatalog {
           Option(n.get("bloomBitsPerRow")).map(_.asInt).getOrElse(0),
           Option(n.get("fileCount")).map(_.asLong).getOrElse(0L),
           Option(n.get("manifestGen")).map(_.asText).getOrElse(""),
-          hists, longMap(n.get("histNonNull"))))
+          hists, longMap(n.get("histNonNull")),
+          Option(n.get("ndvNonce")).map(_.asText).getOrElse("")))
       }
     } catch { case _: Exception => None }
 

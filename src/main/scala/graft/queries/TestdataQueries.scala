@@ -1135,6 +1135,43 @@ object TestdataQueries {
              |SELECT CAST(n_nationkey AS BIGINT) + 200, n_name,
              |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 3""".stripMargin)),
 
+    // --------------------------- mergeable NDV through appends (r11)
+    // The incremental-maintenance gap closed: appendIndexed used to
+    // DROP NDV (HLL point estimates don't merge), leaving join planning
+    // blind until the next full ANALYZE. Now per-column DataSketches
+    // HLL sketches persist beside the head and the append hll_unions in
+    // ONLY the new files' sketches — O(new data). The oracle is exact
+    // COUNT(DISTINCT) over the union: at these cardinalities (25
+    // brands, 5 mfgrs) the sketch is in sparse mode and EXACT, so a
+    // hash compare proves the merge saw both slices' value sets
+    // (brand ~25 distinct, size ~50 distinct in the synthetic part).
+    "x_ndv_merge" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_ndvm", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val part = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("k"),
+        col("p_brand").as("brand"),
+        col("p_size").cast("long").as("sz"))
+      cat.overwriteIndexed("pt", part.filter(col("k") % 2 === 0L),
+        skipCols = Seq("brand", "sz"))
+      val st1 = cat.stats("pt").get
+      require(st1.ndvNonce.nonEmpty && st1.ndv.nonEmpty,
+        "analyze must land the sketch sidecar pointer")
+      cat.appendIndexed("pt", part.filter(col("k") % 2 === 1L),
+        skipCols = Seq("brand", "sz"))
+      val st2 = cat.stats("pt").get
+      require(st2.ndv.nonEmpty && st2.ndvNonce.nonEmpty &&
+        st2.ndvNonce != st1.ndvNonce,
+        "the append must MERGE ndv under a fresh sketch nonce, not drop it")
+      Seq(("brand", st2.ndv("brand")), ("sz", st2.ndv("sz")))
+        .toDF("c", "ndv")
+    }),
+      Some("""SELECT 'brand' AS c, COUNT(DISTINCT p_brand) AS ndv FROM part
+             |UNION ALL
+             |SELECT 'sz' AS c, COUNT(DISTINCT p_size) AS ndv FROM part""".stripMargin)),
+
     // --------------------------- commit-log catalog + ANALYZE (r8)
     // The same committed content must come out of the append-only
     // commit-log pointer protocol (LogCommitter — the object-store

@@ -46,14 +46,21 @@ class AppendStagingSpec extends AnyFunSuite with SparkTestSession {
     noResidue(cat, "t")
   }
 
-  test("a rename mid-stage changes the id assignment: fallback inline, correct under the new name") {
+  test("a rename mid-stage voids the staging: the retry re-stages under the new name") {
     val cat = freshCat()
     cat.replaceAtomic("t", (0 until 10).map(i => (i.toLong, i.toLong))
       .toDF("k", "v"))
+    // one-shot hook: the retry re-opens the race window, and a second
+    // rename of an already-renamed column would (rightly) refuse
+    var windows = 0
     val v = cat.appendAtomicStaged("t",
       Seq((100L, 100L)).toDF("k", "v2"), mergeSchema = false, () => {
-        cat.renameColumn("t", "v", "v2")
+        windows += 1
+        if (windows == 1) cat.renameColumn("t", "v", "v2")
       })
+    // the window opened TWICE: the voided staging was retried unlocked,
+    // not degraded to an inline write under the lease
+    assert(windows === 2)
     assert(v === 3L)
     // the appended row reads under the renamed column alongside the
     // id-rebound old files — nothing null-filled, nothing lost
@@ -67,10 +74,11 @@ class AppendStagingSpec extends AnyFunSuite with SparkTestSession {
     val cat = freshCat()
     cat.replaceAtomic("t", (1 to 5).map(i => (i.toLong, i.toLong))
       .toDF("k", "v"))
+    var fired = false
     val e = intercept[Exception] {
       cat.appendAtomicStaged("t",
         Seq((-1L, -1L)).toDF("k", "v"), mergeSchema = false, () => {
-          cat.addConstraint("t", "k_pos", "k > 0")
+          if (!fired) { fired = true; cat.addConstraint("t", "k_pos", "k > 0") }
         })
     }
     assert(e.getMessage.contains("k_pos"))

@@ -148,9 +148,12 @@ class TableCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(st2.fileCount === env2.size.toLong,
       "the head's fileCount must track the manifest")
     assert(st2.rows === 3000L, "rows stay exact through the incremental append")
-    assert(st2.ndv.isEmpty,
-      "merged sidecar must DROP ndv (HLL finals don't merge) so join " +
-        "estimates fall back instead of silently skewing")
+    // NDV stays FRESH through the append (the mergeable _ndvsketch
+    // sidecar): day-1 has a ∈ 0..49, day-2 adds 100..119 — 70 distinct,
+    // exact at HLL's sparse-mode cardinality (overwriteIndexed analyzes
+    // cols = skipCols, so "a" is the analyzed set here)
+    assert(st2.ndv.get("a") === Some(70L),
+      s"merged NDV must cover BOTH days' values: ${st2.ndv}")
     val pruned = cat.prunedRead("tbl", Seq(("a", 100L, 119L)))
     val unpruned = spark.read.parquet(cat.path("tbl"))
       .filter(col("a").between(100, 119))
