@@ -2165,6 +2165,52 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     deleteRecursive(branchDataDir(table, name))
   }
 
+  /** CLONE: `dst` is born as a NEW versioned table whose v1 hard-links
+    * `src`'s current snapshot — zero data bytes copied (the Delta
+    * SHALLOW CLONE / Iceberg snapshot-ref model; on an object store
+    * the links are manifest entries naming the same immutable keys).
+    * The two tables are independent forever after: every mutation here
+    * is copy-on-write (appends hard-link + add, rewrites land new
+    * files, versioned tables never carry deletion vectors), so neither
+    * side can change bytes the other reads, and a retention sweep on
+    * either side only unlinks NAMES — the shared inodes live until the
+    * last referent drops. Metadata that defines the table travels:
+    * the declared schema entry AS OF the pinned version (field ids
+    * included, so id-stamped files read identically), the live id
+    * marker (appends to the clone keep stamping), and the CHECK
+    * constraints (the contract, not the history). History starts fresh
+    * with one CLONE entry; tags, branches, stats, and skipping indexes
+    * do NOT travel (pointers into the source's lifecycle — re-analyze
+    * the clone). Holds no lock: the pinned snapshot is immutable; a
+    * concurrent retention prune of it fails the link loop loudly.
+    * Returns the clone's version (always 1). */
+  def cloneTable(src: String, dst: String): Long = {
+    require(src != dst, s"cannot clone '$src' onto itself")
+    require(!Files.exists(Paths.get(path(dst))),
+      s"clone target '$dst' already exists")
+    val v = currentVersion(src).getOrElse(throw new IllegalStateException(
+      s"'$src' is not versioned — CLONE pins a snapshot; write it via " +
+        "replaceAtomic/appendAtomic first"))
+    val srcSnap = snapDir(src, v)
+    val dstSnap = snapDir(dst, 1L)
+    Files.createDirectories(dstSnap)
+    listParquetUrisAt(srcSnap).toSeq.sorted.foreach { u =>
+      val s0 = Paths.get(java.net.URI.create(u))
+      Files.createLink(dstSnap.resolve(s0.getFileName), s0)
+    }
+    schemaLog(src).filter(_.version <= v).lastOption.foreach(e =>
+      appendSchemaEntry(dst, 1L, e.ddl, e.ids, e.nextId))
+    idMarker(src).filter(_.since <= v).foreach(m =>
+      writeIdMarker(dst, m.copy(since = 1L)))
+    val cons = constraintsOf(src)
+    if (cons.nonEmpty) writeConstraints(dst, cons)
+    writeHistoryEntry(dst, 1L, "CLONE")
+    val tmp = Paths.get(path(dst), "_version.tmp")
+    Files.write(tmp, "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, versionFile(dst))
+    1L
+  }
+
   /** Heal a [[replaceAtomic]] swap interrupted between its two renames
     * (current content moved aside, replacement not yet in place): put
     * the `.old` copy back so a reader — or a crash-replayed streaming

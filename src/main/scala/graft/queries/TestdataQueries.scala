@@ -1172,6 +1172,43 @@ object TestdataQueries {
              |UNION ALL
              |SELECT 'sz' AS c, COUNT(DISTINCT p_size) AS ndv FROM part""".stripMargin)),
 
+    // --------------------------- zero-copy CLONE (r11)
+    // SHALLOW CLONE semantics: the clone's v1 hard-links the source's
+    // current snapshot (no bytes copied), then the two tables diverge
+    // independently — the source appends, the clone rewrites, and each
+    // side's content is exactly what its own commits say. The oracle is
+    // the pure relational statement of both divergent states.
+    "x_clone" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_clone", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("rk"))
+      cat.replaceAtomic("src", base)
+      cat.cloneTable("src", "dst")
+      // source diverges by append; clone diverges by rewrite
+      cat.appendAtomic("src", base.filter(col("rk") === 2L)
+        .select((col("k") + lit(100L)).as("k"), col("name"), col("rk")))
+      cat.replaceAtomic("dst", cat.read("dst").filter(col("rk") <= 1L))
+      require(cat.read("dst").count() < base.count(),
+        "the clone's rewrite must not be visible-proof")
+      cat.read("src").select(lit("src").as("side"), col("k"), col("name"),
+          col("rk"))
+        .unionAll(cat.read("dst").select(lit("dst").as("side"), col("k"),
+          col("name"), col("rk")))
+    }),
+      Some("""SELECT 'src' AS side, CAST(n_nationkey AS BIGINT) AS k,
+             |  n_name AS name, CAST(n_regionkey AS BIGINT) AS rk FROM nation
+             |UNION ALL
+             |SELECT 'src', CAST(n_nationkey AS BIGINT) + 100, n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2
+             |UNION ALL
+             |SELECT 'dst', CAST(n_nationkey AS BIGINT), n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation
+             |WHERE n_regionkey <= 1""".stripMargin)),
+
     // --------------------------- commit-log catalog + ANALYZE (r8)
     // The same committed content must come out of the append-only
     // commit-log pointer protocol (LogCommitter — the object-store
