@@ -2088,18 +2088,25 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the base declared. This is the audit surface — run row counts,
     * quality checks, ad-hoc queries against it before publishing. */
   def readBranch(table: String, name: String): DataFrame = {
-    val meta = branchMeta(table, name).getOrElse(
+    val (paths, sch) = branchReadParts(table, name).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
         s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
-    val dir = branchDataDir(table, name)
-    val paths = Seq(snapDir(table, meta.base).toString) ++
-      (if (Files.exists(dir)) Seq(dir.toString) else Nil)
-    resolveSchema(table, meta.base) match {
-      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
-      case None =>
-        spark.read.schema(StructType.fromDDL(meta.ddl)).parquet(paths: _*)
-    }
+    spark.read.schema(sch).parquet(paths: _*)
   }
+
+  /** The (paths, declared schema) a branch read resolves to — the seam
+    * [[graft.sql.GraftSqlCatalog]] serves `SELECT … FROM g.\`t@branch\``
+    * through, read-only, so the AUDIT half of write-audit-publish runs
+    * from plain SQL too. */
+  private[graft] def branchReadParts(table: String, name: String)
+      : Option[(Seq[String], StructType)] =
+    branchMeta(table, name).map { meta =>
+      val dir = branchDataDir(table, name)
+      val paths = Seq(snapDir(table, meta.base).toString) ++
+        (if (Files.exists(dir)) Seq(dir.toString) else Nil)
+      (paths, resolveSchema(table, meta.base)
+        .getOrElse(StructType.fromDDL(meta.ddl)))
+    }
 
   /** Enforce the table's CHECK constraints over [[readBranch]] —
     * throws naming the violated constraint, else returns the would-be

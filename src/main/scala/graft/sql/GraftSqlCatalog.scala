@@ -149,12 +149,27 @@ class GraftSqlCatalog extends DsV2TableCatalog
       case _ => ident.namespace().isEmpty && cat.exists(ident.name())
     }
 
-  override def loadTable(ident: Identifier): Table =
-    pinnedVersion(ident) match {
+  override def loadTable(ident: Identifier): Table = {
+    // `t@branch` — the write-audit-publish audit surface from SQL: a
+    // READ-ONLY view of base ∪ staged branch files (the would-be table
+    // state), so an auditor can run any SELECT against the branch
+    // before `CALL g.system.publish_branch` lands it
+    val n = ident.name()
+    val at = n.indexOf('@')
+    if (at > 0) {
+      val t = n.take(at)
+      val parts = (if (cat.exists(t)) cat.branchReadParts(t, n.drop(at + 1))
+        else None).getOrElse(throw new NoSuchTableException(ident))
+      new GraftSqlCatalog.VersionedTable(ParquetTable(s"$catalogName.$n",
+        SparkSession.active, CaseInsensitiveStringMap.empty(), parts._1,
+        Some(parts._2), classOf[ParquetFileFormat]), cat, t,
+        writable = false, loadedVersion = cat.currentVersion(t))
+    } else pinnedVersion(ident) match {
       case Some(v) =>
         parquetTable(Identifier.of(Array.empty, ident.name()), Some(v))
       case None => parquetTable(ident, None)
     }
+  }
 
   /** `VERSION AS OF <v>` — resolve the immutable `_v<v>` snapshot. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -342,7 +357,7 @@ class GraftSqlCatalog extends DsV2TableCatalog
 object GraftSqlCatalog {
   private[sql] val ProcedureNames =
     Seq("describe_history", "optimize", "vacuum", "restore",
-      "audit_branch", "publish_branch", "drop_branch")
+      "audit_branch", "publish_branch", "drop_branch", "clone")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -365,6 +380,7 @@ object GraftSqlCatalog {
       case "audit_branch" => "enforce CHECK constraints over a staged branch"
       case "publish_branch" => "commit a staged branch as one APPEND"
       case "drop_branch" => "abandon a staged branch and its files"
+      case "clone" => "zero-copy CLONE of the current snapshot"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -390,6 +406,9 @@ object GraftSqlCatalog {
           case "audit_branch" | "publish_branch" | "drop_branch" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("branch", DT.StringType).build())
+          case "clone" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("target", DT.StringType).build())
         }
 
         override def call(input: InternalRow)
@@ -427,6 +446,9 @@ object GraftSqlCatalog {
             case "drop_branch" =>
               cat.dropBranch(table, input.getUTF8String(1).toString)
               (StructType.fromDDL("dropped LONG"), Seq(InternalRow(1L)))
+            case "clone" =>
+              val v = cat.cloneTable(table, input.getUTF8String(1).toString)
+              (StructType.fromDDL("cloned_as LONG"), Seq(InternalRow(v)))
           }
           java.util.Collections.singletonList(
             new org.apache.spark.sql.connector.read.LocalScan {

@@ -113,6 +113,26 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 11L)
   }
 
+  test("SELECT FROM t@branch audits the would-be state read-only; CALL clone") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t", (1 to 10).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    cat.appendToBranch("t", "wap", Seq((100L, 100L)).toDF("k", "v"))
+    // the branch identifier reads base ∪ staged; the bare table doesn't
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@wap`").as[Long].head() === 11L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 10L)
+    assert(spark.sql(s"SELECT max(k) FROM $g.`t@wap`").as[Long].head() === 100L)
+    // read-only: INSERT into the audit surface fails in analysis
+    assertThrows[Exception](
+      spark.sql(s"INSERT INTO $g.`t@wap` VALUES (7, 7)"))
+    // unknown branch is loud
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $g.`t@nope`").collect())
+    // zero-copy clone from SQL, then the clone is queryable immediately
+    assert(spark.sql(s"CALL $g.system.clone('t', 't2')").as[Long].head() === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t2").as[Long].head() === 10L)
+  }
+
   test("PARTITIONED BY (identity col) maps onto the plain partitioned layout") {
     val (cat, g) = freshSqlCat()
     spark.sql(
