@@ -1975,6 +1975,45 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     restore(table, v)
   }
 
+  /** [[restore]] to the latest snapshot committed at or before
+    * `tsMillis` — the "undo everything since <instant>" verb, resolved
+    * through the same commit-history log as `TIMESTAMP AS OF`. */
+  def restoreTimestamp(table: String, tsMillis: Long): Long = {
+    val v = versionAtTimestamp(table, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no commit at or before $tsMillis"))
+    restore(table, v)
+  }
+
+  /** One-row operational summary of `table` — the DESCRIBE DETAIL
+    * shape: (version, rows-by-stats-if-fresh, files, bytes, open
+    * branches, tags, constraints, declared columns). Everything here is
+    * pointer/footer metadata — no data scan; `rows` is -1 unless a
+    * fresh ANALYZE covers the current state (version match for
+    * versioned tables, file-count match for plain — an honest
+    * "unknown" beats a stale count). */
+  def detail(table: String): TableCatalog.TableDetail = {
+    val cur = currentVersion(table)
+    val files = listParquetUris(table)
+    val st = stats(table)
+    val statsFresh = st.exists(s => s.version == cur &&
+      (cur.isDefined || s.fileCount == 0L || s.fileCount == files.size.toLong))
+    TableCatalog.TableDetail(
+      version = cur,
+      rows = if (statsFresh) st.map(_.rows).getOrElse(-1L) else -1L,
+      files = files.size.toLong,
+      bytes = dataBytes(readPath(table)),
+      branches = branches(table).keys.toSeq.sorted,
+      tags = tags(table).keys.toSeq.sorted,
+      constraints = constraintsOf(table).map(_._1),
+      columns = cur.flatMap(v => resolveSchema(table, v))
+        .map(_.fieldNames.toSeq)
+        .orElse(if (files.nonEmpty)
+          Some(spark.read.parquet(readPath(table)).schema.fieldNames.toSeq)
+        else None)
+        .getOrElse(Seq.empty))
+  }
+
   /** Drop a tag; the snapshot it pinned becomes prunable at the next
     * retention sweep (it is NOT deleted here — an in-flight reader that
     * resolved the tag moments ago still has its window). */
@@ -4988,6 +5027,13 @@ object TableCatalog {
     * RENAME/DROP require a marker with `since <= currentVersion`;
     * anything else refuses with "full-rewrite once to stamp". */
   final case class IdMarker(since: Long, nextId: Int, ids: Map[String, Int])
+
+  /** [[TableCatalog.detail]]'s row — pointer/head reads only. */
+  final case class TableDetail(version: Option[Long], rows: Long,
+                               files: Long, bytes: Long,
+                               branches: Seq[String], tags: Seq[String],
+                               constraints: Seq[String],
+                               columns: Seq[String])
 
   private[catalog] def renderIdMarker(m: IdMarker): String = {
     val o = om.createObjectNode()

@@ -357,7 +357,8 @@ class GraftSqlCatalog extends DsV2TableCatalog
 object GraftSqlCatalog {
   private[sql] val ProcedureNames =
     Seq("describe_history", "optimize", "vacuum", "restore",
-      "audit_branch", "publish_branch", "drop_branch", "clone")
+      "audit_branch", "publish_branch", "drop_branch", "clone",
+      "describe_detail", "restore_timestamp")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -381,6 +382,8 @@ object GraftSqlCatalog {
       case "publish_branch" => "commit a staged branch as one APPEND"
       case "drop_branch" => "abandon a staged branch and its files"
       case "clone" => "zero-copy CLONE of the current snapshot"
+      case "describe_detail" => "one-row operational summary (no data scan)"
+      case "restore_timestamp" => "restore the snapshot as of an instant"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -409,6 +412,11 @@ object GraftSqlCatalog {
           case "clone" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("target", DT.StringType).build())
+          case "describe_detail" => Array(
+            ProcedureParameter.in("table", DT.StringType).build())
+          case "restore_timestamp" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("ts_millis", DT.LongType).build())
         }
 
         override def call(input: InternalRow)
@@ -449,6 +457,19 @@ object GraftSqlCatalog {
             case "clone" =>
               val v = cat.cloneTable(table, input.getUTF8String(1).toString)
               (StructType.fromDDL("cloned_as LONG"), Seq(InternalRow(v)))
+            case "describe_detail" =>
+              val d = cat.detail(table)
+              (StructType.fromDDL("version LONG, rows LONG, files LONG, " +
+                "bytes LONG, branches STRING, tags STRING, " +
+                "constraints STRING, columns STRING"),
+                Seq(InternalRow(d.version.getOrElse(-1L), d.rows, d.files,
+                  d.bytes, UTF8String.fromString(d.branches.mkString(",")),
+                  UTF8String.fromString(d.tags.mkString(",")),
+                  UTF8String.fromString(d.constraints.mkString(",")),
+                  UTF8String.fromString(d.columns.mkString(",")))))
+            case "restore_timestamp" =>
+              val v = cat.restoreTimestamp(table, input.getLong(1))
+              (StructType.fromDDL("restored_as LONG"), Seq(InternalRow(v)))
           }
           java.util.Collections.singletonList(
             new org.apache.spark.sql.connector.read.LocalScan {

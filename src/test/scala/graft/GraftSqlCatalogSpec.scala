@@ -133,6 +133,33 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql(s"SELECT count(*) FROM $g.t2").as[Long].head() === 10L)
   }
 
+  test("CALL describe_detail summarizes; restore_timestamp undoes since an instant") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t", (1 to 7).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.addConstraint("t", "k_pos", "k > 0")
+    cat.tag("t", "gold")
+    cat.appendToBranch("t", "wap", Seq((9L, 9L)).toDF("k", "v"))
+    val d = spark.sql(s"CALL $g.system.describe_detail('t')").head()
+    assert(d.getLong(0) === 1L) // version
+    assert(d.getLong(1) === -1L) // rows unknown — no ANALYZE ran
+    assert(d.getLong(2) >= 1L && d.getLong(3) > 0L) // files, bytes
+    assert(d.getString(4) === "wap" && d.getString(5) === "gold")
+    assert(d.getString(6) === "k_pos")
+    assert(d.getString(7).split(",").toSeq === Seq("k", "v"))
+    cat.dropBranch("t", "wap")
+    // restore to the instant AFTER v1's commit: two bad appends later,
+    // the table comes back to v1's content as a NEW commit
+    val t1 = cat.history("t").filter(col("version") === 1L)
+      .select("ts_millis").as[Long].head()
+    Thread.sleep(5) // the bad appends must land strictly after t1
+    cat.appendAtomic("t", Seq((100L, 100L)).toDF("k", "v"))
+    cat.appendAtomic("t", Seq((101L, 101L)).toDF("k", "v"))
+    val restored = spark.sql(
+      s"CALL $g.system.restore_timestamp('t', $t1)").as[Long].head()
+    assert(restored === 4L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 7L)
+  }
+
   test("PARTITIONED BY (identity col) maps onto the plain partitioned layout") {
     val (cat, g) = freshSqlCat()
     spark.sql(
