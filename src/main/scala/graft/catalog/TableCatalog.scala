@@ -2156,52 +2156,74 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** Publish branch `name`: commit its files as one versioned APPEND
     * on the CURRENT head — which may have moved past the branch's base
     * (append-only branches rebase safely; see the section comment).
-    * Under the lock: the frozen id assignment must still be the live
-    * one (a rename or row-level rewrite since the stage makes the
-    * staged stamps lie — refuse, re-stage), and CHECK constraints
-    * re-enforce over the branch files only (a constraint added
-    * mid-branch must judge these rows; existing rows already
-    * conformed). An empty branch publishes as a no-op. The branch is
+    * The CHECK-constraint audit of the branch files (a constraint
+    * added mid-branch must judge these rows; existing rows already
+    * conformed) runs with NO lock held — an O(branch data) scan must
+    * never sit under the writer lease — and the lock covers only the
+    * revalidation (constraint set unchanged since that audit, frozen
+    * id assignment still live) plus the file MOVE; a set changed
+    * mid-audit re-audits unlocked, bounded by the usual attempt cap.
+    * A stale id assignment (a rename or row-level rewrite landed since
+    * the stage) refuses loudly — the staged stamps lie; drop and
+    * re-stage. An empty branch publishes as a no-op. The branch is
     * consumed. Returns the committed (or current) version. */
-  def publishBranch(table: String, name: String): Long = withTableLock(table) {
-    healSwap(table)
+  def publishBranch(table: String, name: String): Long = {
     val meta = branchMeta(table, name).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
         s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
-    val cur = currentVersion(table).getOrElse(throw new IllegalStateException(
-      s"'$table' lost its versioned pointer while branch '$name' was open"))
     val dir = branchDataDir(table, name)
     val sch = StructType.fromDDL(meta.ddl)
     def consume(): Unit = {
       committer.delete(branchPtrFile(table, name))
       deleteRecursive(dir)
     }
-    if (!Files.exists(dir) || listParquetUrisAt(dir).isEmpty) {
-      consume(); cur
-    } else {
-      val fresh = appendIds(table, cur, sch)
-      require(fresh.map(_.ids) == meta.ids.map(_._1),
-        s"'$table' changed its field-id assignment while branch '$name' " +
-          "was staged (a rename or row-level rewrite landed) — the " +
-          "branch's stamps are stale; drop and re-stage it")
-      if (constraintsOf(table).nonEmpty)
+    var attempt = 0
+    var result = Option.empty[Long]
+    while (result.isEmpty) {
+      attempt += 1
+      val last = attempt > TableCatalog.MaxOptimisticAttempts
+      // the audit, unlocked, against the CURRENT constraint set
+      val cons0 = constraintsOf(table)
+      val hasData = Files.exists(dir) && listParquetUrisAt(dir).nonEmpty
+      if (hasData && cons0.nonEmpty)
         enforced(table, spark.read.schema(TableCatalog.stampIds(sch,
           meta.ids.map(_._1).getOrElse(Map.empty))).parquet(dir.toString))
           .count()
-      val v = appendCommitLocked(table, cur, sch, mergeSchema = false,
-        fresh, dst => {
-          Files.createDirectories(dst)
-          val s = Files.list(dir)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .foreach(p => Files.move(p, dst.resolve(p.getFileName)))
-          } finally s.close()
-        }, op = "PUBLISH")
-      consume()
-      v
+      result = withTableLock(table) {
+        healSwap(table)
+        val cur = currentVersion(table).getOrElse(
+          throw new IllegalStateException(
+            s"'$table' lost its versioned pointer while branch '$name' " +
+              "was open"))
+        if (!hasData) { consume(); Some(cur) }
+        else if (constraintsOf(table) != cons0 && !last) None // re-audit
+        else {
+          if (constraintsOf(table) != cons0) // degrade: audit under lock
+            enforced(table, spark.read.schema(TableCatalog.stampIds(sch,
+              meta.ids.map(_._1).getOrElse(Map.empty)))
+              .parquet(dir.toString)).count()
+          val fresh = appendIds(table, cur, sch)
+          require(fresh.map(_.ids) == meta.ids.map(_._1),
+            s"'$table' changed its field-id assignment while branch " +
+              s"'$name' was staged (a rename or row-level rewrite landed) " +
+              "— the branch's stamps are stale; drop and re-stage it")
+          val v = appendCommitLocked(table, cur, sch, mergeSchema = false,
+            fresh, dst => {
+              Files.createDirectories(dst)
+              val s = Files.list(dir)
+              try {
+                import scala.jdk.CollectionConverters._
+                s.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .foreach(p => Files.move(p, dst.resolve(p.getFileName)))
+              } finally s.close()
+            }, op = "PUBLISH")
+          consume()
+          Some(v)
+        }
+      }
     }
+    result.get
   }
 
   /** Abandon branch `name`: delete its files and pointer. The base
