@@ -1213,12 +1213,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * canonical 1:1 string rendering (distinctness preserved). */
   private def ndvInput(f: org.apache.spark.sql.types.StructField)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, unix_date}
     import org.apache.spark.sql.types._
     f.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         col(f.name).cast("long")
-      case BooleanType | DateType => col(f.name).cast("int")
+      case BooleanType => col(f.name).cast("int")
+      case DateType => unix_date(col(f.name)) // ANSI refuses date→int CAST
       case StringType | BinaryType => col(f.name)
       case TimestampType | TimestampNTZType => col(f.name).cast("long")
       case _ => col(f.name).cast("string")
@@ -2120,6 +2121,60 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     enforced(table, stampDf(df, meta.ids.map(_._1).getOrElse(Map.empty)))
       .write.mode("append").parquet(branchDataDir(table, name).toString)
     meta.base
+  }
+
+  /** [[appendToBranch]] for EXACTLY-ONCE micro-batch staging (the
+    * streaming write-audit-publish loop): the batch's files land in
+    * the branch dir under batch-scoped names (`b<batchId>-…`), and a
+    * replayed batch first sweeps its own names — idempotent in itself,
+    * so at-least-once delivery yields exactly-once staged rows with no
+    * marker round-trip on the correctness path (callers still keep a
+    * marker as the skip fast-path). Same enforcement/stamping as
+    * [[appendToBranch]]; same no-lock posture. */
+  def appendToBranchBatch(table: String, branch: String, batchId: Long,
+                          df: DataFrame): Unit = {
+    require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
+    // stage through the ordinary verb's write path into a scratch dir,
+    // then move under deterministic names
+    val scratch = Paths.get(path(table),
+      s"_brtmp_batch-${java.util.UUID.randomUUID()}")
+    require(currentVersion(table).isDefined,
+      s"'$table' is not versioned — branches stage against snapshots")
+    val meta = branchMeta(table, branch).getOrElse {
+      // first batch creates the branch via a zero-row ordinary stage
+      appendToBranch(table, branch,
+        df.filter(org.apache.spark.sql.functions.lit(false)))
+      branchMeta(table, branch).getOrElse(throw new IllegalStateException(
+        s"branch '$branch' failed to initialize on '$table'"))
+    }
+    val declared = StructType.fromDDL(meta.ddl)
+    val declTypes = declared.map(f => f.name -> f.dataType).toMap
+    require(declTypes == df.schema.map(f => f.name -> f.dataType).toMap,
+      s"branch '$branch' of '$table' is declared (${declared.fieldNames
+        .sorted.mkString(",")}) but batch $batchId has " +
+        s"(${df.schema.fieldNames.sorted.mkString(",")})")
+    enforced(table, stampDf(df, meta.ids.map(_._1).getOrElse(Map.empty)))
+      .write.parquet(scratch.toString)
+    val dir = branchDataDir(table, branch)
+    Files.createDirectories(dir)
+    // replay sweep: this batch's previous (possibly partial) landing
+    val prefix = s"b$batchId-"
+    val old = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      old.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach(p => Files.delete(p))
+    } finally old.close()
+    val s = Files.list(scratch)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.move(p,
+          dir.resolve(prefix + p.getFileName.toString)))
+    } finally s.close()
+    deleteRecursive(scratch)
   }
 
   /** The WOULD-BE table state if branch `name` published right now

@@ -108,6 +108,35 @@ object StreamingIngest {
       .outputMode("append")
       .start()
 
+  /** AUDITED streaming ingest — write-audit-publish over a live feed:
+    * every micro-batch STAGES onto a branch of `table`
+    * ([[TableCatalog.appendToBranchBatch]]: batch-scoped file names, a
+    * replayed batch sweeps its own names first — exactly-once staged
+    * rows under at-least-once delivery, with the marker as the skip
+    * fast-path), so MAIN readers never see an unaudited row. Promotion
+    * is the operator's call, at their cadence:
+    * [[TableCatalog.auditBranch]] then [[TableCatalog.publishBranch]]
+    * lands everything staged so far as ONE hard-link APPEND — however
+    * many batches accumulated, one commit — and later batches re-create
+    * the branch at the new head. CHECK constraints judge every staged
+    * batch inline (a violating batch fails the QUERY, not the table —
+    * main is never dirtied), and again at publish. */
+  def startBranchIngest(cat: TableCatalog, table: String, branch: String,
+                        df: DataFrame, checkpointDir: String): StreamingQuery = {
+    val token = queryToken(checkpointDir)
+    val marker = s"branch_ingest_${table}_$branch"
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (cat.getMarkerFor(marker, token).forall(_ < batchId)) {
+          cat.appendToBranchBatch(table, branch, batchId, batch)
+          cat.putMarker(marker, batchId, token)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming aggregate-view maintenance — the MV loop closed over a
     * live feed: each micro-batch lands in the plain fact as one atomic
     * `batch_id` partition ([[TableCatalog.publishBatch]]: staged write,

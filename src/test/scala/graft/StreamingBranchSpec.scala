@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.catalog.TableCatalog
+import graft.streaming.StreamingIngest
+import java.nio.file.Files
+
+/** Audited streaming ingest: micro-batches stage onto a branch (main
+  * readers never see an unaudited row), the operator publishes at
+  * their own cadence as ONE commit, and a replayed batch stages its
+  * rows exactly once. */
+class StreamingBranchSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("batches stage invisibly; publish lands all of them as one APPEND") {
+    val root = Files.createTempDirectory("sbr")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.replaceAtomic("t", Seq((0L, 0L)).toDF("k", "v"))
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startBranchIngest(cat, "t", "ingest",
+      mem.toDF().toDF("k", "v"), root.resolve("ckpt").toString)
+    try {
+      (1 to 3).foreach { b =>
+        mem.addData((1 to 10).map(i => ((b * 100 + i).toLong, i.toLong)): _*)
+        q.processAllAvailable()
+        // main NEVER sees staged rows, whatever the batch count
+        assert(cat.read("t").count() === 1L)
+      }
+      // the audit surface holds seed + all 30 staged rows
+      assert(cat.auditBranch("t", "ingest") === 31L)
+      // promotion: one commit for three batches
+      val v0 = cat.currentVersion("t").get
+      cat.publishBranch("t", "ingest")
+      assert(cat.currentVersion("t").get === v0 + 1L)
+      assert(cat.read("t").count() === 31L)
+      // the stream keeps going: a later batch re-creates the branch at
+      // the new head and stages there
+      mem.addData((900L, 9L))
+      q.processAllAvailable()
+      assert(cat.read("t").count() === 31L)
+      assert(cat.readBranch("t", "ingest").count() === 32L)
+    } finally q.stop()
+  }
+
+  test("a replayed batch id stages its rows exactly once") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("sbr2").toString)
+    cat.replaceAtomic("t", Seq((0L, 0L)).toDF("k", "v"))
+    val batch = Seq((1L, 1L), (2L, 2L)).toDF("k", "v")
+    cat.appendToBranchBatch("t", "ingest", 7L, batch)
+    cat.appendToBranchBatch("t", "ingest", 7L, batch) // the replay
+    cat.appendToBranchBatch("t", "ingest", 8L, batch) // a real new batch
+    assert(cat.readBranch("t", "ingest").count() === 1L + 2L + 2L)
+    cat.publishBranch("t", "ingest")
+    assert(cat.read("t").count() === 5L)
+    assert(cat.read("t").distinct().count() === 3L) // batch 8 repeats rows, not files
+  }
+
+  test("a constraint-violating batch fails the stage, never the table") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("sbr3").toString)
+    cat.replaceAtomic("t", Seq((1L, 1L)).toDF("k", "v"))
+    cat.addConstraint("t", "k_pos", "k > 0")
+    val e = intercept[Exception] {
+      cat.appendToBranchBatch("t", "ingest", 0L, Seq((-5L, 5L)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("k_pos"))
+    assert(cat.read("t").count() === 1L)
+    // a clean retry of the same batch id succeeds and stages once
+    cat.appendToBranchBatch("t", "ingest", 0L, Seq((5L, 5L)).toDF("k", "v"))
+    assert(cat.auditBranch("t", "ingest") === 2L)
+  }
+}
