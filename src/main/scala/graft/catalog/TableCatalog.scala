@@ -2467,32 +2467,46 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def partSpecFile(table: String): Path =
     Paths.get(path(table), "_partspec.json")
 
-  /** The partition column and declared schema of a SQL-created
-    * partitioned plain table, if it is one. */
-  def partitionSpec(table: String): Option[(String, StructType)] =
+  /** The partition columns (declaration order = directory nesting
+    * order) and declared schema of a SQL-created partitioned plain
+    * table, if it is one. */
+  def partitionSpec(table: String): Option[(Seq[String], StructType)] =
     committer.read(partSpecFile(table)).flatMap(b =>
       TableCatalog.parsePartSpec(new String(b,
         java.nio.charset.StandardCharsets.UTF_8)))
-      .map { case (c, ddl) => (c, StructType.fromDDL(ddl)) }
+      .map { case (cs, ddl) => (cs, StructType.fromDDL(ddl)) }
 
   /** Declare an EMPTY partitioned plain table (the create half of a
     * partitioned CTAS): just the spec sidecar — the first insert lands
-    * the first files. */
+    * the first files. Multi-column specs nest directories in
+    * declaration order (`dt=…/region=…/`), the Hive layout Spark's
+    * partition discovery prunes natively on ANY prefix or subset of
+    * the columns. */
   def createPartitioned(table: String, schema: StructType,
-                        partCol: String): Unit = {
-    require(schema.fieldNames.contains(partCol),
-      s"partition column '$partCol' not in the declared schema " +
-        s"(${schema.fieldNames.mkString(", ")})")
+                        partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty && partCols.distinct == partCols,
+      s"partition columns must be non-empty and distinct, got $partCols")
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the declared " +
+        s"schema (${schema.fieldNames.mkString(", ")})")
+    require(partCols.size < schema.size,
+      "a table cannot be partitioned by ALL of its columns")
     require(!exists(table), s"'$table' already exists")
     Files.createDirectories(Paths.get(path(table)))
-    writePartSpec(table, partCol, schema)
+    writePartSpec(table, partCols, schema)
   }
 
-  private def writePartSpec(table: String, partCol: String,
+  /** Single-column convenience overload. */
+  def createPartitioned(table: String, schema: StructType,
+                        partCol: String): Unit =
+    createPartitioned(table, schema, Seq(partCol))
+
+  private def writePartSpec(table: String, partCols: Seq[String],
                             schema: StructType): Unit = {
     val tmp = Paths.get(path(table),
       s"_tmp_partspec-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, TableCatalog.renderPartSpec(partCol,
+    Files.write(tmp, TableCatalog.renderPartSpec(partCols,
       TableCatalog.stripFieldIds(schema).toDDL)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, partSpecFile(table),
@@ -2504,14 +2518,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * unlike [[appendPartitioned]], whose dynamic overwrite is the
     * idempotent reprocess-a-date verb, not INSERT semantics). */
   def insertPartitioned(table: String, df: DataFrame): Unit = {
-    val (pcol, declared) = partitionSpec(table).getOrElse(
+    val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — use append()/appendPartitioned"))
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
     enforced(table, stripDf(df)).write.mode("append")
-      .partitionBy(pcol).parquet(path(table))
+      .partitionBy(pcols: _*).parquet(path(table))
     invalidateStats(table)
   }
 
@@ -2521,15 +2535,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * directory); a crash between leaves a readable unpartitioned-plain
     * table that the next overwrite heals. */
   def overwritePartitionedAll(table: String, df: DataFrame): Unit = {
-    val (pcol, declared) = partitionSpec(table).getOrElse(
+    val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — use overwrite()"))
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
     enforced(table, stripDf(df)).write.mode("overwrite")
-      .partitionBy(pcol).parquet(path(table))
-    writePartSpec(table, pcol, declared)
+      .partitionBy(pcols: _*).parquet(path(table))
+    writePartSpec(table, pcols, declared)
     invalidateStats(table)
   }
 
@@ -5130,17 +5144,28 @@ object TableCatalog {
           .map(p => p.getKey -> p.getValue.asInt).toMap))
     } catch { case _: Exception => None }
 
-  private[catalog] def renderPartSpec(col: String, schemaDdl: String): String = {
+  private[catalog] def renderPartSpec(cols: Seq[String],
+                                      schemaDdl: String): String = {
     val o = om.createObjectNode()
-    o.put("partCol", col); o.put("schema", schemaDdl)
+    // legacy single-col field kept for older readers; the array is
+    // authoritative for multi-column specs
+    o.put("partCol", cols.head)
+    val a = o.putArray("partCols"); cols.foreach(a.add)
+    o.put("schema", schemaDdl)
     om.writeValueAsString(o)
   }
 
-  private[catalog] def parsePartSpec(s: String): Option[(String, String)] =
+  private[catalog] def parsePartSpec(s: String): Option[(Seq[String], String)] =
     try {
+      import scala.jdk.CollectionConverters._
       val n = om.readTree(s)
-      if (n == null || !n.has("partCol") || !n.has("schema")) None
-      else Some((n.get("partCol").asText, n.get("schema").asText))
+      if (n == null || !n.has("schema")) None
+      else {
+        val cols = Option(n.get("partCols"))
+          .map(_.elements().asScala.map(_.asText).toSeq)
+          .orElse(Option(n.get("partCol")).map(c => Seq(c.asText)))
+        cols.filter(_.nonEmpty).map((_, n.get("schema").asText))
+      }
     } catch { case _: Exception => None }
 
   private[catalog] def renderBucketSpec(col: String, buckets: Int,

@@ -4011,6 +4011,49 @@ object TestdataQueries {
              |FROM orders WHERE year(o_orderdate) <> 1995
              |GROUP BY 1""".stripMargin)),
 
+    // --------------------- multi-column partitioned CREATE TABLE (r11)
+    // PARTITIONED BY (y, prio) nests Hive directories in declaration
+    // order; INSERT appends under both levels and a both-column probe
+    // prunes to the leaf (required in-query). Values prove the nested
+    // layout loses nothing.
+    "x_sql_partitioned_multi" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlpm", dir)
+      val cname = "gsqlpm_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val view = s"ordm_$cname"
+      t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"),
+        col("o_orderpriority").substr(1, 1).as("prio"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cname.pom (okey BIGINT, price_c BIGINT, " +
+        "y STRING, prio STRING) PARTITIONED BY (y, prio)")
+      s.sql(s"INSERT INTO $cname.pom SELECT okey, price_c, y, prio FROM $view")
+      // nested in declaration order
+      require(java.nio.file.Files.list(
+        java.nio.file.Paths.get(scratch.toString, "pom")).iterator().hasNext)
+      val leaf = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(scratch.toString, "pom"))
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("y=")).toSeq
+        finally st.close()
+      }
+      require(leaf.nonEmpty, s"no y= directories: $leaf")
+      s.sql(s"SELECT y, prio, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.pom GROUP BY y, prio")
+    }),
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |  substr(o_orderpriority, 1, 1) AS prio,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_c
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
+
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving
     // content, so the feed treats them as dataChange=false (the Delta

@@ -237,7 +237,7 @@ class GraftSqlCatalog extends DsV2TableCatalog
       SparkSession.active, CaseInsensitiveStringMap.empty(), Seq(dir),
       declared, classOf[ParquetFileFormat]), cat, t,
       writable = version.isEmpty, loadedVersion = current,
-      partCol = partSpec.map(_._1))
+      partCols = partSpec.map(_._1))
   }
 
   private def readOnly(verb: String): Nothing =
@@ -267,16 +267,16 @@ class GraftSqlCatalog extends DsV2TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Array(t))
     if (partitions.nonEmpty) {
-      val pcol = partitions.toSeq match {
-        case Seq(p) if p.name == "identity" && p.references().length == 1 &&
+      val pcols = partitions.toSeq.map {
+        case p if p.name == "identity" && p.references().length == 1 &&
             p.references()(0).fieldNames().length == 1 =>
           p.references()(0).fieldNames()(0)
         case other => throw new UnsupportedOperationException(
-          s"$catalogName supports PARTITIONED BY (<one identity column>) " +
-            s"only — got ${other.mkString(", ")}; cluster versioned " +
-            "tables with optimizeZOrder / analyze(skipCols) instead")
+          s"$catalogName supports PARTITIONED BY (identity columns) " +
+            s"only — got $other; cluster versioned tables with " +
+            "optimizeZOrder / analyze(skipCols) instead")
       }
-      cat.createPartitioned(t, schema, pcol)
+      cat.createPartitioned(t, schema, pcols)
       return loadTable(ident)
     }
     val spark = SparkSession.active
@@ -549,14 +549,15 @@ object GraftSqlCatalog {
 
   private final class VersionedTable(delegate: ParquetTable,
       cat: graft.catalog.TableCatalog, table: String, writable: Boolean,
-      loadedVersion: Option[Long], partCol: Option[String] = None)
+      loadedVersion: Option[Long], partCols: Option[Seq[String]] = None)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = delegate.name
     override def schema(): StructType = delegate.schema
     override def partitioning(): Array[Transform] =
-      partCol.map(c => Array(org.apache.spark.sql.connector.expressions
-        .Expressions.identity(c))).getOrElse(delegate.partitioning())
+      partCols.map(_.map(c => org.apache.spark.sql.connector.expressions
+        .Expressions.identity(c): Transform).toArray)
+        .getOrElse(delegate.partitioning())
     override def properties(): java.util.Map[String, String] =
       delegate.properties()
     override def capabilities(): java.util.Set[TableCapability] =
@@ -602,7 +603,12 @@ object GraftSqlCatalog {
     override def canDeleteWhere(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Boolean =
-      writable && predicates.forall(v2ToColumn(_).isDefined)
+      // multi-column partitioned plain tables refuse here: the
+      // partition-granular purge rewrites LEADING-column partitions and
+      // would flatten the nested layout — falling through to the
+      // row-level path gives the loud partitioned-table refusal instead
+      writable && predicates.forall(v2ToColumn(_).isDefined) &&
+        partCols.forall(_.size == 1)
     override def deleteWhere(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Unit = {
@@ -612,12 +618,15 @@ object GraftSqlCatalog {
         throw new UnsupportedOperationException(
           s"DELETE predicate not translatable: $p")))
       val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
-      partCol match {
-        case Some(pc) =>
+      partCols.map(_.toList) match {
+        case Some(pc :: Nil) =>
           // partitioned plain table: the catalog's partition-granular
           // purge — rewrites ONLY partitions containing matches,
           // O(changed partitions), the layout's whole point
           cat.deleteWhere(table, pc, coalesce(cond, lit(false)))
+        case Some(_) => throw new UnsupportedOperationException(
+          s"$table: DELETE on a multi-column-partitioned table is not " +
+            "supported — rewrite via INSERT OVERWRITE")
         case None =>
           // optimistic concurrency: the survivors plan resolves against
           // the snapshot current NOW — pin it, and let the commit verb
@@ -641,7 +650,7 @@ object GraftSqlCatalog {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame, o: Boolean): Unit =
-                partCol match {
+                partCols match {
                   case Some(_) => // partitioned plain layout
                     if (overwrite || o) cat.overwritePartitionedAll(table, data)
                     else cat.insertPartitioned(table, data)

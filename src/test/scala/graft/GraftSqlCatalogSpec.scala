@@ -200,13 +200,44 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"INSERT OVERWRITE $g.f VALUES (9, 90, 'd9')")
     assert(spark.sql(s"SELECT k FROM $g.f").as[Long].collect().toSeq
       === Seq(9L))
-    assert(cat.partitionSpec("f").map(_._1) === Some("dt"))
-    // row-level UPDATE would rewrite into the versioned layout: refused
-    assertThrows[Exception](spark.sql(s"UPDATE $g.f SET v = 1"))
-    // only a single identity transform is supported
-    assertThrows[Exception](spark.sql(
-      s"CREATE TABLE $g.f2 (k BIGINT, a STRING, b STRING) " +
-        "PARTITIONED BY (a, b)"))
+    assert(cat.partitionSpec("f").map(_._1) === Some(Seq("dt")))
+  }
+
+  test("PARTITIONED BY (a, b) nests directories; pruning hits both levels") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.m (k BIGINT, v BIGINT, dt STRING, " +
+      "region STRING) PARTITIONED BY (dt, region)")
+    spark.sql(s"INSERT INTO $g.m VALUES (1, 10, 'd1', 'eu'), " +
+      "(2, 20, 'd1', 'us'), (3, 30, 'd2', 'eu')")
+    spark.sql(s"INSERT INTO $g.m VALUES (4, 40, 'd2', 'us')")
+    assert(spark.sql(s"SELECT sum(v) FROM $g.m").as[Long].head() === 100L)
+    // the Hive layout nests in declaration order
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("m"), "dt=d1", "region=eu")))
+    // both-level probe reads exactly one leaf directory
+    val pruned = spark.sql(
+      s"SELECT * FROM $g.m WHERE dt = 'd2' AND region = 'us'")
+    assert(pruned.count() === 1L)
+    val physical = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(!physical.contains("region=eu") && !physical.contains("dt=d1"),
+      s"pruning leaked other partitions:\n$physical")
+    // OVERWRITE keeps the layout; DELETE on multi-col refuses loudly
+    spark.sql(s"INSERT OVERWRITE $g.m VALUES (9, 90, 'd3', 'ap')")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("m"), "dt=d3", "region=ap")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.m").as[Long].head() === 1L)
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $g.m WHERE dt = 'd3'"))
+    assert(e.getMessage.toLowerCase.contains("partition"))
+    // the refused DELETE left the table intact
+    assert(spark.sql(s"SELECT count(*) FROM $g.m").as[Long].head() === 1L)
+    // row-level UPDATE stays refused on any partitioned plain table
+    assertThrows[Exception](spark.sql(s"UPDATE $g.m SET v = 1"))
+    // non-identity transforms stay refused
     assertThrows[Exception](spark.sql(
       s"CREATE TABLE $g.f3 (k BIGINT, a STRING) " +
         "PARTITIONED BY (bucket(4, k))"))
