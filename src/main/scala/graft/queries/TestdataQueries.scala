@@ -3670,6 +3670,55 @@ object TestdataQueries {
              |WHERE l_orderkey < 3000
              |GROUP BY 1""".stripMargin)),
 
+    // ------------------------- streaming write-audit-publish (r11)
+    // The audited-ingest loop end-to-end on REAL checkpointed
+    // micro-batches: three batches stage onto a branch (main count
+    // pinned unchanged after every trigger), the audit sees the
+    // would-be state, ONE publish lands all of them, and the stream
+    // keeps staging onto the re-created branch afterwards (dropped,
+    // so the oracle is the published state). Constraint enforcement
+    // rides every staged batch.
+    "x_stream_wap" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streamwap", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"), col("n_regionkey").cast("long").as("rk"))
+      cat.replaceAtomic("wap_t", base)
+      cat.addConstraint("wap_t", "k_nonneg", "k >= 0")
+      val nBase = base.count()
+      val slice = t(s, dir, "customer").filter(col("c_custkey") <= 90)
+        .select((col("c_custkey").cast("long") + lit(1000L)).as("k"),
+          col("c_name").as("name"), col("c_nationkey").cast("long").as("rk"))
+        .as[(Long, String, Long)].collect()
+      val mem = MemoryStream[(Long, String, Long)]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest.startBranchIngest(
+          cat, "wap_t", "load", mem.toDF().toDF("k", "name", "rk"),
+          scratch.resolve("ckpt").toString)
+        try (0 until 3).foreach { bi =>
+          mem.addData(slice.filter(_._1 % 3 == bi).toIndexedSeq: _*)
+          q.processAllAvailable()
+          require(cat.read("wap_t").count() == nBase,
+            s"staged batch $bi leaked into the main read")
+        } finally q.stop()
+      }
+      require(cat.auditBranch("wap_t", "load") == nBase + slice.length,
+        "the audit must see base plus every staged batch")
+      cat.publishBranch("wap_t", "load")
+      require(cat.branches("wap_t").isEmpty, "publish must consume the branch")
+      cat.read("wap_t").select(col("k"), col("name"), col("rk"))
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             |  CAST(n_regionkey AS BIGINT) AS rk FROM nation
+             |UNION ALL
+             |SELECT CAST(c_custkey AS BIGINT) + 1000, c_name,
+             |  CAST(c_nationkey AS BIGINT)
+             |FROM customer WHERE c_custkey <= 90""".stripMargin)),
+
     // ---------------------------- incremental MV refresh (plain fact)
     // The maintenance loop of x_mv_rewrite for an append-style fact:
     // day-1 lineitem rows (odd orderkeys) are loaded plain, the view
