@@ -2288,6 +2288,43 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     deleteRecursive(branchDataDir(table, name))
   }
 
+  /** Drop branches whose LAST WRITE (pointer create or newest staged
+    * file) is older than `graceMs` — the leak-stopper for forgotten
+    * branches, which otherwise pin their base snapshot (and hold
+    * staged bytes) forever. Deliberately a maintenance verb an
+    * operator calls with an explicit grace, never an automatic sweep:
+    * staged data is the user's. Returns (branch, ageMs) of every
+    * branch dropped. */
+  def expireBranches(table: String, graceMs: Long): Seq[(String, Long)] = {
+    require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
+    val now = System.currentTimeMillis()
+    branches(table).keys.toSeq.sorted.flatMap { name =>
+      val dir = branchDataDir(table, name)
+      val lastWrite = {
+        val ptr = try Files.getLastModifiedTime(
+          branchPtrFile(table, name)).toMillis catch {
+          case _: java.io.IOException => 0L }
+        val newest =
+          if (!Files.exists(dir)) 0L
+          else {
+            val s = Files.list(dir)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.map(p =>
+                try Files.getLastModifiedTime(p).toMillis
+                catch { case _: java.io.IOException => 0L })
+                .foldLeft(0L)(math.max)
+            } finally s.close()
+          }
+        math.max(ptr, newest)
+      }
+      if (lastWrite > 0L && now - lastWrite > graceMs) {
+        dropBranch(table, name)
+        Some(name -> (now - lastWrite))
+      } else None
+    }
+  }
+
   /** CLONE: `dst` is born as a NEW versioned table whose v1 hard-links
     * `src`'s current snapshot — zero data bytes copied (the Delta
     * SHALLOW CLONE / Iceberg snapshot-ref model; on an object store

@@ -126,6 +126,22 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     } finally s.close()
   }
 
+  test("expireBranches drops stale branches and frees their base pin; fresh ones survive") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranch("t", "stale", Seq((9L, 9L)).toDF("k", "v"))
+    Thread.sleep(30)
+    cat.appendToBranch("t", "fresh", Seq((8L, 8L)).toDF("k", "v"))
+    val dropped = cat.expireBranches("t", graceMs = 25L)
+    assert(dropped.map(_._1) === Seq("stale"))
+    assert(cat.branches("t").keySet === Set("fresh"))
+    assert(cat.readBranch("t", "fresh").count() === 4L)
+    // grace 0 with no branches older than "now": everything goes
+    Thread.sleep(5)
+    assert(cat.expireBranches("t", graceMs = 0L).map(_._1) === Seq("fresh"))
+    assert(cat.branches("t").isEmpty)
+  }
+
   test("vacuum sweeps orphaned branch data but never an open branch") {
     val cat = freshCat()
     cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
