@@ -358,7 +358,7 @@ object GraftSqlCatalog {
   private[sql] val ProcedureNames =
     Seq("describe_history", "optimize", "vacuum", "restore",
       "audit_branch", "publish_branch", "drop_branch", "clone",
-      "describe_detail", "restore_timestamp")
+      "describe_detail", "restore_timestamp", "analyze")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -384,6 +384,7 @@ object GraftSqlCatalog {
       case "clone" => "zero-copy CLONE of the current snapshot"
       case "describe_detail" => "one-row operational summary (no data scan)"
       case "restore_timestamp" => "restore the snapshot as of an instant"
+      case "analyze" => "compute stats (rows/NDV/envelopes) for planning"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -417,6 +418,12 @@ object GraftSqlCatalog {
           case "restore_timestamp" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("ts_millis", DT.LongType).build())
+          case "analyze" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("cols", DT.StringType)
+              .defaultValue("''").build(),
+            ProcedureParameter.in("skip_cols", DT.StringType)
+              .defaultValue("''").build())
         }
 
         override def call(input: InternalRow)
@@ -470,6 +477,21 @@ object GraftSqlCatalog {
             case "restore_timestamp" =>
               val v = cat.restoreTimestamp(table, input.getLong(1))
               (StructType.fromDDL("restored_as LONG"), Seq(InternalRow(v)))
+            case "analyze" =>
+              def list(i: Int): Seq[String] =
+                Option(input.getUTF8String(i)).map(_.toString)
+                  .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
+                  .toIndexedSeq
+              val st = cat.analyze(table, cols = list(1),
+                skipCols = list(2))
+              (StructType.fromDDL("rows LONG, files LONG, column STRING, " +
+                "ndv LONG"),
+                if (st.ndv.isEmpty)
+                  Seq(InternalRow(st.rows, st.fileCount,
+                    UTF8String.fromString(""), -1L))
+                else st.ndv.toSeq.sortBy(_._1).map { case (c, n) =>
+                  InternalRow(st.rows, st.fileCount,
+                    UTF8String.fromString(c), n) })
           }
           java.util.Collections.singletonList(
             new org.apache.spark.sql.connector.read.LocalScan {

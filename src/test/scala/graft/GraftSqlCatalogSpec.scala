@@ -158,6 +158,14 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       s"CALL $g.system.restore_timestamp('t', $t1)").as[Long].head()
     assert(restored === 4L)
     assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 7L)
+    // ANALYZE from SQL: stats land, detail's rows turns known
+    val an = spark.sql(s"CALL $g.system.analyze('t', 'k,v', '')")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(an.map(_._1).distinct === Seq(7L)) // rows
+    assert(an.map(_._3).sorted === Seq("k", "v"))
+    assert(an.forall(_._4 === 7L)) // both columns fully distinct
+    assert(spark.sql(s"CALL $g.system.describe_detail('t')")
+      .head().getLong(1) === 7L)
   }
 
   test("PARTITIONED BY (identity col) maps onto the plain partitioned layout") {
