@@ -36,7 +36,7 @@ object StreamingIngest {
     * pre-marker designs converged. Falls back to a digest of the
     * checkpoint path if the metadata file is somehow unreadable (same
     * keying, minus reset detection). */
-  private[streaming] def queryToken(checkpointDir: String): String = {
+  private[graft] def queryToken(checkpointDir: String): String = {
     import java.nio.file.{Files, Paths}
     val meta = Paths.get(checkpointDir.stripPrefix("file:"))
       .resolve("metadata")
@@ -122,14 +122,25 @@ object StreamingIngest {
     * batch inline (a violating batch fails the QUERY, not the table —
     * main is never dirtied), and again at publish. */
   def startBranchIngest(cat: TableCatalog, table: String, branch: String,
-                        df: DataFrame, checkpointDir: String): StreamingQuery = {
+                        df: DataFrame, checkpointDir: String,
+                        mergeSchema: Boolean = false): StreamingQuery = {
     val token = queryToken(checkpointDir)
     val marker = s"branch_ingest_${table}_$branch"
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // two skip gates: the marker (this incarnation already STAGED
+        // the batch) and the publish high-water mark (a publish already
+        // COMMITTED the batch's staged files — the crash window where
+        // the batch staged but died before its marker, then the
+        // operator published; restaging it into the branch's next life
+        // would double its rows at the next publish, ADVICE r11)
+        val published = cat.publishedBranchBatch(table, branch, token)
+          .getOrElse(-1L)
         if (cat.getMarkerFor(marker, token).forall(_ < batchId)) {
-          cat.appendToBranchBatch(table, branch, batchId, batch)
+          if (batchId > published)
+            cat.appendToBranchBatch(table, branch, batchId, batch,
+              token = token, mergeSchema = mergeSchema)
           cat.putMarker(marker, batchId, token)
         }
         ()

@@ -142,19 +142,180 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.branches("t").isEmpty)
   }
 
+  private def branchDirs(cat: TableCatalog, table: String,
+                         name: String): Seq[String] = {
+    val s = Files.list(Paths.get(cat.path(table)))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(s"_branchdata_$name")).toSeq
+    } finally s.close()
+  }
+
+  test("expire firing inside a staged batch's window: rows restage onto " +
+      "the next life, never orphan (r11 verdict wrong #1)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    // seed the branch so the expiring sweep has a pointer to kill
+    cat.appendToBranch("t", "wap", Seq((10L, 10L)).toDF("k", "v"))
+    var fired = false
+    cat.appendToBranchBatchStaged("t", "wap", 7L,
+      Seq((20L, 20L), (21L, 21L)).toDF("k", "v"), token = "tok",
+      mergeSchema = false, afterStage = () => {
+        if (!fired) { fired = true
+          assert(cat.expireBranches("t", graceMs = 0L).map(_._1) === Seq("wap"))
+        }
+      })
+    assert(fired)
+    // the batch's rows landed on the branch's NEW life (the seed row
+    // died with the expire — that is what expiry means); no dead-life
+    // dir was adopted
+    assert(cat.readBranch("t", "wap").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 20L, 21L))
+    assert(branchDirs(cat, "t", "wap").size === 1)
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").count() === 5L)
+  }
+
+  test("publish racing a staged batch cannot silently lose its rows " +
+      "(ADVICE r11 high)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranch("t", "wap", Seq((10L, 10L)).toDF("k", "v"))
+    var fired = false
+    cat.appendToBranchBatchStaged("t", "wap", 3L,
+      Seq((30L, 30L)).toDF("k", "v"), token = "tok",
+      mergeSchema = false, afterStage = () => {
+        if (!fired) { fired = true
+          // the operator publishes between this batch's data write and
+          // its move — the old code's deleteRecursive would eat the
+          // batch's files the instant they moved in
+          cat.publishBranch("t", "wap")
+        }
+      })
+    assert(fired)
+    assert(cat.read("t").count() === 4L) // seed row published
+    // the racing batch's row is STAGED on the re-created branch
+    assert(cat.readBranch("t", "wap").filter(col("k") === 30L).count() === 1L)
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").filter(col("k") === 30L).count() === 1L)
+    assert(cat.read("t").count() === 5L)
+  }
+
+  test("a staged batch that published before its marker is skipped on " +
+      "replay via the publish high-water mark (ADVICE r11 medium)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", Seq((0L, 0L)).toDF("k", "v"))
+    cat.appendToBranchBatch("t", "wap", 5L, Seq((1L, 1L)).toDF("k", "v"),
+      token = "incarnation1")
+    // crash before the marker, then the operator publishes
+    cat.publishBranch("t", "wap")
+    assert(cat.publishedBranchBatch("t", "wap", "incarnation1") === Some(5L))
+    // a NEW incarnation's ids never collide with the old high-water
+    assert(cat.publishedBranchBatch("t", "wap", "incarnation2") === None)
+    // the replayed batch (same token, id <= high-water) must be SKIPPED
+    // by the ingest loop; restaging it would double the rows at the
+    // next publish — pin the double to prove the mark is load-bearing
+    if (cat.publishedBranchBatch("t", "wap", "incarnation1").forall(_ < 5L))
+      fail("high-water mark must cover the published batch")
+    assert(cat.read("t").count() === 2L)
+  }
+
+  test("mergeBranchInto repairs a failing audit on the branch; publish " +
+      "lands the fix as one REPLACE (r11 verdict #2)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 5).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.addConstraint("t", "v_small", "v < 100")
+    // remove the constraint briefly to stage a bad row (simulating a
+    // constraint added after the stage — the audit-catches-it shape)
+    cat.dropConstraint("t", "v_small")
+    cat.appendToBranch("t", "wap", Seq((10L, 500L), (11L, 11L)).toDF("k", "v"))
+    cat.addConstraint("t", "v_small", "v < 100")
+    val bad = intercept[Exception] { cat.auditBranch("t", "wap") }
+    assert(bad.getMessage.contains("v_small"))
+    // the FIX: merge the corrected row into the branch, main untouched
+    val (upd, del, ins, kept) = cat.mergeBranchInto("t", "wap",
+      Seq((10L, 99L)).toDF("k", "v"), Seq("k"))
+    assert((upd, del, ins, kept) === (1L, 0L, 0L, 6L))
+    assert(cat.read("t").count() === 5L)
+    assert(cat.auditBranch("t", "wap") === 7L) // audit passes now
+    val v = cat.publishBranch("t", "wap")
+    assert(cat.read("t").count() === 7L)
+    assert(cat.read("t").filter(col("k") === 10L).select(col("v"))
+      .head().getLong(0) === 99L)
+    assert(cat.history("t").filter(col("op") === "PUBLISH")
+      .filter(col("version") === v).count() === 1L)
+    assert(cat.branches("t").isEmpty)
+  }
+
+  test("a REPLACE-mode branch refuses to rebase: publish after the head " +
+      "moved fails loudly; append mode still rebases") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 4).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranch("t", "fix", Seq((9L, 9L)).toDF("k", "v"))
+    cat.mergeBranchInto("t", "fix", Seq((1L, 100L)).toDF("k", "v"), Seq("k"))
+    cat.appendAtomic("t", Seq((50L, 50L)).toDF("k", "v")) // head moves
+    val e = intercept[Exception] { cat.publishBranch("t", "fix") }
+    assert(e.getMessage.contains("cannot rebase"))
+    cat.dropBranch("t", "fix")
+    assert(cat.read("t").count() === 5L)
+  }
+
+  test("replaceBranch stages a full rewrite; audit sees EXACTLY it; " +
+      "publish commits it as the table") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 6).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.replaceBranch("t", "rw", cat.read("t").filter(col("k") <= 2L))
+    assert(cat.read("t").count() === 6L) // main untouched
+    assert(cat.readBranch("t", "rw").count() === 2L) // would-be state
+    cat.publishBranch("t", "rw")
+    assert(cat.read("t").count() === 2L)
+    assert(cat.branches("t").isEmpty)
+    // time travel still reaches the pre-publish snapshot
+    assert(cat.readVersion("t", 1L).count() === 6L)
+  }
+
+  test("branch schema evolves additively under mergeSchema; old staged " +
+      "files and the base null-fill; publish lands the union (r11 #6)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranch("t", "wap", Seq((10L, 10L)).toDF("k", "v"))
+    // un-evolved writes still refuse loudly
+    val e = intercept[Exception] {
+      cat.appendToBranch("t", "wap", Seq((11L, 11L, "x")).toDF("k", "v", "s"))
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    cat.appendToBranch("t", "wap", Seq((11L, 11L, "x")).toDF("k", "v", "s"),
+      mergeSchema = true)
+    val audit = cat.readBranch("t", "wap")
+    assert(audit.columns.toSeq === Seq("k", "v", "s"))
+    assert(audit.filter(col("s").isNull).count() === 4L) // base + first stage
+    assert(audit.filter(col("s") === "x").count() === 1L)
+    // a type conflict is never mergeable
+    val e2 = intercept[Exception] {
+      cat.appendToBranch("t", "wap", Seq((12L, "bad")).toDF("k", "v"),
+        mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("type conflict"))
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").columns.toSeq === Seq("k", "v", "s"))
+    assert(cat.read("t").count() === 5L)
+    assert(cat.read("t").filter(col("s") === "x").count() === 1L)
+  }
+
   test("vacuum sweeps orphaned branch data but never an open branch") {
     val cat = freshCat()
     cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
     cat.appendToBranch("t", "open", Seq((9L, 9L)).toDF("k", "v"))
     // simulate a dropBranch that crashed between its two deletes:
-    // pointer gone, data dir left behind
+    // pointer gone, data dir (epoch-scoped) left behind
     cat.appendToBranch("t", "crashed", Seq((8L, 8L)).toDF("k", "v"))
     Files.delete(Paths.get(cat.path("t"), "_branch_crashed"))
     val audit = cat.vacuum("t", graceMs = 0L).map(x => x._1 -> x._2).toMap
     assert(audit.contains("branch_orphan"), s"audit: $audit")
-    assert(!Files.exists(Paths.get(cat.path("t"), "_branchdata_crashed")))
+    assert(branchDirs(cat, "t", "crashed").isEmpty)
     // the open branch survived, data intact, still publishable
-    assert(Files.exists(Paths.get(cat.path("t"), "_branchdata_open")))
+    assert(branchDirs(cat, "t", "open").nonEmpty)
     cat.publishBranch("t", "open")
     assert(cat.read("t").count() === 4L)
   }

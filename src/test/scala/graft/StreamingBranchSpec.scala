@@ -59,6 +59,72 @@ class StreamingBranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("t").distinct().count() === 3L) // batch 8 repeats rows, not files
   }
 
+  test("a batch that staged and PUBLISHED before its marker is skipped on " +
+      "replay — the ingest gate reads the publish high-water mark") {
+    val root = Files.createTempDirectory("sbr4")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.replaceAtomic("t", Seq((0L, 0L)).toDF("k", "v"))
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startBranchIngest(cat, "t", "ingest",
+      mem.toDF().toDF("k", "v"), ckpt)
+    try {
+      mem.addData((1L, 1L)); q.processAllAvailable()
+    } finally q.stop()
+    val token = StreamingIngest.queryToken(ckpt)
+    // the crash window: batch 1 stages its rows but dies before the
+    // marker; the operator then publishes everything staged so far
+    cat.appendToBranchBatch("t", "ingest", 1L,
+      Seq((2L, 2L)).toDF("k", "v"), token = token)
+    cat.publishBranch("t", "ingest")
+    assert(cat.read("t").count() === 3L)
+    // the replayed batch 1 must be SKIPPED (its rows are committed) —
+    // the gate the foreachBatch applies before staging
+    assert(cat.publishedBranchBatch("t", "ingest", token) === Some(1L))
+    // restart on the same checkpoint: the next block becomes batch 1 —
+    // in a real crash it carries batch 1's OWN payload, replayed
+    val q2 = StreamingIngest.startBranchIngest(cat, "t", "ingest",
+      mem.toDF().toDF("k", "v"), ckpt)
+    try {
+      mem.addData((2L, 2L)); q2.processAllAvailable() // the replay: skipped
+      assert(cat.branches("t").isEmpty, "replayed published batch restaged")
+      mem.addData((3L, 3L)); q2.processAllAvailable() // batch 2: stages
+    } finally q2.stop()
+    cat.publishBranch("t", "ingest")
+    assert(cat.read("t").count() === 4L)
+    assert(cat.read("t").distinct().count() === 4L) // nothing doubled
+  }
+
+  test("the ingest stream gains a column mid-branch: mergeSchema evolves " +
+      "the branch and publish lands the union") {
+    val root = Files.createTempDirectory("sbr5")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.replaceAtomic("t", Seq((0L, 0L)).toDF("k", "v"))
+    val ckpt = root.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startBranchIngest(cat, "t", "ingest",
+      mem.toDF().toDF("k", "v"), ckpt, mergeSchema = true)
+    try { mem.addData((1L, 1L)); q.processAllAvailable() } finally q.stop()
+    // the upstream feed gains a column; the restarted stream (same
+    // checkpoint — batch ids continue) stages the wider shape
+    val mem2 = MemoryStream[(Long, Long, String)]
+    // the fresh MemoryStream restarts its offsets at 0 while the
+    // checkpoint committed through offset 1 — burn one block so the
+    // payload lands ABOVE the committed offset
+    mem2.addData((-1L, -1L, "swallowed"))
+    val q2 = StreamingIngest.startBranchIngest(cat, "t", "ingest",
+      mem2.toDF().toDF("k", "v", "s"), ckpt, mergeSchema = true)
+    try { mem2.addData((2L, 2L, "x")); q2.processAllAvailable() }
+    finally q2.stop()
+    val audit = cat.readBranch("t", "ingest")
+    assert(audit.columns.toSeq === Seq("k", "v", "s"))
+    assert(audit.count() === 3L)
+    assert(audit.filter(col("s") === "x").count() === 1L)
+    cat.publishBranch("t", "ingest")
+    assert(cat.read("t").columns.toSeq === Seq("k", "v", "s"))
+    assert(cat.read("t").count() === 3L)
+  }
+
   test("a constraint-violating batch fails the stage, never the table") {
     val cat = new TableCatalog(spark,
       Files.createTempDirectory("sbr3").toString)
