@@ -1213,7 +1213,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * canonical 1:1 string rendering (distinctness preserved). */
   private def ndvInput(f: org.apache.spark.sql.types.StructField)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, unix_date}
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
     import org.apache.spark.sql.types._
     f.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
@@ -1221,7 +1221,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       case BooleanType => col(f.name).cast("int")
       case DateType => unix_date(col(f.name)) // ANSI refuses date→int CAST
       case StringType | BinaryType => col(f.name)
-      case TimestampType | TimestampNTZType => col(f.name).cast("long")
+      // unix_micros, NOT cast-to-long: the cast is epoch SECONDS, which
+      // collapses sub-second-distinct timestamps and deflates a merged
+      // NDV by orders of magnitude on ms-granularity event time
+      // (ADVICE r11). NTZ renders via string: a cast to instant is not
+      // injective across DST gaps, the string rendering is.
+      case TimestampType => unix_micros(col(f.name))
+      case TimestampNTZType => col(f.name).cast("string")
       case _ => col(f.name).cast("string")
     }
   }
@@ -2866,36 +2872,53 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * same directory as NULL, so `""` would round-trip as NULL — a
     * silent key rewrite, worse than a failure. */
   def overwritePartitionsOpt(table: String, df: DataFrame, partCol: String,
-                             parts: Seq[Option[String]]): Unit = {
+                             parts: Seq[Option[String]]): Unit =
+    overwritePartitionTuples(table, df, Seq(partCol), parts.map(Seq(_)))
+
+  /** [[overwritePartitionsOpt]] for the MULTI-COLUMN nested layout
+    * (r11 verdict #4): `parts` are whole partition TUPLES in `partCols`
+    * declaration order; survivors dynamic-overwrite their leaf
+    * directories, fully-emptied tuples' leaves are removed explicitly
+    * (dynamic overwrite cannot clear a partition it writes no rows
+    * into). Leaf paths nest exactly the way the writer escapes them,
+    * so untouched leaves keep their files byte-for-byte. */
+  def overwritePartitionTuples(table: String, df: DataFrame,
+      partCols: Seq[String], parts: Seq[Seq[Option[String]]]): Unit = {
     import org.apache.spark.sql.functions.col
     requirePlain(table, "overwritePartitions")
     if (parts.isEmpty) return
-    require(!parts.contains(Some("")),
-      s"empty-string '$partCol' partition value: the Hive layout stores " +
-        "it in the NULL partition directory, silently rewriting the key " +
-        "to NULL on read-back")
-    val pc = col(partCol).cast("string")
-    val nonNull = parts.flatten
-    val keep =
-      if (nonNull.isEmpty) pc.isNull
-      else if (parts.contains(None)) pc.isin(nonNull: _*) || pc.isNull
-      else pc.isin(nonNull: _*)
+    require(parts.forall(_.size == partCols.size),
+      s"every partition tuple must have ${partCols.size} values " +
+        s"(${partCols.mkString(", ")})")
+    require(!parts.exists(_.contains(Some(""))),
+      s"empty-string partition value in ${partCols.mkString(",")}: the " +
+        "Hive layout stores it in the NULL partition directory, silently " +
+        "rewriting the key to NULL on read-back")
+    val pcs = partCols.map(c => col(c).cast("string"))
+    def tupleMatch(t: Seq[Option[String]]): org.apache.spark.sql.Column =
+      pcs.zip(t).map { case (pc, v) =>
+        v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+    val keep = parts.map(tupleMatch).reduce(_ || _)
     val scoped = stripDf(df.filter(keep))
-    val present = scoped.select(pc)
-      .distinct().collect().map(r => Option(r.getString(0))).toSet
+    val present = scoped.select(pcs: _*).distinct().collect()
+      .map(r => partCols.indices.map(i => Option(r.getString(i))): Seq[Option[String]])
+      .toSet
     if (present.nonEmpty)
       scoped.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol)
+        .partitionBy(partCols: _*)
         .parquet(path(table))
-    parts.filterNot(present).foreach { v =>
-      // escape exactly the way the writer does (deleteWhere's rule)
-      val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName)
-      TableCatalog.deleteRecursively(
-        Paths.get(s"${path(table)}/$partCol=$dirName"))
+    parts.filterNot(present).foreach { t =>
+      // escape exactly the way the writer does (deleteWhere's rule);
+      // leaves nest in declaration order
+      val leaf = partCols.zip(t).map { case (c, v) =>
+        val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName)
+        s"$c=$dirName"
+      }.mkString("/")
+      TableCatalog.deleteRecursively(Paths.get(s"${path(table)}/$leaf"))
     }
     invalidateStats(table)
   }
@@ -3982,25 +4005,41 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * values. */
   def deleteWhere(table: String, partCol: String,
                   cond: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+    val (a, g) = deleteWhereParts(table, Seq(partCol), cond)
+    (a.map(_.head.orNull), g.map(_.head.orNull))
+  }
+
+  /** [[deleteWhere]] over the MULTI-COLUMN nested layout (r11 verdict
+    * #4): affected partitions are whole TUPLES of `partCols` values;
+    * only their leaf directories rewrite, fully-purged leaves drop
+    * explicitly, every other leaf keeps its files byte-for-byte.
+    * Returns (affected, fullyRemoved) tuples in declaration order. */
+  def deleteWhereParts(table: String, partCols: Seq[String],
+      cond: org.apache.spark.sql.Column)
+      : (Seq[Seq[Option[String]]], Seq[Seq[Option[String]]]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     requirePlain(table, "deleteWhere")
+    require(partCols.nonEmpty && partCols.distinct == partCols,
+      s"partition columns must be non-empty and distinct, got $partCols")
     // read THROUGH the deletion vectors: a partition rewrite must not
     // resurrect rows a prior deleteVectorize removed (the rewritten
     // partitions fold their vectors in as a side effect; vectors for
     // untouched partitions keep applying via their unchanged files)
     val full = readMor(table)
+    val pcs = partCols.map(c => col(c).cast("string"))
     // Option-typed so a NULL partition value routes to the NULL
     // partition instead of silently surviving the purge (isin never
     // matches NULL — the mirrorPartitioned rule, ADVICE r10)
-    val affected = full.filter(cond).select(col(partCol).cast("string"))
-      .distinct().collect().map(r => Option(r.getString(0))).toSeq
+    def tuples(df: DataFrame): Seq[Seq[Option[String]]] =
+      df.select(pcs: _*).distinct().collect()
+        .map(r => partCols.indices.map(i =>
+          Option(r.getString(i))): Seq[Option[String]]).toSeq
+    val affected = tuples(full.filter(cond))
     if (affected.isEmpty) return (Nil, Nil)
-    val pc = col(partCol).cast("string")
-    val nonNull = affected.flatten
-    val inPart =
-      if (nonNull.isEmpty) pc.isNull
-      else if (affected.contains(None)) pc.isin(nonNull: _*) || pc.isNull
-      else pc.isin(nonNull: _*)
+    def tupleMatch(t: Seq[Option[String]]): org.apache.spark.sql.Column =
+      pcs.zip(t).map { case (pc, v) =>
+        v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+    val inPart = affected.map(tupleMatch).reduce(_ || _)
     // EAGER materialization: the survivors are about to overwrite the
     // very files their plan reads from — a lazy write would race its
     // own input (and Spark's self-overwrite guard would reject it).
@@ -4014,19 +4053,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .filter(inPart)
       .filter(!coalesce(cond, lit(false)))
       .localCheckpoint(true)
-    val survivorParts = survivors.select(pc)
-      .distinct().collect().map(r => Option(r.getString(0))).toSet
+    val survivorParts = tuples(survivors).toSet
     val gone = affected.filterNot(survivorParts)
     // the swap itself — dynamic overwrite of surviving partitions,
     // explicit drop of fully-purged ones — is the shared primitive
-    overwritePartitionsOpt(table, survivors, partCol, affected)
+    overwritePartitionTuples(table, survivors, partCols, affected)
     // the rewritten partitions' vectors now reference deleted files —
     // inert for reads, but left in place they pin hasDeleteVectors true
     // forever (refusing SQL reads / ANALYZE) and skew the auto-fold
     // ratio. Prune under the lock so a concurrent deleteVectorize (which
     // holds it for its whole verb) can't land a vector mid-sweep.
     if (hasDv(table)) withTableLock(table) { pruneOrphanVectorsLocked(table) }
-    (affected.map(_.orNull), gone.map(_.orNull))
+    (affected, gone)
   }
 
   /** ANSI MERGE INTO on a versioned table — the general DML verb the
@@ -4804,6 +4842,45 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // keeps every later read off footer inference, which would id-match
     // that partial layout against files a later append adds
     commitStagedLocked(table, staged, op, expect, schema, declare = true)
+  }
+
+  /** Commit already-staged replacement rows into a PARTITIONED PLAIN
+    * table at partition granularity — the commit half of a SQL
+    * UPDATE/MERGE (and rewrite-DELETE) whose scan was scoped to the
+    * partitions that might match (r11 verdict #4). `parts` are the
+    * scanned partition tuples (the GROUPS the statement replaces):
+    * their leaves dynamic-overwrite from the staged rows, scanned
+    * tuples the staged rows emptied drop explicitly, every other leaf
+    * keeps its files byte-for-byte. A staged row whose partition tuple
+    * falls OUTSIDE the scanned set (an UPDATE that moves rows across
+    * partitions under a pruned scan) refuses loudly — dynamic
+    * overwrite would otherwise clobber an unscanned partition with
+    * only the moved rows. CHECK constraints validate over the staged
+    * files (Spark's planner wrote them outside the inline enforcement).
+    * Consumes the staging directory. */
+  def replacePartitionsFromStaged(table: String, staged: Path,
+      partCols: Seq[String], parts: Seq[Seq[Option[String]]],
+      schema: StructType): Unit = {
+    import org.apache.spark.sql.functions.col
+    try {
+      if (parts.isEmpty) return // nothing scanned → nothing to replace
+      val stagedDf = spark.read.schema(TableCatalog.stripFieldIds(schema))
+        .parquet(staged.toString)
+      if (constraintsOf(table).nonEmpty) enforced(table, stagedDf).count()
+      val pcs = partCols.map(c => col(c).cast("string"))
+      val stagedTuples = stagedDf.select(pcs: _*).distinct().collect()
+        .map(r => partCols.indices.map(i =>
+          Option(r.getString(i))): Seq[Option[String]]).toSeq
+      val outside = stagedTuples.filterNot(parts.toSet)
+      require(outside.isEmpty,
+        s"the statement moves rows into unscanned partition(s) " +
+          s"${outside.take(3).map(_.map(_.getOrElse("NULL")).mkString("/"))
+            .mkString(", ")} of '$table' — a partition-scoped rewrite " +
+          "cannot land them without clobbering those partitions; " +
+          "rewrite via INSERT OVERWRITE, or widen the WHERE to " +
+          "non-partition columns")
+      overwritePartitionTuples(table, stagedDf, partCols, parts)
+    } finally deleteRecursive(staged)
   }
 
   /** The LOCKED half of a staged swap: rename `staged`'s part files
@@ -5639,9 +5716,13 @@ object TableCatalog {
   private[catalog] def renderPartSpec(cols: Seq[String],
                                       schemaDdl: String): String = {
     val o = om.createObjectNode()
-    // legacy single-col field kept for older readers; the array is
-    // authoritative for multi-column specs
-    o.put("partCol", cols.head)
+    // legacy single-col field kept for older readers — but ONLY when
+    // the spec really is single-column: writing the head column for a
+    // multi-column spec would make an old reader silently treat the
+    // nested layout as single-column-partitioned and flatten it on its
+    // first partition-granular DELETE/overwrite (ADVICE r11); omitting
+    // it makes the old reader refuse loudly ("no partition spec")
+    if (cols.size == 1) o.put("partCol", cols.head)
     val a = o.putArray("partCols"); cols.foreach(a.add)
     o.put("schema", schemaDdl)
     om.writeValueAsString(o)

@@ -1135,6 +1135,140 @@ object TestdataQueries {
              |SELECT CAST(n_nationkey AS BIGINT) + 200, n_name,
              |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 3""".stripMargin)),
 
+    // ------------------------------ WAP repair: audit → fix → publish
+    // (r12, verdict #2) The loop the append-only branch dead-ended on:
+    // the audit FINDS bad rows, mergeBranchInto REPAIRS them on the
+    // branch (main untouched — the in-query require pins isolation),
+    // the re-audit passes, and publish lands the fixed state as ONE
+    // versioned REPLACE. The oracle replays the repaired final state
+    // relationally; an un-merged fix, a leaked pre-fix publish, or a
+    // rebase that shouldn't have happened all break the hash.
+    "x_wap_fix" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_wapfix", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("rk"))
+      cat.replaceAtomic("dim_fix", base)
+      val nBase = base.count()
+      // stage: region-1 rows arrive with a CORRUPT region key (+1000)
+      cat.appendToBranch("dim_fix", "load", base.filter(col("rk") === 1L)
+        .select((col("k") + lit(100L)).as("k"), col("name"),
+          (col("rk") + lit(1000L)).as("rk")))
+      // audit: the quality gate catches the corruption on the branch
+      val badRows = cat.readBranch("dim_fix", "load")
+        .filter(col("rk") > 100L)
+      require(badRows.count() > 0, "the audit must see the staged corruption")
+      require(cat.read("dim_fix").filter(col("rk") > 100L).count() == 0,
+        "corruption leaked into the main read")
+      // fix ON THE BRANCH: merge corrected rows over the bad keys
+      val fixes = badRows.select(col("k"), col("name"),
+        (col("rk") - lit(1000L)).as("rk"))
+      val (upd, del, ins, _) = cat.mergeBranchInto("dim_fix", "load",
+        fixes, Seq("k"))
+      require(upd > 0 && del == 0 && ins == 0,
+        s"the fix must UPDATE the bad rows in place (upd=$upd)")
+      require(cat.readBranch("dim_fix", "load")
+        .filter(col("rk") > 100L).count() == 0, "re-audit must pass")
+      require(cat.read("dim_fix").count() == nBase,
+        "main must stay unaware until publish")
+      cat.publishBranch("dim_fix", "load")
+      require(cat.branches("dim_fix").isEmpty, "publish must consume the branch")
+      cat.read("dim_fix").select(col("k"), col("name"), col("rk"))
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             |  CAST(n_regionkey AS BIGINT) AS rk FROM nation
+             |UNION ALL
+             |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 1""".stripMargin)),
+
+    // ------------------------------ the WAP loop, SQL-complete (r12 #3)
+    // Every verb of write-audit-publish from PLAIN SQL: INSERT INTO
+    // g.`t@branch` stages (the branch is born on the first INSERT),
+    // SELECT FROM t@branch audits, INSERT OVERWRITE t@branch repairs
+    // (REPLACE-mode staging), CALL publish_branch lands it, CALL
+    // expire_branches stops the leak of a forgotten branch — no Scala
+    // anywhere. The oracle replays the repaired publish plus main's
+    // isolation from the expired branch.
+    "x_sql_wap" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlwap", dir)
+      val cname = "gwap_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      cat.replaceAtomic("wt", t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("rk")))
+      // stage from SQL: region-2 clones with a corrupt rk (+1000)
+      s.sql(s"""INSERT INTO $cname.`wt@load`
+               |SELECT k + 100 AS k, name, rk + 1000 AS rk
+               |FROM $cname.wt WHERE rk = 2""".stripMargin)
+      // audit from SQL
+      val bad = s.sql(
+        s"SELECT count(*) FROM $cname.`wt@load` WHERE rk > 100").head().getLong(0)
+      require(bad > 0, "the SQL audit must see the staged corruption")
+      require(s.sql(s"SELECT count(*) FROM $cname.wt WHERE rk > 100")
+        .head().getLong(0) == 0, "corruption leaked into main")
+      // repair from SQL: OVERWRITE the branch with the corrected state
+      s.sql(s"""INSERT OVERWRITE $cname.`wt@load`
+               |SELECT k, name, CASE WHEN rk > 100 THEN rk - 1000 ELSE rk END AS rk
+               |FROM $cname.`wt@load`""".stripMargin)
+      require(s.sql(s"SELECT count(*) FROM $cname.`wt@load` WHERE rk > 100")
+        .head().getLong(0) == 0, "the SQL re-audit must pass")
+      s.sql(s"CALL $cname.system.publish_branch('wt', 'load')").collect()
+      // a second branch is forgotten; the SQL leak-stopper expires it
+      s.sql(s"INSERT INTO $cname.`wt@stale` VALUES (9999, 'GHOST', 0)")
+      Thread.sleep(5)
+      val dropped = s.sql(s"CALL $cname.system.expire_branches('wt', 1)")
+        .collect().map(_.getString(0)).toSeq
+      require(dropped == Seq("stale"), s"expire_branches dropped $dropped")
+      s.sql(s"SELECT k, name, rk FROM $cname.wt")
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             |  CAST(n_regionkey AS BIGINT) AS rk FROM nation
+             |UNION ALL
+             |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2""".stripMargin)),
+
+    // --------------------------- branch schema evolution (r12 #6)
+    // A long-lived branch survives an additive upstream column: the
+    // widened write evolves the branch declaration (mergeSchema), the
+    // audit surface null-fills base and pre-evolution staged files, and
+    // publish lands the union shape on main as a schema-evolving
+    // append. The oracle states the union relationally (NULL-filled
+    // sides included) — a dropped column, a lost pre-evolution row, or
+    // null-filling gone wrong all break the hash.
+    "x_wap_evolve" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_wapevo", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("k"), col("r_name").as("name"))
+      cat.replaceAtomic("evo", base)
+      cat.appendToBranch("evo", "feed", Seq((100L, "EARLY")).toDF("k", "name"))
+      // the upstream feed gains a column mid-branch
+      cat.appendToBranch("evo", "feed",
+        Seq((101L, "LATE", "fresh")).toDF("k", "name", "src"),
+        mergeSchema = true)
+      val audit = cat.readBranch("evo", "feed")
+      require(audit.columns.toSeq == Seq("k", "name", "src"),
+        s"the audit surface must show the union shape: ${audit.columns.toSeq}")
+      require(audit.filter(col("src").isNull).count() == base.count() + 1,
+        "base and pre-evolution staged rows must null-fill the new column")
+      cat.publishBranch("evo", "feed")
+      cat.read("evo").select(col("k"), col("name"), col("src"))
+    }),
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+             |  CAST(NULL AS VARCHAR) AS src FROM region
+             |UNION ALL SELECT 100, 'EARLY', NULL
+             |UNION ALL SELECT 101, 'LATE', 'fresh'""".stripMargin)),
+
     // --------------------------- mergeable NDV through appends (r11)
     // The incremental-maintenance gap closed: appendIndexed used to
     // DROP NDV (HLL point estimates don't merge), leaving join planning
@@ -4084,24 +4218,48 @@ object TestdataQueries {
       // nested in declaration order
       require(java.nio.file.Files.list(
         java.nio.file.Paths.get(scratch.toString, "pom")).iterator().hasNext)
-      val leaf = {
+      def leafFiles(y: String, prio: String): Set[String] = {
         import scala.jdk.CollectionConverters._
-        val st = java.nio.file.Files.list(
-          java.nio.file.Paths.get(scratch.toString, "pom"))
-        try st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("y=")).toSeq
-        finally st.close()
+        val p = java.nio.file.Paths.get(scratch.toString, "pom",
+          s"y=$y", s"prio=$prio")
+        if (!java.nio.file.Files.exists(p)) Set.empty
+        else {
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+          finally st.close()
+        }
       }
-      require(leaf.nonEmpty, s"no y= directories: $leaf")
+      // pick an untouched leaf (prio 1, earliest year) to pin that the
+      // DML legs below rewrite ONLY affected leaves
+      val y0 = s.sql(s"SELECT min(y) FROM $cname.pom WHERE prio = '1'")
+        .head().getString(0)
+      val before = leafFiles(y0, "1")
+      require(before.nonEmpty, s"no files under y=$y0/prio=1")
+      // DML leg 1 (r12 verdict #4): row-level DELETE on the nested
+      // layout — partition-granular purge of matching leaves only
+      s.sql(s"DELETE FROM $cname.pom WHERE okey % 10 = 0 AND prio = '2'")
+      // DML leg 2: UPDATE pruned by both partition columns
+      val yMax = s.sql(s"SELECT max(y) FROM $cname.pom WHERE prio = '3'")
+        .head().getString(0)
+      s.sql(s"UPDATE $cname.pom SET price_c = price_c + 7 " +
+        s"WHERE y = '$yMax' AND prio = '3'")
+      require(leafFiles(y0, "1") == before,
+        "DML on other partitions must not rewrite this leaf's files")
       s.sql(s"SELECT y, prio, CAST(count(*) AS BIGINT) AS n, " +
         s"sum(price_c) AS sum_c FROM $cname.pom GROUP BY y, prio")
     }),
-      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
-             |  substr(o_orderpriority, 1, 1) AS prio,
-             |  CAST(count(*) AS BIGINT) AS n,
-             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             |    AS sum_c
-             |FROM orders GROUP BY 1, 2""".stripMargin)),
+      Some("""WITH pom AS (SELECT o_orderkey AS okey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             |    CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |    substr(o_orderpriority, 1, 1) AS prio
+             |  FROM orders),
+             |surv AS (SELECT * FROM pom WHERE NOT (okey % 10 = 0 AND prio = '2')),
+             |ymax AS (SELECT max(y) AS y FROM surv WHERE prio = '3')
+             |SELECT surv.y, surv.prio, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN surv.prio = '3' AND surv.y = (SELECT y FROM ymax)
+             |    THEN price_c + 7 ELSE price_c END) AS BIGINT) AS sum_c
+             |FROM surv GROUP BY 1, 2""".stripMargin)),
 
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving

@@ -150,20 +150,36 @@ class GraftSqlCatalog extends DsV2TableCatalog
     }
 
   override def loadTable(ident: Identifier): Table = {
-    // `t@branch` — the write-audit-publish audit surface from SQL: a
-    // READ-ONLY view of base ∪ staged branch files (the would-be table
-    // state), so an auditor can run any SELECT against the branch
-    // before `CALL g.system.publish_branch` lands it
+    // `t@branch` — the write-audit-publish surface from SQL, both
+    // halves: SELECT serves the would-be table state (base ∪ staged,
+    // or the staged rewrite alone) so an auditor runs any query
+    // against the branch, and INSERT INTO / INSERT OVERWRITE stage
+    // through the catalog's branch verbs (appendToBranch /
+    // replaceBranch) — so the whole stage→audit→publish loop runs in
+    // plain SQL with `CALL g.system.publish_branch` at the end. Main
+    // readers never see any of it.
     val n = ident.name()
     val at = n.indexOf('@')
     if (at > 0) {
       val t = n.take(at)
-      val parts = (if (cat.exists(t)) cat.branchReadParts(t, n.drop(at + 1))
-        else None).getOrElse(throw new NoSuchTableException(ident))
+      val br = n.drop(at + 1)
+      if (!cat.exists(t)) throw new NoSuchTableException(ident)
+      val parts = cat.branchReadParts(t, br).orElse {
+        // an un-created branch's would-be state IS the base snapshot —
+        // serving it makes `INSERT INTO g.`t@branch`` the loop's first
+        // statement (the write verb creates the branch), instead of
+        // demanding a Scala-side creation before SQL can start staging
+        cat.currentVersion(t).map(v =>
+          (Seq(Paths.get(cat.path(t), s"_v$v").toString),
+            cat.resolveSchema(t, v).getOrElse(
+              SparkSession.active.read.parquet(
+                Paths.get(cat.path(t), s"_v$v").toString).schema)))
+      }.getOrElse(throw new NoSuchTableException(ident))
       new GraftSqlCatalog.VersionedTable(ParquetTable(s"$catalogName.$n",
         SparkSession.active, CaseInsensitiveStringMap.empty(), parts._1,
         Some(parts._2), classOf[ParquetFileFormat]), cat, t,
-        writable = false, loadedVersion = cat.currentVersion(t))
+        writable = true, loadedVersion = cat.currentVersion(t),
+        branch = Some(br))
     } else pinnedVersion(ident) match {
       case Some(v) =>
         parquetTable(Identifier.of(Array.empty, ident.name()), Some(v))
@@ -357,8 +373,8 @@ class GraftSqlCatalog extends DsV2TableCatalog
 object GraftSqlCatalog {
   private[sql] val ProcedureNames =
     Seq("describe_history", "optimize", "vacuum", "restore",
-      "audit_branch", "publish_branch", "drop_branch", "clone",
-      "describe_detail", "restore_timestamp", "analyze")
+      "audit_branch", "publish_branch", "drop_branch", "expire_branches",
+      "clone", "describe_detail", "restore_timestamp", "analyze")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -381,6 +397,7 @@ object GraftSqlCatalog {
       case "audit_branch" => "enforce CHECK constraints over a staged branch"
       case "publish_branch" => "commit a staged branch as one APPEND"
       case "drop_branch" => "abandon a staged branch and its files"
+      case "expire_branches" => "drop branches idle past a grace window"
       case "clone" => "zero-copy CLONE of the current snapshot"
       case "describe_detail" => "one-row operational summary (no data scan)"
       case "restore_timestamp" => "restore the snapshot as of an instant"
@@ -410,6 +427,9 @@ object GraftSqlCatalog {
           case "audit_branch" | "publish_branch" | "drop_branch" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("branch", DT.StringType).build())
+          case "expire_branches" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("grace_ms", DT.LongType).build())
           case "clone" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("target", DT.StringType).build())
@@ -461,6 +481,11 @@ object GraftSqlCatalog {
             case "drop_branch" =>
               cat.dropBranch(table, input.getUTF8String(1).toString)
               (StructType.fromDDL("dropped LONG"), Seq(InternalRow(1L)))
+            case "expire_branches" =>
+              val dropped = cat.expireBranches(table, input.getLong(1))
+              (StructType.fromDDL("branch STRING, age_ms LONG"),
+                dropped.map { case (b, age) =>
+                  InternalRow(UTF8String.fromString(b), age) })
             case "clone" =>
               val v = cat.cloneTable(table, input.getUTF8String(1).toString)
               (StructType.fromDDL("cloned_as LONG"), Seq(InternalRow(v)))
@@ -571,7 +596,8 @@ object GraftSqlCatalog {
 
   private final class VersionedTable(delegate: ParquetTable,
       cat: graft.catalog.TableCatalog, table: String, writable: Boolean,
-      loadedVersion: Option[Long], partCols: Option[Seq[String]] = None)
+      loadedVersion: Option[Long], partCols: Option[Seq[String]] = None,
+      branch: Option[String] = None)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = delegate.name
@@ -607,11 +633,15 @@ object GraftSqlCatalog {
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
       require(writable, s"$table: a time-travel relation is read-only")
+      require(branch.isEmpty,
+        s"$table@${branch.getOrElse("")}: row-level SQL on a branch is " +
+          "not supported — stage fixes with INSERT INTO/OVERWRITE the " +
+          "branch, or the Scala mergeBranchInto")
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build()
             : org.apache.spark.sql.connector.write.RowLevelOperation =
           new GraftRowLevelOperation(delegate, cat, table, loadedVersion,
-            info.command())
+            info.command(), partCols)
       }
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -625,12 +655,8 @@ object GraftSqlCatalog {
     override def canDeleteWhere(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Boolean =
-      // multi-column partitioned plain tables refuse here: the
-      // partition-granular purge rewrites LEADING-column partitions and
-      // would flatten the nested layout — falling through to the
-      // row-level path gives the loud partitioned-table refusal instead
-      writable && predicates.forall(v2ToColumn(_).isDefined) &&
-        partCols.forall(_.size == 1)
+      writable && branch.isEmpty &&
+        predicates.forall(v2ToColumn(_).isDefined)
     override def deleteWhere(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
         : Unit = {
@@ -640,15 +666,14 @@ object GraftSqlCatalog {
         throw new UnsupportedOperationException(
           s"DELETE predicate not translatable: $p")))
       val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
-      partCols.map(_.toList) match {
-        case Some(pc :: Nil) =>
-          // partitioned plain table: the catalog's partition-granular
-          // purge — rewrites ONLY partitions containing matches,
-          // O(changed partitions), the layout's whole point
-          cat.deleteWhere(table, pc, coalesce(cond, lit(false)))
-        case Some(_) => throw new UnsupportedOperationException(
-          s"$table: DELETE on a multi-column-partitioned table is not " +
-            "supported — rewrite via INSERT OVERWRITE")
+      partCols match {
+        case Some(pcs) =>
+          // partitioned plain table (single- or multi-column nesting):
+          // the catalog's partition-granular purge — rewrites ONLY the
+          // leaf directories containing matches, O(changed partitions),
+          // the layout's whole point
+          cat.deleteWhereParts(table, pcs, coalesce(cond, lit(false)))
+          ()
         case None =>
           // optimistic concurrency: the survivors plan resolves against
           // the snapshot current NOW — pin it, and let the commit verb
@@ -672,11 +697,19 @@ object GraftSqlCatalog {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame, o: Boolean): Unit =
-                partCols match {
-                  case Some(_) => // partitioned plain layout
+                (branch, partCols) match {
+                  case (Some(br), _) =>
+                    // SQL staging half of write-audit-publish: INSERT
+                    // stages onto the branch (created on first write),
+                    // OVERWRITE stages a full rewrite (REPLACE mode) —
+                    // both invisible to main until publish_branch
+                    if (overwrite || o) cat.replaceBranch(table, br, data)
+                    else cat.appendToBranch(table, br, data)
+                    ()
+                  case (None, Some(_)) => // partitioned plain layout
                     if (overwrite || o) cat.overwritePartitionedAll(table, data)
                     else cat.insertPartitioned(table, data)
-                  case None =>
+                  case (None, None) =>
                     if (overwrite || o) cat.replaceAtomic(table, data)
                     else cat.appendAtomic(table, data)
                 }
@@ -709,30 +742,87 @@ object GraftSqlCatalog {
     * enforces under its lock). */
   private final class GraftRowLevelOperation(delegate: ParquetTable,
       cat: graft.catalog.TableCatalog, table: String, expect: Option[Long],
-      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+      cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+      partCols: Option[Seq[String]])
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
     import org.apache.spark.sql.connector.read.Scan
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+    import org.apache.spark.sql.functions.col
 
     override def command(): RowLevelOperation.Command = cmd
 
+    // PARTITIONED tables narrow the group from "the whole table" to
+    // "the partitions that might match": the scan builder accepts
+    // pushdown of predicates referencing ONLY partition columns (every
+    // row of a partition agrees on them, so partition-granular ==
+    // row-granular — the silent-drop hazard the unpartitioned path
+    // refuses pushdown over cannot arise) and serves exactly the
+    // matching leaf directories; the write then replaces exactly those
+    // leaves. The accepted conjunction is kept here so the COMMIT
+    // recomputes the same scanned-tuple set.
+    @volatile private var partPred: Option[org.apache.spark.sql.Column] = None
+
+    private def scannedTuples(pcs: Seq[String]): Seq[Seq[Option[String]]] = {
+      val full = cat.read(table)
+      val sel = partPred.map(full.filter).getOrElse(full)
+      sel.select(pcs.map(c => col(c).cast("string")): _*).distinct()
+        .collect()
+        .map(r => pcs.indices.map(i =>
+          Option(r.getString(i))): Seq[Option[String]]).toSeq
+    }
+
+    private def leafPath(pcs: Seq[String], t: Seq[Option[String]]): String =
+      pcs.zip(t).map { case (c, v) =>
+        val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName)
+        s"$c=$dirName"
+      }.mkString(cat.path(table) + "/", "/", "")
+
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new ScanBuilder { // no pushdown interfaces — see class doc
-        override def build(): Scan = delegate.newScanBuilder(options).build()
+      partCols match {
+        case None =>
+          new ScanBuilder { // no pushdown interfaces — see class doc
+            override def build(): Scan = delegate.newScanBuilder(options).build()
+          }
+        case Some(pcs) =>
+          new ScanBuilder
+              with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
+            import org.apache.spark.sql.connector.expressions.filter.Predicate
+            private var accepted: Array[Predicate] = Array.empty
+            override def pushPredicates(predicates: Array[Predicate])
+                : Array[Predicate] = {
+              val (ok, rest) = predicates.partition(p =>
+                p.references().forall(r => r.fieldNames().length == 1 &&
+                  pcs.contains(r.fieldNames()(0))) &&
+                  v2ToColumn(p).isDefined)
+              accepted = ok
+              partPred = ok.toSeq.flatMap(v2ToColumn(_)).reduceOption(_ && _)
+              rest
+            }
+            override def pushedPredicates(): Array[Predicate] = accepted
+            override def build(): Scan = {
+              // group granularity: serve exactly the leaves that might
+              // match. An unpruned statement (no partition-col
+              // predicate accepted) scans the whole table and the
+              // write replaces every scanned partition.
+              val paths =
+                if (partPred.isEmpty) Seq(cat.path(table))
+                else scannedTuples(pcs).map(t => leafPath(pcs, t))
+                  .filter(p => Files.exists(Paths.get(p)))
+              val opts = new java.util.HashMap[String, String](options)
+              opts.put("basePath", cat.path(table))
+              ParquetTable(s"$table-rlo-scan", SparkSession.active,
+                new CaseInsensitiveStringMap(opts),
+                if (paths.isEmpty) Seq(cat.path(table)) else paths,
+                Some(delegate.schema), classOf[ParquetFileFormat])
+                .newScanBuilder(new CaseInsensitiveStringMap(opts)).build()
+            }
+          }
       }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-      // the refusal lives HERE, not in newRowLevelOperationBuilder:
-      // Spark builds the row-level operation during ANALYSIS for every
-      // DELETE too, and a partition-granular DELETE later optimizes to
-      // the metadata-only deleteWhere path without ever planning this
-      // write — only UPDATE/MERGE (and an untranslatable DELETE) reach
-      // it, and those WOULD rewrite the partitioned layout away
-      require(cat.partitionSpec(table).isEmpty,
-        s"'$table' is a partitioned PLAIN table — row-level UPDATE/MERGE " +
-          "rewrite into the versioned layout and would destroy the " +
-          "partitioning; use DELETE (partition-granular) or INSERT " +
-          "OVERWRITE, or re-create the table unpartitioned")
       val staging = Paths.get(cat.path(table), "_tmp_rlo_" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       // the stock parquet BatchWrite does the distributed writing and
@@ -754,8 +844,17 @@ object GraftSqlCatalog {
             override def useCommitCoordinator: Boolean = b.useCommitCoordinator
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               b.commit(messages) // staged part files land
-              cat.replaceFromStaged(table, staging, cmd.toString, expect,
-                info.schema())
+              partCols match {
+                case Some(pcs) =>
+                  // partition-granular: replace exactly the scanned
+                  // leaves (recomputed with the same pushed predicate —
+                  // the table is still the pre-image here)
+                  cat.replacePartitionsFromStaged(table, staging, pcs,
+                    scannedTuples(pcs), info.schema())
+                case None =>
+                  cat.replaceFromStaged(table, staging, cmd.toString, expect,
+                    info.schema())
+              }
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               try b.abort(messages)

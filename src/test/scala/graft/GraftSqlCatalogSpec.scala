@@ -122,15 +122,55 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql(s"SELECT count(*) FROM $g.`t@wap`").as[Long].head() === 11L)
     assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 10L)
     assert(spark.sql(s"SELECT max(k) FROM $g.`t@wap`").as[Long].head() === 100L)
-    // read-only: INSERT into the audit surface fails in analysis
+    // INSERT INTO the branch identifier STAGES (r11 verdict #3): the
+    // SQL half of write-audit-publish — main remains unaware
+    spark.sql(s"INSERT INTO $g.`t@wap` VALUES (7, 700)")
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@wap`").as[Long].head() === 12L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 10L)
+    // row-level SQL on a branch stays refused
     assertThrows[Exception](
-      spark.sql(s"INSERT INTO $g.`t@wap` VALUES (7, 7)"))
-    // unknown branch is loud
+      spark.sql(s"DELETE FROM $g.`t@wap` WHERE k = 7"))
+    // SELECT of an un-created branch serves the base (the would-be
+    // state of an empty branch) — the first INSERT then creates it
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@fresh`").as[Long].head() === 10L)
+    assert(cat.branches("t").keySet === Set("wap"))
+    // ...but a branch on an unknown TABLE is loud
     assertThrows[Exception](
-      spark.sql(s"SELECT * FROM $g.`t@nope`").collect())
+      spark.sql(s"SELECT * FROM $g.`nosuch@b`").collect())
     // zero-copy clone from SQL, then the clone is queryable immediately
     assert(spark.sql(s"CALL $g.system.clone('t', 't2')").as[Long].head() === 1L)
     assert(spark.sql(s"SELECT count(*) FROM $g.t2").as[Long].head() === 10L)
+  }
+
+  test("the whole WAP loop runs in SQL: INSERT INTO t@branch stages, " +
+      "SELECT audits, INSERT OVERWRITE fixes, CALL publishes + expires") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t", (1 to 5).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    // stage: the branch is born on the first SQL INSERT
+    spark.sql(s"INSERT INTO $g.`t@load` VALUES (10, 500), (11, 11)")
+    assert(cat.branches("t").keySet === Set("load"))
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 5L)
+    // audit in SQL: the bad row shows only on the branch surface
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@load` WHERE v >= 100")
+      .as[Long].head() === 1L)
+    // fix in SQL: OVERWRITE the branch with the corrected would-be state
+    spark.sql(s"INSERT OVERWRITE $g.`t@load` " +
+      s"SELECT k, CASE WHEN v >= 100 THEN 99 ELSE v END AS v FROM $g.`t@load`")
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@load` WHERE v >= 100")
+      .as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 5L)
+    // publish: the fixed rewrite lands as one commit
+    spark.sql(s"CALL $g.system.publish_branch('t', 'load')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 7L)
+    assert(spark.sql(s"SELECT v FROM $g.t WHERE k = 10").as[Long].head() === 99L)
+    // expire: the leak-stopper is callable from SQL too
+    cat.appendToBranch("t", "stale", Seq((50L, 50L)).toDF("k", "v"))
+    Thread.sleep(10)
+    val dropped = spark.sql(
+      s"CALL $g.system.expire_branches('t', 5)").collect()
+    assert(dropped.map(_.getString(0)).toSeq === Seq("stale"))
+    assert(dropped.forall(_.getLong(1) > 0L))
+    assert(cat.branches("t").isEmpty)
   }
 
   test("CALL describe_detail summarizes; restore_timestamp undoes since an instant") {
@@ -233,22 +273,64 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(!physical.contains("region=eu") && !physical.contains("dt=d1"),
       s"pruning leaked other partitions:\n$physical")
-    // OVERWRITE keeps the layout; DELETE on multi-col refuses loudly
+    // OVERWRITE keeps the layout
     spark.sql(s"INSERT OVERWRITE $g.m VALUES (9, 90, 'd3', 'ap')")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(cat.path("m"), "dt=d3", "region=ap")))
     assert(spark.sql(s"SELECT count(*) FROM $g.m").as[Long].head() === 1L)
-    val e = intercept[Exception](
-      spark.sql(s"DELETE FROM $g.m WHERE dt = 'd3'"))
-    assert(e.getMessage.toLowerCase.contains("partition"))
-    // the refused DELETE left the table intact
-    assert(spark.sql(s"SELECT count(*) FROM $g.m").as[Long].head() === 1L)
-    // row-level UPDATE stays refused on any partitioned plain table
-    assertThrows[Exception](spark.sql(s"UPDATE $g.m SET v = 1"))
     // non-identity transforms stay refused
     assertThrows[Exception](spark.sql(
       s"CREATE TABLE $g.f3 (k BIGINT, a STRING) " +
         "PARTITIONED BY (bucket(4, k))"))
+  }
+
+  test("DELETE + UPDATE on a multi-column-partitioned table rewrite only " +
+      "the affected leaves (r11 verdict #4)") {
+    def leafFiles(dir: java.nio.file.Path): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      if (!java.nio.file.Files.exists(dir)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally s.close()
+      }
+    }
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.m (k BIGINT, v BIGINT, dt STRING, " +
+      "region STRING) PARTITIONED BY (dt, region)")
+    spark.sql(s"INSERT INTO $g.m VALUES (1, 10, 'd1', 'eu'), " +
+      "(2, 20, 'd1', 'us'), (3, 30, 'd2', 'eu'), (4, 40, 'd2', 'us'), " +
+      "(5, 50, 'd2', 'us')")
+    val untouched = java.nio.file.Paths.get(cat.path("m"), "dt=d1", "region=eu")
+    val before = leafFiles(untouched)
+    assert(before.nonEmpty)
+    // DELETE with a row-level predicate: only leaves holding matches
+    // rewrite; the fully-purged leaf directory disappears
+    spark.sql(s"DELETE FROM $g.m WHERE k = 3")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("m"), "dt=d2", "region=eu")))
+    assert(leafFiles(untouched) === before,
+      "an untouched leaf must keep its files byte-for-byte")
+    assert(spark.sql(s"SELECT count(*) FROM $g.m").as[Long].head() === 4L)
+    // UPDATE scoped by partition columns: the scan prunes to the
+    // matching leaves and ONLY they rewrite
+    spark.sql(s"UPDATE $g.m SET v = v + 1 WHERE dt = 'd2' AND region = 'us'")
+    assert(leafFiles(untouched) === before,
+      "a partition-pruned UPDATE must not rewrite other leaves")
+    assert(spark.sql(s"SELECT sum(v) FROM $g.m WHERE dt = 'd2'")
+      .as[Long].head() === 92L)
+    assert(spark.sql(s"SELECT sum(v) FROM $g.m").as[Long].head() === 122L)
+    // UPDATE whose predicate needs data columns: whole-table group —
+    // still correct, layout preserved
+    spark.sql(s"UPDATE $g.m SET v = 0 WHERE k = 1")
+    assert(spark.sql(s"SELECT sum(v) FROM $g.m").as[Long].head() === 112L)
+    assert(cat.partitionSpec("m").map(_._1) === Some(Seq("dt", "region")))
+    // an UPDATE that moves rows across partitions under a pruned scan
+    // refuses loudly instead of clobbering the target partition
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $g.m SET region = 'eu' WHERE dt = 'd2' AND region = 'us'"))
+    assert(e.getMessage.contains("unscanned partition"))
   }
 
   test("DROP TABLE removes plain and versioned tables; IF EXISTS is quiet") {
