@@ -2753,10 +2753,24 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * included, so id-stamped files read identically), the live id
     * marker (appends to the clone keep stamping), and the CHECK
     * constraints (the contract, not the history). History starts fresh
-    * with one CLONE entry; tags, branches, stats, and skipping indexes
-    * do NOT travel (pointers into the source's lifecycle — re-analyze
-    * the clone). Holds no lock: the pinned snapshot is immutable; a
-    * concurrent retention prune of it fails the link loop loudly.
+    * with one CLONE entry; tags and branches do NOT travel (pointers
+    * into the source's lifecycle). STATS TRAVEL (r11 verdict #5): the
+    * planning head, the per-file min/max envelope legs, the per-file
+    * Bloom sidecars, and the mergeable NDV sketches all describe the
+    * SAME immutable bytes the clone links, so they copy over re-keyed
+    * to the clone's file paths — the clone's CBO works from birth, no
+    * unplanned full ANALYZE. Holds no lock: the pinned snapshot is
+    * immutable; a concurrent retention prune of it fails the link loop
+    * loudly.
+    *
+    * Crash-safe by assembly-then-rename (ADVICE r11): the whole clone
+    * builds under a root-level `_tmp_clone-*` scratch table and lands
+    * as ONE atomic directory rename — a crash mid-assembly leaves only
+    * scratch residue (swept by the next cloneTable call after a grace
+    * hour), never a half-built `dst` that blocks retries. The link
+    * pass runs PARALLEL (r11 verdict #5: the serial loop was the last
+    * O(files) driver cost — at 800 k files, 800 k sequential syscalls;
+    * on an object store these become manifest entries instead).
     * Returns the clone's version (always 1). */
   def cloneTable(src: String, dst: String): Long = {
     require(src != dst, s"cannot clone '$src' onto itself")
@@ -2765,23 +2779,89 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val v = currentVersion(src).getOrElse(throw new IllegalStateException(
       s"'$src' is not versioned — CLONE pins a snapshot; write it via " +
         "replaceAtomic/appendAtomic first"))
-    val srcSnap = snapDir(src, v)
-    val dstSnap = snapDir(dst, 1L)
-    Files.createDirectories(dstSnap)
-    listParquetUrisAt(srcSnap).toSeq.sorted.foreach { u =>
-      val s0 = Paths.get(java.net.URI.create(u))
-      Files.createLink(dstSnap.resolve(s0.getFileName), s0)
+    // sweep aged scratch from crashed prior clones (grace: a live clone
+    // of even a huge table finishes well within an hour)
+    if (Files.exists(Paths.get(root))) {
+      val rs = Files.list(Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        val cutoff = System.currentTimeMillis() - 3600000L
+        rs.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("_tmp_clone-") &&
+            (try Files.getLastModifiedTime(p).toMillis <= cutoff
+            catch { case _: java.io.IOException => false }))
+          .foreach(deleteRecursive)
+      } finally rs.close()
     }
-    schemaLog(src).filter(_.version <= v).lastOption.foreach(e =>
-      appendSchemaEntry(dst, 1L, e.ddl, e.ids, e.nextId))
-    idMarker(src).filter(_.since <= v).foreach(m =>
-      writeIdMarker(dst, m.copy(since = 1L)))
-    val cons = constraintsOf(src)
-    if (cons.nonEmpty) writeConstraints(dst, cons)
-    writeHistoryEntry(dst, 1L, "CLONE")
-    val tmp = Paths.get(path(dst), "_version.tmp")
-    Files.write(tmp, "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    committer.atomicRename(tmp, versionFile(dst))
+    val srcSnap = snapDir(src, v)
+    val scratch = s"_tmp_clone-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val dstSnap = snapDir(scratch, 1L)
+      Files.createDirectories(dstSnap)
+      val uris = listParquetUrisAt(srcSnap).toSeq.sorted
+      // parallel hard links: driver-local metadata syscalls with no
+      // ordering dependency — the serial pass was O(files) wall time
+      locally {
+        import scala.jdk.CollectionConverters._
+        uris.asJava.parallelStream().forEach { u =>
+          val s0 = Paths.get(java.net.URI.create(u))
+          Files.createLink(dstSnap.resolve(s0.getFileName), s0)
+        }
+      }
+      schemaLog(src).filter(_.version <= v).lastOption.foreach(e =>
+        appendSchemaEntry(scratch, 1L, e.ddl, e.ids, e.nextId))
+      idMarker(src).filter(_.since <= v).foreach(m =>
+        writeIdMarker(scratch, m.copy(since = 1L)))
+      val cons = constraintsOf(src)
+      if (cons.nonEmpty) writeConstraints(scratch, cons)
+      // stats travel when they describe the pinned snapshot: same
+      // rows/NDV/histograms; envelopes and Bloom sidecars re-key their
+      // file URIs from the source snapshot to the clone's _v1 (same
+      // file NAMES — the links preserve them)
+      stats(src).filter(_.version.contains(v)).foreach { st =>
+        def rekey(u: String): String =
+          u.replace(s"${path(src)}/_v$v/", s"${path(dst)}/_v1/")
+        if (st.manifestGen.nonEmpty) {
+          val envs = fileEnvelopes(src)
+          if (envs.nonEmpty)
+            writeEnvLeg(scratch, st.manifestGen,
+              envs.map(f => f.copy(file = rekey(f.file))))
+        }
+        if (st.bloomCols.nonEmpty) {
+          Files.createDirectories(Paths.get(path(scratch), "_bloom"))
+          fileEnvelopes(src).foreach { f =>
+            committer.read(Paths.get(path(src), "_bloom",
+              TableCatalog.bloomSidecarName(f.file))).foreach { bytes =>
+              val n = TableCatalog.om.readTree(
+                new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+              n.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                .put("file", rekey(f.file))
+              Files.write(Paths.get(path(scratch), "_bloom",
+                TableCatalog.bloomSidecarName(rekey(f.file))),
+                TableCatalog.om.writeValueAsString(n)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        }
+        if (st.ndvNonce.nonEmpty)
+          committer.read(ndvSketchFile(src)).foreach(b =>
+            Files.write(ndvSketchFile(scratch), b))
+        commitHead(scratch, st.copy(version = Some(1L)))
+      }
+      writeHistoryEntry(scratch, 1L, "CLONE")
+      Files.write(Paths.get(path(scratch), "_version"),
+        "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the commit: ONE atomic rename of the assembled table directory
+      Files.move(Paths.get(path(scratch)), Paths.get(path(dst)),
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case t: Throwable =>
+      deleteRecursive(Paths.get(path(scratch)))
+      throw t
+    }
+    // the head cache is keyed by the SCRATCH path the assembly wrote
+    // through — drop it so the clone's first stats read parses fresh
+    TableCatalog.invalidateHead(
+      statsFile(scratch).toAbsolutePath.normalize().toString)
     1L
   }
 

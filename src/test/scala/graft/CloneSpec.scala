@@ -33,6 +33,59 @@ class CloneSpec extends AnyFunSuite with SparkTestSession {
       .as[String].collect().toSeq === Seq("CLONE", "REPLACE"))
   }
 
+  test("stats travel with the clone, equal a fresh ANALYZE, and the " +
+      "clone's pruned reads work from birth (r11 verdict #5)") {
+    val cat = freshCat()
+    cat.replaceAtomic("src", (1 to 200)
+      .map(i => (i.toLong, (i % 7).toLong, s"u$i")).toDF("k", "m", "s")
+      .repartition(4, col("k")))
+    cat.analyze("src", cols = Seq("k", "m"), skipCols = Seq("k"),
+      bloomCols = Seq("s"))
+    cat.cloneTable("src", "dst")
+    val carried = cat.stats("dst").getOrElse(fail("stats did not travel"))
+    assert(carried.version === Some(1L), "head must re-stamp the clone's v1")
+    // a fresh ANALYZE over the same (linked) bytes agrees exactly
+    cat.cloneTable("src", "fresh")
+    val re = cat.analyze("fresh", cols = Seq("k", "m"), skipCols = Seq("k"),
+      bloomCols = Seq("s"))
+    assert(carried.rows === re.rows)
+    assert(carried.ndv === re.ndv)
+    assert(carried.fileCount === re.fileCount)
+    // envelope legs re-keyed to the clone's paths: a range-pruned read
+    // answers correctly (a stale src-keyed envelope would either refuse
+    // or open the wrong files)
+    assert(cat.fileEnvelopes("dst").nonEmpty)
+    assert(cat.fileEnvelopes("dst").forall(_.file.contains("/dst/")),
+      s"envelopes must point into the clone: ${cat.fileEnvelopes("dst").head.file}")
+    assert(cat.prunedRead("dst", Seq(("k", 1L, 10L)))
+      .filter(col("k").between(1L, 10L)).count() === 10L)
+    // Bloom sidecars re-keyed: the point-probe path prunes on the clone
+    assert(cat.prunedReadPoint("dst", Seq(("s", "u5"))).count() === 1L)
+    // the mergeable NDV sketch sidecar travels under a consistent nonce
+    assert(carried.ndvNonce.nonEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(cat.path("dst"),
+      "_ndvsketch.json")))
+    // the carried stats drive planning immediately (no re-analyze): the
+    // broadcast-hint read resolves without throwing stale-stats
+    assert(cat.readHinted("dst").count() === 200L)
+  }
+
+  test("a crashed clone leaves no half-built target; the retry heals") {
+    val cat = freshCat()
+    cat.replaceAtomic("src", (1 to 5).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    // crashed-assembly residue: a scratch table dir aged past the grace
+    val dead = java.nio.file.Paths.get(cat.root, "_tmp_clone-deadbeef")
+    Files.createDirectories(dead.resolve("_v1"))
+    Files.setLastModifiedTime(dead, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 3600 * 1000))
+    cat.cloneTable("src", "dst") // sweeps the residue, lands atomically
+    assert(!Files.exists(dead), "aged clone scratch must be swept")
+    assert(cat.read("dst").count() === 5L)
+    // a retry against an EXISTING dst refuses loudly (never clobbers)
+    val e = intercept[Exception] { cat.cloneTable("src", "dst") }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("constraints travel; a violating write on the clone refuses") {
     val cat = freshCat()
     cat.replaceAtomic("src", (1 to 5).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
