@@ -2497,6 +2497,32 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     throw new IllegalStateException("unreachable")
   }
 
+  /** DELETE rows from an open branch's would-be state — the third
+    * repair verb (audit finds junk rows that should not publish at
+    * all): survivors of `cond` (NULL-evaluating rows survive, the
+    * [[deleteWhere]] 3VL rule) become the branch's staged content as a
+    * REPLACE-mode life. Returns the rows deleted. */
+  def deleteFromBranch(table: String, name: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= TableCatalog.MaxOptimisticAttempts + 1,
+        s"branch '$name' of '$table' is churning — delete cannot land")
+      val meta = branchMeta(table, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$name' on '$table' " +
+            s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
+      val target = readBranch(table, name)
+      val before = target.count()
+      val survivors = target.filter(not(coalesce(cond, lit(false))))
+      if (replaceBranchContent(table, name, meta, survivors))
+        return before - readBranch(table, name).count()
+    }
+    -1L // unreachable
+  }
+
   /** Stage `df` as a FULL-REWRITE branch: the staged files are the
     * would-be table (replace mode), published as one versioned
     * REPLACE. The other entry into repair-style WAP — derive the
@@ -4951,15 +4977,30 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val stagedTuples = stagedDf.select(pcs: _*).distinct().collect()
         .map(r => partCols.indices.map(i =>
           Option(r.getString(i))): Seq[Option[String]]).toSeq
+      // rows landing OUTSIDE the scanned tuples: an INSERT into a
+      // partition that does not exist yet is additive (the dynamic
+      // overwrite creates its leaf — MERGE's NOT MATCHED inserts);
+      // a move into an EXISTING unscanned leaf would replace that
+      // whole leaf with only the moved rows — refuse it
+      def leafDir(t: Seq[Option[String]]): Path =
+        Paths.get(path(table) + "/" + partCols.zip(t).map { case (c, v) =>
+          val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName)
+          s"$c=$dirName"
+        }.mkString("/"))
       val outside = stagedTuples.filterNot(parts.toSet)
-      require(outside.isEmpty,
+      val clobbers = outside.filter(t => Files.exists(leafDir(t)))
+      require(clobbers.isEmpty,
         s"the statement moves rows into unscanned partition(s) " +
-          s"${outside.take(3).map(_.map(_.getOrElse("NULL")).mkString("/"))
+          s"${clobbers.take(3).map(_.map(_.getOrElse("NULL")).mkString("/"))
             .mkString(", ")} of '$table' — a partition-scoped rewrite " +
           "cannot land them without clobbering those partitions; " +
           "rewrite via INSERT OVERWRITE, or widen the WHERE to " +
           "non-partition columns")
-      overwritePartitionTuples(table, stagedDf, partCols, parts)
+      overwritePartitionTuples(table, stagedDf, partCols,
+        parts ++ outside)
     } finally deleteRecursive(staged)
   }
 

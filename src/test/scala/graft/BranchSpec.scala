@@ -261,6 +261,22 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("t").count() === 5L)
   }
 
+  test("deleteFromBranch drops junk rows from the would-be state; NULL " +
+      "predicates keep their rows (3VL)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+      .toDF("k", "v"))
+    cat.appendToBranch("t", "wap", Seq((10L, Some(99L))).toDF("k", "v"))
+    // v > 50 matches only the staged junk row; the NULL-v row SURVIVES
+    val deleted = cat.deleteFromBranch("t", "wap", col("v") > 50L)
+    assert(deleted === 1L)
+    assert(cat.readBranch("t", "wap").count() === 3L)
+    assert(cat.read("t").count() === 3L) // main untouched
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").orderBy("k").select("k").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
   test("replaceBranch stages a full rewrite; audit sees EXACTLY it; " +
       "publish commits it as the table") {
     val cat = freshCat()

@@ -326,11 +326,37 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"UPDATE $g.m SET v = 0 WHERE k = 1")
     assert(spark.sql(s"SELECT sum(v) FROM $g.m").as[Long].head() === 112L)
     assert(cat.partitionSpec("m").map(_._1) === Some(Seq("dt", "region")))
-    // an UPDATE that moves rows across partitions under a pruned scan
-    // refuses loudly instead of clobbering the target partition
+    // an UPDATE that moves rows into an EXISTING unscanned leaf refuses
+    // loudly instead of clobbering it (d1/us holds k=2)
     val e = intercept[Exception](spark.sql(
-      s"UPDATE $g.m SET region = 'eu' WHERE dt = 'd2' AND region = 'us'"))
+      s"UPDATE $g.m SET dt = 'd1' WHERE dt = 'd2' AND region = 'us'"))
     assert(e.getMessage.contains("unscanned partition"))
+    assert(spark.sql(s"SELECT count(*) FROM $g.m WHERE dt = 'd1'")
+      .as[Long].head() === 2L) // the refused move changed nothing
+    // a move into a NON-existing leaf is additive: the new leaf is
+    // born, the source leaf rewrites without the moved rows
+    spark.sql(s"UPDATE $g.m SET region = 'sa' WHERE dt = 'd2' AND region = 'us'")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("m"), "dt=d2", "region=sa")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.m WHERE region = 'us' AND dt = 'd2'")
+      .as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.m WHERE region = 'sa'")
+      .as[Long].head() === 2L)
+    // MERGE INTO the nested layout: data-column ON condition → the
+    // whole-table group; updates and inserts land, layout preserved
+    spark.sql(s"CREATE TABLE $g.src2 (k BIGINT, v BIGINT, dt STRING, " +
+      "region STRING)")
+    spark.sql(s"INSERT INTO $g.src2 VALUES (1, 1000, 'd1', 'eu'), " +
+      "(77, 7700, 'd7', 'ap')")
+    spark.sql(s"""MERGE INTO $g.m USING $g.src2 s ON m.k = s.k
+                 |WHEN MATCHED THEN UPDATE SET v = s.v
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT v FROM $g.m WHERE k = 1").as[Long].head() === 1000L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.m WHERE dt = 'd7'")
+      .as[Long].head() === 1L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("m"), "dt=d7", "region=ap")))
+    assert(cat.partitionSpec("m").map(_._1) === Some(Seq("dt", "region")))
   }
 
   test("DROP TABLE removes plain and versioned tables; IF EXISTS is quiet") {
