@@ -2222,64 +2222,94 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     else evolveBranchLocked(table, name, meta, df.schema)
   }
 
-  /** The shared stage: write `df` to scratch UNLOCKED (the heavy job),
-    * then under the branch lock re-verify the branch's life and MOVE
-    * the files in under `prefix`-scoped names. A life that ended
-    * mid-write (drop/publish/replace-flip) voids the scratch and the
-    * caller's loop retries against the branch's new life — rows are
-    * never silently lost (they restage) and never adopted by a
-    * stranger (the new life has a new data dir). True when the stage
-    * landed; false to retry. */
-  private def stageBranchFiles(table: String, name: String, df: DataFrame,
-      meta: BranchMeta, prefix: String,
+  /** The shared stage loop: write `df` to scratch UNLOCKED (the heavy
+    * job), then under the branch lock re-verify the branch's life and
+    * MOVE the files in under `prefix`-scoped names. A life that ended
+    * mid-write (drop/publish/replace-flip) retries against the
+    * branch's new life — rows are never silently lost (they restage)
+    * and never adopted by a stranger (the new life has a new data
+    * dir). The scratch is REUSED across retries whenever the new
+    * life's id assignment and declared shape match what the files were
+    * stamped under (the common publish-mid-stage race: a publish moves
+    * the head but never the append assignment), so a lost race costs a
+    * pointer read + renames, not a re-write of the batch — a hot
+    * publisher cannot starve stagers of more than metadata work.
+    * Returns the meta the stage landed under. */
+  private def stageBranch(table: String, name: String, df: DataFrame,
+      mergeSchema: Boolean, prefix: String,
       sidecar: Option[String],
-      afterStage: () => Unit = () => ()): Boolean = {
-    val scratch = Paths.get(path(table),
-      s"_brtmp_stage-${java.util.UUID.randomUUID()}")
-    enforced(table, stampDf(df, meta.ids.map(_._1).getOrElse(Map.empty)))
-      .write.parquet(scratch.toString)
-    afterStage() // the specs' deterministic race window (pre-lock)
-    val ok = withBranchLock(table, name) {
-      branchMeta(table, name) match {
-        case Some(m) if m.epoch == meta.epoch =>
-          val dir = branchDataDir(table, name, meta.epoch)
-          Files.createDirectories(dir)
-          // replay sweep: this prefix's previous (possibly partial)
-          // landing, data files and sidecar both
-          val old = Files.list(dir)
-          try {
-            import scala.jdk.CollectionConverters._
-            old.iterator().asScala
-              .filter { p =>
-                val n = p.getFileName.toString
-                n.startsWith(prefix) || n.startsWith(s".staged-$prefix")
+      afterStage: () => Unit = () => ()): BranchMeta = {
+    var attempt = 0
+    var scratch: Path = null
+    var scratchIds: Option[(Map[String, Int], Int)] = None
+    var scratchDdl: String = ""
+    try {
+      while (true) {
+        attempt += 1
+        require(attempt <= TableCatalog.MaxStageAttempts,
+          s"branch '$name' of '$table' is being dropped/published in a " +
+            s"tight loop — staging cannot land ($attempt attempts)")
+        branchStageMeta(table, name, df, mergeSchema, "append") match {
+          case None => () // life ended mid-evolution; retry
+          case Some(meta) =>
+            if (scratch == null || scratchIds != meta.ids ||
+                scratchDdl != meta.ddl) {
+              if (scratch != null) deleteRecursive(scratch)
+              scratch = Paths.get(path(table),
+                s"_brtmp_stage-${java.util.UUID.randomUUID()}")
+              enforced(table,
+                stampDf(df, meta.ids.map(_._1).getOrElse(Map.empty)))
+                .write.parquet(scratch.toString)
+              scratchIds = meta.ids
+              scratchDdl = meta.ddl
+            }
+            afterStage() // the specs' deterministic race window (pre-lock)
+            val landed = withBranchLock(table, name) {
+              branchMeta(table, name) match {
+                case Some(m) if m.epoch == meta.epoch =>
+                  val dir = branchDataDir(table, name, meta.epoch)
+                  Files.createDirectories(dir)
+                  // replay sweep: this prefix's previous (possibly
+                  // partial) landing, data files and sidecar both
+                  val old = Files.list(dir)
+                  try {
+                    import scala.jdk.CollectionConverters._
+                    old.iterator().asScala
+                      .filter { p =>
+                        val n = p.getFileName.toString
+                        n.startsWith(prefix) ||
+                          n.startsWith(s".staged-$prefix")
+                      }
+                      .foreach(p => Files.delete(p))
+                  } finally old.close()
+                  val s = Files.list(scratch)
+                  try {
+                    import scala.jdk.CollectionConverters._
+                    s.iterator().asScala
+                      .filter(_.getFileName.toString.endsWith(".parquet"))
+                      .foreach { p =>
+                        val dst = Files.move(p,
+                          dir.resolve(prefix + p.getFileName.toString))
+                        // move preserves the SCRATCH-write mtime; expiry
+                        // judges "last write" by file mtime, so stamp
+                        // the landing time
+                        try Files.setLastModifiedTime(dst,
+                          java.nio.file.attribute.FileTime.fromMillis(
+                            System.currentTimeMillis()))
+                        catch { case _: java.io.IOException => () }
+                      }
+                  } finally s.close()
+                  sidecar.foreach(sc =>
+                    Files.write(dir.resolve(sc), Array.empty[Byte]))
+                  true
+                case _ => false
               }
-              .foreach(p => Files.delete(p))
-          } finally old.close()
-          val s = Files.list(scratch)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .foreach { p =>
-                val dst = Files.move(p,
-                  dir.resolve(prefix + p.getFileName.toString))
-                // move preserves the SCRATCH-write mtime; expiry judges
-                // "last write" by file mtime, so stamp the landing time
-                try Files.setLastModifiedTime(dst,
-                  java.nio.file.attribute.FileTime.fromMillis(
-                    System.currentTimeMillis()))
-                catch { case _: java.io.IOException => () }
-              }
-          } finally s.close()
-          sidecar.foreach(sc =>
-            Files.write(dir.resolve(sc), Array.empty[Byte]))
-          true
-        case _ => false
+            }
+            if (landed) return meta
+        }
       }
-    }
-    deleteRecursive(scratch)
-    ok
+      throw new IllegalStateException("unreachable")
+    } finally if (scratch != null) deleteRecursive(scratch)
   }
 
   /** Stage `df` onto branch `name` — created at the CURRENT head on
@@ -2296,21 +2326,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(currentVersion(table).isDefined,
       s"'$table' is not versioned — branches stage against snapshots; " +
         "write it via replaceAtomic/appendAtomic first")
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      require(attempt <= TableCatalog.MaxOptimisticAttempts + 1,
-        s"branch '$name' of '$table' is being dropped/published in a " +
-          "tight loop — staging cannot land")
-      branchStageMeta(table, name, df, mergeSchema, "append") match {
-        case Some(meta) =>
-          val prefix = s"a${java.util.UUID.randomUUID().toString.take(8)}-"
-          if (stageBranchFiles(table, name, df, meta, prefix, None))
-            return meta.base
-        case None => ()
-      }
-    }
-    -1L // unreachable
+    stageBranch(table, name, df, mergeSchema,
+      prefix = s"a${java.util.UUID.randomUUID().toString.take(8)}-",
+      sidecar = None).base
   }
 
   /** [[appendToBranch]] for EXACTLY-ONCE micro-batch staging (the
@@ -2342,20 +2360,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
     require(currentVersion(table).isDefined,
       s"'$table' is not versioned — branches stage against snapshots")
-    var attempt = 0
-    var done = false
-    while (!done) {
-      attempt += 1
-      require(attempt <= TableCatalog.MaxOptimisticAttempts + 1,
-        s"branch '$branch' of '$table' is being dropped/published in a " +
-          s"tight loop — batch $batchId cannot land")
-      branchStageMeta(table, branch, df, mergeSchema, "append") match {
-        case Some(meta) =>
-          done = stageBranchFiles(table, branch, df, meta, s"b$batchId-",
-            Some(s".staged-b$batchId-$token"), afterStage)
-        case None => ()
-      }
-    }
+    stageBranch(table, branch, df, mergeSchema, prefix = s"b$batchId-",
+      sidecar = Some(s".staged-b$batchId-$token"), afterStage)
+    ()
   }
 
   // ------------------------- published-batch high-water (_branchpub_)
@@ -6095,6 +6102,13 @@ object TableCatalog {
     * the locked rewrite — each loss means a full re-stage, so a small
     * bound keeps a write-hot table from thrashing the rewrite forever. */
   private[graft] val MaxOptimisticAttempts = 3
+
+  /** Branch staging retries are cheap once the scratch is reusable (a
+    * lost race to a publish costs a pointer read + renames, not a
+    * batch re-write), so the liveness bound is generous — it exists to
+    * turn a pathological drop/re-create loop into a loud error, not to
+    * ration ordinary publish contention. */
+  private[graft] val MaxStageAttempts = 20
 
   // (fingerprint)-keyed parse caches, the MvRewrite.registry discipline
   // (VERDICT r9 next #1): stats() runs on every planning decision and

@@ -89,4 +89,66 @@ class ConcurrentWritersSpec extends AnyFunSuite with SparkTestSession {
     assert(hist.map(_._2).count(Set("APPEND", "REPLACE")) >=
       1 + writers * appendsEach)
   }
+
+  test("branch stagers hammered by a publisher: every staged row lands " +
+      "exactly once, whichever publish carries it (ADVICE r11 high)") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("cw-br").toString)
+    cat.replaceAtomic("t", Seq((-1L, -1L)).toDF("writer", "v"))
+
+    val stagers = 3
+    val batchesEach = 5
+    val rowsEach = 8
+    val errs = new AtomicReference[Throwable](null)
+    def guard(body: => Unit): Unit =
+      try body catch { case t: Throwable => errs.compareAndSet(null, t) }
+
+    // each stager's rows are globally unique; a stage whose branch life
+    // ends mid-move restages onto the next life (the r12 lock + epoch
+    // protocol), so every row must land in SOME publish — exactly once
+    val stageThreads = (0 until stagers).map { w =>
+      new Thread(() => guard {
+        (0 until batchesEach).foreach { b =>
+          val rows = (0 until rowsEach)
+            .map(i => (w.toLong, (b * rowsEach + i).toLong))
+          cat.appendToBranch("t", "wap", rows.toDF("writer", "v"))
+        }
+      }, s"stager-$w")
+    }
+    val publisher = new Thread(() => guard {
+      (0 until 6).foreach { _ =>
+        Thread.sleep(120)
+        // a publish between two stages may find the branch absent
+        // (the previous publish consumed it and nothing restaged yet)
+        try cat.publishBranch("t", "wap")
+        catch { case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).contains("no branch") => () }
+      }
+    }, "publisher")
+
+    val all = stageThreads :+ publisher
+    all.foreach(_.start())
+    all.foreach(_.join(300000))
+    assert(errs.get() === null, s"a concurrent actor failed: ${errs.get()}")
+    // final publish drains whatever the last stages left behind
+    if (cat.branches("t").contains("wap")) cat.publishBranch("t", "wap")
+
+    val got = cat.read("t")
+    assert(got.count() === 1L + stagers.toLong * batchesEach * rowsEach,
+      "a staged row was lost or doubled across racing publishes")
+    assert(got.distinct().count() === got.count(), "a stage double-landed")
+    val perWriter = got.filter(col("writer") >= 0)
+      .groupBy("writer").count().as[(Long, Long)].collect().toMap
+    assert(perWriter === (0 until stagers)
+      .map(w => w.toLong -> (batchesEach * rowsEach).toLong).toMap)
+    // hygiene: branch fully consumed, no dead-life dirs left unswept
+    assert(cat.branches("t").isEmpty)
+    val s = Files.list(Paths.get(cat.path("t")))
+    try {
+      import scala.jdk.CollectionConverters._
+      val dirs = s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_branchdata_")).toList
+      assert(dirs.isEmpty, s"dead branch-life dirs: $dirs")
+    } finally s.close()
+  }
 }
