@@ -2629,7 +2629,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           case None => throw new IllegalArgumentException(
             s"branch '$name' of '$table' was dropped mid-publish")
           case Some(m2) if m2.epoch != meta.epoch || m2.ddl != meta.ddl =>
-            None // the branch churned mid-audit — re-audit its new life
+            // the branch churned mid-audit (a replace-flip or an
+            // evolution landed) — re-audit its new life, bounded: a
+            // branch churning faster than publish can re-audit must
+            // fail loudly, not spin
+            require(!last,
+              s"branch '$name' of '$table' keeps changing lives while " +
+                "publish re-audits — quiesce the writers and retry")
+            None
           case Some(_) =>
             val hasDataL = Files.exists(dir) &&
               listParquetUrisAt(dir).nonEmpty

@@ -1235,6 +1235,50 @@ object TestdataQueries {
              |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
              |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2""".stripMargin)),
 
+    // ------------------------ merge-on-read DELETE from SQL (r12)
+    // The O(matches) delete was Scala-only ("the O(delta) forms remain
+    // the Scala mergeInto / deleteVectorize" — VersionedTable doc); now
+    // `CALL g.system.delete_vectorize(t, predicate)` vectorizes from
+    // SQL (predicate through Spark's own parser — the WHERE dialect),
+    // the live-vector read guard still refuses bare SQL scans, and
+    // `apply_delete_vectors` folds + unblocks. Oracle replays the
+    // surviving rows relationally.
+    "x_sql_mor_delete" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_sqlmor", dir)
+      val cname = "gmor_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new TableCatalog(s, scratch.toString)
+      cat.append("cust_mor", t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ckey"),
+        cents(col("c_acctbal")).as("bal_c"),
+        col("c_mktsegment").as("seg")))
+      // 1-in-31 keys ≈ 3% — safely under the auto-fold threshold, so
+      // the vectors stay LIVE and the verb stays O(matches)
+      val n = s.sql(s"CALL $cname.system.delete_vectorize('cust_mor', " +
+        "'ckey % 31 = 0')").head().getLong(0)
+      require(n > 0, "the 1-in-31 condition matched nothing")
+      val refused =
+        try { s.sql(s"SELECT count(*) FROM $cname.cust_mor").collect(); false }
+        catch { case e: Exception
+          if String.valueOf(e.getMessage).contains("deletion vectors") => true }
+      require(refused, "a bare SQL read must refuse while vectors live")
+      val folded = s.sql(
+        s"CALL $cname.system.apply_delete_vectors('cust_mor')")
+        .head().getLong(0)
+      require(folded == n, s"folded $folded != vectored $n")
+      s.sql(s"SELECT seg, CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"sum(bal_c) AS sum_bal_c FROM $cname.cust_mor GROUP BY seg")
+    }),
+      Some("""SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_bal_c
+             |FROM customer WHERE c_custkey % 31 <> 0
+             |GROUP BY 1""".stripMargin)),
+
     // --------------------------- branch schema evolution (r12 #6)
     // A long-lived branch survives an additive upstream column: the
     // widened write evolves the branch declaration (mergeSchema), the

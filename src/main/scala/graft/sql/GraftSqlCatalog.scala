@@ -374,7 +374,8 @@ object GraftSqlCatalog {
   private[sql] val ProcedureNames =
     Seq("describe_history", "optimize", "vacuum", "restore",
       "audit_branch", "publish_branch", "drop_branch", "expire_branches",
-      "clone", "describe_detail", "restore_timestamp", "analyze")
+      "clone", "describe_detail", "restore_timestamp", "analyze",
+      "delete_vectorize", "apply_delete_vectors")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -402,6 +403,8 @@ object GraftSqlCatalog {
       case "describe_detail" => "one-row operational summary (no data scan)"
       case "restore_timestamp" => "restore the snapshot as of an instant"
       case "analyze" => "compute stats (rows/NDV/envelopes) for planning"
+      case "delete_vectorize" => "O(matches) merge-on-read DELETE (vectors)"
+      case "apply_delete_vectors" => "fold live delete vectors into a rewrite"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -444,6 +447,11 @@ object GraftSqlCatalog {
               .defaultValue("''").build(),
             ProcedureParameter.in("skip_cols", DT.StringType)
               .defaultValue("''").build())
+          case "delete_vectorize" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("predicate", DT.StringType).build())
+          case "apply_delete_vectors" => Array(
+            ProcedureParameter.in("table", DT.StringType).build())
         }
 
         override def call(input: InternalRow)
@@ -502,6 +510,22 @@ object GraftSqlCatalog {
             case "restore_timestamp" =>
               val v = cat.restoreTimestamp(table, input.getLong(1))
               (StructType.fromDDL("restored_as LONG"), Seq(InternalRow(v)))
+            case "delete_vectorize" =>
+              // the O(matches) merge-on-read DELETE from SQL — the
+              // versioned DELETE FROM rewrites the whole table (1x
+              // write amplification, copy-on-write); this is the
+              // O(delta) sibling for plain tables, previously
+              // Scala-only. The predicate parses through Spark's own
+              // expression parser, so it is exactly the WHERE-clause
+              // dialect the caller already writes.
+              val n = cat.deleteVectorize(table,
+                org.apache.spark.sql.functions.expr(
+                  input.getUTF8String(1).toString))
+              (StructType.fromDDL("rows_deleted LONG"), Seq(InternalRow(n)))
+            case "apply_delete_vectors" =>
+              val n = cat.applyDeleteVectors(table)
+              (StructType.fromDDL("rows_folded_out LONG"),
+                Seq(InternalRow(n)))
             case "analyze" =>
               def list(i: Int): Seq[String] =
                 Option(input.getUTF8String(i)).map(_.toString)

@@ -359,6 +359,30 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.partitionSpec("m").map(_._1) === Some(Seq("dt", "region")))
   }
 
+  test("CALL delete_vectorize runs the O(matches) MoR delete from SQL; " +
+      "apply_delete_vectors folds and unblocks bare reads") {
+    val (cat, g) = freshSqlCat()
+    cat.append("p", (1 to 100).map(i => (i.toLong, (i % 10).toLong))
+      .toDF("k", "m"))
+    // 5 matches of 100 rows — under the 10% auto-fold threshold, so the
+    // vectors stay LIVE (the point of the O(matches) path)
+    val n = spark.sql(
+      s"CALL $g.system.delete_vectorize('p', 'k > 95')")
+      .as[Long].head()
+    assert(n === 5L)
+    // bare SQL reads refuse while vectors live (the existing guard)
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $g.p").collect())
+    assert(e.getMessage.contains("deletion vectors"))
+    assert(cat.readMor("p").count() === 95L)
+    val folded = spark.sql(s"CALL $g.system.apply_delete_vectors('p')")
+      .as[Long].head()
+    assert(folded === 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.p").as[Long].head() === 95L)
+    // a garbage predicate fails loudly at the parser, not silently
+    assertThrows[Exception](spark.sql(
+      s"CALL $g.system.delete_vectorize('p', 'no_such_col ===')").collect())
+  }
+
   test("DROP TABLE removes plain and versioned tables; IF EXISTS is quiet") {
     val (cat, g) = freshSqlCat()
     cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v")) // versioned
