@@ -3897,6 +3897,56 @@ object TestdataQueries {
              |  CAST(c_nationkey AS BIGINT)
              |FROM customer WHERE c_custkey <= 90""".stripMargin)),
 
+    // ------------------- self-promoting streaming WAP (r12, publishEvery)
+    // x_stream_wap with the promotion INSIDE the loop: every 2nd staged
+    // batch the ingest audits-and-publishes itself (same publishBranch,
+    // CHECK constraints re-judge staged files first), so the WAP
+    // cadence needs no operator process; a trailing odd batch stays
+    // staged until the operator's final publish. The oracle replays the
+    // final state; a doubled batch through the self-publish boundary or
+    // a leaked unpublished batch breaks the hash.
+    "x_stream_wap_auto" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streamwapauto", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"), col("n_regionkey").cast("long").as("rk"))
+      cat.replaceAtomic("wap_a", base)
+      cat.addConstraint("wap_a", "k_nonneg", "k >= 0")
+      val nBase = base.count()
+      val slice = t(s, dir, "customer").filter(col("c_custkey") <= 90)
+        .select((col("c_custkey").cast("long") + lit(1000L)).as("k"),
+          col("c_name").as("name"), col("c_nationkey").cast("long").as("rk"))
+        .as[(Long, String, Long)].collect()
+      val mem = MemoryStream[(Long, String, Long)]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest.startBranchIngest(
+          cat, "wap_a", "load", mem.toDF().toDF("k", "name", "rk"),
+          scratch.resolve("ckpt").toString, publishEvery = 2)
+        try (0 until 3).foreach { bi =>
+          mem.addData(slice.filter(_._1 % 3 == bi).toIndexedSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // batches 0+1 self-published; batch 2 is still staged
+      val mid = cat.read("wap_a").count()
+      require(mid > nBase && mid < nBase + slice.length,
+        s"expected a partial self-publish, got $mid of ${nBase + slice.length}")
+      require(cat.branches("wap_a").keySet == Set("load"),
+        "the trailing batch must still be staged")
+      cat.publishBranch("wap_a", "load") // the operator drains the tail
+      cat.read("wap_a").select(col("k"), col("name"), col("rk"))
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             |  CAST(n_regionkey AS BIGINT) AS rk FROM nation
+             |UNION ALL
+             |SELECT CAST(c_custkey AS BIGINT) + 1000, c_name,
+             |  CAST(c_nationkey AS BIGINT)
+             |FROM customer WHERE c_custkey <= 90""".stripMargin)),
+
     // ---------------------------- incremental MV refresh (plain fact)
     // The maintenance loop of x_mv_rewrite for an append-style fact:
     // day-1 lineitem rows (odd orderkeys) are loaded plain, the view

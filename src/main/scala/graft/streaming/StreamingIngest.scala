@@ -121,9 +121,22 @@ object StreamingIngest {
     * the branch at the new head. CHECK constraints judge every staged
     * batch inline (a violating batch fails the QUERY, not the table —
     * main is never dirtied), and again at publish. */
+  /** `publishEvery = N` turns the loop self-promoting: after every Nth
+    * staged batch the ingest itself audits-and-publishes (the same
+    * [[TableCatalog.publishBranch]] an operator would call — CHECK
+    * constraints re-judge the staged files before anything lands on
+    * main), so the WAP cadence needs no side process. A publish that
+    * refuses (constraint grown mid-stream, stale id stamps after a
+    * rename) fails the QUERY loudly — main is never dirtied, the
+    * operator repairs the branch (mergeBranchInto / dropBranch) and
+    * restarts. 0 (the default) keeps promotion fully operator-driven.
+    * Exactly-once across the crash windows is the watermark's job: a
+    * batch that staged and PUBLISHED but died before its marker skips
+    * on replay via [[TableCatalog.publishedBranchBatch]]. */
   def startBranchIngest(cat: TableCatalog, table: String, branch: String,
                         df: DataFrame, checkpointDir: String,
-                        mergeSchema: Boolean = false): StreamingQuery = {
+                        mergeSchema: Boolean = false,
+                        publishEvery: Int = 0): StreamingQuery = {
     val token = queryToken(checkpointDir)
     val marker = s"branch_ingest_${table}_$branch"
     df.writeStream
@@ -143,6 +156,9 @@ object StreamingIngest {
               token = token, mergeSchema = mergeSchema)
           cat.putMarker(marker, batchId, token)
         }
+        if (publishEvery > 0 && (batchId + 1) % publishEvery == 0 &&
+            cat.branches(table).contains(branch))
+          cat.publishBranch(table, branch)
         ()
       }
       .start()

@@ -125,6 +125,31 @@ class StreamingBranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("t").count() === 3L)
   }
 
+  test("publishEvery promotes staged batches on the loop's own cadence; " +
+      "replays stay exactly-once through the self-publishes") {
+    val root = Files.createTempDirectory("sbr6")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.replaceAtomic("t", Seq((0L, 0L)).toDF("k", "v"))
+    cat.addConstraint("t", "k_nonneg", "k >= 0")
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingIngest.startBranchIngest(cat, "t", "ingest",
+      mem.toDF().toDF("k", "v"), root.resolve("ckpt").toString,
+      publishEvery = 2)
+    try {
+      mem.addData((1L, 1L)); q.processAllAvailable() // batch 0: staged
+      assert(cat.read("t").count() === 1L)
+      assert(cat.branches("t").keySet === Set("ingest"))
+      mem.addData((2L, 2L)); q.processAllAvailable() // batch 1: publish
+      assert(cat.read("t").count() === 3L, "the 2nd batch must promote")
+      assert(cat.branches("t").isEmpty)
+      mem.addData((3L, 3L)); q.processAllAvailable() // batch 2: staged
+      assert(cat.read("t").count() === 3L)
+      mem.addData((4L, 4L)); q.processAllAvailable() // batch 3: publish
+      assert(cat.read("t").count() === 5L)
+      assert(cat.read("t").distinct().count() === 5L) // nothing doubled
+    } finally q.stop()
+  }
+
   test("a constraint-violating batch fails the stage, never the table") {
     val cat = new TableCatalog(spark,
       Files.createTempDirectory("sbr3").toString)
