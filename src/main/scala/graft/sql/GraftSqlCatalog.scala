@@ -375,7 +375,8 @@ object GraftSqlCatalog {
     Seq("describe_history", "optimize", "vacuum", "restore",
       "audit_branch", "publish_branch", "drop_branch", "expire_branches",
       "clone", "describe_detail", "restore_timestamp", "analyze",
-      "delete_vectorize", "apply_delete_vectors")
+      "delete_vectorize", "apply_delete_vectors",
+      "optimize_zorder", "add_constraint", "drop_constraint")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -405,6 +406,9 @@ object GraftSqlCatalog {
       case "analyze" => "compute stats (rows/NDV/envelopes) for planning"
       case "delete_vectorize" => "O(matches) merge-on-read DELETE (vectors)"
       case "apply_delete_vectors" => "fold live delete vectors into a rewrite"
+      case "optimize_zorder" => "Z-order cluster (staged rewrite + re-analyze)"
+      case "add_constraint" => "declare a CHECK constraint (judges existing rows)"
+      case "drop_constraint" => "retire a CHECK constraint"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -452,6 +456,16 @@ object GraftSqlCatalog {
             ProcedureParameter.in("predicate", DT.StringType).build())
           case "apply_delete_vectors" => Array(
             ProcedureParameter.in("table", DT.StringType).build())
+          case "optimize_zorder" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("cols", DT.StringType).build())
+          case "add_constraint" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("name", DT.StringType).build(),
+            ProcedureParameter.in("predicate", DT.StringType).build())
+          case "drop_constraint" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("name", DT.StringType).build())
         }
 
         override def call(input: InternalRow)
@@ -526,6 +540,21 @@ object GraftSqlCatalog {
               val n = cat.applyDeleteVectors(table)
               (StructType.fromDDL("rows_folded_out LONG"),
                 Seq(InternalRow(n)))
+            case "optimize_zorder" =>
+              val cols = Option(input.getUTF8String(1)).map(_.toString)
+                .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
+                .toIndexedSeq
+              require(cols.nonEmpty, "optimize_zorder needs cols, e.g. 'a,b'")
+              val st = cat.optimizeZOrder(table, cols)
+              (StructType.fromDDL("rows LONG, files LONG"),
+                Seq(InternalRow(st.rows, st.fileCount)))
+            case "add_constraint" =>
+              cat.addConstraint(table, input.getUTF8String(1).toString,
+                input.getUTF8String(2).toString)
+              (StructType.fromDDL("added LONG"), Seq(InternalRow(1L)))
+            case "drop_constraint" =>
+              cat.dropConstraint(table, input.getUTF8String(1).toString)
+              (StructType.fromDDL("dropped LONG"), Seq(InternalRow(1L)))
             case "analyze" =>
               def list(i: Int): Seq[String] =
                 Option(input.getUTF8String(i)).map(_.toString)

@@ -383,6 +383,33 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       s"CALL $g.system.delete_vectorize('p', 'no_such_col ===')").collect())
   }
 
+  test("CALL add_constraint/drop_constraint + optimize_zorder round out " +
+      "the SQL-only table lifecycle") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t", (1 to 50).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("k", "v").repartition(4))
+    // declare the contract from SQL; it judges existing rows first
+    spark.sql(s"CALL $g.system.add_constraint('t', 'k_pos', 'k > 0')").collect()
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $g.t VALUES (-1, 0)"))
+    assert(e.getMessage.contains("k_pos"))
+    // a constraint the existing rows violate refuses at declaration
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL $g.system.add_constraint('t', 'v_big', 'v > 100')").collect())
+    assert(String.valueOf(e2.getMessage).nonEmpty)
+    spark.sql(s"CALL $g.system.drop_constraint('t', 'k_pos')").collect()
+    spark.sql(s"INSERT INTO $g.t VALUES (-1, 0)") // allowed again
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 51L)
+    // Z-order clustering from SQL: one staged-rewrite commit, content
+    // identical, stats re-analyzed at the new version
+    val r = spark.sql(s"CALL $g.system.optimize_zorder('t', 'k,v')").head()
+    assert(r.getLong(0) === 51L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 51L)
+    assert(cat.history("t").filter(col("op") === "OPTIMIZE_ZORDER")
+      .count() === 1L)
+    assert(cat.stats("t").exists(_.version === cat.currentVersion("t")))
+  }
+
   test("DROP TABLE removes plain and versioned tables; IF EXISTS is quiet") {
     val (cat, g) = freshSqlCat()
     cat.replaceAtomic("d", Seq((1L, 2L)).toDF("k", "v")) // versioned
