@@ -2472,6 +2472,47 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def auditBranch(table: String, name: String): Long =
     enforced(table, readBranch(table, name)).count()
 
+  /** What WOULD publishing branch `name` change? Rows the would-be
+    * state adds and removes relative to the branch's base, each tagged
+    * `change_type` ('add' / 'remove') — the audit answer between
+    * [[readBranch]] and [[publishBranch]]. Multiset-exact (exceptAll),
+    * so duplicate rows diff correctly. Append-mode branches
+    * short-circuit to the STAGED FILES alone (nothing is ever removed
+    * and the base is never scanned — O(staged), the scale path);
+    * replace-mode diffs base vs would-be with two exceptAll passes
+    * (O(base + staged), the honest cost of diffing a rewrite). An
+    * evolved branch's new columns null-fill on the base side. */
+  def diffBranch(table: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = branchMeta(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
+        s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
+    val wouldBe = readBranch(table, name)
+    if (meta.mode == "append") {
+      val dir = branchDataDir(table, name, meta.epoch)
+      val staged =
+        if (Files.exists(dir))
+          spark.read.schema(wouldBe.schema).parquet(dir.toString)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          wouldBe.schema)
+      staged.withColumn("change_type", lit("add"))
+    } else {
+      val baseSch = resolveSchema(table, meta.base)
+      val baseRaw = baseSch match {
+        case Some(b) =>
+          spark.read.schema(b).parquet(snapDir(table, meta.base).toString)
+        case None => spark.read.parquet(snapDir(table, meta.base).toString)
+      }
+      val aligned = baseRaw.select(wouldBe.schema.fields.map(f =>
+        if (baseRaw.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      wouldBe.exceptAll(aligned).withColumn("change_type", lit("add"))
+        .unionByName(
+          aligned.exceptAll(wouldBe).withColumn("change_type", lit("remove")))
+    }
+  }
+
   /** MERGE the audit's fixes INTO an open branch (r11 verdict #2 —
     * the repair half of write-audit-publish): the branch's CURRENT
     * would-be state ([[readBranch]]) is the target, `source` rows

@@ -1235,6 +1235,48 @@ object TestdataQueries {
              |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
              |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2""".stripMargin)),
 
+    // ------------------------------ branch diff: the audit's answer
+    // (r12) "What would this publish change?" — diffBranch tags the
+    // would-be state's additions and removals vs the branch's base.
+    // Append mode short-circuits to the staged files (base never
+    // scanned); a merge-fix flips to replace mode where the diff is
+    // the multiset-exact exceptAll both ways — the updated row shows
+    // as remove(old)+add(new). The oracle states the final diff
+    // relationally.
+    "x_branch_diff" -> (((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_brdiff", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("rk"))
+      cat.replaceAtomic("dim_bd", base)
+      cat.appendToBranch("dim_bd", "load", base.filter(col("rk") === 1L)
+        .select((col("k") + lit(100L)).as("k"), col("name"), col("rk")))
+      // append mode: additions only — the staged slice verbatim
+      val d1 = cat.diffBranch("dim_bd", "load")
+      require(d1.filter(col("change_type") === "remove").count() == 0,
+        "an append-mode branch removes nothing")
+      // the fix flips to replace mode: nation 0 gets rk rewritten to 99
+      cat.mergeBranchInto("dim_bd", "load",
+        base.filter(col("k") === 0L).select(col("k"), col("name"),
+          lit(99L).as("rk")), Seq("k"))
+      cat.diffBranch("dim_bd", "load")
+        .select(col("change_type"), col("k"), col("name"), col("rk"))
+    }),
+      Some("""SELECT 'add' AS change_type, CAST(n_nationkey AS BIGINT) + 100 AS k,
+             |  n_name AS name, CAST(n_regionkey AS BIGINT) AS rk
+             |FROM nation WHERE n_regionkey = 1
+             |UNION ALL
+             |SELECT 'add', CAST(n_nationkey AS BIGINT), n_name, 99
+             |FROM nation WHERE n_nationkey = 0
+             |UNION ALL
+             |SELECT 'remove', CAST(n_nationkey AS BIGINT), n_name,
+             |  CAST(n_regionkey AS BIGINT)
+             |FROM nation WHERE n_nationkey = 0""".stripMargin)),
+
     // ------------------------ merge-on-read DELETE from SQL (r12)
     // The O(matches) delete was Scala-only ("the O(delta) forms remain
     // the Scala mergeInto / deleteVectorize" — VersionedTable doc); now

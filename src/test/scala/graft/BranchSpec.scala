@@ -291,6 +291,28 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readVersion("t", 1L).count() === 6L)
   }
 
+  test("diffBranch answers 'what would this publish change' for both modes") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 4).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranch("t", "wap", Seq((10L, 10L), (11L, 11L)).toDF("k", "v"))
+    // append mode: additions only, base never part of the answer
+    val d1 = cat.diffBranch("t", "wap")
+    assert(d1.filter(col("change_type") === "add").count() === 2L)
+    assert(d1.filter(col("change_type") === "remove").count() === 0L)
+    // a merge-fix flips to replace mode: the diff shows the update as
+    // remove(old) + add(new), plus the staged additions
+    cat.mergeBranchInto("t", "wap", Seq((1L, 100L)).toDF("k", "v"), Seq("k"))
+    val d2 = cat.diffBranch("t", "wap").collect()
+      .map(r => (r.getString(2), r.getLong(0), r.getLong(1))).toSet
+    assert(d2 === Set(("add", 10L, 10L), ("add", 11L, 11L),
+      ("add", 1L, 100L), ("remove", 1L, 1L)))
+    // the diff is exactly what publish then does
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").filter(col("k") === 1L).select("v")
+      .as[Long].head() === 100L)
+    assert(cat.read("t").count() === 6L)
+  }
+
   test("branch schema evolves additively under mergeSchema; old staged " +
       "files and the base null-fill; publish lands the union (r11 #6)") {
     val cat = freshCat()
