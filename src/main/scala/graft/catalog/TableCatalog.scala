@@ -2641,7 +2641,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * branch publishes as a no-op. The branch is consumed; the staged
     * batch sidecars fold into the `_branchpub_` high-water mark.
     * Returns the committed (or current) version. */
-  def publishBranch(table: String, name: String): Long = {
+  def publishBranch(table: String, name: String): Long =
+    publishBranchHooked(table, name, () => (), () => ())
+
+  /** [[publishBranch]] with the crash-window hooks the specs fire:
+    * `afterPend` between the write-ahead intent and the commit,
+    * `afterCommit` between the commit and the record/consume. */
+  private[graft] def publishBranchHooked(table: String, name: String,
+      afterPend: () => Unit, afterCommit: () => Unit): Long = {
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -2666,7 +2673,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           throw new IllegalStateException(
             s"'$table' lost its versioned pointer while branch '$name' " +
               "was open"))
-        branchMeta(table, name) match {
+        // crash recovery FIRST (see the _brpend_ section comment): a
+        // prior publish of THIS life that committed but died before
+        // record/consume must fold its watermark and consume —
+        // re-publishing would double every row it landed. A dead
+        // life's committed intent folds its tokens only; a pre-commit
+        // intent drops (the dir is intact — links, not moves).
+        val liveMeta = branchMeta(table, name)
+        val recovered =
+          if (recoverBranchPendLocked(table, name, cur,
+              liveMeta.map(_.epoch).getOrElse(" gone"))) {
+            consumeBranchLocked(table, name,
+              branchDataDir(table, name, liveMeta.get.epoch))
+            committer.delete(branchPendFile(table, name))
+            Some(cur)
+          } else None
+        if (recovered.isDefined) recovered
+        else liveMeta match {
           case None => throw new IllegalArgumentException(
             s"branch '$name' of '$table' was dropped mid-publish")
           case Some(m2) if m2.epoch != meta.epoch || m2.ddl != meta.ddl =>
@@ -2705,6 +2728,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                       t -> xs.map(_._2).max }
                 } finally s.close()
               }
+              // write-ahead intent, then commit by HARD LINK — the
+              // branch dir stays intact until consume, so any crash
+              // before the pointer rename loses nothing and any crash
+              // after it is recovered by the intent above
+              writeBranchPend(table, name, cur + 1L, meta.epoch, marks)
+              afterPend()
+              def linkInto(dst: Path): Unit = {
+                Files.createDirectories(dst)
+                val s = Files.list(dir)
+                try {
+                  import scala.jdk.CollectionConverters._
+                  s.iterator().asScala
+                    .filter(_.getFileName.toString.endsWith(".parquet"))
+                    .foreach(p => Files.createLink(
+                      dst.resolve(p.getFileName), p))
+                } finally s.close()
+              }
               val v = meta.mode match {
                 case "replace" =>
                   require(cur == meta.base,
@@ -2716,8 +2756,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                     writeIdMarker(table,
                       TableCatalog.IdMarker(cur + 1L, nid, ids))
                   }
-                  commitStagedLocked(table, dir, "PUBLISH", Some(cur), sch,
-                    ids = meta.ids.map(_._1).getOrElse(Map.empty),
+                  val staging = Paths.get(path(table),
+                    s"_tmp_txn-${java.util.UUID.randomUUID()}")
+                  linkInto(staging)
+                  commitStagedLocked(table, staging, "PUBLISH", Some(cur),
+                    sch, ids = meta.ids.map(_._1).getOrElse(Map.empty),
                     nextId = meta.ids.map(_._2).getOrElse(0))
                 case _ =>
                   val fresh = appendIds(table, cur, sch)
@@ -2730,19 +2773,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                   // stage-time evolution gate (or is main's own mid-branch
                   // ADD COLUMN) — the union lands, null-filled each way
                   appendCommitLocked(table, cur, sch, mergeSchema = true,
-                    fresh, dst => {
-                      Files.createDirectories(dst)
-                      val s = Files.list(dir)
-                      try {
-                        import scala.jdk.CollectionConverters._
-                        s.iterator().asScala
-                          .filter(_.getFileName.toString.endsWith(".parquet"))
-                          .foreach(p => Files.move(p, dst.resolve(p.getFileName)))
-                      } finally s.close()
-                    }, op = "PUBLISH")
+                    fresh, linkInto, op = "PUBLISH")
               }
+              afterCommit()
+              // record, consume, THEN drop the intent — a crash after
+              // consume leaves an orphan intent the next publish (or
+              // dropBranch) folds idempotently; dropping the intent any
+              // earlier would let a crash-between re-publish the same
+              // files onto the new head (doubling every row)
               recordPublishedBatches(table, name, marks)
               consumeBranchLocked(table, name, dir)
+              committer.delete(branchPendFile(table, name))
               Some(v)
             }
         }
@@ -2754,14 +2795,84 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** Pointer first, then the dir: a stage blocked on the branch lock
     * re-reads the pointer before moving, so post-consume it voids
     * itself and retries against the branch's next life. Caller holds
-    * the branch lock. (`commitStagedLocked` on the replace path has
-    * already emptied and removed the dir — the delete is then a
-    * no-op.) */
+    * the branch lock. Deleting the dir only unlinks NAMES — the
+    * publish committed the same inodes by hard link, so the snapshot
+    * is untouched. */
   private def consumeBranchLocked(table: String, name: String,
                                   dir: Path): Unit = {
     committer.delete(branchPtrFile(table, name))
     deleteRecursive(dir)
   }
+
+  // ------------------------------ publish intent (_brpend_) — the
+  // write-ahead note that makes publishBranch CRASH-IDEMPOTENT. The
+  // commit lands the branch's files by HARD LINK (the branch dir stays
+  // intact until consume), and the intent records {expect = the
+  // version about to commit, tokens = the staged-batch high-water per
+  // token}. A publish retry under the locks reads it first:
+  //   - expect <= currentVersion: the prior publish COMMITTED but
+  //     crashed before record/consume — fold the tokens into the
+  //     `_branchpub_` mark and consume, never re-publish (which would
+  //     double every row);
+  //   - expect > currentVersion: the prior attempt died before its
+  //     pointer rename — its uncommitted `_v<expect>` residue is swept
+  //     by the retry's own commit (and vacuum), the branch dir still
+  //     holds every file (links, not moves), so publish proceeds
+  //     normally; the stale intent is dropped.
+  // Without the links + intent, a crash between the file move and the
+  // pointer rename silently VANISHED marked-staged rows (the r11
+  // layout's hole), and a crash between commit and the watermark write
+  // re-opened the replayed-batch duplication window.
+
+  private def branchPendFile(table: String, name: String): Path =
+    Paths.get(path(table), s"_brpend_$name")
+
+  private def writeBranchPend(table: String, name: String, expect: Long,
+                              epoch: String,
+                              tokens: Map[String, Long]): Unit = {
+    val o = TableCatalog.om.createObjectNode()
+    o.put("expect", expect)
+    o.put("epoch", epoch)
+    val tn = o.putObject("tokens")
+    tokens.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
+    val tmp = Paths.get(path(table),
+      s"_brtmp_pend-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.om.writeValueAsString(o)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, branchPendFile(table, name))
+  }
+
+  private def readBranchPend(table: String, name: String)
+      : Option[(Long, String, Map[String, Long])] =
+    committer.read(branchPendFile(table, name)).flatMap { b =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val n = TableCatalog.om.readTree(
+          new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        val tokens = Option(n.get("tokens")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap)
+          .getOrElse(Map.empty[String, Long])
+        Option(n.get("expect")).map(e => (e.asLong(),
+          Option(n.get("epoch")).map(_.asText()).getOrElse(""), tokens))
+      } catch { case _: Exception => None }
+    }
+
+  /** Fold a leftover publish intent under the branch lock: a COMMITTED
+    * intent's tokens record into the `_branchpub_` mark (idempotent
+    * max), a pre-commit intent is dropped. Returns true when the
+    * intent belonged to THIS life and its publish committed — the
+    * caller then consumes instead of re-publishing (which would double
+    * every row the crashed publish already landed). */
+  private def recoverBranchPendLocked(table: String, name: String,
+      cur: Long, liveEpoch: String): Boolean =
+    readBranchPend(table, name) match {
+      case Some((expect, epoch, tokens)) =>
+        val committed = expect <= cur
+        if (committed) recordPublishedBatches(table, name, tokens)
+        if (committed && epoch == liveEpoch) true
+        else { committer.delete(branchPendFile(table, name)); false }
+      case None => false
+    }
 
   /** Abandon branch `name`: delete its pointer and files, under the
     * branch lock so a concurrent stage either lands wholly before the
@@ -2773,6 +2884,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * cannot un-commit. */
   def dropBranch(table: String, name: String): Unit =
     withBranchLock(table, name) {
+      // an orphan publish intent folds its committed watermark first —
+      // dropping it unrecorded would re-open the replayed-batch window
+      currentVersion(table).foreach(cur =>
+        recoverBranchPendLocked(table, name, cur, " gone"))
+      committer.delete(branchPendFile(table, name))
       val meta = branchMeta(table, name)
       committer.delete(branchPtrFile(table, name))
       deleteRecursive(branchDataDir(table, name,

@@ -291,6 +291,49 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readVersion("t", 1L).count() === 6L)
   }
 
+  test("publish crash windows are idempotent: a pre-commit crash loses " +
+      "nothing (links, not moves); a post-commit crash never " +
+      "double-publishes (write-ahead intent)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranchBatch("t", "wap", 4L,
+      Seq((10L, 10L), (11L, 11L)).toDF("k", "v"), token = "tok")
+    // crash AFTER the write-ahead intent, BEFORE the commit: under the
+    // old move-based layout this window silently VANISHED the staged
+    // rows (drained dir, no commit); links keep the branch whole
+    val e1 = intercept[RuntimeException] {
+      cat.publishBranchHooked("t", "wap",
+        afterPend = () => throw new RuntimeException("crash-pre-commit"),
+        afterCommit = () => ())
+    }
+    assert(e1.getMessage === "crash-pre-commit")
+    assert(cat.read("t").count() === 3L) // nothing landed on main
+    assert(cat.readBranch("t", "wap").count() === 5L) // nothing lost
+    cat.publishBranch("t", "wap") // the retry lands exactly once
+    assert(cat.read("t").count() === 5L)
+    assert(cat.branches("t").isEmpty)
+    // crash AFTER the commit, BEFORE record/consume: the retry must
+    // recover (consume + fold the watermark), never re-publish the
+    // same files onto the new head
+    cat.appendToBranchBatch("t", "wap", 7L,
+      Seq((20L, 20L)).toDF("k", "v"), token = "tok")
+    val e2 = intercept[RuntimeException] {
+      cat.publishBranchHooked("t", "wap",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("crash-post-commit"))
+    }
+    assert(e2.getMessage === "crash-post-commit")
+    assert(cat.read("t").count() === 6L) // the commit DID land
+    assert(cat.branches("t").keySet === Set("wap")) // consume never ran
+    cat.publishBranch("t", "wap") // recovery: consume, not re-publish
+    assert(cat.read("t").count() === 6L)
+    assert(cat.read("t").distinct().count() === 6L, "a recovery re-published")
+    assert(cat.branches("t").isEmpty)
+    // the crashed publish's watermark was recovered: batch 7 skips on
+    // replay even though its marker never landed
+    assert(cat.publishedBranchBatch("t", "wap", "tok") === Some(7L))
+  }
+
   test("diffBranch answers 'what would this publish change' for both modes") {
     val cat = freshCat()
     cat.replaceAtomic("t", (1 to 4).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
