@@ -315,10 +315,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   private val HistoryCompactEvery = 8L
 
-  private def writeHistoryEntry(table: String, v: Long, op: String): Unit = {
+  private def writeHistoryEntry(table: String, v: Long, op: String,
+                                pub: String = ""): Unit = {
     val snap = snapDir(table, v)
     val o = TableCatalog.newHistoryNode(v, System.currentTimeMillis(), op,
-      listParquetUrisAt(snap).size.toLong, dataBytes(snap.toString))
+      listParquetUrisAt(snap).size.toLong, dataBytes(snap.toString), pub)
     Files.createDirectories(historyDir(table))
     val tmp = Paths.get(path(table),
       s"_tmp_hist-${java.util.UUID.randomUUID()}")
@@ -352,7 +353,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val (fold, _) = latest.partition(_._1 <= upTo)
     if (fold.isEmpty) return
     val body = fold.sortBy(_._1)
-      .map(e => TableCatalog.newHistoryNode(e._1, e._2, e._3, e._4, e._5))
+      .map(e => TableCatalog.newHistoryNode(e._1, e._2, e._3, e._4, e._5, e._6))
       .mkString("", "\n", "\n")
     val tmp = Paths.get(path(table),
       s"_tmp_hist-${java.util.UUID.randomUUID()}")
@@ -384,7 +385,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * instead a vanished file restarts the whole list+read (the new
     * rollup holds everything the deleted files held), bounded retries,
     * LOUD if the directory won't settle. */
-  private def historyEntries(table: String): Seq[(Long, Long, String, Long, Long)] = {
+  private def historyEntries(table: String)
+      : Seq[(Long, Long, String, Long, Long, String)] = {
     import scala.jdk.CollectionConverters._
     val dir = historyDir(table)
     if (!Files.exists(dir)) return Seq.empty
@@ -2395,22 +2397,43 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def recordPublishedBatches(table: String, name: String,
                                      marks: Map[String, Long]): Unit = {
     if (marks.isEmpty) return
-    val existing = committer.read(branchPubFile(table, name)).map { b =>
+    val (existing, seen) = committer.read(branchPubFile(table, name)).map { b =>
       try {
         import scala.jdk.CollectionConverters._
         val n = TableCatalog.om.readTree(
           new String(b, java.nio.charset.StandardCharsets.UTF_8))
-        Option(n.get("tokens")).map(_.properties().asScala
+        (Option(n.get("tokens")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asLong()).toMap)
-          .getOrElse(Map.empty[String, Long])
-      } catch { case _: Exception => Map.empty[String, Long] }
-    }.getOrElse(Map.empty[String, Long])
+          .getOrElse(Map.empty[String, Long]),
+          Option(n.get("ms")).map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asLong()).toMap)
+            .getOrElse(Map.empty[String, Long]))
+      } catch { case _: Exception =>
+        (Map.empty[String, Long], Map.empty[String, Long]) }
+    }.getOrElse((Map.empty[String, Long], Map.empty[String, Long]))
+    val now = System.currentTimeMillis()
     val merged = (existing.keySet ++ marks.keySet).map(t =>
       t -> math.max(existing.getOrElse(t, -1L), marks.getOrElse(t, -1L)))
       .toMap
+    // BOUND the map (r12 verdict #5): each checkpoint reset mints a
+    // new token forever, so without pruning a long-lived table's file
+    // grows unboundedly. `ms` stamps each token's last publish touch;
+    // past MaxPubTokens the LEAST-RECENTLY-TOUCHED tokens retire. The
+    // skip rule only ever consults a LIVE incarnation's token — one
+    // whose stream is running and therefore touched at every publish
+    // of its batches — so a token old enough to be evicted from a
+    // 64-deep LRU is a dead incarnation whose watermark is never read
+    // again; its batches' staged-name sweep stays idempotent anyway.
+    val touched = seen ++ marks.keys.map(_ -> now)
+    val kept =
+      if (merged.size <= TableCatalog.MaxPubTokens) merged
+      else merged.toSeq.sortBy { case (t, _) => -touched.getOrElse(t, 0L) }
+        .take(TableCatalog.MaxPubTokens).toMap
     val o = TableCatalog.om.createObjectNode()
     val tn = o.putObject("tokens")
-    merged.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
+    kept.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
+    val mn = o.putObject("ms")
+    kept.keys.toSeq.sorted.foreach(t => mn.put(t, touched.getOrElse(t, 0L)))
     val tmp = Paths.get(path(table),
       s"_brtmp_pub-${java.util.UUID.randomUUID()}")
     Files.write(tmp, TableCatalog.om.writeValueAsString(o)
@@ -2680,15 +2703,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         // life's committed intent folds its tokens only; a pre-commit
         // intent drops (the dir is intact — links, not moves).
         val liveMeta = branchMeta(table, name)
-        val recovered =
-          if (recoverBranchPendLocked(table, name, cur,
-              liveMeta.map(_.epoch).getOrElse(" gone"))) {
-            consumeBranchLocked(table, name,
-              branchDataDir(table, name, liveMeta.get.epoch))
-            committer.delete(branchPendFile(table, name))
-            Some(cur)
-          } else None
-        if (recovered.isDefined) recovered
+        val recovered = recoverBranchPendLocked(table, name, cur,
+            liveMeta.map(_.epoch).getOrElse(" gone")).map { pend =>
+          val fully = consumeCommittedLocked(table, name,
+            branchDataDir(table, name, liveMeta.get.epoch), pend)
+          committer.delete(branchPendFile(table, name))
+          fully
+        }
+        if (recovered.contains(true)) Some(cur)
+        // post-crash stages survived the selective consume: fall
+        // through and the retry loop lands them as a fresh commit
+        else if (recovered.contains(false)) None
         else liveMeta match {
           case None => throw new IllegalArgumentException(
             s"branch '$name' of '$table' was dropped mid-publish")
@@ -2710,40 +2735,44 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               if (constraintsOf(table) != cons0) // degrade: audit under lock
                 enforced(table,
                   spark.read.schema(stamped).parquet(dir.toString)).count()
-              // staged-batch sidecars feed the publish high-water mark
-              val marks = {
+              // one listing, under the lock, drives everything: the
+              // sidecars feed the publish high-water mark, the data
+              // names pin the intent to EXACTLY the files this commit
+              // links (recovery deletes only these, never a
+              // post-crash stage)
+              val names = {
                 val s = Files.list(dir)
                 try {
                   import scala.jdk.CollectionConverters._
-                  s.iterator().asScala.map(_.getFileName.toString)
-                    .filter(_.startsWith(".staged-b"))
-                    .flatMap { n =>
-                      val body = n.drop(".staged-b".length)
-                      val i = body.indexOf('-')
-                      if (i < 0) None
-                      else try Some(body.drop(i + 1) -> body.take(i).toLong)
-                      catch { case _: NumberFormatException => None }
-                    }
-                    .toSeq.groupBy(_._1).map { case (t, xs) =>
-                      t -> xs.map(_._2).max }
+                  s.iterator().asScala.map(_.getFileName.toString).toSeq
                 } finally s.close()
               }
+              val dataNames = names.filter(_.endsWith(".parquet"))
+              val marks = names.filter(_.startsWith(".staged-b"))
+                .flatMap { n =>
+                  val body = n.drop(".staged-b".length)
+                  val i = body.indexOf('-')
+                  if (i < 0) None
+                  else try Some(body.drop(i + 1) -> body.take(i).toLong)
+                  catch { case _: NumberFormatException => None }
+                }
+                .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
               // write-ahead intent, then commit by HARD LINK — the
               // branch dir stays intact until consume, so any crash
               // before the pointer rename loses nothing and any crash
-              // after it is recovered by the intent above
-              writeBranchPend(table, name, cur + 1L, meta.epoch, marks)
+              // after it is recovered by the intent above. The fresh
+              // pubId stamps the committed version's history entry, so
+              // recovery can PROVE the commit at `expect` is this one
+              // (a foreign commit stealing the crash window must not
+              // spoof "committed" — r12 verdict #1).
+              val pubId = java.util.UUID.randomUUID().toString
+              writeBranchPend(table, name,
+                BranchPend(cur + 1L, meta.epoch, pubId, marks, dataNames))
               afterPend()
               def linkInto(dst: Path): Unit = {
                 Files.createDirectories(dst)
-                val s = Files.list(dir)
-                try {
-                  import scala.jdk.CollectionConverters._
-                  s.iterator().asScala
-                    .filter(_.getFileName.toString.endsWith(".parquet"))
-                    .foreach(p => Files.createLink(
-                      dst.resolve(p.getFileName), p))
-                } finally s.close()
+                dataNames.foreach(n => Files.createLink(
+                  dst.resolve(n), dir.resolve(n)))
               }
               val v = meta.mode match {
                 case "replace" =>
@@ -2761,7 +2790,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                   linkInto(staging)
                   commitStagedLocked(table, staging, "PUBLISH", Some(cur),
                     sch, ids = meta.ids.map(_._1).getOrElse(Map.empty),
-                    nextId = meta.ids.map(_._2).getOrElse(0))
+                    nextId = meta.ids.map(_._2).getOrElse(0), pub = pubId)
                 case _ =>
                   val fresh = appendIds(table, cur, sch)
                   require(fresh.map(_.ids) == meta.ids.map(_._1),
@@ -2773,7 +2802,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                   // stage-time evolution gate (or is main's own mid-branch
                   // ADD COLUMN) — the union lands, null-filled each way
                   appendCommitLocked(table, cur, sch, mergeSchema = true,
-                    fresh, linkInto, op = "PUBLISH")
+                    fresh, linkInto, op = "PUBLISH", pub = pubId)
               }
               afterCommit()
               // record, consume, THEN drop the intent — a crash after
@@ -2808,17 +2837,24 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   // write-ahead note that makes publishBranch CRASH-IDEMPOTENT. The
   // commit lands the branch's files by HARD LINK (the branch dir stays
   // intact until consume), and the intent records {expect = the
-  // version about to commit, tokens = the staged-batch high-water per
-  // token}. A publish retry under the locks reads it first:
-  //   - expect <= currentVersion: the prior publish COMMITTED but
-  //     crashed before record/consume — fold the tokens into the
-  //     `_branchpub_` mark and consume, never re-publish (which would
-  //     double every row);
-  //   - expect > currentVersion: the prior attempt died before its
-  //     pointer rename — its uncommitted `_v<expect>` residue is swept
-  //     by the retry's own commit (and vacuum), the branch dir still
-  //     holds every file (links, not moves), so publish proceeds
-  //     normally; the stale intent is dropped.
+  // version about to commit, pub = a fresh publish UUID, tokens = the
+  // staged-batch high-water per token, files = the exact parquet
+  // names the commit links}. A publish retry under the locks reads it
+  // first:
+  //   - version `expect` exists AND its history entry carries THIS
+  //     intent's pub UUID: the prior publish COMMITTED but crashed
+  //     before record/consume — fold the tokens into the `_branchpub_`
+  //     mark and selectively consume the intent's files (post-crash
+  //     stages survive in the still-open branch), never re-publish
+  //     (which would double every row);
+  //   - anything else — expect > currentVersion, OR a FOREIGN commit
+  //     took version `expect` after the writer lease expired in the
+  //     crash window (its history entry carries a different/empty pub,
+  //     r12 verdict #1): the prior attempt died before its pointer
+  //     rename — its uncommitted `_v<expect>` residue is swept by the
+  //     retry's own commit (and vacuum), the branch dir still holds
+  //     every file (links, not moves), so publish proceeds normally;
+  //     the stale intent is dropped and NO watermark folds.
   // Without the links + intent, a crash between the file move and the
   // pointer rename silently VANISHED marked-staged rows (the r11
   // layout's hole), and a crash between commit and the watermark write
@@ -2827,14 +2863,25 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def branchPendFile(table: String, name: String): Path =
     Paths.get(path(table), s"_brpend_$name")
 
-  private def writeBranchPend(table: String, name: String, expect: Long,
-                              epoch: String,
-                              tokens: Map[String, Long]): Unit = {
+  /** The write-ahead publish intent: `pub` is the publish's fresh
+    * UUID (stamped into the committed version's history entry too, so
+    * recovery can PROVE "version expect is mine"), `files` the exact
+    * parquet names the commit will hard-link (so recovery deletes
+    * only what published, never a post-crash stage). */
+  private case class BranchPend(expect: Long, epoch: String, pub: String,
+                                tokens: Map[String, Long],
+                                files: Seq[String])
+
+  private def writeBranchPend(table: String, name: String,
+                              pend: BranchPend): Unit = {
     val o = TableCatalog.om.createObjectNode()
-    o.put("expect", expect)
-    o.put("epoch", epoch)
+    o.put("expect", pend.expect)
+    o.put("epoch", pend.epoch)
+    o.put("pub", pend.pub)
     val tn = o.putObject("tokens")
-    tokens.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
+    pend.tokens.toSeq.sortBy(_._1).foreach { case (t, v) => tn.put(t, v) }
+    val fn = o.putArray("files")
+    pend.files.sorted.foreach(fn.add)
     val tmp = Paths.get(path(table),
       s"_brtmp_pend-${java.util.UUID.randomUUID()}")
     Files.write(tmp, TableCatalog.om.writeValueAsString(o)
@@ -2843,7 +2890,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   }
 
   private def readBranchPend(table: String, name: String)
-      : Option[(Long, String, Map[String, Long])] =
+      : Option[BranchPend] =
     committer.read(branchPendFile(table, name)).flatMap { b =>
       try {
         import scala.jdk.CollectionConverters._
@@ -2852,27 +2899,82 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         val tokens = Option(n.get("tokens")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asLong()).toMap)
           .getOrElse(Map.empty[String, Long])
-        Option(n.get("expect")).map(e => (e.asLong(),
-          Option(n.get("epoch")).map(_.asText()).getOrElse(""), tokens))
+        val files = Option(n.get("files")).map(_.elements().asScala
+          .map(_.asText()).toSeq).getOrElse(Seq.empty)
+        Option(n.get("expect")).map(e => BranchPend(e.asLong(),
+          Option(n.get("epoch")).map(_.asText()).getOrElse(""),
+          Option(n.get("pub")).map(_.asText()).getOrElse(""),
+          tokens, files))
       } catch { case _: Exception => None }
     }
 
-  /** Fold a leftover publish intent under the branch lock: a COMMITTED
-    * intent's tokens record into the `_branchpub_` mark (idempotent
-    * max), a pre-commit intent is dropped. Returns true when the
-    * intent belonged to THIS life and its publish committed — the
-    * caller then consumes instead of re-publishing (which would double
+  /** Fold a leftover publish intent under the locks. "Committed" is
+    * decided by PROVENANCE, never version arithmetic (r12 verdict #1):
+    * version `expect` must exist AND its latest history entry must
+    * carry THIS intent's publish UUID (the stamp rides history
+    * compaction, so the proof outlives snapshot retention). A foreign
+    * commit that stole the crash window — the writer lease expired and
+    * an unrelated appendAtomic took version `expect` — fails the check
+    * and the intent drops as pre-commit: the branch dir is intact
+    * (links, not moves), so the retry simply publishes it for real,
+    * and NO phantom watermark is folded for batches that never landed.
+    * A provably committed intent folds its tokens; when it belonged to
+    * THIS live life the caller gets the committed file set back and
+    * selectively consumes instead of re-publishing (which would double
     * every row the crashed publish already landed). */
   private def recoverBranchPendLocked(table: String, name: String,
-      cur: Long, liveEpoch: String): Boolean =
-    readBranchPend(table, name) match {
-      case Some((expect, epoch, tokens)) =>
-        val committed = expect <= cur
-        if (committed) recordPublishedBatches(table, name, tokens)
-        if (committed && epoch == liveEpoch) true
-        else { committer.delete(branchPendFile(table, name)); false }
-      case None => false
+      cur: Long, liveEpoch: String): Option[BranchPend] =
+    readBranchPend(table, name).flatMap { pend =>
+      val committed = pend.expect <= cur && pend.pub.nonEmpty &&
+        historyEntries(table)
+          .exists(e => e._1 == pend.expect && e._6 == pend.pub)
+      if (committed) recordPublishedBatches(table, name, pend.tokens)
+      if (committed && pend.epoch == liveEpoch) Some(pend)
+      else { committer.delete(branchPendFile(table, name)); None }
     }
+
+  /** Consume after a publish that provably COMMITTED but crashed
+    * before record/consume (ADVICE r12 high #2): the crash left the
+    * pointer live, so racing stagers may have landed NEW batches into
+    * the same life before recovery ran — deleting the whole dir would
+    * silently discard rows a stager was told had staged (and whose
+    * sidecars would then suppress streaming replay). Delete EXACTLY
+    * what the committed snapshot linked — the intent's recorded file
+    * names — plus the sidecars its folded watermarks cover; if nothing
+    * is left the branch consumes fully (pointer + dir), otherwise it
+    * stays OPEN holding exactly the post-crash batches and the
+    * caller's publish loop lands them as its own fresh commit.
+    * Returns true when the branch was fully consumed. */
+  private def consumeCommittedLocked(table: String, name: String,
+      dir: Path, pend: BranchPend): Boolean = {
+    if (!Files.exists(dir)) {
+      committer.delete(branchPtrFile(table, name)); return true
+    }
+    val published = pend.files.toSet
+    val dataLeft = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && published(n)) {
+            Files.delete(p); false
+          } else if (n.startsWith(".staged-b")) {
+            val body = n.drop(".staged-b".length)
+            val i = body.indexOf('-')
+            val folded = i > 0 && (try
+              pend.tokens.get(body.drop(i + 1))
+                .exists(body.take(i).toLong <= _)
+            catch { case _: NumberFormatException => false })
+            if (folded) Files.delete(p)
+            false
+          } else n.endsWith(".parquet")
+        } > 0
+      } finally s.close()
+    }
+    if (!dataLeft) { consumeBranchLocked(table, name, dir); true }
+    else false
+  }
 
   /** Abandon branch `name`: delete its pointer and files, under the
     * branch lock so a concurrent stage either lands wholly before the
@@ -2885,7 +2987,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def dropBranch(table: String, name: String): Unit =
     withBranchLock(table, name) {
       // an orphan publish intent folds its committed watermark first —
-      // dropping it unrecorded would re-open the replayed-batch window
+      // dropping it unrecorded would re-open the replayed-batch window.
+      // Provenance rules here too (r12 verdict #1): a spoofed intent
+      // (foreign commit took its version) folds NOTHING — its batches
+      // never published, and marking them published would suppress the
+      // replay that is now their only way back in.
       currentVersion(table).foreach(cur =>
         recoverBranchPendLocked(table, name, cur, " gone"))
       committer.delete(branchPendFile(table, name))
@@ -5186,7 +5292,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                                  schema: StructType,
                                  ids: Map[String, Int] = Map.empty,
                                  nextId: Int = 0,
-                                 declare: Boolean = false): Long = {
+                                 declare: Boolean = false,
+                                 pub: String = ""): Long = {
     require(Files.exists(staged), s"staging dir vanished: $staged")
     val next = expect.getOrElse(0L) + 1L
     val snap = snapDir(table, next)
@@ -5216,7 +5323,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         ids = if (carriesIds) ids else Map.empty,
         nextId = if (carriesIds) nextId else 0)
     }
-    writeHistoryEntry(table, next, op)
+    writeHistoryEntry(table, next, op, pub)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -5379,7 +5486,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def appendCommitLocked(table: String, cur: Long,
       dfSchema: StructType, mergeSchema: Boolean,
       mIds: Option[TableCatalog.IdMarker], land: Path => Unit,
-      op: String = "APPEND"): Long = {
+      op: String = "APPEND", pub: String = ""): Long = {
     // SCHEMA EVOLUTION gate: the hard-link layout mixes old and new
     // files in one snapshot, so a silent schema drift would leave
     // reads at the mercy of footer sampling. Same column set →
@@ -5439,7 +5546,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"part-file name collision in '$table': ${src.getFileName}")
       Files.createLink(dst, src)
     }
-    writeHistoryEntry(table, next, op)
+    writeHistoryEntry(table, next, op, pub)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -5801,25 +5908,32 @@ object TableCatalog {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private[catalog] def newHistoryNode(v: Long, ts: Long, op: String,
-                                      files: Long, bytes: Long): String = {
+                                      files: Long, bytes: Long,
+                                      pub: String = ""): String = {
     val o = om.createObjectNode()
     o.put("version", v); o.put("tsMillis", ts); o.put("op", op)
     o.put("files", files); o.put("bytes", bytes)
+    if (pub.nonEmpty) o.put("pub", pub)
     om.writeValueAsString(o)
   }
 
-  /** One history line → (version, tsMillis, op, files, bytes); None on
-    * a malformed line (skipped — one torn write must not hide the
-    * log). */
+  /** One history line → (version, tsMillis, op, files, bytes, pub);
+    * None on a malformed line (skipped — one torn write must not hide
+    * the log). `pub` is the publish-provenance stamp (the `_brpend_`
+    * intent's UUID; "" for every non-publish commit) — it rides the
+    * rollup round-trip so crash recovery can verify "version N was
+    * committed BY THIS intent" however long ago the loose entry was
+    * compacted (r12 verdict #1). */
   private[catalog] def parseHistoryFull(s: String)
-      : Option[(Long, Long, String, Long, Long)] =
+      : Option[(Long, Long, String, Long, Long, String)] =
     try {
       val n = om.readTree(s)
       if (n == null || !n.has("version") || !n.has("tsMillis")) None
       else Some((n.get("version").asLong, n.get("tsMillis").asLong,
         Option(n.get("op")).map(_.asText).getOrElse(""),
         Option(n.get("files")).map(_.asLong).getOrElse(0L),
-        Option(n.get("bytes")).map(_.asLong).getOrElse(0L)))
+        Option(n.get("bytes")).map(_.asLong).getOrElse(0L),
+        Option(n.get("pub")).map(_.asText).getOrElse("")))
     } catch { case _: Exception => None }
 
   /** Rollup-file parse cache keyed (path → mtime, size, entries) — the
@@ -5832,10 +5946,11 @@ object TableCatalog {
     * one live entry per `_history` directory, ever. */
   private[catalog] val historyParseCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Long, Seq[(Long, Long, String, Long, Long)])]()
+      String, (Long, Long, Seq[(Long, Long, String, Long, Long, String)])]()
 
   private[catalog] def putRollupCache(
-      key: String, v: (Long, Long, Seq[(Long, Long, String, Long, Long)])): Unit = {
+      key: String,
+      v: (Long, Long, Seq[(Long, Long, String, Long, Long, String)])): Unit = {
     val dir = key.substring(0, key.lastIndexOf('/') + 1)
     import scala.jdk.CollectionConverters._
     historyParseCache.keySet().asScala
@@ -6273,6 +6388,15 @@ object TableCatalog {
     * turn a pathological drop/re-create loop into a loud error, not to
     * ration ordinary publish contention. */
   private[graft] val MaxStageAttempts = 20
+
+  /** `_branchpub_` token cap (r12 verdict #5): the file keeps the
+    * watermarks of at most this many checkpoint incarnations,
+    * least-recently-published evicted first. Far above any plausible
+    * concurrent-streams-per-branch count, so a LIVE incarnation —
+    * touched at every publish of its batches — is never the eviction
+    * victim; what retires is checkpoint resets' dead tokens, which are
+    * never consulted again. */
+  private[graft] val MaxPubTokens = 64
 
   // (fingerprint)-keyed parse caches, the MvRewrite.registry discipline
   // (VERDICT r9 next #1): stats() runs on every planning decision and

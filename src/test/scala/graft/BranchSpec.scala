@@ -400,4 +400,101 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     cat.publishBranch("t", "open")
     assert(cat.read("t").count() === 4L)
   }
+
+  test("a foreign commit in the pre-commit crash window never spoofs " +
+      "'committed': recovery is provenance-checked, the retry publishes " +
+      "for real and folds no phantom watermark (r12 verdict #1)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranchBatch("t", "wap", 4L,
+      Seq((10L, 10L), (11L, 11L)).toDF("k", "v"), token = "tok")
+    // crash AFTER the intent, BEFORE the commit — then the writer
+    // lease expires and an UNRELATED append takes version `expect`.
+    // Under bare version arithmetic the intent would read "committed"
+    // and the retry would consume the branch without publishing.
+    val e = intercept[RuntimeException] {
+      cat.publishBranchHooked("t", "wap",
+        afterPend = () => throw new RuntimeException("crash-pre-commit"),
+        afterCommit = () => ())
+    }
+    assert(e.getMessage === "crash-pre-commit")
+    cat.appendAtomic("t", Seq((99L, 99L)).toDF("k", "v")) // the foreign commit
+    assert(cat.read("t").count() === 4L) // staged rows still not on main
+    cat.publishBranch("t", "wap") // provenance says pre-commit: publish
+    assert(cat.read("t").count() === 6L)
+    assert(cat.read("t").distinct().count() === 6L, "rows doubled")
+    assert(cat.read("t").filter(col("k") === 10L).count() === 1L)
+    assert(cat.branches("t").isEmpty)
+    // the watermark reflects the REAL publish, not the spoofed fold
+    assert(cat.publishedBranchBatch("t", "wap", "tok") === Some(4L))
+  }
+
+  test("dropBranch with a spoofed intent folds NO phantom watermark " +
+      "(the batches never published; replay is their only way back)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranchBatch("t", "wap", 9L,
+      Seq((10L, 10L)).toDF("k", "v"), token = "tok")
+    val e = intercept[RuntimeException] {
+      cat.publishBranchHooked("t", "wap",
+        afterPend = () => throw new RuntimeException("crash-pre-commit"),
+        afterCommit = () => ())
+    }
+    assert(e.getMessage === "crash-pre-commit")
+    cat.appendAtomic("t", Seq((99L, 99L)).toDF("k", "v")) // steals `expect`
+    cat.dropBranch("t", "wap")
+    // folding 9 here would make a replayed batch 9 SKIP staging in the
+    // branch's next life — permanent loss of rows that never landed
+    assert(cat.publishedBranchBatch("t", "wap", "tok") === None)
+    assert(cat.branches("t").isEmpty)
+  }
+
+  test("a stage landing in the commit-to-consume crash window survives " +
+      "recovery: selective consume deletes only the committed files and " +
+      "the retry publishes the newcomer (ADVICE r12 high)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranchBatch("t", "wap", 4L,
+      Seq((10L, 10L), (11L, 11L)).toDF("k", "v"), token = "tok")
+    val e = intercept[RuntimeException] {
+      cat.publishBranchHooked("t", "wap",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("crash-post-commit"))
+    }
+    assert(e.getMessage === "crash-post-commit")
+    assert(cat.read("t").count() === 5L) // batch 4 DID commit
+    // a racing stager lands batch 5 into the still-live life before
+    // anyone runs recovery — its rows must not be collateral damage
+    cat.appendToBranchBatch("t", "wap", 5L,
+      Seq((20L, 20L)).toDF("k", "v"), token = "tok")
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").count() === 6L)
+    assert(cat.read("t").distinct().count() === 6L, "recovery re-published")
+    assert(cat.read("t").filter(col("k") === 20L).count() === 1L,
+      "the post-crash stage was consumed unpublished")
+    assert(cat.branches("t").isEmpty)
+    assert(cat.publishedBranchBatch("t", "wap", "tok") === Some(5L))
+  }
+
+  test("_branchpub_ stays bounded: past MaxPubTokens the least-recently-" +
+      "published token retires; every kept token still skips (r12 #5)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", Seq((1L, 1L)).toDF("k", "v"))
+    val n = TableCatalog.MaxPubTokens + 8
+    for (i <- 1 to n) {
+      cat.appendToBranchBatch("t", "wap", i.toLong,
+        Seq((100L + i, 100L + i)).toDF("k", "v"), token = s"tok$i")
+      cat.publishBranch("t", "wap")
+    }
+    // the newest MaxPubTokens tokens survive and still skip
+    assert(cat.publishedBranchBatch("t", "wap", s"tok$n") === Some(n.toLong))
+    assert(cat.publishedBranchBatch("t", "wap",
+      s"tok${n - TableCatalog.MaxPubTokens + 1}") ===
+      Some((n - TableCatalog.MaxPubTokens + 1).toLong))
+    // the oldest retired; the file is bounded at MaxPubTokens entries
+    assert(cat.publishedBranchBatch("t", "wap", "tok1") === None)
+    val pubFile = Paths.get(cat.path("t"), "_branchpub_wap")
+    val body = new String(Files.readAllBytes(pubFile), "UTF-8")
+    assert("\"tok\\d+\"".r.findAllIn(body).size <= 2 * TableCatalog.MaxPubTokens)
+  }
 }
