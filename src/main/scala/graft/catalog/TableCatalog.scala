@@ -2462,6 +2462,55 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * [[graft.sql.GraftSqlCatalog]] serves `SELECT … FROM g.\`t@branch\``
     * through, so the AUDIT half of write-audit-publish runs from plain
     * SQL too. */
+  /** The epoch naming branch `name`'s current life — the staleness
+    * token a SQL row-level statement pins at scan time so its commit
+    * ([[replaceBranchFromStaged]]) refuses a branch that changed lives
+    * mid-statement. */
+  private[graft] def branchEpochOf(table: String, name: String)
+      : Option[String] =
+    branchMeta(table, name).map(_.epoch)
+
+  /** Commit already-staged replacement rows as branch `name`'s new
+    * REPLACE-mode life — the commit half of a SQL row-level statement
+    * (UPDATE / DELETE-rewrite / MERGE) on `g.\`t@branch\`` (r12
+    * verdict #2). Same optimistic posture as the main-table
+    * [[replaceFromStaged]]: `expectEpoch` pins the life the statement
+    * SCANNED and the flip refuses if it moved. The staged files are
+    * Spark-planner output — CHECK constraints re-judge them here (the
+    * write bypassed inline enforcement) and they carry NO field-id
+    * stamps, so the new life declares ids-free: reads name-match,
+    * publish retires the table's id marker with the rewrite, exactly
+    * the rule [[replaceFromStaged]] applies to main. Consumes the
+    * staging directory. */
+  private[graft] def replaceBranchFromStaged(table: String, name: String,
+      expectEpoch: String, staged: Path, schema: StructType): Unit = {
+    if (constraintsOf(table).nonEmpty)
+      enforced(table, spark.read.schema(
+        StructType(schema.fields.map(_.copy(nullable = true))))
+        .parquet(staged.toString)).count()
+    val declared = StructType(schema.fields.map(f => f.copy(nullable = true,
+      metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
+    val ok = withBranchLock(table, name) {
+      branchMeta(table, name) match {
+        case Some(m) if m.epoch == expectEpoch =>
+          val newEpoch = freshEpoch()
+          Files.move(staged, branchDataDir(table, name, newEpoch),
+            StandardCopyOption.ATOMIC_MOVE)
+          writeBranchPtr(table, name, m.copy(ids = None, ddl = declared,
+            epoch = newEpoch, mode = "replace"))
+          deleteRecursive(branchDataDir(table, name, m.epoch))
+          true
+        case _ => false
+      }
+    }
+    if (!ok) {
+      deleteRecursive(staged)
+      throw new IllegalStateException(
+        s"branch '$name' of '$table' changed lives since this row-level " +
+          "statement scanned it — the staged rewrite is stale; re-run")
+    }
+  }
+
   private[graft] def branchReadParts(table: String, name: String)
       : Option[(Seq[String], StructType)] =
     branchMeta(table, name).map { meta =>
@@ -2785,6 +2834,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                     writeIdMarker(table,
                       TableCatalog.IdMarker(cur + 1L, nid, ids))
                   }
+                  // an ids-FREE rewrite life (a SQL row-level fix —
+                  // Spark-planner files carry no stamps) retires the
+                  // marker with the rewrite, the replaceFromStaged rule:
+                  // reads of this and later versions name-match
+                  if (meta.ids.isEmpty) committer.delete(idMarkerFile(table))
                   val staging = Paths.get(path(table),
                     s"_tmp_txn-${java.util.UUID.randomUUID()}")
                   linkInto(staging)

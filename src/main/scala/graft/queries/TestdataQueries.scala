@@ -1235,6 +1235,57 @@ object TestdataQueries {
              |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
              |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 2""".stripMargin)),
 
+    // --------------------- SQL row-level branch repair (r12 verdict #2)
+    // The last Scala-only step of the WAP loop falls: the natural fix
+    // verbs — UPDATE / DELETE on g.`t@branch` — now run as row-level
+    // SQL against the branch's WOULD-BE state and flip it to a
+    // REPLACE-mode life (the mergeBranchInto commit shape), so
+    // stage → audit fails → UPDATE the branch → audit passes → publish
+    // is SQL end to end. Scale posture: the statement's scan is the
+    // branch audit surface (base ∪ staged), its write is one
+    // distributed rewrite staged by Spark's own parquet committer and
+    // committed by a locked pointer flip refusing a branch that
+    // changed lives mid-statement — same optimistic-concurrency
+    // posture as the main-table RLO. The oracle replays the repaired
+    // publish relationally.
+    "x_sql_wap_fix" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlwapfix", dir)
+      val cname = "gwfx_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      cat.replaceAtomic("wt", t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("rk")))
+      // stage from SQL: region-3 clones with a corrupt rk (+1000),
+      // plus one junk row that should not publish at all
+      s.sql(s"""INSERT INTO $cname.`wt@fix`
+               |SELECT k + 100 AS k, name, rk + 1000 AS rk
+               |FROM $cname.wt WHERE rk = 3""".stripMargin)
+      s.sql(s"INSERT INTO $cname.`wt@fix` VALUES (9999, 'JUNK', 0)")
+      require(s.sql(s"SELECT count(*) FROM $cname.`wt@fix` WHERE rk > 100")
+        .head().getLong(0) > 0, "the SQL audit must see the corruption")
+      // the fix verbs are plain row-level SQL ON THE BRANCH
+      s.sql(s"UPDATE $cname.`wt@fix` SET rk = rk - 1000 WHERE rk > 100")
+      s.sql(s"DELETE FROM $cname.`wt@fix` WHERE k = 9999")
+      require(s.sql(s"SELECT count(*) FROM $cname.`wt@fix` " +
+        "WHERE rk > 100 OR k = 9999").head().getLong(0) == 0,
+        "the SQL re-audit must pass")
+      require(s.sql(s"SELECT count(*) FROM $cname.wt WHERE rk > 100")
+        .head().getLong(0) == 0, "the fix leaked into main before publish")
+      s.sql(s"CALL $cname.system.publish_branch('wt', 'fix')").collect()
+      require(cat.branches("wt").isEmpty, "publish must consume the branch")
+      s.sql(s"SELECT k, name, rk FROM $cname.wt")
+    }),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+             |  CAST(n_regionkey AS BIGINT) AS rk FROM nation
+             |UNION ALL
+             |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
+             |  CAST(n_regionkey AS BIGINT) FROM nation WHERE n_regionkey = 3""".stripMargin)),
+
     // ------------------------------ branch diff: the audit's answer
     // (r12) "What would this publish change?" — diffBranch tags the
     // would-be state's additions and removals vs the branch's base.

@@ -164,11 +164,17 @@ class GraftSqlCatalog extends DsV2TableCatalog
       val t = n.take(at)
       val br = n.drop(at + 1)
       if (!cat.exists(t)) throw new NoSuchTableException(ident)
+      // the life the statement pins: a row-level commit refuses if the
+      // branch flipped lives between this resolution and the commit
+      val brEpoch = cat.branchEpochOf(t, br)
       val parts = cat.branchReadParts(t, br).orElse {
-        // an un-created branch's would-be state IS the base snapshot —
+        // an un-created branch resolves for the WRITE half only —
         // serving it makes `INSERT INTO g.`t@branch`` the loop's first
         // statement (the write verb creates the branch), instead of
-        // demanding a Scala-side creation before SQL can start staging
+        // demanding a Scala-side creation before SQL can start
+        // staging. READS of it refuse loudly at scan time (ADVICE r12
+        // low): silently serving main-table data would let an audit
+        // 'pass' against the wrong relation on a typoed branch name.
         cat.currentVersion(t).map(v =>
           (Seq(Paths.get(cat.path(t), s"_v$v").toString),
             cat.resolveSchema(t, v).getOrElse(
@@ -179,7 +185,7 @@ class GraftSqlCatalog extends DsV2TableCatalog
         SparkSession.active, CaseInsensitiveStringMap.empty(), parts._1,
         Some(parts._2), classOf[ParquetFileFormat]), cat, t,
         writable = true, loadedVersion = cat.currentVersion(t),
-        branch = Some(br))
+        branch = Some(br), branchEpoch = brEpoch)
     } else pinnedVersion(ident) match {
       case Some(v) =>
         parquetTable(Identifier.of(Array.empty, ident.name()), Some(v))
@@ -265,11 +271,11 @@ class GraftSqlCatalog extends DsV2TableCatalog
   /** CREATE TABLE (and the create half of CTAS): commit an EMPTY v1
     * through replaceAtomic, so the table is born versioned — history
     * entry, schema carried by the (single, zero-row) parquet file,
-    * ready for INSERT INTO. `PARTITIONED BY (col)` with a single
-    * IDENTITY transform maps to the catalog's Hive-partitioned PLAIN
-    * layout instead (the appendPartitioned family: partition-pruned
-    * scans, O(changed partitions) deleteWhere); anything fancier —
-    * bucket/temporal transforms, multi-column specs — stays refused,
+    * ready for INSERT INTO. `PARTITIONED BY (c1, c2, …)` with IDENTITY
+    * transforms (any number of columns — nested leaves) maps to the
+    * catalog's Hive-partitioned PLAIN layout instead (the
+    * appendPartitioned family: partition-pruned scans, O(changed
+    * leaves) deleteWhere); bucket/temporal TRANSFORMS stay refused,
     * since the versioned layout derives skipping from stats/Z-order,
     * not directories. */
   override def createTable(ident: Identifier, schema: StructType,
@@ -305,14 +311,16 @@ class GraftSqlCatalog extends DsV2TableCatalog
     loadTable(ident)
   }
 
-  /** ALTER TABLE … ADD COLUMN: additive schema evolution through the
-    * catalog's own machinery — a zero-row `appendAtomic(mergeSchema)`
+  /** ALTER TABLE schema evolution through the catalog's own
+    * machinery. ADD COLUMN: a zero-row `appendAtomic(mergeSchema)`
     * commits a new version whose declared (schema-log) shape is the
-    * union, no data rewritten: old files null-fill the new column on
+    * union, no data rewritten — old files null-fill the new column on
     * read, time travel keeps the shape each version HAD, and the
     * change feed refuses to span the evolution (already its rule).
-    * Everything except a top-level ADD COLUMN stays refused — DROP and
-    * RENAME would change what existing bytes mean. */
+    * RENAME / DROP COLUMN route to the catalog's metadata-only
+    * column-mapping verbs (field-id matching keeps existing bytes
+    * readable). Any other change stays refused — it would change what
+    * existing bytes mean. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tableOf(ident)
     if (!cat.exists(t)) throw new NoSuchTableException(ident)
@@ -650,7 +658,7 @@ object GraftSqlCatalog {
   private final class VersionedTable(delegate: ParquetTable,
       cat: graft.catalog.TableCatalog, table: String, writable: Boolean,
       loadedVersion: Option[Long], partCols: Option[Seq[String]] = None,
-      branch: Option[String] = None)
+      branch: Option[String] = None, branchEpoch: Option[String] = None)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = delegate.name
@@ -686,19 +694,36 @@ object GraftSqlCatalog {
         info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
         : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
       require(writable, s"$table: a time-travel relation is read-only")
-      require(branch.isEmpty,
-        s"$table@${branch.getOrElse("")}: row-level SQL on a branch is " +
-          "not supported — stage fixes with INSERT INTO/OVERWRITE the " +
-          "branch, or the Scala mergeBranchInto")
+      // branch row-level DML (r12 verdict #2): the scan serves the
+      // branch's WOULD-BE state (the delegate already resolves base ∪
+      // staged, or the staged rewrite), the write stages the fixed
+      // rows, and the commit flips the branch to a REPLACE-mode life
+      // holding them — main untouched until publish_branch. The SQL
+      // repair loop closes: stage → audit fails → UPDATE/DELETE/MERGE
+      // the branch → audit passes → publish. An unborn branch refuses
+      // (there is nothing to fix; INSERT creates it).
+      require(branch.isEmpty || branchEpoch.isDefined,
+        s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
+          "row-level SQL fixes an EXISTING branch; stage rows with " +
+          "INSERT INTO first")
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build()
             : org.apache.spark.sql.connector.write.RowLevelOperation =
           new GraftRowLevelOperation(delegate, cat, table, loadedVersion,
-            info.command(), partCols)
+            info.command(), partCols,
+            branchTarget = branch.map(b => (b, branchEpoch.get)))
       }
     }
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // an UNBORN branch resolves only so INSERT can create it — a
+      // READ of it is a typo or a stale audit script and must fail
+      // loudly, never silently serve main-table data (ADVICE r12 low)
+      require(branch.isEmpty || branchEpoch.isDefined,
+        s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
+          "reads of an unborn branch are refused (a typoed name would " +
+          "silently audit the main table); INSERT INTO creates it")
       delegate.newScanBuilder(options)
+    }
     /** `DELETE FROM g.t WHERE …`: survivors re-commit as one versioned
       * snapshot (the rewrite form of Delta's DELETE — readers keep
       * their snapshot, history logs REPLACE, the change feed classifies
@@ -796,7 +821,8 @@ object GraftSqlCatalog {
   private final class GraftRowLevelOperation(delegate: ParquetTable,
       cat: graft.catalog.TableCatalog, table: String, expect: Option[Long],
       cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-      partCols: Option[Seq[String]])
+      partCols: Option[Seq[String]],
+      branchTarget: Option[(String, String)] = None)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
     import org.apache.spark.sql.connector.read.Scan
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
@@ -897,14 +923,21 @@ object GraftSqlCatalog {
             override def useCommitCoordinator: Boolean = b.useCommitCoordinator
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               b.commit(messages) // staged part files land
-              partCols match {
-                case Some(pcs) =>
+              (branchTarget, partCols) match {
+                case (Some((br, epoch)), _) =>
+                  // branch DML: the fixed rows become the branch's new
+                  // REPLACE-mode life; the epoch pinned at scan time
+                  // makes the commit refuse a branch that changed
+                  // lives mid-statement (r12 verdict #2)
+                  cat.replaceBranchFromStaged(table, br, epoch, staging,
+                    info.schema())
+                case (None, Some(pcs)) =>
                   // partition-granular: replace exactly the scanned
                   // leaves (recomputed with the same pushed predicate —
                   // the table is still the pre-image here)
                   cat.replacePartitionsFromStaged(table, staging, pcs,
                     scannedTuples(pcs), info.schema())
-                case None =>
+                case (None, None) =>
                   cat.replaceFromStaged(table, staging, cmd.toString, expect,
                     info.schema())
               }

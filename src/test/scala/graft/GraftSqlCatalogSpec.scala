@@ -127,12 +127,22 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"INSERT INTO $g.`t@wap` VALUES (7, 700)")
     assert(spark.sql(s"SELECT count(*) FROM $g.`t@wap`").as[Long].head() === 12L)
     assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 10L)
-    // row-level SQL on a branch stays refused
-    assertThrows[Exception](
-      spark.sql(s"DELETE FROM $g.`t@wap` WHERE k = 7"))
-    // SELECT of an un-created branch serves the base (the would-be
-    // state of an empty branch) — the first INSERT then creates it
-    assert(spark.sql(s"SELECT count(*) FROM $g.`t@fresh`").as[Long].head() === 10L)
+    // row-level SQL on the branch fixes its would-be state in place
+    // (r12 verdict #2): main stays unaware until publish
+    spark.sql(s"DELETE FROM $g.`t@wap` WHERE k = 7")
+    // BOTH k=7 rows go — the staged (7,700) and the base (7,7): the
+    // statement edits the would-be table, not just the staged delta
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@wap`").as[Long].head() === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@wap` WHERE k = 7")
+      .as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t WHERE k = 7")
+      .as[Long].head() === 1L)
+    // SELECT of an un-created branch is LOUD (ADVICE r12 low): a typoed
+    // branch name must never silently audit main-table data
+    val eFresh = intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $g.`t@fresh`").as[Long].head())
+    assert(eFresh.getMessage.contains("does not exist"), eFresh.getMessage)
     assert(cat.branches("t").keySet === Set("wap"))
     // ...but a branch on an unknown TABLE is loud
     assertThrows[Exception](
@@ -656,5 +666,46 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(intercept[Exception](spark.sql(
       s"SELECT * FROM $g.d TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
       .getMessage.nonEmpty)
+  }
+
+  test("SQL row-level DML on a branch closes the repair loop: stage, " +
+      "audit fails, UPDATE/MERGE the branch, audit passes, publish " +
+      "(r12 verdict #2)") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("t", (1 to 5).map(i => (i.toLong, i.toLong * 10))
+      .toDF("k", "v"))
+    // stage a batch with a bad row (v = -1 fails the audit rule v > 0)
+    spark.sql(s"INSERT INTO $g.`t@fix` VALUES (6, 60), (7, -1)")
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@fix` WHERE v <= 0")
+      .as[Long].head() === 1L) // audit fails
+    // the fix verb is plain SQL UPDATE on the branch relation
+    spark.sql(s"UPDATE $g.`t@fix` SET v = 70 WHERE v <= 0")
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@fix` WHERE v <= 0")
+      .as[Long].head() === 0L) // audit passes
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@fix`").as[Long].head() === 7L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 5L,
+      "the fix leaked to main before publish")
+    // MERGE INTO the branch works too (second repair pass)
+    spark.sql(s"MERGE INTO $g.`t@fix` tgt USING " +
+      "(SELECT 6 AS k, 66 AS v) src ON tgt.k = src.k " +
+      "WHEN MATCHED THEN UPDATE SET v = src.v")
+    assert(spark.sql(s"SELECT v FROM $g.`t@fix` WHERE k = 6")
+      .as[Long].head() === 66L)
+    // publish lands the FIXED state as one REPLACE
+    spark.sql(s"CALL $g.system.publish_branch('t', 'fix')").collect()
+    assert(cat.branches("t").isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").as[Long].head() === 7L)
+    assert(spark.sql(s"SELECT v FROM $g.t WHERE k = 7").as[Long].head() === 70L)
+    assert(spark.sql(s"SELECT v FROM $g.t WHERE k = 6").as[Long].head() === 66L)
+    // time travel still reaches the pre-publish shape
+    assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 1")
+      .as[Long].head() === 5L)
+    // row-level on an UNBORN branch refuses (INSERT creates branches)
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $g.`t@nosuch` SET v = 0 WHERE k = 1"))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // a time-travel relation stays read-only
+    assertThrows[Exception](
+      spark.sql(s"UPDATE $g.t VERSION AS OF 1 SET v = 0"))
   }
 }
