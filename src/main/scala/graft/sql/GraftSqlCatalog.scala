@@ -837,9 +837,40 @@ object GraftSqlCatalog {
     // row-granular — the silent-drop hazard the unpartitioned path
     // refuses pushdown over cannot arise) and serves exactly the
     // matching leaf directories; the write then replaces exactly those
-    // leaves. The accepted conjunction is kept here so the COMMIT
-    // recomputes the same scanned-tuple set.
+    // leaves. The scanned-tuple set is CAPTURED ONCE at scan build and
+    // the commit replaces exactly that set (ADVICE r12 medium):
+    // recomputing it against live state after the distributed write
+    // let a concurrently created partition that matched the predicate
+    // join the replaced set — its staged rows absent, its leaf wiped.
+    // A pre-image fingerprint of the scanned leaves backs it: a
+    // concurrent write INTO a scanned leaf refuses the commit loudly
+    // (re-run), the replaceFromStaged optimistic posture.
     @volatile private var partPred: Option[org.apache.spark.sql.Column] = None
+    @volatile private var pinnedTuples
+        : Option[Seq[Seq[Option[String]]]] = None
+    @volatile private var pinnedPrint
+        : Map[String, Seq[(String, Long)]] = Map.empty
+
+    /** (file name, size) per scanned leaf dir — the cheap pre-image the
+      * commit re-checks. O(scanned-leaf files) metadata, the cost the
+      * scan's own file listing already paid. */
+    private def leafPrint(paths: Seq[String]): Map[String, Seq[(String, Long)]] =
+      paths.map { p =>
+        val dir = Paths.get(p)
+        val fs =
+          if (!Files.exists(dir)) Seq.empty[(String, Long)]
+          else {
+            val s = Files.walk(dir)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .filter(f => f.getFileName.toString.endsWith(".parquet"))
+                .map(f => (dir.relativize(f).toString, Files.size(f)))
+                .toSeq.sorted
+            } finally s.close()
+          }
+        p -> fs
+      }.toMap
 
     private def scannedTuples(pcs: Seq[String]): Seq[Seq[Option[String]]] = {
       val full = cat.read(table)
@@ -883,13 +914,20 @@ object GraftSqlCatalog {
             override def pushedPredicates(): Array[Predicate] = accepted
             override def build(): Scan = {
               // group granularity: serve exactly the leaves that might
-              // match. An unpruned statement (no partition-col
-              // predicate accepted) scans the whole table and the
-              // write replaces every scanned partition.
+              // match, and PIN that set + its pre-image here — the
+              // commit replaces exactly these groups, whatever lands
+              // concurrently (ADVICE r12 medium). An unpruned
+              // statement (no partition-col predicate accepted) scans
+              // the whole table and the write replaces every partition
+              // that existed at scan time.
+              val tuples = scannedTuples(pcs)
+              pinnedTuples = Some(tuples)
+              val leafPaths = tuples.map(t => leafPath(pcs, t))
+                .filter(p => Files.exists(Paths.get(p)))
+              pinnedPrint = leafPrint(leafPaths)
               val paths =
                 if (partPred.isEmpty) Seq(cat.path(table))
-                else scannedTuples(pcs).map(t => leafPath(pcs, t))
-                  .filter(p => Files.exists(Paths.get(p)))
+                else leafPaths
               val opts = new java.util.HashMap[String, String](options)
               opts.put("basePath", cat.path(table))
               ParquetTable(s"$table-rlo-scan", SparkSession.active,
@@ -932,11 +970,27 @@ object GraftSqlCatalog {
                   cat.replaceBranchFromStaged(table, br, epoch, staging,
                     info.schema())
                 case (None, Some(pcs)) =>
-                  // partition-granular: replace exactly the scanned
-                  // leaves (recomputed with the same pushed predicate —
-                  // the table is still the pre-image here)
+                  // partition-granular: replace EXACTLY the leaves the
+                  // scan pinned at build time — never a recomputed
+                  // live set (a partition created mid-statement would
+                  // join it with no staged rows and be wiped, ADVICE
+                  // r12 medium) — and refuse if any scanned leaf's
+                  // files moved under the statement (the optimistic
+                  // re-check the unpartitioned path gets from expect)
+                  val tuples = pinnedTuples.getOrElse(
+                    throw new IllegalStateException(
+                      s"row-level write on '$table' committed without " +
+                        "a built scan — cannot determine the replaced " +
+                        "partition set"))
+                  val moved = pinnedPrint.collect {
+                    case (p, pre) if leafPrint(Seq(p))(p) != pre => p
+                  }
+                  require(moved.isEmpty,
+                    s"partition(s) ${moved.take(3).mkString(", ")} of " +
+                      s"'$table' changed since this row-level statement " +
+                      "scanned them — the staged rewrite is stale; re-run")
                   cat.replacePartitionsFromStaged(table, staging, pcs,
-                    scannedTuples(pcs), info.schema())
+                    tuples, info.schema())
                 case (None, None) =>
                   cat.replaceFromStaged(table, staging, cmd.toString, expect,
                     info.schema())

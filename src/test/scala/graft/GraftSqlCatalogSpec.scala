@@ -708,4 +708,101 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[Exception](
       spark.sql(s"UPDATE $g.t VERSION AS OF 1 SET v = 0"))
   }
+
+  test("a partition created mid-statement survives a partitioned " +
+      "row-level rewrite: the commit replaces the set pinned at scan " +
+      "time, never a live recompute (ADVICE r12 medium)") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.pt (k BIGINT, v BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $g.pt SELECT id AS k, id AS v, id % 2 AS p " +
+      "FROM range(40)")
+    // the latch gate makes the interleave DETERMINISTIC: every UPDATE
+    // row blocks until the concurrent INSERT has fully landed, so the
+    // insert provably falls between the scan build and the commit
+    R13Gate.reset()
+    spark.udf.register("gate_r13a", (x: Long) => R13Gate.pass(x))
+    @volatile var err: Throwable = null
+    val th = new Thread(() => {
+      try {
+        R13Gate.scanStarted.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        // p=3 MATCHES the statement's pushed predicate but did not
+        // exist at scan time — a live recompute at commit would join
+        // it to the replaced set and wipe it (no staged rows carry it)
+        spark.sql(s"INSERT INTO $g.pt VALUES (9999, 9999, 3)")
+      } catch { case t: Throwable => err = t }
+      finally R13Gate.writeDone.countDown()
+    })
+    th.start()
+    // the new leaf is NOT a scanned one, so the pre-image check stays
+    // quiet and the statement commits — against the PINNED set
+    spark.sql(s"UPDATE $g.pt SET v = gate_r13a(v) + 1 WHERE p < 4")
+    th.join()
+    assert(err == null, s"concurrent insert failed: $err")
+    assert(spark.sql(s"SELECT count(*) FROM $g.pt WHERE p = 3")
+      .as[Long].head() === 1L,
+      "the concurrently created partition was wiped by the row-level commit")
+    assert(spark.sql(s"SELECT sum(v) FROM $g.pt WHERE p < 2")
+      .as[Long].head() === (0 until 40).map(_ + 1).sum.toLong,
+      "the update itself must still have landed on the scanned leaves")
+  }
+
+  test("a concurrent write INTO a scanned leaf refuses the partitioned " +
+      "row-level commit: the pre-image fingerprint moved, the statement " +
+      "is stale, the inserted rows survive (ADVICE r12 medium)") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.pt2 (k BIGINT, v BIGINT, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $g.pt2 SELECT id AS k, id AS v, id % 2 AS p " +
+      "FROM range(40)")
+    R13Gate.reset()
+    spark.udf.register("gate_r13b", (x: Long) => R13Gate.pass(x))
+    @volatile var err: Throwable = null
+    val th = new Thread(() => {
+      try {
+        R13Gate.scanStarted.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        spark.sql(s"INSERT INTO $g.pt2 VALUES (8888, 8888, 0)") // scanned leaf
+      } catch { case t: Throwable => err = t }
+      finally R13Gate.writeDone.countDown()
+    })
+    th.start()
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $g.pt2 SET v = gate_r13b(v) + 1 WHERE p = 0"))
+    th.join()
+    assert(err == null, s"concurrent insert failed: $err")
+    assert(e.getMessage != null && e.getMessage.contains("stale"),
+      s"expected the staleness refusal, got: ${e.getMessage}")
+    assert(spark.sql(s"SELECT count(*) FROM $g.pt2 WHERE k = 8888")
+      .as[Long].head() === 1L,
+      "the concurrent insert into a scanned leaf was silently wiped")
+    // and the refused statement left the scanned leaf's rows untouched
+    assert(spark.sql(s"SELECT sum(v) FROM $g.pt2 WHERE p = 0 AND k < 8888")
+      .as[Long].head() === (0 until 40 by 2).sum.toLong)
+  }
+}
+
+/** Deterministic interleave gate for the ADVICE-r12-medium specs: the
+  * row-level statement's UDF blocks every row until the concurrent
+  * INSERT fully lands, proving the insert falls between the scan build
+  * and the commit. A global object so local-mode executor threads reach
+  * the SAME latches without closure serialization. */
+object R13Gate {
+  @volatile var scanStarted: java.util.concurrent.CountDownLatch = _
+  @volatile var writeDone: java.util.concurrent.CountDownLatch = _
+  private val blockerClaimed = new java.util.concurrent.atomic.AtomicBoolean
+  def reset(): Unit = {
+    scanStarted = new java.util.concurrent.CountDownLatch(1)
+    writeDone = new java.util.concurrent.CountDownLatch(1)
+    blockerClaimed.set(false)
+  }
+  // only ONE task blocks (the commit still waits for it, which is all
+  // the interleave needs) — blocking every row would park all
+  // local[4] slots and starve the concurrent INSERT into a deadlock
+  def pass(x: Long): Long = {
+    if (blockerClaimed.compareAndSet(false, true)) {
+      scanStarted.countDown()
+      writeDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    x
+  }
 }
