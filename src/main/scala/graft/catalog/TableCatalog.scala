@@ -3452,6 +3452,113 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     invalidateStats(table)
   }
 
+  /** PARTITION-SPEC EVOLUTION for a partitioned plain table (r12
+    * verdict #3): rewrite the rows into the NEW leaf layout and swap
+    * the spec sidecar — the Iceberg evolve-spec verb priced honestly
+    * for the Hive layout, where directories ARE the spec, so evolving
+    * it is one full rewrite. The protocol is the [[stagedRewrite]]
+    * shape: the EXPENSIVE half (hours at 100 TB) writes the new
+    * layout into a scratch dir with NO lock held against a pinned
+    * file listing; the writer lock covers only the O(leaf dirs) swap
+    * (delete old leaves, adopt the scratch's, write the new spec). A
+    * listing that moved mid-rewrite discards the staging and retries;
+    * after [[TableCatalog.MaxOptimisticAttempts]] losses the verb
+    * degrades to rewriting inline under the lock. After the swap every
+    * partition-granular verb — insertPartitioned, deleteWhereParts,
+    * the partitioned SQL row-level path — prunes and rewrites by the
+    * NEW columns. Same-spec calls are a no-op. Live delete vectors
+    * refuse (fold first — applyDeleteVectors — so the rewrite cannot
+    * resurrect deleted rows); the crash window between delete-old and
+    * adopt-new is the one [[overwritePartitionedAll]] already
+    * documents, with the staged bytes surviving in the `_tmp_` scratch
+    * vacuum only sweeps past its grace window. */
+  def repartitionTable(table: String, newCols: Seq[String]): Unit = {
+    val (oldCols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — repartitionTable evolves " +
+          "partitioned plain tables; versioned tables derive skipping " +
+          "from stats/Z-order (optimizeZOrder) instead"))
+    require(newCols.nonEmpty && newCols.distinct == newCols,
+      s"partition columns must be non-empty and distinct, got $newCols")
+    val missing = newCols.filterNot(declared.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the declared " +
+        s"schema (${declared.fieldNames.mkString(", ")})")
+    require(newCols.size < declared.size,
+      "a table cannot be partitioned by ALL of its columns")
+    if (newCols == oldCols) return
+    require(!hasDv(table),
+      s"'$table' carries live delete vectors — fold them first " +
+        "(applyDeleteVectors) so the repartition rewrite cannot " +
+        "resurrect deleted rows")
+    import org.apache.spark.sql.functions.col
+    def swapLocked(scratch: Path): Unit = {
+      val dir = Paths.get(path(table))
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.contains("="))
+          .foreach(deleteRecursive)
+      } finally s.close()
+      val s2 = Files.list(scratch)
+      try {
+        import scala.jdk.CollectionConverters._
+        s2.iterator().asScala
+          .filter(p => p.getFileName.toString.contains("=") ||
+            p.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
+      } finally s2.close()
+      writePartSpec(table, newCols, declared)
+      deleteRecursive(scratch)
+      invalidateStats(table)
+    }
+    def stage(df0: DataFrame): Path = {
+      // align to the DECLARED shape first: partition discovery on the
+      // old layout INFERS partition-column types (a string year reads
+      // back as int), and the rewrite must land the declared ones
+      val df = df0.select(declared.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // an empty-string partition value would collapse into the NULL
+      // directory and round-trip as NULL — the overwritePartitionTuples
+      // refusal, checked once over the rewrite's own scan
+      val strNew = newCols.filter(c =>
+        declared(declared.fieldIndex(c)).dataType ==
+          org.apache.spark.sql.types.StringType)
+      if (strNew.nonEmpty) {
+        val empties = df.filter(strNew.map(c => col(c) === "")
+          .reduce(_ || _)).count()
+        require(empties == 0L,
+          s"$empties row(s) carry an empty-string value in " +
+            s"${strNew.mkString(", ")} — the Hive layout would silently " +
+            "rewrite the key to NULL; clean or cast first")
+      }
+      val scratch = Paths.get(path(table),
+        s"_tmp_repart-${java.util.UUID.randomUUID()}")
+      stripDf(df).write.partitionBy(newCols: _*).parquet(scratch.toString)
+      scratch
+    }
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      if (attempt > TableCatalog.MaxOptimisticAttempts)
+        withTableLock(table) { swapLocked(stage(read(table))); done = true }
+      else {
+        val pinFiles = listParquetUris(table)
+        val scratch = stage(read(table))
+        val committed = withTableLock(table) {
+          if (listParquetUris(table) == pinFiles) {
+            swapLocked(scratch); true
+          } else false
+        }
+        if (committed) done = true
+        else deleteRecursive(scratch) // lost the race; retry fresh
+      }
+    }
+  }
+
   /** Remove a PLAIN table entirely — directory, sidecars, and all.
     * Versioned tables are refused: their lifecycle belongs to the
     * snapshot pointer (retention, tags, RESTORE), not a rm. */

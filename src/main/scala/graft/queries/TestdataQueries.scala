@@ -4448,6 +4448,77 @@ object TestdataQueries {
              |    THEN price_c + 7 ELSE price_c END) AS BIGINT) AS sum_c
              |FROM surv GROUP BY 1, 2""".stripMargin)),
 
+    // --------------------- partition-spec evolution (r12 verdict #3)
+    // A `y`-partitioned fact needs `(y, prio)` after the fact — the
+    // first schema-lifecycle wall with no workaround short of a manual
+    // CTAS + rename. `CALL g.system.repartition` evolves the spec: one
+    // staged full rewrite into the new leaf layout (the heavy half
+    // unlocked against a pinned file listing — hours at 100 TB and no
+    // writer blocked), then an O(leaf dirs) locked swap of the
+    // directories and the spec sidecar. The in-query require()s pin
+    // the contract: the nested leaves exist after the evolve, a DELETE
+    // pruned by BOTH columns purges only matching leaves, and an
+    // untouched leaf keeps its files byte-for-byte. Oracle replays the
+    // surviving rows relationally.
+    "x_sql_repartition" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlrp", dir)
+      val cname = "gsqlrp_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val view = s"ordr_$cname"
+      t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"),
+        col("o_orderpriority").substr(1, 1).as("prio"))
+        .createOrReplaceTempView(view)
+      // born under spec A: y only
+      s.sql(s"CREATE TABLE $cname.rp (okey BIGINT, price_c BIGINT, " +
+        "y STRING, prio STRING) PARTITIONED BY (y)")
+      s.sql(s"INSERT INTO $cname.rp SELECT okey, price_c, y, prio FROM $view")
+      val y0 = s.sql(s"SELECT min(y) FROM $cname.rp").head().getString(0)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        scratch.toString, "rp", s"y=$y0")), "spec A must nest y only")
+      // evolve to (y, prio)
+      s.sql(s"CALL $cname.system.repartition('rp', 'y,prio')").collect()
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        scratch.toString, "rp", s"y=$y0", "prio=1")),
+        "the evolved layout must nest y/prio")
+      def leafFiles(y: String, prio: String): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(scratch.toString, "rp",
+          s"y=$y", s"prio=$prio")
+        if (!java.nio.file.Files.exists(p)) Set.empty
+        else {
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet
+          finally st.close()
+        }
+      }
+      val pinned = leafFiles(y0, "1")
+      require(pinned.nonEmpty, s"no files under y=$y0/prio=1")
+      // DML pruned by BOTH columns of the evolved spec rewrites only
+      // the affected leaves
+      val yMax = s.sql(s"SELECT max(y) FROM $cname.rp").head().getString(0)
+      s.sql(s"DELETE FROM $cname.rp WHERE y = '$yMax' AND prio = '5'")
+      require(leafFiles(y0, "1") == pinned,
+        "a DELETE pruned to other leaves must not rewrite this one")
+      s.sql(s"SELECT y, prio, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.rp GROUP BY y, prio")
+    }),
+      Some("""WITH rp AS (SELECT o_orderkey AS okey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             |    CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |    substr(o_orderpriority, 1, 1) AS prio
+             |  FROM orders),
+             |ymax AS (SELECT max(y) AS y FROM rp)
+             |SELECT y, prio, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_c
+             |FROM rp WHERE NOT (prio = '5' AND y = (SELECT y FROM ymax))
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving
     // content, so the feed treats them as dataChange=false (the Delta

@@ -384,7 +384,8 @@ object GraftSqlCatalog {
       "audit_branch", "publish_branch", "drop_branch", "expire_branches",
       "clone", "describe_detail", "restore_timestamp", "analyze",
       "delete_vectorize", "apply_delete_vectors",
-      "optimize_zorder", "add_constraint", "drop_constraint")
+      "optimize_zorder", "add_constraint", "drop_constraint",
+      "repartition")
 
   /** One maintenance procedure, bound to its catalog verb. Results are
     * small driver-side row sets (history entries, vacuum audit lines,
@@ -417,6 +418,7 @@ object GraftSqlCatalog {
       case "optimize_zorder" => "Z-order cluster (staged rewrite + re-analyze)"
       case "add_constraint" => "declare a CHECK constraint (judges existing rows)"
       case "drop_constraint" => "retire a CHECK constraint"
+      case "repartition" => "evolve a partitioned table's spec (staged rewrite)"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -474,6 +476,9 @@ object GraftSqlCatalog {
           case "drop_constraint" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("name", DT.StringType).build())
+          case "repartition" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("cols", DT.StringType).build())
         }
 
         override def call(input: InternalRow)
@@ -563,6 +568,16 @@ object GraftSqlCatalog {
             case "drop_constraint" =>
               cat.dropConstraint(table, input.getUTF8String(1).toString)
               (StructType.fromDDL("dropped LONG"), Seq(InternalRow(1L)))
+            case "repartition" =>
+              // partition-spec evolution (r12 verdict #3): one staged
+              // full rewrite into the new leaf layout + a locked swap
+              val cols = Option(input.getUTF8String(1)).map(_.toString)
+                .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
+                .toIndexedSeq
+              require(cols.nonEmpty, "repartition needs cols, e.g. 'a,b'")
+              cat.repartitionTable(table, cols)
+              (StructType.fromDDL("part_cols STRING"),
+                Seq(InternalRow(UTF8String.fromString(cols.mkString(",")))))
             case "analyze" =>
               def list(i: Int): Seq[String] =
                 Option(input.getUTF8String(i)).map(_.toString)

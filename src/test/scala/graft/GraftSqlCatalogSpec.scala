@@ -709,6 +709,52 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
       spark.sql(s"UPDATE $g.t VERSION AS OF 1 SET v = 0"))
   }
 
+  test("CALL g.system.repartition evolves the partition spec: one " +
+      "staged rewrite into the new leaf layout, then DML prunes by the " +
+      "new columns and leaves untouched leaves byte-for-byte (r12 #3)") {
+    import java.nio.file.Paths
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.rt (k BIGINT, v BIGINT, y BIGINT, m BIGINT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.rt SELECT id AS k, id AS v, id % 2 AS y, " +
+      "id % 3 AS m FROM range(60)")
+    assert(Files.exists(Paths.get(cat.path("rt"), "y=0")))
+    assert(!Files.exists(Paths.get(cat.path("rt"), "y=0/m=0")))
+    val expectedSum = (0 until 60).sum.toLong
+    spark.sql(s"CALL $g.system.repartition('rt', 'y,m')").collect()
+    // the layout evolved under the same rows
+    assert(Files.exists(Paths.get(cat.path("rt"), "y=0/m=0")))
+    assert(spark.sql(s"SELECT sum(v) FROM $g.rt").as[Long].head()
+      === expectedSum)
+    assert(spark.sql(s"SELECT count(*) FROM $g.rt").as[Long].head() === 60L)
+    // DML now prunes by BOTH columns: pin an untouched leaf's files
+    def leafFiles(leaf: String): Set[String] = {
+      val d = Paths.get(cat.path("rt"), leaf)
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(d)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally st.close()
+    }
+    val pinned = leafFiles("y=1/m=1")
+    spark.sql(s"DELETE FROM $g.rt WHERE y = 0 AND m = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $g.rt WHERE y = 0 AND m = 0")
+      .as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.rt").as[Long].head() === 50L)
+    assert(leafFiles("y=1/m=1") === pinned,
+      "an untouched leaf was rewritten by the pruned DELETE")
+    // same-spec evolve is a no-op; unknown columns and versioned
+    // tables refuse loudly
+    spark.sql(s"CALL $g.system.repartition('rt', 'y,m')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $g.rt").as[Long].head() === 50L)
+    assertThrows[Exception](
+      spark.sql(s"CALL $g.system.repartition('rt', 'nope')").collect())
+    cat.replaceAtomic("vt", Seq((1L, 2L)).toDF("k", "v"))
+    val ev = intercept[Exception](
+      spark.sql(s"CALL $g.system.repartition('vt', 'k')").collect())
+    assert(ev.getMessage.contains("no partition spec"), ev.getMessage)
+  }
+
   test("a partition created mid-statement survives a partitioned " +
       "row-level rewrite: the commit replaces the set pinned at scan " +
       "time, never a live recompute (ADVICE r12 medium)") {
