@@ -319,8 +319,11 @@ class GraftSqlCatalog extends DsV2TableCatalog
     * change feed refuses to span the evolution (already its rule).
     * RENAME / DROP COLUMN route to the catalog's metadata-only
     * column-mapping verbs (field-id matching keeps existing bytes
-    * readable). Any other change stays refused — it would change what
-    * existing bytes mean. */
+    * readable), and ALTER COLUMN TYPE routes to the widening verb
+    * (int→long, float→double, decimal growth — Spark's parquet
+    * up-cast readers serve the old bytes; narrowing refuses). Any
+    * other change stays refused — it would change what existing bytes
+    * mean. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tableOf(ident)
     if (!cat.exists(t)) throw new NoSuchTableException(ident)
@@ -354,6 +357,14 @@ class GraftSqlCatalog extends DsV2TableCatalog
         require(d.fieldNames().length == 1,
           s"nested DROP COLUMN is not supported: ${d.fieldNames().mkString(".")}")
         cat.dropColumn(t, d.fieldNames()(0))
+        return loadTable(ident)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          s"nested ALTER COLUMN TYPE is not supported: " +
+            u.fieldNames().mkString("."))
+        // metadata-only type WIDENING (r12 verdict #4); non-widening
+        // changes refuse inside the verb
+        cat.widenColumn(t, u.fieldNames()(0), u.newDataType())
         return loadTable(ident)
       case other =>
         readOnly(s"ALTER TABLE ${other.getClass.getSimpleName}")
