@@ -3356,6 +3356,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"$c=$dirName"
       }.mkString("/")
       TableCatalog.deleteRecursively(Paths.get(s"${path(table)}/$leaf"))
+      // a multi-level spec leaves empty ancestor dirs behind a full
+      // purge — sweep them upward (a retention-window DELETE at scale
+      // would otherwise accrete millions of empty day dirs). A raced
+      // concurrent writer landing a sibling leaf makes the delete
+      // throw DirectoryNotEmpty — which is the correct stop.
+      var parent = Paths.get(s"${path(table)}/$leaf").getParent
+      val root = Paths.get(path(table))
+      while (parent != null && parent != root &&
+          (try { Files.delete(parent); true }
+           catch { case _: Exception => false }))
+        parent = parent.getParent
     }
     invalidateStats(table)
   }
@@ -3380,6 +3391,41 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       TableCatalog.parsePartSpec(new String(b,
         java.nio.charset.StandardCharsets.UTF_8)))
       .map { case (cs, ddl) => (cs, StructType.fromDDL(ddl)) }
+
+  /** The GENERATED (transform) partition columns of `table` — empty
+    * for identity-partitioned and unpartitioned tables. */
+  def partitionGen(table: String): Seq[TableCatalog.GenCol] =
+    committer.read(partSpecFile(table)).flatMap(b =>
+      TableCatalog.parsePartSpecFull(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8)))
+      .map(_._3).getOrElse(Seq.empty)
+
+  /** Materialize `table`'s generated partition columns onto `df` (a
+    * no-op for identity specs) — every write path routes through this
+    * so the hidden columns always agree with the transform. */
+  private[graft] def withGen(table: String, df: DataFrame): DataFrame =
+    partitionGen(table).foldLeft(df)((d, g) =>
+      d.withColumn(g.name, TableCatalog.genExpr(g)))
+
+  /** Declare an EMPTY partitioned plain table under TRANSFORM
+    * partitioning (r12 "missing" #3 — the Iceberg `days(ts)` /
+    * `bucket(n, col)` specs): `parts` mixes identity columns
+    * (`("identity", col, 0)`) and transforms (`("days", ts, 0)`,
+    * `("bucket", k, 8)`, months/years/hours likewise). Transforms
+    * materialize as HIDDEN generated columns (Iceberg naming —
+    * `ts_day`, `k_bucket`) that exist only in the directory layout:
+    * INSERT supplies the declared columns and the write derives the
+    * rest; SELECT never sees them; reads prune leaf directories from
+    * predicates on the SOURCE column (scan-level, best-effort — row
+    * filters still apply, so pruning can never change results). */
+  def createPartitionedTransformed(table: String, schema: StructType,
+      parts: Seq[(String, String, Int)]): Unit = {
+    val (partCols, gen) = TableCatalog.validatedGenSpec(schema, parts)
+    if (gen.isEmpty) { createPartitioned(table, schema, partCols); return }
+    require(!exists(table), s"'$table' already exists")
+    Files.createDirectories(Paths.get(path(table)))
+    writePartSpecGen(table, partCols, schema, gen)
+  }
 
   /** Declare an EMPTY partitioned plain table (the create half of a
     * partitioned CTAS): just the spec sidecar — the first insert lands
@@ -3408,11 +3454,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     createPartitioned(table, schema, Seq(partCol))
 
   private def writePartSpec(table: String, partCols: Seq[String],
-                            schema: StructType): Unit = {
+                            schema: StructType): Unit =
+    writePartSpecGen(table, partCols, schema, partitionGen(table))
+
+  private def writePartSpecGen(table: String, partCols: Seq[String],
+      schema: StructType, gen: Seq[TableCatalog.GenCol]): Unit = {
     val tmp = Paths.get(path(table),
       s"_tmp_partspec-${java.util.UUID.randomUUID()}")
     Files.write(tmp, TableCatalog.renderPartSpec(partCols,
-      TableCatalog.stripFieldIds(schema).toDDL)
+      TableCatalog.stripFieldIds(schema).toDDL, gen)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, partSpecFile(table),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -3429,7 +3479,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
-    enforced(table, stripDf(df)).write.mode("append")
+    // transform specs derive their hidden partition columns here —
+    // the caller only ever supplies the declared shape
+    enforced(table, withGen(table, stripDf(df))).write.mode("append")
       .partitionBy(pcols: _*).parquet(path(table))
     invalidateStats(table)
   }
@@ -3446,9 +3498,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
-    enforced(table, stripDf(df)).write.mode("overwrite")
+    val gen = partitionGen(table) // pin: the overwrite clears the sidecar
+    enforced(table, withGen(table, stripDf(df))).write.mode("overwrite")
       .partitionBy(pcols: _*).parquet(path(table))
-    writePartSpec(table, pcols, declared)
+    writePartSpecGen(table, pcols, declared, gen)
     invalidateStats(table)
   }
 
@@ -3472,21 +3525,25 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * adopt-new is the one [[overwritePartitionedAll]] already
     * documents, with the staged bytes surviving in the `_tmp_` scratch
     * vacuum only sweeps past its grace window. */
-  def repartitionTable(table: String, newCols: Seq[String]): Unit = {
+  def repartitionTable(table: String, newCols: Seq[String]): Unit =
+    repartitionTableTransformed(table, newCols.map(("identity", _, 0)))
+
+  /** Spec evolution onto (or off, or between) TRANSFORM specs —
+    * `parts` mixes identity columns and days/months/years/hours/bucket
+    * transforms exactly as [[createPartitionedTransformed]] takes
+    * them. The rewrite reads the DECLARED columns (old hidden columns
+    * simply stop being derived), re-derives the new spec's generated
+    * columns, and lands the new leaf layout; everything else is the
+    * identity-evolution protocol above. */
+  def repartitionTableTransformed(table: String,
+      parts: Seq[(String, String, Int)]): Unit = {
     val (oldCols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — repartitionTable evolves " +
           "partitioned plain tables; versioned tables derive skipping " +
           "from stats/Z-order (optimizeZOrder) instead"))
-    require(newCols.nonEmpty && newCols.distinct == newCols,
-      s"partition columns must be non-empty and distinct, got $newCols")
-    val missing = newCols.filterNot(declared.fieldNames.contains)
-    require(missing.isEmpty,
-      s"partition column(s) ${missing.mkString(", ")} not in the declared " +
-        s"schema (${declared.fieldNames.mkString(", ")})")
-    require(newCols.size < declared.size,
-      "a table cannot be partitioned by ALL of its columns")
-    if (newCols == oldCols) return
+    val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
+    if (newCols == oldCols && newGen == partitionGen(table)) return
     require(!hasDv(table),
       s"'$table' carries live delete vectors — fold them first " +
         "(applyDeleteVectors) so the repartition rewrite cannot " +
@@ -3510,20 +3567,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             p.getFileName.toString.endsWith(".parquet"))
           .foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
       } finally s2.close()
-      writePartSpec(table, newCols, declared)
+      writePartSpecGen(table, newCols, declared, newGen)
       deleteRecursive(scratch)
       invalidateStats(table)
     }
     def stage(df0: DataFrame): Path = {
       // align to the DECLARED shape first: partition discovery on the
       // old layout INFERS partition-column types (a string year reads
-      // back as int), and the rewrite must land the declared ones
-      val df = df0.select(declared.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // back as int), and the rewrite must land the declared ones —
+      // this also drops the OLD spec's hidden generated columns; the
+      // NEW spec's are re-derived below
+      val df = newGen.foldLeft(
+        df0.select(declared.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))(
+        (d, g) => d.withColumn(g.name, TableCatalog.genExpr(g)))
       // an empty-string partition value would collapse into the NULL
       // directory and round-trip as NULL — the overwritePartitionTuples
       // refusal, checked once over the rewrite's own scan
-      val strNew = newCols.filter(c =>
+      // only identity partition columns can carry user strings; the
+      // generated ones are derived dates/ints by construction
+      val strNew = newCols.filter(c => declared.fieldNames.contains(c) &&
         declared(declared.fieldIndex(c)).dataType ==
           org.apache.spark.sql.types.StringType)
       if (strNew.nonEmpty) {
@@ -5408,8 +5471,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.col
     try {
       if (parts.isEmpty) return // nothing scanned → nothing to replace
-      val stagedDf = spark.read.schema(TableCatalog.stripFieldIds(schema))
-        .parquet(staged.toString)
+      // a transform spec's hidden columns are absent from the staged
+      // Spark-planner rows (the statement's schema is the declared
+      // one) — re-derive them so tuple routing and the partitionBy
+      // write see the same values the original write materialized
+      val stagedDf = withGen(table,
+        spark.read.schema(TableCatalog.stripFieldIds(schema))
+          .parquet(staged.toString))
       if (constraintsOf(table).nonEmpty) enforced(table, stagedDf).count()
       val pcs = partCols.map(c => col(c).cast("string"))
       val stagedTuples = stagedDf.select(pcs: _*).distinct().collect()
@@ -6384,22 +6452,118 @@ object TableCatalog {
           .map(p => p.getKey -> p.getValue.asInt).toMap))
     } catch { case _: Exception => None }
 
+  /** A GENERATED partition column (r12 "what's missing" #3 — the
+    * Iceberg temporal/bucket transforms): `name` is the hidden
+    * partition column materialized at write time from `src` via
+    * `kind` ∈ days|months|years|hours|bucket (`n` = bucket count,
+    * 0 otherwise). It lives in the directory layout, never in the
+    * declared (INSERT/SELECT) schema — hidden partitioning. */
+  final case class GenCol(name: String, src: String, kind: String,
+                          n: Int = 0)
+
+  private[graft] val GenKinds =
+    Set("days", "months", "years", "hours", "bucket")
+
+  /** Validate a mixed identity/transform partition declaration against
+    * `schema`: returns (partition columns in declaration order —
+    * identity names and generated names — , the generated columns).
+    * Shared by CREATE (createPartitionedTransformed) and spec
+    * evolution (repartitionTableTransformed) so both enforce one
+    * contract. */
+  private[graft] def validatedGenSpec(schema: StructType,
+      parts: Seq[(String, String, Int)]): (Seq[String], Seq[GenCol]) = {
+    require(parts.nonEmpty, "at least one partition transform required")
+    val gen = parts.collect { case (kind, src, n) if kind != "identity" =>
+      require(GenKinds(kind),
+        s"unknown partition transform '$kind' — identity, " +
+          s"${GenKinds.toSeq.sorted.mkString(", ")}")
+      require(schema.fieldNames.contains(src),
+        s"transform source '$src' not in the declared schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      val srcType = schema(schema.fieldIndex(src)).dataType
+      if (kind != "bucket")
+        require(srcType == org.apache.spark.sql.types.DateType ||
+          srcType == org.apache.spark.sql.types.TimestampType,
+          s"$kind($src) needs a DATE/TIMESTAMP source, got ${srcType.sql}")
+      if (kind == "bucket")
+        require(n > 0, s"bucket($src) needs a positive bucket count")
+      val g = GenCol(genName(kind, src), src, kind, n)
+      require(!schema.fieldNames.contains(g.name),
+        s"generated partition column '${g.name}' collides with a " +
+          "declared column — rename it or use identity partitioning")
+      g
+    }
+    val partCols = parts.map { case (kind, src, _) =>
+      if (kind == "identity") src else genName(kind, src) }
+    require(partCols.distinct == partCols,
+      s"duplicate partition column in $partCols")
+    parts.filter(_._1 == "identity").foreach { case (_, c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' not in the declared schema") }
+    require(parts.count(_._1 == "identity") < schema.size,
+      "a table cannot be partitioned by ALL of its columns")
+    (partCols, gen)
+  }
+
+  /** The Iceberg naming rule: days(ts) → ts_day, bucket(8, k) →
+    * k_bucket. */
+  private[graft] def genName(kind: String, src: String): String =
+    kind match {
+      case "days" => s"${src}_day"
+      case "months" => s"${src}_month"
+      case "years" => s"${src}_year"
+      case "hours" => s"${src}_hour"
+      case "bucket" => s"${src}_bucket"
+    }
+
+  /** The transform, as a Column: what the WRITE path materializes and
+    * what the read-side leaf pruning inverts. days → DATE (session
+    * TZ, like `to_date`); months → yyyyMM int; years → int; hours →
+    * epoch-hours int; bucket → pmod(murmur3, n). */
+  private[graft] def genExpr(g: GenCol): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    g.kind match {
+      case "days" => to_date(col(g.src))
+      case "months" =>
+        (year(col(g.src)) * lit(100) + month(col(g.src))).cast("int")
+      case "years" => year(col(g.src)).cast("int")
+      case "hours" =>
+        floor(unix_timestamp(col(g.src)) / lit(3600L)).cast("int")
+      case "bucket" => pmod(hash(col(g.src)), lit(g.n)).cast("int")
+    }
+  }
+
   private[catalog] def renderPartSpec(cols: Seq[String],
-                                      schemaDdl: String): String = {
+                                      schemaDdl: String,
+                                      gen: Seq[GenCol] = Seq.empty): String = {
     val o = om.createObjectNode()
     // legacy single-col field kept for older readers — but ONLY when
     // the spec really is single-column: writing the head column for a
     // multi-column spec would make an old reader silently treat the
     // nested layout as single-column-partitioned and flatten it on its
     // first partition-granular DELETE/overwrite (ADVICE r11); omitting
-    // it makes the old reader refuse loudly ("no partition spec")
-    if (cols.size == 1) o.put("partCol", cols.head)
+    // it makes the old reader refuse loudly ("no partition spec").
+    // Same rule for transforms: a gen-carrying spec omits it so an old
+    // reader can never treat the hidden column as an identity one.
+    if (cols.size == 1 && gen.isEmpty) o.put("partCol", cols.head)
     val a = o.putArray("partCols"); cols.foreach(a.add)
     o.put("schema", schemaDdl)
+    if (gen.nonEmpty) {
+      val ga = o.putArray("gen")
+      gen.foreach { g =>
+        val go = ga.addObject()
+        go.put("name", g.name); go.put("src", g.src)
+        go.put("kind", g.kind); go.put("n", g.n)
+      }
+    }
     om.writeValueAsString(o)
   }
 
   private[catalog] def parsePartSpec(s: String): Option[(Seq[String], String)] =
+    parsePartSpecFull(s).map { case (cols, ddl, _) => (cols, ddl) }
+
+  private[catalog] def parsePartSpecFull(s: String)
+      : Option[(Seq[String], String, Seq[GenCol])] =
     try {
       import scala.jdk.CollectionConverters._
       val n = om.readTree(s)
@@ -6408,7 +6572,12 @@ object TableCatalog {
         val cols = Option(n.get("partCols"))
           .map(_.elements().asScala.map(_.asText).toSeq)
           .orElse(Option(n.get("partCol")).map(c => Seq(c.asText)))
-        cols.filter(_.nonEmpty).map((_, n.get("schema").asText))
+        val gen = Option(n.get("gen")).map(_.elements().asScala.map(g =>
+          GenCol(g.get("name").asText, g.get("src").asText,
+            g.get("kind").asText,
+            Option(g.get("n")).map(_.asInt).getOrElse(0))).toSeq)
+          .getOrElse(Seq.empty)
+        cols.filter(_.nonEmpty).map((_, n.get("schema").asText, gen))
       }
     } catch { case _: Exception => None }
 

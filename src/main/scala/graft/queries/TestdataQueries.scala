@@ -4588,6 +4588,80 @@ object TestdataQueries {
              |  CAST(sum(bal) AS DOUBLE) AS sum_bal
              |FROM wc GROUP BY nk""".stripMargin)),
 
+    // -------------- hidden partitioning transforms (r12 "missing" #3)
+    // Iceberg's `days(ts)` / `bucket(n, col)` specs over the Hive
+    // layout: the transforms materialize as HIDDEN generated partition
+    // columns — INSERT supplies the declared shape and the write
+    // derives the rest, SELECT never sees them, reads prune leaf dirs
+    // from SOURCE-column predicates (best-effort — row filters still
+    // apply), and row-level DML narrows its rewrite to the derived
+    // leaves. The in-query require()s pin each of those; the oracle
+    // replays insert-then-delete relationally.
+    "x_sql_transform_part" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_tfp", dir)
+      val cname = "gtfp_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val view = s"ev_$cname"
+      t(s, dir, "events").select(col("event_id").as("ekey"),
+        cents(col("value")).as("val_c"), col("ts"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cname.tp (ekey BIGINT, val_c BIGINT, " +
+        "ts TIMESTAMP) PARTITIONED BY (days(ts), bucket(8, ekey))")
+      s.sql(s"INSERT INTO $cname.tp SELECT ekey, val_c, ts FROM $view")
+      require(s.sql(s"SELECT * FROM $cname.tp").columns.toSeq ==
+        Seq("ekey", "val_c", "ts"),
+        "generated partition columns must stay hidden from SELECT *")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        scratch.toString, "tp", "ts_day=2024-01-01")),
+        "the layout must nest ts_day under Iceberg naming")
+      def servedDirs(df: org.apache.spark.sql.DataFrame,
+          prefix: String): Set[String] =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+                f.fileIndex.inputFiles.toSeq
+              case _ => Seq.empty[String]
+            }
+        }.flatten.flatMap(_.split("/").find(_.startsWith(prefix))).toSet
+      val served = servedDirs(s.sql(s"SELECT ekey FROM $cname.tp " +
+        "WHERE ts >= timestamp'2024-01-20 00:00:00'"), "ts_day=")
+      require(served.nonEmpty && served.forall(_ >= "ts_day=2024-01-20"),
+        s"day-leaf pruning must serve only ts_day >= 2024-01-20: $served")
+      require(servedDirs(s.sql(s"SELECT val_c FROM $cname.tp " +
+        "WHERE ekey = 42"), "ekey_bucket=").size <= 1,
+        "bucket equality must prune to one bucket's dirs")
+      // DML: the gen-derived bound narrows the rewrite; the purged day
+      // leaves disappear, later days keep their files untouched
+      s.sql(s"DELETE FROM $cname.tp WHERE ts < timestamp'2024-01-05 00:00:00'")
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        scratch.toString, "tp", "ts_day=2024-01-01")),
+        "a fully purged day leaf must disappear")
+      // spec evolution crosses transform boundaries: drop the bucket
+      // level — the rewrite re-derives days(ts) and flattens the tree
+      s.sql(s"CALL $cname.system.repartition('tp', 'days(ts)')").collect()
+      require({
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(
+          scratch.toString, "tp", "ts_day=2024-01-20"))
+        try {
+          import scala.jdk.CollectionConverters._
+          !st.iterator().asScala.exists(
+            _.getFileName.toString.startsWith("ekey_bucket="))
+        } finally st.close()
+      }, "the evolved spec must flatten the bucket level away")
+      s.sql(s"SELECT CAST(CAST(ts AS DATE) AS STRING) AS d, " +
+        "CAST(count(*) AS BIGINT) AS n, sum(val_c) AS sum_c " +
+        s"FROM $cname.tp GROUP BY 1")
+    }),
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |GROUP BY 1""".stripMargin)),
+
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving
     // content, so the feed treats them as dataChange=false (the Delta

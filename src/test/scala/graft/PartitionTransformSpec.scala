@@ -1,0 +1,236 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.{Files, Paths}
+
+/** HIDDEN (transform) partitioning — the Iceberg `days(ts)` /
+  * `bucket(n, col)` specs over the Hive plain layout: generated
+  * partition columns exist only in the directory tree, INSERT supplies
+  * the declared shape, SELECT never sees them, and reads prune leaf
+  * directories from predicates on the SOURCE column. */
+class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  /** The files the physical scan would read. `Dataset.inputFiles` only
+    * recognizes stock FileTable relations, so it reports empty for the
+    * catalog's wrapped tables — collect the BatchScanExec's file index
+    * instead (the thing leaf pruning actually narrows). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private var seq = 0
+  private def freshSqlCat(): (TableCatalog, String) = {
+    val root = Files.createTempDirectory("ptf").toString
+    seq += 1
+    val name = s"gptf$seq"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (new TableCatalog(spark, root), name)
+  }
+
+  test("days(ts): hidden generated column, Iceberg naming, schema never " +
+      "shows it, INSERT supplies the declared shape") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.ev (k BIGINT, v BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $g.ev SELECT id AS k, id AS v, " +
+      "timestamp'2024-03-01 00:30:00' + make_interval(0,0,0,0,CAST(id AS INT)) AS ts " +
+      "FROM range(96)") // 96 hourly rows → 4 days
+    // the layout nests ts_day; the declared schema hides it
+    assert(Files.exists(Paths.get(cat.path("ev"), "ts_day=2024-03-01")))
+    assert(Files.exists(Paths.get(cat.path("ev"), "ts_day=2024-03-04")))
+    assert(spark.sql(s"SELECT * FROM $g.ev").columns.toSeq ===
+      Seq("k", "v", "ts"))
+    assert(spark.sql(s"SELECT count(*) FROM $g.ev").as[Long].head() === 96L)
+    assert(spark.sql(s"SELECT sum(v) FROM $g.ev").as[Long].head() ===
+      (0 until 96).sum.toLong)
+  }
+
+  test("reads prune leaf directories from source-column predicates; " +
+      "row filters keep correctness whatever the pruning") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.ev2 (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $g.ev2 SELECT id AS k, " +
+      "timestamp'2024-03-01 00:30:00' + make_interval(0,0,0,0,CAST(id AS INT)) AS ts " +
+      "FROM range(96)")
+    val pruned = spark.sql(
+      s"SELECT k FROM $g.ev2 WHERE ts >= timestamp'2024-03-03 00:00:00'")
+    // the scan touches only the matching day leaves
+    val dirs = scannedFiles(pruned).map(f =>
+      f.split("/").find(_.startsWith("ts_day=")).getOrElse("?")).toSet
+    assert(dirs === Set("ts_day=2024-03-03", "ts_day=2024-03-04"),
+      s"pruning served $dirs")
+    assert(pruned.count() === 48L)
+    // equality day pin
+    val one = spark.sql(
+      s"SELECT k FROM $g.ev2 WHERE ts = timestamp'2024-03-02 10:30:00'")
+    assert(scannedFiles(one).forall(_.contains("ts_day=2024-03-02")))
+    assert(one.count() === 1L)
+    // an upper bound prunes from the other side
+    val lo = spark.sql(
+      s"SELECT k FROM $g.ev2 WHERE ts < timestamp'2024-03-02 00:00:00'")
+    assert(scannedFiles(lo).forall(_.contains("ts_day=2024-03-01")) ||
+      scannedFiles(lo).exists(_.contains("ts_day=2024-03-02"))) // <= weakening
+    assert(lo.count() === 24L)
+    // a predicate matching NO leaf still answers correctly
+    assert(spark.sql(s"SELECT count(*) FROM $g.ev2 " +
+      "WHERE ts >= timestamp'2030-01-01 00:00:00'").as[Long].head() === 0L)
+  }
+
+  test("bucket(n, k): equality prunes to one bucket dir; values route " +
+      "by Spark's own murmur3") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.bt (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $g.bt SELECT id AS k, id * 10 AS v FROM range(100)")
+    val buckets = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(Paths.get(cat.path("bt")))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("k_bucket=")).toSet
+      finally st.close()
+    }
+    assert(buckets.size === 4, s"expected 4 buckets, got $buckets")
+    val q = spark.sql(s"SELECT v FROM $g.bt WHERE k = 42")
+    assert(scannedFiles(q).map(f => f.split("/")
+      .find(_.startsWith("k_bucket=")).getOrElse("?")).toSet.size === 1,
+      "bucket equality must prune to one bucket dir")
+    assert(q.as[Long].head() === 420L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.bt").as[Long].head() === 100L)
+  }
+
+  test("DML on a transform table: DELETE purges by derived leaves, " +
+      "UPDATE rewrites through the pinned-scan commit, OVERWRITE keeps " +
+      "the spec") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.dml (k BIGINT, v BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $g.dml SELECT id AS k, id AS v, " +
+      "timestamp'2024-03-01 12:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT)) AS ts " +
+      "FROM range(30)")
+    def leafFiles(day: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(cat.path("dml"), s"ts_day=$day")
+      if (!Files.exists(p)) Set.empty
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally st.close()
+      }
+    }
+    val pinned03 = leafFiles("2024-03-03")
+    assert(pinned03.nonEmpty)
+    // DELETE with a source-column predicate: the gen-derived bounds
+    // narrow the rewrite to the affected day leaves only
+    spark.sql(s"DELETE FROM $g.dml WHERE ts < timestamp'2024-03-02 00:00:00'")
+    assert(spark.sql(s"SELECT count(*) FROM $g.dml").as[Long].head() === 20L)
+    assert(!Files.exists(Paths.get(cat.path("dml"), "ts_day=2024-03-01")),
+      "the fully purged day leaf must disappear")
+    assert(leafFiles("2024-03-03") === pinned03,
+      "a day leaf outside the derived bound must keep its files " +
+        "byte-for-byte — the rewrite is O(affected leaves)")
+    // UPDATE (row-level rewrite) re-derives the hidden columns
+    spark.sql(s"UPDATE $g.dml SET v = v + 1000 WHERE k % 2 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $g.dml WHERE v >= 1000")
+      .as[Long].head() === 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.dml").as[Long].head() === 20L)
+    assert(Files.exists(Paths.get(cat.path("dml"), "ts_day=2024-03-02")),
+      "the rewrite must land rows back in their derived leaves")
+    // INSERT OVERWRITE keeps the transform spec alive
+    spark.sql(s"INSERT OVERWRITE $g.dml SELECT 1L AS k, 1L AS v, " +
+      "timestamp'2024-06-01 00:00:00' AS ts")
+    assert(spark.sql(s"SELECT count(*) FROM $g.dml").as[Long].head() === 1L)
+    assert(Files.exists(Paths.get(cat.path("dml"), "ts_day=2024-06-01")))
+    assert(cat.partitionGen("dml").map(_.kind) === Seq("days"))
+  }
+
+  test("mixed identity + transform spec nests in declaration order; " +
+      "refusals: bad kinds, name collision, transform repartition") {
+    val (cat, g) = freshSqlCat()
+    import org.apache.spark.sql.types._
+    spark.sql(s"CREATE TABLE $g.mx (k BIGINT, region STRING, ts TIMESTAMP) " +
+      "PARTITIONED BY (region, years(ts))")
+    spark.sql(s"INSERT INTO $g.mx VALUES " +
+      "(1, 'eu', timestamp'2023-05-01 00:00:00'), " +
+      "(2, 'us', timestamp'2024-05-01 00:00:00')")
+    assert(Files.exists(Paths.get(cat.path("mx"), "region=eu", "ts_year=2023")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.mx WHERE region = 'eu'")
+      .as[Long].head() === 1L)
+    // months() transform and its yyyyMM encoding
+    cat.createPartitionedTransformed("mm",
+      StructType.fromDDL("k BIGINT, ts TIMESTAMP"),
+      Seq(("months", "ts", 0)))
+    cat.insertPartitioned("mm", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-02-10 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-11-10 00:00:00")))
+      .toDF("k", "ts"))
+    assert(Files.exists(Paths.get(cat.path("mm"), "ts_month=202402")))
+    assert(Files.exists(Paths.get(cat.path("mm"), "ts_month=202411")))
+    // refusals
+    assertThrows[IllegalArgumentException](
+      cat.createPartitionedTransformed("bad1",
+        StructType.fromDDL("k BIGINT, ts TIMESTAMP"),
+        Seq(("weeks", "ts", 0))))
+    assertThrows[IllegalArgumentException](
+      cat.createPartitionedTransformed("bad2",
+        StructType.fromDDL("k BIGINT, v BIGINT"),
+        Seq(("days", "v", 0)))) // non-temporal source
+    assertThrows[IllegalArgumentException](
+      cat.createPartitionedTransformed("bad3",
+        StructType.fromDDL("k BIGINT, ts TIMESTAMP, ts_day DATE"),
+        Seq(("days", "ts", 0)))) // generated-name collision
+    assertThrows[IllegalArgumentException](
+      cat.createPartitionedTransformed("bad4",
+        StructType.fromDDL("k BIGINT, ts TIMESTAMP"),
+        Seq(("bucket", "k", 0)))) // bucket needs n > 0
+  }
+
+  test("spec evolution crosses transform boundaries: identity→days, " +
+      "transform→identity, via Scala and CALL system.repartition") {
+    val (cat, g) = freshSqlCat()
+    import org.apache.spark.sql.types._
+    // born identity-partitioned on a string day; evolve ONTO days(ts)
+    spark.sql(s"CREATE TABLE $g.ev (k BIGINT, d STRING, ts TIMESTAMP) " +
+      "PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $g.ev SELECT id AS k, " +
+      "CAST(CAST(timestamp'2024-03-01 06:00:00' + make_interval(0,0,0,0,CAST(id AS INT)) AS DATE) AS STRING) AS d, " +
+      "timestamp'2024-03-01 06:00:00' + make_interval(0,0,0,0,CAST(id AS INT)) AS ts " +
+      "FROM range(72)")
+    assert(Files.exists(Paths.get(cat.path("ev"), "d=2024-03-01")))
+    spark.sql(s"CALL $g.system.repartition('ev', 'days(ts)')").collect()
+    assert(Files.exists(Paths.get(cat.path("ev"), "ts_day=2024-03-02")),
+      "the evolved layout must nest the generated day column")
+    assert(!Files.exists(Paths.get(cat.path("ev"), "d=2024-03-01")),
+      "the old identity leaves must be gone")
+    assert(cat.partitionGen("ev").map(_.kind) === Seq("days"))
+    assert(spark.sql(s"SELECT * FROM $g.ev").columns.toSeq ===
+      Seq("k", "d", "ts"))
+    assert(spark.sql(s"SELECT count(*) FROM $g.ev").as[Long].head() === 72L)
+    // reads prune by the NEW spec; DML narrows by it
+    spark.sql(s"DELETE FROM $g.ev WHERE ts < timestamp'2024-03-02 00:00:00'")
+    assert(!Files.exists(Paths.get(cat.path("ev"), "ts_day=2024-03-01")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.ev").as[Long].head() === 54L)
+    // and back OFF the transform to identity
+    cat.repartitionTable("ev", Seq("d"))
+    assert(cat.partitionGen("ev").isEmpty)
+    assert(Files.exists(Paths.get(cat.path("ev"), "d=2024-03-03")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.ev").as[Long].head() === 54L)
+    // transform→transform (days → bucket) through the Scala verb
+    cat.repartitionTableTransformed("ev", Seq(("bucket", "k", 4)))
+    assert(cat.partitionGen("ev").map(_.kind) === Seq("bucket"))
+    assert(spark.sql(s"SELECT sum(k) FROM $g.ev").as[Long].head() ===
+      (18 until 72).map(_.toLong).sum)
+  }
+}
