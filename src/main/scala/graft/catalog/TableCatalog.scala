@@ -3400,6 +3400,33 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         java.nio.charset.StandardCharsets.UTF_8)))
       .map(_._3).getOrElse(Seq.empty)
 
+  /** ADD COLUMN for a PARTITIONED PLAIN table: the declared schema
+    * lives in the spec sidecar, so evolution is one sidecar write —
+    * existing files null-fill the new columns at read (the declared
+    * schema drives every scan), inserts must supply the new shape.
+    * Without this, the snapshot-append route would plant a `_v1`
+    * pointer inside the Hive layout and SQL reads would silently
+    * serve the empty snapshot instead of the partitioned data. */
+  def addColumnsPartitioned(table: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val (pcols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use appendAtomic(mergeSchema)"))
+    val gen = partitionGen(table)
+    fields.foreach { f =>
+      require(!declared.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists in '$table'")
+      require(!gen.exists(_.name == f.name),
+        s"column '${f.name}' collides with the hidden generated " +
+          s"partition column of the same name")
+      require(f.nullable,
+        s"ADD COLUMN ${f.name} NOT NULL is impossible here: existing " +
+          "rows null-fill the new column")
+    }
+    writePartSpecGen(table, pcols,
+      StructType(declared.fields ++ fields), gen)
+  }
+
   /** Materialize `table`'s generated partition columns onto `df` (a
     * no-op for identity specs) — every write path routes through this
     * so the hidden columns always agree with the transform. */

@@ -4652,6 +4652,12 @@ object TestdataQueries {
             _.getFileName.toString.startsWith("ekey_bucket="))
         } finally st.close()
       }, "the evolved spec must flatten the bucket level away")
+      // ADD COLUMN on the partitioned plain table is a sidecar update:
+      // no snapshot pointer planted, old rows null-fill
+      s.sql(s"ALTER TABLE $cname.tp ADD COLUMN tag STRING")
+      require(s.sql(s"SELECT count(*) FROM $cname.tp WHERE tag IS NOT NULL")
+        .head().getLong(0) == 0L,
+        "pre-ALTER rows must null-fill the added column")
       s.sql(s"SELECT CAST(CAST(ts AS DATE) AS STRING) AS d, " +
         "CAST(count(*) AS BIGINT) AS n, sum(val_c) AS sum_c " +
         s"FROM $cname.tp GROUP BY 1")

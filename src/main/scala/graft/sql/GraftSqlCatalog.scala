@@ -403,6 +403,14 @@ class GraftSqlCatalog extends DsV2TableCatalog
     }
     require(adds.map(_.name).distinct.size == adds.size,
       "duplicate column in ADD COLUMNS")
+    if (cat.partitionSpec(t).isDefined) {
+      // partitioned PLAIN table: schema lives in the spec sidecar —
+      // one metadata write; the snapshot-append route below would
+      // plant a _v1 pointer inside the Hive layout and SQL reads
+      // would silently serve the empty snapshot instead of the data
+      cat.addColumnsPartitioned(t, adds)
+      return loadTable(ident)
+    }
     val spark = SparkSession.active
     cat.appendAtomic(t, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

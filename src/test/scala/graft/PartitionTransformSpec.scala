@@ -233,4 +233,32 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql(s"SELECT sum(k) FROM $g.ev").as[Long].head() ===
       (18 until 72).map(_.toLong).sum)
   }
+
+  test("ALTER TABLE ADD COLUMN on a partitioned plain table is a " +
+      "sidecar update: old rows null-fill, the Hive layout survives") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.ac (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $g.ac SELECT id AS k, " +
+      "timestamp'2024-03-01 06:00:00' AS ts FROM range(5)")
+    spark.sql(s"ALTER TABLE $g.ac ADD COLUMN tag STRING")
+    // no snapshot pointer planted — the partitioned layout still serves
+    assert(cat.currentVersion("ac").isEmpty,
+      "ADD COLUMN must not version a partitioned plain table")
+    assert(spark.sql(s"SELECT count(*) FROM $g.ac").as[Long].head() === 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.ac WHERE tag IS NULL")
+      .as[Long].head() === 5L)
+    spark.sql(s"INSERT INTO $g.ac SELECT 99L AS k, " +
+      "timestamp'2024-03-02 06:00:00' AS ts, 'x' AS tag")
+    assert(spark.sql(s"SELECT count(*) FROM $g.ac WHERE tag = 'x'")
+      .as[Long].head() === 1L)
+    // collision with the hidden generated column refuses
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE $g.ac ADD COLUMN ts_day DATE"))
+    // identity-partitioned tables take the same path
+    spark.sql(s"CREATE TABLE $g.ac2 (k BIGINT, d STRING) PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $g.ac2 VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE $g.ac2 ADD COLUMN v BIGINT")
+    assert(spark.sql(s"SELECT v FROM $g.ac2").head().isNullAt(0))
+  }
 }
