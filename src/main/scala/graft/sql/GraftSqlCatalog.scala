@@ -502,11 +502,14 @@ object GraftSqlCatalog {
     import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
     import graft.catalog.TableCatalog.GenCol
 
+    /** One derivable conjunct: column, op (`=`, `<`, `<=`, `>`, `>=`,
+      * `in`), and its literal value(s) with types — `in` carries the
+      * whole list, scalar ops exactly one. */
+    type Cmp = (String, String, Seq[(Any, org.apache.spark.sql.types.DataType)])
+
     /** Flatten the pushed conjunction (top-level array + nested ANDs)
-      * into (column, op, catalystValue, catalystType) triples; other
-      * shapes contribute nothing. */
-    def comparisons(preds: Array[Predicate])
-        : Seq[(String, String, Any, org.apache.spark.sql.types.DataType)] =
+      * into derivable [[Cmp]]s; other shapes contribute nothing. */
+    def comparisons(preds: Array[Predicate]): Seq[Cmp] =
       preds.toSeq.flatMap { p =>
         p.name() match {
           case "AND" => comparisons(p.children().collect {
@@ -515,14 +518,28 @@ object GraftSqlCatalog {
             p.children() match {
               case Array(f: NamedReference, l: V2Literal[_])
                 if f.fieldNames().length == 1 =>
-                Seq((f.fieldNames()(0), op, l.value(), l.dataType()))
+                Seq((f.fieldNames()(0), op, Seq((l.value(), l.dataType()))))
               case Array(l: V2Literal[_], f: NamedReference)
                 if f.fieldNames().length == 1 =>
                 val flipped = op match {
                   case "<" => ">"; case "<=" => ">="
                   case ">" => "<"; case ">=" => "<="; case o => o
                 }
-                Seq((f.fieldNames()(0), flipped, l.value(), l.dataType()))
+                Seq((f.fieldNames()(0), flipped,
+                  Seq((l.value(), l.dataType()))))
+              case _ => Seq.empty
+            }
+          case "IN" =>
+            p.children() match {
+              case arr if arr.length >= 2 => arr(0) match {
+                case f: NamedReference if f.fieldNames().length == 1 &&
+                    arr.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+                  Seq((f.fieldNames()(0), "in", arr.tail.toSeq.map { l =>
+                    val v = l.asInstanceOf[V2Literal[_]]
+                    (v.value(), v.dataType())
+                  }))
+                case _ => Seq.empty
+              }
               case _ => Seq.empty
             }
           case _ => Seq.empty
@@ -574,23 +591,31 @@ object GraftSqlCatalog {
     }
 
     /** Per-gen-column keep test from the pushed comparisons: equality
-      * pins, inequalities bound (strict ops weaken to inclusive —
-      * days() is monotone, not injective). Bucket derives from
-      * equality only. */
-    def keepFns(gen: Seq[GenCol],
-        cmps: Seq[(String, String, Any, org.apache.spark.sql.types.DataType)])
+      * and IN pin to ordinal sets, inequalities bound (strict ops
+      * weaken to inclusive — days() is monotone, not injective).
+      * Bucket derives from equality/IN only. An IN list with ANY
+      * non-derivable member contributes nothing (dropping just that
+      * member would wrongly prune its leaves). */
+    def keepFns(gen: Seq[GenCol], cmps: Seq[Cmp])
         : Map[String, Long => Boolean] =
       gen.flatMap { g =>
-        val mine = cmps.filter(_._1 == g.src).flatMap { case (_, op, v, dt) =>
-          if (g.kind == "bucket" && op != "=") Seq.empty
-          else genOrdinal(g, v, dt).map(op -> _)
-        }
+        val mine: Seq[(String, Set[Long])] =
+          cmps.filter(_._1 == g.src).flatMap { case (_, op, vals) =>
+            if (g.kind == "bucket" && op != "=" && op != "in") None
+            else if (op == "in" || op == "=") {
+              val ords = vals.map { case (v, dt) => genOrdinal(g, v, dt) }
+              if (ords.exists(_.isEmpty)) None
+              else Some(("in", ords.flatten.toSet))
+            } else vals.headOption.flatMap { case (v, dt) =>
+              genOrdinal(g, v, dt).map(o => (op, Set(o)))
+            }
+          }
         if (mine.isEmpty) None
         else Some(g.name -> { (x: Long) =>
           mine.forall {
-            case ("=", b) => x == b
-            case (">" | ">=", b) => x >= b
-            case ("<" | "<=", b) => x <= b
+            case ("in", s) => s.contains(x)
+            case (">" | ">=", s) => x >= s.head
+            case ("<" | "<=", s) => x <= s.head
             case _ => true
           }
         })

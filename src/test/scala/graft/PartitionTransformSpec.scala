@@ -86,6 +86,14 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     // a predicate matching NO leaf still answers correctly
     assert(spark.sql(s"SELECT count(*) FROM $g.ev2 " +
       "WHERE ts >= timestamp'2030-01-01 00:00:00'").as[Long].head() === 0L)
+    // an IN list pins the derived day set
+    val inq = spark.sql(s"SELECT k FROM $g.ev2 WHERE ts IN (" +
+      "timestamp'2024-03-01 10:30:00', timestamp'2024-03-04 05:30:00')")
+    val inDirs = scannedFiles(inq).map(f =>
+      f.split("/").find(_.startsWith("ts_day=")).getOrElse("?")).toSet
+    assert(inDirs === Set("ts_day=2024-03-01", "ts_day=2024-03-04"),
+      s"IN-list pruning served $inDirs")
+    assert(inq.count() === 2L)
   }
 
   test("bucket(n, k): equality prunes to one bucket dir; values route " +
@@ -108,6 +116,12 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       "bucket equality must prune to one bucket dir")
     assert(q.as[Long].head() === 420L)
     assert(spark.sql(s"SELECT count(*) FROM $g.bt").as[Long].head() === 100L)
+    // k IN (...) prunes to the union of the members' buckets
+    val inq = spark.sql(s"SELECT v FROM $g.bt WHERE k IN (7, 42, 99)")
+    assert(scannedFiles(inq).map(f => f.split("/")
+      .find(_.startsWith("k_bucket=")).getOrElse("?")).toSet.size <= 3,
+      "IN-list pruning must serve at most one bucket per member")
+    assert(inq.as[Long].collect().sorted.toSeq === Seq(70L, 420L, 990L))
   }
 
   test("DML on a transform table: DELETE purges by derived leaves, " +
