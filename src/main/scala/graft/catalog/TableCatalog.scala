@@ -3649,6 +3649,101 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** OPTIMIZE for a PARTITIONED PLAIN table: per-leaf small-file
+    * compaction — every `INSERT INTO` lands shuffle-partition-many
+    * files per touched leaf, and a daily-fed table accretes thousands
+    * of tiny files per day dir without this. Each qualifying leaf
+    * (≥ `minFiles` data files) rewrites independently: read the
+    * leaf's files (partition values stay encoded in the dir path —
+    * the files never carried them), coalesce to ⌈bytes/targetBytes⌉,
+    * stage into a `_tmp_compact` scratch UNLOCKED, then under the
+    * writer lock re-check the leaf's pinned listing and swap
+    * (delete old files, adopt staged — the [[repartitionTable]]
+    * crash-window contract: staged bytes survive in the `_tmp_`
+    * class vacuum only sweeps past its grace window). A leaf whose
+    * listing moved mid-stage is SKIPPED, not retried — compaction is
+    * maintenance; the next run gets it. Content is preserved
+    * byte-for-row, so CHECK constraints need no re-judging. Returns
+    * (leafPath, filesBefore, filesAfter) per compacted leaf. Scale:
+    * each leaf is one bounded distributed job + O(leaf files) driver
+    * metadata; scope a huge backlog with `onlyLeaves` (prefix match)
+    * and run batches concurrently from the caller's side. */
+  def compactPartitions(table: String, targetBytes: Long = 128L << 20,
+      minFiles: Int = 2, onlyLeaves: String => Boolean = _ => true)
+      : Seq[(String, Int, Int)] = {
+    requirePlain(table, "compactPartitions")
+    val (pcols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — versioned tables compact " +
+          "via compactSmallFiles/OPTIMIZE"))
+    require(targetBytes > 0 && minFiles >= 2,
+      s"need targetBytes > 0 and minFiles >= 2")
+    def leaves(dir: Path, level: Int): Seq[Path] =
+      if (level == pcols.size) Seq(dir)
+      else {
+        val st = Files.list(dir)
+        val subs = try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(pcols(level) + "=")).toSeq
+        } finally st.close()
+        subs.flatMap(leaves(_, level + 1))
+      }
+    def listing(leaf: Path): Seq[(String, Long)] = {
+      val st = Files.list(leaf)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => (p.getFileName.toString, Files.size(p))).toSeq.sorted
+      } finally st.close()
+    }
+    val root = Paths.get(path(table))
+    if (!Files.exists(root)) return Seq.empty
+    val done = Seq.newBuilder[(String, Int, Int)]
+    leaves(root, 0).filter(l => onlyLeaves(l.toString)).foreach { leaf =>
+      val pinned = listing(leaf)
+      if (pinned.size >= minFiles) {
+        val bytes = pinned.map(_._2).sum
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (n < pinned.size) {
+          val scratch = Paths.get(path(table),
+            s"_tmp_compact-${java.util.UUID.randomUUID()}")
+          // the leaf's files carry only the non-partition columns —
+          // read them under the DECLARED shape (footer inference from
+          // one file would drop a post-ADD-COLUMN field from a
+          // mixed-schema leaf; the declared schema null-fills instead)
+          // and land the same shape back into the same dir
+          val fileSchema = StructType(declared.fields.filterNot(f =>
+            pcols.contains(f.name)))
+          spark.read.schema(fileSchema).parquet(leaf.toString).coalesce(n)
+            .write.parquet(scratch.toString)
+          val swapped = withTableLock(table) {
+            if (listing(leaf) == pinned) {
+              pinned.foreach(f => Files.delete(leaf.resolve(f._1)))
+              val st = Files.list(scratch)
+              try {
+                import scala.jdk.CollectionConverters._
+                st.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .foreach(p =>
+                    Files.move(p, leaf.resolve(p.getFileName.toString)))
+              } finally st.close()
+              true
+            } else false
+          }
+          if (swapped) {
+            done += ((leaf.toString, pinned.size, listing(leaf).size))
+            deleteRecursive(scratch)
+          } else deleteRecursive(scratch) // raced: skip, next run gets it
+        }
+      }
+    }
+    val out = done.result()
+    if (out.nonEmpty) invalidateStats(table)
+    out
+  }
+
   /** Remove a PLAIN table entirely — directory, sidecars, and all.
     * Versioned tables are refused: their lifecycle belongs to the
     * snapshot pointer (retention, tags, RESTORE), not a rm. */

@@ -4668,6 +4668,52 @@ object TestdataQueries {
              |FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
              |GROUP BY 1""".stripMargin)),
 
+    // ---------------- per-leaf OPTIMIZE for partitioned plain tables
+    // Every INSERT INTO lands shuffle-partition-many files per touched
+    // leaf; CALL system.optimize on a partitioned plain table compacts
+    // each qualifying leaf independently (staged unlocked, swapped
+    // under the pinned listing). The require()s pin one-file leaves
+    // and byte-for-row content; the oracle replays the two inserts.
+    "x_sql_optimize_parts" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_optp", dir)
+      val cname = "goptp_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val view = s"ordo_$cname"
+      t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cname.op (okey BIGINT, price_c BIGINT, " +
+        "y STRING) PARTITIONED BY (y)")
+      s.sql(s"INSERT INTO $cname.op SELECT okey, price_c, y FROM $view " +
+        "WHERE okey % 2 = 0")
+      s.sql(s"INSERT INTO $cname.op SELECT okey, price_c, y FROM $view " +
+        "WHERE okey % 2 = 1")
+      val y0 = s.sql(s"SELECT min(y) FROM $cname.op").head().getString(0)
+      def filesIn(y: String): Int = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(
+          scratch.toString, "op", s"y=$y"))
+        try st.iterator().asScala.count(
+          _.getFileName.toString.endsWith(".parquet"))
+        finally st.close()
+      }
+      require(filesIn(y0) >= 2, "two inserts must land >= 2 files")
+      val out = s.sql(s"CALL $cname.system.optimize('op', 128)").collect()
+      require(out.nonEmpty, "optimize must report compacted leaves")
+      require(filesIn(y0) == 1,
+        s"leaf y=$y0 must compact to one file, has ${filesIn(y0)}")
+      s.sql(s"SELECT y, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.op GROUP BY y")
+    }),
+      Some("""SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving
     // content, so the feed treats them as dataChange=false (the Delta

@@ -691,7 +691,8 @@ object GraftSqlCatalog {
     override def name(): String = proc
     override def description(): String = proc match {
       case "describe_history" => "commit history of a versioned table"
-      case "optimize" => "compact small files (staged rewrite, lock-free)"
+      case "optimize" =>
+        "compact small files (staged rewrite; per-leaf on partitioned)"
       case "vacuum" => "sweep crashed-writer residue; returns the audit"
       case "restore" => "commit a retained snapshot as the new version"
       case "audit_branch" => "enforce CHECK constraints over a staged branch"
@@ -784,10 +785,23 @@ object GraftSqlCatalog {
                   r.getLong(4)))
               (st, rs)
             case "optimize" =>
-              val n = cat.compactSmallFiles(table,
-                targetBytes = input.getLong(1) << 20)
-              (StructType.fromDDL("files_after LONG"),
-                Seq(InternalRow(n.toLong)))
+              if (cat.partitionSpec(table).isDefined) {
+                // partitioned PLAIN table: per-leaf small-file
+                // compaction (versioned tables take the staged
+                // whole-snapshot rewrite below)
+                val out = cat.compactPartitions(table,
+                  targetBytes = input.getLong(1) << 20)
+                (StructType.fromDDL(
+                  "leaf STRING, files_before LONG, files_after LONG"),
+                  out.map { case (l, b, a) =>
+                    InternalRow(UTF8String.fromString(l), b.toLong,
+                      a.toLong) })
+              } else {
+                val n = cat.compactSmallFiles(table,
+                  targetBytes = input.getLong(1) << 20)
+                (StructType.fromDDL("files_after LONG"),
+                  Seq(InternalRow(n.toLong)))
+              }
             case "vacuum" =>
               val audit = cat.vacuum(table, graceMs = input.getLong(1))
               (StructType.fromDDL("category STRING, files LONG, bytes LONG"),

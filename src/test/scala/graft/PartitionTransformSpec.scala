@@ -275,4 +275,39 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"ALTER TABLE $g.ac2 ADD COLUMN v BIGINT")
     assert(spark.sql(s"SELECT v FROM $g.ac2").head().isNullAt(0))
   }
+
+  test("CALL system.optimize on a partitioned plain table compacts " +
+      "per-leaf; content survives, including a post-ALTER mixed leaf") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.op (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // five small inserts → five files per day leaf
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO $g.op SELECT id * 5 + $i AS k, " +
+        "timestamp'2024-03-01 06:00:00' + make_interval(0,0,0,CAST(id AS INT)) AS ts " +
+        "FROM range(2)")
+    }
+    spark.sql(s"ALTER TABLE $g.op ADD COLUMN tag STRING")
+    spark.sql(s"INSERT INTO $g.op SELECT 100L AS k, " +
+      "timestamp'2024-03-01 06:00:00' AS ts, 'x' AS tag")
+    def filesIn(day: String): Int = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(Paths.get(cat.path("op"), s"ts_day=$day"))
+      try st.iterator().asScala.count(
+        _.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    assert(filesIn("2024-03-01") >= 6)
+    val before = spark.sql(s"SELECT k, ts, tag FROM $g.op ORDER BY k")
+      .collect().toSeq
+    val out = spark.sql(s"CALL $g.system.optimize('op', 128)").collect()
+    assert(out.nonEmpty, "optimize must report compacted leaves")
+    assert(filesIn("2024-03-01") === 1)
+    assert(filesIn("2024-03-02") === 1)
+    assert(spark.sql(s"SELECT k, ts, tag FROM $g.op ORDER BY k")
+      .collect().toSeq === before,
+      "compaction must preserve content byte-for-row")
+    assert(spark.sql(s"SELECT count(*) FROM $g.op WHERE tag = 'x'")
+      .as[Long].head() === 1L)
+  }
 }
