@@ -6584,7 +6584,7 @@ object TableCatalog {
                           n: Int = 0)
 
   private[graft] val GenKinds =
-    Set("days", "months", "years", "hours", "bucket")
+    Set("days", "months", "years", "hours", "bucket", "truncate")
 
   /** Validate a mixed identity/transform partition declaration against
     * `schema`: returns (partition columns in declaration order —
@@ -6603,13 +6603,23 @@ object TableCatalog {
         s"transform source '$src' not in the declared schema " +
           s"(${schema.fieldNames.mkString(", ")})")
       val srcType = schema(schema.fieldIndex(src)).dataType
-      if (kind != "bucket")
-        require(srcType == org.apache.spark.sql.types.DateType ||
-          srcType == org.apache.spark.sql.types.TimestampType,
+      import org.apache.spark.sql.types._
+      if (kind != "bucket" && kind != "truncate")
+        require(srcType == DateType || srcType == TimestampType,
           s"$kind($src) needs a DATE/TIMESTAMP source, got ${srcType.sql}")
       if (kind == "bucket")
         require(n > 0, s"bucket($src) needs a positive bucket count")
-      val g = GenCol(genName(kind, src), src, kind, n)
+      val width = if (kind == "truncate") {
+        require(n > 0, s"truncate($src) needs a positive width")
+        srcType match {
+          case StringType => -n // string flavor rides as negative width
+          case ByteType | ShortType | IntegerType | LongType => n
+          case other => throw new IllegalArgumentException(
+            s"truncate($src) needs an integral or STRING source, got " +
+              other.sql)
+        }
+      } else n
+      val g = GenCol(genName(kind, src), src, kind, width)
       require(!schema.fieldNames.contains(g.name),
         s"generated partition column '${g.name}' collides with a " +
           "declared column — rename it or use identity partitioning")
@@ -6636,6 +6646,7 @@ object TableCatalog {
       case "years" => s"${src}_year"
       case "hours" => s"${src}_hour"
       case "bucket" => s"${src}_bucket"
+      case "truncate" => s"${src}_trunc"
     }
 
   /** The transform, as a Column: what the WRITE path materializes and
@@ -6652,8 +6663,22 @@ object TableCatalog {
       case "hours" =>
         floor(unix_timestamp(col(g.src)) / lit(3600L)).cast("int")
       case "bucket" => pmod(hash(col(g.src)), lit(g.n)).cast("int")
+      case "truncate" =>
+        // Iceberg truncate: ints → w * floor(v / w) (pmod handles the
+        // negative side), strings → the w-char prefix
+        if (truncIsString(g)) substring(col(g.src), 1, truncWidth(g))
+        else col(g.src).cast("long") -
+          pmod(col(g.src).cast("long"), lit(truncWidth(g).toLong))
     }
   }
+
+  /** Whether a truncate transform is the STRING flavor — recorded in
+    * the spec as a negative width so the flavor survives re-parsing
+    * without the schema at hand. */
+  private[graft] def truncIsString(g: GenCol): Boolean = g.n < 0
+
+  /** The effective truncate width (string flavor stores it negated). */
+  private[graft] def truncWidth(g: GenCol): Int = math.abs(g.n)
 
   private[catalog] def renderPartSpec(cols: Seq[String],
                                       schemaDdl: String,

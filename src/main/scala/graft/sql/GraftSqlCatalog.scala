@@ -313,15 +313,16 @@ class GraftSqlCatalog extends DsV2TableCatalog
             p.references().length == 1 &&
             p.references()(0).fieldNames().length == 1 =>
           (p.name, p.references()(0).fieldNames()(0), 0)
-        case p if p.name == "bucket" && p.references().length == 1 &&
+        case p if Seq("bucket", "truncate").contains(p.name) &&
+            p.references().length == 1 &&
             p.references()(0).fieldNames().length == 1 =>
           val n = p.arguments().collectFirst {
             case l: org.apache.spark.sql.connector.expressions.Literal[_]
               if l.value().isInstanceOf[Number] =>
               l.value().asInstanceOf[Number].intValue()
           }.getOrElse(throw new IllegalArgumentException(
-            s"bucket transform needs a literal bucket count: $p"))
-          ("bucket", p.references()(0).fieldNames()(0), n)
+            s"${p.name} transform needs a literal count/width: $p"))
+          (p.name, p.references()(0).fieldNames()(0), n)
         case other => throw new UnsupportedOperationException(
           s"$catalogName supports PARTITIONED BY identity columns and " +
             s"days/months/years/hours/bucket transforms — got $other; " +
@@ -442,6 +443,10 @@ object GraftSqlCatalog {
   private[sql] def genType(g: graft.catalog.TableCatalog.GenCol)
       : org.apache.spark.sql.types.DataType = g.kind match {
     case "days" => org.apache.spark.sql.types.DateType
+    case "truncate" =>
+      if (graft.catalog.TableCatalog.truncIsString(g))
+        org.apache.spark.sql.types.StringType
+      else org.apache.spark.sql.types.LongType
     case _ => org.apache.spark.sql.types.IntegerType
   }
 
@@ -586,52 +591,86 @@ object GraftSqlCatalog {
               .eval(null).asInstanceOf[Int]
             Some((((h % g.n) + g.n) % g.n).toLong)
           } catch { case _: Exception => None }
+        case "truncate" =>
+          // numeric flavor only — the string flavor derives its own
+          // prefix tests in keepFns
+          import org.apache.spark.sql.types._
+          (dt, value) match {
+            case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+              val w = graft.catalog.TableCatalog.truncWidth(g).toLong
+              Some(Math.floorDiv(n.longValue(), w) * w)
+            case _ => None
+          }
         case _ => None
       }
     }
 
-    /** Per-gen-column keep test from the pushed comparisons: equality
-      * and IN pin to ordinal sets, inequalities bound (strict ops
-      * weaken to inclusive — days() is monotone, not injective).
+    /** Per-gen-column keep test over the UNESCAPED directory (or
+      * tuple-string) value, from the pushed comparisons: equality and
+      * IN pin to value sets, inequalities bound (strict ops weaken to
+      * inclusive — every transform here is monotone, not injective).
       * Bucket derives from equality/IN only. An IN list with ANY
       * non-derivable member contributes nothing (dropping just that
-      * member would wrongly prune its leaves). */
+      * member would wrongly prune its leaves). The string-truncate
+      * flavor compares prefixes directly; its BOUNDS apply only when
+      * both sides are pure ASCII (Scala's UTF-16 ordering and Spark's
+      * UTF-8 binary ordering agree there and can diverge beyond). */
     def keepFns(gen: Seq[GenCol], cmps: Seq[Cmp])
-        : Map[String, Long => Boolean] =
+        : Map[String, String => Boolean] =
       gen.flatMap { g =>
-        val mine: Seq[(String, Set[Long])] =
+        val strFlavor = g.kind == "truncate" &&
+          graft.catalog.TableCatalog.truncIsString(g)
+        def ascii(s: String): Boolean = s.forall(_ < 128)
+        val tests: Seq[String => Boolean] =
           cmps.filter(_._1 == g.src).flatMap { case (_, op, vals) =>
             if (g.kind == "bucket" && op != "=" && op != "in") None
-            else if (op == "in" || op == "=") {
+            else if (strFlavor) {
+              val w = graft.catalog.TableCatalog.truncWidth(g)
+              val ts = vals.map { case (v, dt) =>
+                if (dt == org.apache.spark.sql.types.StringType &&
+                    v != null) Some(v.toString.take(w)) else None }
+              if (ts.exists(_.isEmpty)) None
+              else {
+                val set = ts.flatten
+                op match {
+                  case "=" | "in" =>
+                    Some((raw: String) => set.contains(raw))
+                  case ">" | ">=" if set.forall(ascii) =>
+                    Some((raw: String) => !ascii(raw) || raw >= set.head)
+                  case "<" | "<=" if set.forall(ascii) =>
+                    Some((raw: String) => !ascii(raw) || raw <= set.head)
+                  case _ => None
+                }
+              }
+            } else {
               val ords = vals.map { case (v, dt) => genOrdinal(g, v, dt) }
               if (ords.exists(_.isEmpty)) None
-              else Some(("in", ords.flatten.toSet))
-            } else vals.headOption.flatMap { case (v, dt) =>
-              genOrdinal(g, v, dt).map(o => (op, Set(o)))
+              else {
+                val set = ords.flatten.toSet
+                val test: Long => Boolean = op match {
+                  case "=" | "in" => set.contains(_)
+                  case ">" | ">=" => _ >= set.head
+                  case "<" | "<=" => _ <= set.head
+                  case _ => _ => true
+                }
+                Some((raw: String) => parseDirValue(g, raw).forall(test))
+              }
             }
           }
-        if (mine.isEmpty) None
-        else Some(g.name -> { (x: Long) =>
-          mine.forall {
-            case ("in", s) => s.contains(x)
-            case (">" | ">=", s) => x >= s.head
-            case ("<" | "<=", s) => x <= s.head
-            case _ => true
-          }
-        })
+        if (tests.isEmpty) None
+        else Some(g.name -> ((raw: String) => tests.forall(_(raw))))
       }.toMap
 
-    /** A generated column's directory (or tuple-string) value as the
-      * Long ordinal [[keepFns]] tests — `days` dirs render as ISO
-      * dates, everything else as ints. None = unparseable → the caller
-      * must keep (pruning only ever narrows). */
+    /** A generated column's UNESCAPED directory (or tuple-string)
+      * value as the Long ordinal the numeric tests compare — `days`
+      * dirs render as ISO dates, everything else as ints. None =
+      * unparseable → the caller must keep (pruning only ever
+      * narrows). */
     def parseDirValue(g: GenCol, raw: String): Option[Long] =
       try {
-        val v = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.unescapePathName(raw)
         if (g.kind == "days")
-          Some(java.time.LocalDate.parse(v).toEpochDay)
-        else Some(v.toLong)
+          Some(java.time.LocalDate.parse(raw).toEpochDay)
+        else Some(raw.toLong)
       } catch { case _: Exception => None }
 
     /** Walk the partition directory tree, keeping only leaves whose
@@ -661,12 +700,13 @@ object GraftSqlCatalog {
           } finally stream.close()
           subs.filter { p =>
             (byName.get(colName), keeps.get(colName)) match {
-              case (Some(g), Some(keep)) =>
+              case (Some(_), Some(keep)) =>
                 val raw = p.getFileName.toString.drop(colName.length + 1)
                 if (raw == org.apache.spark.sql.catalyst.catalog
                     .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
                   false // src cmp literal is null-rejecting
-                else parseDirValue(g, raw).forall(keep)
+                else keep(org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.unescapePathName(raw))
               case _ => true
             }
           }.flatMap(walk(_, level + 1))
@@ -885,11 +925,11 @@ object GraftSqlCatalog {
                 "repartition needs a spec, e.g. 'a,b' or 'a,days(ts)'")
               val fn = "^(\\w+)\\(([^)]*)\\)$".r
               val parts = terms.map {
-                case fn("bucket", args) =>
+                case fn(kind @ ("bucket" | "truncate"), args) =>
                   val a = args.split(",").map(_.trim)
                   require(a.length == 2 && a(0).forall(_.isDigit),
-                    s"bucket takes (n, col), got bucket($args)")
-                  ("bucket", a(1), a(0).toInt)
+                    s"$kind takes (n, col), got $kind($args)")
+                  (kind, a(1), a(0).toInt)
                 case fn(kind, src) => (kind, src.trim, 0)
                 case ident => ("identity", ident, 0)
               }
@@ -1016,6 +1056,9 @@ object GraftSqlCatalog {
             case "years" => Expressions.years(g.src)
             case "hours" => Expressions.hours(g.src)
             case "bucket" => Expressions.bucket(g.n, g.src)
+            case "truncate" => Expressions.apply("truncate",
+              Expressions.literal(graft.catalog.TableCatalog.truncWidth(g)),
+              Expressions.column(g.src))
           }): Transform
           case None => Expressions.identity(c): Transform
         }
@@ -1317,18 +1360,16 @@ object GraftSqlCatalog {
               // conjunct (null-rejecting for the match, and group
               // rewrite copies unmatched rows verbatim anyway).
               val genKeeps =
-                if (genSpec.isEmpty) Map.empty[String, Long => Boolean]
+                if (genSpec.isEmpty) Map.empty[String, String => Boolean]
                 else GenPrune.keepFns(genSpec, GenPrune.comparisons(allPreds))
-              val genByName = genSpec.map(g => g.name -> g).toMap
               val tuples0 = scannedTuples(pcs)
               val tuples =
                 if (genKeeps.isEmpty) tuples0
                 else tuples0.filter(t => pcs.zip(t).forall { case (c, v) =>
-                  (genByName.get(c), genKeeps.get(c)) match {
-                    case (Some(g), Some(keep)) => v match {
+                  genKeeps.get(c) match {
+                    case Some(keep) => v match {
                       case None => false
-                      case Some(raw) =>
-                        GenPrune.parseDirValue(g, raw).forall(keep)
+                      case Some(raw) => keep(raw)
                     }
                     case _ => true
                   }

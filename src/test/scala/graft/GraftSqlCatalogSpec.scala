@@ -288,11 +288,11 @@ class GraftSqlCatalogSpec extends AnyFunSuite with SparkTestSession {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(cat.path("m"), "dt=d3", "region=ap")))
     assert(spark.sql(s"SELECT count(*) FROM $g.m").as[Long].head() === 1L)
-    // bucket/temporal transforms are supported since r13
-    // (PartitionTransformSpec); an unsupported transform still refuses
+    // bucket/temporal/truncate transforms are supported since r13
+    // (PartitionTransformSpec); an unknown transform still refuses
     assertThrows[Exception](spark.sql(
       s"CREATE TABLE $g.f3 (k BIGINT, a STRING) " +
-        "PARTITIONED BY (truncate(4, a))"))
+        "PARTITIONED BY (zorder(a))"))
   }
 
   test("DELETE + UPDATE on a multi-column-partitioned table rewrite only " +

@@ -248,6 +248,46 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       (18 until 72).map(_.toLong).sum)
   }
 
+  test("truncate(w, col): int ranges and string prefixes; equality and " +
+      "bounds prune; non-ASCII bounds stay conservative") {
+    val (cat, g) = freshSqlCat()
+    // numeric flavor: truncate(100, k) ranges ids into blocks of 100
+    spark.sql(s"CREATE TABLE $g.tn (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (truncate(100, k))")
+    spark.sql(s"INSERT INTO $g.tn SELECT id AS k, id AS v FROM range(350)")
+    assert(Files.exists(Paths.get(cat.path("tn"), "k_trunc=0")))
+    assert(Files.exists(Paths.get(cat.path("tn"), "k_trunc=300")))
+    val q = spark.sql(s"SELECT v FROM $g.tn WHERE k >= 250")
+    val dirs = scannedFiles(q).map(f =>
+      f.split("/").find(_.startsWith("k_trunc=")).getOrElse("?")).toSet
+    assert(dirs === Set("k_trunc=200", "k_trunc=300"),
+      s"range pruning served $dirs")
+    assert(q.count() === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.tn WHERE k = 42")
+      .as[Long].head() === 1L)
+    // string flavor: truncate(1, s) shards by first letter
+    spark.sql(s"CREATE TABLE $g.ts (s STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(1, s))")
+    spark.sql(s"INSERT INTO $g.ts VALUES ('apple', 1), ('avocado', 2), " +
+      "('banana', 3), ('cherry', 4)")
+    assert(Files.exists(Paths.get(cat.path("ts"), "s_trunc=a")))
+    val sq = spark.sql(s"SELECT v FROM $g.ts WHERE s = 'avocado'")
+    assert(scannedFiles(sq).forall(_.contains("s_trunc=a")),
+      "string-prefix equality must prune to the literal's prefix dir")
+    assert(sq.as[Long].head() === 2L)
+    val bq = spark.sql(s"SELECT sum(v) FROM $g.ts WHERE s >= 'b'")
+    assert(scannedFiles(bq).forall(f => !f.contains("s_trunc=a")),
+      "an ASCII lower bound must drop earlier prefix dirs")
+    assert(bq.as[Long].head() === 7L)
+    // DML narrows by the derived prefix
+    spark.sql(s"DELETE FROM $g.ts WHERE s < 'b'")
+    assert(!Files.exists(Paths.get(cat.path("ts"), "s_trunc=a")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.ts").as[Long].head() === 2L)
+    // refusals: zero width, non-integral-non-string source
+    assertThrows[Exception](spark.sql(
+      s"CREATE TABLE $g.bad (k DOUBLE) PARTITIONED BY (truncate(4, k))"))
+  }
+
   test("ALTER TABLE ADD COLUMN on a partitioned plain table is a " +
       "sidecar update: old rows null-fill, the Hive layout survives") {
     val (cat, g) = freshSqlCat()
