@@ -4533,8 +4533,10 @@ object TestdataQueries {
       import org.apache.spark.sql.types._
       val scratch = scratchDir("graft_widen", dir)
       val cat = new TableCatalog(s, scratch.toString)
+      // pmod keeps the narrow phase int-safe at ANY scale extent (the
+      // sf1 gate's scaled custkeys exceed int range under a bare cast)
       val base = t(s, dir, "customer").select(
-        col("c_custkey").cast("int").as("ckey"),
+        pmod(col("c_custkey"), lit(1000000000L)).cast("int").as("ckey"),
         col("c_nationkey").cast("int").as("nk"),
         col("c_acctbal").cast("decimal(12,2)").as("bal"))
       cat.replaceAtomic("wc", base)
@@ -4574,12 +4576,12 @@ object TestdataQueries {
         .select(col("nk"), col("n"), col("sum_k"), col("sum_bal"))
     }),
       Some("""WITH wc AS (
-             |  SELECT CAST(c_custkey AS BIGINT) AS ckey,
+             |  SELECT CAST(c_custkey % 1000000000 AS BIGINT) AS ckey,
              |    CAST(c_nationkey AS INT) AS nk,
              |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DECIMAL(20,4)) AS bal
              |  FROM customer
              |  UNION ALL
-             |  SELECT CAST(c_custkey AS BIGINT) + 5000000000,
+             |  SELECT CAST(c_custkey % 1000000000 AS BIGINT) + 5000000000,
              |    CAST(c_nationkey AS INT),
              |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 0.0001 AS DECIMAL(20,4))
              |  FROM customer WHERE c_nationkey < 5)
