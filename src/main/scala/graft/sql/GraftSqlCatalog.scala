@@ -1273,13 +1273,55 @@ object GraftSqlCatalog {
         p -> fs
       }.toMap
 
+    /** The tuple universe is the leaf DIRECTORY tree — O(leaf dirs)
+      * driver metadata, never a table scan (projecting partition
+      * values through the data would be O(rows) for an unpruned
+      * statement at 100 TB). The pushed partition predicate is then
+      * evaluated EXACTLY as Spark would, over a tiny local DataFrame
+      * of the tuples under the partition columns' declared types. */
     private def scannedTuples(pcs: Seq[String]): Seq[Seq[Option[String]]] = {
-      val full = cat.read(table)
-      val sel = partPred.map(full.filter).getOrElse(full)
-      sel.select(pcs.map(c => col(c).cast("string")): _*).distinct()
-        .collect()
-        .map(r => pcs.indices.map(i =>
-          Option(r.getString(i))): Seq[Option[String]]).toSeq
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val root = Paths.get(cat.path(table))
+      if (!Files.exists(root)) return Seq.empty
+      def walk(dir: java.nio.file.Path, level: Int,
+          acc: Seq[Option[String]]): Seq[Seq[Option[String]]] =
+        if (level == pcs.size) Seq(acc)
+        else {
+          val st = Files.list(dir)
+          val subs = try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(pcs(level) + "=")).toSeq
+          } finally st.close()
+          subs.flatMap { p =>
+            val raw = p.getFileName.toString.drop(pcs(level).length + 1)
+            val v =
+              if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+              else Some(ExternalCatalogUtils.unescapePathName(raw))
+            walk(p, level + 1, acc :+ v)
+          }
+        }
+      val tuples = walk(root, 0, Seq.empty)
+      partPred match {
+        case None => tuples
+        case Some(pred) =>
+          if (tuples.isEmpty) return Seq.empty
+          val spark = SparkSession.active
+          val strSchema = StructType(pcs.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              tuples.map(t => org.apache.spark.sql.Row(t.map(_.orNull): _*)),
+              1), strSchema)
+          df.select(pcs.map(c =>
+              col(c).cast(delegate.schema(c).dataType).as(c)): _*)
+            .filter(pred)
+            .select(pcs.map(c => col(c).cast("string")): _*)
+            .collect()
+            .map(r => pcs.indices.map(i =>
+              Option(r.getString(i))): Seq[Option[String]]).toSeq
+      }
     }
 
     private def leafPath(pcs: Seq[String], t: Seq[Option[String]]): String =
