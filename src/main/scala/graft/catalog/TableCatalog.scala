@@ -6661,7 +6661,15 @@ object TableCatalog {
         (year(col(g.src)) * lit(100) + month(col(g.src))).cast("int")
       case "years" => year(col(g.src)).cast("int")
       case "hours" =>
-        floor(unix_timestamp(col(g.src)) / lit(3600L)).cast("int")
+        // FLOOR division on exact long micros — `unix_timestamp`
+        // truncates toward zero, which disagrees with the read-side
+        // floorDiv ordinal for pre-epoch fractional seconds and would
+        // let equality pruning drop the row's leaf. pmod keeps the
+        // arithmetic in longs; the final division is exact (the
+        // numerator divides evenly).
+        ((unix_micros(col(g.src)) -
+          pmod(unix_micros(col(g.src)), lit(3600000000L))) /
+          lit(3600000000L)).cast("int")
       case "bucket" => pmod(hash(col(g.src)), lit(g.n)).cast("int")
       case "truncate" =>
         // Iceberg truncate: ints → w * floor(v / w) (pmod handles the

@@ -576,8 +576,8 @@ object GraftSqlCatalog {
           days.map(d => java.time.LocalDate.ofEpochDay(d.toLong)
             .getYear.toLong)
         case "hours" => dt match {
-          // genExpr uses unix_timestamp (epoch seconds) — exact for
-          // timestamps; other source types are not derivable here
+          // the same floor-div on micros genExpr materializes — exact
+          // for timestamps; other source types are not derivable here
           case TimestampType =>
             Some(Math.floorDiv(value.asInstanceOf[Long], 3600000000L))
           case _ => None

@@ -288,6 +288,72 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       s"CREATE TABLE $g.bad (k DOUBLE) PARTITIONED BY (truncate(4, k))"))
   }
 
+  test("hours(ts): layout, equality pruning, and the pre-epoch " +
+      "fractional-second row keeps write/prune floor-div agreement") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.hr (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.sql(s"INSERT INTO $g.hr SELECT id AS k, " +
+      "timestamp'2024-03-01 00:10:00' + make_interval(0,0,0,0,0,CAST(id*20 AS INT)) AS ts " +
+      "FROM range(9)") // 3 hours x 3 rows
+    // pre-epoch fractional second: trunc-toward-zero would misfile it
+    spark.sql(s"INSERT INTO $g.hr VALUES (100, timestamp'1969-12-31 23:59:59.5')")
+    val hourDirs = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(Paths.get(cat.path("hr")))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ts_hour=")).toSet
+      finally st.close()
+    }
+    assert(hourDirs.contains("ts_hour=-1"),
+      s"the pre-epoch row must land in the floor hour, dirs: $hourDirs")
+    val q = spark.sql(s"SELECT k FROM $g.hr " +
+      "WHERE ts = timestamp'1969-12-31 23:59:59.5'")
+    assert(q.as[Long].collect().toSeq === Seq(100L),
+      "equality pruning must keep the pre-epoch row's leaf")
+    val range = spark.sql(s"SELECT count(*) FROM $g.hr " +
+      "WHERE ts >= timestamp'2024-03-01 01:00:00'")
+    assert(range.as[Long].head() === 6L)
+  }
+
+  test("over-pruning battery: a transform table answers every predicate " +
+      "exactly like the same rows unpartitioned") {
+    val (_, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.pb (k BIGINT, s STRING, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts), bucket(4, k), truncate(2, s))")
+    // deterministic mixed rows: 3 days x assorted keys/strings + nulls
+    spark.sql(s"INSERT INTO $g.pb SELECT id AS k, " +
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE concat(substr('abcde', CAST(id % 5 AS INT) + 1, 1), 'x', id) END AS s, " +
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE timestamp'2024-03-01 06:00:00' + make_interval(0,0,0,0,CAST(id % 72 AS INT)) END AS ts " +
+      "FROM range(300)")
+    // materialize the comparison copy — a view over the same table
+    // would re-plan through the same pruning and prove nothing
+    val full = spark.sql(s"SELECT * FROM $g.pb")
+    spark.createDataFrame(
+      java.util.Arrays.asList(full.collect(): _*), full.schema)
+      .createOrReplaceTempView("pb_plain")
+    val preds = Seq(
+      "ts >= timestamp'2024-03-02 00:00:00'",
+      "ts < timestamp'2024-03-02 12:00:00'",
+      "ts = timestamp'2024-03-01 07:00:00'",
+      "ts BETWEEN timestamp'2024-03-01 20:00:00' AND timestamp'2024-03-03 04:00:00'",
+      "ts IN (timestamp'2024-03-01 06:00:00', timestamp'2024-03-03 05:00:00')",
+      "k = 42", "k IN (1, 99, 250)", "k >= 280", "k < 3",
+      "s = 'ax5'", "s >= 'c'", "s < 'b'", "s IN ('bx1', 'ex4', 'nope')",
+      "ts IS NULL", "s IS NULL",
+      "k = 42 AND ts >= timestamp'2024-03-01 00:00:00'",
+      "s >= 'b' AND k IN (6, 16, 26)",
+      "ts >= timestamp'2024-03-02 00:00:00' OR k = 1")
+    preds.foreach { p =>
+      val viaTransform = spark.sql(
+        s"SELECT count(*) AS n, sum(k) AS sk FROM $g.pb WHERE $p").head()
+      val viaPlain = spark.sql(
+        s"SELECT count(*) AS n, sum(k) AS sk FROM pb_plain WHERE $p").head()
+      assert(viaTransform === viaPlain,
+        s"pruning changed results for [$p]: $viaTransform != $viaPlain")
+    }
+  }
+
   test("ALTER TABLE ADD COLUMN on a partitioned plain table is a " +
       "sidecar update: old rows null-fill, the Hive layout survives") {
     val (cat, g) = freshSqlCat()
