@@ -54,6 +54,11 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql(s"SELECT count(*) FROM $g.ev").as[Long].head() === 96L)
     assert(spark.sql(s"SELECT sum(v) FROM $g.ev").as[Long].head() ===
       (0 until 96).sum.toLong)
+    // CTAS under a transform spec lands the same layout in one statement
+    spark.sql(s"CREATE TABLE $g.evc PARTITIONED BY (days(ts)) AS " +
+      s"SELECT k, ts FROM $g.ev WHERE v < 48")
+    assert(Files.exists(Paths.get(cat.path("evc"), "ts_day=2024-03-01")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.evc").as[Long].head() === 48L)
   }
 
   test("reads prune leaf directories from source-column predicates; " +
