@@ -127,6 +127,16 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       .find(_.startsWith("k_bucket=")).getOrElse("?")).toSet.size <= 3,
       "IN-list pruning must serve at most one bucket per member")
     assert(inq.as[Long].collect().sorted.toSeq === Seq(70L, 420L, 990L))
+    // STRING bucket keys route and prune through the same murmur3
+    spark.sql(s"CREATE TABLE $g.bs (u STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, u))")
+    spark.sql(s"INSERT INTO $g.bs SELECT concat('user-', id) AS u, " +
+      "id AS v FROM range(100)")
+    val sq = spark.sql(s"SELECT v FROM $g.bs WHERE u = 'user-42'")
+    assert(scannedFiles(sq).map(f => f.split("/")
+      .find(_.startsWith("u_bucket=")).getOrElse("?")).toSet.size === 1,
+      "string-key bucket equality must prune to one bucket dir")
+    assert(sq.as[Long].head() === 42L)
   }
 
   test("DML on a transform table: DELETE purges by derived leaves, " +
