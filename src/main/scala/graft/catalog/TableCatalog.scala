@@ -3670,7 +3670,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * and run batches concurrently from the caller's side. */
   def compactPartitions(table: String, targetBytes: Long = 128L << 20,
       minFiles: Int = 2, onlyLeaves: String => Boolean = _ => true)
-      : Seq[(String, Int, Int)] = {
+      : Seq[(String, Int, Int)] =
+    compactPartitionsHooked(table, targetBytes, minFiles, onlyLeaves,
+      afterStage = _ => ())
+
+  /** [[compactPartitions]] with a deterministic race window for specs:
+    * `afterStage(leafPath)` fires after the leaf's rewrite staged but
+    * BEFORE the locked listing re-check — a write landed there makes
+    * the swap skip that leaf. */
+  private[graft] def compactPartitionsHooked(table: String,
+      targetBytes: Long, minFiles: Int, onlyLeaves: String => Boolean,
+      afterStage: String => Unit): Seq[(String, Int, Int)] = {
     requirePlain(table, "compactPartitions")
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
@@ -3718,6 +3728,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             pcols.contains(f.name)))
           spark.read.schema(fileSchema).parquet(leaf.toString).coalesce(n)
             .write.parquet(scratch.toString)
+          afterStage(leaf.toString)
           val swapped = withTableLock(table) {
             if (listing(leaf) == pinned) {
               pinned.foreach(f => Files.delete(leaf.resolve(f._1)))

@@ -369,6 +369,32 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("compaction racing a writer: a leaf whose listing moved after " +
+      "staging is SKIPPED — the raced insert survives, nothing is lost") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.rc (k BIGINT, d STRING) PARTITIONED BY (d)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO $g.rc VALUES (${i}L, 'a'), (${i + 10}L, 'b')"))
+    // the hook lands a NEW insert into leaf d=a between its staged
+    // rewrite and the locked re-check — exactly the optimistic window
+    val out = cat.compactPartitionsHooked("rc", targetBytes = 128L << 20,
+      minFiles = 2, onlyLeaves = _ => true,
+      afterStage = leaf =>
+        if (leaf.endsWith("d=a"))
+          spark.sql(s"INSERT INTO $g.rc VALUES (99L, 'a')"))
+    // d=a raced → skipped; d=b compacted to one file
+    assert(out.map(_._1).exists(_.endsWith("d=b")))
+    assert(!out.map(_._1).exists(_.endsWith("d=a")),
+      s"the raced leaf must be skipped, got $out")
+    assert(spark.sql(s"SELECT count(*) FROM $g.rc").as[Long].head() === 7L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.rc WHERE k = 99")
+      .as[Long].head() === 1L)
+    // the next maintenance run gets the raced leaf
+    val out2 = cat.compactPartitions("rc")
+    assert(out2.map(_._1).exists(_.endsWith("d=a")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.rc").as[Long].head() === 7L)
+  }
+
   test("ALTER TABLE ADD COLUMN on a partitioned plain table is a " +
       "sidecar update: old rows null-fill, the Hive layout survives") {
     val (cat, g) = freshSqlCat()
