@@ -369,6 +369,42 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("nested temporal battery: years/months/hours all derived from " +
+      "ONE source column prune together and never change results") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.nt (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (years(ts), months(ts), hours(ts))")
+    // 2 years x assorted months/hours
+    spark.sql(s"INSERT INTO $g.nt SELECT id AS k, " +
+      "timestamp'2023-11-30 22:00:00' + make_interval(0,0,0,0,CAST(id * 37 % 2000 AS INT)) AS ts " +
+      "FROM range(400)")
+    assert(Files.exists(Paths.get(cat.path("nt"), "ts_year=2023")))
+    assert(Files.exists(Paths.get(cat.path("nt"), "ts_year=2024")))
+    val full = spark.sql(s"SELECT * FROM $g.nt")
+    spark.createDataFrame(
+      java.util.Arrays.asList(full.collect(): _*), full.schema)
+      .createOrReplaceTempView("nt_plain")
+    val preds = Seq(
+      "ts >= timestamp'2024-01-01 00:00:00'",
+      "ts < timestamp'2023-12-15 00:00:00'",
+      "ts = timestamp'2023-11-30 22:00:00'",
+      "ts BETWEEN timestamp'2023-12-20 00:00:00' AND timestamp'2024-02-01 00:00:00'",
+      "ts IN (timestamp'2023-11-30 22:00:00', timestamp'2024-02-21 10:00:00')")
+    preds.foreach { p =>
+      val a = spark.sql(
+        s"SELECT count(*) AS n, sum(k) AS sk FROM $g.nt WHERE $p").head()
+      val b = spark.sql(
+        s"SELECT count(*) AS n, sum(k) AS sk FROM nt_plain WHERE $p").head()
+      assert(a === b, s"nested temporal pruning changed results for [$p]")
+    }
+    // the bound constrains all three levels at once: a 2024 range must
+    // not touch any 2023 leaf
+    val q = spark.sql(s"SELECT k FROM $g.nt " +
+      "WHERE ts >= timestamp'2024-02-01 00:00:00'")
+    assert(scannedFiles(q).forall(_.contains("ts_year=2024")),
+      "the year level must prune out 2023 entirely")
+  }
+
   test("compaction racing a writer: a leaf whose listing moved after " +
       "staging is SKIPPED — the raced insert survives, nothing is lost") {
     val (cat, g) = freshSqlCat()
