@@ -4670,6 +4670,59 @@ object TestdataQueries {
              |FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
              |GROUP BY 1""".stripMargin)),
 
+    // ----------- truncate + hours transforms at value level (r13)
+    // Two legs sharing one result shape: documents under
+    // truncate(1, lang) — 'en' and 'es' COLLIDE into prefix 'e', the
+    // prefix-sharding semantics — with a string-bound DELETE narrowed
+    // by the derived prefix; events under hours(ts) with a
+    // timestamp-bound DELETE purging whole hour leaves. A wrong
+    // derivation on either write or prune side surfaces as a value
+    // mismatch against the relational replay.
+    "x_sql_transform_more" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_tfm", dir)
+      val cname = "gtfm_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val dv = s"doc_$cname"; val ev = s"ev_$cname"
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")).createOrReplaceTempView(dv)
+      t(s, dir, "events").select(col("event_id").as("ekey"), col("ts"))
+        .createOrReplaceTempView(ev)
+      s.sql(s"CREATE TABLE $cname.td (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT) PARTITIONED BY (truncate(1, lang))")
+      s.sql(s"INSERT INTO $cname.td SELECT doc_id, lang, n_chars FROM $dv")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        scratch.toString, "td", "lang_trunc=e")),
+        "'en' and 'es' must collide into the shared prefix leaf 'e'")
+      s.sql(s"DELETE FROM $cname.td WHERE lang >= 'p'")
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        scratch.toString, "td", "lang_trunc=z")),
+        "the string bound must purge the 'z' prefix leaf")
+      s.sql(s"CREATE TABLE $cname.th (ekey BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (hours(ts))")
+      s.sql(s"INSERT INTO $cname.th SELECT ekey, ts FROM $ev")
+      s.sql(s"DELETE FROM $cname.th " +
+        "WHERE ts < timestamp'2024-01-03 00:00:00'")
+      s.sql(s"SELECT 'lang' AS leg, lang AS key, " +
+        s"CAST(count(*) AS BIGINT) AS n, sum(n_chars) AS sv " +
+        s"FROM $cname.td GROUP BY lang").unionAll(
+        s.sql(s"SELECT 'hour' AS leg, CAST(CAST(ts AS DATE) AS STRING) " +
+          s"AS key, CAST(count(*) AS BIGINT) AS n, sum(ekey) AS sv " +
+          s"FROM $cname.th GROUP BY 2"))
+    }),
+      Some("""SELECT 'lang' AS leg, lang AS key,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sv
+             |FROM documents WHERE lang IS NULL OR NOT (lang >= 'p')
+             |GROUP BY lang
+             |UNION ALL
+             |SELECT 'hour', CAST(CAST(ts AS DATE) AS VARCHAR),
+             |  CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+             |FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             |GROUP BY 2""".stripMargin)),
+
     // ---------------- per-leaf OPTIMIZE for partitioned plain tables
     // Every INSERT INTO lands shuffle-partition-many files per touched
     // leaf; CALL system.optimize on a partitioned plain table compacts
