@@ -2979,6 +2979,22 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def recoverBranchPendLocked(table: String, name: String,
       cur: Long, liveEpoch: String): Option[BranchPend] =
     readBranchPend(table, name).flatMap { pend =>
+      // a LEGACY intent (pre-provenance format: no pub UUID) that MAY
+      // have committed is unresolvable here: version arithmetic alone
+      // cannot distinguish "my publish landed expect" from "a foreign
+      // commit took expect" (exactly the hole the pub stamp closed),
+      // and silently guessing either way doubles or drops rows. Refuse
+      // loudly and leave resolution to the operator (ADVICE r13 low
+      // #5). expect > cur is still provably pre-commit — the version
+      // was never taken — so only the ambiguous half refuses.
+      require(pend.pub.nonEmpty || pend.expect > cur,
+        s"branch '$name' of '$table' carries a legacy publish intent " +
+          s"(no provenance UUID) whose target v${pend.expect} exists — " +
+          "whether that commit was this publish or a foreign writer is " +
+          s"undecidable; inspect history(table), compare v${pend.expect} " +
+          s"against readBranch, then delete the _brpend_$name file and " +
+          "either re-publish (commit was foreign) or dropBranch (commit " +
+          "was ours — its rows already landed)")
       val committed = pend.expect <= cur && pend.pub.nonEmpty &&
         historyEntries(table)
           .exists(e => e._1 == pend.expect && e._6 == pend.pub)
@@ -3005,27 +3021,50 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       committer.delete(branchPtrFile(table, name)); return true
     }
     val published = pend.files.toSet
-    val dataLeft = {
+    val names = {
       val s = Files.list(dir)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala.count { p =>
-          val n = p.getFileName.toString
-          if (n.endsWith(".parquet") && published(n)) {
-            Files.delete(p); false
-          } else if (n.startsWith(".staged-b")) {
-            val body = n.drop(".staged-b".length)
-            val i = body.indexOf('-')
-            val folded = i > 0 && (try
-              pend.tokens.get(body.drop(i + 1))
-                .exists(body.take(i).toLong <= _)
-            catch { case _: NumberFormatException => false })
-            if (folded) Files.delete(p)
-            false
-          } else n.endsWith(".parquet")
-        } > 0
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
       } finally s.close()
     }
+    // sidecar triage FIRST: a `.staged-b<batchId>-<token>` whose
+    // batchId the folded watermark covers marks a batch the committed
+    // publish already landed. Its DATA files are deletable too — a
+    // stream restarted in the commit→record crash window re-stages the
+    // committed batch under fresh UUIDs (the skip rule read the
+    // not-yet-folded watermark), and keeping those files would leave
+    // the branch open holding a duplicate of every replayed row
+    // (ADVICE r13 medium #3). A batchId that ALSO has a surviving
+    // (unfolded) sidecar keeps its files — undecidable which stage the
+    // `b<id>-` names belong to, and keeping only ever leaves the
+    // branch open, never doubles.
+    def sidecarParts(n: String): Option[(Long, String)] = {
+      val body = n.drop(".staged-b".length)
+      val i = body.indexOf('-')
+      if (i <= 0) None
+      else try Some((body.take(i).toLong, body.drop(i + 1)))
+      catch { case _: NumberFormatException => None }
+    }
+    val sidecars = names.filter(_.startsWith(".staged-b"))
+      .flatMap(n => sidecarParts(n).map { case (b, t) => (n, b, t) })
+    val foldedIds = sidecars.collect { case (_, b, t)
+      if pend.tokens.get(t).exists(b <= _) => b }.toSet
+    val liveIds = sidecars.collect { case (_, b, t)
+      if !pend.tokens.get(t).exists(b <= _) => b }.toSet
+    val replayedIds = foldedIds -- liveIds
+    sidecars.foreach { case (n, b, t) =>
+      if (pend.tokens.get(t).exists(b <= _)) Files.delete(dir.resolve(n)) }
+    def replayedData(n: String): Boolean = n.startsWith("b") && {
+      val i = n.indexOf('-')
+      i > 1 && (try replayedIds(n.substring(1, i).toLong)
+      catch { case _: NumberFormatException => false })
+    }
+    val dataLeft = names.count { n =>
+      if (n.endsWith(".parquet") && (published(n) || replayedData(n))) {
+        Files.delete(dir.resolve(n)); false
+      } else !n.startsWith(".staged-b") && n.endsWith(".parquet")
+    } > 0
     if (!dataLeft) { consumeBranchLocked(table, name, dir); true }
     else false
   }
@@ -3432,7 +3471,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * so the hidden columns always agree with the transform. */
   private[graft] def withGen(table: String, df: DataFrame): DataFrame =
     partitionGen(table).foldLeft(df)((d, g) =>
-      d.withColumn(g.name, TableCatalog.genExpr(g)))
+      d.withColumn(g.name, TableCatalog.genExpr(g, d.schema(g.src).dataType)))
 
   /** Declare an EMPTY partitioned plain table under TRANSFORM
     * partitioning (r12 "missing" #3 — the Iceberg `days(ts)` /
@@ -3607,7 +3646,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val df = newGen.foldLeft(
         df0.select(declared.fields.map(f =>
           col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))(
-        (d, g) => d.withColumn(g.name, TableCatalog.genExpr(g)))
+        (d, g) => d.withColumn(g.name,
+          TableCatalog.genExpr(g, d.schema(g.src).dataType)))
       // an empty-string partition value would collapse into the NULL
       // directory and round-trip as NULL — the overwritePartitionTuples
       // refusal, checked once over the rewrite's own scan
@@ -6590,9 +6630,18 @@ object TableCatalog {
     * partition column materialized at write time from `src` via
     * `kind` ∈ days|months|years|hours|bucket (`n` = bucket count,
     * 0 otherwise). It lives in the directory layout, never in the
-    * declared (INSERT/SELECT) schema — hidden partitioning. */
+    * declared (INSERT/SELECT) schema — hidden partitioning.
+    * `dscale` ≥ 0 marks the DECIMAL truncate flavor (the source
+    * column's scale — the width applies to the unscaled value, the
+    * Iceberg rule). `tv` is the TRANSFORM VERSION: 2 = temporal
+    * ordinals derived in UTC with exact integral arithmetic (the
+    * Iceberg definition); 1 = a legacy spec whose directories were
+    * derived under the writer's session timezone — reads KEEP every
+    * leaf for temporal predicates (pruning against TZ-dependent
+    * directory values could silently drop matching rows, ADVICE r13
+    * medium #1), and the next spec rewrite upgrades it. */
   final case class GenCol(name: String, src: String, kind: String,
-                          n: Int = 0)
+                          n: Int = 0, dscale: Int = -1, tv: Int = 2)
 
   private[graft] val GenKinds =
     Set("days", "months", "years", "hours", "bucket", "truncate")
@@ -6618,19 +6667,33 @@ object TableCatalog {
       if (kind != "bucket" && kind != "truncate")
         require(srcType == DateType || srcType == TimestampType,
           s"$kind($src) needs a DATE/TIMESTAMP source, got ${srcType.sql}")
+      if (kind == "hours")
+        require(srcType == TimestampType,
+          s"hours($src) needs a TIMESTAMP source (a DATE has no " +
+            s"sub-day resolution), got ${srcType.sql}")
       if (kind == "bucket")
         require(n > 0, s"bucket($src) needs a positive bucket count")
+      var dscale = -1
       val width = if (kind == "truncate") {
         require(n > 0, s"truncate($src) needs a positive width")
         srcType match {
           case StringType => -n // string flavor rides as negative width
           case ByteType | ShortType | IntegerType | LongType => n
+          case d: DecimalType =>
+            // decimal flavor (Iceberg truncate(W, decimal)): the width
+            // floors the UNSCALED value; precision must keep unscaled
+            // values long-exact so write and prune arithmetic agree
+            require(d.precision <= 18,
+              s"truncate($src) over ${d.sql}: precision > 18 would " +
+                "overflow the unscaled-long prune arithmetic — widen " +
+                "the width or truncate a narrower column")
+            dscale = d.scale; n
           case other => throw new IllegalArgumentException(
-            s"truncate($src) needs an integral or STRING source, got " +
-              other.sql)
+            s"truncate($src) needs an integral, DECIMAL, or STRING " +
+              s"source, got ${other.sql}")
         }
       } else n
-      val g = GenCol(genName(kind, src), src, kind, width)
+      val g = GenCol(genName(kind, src), src, kind, width, dscale)
       require(!schema.fieldNames.contains(g.name),
         s"generated partition column '${g.name}' collides with a " +
           "declared column — rename it or use identity partitioning")
@@ -6661,33 +6724,51 @@ object TableCatalog {
     }
 
   /** The transform, as a Column: what the WRITE path materializes and
-    * what the read-side leaf pruning inverts. days → DATE (session
-    * TZ, like `to_date`); months → yyyyMM int; years → int; hours →
-    * epoch-hours int; bucket → pmod(murmur3, n). */
-  private[graft] def genExpr(g: GenCol): org.apache.spark.sql.Column = {
+    * what the read-side leaf pruning inverts. days → DATE (UTC
+    * epoch-day of the instant — the Iceberg definition; a session-TZ
+    * `to_date` would make directory values writer-dependent, ADVICE
+    * r13 medium #1); months → yyyyMM int; years → int; hours →
+    * epoch-hours int; bucket → pmod(murmur3, n). `srcType` is the
+    * SOURCE column's declared type: DATE sources are already
+    * timezone-free and derive directly; TIMESTAMP sources go through
+    * the UTC epoch arithmetic. All integral derivations use `div`
+    * (exact integral division) on a pmod-floored numerator — plain `/`
+    * is DOUBLE division, exact only below 2^53 (ADVICE r13 low #4). */
+  private[graft] def genExpr(g: GenCol,
+      srcType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DateType
+    val c = col(g.src)
+    def floorDivCol(us: org.apache.spark.sql.Column, unit: Long)
+        : org.apache.spark.sql.Column =
+      call_function("div", us - pmod(us, lit(unit)), lit(unit))
+    def utcDay: org.apache.spark.sql.Column =
+      date_from_unix_date(
+        floorDivCol(unix_micros(c), 86400000000L).cast("int"))
     g.kind match {
-      case "days" => to_date(col(g.src))
+      case "days" => if (srcType == DateType) c else utcDay
       case "months" =>
-        (year(col(g.src)) * lit(100) + month(col(g.src))).cast("int")
-      case "years" => year(col(g.src)).cast("int")
-      case "hours" =>
-        // FLOOR division on exact long micros — `unix_timestamp`
-        // truncates toward zero, which disagrees with the read-side
-        // floorDiv ordinal for pre-epoch fractional seconds and would
-        // let equality pruning drop the row's leaf. pmod keeps the
-        // arithmetic in longs; the final division is exact (the
-        // numerator divides evenly).
-        ((unix_micros(col(g.src)) -
-          pmod(unix_micros(col(g.src)), lit(3600000000L))) /
-          lit(3600000000L)).cast("int")
-      case "bucket" => pmod(hash(col(g.src)), lit(g.n)).cast("int")
+        val d = if (srcType == DateType) c else utcDay
+        (year(d) * lit(100) + month(d)).cast("int")
+      case "years" =>
+        val d = if (srcType == DateType) c else utcDay
+        year(d).cast("int")
+      case "hours" => floorDivCol(unix_micros(c), 3600000000L).cast("int")
+      case "bucket" => pmod(hash(c), lit(g.n)).cast("int")
       case "truncate" =>
         // Iceberg truncate: ints → w * floor(v / w) (pmod handles the
-        // negative side), strings → the w-char prefix
-        if (truncIsString(g)) substring(col(g.src), 1, truncWidth(g))
-        else col(g.src).cast("long") -
-          pmod(col(g.src).cast("long"), lit(truncWidth(g).toLong))
+        // negative side), strings → the w-char prefix, decimals →
+        // unscaled value floored to a multiple of w (the divisor
+        // w·10^-scale keeps the arithmetic exact and the directory
+        // rendering at the source scale)
+        if (truncIsString(g)) substring(c, 1, truncWidth(g))
+        else if (g.dscale >= 0) {
+          val w = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(truncWidth(g).toLong), g.dscale)
+          (c - pmod(c, lit(w))).cast(s"decimal(18,${g.dscale})")
+        }
+        else c.cast("long") - pmod(c.cast("long"), lit(truncWidth(g).toLong))
     }
   }
 
@@ -6720,6 +6801,11 @@ object TableCatalog {
         val go = ga.addObject()
         go.put("name", g.name); go.put("src", g.src)
         go.put("kind", g.kind); go.put("n", g.n)
+        if (g.dscale >= 0) go.put("s", g.dscale)
+        // transform version: absent in pre-r14 specs, whose temporal
+        // directory values were session-TZ-derived (parse maps absent
+        // → 1 and the read side keeps every leaf for those)
+        go.put("tv", g.tv)
       }
     }
     om.writeValueAsString(o)
@@ -6741,7 +6827,9 @@ object TableCatalog {
         val gen = Option(n.get("gen")).map(_.elements().asScala.map(g =>
           GenCol(g.get("name").asText, g.get("src").asText,
             g.get("kind").asText,
-            Option(g.get("n")).map(_.asInt).getOrElse(0))).toSeq)
+            Option(g.get("n")).map(_.asInt).getOrElse(0),
+            dscale = Option(g.get("s")).map(_.asInt).getOrElse(-1),
+            tv = Option(g.get("tv")).map(_.asInt).getOrElse(1))).toSeq)
           .getOrElse(Seq.empty)
         cols.filter(_.nonEmpty).map((_, n.get("schema").asText, gen))
       }

@@ -282,13 +282,13 @@ class GraftSqlCatalog extends DsV2TableCatalog
   /** CREATE TABLE (and the create half of CTAS): commit an EMPTY v1
     * through replaceAtomic, so the table is born versioned — history
     * entry, schema carried by the (single, zero-row) parquet file,
-    * ready for INSERT INTO. `PARTITIONED BY (c1, c2, …)` with IDENTITY
-    * transforms (any number of columns — nested leaves) maps to the
-    * catalog's Hive-partitioned PLAIN layout instead (the
-    * appendPartitioned family: partition-pruned scans, O(changed
-    * leaves) deleteWhere); bucket/temporal TRANSFORMS stay refused,
-    * since the versioned layout derives skipping from stats/Z-order,
-    * not directories. */
+    * ready for INSERT INTO. `PARTITIONED BY (…)` maps to the catalog's
+    * Hive-partitioned PLAIN layout instead (the appendPartitioned
+    * family: partition-pruned scans, O(changed leaves) deleteWhere) —
+    * identity columns nest leaves directly, and the Iceberg transform
+    * set (`days/months/years/hours(ts)`, `bucket(n, col)`,
+    * `truncate(w, col)`) materializes as HIDDEN generated partition
+    * columns whose leaves prune from source-column predicates. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -325,7 +325,8 @@ class GraftSqlCatalog extends DsV2TableCatalog
           (p.name, p.references()(0).fieldNames()(0), n)
         case other => throw new UnsupportedOperationException(
           s"$catalogName supports PARTITIONED BY identity columns and " +
-            s"days/months/years/hours/bucket transforms — got $other; " +
+            s"days/months/years/hours/bucket/truncate transforms — got " +
+            s"$other; " +
             "cluster versioned tables with optimizeZOrder / " +
             "analyze(skipCols) instead")
       }
@@ -446,6 +447,8 @@ object GraftSqlCatalog {
     case "truncate" =>
       if (graft.catalog.TableCatalog.truncIsString(g))
         org.apache.spark.sql.types.StringType
+      else if (g.dscale >= 0)
+        org.apache.spark.sql.types.DecimalType(18, g.dscale)
       else org.apache.spark.sql.types.LongType
     case _ => org.apache.spark.sql.types.IntegerType
   }
@@ -557,28 +560,32 @@ object GraftSqlCatalog {
     private def genOrdinal(g: GenCol, value: Any,
         dt: org.apache.spark.sql.types.DataType): Option[Long] = {
       import org.apache.spark.sql.types.{DateType, TimestampType}
-      import org.apache.spark.sql.catalyst.util.DateTimeUtils
-      val zone = java.time.ZoneId.of(
-        SparkSession.active.sessionState.conf.sessionLocalTimeZone)
-      def days: Option[Int] = dt match {
-        case DateType => Some(value.asInstanceOf[Int])
-        case TimestampType =>
-          Some(DateTimeUtils.microsToDays(value.asInstanceOf[Long], zone))
+      // temporal ordinals derive in UTC — exactly the write side's
+      // genExpr arithmetic (Iceberg's transform definition), never the
+      // CURRENT session TZ, which can differ from the writer's (ADVICE
+      // r13 medium #1). A legacy spec (tv=1) wrote session-TZ-derived
+      // directories that nothing can re-derive soundly → None, i.e.
+      // every leaf kept for temporal predicates. DATE literals carry
+      // no timezone and stay derivable under both versions.
+      def days: Option[Long] = dt match {
+        case DateType => Some(value.asInstanceOf[Int].toLong)
+        case TimestampType if g.tv >= 2 =>
+          Some(Math.floorDiv(value.asInstanceOf[Long], 86400000000L))
         case _ => None
       }
       g.kind match {
-        case "days" => days.map(_.toLong)
+        case "days" => days
         case "months" => days.map { d =>
-          val ld = java.time.LocalDate.ofEpochDay(d.toLong)
+          val ld = java.time.LocalDate.ofEpochDay(d)
           ld.getYear.toLong * 100L + ld.getMonthValue.toLong
         }
         case "years" =>
-          days.map(d => java.time.LocalDate.ofEpochDay(d.toLong)
-            .getYear.toLong)
+          days.map(d => java.time.LocalDate.ofEpochDay(d).getYear.toLong)
         case "hours" => dt match {
-          // the same floor-div on micros genExpr materializes — exact
-          // for timestamps; other source types are not derivable here
-          case TimestampType =>
+          // the same floor-div on micros genExpr materializes; a
+          // legacy (tv=1) spec's dirs came from a truncating double
+          // division that can disagree with floorDiv → not derivable
+          case TimestampType if g.tv >= 2 =>
             Some(Math.floorDiv(value.asInstanceOf[Long], 3600000000L))
           case _ => None
         }
@@ -592,13 +599,26 @@ object GraftSqlCatalog {
             Some((((h % g.n) + g.n) % g.n).toLong)
           } catch { case _: Exception => None }
         case "truncate" =>
-          // numeric flavor only — the string flavor derives its own
-          // prefix tests in keepFns
+          // numeric flavors only — the string flavor derives its own
+          // prefix tests in keepFns. The decimal flavor's ordinal is
+          // the UNSCALED value floored to a multiple of the width
+          // (rescaled to the SOURCE scale first — a literal at a
+          // different scale that cannot rescale exactly is not
+          // derivable, which only ever keeps more leaves)
           import org.apache.spark.sql.types._
           (dt, value) match {
-            case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+            case (ByteType | ShortType | IntegerType | LongType, n: Number)
+                if g.dscale < 0 =>
               val w = graft.catalog.TableCatalog.truncWidth(g).toLong
               Some(Math.floorDiv(n.longValue(), w) * w)
+            case (_: DecimalType, d: org.apache.spark.sql.types.Decimal)
+                if g.dscale >= 0 =>
+              try {
+                val u = d.toJavaBigDecimal.setScale(g.dscale)
+                  .unscaledValue().longValueExact()
+                val w = graft.catalog.TableCatalog.truncWidth(g).toLong
+                Some(Math.floorDiv(u, w) * w)
+              } catch { case _: ArithmeticException => None }
             case _ => None
           }
         case _ => None
@@ -670,6 +690,11 @@ object GraftSqlCatalog {
       try {
         if (g.kind == "days")
           Some(java.time.LocalDate.parse(raw).toEpochDay)
+        else if (g.kind == "truncate" && g.dscale >= 0)
+          // decimal flavor renders at the source scale ("12.30") —
+          // its ordinal is the unscaled long, same units as genOrdinal
+          Some(new java.math.BigDecimal(raw).setScale(g.dscale)
+            .unscaledValue().longValueExact())
         else Some(raw.toLong)
       } catch { case _: Exception => None }
 

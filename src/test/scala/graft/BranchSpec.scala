@@ -334,6 +334,65 @@ class BranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.publishedBranchBatch("t", "wap", "tok") === Some(7L))
   }
 
+  test("a batch replayed into the commit→record crash window is swept " +
+      "by recovery — never published twice — while a genuinely new " +
+      "post-crash batch survives and lands once") {
+    val cat = freshCat()
+    cat.replaceAtomic("t",
+      (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    cat.appendToBranchBatch("t", "wap", 4L,
+      Seq((10L, 10L), (11L, 11L)).toDF("k", "v"), token = "tok")
+    val e = intercept[RuntimeException] {
+      cat.publishBranchHooked("t", "wap",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("crash-post-commit"))
+    }
+    assert(e.getMessage === "crash-post-commit")
+    assert(cat.read("t").count() === 5L) // the commit DID land
+    // the watermark never recorded, so a restarted stream's skip rule
+    // sees nothing and RE-STAGES batch 4 under fresh UUIDs (ADVICE r13
+    // medium #3) — and a genuinely new batch 5 stages after it
+    assert(cat.publishedBranchBatch("t", "wap", "tok") === None)
+    cat.appendToBranchBatch("t", "wap", 4L,
+      Seq((10L, 10L), (11L, 11L)).toDF("k", "v"), token = "tok")
+    cat.appendToBranchBatch("t", "wap", 5L,
+      Seq((12L, 12L)).toDF("k", "v"), token = "tok")
+    // recovery must sweep the REPLAYED batch's data files (their
+    // batchId is covered by the folded watermark) and keep batch 5
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").count() === 6L,
+      "the replayed batch double-published or batch 5 was lost")
+    assert(cat.read("t").distinct().count() === 6L)
+    assert(cat.publishedBranchBatch("t", "wap", "tok") === Some(5L))
+    assert(cat.branches("t").isEmpty)
+  }
+
+  test("a legacy publish intent (no provenance UUID) whose target " +
+      "version exists refuses loudly instead of guessing") {
+    val cat = freshCat()
+    cat.replaceAtomic("t",
+      (1 to 3).map(i => (i.toLong, i.toLong)).toDF("k", "v")) // v1
+    cat.appendToBranchBatch("t", "wap", 1L,
+      Seq((10L, 10L)).toDF("k", "v"), token = "tok")
+    // forge a pre-r13 intent: no pub field, expect = an existing
+    // version — version arithmetic alone cannot tell "ours" from a
+    // foreign commit, so recovery must refuse, not re-publish
+    Files.write(Paths.get(cat.path("t"), "_brpend_wap"),
+      """{"expect":1,"epoch":"x","tokens":{"tok":1}}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      cat.publishBranch("t", "wap")
+    }
+    assert(e.getMessage.contains("legacy publish intent"), e.getMessage)
+    // expect ABOVE the current version is provably pre-commit: the
+    // intent drops and the publish proceeds normally
+    Files.write(Paths.get(cat.path("t"), "_brpend_wap"),
+      """{"expect":99,"epoch":"x","tokens":{"tok":1}}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    cat.publishBranch("t", "wap")
+    assert(cat.read("t").count() === 4L)
+  }
+
   test("diffBranch answers 'what would this publish change' for both modes") {
     val cat = freshCat()
     cat.replaceAtomic("t", (1 to 4).map(i => (i.toLong, i.toLong)).toDF("k", "v"))

@@ -493,4 +493,99 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql(s"SELECT count(*) FROM $g.op WHERE tag = 'x'")
       .as[Long].head() === 1L)
   }
+
+  test("temporal transforms derive in UTC: a session-TZ change between " +
+      "write and read never moves directory values or drops leaves") {
+    val (cat, g) = freshSqlCat()
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // WRITE under Los Angeles: rows pinned to INSTANTS via epoch
+      // micros, two of them straddling a UTC midnight (which is 4/5pm
+      // in LA — a session-TZ to_date would fold them into the prior
+      // UTC day's leaf)
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      spark.sql(s"CREATE TABLE $g.tzv (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      // 2024-03-02T00:30:00Z and 2024-03-02T23:30:00Z and 2024-03-03T01:00:00Z
+      spark.sql(s"INSERT INTO $g.tzv VALUES " +
+        "(1, timestamp_micros(1709339400000000))," +
+        "(2, timestamp_micros(1709422200000000))," +
+        "(3, timestamp_micros(1709427600000000))")
+      assert(Files.exists(Paths.get(cat.path("tzv"), "ts_day=2024-03-02")),
+        "directory values must be UTC epoch-days, not writer-session days")
+      assert(Files.exists(Paths.get(cat.path("tzv"), "ts_day=2024-03-03")))
+      // READ under Tokyo: equality and range probes on the instants
+      // must agree with the same rows unpartitioned, whatever leaves
+      // pruning serves
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val eq = spark.sql(s"SELECT k FROM $g.tzv " +
+        "WHERE ts = timestamp_micros(1709422200000000)")
+      assert(eq.as[Long].collect().toSeq === Seq(2L))
+      assert(scannedFiles(eq).forall(_.contains("ts_day=2024-03-02")),
+        "the UTC ordinal must pin the UTC leaf under ANY session TZ")
+      val rng = spark.sql(s"SELECT k FROM $g.tzv " +
+        "WHERE ts >= timestamp_micros(1709424000000000) ORDER BY k")
+      assert(rng.as[Long].collect().toSeq === Seq(3L))
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
+  test("truncate(w, DECIMAL) floors the unscaled value (Iceberg rule): " +
+      "negatives floor down, equality and bounds prune, precision > 18 refused") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.dtr (k BIGINT, amt DECIMAL(12,2)) " +
+      "PARTITIONED BY (truncate(1000, amt))") // 1000 unscaled = 10.00
+    spark.sql(s"INSERT INTO $g.dtr VALUES (1, 12.34), (2, 19.99), " +
+      "(3, 20.00), (4, -12.34), (5, 0.05), (6, 123.45)")
+    // unscaled floors: 1234→1000, 1999→1000, 2000→2000, -1234→-2000,
+    // 5→0, 12345→12000 — rendered at the source scale
+    Seq("10.00", "20.00", "-20.00", "0.00", "120.00").foreach { d =>
+      assert(Files.exists(Paths.get(cat.path("dtr"), s"amt_trunc=$d")),
+        s"expected leaf amt_trunc=$d")
+    }
+    val eq = spark.sql(s"SELECT k FROM $g.dtr WHERE amt = 19.99")
+    assert(eq.as[Long].collect().toSeq === Seq(2L))
+    assert(scannedFiles(eq).forall(_.contains("amt_trunc=10.00")),
+      s"equality must pin the floored leaf, scanned ${scannedFiles(eq)}")
+    val neg = spark.sql(s"SELECT k FROM $g.dtr WHERE amt = -12.34")
+    assert(neg.as[Long].collect().toSeq === Seq(4L))
+    assert(scannedFiles(neg).forall(_.contains("amt_trunc=-20.00")),
+      "negative values floor DOWN (Iceberg), never toward zero")
+    val rng = spark.sql(s"SELECT k FROM $g.dtr WHERE amt >= 20.00 ORDER BY k")
+    assert(rng.as[Long].collect().toSeq === Seq(3L, 6L))
+    assert(!scannedFiles(rng).exists(_.contains("amt_trunc=-20.00")),
+      "a lower bound must drop leaves below the floored bound")
+    // the whole-table answer matches the same rows unpartitioned
+    assert(spark.sql(s"SELECT sum(amt) FROM $g.dtr").collect()(0).get(0)
+      .toString === "163.49")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $g.dtw (k BIGINT, amt DECIMAL(20,2)) " +
+        "PARTITIONED BY (truncate(1000, amt))")
+    }
+    assert(e.getMessage.contains("precision"), e.getMessage)
+  }
+
+  test("a legacy (tv=1) spec wrote session-TZ temporal directories: " +
+      "reads keep every leaf rather than prune against them") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.lg (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $g.lg SELECT id AS k, " +
+      "timestamp'2024-03-01 00:30:00' + make_interval(0,0,0,CAST(id AS INT)) AS ts " +
+      "FROM range(4)")
+    // simulate a pre-r14 sidecar: strip the transform-version marker
+    val spec = Paths.get(cat.path("lg"), "_partspec.json")
+    val legacy = new String(Files.readAllBytes(spec),
+      java.nio.charset.StandardCharsets.UTF_8).replace(",\"tv\":2", "")
+    assert(legacy.contains("\"gen\""))
+    Files.write(spec, legacy.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    val q = spark.sql(s"SELECT k FROM $g.lg " +
+      "WHERE ts = timestamp'2024-03-02 00:30:00'")
+    assert(q.as[Long].collect().toSeq === Seq(1L))
+    val dirs = scannedFiles(q).map(f =>
+      f.split("/").find(_.startsWith("ts_day=")).getOrElse("?")).toSet
+    assert(dirs.size === 4,
+      s"legacy temporal dirs are session-TZ-derived — pruning against " +
+        s"them could drop matching rows; all leaves must serve ($dirs)")
+  }
 }
