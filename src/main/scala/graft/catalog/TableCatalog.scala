@@ -3315,10 +3315,39 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the once-per-date flow. */
   def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
     requirePlain(table, "appendPartitioned")
-    enforced(table, stripDf(df)).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(path(table))
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val pin = partSpecPin(table)
+      val scratch = stageLeaves(table, enforced(table, stripDf(df)),
+        Seq(partCol))
+      // dynamic-overwrite semantics, staged: exactly the partitions
+      // the write produced rows for replace; everything else keeps its
+      // files (ADVICE r13 medium #2 — the replace-then-adopt runs
+      // under the writer lock, so a spec swap can never interleave)
+      val stagedLeaves = {
+        val s = Files.list(scratch)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(s"$partCol=")).toSeq
+        } finally s.close()
+      }
+      done = withTableLock(table) {
+        if (partSpecPin(table) == pin) {
+          stagedLeaves.foreach(n =>
+            deleteRecursive(Paths.get(path(table), n)))
+          adoptStagedLeaves(table, scratch); true
+        } else false
+      }
+      if (!done) {
+        deleteRecursive(scratch)
+        require(attempt <= TableCatalog.MaxOptimisticAttempts,
+          s"'$table' partition spec keeps moving mid-write — a spec " +
+            "evolution loop is racing this append; re-run when it settles")
+      }
+    }
     invalidateStats(table)
   }
 
@@ -3376,36 +3405,53 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
     val keep = parts.map(tupleMatch).reduce(_ || _)
     val scoped = stripDf(df.filter(keep))
-    val present = scoped.select(pcs: _*).distinct().collect()
-      .map(r => partCols.indices.map(i => Option(r.getString(i))): Seq[Option[String]])
-      .toSet
-    if (present.nonEmpty)
-      scoped.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCols: _*)
-        .parquet(path(table))
-    parts.filterNot(present).foreach { t =>
-      // escape exactly the way the writer does (deleteWhere's rule);
-      // leaves nest in declaration order
-      val leaf = partCols.zip(t).map { case (c, v) =>
+    // escape exactly the way the writer does (deleteWhere's rule);
+    // leaves nest in declaration order
+    def leafRel(t: Seq[Option[String]]): String =
+      partCols.zip(t).map { case (c, v) =>
         val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName)
         s"$c=$dirName"
       }.mkString("/")
-      TableCatalog.deleteRecursively(Paths.get(s"${path(table)}/$leaf"))
-      // a multi-level spec leaves empty ancestor dirs behind a full
-      // purge — sweep them upward (a retention-window DELETE at scale
-      // would otherwise accrete millions of empty day dirs). A raced
-      // concurrent writer landing a sibling leaf makes the delete
-      // throw DirectoryNotEmpty — which is the correct stop.
-      var parent = Paths.get(s"${path(table)}/$leaf").getParent
-      val root = Paths.get(path(table))
-      while (parent != null && parent != root &&
-          (try { Files.delete(parent); true }
-           catch { case _: Exception => false }))
-        parent = parent.getParent
+    val rels = parts.map(leafRel)
+    // pin the CLAIMED leaves' listing before the distributed stage: a
+    // write that lands in one of them mid-stage (a staged insert
+    // adopting under its own lock turn) is not in this apply's input,
+    // and the locked replace below would silently wipe it (ADVICE r13
+    // medium #2). A moved listing refuses loudly — the caller's
+    // statement re-runs against the new state, the Delta conflict rule.
+    def claimedListing(): Set[String] =
+      rels.flatMap(r => listParquetUrisAt(
+        Paths.get(path(table)).resolve(r))).toSet
+    val pinned = claimedListing()
+    val scratch = stageLeaves(table, scoped, partCols)
+    withTableLock(table) {
+      if (claimedListing() != pinned) {
+        deleteRecursive(scratch)
+        throw new IllegalStateException(
+          s"partition(s) of '$table' changed concurrently with this " +
+            s"partition-granular apply (${partCols.mkString(",")}) — " +
+            "re-run the statement against the new state")
+      }
+      rels.foreach(r =>
+        TableCatalog.deleteRecursively(Paths.get(path(table)).resolve(r)))
+      adoptStagedLeaves(table, scratch)
+      rels.filterNot(r => Files.exists(Paths.get(path(table)).resolve(r)))
+        .foreach { leaf =>
+          // a multi-level spec leaves empty ancestor dirs behind a full
+          // purge — sweep them upward (a retention-window DELETE at
+          // scale would otherwise accrete millions of empty day dirs).
+          // A raced sibling leaf makes the delete throw
+          // DirectoryNotEmpty — which is the correct stop.
+          var parent = Paths.get(s"${path(table)}/$leaf").getParent
+          val root = Paths.get(path(table))
+          while (parent != null && parent != root &&
+              (try { Files.delete(parent); true }
+               catch { case _: Exception => false }))
+            parent = parent.getParent
+        }
     }
     invalidateStats(table)
   }
@@ -3534,29 +3580,118 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // --------------- staged writes for the Hive layout (ADVICE r13 #2)
+  // Every partitioned plain WRITE used to land directly in the live
+  // tree with no lock, so a spec-evolution swap (repartitionTable's
+  // swapLocked) could delete a leaf an insert had just written —
+  // silent row loss in exactly the window the swap's pinned-listing
+  // re-check could not see. The cure is the appendAtomicStaged
+  // discipline: the distributed data write lands in a `_tmp_ins-`
+  // scratch with NO lock held; the writer lock covers only an
+  // O(staged files) rename-adopt, after re-checking that the spec
+  // sidecar (and constraint set) the stage derived against is still
+  // the live one. A swap holding the lock therefore excludes every
+  // adopt; a stage that lost its spec mid-flight re-stages under the
+  // new one.
+
+  /** The UNLOCKED half of every partitioned plain write: `df` lands in
+    * a fresh `_tmp_ins-` scratch (vacuum's `_tmp_` class) in the Hive
+    * leaf layout. */
+  private def stageLeaves(table: String, df: DataFrame,
+      pcols: Seq[String]): Path = {
+    val scratch = Paths.get(path(table),
+      s"_tmp_ins-${java.util.UUID.randomUUID()}")
+    df.write.partitionBy(pcols: _*).parquet(scratch.toString)
+    scratch
+  }
+
+  /** The LOCKED half: every staged data file MOVES (a rename, no
+    * bytes) into its leaf directory under the table root, merging with
+    * files already there. Consumes the scratch. */
+  private def adoptStagedLeaves(table: String, scratch: Path): Unit = {
+    val dir = Paths.get(path(table))
+    val s = Files.walk(scratch)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+        .foreach { p =>
+          val dst = dir.resolve(scratch.relativize(p))
+          Files.createDirectories(dst.getParent)
+          Files.move(p, dst)
+        }
+    } finally s.close()
+    deleteRecursive(scratch)
+  }
+
+  /** The raw spec-sidecar bytes, as the staleness pin every staged
+    * partitioned write re-checks under the lock: ANY spec change
+    * (evolution, ADD COLUMN) between stage and adopt re-stages. */
+  private def partSpecPin(table: String): Option[String] =
+    committer.read(partSpecFile(table)).map(b =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8))
+
   /** SQL `INSERT INTO` a partitioned plain table: a plain APPEND under
     * the Hive layout (rows add; existing partitions keep their files —
     * unlike [[appendPartitioned]], whose dynamic overwrite is the
-    * idempotent reprocess-a-date verb, not INSERT semantics). */
-  def insertPartitioned(table: String, df: DataFrame): Unit = {
-    val (pcols, declared) = partitionSpec(table).getOrElse(
-      throw new IllegalArgumentException(
-        s"'$table' has no partition spec — use append()/appendPartitioned"))
-    require(df.columns.toSet == declared.fieldNames.toSet,
-      s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
-        s"(${declared.fieldNames.sorted.mkString(",")})")
-    // transform specs derive their hidden partition columns here —
-    // the caller only ever supplies the declared shape
-    enforced(table, withGen(table, stripDf(df))).write.mode("append")
-      .partitionBy(pcols: _*).parquet(path(table))
+    * idempotent reprocess-a-date verb, not INSERT semantics). Staged
+    * unlocked, adopted under the writer lock against a spec-byte pin
+    * (ADVICE r13 medium #2); after [[TableCatalog.MaxOptimisticAttempts]]
+    * lost stagings the write degrades to deriving inline under the
+    * lock — still correct, the lease just covers the data write. */
+  def insertPartitioned(table: String, df: DataFrame): Unit =
+    insertPartitionedHooked(table, df, () => ())
+
+  /** [[insertPartitioned]] with the specs' deterministic race window:
+    * `afterStage` fires after the unlocked data write, before the
+    * locked spec re-check — a spec evolution landed there must make
+    * the adopt re-stage under the new spec. */
+  private[graft] def insertPartitionedHooked(table: String, df: DataFrame,
+      afterStage: () => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val pin = partSpecPin(table)
+      val (pcols, declared) = partitionSpec(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$table' has no partition spec — use append()/appendPartitioned"))
+      require(df.columns.toSet == declared.fieldNames.toSet,
+        s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
+          s"(${declared.fieldNames.sorted.mkString(",")})")
+      val cons0 = constraintsOf(table)
+      // transform specs derive their hidden partition columns here —
+      // the caller only ever supplies the declared shape
+      if (attempt > TableCatalog.MaxOptimisticAttempts)
+        withTableLock(table) {
+          enforced(table, withGen(table, stripDf(df))).write.mode("append")
+            .partitionBy(pcols: _*).parquet(path(table))
+          done = true
+        }
+      else {
+        val scratch = stageLeaves(table,
+          enforced(table, withGen(table, stripDf(df))), pcols)
+        afterStage()
+        done = withTableLock(table) {
+          if (partSpecPin(table) == pin && constraintsOf(table) == cons0) {
+            adoptStagedLeaves(table, scratch); true
+          } else false
+        }
+        if (!done) deleteRecursive(scratch) // spec moved; re-derive
+      }
+    }
     invalidateStats(table)
   }
 
   /** SQL `INSERT OVERWRITE` / TRUNCATE of a partitioned plain table:
-    * replace everything, keep the layout. The spec sidecar is
-    * re-asserted AFTER the write (Spark's static overwrite clears the
-    * directory); a crash between leaves a readable unpartitioned-plain
-    * table that the next overwrite heals. */
+    * replace everything, keep the layout. Staged unlocked, swapped
+    * under the writer lock (delete every old leaf, adopt the staged
+    * tree) — the spec sidecar never leaves the directory, so the old
+    * "crash leaves an unpartitioned-plain table" window is gone
+    * (ADVICE r13 medium #2 protocol; a crash mid-swap leaves a
+    * partially-replaced tree the retry's full delete-and-adopt heals). */
   def overwritePartitionedAll(table: String, df: DataFrame): Unit = {
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
@@ -3564,10 +3699,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
-    val gen = partitionGen(table) // pin: the overwrite clears the sidecar
-    enforced(table, withGen(table, stripDf(df))).write.mode("overwrite")
-      .partitionBy(pcols: _*).parquet(path(table))
-    writePartSpecGen(table, pcols, declared, gen)
+    val pin = partSpecPin(table)
+    val scratch = stageLeaves(table,
+      enforced(table, withGen(table, stripDf(df))), pcols)
+    withTableLock(table) {
+      if (partSpecPin(table) != pin) {
+        deleteRecursive(scratch)
+        throw new IllegalStateException(
+          s"'$table' evolved its partition spec mid-OVERWRITE — " +
+            "re-run the statement against the new spec")
+      }
+      val s = Files.list(Paths.get(path(table)))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => (Files.isDirectory(p) &&
+            p.getFileName.toString.contains("=")) ||
+            p.getFileName.toString.endsWith(".parquet"))
+          .toSeq.foreach(deleteRecursive)
+      } finally s.close()
+      adoptStagedLeaves(table, scratch)
+    }
     invalidateStats(table)
   }
 
@@ -3602,7 +3754,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * columns, and lands the new leaf layout; everything else is the
     * identity-evolution protocol above. */
   def repartitionTableTransformed(table: String,
-      parts: Seq[(String, String, Int)]): Unit = {
+      parts: Seq[(String, String, Int)]): Unit =
+    repartitionTableTransformedHooked(table, parts, () => ())
+
+  /** [[repartitionTableTransformed]] with the specs' deterministic
+    * race window: `afterStage` fires after the unlocked rewrite
+    * staged, before the locked pinned-listing re-check — a write
+    * adopted there must void this staging, never be wiped by the
+    * swap. */
+  private[graft] def repartitionTableTransformedHooked(table: String,
+      parts: Seq[(String, String, Int)], afterStage: () => Unit): Unit = {
     val (oldCols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — repartitionTable evolves " +
@@ -3678,6 +3839,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       else {
         val pinFiles = listParquetUris(table)
         val scratch = stage(read(table))
+        afterStage()
         val committed = withTableLock(table) {
           if (listParquetUris(table) == pinFiles) {
             swapLocked(scratch); true

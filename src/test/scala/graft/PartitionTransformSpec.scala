@@ -494,6 +494,49 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       .as[Long].head() === 1L)
   }
 
+  test("spec evolution racing a staged insert: the swap voids the " +
+      "stale staging and the insert re-stages under the NEW spec") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.rc (k BIGINT, y INT, prio INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.rc VALUES (1, 2020, 1), (2, 2021, 2)")
+    // the insert stages under spec (y); the hook evolves to (y, prio)
+    // before the adopt — the spec-byte pin must void the staging and
+    // re-derive, landing the rows in the NESTED layout
+    var fired = false
+    cat.insertPartitionedHooked("rc",
+      Seq((3L, 2021, 3)).toDF("k", "y", "prio"),
+      afterStage = () => if (!fired) {
+        fired = true
+        cat.repartitionTable("rc", Seq("y", "prio"))
+      })
+    assert(Files.exists(Paths.get(cat.path("rc"), "y=2021", "prio=3")),
+      "the re-staged insert must land under the evolved spec")
+    assert(spark.sql(s"SELECT k FROM $g.rc ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 2L, 3L),
+      "no row may be lost to the evolution race")
+  }
+
+  test("a write adopted inside the spec-evolution stage window voids " +
+      "the staging — the swap can never wipe an adopted insert") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.rw (k BIGINT, y INT, prio INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.rw VALUES (1, 2020, 1), (2, 2021, 2)")
+    var fired = false
+    cat.repartitionTableTransformedHooked("rw",
+      Seq(("identity", "y", 0), ("identity", "prio", 0)),
+      afterStage = () => if (!fired) {
+        fired = true
+        cat.insertPartitioned("rw", Seq((3L, 2020, 9)).toDF("k", "y", "prio"))
+      })
+    // the raced insert survives, in the NEW layout with everything else
+    assert(spark.sql(s"SELECT k FROM $g.rw ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 2L, 3L),
+      "the swap wiped a write adopted during its stage window")
+    assert(Files.exists(Paths.get(cat.path("rw"), "y=2020", "prio=9")))
+  }
+
   test("temporal transforms derive in UTC: a session-TZ change between " +
       "write and read never moves directory values or drops leaves") {
     val (cat, g) = freshSqlCat()
