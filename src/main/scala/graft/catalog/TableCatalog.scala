@@ -106,9 +106,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // log): its snapshot holds files from before and after the change,
     // and footer inference would pick whichever file it sampled first.
     // Never-evolved tables have no log — plain inference, no extra cost.
-    currentVersion(table).flatMap(v => resolveSchema(table, v)) match {
-      case Some(sch) => spark.read.schema(sch).parquet(readPath(table))
-      case None => spark.read.parquet(readPath(table))
+    currentVersion(table) match {
+      // a partitioned VERSIONED table's snapshot is a leaf TREE —
+      // declared schema from the spec sidecar, identity partition
+      // values from the directory names, hidden columns projected away
+      case Some(v) if partitionSpecVersioned(table) =>
+        readPartVersionedAt(table, v)
+      case cur => cur.flatMap(v => resolveSchema(table, v)) match {
+        case Some(sch) => spark.read.schema(sch).parquet(readPath(table))
+        case None => spark.read.parquet(readPath(table))
+      }
     }
 
   /** Snapshot versions of `table` still on disk, ascending — the
@@ -145,7 +152,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // time travel under the schema the table HAD at v (schema log):
     // a later evolution must not widen history, nor footer sampling
     // narrow it
-    resolveSchema(table, v) match {
+    if (partitionSpecVersioned(table)) readPartVersionedAt(table, v)
+    else resolveSchema(table, v) match {
       case Some(sch) => spark.read.schema(sch).parquet(snapDir(table, v).toString)
       case None => spark.read.parquet(snapDir(table, v).toString)
     }
@@ -2241,6 +2249,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       mergeSchema: Boolean, prefix: String,
       sidecar: Option[String],
       afterStage: () => Unit = () => ()): BranchMeta = {
+    requireFlatVersioned(table, "branch staging")
     var attempt = 0
     var scratch: Path = null
     var scratchIds: Option[(Map[String, Int], Int)] = None
@@ -3282,6 +3291,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * reader keeps serving the purged rows (a right-to-be-forgotten call
     * that deletes nothing). Nothing in the API prevented the
     * combination before; now it fails loudly at the call site. */
+  /** Flat-versioned verbs refuse a PARTITIONED versioned table: their
+    * commits land flat file sets into what must stay a leaf-tree
+    * snapshot (partition values live in directory names — a flat
+    * commit would silently lose them). */
+  private def requireFlatVersioned(table: String, op: String): Unit =
+    require(!partitionSpecVersioned(table),
+      s"'$table' is a PARTITIONED versioned table — $op commits flat " +
+        "snapshots; use appendPartitionedVersioned / " +
+        "overwritePartitionTuplesVersioned / deleteWherePartsVersioned / " +
+        "dropPartitionsVersioned")
+
   private def requirePlain(table: String, op: String): Unit =
     require(currentVersion(table).isEmpty,
       s"'$table' is snapshot-versioned (written by replaceAtomic); $op " +
@@ -3570,15 +3590,28 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     writePartSpecGen(table, partCols, schema, partitionGen(table))
 
   private def writePartSpecGen(table: String, partCols: Seq[String],
-      schema: StructType, gen: Seq[TableCatalog.GenCol]): Unit = {
+      schema: StructType, gen: Seq[TableCatalog.GenCol]): Unit =
+    writePartSpecGenV(table, partCols, schema, gen,
+      partitionSpecVersioned(table)) // an update must never drop the flag
+
+  private def writePartSpecGenV(table: String, partCols: Seq[String],
+      schema: StructType, gen: Seq[TableCatalog.GenCol],
+      versioned: Boolean): Unit = {
     val tmp = Paths.get(path(table),
       s"_tmp_partspec-${java.util.UUID.randomUUID()}")
     Files.write(tmp, TableCatalog.renderPartSpec(partCols,
-      TableCatalog.stripFieldIds(schema).toDDL, gen)
+      TableCatalog.stripFieldIds(schema).toDDL, gen, versioned)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, partSpecFile(table),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Whether `table` is a PARTITIONED VERSIONED table — Hive leaf
+    * trees inside `_vN` snapshots (r13 verdict #1). */
+  def partitionSpecVersioned(table: String): Boolean =
+    committer.read(partSpecFile(table)).exists(b =>
+      TableCatalog.partSpecIsVersioned(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8)))
 
   // --------------- staged writes for the Hive layout (ADVICE r13 #2)
   // Every partitioned plain WRITE used to land directly in the live
@@ -3606,10 +3639,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   }
 
   /** The LOCKED half: every staged data file MOVES (a rename, no
-    * bytes) into its leaf directory under the table root, merging with
-    * files already there. Consumes the scratch. */
-  private def adoptStagedLeaves(table: String, scratch: Path): Unit = {
-    val dir = Paths.get(path(table))
+    * bytes) into its leaf directory under `target`, merging with files
+    * already there. Consumes the scratch. */
+  private def adoptStagedInto(target: Path, scratch: Path): Unit = {
     val s = Files.walk(scratch)
     try {
       import scala.jdk.CollectionConverters._
@@ -3618,12 +3650,49 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           p.getFileName.toString.endsWith(".parquet"))
         .toSeq
         .foreach { p =>
-          val dst = dir.resolve(scratch.relativize(p))
+          val dst = target.resolve(scratch.relativize(p))
           Files.createDirectories(dst.getParent)
           Files.move(p, dst)
         }
     } finally s.close()
     deleteRecursive(scratch)
+  }
+
+  private def adoptStagedLeaves(table: String, scratch: Path): Unit =
+    adoptStagedInto(Paths.get(path(table)), scratch)
+
+  /** Hard-link every data file of snapshot tree `src` into `dst`,
+    * preserving leaf-directory structure — the partitioned analog of
+    * the flat append's carried-file links (an inode reference per
+    * file, no bytes; the object-store translation is a manifest entry
+    * naming the same immutable key). `skip` drops whole subtrees by
+    * leaf-relative prefix — the partition-granular REPLACE primitive:
+    * a claimed leaf simply isn't carried into the next snapshot. */
+  private def linkTree(src: Path, dst: Path,
+      skip: Seq[String] = Seq.empty): Unit = {
+    if (!Files.exists(src)) return
+    import scala.jdk.CollectionConverters._
+    def hiddenUnder(p: Path): Boolean =
+      src.relativize(p).iterator().asScala.exists { c =>
+        val n = c.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
+    val s = Files.walk(src)
+    try {
+      s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") && !hiddenUnder(p))
+        .filter { p =>
+          val rel = src.relativize(p).toString
+          !skip.exists(pre => rel == pre || rel.startsWith(pre + "/"))
+        }
+        .toSeq
+        .foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          Files.createDirectories(t.getParent)
+          Files.createLink(t, p)
+        }
+    } finally s.close()
   }
 
   /** The raw spec-sidecar bytes, as the staleness pin every staged
@@ -3658,6 +3727,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val (pcols, declared) = partitionSpec(table).getOrElse(
         throw new IllegalArgumentException(
           s"'$table' has no partition spec — use append()/appendPartitioned"))
+      require(!partitionSpecVersioned(table),
+        s"'$table' is a partitioned VERSIONED table — " +
+          "use appendPartitionedVersioned (snapshot commits)")
       require(df.columns.toSet == declared.fieldNames.toSet,
         s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
           s"(${declared.fieldNames.sorted.mkString(",")})")
@@ -3696,6 +3768,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — use overwrite()"))
+    require(!partitionSpecVersioned(table),
+      s"'$table' is a partitioned VERSIONED table — INSERT OVERWRITE " +
+        "it by replacing its partitions (overwritePartitionTuplesVersioned)")
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
@@ -3721,6 +3796,279 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       adoptStagedLeaves(table, scratch)
     }
     invalidateStats(table)
+  }
+
+  // ------------------------- PARTITIONED VERSIONED tables (r13 #1)
+  // The two table worlds unified: a `_vN` snapshot holding a whole
+  // Hive leaf tree. Partition-pruned scans, O(changed leaves) DML,
+  // snapshot isolation, time travel, history, tags, and O(delta)
+  // change feeds coexist on one table — the shape of a production
+  // fact (the reference's date-stamped transactions, main.ddl:105-115,
+  // is exactly this table). Appends hard-link the carried leaf tree
+  // (O(existing files) metadata + O(new data) bytes — the same cost
+  // class as an Iceberg manifest rewrite); partition-granular
+  // replaces simply don't carry the claimed leaves. The flat
+  // versioned verbs (replaceAtomic/appendAtomic/branches/OPTIMIZE)
+  // refuse these tables loudly — their commits would land flat files
+  // into a leaf-tree snapshot.
+
+  /** Declare an EMPTY partitioned VERSIONED table: the spec sidecar
+    * (flagged `versioned`) plus a committed empty `_v1`, so the table
+    * is born with history and a snapshot to time-travel back to.
+    * `parts` mixes identity columns and transforms exactly as
+    * [[createPartitionedTransformed]] takes them. */
+  def createPartitionedVersioned(table: String, schema: StructType,
+      parts: Seq[(String, String, Int)]): Unit = {
+    val (partCols, gen) = TableCatalog.validatedGenSpec(schema, parts)
+    require(partCols.size < schema.size || gen.nonEmpty,
+      "a table cannot be partitioned by ALL of its columns")
+    require(!exists(table), s"'$table' already exists")
+    Files.createDirectories(Paths.get(path(table)))
+    writePartSpecGenV(table, partCols, schema, gen, versioned = true)
+    withTableLock(table) {
+      Files.createDirectories(snapDir(table, 1L))
+      writeHistoryEntry(table, 1L, "CREATE", "")
+      val tmp = Paths.get(path(table), "_version.tmp")
+      Files.write(tmp, "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmp, versionFile(table))
+    }
+  }
+
+  /** Convenience overload: identity partition columns only. */
+  def createPartitionedVersioned(table: String, schema: StructType,
+      partCols: Seq[String])(implicit d: DummyImplicit): Unit =
+    createPartitionedVersioned(table, schema,
+      partCols.map(("identity", _, 0)))
+
+  /** Read snapshot `v` of a partitioned versioned table: the leaf tree
+    * under the declared schema (identity partition values come from
+    * the directory names; hidden generated columns are resolved for
+    * discovery and projected away). */
+  private[graft] def readPartVersionedAt(table: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalStateException(s"'$table' lost its partition spec"))
+    val gen = partitionGen(table)
+    val d = snapDir(table, v)
+    if (listParquetUrisAt(d).isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    val full = StructType(declared.fields ++ gen.map(g =>
+      org.apache.spark.sql.types.StructField(g.name,
+        TableCatalog.genDataType(g), nullable = true)))
+    spark.read.schema(full).option("basePath", d.toString)
+      .parquet(d.toString)
+      .select(declared.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Versioned APPEND of a partitioned versioned table: stage the new
+    * rows as a leaf tree unlocked (spec-pin discipline), then under
+    * the lock hard-link the whole current tree into `_vN+1` and adopt
+    * the staged leaves — O(new data) bytes + O(existing files) links.
+    * Returns the committed version. */
+  def appendPartitionedVersioned(table: String, df: DataFrame): Long = {
+    var attempt = 0
+    var result = Option.empty[Long]
+    while (result.isEmpty) {
+      attempt += 1
+      require(attempt <= TableCatalog.MaxOptimisticAttempts + 1,
+        s"'$table' partition spec keeps moving mid-append — a spec " +
+          "evolution loop is racing this write; re-run when it settles")
+      val pin = partSpecPin(table)
+      val (pcols, declared) = partitionSpec(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$table' has no partition spec — use appendAtomic"))
+      require(partitionSpecVersioned(table),
+        s"'$table' is a partitioned PLAIN table — use insertPartitioned")
+      require(df.columns.toSet == declared.fieldNames.toSet,
+        s"append shape (${df.columns.sorted.mkString(",")}) != declared " +
+          s"(${declared.fieldNames.sorted.mkString(",")})")
+      val cons0 = constraintsOf(table)
+      val scratch = stageLeaves(table,
+        enforced(table, withGen(table, stripDf(df))), pcols)
+      result = withTableLock(table) {
+        if (partSpecPin(table) != pin || constraintsOf(table) != cons0) None
+        else {
+          val cur = currentVersion(table).getOrElse(
+            throw new IllegalStateException(
+              s"'$table' lost its version pointer"))
+          Some(commitPartVersionedLocked(table, cur, "APPEND",
+            skip = Seq.empty, scratch = Some(scratch)))
+        }
+      }
+      if (result.isEmpty) deleteRecursive(scratch)
+    }
+    result.get
+  }
+
+  /** The LOCKED commit every partitioned-versioned write shares:
+    * link the current tree into `_vN+1` minus `skip` leaf prefixes,
+    * adopt the staged leaves (if any), history entry, pointer rename,
+    * retention sweep. Caller holds the table lock. */
+  private def commitPartVersionedLocked(table: String, cur: Long,
+      op: String, skip: Seq[String], scratch: Option[Path],
+      carry: Boolean = true): Long = {
+    val next = cur + 1L
+    deleteRecursive(snapDir(table, next)) // a crashed prior attempt
+    Files.createDirectories(snapDir(table, next))
+    if (carry) linkTree(snapDir(table, cur), snapDir(table, next), skip)
+    scratch.foreach(adoptStagedInto(snapDir(table, next), _))
+    writeHistoryEntry(table, next, op, "")
+    val tmp = Paths.get(path(table), "_version.tmp")
+    Files.write(tmp,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, versionFile(table))
+    pruneSnapshots(table, cur)
+    invalidateStats(table)
+    next
+  }
+
+  /** Replace exactly the `parts` partition TUPLES of a partitioned
+    * versioned table with `df`'s rows, as ONE snapshot commit: the new
+    * `_vN+1` links every leaf EXCEPT the claimed ones and adopts the
+    * staged replacements — untouched leaves carry byte-identical
+    * (hard-linked) files, claimed-and-emptied leaves simply are not
+    * carried, readers keep their snapshot. `expect` pins the version
+    * `df` was computed from (the optimistic rule every versioned
+    * rewrite follows): a commit that landed since refuses loudly —
+    * rows it appended into a claimed leaf are not in `df`, and
+    * replacing anyway would silently drop them. */
+  def overwritePartitionTuplesVersioned(table: String, df: DataFrame,
+      parts: Seq[Seq[Option[String]]], expect: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val (partCols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    require(partitionSpecVersioned(table),
+      s"'$table' is a partitioned PLAIN table — use overwritePartitionTuples")
+    if (parts.isEmpty) return currentVersion(table).getOrElse(0L)
+    require(parts.forall(_.size == partCols.size),
+      s"every partition tuple must have ${partCols.size} values " +
+        s"(${partCols.mkString(", ")})")
+    require(!parts.exists(_.contains(Some(""))),
+      "empty-string partition value: the Hive layout stores it in the " +
+        "NULL partition directory, silently rewriting the key to NULL")
+    val withG = withGen(table, stripDf(df))
+    val pcs = partCols.map(c => col(c).cast("string"))
+    def tupleMatch(t: Seq[Option[String]]): org.apache.spark.sql.Column =
+      pcs.zip(t).map { case (pc, v) =>
+        v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+    val keep = parts.map(tupleMatch).reduce(_ || _)
+    def leafRel(t: Seq[Option[String]]): String =
+      partCols.zip(t).map { case (c, v) =>
+        val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName)
+        s"$c=$dirName"
+      }.mkString("/")
+    val scratch = stageLeaves(table, withG.filter(keep), partCols)
+    withTableLock(table) {
+      if (!currentVersion(table).contains(expect)) {
+        deleteRecursive(scratch)
+        require(false,
+          s"'$table' moved (expected v$expect, now " +
+            s"v${currentVersion(table).getOrElse(0L)}) — the replacement " +
+            "rows' input snapshot is stale; re-run the statement")
+      }
+      commitPartVersionedLocked(table, expect, "REPLACE_PARTITIONS",
+        skip = parts.map(leafRel), scratch = Some(scratch))
+    }
+  }
+
+  /** `INSERT OVERWRITE` of a partitioned versioned table: the new
+    * snapshot holds ONLY the staged leaf tree (nothing carries) —
+    * whole-table replace with snapshot isolation; readers keep their
+    * version, history logs REPLACE. */
+  def replacePartitionedVersioned(table: String, df: DataFrame): Long = {
+    val (pcols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    require(partitionSpecVersioned(table),
+      s"'$table' is a partitioned PLAIN table — use overwritePartitionedAll")
+    require(df.columns.toSet == declared.fieldNames.toSet,
+      s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
+        s"(${declared.fieldNames.sorted.mkString(",")})")
+    val pin = partSpecPin(table)
+    val scratch = stageLeaves(table,
+      enforced(table, withGen(table, stripDf(df))), pcols)
+    withTableLock(table) {
+      if (partSpecPin(table) != pin) {
+        deleteRecursive(scratch)
+        require(false,
+          s"'$table' evolved its partition spec mid-OVERWRITE — re-run")
+      }
+      val cur = currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"'$table' lost its version pointer"))
+      commitPartVersionedLocked(table, cur, "REPLACE",
+        skip = Seq.empty, scratch = Some(scratch), carry = false)
+    }
+  }
+
+  /** Drop whole partitions of a partitioned versioned table —
+    * METADATA-ONLY at any size: the next snapshot simply does not link
+    * the claimed leaves. The retention-window purge verb (a year-old
+    * day partition of a 100 TB fact drops in O(remaining files) driver
+    * metadata, zero data bytes read or written). */
+  def dropPartitionsVersioned(table: String,
+      parts: Seq[Seq[Option[String]]]): Long = {
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    val expect = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' is not versioned"))
+    overwritePartitionTuplesVersioned(table, empty, parts, expect)
+  }
+
+  /** Partition-granular DELETE on a partitioned versioned table: only
+    * the leaves holding matches rewrite (read → filter survivors →
+    * one REPLACE_PARTITIONS snapshot); every other leaf hard-links
+    * through unchanged. Copy-on-write with snapshot isolation — a
+    * reader mid-scan keeps its version; time travel reaches the
+    * pre-delete state. Retries on a lost optimistic race. Returns
+    * (affected, fullyRemoved) tuples in declaration order. */
+  def deleteWherePartsVersioned(table: String,
+      cond: org.apache.spark.sql.Column)
+      : (Seq[Seq[Option[String]]], Seq[Seq[Option[String]]]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (partCols, _) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    var attempt = 0
+    var out = Option.empty[(Seq[Seq[Option[String]]], Seq[Seq[Option[String]]])]
+    while (out.isEmpty) {
+      attempt += 1
+      val cur = currentVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"'$table' is not versioned"))
+      // gen columns re-derived for tuple routing — pure functions of
+      // their source, so they agree with the directory values
+      val full = withGen(table, readPartVersionedAt(table, cur))
+      val pcs = partCols.map(c => col(c).cast("string"))
+      def tuples(df: DataFrame): Seq[Seq[Option[String]]] =
+        df.select(pcs: _*).distinct().collect()
+          .map(r => partCols.indices.map(i =>
+            Option(r.getString(i))): Seq[Option[String]]).toSeq
+      val affected = tuples(full.filter(cond))
+      if (affected.isEmpty) return (Nil, Nil)
+      def tupleMatch(t: Seq[Option[String]]): org.apache.spark.sql.Column =
+        pcs.zip(t).map { case (pc, v) =>
+          v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+      val inPart = affected.map(tupleMatch).reduce(_ || _)
+      // survivors = rows where cond IS NOT TRUE (NULL survives — the
+      // deleteWhere 3VL rule). No eager checkpoint needed: the write
+      // lands in a scratch, never over its own input (copy-on-write).
+      val survivors = full.filter(inPart)
+        .filter(!coalesce(cond, lit(false)))
+        .drop(partitionGen(table).map(_.name): _*)
+      val survivorParts = tuples(withGen(table, survivors)).toSet
+      try {
+        overwritePartitionTuplesVersioned(table, survivors, affected, cur)
+        out = Some((affected, affected.filterNot(survivorParts)))
+      } catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("moved") &&
+            attempt <= TableCatalog.MaxOptimisticAttempts => // retry
+      }
+    }
+    out.get
   }
 
   /** PARTITION-SPEC EVOLUTION for a partitioned plain table (r12
@@ -3769,6 +4117,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"'$table' has no partition spec — repartitionTable evolves " +
           "partitioned plain tables; versioned tables derive skipping " +
           "from stats/Z-order (optimizeZOrder) instead"))
+    require(!partitionSpecVersioned(table),
+      s"'$table' is a partitioned VERSIONED table — spec evolution for " +
+        "the snapshot layout is not supported yet; recreate via CTAS")
     val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
     if (newCols == oldCols && newGen == partitionGen(table)) return
     require(!hasDv(table),
@@ -5608,6 +5959,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private[graft] def replaceStaged(table: String, df: DataFrame,
       expect: Option[Option[Long]], op: String,
       afterStage: () => Unit): Long = {
+    requireFlatVersioned(table, "replaceAtomic")
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -5653,6 +6005,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def replaceAtomicLocked(table: String, df: DataFrame,
                                   foldsDv: Boolean = false,
                                   op: String = "REPLACE"): Long = {
+    requireFlatVersioned(table, op)
     healSwap(table)
     // centralized deletion-vector guard: converting a plain table that
     // carries live vectors would snapshot the bare (vectors-ignored)
@@ -5858,6 +6211,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                                  nextId: Int = 0,
                                  declare: Boolean = false,
                                  pub: String = ""): Long = {
+    requireFlatVersioned(table, op)
     require(Files.exists(staged), s"staging dir vanished: $staged")
     val next = expect.getOrElse(0L) + 1L
     val snap = snapDir(table, next)
@@ -5951,6 +6305,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * specs, the [[stagedRewrite]] build-callback pattern. */
   private[graft] def appendAtomicStaged(table: String, df: DataFrame,
       mergeSchema: Boolean, afterStage: () => Unit): Long = {
+    requireFlatVersioned(table, "appendAtomic")
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -6051,6 +6406,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       dfSchema: StructType, mergeSchema: Boolean,
       mIds: Option[TableCatalog.IdMarker], land: Path => Unit,
       op: String = "APPEND", pub: String = ""): Long = {
+    requireFlatVersioned(table, op)
     // SCHEMA EVOLUTION gate: the hard-link layout mixes old and new
     // files in one snapshot, so a silent schema drift would leave
     // reads at the mercy of footer sampling. Same column set →
@@ -6158,6 +6514,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def widenColumn(table: String, column: String,
       newType: org.apache.spark.sql.types.DataType): Long =
     withTableLock(table) {
+      requireFlatVersioned(table, "widenColumn")
       healSwap(table)
       val cur = currentVersion(table).getOrElse(
         throw new IllegalArgumentException(
@@ -6236,6 +6593,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       requireTo: Option[String])(
       change: (StructType, Map[String, Int]) => (StructType, Map[String, Int]))
       : Long = withTableLock(table) {
+    requireFlatVersioned(table, op)
     healSwap(table)
     val cur = currentVersion(table).getOrElse(throw new IllegalArgumentException(
       s"'$table' is not a versioned table — column mapping needs the " +
@@ -6379,11 +6737,24 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     Seq(lo, hi).foreach(v => require(Files.exists(snapDir(table, v)),
       s"version $v of '$table' is not on disk (retained: ${versions(table).mkString(", ")})"))
     val (d1, d2) = (snapDir(table, lo), snapDir(table, hi))
+    // keys are snapshot-RELATIVE paths: flat snapshots reduce to file
+    // names, partitioned versioned snapshots carry their leaf dirs (a
+    // file is "the same" only in the same partition — hard-linked
+    // carried files keep identical relative paths, so they cancel)
     def byName(d: Path): Map[String, String] =
-      listParquetUrisAt(d).map(u =>
-        Paths.get(java.net.URI.create(u)).getFileName.toString -> u).toMap
-    val endSchema = resolveSchema(table, hi).getOrElse(
-      spark.read.parquet(d2.toString).schema)
+      listParquetUrisAt(d).map { u =>
+        val p = Paths.get(java.net.URI.create(u))
+        d.relativize(p).toString -> u
+      }.toMap
+    // a partitioned VERSIONED table's declared schema lives in the
+    // spec sidecar (identity partition values come from directory
+    // names, so the feed reads need a basePath and the hidden columns
+    // project away)
+    val pvDeclared =
+      if (partitionSpecVersioned(table)) partitionSpec(table).map(_._2)
+      else None
+    val endSchema = pvDeclared.getOrElse(resolveSchema(table, hi).getOrElse(
+      spark.read.parquet(d2.toString).schema))
     def sameCols(a: StructType, b: StructType): Boolean =
       a.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
         .sameElements(b.fields.map(f => (f.name, f.dataType)).sortBy(_._1))
@@ -6430,8 +6801,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     //    — never a silent null-fill;
     //  - a TYPE conflict on a shared name, or a removal without ids,
     //    stays refused loudly: no mapping can make those well-defined.
-    val schema1 = resolveSchema(table, lo).getOrElse(
-      spark.read.parquet(d1.toString).schema)
+    val schema1 = pvDeclared.getOrElse(resolveSchema(table, lo).getOrElse(
+      spark.read.parquet(d1.toString).schema))
     val schema = endSchema
     val hiHasIds = schemaLog(table).filter(_.version <= hi)
       .lastOption.exists(_.ids.nonEmpty)
@@ -6456,15 +6827,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           "— a feed across a rename/removal needs the column-mapping " +
           "lineage (renameColumn/dropColumn); diff the snapshots " +
           "directly with an explicit mapping")
-    def scoped(sch: StructType, files: Seq[String]): DataFrame =
+    def scoped(sch: StructType, files: Seq[String], base: Path): DataFrame =
       if (files.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         TableCatalog.stripFieldIds(schema))
-      else stripDf( // the feed is a DERIVED artifact: ids must not leak
-        spark.read.schema(sch).parquet(files: _*)
-          .select(schema.fieldNames.map( // one column ORDER on both sides
-            org.apache.spark.sql.functions.col): _*))
-    (scoped(schema, added), scoped(loReadSchema, removed), added, removed)
+      else pvDeclared match {
+        case Some(decl) =>
+          val gen = partitionGen(table)
+          val full = StructType(decl.fields ++ gen.map(g =>
+            org.apache.spark.sql.types.StructField(g.name,
+              TableCatalog.genDataType(g), nullable = true)))
+          stripDf(spark.read.schema(full)
+            .option("basePath", base.toString).parquet(files: _*)
+            .select(schema.fieldNames.map(
+              org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+        case None => stripDf( // the feed is DERIVED: ids must not leak
+          spark.read.schema(sch).parquet(files: _*)
+            .select(schema.fieldNames.map( // one column ORDER, both sides
+              org.apache.spark.sql.functions.col): _*))
+      }
+    (scoped(schema, added, d2), scoped(loReadSchema, removed, d1),
+      added, removed)
   }
 
   private def deleteRecursive(p: Path): Unit = TableCatalog.deleteRecursively(p)
@@ -6942,10 +7325,28 @@ object TableCatalog {
   /** The effective truncate width (string flavor stores it negated). */
   private[graft] def truncWidth(g: GenCol): Int = math.abs(g.n)
 
+  /** The type a generated partition column materializes as — shared by
+    * the write derivation, the SQL delegate schema, and the
+    * partitioned-versioned snapshot reads. */
+  private[graft] def genDataType(g: GenCol)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    g.kind match {
+      case "days" => DateType
+      case "truncate" =>
+        if (truncIsString(g)) StringType
+        else if (g.dscale >= 0) DecimalType(18, g.dscale)
+        else LongType
+      case _ => IntegerType
+    }
+  }
+
   private[catalog] def renderPartSpec(cols: Seq[String],
                                       schemaDdl: String,
-                                      gen: Seq[GenCol] = Seq.empty): String = {
+                                      gen: Seq[GenCol] = Seq.empty,
+                                      versioned: Boolean = false): String = {
     val o = om.createObjectNode()
+    if (versioned) o.put("versioned", true)
     // legacy single-col field kept for older readers — but ONLY when
     // the spec really is single-column: writing the head column for a
     // multi-column spec would make an old reader silently treat the
@@ -6975,6 +7376,14 @@ object TableCatalog {
 
   private[catalog] def parsePartSpec(s: String): Option[(Seq[String], String)] =
     parsePartSpecFull(s).map { case (cols, ddl, _) => (cols, ddl) }
+
+  /** Whether a spec sidecar declares the PARTITIONED VERSIONED layout
+    * (snapshots of whole leaf trees, r13 verdict #1). */
+  private[catalog] def partSpecIsVersioned(s: String): Boolean =
+    try {
+      val n = om.readTree(s)
+      n != null && Option(n.get("versioned")).exists(_.asBoolean(false))
+    } catch { case _: Exception => false }
 
   private[catalog] def parsePartSpecFull(s: String)
       : Option[(Seq[String], String, Seq[GenCol])] =

@@ -238,10 +238,15 @@ class GraftSqlCatalog extends DsV2TableCatalog
           case None => cat.path(t) // plain append-style table
         }
     }
-    // a SQL-created partitioned plain table reads under its spec's
-    // declared schema (works even while empty) and exposes its identity
-    // partitioning so EXPLAIN shows partition pruning for what it is
-    val partSpec = if (current.isEmpty) cat.partitionSpec(t) else None
+    // a SQL-created partitioned table reads under its spec's declared
+    // schema (works even while empty) and exposes its identity
+    // partitioning so EXPLAIN shows partition pruning for what it is.
+    // A partitioned VERSIONED table (r13 verdict #1) keeps the spec
+    // too — its snapshot dir holds the same Hive leaf tree, so leaf
+    // pruning and partition discovery work against `dir` unchanged.
+    val pv = cat.partitionSpecVersioned(t)
+    val partSpec =
+      if (current.isEmpty || pv) cat.partitionSpec(t) else None
     // an evolved table reads under its DECLARED schema (the catalog's
     // schema log) — footer inference over a mixed-schema snapshot
     // would sample one file's shape
@@ -259,7 +264,7 @@ class GraftSqlCatalog extends DsV2TableCatalog
     // layout: the delegate resolves them (discovery appends inferred
     // partition columns regardless), the wrapper's schema() hides
     // them, and column pruning keeps them out of every scan
-    val gen = if (current.isEmpty) cat.partitionGen(t) else Seq.empty
+    val gen = if (current.isEmpty || pv) cat.partitionGen(t) else Seq.empty
     val delegateSchema = declared.map { d =>
       if (gen.isEmpty) d
       else StructType(d.fields ++ gen.map(g =>
@@ -270,7 +275,9 @@ class GraftSqlCatalog extends DsV2TableCatalog
       SparkSession.active, CaseInsensitiveStringMap.empty(), Seq(dir),
       delegateSchema, classOf[ParquetFileFormat]), cat, t,
       writable = version.isEmpty, loadedVersion = current,
-      partCols = partSpec.map(_._1), genSpec = gen)
+      partCols = partSpec.map(_._1), genSpec = gen,
+      partVersioned = pv, scanRoot = Some(dir),
+      declaredSchema = partSpec.map(_._2))
   }
 
   private def readOnly(verb: String): Nothing =
@@ -330,7 +337,13 @@ class GraftSqlCatalog extends DsV2TableCatalog
             "cluster versioned tables with optimizeZOrder / " +
             "analyze(skipCols) instead")
       }
-      if (parts.forall(_._1 == "identity"))
+      // TBLPROPERTIES ('versioned'='true') opts a partitioned table
+      // into the SNAPSHOT layout (r13 verdict #1): leaf-pruned scans
+      // plus time travel / history / O(delta) CDC on one table
+      val versioned = Seq("versioned", "graft.versioned").exists(k =>
+        Option(properties.get(k)).exists(_.equalsIgnoreCase("true")))
+      if (versioned) cat.createPartitionedVersioned(t, schema, parts)
+      else if (parts.forall(_._1 == "identity"))
         cat.createPartitioned(t, schema, parts.map(_._2))
       else cat.createPartitionedTransformed(t, schema, parts)
       return loadTable(ident)
@@ -442,16 +455,8 @@ object GraftSqlCatalog {
 
   /** The generated partition column's declared type per transform. */
   private[sql] def genType(g: graft.catalog.TableCatalog.GenCol)
-      : org.apache.spark.sql.types.DataType = g.kind match {
-    case "days" => org.apache.spark.sql.types.DateType
-    case "truncate" =>
-      if (graft.catalog.TableCatalog.truncIsString(g))
-        org.apache.spark.sql.types.StringType
-      else if (g.dscale >= 0)
-        org.apache.spark.sql.types.DecimalType(18, g.dscale)
-      else org.apache.spark.sql.types.LongType
-    case _ => org.apache.spark.sql.types.IntegerType
-  }
+      : org.apache.spark.sql.types.DataType =
+    graft.catalog.TableCatalog.genDataType(g)
 
   /** Scan builder for HIDDEN (transform) partitioning: leaf-prunes the
     * served paths from pushed predicates on the SOURCE column — the
@@ -469,7 +474,8 @@ object GraftSqlCatalog {
       cat: graft.catalog.TableCatalog, table: String,
       fullSchema: StructType, partCols: Seq[String],
       gen: Seq[graft.catalog.TableCatalog.GenCol],
-      options: CaseInsensitiveStringMap)
+      options: CaseInsensitiveStringMap,
+      root: String)
       extends ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -482,10 +488,10 @@ object GraftSqlCatalog {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = Some(requiredSchema)
     override def build(): org.apache.spark.sql.connector.read.Scan = {
-      val paths = GenPrune.leafPaths(cat, table, partCols, gen,
+      val paths = GenPrune.leafPaths(root, partCols, gen,
         fullSchema, preds)
       val opts = new java.util.HashMap[String, String](options)
-      opts.put("basePath", cat.path(table))
+      opts.put("basePath", root)
       val csm = new CaseInsensitiveStringMap(opts)
       val b = ParquetTable(s"$table-genscan", SparkSession.active, csm,
         paths, Some(fullSchema), classOf[ParquetFileFormat])
@@ -705,13 +711,13 @@ object GraftSqlCatalog {
       * pruned-out table serves one provably-empty leaf path set: the
       * base path with no matching leaves still returns zero rows
       * through the row filters, so correctness is Spark's either way. */
-    def leafPaths(cat: graft.catalog.TableCatalog, table: String,
+    def leafPaths(rootDir: String,
         partCols: Seq[String], gen: Seq[GenCol], fullSchema: StructType,
         preds: Array[Predicate]): Seq[String] = {
-      val root = Paths.get(cat.path(table))
+      val root = Paths.get(rootDir)
       val keeps = keepFns(gen, comparisons(preds))
       if (keeps.isEmpty || partCols.isEmpty || !Files.exists(root))
-        return Seq(cat.path(table))
+        return Seq(rootDir)
       val byName = gen.map(g => g.name -> g).toMap
       def walk(dir: java.nio.file.Path, level: Int): Seq[java.nio.file.Path] =
         if (level == partCols.size) Seq(dir)
@@ -1057,7 +1063,9 @@ object GraftSqlCatalog {
       cat: graft.catalog.TableCatalog, table: String, writable: Boolean,
       loadedVersion: Option[Long], partCols: Option[Seq[String]] = None,
       branch: Option[String] = None, branchEpoch: Option[String] = None,
-      genSpec: Seq[graft.catalog.TableCatalog.GenCol] = Seq.empty)
+      genSpec: Seq[graft.catalog.TableCatalog.GenCol] = Seq.empty,
+      partVersioned: Boolean = false, scanRoot: Option[String] = None,
+      declaredSchema: Option[StructType] = None)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     private val genNames = genSpec.map(_.name).toSet
@@ -1066,11 +1074,21 @@ object GraftSqlCatalog {
     // only in the directory layout — the declared (INSERT/SELECT)
     // schema never shows them, and column pruning keeps them out of
     // every scan (the delegate still resolves them, so tuple routing
-    // and discovery agree)
-    override def schema(): StructType =
-      if (genSpec.isEmpty) delegate.schema
-      else StructType(delegate.schema.fields.filterNot(f =>
-        genNames(f.name)))
+    // and discovery agree).
+    // The DECLARED column ORDER is authoritative: the FileTable
+    // delegate silently reorders a user schema to partition-cols-LAST,
+    // and serving that order made positional INSERT bind values to the
+    // wrong columns whenever an identity partition column was not
+    // declared last (an ADD COLUMN puts every spec in that shape) —
+    // scans are name-projected, so presenting the declared order costs
+    // nothing and restores the CREATE statement's contract.
+    override def schema(): StructType = declaredSchema match {
+      case Some(d) => StructType(d.fields.filterNot(f => genNames(f.name)))
+      case None =>
+        if (genSpec.isEmpty) delegate.schema
+        else StructType(delegate.schema.fields.filterNot(f =>
+          genNames(f.name)))
+    }
     override def partitioning(): Array[Transform] = {
       import org.apache.spark.sql.connector.expressions.Expressions
       partCols.map(_.map { c =>
@@ -1134,7 +1152,7 @@ object GraftSqlCatalog {
           new GraftRowLevelOperation(delegate, cat, table, loadedVersion,
             info.command(), partCols,
             branchTarget = branch.map(b => (b, branchEpoch.get)),
-            genSpec = genSpec)
+            genSpec = genSpec, partVersioned = partVersioned)
       }
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1147,7 +1165,8 @@ object GraftSqlCatalog {
           "silently audit the main table); INSERT INTO creates it")
       if (genSpec.isEmpty) delegate.newScanBuilder(options)
       else new GenPruneScanBuilder(cat, table, delegate.schema,
-        partCols.getOrElse(Seq.empty), genSpec, options)
+        partCols.getOrElse(Seq.empty), genSpec, options,
+        scanRoot.getOrElse(cat.path(table)))
     }
     /** `DELETE FROM g.t WHERE …`: survivors re-commit as one versioned
       * snapshot (the rewrite form of Delta's DELETE — readers keep
@@ -1170,6 +1189,12 @@ object GraftSqlCatalog {
           s"DELETE predicate not translatable: $p")))
       val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
       partCols match {
+        case Some(_) if partVersioned =>
+          // partitioned VERSIONED: only the matching leaves rewrite,
+          // committed as ONE snapshot — readers keep theirs, time
+          // travel reaches the pre-delete state
+          cat.deleteWherePartsVersioned(table, coalesce(cond, lit(false)))
+          ()
         case Some(pcs) =>
           // partitioned plain table (single- or multi-column nesting):
           // the catalog's partition-granular purge — rewrites ONLY the
@@ -1208,6 +1233,13 @@ object GraftSqlCatalog {
                     // both invisible to main until publish_branch
                     if (overwrite || o) cat.replaceBranch(table, br, data)
                     else cat.appendToBranch(table, br, data)
+                    ()
+                  case (None, Some(_)) if partVersioned =>
+                    // partitioned VERSIONED: INSERT commits a snapshot
+                    // (carried leaves hard-link); OVERWRITE replaces
+                    // the whole tree as one new snapshot
+                    if (overwrite || o) cat.replacePartitionedVersioned(table, data)
+                    else cat.appendPartitionedVersioned(table, data)
                     ()
                   case (None, Some(_)) => // partitioned plain layout
                     if (overwrite || o) cat.overwritePartitionedAll(table, data)
@@ -1248,7 +1280,8 @@ object GraftSqlCatalog {
       cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
       partCols: Option[Seq[String]],
       branchTarget: Option[(String, String)] = None,
-      genSpec: Seq[graft.catalog.TableCatalog.GenCol] = Seq.empty)
+      genSpec: Seq[graft.catalog.TableCatalog.GenCol] = Seq.empty,
+      partVersioned: Boolean = false)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
     import org.apache.spark.sql.connector.read.Scan
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
@@ -1467,6 +1500,17 @@ object GraftSqlCatalog {
       }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      // a partitioned VERSIONED table reaches here only when the
+      // statement could NOT become a metadata-only partition delete:
+      // UPDATE/MERGE (or a row-granular DELETE) would have to replace
+      // leaf trees group-wise, which the snapshot commit protocol does
+      // not cover yet — refuse at the write half so partition-pruned
+      // DELETE (rewritten before any write is planned) keeps working
+      require(!partVersioned,
+        s"'$table' is a partitioned VERSIONED table — row-level SQL " +
+          "(UPDATE/MERGE, row-granular DELETE) on it is not supported " +
+          "yet; partition-granular DELETE works, and the Scala " +
+          "overwritePartitionTuplesVersioned verb covers the rest")
       val staging = Paths.get(cat.path(table), "_tmp_rlo_" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       // the stock parquet BatchWrite does the distributed writing and

@@ -537,6 +537,33 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(Files.exists(Paths.get(cat.path("rw"), "y=2020", "prio=9")))
   }
 
+  test("the DECLARED column order is authoritative: positional INSERT " +
+      "and SELECT * after ADD COLUMN never swap a mid-schema identity " +
+      "partition column") {
+    val (_, g) = freshSqlCat()
+    // partition col NOT last — the FileTable delegate reorders its own
+    // schema to partition-cols-last, which used to leak into schema()
+    // and bind positional VALUES to the wrong columns
+    spark.sql(s"CREATE TABLE $g.ord (k BIGINT, y INT, prio INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.ord VALUES (1, 2020, 7)")
+    val st = spark.sql(s"SELECT * FROM $g.ord")
+    assert(st.schema.fieldNames.toSeq === Seq("k", "y", "prio"))
+    assert(st.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSeq === Seq((1L, 2020, 7)))
+    // ADD COLUMN puts EVERY partitioned spec in the mid-schema shape
+    spark.sql(s"CREATE TABLE $g.ord2 (k BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt)")
+    spark.sql(s"INSERT INTO $g.ord2 VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE $g.ord2 ADD COLUMN tag STRING")
+    spark.sql(s"INSERT INTO $g.ord2 VALUES (2, 'a', 'x')")
+    val rows = spark.sql(s"SELECT k, dt, tag FROM $g.ord2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "a", Some("x"))),
+      "a positional INSERT after ADD COLUMN must bind by DECLARED order")
+  }
+
   test("temporal transforms derive in UTC: a session-TZ change between " +
       "write and read never moves directory values or drops leaves") {
     val (cat, g) = freshSqlCat()

@@ -1,0 +1,232 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.{Files, Paths}
+
+/** PARTITIONED VERSIONED tables (r13 verdict #1) — the two table
+  * worlds unified: `_vN` snapshots holding whole Hive leaf trees, so
+  * partition-pruned scans, O(changed leaves) DML, time travel, history
+  * and O(delta) change feeds coexist on one table. */
+class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private var seq = 0
+  private def freshSqlCat(): (TableCatalog, String) = {
+    val root = Files.createTempDirectory("pv").toString
+    seq += 1
+    val name = s"gpv$seq"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (new TableCatalog(spark, root), name)
+  }
+
+  private def fact(dt: String, ks: Range) =
+    ks.map(k => (k.toLong, k.toLong * 10, dt)).toDF("k", "v", "dt")
+
+  private def leafFiles(cat: TableCatalog, t: String, v: Long,
+      leaf: String): Seq[String] = {
+    val d = Paths.get(cat.path(t), s"_v$v", leaf)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  test("create + append two dates: snapshots, time travel, history; " +
+      "carried leaves hard-link (same inode, no bytes copied)") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("f",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    assert(cat.currentVersion("f") === Some(1L))
+    assert(cat.read("f").count() === 0L) // empty v1 reads under the spec
+    val v2 = cat.appendPartitionedVersioned("f", fact("2024-01-01", 0 until 8))
+    val v3 = cat.appendPartitionedVersioned("f", fact("2024-01-02", 8 until 20))
+    assert((v2, v3) === (2L, 3L))
+    assert(cat.read("f").count() === 20L)
+    // time travel reaches every state
+    assert(cat.readVersion("f", 1L).count() === 0L)
+    assert(cat.readVersion("f", 2L).count() === 8L)
+    assert(cat.readVersion("f", 2L).select("dt").distinct().as[String]
+      .collect().toSeq === Seq("2024-01-01"))
+    // partition values come from the directory names, typed declared
+    assert(cat.read("f").schema.fieldNames.toSeq === Seq("k", "v", "dt"))
+    assert(cat.read("f").filter($"dt" === "2024-01-02").count() === 12L)
+    // the carried leaf's files are the SAME inodes in v2 and v3 —
+    // an append never rewrites existing data
+    val carried = leafFiles(cat, "f", 2L, "dt=2024-01-01")
+    assert(carried.nonEmpty &&
+      carried === leafFiles(cat, "f", 3L, "dt=2024-01-01"))
+    carried.foreach { n =>
+      assert(Files.isSameFile(
+        Paths.get(cat.path("f"), "_v2", "dt=2024-01-01", n),
+        Paths.get(cat.path("f"), "_v3", "dt=2024-01-01", n)),
+        s"$n must be a hard link, not a copy")
+    }
+    assert(cat.history("f").count() >= 3L)
+  }
+
+  test("CDC between versions is O(delta): only the appended leaf's " +
+      "files contribute; the classified feed works over keys") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("c",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned("c", fact("2024-01-01", 0 until 5))
+    cat.appendPartitionedVersioned("c", fact("2024-01-02", 5 until 9))
+    val (ins, del, addedF, removedF) = cat.changedRowsBetween("c", 2L, 3L)
+    assert(del.count() === 0L)
+    assert(removedF.isEmpty)
+    assert(ins.count() === 4L)
+    assert(ins.select("dt").distinct().as[String].collect().toSeq ===
+      Seq("2024-01-02"))
+    // partition values survive the feed read (basePath discovery)
+    assert(ins.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(5L, 6L, 7L, 8L))
+    val feed = cat.changesBetween("c", 2L, 3L, Seq("k"))
+    assert(feed.filter($"change_type" === "insert").count() === 4L)
+  }
+
+  test("partition-granular DELETE rewrites ONE leaf as a snapshot " +
+      "commit; untouched leaves hard-link through; time travel keeps " +
+      "the pre-delete state") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("d",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned("d", fact("2024-01-01", 0 until 6))
+    cat.appendPartitionedVersioned("d", fact("2024-01-02", 6 until 12))
+    val keepFiles = leafFiles(cat, "d", 3L, "dt=2024-01-02")
+    val (affected, gone) = cat.deleteWherePartsVersioned("d",
+      $"dt" === "2024-01-01" && $"k" < 3L)
+    assert(affected === Seq(Seq(Some("2024-01-01"))) && gone.isEmpty)
+    assert(cat.currentVersion("d") === Some(4L))
+    assert(cat.read("d").filter($"dt" === "2024-01-01").count() === 3L)
+    assert(cat.read("d").count() === 9L)
+    // the untouched leaf carried byte-identical (linked) files
+    assert(leafFiles(cat, "d", 4L, "dt=2024-01-02") === keepFiles)
+    keepFiles.foreach(n => assert(Files.isSameFile(
+      Paths.get(cat.path("d"), "_v3", "dt=2024-01-02", n),
+      Paths.get(cat.path("d"), "_v4", "dt=2024-01-02", n))))
+    // pre-delete state is one time travel away
+    assert(cat.readVersion("d", 3L).count() === 12L)
+    // a fully-covered purge is METADATA-ONLY: no data files written
+    val before = leafFiles(cat, "d", 4L, "dt=2024-01-02")
+    cat.dropPartitionsVersioned("d", Seq(Seq(Some("2024-01-02"))))
+    assert(cat.read("d").count() === 3L)
+    assert(leafFiles(cat, "d", 5L, "dt=2024-01-02").isEmpty)
+    // the survivor leaf in v5 is all links (same inodes as v4)
+    leafFiles(cat, "d", 5L, "dt=2024-01-01").foreach(n =>
+      assert(Files.isSameFile(
+        Paths.get(cat.path("d"), "_v4", "dt=2024-01-01", n),
+        Paths.get(cat.path("d"), "_v5", "dt=2024-01-01", n))))
+    assert(before.nonEmpty) // sanity: the dropped leaf did hold files
+  }
+
+  test("flat-versioned verbs refuse: appendAtomic / replaceAtomic / " +
+      "branches / OPTIMIZE would land flat files into a leaf-tree " +
+      "snapshot") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("g",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned("g", fact("2024-01-01", 0 until 3))
+    Seq[(String, () => Any)](
+      ("appendAtomic", () => cat.appendAtomic("g", fact("d", 0 until 1))),
+      ("replaceAtomic", () => cat.replaceAtomic("g", fact("d", 0 until 1))),
+      ("branch", () => cat.appendToBranch("g", "wap", fact("d", 0 until 1))),
+      ("widenColumn", () => cat.widenColumn("g", "v",
+        org.apache.spark.sql.types.DecimalType(20, 0)))
+    ).foreach { case (name, f) =>
+      val e = intercept[Exception](f())
+      assert(e.getMessage.contains("PARTITIONED versioned"),
+        s"$name must refuse: ${e.getMessage}")
+    }
+    // and the plain-partitioned verbs refuse too (wrong layout)
+    val e2 = intercept[Exception](
+      cat.insertPartitioned("g", fact("2024-01-01", 0 until 1)))
+    assert(e2.getMessage.contains("VERSIONED"), e2.getMessage)
+  }
+
+  test("SQL surface: CREATE TBLPROPERTIES(versioned), INSERT INTO, " +
+      "leaf-pruned SELECT, VERSION AS OF, partition-pruned DELETE, " +
+      "INSERT OVERWRITE; UPDATE refuses loudly") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.f (k BIGINT, v BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('versioned'='true')")
+    assert(cat.partitionSpecVersioned("f"))
+    spark.sql(s"INSERT INTO $g.f VALUES (1, 10, '2024-01-01'), " +
+      "(2, 20, '2024-01-01'), (3, 30, '2024-01-02')")
+    spark.sql(s"INSERT INTO $g.f VALUES (4, 40, '2024-01-02')")
+    assert(cat.currentVersion("f") === Some(3L))
+    assert(spark.sql(s"SELECT sum(v) FROM $g.f").as[Long].head() === 100L)
+    // identity partition pruning happens inside the snapshot dir
+    val pruned = spark.sql(s"SELECT k FROM $g.f WHERE dt = '2024-01-01'")
+    assert(pruned.as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(spark.sql(s"SELECT count(*) FROM $g.f VERSION AS OF 2")
+      .as[Long].head() === 3L)
+    // partition-pruned SQL DELETE commits one snapshot
+    spark.sql(s"DELETE FROM $g.f WHERE dt = '2024-01-01'")
+    assert(spark.sql(s"SELECT count(*) FROM $g.f").as[Long].head() === 2L)
+    assert(cat.readVersion("f", 3L).count() === 4L) // pre-delete retained
+    val eu = intercept[Exception](
+      spark.sql(s"UPDATE $g.f SET v = 0 WHERE k = 3"))
+    assert(eu.getMessage.contains("not supported yet"), eu.getMessage)
+    spark.sql(s"INSERT OVERWRITE $g.f VALUES (9, 90, '2024-02-01')")
+    assert(spark.sql(s"SELECT k FROM $g.f").as[Long].collect().toSeq ===
+      Seq(9L))
+    assert(cat.readVersion("f", cat.currentVersion("f").get - 1)
+      .count() === 2L)
+  }
+
+  test("a days(ts) TRANSFORM spec over the versioned layout: hidden " +
+      "column, UTC leaves inside the snapshot, source-predicate " +
+      "pruning serves only matching leaves") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.tv (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts)) TBLPROPERTIES ('versioned'='true')")
+    spark.sql(s"INSERT INTO $g.tv SELECT id AS k, " +
+      "timestamp'2024-03-01 00:30:00' + make_interval(0,0,0,0,CAST(id AS INT)) AS ts " +
+      "FROM range(72)") // 3 days
+    assert(Files.exists(Paths.get(cat.path("tv"), "_v2",
+      "ts_day=2024-03-01")))
+    assert(spark.sql(s"SELECT * FROM $g.tv").columns.toSeq ===
+      Seq("k", "ts"))
+    val q = spark.sql(s"SELECT k FROM $g.tv " +
+      "WHERE ts >= timestamp'2024-03-03 00:00:00'")
+    assert(q.count() === 24L)
+    val dirs = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.fileIndex.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.map(f => f.split("/").find(_.startsWith("ts_day="))
+      .getOrElse("?")).toSet
+    assert(dirs === Set("ts_day=2024-03-03"), s"pruning served $dirs")
+    // append another day: the three old leaves hard-link through
+    spark.sql(s"INSERT INTO $g.tv SELECT 100 + id AS k, " +
+      "timestamp'2024-03-04 06:00:00' AS ts FROM range(2)")
+    assert(spark.sql(s"SELECT count(*) FROM $g.tv").as[Long].head() === 74L)
+    val n = leafFiles(cat, "tv", 2L, "ts_day=2024-03-01")
+    assert(n === leafFiles(cat, "tv", 3L, "ts_day=2024-03-01"))
+  }
+
+  test("ADD COLUMN on a partitioned versioned table is a sidecar " +
+      "update that PRESERVES the versioned flag; old rows null-fill") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.ac (k BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('versioned'='true')")
+    spark.sql(s"INSERT INTO $g.ac VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE $g.ac ADD COLUMN tag STRING")
+    assert(cat.partitionSpecVersioned("ac"), "the flag must survive ALTER")
+    spark.sql(s"INSERT INTO $g.ac VALUES (2, 'a', 'x')")
+    val rows = spark.sql(s"SELECT k, tag FROM $g.ac ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows === Seq((1L, None), (2L, Some("x"))))
+  }
+}
