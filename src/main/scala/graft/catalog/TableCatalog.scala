@@ -3335,6 +3335,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the once-per-date flow. */
   def appendPartitioned(table: String, df: DataFrame, partCol: String): Unit = {
     requirePlain(table, "appendPartitioned")
+    requireSingleGen(table, "appendPartitioned")
     var attempt = 0
     var done = false
     while (!done) {
@@ -3411,6 +3412,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       partCols: Seq[String], parts: Seq[Seq[Option[String]]]): Unit = {
     import org.apache.spark.sql.functions.col
     requirePlain(table, "overwritePartitions")
+    requireSingleGen(table, "overwritePartitions")
     if (parts.isEmpty) return
     require(parts.forall(_.size == partCols.size),
       s"every partition tuple must have ${partCols.size} values " +
@@ -3514,6 +3516,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * serve the empty snapshot instead of the partitioned data. */
   def addColumnsPartitioned(table: String,
       fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    requireSingleGen(table, "ADD COLUMN")
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — use appendAtomic(mergeSchema)"))
@@ -3612,6 +3615,93 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     committer.read(partSpecFile(table)).exists(b =>
       TableCatalog.partSpecIsVersioned(new String(b,
         java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** Every partition-spec GENERATION of `table`, ascending — one entry
+    * for classic single-spec tables, several after [[repartitionTableLazy]]
+    * (the LAST is the current one new writes route to). */
+  def specGenerations(table: String): Seq[TableCatalog.SpecGen] =
+    committer.read(partSpecFile(table)).map(b =>
+      TableCatalog.parsePartSpecGens(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8))).getOrElse(Seq.empty)
+
+  private def requireSingleGen(table: String, verb: String): Unit =
+    require(specGenerations(table).size <= 1,
+      s"'$table' carries multiple partition-spec generations (lazy " +
+        s"evolution) — $verb operates on a single-generation tree; " +
+        "compact first (repartitionTable / repartitionTableTransformed " +
+        "collapses the generations) or read via readPartitioned")
+
+  /** LAZY (metadata-only) partition-spec evolution (r13 verdict #2 —
+    * the Iceberg rule): existing files keep their layout and their
+    * exact names (zero data bytes move), new writes route into a fresh
+    * underscore-hidden `_g<k>` subtree under the NEW spec, and
+    * [[readPartitioned]] unions the generations, each pruned under its
+    * own spec. The eager full rewrite ([[repartitionTableTransformed]])
+    * remains as the COMPACTION path that collapses the generations —
+    * at 100 TB, evolve lazily at the moment of need and compact in
+    * maintenance windows, exactly the Iceberg posture. Single-gen DML
+    * verbs (deleteWhereParts, overwritePartitionTuples, OPTIMIZE)
+    * refuse a multi-generation tree loudly until then. */
+  def repartitionTableLazy(table: String,
+      parts: Seq[(String, String, Int)]): Unit = {
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — lazy evolution needs one"))
+    require(!partitionSpecVersioned(table),
+      s"'$table' is a partitioned VERSIONED table — lazy spec evolution " +
+        "for the snapshot layout is not supported yet")
+    val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
+    withTableLock(table) {
+      val gens = specGenerations(table)
+      require(gens.nonEmpty, s"'$table' lost its partition spec")
+      val cur = gens.last
+      if (cur.partCols == newCols && cur.gen == newGen) return // no-op
+      val idx = gens.map(_.dir).map {
+        case "" => 0
+        case d => d.drop(2).toInt
+      }.max + 1
+      Files.createDirectories(Paths.get(path(table), s"_g$idx"))
+      val tmp = Paths.get(path(table),
+        s"_tmp_partspec-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, TableCatalog.renderPartSpecGens(
+        TableCatalog.stripFieldIds(declared).toDDL,
+        gens :+ TableCatalog.SpecGen(newCols, newGen, s"_g$idx"),
+        versioned = false)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, partSpecFile(table),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      invalidateStats(table)
+    }
+  }
+
+  /** Read a partitioned plain table across ALL its spec generations:
+    * each generation scans its own subtree under its own spec (so
+    * Catalyst prunes each by its own partition columns) and the
+    * declared-column union is the table. Single-generation tables get
+    * exactly one leg — this is the general partitioned read verb. */
+  def readPartitioned(table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use read()"))
+    val root = Paths.get(path(table))
+    val legs = specGenerations(table).flatMap { sg =>
+      val d = if (sg.dir.isEmpty) root else root.resolve(sg.dir)
+      if (listParquetUrisAt(d).isEmpty) None
+      else {
+        val full = StructType(declared.fields ++ sg.gen.map(g =>
+          org.apache.spark.sql.types.StructField(g.name,
+            TableCatalog.genDataType(g), nullable = true)))
+        Some(spark.read.schema(full).option("basePath", d.toString)
+          .parquet(d.toString)
+          .select(declared.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    }
+    if (legs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    else legs.reduce(_ unionByName _)
+  }
 
   // --------------- staged writes for the Hive layout (ADVICE r13 #2)
   // Every partitioned plain WRITE used to land directly in the live
@@ -3734,12 +3824,20 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
           s"(${declared.fieldNames.sorted.mkString(",")})")
       val cons0 = constraintsOf(table)
+      // a lazily-evolved table routes new writes into the CURRENT
+      // generation's subtree (the root for never-evolved tables) —
+      // the spec-byte pin re-checked under the lock covers a racing
+      // evolution, which would both change the dir and the derivation
+      val genDir = specGenerations(table).lastOption.map(_.dir)
+        .filter(_.nonEmpty)
+        .map(d => Paths.get(path(table)).resolve(d))
+        .getOrElse(Paths.get(path(table)))
       // transform specs derive their hidden partition columns here —
       // the caller only ever supplies the declared shape
       if (attempt > TableCatalog.MaxOptimisticAttempts)
         withTableLock(table) {
           enforced(table, withGen(table, stripDf(df))).write.mode("append")
-            .partitionBy(pcols: _*).parquet(path(table))
+            .partitionBy(pcols: _*).parquet(genDir.toString)
           done = true
         }
       else {
@@ -3748,7 +3846,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         afterStage()
         done = withTableLock(table) {
           if (partSpecPin(table) == pin && constraintsOf(table) == cons0) {
-            adoptStagedLeaves(table, scratch); true
+            adoptStagedInto(genDir, scratch); true
           } else false
         }
         if (!done) deleteRecursive(scratch) // spec moved; re-derive
@@ -3771,6 +3869,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(!partitionSpecVersioned(table),
       s"'$table' is a partitioned VERSIONED table — INSERT OVERWRITE " +
         "it by replacing its partitions (overwritePartitionTuplesVersioned)")
+    requireSingleGen(table, "INSERT OVERWRITE")
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
@@ -4121,7 +4220,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       s"'$table' is a partitioned VERSIONED table — spec evolution for " +
         "the snapshot layout is not supported yet; recreate via CTAS")
     val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
-    if (newCols == oldCols && newGen == partitionGen(table)) return
+    // a MULTI-generation table never no-ops: even a same-spec call is
+    // the COMPACTION that collapses the lazy generations into one tree
+    if (specGenerations(table).size <= 1 &&
+      newCols == oldCols && newGen == partitionGen(table)) return
     require(!hasDv(table),
       s"'$table' carries live delete vectors — fold them first " +
         "(applyDeleteVectors) so the repartition rewrite cannot " +
@@ -4134,7 +4236,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.contains("="))
+            (p.getFileName.toString.contains("=") ||
+              p.getFileName.toString.matches("_g\\d+")))
           .foreach(deleteRecursive)
       } finally s.close()
       val s2 = Files.list(scratch)
@@ -4181,18 +4284,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       stripDf(df).write.partitionBy(newCols: _*).parquet(scratch.toString)
       scratch
     }
+    // pin and stage across ALL spec generations: the rewrite's input
+    // is the whole logical table, and a write landing in ANY
+    // generation's subtree mid-stage must void the staging
+    def pinAll(): Set[String] = {
+      val root = Paths.get(path(table))
+      specGenerations(table).flatMap(sg => listParquetUrisAt(
+        if (sg.dir.isEmpty) root else root.resolve(sg.dir))).toSet
+    }
     var attempt = 0
     var done = false
     while (!done) {
       attempt += 1
       if (attempt > TableCatalog.MaxOptimisticAttempts)
-        withTableLock(table) { swapLocked(stage(read(table))); done = true }
+        withTableLock(table) { swapLocked(stage(readPartitioned(table))); done = true }
       else {
-        val pinFiles = listParquetUris(table)
-        val scratch = stage(read(table))
+        val pinFiles = pinAll()
+        val scratch = stage(readPartitioned(table))
         afterStage()
         val committed = withTableLock(table) {
-          if (listParquetUris(table) == pinFiles) {
+          if (pinAll() == pinFiles) {
             swapLocked(scratch); true
           } else false
         }
@@ -4235,6 +4346,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       targetBytes: Long, minFiles: Int, onlyLeaves: String => Boolean,
       afterStage: String => Unit): Seq[(String, Int, Int)] = {
     requirePlain(table, "compactPartitions")
+    requireSingleGen(table, "compactPartitions")
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — versioned tables compact " +
@@ -5312,6 +5424,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       : (Seq[Seq[Option[String]]], Seq[Seq[Option[String]]]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     requirePlain(table, "deleteWhere")
+    requireSingleGen(table, "deleteWhereParts")
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"partition columns must be non-empty and distinct, got $partCols")
     // read THROUGH the deletion vectors: a partition rewrite must not
@@ -7377,6 +7490,70 @@ object TableCatalog {
   private[catalog] def parsePartSpec(s: String): Option[(Seq[String], String)] =
     parsePartSpecFull(s).map { case (cols, ddl, _) => (cols, ddl) }
 
+  /** One partition-spec GENERATION of a lazily-evolved table: the
+    * columns and transforms files under `dir` were written with.
+    * `dir` is table-relative — "" is the table root (the original
+    * generation), later ones live in underscore-hidden `_g<k>`
+    * subtrees so a root scan can never silently mix layouts. */
+  final case class SpecGen(partCols: Seq[String], gen: Seq[GenCol],
+                           dir: String)
+
+  /** Render a MULTI-GENERATION spec (lazy evolution, r13 verdict #2).
+    * Deliberately omits the legacy `partCol`/`partCols` fields: a
+    * pre-lazy reader must refuse loudly ("no partition spec") rather
+    * than treat the root generation as the whole table. */
+  private[catalog] def renderPartSpecGens(schemaDdl: String,
+      gens: Seq[SpecGen], versioned: Boolean): String = {
+    val o = om.createObjectNode()
+    if (versioned) o.put("versioned", true)
+    o.put("schema", schemaDdl)
+    val ga = o.putArray("gens")
+    gens.foreach { sg =>
+      val go = ga.addObject()
+      go.put("dir", sg.dir)
+      val ca = go.putArray("partCols"); sg.partCols.foreach(ca.add)
+      if (sg.gen.nonEmpty) {
+        val gga = go.putArray("gen")
+        sg.gen.foreach { g =>
+          val gn = gga.addObject()
+          gn.put("name", g.name); gn.put("src", g.src)
+          gn.put("kind", g.kind); gn.put("n", g.n)
+          if (g.dscale >= 0) gn.put("s", g.dscale)
+          gn.put("tv", g.tv)
+        }
+      }
+    }
+    om.writeValueAsString(o)
+  }
+
+  /** Every spec generation of a sidecar, ascending (the LAST is the
+    * current one new writes route to). A single-generation (classic)
+    * sidecar parses as one root-dir generation. */
+  private[catalog] def parsePartSpecGens(s: String): Seq[SpecGen] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val n = om.readTree(s)
+      if (n == null) Seq.empty
+      else Option(n.get("gens")) match {
+        case Some(gs) => gs.elements().asScala.map { g =>
+          val cols = Option(g.get("partCols"))
+            .map(_.elements().asScala.map(_.asText).toSeq)
+            .getOrElse(Seq.empty)
+          val gen = Option(g.get("gen")).map(_.elements().asScala.map(x =>
+            GenCol(x.get("name").asText, x.get("src").asText,
+              x.get("kind").asText,
+              Option(x.get("n")).map(_.asInt).getOrElse(0),
+              dscale = Option(x.get("s")).map(_.asInt).getOrElse(-1),
+              tv = Option(x.get("tv")).map(_.asInt).getOrElse(1))).toSeq)
+            .getOrElse(Seq.empty)
+          SpecGen(cols, gen, Option(g.get("dir")).map(_.asText).getOrElse(""))
+        }.toSeq
+        case None => parsePartSpecFull(s).toSeq.map { case (cols, _, gen) =>
+          SpecGen(cols, gen, "")
+        }
+      }
+    } catch { case _: Exception => Seq.empty }
+
   /** Whether a spec sidecar declares the PARTITIONED VERSIONED layout
     * (snapshots of whole leaf trees, r13 verdict #1). */
   private[catalog] def partSpecIsVersioned(s: String): Boolean =
@@ -7391,6 +7568,13 @@ object TableCatalog {
       import scala.jdk.CollectionConverters._
       val n = om.readTree(s)
       if (n == null || !n.has("schema")) None
+      else if (n.has("gens")) {
+        // multi-generation (lazy evolution): the CURRENT spec — the
+        // one new writes route to — is the last generation
+        val gens = parsePartSpecGens(s)
+        gens.lastOption.map(sg =>
+          (sg.partCols, n.get("schema").asText, sg.gen))
+      }
       else {
         val cols = Option(n.get("partCols"))
           .map(_.elements().asScala.map(_.asText).toSeq)

@@ -4896,6 +4896,99 @@ object TestdataQueries {
              |    CAST(sum(price_c) AS BIGINT) AS sum_now_c
              |  FROM cur GROUP BY dt) c ON ins.dt = c.dt""".stripMargin)),
 
+    // ------------------- LAZY partition-spec evolution (r13 verdict #2)
+    // The Iceberg rule: evolving a spec moves ZERO data — old files
+    // keep the old layout (and their exact names, pinned by the
+    // in-query require), new writes land in a fresh hidden `_g1`
+    // subtree under the new spec, and the union read prunes each
+    // generation under its own spec. The eager rewrite stays as the
+    // compaction that collapses generations; the require() pins that
+    // the multi-generation pruned read and the compacted table agree
+    // row-for-row, and the oracle replays the whole thing relationally.
+    "x_repartition_lazy" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_lz", dir)
+      val cname = "glz_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val pre = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"))
+      s.sql(s"CREATE TABLE $cname.lz (okey BIGINT, price_c BIGINT, " +
+        "y STRING, m INT) PARTITIONED BY (y)")
+      cat.insertPartitioned("lz", pre.filter(pmod(col("okey"), lit(2)) === 0))
+      def allFiles(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(scratch.toString, "lz"))
+        try st.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toSet
+        finally st.close()
+      }
+      val before = allFiles()
+      cat.repartitionTableLazy("lz",
+        Seq(("identity", "y", 0), ("identity", "m", 0)))
+      require(allFiles() == before,
+        "lazy evolution must move ZERO data files (metadata-only)")
+      cat.insertPartitioned("lz",
+        pre.filter(pmod(col("okey"), lit(2)) === 1))
+      require(allFiles().intersect(before) == before,
+        "the old generation's files must survive byte-identical")
+      require({
+        import scala.jdk.CollectionConverters._
+        val g1 = java.nio.file.Paths.get(scratch.toString, "lz", "_g1")
+        val st = java.nio.file.Files.walk(g1, 2)
+        try st.iterator().asScala.exists(
+          _.getFileName.toString.startsWith("m="))
+        finally st.close()
+      }, "post-evolution inserts must land in the NESTED (y, m) layout")
+      // the pruned union read: one scan per generation, each with its
+      // own partition filter, one year served
+      val y0 = cat.readPartitioned("lz").select(min(col("y")))
+        .head().getString(0)
+      val prunedRead = cat.readPartitioned("lz").filter(col("y") === y0)
+      val scans = prunedRead.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.size == 2 && scans.forall(_.partitionFilters.nonEmpty),
+        s"the union read must prune BOTH generations (${scans.size} scans)")
+      val multiRows = prunedRead.groupBy(col("y"), col("m"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("price_c")).as("sum_c"))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+      // compact: the generations collapse into one (y, m) tree and the
+      // SQL surface serves it again — values identical to the
+      // multi-generation pruned read
+      cat.repartitionTableTransformed("lz",
+        Seq(("identity", "y", 0), ("identity", "m", 0)))
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(scratch.toString, "lz", "_g1")),
+        "compaction must collapse the lazy generation away")
+      val out = s.sql(s"SELECT y, m, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.lz WHERE y = '$y0' " +
+        "GROUP BY y, m")
+      val sqlRows = out.collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+      require(sqlRows == multiRows,
+        "the multi-generation pruned read and the compacted table " +
+          "must agree row-for-row")
+      out
+    }),
+      Some("""WITH pre AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders)
+             |SELECT y, m, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_c
+             |FROM pre WHERE y = (SELECT min(y) FROM pre)
+             |GROUP BY y, m""".stripMargin)),
+
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving
     // content, so the feed treats them as dataChange=false (the Delta

@@ -247,6 +247,15 @@ class GraftSqlCatalog extends DsV2TableCatalog
     val pv = cat.partitionSpecVersioned(t)
     val partSpec =
       if (current.isEmpty || pv) cat.partitionSpec(t) else None
+    // a lazily-evolved table holds several directory layouts at once
+    // (one per spec generation); this DSv2 delegate scans ONE tree, so
+    // serving it would silently drop every generation but the root's —
+    // refuse loudly until the generations collapse
+    require(partSpec.isEmpty || cat.specGenerations(t).size <= 1,
+      s"'$t' carries multiple partition-spec generations (lazy " +
+        "evolution) — SQL reads of a multi-generation tree are not " +
+        "wired yet; read via the Scala readPartitioned, or compact " +
+        "with CALL system.repartition to collapse the generations")
     // an evolved table reads under its DECLARED schema (the catalog's
     // schema log) — footer inference over a mixed-schema snapshot
     // would sample one file's shape

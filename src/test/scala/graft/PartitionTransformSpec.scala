@@ -537,6 +537,79 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(Files.exists(Paths.get(cat.path("rw"), "y=2020", "prio=9")))
   }
 
+  test("lazy spec evolution is metadata-only: old files keep their " +
+      "names, inserts land in the new generation's layout, the union " +
+      "read prunes each generation under its own spec") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.lz (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.lz VALUES (1, 2020, 1), (2, 2020, 2), " +
+      "(3, 2021, 1)")
+    def allFiles(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(Paths.get(cat.path("lz")))
+      try st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+      finally st.close()
+    }
+    val before = allFiles()
+    cat.repartitionTableLazy("lz",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    assert(allFiles() === before,
+      "lazy evolution must move ZERO data files — metadata only")
+    assert(cat.specGenerations("lz").map(_.dir) === Seq("", "_g1"))
+    // inserts route into the NEW generation's nested layout
+    cat.insertPartitioned("lz", Seq((4L, 2021, 2), (5L, 2020, 1))
+      .toDF("k", "y", "m"))
+    assert(Files.exists(Paths.get(cat.path("lz"), "_g1", "y=2021", "m=2")))
+    assert(allFiles().intersect(before) === before,
+      "the old generation's files survive byte-identical")
+    // the union read serves both generations, pruned per-gen
+    val un = cat.readPartitioned("lz")
+    assert(un.columns.toSeq === Seq("k", "y", "m"))
+    assert(un.count() === 5L)
+    val pruned = un.filter($"y" === 2020)
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 5L))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 2, "one scan per generation")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "each generation must prune by its own partition columns")
+    // single-tree verbs refuse the multi-generation shape loudly
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT * FROM $g.lz").collect())
+    assert(e1.getMessage.contains("generations"), e1.getMessage)
+    val e2 = intercept[Exception](
+      cat.deleteWhereParts("lz", Seq("y"), $"y" === 2020))
+    assert(e2.getMessage.contains("generations"), e2.getMessage)
+    // the eager rewrite is the COMPACTION that collapses generations
+    cat.repartitionTableTransformed("lz",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    assert(cat.specGenerations("lz").map(_.dir) === Seq(""))
+    assert(!Files.exists(Paths.get(cat.path("lz"), "_g1")))
+    assert(Files.exists(Paths.get(cat.path("lz"), "y=2020", "m=1")))
+    assert(spark.sql(s"SELECT k FROM $g.lz ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L),
+      "compaction must preserve every generation's rows")
+    // a second lazy evolution onto a TRANSFORM spec derives hidden
+    // columns in the new generation only
+    cat.repartitionTableLazy("lz",
+      Seq(("identity", "y", 0), ("bucket", "k", 4)))
+    cat.insertPartitioned("lz", Seq((6L, 2022, 3)).toDF("k", "y", "m"))
+    assert({
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(Paths.get(cat.path("lz"), "_g1", "y=2022"))
+      try st.iterator().asScala.exists(
+        _.getFileName.toString.startsWith("k_bucket="))
+      finally st.close()
+    }, "the new generation must nest the bucket transform")
+    assert(cat.readPartitioned("lz").count() === 6L)
+  }
+
   test("the DECLARED column order is authoritative: positional INSERT " +
       "and SELECT * after ADD COLUMN never swap a mid-schema identity " +
       "partition column") {
