@@ -953,10 +953,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       case None => healSwap(table); path(table)
     }
     // evolved tables analyze under the declared schema — footer
-    // sampling on a mixed-schema snapshot would randomly drop columns
-    val df = ver.flatMap(v => resolveSchema(table, v)) match {
-      case Some(sch) => spark.read.schema(sch).parquet(pinnedDir)
-      case None => spark.read.parquet(pinnedDir)
+    // sampling on a mixed-schema snapshot would randomly drop columns.
+    // PARTITIONED tables (plain Hive layout or the versioned leaf-tree
+    // flavor) analyze under the spec sidecar's declared schema with a
+    // basePath, so identity partition values come typed from the
+    // directory names and per-file envelopes exist INSIDE leaves —
+    // leaf pruning composes with file skipping (r13 verdict #3)
+    val df = partitionSpec(table) match {
+      case Some((_, declared)) =>
+        requireSingleGen(table, "ANALYZE")
+        val full = StructType(declared.fields ++ partitionGen(table).map(g =>
+          org.apache.spark.sql.types.StructField(g.name,
+            TableCatalog.genDataType(g), nullable = true)))
+        spark.read.schema(full).option("basePath", pinnedDir)
+          .parquet(pinnedDir)
+          .select(declared.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+      case None => ver.flatMap(v => resolveSchema(table, v)) match {
+        case Some(sch) => spark.read.schema(sch).parquet(pinnedDir)
+        case None => spark.read.parquet(pinnedDir)
+      }
     }
     val targets =
       (if (cols.nonEmpty) cols else df.columns.toSeq)
@@ -5177,7 +5193,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // file and would silently keep ZERO files — an empty result instead
     // of an error, the exact opposite of this function's loud contract
     if (ranges.nonEmpty || strRanges.nonEmpty) {
-      val schema = read(table).schema
+      // a partitioned table's declared types come from the spec
+      // sidecar — directory-name inference would mistype a string
+      // partition column and misroute its probe kind
+      val schema = partitionSpec(table).map(_._2)
+        .getOrElse(read(table).schema)
       ranges.map(_._1).foreach(c => require(
         schema(c).dataType != org.apache.spark.sql.types.StringType,
         s"'$c' is a STRING skip column — probe it via strRanges"))
@@ -5200,9 +5220,31 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           f.smin.get(c).exists(TableCatalog.utf8Cmp(_, hi) <= 0) })
     import org.apache.spark.sql.functions.{col, lit}
     val base =
-      if (keep.isEmpty) read(table).limit(0)
-      else spark.read.option("basePath", path(table))
-        .parquet(keep.map(_.file): _*)
+      if (keep.isEmpty) {
+        if (partitionSpec(table).isDefined && currentVersion(table).isEmpty)
+          readPartitioned(table).limit(0)
+        else read(table).limit(0)
+      } else {
+        // basePath = the layout root (snapshot dir for versioned,
+        // table root for plain), so a PARTITIONED table's identity
+        // values come from the kept files' directory names UNDER THE
+        // DECLARED TYPES (directory inference would mistype a string
+        // year as int); hidden transform columns project away
+        partitionSpec(table) match {
+          case Some((_, declared)) =>
+            val full = StructType(declared.fields ++
+              partitionGen(table).map(g =>
+                org.apache.spark.sql.types.StructField(g.name,
+                  TableCatalog.genDataType(g), nullable = true)))
+            spark.read.schema(full).option("basePath", readPath(table))
+              .parquet(keep.map(_.file): _*)
+              .select(declared.fieldNames
+                .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          case None =>
+            spark.read.option("basePath", readPath(table))
+              .parquet(keep.map(_.file): _*)
+        }
+      }
     val numFiltered = ranges.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi) }
     strRanges.foldLeft(numFiltered) { case (d, (c, lo, hi)) =>

@@ -4989,6 +4989,72 @@ object TestdataQueries {
              |FROM pre WHERE y = (SELECT min(y) FROM pre)
              |GROUP BY y, m""".stripMargin)),
 
+    // ---------------- per-file skipping INSIDE partitioned leaves
+    // (r13 verdict #3): a year-partitioned fact whose non-partition
+    // predicate used to read whole leaves now carries per-file
+    // envelopes under each leaf dir — ANALYZE runs under the spec's
+    // declared schema with a basePath, prunedRead opens only files
+    // whose envelope intersects the probe, and the in-query require
+    // pins that the probed leaf serves STRICTLY fewer files than it
+    // holds. The oracle is the unpruned relational filter — pruning
+    // must never change results, only file counts.
+    "x_skipping_part" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_skp", dir)
+      val cname = "gskp_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val pre = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      s.sql(s"CREATE TABLE $cname.sp (okey BIGINT, price_c BIGINT, " +
+        "y STRING) PARTITIONED BY (y)")
+      // range-cluster by okey so each leaf holds 4 files with disjoint
+      // key ranges — the layout a 100 TB fact would OPTIMIZE into
+      cat.insertPartitioned("sp",
+        pre.repartitionByRange(4, col("okey")))
+      cat.analyze("sp", cols = Seq("okey"), skipCols = Seq("okey"))
+      val (loK, hiK) = {
+        val r = pre.agg(min(col("okey")), max(col("okey"))).head()
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (a + (b - a) * 45 / 100, a + (b - a) * 55 / 100) // mid 10%
+      }
+      val prunedDf = cat.prunedRead("sp", Seq(("okey", loK, hiK)))
+      // evidence: inside a leaf that HOLDS matches, strictly fewer
+      // files open than the leaf serves (file skipping composes with
+      // the directory layout — the leaf alone could not prune this)
+      val kept = prunedDf.inputFiles.toSet
+      val y0 = prunedDf.select(min(col("y"))).head().getString(0)
+      def leafFiles(y: String): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val d = java.nio.file.Paths.get(scratch.toString, "sp", s"y=$y")
+        val st = java.nio.file.Files.list(d)
+        try st.iterator().asScala.map(_.toUri.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally st.close()
+      }
+      val leaf = leafFiles(y0)
+      val keptInLeaf = kept.count(_.contains(s"/y=$y0/"))
+      require(keptInLeaf > 0 && keptInLeaf < leaf.size,
+        s"file skipping inside leaf y=$y0 must open strictly fewer " +
+          s"files than the leaf holds ($keptInLeaf of ${leaf.size})")
+      prunedDf.groupBy(col("y"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("price_c")).as("sum_c"))
+    }),
+      Some("""WITH pre AS (SELECT o_orderkey AS okey,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             |  CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
+             |b AS (SELECT min(okey) AS a, max(okey) AS z FROM pre)
+             |SELECT y, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_c
+             |FROM pre, b
+             |WHERE okey >= a + (z - a) * 45 // 100
+             |  AND okey <= a + (z - a) * 55 // 100
+             |GROUP BY y""".stripMargin)),
+
     // ------------------------- change feed across OPTIMIZE (dataChange)
     // OPTIMIZE commits rename every file while provably preserving
     // content, so the feed treats them as dataChange=false (the Delta
