@@ -5472,8 +5472,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // read THROUGH the deletion vectors: a partition rewrite must not
     // resurrect rows a prior deleteVectorize removed (the rewritten
     // partitions fold their vectors in as a side effect; vectors for
-    // untouched partitions keep applying via their unchanged files)
-    val full = readMor(table)
+    // untouched partitions keep applying via their unchanged files).
+    // A spec-carrying table WITHOUT vectors reads under its DECLARED
+    // types instead of directory inference: an inferred type whose
+    // string rendering differs from the writer's (a decimal leaf
+    // "200000.00" inferred as double → "200000.0", a string key "007"
+    // inferred as int → "7") would route the purge at nonexistent
+    // leaf names — a silent no-op delete.
+    val full = partitionSpec(table) match {
+      case Some(_) if !hasDv(table) =>
+        withGen(table, readPartitioned(table))
+      case _ => readMor(table)
+    }
     val pcs = partCols.map(c => col(c).cast("string"))
     // Option-typed so a NULL partition value routes to the NULL
     // partition instead of silently surviving the purge (isin never

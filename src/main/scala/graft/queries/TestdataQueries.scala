@@ -4685,11 +4685,13 @@ object TestdataQueries {
       s.conf.set(s"spark.sql.catalog.$cname",
         classOf[graft.sql.GraftSqlCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
-      val dv = s"doc_$cname"; val ev = s"ev_$cname"
+      val dv = s"doc_$cname"; val ev = s"ev_$cname"; val ov = s"ord_$cname"
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         col("n_chars")).createOrReplaceTempView(dv)
       t(s, dir, "events").select(col("event_id").as("ekey"), col("ts"))
         .createOrReplaceTempView(ev)
+      t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price")).createOrReplaceTempView(ov)
       s.sql(s"CREATE TABLE $cname.td (doc_id BIGINT, lang STRING, " +
         "n_chars BIGINT) PARTITIONED BY (truncate(1, lang))")
       s.sql(s"INSERT INTO $cname.td SELECT doc_id, lang, n_chars FROM $dv")
@@ -4708,12 +4710,45 @@ object TestdataQueries {
         "WHERE ts < timestamp'2024-01-05 00:00:00'")
       s.sql(s"DELETE FROM $cname.th " +
         "WHERE ts < timestamp'2024-01-03 00:00:00'")
+      // DECIMAL truncate leg (r13 verdict #5 — the Iceberg
+      // truncate(W, decimal), the reference's own amt DECIMAL shape,
+      // main.ddl:43): width 10000000 on the unscaled value = 100000.00
+      // buckets; a decimal-bound DELETE purges the high leaves
+      s.sql(s"CREATE TABLE $cname.ta (okey BIGINT, amt DECIMAL(12,2)) " +
+        "PARTITIONED BY (truncate(10000000, amt))")
+      s.sql(s"INSERT INTO $cname.ta SELECT okey, " +
+        s"CAST(CAST(floor(price) AS BIGINT) AS DECIMAL(12,2)) AS amt " +
+        s"FROM $ov")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        scratch.toString, "ta", "amt_trunc=0.00")),
+        "decimal leaves must render at the source scale (0.00)")
+      def amtLeaves(): Seq[java.math.BigDecimal] = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(
+          java.nio.file.Paths.get(scratch.toString, "ta"))
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("amt_trunc="))
+          .map(n => new java.math.BigDecimal(n.drop("amt_trunc=".length)))
+          .toSeq
+        finally st.close()
+      }
+      require(amtLeaves().exists(
+        _.compareTo(new java.math.BigDecimal("200000.00")) >= 0),
+        "orders must populate leaves above the delete bound")
+      s.sql(s"DELETE FROM $cname.ta WHERE amt >= 200000.00")
+      require(!amtLeaves().exists(
+        _.compareTo(new java.math.BigDecimal("200000.00")) >= 0),
+        "the decimal bound must purge every leaf at or above it")
       s.sql(s"SELECT 'lang' AS leg, lang AS key, " +
         s"CAST(count(*) AS BIGINT) AS n, sum(n_chars) AS sv " +
         s"FROM $cname.td GROUP BY lang").unionAll(
         s.sql(s"SELECT 'hour' AS leg, CAST(CAST(ts AS DATE) AS STRING) " +
           s"AS key, CAST(count(*) AS BIGINT) AS n, sum(ekey) AS sv " +
-          s"FROM $cname.th GROUP BY 2"))
+          s"FROM $cname.th GROUP BY 2")).unionAll(
+        s.sql(s"SELECT 'amt' AS leg, " +
+          s"CAST(CAST(floor(amt / 100000) AS BIGINT) AS STRING) AS key, " +
+          s"CAST(count(*) AS BIGINT) AS n, sum(okey) AS sv " +
+          s"FROM $cname.ta GROUP BY 2"))
     }),
       Some("""SELECT 'lang' AS leg, lang AS key,
              |  CAST(count(*) AS BIGINT) AS n,
@@ -4725,6 +4760,13 @@ object TestdataQueries {
              |  CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
              |FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
              |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+             |GROUP BY 2
+             |UNION ALL
+             |SELECT 'amt', CAST(CAST(floor(amt / 100000) AS BIGINT) AS VARCHAR),
+             |  CAST(count(*) AS BIGINT), CAST(sum(okey) AS BIGINT)
+             |FROM (SELECT o_orderkey AS okey,
+             |  CAST(floor(o_totalprice) AS DECIMAL(12,2)) AS amt FROM orders)
+             |WHERE amt < 200000.00
              |GROUP BY 2""".stripMargin)),
 
     // ---------------- per-leaf OPTIMIZE for partitioned plain tables

@@ -707,6 +707,32 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("precision"), e.getMessage)
   }
 
+  test("partition-granular DELETE routes by the WRITER's rendering: " +
+      "decimal leaves and leading-zero string keys purge correctly " +
+      "(directory inference must never re-render a leaf name)") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.dd (okey BIGINT, amt DECIMAL(12,2)) " +
+      "PARTITIONED BY (truncate(10000000, amt))")
+    spark.sql(s"INSERT INTO $g.dd VALUES (1, 50.00), (2, 150000.00), " +
+      "(3, 250000.00), (4, 350000.25)")
+    spark.sql(s"DELETE FROM $g.dd WHERE amt >= 200000.00")
+    assert(spark.sql(s"SELECT okey FROM $g.dd ORDER BY okey").as[Long]
+      .collect().toSeq === Seq(1L, 2L),
+      "an inference read would target amt_trunc=200000.0 (double " +
+        "rendering) and silently delete nothing")
+    assert(!Files.exists(Paths.get(cat.path("dd"), "amt_trunc=300000.00")))
+    // identity STRING key whose values LOOK numeric: "007" infers as
+    // int 7 and would purge the nonexistent leaf code=7
+    spark.sql(s"CREATE TABLE $g.zs (k BIGINT, code STRING) " +
+      "PARTITIONED BY (code)")
+    spark.sql(s"INSERT INTO $g.zs VALUES (1, '007'), (2, '042')")
+    spark.sql(s"DELETE FROM $g.zs WHERE code = '007'")
+    assert(spark.sql(s"SELECT k FROM $g.zs").as[Long].collect().toSeq ===
+      Seq(2L))
+    assert(!Files.exists(Paths.get(cat.path("zs"), "code=007")),
+      "the purged leaf directory must be the writer-escaped name")
+  }
+
   test("a legacy (tv=1) spec wrote session-TZ temporal directories: " +
       "reads keep every leaf rather than prune against them") {
     val (cat, g) = freshSqlCat()
