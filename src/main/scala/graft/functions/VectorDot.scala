@@ -145,5 +145,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.injectAll(ext)
     ext.injectOptimizerRule(_ => graft.plans.BucketRangeJoin)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // Iceberg-standard partition-spec DDL Spark's grammar lacks:
+    // ALTER TABLE t ADD/DROP PARTITION FIELD <transform>
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }

@@ -4505,6 +4505,24 @@ object TestdataQueries {
       s.sql(s"DELETE FROM $cname.rp WHERE y = '$yMax' AND prio = '5'")
       require(leafFiles(y0, "1") == pinned,
         "a DELETE pruned to other leaves must not rewrite this one")
+      // the Iceberg-standard DDL verbs (r13 verdict #6), pure SQL:
+      // ADD PARTITION FIELD nests a third (transform) level, DROP
+      // removes it again — content identical either way, which the
+      // oracle hash proves
+      s.sql(s"ALTER TABLE $cname.rp ADD PARTITION FIELD bucket(4, okey)")
+        .collect()
+      require({
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(
+          scratch.toString, "rp", s"y=$y0", "prio=1"))
+        try st.iterator().asScala.exists(
+          _.getFileName.toString.startsWith("okey_bucket="))
+        finally st.close()
+      }, "ADD PARTITION FIELD must nest the bucket level")
+      s.sql(s"ALTER TABLE $cname.rp DROP PARTITION FIELD bucket(4, okey)")
+        .collect()
+      require(leafFiles(y0, "1").nonEmpty,
+        "DROP PARTITION FIELD must flatten back to (y, prio)")
       s.sql(s"SELECT y, prio, CAST(count(*) AS BIGINT) AS n, " +
         s"sum(price_c) AS sum_c FROM $cname.rp GROUP BY y, prio")
     }),

@@ -707,6 +707,41 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("precision"), e.getMessage)
   }
 
+  test("ALTER TABLE ADD/DROP PARTITION FIELD (Iceberg DDL) evolves " +
+      "the spec through SQL alone; refusals stay loud") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.af (k BIGINT, ts TIMESTAMP, y INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.af VALUES " +
+      "(1, timestamp'2024-03-01 10:00:00', 2024)")
+    val out = spark.sql(
+      s"ALTER TABLE $g.af ADD PARTITION FIELD days(ts)").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("y, days(ts)"))
+    assert(Files.exists(
+      Paths.get(cat.path("af"), "y=2024", "ts_day=2024-03-01")),
+      "the evolved spec must nest the new transform level")
+    spark.sql(s"INSERT INTO $g.af VALUES " +
+      "(2, timestamp'2024-03-02 10:00:00', 2024)")
+    assert(spark.sql(s"SELECT k FROM $g.af " +
+      "WHERE ts >= timestamp'2024-03-02 00:00:00'").as[Long]
+      .collect().toSeq === Seq(2L))
+    spark.sql(s"ALTER TABLE $g.af DROP PARTITION FIELD y")
+    assert(Files.exists(Paths.get(cat.path("af"), "ts_day=2024-03-01")))
+    assert(!Files.exists(Paths.get(cat.path("af"), "y=2024")))
+    assert(spark.sql(s"SELECT count(*) FROM $g.af").as[Long].head() === 2L)
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $g.af DROP PARTITION FIELD days(ts)"))
+    assert(e1.getMessage.contains("last partition field"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $g.af ADD PARTITION FIELD days(ts)"))
+    assert(e2.getMessage.contains("already"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $g.af DROP PARTITION FIELD nope"))
+    assert(e3.getMessage.contains("no partition field"), e3.getMessage)
+    // ordinary SQL still parses through the delegate untouched
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) === 2)
+  }
+
   test("partition-granular DELETE routes by the WRITER's rendering: " +
       "decimal leaves and leading-zero string keys purge correctly " +
       "(directory inference must never re-render a leaf name)") {
