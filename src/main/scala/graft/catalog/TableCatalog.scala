@@ -4090,6 +4090,73 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** OPTIMIZE for a PARTITIONED VERSIONED table: per-leaf small-file
+    * compaction committed as ONE `dataChange=false` snapshot — every
+    * append lands shuffle-partition-many files per touched leaf, and
+    * without this a daily-fed fact accretes thousands of tiny files
+    * per day dir ACROSS snapshots (links multiply names, never bytes).
+    * Each qualifying leaf (≥ `minFiles` files) rewrites coalesced
+    * into the staging; the locked commit links every UNTOUCHED leaf
+    * and adopts the compacted ones. The commit op is OPTIMIZE_COMPACT,
+    * so [[changedRowsBetween]]'s layout-only rules apply: a feed
+    * straddling the compaction skips it from commit metadata instead
+    * of re-reading renamed bytes. A version that moved mid-stage
+    * abandons (compaction is maintenance; the next run gets it) —
+    * returns the compacted (leafRel, filesBefore, filesAfter) rows,
+    * empty on abandon. Scale: one bounded distributed job per leaf +
+    * O(files) link metadata; scope a huge backlog with `onlyLeaves`. */
+  def compactPartitionsVersioned(table: String,
+      targetBytes: Long = 128L << 20, minFiles: Int = 2,
+      onlyLeaves: String => Boolean = _ => true)
+      : Seq[(String, Int, Int)] = {
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    require(partitionSpecVersioned(table),
+      s"'$table' is a partitioned PLAIN table — use compactPartitions")
+    require(targetBytes > 0 && minFiles >= 2,
+      s"need targetBytes > 0 and minFiles >= 2, got $targetBytes/$minFiles")
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' is not versioned"))
+    val snap = snapDir(table, cur)
+    val gen = partitionGen(table)
+    val full = StructType(declared.fields ++ gen.map(g =>
+      org.apache.spark.sql.types.StructField(g.name,
+        TableCatalog.genDataType(g), nullable = true)))
+    // leaf inventory: group the snapshot's data files by leaf dir
+    val byLeaf = listParquetUrisAt(snap).toSeq
+      .map(u => Paths.get(java.net.URI.create(u)))
+      .groupBy(p => snap.relativize(p.getParent).toString)
+      .filter { case (rel, fs) =>
+        rel.nonEmpty && fs.size >= minFiles && onlyLeaves(rel) }
+    if (byLeaf.isEmpty) return Seq.empty
+    val scratch = Paths.get(path(table),
+      s"_tmp_compact-${java.util.UUID.randomUUID()}")
+    val report = byLeaf.toSeq.sortBy(_._1).map { case (rel, fs) =>
+      val bytes = fs.map(p => Files.size(p)).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val dst = scratch.resolve(rel)
+      // the leaf's files hold only DATA columns (partition values live
+      // in the dir names) — read them bare and write coalesced; the
+      // relative leaf path carries the partition identity through
+      spark.read.schema(StructType(full.filterNot(f =>
+          partitionSpec(table).exists(_._1.contains(f.name))).toArray))
+        .parquet(fs.map(_.toString): _*)
+        .coalesce(n).write.parquet(dst.toString)
+      val after = listParquetUrisAt(dst).size
+      (rel, fs.size, after)
+    }
+    val committed = withTableLock(table) {
+      if (!currentVersion(table).contains(cur)) false
+      else {
+        commitPartVersionedLocked(table, cur, "OPTIMIZE_COMPACT",
+          skip = byLeaf.keys.toSeq, scratch = Some(scratch))
+        true
+      }
+    }
+    if (!committed) { deleteRecursive(scratch); Seq.empty }
+    else report
+  }
+
   /** `INSERT OVERWRITE` of a partitioned versioned table: the new
     * snapshot holds ONLY the staged leaf tree (nothing carries) —
     * whole-table replace with snapshot isolation; readers keep their

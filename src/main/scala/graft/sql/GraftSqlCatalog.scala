@@ -870,11 +870,16 @@ object GraftSqlCatalog {
               (st, rs)
             case "optimize" =>
               if (cat.partitionSpec(table).isDefined) {
-                // partitioned PLAIN table: per-leaf small-file
-                // compaction (versioned tables take the staged
-                // whole-snapshot rewrite below)
-                val out = cat.compactPartitions(table,
-                  targetBytes = input.getLong(1) << 20)
+                // partitioned tables: per-leaf small-file compaction —
+                // the VERSIONED flavor commits one dataChange=false
+                // snapshot, the plain one swaps leaves in place (flat
+                // versioned tables take the staged rewrite below)
+                val out =
+                  if (cat.partitionSpecVersioned(table))
+                    cat.compactPartitionsVersioned(table,
+                      targetBytes = input.getLong(1) << 20)
+                  else cat.compactPartitions(table,
+                    targetBytes = input.getLong(1) << 20)
                 (StructType.fromDDL(
                   "leaf STRING, files_before LONG, files_after LONG"),
                   out.map { case (l, b, a) =>

@@ -127,6 +127,34 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     assert(before.nonEmpty) // sanity: the dropped leaf did hold files
   }
 
+  test("OPTIMIZE on a partitioned versioned table compacts per leaf " +
+      "as ONE dataChange=false snapshot: content identical, the change " +
+      "feed skips it from commit metadata") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("o",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned("o", fact("2024-01-01", 0 until 4))
+    cat.appendPartitionedVersioned("o", fact("2024-01-01", 4 until 8))
+    val before = cat.read("o").orderBy("k").collect().toSeq
+    assert(leafFiles(cat, "o", 3L, "dt=2024-01-01").size >= 2)
+    val rep = cat.compactPartitionsVersioned("o", minFiles = 2)
+    assert(rep.nonEmpty, "compaction must report the compacted leaf")
+    assert(cat.currentVersion("o") === Some(4L))
+    assert(leafFiles(cat, "o", 4L, "dt=2024-01-01").size === 1)
+    assert(cat.read("o").orderBy("k").collect().toSeq === before,
+      "compaction must preserve content byte-for-row")
+    // an optimize-only interval answers EMPTY from commit metadata
+    val (ins, del, af, rf) = cat.changedRowsBetween("o", 3L, 4L)
+    assert(ins.count() === 0L && del.count() === 0L)
+    assert(af.isEmpty && rf.isEmpty,
+      "a dataChange=false commit must list zero files in the feed")
+    // a feed STRADDLING it reads only the real append's delta
+    val (ins2, del2, _, _) = cat.changedRowsBetween("o", 2L, 4L)
+    assert(ins2.count() === 4L && del2.count() === 0L)
+    assert(ins2.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(4L, 5L, 6L, 7L))
+  }
+
   test("flat-versioned verbs refuse: appendAtomic / replaceAtomic / " +
       "branches / OPTIMIZE would land flat files into a leaf-tree " +
       "snapshot") {
