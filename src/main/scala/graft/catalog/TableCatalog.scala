@@ -1993,13 +1993,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * deliberate: re-pointing at the old directory would couple the
     * restored table's lifetime to a snapshot the sweep already
     * considers prunable. Returns the new version. */
-  def restore(table: String, v: Long): Long = {
-    val content = readVersion(table, v) // fails loudly outside the horizon
-    // the commit's OWN version, not a post-hoc pointer read — a
-    // concurrent writer landing right after would otherwise make the
-    // caller pin/tag the wrong (non-restored) snapshot
-    withTableLock(table) { replaceAtomicLocked(table, content, op = "RESTORE") }
-  }
+  def restore(table: String, v: Long): Long =
+    if (partitionSpecVersioned(table)) {
+      // partitioned versioned: the restored snapshot HARD-LINKS v's
+      // leaf tree — O(files) metadata, zero bytes (links reference the
+      // same immutable inodes, so retention pruning the old DIRECTORY
+      // never touches the carried data; re-linked relative paths also
+      // cancel in a change feed straddling the round trip)
+      require(currentVersion(table).exists(v <= _),
+        s"version $v of '$table' was never committed " +
+          s"(pointer: ${currentVersion(table).getOrElse(-1L)})")
+      require(Files.exists(snapDir(table, v)),
+        s"version $v of '$table' is not on disk " +
+          s"(retained: ${versions(table).mkString(", ")})")
+      withTableLock(table) {
+        val cur = currentVersion(table).getOrElse(
+          throw new IllegalStateException(s"'$table' lost its pointer"))
+        commitPartVersionedLocked(table, cur, "RESTORE",
+          skip = Seq.empty, scratch = None, linkFrom = Some(v))
+      }
+    } else {
+      val content = readVersion(table, v) // fails loudly outside the horizon
+      // the commit's OWN version, not a post-hoc pointer read — a
+      // concurrent writer landing right after would otherwise make the
+      // caller pin/tag the wrong (non-restored) snapshot
+      withTableLock(table) {
+        replaceAtomicLocked(table, content, op = "RESTORE")
+      }
+    }
 
   /** [[restore]] to the snapshot a tag pins. */
   def restoreTag(table: String, name: String): Long = {
@@ -4022,11 +4043,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * retention sweep. Caller holds the table lock. */
   private def commitPartVersionedLocked(table: String, cur: Long,
       op: String, skip: Seq[String], scratch: Option[Path],
-      carry: Boolean = true): Long = {
+      carry: Boolean = true, linkFrom: Option[Long] = None): Long = {
     val next = cur + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
     Files.createDirectories(snapDir(table, next))
-    if (carry) linkTree(snapDir(table, cur), snapDir(table, next), skip)
+    if (carry) linkTree(snapDir(table, linkFrom.getOrElse(cur)),
+      snapDir(table, next), skip)
     scratch.foreach(adoptStagedInto(snapDir(table, next), _))
     writeHistoryEntry(table, next, op, "")
     val tmp = Paths.get(path(table), "_version.tmp")

@@ -5076,11 +5076,13 @@ object TestdataQueries {
       cat.insertPartitioned("sp",
         pre.repartitionByRange(4, col("okey")))
       cat.analyze("sp", cols = Seq("okey"), skipCols = Seq("okey"))
-      val (loK, hiK) = {
-        val r = pre.agg(min(col("okey")), max(col("okey"))).head()
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        (a + (b - a) * 45 / 100, a + (b - a) * 55 / 100) // mid 10%
-      }
+      // bounds as exact ORDER STATISTICS (45th/55th percentile keys),
+      // not min/max arithmetic: a synthesized key domain can be
+      // arbitrarily clustered, leaving an arithmetic mid-range empty
+      val nk = pre.count()
+      def kth(k: Long): Long = pre.select(col("okey")).orderBy(col("okey"))
+        .offset(k.toInt).limit(1).head().getLong(0)
+      val (loK, hiK) = (kth(nk * 45 / 100), kth(nk * 55 / 100))
       val prunedDf = cat.prunedRead("sp", Seq(("okey", loK, hiK)))
       // evidence: inside a leaf that HOLDS matches, strictly fewer
       // files open than the leaf serves (file skipping composes with
@@ -5107,12 +5109,15 @@ object TestdataQueries {
       Some("""WITH pre AS (SELECT o_orderkey AS okey,
              |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
              |  CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
-             |b AS (SELECT min(okey) AS a, max(okey) AS z FROM pre)
+             |b AS (SELECT
+             |  (SELECT okey FROM pre ORDER BY okey LIMIT 1 OFFSET
+             |    (SELECT count(*) * 45 // 100 FROM pre)) AS a,
+             |  (SELECT okey FROM pre ORDER BY okey LIMIT 1 OFFSET
+             |    (SELECT count(*) * 55 // 100 FROM pre)) AS z)
              |SELECT y, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(price_c) AS BIGINT) AS sum_c
              |FROM pre, b
-             |WHERE okey >= a + (z - a) * 45 // 100
-             |  AND okey <= a + (z - a) * 55 // 100
+             |WHERE okey >= a AND okey <= z
              |GROUP BY y""".stripMargin)),
 
     // ------------------------- change feed across OPTIMIZE (dataChange)

@@ -155,6 +155,31 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
       Seq(4L, 5L, 6L, 7L))
   }
 
+  test("RESTORE on a partitioned versioned table links the old leaf " +
+      "tree as a NEW snapshot: history stays monotonic, zero bytes copy") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("r",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned("r", fact("2024-01-01", 0 until 5)) // v2
+    cat.appendPartitionedVersioned("r", fact("2024-01-02", 5 until 9)) // v3
+    cat.dropPartitionsVersioned("r", Seq(Seq(Some("2024-01-01"))))     // v4
+    assert(cat.read("r").count() === 4L)
+    val nv = cat.restore("r", 2L)
+    assert(nv === 5L && cat.currentVersion("r") === Some(5L))
+    assert(cat.read("r").count() === 5L)
+    assert(cat.read("r").select("dt").distinct().as[String]
+      .collect().toSeq === Seq("2024-01-01"))
+    // the restored leaf is LINKS to v2's files, not copies
+    val names = leafFiles(cat, "r", 2L, "dt=2024-01-01")
+    assert(names.nonEmpty &&
+      names === leafFiles(cat, "r", 5L, "dt=2024-01-01"))
+    names.foreach(n => assert(Files.isSameFile(
+      Paths.get(cat.path("r"), "_v2", "dt=2024-01-01", n),
+      Paths.get(cat.path("r"), "_v5", "dt=2024-01-01", n))))
+    // the "bad" intermediate states stay inspectable
+    assert(cat.readVersion("r", 4L).count() === 4L)
+  }
+
   test("flat-versioned verbs refuse: appendAtomic / replaceAtomic / " +
       "branches / OPTIMIZE would land flat files into a leaf-tree " +
       "snapshot") {
