@@ -4207,6 +4207,57 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Commit already-staged replacement rows into a PARTITIONED
+    * VERSIONED table at partition granularity — the commit half of a
+    * SQL UPDATE/MERGE (and rewrite-DELETE) whose scan was scoped to
+    * the pinned snapshot's matching leaves. `parts` are the SCANNED
+    * tuples (the groups the statement replaces); `expect` the snapshot
+    * the scan served — the optimistic check every snapshot rewrite
+    * follows (simpler than the plain layout's leaf-print re-check:
+    * snapshots are immutable, so version equality IS freshness). A
+    * staged row moving into an EXISTING unscanned leaf refuses loudly
+    * (the replace would clobber that leaf with only the moved rows);
+    * a NEW leaf is additive. Consumes the staging. */
+  def replacePartitionsFromStagedVersioned(table: String, staged: Path,
+      parts: Seq[Seq[Option[String]]], schema: StructType,
+      expect: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    try {
+      if (parts.isEmpty) return
+      val (partCols, _) = partitionSpec(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$table' has no partition spec"))
+      val stagedDf = spark.read
+        .schema(TableCatalog.stripFieldIds(schema)).parquet(staged.toString)
+      if (constraintsOf(table).nonEmpty) enforced(table, stagedDf).count()
+      val withG = withGen(table, stagedDf)
+      val pcs = partCols.map(c => col(c).cast("string"))
+      val stagedTuples = withG.select(pcs: _*).distinct().collect()
+        .map(r => partCols.indices.map(i =>
+          Option(r.getString(i))): Seq[Option[String]]).toSeq
+      val outside = stagedTuples.filterNot(parts.toSet)
+      def leafRel(t: Seq[Option[String]]): String =
+        partCols.zip(t).map { case (c, v) =>
+          val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName)
+          s"$c=$dirName"
+        }.mkString("/")
+      val clobbers = outside.filter(t =>
+        Files.exists(snapDir(table, expect).resolve(leafRel(t))))
+      require(clobbers.isEmpty,
+        s"the statement moves rows into unscanned partition(s) " +
+          s"${clobbers.take(3).map(_.map(_.getOrElse("NULL")).mkString("/"))
+            .mkString(", ")} of '$table' — a partition-scoped rewrite " +
+          "cannot land them without clobbering those partitions; widen " +
+          "the WHERE to non-partition columns")
+      overwritePartitionTuplesVersioned(table, stagedDf,
+        parts ++ outside, expect)
+      ()
+    } finally deleteRecursive(staged)
+  }
+
   /** Drop whole partitions of a partitioned versioned table —
     * METADATA-ONLY at any size: the next snapshot simply does not link
     * the claimed leaves. The retention-window purge verb (a year-old

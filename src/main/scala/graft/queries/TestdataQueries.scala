@@ -4931,6 +4931,12 @@ object TestdataQueries {
         .head().getLong(0) > s.sql(s"SELECT count(*) FROM $cname.pv")
         .head().getLong(0),
         "time travel must still reach the pre-delete state")
+      // dt-scoped SQL UPDATE: a snapshot replace of ONE leaf (the
+      // row-level path over the pinned snapshot — unscanned leaves
+      // hard-link through); the oracle replays the bump relationally
+      val yUpd = years(1)
+      s.sql(s"UPDATE $cname.pv SET price_c = price_c + 7 " +
+        s"WHERE dt = '$yUpd' AND okey % 10 = 0")
       // result: per-year head state + the CDC insert counts, one shape
       val headAgg = s.sql(s"SELECT dt, CAST(count(*) AS BIGINT) AS n_now, " +
         s"sum(price_c) AS sum_now_c FROM $cname.pv GROUP BY dt")
@@ -4947,6 +4953,10 @@ object TestdataQueries {
              |cur AS (SELECT * FROM pre
              |  WHERE dt <> (SELECT max(dt) FROM pre)
              |  AND NOT (dt = (SELECT min(dt) FROM pre) AND okey % 2 = 0)),
+             |upd AS (SELECT okey, dt, CASE WHEN okey % 10 = 0 AND
+             |    dt = (SELECT min(dt) FROM pre
+             |          WHERE dt > (SELECT min(dt) FROM pre))
+             |  THEN price_c + 7 ELSE price_c END AS price_c FROM cur),
              |ins AS (SELECT dt, CAST(count(*) AS BIGINT) AS n_ins
              |  FROM pre WHERE okey % 3 = 0 GROUP BY dt)
              |SELECT ins.dt AS dt, ins.n_ins,
@@ -4954,7 +4964,7 @@ object TestdataQueries {
              |  COALESCE(c.sum_now_c, 0) AS sum_now_c
              |FROM ins LEFT JOIN (SELECT dt, CAST(count(*) AS BIGINT) AS n_now,
              |    CAST(sum(price_c) AS BIGINT) AS sum_now_c
-             |  FROM cur GROUP BY dt) c ON ins.dt = c.dt""".stripMargin)),
+             |  FROM upd GROUP BY dt) c ON ins.dt = c.dt""".stripMargin)),
 
     // ------------------- LAZY partition-spec evolution (r13 verdict #2)
     // The Iceberg rule: evolving a spec moves ZERO data — old files

@@ -1357,7 +1357,7 @@ object GraftSqlCatalog {
       * of the tuples under the partition columns' declared types. */
     private def scannedTuples(pcs: Seq[String]): Seq[Seq[Option[String]]] = {
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      val root = Paths.get(cat.path(table))
+      val root = Paths.get(scanRootPath)
       if (!Files.exists(root)) return Seq.empty
       def walk(dir: java.nio.file.Path, level: Int,
           acc: Seq[Option[String]]): Seq[Seq[Option[String]]] =
@@ -1407,7 +1407,16 @@ object GraftSqlCatalog {
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName)
         s"$c=$dirName"
-      }.mkString(cat.path(table) + "/", "/", "")
+      }.mkString(scanRootPath + "/", "/", "")
+
+    /** The directory tree this statement's scan serves: the PINNED
+      * snapshot for a partitioned VERSIONED table (immutable — version
+      * equality at commit time IS the freshness check), the live table
+      * root otherwise. */
+    private def scanRootPath: String =
+      if (partVersioned)
+        Paths.get(cat.path(table), s"_v${expect.getOrElse(0L)}").toString
+      else cat.path(table)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       partCols match {
@@ -1497,10 +1506,10 @@ object GraftSqlCatalog {
                 .filter(p => Files.exists(Paths.get(p)))
               pinnedPrint = leafPrint(leafPaths)
               val paths =
-                if (partPred.isEmpty && genKeeps.isEmpty) Seq(cat.path(table))
+                if (partPred.isEmpty && genKeeps.isEmpty) Seq(scanRootPath)
                 else leafPaths
               val opts = new java.util.HashMap[String, String](options)
-              opts.put("basePath", cat.path(table))
+              opts.put("basePath", scanRootPath)
               val b = ParquetTable(s"$table-rlo-scan", SparkSession.active,
                 new CaseInsensitiveStringMap(opts),
                 if (paths.isEmpty) Seq(cat.path(table)) else paths,
@@ -1518,17 +1527,6 @@ object GraftSqlCatalog {
       }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-      // a partitioned VERSIONED table reaches here only when the
-      // statement could NOT become a metadata-only partition delete:
-      // UPDATE/MERGE (or a row-granular DELETE) would have to replace
-      // leaf trees group-wise, which the snapshot commit protocol does
-      // not cover yet — refuse at the write half so partition-pruned
-      // DELETE (rewritten before any write is planned) keeps working
-      require(!partVersioned,
-        s"'$table' is a partitioned VERSIONED table — row-level SQL " +
-          "(UPDATE/MERGE, row-granular DELETE) on it is not supported " +
-          "yet; partition-granular DELETE works, and the Scala " +
-          "overwritePartitionTuplesVersioned verb covers the rest")
       val staging = Paths.get(cat.path(table), "_tmp_rlo_" +
         java.util.UUID.randomUUID().toString.replace("-", ""))
       // the stock parquet BatchWrite does the distributed writing and
@@ -1571,15 +1569,26 @@ object GraftSqlCatalog {
                       s"row-level write on '$table' committed without " +
                         "a built scan — cannot determine the replaced " +
                         "partition set"))
-                  val moved = pinnedPrint.collect {
-                    case (p, pre) if leafPrint(Seq(p))(p) != pre => p
+                  if (partVersioned)
+                    // snapshot layout: the scan served the PINNED
+                    // immutable snapshot, so the only staleness is a
+                    // commit that landed since — the expect check
+                    // inside the snapshot replace covers it
+                    cat.replacePartitionsFromStagedVersioned(table,
+                      staging, tuples, info.schema(), expect.getOrElse(
+                        throw new IllegalStateException(
+                          s"'$table' loaded without a pinned version")))
+                  else {
+                    val moved = pinnedPrint.collect {
+                      case (p, pre) if leafPrint(Seq(p))(p) != pre => p
+                    }
+                    require(moved.isEmpty,
+                      s"partition(s) ${moved.take(3).mkString(", ")} of " +
+                        s"'$table' changed since this row-level statement " +
+                        "scanned them — the staged rewrite is stale; re-run")
+                    cat.replacePartitionsFromStaged(table, staging, pcs,
+                      tuples, info.schema())
                   }
-                  require(moved.isEmpty,
-                    s"partition(s) ${moved.take(3).mkString(", ")} of " +
-                      s"'$table' changed since this row-level statement " +
-                      "scanned them — the staged rewrite is stale; re-run")
-                  cat.replacePartitionsFromStaged(table, staging, pcs,
-                    tuples, info.schema())
                 case (None, None) =>
                   cat.replaceFromStaged(table, staging, cmd.toString, expect,
                     info.schema())

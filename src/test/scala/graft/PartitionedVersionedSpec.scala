@@ -225,14 +225,45 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     spark.sql(s"DELETE FROM $g.f WHERE dt = '2024-01-01'")
     assert(spark.sql(s"SELECT count(*) FROM $g.f").as[Long].head() === 2L)
     assert(cat.readVersion("f", 3L).count() === 4L) // pre-delete retained
-    val eu = intercept[Exception](
-      spark.sql(s"UPDATE $g.f SET v = 0 WHERE k = 3"))
-    assert(eu.getMessage.contains("not supported yet"), eu.getMessage)
     spark.sql(s"INSERT OVERWRITE $g.f VALUES (9, 90, '2024-02-01')")
     assert(spark.sql(s"SELECT k FROM $g.f").as[Long].collect().toSeq ===
       Seq(9L))
     assert(cat.readVersion("f", cat.currentVersion("f").get - 1)
       .count() === 2L)
+  }
+
+  test("SQL UPDATE and MERGE on a partitioned versioned table commit " +
+      "as snapshot replaces: a dt-scoped UPDATE rewrites ONE leaf, " +
+      "untouched leaves hard-link, time travel keeps the pre-DML state") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.u (k BIGINT, v BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('versioned'='true')")
+    spark.sql(s"INSERT INTO $g.u VALUES (1, 10, 'a'), (2, 20, 'a'), " +
+      "(3, 30, 'b'), (4, 40, 'b')") // v2
+    val keep = leafFiles(cat, "u", 2L, "dt=b")
+    spark.sql(s"UPDATE $g.u SET v = v + 1 WHERE dt = 'a' AND k = 1")
+    assert(cat.currentVersion("u") === Some(3L))
+    assert(spark.sql(s"SELECT v FROM $g.u ORDER BY k").as[Long]
+      .collect().toSeq === Seq(11L, 20L, 30L, 40L))
+    // the unscanned leaf carried byte-identical links
+    assert(leafFiles(cat, "u", 3L, "dt=b") === keep)
+    keep.foreach(n => assert(Files.isSameFile(
+      Paths.get(cat.path("u"), "_v2", "dt=b", n),
+      Paths.get(cat.path("u"), "_v3", "dt=b", n)),
+      "a dt-scoped UPDATE must not rewrite the other leaf"))
+    assert(cat.readVersion("u", 2L).filter($"k" === 1L)
+      .select("v").as[Long].head() === 10L, "pre-update state retained")
+    // MERGE: one matched update, one not-matched insert into a NEW leaf
+    Seq((2L, 99L, "a"), (9L, 90L, "c")).toDF("k", "v", "dt")
+      .createOrReplaceTempView("src_u")
+    spark.sql(s"MERGE INTO $g.u t USING src_u s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT k, v FROM $g.u ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 11L), (2L, 99L), (3L, 30L), (4L, 40L), (9L, 90L)))
+    assert(Files.exists(Paths.get(cat.path("u"),
+      s"_v${cat.currentVersion("u").get}", "dt=c")),
+      "MERGE's not-matched insert must land a new leaf")
   }
 
   test("a days(ts) TRANSFORM spec over the versioned layout: hidden " +
