@@ -5032,6 +5032,15 @@ object TestdataQueries {
           sum(col("price_c")).as("sum_c"))
         .collect().map(r => (r.getString(0), r.getInt(1),
           r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+      // the SQL surface serves the SAME multi-generation union (the
+      // composite per-generation scan — no compaction needed to query)
+      val sqlMulti = s.sql(s"SELECT y, m, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.lz WHERE y = '$y0' " +
+        "GROUP BY y, m")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+      require(sqlMulti == multiRows,
+        "the SQL multi-generation read must match the Scala union")
       // compact: the generations collapse into one (y, m) tree and the
       // SQL surface serves it again — values identical to the
       // multi-generation pruned read

@@ -252,14 +252,11 @@ class GraftSqlCatalog extends DsV2TableCatalog
     val partSpec =
       if (current.isEmpty || pv) cat.partitionSpec(t) else None
     // a lazily-evolved table holds several directory layouts at once
-    // (one per spec generation); this DSv2 delegate scans ONE tree, so
-    // serving it would silently drop every generation but the root's —
-    // refuse loudly until the generations collapse
-    require(partSpec.isEmpty || cat.specGenerations(t).size <= 1,
-      s"'$t' carries multiple partition-spec generations (lazy " +
-        "evolution) — SQL reads of a multi-generation tree are not " +
-        "wired yet; read via the Scala readPartitioned, or compact " +
-        "with CALL system.repartition to collapse the generations")
+    // (one per spec generation) — reads go through the composite
+    // per-generation scan ([[MultiGenScanBuilder]]); single-tree DML
+    // verbs still refuse inside the catalog until compaction
+    val multiGens =
+      if (partSpec.isDefined) cat.specGenerations(t) else Seq.empty
     // an evolved table reads under its DECLARED schema (the catalog's
     // schema log) — footer inference over a mixed-schema snapshot
     // would sample one file's shape
@@ -290,7 +287,7 @@ class GraftSqlCatalog extends DsV2TableCatalog
       writable = version.isEmpty, loadedVersion = current,
       partCols = partSpec.map(_._1), genSpec = gen,
       partVersioned = pv, scanRoot = Some(dir),
-      declaredSchema = partSpec.map(_._2))
+      declaredSchema = partSpec.map(_._2), multiGens = multiGens)
   }
 
   private def readOnly(verb: String): Nothing =
@@ -1083,7 +1080,8 @@ object GraftSqlCatalog {
       branch: Option[String] = None, branchEpoch: Option[String] = None,
       genSpec: Seq[graft.catalog.TableCatalog.GenCol] = Seq.empty,
       partVersioned: Boolean = false, scanRoot: Option[String] = None,
-      declaredSchema: Option[StructType] = None)
+      declaredSchema: Option[StructType] = None,
+      multiGens: Seq[graft.catalog.TableCatalog.SpecGen] = Seq.empty)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     private val genNames = genSpec.map(_.name).toSet
@@ -1164,6 +1162,10 @@ object GraftSqlCatalog {
         s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
           "row-level SQL fixes an EXISTING branch; stage rows with " +
           "INSERT INTO first")
+      require(multiGens.size <= 1,
+        s"'$table' carries multiple partition-spec generations (lazy " +
+          "evolution) — row-level SQL operates on one layout; compact " +
+          "first (CALL system.repartition)")
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build()
             : org.apache.spark.sql.connector.write.RowLevelOperation =
@@ -1181,7 +1183,13 @@ object GraftSqlCatalog {
         s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
           "reads of an unborn branch are refused (a typoed name would " +
           "silently audit the main table); INSERT INTO creates it")
-      if (genSpec.isEmpty) delegate.newScanBuilder(options)
+      if (multiGens.size > 1)
+        // lazily-evolved: one inner scan per spec generation, each
+        // pruned under its own layout, unioned at partition level
+        new MultiGenScanBuilder(cat, table,
+          declaredSchema.getOrElse(schema()), multiGens,
+          cat.path(table), options)
+      else if (genSpec.isEmpty) delegate.newScanBuilder(options)
       else new GenPruneScanBuilder(cat, table, delegate.schema,
         partCols.getOrElse(Seq.empty), genSpec, options,
         scanRoot.getOrElse(cat.path(table)))

@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *
   * Everything else delegates to Spark's parser untouched. The verb maps
   * onto [[graft.catalog.TableCatalog.repartitionTableTransformed]] —
-  * the EAGER rewrite (Iceberg evolves lazily; the metadata-only form is
-  * the Scala `repartitionTableLazy`, whose multi-generation reads the
-  * SQL surface does not serve yet — honesty over silence). */
+  * the EAGER rewrite (Iceberg evolves lazily; the metadata-only form
+  * is the Scala `repartitionTableLazy` — its multi-generation state
+  * reads fine from SQL via the composite per-generation scan, but
+  * row-level DML on it waits for compaction). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AlterField =
     """(?is)\s*ALTER\s+TABLE\s+([\w`.]+)\s+(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r

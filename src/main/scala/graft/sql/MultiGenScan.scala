@@ -1,0 +1,134 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.TableCatalog
+
+/** DSv2 scan for a MULTI-GENERATION (lazily evolved) partitioned
+  * table: one inner parquet scan per spec generation, each rooted at
+  * its own subtree under its own layout — so Spark's partition pruning
+  * and predicate pushdown run PER GENERATION — unioned at the
+  * InputPartition level. This is what makes `repartitionTableLazy`
+  * fully usable from SQL: before it, a multi-generation table refused
+  * SQL reads (one ParquetTable delegate can only discover one layout).
+  *
+  * Correctness notes:
+  *  - every predicate is returned to Spark UN-consumed (row filters
+  *    always apply), so per-generation pruning can only narrow;
+  *  - each inner scan is pruned to the SAME required column set, but a
+  *    FileTable orders its output data-columns-then-partition-columns,
+  *    and WHICH columns are path-derived differs per generation — so
+  *    each generation's rows project onto the required order before
+  *    union (a per-row zero-copy ordinal projection);
+  *  - readers are forced ROW-based (`supportColumnarReads = false`):
+  *    mixed per-generation columnar layouts cannot union, and a
+  *    multi-generation table is a transitional state the compaction
+  *    verb collapses — the honest cost until then. */
+private[sql] final class MultiGenScanBuilder(
+    cat: TableCatalog, table: String, declared: StructType,
+    gens: Seq[TableCatalog.SpecGen], root: String,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private var preds: Array[Predicate] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushPredicates(predicates: Array[Predicate])
+      : Array[Predicate] = { preds = predicates; predicates }
+  override def pushedPredicates(): Array[Predicate] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val out = required.getOrElse(declared)
+    val inners = gens.map { sg =>
+      val genDir =
+        if (sg.dir.isEmpty) root else s"$root/${sg.dir}"
+      val full = StructType(declared.fields ++ sg.gen.map(g =>
+        org.apache.spark.sql.types.StructField(g.name,
+          TableCatalog.genDataType(g), nullable = true)))
+      val opts = new java.util.HashMap[String, String](options)
+      opts.put("basePath", genDir)
+      val csm = new CaseInsensitiveStringMap(opts)
+      val b = ParquetTable(s"$table-gen-${sg.dir}", SparkSession.active,
+        csm, Seq(genDir), Some(full), classOf[ParquetFileFormat])
+        .newScanBuilder(csm)
+      b match {
+        case f: org.apache.spark.sql.connector.read.SupportsPushDownV2Filters =>
+          f.pushPredicates(preds); ()
+        case _ => ()
+      }
+      b match {
+        case pr: org.apache.spark.sql.connector.read
+            .SupportsPushDownRequiredColumns => pr.pruneColumns(out)
+        case _ => ()
+      }
+      b.build()
+    }
+    new MultiGenScan(inners, out)
+  }
+}
+
+private[sql] final class MultiGenScan(inners: Seq[Scan], out: StructType)
+    extends Scan {
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"MultiGenScan(${inners.size} generations)"
+  override def toBatch: Batch = new Batch {
+    private val batches = inners.map(_.toBatch)
+    // ordinal mapping inner-output → required order, None when aligned
+    private val projs: Array[Option[IndexedSeq[Int]]] = inners.map { s =>
+      val inner = s.readSchema()
+      if (inner.fieldNames.sameElements(out.fieldNames)) None
+      else Some(out.fieldNames.map(inner.fieldIndex).toIndexedSeq)
+    }.toArray
+    override def planInputPartitions(): Array[InputPartition] =
+      batches.zipWithIndex.flatMap { case (b, i) =>
+        b.planInputPartitions().map(p =>
+          MultiGenPartition(i, p): InputPartition)
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MultiGenReaderFactory(
+        batches.map(_.createReaderFactory()).toArray, projs, out)
+  }
+}
+
+private[sql] final case class MultiGenPartition(gen: Int,
+    inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+private[sql] final class MultiGenReaderFactory(
+    factories: Array[PartitionReaderFactory],
+    projs: Array[Option[IndexedSeq[Int]]], out: StructType)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val mp = partition.asInstanceOf[MultiGenPartition]
+    val inner = factories(mp.gen).createReader(mp.inner)
+    projs(mp.gen) match {
+      case None => inner
+      case Some(ix) => new PartitionReader[InternalRow] {
+        private val proj =
+          org.apache.spark.sql.catalyst.ProjectingInternalRow(out, ix)
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = {
+          proj.project(inner.get()); proj
+        }
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
+}

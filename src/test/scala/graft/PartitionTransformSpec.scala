@@ -579,13 +579,26 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
     assert(scans.size === 2, "one scan per generation")
     assert(scans.forall(_.partitionFilters.nonEmpty),
       "each generation must prune by its own partition columns")
-    // single-tree verbs refuse the multi-generation shape loudly
-    val e1 = intercept[Exception](
-      spark.sql(s"SELECT * FROM $g.lz").collect())
-    assert(e1.getMessage.contains("generations"), e1.getMessage)
+    // SQL serves the multi-generation union through the composite
+    // per-generation scan — declared order, correct values, both gens
+    assert(spark.sql(s"SELECT * FROM $g.lz").columns.toSeq ===
+      Seq("k", "y", "m"))
+    assert(spark.sql(s"SELECT k FROM $g.lz ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(spark.sql(
+      s"SELECT k, m FROM $g.lz WHERE y = 2020 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 1), (2L, 2), (5L, 1)),
+      "per-generation values must survive the union projection")
+    assert(spark.sql(s"SELECT sum(m) FROM $g.lz WHERE y = 2021")
+      .head().getLong(0) === 3L)
+    // single-tree DML verbs still refuse the multi-generation shape
     val e2 = intercept[Exception](
       cat.deleteWhereParts("lz", Seq("y"), $"y" === 2020))
     assert(e2.getMessage.contains("generations"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql(s"UPDATE $g.lz SET m = 9 WHERE k = 1"))
+    assert(e3.getMessage.contains("generations"), e3.getMessage)
     // the eager rewrite is the COMPACTION that collapses generations
     cat.repartitionTableTransformed("lz",
       Seq(("identity", "y", 0), ("identity", "m", 0)))

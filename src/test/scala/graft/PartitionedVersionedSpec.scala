@@ -300,6 +300,32 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     assert(n === leafFiles(cat, "tv", 3L, "ts_day=2024-03-01"))
   }
 
+  test("pv lifecycle: CHECK constraints enforce on append, TIMESTAMP " +
+      "AS OF and tags resolve snapshots, vacuum never eats linked data") {
+    val (cat, g) = freshSqlCat()
+    cat.createPartitionedVersioned("lc",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.addConstraint("lc", "v_pos", "v >= 0")
+    cat.appendPartitionedVersioned("lc", fact("2024-01-01", 0 until 3))
+    val bad = intercept[Exception] {
+      cat.appendPartitionedVersioned("lc",
+        Seq((99L, -5L, "2024-01-01")).toDF("k", "v", "dt"))
+    }
+    assert(bad.getMessage.toLowerCase.contains("constraint") ||
+      bad.getMessage.contains("v_pos"), bad.getMessage)
+    assert(cat.read("lc").count() === 3L, "a refused append lands nothing")
+    val tsAfterV2 = System.currentTimeMillis()
+    Thread.sleep(5)
+    cat.appendPartitionedVersioned("lc", fact("2024-01-02", 3 until 7))
+    cat.tag("lc", "after_first")
+    assert(spark.sql(s"SELECT count(*) FROM $g.lc TIMESTAMP AS OF " +
+      s"'${new java.sql.Timestamp(tsAfterV2)}'").as[Long].head() === 3L)
+    // vacuum sweeps staging residue but linked snapshot data survives
+    cat.vacuum("lc", graceMs = 0L)
+    assert(cat.read("lc").count() === 7L)
+    assert(cat.readTag("lc", "after_first").count() === 7L)
+  }
+
   test("ADD COLUMN on a partitioned versioned table is a sidecar " +
       "update that PRESERVES the versioned flag; old rows null-fill") {
     val (cat, g) = freshSqlCat()
