@@ -326,6 +326,33 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readTag("lc", "after_first").count() === 7L)
   }
 
+  test("per-file skipping inside a pv SNAPSHOT: ANALYZE + prunedRead " +
+      "open fewer files than the leaves hold; a later append stales " +
+      "the manifest loudly") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("sk",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    // range-clustered: 4 files per leaf with disjoint k ranges
+    cat.appendPartitionedVersioned("sk",
+      fact("2024-01-01", 0 until 400)
+        .repartitionByRange(4, $"k"))
+    cat.analyze("sk", cols = Seq("k"), skipCols = Seq("k"))
+    val pruned = cat.prunedRead("sk", Seq(("k", 100L, 150L)))
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq ===
+      (100L to 150L))
+    assert(pruned.schema.fieldNames.toSeq === Seq("k", "v", "dt"))
+    val leafCount = leafFiles(cat, "sk", 2L, "dt=2024-01-01").size
+    assert(leafCount >= 4)
+    assert(pruned.inputFiles.length < leafCount,
+      s"skipping must open fewer than the leaf's $leafCount files")
+    // a snapshot commit invalidates the stats head — the pruned read
+    // refuses loudly (never serves a stale manifest silently)
+    cat.appendPartitionedVersioned("sk", fact("2024-01-02", 400 until 410))
+    val e = intercept[Exception](cat.prunedRead("sk", Seq(("k", 0L, 1L))))
+    assert(e.getMessage.contains("stale") ||
+      e.getMessage.contains("no skipping index"), e.getMessage)
+  }
+
   test("ADD COLUMN on a partitioned versioned table is a sidecar " +
       "update that PRESERVES the versioned flag; old rows null-fill") {
     val (cat, g) = freshSqlCat()
