@@ -3845,7 +3845,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * locked spec re-check — a spec evolution landed there must make
     * the adopt re-stage under the new spec. */
   private[graft] def insertPartitionedHooked(table: String, df: DataFrame,
-      afterStage: () => Unit): Unit = {
+      afterStage: () => Unit, keepStats: Boolean = false): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
@@ -3889,7 +3889,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         if (!done) deleteRecursive(scratch) // spec moved; re-derive
       }
     }
-    invalidateStats(table)
+    // an INDEXED insert (insertPartitionedIndexed) extends the live
+    // manifest instead of invalidating it
+    if (!keepStats) invalidateStats(table)
   }
 
   /** SQL `INSERT OVERWRITE` / TRUNCATE of a partitioned plain table:
@@ -5141,13 +5143,54 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       s"'$table' has no manifest generation — re-analyze (overwriteIndexed)")
     val before = listParquetUris(table)
     append(table, df)
-    val newFiles = (listParquetUris(table) -- before).toSeq
+    extendIndexWithNewFiles(table, prev,
+      (listParquetUris(table) -- before).toSeq, skipCols, df.schema)
+  }
+
+  /** [[insertPartitioned]] for an INDEXED partitioned plain table: the
+    * insert EXTENDS the live manifest generation with the new files'
+    * envelopes (and bloom sidecars / NDV sketches when live) instead
+    * of invalidating the whole index — O(new files), the
+    * [[appendIndexed]] discipline on the Hive layout; a 100 TB fact
+    * must not re-ANALYZE per insert. Indexed columns must be DATA
+    * columns: identity partition columns already prune by leaf, and
+    * hidden transform columns never appear in file bytes. */
+  def insertPartitionedIndexed(table: String, df: DataFrame): Unit = {
+    val (pcols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use appendIndexed"))
+    val prev = stats(table)
+      .filter(st => st.skipCols.nonEmpty || st.bloomCols.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"'$table' has no skipping index — ANALYZE it first"))
+    require(prev.manifestGen.nonEmpty,
+      s"'$table' has no manifest generation — re-analyze")
+    val idxCols = prev.skipCols.toSet ++ prev.bloomCols ++ prev.ndv.keySet
+    val bad = idxCols.intersect(pcols.toSet)
+    require(bad.isEmpty,
+      s"indexed column(s) ${bad.toSeq.sorted.mkString(", ")} are " +
+        s"partition columns of '$table' — leaves already prune them; " +
+        "index data columns")
+    val before = listParquetUris(table)
+    insertPartitionedHooked(table, df, () => (), keepStats = true)
+    extendIndexWithNewFiles(table, prev,
+      (listParquetUris(table) -- before).toSeq, prev.skipCols, declared)
+  }
+
+  /** Extend a live skipping index with `newFiles`' envelopes, bloom
+    * sidecars, and NDV-sketch merge — the shared tail of
+    * [[appendIndexed]] and [[insertPartitionedIndexed]]. `schema`
+    * resolves each skip column's envelope KIND (string vs numeric) —
+    * the legs must match the base manifest's. */
+  private def extendIndexWithNewFiles(table: String,
+      prev: TableCatalog.TableStats, newFiles: Seq[String],
+      skipCols: Seq[String], schema: StructType): Unit = {
     if (newFiles.nonEmpty) {
       import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
       // same string/numeric split as analyze(): appended legs must
       // carry the same envelope kind per column as the base manifest
       val strSkips = skipCols.filter(c =>
-        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+        schema(c).dataType == org.apache.spark.sql.types.StringType)
       val numSkips = skipCols.filterNot(strSkips.contains)
       val aggs = count(lit(1L)).as("_rows") +:
         (numSkips.flatMap(c => Seq(min(col(c).cast("long")).as(s"_min_$c"),

@@ -781,6 +781,44 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       "the purged leaf directory must be the writer-escaped name")
   }
 
+  test("insertPartitionedIndexed extends the live manifest instead of " +
+      "invalidating it: prunedRead stays serveable across inserts, new " +
+      "files' envelopes skip, partition-column indexing refuses") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.ix (k BIGINT, v BIGINT, y STRING) " +
+      "PARTITIONED BY (y)")
+    def batch(ks: Range) =
+      ks.map(k => (k.toLong, k.toLong * 10, s"y${k % 2}"))
+        .toDF("k", "v", "y").repartitionByRange(2, $"k")
+    cat.insertPartitioned("ix", batch(0 until 100))
+    cat.analyze("ix", cols = Seq("k"), skipCols = Seq("k"))
+    // an indexed insert EXTENDS the manifest — no re-analyze needed
+    cat.insertPartitionedIndexed("ix", batch(100 until 200))
+    val pr = cat.prunedRead("ix", Seq(("k", 150L, 160L)))
+    assert(pr.select("k").as[Long].collect().sorted.toSeq ===
+      (150L to 160L), "post-insert rows must be indexed and readable")
+    val total = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(Paths.get(cat.path("ix")))
+      try st.iterator().asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet") &&
+        !p.toString.contains("/_"))
+      finally st.close()
+    }
+    assert(pr.inputFiles.length < total,
+      s"envelopes must skip files (${pr.inputFiles.length} of $total)")
+    // rows/fileCount in the head stay honest across the extension
+    assert(cat.stats("ix").map(_.rows) === Some(200L))
+    // a partition-column index is refused (leaves already prune it)
+    spark.sql(s"CREATE TABLE $g.ix2 (k BIGINT, y STRING) " +
+      "PARTITIONED BY (y)")
+    cat.insertPartitioned("ix2", Seq((1L, "a")).toDF("k", "y"))
+    cat.analyze("ix2", cols = Seq("k"), skipCols = Seq("y"))
+    val e = intercept[Exception](cat.insertPartitionedIndexed("ix2",
+      Seq((2L, "a")).toDF("k", "y")))
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+  }
+
   test("a legacy (tv=1) spec wrote session-TZ temporal directories: " +
       "reads keep every leaf rather than prune against them") {
     val (cat, g) = freshSqlCat()
