@@ -3241,15 +3241,31 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val dstSnap = snapDir(scratch, 1L)
       Files.createDirectories(dstSnap)
       val uris = listParquetUrisAt(srcSnap).toSeq.sorted
+      // RELATIVE-path links: a partitioned VERSIONED source's snapshot
+      // is a leaf TREE whose partition values live in directory names —
+      // flat getFileName links would silently flatten it and lose every
+      // partition value (files never carry them). Leaf dirs pre-create
+      // serially (a concurrent mkdir race inside the parallel pass is
+      // not worth the thread-safety fine print); flat snapshots reduce
+      // to the old behavior exactly.
+      val relOf: String => Path = u =>
+        srcSnap.relativize(Paths.get(java.net.URI.create(u)))
+      uris.map(u => dstSnap.resolve(relOf(u).toString).getParent)
+        .distinct.foreach(Files.createDirectories(_))
       // parallel hard links: driver-local metadata syscalls with no
       // ordering dependency — the serial pass was O(files) wall time
       locally {
         import scala.jdk.CollectionConverters._
         uris.asJava.parallelStream().forEach { u =>
           val s0 = Paths.get(java.net.URI.create(u))
-          Files.createLink(dstSnap.resolve(s0.getFileName), s0)
+          Files.createLink(dstSnap.resolve(relOf(u).toString), s0)
         }
       }
+      // the spec sidecar defines a partitioned table exactly like the
+      // schema entry does a flat one — it travels (versioned flag and
+      // transform generations included)
+      committer.read(partSpecFile(src)).foreach(b =>
+        Files.write(partSpecFile(scratch), b))
       schemaLog(src).filter(_.version <= v).lastOption.foreach(e =>
         appendSchemaEntry(scratch, 1L, e.ddl, e.ids, e.nextId))
       idMarker(src).filter(_.since <= v).foreach(m =>

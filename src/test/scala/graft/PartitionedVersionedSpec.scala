@@ -353,6 +353,33 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
       e.getMessage.contains("no skipping index"), e.getMessage)
   }
 
+  test("CLONE of a partitioned versioned table preserves the leaf " +
+      "tree by relative-path links; the spec sidecar travels; the " +
+      "clone mutates independently") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("cs",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned("cs", fact("2024-01-01", 0 until 4))
+    cat.appendPartitionedVersioned("cs", fact("2024-01-02", 4 until 9))
+    cat.cloneTable("cs", "cd")
+    assert(cat.partitionSpecVersioned("cd"), "the versioned flag travels")
+    assert(cat.read("cd").count() === 9L)
+    assert(cat.read("cd").filter($"dt" === "2024-01-02")
+      .select("k").as[Long].collect().sorted.toSeq === (4L to 8L),
+      "partition values must survive the clone (leaf tree, not flat)")
+    // links, not copies
+    val names = leafFiles(cat, "cs", 3L, "dt=2024-01-01")
+    assert(names.nonEmpty && names === leafFiles(cat, "cd", 1L,
+      "dt=2024-01-01"))
+    names.foreach(n => assert(Files.isSameFile(
+      Paths.get(cat.path("cs"), "_v3", "dt=2024-01-01", n),
+      Paths.get(cat.path("cd"), "_v1", "dt=2024-01-01", n))))
+    // independence: a clone-side partition drop never touches the source
+    cat.dropPartitionsVersioned("cd", Seq(Seq(Some("2024-01-01"))))
+    assert(cat.read("cd").count() === 5L)
+    assert(cat.read("cs").count() === 9L)
+  }
+
   test("ADD COLUMN on a partitioned versioned table is a sidecar " +
       "update that PRESERVES the versioned flag; old rows null-fill") {
     val (cat, g) = freshSqlCat()
