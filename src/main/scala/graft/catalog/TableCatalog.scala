@@ -83,6 +83,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def snapDir(table: String, v: Long): Path =
     Paths.get(path(table), s"_v$v")
 
+  /** The snapshot directory of `table` at version `v` — the ONE owner
+    * of the `_vN` naming convention, exposed so SQL-side scans of
+    * partitioned versioned tables never re-derive the layout by hand
+    * (ADVICE r14 low #3). */
+  private[graft] def snapshotPath(table: String, v: Long): Path =
+    snapDir(table, v)
+
   /** The directory a consistent read of `table` should scan: the
     * committed snapshot when versioned, the table path itself otherwise
     * (append-style tables — facts, closed SCD2 history — stay plain:
@@ -2197,11 +2204,27 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           throw new IllegalStateException(
             s"'$table' is not versioned — branches stage against " +
               "snapshots; write it via replaceAtomic/appendAtomic first"))
-        val m = appendIds(table, cur, schema, repair = false)
-        val created = BranchMeta(cur, m.map(x => (x.ids, x.nextId)),
-          StructType(schema.fields.map(_.copy(nullable = true,
-            metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL,
-          freshEpoch(), mode)
+        val created =
+          if (partitionSpecVersioned(table)) {
+            // a pv branch stages LEAF TREES, append-mode only (the
+            // WAP/backfill shape); field-id stamping is flat-table
+            // machinery — pv reads resolve columns by name under the
+            // declared spec schema, so the branch carries no ids
+            require(mode == "append",
+              s"branch '$name' of partitioned versioned '$table': only " +
+                "append-mode branches are supported — repair by " +
+                "dropBranch + re-stage")
+            val (_, declared) = partitionSpec(table).getOrElse(
+              throw new IllegalStateException(
+                s"'$table' lost its partition spec"))
+            BranchMeta(cur, None, declared.toDDL, freshEpoch(), mode)
+          } else {
+            val m = appendIds(table, cur, schema, repair = false)
+            BranchMeta(cur, m.map(x => (x.ids, x.nextId)),
+              StructType(schema.fields.map(_.copy(nullable = true,
+                metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL,
+              freshEpoch(), mode)
+          }
         writeBranchPtr(table, name, created)
         created
       }
@@ -2286,7 +2309,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       mergeSchema: Boolean, prefix: String,
       sidecar: Option[String],
       afterStage: () => Unit = () => ()): BranchMeta = {
-    requireFlatVersioned(table, "branch staging")
+    if (partitionSpecVersioned(table))
+      return stageBranchPv(table, name, df, mergeSchema, prefix, sidecar,
+        afterStage)
     var attempt = 0
     var scratch: Path = null
     var scratchIds: Option[(Map[String, Int], Int)] = None
@@ -2358,6 +2383,115 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       }
       throw new IllegalStateException("unreachable")
     } finally if (scratch != null) deleteRecursive(scratch)
+  }
+
+  /** [[stageBranch]] for a PARTITIONED VERSIONED table (r14 verdict
+    * next #1 — WAP on the date-partitioned fact): the branch data dir
+    * holds a HIVE LEAF TREE instead of flat files. The distributed
+    * write lands the tree in a `_brtmp_stage-` scratch UNLOCKED (spec
+    * pinned by the sidecar bytes, the insertPartitioned discipline);
+    * under the branch lock the files MOVE into their leaves under
+    * `prefix`-scoped names (replays sweep the prefix first, leaf-tree
+    * wide). No field-id stamping, no schema evolution (pv ADD COLUMN
+    * happens on the TABLE; staged files null-fill like every old pv
+    * file). Same epoch/life protocol as the flat stage. */
+  private def stageBranchPv(table: String, name: String, df: DataFrame,
+      mergeSchema: Boolean, prefix: String, sidecar: Option[String],
+      afterStage: () => Unit): BranchMeta = {
+    require(!mergeSchema,
+      s"branch staging on partitioned versioned '$table' does not " +
+        "support mergeSchema — ADD COLUMN on the table itself; staged " +
+        "and existing files null-fill the new columns alike")
+    var attempt = 0
+    var scratch: Path = null
+    var scratchPin: Option[String] = None
+    try {
+      while (true) {
+        attempt += 1
+        require(attempt <= TableCatalog.MaxStageAttempts,
+          s"branch '$name' of '$table' is being dropped/published in a " +
+            s"tight loop — staging cannot land ($attempt attempts)")
+        val pin = partSpecPin(table)
+        val (pcols, declared) = partitionSpec(table).getOrElse(
+          throw new IllegalStateException(
+            s"'$table' lost its partition spec"))
+        require(df.columns.toSet == declared.fieldNames.toSet,
+          s"branch stage shape (${df.columns.sorted.mkString(",")}) != " +
+            s"declared (${declared.fieldNames.sorted.mkString(",")})")
+        val meta = ensureBranch(table, name, declared, "append")
+        require(meta.mode == "append",
+          s"branch '$name' of partitioned versioned '$table' is " +
+            s"${meta.mode}-mode — pv branches stage append-only")
+        if (scratch == null || scratchPin != pin) {
+          if (scratch != null) deleteRecursive(scratch)
+          scratch = Paths.get(path(table),
+            s"_brtmp_stage-${java.util.UUID.randomUUID()}")
+          enforced(table, withGen(table, stripDf(df)))
+            .write.partitionBy(pcols: _*).parquet(scratch.toString)
+          scratchPin = pin
+        }
+        afterStage()
+        val landed = withBranchLock(table, name) {
+          branchMeta(table, name) match {
+            case Some(m) if m.epoch == meta.epoch =>
+              if (partSpecPin(table) != pin) false // spec moved; re-derive
+              else {
+                val dir = branchDataDir(table, name, meta.epoch)
+                Files.createDirectories(dir)
+                // replay sweep, leaf-tree wide: this prefix's previous
+                // (possibly partial) landing — data files inside any
+                // leaf plus the root sidecar
+                sweepPrefixPv(dir, prefix)
+                import scala.jdk.CollectionConverters._
+                val s = Files.walk(scratch)
+                try {
+                  s.iterator().asScala
+                    .filter(p => Files.isRegularFile(p) &&
+                      p.getFileName.toString.endsWith(".parquet"))
+                    .toSeq
+                    .foreach { p =>
+                      val rel = scratch.relativize(p)
+                      val leaf = Option(rel.getParent)
+                        .map(dir.resolve).getOrElse(dir)
+                      Files.createDirectories(leaf)
+                      val dst = Files.move(p,
+                        leaf.resolve(prefix + p.getFileName.toString))
+                      try Files.setLastModifiedTime(dst,
+                        java.nio.file.attribute.FileTime.fromMillis(
+                          System.currentTimeMillis()))
+                      catch { case _: java.io.IOException => () }
+                    }
+                } finally s.close()
+                sidecar.foreach(sc =>
+                  Files.write(dir.resolve(sc), Array.empty[Byte]))
+                true
+              }
+            case _ => false
+          }
+        }
+        if (landed) return meta
+      }
+      throw new IllegalStateException("unreachable")
+    } finally if (scratch != null) deleteRecursive(scratch)
+  }
+
+  /** Delete every data file under branch tree `dir` (any leaf depth)
+    * whose NAME starts with `prefix`, plus the root `.staged-<prefix>`
+    * sidecars — the pv replay sweep. */
+  private def sweepPrefixPv(dir: Path, prefix: String): Unit = {
+    if (!Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(dir)
+    try {
+      s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(prefix) || n.startsWith(s".staged-$prefix")
+        }
+        .toSeq
+        .foreach(Files.delete)
+    } finally s.close()
   }
 
   /** Stage `df` onto branch `name` — created at the CURRENT head on
@@ -2495,6 +2629,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * counts, quality checks, ad-hoc queries against it before
     * publishing. */
   def readBranch(table: String, name: String): DataFrame = {
+    if (partitionSpecVersioned(table)) {
+      val meta = branchMeta(table, name).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
+          s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
+      // base snapshot ∪ the staged leaf tree, both under the declared
+      // spec schema — the pv would-be state (append mode only)
+      return readPartVersionedAt(table, meta.base).unionByName(
+        readLeafTreeAt(table, branchDataDir(table, name, meta.epoch)))
+    }
     val (paths, sch) = branchReadParts(table, name).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
         s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
@@ -2530,6 +2673,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * staging directory. */
   private[graft] def replaceBranchFromStaged(table: String, name: String,
       expectEpoch: String, staged: Path, schema: StructType): Unit = {
+    requireFlatBranchRepair(table, "row-level SQL on a branch")
     if (constraintsOf(table).nonEmpty)
       enforced(table, spark.read.schema(
         StructType(schema.fields.map(_.copy(nullable = true))))
@@ -2608,6 +2752,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val wouldBe = readBranch(table, name)
     if (meta.mode == "append") {
       val dir = branchDataDir(table, name, meta.epoch)
+      if (partitionSpecVersioned(table))
+        return readLeafTreeAt(table, dir)
+          .withColumn("change_type", lit("add"))
       val staged =
         if (Files.exists(dir))
           spark.read.schema(wouldBe.schema).parquet(dir.toString)
@@ -2647,6 +2794,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       keyCols: Seq[String],
       deleteWhenMatched: Option[org.apache.spark.sql.Column] = None)
       : (Long, Long, Long, Long) = {
+    requireFlatBranchRepair(table, "mergeBranchInto")
     var attempt = 0
     while (true) {
       attempt += 1
@@ -2671,6 +2819,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   def deleteFromBranch(table: String, name: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    requireFlatBranchRepair(table, "deleteFromBranch")
     var attempt = 0
     while (true) {
       attempt += 1
@@ -2694,6 +2843,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * REPLACE. The other entry into repair-style WAP — derive the
     * corrected table, audit it, publish. */
   def replaceBranch(table: String, name: String, df: DataFrame): Long = {
+    requireFlatBranchRepair(table, "replaceBranch")
     var attempt = 0
     while (true) {
       attempt += 1
@@ -2767,6 +2917,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * `afterCommit` between the commit and the record/consume. */
   private[graft] def publishBranchHooked(table: String, name: String,
       afterPend: () => Unit, afterCommit: () => Unit): Long = {
+    if (partitionSpecVersioned(table))
+      return publishBranchPvHooked(table, name, afterPend, afterCommit)
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -2910,6 +3062,127 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               // dropBranch) folds idempotently; dropping the intent any
               // earlier would let a crash-between re-publish the same
               // files onto the new head (doubling every row)
+              recordPublishedBatches(table, name, marks)
+              consumeBranchLocked(table, name, dir)
+              committer.delete(branchPendFile(table, name))
+              Some(v)
+            }
+        }
+      }}
+    }
+    result.get
+  }
+
+  /** [[publishBranchHooked]] for a PARTITIONED VERSIONED table (r14
+    * verdict next #1 — the capstone of the table-worlds unification):
+    * the branch's staged LEAF TREE commits as ONE pv snapshot —
+    * `_vN+1` hard-links the whole current tree (the carry) plus every
+    * staged file under its leaf-relative path; the branch dir stays
+    * intact until consume (links, not moves), so every crash window
+    * the flat protocol closes stays closed here:
+    *   - crash before the pointer rename: the uncommitted `_vN+1`
+    *     residue is swept by the retry's own commit; the branch still
+    *     holds every file; the stale intent drops as pre-commit;
+    *   - crash between commit and record/consume: the intent's pub
+    *     UUID proves the commit in the history entry
+    *     ([[recoverBranchPendLocked]], shared verbatim) and the
+    *     LEAF-RELATIVE file list drives the selective consume
+    *     ([[consumeCommittedLocked]], now tree-aware) — post-crash
+    *     stages survive in the still-open branch;
+    *   - a FOREIGN pv commit stealing the crash window fails the
+    *     provenance check exactly as the flat path does (pv appends
+    *     stamp an empty pub).
+    * Append-mode only (the pv branch shape): content rebases safely
+    * onto a moved head — the carry links the CURRENT tree, whatever
+    * committed since the branch's base. */
+  private def publishBranchPvHooked(table: String, name: String,
+      afterPend: () => Unit, afterCommit: () => Unit): Long = {
+    var attempt = 0
+    var result = Option.empty[Long]
+    while (result.isEmpty) {
+      attempt += 1
+      val last = attempt > TableCatalog.MaxOptimisticAttempts
+      val meta = branchMeta(table, name).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
+          s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
+      require(meta.mode == "append",
+        s"branch '$name' of partitioned versioned '$table' is " +
+          s"${meta.mode}-mode — pv branches publish append-only")
+      val dir = branchDataDir(table, name, meta.epoch)
+      // the audit, unlocked, against the CURRENT constraint set
+      val cons0 = constraintsOf(table)
+      val hasData = Files.exists(dir) && listParquetUrisAt(dir).nonEmpty
+      if (hasData && cons0.nonEmpty)
+        enforced(table, readLeafTreeAt(table, dir)).count()
+      result = withTableLock(table) { withBranchLock(table, name) {
+        val cur = currentVersion(table).getOrElse(
+          throw new IllegalStateException(
+            s"'$table' lost its versioned pointer while branch '$name' " +
+              "was open"))
+        // crash recovery FIRST — the flat rule: a prior publish of
+        // THIS life that committed but died before record/consume
+        // folds its watermark and selectively consumes; re-publishing
+        // would double every row it landed
+        val liveMeta = branchMeta(table, name)
+        val recovered = recoverBranchPendLocked(table, name, cur,
+            liveMeta.map(_.epoch).getOrElse(" gone")).map { pend =>
+          val fully = consumeCommittedLocked(table, name,
+            branchDataDir(table, name, liveMeta.get.epoch), pend)
+          committer.delete(branchPendFile(table, name))
+          fully
+        }
+        if (recovered.contains(true)) Some(cur)
+        // post-crash stages survived the selective consume: fall
+        // through and the retry loop lands them as a fresh commit
+        else if (recovered.contains(false)) None
+        else liveMeta match {
+          case None => throw new IllegalArgumentException(
+            s"branch '$name' of '$table' was dropped mid-publish")
+          case Some(m2) if m2.epoch != meta.epoch =>
+            require(!last,
+              s"branch '$name' of '$table' keeps changing lives while " +
+                "publish re-audits — quiesce the writers and retry")
+            None
+          case Some(_) =>
+            val hasDataL = Files.exists(dir) &&
+              listParquetUrisAt(dir).nonEmpty
+            if (!hasDataL) { consumeBranchLocked(table, name, dir); Some(cur) }
+            else if (constraintsOf(table) != cons0 && !last) None // re-audit
+            else {
+              if (constraintsOf(table) != cons0) // degrade: audit under lock
+                enforced(table, readLeafTreeAt(table, dir)).count()
+              // one WALK under the lock drives everything: the root
+              // sidecars feed the publish high-water mark, the
+              // LEAF-RELATIVE data paths pin the intent to exactly
+              // the files this commit links
+              val names = {
+                val s = Files.walk(dir)
+                try {
+                  import scala.jdk.CollectionConverters._
+                  s.iterator().asScala.filter(Files.isRegularFile(_))
+                    .map(p => dir.relativize(p).toString).toSeq
+                } finally s.close()
+              }
+              val dataNames = names.filter(_.endsWith(".parquet"))
+              val marks = names.filter(_.startsWith(".staged-b"))
+                .flatMap { n =>
+                  val body = n.drop(".staged-b".length)
+                  val i = body.indexOf('-')
+                  if (i < 0) None
+                  else try Some(body.drop(i + 1) -> body.take(i).toLong)
+                  catch { case _: NumberFormatException => None }
+                }
+                .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+              val pubId = java.util.UUID.randomUUID().toString
+              writeBranchPend(table, name,
+                BranchPend(cur + 1L, meta.epoch, pubId, marks, dataNames))
+              afterPend()
+              val v = commitPartVersionedLocked(table, cur, "PUBLISH",
+                skip = Seq.empty, scratch = None, linkAdopt = Some(dir),
+                pub = pubId)
+              afterCommit()
+              // record, consume, THEN drop the intent — the flat
+              // ordering, same reasons
               recordPublishedBatches(table, name, marks)
               consumeBranchLocked(table, name, dir)
               committer.delete(branchPendFile(table, name))
@@ -3067,11 +3340,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       committer.delete(branchPtrFile(table, name)); return true
     }
     val published = pend.files.toSet
+    // recursive, RELATIVE-path listing: a flat branch dir's relative
+    // paths ARE its bare file names (behavior unchanged), and a pv
+    // branch's leaf tree lists as `leaf/.../b3-part….parquet` —
+    // exactly the form its publish intent records (r14 verdict next
+    // #1: the flat sweep keyed on bare names and could not address
+    // files inside leaves)
     val names = {
-      val s = Files.list(dir)
+      val s = Files.walk(dir)
       try {
         import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString).toSeq
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => dir.relativize(p).toString).toSeq
       } finally s.close()
     }
     // sidecar triage FIRST: a `.staged-b<batchId>-<token>` whose
@@ -3101,10 +3381,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val replayedIds = foldedIds -- liveIds
     sidecars.foreach { case (n, b, t) =>
       if (pend.tokens.get(t).exists(b <= _)) Files.delete(dir.resolve(n)) }
-    def replayedData(n: String): Boolean = n.startsWith("b") && {
-      val i = n.indexOf('-')
-      i > 1 && (try replayedIds(n.substring(1, i).toLong)
-      catch { case _: NumberFormatException => false })
+    def replayedData(rel: String): Boolean = {
+      // batch-scoped prefixes sit on the FILE NAME — for pv trees the
+      // leaf directories come first in the relative path
+      val n = rel.substring(rel.lastIndexOf('/') + 1)
+      n.startsWith("b") && {
+        val i = n.indexOf('-')
+        i > 1 && (try replayedIds(n.substring(1, i).toLong)
+        catch { case _: NumberFormatException => false })
+      }
     }
     val dataLeft = names.count { n =>
       if (n.endsWith(".parquet") && (published(n) || replayedData(n))) {
@@ -3320,6 +3605,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // through — drop it so the clone's first stats read parses fresh
     TableCatalog.invalidateHead(
       statsFile(scratch).toAbsolutePath.normalize().toString)
+    invalidateSpecCache(scratch)
+    invalidateSpecCache(dst)
     1L
   }
 
@@ -3354,6 +3641,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "snapshots; use appendPartitionedVersioned / " +
         "overwritePartitionTuplesVersioned / deleteWherePartsVersioned / " +
         "dropPartitionsVersioned")
+
+  /** The replace-mode branch repair verbs stage FLAT rewrites — a pv
+    * branch's leaf-tree layout has no replace-mode life yet. */
+  private def requireFlatBranchRepair(table: String, verb: String): Unit =
+    require(!partitionSpecVersioned(table),
+      s"'$table' is a partitioned VERSIONED table — pv branches are " +
+        s"append-mode (stage/audit/publish); $verb needs a replace-mode " +
+        "branch life, which the leaf-tree layout does not stage yet. " +
+        "Repair by dropBranch + re-stage, or publish and use the pv " +
+        "DML verbs")
 
   private def requirePlain(table: String, op: String): Unit =
     require(currentVersion(table).isEmpty,
@@ -3466,6 +3763,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.col
     requirePlain(table, "overwritePartitions")
     requireSingleGen(table, "overwritePartitions")
+    requireRoutableGen(table, "overwritePartitions")
     if (parts.isEmpty) return
     require(parts.forall(_.size == partCols.size),
       s"every partition tuple must have ${partCols.size} values " +
@@ -3543,22 +3841,35 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def partSpecFile(table: String): Path =
     Paths.get(path(table), "_partspec.json")
 
+  /** The parsed spec sidecar, fingerprint-cached (ADVICE r14 low #4):
+    * partitionSpec/partitionGen/specGenerations/partitionSpecVersioned/
+    * partSpecPin sit on every read and commit verb, so the JSON (and
+    * `StructType.fromDDL`) parse happens once per sidecar VERSION —
+    * the headCache discipline: fingerprint-keyed, in-JVM spec writers
+    * additionally invalidate explicitly so the same-millisecond
+    * same-size rewrite residual is cross-JVM only. */
+  private def specSidecar(table: String): Option[TableCatalog.SpecSidecar] = {
+    val f = partSpecFile(table)
+    TableCatalog.cachedSpec(f.toAbsolutePath.toString,
+      committer.fingerprint(f),
+      () => committer.read(f).map(b => new TableCatalog.SpecSidecar(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8))))
+  }
+
+  private def invalidateSpecCache(table: String): Unit =
+    TableCatalog.invalidateSpec(
+      partSpecFile(table).toAbsolutePath.toString)
+
   /** The partition columns (declaration order = directory nesting
     * order) and declared schema of a SQL-created partitioned plain
     * table, if it is one. */
   def partitionSpec(table: String): Option[(Seq[String], StructType)] =
-    committer.read(partSpecFile(table)).flatMap(b =>
-      TableCatalog.parsePartSpec(new String(b,
-        java.nio.charset.StandardCharsets.UTF_8)))
-      .map { case (cs, ddl) => (cs, StructType.fromDDL(ddl)) }
+    specSidecar(table).flatMap(_.basic)
 
   /** The GENERATED (transform) partition columns of `table` — empty
     * for identity-partitioned and unpartitioned tables. */
   def partitionGen(table: String): Seq[TableCatalog.GenCol] =
-    committer.read(partSpecFile(table)).flatMap(b =>
-      TableCatalog.parsePartSpecFull(new String(b,
-        java.nio.charset.StandardCharsets.UTF_8)))
-      .map(_._3).getOrElse(Seq.empty)
+    specSidecar(table).map(_.gen).getOrElse(Seq.empty)
 
   /** ADD COLUMN for a PARTITIONED PLAIN table: the declared schema
     * lives in the spec sidecar, so evolution is one sidecar write —
@@ -3660,22 +3971,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, partSpecFile(table),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    invalidateSpecCache(table)
   }
 
   /** Whether `table` is a PARTITIONED VERSIONED table — Hive leaf
     * trees inside `_vN` snapshots (r13 verdict #1). */
   def partitionSpecVersioned(table: String): Boolean =
-    committer.read(partSpecFile(table)).exists(b =>
-      TableCatalog.partSpecIsVersioned(new String(b,
-        java.nio.charset.StandardCharsets.UTF_8)))
+    specSidecar(table).exists(_.versioned)
 
   /** Every partition-spec GENERATION of `table`, ascending — one entry
     * for classic single-spec tables, several after [[repartitionTableLazy]]
     * (the LAST is the current one new writes route to). */
   def specGenerations(table: String): Seq[TableCatalog.SpecGen] =
-    committer.read(partSpecFile(table)).map(b =>
-      TableCatalog.parsePartSpecGens(new String(b,
-        java.nio.charset.StandardCharsets.UTF_8))).getOrElse(Seq.empty)
+    specSidecar(table).map(_.gens).getOrElse(Seq.empty)
 
   private def requireSingleGen(table: String, verb: String): Unit =
     require(specGenerations(table).size <= 1,
@@ -3683,6 +3991,33 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"evolution) — $verb operates on a single-generation tree; " +
         "compact first (repartitionTable / repartitionTableTransformed " +
         "collapses the generations) or read via readPartitioned")
+
+  /** Refuse tuple-routing DML over a LEGACY (tv=1) temporal transform
+    * on a TIMESTAMP source: pre-r14 writers derived the directory
+    * ordinals in the session time zone, but [[withGen]] re-derives
+    * them in UTC, so routing a purge/replace by the re-derived leaf
+    * names would silently no-op against the session-TZ-named
+    * directories and duplicate survivors into fresh UTC-named leaves
+    * (ADVICE r14 medium #1). Read-side pruning already demotes these
+    * specs to no-prune (genOrdinal → None); this mirrors that guard on
+    * the DML/routing side. DATE sources are timezone-free and derive
+    * identically under both versions, so they stay routable. */
+  private def requireRoutableGen(table: String, verb: String): Unit = {
+    val declared = partitionSpec(table).map(_._2)
+    val temporal = Set("days", "months", "years", "hours")
+    val legacy = partitionGen(table).filter { g =>
+      g.tv < 2 && temporal.contains(g.kind) &&
+        declared.exists(_.fields.exists(f => f.name == g.src &&
+          f.dataType == org.apache.spark.sql.types.TimestampType))
+    }
+    require(legacy.isEmpty,
+      s"'$table' carries legacy (tv=1) session-TZ-derived temporal " +
+        s"partition transform(s) ${legacy.map(_.name).mkString(", ")} — " +
+        s"$verb routes by UTC-derived leaf names, which can mismatch " +
+        "the on-disk directories (silent no-op purge + duplicated " +
+        "survivors); rewrite under the current spec first " +
+        "(repartitionTableTransformed)")
+  }
 
   /** LAZY (metadata-only) partition-spec evolution (r13 verdict #2 —
     * the Iceberg rule): existing files keep their layout and their
@@ -3723,6 +4058,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.move(tmp, partSpecFile(table),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      invalidateSpecCache(table)
       invalidateStats(table)
     }
   }
@@ -3842,8 +4178,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * partitioned write re-checks under the lock: ANY spec change
     * (evolution, ADD COLUMN) between stage and adopt re-stages. */
   private def partSpecPin(table: String): Option[String] =
-    committer.read(partSpecFile(table)).map(b =>
-      new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    specSidecar(table).map(_.raw)
 
   /** SQL `INSERT INTO` a partitioned plain table: a plain APPEND under
     * the Hive layout (rows add; existing partitions keep their files —
@@ -3889,8 +4224,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // the caller only ever supplies the declared shape
       if (attempt > TableCatalog.MaxOptimisticAttempts)
         withTableLock(table) {
+          // degraded path writes INSIDE the lock, so the layout must be
+          // re-read here too: pcols/genDir from before the acquire can
+          // be a spec evolution behind, landing files under the stale
+          // layout directly in the live tree (ADVICE r14 low #2) —
+          // withGen re-reads the sidecar per call, so the derivation
+          // below is already lock-fresh
+          val lockedPcols = partitionSpec(table).map(_._1).getOrElse(pcols)
+          val lockedGenDir = specGenerations(table).lastOption.map(_.dir)
+            .filter(_.nonEmpty)
+            .map(d => Paths.get(path(table)).resolve(d))
+            .getOrElse(Paths.get(path(table)))
           enforced(table, withGen(table, stripDf(df))).write.mode("append")
-            .partitionBy(pcols: _*).parquet(genDir.toString)
+            .partitionBy(lockedPcols: _*).parquet(lockedGenDir.toString)
           done = true
         }
       else {
@@ -3998,12 +4344,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * under the declared schema (identity partition values come from
     * the directory names; hidden generated columns are resolved for
     * discovery and projected away). */
-  private[graft] def readPartVersionedAt(table: String, v: Long): DataFrame = {
+  private[graft] def readPartVersionedAt(table: String, v: Long): DataFrame =
+    readLeafTreeAt(table, snapDir(table, v))
+
+  /** Read any Hive leaf tree of `table`'s layout — a `_vN` snapshot or
+    * a branch's staged tree — under the declared schema: identity
+    * partition values come from the directory names, hidden generated
+    * columns resolve for discovery and project away. */
+  private def readLeafTreeAt(table: String, d: Path): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (_, declared) = partitionSpec(table).getOrElse(
       throw new IllegalStateException(s"'$table' lost its partition spec"))
     val gen = partitionGen(table)
-    val d = snapDir(table, v)
     if (listParquetUrisAt(d).isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
@@ -4061,14 +4413,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * retention sweep. Caller holds the table lock. */
   private def commitPartVersionedLocked(table: String, cur: Long,
       op: String, skip: Seq[String], scratch: Option[Path],
-      carry: Boolean = true, linkFrom: Option[Long] = None): Long = {
+      carry: Boolean = true, linkFrom: Option[Long] = None,
+      linkAdopt: Option[Path] = None, pub: String = ""): Long = {
     val next = cur + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
     Files.createDirectories(snapDir(table, next))
     if (carry) linkTree(snapDir(table, linkFrom.getOrElse(cur)),
       snapDir(table, next), skip)
     scratch.foreach(adoptStagedInto(snapDir(table, next), _))
-    writeHistoryEntry(table, next, op, "")
+    // a branch publish adopts by HARD LINK — the branch tree stays
+    // intact until consume, so a crash before the pointer rename
+    // loses nothing (the flat publishBranch protocol)
+    linkAdopt.foreach(linkTree(_, snapDir(table, next)))
+    writeHistoryEntry(table, next, op, pub)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp,
       next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4095,6 +4452,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
     require(partitionSpecVersioned(table),
       s"'$table' is a partitioned PLAIN table — use overwritePartitionTuples")
+    requireRoutableGen(table, "overwritePartitionTuplesVersioned")
     if (parts.isEmpty) return currentVersion(table).getOrElse(0L)
     require(parts.forall(_.size == partCols.size),
       s"every partition tuple must have ${partCols.size} values " +
@@ -4305,6 +4663,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val (partCols, _) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    requireRoutableGen(table, "deleteWherePartsVersioned")
     var attempt = 0
     var out = Option.empty[(Seq[Seq[Option[String]]], Seq[Seq[Option[String]]])]
     while (out.isEmpty) {
@@ -4620,6 +4979,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // paths — a re-created table of the same name must not inherit them
     TableCatalog.invalidateHead(
       statsFile(table).toAbsolutePath.normalize().toString)
+    invalidateSpecCache(table)
     true
   }
 
@@ -5666,6 +6026,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     requirePlain(table, "deleteWhere")
     requireSingleGen(table, "deleteWhereParts")
+    requireRoutableGen(table, "deleteWhereParts")
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"partition columns must be non-empty and distinct, got $partCols")
     // read THROUGH the deletion vectors: a partition rewrite must not
@@ -8098,6 +8459,45 @@ object TableCatalog {
   // across TableCatalog instances (scratch catalogs are cheap to
   // construct; the FILES are the identity). Crude size bound: these are
   // metadata caches, and clearing costs one re-parse.
+  /** One table's partition-spec sidecar, parsed at most once per form
+    * (ADVICE r14 low #4): the accessors behind every read and commit
+    * verb (partitionSpec, partitionGen, specGenerations,
+    * partitionSpecVersioned, partSpecPin) share one cached instance
+    * per sidecar VERSION instead of re-reading and re-JSON-parsing the
+    * file per call. The lazy vals make each parse shape pay only when
+    * first asked for. */
+  private[catalog] final class SpecSidecar(val raw: String) {
+    lazy val basic: Option[(Seq[String], StructType)] =
+      parsePartSpec(raw).map { case (cs, ddl) =>
+        (cs, StructType.fromDDL(ddl)) }
+    lazy val gen: Seq[GenCol] =
+      parsePartSpecFull(raw).map(_._3).getOrElse(Seq.empty)
+    lazy val versioned: Boolean = partSpecIsVersioned(raw)
+    lazy val gens: Seq[SpecGen] = parsePartSpecGens(raw)
+  }
+
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, ((Long, Long), Option[SpecSidecar])]()
+
+  private[catalog] def cachedSpec(key: String, fp: Option[(Long, Long)],
+      load: () => Option[SpecSidecar]): Option[SpecSidecar] =
+    fp match {
+      case None => load() // committer can't fingerprint — no caching
+      case Some(f) =>
+        val c = specCache.get(key)
+        if (c != null && c._1 == f) c._2
+        else {
+          val parsed = load()
+          if (specCache.size > 4096) specCache.clear()
+          specCache.put(key, (f, parsed))
+          parsed
+        }
+    }
+
+  private[catalog] def invalidateSpec(key: String): Unit =
+    specCache.remove(key)
+
   private val headCache =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Option[TableStats])]()
   private val envCache =

@@ -4966,6 +4966,101 @@ object TestdataQueries {
              |    CAST(sum(price_c) AS BIGINT) AS sum_now_c
              |  FROM upd GROUP BY dt) c ON ins.dt = c.dt""".stripMargin)),
 
+    // ------------------- WAP on partitioned versioned facts (r14 #1)
+    // The capstone of the table-worlds unification: a date-partitioned
+    // versioned fact stages whole leaf trees on a BRANCH (main readers
+    // never see them), audits the would-be state, and publishes as ONE
+    // snapshot commit whose carry hard-links the current tree and
+    // whose adopt hard-links the staged leaves. A dropped branch
+    // leaves the head byte-identical (pinned by version + leaf file
+    // names). The oracle replays the whole loop relationally.
+    "x_pv_wap" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_pvwap", dir)
+      val cname = "gpw_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val pre = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("dt"))
+      s.sql(s"CREATE TABLE $cname.pv (okey BIGINT, price_c BIGINT, " +
+        "dt STRING) PARTITIONED BY (dt) TBLPROPERTIES ('versioned'='true')")
+      cat.appendPartitionedVersioned("pv",
+        pre.filter(pmod(col("okey"), lit(3)) =!= 0))          // v2 = base
+      val years = pre.select(col("dt")).distinct().orderBy(col("dt"))
+        .collect().map(_.getString(0)).toSeq
+      val (y1, y2) = (years.head, years.last)
+      // stage TWO dates on the branch — two separate stagings, the
+      // backfill shape; main must not see either until publish
+      val staged = pre.filter(pmod(col("okey"), lit(3)) === 0 &&
+        col("dt").isin(y1, y2))
+      cat.appendToBranch("pv", "wap", staged.filter(col("dt") === y1))
+      cat.appendToBranch("pv", "wap", staged.filter(col("dt") === y2))
+      val baseN = s.sql(s"SELECT count(*) FROM $cname.pv").head().getLong(0)
+      require(cat.readVersion("pv", 2L).count() == baseN,
+        "staged branch rows leaked onto main before publish")
+      // the audit half: constraints judge the would-be state
+      val stagedN = staged.count()
+      require(cat.auditBranch("pv", "wap") == baseN + stagedN,
+        "audit must see base ∪ staged")
+      require(cat.diffBranch("pv", "wap").count() == stagedN,
+        "diff must answer with exactly the staged rows")
+      val v = cat.publishBranch("pv", "wap")
+      require(v == 3L && cat.branches("pv").isEmpty,
+        s"publish must land ONE commit and consume the branch (v=$v)")
+      // CDC over the publish interval = exactly the staged rows
+      val feed = cat.changesBetween("pv", 2L, 3L, Seq("okey"))
+      require(feed.filter(col("change_type") =!= "insert").count() == 0L &&
+        feed.count() == stagedN,
+        "the publish feed must classify as pure inserts of the staged rows")
+      // a dropped branch leaves the head byte-identical: same version,
+      // same leaf file names
+      def headLeafFiles(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(scratch.toString, "pv",
+          s"_v${cat.currentVersion("pv").get}")
+        val st = java.nio.file.Files.walk(root)
+        try st.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSet
+        finally st.close()
+      }
+      val before = headLeafFiles()
+      cat.appendToBranch("pv", "junk",
+        pre.filter(pmod(col("okey"), lit(7)) === 0))
+      cat.dropBranch("pv", "junk")
+      require(cat.currentVersion("pv").contains(3L) &&
+        headLeafFiles() == before,
+        "a dropped branch must leave the head byte-identical")
+      // result: per-date head state + published insert counts
+      val headAgg = s.sql(s"SELECT dt, CAST(count(*) AS BIGINT) AS n_now, " +
+        s"sum(price_c) AS sum_now_c FROM $cname.pv GROUP BY dt")
+      val pubAgg = feed.groupBy("dt")
+        .agg(count(lit(1)).cast("long").as("n_pub"))
+      headAgg.join(pubAgg, Seq("dt"), "left")
+        .select(col("dt"), col("n_now"), col("sum_now_c"),
+          coalesce(col("n_pub"), lit(0L)).as("n_pub"))
+    }),
+      Some("""WITH pre AS (SELECT o_orderkey AS okey,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             |  CAST(year(o_orderdate) AS VARCHAR) AS dt FROM orders),
+             |head AS (SELECT * FROM pre WHERE okey % 3 <> 0
+             |  OR dt IN ((SELECT min(dt) FROM pre),
+             |            (SELECT max(dt) FROM pre))),
+             |pub AS (SELECT dt, CAST(count(*) AS BIGINT) AS n_pub
+             |  FROM pre WHERE okey % 3 = 0
+             |  AND dt IN ((SELECT min(dt) FROM pre),
+             |             (SELECT max(dt) FROM pre)) GROUP BY dt)
+             |SELECT h.dt AS dt, h.n_now, h.sum_now_c,
+             |  COALESCE(p.n_pub, 0) AS n_pub
+             |FROM (SELECT dt, CAST(count(*) AS BIGINT) AS n_now,
+             |    CAST(sum(price_c) AS BIGINT) AS sum_now_c
+             |  FROM head GROUP BY dt) h
+             |LEFT JOIN pub p ON h.dt = p.dt""".stripMargin)),
+
     // ------------------- LAZY partition-spec evolution (r13 verdict #2)
     // The Iceberg rule: evolving a spec moves ZERO data — old files
     // keep the old layout (and their exact names, pinned by the

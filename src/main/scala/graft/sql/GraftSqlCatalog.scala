@@ -168,6 +168,14 @@ class GraftSqlCatalog extends DsV2TableCatalog
       val t = n.take(at)
       val br = n.drop(at + 1)
       if (!cat.exists(t)) throw new NoSuchTableException(ident)
+      // the SQL branch surface stages/serves FLAT files; a partitioned
+      // versioned table's branches hold leaf trees — serve those
+      // through the Scala verbs until the DSv2 seam learns the layout
+      require(!cat.partitionSpecVersioned(t),
+        s"'$t' is a partitioned VERSIONED table — SQL `$t@$br` is not " +
+          "supported yet on the leaf-tree branch layout; use the Scala " +
+          "verbs (appendToBranch / readBranch / auditBranch / " +
+          "publishBranch), which accept it")
       // the life the statement pins: a row-level commit refuses if the
       // branch flipped lives between this resolution and the commit
       val brEpoch = cat.branchEpochOf(t, br)
@@ -180,10 +188,10 @@ class GraftSqlCatalog extends DsV2TableCatalog
         // low): silently serving main-table data would let an audit
         // 'pass' against the wrong relation on a typoed branch name.
         cat.currentVersion(t).map(v =>
-          (Seq(Paths.get(cat.path(t), s"_v$v").toString),
+          (Seq(cat.snapshotPath(t, v).toString),
             cat.resolveSchema(t, v).getOrElse(
               SparkSession.active.read.parquet(
-                Paths.get(cat.path(t), s"_v$v").toString).schema)))
+                cat.snapshotPath(t, v).toString).schema)))
       }.getOrElse(throw new NoSuchTableException(ident))
       new GraftSqlCatalog.VersionedTable(ParquetTable(s"$catalogName.$n",
         SparkSession.active, CaseInsensitiveStringMap.empty(), parts._1,
@@ -233,12 +241,12 @@ class GraftSqlCatalog extends DsV2TableCatalog
         // grace window) — serving it would silently return partial
         // rows. Only v <= currentVersion is ever a committed snapshot.
         val committed = current.exists(v <= _)
-        val d = Paths.get(cat.path(t), s"_v$v")
+        val d = cat.snapshotPath(t, v)
         if (!committed || !Files.exists(d)) throw new NoSuchTableException(ident)
         d.toString
       case None =>
         current match {
-          case Some(v) => Paths.get(cat.path(t), s"_v$v").toString
+          case Some(v) => cat.snapshotPath(t, v).toString
           case None => cat.path(t) // plain append-style table
         }
     }
@@ -1423,7 +1431,7 @@ object GraftSqlCatalog {
       * root otherwise. */
     private def scanRootPath: String =
       if (partVersioned)
-        Paths.get(cat.path(table), s"_v${expect.getOrElse(0L)}").toString
+        cat.snapshotPath(table, expect.getOrElse(0L)).toString
       else cat.path(table)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

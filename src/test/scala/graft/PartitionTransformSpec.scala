@@ -843,4 +843,47 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       s"legacy temporal dirs are session-TZ-derived — pruning against " +
         s"them could drop matching rows; all leaves must serve ($dirs)")
   }
+
+  test("tuple-routing DML refuses a legacy (tv=1) temporal transform — " +
+      "UTC re-derivation could route the purge at the wrong leaves") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.lgd (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $g.lgd SELECT id AS k, " +
+      "timestamp'2024-03-01 00:30:00' + make_interval(0,0,0,CAST(id AS INT)) AS ts " +
+      "FROM range(4)")
+    // simulate a pre-r14 sidecar: strip the transform-version marker
+    val spec = Paths.get(cat.path("lgd"), "_partspec.json")
+    val legacy = new String(Files.readAllBytes(spec),
+      java.nio.charset.StandardCharsets.UTF_8).replace(",\"tv\":2", "")
+    assert(legacy.contains("\"gen\""))
+    Files.write(spec, legacy.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException](
+      cat.deleteWhereParts("lgd", Seq("ts_day"), col("k") === 1L))
+    assert(e.getMessage.contains("legacy (tv=1)"), e.getMessage)
+    assert(e.getMessage.contains("repartitionTableTransformed"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      cat.overwritePartitionTuples("lgd",
+        Seq((9L, java.sql.Timestamp.valueOf("2024-03-01 00:30:00")))
+          .toDF("k", "ts"),
+        Seq("ts_day"), Seq(Seq(Some("2024-03-01")))))
+    assert(e2.getMessage.contains("legacy (tv=1)"), e2.getMessage)
+    // rows untouched by the refused verbs
+    assert(spark.sql(s"SELECT count(*) FROM $g.lgd")
+      .as[Long].head() === 4L)
+    // a DATE-sourced transform derives TZ-free — tv=1 stays routable
+    spark.sql(s"CREATE TABLE $g.lgok (k BIGINT, d DATE) " +
+      "PARTITIONED BY (months(d))")
+    spark.sql(s"INSERT INTO $g.lgok VALUES " +
+      "(1, date'2024-03-05'), (2, date'2024-04-05')")
+    val spec2 = Paths.get(cat.path("lgok"), "_partspec.json")
+    Files.write(spec2, new String(Files.readAllBytes(spec2),
+      java.nio.charset.StandardCharsets.UTF_8).replace(",\"tv\":2", "")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    cat.deleteWhereParts("lgok", Seq("d_month"), col("k") === 2L)
+    assert(spark.sql(s"SELECT k FROM $g.lgok").as[Long].collect()
+      .toSeq === Seq(1L))
+  }
 }

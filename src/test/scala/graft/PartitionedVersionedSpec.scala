@@ -190,7 +190,6 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     Seq[(String, () => Any)](
       ("appendAtomic", () => cat.appendAtomic("g", fact("d", 0 until 1))),
       ("replaceAtomic", () => cat.replaceAtomic("g", fact("d", 0 until 1))),
-      ("branch", () => cat.appendToBranch("g", "wap", fact("d", 0 until 1))),
       ("widenColumn", () => cat.widenColumn("g", "v",
         org.apache.spark.sql.types.DecimalType(20, 0)))
     ).foreach { case (name, f) =>
@@ -198,6 +197,11 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
       assert(e.getMessage.contains("PARTITIONED versioned"),
         s"$name must refuse: ${e.getMessage}")
     }
+    // branches are no longer refused — they stage leaf trees (r15);
+    // PvBranchSpec covers the full WAP loop
+    cat.appendToBranch("g", "wap", fact("2024-01-02", 0 until 1))
+    assert(cat.readBranch("g", "wap").count() === 4L)
+    cat.dropBranch("g", "wap")
     // and the plain-partitioned verbs refuse too (wrong layout)
     val e2 = intercept[Exception](
       cat.insertPartitioned("g", fact("2024-01-01", 0 until 1)))

@@ -1,0 +1,273 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.{Files, Paths}
+
+/** Write-audit-publish on PARTITIONED VERSIONED tables (r14 verdict
+  * next #1): branches stage whole Hive LEAF TREES, audit against the
+  * would-be state, and publish as ONE pv snapshot commit — with the
+  * flat protocol's crash windows (pre-commit, commit→consume, foreign
+  * commit) closed on leaf-relative paths. */
+class PvBranchSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def freshCat(): TableCatalog =
+    new TableCatalog(spark, Files.createTempDirectory("pvbr").toString)
+
+  private def fact(dt: String, ks: Range) =
+    ks.map(k => (k.toLong, k.toLong * 10, dt)).toDF("k", "v", "dt")
+
+  private def pvTable(cat: TableCatalog, t: String = "f"): Unit = {
+    cat.createPartitionedVersioned(t, fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned(t, fact("2024-01-01", 0 until 5))
+  }
+
+  test("pv branch stages two dates invisibly; audit sees the would-be " +
+      "state; publish lands them as ONE snapshot commit with CDC") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranch("f", "wap", fact("2024-01-02", 10 until 14))
+    cat.appendToBranch("f", "wap", fact("2024-01-03", 20 until 23))
+    assert(cat.read("f").count() === 5L) // isolation
+    assert(cat.readBranch("f", "wap").count() === 12L) // audit surface
+    assert(cat.readBranch("f", "wap").select("dt").distinct().count() === 3L)
+    assert(cat.auditBranch("f", "wap") === 12L)
+    // diff: append mode answers with EXACTLY the staged rows
+    val d = cat.diffBranch("f", "wap")
+    assert(d.count() === 7L)
+    assert(d.select("change_type").distinct().as[String]
+      .collect().toSeq === Seq("add"))
+    val v = cat.publishBranch("f", "wap")
+    assert(v === 3L) // v1 create, v2 append, v3 publish — ONE commit
+    assert(cat.read("f").count() === 12L)
+    assert(cat.branches("f").isEmpty) // consumed
+    assert(cat.history("f").filter(col("op") === "PUBLISH").count() === 1L)
+    // CDC between the pre-publish and published snapshots = staged rows
+    val (ins, del, _, _) = cat.changedRowsBetween("f", 2L, 3L)
+    assert(ins.count() === 7L)
+    assert(del.count() === 0L)
+    // partition pruning still serves the published head
+    assert(cat.read("f").filter($"dt" === "2024-01-03").count() === 3L)
+  }
+
+  test("published leaves hard-link the branch's staged files (no bytes " +
+      "copied); a dropped branch leaves the head byte-identical") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranch("f", "wap", fact("2024-01-02", 10 until 14))
+    // find the staged file under its leaf in the branch tree
+    val brDir = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(Paths.get(cat.path("f")))
+      try s.iterator().asScala.find(p =>
+        p.getFileName.toString.startsWith("_branchdata_wap")).get
+      finally s.close()
+    }
+    val stagedLeaf = brDir.resolve("dt=2024-01-02")
+    assert(Files.exists(stagedLeaf), "branch stages a leaf TREE")
+    val stagedFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(stagedLeaf)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    assert(stagedFiles.nonEmpty)
+    cat.publishBranch("f", "wap")
+    val v = cat.currentVersion("f").get
+    stagedFiles.foreach { n =>
+      val pub = Paths.get(cat.path("f"), s"_v$v", "dt=2024-01-02", n)
+      assert(Files.exists(pub), s"published snapshot must hold $n")
+    }
+    // drop path: stage again, drop, head untouched
+    val head = cat.read("f").count()
+    cat.appendToBranch("f", "junk", fact("2024-01-09", 0 until 9))
+    cat.dropBranch("f", "junk")
+    assert(cat.read("f").count() === head)
+    assert(cat.currentVersion("f") === Some(v), "drop must not commit")
+    assert(cat.branches("f").isEmpty)
+  }
+
+  test("pv publish rebases onto a moved head; a same-leaf stage merges " +
+      "with rows appended to that leaf meanwhile") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranch("f", "wap", fact("2024-01-02", 10 until 12))
+    // main moves: a foreign append into the SAME leaf the branch stages
+    cat.appendPartitionedVersioned("f", fact("2024-01-02", 50 until 53))
+    val v = cat.publishBranch("f", "wap")
+    assert(cat.read("f").count() === 10L) // 5 + 3 + 2, nothing lost
+    assert(cat.readVersion("f", v)
+      .filter($"dt" === "2024-01-02").count() === 5L)
+  }
+
+  test("pv branch staging enforces CHECK constraints inline and " +
+      "re-judges at publish; the declared shape is required") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.addConstraint("f", "k_pos", "k >= 0")
+    val e = intercept[Exception](
+      cat.appendToBranch("f", "bad", fact("2024-01-02", -3 until -1)))
+    assert(e.getMessage.contains("k_pos"))
+    assert(cat.read("f").count() === 5L)
+    // wrong shape refuses loudly
+    val e2 = intercept[IllegalArgumentException](
+      cat.appendToBranch("f", "bad2", Seq((1L, "x")).toDF("k", "dt")))
+    assert(e2.getMessage.contains("declared"))
+    // a constraint added mid-branch judges the staged rows at publish
+    cat.appendToBranch("f", "wap", fact("2024-01-02", 10 until 14))
+    cat.addConstraint("f", "k_small", "k < 12")
+    val e3 = intercept[Exception](cat.publishBranch("f", "wap"))
+    assert(e3.getMessage.contains("k_small"))
+    assert(cat.read("f").count() === 5L, "main stayed clean")
+  }
+
+  test("pv publish crash windows: pre-commit loses nothing (links, not " +
+      "moves); post-commit recovery consumes instead of re-publishing") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranchBatch("f", "wap", 4L,
+      fact("2024-01-02", 10 until 12), token = "tok")
+    val e1 = intercept[RuntimeException] {
+      cat.publishBranchHooked("f", "wap",
+        afterPend = () => throw new RuntimeException("crash-pre-commit"),
+        afterCommit = () => ())
+    }
+    assert(e1.getMessage === "crash-pre-commit")
+    assert(cat.read("f").count() === 5L) // nothing landed
+    assert(cat.readBranch("f", "wap").count() === 7L) // nothing lost
+    cat.publishBranch("f", "wap")
+    assert(cat.read("f").count() === 7L)
+    assert(cat.branches("f").isEmpty)
+    // post-commit crash: recovery must consume, never double
+    cat.appendToBranchBatch("f", "wap", 7L,
+      fact("2024-01-03", 20 until 21), token = "tok")
+    val e2 = intercept[RuntimeException] {
+      cat.publishBranchHooked("f", "wap",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("crash-post-commit"))
+    }
+    assert(e2.getMessage === "crash-post-commit")
+    assert(cat.read("f").count() === 8L) // the commit DID land
+    assert(cat.branches("f").keySet === Set("wap")) // consume never ran
+    cat.publishBranch("f", "wap")
+    assert(cat.read("f").count() === 8L)
+    assert(cat.read("f").distinct().count() === 8L, "recovery re-published")
+    assert(cat.branches("f").isEmpty)
+    assert(cat.publishedBranchBatch("f", "wap", "tok") === Some(7L))
+  }
+
+  test("a foreign pv commit in the pre-commit crash window never spoofs " +
+      "'committed': provenance-checked recovery publishes for real") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranchBatch("f", "wap", 4L,
+      fact("2024-01-02", 10 until 12), token = "tok")
+    val e = intercept[RuntimeException] {
+      cat.publishBranchHooked("f", "wap",
+        afterPend = () => throw new RuntimeException("crash-pre-commit"),
+        afterCommit = () => ())
+    }
+    assert(e.getMessage === "crash-pre-commit")
+    // the writer lease expires; an unrelated pv append takes `expect`
+    cat.appendPartitionedVersioned("f", fact("2024-01-04", 90 until 91))
+    assert(cat.read("f").count() === 6L) // staged rows still off main
+    cat.publishBranch("f", "wap") // provenance: pre-commit → publish
+    assert(cat.read("f").count() === 8L)
+    assert(cat.read("f").distinct().count() === 8L, "rows doubled")
+    assert(cat.branches("f").isEmpty)
+    assert(cat.publishedBranchBatch("f", "wap", "tok") === Some(4L))
+  }
+
+  test("a batch replayed into the commit→record crash window is swept " +
+      "by pv recovery on LEAF-RELATIVE paths; a new post-crash batch " +
+      "survives and lands once") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranchBatch("f", "wap", 4L,
+      fact("2024-01-02", 10 until 12), token = "tok")
+    val e = intercept[RuntimeException] {
+      cat.publishBranchHooked("f", "wap",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("crash-post-commit"))
+    }
+    assert(e.getMessage === "crash-post-commit")
+    assert(cat.read("f").count() === 7L) // the commit landed
+    // watermark never recorded → a restarted stream re-stages batch 4
+    // under fresh UUIDs, then a genuinely new batch 5 stages after it
+    assert(cat.publishedBranchBatch("f", "wap", "tok") === None)
+    cat.appendToBranchBatch("f", "wap", 4L,
+      fact("2024-01-02", 10 until 12), token = "tok")
+    cat.appendToBranchBatch("f", "wap", 5L,
+      fact("2024-01-03", 30 until 31), token = "tok")
+    cat.publishBranch("f", "wap")
+    assert(cat.read("f").count() === 8L,
+      "the replayed batch double-published or batch 5 was lost")
+    assert(cat.read("f").distinct().count() === 8L)
+    assert(cat.publishedBranchBatch("f", "wap", "tok") === Some(5L))
+    assert(cat.branches("f").isEmpty)
+  }
+
+  test("a pv stage landing in the commit-to-consume crash window " +
+      "survives the selective consume and lands as the next commit") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranchBatch("f", "wap", 1L,
+      fact("2024-01-02", 10 until 12), token = "tok")
+    val e = intercept[RuntimeException] {
+      cat.publishBranchHooked("f", "wap",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("boom"))
+    }
+    assert(e.getMessage === "boom")
+    // a NEW batch stages into the still-open branch before recovery
+    cat.appendToBranchBatch("f", "wap", 2L,
+      fact("2024-01-05", 40 until 42), token = "tok")
+    cat.publishBranch("f", "wap") // recovery consumes batch 1, lands 2
+    assert(cat.read("f").count() === 9L) // 5 + 2 + 2
+    assert(cat.read("f").distinct().count() === 9L)
+    assert(cat.branches("f").isEmpty)
+  }
+
+  test("pv branch replays are exactly-once: re-staging a batch id " +
+      "sweeps its previous landing across leaves") {
+    val cat = freshCat()
+    pvTable(cat)
+    // batch 3 lands rows in TWO leaves, then replays with different rows
+    cat.appendToBranchBatch("f", "wap", 3L,
+      fact("2024-01-02", 10 until 12)
+        .unionByName(fact("2024-01-03", 20 until 22)), token = "tok")
+    cat.appendToBranchBatch("f", "wap", 3L,
+      fact("2024-01-02", 10 until 12), token = "tok") // replay, fewer rows
+    assert(cat.readBranch("f", "wap").count() === 7L,
+      "the replayed batch must sweep its prior landing in EVERY leaf")
+    cat.publishBranch("f", "wap")
+    assert(cat.read("f").count() === 7L)
+  }
+
+  test("pv branches refuse the flat repair verbs and SQL loudly; " +
+      "replace-mode never exists on the leaf-tree layout") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranch("f", "wap", fact("2024-01-02", 10 until 12))
+    val e1 = intercept[IllegalArgumentException](
+      cat.replaceBranch("f", "wap", fact("2024-01-02", 0 until 1)))
+    assert(e1.getMessage.contains("append-mode"))
+    val e2 = intercept[IllegalArgumentException](
+      cat.mergeBranchInto("f", "wap", fact("2024-01-02", 0 until 1),
+        Seq("k")))
+    assert(e2.getMessage.contains("append-mode"))
+    val e3 = intercept[IllegalArgumentException](
+      cat.deleteFromBranch("f", "wap", col("k") === 10L))
+    assert(e3.getMessage.contains("append-mode"))
+    // mergeSchema staging refuses (pv evolution happens on the table)
+    val e4 = intercept[IllegalArgumentException](
+      cat.appendToBranch("f", "wap",
+        fact("2024-01-02", 0 until 1).withColumn("extra", lit(1L)),
+        mergeSchema = true))
+    assert(e4.getMessage.contains("mergeSchema"))
+    cat.dropBranch("f", "wap")
+  }
+}
