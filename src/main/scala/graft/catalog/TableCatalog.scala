@@ -4256,6 +4256,112 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     if (!keepStats) invalidateStats(table)
   }
 
+  private def sbatchFile(table: String, token: String,
+                         batchId: Long): Path =
+    Paths.get(path(table), s"_sbatch_$token-$batchId")
+
+  /** EXACTLY-ONCE micro-batch INSERT into a partitioned PLAIN table
+    * (r14 verdict next #3): the staged files adopt under
+    * `b<batchId>-<token>-`-scoped names, and a replayed batch first
+    * SWEEPS its own names — from exactly the leaves its PRIOR landing
+    * touched, recorded in a write-ahead intent sidecar
+    * (`_sbatch_<token>-<batchId>`) BEFORE any file moves, so the sweep
+    * is O(touched leaves), never a full-tree walk, and a crash
+    * mid-adopt leaves an intent the replay cleans against. Idempotent
+    * in itself under at-least-once delivery — the
+    * [[appendToBranchBatch]] discipline without the branch. Plain
+    * tables have no snapshot isolation, so a reader racing a replay's
+    * sweep-and-re-adopt can observe the batch partially (the layout's
+    * standing guarantee); use the VERSIONED layout
+    * ([[appendPartitionedVersionedBatch]]) when readers need atomic
+    * batches. */
+  def insertPartitionedBatch(table: String, df: DataFrame,
+      batchId: Long, token: String): Unit = {
+    require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
+    require(token.nonEmpty && !token.contains("/"),
+      s"token must be a non-empty, slash-free incarnation id, got '$token'")
+    val prefix = s"b$batchId-$token-"
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= TableCatalog.MaxOptimisticAttempts + 1,
+        s"'$table' partition spec keeps moving mid-insert — a spec " +
+          "evolution loop is racing this write; re-run when it settles")
+      val pin = partSpecPin(table)
+      val (pcols, declared) = partitionSpec(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$table' has no partition spec — use insertPartitioned"))
+      require(!partitionSpecVersioned(table),
+        s"'$table' is a partitioned VERSIONED table — use " +
+          "appendPartitionedVersionedBatch")
+      requireSingleGen(table, "insertPartitionedBatch")
+      require(df.columns.toSet == declared.fieldNames.toSet,
+        s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
+          s"(${declared.fieldNames.sorted.mkString(",")})")
+      val cons0 = constraintsOf(table)
+      val scratch = stageLeaves(table,
+        enforced(table, withGen(table, stripDf(df))), pcols)
+      done = withTableLock(table) {
+        if (partSpecPin(table) != pin || constraintsOf(table) != cons0) false
+        else {
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(path(table))
+          // replay sweep, O(prior landing's leaves): the intent names
+          // them; a first landing has no intent and sweeps nothing
+          committer.read(sbatchFile(table, token, batchId)).foreach { b =>
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty).foreach { leafRel =>
+                val leaf =
+                  if (leafRel == ".") root else root.resolve(leafRel)
+                if (Files.exists(leaf)) {
+                  val ls = Files.list(leaf)
+                  try ls.iterator().asScala
+                    .filter(p => Files.isRegularFile(p) &&
+                      p.getFileName.toString.startsWith(prefix))
+                    .toSeq.foreach(Files.delete)
+                  finally ls.close()
+                }
+              }
+          }
+          val staged = {
+            val s = Files.walk(scratch)
+            try s.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .map(scratch.relativize).toSeq
+            finally s.close()
+          }
+          // write-ahead intent: the leaves THIS landing touches, down
+          // BEFORE any move so a crash mid-adopt is sweepable
+          val leaves = staged.map(rel => Option(rel.getParent)
+            .map(_.toString).getOrElse(".")).distinct.sorted
+          val tmp = Paths.get(path(table),
+            s"_tmp_sbatch-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, leaves.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          committer.atomicRename(tmp, sbatchFile(table, token, batchId))
+          staged.foreach { rel =>
+            val leaf = Option(rel.getParent)
+              .map(root.resolve).getOrElse(root)
+            Files.createDirectories(leaf)
+            Files.move(scratch.resolve(rel),
+              leaf.resolve(prefix + rel.getFileName.toString))
+          }
+          // retire intents the checkpoint can no longer replay
+          committer.listPointers(root, s"_sbatch_$token-").foreach { n =>
+            n.drop(s"_sbatch_$token-".length).toLongOption
+              .filter(_ < batchId - TableCatalog.SBatchRetain)
+              .foreach(_ => committer.delete(root.resolve(n)))
+          }
+          true
+        }
+      }
+      deleteRecursive(scratch)
+    }
+    invalidateStats(table)
+  }
+
   /** SQL `INSERT OVERWRITE` / TRUNCATE of a partitioned plain table:
     * replace everything, keep the layout. Staged unlocked, swapped
     * under the writer lock (delete every old leaf, adopt the staged
@@ -4372,7 +4478,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the lock hard-link the whole current tree into `_vN+1` and adopt
     * the staged leaves — O(new data) bytes + O(existing files) links.
     * Returns the committed version. */
-  def appendPartitionedVersioned(table: String, df: DataFrame): Long = {
+  def appendPartitionedVersioned(table: String, df: DataFrame): Long =
+    appendPartitionedVersionedPub(table, df, pub = "")
+
+  /** EXACTLY-ONCE micro-batch append into a partitioned versioned
+    * fact (r14 verdict next #3 — the streaming sink for the shape
+    * every production ingest wants): the commit stamps
+    * `sb-<token>-<batchId>` as its history PROVENANCE, so a replayed
+    * batch — at-least-once delivery, or the crash window between the
+    * commit and the caller's marker write — finds its own stamp under
+    * the lock and no-ops. The caller's marker stays the skip
+    * FAST-PATH, never the correctness path (the publishBranch rule).
+    * The stamp rides history compaction, so the proof outlives
+    * snapshot retention. */
+  def appendPartitionedVersionedBatch(table: String, df: DataFrame,
+      batchId: Long, token: String): Long = {
+    require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
+    require(token.nonEmpty && !token.contains("/"),
+      s"token must be a non-empty, slash-free incarnation id, got '$token'")
+    appendPartitionedVersionedPub(table, df, pub = s"sb-$token-$batchId")
+  }
+
+  private def appendPartitionedVersionedPub(table: String, df: DataFrame,
+      pub: String): Long = {
+    // replay fast-path OUTSIDE the lock: the stage is the heavy half,
+    // don't pay it for a batch whose commit provably landed
+    if (pub.nonEmpty && historyEntries(table).exists(_._6 == pub))
+      return currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"'$table' lost its version pointer"))
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -4398,8 +4531,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           val cur = currentVersion(table).getOrElse(
             throw new IllegalStateException(
               s"'$table' lost its version pointer"))
-          Some(commitPartVersionedLocked(table, cur, "APPEND",
-            skip = Seq.empty, scratch = Some(scratch)))
+          // the correctness-path replay check, under the lock: a
+          // concurrent replay that won the race left its stamp here
+          if (pub.nonEmpty && historyEntries(table).exists(_._6 == pub)) {
+            deleteRecursive(scratch)
+            Some(cur)
+          } else Some(commitPartVersionedLocked(table, cur, "APPEND",
+            skip = Seq.empty, scratch = Some(scratch), pub = pub))
         }
       }
       if (result.isEmpty) deleteRecursive(scratch)
@@ -8451,6 +8589,11 @@ object TableCatalog {
     * victim; what retires is checkpoint resets' dead tokens, which are
     * never consulted again. */
   private[graft] val MaxPubTokens = 64
+
+  /** How many trailing batch intents [[TableCatalog.insertPartitionedBatch]]
+    * keeps per token — a checkpointed stream only ever replays its last
+    * uncommitted batch, so anything this far behind is settled. */
+  private[graft] val SBatchRetain = 64L
 
   // (fingerprint)-keyed parse caches, the MvRewrite.registry discipline
   // (VERDICT r9 next #1): stats() runs on every planning decision and

@@ -4040,6 +4040,73 @@ object TestdataQueries {
              |  CAST(c_nationkey AS BIGINT)
              |FROM customer WHERE c_custkey <= 90""".stripMargin)),
 
+    // ------------- exactly-once streaming into a pv fact (r14 next #3)
+    // The production-ingest shape: each micro-batch commits ONE pv
+    // snapshot stamped with `sb-<token>-<batchId>` provenance, so a
+    // replayed batch (at-least-once delivery, or the crash window
+    // between commit and marker) adds ZERO rows — pinned by a direct
+    // same-batch replay AND a kill/resume from the checkpoint whose
+    // first resumed chunk re-delivers batch 0's data. The oracle is
+    // the final relational state; any duplicate or lost batch breaks
+    // the hash.
+    "x_stream_pv" -> (((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val scratch = scratchDir("graft_streampv", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.resolve("wh").toString)
+      val all = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("k"), col("c_name").as("name"),
+        pmod(col("c_nationkey"), lit(5)).cast("string").as("dt"))
+      cat.createPartitionedVersioned("spv", all.schema, Seq("dt"))
+      val first = all.filter(col("k") <= 120)
+        .as[(Long, String, String)].collect()
+      val second = all.filter(col("k") > 120 && col("k") <= 150)
+        .as[(Long, String, String)].collect()
+      val ckpt = scratch.resolve("ckpt").toString
+      val mem = MemoryStream[(Long, String, String)]
+      withStreamPartitions(s) {
+        val q = graft.streaming.StreamingIngest
+          .startPartitionedVersionedAppend(cat, "spv",
+            mem.toDF().toDF("k", "name", "dt"), ckpt)
+        try { mem.addData(first.toIndexedSeq: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      require(cat.currentVersion("spv").contains(2L),
+        "one micro-batch must be exactly ONE snapshot commit")
+      // crash window: the same batch id replays directly — zero rows
+      val token = graft.streaming.StreamingIngest.queryToken(ckpt)
+      val n0 = cat.read("spv").count()
+      cat.appendPartitionedVersionedBatch("spv",
+        first.toIndexedSeq.toDF("k", "name", "dt"), 0L, token)
+      require(cat.read("spv").count() == n0 &&
+        cat.currentVersion("spv").contains(2L),
+        "a replayed batch must add zero rows and zero commits")
+      // kill/resume: the fresh source restarts offsets, so its first
+      // chunk REPLAYS as batch 0 (re-delivered data — must skip) and
+      // the next chunk is batch 1 (new data — must land once)
+      val mem2 = MemoryStream[(Long, String, String)]
+      withStreamPartitions(s) {
+        val q2 = graft.streaming.StreamingIngest
+          .startPartitionedVersionedAppend(cat, "spv",
+            mem2.toDF().toDF("k", "name", "dt"), ckpt)
+        try {
+          mem2.addData(first.toIndexedSeq: _*)
+          q2.processAllAvailable()
+          require(cat.read("spv").count() == n0,
+            "the resumed incarnation re-landed a committed batch")
+          mem2.addData(second.toIndexedSeq: _*)
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      require(cat.read("spv").count() == n0 + second.length,
+        "the post-resume batch must land exactly once")
+      cat.read("spv").select(col("k"), col("name"), col("dt"))
+    }),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+             |  CAST(c_nationkey % 5 AS VARCHAR) AS dt
+             |FROM customer WHERE c_custkey <= 150""".stripMargin)),
+
     // ---------------------------- incremental MV refresh (plain fact)
     // The maintenance loop of x_mv_rewrite for an append-style fact:
     // day-1 lineitem rows (odd orderkeys) are loaded plain, the view

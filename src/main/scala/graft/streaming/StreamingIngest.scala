@@ -108,6 +108,61 @@ object StreamingIngest {
       .outputMode("append")
       .start()
 
+  /** EXACTLY-ONCE streaming append into a PARTITIONED VERSIONED fact
+    * (r14 verdict next #3 — the shape every production ingest wants):
+    * each micro-batch stages its leaf tree unlocked and commits as ONE
+    * pv snapshot, stamped with `sb-<token>-<batchId>` provenance in
+    * the history entry — so a replayed batch (at-least-once delivery,
+    * or a crash between the commit and the marker) finds its own stamp
+    * and adds ZERO rows. The marker is the skip fast-path only; the
+    * history stamp is the correctness path. Readers always see whole
+    * batches (snapshot isolation), and kill/resume from the checkpoint
+    * converges to the batch-append state. */
+  def startPartitionedVersionedAppend(cat: TableCatalog, table: String,
+      df: DataFrame, checkpointDir: String): StreamingQuery = {
+    // resolved at the FIRST batch, after Spark wrote the checkpoint's
+    // metadata — so every incarnation of this checkpoint reads the
+    // same query id and the provenance stamps line up across restarts
+    // (an eager read here would hash the path on the first run and
+    // read the id on resumes: two tokens, broken skip)
+    lazy val token = queryToken(checkpointDir)
+    val marker = s"pv_append_$table"
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (cat.getMarkerFor(marker, token).forall(_ < batchId)) {
+          cat.appendPartitionedVersionedBatch(table, batch, batchId, token)
+          cat.putMarker(marker, batchId, token)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** EXACTLY-ONCE streaming append into a partitioned PLAIN fact:
+    * each micro-batch adopts under batch-scoped file names with a
+    * write-ahead leaf intent, so a replay sweeps its prior landing
+    * from exactly the touched leaves and re-lands once
+    * ([[TableCatalog.insertPartitionedBatch]]). No snapshot isolation
+    * — a reader racing a replay can observe the batch partially; use
+    * [[startPartitionedVersionedAppend]] when readers need atomic
+    * batches. */
+  def startPartitionedAppend(cat: TableCatalog, table: String,
+      df: DataFrame, checkpointDir: String): StreamingQuery = {
+    lazy val token = queryToken(checkpointDir) // first-batch read; see above
+    val marker = s"part_append_$table"
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (cat.getMarkerFor(marker, token).forall(_ < batchId)) {
+          cat.insertPartitionedBatch(table, batch, batchId, token)
+          cat.putMarker(marker, batchId, token)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** AUDITED streaming ingest — write-audit-publish over a live feed:
     * every micro-batch STAGES onto a branch of `table`
     * ([[TableCatalog.appendToBranchBatch]]: batch-scoped file names, a
