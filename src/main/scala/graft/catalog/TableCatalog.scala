@@ -3772,6 +3772,20 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       s"empty-string partition value in ${partCols.mkString(",")}: the " +
         "Hive layout stores it in the NULL partition directory, silently " +
         "rewriting the key to NULL on read-back")
+    overwriteTuplesInDir(table, Paths.get(path(table)), df, partCols, parts)
+    invalidateStats(table)
+  }
+
+  /** The dir-scoped core of [[overwritePartitionTuples]]: replace
+    * exactly the `parts` leaves UNDER `rootDir` (the table root for
+    * classic tables, a `_g<k>` generation subtree for lazily-evolved
+    * ones — r14 verdict next #4) with `df`'s matching rows. Claimed
+    * leaves' listings pin before the distributed stage and re-check
+    * under the lock (ADVICE r13 medium #2). */
+  private def overwriteTuplesInDir(table: String, rootDir: Path,
+      df: DataFrame, partCols: Seq[String],
+      parts: Seq[Seq[Option[String]]]): Unit = {
+    import org.apache.spark.sql.functions.col
     val pcs = partCols.map(c => col(c).cast("string"))
     def tupleMatch(t: Seq[Option[String]]): org.apache.spark.sql.Column =
       pcs.zip(t).map { case (pc, v) =>
@@ -3796,8 +3810,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // medium #2). A moved listing refuses loudly — the caller's
     // statement re-runs against the new state, the Delta conflict rule.
     def claimedListing(): Set[String] =
-      rels.flatMap(r => listParquetUrisAt(
-        Paths.get(path(table)).resolve(r))).toSet
+      rels.flatMap(r => listParquetUrisAt(rootDir.resolve(r))).toSet
     val pinned = claimedListing()
     val scratch = stageLeaves(table, scoped, partCols)
     withTableLock(table) {
@@ -3809,24 +3822,22 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             "re-run the statement against the new state")
       }
       rels.foreach(r =>
-        TableCatalog.deleteRecursively(Paths.get(path(table)).resolve(r)))
-      adoptStagedLeaves(table, scratch)
-      rels.filterNot(r => Files.exists(Paths.get(path(table)).resolve(r)))
+        TableCatalog.deleteRecursively(rootDir.resolve(r)))
+      adoptStagedInto(rootDir, scratch)
+      rels.filterNot(r => Files.exists(rootDir.resolve(r)))
         .foreach { leaf =>
           // a multi-level spec leaves empty ancestor dirs behind a full
           // purge — sweep them upward (a retention-window DELETE at
           // scale would otherwise accrete millions of empty day dirs).
           // A raced sibling leaf makes the delete throw
           // DirectoryNotEmpty — which is the correct stop.
-          var parent = Paths.get(s"${path(table)}/$leaf").getParent
-          val root = Paths.get(path(table))
-          while (parent != null && parent != root &&
+          var parent = rootDir.resolve(leaf).getParent
+          while (parent != null && parent != rootDir &&
               (try { Files.delete(parent); true }
                catch { case _: Exception => false }))
             parent = parent.getParent
         }
     }
-    invalidateStats(table)
   }
 
   // ---------------------------------- partitioned plain tables (SQL)
@@ -4005,7 +4016,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def requireRoutableGen(table: String, verb: String): Unit = {
     val declared = partitionSpec(table).map(_._2)
     val temporal = Set("days", "months", "years", "hours")
-    val legacy = partitionGen(table).filter { g =>
+    // EVERY generation's transforms matter: multi-gen DML routes each
+    // generation under its own spec, so a legacy transform anywhere in
+    // the spec history poisons routing for that generation's subtree
+    val allGen = (partitionGen(table) ++
+      specGenerations(table).flatMap(_.gen)).distinct
+    val legacy = allGen.filter { g =>
       g.tv < 2 && temporal.contains(g.kind) &&
         declared.exists(_.fields.exists(f => f.name == g.src &&
           f.dataType == org.apache.spark.sql.types.TimestampType))
@@ -6163,10 +6179,29 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       : (Seq[Seq[Option[String]]], Seq[Seq[Option[String]]]) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     requirePlain(table, "deleteWhere")
-    requireSingleGen(table, "deleteWhereParts")
     requireRoutableGen(table, "deleteWhereParts")
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"partition columns must be non-empty and distinct, got $partCols")
+    // a lazily-evolved table routes PER GENERATION, each subtree purged
+    // under its own spec (r14 verdict next #4 — Iceberg serves DML
+    // across specs; the passed partCols describe only the CURRENT one)
+    val gens = specGenerations(table)
+    if (gens.size > 1) {
+      require(!hasDv(table),
+        s"'$table' carries live deletion vectors — multi-generation DML " +
+          "reads each generation's tree directly; applyDeleteVectors first")
+      val (_, declared) = partitionSpec(table).getOrElse(
+        throw new IllegalStateException(s"'$table' lost its partition spec"))
+      var aff = Vector.empty[Seq[Option[String]]]
+      var gone = Vector.empty[Seq[Option[String]]]
+      gens.foreach { sg =>
+        val (a, g) = rewriteAffectedLeavesGen(table, sg, declared, cond,
+          leg => leg.filter(!coalesce(cond, lit(false))))
+        aff ++= a; gone ++= g
+      }
+      invalidateStats(table)
+      return (aff, gone)
+    }
     // read THROUGH the deletion vectors: a partition rewrite must not
     // resurrect rows a prior deleteVectorize removed (the rewritten
     // partitions fold their vectors in as a side effect; vectors for
@@ -6221,6 +6256,101 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // holds it for its whole verb) can't land a vector mid-sweep.
     if (hasDv(table)) withTableLock(table) { pruneOrphanVectorsLocked(table) }
     (affected, gone)
+  }
+
+  /** Rewrite the leaves of ONE spec generation's subtree that hold rows
+    * matching `cond`: the generation reads under ITS OWN spec (basePath
+    * at its subtree, partition values from directory names — including
+    * its hidden generated columns, which ride along so the rewrite
+    * lands back in the same layout), `rewrite` transforms the affected
+    * leaves' rows, and the dir-scoped tuple replace commits. Returns
+    * (affected tuples, fully-emptied tuples) in THIS generation's
+    * partition-column arity. */
+  private def rewriteAffectedLeavesGen(table: String,
+      sg: TableCatalog.SpecGen, declared: StructType,
+      cond: org.apache.spark.sql.Column,
+      rewrite: DataFrame => DataFrame)
+      : (Seq[Seq[Option[String]]], Seq[Seq[Option[String]]]) = {
+    import org.apache.spark.sql.functions.col
+    val root = Paths.get(path(table))
+    val d = if (sg.dir.isEmpty) root else root.resolve(sg.dir)
+    if (listParquetUrisAt(d).isEmpty) return (Nil, Nil)
+    val full = StructType(declared.fields ++ sg.gen.map(g =>
+      org.apache.spark.sql.types.StructField(g.name,
+        TableCatalog.genDataType(g), nullable = true)))
+    val leg = spark.read.schema(full).option("basePath", d.toString)
+      .parquet(d.toString)
+    val pcs = sg.partCols.map(c => col(c).cast("string"))
+    def tuples(df: DataFrame): Seq[Seq[Option[String]]] =
+      df.select(pcs: _*).distinct().collect()
+        .map(r => sg.partCols.indices.map(i =>
+          Option(r.getString(i))): Seq[Option[String]]).toSeq
+    val affected = tuples(leg.filter(cond))
+    if (affected.isEmpty) return (Nil, Nil)
+    def tupleMatch(t: Seq[Option[String]]): org.apache.spark.sql.Column =
+      pcs.zip(t).map { case (pc, v) =>
+        v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+    val inPart = affected.map(tupleMatch).reduce(_ || _)
+    // EAGER materialization — the rewrite overwrites its own input
+    // files (the deleteWhereParts rule)
+    val rewritten = rewrite(leg.filter(inPart)).localCheckpoint(true)
+    val survivorParts = tuples(rewritten).toSet
+    val gone = affected.filterNot(survivorParts)
+    overwriteTuplesInDir(table, d, rewritten, sg.partCols, affected)
+    (affected, gone)
+  }
+
+  /** Partition-granular UPDATE of a partitioned PLAIN table — rows
+    * matching `cond` (3VL: NULL does not match) get `set`'s columns
+    * re-computed; only the leaves holding matches rewrite, each spec
+    * GENERATION routed under its own layout (so a lazily-evolved table
+    * updates across generations without compacting, r14 verdict next
+    * #4). Partition source columns cannot be updated here — a moved
+    * partition value is a delete+insert, not an in-leaf rewrite; use
+    * deleteWhereParts + insertPartitioned. Returns the updated-row
+    * count. */
+  def updateWhereParts(table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
+    requirePlain(table, "updateWhereParts")
+    requireRoutableGen(table, "updateWhereParts")
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    require(!hasDv(table),
+      s"'$table' carries live deletion vectors — applyDeleteVectors first")
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use mergeInto/replaceAtomic"))
+    val gens = specGenerations(table)
+    val frozen = (gens.flatMap(_.partCols) ++
+      gens.flatMap(_.gen.map(_.src))).toSet
+    set.foreach { case (c, _) =>
+      require(declared.fieldNames.contains(c),
+        s"SET column '$c' is not in '$table''s declared schema")
+      require(!frozen(c),
+        s"SET column '$c' is (or feeds) a partition column of '$table' — " +
+          "a moved partition value is a delete+insert, not an in-leaf " +
+          "rewrite; use deleteWhereParts + insertPartitioned")
+    }
+    var updated = 0L
+    gens.foreach { sg =>
+      rewriteAffectedLeavesGen(table, sg, declared, cond, { affectedRows =>
+        val hit = coalesce(cond, lit(false))
+        updated += affectedRows.agg(sum(when(hit, 1L).otherwise(0L)))
+          .head().getLong(0)
+        val setMap = set.toMap
+        val projected = affectedRows.select(affectedRows.columns.map { c =>
+          setMap.get(c) match {
+            case Some(e) => when(hit, e).otherwise(col(c))
+              .cast(declared(c).dataType).as(c)
+            case None => col(c)
+          }
+        }.toIndexedSeq: _*)
+        enforced(table, projected)
+      })
+    }
+    invalidateStats(table)
+    updated
   }
 
   /** ANSI MERGE INTO on a versioned table — the general DML verb the

@@ -5203,6 +5203,25 @@ object TestdataQueries {
           r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
       require(sqlMulti == multiRows,
         "the SQL multi-generation read must match the Scala union")
+      // row-level DML ACROSS generations without compacting (r14 next
+      // #4): the purge and the update each route per generation —
+      // okey%50=0 hits even keys (gen0) and odd ones (gen1), okey%7=0
+      // likewise — rewriting only affected leaves in each subtree
+      val (affT, _) = cat.deleteWhereParts("lz", Seq("y"),
+        pmod(col("okey"), lit(50)) === 0)
+      require(affT.nonEmpty, "the cross-generation purge must claim leaves")
+      val updN = cat.updateWhereParts("lz",
+        pmod(col("okey"), lit(7)) === 0,
+        Seq("price_c" -> (col("price_c") + lit(5L))))
+      require(updN > 0L, "the cross-generation update must touch rows")
+      require(cat.specGenerations("lz").size == 2,
+        "DML must route per generation, never force a compaction")
+      // post-DML multi-generation state, re-read pruned
+      val multiRows2 = s.sql(s"SELECT y, m, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.lz WHERE y = '$y0' " +
+        "GROUP BY y, m")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
       // compact: the generations collapse into one (y, m) tree and the
       // SQL surface serves it again — values identical to the
       // multi-generation pruned read
@@ -5216,18 +5235,22 @@ object TestdataQueries {
         "GROUP BY y, m")
       val sqlRows = out.collect().map(r => (r.getString(0), r.getInt(1),
         r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
-      require(sqlRows == multiRows,
-        "the multi-generation pruned read and the compacted table " +
+      require(sqlRows == multiRows2,
+        "the multi-generation post-DML read and the compacted table " +
           "must agree row-for-row")
       out
     }),
-      Some("""WITH pre AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+      Some("""WITH pre AS (SELECT o_orderkey AS okey,
+             |  CAST(year(o_orderdate) AS VARCHAR) AS y,
              |  CAST(month(o_orderdate) AS INT) AS m,
              |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
-             |  FROM orders)
+             |  FROM orders),
+             |kept AS (SELECT y, m, CASE WHEN okey % 7 = 0
+             |    THEN price_c + 5 ELSE price_c END AS price_c
+             |  FROM pre WHERE okey % 50 <> 0)
              |SELECT y, m, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(price_c) AS BIGINT) AS sum_c
-             |FROM pre WHERE y = (SELECT min(y) FROM pre)
+             |FROM kept WHERE y = (SELECT min(y) FROM pre)
              |GROUP BY y, m""".stripMargin)),
 
     // ---------------- per-file skipping INSIDE partitioned leaves

@@ -592,10 +592,8 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       "per-generation values must survive the union projection")
     assert(spark.sql(s"SELECT sum(m) FROM $g.lz WHERE y = 2021")
       .head().getLong(0) === 3L)
-    // single-tree DML verbs still refuse the multi-generation shape
-    val e2 = intercept[Exception](
-      cat.deleteWhereParts("lz", Seq("y"), $"y" === 2020))
-    assert(e2.getMessage.contains("generations"), e2.getMessage)
+    // the SQL row-level statement path is still single-tree; the Scala
+    // DML verbs route per generation (the dedicated test below)
     val e3 = intercept[Exception](
       spark.sql(s"UPDATE $g.lz SET m = 9 WHERE k = 1"))
     assert(e3.getMessage.contains("generations"), e3.getMessage)
@@ -621,6 +619,73 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       finally st.close()
     }, "the new generation must nest the bucket transform")
     assert(cat.readPartitioned("lz").count() === 6L)
+  }
+
+  test("row-level DML crosses spec generations without compacting: " +
+      "delete and update route each generation under its own layout, " +
+      "rewriting only affected leaves") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.mg (k BIGINT, v BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.mg VALUES (1, 10, 2020, 1), " +
+      "(2, 20, 2020, 2), (3, 30, 2021, 1)")
+    cat.repartitionTableLazy("mg",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.insertPartitioned("mg",
+      Seq((4L, 40L, 2021, 2), (5L, 50L, 2020, 1)).toDF("k", "v", "y", "m"))
+    // untouched-leaf evidence: gen0's y=2021 leaf must survive the DML
+    // byte-identical (only affected leaves rewrite)
+    def leafFiles(rel: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val d = Paths.get(cat.path("mg"), rel)
+      if (!Files.exists(d)) Set.empty
+      else {
+        val st = Files.list(d)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally st.close()
+      }
+    }
+    val untouched = leafFiles("y=2021")
+    assert(untouched.nonEmpty)
+    // DELETE spans both generations: k=2 sits in gen0's y=2020, k=5 in
+    // gen1's y=2020/m=1
+    val (aff, _) = cat.deleteWhereParts("mg", Seq("y"),
+      $"k" === 2L || $"k" === 5L)
+    assert(aff.size === 2, s"one affected tuple per generation: $aff")
+    assert(spark.sql(s"SELECT k FROM $g.mg ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 3L, 4L))
+    assert(leafFiles("y=2021") === untouched,
+      "an unaffected leaf must not rewrite")
+    // UPDATE spans both generations: k=1 (gen0), k=4 (gen1)
+    val n = cat.updateWhereParts("mg", $"k" === 1L || $"k" === 4L,
+      Seq("v" -> ($"v" + 1000L)))
+    assert(n === 2L)
+    assert(spark.sql(s"SELECT k, v FROM $g.mg ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1010L), (3L, 30L), (4L, 1040L)))
+    assert(leafFiles("y=2021") === untouched,
+      "an unaffected leaf must not rewrite on UPDATE either")
+    // a partition (or transform-source) column cannot be updated in-leaf
+    val e = intercept[IllegalArgumentException](
+      cat.updateWhereParts("mg", $"k" === 1L, Seq("y" -> lit(1999))))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // single-generation behavior unchanged: same verb, classic table
+    spark.sql(s"CREATE TABLE $g.sg1 (k BIGINT, v BIGINT, y INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.sg1 VALUES (1, 10, 2020), (2, 20, 2021)")
+    assert(cat.updateWhereParts("sg1", $"k" === 2L,
+      Seq("v" -> lit(99L))) === 1L)
+    assert(spark.sql(s"SELECT v FROM $g.sg1 WHERE k = 2").as[Long]
+      .head() === 99L)
+    // 3VL: a NULL-evaluating predicate row is NOT updated
+    spark.sql(s"CREATE TABLE $g.sg2 (k BIGINT, v BIGINT, y INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.sg2 VALUES (1, NULL, 2020), (2, 20, 2020)")
+    assert(cat.updateWhereParts("sg2", $"v" > 5L,
+      Seq("v" -> lit(0L))) === 1L)
+    assert(spark.sql(s"SELECT v FROM $g.sg2 WHERE k = 1").head()
+      .isNullAt(0), "NULL predicate must not update")
   }
 
   test("the DECLARED column order is authoritative: positional INSERT " +
