@@ -333,8 +333,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def writeHistoryEntry(table: String, v: Long, op: String,
                                 pub: String = ""): Unit = {
     val snap = snapDir(table, v)
+    writeHistoryEntryCounted(table, v, op, pub,
+      listParquetUrisAt(snap).size.toLong, dataBytes(snap.toString))
+  }
+
+  /** [[writeHistoryEntry]] with the file census supplied by the caller
+    * — partitioned versioned commits already know it from their leaf
+    * manifest, so the entry costs no snapshot walk. */
+  private def writeHistoryEntryCounted(table: String, v: Long, op: String,
+      pub: String, files: Long, bytes: Long): Unit = {
     val o = TableCatalog.newHistoryNode(v, System.currentTimeMillis(), op,
-      listParquetUrisAt(snap).size.toLong, dataBytes(snap.toString), pub)
+      files, bytes, pub)
     Files.createDirectories(historyDir(table))
     val tmp = Paths.get(path(table),
       s"_tmp_hist-${java.util.UUID.randomUUID()}")
@@ -2402,6 +2411,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       s"branch staging on partitioned versioned '$table' does not " +
         "support mergeSchema — ADD COLUMN on the table itself; staged " +
         "and existing files null-fill the new columns alike")
+    requireSingleGenPv(table, "branch staging")
     var attempt = 0
     var scratch: Path = null
     var scratchPin: Option[String] = None
@@ -3097,6 +3107,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * committed since the branch's base. */
   private def publishBranchPvHooked(table: String, name: String,
       afterPend: () => Unit, afterCommit: () => Unit): Long = {
+    requireSingleGenPv(table, "publishBranch")
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -4003,6 +4014,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "compact first (repartitionTable / repartitionTableTransformed " +
         "collapses the generations) or read via readPartitioned")
 
+  /** The pv verbs that address snapshot leaves by tuple (DML, branch
+    * staging, per-leaf OPTIMIZE) speak ONE layout — a lazily-evolved
+    * pv table holds several; [[compactGenerationsVersioned]] collapses
+    * them as one snapshot commit. */
+  private def requireSingleGenPv(table: String, verb: String): Unit =
+    require(specGenerations(table).size <= 1,
+      s"'$table' carries multiple partition-spec generations (lazy " +
+        s"evolution) — $verb addresses leaves of a single-generation " +
+        "snapshot; compact first (compactGenerationsVersioned rewrites " +
+        "the data under the current spec as one snapshot commit)")
+
   /** Refuse tuple-routing DML over a LEGACY (tv=1) temporal transform
     * on a TIMESTAMP source: pre-r14 writers derived the directory
     * ordinals in the session time zone, but [[withGen]] re-derives
@@ -4051,10 +4073,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val (_, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — lazy evolution needs one"))
-    require(!partitionSpecVersioned(table),
-      s"'$table' is a partitioned VERSIONED table — lazy spec evolution " +
-        "for the snapshot layout is not supported yet")
     val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
+    val pv = partitionSpecVersioned(table)
     withTableLock(table) {
       val gens = specGenerations(table)
       require(gens.nonEmpty, s"'$table' lost its partition spec")
@@ -4064,18 +4084,72 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         case "" => 0
         case d => d.drop(2).toInt
       }.max + 1
-      Files.createDirectories(Paths.get(path(table), s"_g$idx"))
+      // plain tables nest generations at the table root; a pv table's
+      // generation subtrees live INSIDE each `_vN` snapshot (created by
+      // the first post-evolution append — r14 verdict next #5), so
+      // nothing is made here and the evolution stays metadata-only for
+      // both layouts
+      if (!pv) Files.createDirectories(Paths.get(path(table), s"_g$idx"))
       val tmp = Paths.get(path(table),
         s"_tmp_partspec-${java.util.UUID.randomUUID()}")
       Files.write(tmp, TableCatalog.renderPartSpecGens(
         TableCatalog.stripFieldIds(declared).toDDL,
         gens :+ TableCatalog.SpecGen(newCols, newGen, s"_g$idx"),
-        versioned = false)
+        versioned = pv)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.move(tmp, partSpecFile(table),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       invalidateSpecCache(table)
       invalidateStats(table)
+    }
+  }
+
+  /** Collapse a lazily-evolved pv table's spec GENERATIONS: every row
+    * rewrites under the CURRENT spec into the snapshot root, committed
+    * as ONE snapshot (op REPARTITION). Because the collapsed sidecar
+    * can no longer describe the multi-generation layout of OLDER
+    * snapshots, time travel below the compaction point ends here BY
+    * INTENT — the verb refuses while tags or open branches pin old
+    * versions, then sweeps the older snapshot directories. Lazy-evolve
+    * at the moment of need, query across generations, compact in a
+    * maintenance window: the Iceberg posture; this is the maintenance
+    * window's verb, and it re-enables the single-generation pv DML and
+    * branch verbs. */
+  def compactGenerationsVersioned(table: String): Long = {
+    require(partitionSpecVersioned(table),
+      s"'$table' is not a partitioned VERSIONED table — " +
+        "repartitionTableTransformed compacts plain layouts")
+    val (pcols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    if (specGenerations(table).size <= 1)
+      return currentVersion(table).getOrElse(0L)
+    require(tags(table).isEmpty,
+      s"'$table' carries tags pinning old snapshots — generation " +
+        "compaction retires pre-compaction time travel; drop them first")
+    require(branches(table).isEmpty,
+      s"'$table' has open branches pinned to old snapshots — publish " +
+        "or drop them before compacting generations")
+    val last = specGenerations(table).last
+    val cur0 = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"'$table' lost its version pointer"))
+    val df = readPartVersionedAt(table, cur0)
+    val scratch = stageLeaves(table,
+      enforced(table, withGen(table, stripDf(df))), pcols)
+    withTableLock(table) {
+      if (!currentVersion(table).contains(cur0)) {
+        deleteRecursive(scratch)
+        throw new IllegalStateException(
+          s"concurrent commit to '$table' during generation " +
+            "compaction — re-run against the new head")
+      }
+      val v = commitPartVersionedLocked(table, cur0, "REPARTITION",
+        skip = Seq.empty, scratch = Some(scratch), carry = false)
+      writePartSpecGenV(table, last.partCols, declared, last.gen,
+        versioned = true)
+      // sweep pre-compaction snapshots NOW (undescribable under the
+      // collapsed sidecar) — unconditional, not retention-aged
+      (0L until v).foreach(k => deleteRecursive(snapDir(table, k)))
+      v
     }
   }
 
@@ -4135,9 +4209,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   /** The LOCKED half: every staged data file MOVES (a rename, no
     * bytes) into its leaf directory under `target`, merging with files
-    * already there. Consumes the scratch. */
-  private def adoptStagedInto(target: Path, scratch: Path): Unit = {
+    * already there. Consumes the scratch. Returns (target-relative
+    * path → size) of every adopted file — the snapshot manifest's
+    * input; plain-table callers ignore it. */
+  private def adoptStagedInto(target: Path,
+      scratch: Path): Map[String, Long] = {
     val s = Files.walk(scratch)
+    val out = scala.collection.mutable.Map.empty[String, Long]
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
@@ -4145,12 +4223,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           p.getFileName.toString.endsWith(".parquet"))
         .toSeq
         .foreach { p =>
-          val dst = target.resolve(scratch.relativize(p))
+          val rel = scratch.relativize(p)
+          val dst = target.resolve(rel)
           Files.createDirectories(dst.getParent)
+          out(rel.toString) = Files.size(p)
           Files.move(p, dst)
         }
     } finally s.close()
     deleteRecursive(scratch)
+    out.toMap
   }
 
   private def adoptStagedLeaves(table: String, scratch: Path): Unit =
@@ -4164,14 +4245,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * leaf-relative prefix — the partition-granular REPLACE primitive:
     * a claimed leaf simply isn't carried into the next snapshot. */
   private def linkTree(src: Path, dst: Path,
-      skip: Seq[String] = Seq.empty): Unit = {
-    if (!Files.exists(src)) return
+      skip: Seq[String] = Seq.empty): Map[String, Long] = {
+    if (!Files.exists(src)) return Map.empty
     import scala.jdk.CollectionConverters._
     def hiddenUnder(p: Path): Boolean =
       src.relativize(p).iterator().asScala.exists { c =>
         val n = c.toString
-        n.startsWith("_") || n.startsWith(".")
+        (n.startsWith("_") || n.startsWith(".")) &&
+          !TableCatalog.isGenDirName(n) // `_g<k>` subtrees are DATA
       }
+    val out = scala.collection.mutable.Map.empty[String, Long]
     val s = Files.walk(src)
     try {
       s.iterator().asScala
@@ -4183,11 +4266,53 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         }
         .toSeq
         .foreach { p =>
-          val t = dst.resolve(src.relativize(p))
+          val rel = src.relativize(p)
+          val t = dst.resolve(rel)
           Files.createDirectories(t.getParent)
           Files.createLink(t, p)
+          out(rel.toString) = Files.size(p)
         }
     } finally s.close()
+    out.toMap
+  }
+
+  // ------------- per-snapshot leaf manifest (r14 verdict next #2)
+  // `_vN/_leafmanifest.json` records every data file of the snapshot
+  // (leaf-relative path → size), written by the SAME locked commit
+  // that assembled the snapshot. The next commit's carry reads the
+  // manifest instead of WALKING the tree: at a 100 TB fact with
+  // millions of files, the carry's cost drops from a full recursive
+  // directory listing (the object-store killer) to one small file
+  // read + the link calls themselves — and on a real object store the
+  // manifest reference IS the carry (no link syscalls at all, the
+  // Iceberg manifest-reuse shape). Pre-manifest snapshots fall back to
+  // one walk, which mints their manifest for every later commit.
+
+  private def leafManifestFile(snap: Path): Path =
+    snap.resolve("_leafmanifest.json")
+
+  private def readLeafManifest(snap: Path): Option[Map[String, Long]] =
+    committer.read(leafManifestFile(snap)).flatMap { b =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val n = TableCatalog.om.readTree(
+          new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        Option(n.get("files")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      } catch { case _: Exception => None }
+    }
+
+  private def writeLeafManifest(snap: Path,
+      files: Map[String, Long]): Unit = {
+    val o = TableCatalog.om.createObjectNode()
+    val fn = o.putObject("files")
+    files.toSeq.sortBy(_._1).foreach { case (r, sz) => fn.put(r, sz) }
+    val tmp = snap.resolve(
+      s"_tmp_leafmanifest-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.om.writeValueAsString(o)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, leafManifestFile(snap),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The raw spec-sidecar bytes, as the staleness pin every staged
@@ -4449,6 +4574,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     writePartSpecGenV(table, partCols, schema, gen, versioned = true)
     withTableLock(table) {
       Files.createDirectories(snapDir(table, 1L))
+      writeLeafManifest(snapDir(table, 1L), Map.empty) // born manifested
       writeHistoryEntry(table, 1L, "CREATE", "")
       val tmp = Paths.get(path(table), "_version.tmp")
       Files.write(tmp, "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4472,21 +4598,33 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** Read any Hive leaf tree of `table`'s layout — a `_vN` snapshot or
     * a branch's staged tree — under the declared schema: identity
     * partition values come from the directory names, hidden generated
-    * columns resolve for discovery and project away. */
+    * columns resolve for discovery and project away. A lazily-evolved
+    * pv table's snapshot holds one subtree PER SPEC GENERATION
+    * (`_g<k>` under the snapshot root — r14 verdict next #5); each leg
+    * reads under its own spec, exactly the [[readPartitioned]] rule.
+    * Pre-evolution snapshots simply have empty newer-generation legs,
+    * so time travel serves them under the spec they were written
+    * with. */
   private def readLeafTreeAt(table: String, d: Path): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (_, declared) = partitionSpec(table).getOrElse(
       throw new IllegalStateException(s"'$table' lost its partition spec"))
-    val gen = partitionGen(table)
-    if (listParquetUrisAt(d).isEmpty)
-      return spark.createDataFrame(
+    val legs = specGenerations(table).flatMap { sg =>
+      val gd = if (sg.dir.isEmpty) d else d.resolve(sg.dir)
+      if (!Files.exists(gd) || listParquetUrisAt(gd).isEmpty) None
+      else {
+        val full = StructType(declared.fields ++ sg.gen.map(g =>
+          org.apache.spark.sql.types.StructField(g.name,
+            TableCatalog.genDataType(g), nullable = true)))
+        Some(spark.read.schema(full).option("basePath", gd.toString)
+          .parquet(gd.toString)
+          .select(declared.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    }
+    if (legs.isEmpty)
+      spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-    val full = StructType(declared.fields ++ gen.map(g =>
-      org.apache.spark.sql.types.StructField(g.name,
-        TableCatalog.genDataType(g), nullable = true)))
-    spark.read.schema(full).option("basePath", d.toString)
-      .parquet(d.toString)
-      .select(declared.fieldNames.map(col).toIndexedSeq: _*)
+    else legs.reduce(_ unionByName _)
   }
 
   /** Versioned APPEND of a partitioned versioned table: stage the new
@@ -4553,7 +4691,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             deleteRecursive(scratch)
             Some(cur)
           } else Some(commitPartVersionedLocked(table, cur, "APPEND",
-            skip = Seq.empty, scratch = Some(scratch), pub = pub))
+            skip = Seq.empty, scratch = Some(scratch), pub = pub,
+            // a lazily-evolved pv table routes new writes into the
+            // CURRENT generation's subtree inside the snapshot
+            adoptUnder = specGenerations(table).lastOption
+              .map(_.dir).filter(_.nonEmpty)))
         }
       }
       if (result.isEmpty) deleteRecursive(scratch)
@@ -4568,18 +4710,51 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def commitPartVersionedLocked(table: String, cur: Long,
       op: String, skip: Seq[String], scratch: Option[Path],
       carry: Boolean = true, linkFrom: Option[Long] = None,
-      linkAdopt: Option[Path] = None, pub: String = ""): Long = {
+      linkAdopt: Option[Path] = None, pub: String = "",
+      adoptUnder: Option[String] = None): Long = {
     val next = cur + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
     Files.createDirectories(snapDir(table, next))
-    if (carry) linkTree(snapDir(table, linkFrom.getOrElse(cur)),
-      snapDir(table, next), skip)
-    scratch.foreach(adoptStagedInto(snapDir(table, next), _))
+    val src = snapDir(table, linkFrom.getOrElse(cur))
+    // the carry: manifest-driven when the source snapshot has one —
+    // untouched leaves' trees are NEVER re-walked, the commit reads
+    // one sidecar and links from it (r14 verdict next #2). A
+    // pre-manifest snapshot pays one walk, which mints its successor's
+    // manifest.
+    val carried: Map[String, Long] =
+      if (!carry) Map.empty
+      else readLeafManifest(src) match {
+        case Some(m) =>
+          val kept = m.filter { case (rel, _) =>
+            !skip.exists(pre => rel == pre || rel.startsWith(pre + "/")) }
+          kept.keysIterator.foreach { rel =>
+            val t = snapDir(table, next).resolve(rel)
+            Files.createDirectories(t.getParent)
+            Files.createLink(t, src.resolve(rel))
+          }
+          kept
+        case None =>
+          TableCatalog.carryWalks.incrementAndGet()
+          linkTree(src, snapDir(table, next), skip)
+      }
+    val adopted: Map[String, Long] = scratch.map { sc =>
+      adoptStagedInto(adoptUnder
+        .map(snapDir(table, next).resolve)
+        .getOrElse(snapDir(table, next)), sc)
+        .map { case (rel, sz) =>
+          adoptUnder.map(d => s"$d/$rel").getOrElse(rel) -> sz }
+    }.getOrElse(Map.empty)
     // a branch publish adopts by HARD LINK — the branch tree stays
     // intact until consume, so a crash before the pointer rename
     // loses nothing (the flat publishBranch protocol)
-    linkAdopt.foreach(linkTree(_, snapDir(table, next)))
-    writeHistoryEntry(table, next, op, pub)
+    val branchLinked: Map[String, Long] =
+      linkAdopt.map(linkTree(_, snapDir(table, next))).getOrElse(Map.empty)
+    val files = carried ++ adopted ++ branchLinked
+    writeLeafManifest(snapDir(table, next), files)
+    // history stats come from the manifest — the walk the old
+    // writeHistoryEntry did over the fresh snapshot is gone too
+    writeHistoryEntryCounted(table, next, op, pub,
+      files.size.toLong, files.valuesIterator.sum)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp,
       next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4607,6 +4782,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(partitionSpecVersioned(table),
       s"'$table' is a partitioned PLAIN table — use overwritePartitionTuples")
     requireRoutableGen(table, "overwritePartitionTuplesVersioned")
+    requireSingleGenPv(table, "overwritePartitionTuplesVersioned")
     if (parts.isEmpty) return currentVersion(table).getOrElse(0L)
     require(parts.forall(_.size == partCols.size),
       s"every partition tuple must have ${partCols.size} values " +
@@ -4663,6 +4839,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       : Seq[(String, Int, Int)] = {
     val (_, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
+    requireSingleGenPv(table, "compactPartitionsVersioned")
     require(partitionSpecVersioned(table),
       s"'$table' is a partitioned PLAIN table — use compactPartitions")
     require(targetBytes > 0 && minFiles >= 2,
@@ -4718,6 +4895,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
     require(partitionSpecVersioned(table),
       s"'$table' is a partitioned PLAIN table — use overwritePartitionedAll")
+    requireSingleGenPv(table, "replacePartitionedVersioned")
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
@@ -4753,6 +4931,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       expect: Long): Unit = {
     import org.apache.spark.sql.functions.col
     try {
+      requireSingleGenPv(table, "replacePartitionsFromStagedVersioned")
       if (parts.isEmpty) return
       val (partCols, _) = partitionSpec(table).getOrElse(
         throw new IllegalArgumentException(
@@ -4818,6 +4997,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val (partCols, _) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
     requireRoutableGen(table, "deleteWherePartsVersioned")
+    requireSingleGenPv(table, "deleteWherePartsVersioned")
     var attempt = 0
     var out = Option.empty[(Seq[Seq[Option[String]]], Seq[Seq[Option[String]]])]
     while (out.isEmpty) {
@@ -5855,11 +6035,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // mirror Spark's listing semantics: any path COMPONENT below the
       // walk root starting with '_' or '.' is metadata, not data — the
       // `_dv` deletion-vector sidecar in particular must never count as
-      // table files (Spark's own scans skip it the same way)
+      // table files (Spark's own scans skip it the same way). ONE
+      // exception: `_g<k>` spec-GENERATION subtrees (lazy evolution)
+      // are data — hiding them would make a snapshot's file census,
+      // its CDC file diff, and the carry miss every post-evolution row
       def hiddenUnder(p: Path): Boolean =
         root.relativize(p).iterator().asScala.exists { c =>
           val n = c.toString
-          n.startsWith("_") || n.startsWith(".")
+          (n.startsWith("_") || n.startsWith(".")) &&
+            !TableCatalog.isGenDirName(n)
         }
       try s.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
@@ -7826,14 +8010,37 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         TableCatalog.stripFieldIds(schema))
       else pvDeclared match {
         case Some(decl) =>
-          val gen = partitionGen(table)
-          val full = StructType(decl.fields ++ gen.map(g =>
-            org.apache.spark.sql.types.StructField(g.name,
-              TableCatalog.genDataType(g), nullable = true)))
-          stripDf(spark.read.schema(full)
-            .option("basePath", base.toString).parquet(files: _*)
-            .select(schema.fieldNames.map(
-              org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+          // generation-aware (r14 verdict next #5): a lazily-evolved pv
+          // snapshot nests `_g<k>` subtrees whose partition columns
+          // differ per generation — each group of changed files reads
+          // under ITS OWN spec with the basePath at its subtree, then
+          // projects onto the feed's declared shape. Single-generation
+          // tables get exactly one leg with the old behavior.
+          val legs = specGenerations(table).flatMap { sg =>
+            val gfiles = files.filter { u =>
+              val rel = base.relativize(
+                Paths.get(java.net.URI.create(u))).toString
+              val head = rel.takeWhile(_ != '/')
+              if (sg.dir.isEmpty) !TableCatalog.isGenDirName(head)
+              else head == sg.dir
+            }
+            if (gfiles.isEmpty) None
+            else {
+              val full = StructType(decl.fields ++ sg.gen.map(g =>
+                org.apache.spark.sql.types.StructField(g.name,
+                  TableCatalog.genDataType(g), nullable = true)))
+              val gbase =
+                if (sg.dir.isEmpty) base else base.resolve(sg.dir)
+              Some(stripDf(spark.read.schema(full)
+                .option("basePath", gbase.toString).parquet(gfiles: _*)
+                .select(schema.fieldNames.map(
+                  org.apache.spark.sql.functions.col).toIndexedSeq: _*)))
+            }
+          }
+          legs.reduceOption(_ unionByName _).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              TableCatalog.stripFieldIds(schema)))
         case None => stripDf( // the feed is DERIVED: ids must not leak
           spark.read.schema(sch).parquet(files: _*)
             .select(schema.fieldNames.map( // one column ORDER, both sides
@@ -8377,6 +8584,18 @@ object TableCatalog {
     * subtrees so a root scan can never silently mix layouts. */
   final case class SpecGen(partCols: Seq[String], gen: Seq[GenCol],
                            dir: String)
+
+  /** Whether a path component names a spec-GENERATION subtree
+    * (`_g1`, `_g2`, …) — the one underscore-prefixed directory class
+    * that is DATA, not metadata. */
+  private[graft] def isGenDirName(n: String): Boolean =
+    n.length > 2 && n.startsWith("_g") && n.drop(2).forall(_.isDigit)
+
+  /** How many pv commits fell back to WALKING the previous snapshot's
+    * tree for the carry (pre-manifest snapshots only) — the
+    * instrumentation r14 verdict next #2 asked for: specs pin that a
+    * steady-state append walks NOTHING. */
+  private[graft] val carryWalks = new java.util.concurrent.atomic.AtomicLong
 
   /** Render a MULTI-GENERATION spec (lazy evolution, r13 verdict #2).
     * Deliberately omits the legacy `partCol`/`partCols` fields: a

@@ -5253,6 +5253,99 @@ object TestdataQueries {
              |FROM kept WHERE y = (SELECT min(y) FROM pre)
              |GROUP BY y, m""".stripMargin)),
 
+    // -------- LAZY spec evolution on a partitioned VERSIONED fact
+    // (r14 verdict next #5): the generation sidecar composes with the
+    // `_vN` snapshot tree — evolving moves ZERO data (pinned by the
+    // file census), post-evolution appends nest a `_g1` subtree INSIDE
+    // each new snapshot, reads (Scala and SQL) union the generations
+    // each pruned under its own spec, time travel reaches
+    // pre-evolution snapshots under the OLD spec, CDC classifies
+    // across the boundary, and compactGenerationsVersioned collapses
+    // the generations as one snapshot commit. Oracle = the final
+    // relational state.
+    "x_pv_repartition_lazy" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_pvlz", dir)
+      val cname = "gpl_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val pre = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"))
+      s.sql(s"CREATE TABLE $cname.plz (okey BIGINT, price_c BIGINT, " +
+        "y STRING, m INT) PARTITIONED BY (y) " +
+        "TBLPROPERTIES ('versioned'='true')")
+      cat.appendPartitionedVersioned("plz",
+        pre.filter(pmod(col("okey"), lit(2)) === 0))            // v2
+      def snapFiles(v: Long): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(scratch.toString, "plz", s"_v$v")
+        val st = java.nio.file.Files.walk(root)
+        try st.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSet
+        finally st.close()
+      }
+      val v2files = snapFiles(2L)
+      cat.repartitionTableLazy("plz",
+        Seq(("identity", "y", 0), ("identity", "m", 0)))
+      require(cat.currentVersion("plz").contains(2L) &&
+        snapFiles(2L) == v2files && cat.partitionSpecVersioned("plz"),
+        "pv lazy evolution must be metadata-only and keep the flag")
+      cat.appendPartitionedVersioned("plz",
+        pre.filter(pmod(col("okey"), lit(2)) === 1))            // v3
+      require(snapFiles(3L).filterNot(_.startsWith("_g1/")) == v2files,
+        "the carry must hard-link the old generation's files by name; " +
+          "new rows nest in the snapshot's _g1 subtree")
+      require(snapFiles(3L).exists(_.startsWith("_g1/")),
+        "post-evolution appends must land in the _g1 subtree")
+      // time travel reaches the PRE-evolution snapshot under the OLD spec
+      val evens = pre.filter(pmod(col("okey"), lit(2)) === 0).count()
+      require(s.sql(s"SELECT count(*) FROM $cname.plz VERSION AS OF 2")
+        .head().getLong(0) == evens,
+        "VERSION AS OF must serve the pre-evolution snapshot")
+      require(cat.readVersion("plz", 2L).count() == evens,
+        "Scala time travel must serve the pre-evolution snapshot")
+      // CDC across the evolution boundary: v2→v3 is exactly the odds
+      val feed = cat.changesBetween("plz", 2L, 3L, Seq("okey"))
+      require(feed.filter(col("change_type") =!= "insert").count() == 0L &&
+        feed.count() == pre.count() - evens,
+        "the cross-evolution feed must classify the _g1 rows as inserts")
+      // the SQL multi-generation read prunes + serves both layouts
+      val y0 = s.sql(s"SELECT min(y) FROM $cname.plz").head().getString(0)
+      val multi = s.sql(s"SELECT y, m, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.plz WHERE y = '$y0' " +
+        "GROUP BY y, m")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+      // compaction collapses the generations as ONE snapshot commit and
+      // serves the identical state
+      val vc = cat.compactGenerationsVersioned("plz")
+      require(cat.specGenerations("plz").size == 1 &&
+        cat.currentVersion("plz").contains(vc),
+        "compaction must collapse to one generation")
+      val out = s.sql(s"SELECT y, m, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.plz WHERE y = '$y0' " +
+        "GROUP BY y, m")
+      require(out.collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+        == multi,
+        "the multi-generation read and the compacted snapshot must agree")
+      out
+    }),
+      Some("""WITH pre AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders)
+             |SELECT y, m, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_c
+             |FROM pre WHERE y = (SELECT min(y) FROM pre)
+             |GROUP BY y, m""".stripMargin)),
+
     // ---------------- per-file skipping INSIDE partitioned leaves
     // (r13 verdict #3): a year-partitioned fact whose non-partition
     // predicate used to read whole leaves now carries per-file

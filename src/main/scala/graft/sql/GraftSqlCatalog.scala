@@ -1193,10 +1193,13 @@ object GraftSqlCatalog {
           "silently audit the main table); INSERT INTO creates it")
       if (multiGens.size > 1)
         // lazily-evolved: one inner scan per spec generation, each
-        // pruned under its own layout, unioned at partition level
+        // pruned under its own layout, unioned at partition level.
+        // Rooted at the SCAN root — the pinned `_vN` snapshot for a
+        // partitioned versioned table (whose generation subtrees nest
+        // inside each snapshot), the live table root otherwise
         new MultiGenScanBuilder(cat, table,
           declaredSchema.getOrElse(schema()), multiGens,
-          cat.path(table), options)
+          scanRoot.getOrElse(cat.path(table)), options)
       else if (genSpec.isEmpty) delegate.newScanBuilder(options)
       else new GenPruneScanBuilder(cat, table, delegate.schema,
         partCols.getOrElse(Seq.empty), genSpec, options,

@@ -26,10 +26,12 @@ import graft.catalog.TableCatalog
   *    and WHICH columns are path-derived differs per generation — so
   *    each generation's rows project onto the required order before
   *    union (a per-row zero-copy ordinal projection);
-  *  - readers are forced ROW-based (`supportColumnarReads = false`):
-  *    mixed per-generation columnar layouts cannot union, and a
-  *    multi-generation table is a transitional state the compaction
-  *    verb collapses — the honest cost until then. */
+  *  - readers are COLUMNAR when every generation's pruned output is
+  *    already in the required order (the required columns exclude the
+  *    partition fields the generations disagree on — then the inner
+  *    vectorized batches union as-is); a read needing a per-generation
+  *    ordinal projection falls back to rows, the honest cost the
+  *    compaction verb collapses. */
 private[sql] final class MultiGenScanBuilder(
     cat: TableCatalog, table: String, declared: StructType,
     gens: Seq[TableCatalog.SpecGen], root: String,
@@ -50,7 +52,14 @@ private[sql] final class MultiGenScanBuilder(
 
   override def build(): Scan = {
     val out = required.getOrElse(declared)
-    val inners = gens.map { sg =>
+    // a generation with no subtree contributes no scan: plain lazy
+    // tables create their `_g<k>` dirs eagerly, but a pv SNAPSHOT only
+    // grows a generation's subtree at its first post-evolution append
+    // — pre-evolution snapshots (time travel) simply lack the dir
+    val inners = gens.filter { sg =>
+      sg.dir.isEmpty || java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root.stripPrefix("file:"), sg.dir))
+    }.map { sg =>
       val genDir =
         if (sg.dir.isEmpty) root else s"$root/${sg.dir}"
       val full = StructType(declared.fields ++ sg.gen.map(g =>
@@ -112,8 +121,22 @@ private[sql] final class MultiGenReaderFactory(
     factories: Array[PartitionReaderFactory],
     projs: Array[Option[IndexedSeq[Int]]], out: StructType)
     extends PartitionReaderFactory {
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    false
+  // columnar when EVERY generation's output is already in the required
+  // order (projs all None — the common case: the required columns
+  // exclude the partition fields the generations disagree on), so the
+  // inner vectorized batches union as-is (r14 verdict next #6). A
+  // mixed-layout read (some generation needs an ordinal projection)
+  // stays row-based: per-row projection cannot apply to a batch.
+  private val aligned = projs.forall(_.isEmpty)
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val mp = partition.asInstanceOf[MultiGenPartition]
+    aligned && factories(mp.gen).supportColumnarReads(mp.inner)
+  }
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val mp = partition.asInstanceOf[MultiGenPartition]
+    factories(mp.gen).createColumnarReader(mp.inner)
+  }
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val mp = partition.asInstanceOf[MultiGenPartition]

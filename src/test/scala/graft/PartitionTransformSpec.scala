@@ -688,6 +688,38 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       .isNullAt(0), "NULL predicate must not update")
   }
 
+  test("multi-generation SQL reads go columnar when the generations' " +
+      "pruned outputs align; a mixed-layout projection falls back to " +
+      "rows") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.cb (k BIGINT, v BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.cb VALUES (1, 10, 2020, 1), " +
+      "(2, 20, 2021, 2)")
+    cat.repartitionTableLazy("cb",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.insertPartitioned("cb",
+      Seq((3L, 30L, 2021, 3)).toDF("k", "v", "y", "m"))
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+    // required columns exclude the partition fields the generations
+    // disagree on → every generation's output aligns → columnar
+    val aligned = spark.sql(s"SELECT k, v FROM $g.cb")
+    assert(scanOf(aligned).supportsColumnar,
+      "aligned generations must serve vectorized batches")
+    assert(aligned.as[(Long, Long)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // projecting a generation-disagreeing partition column → rows
+    val mixed = spark.sql(s"SELECT k, y, m FROM $g.cb")
+    assert(!scanOf(mixed).supportsColumnar,
+      "a mixed-layout projection must fall back to row-based readers")
+    assert(mixed.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq ===
+      Seq((1L, 2020, 1), (2L, 2021, 2), (3L, 2021, 3)))
+  }
+
   test("the DECLARED column order is authoritative: positional INSERT " +
       "and SELECT * after ADD COLUMN never swap a mid-schema identity " +
       "partition column") {

@@ -397,4 +397,169 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(rows === Seq((1L, None), (2L, Some("x"))))
   }
+
+  test("pv commits carry via the leaf MANIFEST: untouched leaves are " +
+      "never re-walked; a pre-manifest snapshot pays one walk that " +
+      "mints its manifest; heads stay hash-identical") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("mf",
+      fact("x", 0 until 0).schema, Seq("dt"))
+    cat.appendPartitionedVersioned("mf", fact("2024-01-01", 0 until 4))
+    cat.appendPartitionedVersioned("mf", fact("2024-01-02", 4 until 9))
+    val walks0 = TableCatalog.carryWalks.get()
+    // steady state: appends, DML, publish — all manifest-carried
+    cat.appendPartitionedVersioned("mf", fact("2024-01-03", 9 until 12))
+    cat.deleteWherePartsVersioned("mf", $"k" === 10L)
+    cat.appendToBranch("mf", "wap", fact("2024-01-04", 20 until 22))
+    cat.publishBranch("mf", "wap")
+    assert(TableCatalog.carryWalks.get() === walks0,
+      "a manifested snapshot's carry must never walk the tree")
+    val expect = cat.read("mf").orderBy("k").collect().toSeq
+    // carried leaves are REAL hard links driven by the manifest
+    val v = cat.currentVersion("mf").get
+    val carried = leafFiles(cat, "mf", v - 1L, "dt=2024-01-01")
+    assert(carried.nonEmpty &&
+      carried === leafFiles(cat, "mf", v, "dt=2024-01-01"))
+    carried.foreach { n =>
+      assert(Files.isSameFile(
+        Paths.get(cat.path("mf"), s"_v${v - 1}", "dt=2024-01-01", n),
+        Paths.get(cat.path("mf"), s"_v$v", "dt=2024-01-01", n)))
+    }
+    // a LEGACY snapshot (no manifest — pre-r15 layout) pays exactly
+    // one walk, which mints the manifest for every later commit
+    Files.delete(Paths.get(cat.path("mf"), s"_v$v", "_leafmanifest.json"))
+    cat.appendPartitionedVersioned("mf", fact("2024-01-05", 30 until 32))
+    assert(TableCatalog.carryWalks.get() === walks0 + 1L,
+      "a manifest-less snapshot must fall back to ONE walk")
+    cat.appendPartitionedVersioned("mf", fact("2024-01-06", 40 until 41))
+    assert(TableCatalog.carryWalks.get() === walks0 + 1L,
+      "the fallback walk must mint the manifest for later commits")
+    // content is identical through every carry mode
+    assert(cat.read("mf").filter($"dt" <= "2024-01-04")
+      .orderBy("k").collect().toSeq === expect)
+    assert(cat.read("mf").count() === expect.size + 3L)
+    // history file counts ride the manifest, not a walk — and they
+    // agree with what is actually on disk
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(Paths.get(cat.path("mf"), s"_v$v"))
+      try st.iterator().asScala.count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toLong
+      finally st.close()
+    }
+    assert(cat.history("mf").filter(col("version") === v)
+      .select("files").as[Long].head() === onDisk)
+  }
+
+  test("lazy spec evolution on a pv table is metadata-only: old " +
+      "snapshots keep their layout, new appends land in the new " +
+      "generation INSIDE the snapshot, time travel serves the old spec") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.le (k BIGINT, v BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y) TBLPROPERTIES ('versioned'='true')")
+    cat.appendPartitionedVersioned("le",
+      Seq((1L, 10L, 2020, 1), (2L, 20L, 2021, 2)).toDF("k", "v", "y", "m"))
+    def allFiles(v: Long): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(Paths.get(cat.path("le"), s"_v$v"))
+      try st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => Paths.get(cat.path("le"), s"_v$v").relativize(p).toString)
+        .toSet
+      finally st.close()
+    }
+    val v2files = allFiles(2L)
+    cat.repartitionTableLazy("le",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    assert(cat.partitionSpecVersioned("le"),
+      "lazy evolution must PRESERVE the versioned flag")
+    assert(cat.currentVersion("le") === Some(2L),
+      "evolution is metadata-only: no snapshot commit")
+    assert(allFiles(2L) === v2files, "zero data files move")
+    // the next append: carry links old-gen files, the new rows land in
+    // _g1 INSIDE the new snapshot, nested under the new spec
+    cat.appendPartitionedVersioned("le",
+      Seq((3L, 30L, 2021, 3)).toDF("k", "v", "y", "m"))
+    assert(cat.currentVersion("le") === Some(3L))
+    assert(Files.exists(
+      Paths.get(cat.path("le"), "_v3", "_g1", "y=2021", "m=3")),
+      "post-evolution appends must nest in the snapshot's _g1 subtree")
+    assert(allFiles(3L).filterNot(_.startsWith("_g1/")) === v2files,
+      "the carry must hard-link the old generation's files by name")
+    // reads union the generations (Scala and SQL)
+    assert(cat.read("le").count() === 3L)
+    assert(cat.read("le").columns.toSeq === Seq("k", "v", "y", "m"))
+    assert(spark.sql(s"SELECT k FROM $g.le ORDER BY k").as[Long]
+      .collect().toSeq === Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT k, m FROM $g.le WHERE y = 2021 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((2L, 2), (3L, 3)))
+    // time travel reaches the PRE-evolution snapshot under the OLD spec
+    assert(cat.readVersion("le", 2L).count() === 2L)
+    assert(cat.readVersion("le", 2L).select("k").as[Long].collect()
+      .sorted.toSeq === Seq(1L, 2L))
+    assert(spark.sql(s"SELECT count(*) FROM $g.le VERSION AS OF 2")
+      .head().getLong(0) === 2L)
+    // CDC across the evolution classifies the new-generation rows
+    val (ins, del, _, _) = cat.changedRowsBetween("le", 2L, 3L)
+    assert(ins.select("k").as[Long].collect().toSeq === Seq(3L))
+    assert(del.count() === 0L)
+    // streaming/batch exactly-once append still lands (into _g1)
+    cat.appendPartitionedVersionedBatch("le",
+      Seq((4L, 40L, 2020, 4)).toDF("k", "v", "y", "m"), 0L, "tok")
+    cat.appendPartitionedVersionedBatch("le",
+      Seq((4L, 40L, 2020, 4)).toDF("k", "v", "y", "m"), 0L, "tok")
+    assert(cat.read("le").count() === 4L, "replay must no-op")
+    // tuple-addressed verbs refuse the multi-generation snapshot loudly
+    val e = intercept[IllegalArgumentException](
+      cat.deleteWherePartsVersioned("le", $"k" === 1L))
+    assert(e.getMessage.contains("compactGenerationsVersioned"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      cat.appendToBranch("le", "wap",
+        Seq((9L, 90L, 2020, 9)).toDF("k", "v", "y", "m")))
+    assert(e2.getMessage.contains("compactGenerationsVersioned"),
+      e2.getMessage)
+    // RESTORE to the pre-evolution snapshot still works (links its tree)
+    val vr = cat.restore("le", 2L)
+    assert(cat.read("le").count() === 2L)
+    assert(cat.readVersion("le", vr).count() === 2L)
+  }
+
+  test("compactGenerationsVersioned collapses a lazily-evolved pv " +
+      "table into one tree, re-enables DML/branches, and retires " +
+      "pre-compaction time travel by intent") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.cg (k BIGINT, v BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y) TBLPROPERTIES ('versioned'='true')")
+    cat.appendPartitionedVersioned("cg",
+      Seq((1L, 10L, 2020, 1), (2L, 20L, 2021, 2)).toDF("k", "v", "y", "m"))
+    cat.repartitionTableLazy("cg",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.appendPartitionedVersioned("cg",
+      Seq((3L, 30L, 2021, 3)).toDF("k", "v", "y", "m"))
+    val v = cat.compactGenerationsVersioned("cg")
+    assert(v === 4L)
+    assert(cat.specGenerations("cg").size === 1,
+      "compaction must collapse the sidecar to one generation")
+    assert(Files.exists(
+      Paths.get(cat.path("cg"), "_v4", "y=2021", "m=3")),
+      "compaction must rewrite every row under the CURRENT spec at root")
+    assert(!Files.exists(Paths.get(cat.path("cg"), "_v3")),
+      "pre-compaction snapshots are retired by intent")
+    assert(cat.read("cg").count() === 3L)
+    assert(spark.sql(s"SELECT k FROM $g.cg WHERE y = 2021 AND m = 3")
+      .as[Long].collect().toSeq === Seq(3L))
+    // DML and branches work again on the single-generation snapshot
+    cat.deleteWherePartsVersioned("cg", $"k" === 1L)
+    assert(cat.read("cg").count() === 2L)
+    cat.appendToBranch("cg", "wap",
+      Seq((9L, 90L, 2020, 9)).toDF("k", "v", "y", "m"))
+    cat.publishBranch("cg", "wap")
+    assert(cat.read("cg").count() === 3L)
+    // idempotent on a single-generation table
+    assert(cat.compactGenerationsVersioned("cg") ===
+      cat.currentVersion("cg").get)
+  }
 }
