@@ -2711,6 +2711,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** The directory trees a PV branch read resolves to — the SQL seam
+    * for `SELECT … FROM g.\`t@branch\`` on the leaf-tree layout: the
+    * branch's base SNAPSHOT tree plus the staged tree (append mode,
+    * the only pv branch mode). Both are Hive trees under the declared
+    * spec, so one multi-root parquet relation serves the union. */
+  private[graft] def branchReadPathsPv(table: String, name: String)
+      : Option[Seq[String]] =
+    branchMeta(table, name).map { m =>
+      val dir = branchDataDir(table, name, m.epoch)
+      Seq(snapDir(table, m.base).toString) ++
+        (if (Files.exists(dir)) Seq(dir.toString) else Nil)
+    }
+
   private[graft] def branchReadParts(table: String, name: String)
       : Option[(Seq[String], StructType)] =
     branchMeta(table, name).map { meta =>

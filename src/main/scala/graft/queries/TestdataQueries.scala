@@ -5064,12 +5064,22 @@ object TestdataQueries {
       val staged = pre.filter(pmod(col("okey"), lit(3)) === 0 &&
         col("dt").isin(y1, y2))
       cat.appendToBranch("pv", "wap", staged.filter(col("dt") === y1))
-      cat.appendToBranch("pv", "wap", staged.filter(col("dt") === y2))
+      // the second date stages from SQL — the whole WAP loop runs in
+      // plain SQL on the pv layout too (r15: the t@branch seam learned
+      // the leaf-tree union)
+      staged.filter(col("dt") === y2)
+        .createOrReplaceTempView("pvwap_stage2")
+      s.sql(s"INSERT INTO $cname.`pv@wap` " +
+        "SELECT okey, price_c, dt FROM pvwap_stage2")
       val baseN = s.sql(s"SELECT count(*) FROM $cname.pv").head().getLong(0)
       require(cat.readVersion("pv", 2L).count() == baseN,
         "staged branch rows leaked onto main before publish")
-      // the audit half: constraints judge the would-be state
+      // the audit half: constraints judge the would-be state — from
+      // SQL (the leaf-tree union scan) and from the Scala verb alike
       val stagedN = staged.count()
+      require(s.sql(s"SELECT count(*) FROM $cname.`pv@wap`")
+        .head().getLong(0) == baseN + stagedN,
+        "the SQL audit surface must see base ∪ staged")
       require(cat.auditBranch("pv", "wap") == baseN + stagedN,
         "audit must see base ∪ staged")
       require(cat.diffBranch("pv", "wap").count() == stagedN,

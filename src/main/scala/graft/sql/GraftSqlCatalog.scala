@@ -168,17 +168,44 @@ class GraftSqlCatalog extends DsV2TableCatalog
       val t = n.take(at)
       val br = n.drop(at + 1)
       if (!cat.exists(t)) throw new NoSuchTableException(ident)
-      // the SQL branch surface stages/serves FLAT files; a partitioned
-      // versioned table's branches hold leaf trees — serve those
-      // through the Scala verbs until the DSv2 seam learns the layout
-      require(!cat.partitionSpecVersioned(t),
-        s"'$t' is a partitioned VERSIONED table — SQL `$t@$br` is not " +
-          "supported yet on the leaf-tree branch layout; use the Scala " +
-          "verbs (appendToBranch / readBranch / auditBranch / " +
-          "publishBranch), which accept it")
       // the life the statement pins: a row-level commit refuses if the
       // branch flipped lives between this resolution and the commit
       val brEpoch = cat.branchEpochOf(t, br)
+      if (cat.partitionSpecVersioned(t)) {
+        // PV branch: the read is the union of the base SNAPSHOT tree
+        // and the staged leaf tree — one multi-root parquet relation
+        // under the declared spec schema (hidden transform columns
+        // resolve for discovery, the wrapper's declared schema hides
+        // them; identity leaves prune via Spark's own partition
+        // pruning). INSERT stages through the pv-aware appendToBranch;
+        // OVERWRITE and row-level statements refuse in the catalog
+        // (pv branches are append-mode).
+        val (pcols, declared) = cat.partitionSpec(t).getOrElse(
+          throw new NoSuchTableException(ident))
+        val gen = cat.partitionGen(t)
+        val full = StructType(declared.fields ++ gen.map(g =>
+          org.apache.spark.sql.types.StructField(g.name,
+            GraftSqlCatalog.genType(g), nullable = true)))
+        val paths = cat.branchReadPathsPv(t, br).orElse(
+          // un-created branch: WRITE-only resolution (reads refuse at
+          // scan time via the unborn-branch check)
+          cat.currentVersion(t).map(v =>
+            Seq(cat.snapshotPath(t, v).toString)))
+          .getOrElse(throw new NoSuchTableException(ident))
+        // the delegate gets ONE root only as a schema/name anchor —
+        // scans run through the per-root composite (branchRoots), and
+        // partitioning() answers from partCols, so the delegate's
+        // multi-root discovery (which refuses sibling roots) never runs
+        return new GraftSqlCatalog.VersionedTable(
+          ParquetTable(s"$catalogName.$n", SparkSession.active,
+            CaseInsensitiveStringMap.empty(), paths.take(1), Some(full),
+            classOf[ParquetFileFormat]), cat, t,
+          writable = true, loadedVersion = cat.currentVersion(t),
+          branch = Some(br), branchEpoch = brEpoch,
+          partCols = Some(pcols), genSpec = gen,
+          declaredSchema = Some(declared),
+          branchRoots = Some(paths))
+      }
       val parts = cat.branchReadParts(t, br).orElse {
         // an un-created branch resolves for the WRITE half only —
         // serving it makes `INSERT INTO g.`t@branch`` the loop's first
@@ -1089,7 +1116,8 @@ object GraftSqlCatalog {
       genSpec: Seq[graft.catalog.TableCatalog.GenCol] = Seq.empty,
       partVersioned: Boolean = false, scanRoot: Option[String] = None,
       declaredSchema: Option[StructType] = None,
-      multiGens: Seq[graft.catalog.TableCatalog.SpecGen] = Seq.empty)
+      multiGens: Seq[graft.catalog.TableCatalog.SpecGen] = Seq.empty,
+      branchRoots: Option[Seq[String]] = None)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     private val genNames = genSpec.map(_.name).toSet
@@ -1191,7 +1219,19 @@ object GraftSqlCatalog {
         s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
           "reads of an unborn branch are refused (a typoed name would " +
           "silently audit the main table); INSERT INTO creates it")
-      if (multiGens.size > 1)
+      if (branchRoots.isDefined)
+        // a PV branch read: base snapshot tree ∪ staged leaf tree —
+        // sibling roots Spark's own multi-root discovery refuses
+        // ("conflicting directory structures"), so the union runs
+        // through the same per-root composite scan the lazily-evolved
+        // tables use, one leg per tree under the SAME spec
+        new MultiGenScanBuilder(cat, table,
+          declaredSchema.getOrElse(schema()),
+          branchRoots.get.map(r => (r,
+            graft.catalog.TableCatalog.SpecGen(
+              partCols.getOrElse(Seq.empty), genSpec, ""))),
+          options)
+      else if (multiGens.size > 1)
         // lazily-evolved: one inner scan per spec generation, each
         // pruned under its own layout, unioned at partition level.
         // Rooted at the SCAN root — the pinned `_vN` snapshot for a

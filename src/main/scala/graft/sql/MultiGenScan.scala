@@ -34,12 +34,21 @@ import graft.catalog.TableCatalog
   *    compaction verb collapses. */
 private[sql] final class MultiGenScanBuilder(
     cat: TableCatalog, table: String, declared: StructType,
-    gens: Seq[TableCatalog.SpecGen], root: String,
+    legs: Seq[(String, TableCatalog.SpecGen)],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** The per-generation form: one leg per spec generation, each rooted
+    * at its own subtree under `root`. */
+  def this(cat: TableCatalog, table: String, declared: StructType,
+      gens: Seq[TableCatalog.SpecGen], root: String,
+      options: CaseInsensitiveStringMap) =
+    this(cat, table, declared,
+      gens.map(sg => (if (sg.dir.isEmpty) root else s"$root/${sg.dir}",
+        sg)), options)
 
   private var preds: Array[Predicate] = Array.empty
   private var required: Option[StructType] = None
@@ -52,16 +61,14 @@ private[sql] final class MultiGenScanBuilder(
 
   override def build(): Scan = {
     val out = required.getOrElse(declared)
-    // a generation with no subtree contributes no scan: plain lazy
-    // tables create their `_g<k>` dirs eagerly, but a pv SNAPSHOT only
-    // grows a generation's subtree at its first post-evolution append
-    // — pre-evolution snapshots (time travel) simply lack the dir
-    val inners = gens.filter { sg =>
-      sg.dir.isEmpty || java.nio.file.Files.exists(
-        java.nio.file.Paths.get(root.stripPrefix("file:"), sg.dir))
-    }.map { sg =>
-      val genDir =
-        if (sg.dir.isEmpty) root else s"$root/${sg.dir}"
+    // a leg with no directory contributes no scan: plain lazy tables
+    // create their `_g<k>` dirs eagerly, but a pv SNAPSHOT only grows
+    // a generation's subtree at its first post-evolution append —
+    // pre-evolution snapshots (time travel) simply lack the dir
+    val inners = legs.filter { case (dir, _) =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir.stripPrefix("file:")))
+    }.map { case (genDir, sg) =>
       val full = StructType(declared.fields ++ sg.gen.map(g =>
         org.apache.spark.sql.types.StructField(g.name,
           TableCatalog.genDataType(g), nullable = true)))

@@ -247,6 +247,73 @@ class PvBranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("f").count() === 7L)
   }
 
+  test("the SQL WAP loop runs on a pv fact: INSERT INTO t@branch " +
+      "stages a leaf tree, SELECT audits base ∪ staged with the " +
+      "declared schema, CALL publish_branch commits one snapshot") {
+    val root = Files.createTempDirectory("pvbrsql").toString
+    val g = "gpvbr1"
+    spark.conf.set(s"spark.sql.catalog.$g",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    val cat = new TableCatalog(spark, root)
+    spark.sql(s"CREATE TABLE $g.f (k BIGINT, v BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('versioned'='true')")
+    spark.sql(s"INSERT INTO $g.f VALUES (1, 10, '2024-01-01')")
+    // stage TWO dates from SQL — the branch is created on first write
+    spark.sql(s"INSERT INTO $g.`f@wap` VALUES (2, 20, '2024-01-02'), " +
+      "(3, 30, '2024-01-02')")
+    spark.sql(s"INSERT INTO $g.`f@wap` VALUES (4, 40, '2024-01-03')")
+    assert(spark.sql(s"SELECT count(*) FROM $g.f").head().getLong(0) === 1L,
+      "staged rows leaked onto main")
+    // the audit surface from SQL: declared order, base ∪ staged
+    val audit = spark.sql(s"SELECT k, v, dt FROM $g.`f@wap` ORDER BY k")
+    assert(audit.columns.toSeq === Seq("k", "v", "dt"))
+    assert(audit.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((1L, 10L, "2024-01-01"), (2L, 20L, "2024-01-02"),
+        (3L, 30L, "2024-01-02"), (4L, 40L, "2024-01-03")))
+    assert(spark.sql(s"CALL $g.system.publish_branch('f', 'wap')")
+      .head().getLong(0) === 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.f").head().getLong(0) === 4L)
+    assert(cat.branches("f").isEmpty)
+    // leaf pruning serves the published head
+    assert(spark.sql(
+      s"SELECT k FROM $g.f WHERE dt = '2024-01-03'").as[Long]
+      .collect().toSeq === Seq(4L))
+    // a read of an unborn branch refuses loudly (never main's data)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $g.`f@typo`").collect())
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    // OVERWRITE of a pv branch refuses (append-mode only)
+    spark.sql(s"INSERT INTO $g.`f@wap2` VALUES (9, 90, '2024-01-09')")
+    val e2 = intercept[Exception](
+      spark.sql(s"INSERT OVERWRITE $g.`f@wap2` VALUES (8, 80, '2024-01-08')"))
+    assert(e2.getMessage.contains("append-mode"), e2.getMessage)
+    cat.dropBranch("f", "wap2")
+  }
+
+  test("SQL pv branch reads serve a TRANSFORM spec's hidden columns " +
+      "correctly: discovery resolves them, SELECT * never shows them") {
+    val root = Files.createTempDirectory("pvbrsql2").toString
+    val g = "gpvbr2"
+    spark.conf.set(s"spark.sql.catalog.$g",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    val cat = new TableCatalog(spark, root)
+    spark.sql(s"CREATE TABLE $g.tf (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts)) TBLPROPERTIES ('versioned'='true')")
+    spark.sql(s"INSERT INTO $g.tf VALUES (1, timestamp'2024-03-01 10:00:00')")
+    spark.sql(s"INSERT INTO $g.`tf@wap` VALUES " +
+      "(2, timestamp'2024-03-02 11:00:00')")
+    val audit = spark.sql(s"SELECT * FROM $g.`tf@wap` ORDER BY k")
+    assert(audit.columns.toSeq === Seq("k", "ts"),
+      "the hidden ts_day transform column must not leak into SELECT *")
+    assert(audit.count() === 2L)
+    spark.sql(s"CALL $g.system.publish_branch('tf', 'wap')")
+    assert(spark.sql(s"SELECT count(*) FROM $g.tf").head().getLong(0) === 2L)
+    assert(cat.read("tf").count() === 2L)
+  }
+
   test("pv branches refuse the flat repair verbs and SQL loudly; " +
       "replace-mode never exists on the leaf-tree layout") {
     val cat = freshCat()
