@@ -4449,10 +4449,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       require(!partitionSpecVersioned(table),
         s"'$table' is a partitioned VERSIONED table — use " +
           "appendPartitionedVersionedBatch")
-      requireSingleGen(table, "insertPartitionedBatch")
       require(df.columns.toSet == declared.fieldNames.toSet,
         s"INSERT shape (${df.columns.sorted.mkString(",")}) != declared " +
           s"(${declared.fieldNames.sorted.mkString(",")})")
+      // a lazily-evolved table routes the landing into the CURRENT
+      // generation's subtree (the insertPartitioned rule); the intent's
+      // leaves are recorded TABLE-relative, so a replay sweeps the
+      // prior landing wherever it sits, even across an evolution
+      val genSub = specGenerations(table).lastOption
+        .map(_.dir).filter(_.nonEmpty)
       val cons0 = constraintsOf(table)
       val scratch = stageLeaves(table,
         enforced(table, withGen(table, stripDf(df))), pcols)
@@ -4486,18 +4491,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               .map(scratch.relativize).toSeq
             finally s.close()
           }
-          // write-ahead intent: the leaves THIS landing touches, down
-          // BEFORE any move so a crash mid-adopt is sweepable
-          val leaves = staged.map(rel => Option(rel.getParent)
-            .map(_.toString).getOrElse(".")).distinct.sorted
+          // write-ahead intent: the leaves THIS landing touches
+          // (TABLE-relative, generation subtree included), down BEFORE
+          // any move so a crash mid-adopt is sweepable
+          val leaves = staged.map { rel =>
+            val leafRel = Option(rel.getParent)
+              .map(_.toString).getOrElse(".")
+            genSub.map(d => s"$d/$leafRel").getOrElse(leafRel)
+          }.distinct.sorted
           val tmp = Paths.get(path(table),
             s"_tmp_sbatch-${java.util.UUID.randomUUID()}")
           Files.write(tmp, leaves.mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           committer.atomicRename(tmp, sbatchFile(table, token, batchId))
+          val adoptRoot = genSub.map(root.resolve).getOrElse(root)
           staged.foreach { rel =>
             val leaf = Option(rel.getParent)
-              .map(root.resolve).getOrElse(root)
+              .map(adoptRoot.resolve).getOrElse(adoptRoot)
             Files.createDirectories(leaf)
             Files.move(scratch.resolve(rel),
               leaf.resolve(prefix + rel.getFileName.toString))
@@ -7932,10 +7942,20 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // file is "the same" only in the same partition — hard-linked
     // carried files keep identical relative paths, so they cancel)
     def byName(d: Path): Map[String, String] =
-      listParquetUrisAt(d).map { u =>
-        val p = Paths.get(java.net.URI.create(u))
-        d.relativize(p).toString -> u
-      }.toMap
+      // manifest-first (r14 verdict next #2's read-side dividend): a pv
+      // snapshot's census comes from its one-file manifest instead of
+      // walking the tree — a feed over a million-file fact reads two
+      // sidecars, not two recursive listings. Flat and pre-manifest
+      // snapshots keep the walk.
+      readLeafManifest(d) match {
+        case Some(m) => m.keysIterator.map(rel =>
+          rel -> d.resolve(rel).toUri.toString).toMap
+        case None =>
+          listParquetUrisAt(d).map { u =>
+            val p = Paths.get(java.net.URI.create(u))
+            d.relativize(p).toString -> u
+          }.toMap
+      }
     // a partitioned VERSIONED table's declared schema lives in the
     // spec sidecar (identity partition values come from directory
     // names, so the feed reads need a basePath and the hidden columns

@@ -136,6 +136,24 @@ class StreamingPvSpec extends AnyFunSuite with SparkTestSession {
     assert(d.filter($"dt" >= "2024-01-05").count() === 1L,
       "the replay must sweep its prior landing from every touched leaf")
     assert(d.count() === 4L)
+    // a lazily-evolved table routes batch landings into the CURRENT
+    // generation; intents record table-relative leaves so replays
+    // sweep across the generation subtree too
+    cat.addColumnsPartitioned("p", Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    cat.repartitionTableLazy("p",
+      Seq(("identity", "dt", 0), ("identity", "m", 0)))
+    cat.insertPartitionedBatch("p",
+      Seq((20L, "2024-02-01", 1), (21L, "2024-02-02", 2))
+        .toDF("k", "dt", "m"), 100L, "tok")
+    cat.insertPartitionedBatch("p",
+      Seq((20L, "2024-02-01", 1)).toDF("k", "dt", "m"), 100L, "tok")
+    assert(cat.readPartitioned("p").filter($"dt" >= "2024-02-01")
+      .count() === 1L, "the multi-generation replay must sweep too")
+    assert(Files.exists(java.nio.file.Paths.get(
+      cat.path("p"), "_g1", "dt=2024-02-01", "m=1")),
+      "the landing must nest in the current generation's layout")
   }
 
   test("streaming WAP composes with pv: batches stage onto a branch of " +
