@@ -4734,7 +4734,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       op: String, skip: Seq[String], scratch: Option[Path],
       carry: Boolean = true, linkFrom: Option[Long] = None,
       linkAdopt: Option[Path] = None, pub: String = "",
-      adoptUnder: Option[String] = None): Long = {
+      adoptUnder: Option[String] = None,
+      scratches: Seq[(Path, Option[String])] = Seq.empty): Long = {
     val next = cur + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
     Files.createDirectories(snapDir(table, next))
@@ -4760,13 +4761,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           TableCatalog.carryWalks.incrementAndGet()
           linkTree(src, snapDir(table, next), skip)
       }
-    val adopted: Map[String, Long] = scratch.map { sc =>
-      adoptStagedInto(adoptUnder
-        .map(snapDir(table, next).resolve)
-        .getOrElse(snapDir(table, next)), sc)
-        .map { case (rel, sz) =>
-          adoptUnder.map(d => s"$d/$rel").getOrElse(rel) -> sz }
-    }.getOrElse(Map.empty)
+    val adopted: Map[String, Long] =
+      (scratch.map(sc => (sc, adoptUnder)).toSeq ++ scratches)
+        .flatMap { case (sc, under) =>
+          adoptStagedInto(under
+            .map(snapDir(table, next).resolve)
+            .getOrElse(snapDir(table, next)), sc)
+            .map { case (rel, sz) =>
+              under.map(d => s"$d/$rel").getOrElse(rel) -> sz }
+        }.toMap
     // a branch publish adopts by HARD LINK — the branch tree stays
     // intact until consume, so a crash before the pointer rename
     // loses nothing (the flat publishBranch protocol)
@@ -5020,7 +5023,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val (partCols, _) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
     requireRoutableGen(table, "deleteWherePartsVersioned")
-    requireSingleGenPv(table, "deleteWherePartsVersioned")
+    // a lazily-evolved pv table purges PER GENERATION, all generations'
+    // rewrites committed as ONE snapshot (r15: the pv face of the
+    // multi-generation DML routing)
+    if (specGenerations(table).size > 1)
+      return deleteWherePartsVersionedMultiGen(table, cond)
     var attempt = 0
     var out = Option.empty[(Seq[Seq[Option[String]]], Seq[Seq[Option[String]]])]
     while (out.isEmpty) {
@@ -5058,6 +5065,90 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       }
     }
     out.get
+  }
+
+  /** [[deleteWherePartsVersioned]] for a MULTI-GENERATION pv table:
+    * each spec generation's subtree inside the snapshot purges under
+    * ITS OWN layout (affected leaves found and survivors staged per
+    * generation), and every generation's rewrite commits as ONE
+    * snapshot — the carry links everything except the claimed leaves
+    * (generation-prefixed skip rels), the staged survivors adopt into
+    * their generation's subtree. Returned tuples carry each
+    * generation's own partition-column arity. */
+  private def deleteWherePartsVersionedMultiGen(table: String,
+      cond: org.apache.spark.sql.Column)
+      : (Seq[Seq[Option[String]]], Seq[Seq[Option[String]]]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalStateException(s"'$table' lost its partition spec"))
+    val gens = specGenerations(table)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= TableCatalog.MaxOptimisticAttempts + 1,
+        s"'$table' keeps moving mid-delete — retry when writers settle")
+      val cur = currentVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"'$table' is not versioned"))
+      val snap = snapDir(table, cur)
+      // per generation: affected leaves, survivors staged, skip rels
+      val works = gens.flatMap { sg =>
+        val gd = if (sg.dir.isEmpty) snap else snap.resolve(sg.dir)
+        if (!Files.exists(gd) || listParquetUrisAt(gd).isEmpty) None
+        else {
+          val full = StructType(declared.fields ++ sg.gen.map(g =>
+            org.apache.spark.sql.types.StructField(g.name,
+              TableCatalog.genDataType(g), nullable = true)))
+          val leg = spark.read.schema(full)
+            .option("basePath", gd.toString).parquet(gd.toString)
+          val pcs = sg.partCols.map(c => col(c).cast("string"))
+          def tuples(df: DataFrame): Seq[Seq[Option[String]]] =
+            df.select(pcs: _*).distinct().collect()
+              .map(r => sg.partCols.indices.map(i =>
+                Option(r.getString(i))): Seq[Option[String]]).toSeq
+          val affected = tuples(leg.filter(cond))
+          if (affected.isEmpty) None
+          else {
+            def tupleMatch(t: Seq[Option[String]])
+                : org.apache.spark.sql.Column =
+              pcs.zip(t).map { case (pc, v) =>
+                v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+            val inPart = affected.map(tupleMatch).reduce(_ || _)
+            // 3VL survival; copy-on-write (never over its own input)
+            val survivors = leg.filter(inPart)
+              .filter(!coalesce(cond, lit(false)))
+            val survivorParts = tuples(survivors).toSet
+            val scratch = stageLeaves(table, survivors, sg.partCols)
+            def leafRel(t: Seq[Option[String]]): String =
+              sg.partCols.zip(t).map { case (c, v) =>
+                val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+                  org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.escapePathName)
+                s"$c=$dirName"
+              }.mkString("/")
+            val rels = affected.map(leafRel).map(r =>
+              if (sg.dir.isEmpty) r else s"${sg.dir}/$r")
+            Some((sg, affected, affected.filterNot(survivorParts),
+              rels, scratch))
+          }
+        }
+      }
+      if (works.isEmpty) return (Nil, Nil)
+      val committed = withTableLock(table) {
+        if (!currentVersion(table).contains(cur)) false
+        else {
+          commitPartVersionedLocked(table, cur, "REPLACE_PARTITIONS",
+            skip = works.flatMap(_._4), scratch = None,
+            scratches = works.map(w =>
+              (w._5, Option(w._1.dir).filter(_.nonEmpty))))
+          true
+        }
+      }
+      if (committed)
+        return (works.flatMap(_._2), works.flatMap(_._3))
+      works.foreach(w => deleteRecursive(w._5))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** PARTITION-SPEC EVOLUTION for a partitioned plain table (r12

@@ -5325,6 +5325,17 @@ object TestdataQueries {
       require(feed.filter(col("change_type") =!= "insert").count() == 0L &&
         feed.count() == pre.count() - evens,
         "the cross-evolution feed must classify the _g1 rows as inserts")
+      // row-level DELETE crosses the generations as ONE snapshot commit
+      // (okey%50=0 hits evens in gen0 and odds in _g1); time travel
+      // keeps the pre-delete multi-generation state
+      val vPre = cat.currentVersion("plz").get
+      val (affD, _) = cat.deleteWherePartsVersioned("plz",
+        pmod(col("okey"), lit(50)) === 0)
+      require(affD.nonEmpty &&
+        cat.currentVersion("plz").contains(vPre + 1L),
+        "the cross-generation purge must land as ONE snapshot commit")
+      require(cat.readVersion("plz", vPre).count() == pre.count(),
+        "time travel must keep the pre-delete multi-generation state")
       // the SQL multi-generation read prunes + serves both layouts
       val y0 = s.sql(s"SELECT min(y) FROM $cname.plz").head().getString(0)
       val multi = s.sql(s"SELECT y, m, CAST(count(*) AS BIGINT) AS n, " +
@@ -5347,13 +5358,15 @@ object TestdataQueries {
         "the multi-generation read and the compacted snapshot must agree")
       out
     }),
-      Some("""WITH pre AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS y,
+      Some("""WITH pre AS (SELECT o_orderkey AS okey,
+             |  CAST(year(o_orderdate) AS VARCHAR) AS y,
              |  CAST(month(o_orderdate) AS INT) AS m,
              |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
-             |  FROM orders)
+             |  FROM orders),
+             |kept AS (SELECT y, m, price_c FROM pre WHERE okey % 50 <> 0)
              |SELECT y, m, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(price_c) AS BIGINT) AS sum_c
-             |FROM pre WHERE y = (SELECT min(y) FROM pre)
+             |FROM kept WHERE y = (SELECT min(y) FROM pre)
              |GROUP BY y, m""".stripMargin)),
 
     // ---------------- per-file skipping INSIDE partitioned leaves

@@ -511,16 +511,29 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     cat.appendPartitionedVersionedBatch("le",
       Seq((4L, 40L, 2020, 4)).toDF("k", "v", "y", "m"), 0L, "tok")
     assert(cat.read("le").count() === 4L, "replay must no-op")
-    // tuple-addressed verbs refuse the multi-generation snapshot loudly
-    val e = intercept[IllegalArgumentException](
-      cat.deleteWherePartsVersioned("le", $"k" === 1L))
-    assert(e.getMessage.contains("compactGenerationsVersioned"),
-      e.getMessage)
+    // row-level DELETE crosses the generations as ONE snapshot commit:
+    // k=1 lives in gen0's y=2020 leaf, k=3 in _g1's y=2021/m=3 leaf
+    val vPre = cat.currentVersion("le").get
+    val (aff, _) = cat.deleteWherePartsVersioned("le",
+      $"k" === 1L || $"k" === 3L)
+    assert(aff.size === 2, s"one affected tuple per generation: $aff")
+    assert(cat.currentVersion("le") === Some(vPre + 1L),
+      "all generations' rewrites must land as ONE commit")
+    assert(cat.read("le").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L))
+    assert(cat.readVersion("le", vPre).count() === 4L,
+      "time travel must keep the pre-delete multi-generation state")
+    // tuple-addressed verbs that take EXPLICIT tuples still refuse (a
+    // caller's tuples are in one spec's arity); branches too
     val e2 = intercept[IllegalArgumentException](
       cat.appendToBranch("le", "wap",
         Seq((9L, 90L, 2020, 9)).toDF("k", "v", "y", "m")))
     assert(e2.getMessage.contains("compactGenerationsVersioned"),
       e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      cat.dropPartitionsVersioned("le", Seq(Seq(Some("2020")))))
+    assert(e3.getMessage.contains("compactGenerationsVersioned"),
+      e3.getMessage)
     // RESTORE to the pre-evolution snapshot still works (links its tree)
     val vr = cat.restore("le", 2L)
     assert(cat.read("le").count() === 2L)
