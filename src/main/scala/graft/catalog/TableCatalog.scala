@@ -3570,6 +3570,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           Files.createLink(dstSnap.resolve(relOf(u).toString), s0)
         }
       }
+      // the clone's _v1 is born manifested — its first append carries
+      // without ever walking the linked tree
+      writeLeafManifest(dstSnap, uris.map { u =>
+        val s0 = Paths.get(java.net.URI.create(u))
+        relOf(u).toString -> Files.size(s0)
+      }.toMap)
       // the spec sidecar defines a partitioned table exactly like the
       // schema entry does a flat one — it travels (versioned flag and
       // transform generations included)
@@ -4088,6 +4094,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"'$table' has no partition spec — lazy evolution needs one"))
     val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
     val pv = partitionSpecVersioned(table)
+    // a pv branch's staged leaf tree is laid out under the CURRENT
+    // spec, and publish refuses multi-generation snapshots — evolving
+    // under an open branch would strand the staged rows in a refusal
+    // loop (publish says compact, compact says drop the branch).
+    // Refuse up front instead: publish or drop, then evolve.
+    if (pv) require(branches(table).isEmpty,
+      s"'$table' has open branches (${branches(table).keys.toSeq.sorted
+        .mkString(", ")}) — publish or drop them before lazy spec " +
+        "evolution; their staged leaf trees are laid out under the " +
+        "current spec")
     withTableLock(table) {
       val gens = specGenerations(table)
       require(gens.nonEmpty, s"'$table' lost its partition spec")
@@ -4314,6 +4330,45 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           .map(e => e.getKey -> e.getValue.asLong()).toMap)
       } catch { case _: Exception => None }
     }
+
+  /** One walk of a FRESH snapshot into its manifest census — for the
+    * flat commit verbs whose snapshot Spark just wrote wholesale (the
+    * files are page-hot, and the walk replaces the one the history
+    * entry used to do anyway). Appends never call this: their carry
+    * is manifest-driven and their landed half is O(new files). */
+  private def censusAndManifest(snap: Path): Map[String, Long] = {
+    val m = listParquetUrisAt(snap).map { u =>
+      val p = Paths.get(java.net.URI.create(u))
+      snap.relativize(p).toString -> Files.size(p)
+    }.toMap
+    writeLeafManifest(snap, m)
+    m
+  }
+
+  /** Link every data file of flat snapshot `cur` into the (already
+    * created) `next` — the METADATA-commit carry (widen/rename/drop
+    * column), manifest-first like every other carry. Returns the
+    * census and writes the new snapshot's manifest. */
+  private def linkFlatSnapshot(table: String, cur: Long,
+      next: Long): Map[String, Long] = {
+    val src = snapDir(table, cur)
+    val dst = snapDir(table, next)
+    val files = readLeafManifest(src) match {
+      case Some(m) =>
+        m.keysIterator.foreach(rel =>
+          Files.createLink(dst.resolve(rel), src.resolve(rel)))
+        m
+      case None =>
+        TableCatalog.carryWalks.incrementAndGet()
+        listParquetUrisAt(src).toSeq.sorted.map { u =>
+          val s0 = Paths.get(java.net.URI.create(u))
+          Files.createLink(dst.resolve(s0.getFileName.toString), s0)
+          s0.getFileName.toString -> Files.size(s0)
+        }.toMap
+    }
+    writeLeafManifest(dst, files)
+    files
+  }
 
   private def writeLeafManifest(snap: Path,
       files: Map[String, Long]): Unit = {
@@ -7336,8 +7391,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
     // history BEFORE the pointer: a committed version always has its
     // entry (readers filter to <= the pointer, so a crashed attempt's
-    // orphan entry is invisible and superseded on retry)
-    writeHistoryEntry(table, next, op)
+    // orphan entry is invisible and superseded on retry). The census
+    // walk the entry always cost now also mints the snapshot manifest.
+    val census = censusAndManifest(snapDir(table, next))
+    writeHistoryEntryCounted(table, next, op, "",
+      census.size.toLong, census.valuesIterator.sum)
     // the commit: write-aside + atomic rename of the pointer file
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
@@ -7509,17 +7567,20 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     deleteRecursive(snap) // a crashed prior attempt
     Files.createDirectories(snap)
     val s = Files.list(staged)
-    val moved = try {
+    val landed = try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => Files.move(p, snap.resolve(p.getFileName.toString)))
-        .length
+        .map { p =>
+          val sz = Files.size(p)
+          Files.move(p, snap.resolve(p.getFileName.toString))
+          p.getFileName.toString -> sz
+        }.toMap
     } finally s.close()
     deleteRecursive(staged)
     // an all-rows-removed rewrite stages NOTHING: land the declared
     // schema as one zero-row file so the snapshot stays readable
-    if (moved == 0)
+    if (landed.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         TableCatalog.stampIds(schema, ids))
@@ -7532,7 +7593,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         ids = if (carriesIds) ids else Map.empty,
         nextId = if (carriesIds) nextId else 0)
     }
-    writeHistoryEntry(table, next, op, pub)
+    // manifest + counted history: the staged moves already gave the
+    // census (the zero-row fallback pays one tiny walk)
+    val files =
+      if (landed.nonEmpty) { writeLeafManifest(snap, landed); landed }
+      else censusAndManifest(snap)
+    writeHistoryEntryCounted(table, next, op, pub,
+      files.size.toLong, files.valuesIterator.sum)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -7748,16 +7815,44 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             m.ids.get(n).map(n -> _)).toMap).getOrElse(Map.empty),
         nextId = entryIds.map(_.nextId).getOrElse(0))
     }
-    listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
-      val src = Paths.get(java.net.URI.create(u))
-      val dst = snapDir(table, next).resolve(src.getFileName)
-      // Spark part-file names carry a per-job UUID — a collision
-      // means something else wrote here; refuse, never overwrite
-      require(!Files.exists(dst),
-        s"part-file name collision in '$table': ${src.getFileName}")
-      Files.createLink(dst, src)
+    // the landed census first — O(new files), just written/linked
+    val landed: Map[String, Long] =
+      listParquetUrisAt(snapDir(table, next)).map { u =>
+        val p = Paths.get(java.net.URI.create(u))
+        p.getFileName.toString -> Files.size(p)
+      }.toMap
+    // the carry: manifest-driven when the source snapshot has one —
+    // the flat twin of the pv rule (r14 verdict next #2): an append to
+    // a million-file table reads ONE sidecar instead of walking the
+    // previous snapshot. A pre-manifest snapshot pays one walk that
+    // mints its successor's manifest.
+    val src0 = snapDir(table, cur)
+    val carried: Map[String, Long] = readLeafManifest(src0) match {
+      case Some(m) =>
+        m.keysIterator.foreach { rel =>
+          val dst = snapDir(table, next).resolve(rel)
+          // Spark part-file names carry a per-job UUID — a collision
+          // means something else wrote here; refuse, never overwrite
+          require(!Files.exists(dst),
+            s"part-file name collision in '$table': $rel")
+          Files.createLink(dst, src0.resolve(rel))
+        }
+        m
+      case None =>
+        TableCatalog.carryWalks.incrementAndGet()
+        listParquetUrisAt(src0).toSeq.sorted.map { u =>
+          val src = Paths.get(java.net.URI.create(u))
+          val dst = snapDir(table, next).resolve(src.getFileName)
+          require(!Files.exists(dst),
+            s"part-file name collision in '$table': ${src.getFileName}")
+          Files.createLink(dst, src)
+          src.getFileName.toString -> Files.size(src)
+        }.toMap
     }
-    writeHistoryEntry(table, next, op, pub)
+    val files = landed ++ carried
+    writeLeafManifest(snapDir(table, next), files)
+    writeHistoryEntryCounted(table, next, op, pub,
+      files.size.toLong, files.valuesIterator.sum)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -7835,10 +7930,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val next = cur + 1L
       deleteRecursive(snapDir(table, next)) // a crashed prior attempt
       Files.createDirectories(snapDir(table, next))
-      listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
-        val src = Paths.get(java.net.URI.create(u))
-        Files.createLink(snapDir(table, next).resolve(src.getFileName), src)
-      }
+      val census = linkFlatSnapshot(table, cur, next)
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == column) f.copy(dataType = newType) else f))
       val ddl = StructType(newSchema.fields.map(f => f.copy(nullable = true,
@@ -7852,7 +7944,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       appendSchemaEntry(table, next, ddl,
         ids = newSchema.fieldNames.flatMap(n => ids.get(n).map(n -> _)).toMap,
         nextId = nid)
-      writeHistoryEntry(table, next, "WIDEN_COLUMN")
+      writeHistoryEntryCounted(table, next, "WIDEN_COLUMN", "",
+        census.size.toLong, census.valuesIterator.sum)
       val tmp = Paths.get(path(table), "_version.tmp")
       Files.write(tmp, next.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
@@ -7922,10 +8015,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val next = cur + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
     Files.createDirectories(snapDir(table, next))
-    listParquetUrisAt(snapDir(table, cur)).toSeq.sorted.foreach { u =>
-      val src = Paths.get(java.net.URI.create(u))
-      Files.createLink(snapDir(table, next).resolve(src.getFileName), src)
-    }
+    val census = linkFlatSnapshot(table, cur, next)
     // the cleaned StructType (ids stripped) renders the DDL; the entry's
     // ids map re-binds each logical name to its stable id
     val ddl = StructType(newSchema.fields.map(f =>
@@ -7934,7 +8024,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     appendSchemaEntry(table, next, ddl, ids = newSchema.fieldNames.map(n =>
       n -> newIds(n)).toMap, nextId = m.nextId)
     writeIdMarker(table, m.copy(ids = newIds)) // since unchanged: same files
-    writeHistoryEntry(table, next, op)
+    writeHistoryEntryCounted(table, next, op, "",
+      census.size.toLong, census.valuesIterator.sum)
     val tmp = Paths.get(path(table), "_version.tmp")
     Files.write(tmp, next.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))

@@ -105,4 +105,45 @@ class AppendStagingSpec extends AnyFunSuite with SparkTestSession {
     assert(v === cat.currentVersion("t").get)
     noResidue(cat, "t")
   }
+
+  test("flat appends carry via the snapshot MANIFEST: the previous " +
+      "snapshot is never re-walked; a pre-manifest snapshot pays one " +
+      "walk that mints it; content identical through every mode") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("mfflat").toString)
+    cat.replaceAtomic("t", (1 to 10).map(i => (i.toLong, i.toLong))
+      .toDF("k", "v"))
+    val walks0 = TableCatalog.carryWalks.get()
+    cat.appendAtomic("t", Seq((11L, 11L)).toDF("k", "v"))
+    cat.appendAtomic("t", Seq((12L, 12L)).toDF("k", "v"))
+    cat.mergeInto("t", Seq((12L, 99L)).toDF("k", "v"), Seq("k"))
+    cat.appendAtomic("t", Seq((13L, 13L)).toDF("k", "v"))
+    assert(TableCatalog.carryWalks.get() === walks0,
+      "manifested flat snapshots must never be re-walked by the carry")
+    val expect = cat.read("t").orderBy("k").collect().toSeq
+    // a LEGACY snapshot (pre-manifest layout): one fallback walk mints
+    // the manifest for every later commit
+    val v = cat.currentVersion("t").get
+    Files.delete(Paths.get(cat.path("t"), s"_v$v", "_leafmanifest.json"))
+    cat.appendAtomic("t", Seq((14L, 14L)).toDF("k", "v"))
+    assert(TableCatalog.carryWalks.get() === walks0 + 1L)
+    cat.appendAtomic("t", Seq((15L, 15L)).toDF("k", "v"))
+    assert(TableCatalog.carryWalks.get() === walks0 + 1L,
+      "the fallback walk must mint the manifest for later commits")
+    assert(cat.read("t").filter(col("k") <= 13L).orderBy("k")
+      .collect().toSeq === expect)
+    assert(cat.read("t").count() === expect.size + 2L)
+    // history file counts agree with what is on disk
+    val vh = cat.currentVersion("t").get
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(Paths.get(cat.path("t"), s"_v$vh"))
+      try st.iterator().asScala.count(
+        _.getFileName.toString.endsWith(".parquet")).toLong
+      finally st.close()
+    }
+    assert(cat.history("t").filter(col("version") === vh)
+      .select("files").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .head() === onDisk)
+  }
 }

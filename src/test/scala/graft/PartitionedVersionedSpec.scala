@@ -574,5 +574,16 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     // idempotent on a single-generation table
     assert(cat.compactGenerationsVersioned("cg") ===
       cat.currentVersion("cg").get)
+    // lazy evolution refuses while a branch is open — the staged tree
+    // is laid out under the current spec and would be stranded in the
+    // publish-refuses/compact-refuses loop
+    cat.appendToBranch("cg", "open",
+      Seq((8L, 80L, 2020, 8)).toDF("k", "v", "y", "m"))
+    val e = intercept[IllegalArgumentException](
+      cat.repartitionTableLazy("cg", Seq(("identity", "y", 0))))
+    assert(e.getMessage.contains("open branches"), e.getMessage)
+    cat.dropBranch("cg", "open")
+    cat.repartitionTableLazy("cg", Seq(("identity", "y", 0)))
+    assert(cat.specGenerations("cg").size === 2)
   }
 }
