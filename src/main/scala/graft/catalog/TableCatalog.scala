@@ -674,24 +674,43 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     //    nothing (they land as full rewrites inline, as before).
     final case class StagedMember(table: String, df: DataFrame,
         isReplace: Boolean, staging: Option[Path],
-        m: Option[TableCatalog.IdMarker], cons: Seq[(String, String)])
+        m: Option[TableCatalog.IdMarker], cons: Seq[(String, String)],
+        pvPin: Option[String] = None)
     val members = (replace.map(x => (x, true)) ++
         append.map(x => (x, false))).map { case ((t, df), isRep) =>
       val cur = currentVersion(t)
       val cons = constraintsOf(t)
-      val m =
-        if (isRep) Some(rewriteIds(t, df.schema, cur.getOrElse(0L) + 1L))
-        else cur.flatMap(c => appendIds(t, c, df.schema, repair = false))
-      val staging =
-        if (isRep || cur.isDefined) {
-          Files.createDirectories(Paths.get(path(t)))
-          val p = Paths.get(path(t),
-            s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
-          enforced(t, stampDf(df, m.map(_.ids).getOrElse(Map.empty)))
-            .write.parquet(p.toString)
-          Some(p)
-        } else None
-      StagedMember(t, df, isRep, staging, m, cons)
+      if (partitionSpecVersioned(t)) {
+        // a PARTITIONED VERSIONED member stages its LEAF TREE (hidden
+        // transform columns derived, spec-byte-pinned — the
+        // appendPartitionedVersioned discipline inside the txn): the
+        // member commit is one snapshot whose pin joins the catalog
+        // generation like any flat member's (r15 — a date-partitioned
+        // fact and its flat dims commit as ONE readConsistent flip)
+        val (pcols, declared) = partitionSpec(t).getOrElse(
+          throw new IllegalStateException(s"'$t' lost its partition spec"))
+        require(df.columns.toSet == declared.fieldNames.toSet,
+          s"commitAll member '$t' shape (${df.columns.sorted.mkString(",")})" +
+            s" != declared (${declared.fieldNames.sorted.mkString(",")})")
+        val pin = partSpecPin(t)
+        val p = stageLeaves(t,
+          enforced(t, withGen(t, stripDf(df))), pcols)
+        StagedMember(t, df, isRep, Some(p), None, cons, pvPin = pin)
+      } else {
+        val m =
+          if (isRep) Some(rewriteIds(t, df.schema, cur.getOrElse(0L) + 1L))
+          else cur.flatMap(c => appendIds(t, c, df.schema, repair = false))
+        val staging =
+          if (isRep || cur.isDefined) {
+            Files.createDirectories(Paths.get(path(t)))
+            val p = Paths.get(path(t),
+              s"_tmp_txn-${java.util.UUID.randomUUID()}") // vacuum's class
+            enforced(t, stampDf(df, m.map(_.ids).getOrElse(Map.empty)))
+              .write.parquet(p.toString)
+            Some(p)
+          } else None
+        StagedMember(t, df, isRep, staging, m, cons)
+      }
     }
     withTableLock("_catalog") {
       val cPrev = catalogVersion
@@ -708,9 +727,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       //    when the staging is still valid, inline locked write when not
       members.foreach { sw =>
         pins += (sw.table -> withTableLock(sw.table) {
-          healSwap(sw.table)
-          commitStagedMemberLocked(sw.table, sw.df, sw.isReplace,
-            sw.staging, sw.m, cons0 = Some(sw.cons))
+          if (sw.pvPin.isDefined)
+            commitPvMemberLocked(sw.table, sw.df, sw.isReplace,
+              sw.staging.get, sw.pvPin.get, sw.cons)
+          else {
+            healSwap(sw.table)
+            commitStagedMemberLocked(sw.table, sw.df, sw.isReplace,
+              sw.staging, sw.m, cons0 = Some(sw.cons))
+          }
         })
       }
       // 2. pin EVERY referenced version (new and carried) under the new
@@ -738,6 +762,43 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       cPrev.foreach(p => prevPins.keys.foreach(t => dropTag(t, pinName(p))))
       cNext
     }
+  }
+
+  /** A PARTITIONED VERSIONED transaction member's commit under its
+    * table lock: adopt the pre-staged leaf tree as one snapshot when
+    * the spec pin (and constraint set) from staging time still hold;
+    * a moved spec discards the staging and re-derives INLINE under the
+    * lock (degraded but correct — the commitStagedMemberLocked
+    * fallback rule; the pv verbs themselves cannot be called here,
+    * they take the same lock). Append carries the current tree;
+    * replace starts empty. */
+  private def commitPvMemberLocked(table: String, df: DataFrame,
+      isReplace: Boolean, staging: Path, pin: String,
+      cons0: Seq[(String, String)]): Long = {
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"'$table' lost its version pointer"))
+    val genSub = specGenerations(table).lastOption
+      .map(_.dir).filter(_.nonEmpty)
+    val stagedOk = partSpecPin(table).contains(pin) &&
+      constraintsOf(table) == cons0
+    val scratch =
+      if (stagedOk) staging
+      else {
+        deleteRecursive(staging)
+        // spec or constraints moved mid-txn: re-derive inline
+        val (pcols, declared) = partitionSpec(table).getOrElse(
+          throw new IllegalStateException(
+            s"'$table' lost its partition spec"))
+        require(df.columns.toSet == declared.fieldNames.toSet,
+          s"commitAll member '$table' shape changed against the evolved " +
+            s"declaration (${declared.fieldNames.sorted.mkString(",")})")
+        stageLeaves(table, enforced(table, withGen(table, stripDf(df))),
+          pcols)
+      }
+    commitPartVersionedLocked(table, cur,
+      if (isReplace) "REPLACE" else "APPEND",
+      skip = Seq.empty, scratch = Some(scratch), carry = !isReplace,
+      adoptUnder = genSub)
   }
 
   /** One transaction member's commit under ITS table lock: swap the

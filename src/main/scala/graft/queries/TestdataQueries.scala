@@ -5613,6 +5613,74 @@ object TestdataQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1""".stripMargin)),
 
+    // ---------- multi-table txn with a PARTITIONED VERSIONED member
+    // (r15): a date-partitioned versioned fact and its flat dim commit
+    // as ONE catalog flip — the pv member stages its leaf tree
+    // unlocked (spec-pinned) and lands as one snapshot inside the txn;
+    // consistent readers never see the fact without its dim,
+    // catalog time travel reaches the pv snapshot, and the `c<N>` SQL
+    // namespace serves the pinned pv version with leaf pruning. The
+    // oracle replays the final joined state relationally.
+    "x_pv_txn" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_pvtxn", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val pre = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("dt"),
+        pmod(col("o_orderkey"), lit(25)).cast("long").as("nk"))
+      val dim = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nk"),
+        col("n_name").as("name"))
+      cat.createPartitionedVersioned("pxf", pre.schema, Seq("dt"))
+      val evens = pre.filter(pmod(col("okey"), lit(2)) === 0)
+      val c1 = cat.commitAll(
+        replace = Seq("pxd" -> dim.withColumn("gen", lit(1L))),
+        append = Seq("pxf" -> evens))
+      val nEven = evens.count()
+      // a lone pv append outside the txn (the odds, minus the slice
+      // the NEXT txn will land): bare readers move, the consistent
+      // view stays on the catalog snapshot
+      cat.appendPartitionedVersioned("pxf",
+        pre.filter(pmod(col("okey"), lit(2)) === 1 &&
+          pmod(col("okey"), lit(1000)) =!= 999))
+      require(cat.read("pxf").count() > nEven,
+        "the bare pointer must see the single-table pv append")
+      require(cat.readConsistent("pxf").count() == nEven,
+        "the consistent view must stay on the catalog snapshot")
+      val c2 = cat.commitAll(
+        replace = Seq("pxd" -> dim.withColumn("gen", lit(2L))),
+        append = Seq("pxf" ->
+          pre.filter(pmod(col("okey"), lit(1000)) === 999)))
+      // catalog time travel reaches the c1-pinned pv snapshot
+      require(cat.readConsistentAt("pxf", c1).count() == nEven,
+        "catalog time travel must serve the pv member's old snapshot")
+      require(cat.readConsistentAt("pxd", c1)
+        .select(max(col("gen"))).head().getLong(0) == 1L,
+        "catalog time travel must pair the OLD dim with the old fact")
+      // the c<N> SQL namespace serves the pinned pv fact (leaf tree
+      // under the declared spec) joined to its generation's dim
+      val cname = "gpx_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      s.sql(s"""SELECT f.dt, d.name, CAST(count(*) AS BIGINT) AS n,
+               |sum(f.price_c) AS sum_c
+               |FROM $cname.c$c2.pxf f
+               |JOIN $cname.c$c2.pxd d ON f.nk = d.nk
+               |GROUP BY f.dt, d.name""".stripMargin)
+    }),
+      Some("""WITH f AS (SELECT
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             |  CAST(year(o_orderdate) AS VARCHAR) AS dt,
+             |  o_orderkey % 25 AS nk FROM orders)
+             |SELECT f.dt, n.n_name AS name, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(f.price_c) AS BIGINT) AS sum_c
+             |FROM f JOIN nation n ON f.nk = n.n_nationkey
+             |GROUP BY f.dt, n.n_name""".stripMargin)),
+
     // ----------------------- SQL ALTER TABLE ADD COLUMN (evolution DDL)
     // Additive evolution from PLAIN SQL: ALTER commits a zero-row
     // mergeSchema append (no data rewritten — old files null-fill on

@@ -202,6 +202,49 @@ class TxnSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](cat.readConsistent("ghost"))
     assertThrows[IllegalArgumentException](cat.readConsistentAt("t", 99L))
   }
+  test("a PARTITIONED VERSIONED member commits inside the txn: the pv " +
+      "fact and its flat dim flip together; catalog time travel " +
+      "reaches the pv snapshot; pins survive retention") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("txnpv").toString)
+    cat.createPartitionedVersioned("fact",
+      Seq((0L, 0L, "x")).toDF("k", "v", "dt").schema, Seq("dt"))
+    // txn 1: pv append + flat dim replace, one catalog flip
+    val c1 = cat.commitAll(
+      replace = Seq("dim" -> Seq((1L, "a")).toDF("k", "s")),
+      append = Seq("fact" ->
+        Seq((1L, 10L, "2024-01-01"), (2L, 20L, "2024-01-02"))
+          .toDF("k", "v", "dt")))
+    assert(cat.readConsistent("fact").count() === 2L)
+    assert(cat.readConsistent("dim").count() === 1L)
+    // the member landed as a REAL pv snapshot: leaf tree, leaf pruning
+    assert(cat.read("fact").filter(col("dt") === "2024-01-02")
+      .count() === 1L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      cat.path("fact"), s"_v${cat.currentVersion("fact").get}",
+      "dt=2024-01-01")))
+    // txn 2: another pv append + dim change; consistent readers flip
+    cat.commitAll(
+      replace = Seq("dim" -> Seq((1L, "b")).toDF("k", "s")),
+      append = Seq("fact" ->
+        Seq((3L, 30L, "2024-01-02")).toDF("k", "v", "dt")))
+    assert(cat.readConsistent("fact").count() === 3L)
+    assert(cat.readConsistent("dim").select("s").as[String]
+      .head() === "b")
+    // catalog time travel reaches the OLD pv snapshot + old dim pair
+    assert(cat.readConsistentAt("fact", c1).count() === 2L)
+    assert(cat.readConsistentAt("dim", c1).select("s").as[String]
+      .head() === "a")
+    // a pv REPLACE member starts the snapshot empty
+    cat.commitAll(replace = Seq("fact" ->
+      Seq((9L, 90L, "2024-02-01")).toDF("k", "v", "dt")))
+    assert(cat.readConsistent("fact").select("k").as[Long]
+      .collect().toSeq === Seq(9L))
+    assert(cat.read("fact").count() === 1L)
+    // time travel within the catalog still serves the pre-replace fact
+    assert(cat.readConsistentAt("fact", c1).count() === 2L)
+  }
+
 }
 
 object TxnSpec {
