@@ -151,4 +151,68 @@ class ConcurrentWritersSpec extends AnyFunSuite with SparkTestSession {
       assert(dirs.isEmpty, s"dead branch-life dirs: $dirs")
     } finally s.close()
   }
+
+  test("concurrent pv appenders + branch stagers + a publisher on ONE " +
+      "partitioned versioned fact: exact union, monotonic snapshots, " +
+      "manifest always agrees with the tree") {
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("cw-pv").toString)
+    cat.createPartitionedVersioned("f",
+      Seq((0L, 0L, "x")).toDF("writer", "v", "dt").schema, Seq("dt"))
+    val writers = 3
+    val appendsEach = 4
+    val errs = new AtomicReference[Throwable](null)
+    def guard(body: => Unit): Unit =
+      try body catch { case t: Throwable => errs.compareAndSet(null, t) }
+    // direct pv appenders (optimistic stage + locked snapshot commit)
+    val appenders = (0 until writers).map { w =>
+      new Thread(() => guard {
+        (0 until appendsEach).foreach { b =>
+          cat.appendPartitionedVersioned("f",
+            Seq((w.toLong, b.toLong, s"2024-01-0${(b % 3) + 1}"))
+              .toDF("writer", "v", "dt"))
+        }
+      }, s"pv-appender-$w")
+    }
+    // a branch stager + publisher racing the appenders
+    val stager = new Thread(() => guard {
+      (0 until 4).foreach { b =>
+        cat.appendToBranch("f", "wap",
+          Seq((100L, b.toLong, "2024-02-01")).toDF("writer", "v", "dt"))
+      }
+    }, "pv-stager")
+    val publisher = new Thread(() => guard {
+      (0 until 4).foreach { _ =>
+        Thread.sleep(150)
+        try cat.publishBranch("f", "wap")
+        catch { case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).contains("no branch") => () }
+      }
+    }, "pv-publisher")
+    val all = appenders ++ Seq(stager, publisher)
+    all.foreach(_.start())
+    all.foreach(_.join(300000))
+    assert(errs.get() === null, s"a concurrent actor failed: ${errs.get()}")
+    if (cat.branches("f").contains("wap")) cat.publishBranch("f", "wap")
+    val got = cat.read("f")
+    assert(got.count() === (writers * appendsEach + 4).toLong,
+      "a pv append or staged row was lost or doubled")
+    assert(got.distinct().count() === got.count())
+    // the head snapshot's manifest agrees exactly with its tree
+    val v = cat.currentVersion("f").get
+    val snap = Paths.get(cat.path("f"), s"_v$v")
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(snap)
+      try st.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+        .map(p => snap.relativize(p).toString).toSet
+      finally st.close()
+    }
+    val manifest = new String(Files.readAllBytes(
+      snap.resolve("_leafmanifest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    onDisk.foreach(rel => assert(manifest.contains(rel),
+      s"manifest missing $rel"))
+  }
 }

@@ -540,6 +540,35 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.readVersion("le", vr).count() === 2L)
   }
 
+  test("CLONE of a lazily-evolved pv table carries BOTH generation " +
+      "subtrees and the multi-generation sidecar; the clone reads and " +
+      "appends independently") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("src",
+      Seq((0L, 0, 0)).toDF("k", "y", "m").schema, Seq("y"))
+    cat.appendPartitionedVersioned("src",
+      Seq((1L, 2020, 1), (2L, 2021, 2)).toDF("k", "y", "m"))
+    cat.repartitionTableLazy("src",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.appendPartitionedVersioned("src",
+      Seq((3L, 2021, 3)).toDF("k", "y", "m"))
+    cat.cloneTable("src", "dst")
+    assert(cat.specGenerations("dst").size === 2,
+      "the multi-generation sidecar must travel with the clone")
+    assert(Files.exists(Paths.get(cat.path("dst"), "_v1", "_g1",
+      "y=2021", "m=3")), "the clone must carry the _g1 subtree")
+    assert(cat.read("dst").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L))
+    // independence both ways
+    cat.appendPartitionedVersioned("dst",
+      Seq((4L, 2022, 4)).toDF("k", "y", "m"))
+    assert(cat.read("dst").count() === 4L)
+    assert(cat.read("src").count() === 3L)
+    cat.deleteWherePartsVersioned("src", $"k" === 3L)
+    assert(cat.read("src").count() === 2L)
+    assert(cat.read("dst").count() === 4L)
+  }
+
   test("compactGenerationsVersioned collapses a lazily-evolved pv " +
       "table into one tree, re-enables DML/branches, and retires " +
       "pre-compaction time travel by intent") {

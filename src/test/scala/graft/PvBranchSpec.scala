@@ -314,6 +314,34 @@ class PvBranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("tf").count() === 2L)
   }
 
+  test("NULL partition values ride the whole pv WAP and batch-append " +
+      "loop: staged into the NULL leaf, audited, published, replayed " +
+      "exactly once, and purgeable") {
+    val cat = freshCat()
+    pvTable(cat)
+    val withNull = Seq((100L, 1000L, null.asInstanceOf[String]),
+      (101L, 1010L, "2024-01-02")).toDF("k", "v", "dt")
+    cat.appendToBranchBatch("f", "wap", 0L, withNull, token = "tok")
+    assert(cat.readBranch("f", "wap").filter($"dt".isNull).count() === 1L,
+      "the audit surface must serve the NULL-partition row")
+    cat.publishBranch("f", "wap")
+    assert(cat.read("f").filter($"dt".isNull).select("k").as[Long]
+      .head() === 100L)
+    assert(cat.read("f").count() === 7L)
+    // exactly-once batch append with a NULL partition value
+    cat.appendPartitionedVersionedBatch("f", withNull
+      .withColumn("k", $"k" + 100L), 5L, "tok")
+    cat.appendPartitionedVersionedBatch("f", withNull
+      .withColumn("k", $"k" + 100L), 5L, "tok") // replay
+    assert(cat.read("f").filter($"dt".isNull).count() === 2L,
+      "the replayed NULL-leaf batch must land exactly once")
+    // the NULL leaf purges like any other (Option-typed tuple routing)
+    val (aff, gone) = cat.deleteWherePartsVersioned("f", $"dt".isNull)
+    assert(aff === Seq(Seq(None)) && gone === Seq(Seq(None)))
+    assert(cat.read("f").filter($"dt".isNull).count() === 0L)
+    assert(cat.read("f").count() === 7L)
+  }
+
   test("pv branches refuse the flat repair verbs and SQL loudly; " +
       "replace-mode never exists on the leaf-tree layout") {
     val cat = freshCat()
