@@ -37,7 +37,7 @@ private[sql] final class MultiGenScanBuilder(
     legs: Seq[(String, TableCatalog.SpecGen)],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
@@ -50,12 +50,28 @@ private[sql] final class MultiGenScanBuilder(
       gens.map(sg => (if (sg.dir.isEmpty) root else s"$root/${sg.dir}",
         sg)), options)
 
-  private var preds: Array[Predicate] = Array.empty
+  private var catalystFilters
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
   private var required: Option[StructType] = None
 
-  override def pushPredicates(predicates: Array[Predicate])
-      : Array[Predicate] = { preds = predicates; predicates }
-  override def pushedPredicates(): Array[Predicate] = Array.empty
+  /** CATALYST filters, the interface the file-source builders speak
+    * (r15 — the V2-Predicate interface was a dead letter here: each
+    * inner builder is a FileScanBuilder, which only receives partition
+    * filters through this seam, so the composite used to PLAN every
+    * leaf and rely on row filters). The filters forward to EVERY
+    * generation's builder, which splits partition vs data filters
+    * under ITS OWN partition schema and binds them BY NAME — a filter
+    * on a column one generation partitions by and another stores as
+    * data prunes the first and row-group-filters the second. ALL
+    * filters are returned un-consumed (row filters still apply), so
+    * pruning can only narrow. */
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    catalystFilters = filters
+    filters
+  }
+  override def pushedFilters: Array[Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
@@ -79,8 +95,12 @@ private[sql] final class MultiGenScanBuilder(
         csm, Seq(genDir), Some(full), classOf[ParquetFileFormat])
         .newScanBuilder(csm)
       b match {
-        case f: org.apache.spark.sql.connector.read.SupportsPushDownV2Filters =>
-          f.pushPredicates(preds); ()
+        case f: org.apache.spark.sql.internal.connector
+            .SupportsPushDownCatalystFilters =>
+          // the inner splits partition vs data filters under ITS spec;
+          // partition filters bind to directory values BY NAME, so the
+          // outer plan's attributes resolve regardless of expr ids
+          f.pushFilters(catalystFilters); ()
         case _ => ()
       }
       b match {

@@ -1,0 +1,105 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.catalog.TableCatalog
+import java.nio.file.Files
+
+/** PLAN-level pruning evidence for the composite multi-root scans (in
+  * package graft.sql to reach the private partition types): the
+  * per-generation union and the pv branch union must PLAN only the
+  * matching leaves — the honest test of "each leg prunes under its own
+  * spec", stronger than row correctness (which a full scan + row
+  * filter would also pass). */
+class MultiGenPlanSpec extends AnyFunSuite with graft.SparkTestSession {
+  import spark.implicits._
+
+  private var seq = 0
+  private def freshSqlCat(): (TableCatalog, String) = {
+    val root = Files.createTempDirectory("mgp").toString
+    seq += 1
+    val name = s"gmgp$seq"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (new TableCatalog(spark, root), name)
+  }
+
+  /** The leaf-directory values the PLANNED input partitions touch for
+    * partition column `pcol` — what pruning actually narrowed. */
+  private def plannedLeaves(df: DataFrame, pcol: String): Set[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec =>
+        b.scan match {
+          case m: MultiGenScan =>
+            m.toBatch.planInputPartitions().toSeq.flatMap {
+              case MultiGenPartition(_, fp: FilePartition) =>
+                fp.files.map(_.filePath.toString)
+              case _ => Seq.empty[String]
+            }
+          case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            f.toBatch.planInputPartitions().toSeq.flatMap {
+              case fp: FilePartition => fp.files.map(_.filePath.toString)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten.flatMap(_.split("/").find(_.startsWith(pcol + "="))).toSet
+
+  test("a lazily-evolved PLAIN table's SQL read plans only the probed " +
+      "partition's leaves — in BOTH generations") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.lz (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.lz VALUES (1, 2020, 1), (2, 2021, 2)")
+    cat.repartitionTableLazy("lz",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.insertPartitioned("lz",
+      Seq((3L, 2021, 3), (4L, 2020, 4)).toDF("k", "y", "m"))
+    val q = spark.sql(s"SELECT k FROM $g.lz WHERE y = 2021")
+    assert(q.as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    assert(plannedLeaves(q, "y") === Set("y=2021"),
+      "both generations must prune to the probed leaf at PLAN time")
+  }
+
+  test("a lazily-evolved PV table's SQL read plans only the probed " +
+      "leaves inside the pinned snapshot, across generations; time " +
+      "travel prunes the OLD layout") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.pv (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y) TBLPROPERTIES ('versioned'='true')")
+    cat.appendPartitionedVersioned("pv",
+      Seq((1L, 2020, 1), (2L, 2021, 2)).toDF("k", "y", "m"))
+    cat.repartitionTableLazy("pv",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.appendPartitionedVersioned("pv",
+      Seq((3L, 2021, 3), (4L, 2020, 4)).toDF("k", "y", "m"))
+    val q = spark.sql(s"SELECT k FROM $g.pv WHERE y = 2021")
+    assert(q.as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    assert(plannedLeaves(q, "y") === Set("y=2021"))
+    val tt = spark.sql(s"SELECT k FROM $g.pv VERSION AS OF 2 " +
+      "WHERE y = 2020")
+    assert(tt.as[Long].collect().toSeq === Seq(1L))
+    assert(plannedLeaves(tt, "y") === Set("y=2020"),
+      "time travel must prune the pre-evolution snapshot's own layout")
+  }
+
+  test("a PV branch's SQL audit read plans only the probed leaves — " +
+      "across the base snapshot AND the staged tree") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.f (k BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('versioned'='true')")
+    spark.sql(s"INSERT INTO $g.f VALUES (1, '2024-01-01'), " +
+      "(2, '2024-01-02')")
+    spark.sql(s"INSERT INTO $g.`f@wap` VALUES (3, '2024-01-02'), " +
+      "(4, '2024-01-03')")
+    val q = spark.sql(s"SELECT k FROM $g.`f@wap` WHERE dt = '2024-01-02'")
+    assert(q.as[Long].collect().sorted.toSeq === Seq(2L, 3L),
+      "the audit read must union base and staged rows")
+    assert(plannedLeaves(q, "dt") === Set("dt=2024-01-02"),
+      "BOTH branch-read roots must prune to the probed leaf")
+    cat.dropBranch("f", "wap")
+  }
+}
