@@ -39,6 +39,37 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
 
+    // HOST CONTROLS (r16, VERDICT r15 perf demand): three fixed
+    // queries that exercise the machine, not this engine — pure-CPU
+    // codegen, parquet scan, and shuffle — timed every rep alongside
+    // the real surface. Their minima, and the ratio to the committed
+    // quiet-host baseline below, ride every BENCH json: a round whose
+    // control ratio is elevated is a slow HOST (r15's manual paired
+    // re-clone, now in-protocol); a flat control ratio makes a query
+    // regression attributable to code. The baseline constants are the
+    // quiet-host 3-rep minima measured when the controls landed —
+    // update them only with a deliberate re-baseline.
+    import org.apache.spark.sql.functions.{col, sum, xxhash64, pmod}
+    val controls: Seq[(String, () => Unit)] = Seq(
+      ("ctrl_cpu", () => {
+        spark.range(100000000L).select(sum(xxhash64(col("id")))).count()
+        ()
+      }),
+      ("ctrl_scan", () => {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(sum(col("l_extendedprice"))).count()
+        ()
+      }),
+      ("ctrl_shuffle", () => {
+        spark.range(10000000L)
+          .groupBy(pmod(col("id"), org.apache.spark.sql.functions
+            .lit(1000000L)).as("k"))
+          .count().select(sum(col("count"))).count()
+        ()
+      }))
+    val controlBaseline = Map(
+      "ctrl_cpu" -> 0.461, "ctrl_scan" -> 0.817, "ctrl_shuffle" -> 0.525)
+
     // Optional comma-separated filter for iterating on specific queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -49,7 +80,16 @@ object Bench {
     // number with zero code change. The minimum is the stable estimator
     // of the code's cost (GC/JIT/page-cache noise is strictly additive).
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    val ctrlRuns = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Double)]]
     val runs = (1 to reps).map { rep =>
+      ctrlRuns += controls.map { case (name, run) =>
+        val t0 = System.nanoTime()
+        try run() catch { case e: Throwable =>
+          System.err.println(s"[bench] control $name failed: $e")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None } catch {
@@ -104,9 +144,23 @@ object Bench {
     val total = minima.values.sum
     val lastTotal = results.collect {
       case (n, v, None) if !errByName.contains(n) => v }.sum
+    val ctrlMin = ctrlRuns.flatten.groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2).min }
+    val ctrlJson = ctrlMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // geometric-mean ratio vs the committed quiet-host baseline: ~1.0
+    // means this host ran like the baseline host; >1.15 means per-query
+    // comparisons to previous rounds measure the HOST, not the code
+    val ratios = ctrlMin.collect { case (n, v)
+      if controlBaseline.contains(n) && v > 0 => v / controlBaseline(n) }
+    val ctrlRatio =
+      if (ratios.isEmpty) 1.0
+      else math.exp(ratios.map(math.log).sum / ratios.size)
     val fullJson =
       s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,""" +
       s""""minima":$minJson,"reps":$reps,"last_total":${f"$lastTotal%.1f"},""" +
+      s""""controls":$ctrlJson,"control_ratio":${f"$ctrlRatio%.3f"},""" +
       s""""sf":"$sfDir","failed":${errors.size},"errors":$errJson}"""
     // Durable artifact for the board: the driver keeps only a bounded TAIL
     // of stdout, which can front-truncate the long per-query line. The

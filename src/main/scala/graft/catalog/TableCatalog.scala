@@ -2276,14 +2276,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               "snapshots; write it via replaceAtomic/appendAtomic first"))
         val created =
           if (partitionSpecVersioned(table)) {
-            // a pv branch stages LEAF TREES, append-mode only (the
-            // WAP/backfill shape); field-id stamping is flat-table
-            // machinery — pv reads resolve columns by name under the
-            // declared spec schema, so the branch carries no ids
-            require(mode == "append",
-              s"branch '$name' of partitioned versioned '$table': only " +
-                "append-mode branches are supported — repair by " +
-                "dropBranch + re-stage")
+            // a pv branch stages LEAF TREES: append-mode (the
+            // WAP/backfill shape) or replace-mode (partition REWRITE
+            // under audit — r16 verdict next #3); field-id stamping is
+            // flat-table machinery — pv reads resolve columns by name
+            // under the declared spec schema, so the branch carries
+            // no ids
+            require(mode == "append" || mode == "replace",
+              s"branch '$name' of partitioned versioned '$table': " +
+                s"mode '$mode' is not a pv branch mode (append/replace)")
             val (_, declared) = partitionSpec(table).getOrElse(
               throw new IllegalStateException(
                 s"'$table' lost its partition spec"))
@@ -2472,7 +2473,6 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       s"branch staging on partitioned versioned '$table' does not " +
         "support mergeSchema — ADD COLUMN on the table itself; staged " +
         "and existing files null-fill the new columns alike")
-    requireSingleGenPv(table, "branch staging")
     var attempt = 0
     var scratch: Path = null
     var scratchPin: Option[String] = None
@@ -2513,6 +2513,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                 // (possibly partial) landing — data files inside any
                 // leaf plus the root sidecar
                 sweepPrefixPv(dir, prefix)
+                // a lazily-evolved pv table's branch tree mirrors the
+                // snapshot layout: staged rows (written under the
+                // CURRENT spec) live in the current generation's
+                // subtree, so both the branch read (readLeafTreeAt
+                // unions per generation) and the publish (linkAdopt
+                // carries the `_g<k>`-prefixed rel paths straight into
+                // the snapshot) speak one addressing scheme (r16)
+                val genRoot = specGenerations(table).lastOption
+                  .map(_.dir).filter(_.nonEmpty)
+                  .map(dir.resolve).getOrElse(dir)
                 import scala.jdk.CollectionConverters._
                 val s = Files.walk(scratch)
                 try {
@@ -2523,7 +2533,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                     .foreach { p =>
                       val rel = scratch.relativize(p)
                       val leaf = Option(rel.getParent)
-                        .map(dir.resolve).getOrElse(dir)
+                        .map(genRoot.resolve).getOrElse(genRoot)
                       Files.createDirectories(leaf)
                       val dst = Files.move(p,
                         leaf.resolve(prefix + p.getFileName.toString))
@@ -2616,6 +2626,168 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     stageBranch(table, branch, df, mergeSchema, prefix = s"b$batchId-",
       sidecar = Some(s".staged-b$batchId-$token"), afterStage)
     ()
+  }
+
+  // ------------------------------ pv REPLACE-mode branches (r16,
+  // verdict next #3): a branch that REWRITES existing partitions
+  // under audit — compaction-under-audit, GDPR-delete-under-audit,
+  // repriced backfill. The branch dir holds the claimed partitions'
+  // REPLACEMENT leaf tree plus a `_claims.json` sidecar naming the
+  // claimed tuples; the branch view is base MINUS claimed leaves ∪
+  // staged; publish commits skip(claimed) + linkAdopt(staged) as one
+  // snapshot under the same write-ahead intent protocol as append
+  // mode. A claimed tuple with no staged rows is a partition DROP
+  // under audit.
+
+  private def branchClaimsFile(dir: Path): Path = dir.resolve("_claims.json")
+
+  private def readBranchClaims(dir: Path): Seq[Seq[Option[String]]] =
+    committer.read(branchClaimsFile(dir)).toSeq.flatMap { b =>
+      import scala.jdk.CollectionConverters._
+      val n = TableCatalog.om.readTree(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      Option(n.get("claims")).toSeq.flatMap(_.elements().asScala.map { t =>
+        t.elements().asScala.map(v =>
+          if (v.isNull) None else Some(v.asText)).toSeq
+      })
+    }
+
+  private def writeBranchClaims(table: String, dir: Path,
+      claims: Seq[Seq[Option[String]]]): Unit = {
+    val o = TableCatalog.om.createObjectNode()
+    val a = o.putArray("claims")
+    claims.foreach { t =>
+      val ta = a.addArray()
+      t.foreach {
+        case Some(v) => ta.add(v)
+        case None => ta.addNull()
+      }
+    }
+    val tmp = Paths.get(path(table),
+      s"_brtmp_claims-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, TableCatalog.om.writeValueAsString(o)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, branchClaimsFile(dir))
+  }
+
+  /** The claimed partition tuples of a REPLACE-mode pv branch — None
+    * for append-mode branches (the SQL catalog's seam for serving the
+    * branch view as base-minus-claims ∪ staged). */
+  private[graft] def branchReplaceClaimsPv(table: String, name: String)
+      : Option[Seq[Seq[Option[String]]]] =
+    branchMeta(table, name).filter(_.mode == "replace").map(m =>
+      readBranchClaims(branchDataDir(table, name, m.epoch)))
+
+  /** Stage a PARTITION REPLACEMENT onto branch `name` of a partitioned
+    * versioned table — the replace half of write-audit-publish: the
+    * claimed partitions (the staged rows' own tuples ∪ `dropParts`)
+    * read as REPLACED by the staged rows on the branch, main untouched
+    * until publish. Re-staging a claimed tuple swaps its staged rows
+    * (the repair loop: stage → audit fails → re-stage → audit →
+    * publish). Claims address leaves of ONE layout, so a
+    * lazily-evolved table compacts first — old-generation rows
+    * matching a claim live inside FOREIGN leaves a partition-swap
+    * publish could never excise. Returns the branch's base version. */
+  def replacePartitionsOnBranch(table: String, name: String, df: DataFrame,
+      dropParts: Seq[Seq[Option[String]]] = Seq.empty): Long = {
+    requireSingleGenPv(table, "replace-mode branch staging")
+    requireRoutableGen(table, "replacePartitionsOnBranch")
+    val (pcols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use the flat branch verbs"))
+    require(partitionSpecVersioned(table),
+      s"'$table' is a partitioned PLAIN table — branches need snapshots")
+    require(df.columns.toSet == declared.fieldNames.toSet,
+      s"branch replace shape (${df.columns.sorted.mkString(",")}) != " +
+        s"declared (${declared.fieldNames.sorted.mkString(",")})")
+    require(dropParts.forall(_.size == pcols.size),
+      s"every dropped tuple must have ${pcols.size} values " +
+        s"(${pcols.mkString(", ")})")
+    require(!dropParts.exists(_.contains(Some(""))),
+      "empty-string partition value: the Hive layout stores it in the " +
+        "NULL partition directory, silently rewriting the key to NULL")
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    var scratch: Path = null
+    var scratchPin: Option[String] = None
+    var staged: Seq[Seq[Option[String]]] = Seq.empty
+    try {
+      while (true) {
+        attempt += 1
+        require(attempt <= TableCatalog.MaxStageAttempts,
+          s"branch '$name' of '$table' is being dropped/published in a " +
+            s"tight loop — staging cannot land ($attempt attempts)")
+        val pin = partSpecPin(table)
+        val meta = ensureBranch(table, name, declared, "replace")
+        require(meta.mode == "replace",
+          s"branch '$name' of '$table' is ${meta.mode}-mode — one branch " +
+            "stages one way; publish or drop it first")
+        if (scratch == null || scratchPin != pin) {
+          if (scratch != null) deleteRecursive(scratch)
+          scratch = Paths.get(path(table),
+            s"_brtmp_stage-${java.util.UUID.randomUUID()}")
+          val withG = enforced(table, withGen(table, stripDf(df)))
+          withG.write.partitionBy(pcols: _*).parquet(scratch.toString)
+          val pcs = pcols.map(c => col(c).cast("string"))
+          // a pure partition DROP under audit stages zero rows
+          staged =
+            if (listParquetUrisAt(scratch).isEmpty) Seq.empty
+            else spark.read.option("basePath", scratch.toString)
+              .parquet(scratch.toString).select(pcs: _*).distinct()
+              .collect().map(r => pcols.indices.map(i =>
+                Option(r.getString(i))): Seq[Option[String]]).toSeq
+          scratchPin = pin
+        }
+        val claimed = (staged ++ dropParts).distinct
+        require(claimed.nonEmpty,
+          "nothing to stage: no rows and no dropped tuples")
+        val landed = withBranchLock(table, name) {
+          branchMeta(table, name) match {
+            case Some(m) if m.epoch == meta.epoch =>
+              if (partSpecPin(table) != pin) false // spec moved; re-derive
+              else {
+                val dir = branchDataDir(table, name, meta.epoch)
+                Files.createDirectories(dir)
+                // re-staging a claimed tuple REPLACES its previous
+                // staging: sweep the claimed leaves' files first
+                claimed.foreach { t =>
+                  val leaf = dir.resolve(pcols.zip(t).map { case (c, v) =>
+                    val dn = v.fold(org.apache.spark.sql.catalyst.catalog
+                      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+                      org.apache.spark.sql.catalyst.catalog
+                        .ExternalCatalogUtils.escapePathName)
+                    s"$c=$dn"
+                  }.mkString("/"))
+                  deleteRecursive(leaf)
+                }
+                import scala.jdk.CollectionConverters._
+                val s = Files.walk(scratch)
+                try {
+                  s.iterator().asScala
+                    .filter(p => Files.isRegularFile(p) &&
+                      p.getFileName.toString.endsWith(".parquet"))
+                    .toSeq
+                    .foreach { p =>
+                      val rel = scratch.relativize(p)
+                      val leaf = Option(rel.getParent)
+                        .map(dir.resolve).getOrElse(dir)
+                      Files.createDirectories(leaf)
+                      Files.move(p, leaf.resolve(
+                        s"r${java.util.UUID.randomUUID().toString.take(8)}" +
+                          s"-${p.getFileName.toString}"))
+                    }
+                } finally s.close()
+                writeBranchClaims(table, dir,
+                  (readBranchClaims(dir) ++ claimed).distinct)
+                true
+              }
+            case _ => false
+          }
+        }
+        if (landed) return meta.base
+      }
+      throw new IllegalStateException("unreachable")
+    } finally if (scratch != null) deleteRecursive(scratch)
   }
 
   // ------------------------- published-batch high-water (_branchpub_)
@@ -3181,7 +3353,6 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * committed since the branch's base. */
   private def publishBranchPvHooked(table: String, name: String,
       afterPend: () => Unit, afterCommit: () => Unit): Long = {
-    requireSingleGenPv(table, "publishBranch")
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -4083,9 +4254,59 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   /** Every partition-spec GENERATION of `table`, ascending — one entry
     * for classic single-spec tables, several after [[repartitionTableLazy]]
-    * (the LAST is the current one new writes route to). */
+    * (the LAST is the current one new writes route to). A pending
+    * generation-compaction intent (`collapseAt` in the sidecar —
+    * written before the compaction's pointer flip) gates the view by
+    * the LIVE pointer: once the compacted snapshot committed, the head
+    * is the single collapsed root-layout generation even if the crash
+    * window kept the finalize sidecar from landing. */
   def specGenerations(table: String): Seq[TableCatalog.SpecGen] =
-    specSidecar(table).map(_.gens).getOrElse(Seq.empty)
+    specSidecar(table) match {
+      case Some(s) if s.collapseAt.isDefined =>
+        effectiveGens(table, s, currentVersion(table).getOrElse(-1L))
+      case Some(s) => s.gens
+      case None => Seq.empty
+    }
+
+  /** The spec generations snapshot `v` of `table` was WRITTEN with —
+    * identical to [[specGenerations]] except a pending compaction
+    * intent gates on `v`, so time travel below the collapse point
+    * still reads the multi-generation layout those snapshots hold. */
+  def specGenerationsAt(table: String, v: Long): Seq[TableCatalog.SpecGen] =
+    specSidecar(table) match {
+      case Some(s) => effectiveGens(table, s, v)
+      case None => Seq.empty
+    }
+
+  private def effectiveGens(table: String, s: TableCatalog.SpecSidecar,
+      v: Long): Seq[TableCatalog.SpecGen] =
+    s.collapseAt match {
+      case Some((ca, pub)) if v >= ca && collapseCommitted(table, ca, pub) =>
+        s.gens.lastOption
+          .map(g => TableCatalog.SpecGen(g.partCols, g.gen, "")).toSeq
+      case _ => s.gens
+    }
+
+  /** Whether the compaction that wrote a pending collapse intent
+    * actually COMMITTED — the intent's version exists in history under
+    * the intent's own provenance UUID. A stale intent from a
+    * pre-commit crash never matches (a later unrelated commit at that
+    * version carries a different pub), so the multi-gen view persists
+    * until the compaction re-runs. Memoized per (table, intent): this
+    * only runs in the crash window before the finalize sidecar lands,
+    * and the answer can only flip false→true once. */
+  private val collapseGateCache =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Long, String)]()
+  private def collapseCommitted(table: String, ca: Long,
+      pub: String): Boolean = {
+    val key = (table, ca, pub)
+    collapseGateCache.contains(key) || {
+      val yes = historyEntries(table).exists(e => e._1 == ca && e._6 == pub)
+      if (yes) collapseGateCache.add(key)
+      yes
+    }
+  }
 
   private def requireSingleGen(table: String, verb: String): Unit =
     require(specGenerations(table).size <= 1,
@@ -4094,10 +4315,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "compact first (repartitionTable / repartitionTableTransformed " +
         "collapses the generations) or read via readPartitioned")
 
-  /** The pv verbs that address snapshot leaves by tuple (DML, branch
-    * staging, per-leaf OPTIMIZE) speak ONE layout — a lazily-evolved
-    * pv table holds several; [[compactGenerationsVersioned]] collapses
-    * them as one snapshot commit. */
+  /** The one remaining single-layout pv verb: the SQL row-level
+    * commit half ([[replacePartitionsFromStagedVersioned]]), whose
+    * scan/clobber protocol addresses leaves of one layout (the SQL
+    * planner refuses multi-generation row-level statements upstream
+    * too). Every OTHER pv verb — append, DELETE/UPDATE, tuple
+    * overwrite/drop, OPTIMIZE, branch staging/publish — routes per
+    * generation since r16. */
   private def requireSingleGenPv(table: String, verb: String): Unit =
     require(specGenerations(table).size <= 1,
       s"'$table' carries multiple partition-spec generations (lazy " +
@@ -4145,9 +4369,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * own spec. The eager full rewrite ([[repartitionTableTransformed]])
     * remains as the COMPACTION path that collapses the generations —
     * at 100 TB, evolve lazily at the moment of need and compact in
-    * maintenance windows, exactly the Iceberg posture. Single-gen DML
-    * verbs (deleteWhereParts, overwritePartitionTuples, OPTIMIZE)
-    * refuse a multi-generation tree loudly until then. */
+    * maintenance windows, exactly the Iceberg posture. Every pv verb
+    * (append, DELETE/UPDATE, tuple overwrite/drop, OPTIMIZE, branch
+    * WAP) routes per generation in the meantime (r16) — no
+    * maintenance outage window between evolution and compaction. */
   def repartitionTableLazy(table: String,
       parts: Seq[(String, String, Int)]): Unit = {
     val (_, declared) = partitionSpec(table).getOrElse(
@@ -4165,6 +4390,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         .mkString(", ")}) — publish or drop them before lazy spec " +
         "evolution; their staged leaf trees are laid out under the " +
         "current spec")
+    // a crashed compaction's committed-but-unfinalized collapse intent
+    // must finish (sweep + plain sidecar) before the gens list grows —
+    // rendering a new generation list would drop the intent's
+    // version gate while pre-collapse snapshots still exist
+    if (pv) healCollapseIntent(table)
     withTableLock(table) {
       val gens = specGenerations(table)
       require(gens.nonEmpty, s"'$table' lost its partition spec")
@@ -4203,45 +4433,108 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * versions, then sweeps the older snapshot directories. Lazy-evolve
     * at the moment of need, query across generations, compact in a
     * maintenance window: the Iceberg posture; this is the maintenance
-    * window's verb, and it re-enables the single-generation pv DML and
-    * branch verbs. */
+    * window's verb — it collapses the per-generation routing cost the
+    * multi-gen verbs pay (one scan leg and one rewrite pass per
+    * generation) back to a single-layout tree. CRASH ORDER (ADVICE
+    * r15 medium): intent sidecar (full gens + collapseAt/pub) → commit
+    * → sweep → finalize plain sidecar; [[effectiveGens]] gates the
+    * view on the committed intent, so every crash state reads every
+    * surviving snapshot under the spec it was written with, and
+    * [[healCollapseIntent]] converges the housekeeping. */
   def compactGenerationsVersioned(table: String): Long = {
     require(partitionSpecVersioned(table),
       s"'$table' is not a partitioned VERSIONED table — " +
         "repartitionTableTransformed compacts plain layouts")
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
-    if (specGenerations(table).size <= 1)
+    if (specGenerations(table).size <= 1) {
+      // a crash between the collapse COMMIT and the finalize sidecar
+      // leaves the intent pending (view already collapsed — correct);
+      // finish its housekeeping here so re-running the verb converges
+      healCollapseIntent(table)
       return currentVersion(table).getOrElse(0L)
+    }
     require(tags(table).isEmpty,
       s"'$table' carries tags pinning old snapshots — generation " +
         "compaction retires pre-compaction time travel; drop them first")
     require(branches(table).isEmpty,
       s"'$table' has open branches pinned to old snapshots — publish " +
         "or drop them before compacting generations")
-    val last = specGenerations(table).last
+    val gens0 = specGenerations(table)
+    val last = gens0.last
     val cur0 = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"'$table' lost its version pointer"))
     val df = readPartVersionedAt(table, cur0)
     val scratch = stageLeaves(table,
       enforced(table, withGen(table, stripDf(df))), pcols)
     withTableLock(table) {
+      // re-judge the pins INSIDE the lock (ADVICE r15 low #3): a tag
+      // or branch created between the unlocked check and the sweep
+      // below would dangle on a deleted snapshot
+      require(tags(table).isEmpty && branches(table).isEmpty,
+        s"'$table' grew tags or branches while generation compaction " +
+          "staged — they pin pre-compaction snapshots the sweep would " +
+          "delete; drop/publish them and re-run")
       if (!currentVersion(table).contains(cur0)) {
         deleteRecursive(scratch)
         throw new IllegalStateException(
           s"concurrent commit to '$table' during generation " +
             "compaction — re-run against the new head")
       }
+      // crash-ordered collapse (ADVICE r15 medium): (1) intent sidecar
+      // — full generation list + collapseAt = the version about to
+      // commit, so readers gate the view on the live pointer; (2) the
+      // commit (pointer flip); (3) sweep of the pre-collapse snapshots
+      // (still correctly readable until deleted — the intent keeps
+      // their multi-gen description); (4) finalize plain single-gen
+      // sidecar. A crash anywhere leaves every surviving snapshot
+      // readable under the spec it was written with, and re-running
+      // the verb converges.
+      val pub = s"gc-${java.util.UUID.randomUUID()}"
+      val tmp = Paths.get(path(table),
+        s"_tmp_partspec-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, TableCatalog.renderPartSpecGens(
+        TableCatalog.stripFieldIds(declared).toDDL, gens0,
+        versioned = true, collapseAt = Some((cur0 + 1L, pub)))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, partSpecFile(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      invalidateSpecCache(table)
       val v = commitPartVersionedLocked(table, cur0, "REPARTITION",
-        skip = Seq.empty, scratch = Some(scratch), carry = false)
+        skip = Seq.empty, scratch = Some(scratch), carry = false,
+        pub = pub)
+      (0L until v).foreach(k => deleteRecursive(snapDir(table, k)))
       writePartSpecGenV(table, last.partCols, declared, last.gen,
         versioned = true)
-      // sweep pre-compaction snapshots NOW (undescribable under the
-      // collapsed sidecar) — unconditional, not retention-aged
-      (0L until v).foreach(k => deleteRecursive(snapDir(table, k)))
       v
     }
   }
+
+  /** Finish a generation-compaction whose crash window left the
+    * collapse intent pending: if the intent's commit PROVABLY landed
+    * (version + provenance UUID in history), sweep the pre-collapse
+    * snapshots and land the plain single-generation sidecar; a
+    * non-committed (stale) intent is left alone — the view gate keeps
+    * it inert and the next compaction run overwrites it. Takes the
+    * table lock. */
+  private def healCollapseIntent(table: String): Unit =
+    specSidecar(table).foreach { s =>
+      s.collapseAt.foreach { case (ca, pub) =>
+        if (currentVersion(table).exists(_ >= ca) &&
+            collapseCommitted(table, ca, pub)) withTableLock(table) {
+          // re-read under the lock — a concurrent heal may have won
+          if (specSidecar(table).exists(_.collapseAt.isDefined)) {
+            val (cols, declared) = partitionSpec(table).getOrElse(
+              throw new IllegalStateException(
+                s"'$table' lost its partition spec"))
+            val lastGen = s.gens.lastOption.map(_.gen).getOrElse(Seq.empty)
+            (0L until ca).foreach(k => deleteRecursive(snapDir(table, k)))
+            writePartSpecGenV(table, cols, declared, lastGen,
+              versioned = true)
+          }
+        }
+      }
+    }
 
   /** Read a partitioned plain table across ALL its spec generations:
     * each generation scans its own subtree under its own spec (so
@@ -4732,7 +5025,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the directory names; hidden generated columns are resolved for
     * discovery and projected away). */
   private[graft] def readPartVersionedAt(table: String, v: Long): DataFrame =
-    readLeafTreeAt(table, snapDir(table, v))
+    readLeafTreeAt(table, snapDir(table, v),
+      Some(specGenerationsAt(table, v)))
 
   /** Read any Hive leaf tree of `table`'s layout — a `_vN` snapshot or
     * a branch's staged tree — under the declared schema: identity
@@ -4744,11 +5038,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * Pre-evolution snapshots simply have empty newer-generation legs,
     * so time travel serves them under the spec they were written
     * with. */
-  private def readLeafTreeAt(table: String, d: Path): DataFrame = {
+  private def readLeafTreeAt(table: String, d: Path,
+      gensOverride: Option[Seq[TableCatalog.SpecGen]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (_, declared) = partitionSpec(table).getOrElse(
       throw new IllegalStateException(s"'$table' lost its partition spec"))
-    val legs = specGenerations(table).flatMap { sg =>
+    val legs = gensOverride.getOrElse(specGenerations(table)).flatMap { sg =>
       val gd = if (sg.dir.isEmpty) d else d.resolve(sg.dir)
       if (!Files.exists(gd) || listParquetUrisAt(gd).isEmpty) None
       else {
@@ -4795,10 +5090,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def appendPartitionedVersionedPub(table: String, df: DataFrame,
       pub: String): Long = {
     // replay fast-path OUTSIDE the lock: the stage is the heavy half,
-    // don't pay it for a batch whose commit provably landed
-    if (pub.nonEmpty && historyEntries(table).exists(_._6 == pub))
-      return currentVersion(table).getOrElse(
-        throw new IllegalStateException(s"'$table' lost its version pointer"))
+    // don't pay it for a batch whose commit provably landed. The stamp
+    // only counts when its version is <= the live pointer — the
+    // history entry lands BEFORE the pointer rename, so a crash
+    // between the two leaves an orphan stamp whose commit never took;
+    // matching it would silently drop the batch (the
+    // recoverBranchPendLocked `expect <= cur` rule).
+    if (pub.nonEmpty) {
+      val cur0 = currentVersion(table).getOrElse(-1L)
+      if (historyEntries(table).exists(e => e._6 == pub && e._1 <= cur0))
+        return cur0
+    }
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -4825,8 +5127,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             throw new IllegalStateException(
               s"'$table' lost its version pointer"))
           // the correctness-path replay check, under the lock: a
-          // concurrent replay that won the race left its stamp here
-          if (pub.nonEmpty && historyEntries(table).exists(_._6 == pub)) {
+          // concurrent replay that won the race left its stamp here —
+          // committed versions only, an orphan stamp from a crash
+          // before the pointer rename is NOT proof the rows landed
+          if (pub.nonEmpty &&
+              historyEntries(table).exists(e => e._6 == pub && e._1 <= cur)) {
             deleteRecursive(scratch)
             Some(cur)
           } else Some(commitPartVersionedLocked(table, cur, "APPEND",
@@ -4924,7 +5229,6 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(partitionSpecVersioned(table),
       s"'$table' is a partitioned PLAIN table — use overwritePartitionTuples")
     requireRoutableGen(table, "overwritePartitionTuplesVersioned")
-    requireSingleGenPv(table, "overwritePartitionTuplesVersioned")
     if (parts.isEmpty) return currentVersion(table).getOrElse(0L)
     require(parts.forall(_.size == partCols.size),
       s"every partition tuple must have ${partCols.size} values " +
@@ -4932,6 +5236,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(!parts.exists(_.contains(Some(""))),
       "empty-string partition value: the Hive layout stores it in the " +
         "NULL partition directory, silently rewriting the key to NULL")
+    // a lazily-evolved pv table routes the replace PER GENERATION
+    // (r16 — the tuple-addressed face of the multi-generation DML
+    // routing r15 gave DELETE/UPDATE): the tuples address the CURRENT
+    // spec; older generations purge the matching rows under their own
+    // layouts, all committed as ONE snapshot
+    if (specGenerations(table).size > 1)
+      return overwritePartitionTuplesVersionedMultiGen(
+        table, df, parts, expect)
     val withG = withGen(table, stripDf(df))
     val pcs = partCols.map(c => col(c).cast("string"))
     def tupleMatch(t: Seq[Option[String]]): org.apache.spark.sql.Column =
@@ -4960,6 +5272,105 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** [[overwritePartitionTuplesVersioned]] for a MULTI-GENERATION pv
+    * table (r16): the tuples address partitions of the CURRENT spec,
+    * but matching rows can live in any generation under any layout —
+    * so each OLDER generation scans for rows whose current-spec
+    * partition value (re-derived from the declared source columns, a
+    * pure function) matches a claimed tuple, rewrites exactly the
+    * generation-local leaves holding them (survivors re-staged under
+    * that generation's own layout), while the CURRENT generation's
+    * claimed leaves swap metadata-only; the replacement rows land in
+    * the current generation's subtree. One snapshot commits all of it,
+    * so readers never see a half-replaced table. */
+  private def overwritePartitionTuplesVersionedMultiGen(table: String,
+      df: DataFrame, parts: Seq[Seq[Option[String]]],
+      expect: Long): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (partCols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalStateException(s"'$table' lost its partition spec"))
+    val gens = specGenerations(table)
+    val last = gens.last
+    // the current-spec partition VALUE of a row, derivable on ANY
+    // generation's rows: identity partition columns are declared,
+    // transform columns re-derive from their source column
+    def curPcs(d: DataFrame): Seq[org.apache.spark.sql.Column] =
+      partCols.map { c =>
+        last.gen.find(_.name == c) match {
+          case Some(g) => TableCatalog
+            .genExpr(g, d.schema(g.src).dataType).cast("string")
+          case None => col(c).cast("string")
+        }
+      }
+    def tupleMatch(pcs: Seq[org.apache.spark.sql.Column],
+        t: Seq[Option[String]]): org.apache.spark.sql.Column =
+      pcs.zip(t).map { case (pc, v) =>
+        v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+    def leafRelOf(cols: Seq[String], t: Seq[Option[String]]): String =
+      cols.zip(t).map { case (c, v) =>
+        val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName)
+        s"$c=$dirName"
+      }.mkString("/")
+    def prefixed(dir: String, rel: String): String =
+      if (dir.isEmpty) rel else s"$dir/$rel"
+    // CURRENT generation: its layout IS the current spec, so the
+    // claimed leaves are exactly the tuples — metadata-only skip
+    val lastRels = parts.map(t => prefixed(last.dir, leafRelOf(partCols, t)))
+    val snap = snapDir(table, expect)
+    // OLDER generations: find + rewrite the leaves holding matches
+    val older = gens.init.flatMap { sg =>
+      val gd = if (sg.dir.isEmpty) snap else snap.resolve(sg.dir)
+      if (!Files.exists(gd) || listParquetUrisAt(gd).isEmpty) None
+      else {
+        val full = StructType(declared.fields ++ sg.gen.map(g =>
+          org.apache.spark.sql.types.StructField(g.name,
+            TableCatalog.genDataType(g), nullable = true)))
+        val leg = spark.read.schema(full)
+          .option("basePath", gd.toString).parquet(gd.toString)
+        val cond = parts.map(tupleMatch(curPcs(leg), _)).reduce(_ || _)
+        val sgPcs = sg.partCols.map(c => col(c).cast("string"))
+        def tuples(d: DataFrame): Seq[Seq[Option[String]]] =
+          d.select(sgPcs: _*).distinct().collect()
+            .map(r => sg.partCols.indices.map(i =>
+              Option(r.getString(i))): Seq[Option[String]]).toSeq
+        val affected = tuples(leg.filter(cond))
+        if (affected.isEmpty) None
+        else {
+          val inLeaf = affected.map(tupleMatch(sgPcs, _)).reduce(_ || _)
+          val survivors = leg.filter(inLeaf)
+            .filter(!coalesce(cond, lit(false)))
+          val scratch = stageLeaves(table, survivors, sg.partCols)
+          val rels = affected.map(t =>
+            prefixed(sg.dir, leafRelOf(sg.partCols, t)))
+          Some((rels, scratch, sg.dir))
+        }
+      }
+    }
+    // the replacement rows: current spec, routed into the current
+    // generation's subtree; rows outside the claimed tuples drop (the
+    // single-generation contract)
+    val withG = withGen(table, stripDf(df))
+    val keep = parts.map(tupleMatch(curPcs(withG), _)).reduce(_ || _)
+    val newScratch = stageLeaves(table, withG.filter(keep), partCols)
+    withTableLock(table) {
+      if (!currentVersion(table).contains(expect)) {
+        deleteRecursive(newScratch)
+        older.foreach(o => deleteRecursive(o._2))
+        require(false,
+          s"'$table' moved (expected v$expect, now " +
+            s"v${currentVersion(table).getOrElse(0L)}) — the replacement " +
+            "rows' input snapshot is stale; re-run the statement")
+      }
+      commitPartVersionedLocked(table, expect, "REPLACE_PARTITIONS",
+        skip = lastRels ++ older.flatMap(_._1), scratch = None,
+        scratches = (newScratch, Option(last.dir).filter(_.nonEmpty)) +:
+          older.map(o => (o._2, Option(o._3).filter(_.nonEmpty))))
+    }
+  }
+
   /** OPTIMIZE for a PARTITIONED VERSIONED table: per-leaf small-file
     * compaction committed as ONE `dataChange=false` snapshot — every
     * append lands shuffle-partition-many files per touched leaf, and
@@ -4981,7 +5392,6 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       : Seq[(String, Int, Int)] = {
     val (_, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
-    requireSingleGenPv(table, "compactPartitionsVersioned")
     require(partitionSpecVersioned(table),
       s"'$table' is a partitioned PLAIN table — use compactPartitions")
     require(targetBytes > 0 && minFiles >= 2,
@@ -4989,10 +5399,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val cur = currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"'$table' is not versioned"))
     val snap = snapDir(table, cur)
-    val gen = partitionGen(table)
-    val full = StructType(declared.fields ++ gen.map(g =>
-      org.apache.spark.sql.types.StructField(g.name,
-        TableCatalog.genDataType(g), nullable = true)))
+    // per-leaf compaction is generation-LOCAL (r16): the leaf rel path
+    // (which carries the `_g<k>` prefix on a lazily-evolved table)
+    // names its generation, and that generation's identity partition
+    // columns are the ones its data files omit
+    val gens = specGenerations(table)
+    def genOfRel(rel: String): TableCatalog.SpecGen =
+      gens.filter(_.dir.nonEmpty)
+        .find(sg => rel == sg.dir || rel.startsWith(sg.dir + "/"))
+        .orElse(gens.find(_.dir.isEmpty))
+        .getOrElse(gens.last)
     // leaf inventory: group the snapshot's data files by leaf dir
     val byLeaf = listParquetUrisAt(snap).toSeq
       .map(u => Paths.get(java.net.URI.create(u)))
@@ -5009,8 +5425,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // the leaf's files hold only DATA columns (partition values live
       // in the dir names) — read them bare and write coalesced; the
       // relative leaf path carries the partition identity through
-      spark.read.schema(StructType(full.filterNot(f =>
-          partitionSpec(table).exists(_._1.contains(f.name))).toArray))
+      val sg = genOfRel(rel)
+      spark.read.schema(StructType(declared.fields.filterNot(f =>
+          sg.partCols.contains(f.name))))
         .parquet(fs.map(_.toString): _*)
         .coalesce(n).write.parquet(dst.toString)
       val after = listParquetUrisAt(dst).size
@@ -5037,7 +5454,6 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       throw new IllegalArgumentException(s"'$table' has no partition spec"))
     require(partitionSpecVersioned(table),
       s"'$table' is a partitioned PLAIN table — use overwritePartitionedAll")
-    requireSingleGenPv(table, "replacePartitionedVersioned")
     require(df.columns.toSet == declared.fieldNames.toSet,
       s"OVERWRITE shape (${df.columns.sorted.mkString(",")}) != declared " +
         s"(${declared.fieldNames.sorted.mkString(",")})")
@@ -5052,8 +5468,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       }
       val cur = currentVersion(table).getOrElse(
         throw new IllegalStateException(s"'$table' lost its version pointer"))
+      // nothing carries, so every row of the new snapshot is under the
+      // CURRENT spec — on a lazily-evolved table it lands in the
+      // current generation's subtree (older generations are simply
+      // empty in this and every later snapshot)
       commitPartVersionedLocked(table, cur, "REPLACE",
-        skip = Seq.empty, scratch = Some(scratch), carry = false)
+        skip = Seq.empty, scratch = Some(scratch), carry = false,
+        adoptUnder = specGenerations(table).lastOption
+          .map(_.dir).filter(_.nonEmpty))
     }
   }
 
@@ -5313,9 +5735,20 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"'$table' has no partition spec — repartitionTable evolves " +
           "partitioned plain tables; versioned tables derive skipping " +
           "from stats/Z-order (optimizeZOrder) instead"))
-    require(!partitionSpecVersioned(table),
-      s"'$table' is a partitioned VERSIONED table — spec evolution for " +
-        "the snapshot layout is not supported yet; recreate via CTAS")
+    // a partitioned VERSIONED table evolves eagerly as lazy-evolve +
+    // generation compaction (r16, closing the r15 CTAS detour): the
+    // sidecar gains the new spec as its current generation (zero data
+    // bytes, instant), then every row rewrites under it as ONE
+    // REPARTITION snapshot — history and the version line are
+    // preserved (time travel below the compaction point retires, the
+    // documented compaction contract). Same-spec calls on a
+    // single-generation table no-op inside repartitionTableLazy;
+    // multi-generation tables always compact.
+    if (partitionSpecVersioned(table)) {
+      repartitionTableLazy(table, parts)
+      compactGenerationsVersioned(table)
+      return
+    }
     val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
     // a MULTI-generation table never no-ops: even a same-spec call is
     // the COMPACTION that collapses the lazy generations into one tree
@@ -8878,9 +9311,22 @@ object TableCatalog {
     * pre-lazy reader must refuse loudly ("no partition spec") rather
     * than treat the root generation as the whole table. */
   private[catalog] def renderPartSpecGens(schemaDdl: String,
-      gens: Seq[SpecGen], versioned: Boolean): String = {
+      gens: Seq[SpecGen], versioned: Boolean,
+      collapseAt: Option[(Long, String)] = None): String = {
     val o = om.createObjectNode()
     if (versioned) o.put("versioned", true)
+    // generation-compaction intent (ADVICE r15 medium): snapshots
+    // >= collapseAt WHOSE COMMIT CARRIES THIS INTENT'S PROVENANCE
+    // UUID hold ONE root-layout generation (the last spec), everything
+    // else the full multi-generation tree — written BEFORE the
+    // compaction's pointer flip, so every crash state between intent,
+    // commit, sweep and the finalize sidecar reads each snapshot under
+    // the spec it was actually written with. The UUID gate keeps a
+    // PRE-commit crash's stale intent inert: a later unrelated commit
+    // reaching the intent version carries a different (or no) pub.
+    collapseAt.foreach { case (v, pub) =>
+      o.put("collapseAt", v); o.put("collapsePub", pub)
+    }
     o.put("schema", schemaDdl)
     val ga = o.putArray("gens")
     gens.foreach { sg =>
@@ -9242,6 +9688,20 @@ object TableCatalog {
       parsePartSpecFull(raw).map(_._3).getOrElse(Seq.empty)
     lazy val versioned: Boolean = partSpecIsVersioned(raw)
     lazy val gens: Seq[SpecGen] = parsePartSpecGens(raw)
+    /** The generation-compaction intent, if one is pending: (version,
+      * provenance UUID). Snapshots >= the version hold the single
+      * collapsed root-layout generation ONLY once a commit at that
+      * version stamped with the UUID exists; everything else reads the
+      * full multi-gen tree. */
+    lazy val collapseAt: Option[(Long, String)] =
+      try {
+        val n = om.readTree(raw)
+        if (n == null) None
+        else for {
+          v <- Option(n.get("collapseAt")).map(_.asLong())
+          p <- Option(n.get("collapsePub")).map(_.asText())
+        } yield (v, p)
+      } catch { case _: Exception => None }
   }
 
   private val specCache =

@@ -5369,6 +5369,106 @@ object TestdataQueries {
              |FROM kept WHERE y = (SELECT min(y) FROM pre)
              |GROUP BY y, m""".stripMargin)),
 
+    // ---------------- MULTI-GENERATION pv DML (r16, verdict next #1):
+    // after a LAZY spec evolution, the tuple-addressed maintenance
+    // verbs — explicit-tuple DROP/OVERWRITE, per-leaf OPTIMIZE, and
+    // branch write-audit-publish — all route PER GENERATION instead of
+    // refusing until compaction: the evolve-at-need loop has no
+    // maintenance outage window. Tuples address the CURRENT spec;
+    // matching rows purge from every generation under its own layout,
+    // each verb one snapshot commit. The oracle replays the whole
+    // sequence relationally in DuckDB.
+    "x_pv_multigen_dml" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_pvmg", dir)
+      val cname = "gmgd_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val pre = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"))
+      s.sql(s"CREATE TABLE $cname.pmd (okey BIGINT, price_c BIGINT, " +
+        "y STRING, m INT) PARTITIONED BY (y) " +
+        "TBLPROPERTIES ('versioned'='true')")
+      cat.appendPartitionedVersioned("pmd",
+        pre.filter(pmod(col("okey"), lit(2)) === 0))            // gen0
+      cat.repartitionTableLazy("pmd",
+        Seq(("identity", "y", 0), ("identity", "m", 0)))
+      cat.appendPartitionedVersioned("pmd",
+        pre.filter(pmod(col("okey"), lit(2)) === 1))            // _g1
+      val y0 = pre.select(min(col("y"))).head().getString(0)
+      // (1) explicit-tuple DROP of (y0, m=1): gen0 stores that data
+      // inside its y=y0 leaf (m is a data column there), _g1 as its
+      // own leaf — both purge, ONE commit, zero rows left behind
+      val vd0 = cat.currentVersion("pmd").get
+      cat.dropPartitionsVersioned("pmd", Seq(Seq(Some(y0), Some("1"))))
+      require(cat.currentVersion("pmd").contains(vd0 + 1L),
+        "cross-generation tuple drop must land as ONE commit")
+      // (2) explicit-tuple OVERWRITE of (y0, m=2): repricing backfill —
+      // the partition's rows are replaced by the doubled originals;
+      // old-generation leaves keep their non-matching survivors
+      val repl = pre.filter(col("y") === y0 && col("m") === 2)
+        .withColumn("price_c", col("price_c") * 2)
+      val vo0 = cat.currentVersion("pmd").get
+      cat.overwritePartitionTuplesVersioned("pmd", repl,
+        Seq(Seq(Some(y0), Some("2"))), vo0)
+      require(cat.currentVersion("pmd").contains(vo0 + 1L),
+        "cross-generation tuple overwrite must land as ONE commit")
+      // (3) per-leaf OPTIMIZE across BOTH generations' layouts:
+      // rows must not change, qualifying leaves must shrink
+      val beforeN = cat.read("pmd").count()
+      val rep = cat.compactPartitionsVersioned("pmd", minFiles = 2)
+      require(rep.forall { case (_, b, a) => a < b },
+        s"every compacted leaf must shrink its file count: $rep")
+      require(cat.read("pmd").count() == beforeN,
+        "OPTIMIZE must never change rows")
+      // (4) branch write-audit-publish on the multi-generation tree:
+      // staged rows (negated keys) land in the current generation's
+      // subtree; the SQL audit sees base ∪ staged; publish carries
+      // the prefixed leaf paths into the next snapshot
+      val staged = pre.filter(pmod(col("okey"), lit(1000)) === 7)
+        .withColumn("okey", -col("okey"))
+      cat.appendToBranch("pmd", "wap", staged)
+      val audit = s.sql(
+        s"SELECT count(*) AS n FROM $cname.`pmd@wap` WHERE okey < 0")
+        .head().getLong(0)
+      require(audit == staged.count(),
+        "the branch audit must see exactly the staged rows")
+      val vp0 = cat.currentVersion("pmd").get
+      cat.publishBranch("pmd", "wap")
+      require(cat.currentVersion("pmd").contains(vp0 + 1L),
+        "publish must land as ONE commit")
+      s.sql(s"SELECT y, m, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(price_c) AS sum_c FROM $cname.pmd WHERE y = '$y0' " +
+        "GROUP BY y, m")
+    }),
+      Some("""WITH pre AS (SELECT o_orderkey AS okey,
+             |  CAST(year(o_orderdate) AS VARCHAR) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders),
+             |y0 AS (SELECT min(y) AS y0 FROM pre),
+             |afterdrop AS (SELECT * FROM pre
+             |  WHERE NOT (y = (SELECT y0 FROM y0) AND m = 1)),
+             |afterow AS (
+             |  SELECT * FROM afterdrop
+             |  WHERE NOT (y = (SELECT y0 FROM y0) AND m = 2)
+             |  UNION ALL
+             |  SELECT okey, y, m, price_c * 2 AS price_c FROM pre
+             |  WHERE y = (SELECT y0 FROM y0) AND m = 2),
+             |finalt AS (
+             |  SELECT * FROM afterow
+             |  UNION ALL
+             |  SELECT -okey AS okey, y, m, price_c FROM pre
+             |  WHERE okey % 1000 = 7)
+             |SELECT y, m, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_c
+             |FROM finalt WHERE y = (SELECT y0 FROM y0)
+             |GROUP BY y, m""".stripMargin)),
+
     // ---------------- per-file skipping INSIDE partitioned leaves
     // (r13 verdict #3): a year-partitioned fact whose non-partition
     // predicate used to read whole leaves now carries per-file

@@ -204,6 +204,7 @@ class GraftSqlCatalog extends DsV2TableCatalog
           branch = Some(br), branchEpoch = brEpoch,
           partCols = Some(pcols), genSpec = gen,
           declaredSchema = Some(declared),
+          multiGens = cat.specGenerations(t),
           branchRoots = Some(paths))
       }
       val parts = cat.branchReadParts(t, br).orElse {
@@ -288,10 +289,19 @@ class GraftSqlCatalog extends DsV2TableCatalog
       if (current.isEmpty || pv) cat.partitionSpec(t) else None
     // a lazily-evolved table holds several directory layouts at once
     // (one per spec generation) — reads go through the composite
-    // per-generation scan ([[MultiGenScanBuilder]]); single-tree DML
-    // verbs still refuse inside the catalog until compaction
+    // per-generation scan ([[MultiGenScanBuilder]]); INSERT, DELETE,
+    // INSERT OVERWRITE and the maintenance procedures route per
+    // generation (r16); only row-level UPDATE/MERGE still refuses
+    // until compaction (its scan/clobber protocol speaks one layout)
+    // version-pinned loads resolve the generations AS OF that snapshot
+    // — a pending generation-compaction intent (crash window) means
+    // pre-collapse snapshots still hold the multi-generation layout
+    // while the head is already the collapsed one
     val multiGens =
-      if (partSpec.isDefined) cat.specGenerations(t) else Seq.empty
+      if (partSpec.isDefined) version match {
+        case Some(v) => cat.specGenerationsAt(t, v)
+        case None => cat.specGenerations(t)
+      } else Seq.empty
     // an evolved table reads under its DECLARED schema (the catalog's
     // schema log) — footer inference over a mixed-schema snapshot
     // would sample one file's shape
@@ -1219,18 +1229,34 @@ object GraftSqlCatalog {
         s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
           "reads of an unborn branch are refused (a typoed name would " +
           "silently audit the main table); INSERT INTO creates it")
-      if (branchRoots.isDefined)
+      if (branchRoots.isDefined) {
         // a PV branch read: base snapshot tree ∪ staged leaf tree —
         // sibling roots Spark's own multi-root discovery refuses
         // ("conflicting directory structures"), so the union runs
         // through the same per-root composite scan the lazily-evolved
-        // tables use, one leg per tree under the SAME spec
+        // tables use. The BASE snapshot root must exist — a base swept
+        // out from under an open branch must fail the audit loudly,
+        // exactly like the flat parquet read, never silently serve
+        // only the staged rows (ADVICE r15 low #4); the staged dir and
+        // generation subtrees stay optional (they appear lazily).
+        require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          branchRoots.get.head.stripPrefix("file:"))),
+          s"base snapshot of branch '${branch.getOrElse("")}' of " +
+            s"'$table' is missing (${branchRoots.get.head}) — it was " +
+            "swept by retention while the branch was open; drop the " +
+            "branch or restore the snapshot")
+        // each root is itself a (possibly multi-generation) leaf tree:
+        // one leg per (root, spec generation)
+        val gens =
+          if (multiGens.nonEmpty) multiGens
+          else Seq(graft.catalog.TableCatalog.SpecGen(
+            partCols.getOrElse(Seq.empty), genSpec, ""))
         new MultiGenScanBuilder(cat, table,
           declaredSchema.getOrElse(schema()),
-          branchRoots.get.map(r => (r,
-            graft.catalog.TableCatalog.SpecGen(
-              partCols.getOrElse(Seq.empty), genSpec, ""))),
+          branchRoots.get.flatMap(r => gens.map(sg =>
+            (if (sg.dir.isEmpty) r else s"$r/${sg.dir}", sg))),
           options)
+      }
       else if (multiGens.size > 1)
         // lazily-evolved: one inner scan per spec generation, each
         // pruned under its own layout, unioned at partition level.

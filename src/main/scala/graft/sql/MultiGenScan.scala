@@ -37,6 +37,13 @@ private[sql] final class MultiGenScanBuilder(
     legs: Seq[(String, TableCatalog.SpecGen)],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
+    // NOTE (ADVICE r15 low #5): SupportsPushDownCatalystFilters is a
+    // Spark-INTERNAL trait (org.apache.spark.sql.internal.connector) —
+    // the only seam FileScanBuilder receives partition filters through,
+    // since the public V2 Predicate interface never reaches the inner
+    // builders' partition-pruning path. Version-fragile by nature: on
+    // every Spark upgrade, MultiGenPlanSpec's pruning assertions are
+    // the tripwire that this trait still binds.
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.filter.Predicate

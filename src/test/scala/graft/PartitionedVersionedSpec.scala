@@ -523,17 +523,32 @@ class PartitionedVersionedSpec extends AnyFunSuite with SparkTestSession {
       Seq(2L, 4L))
     assert(cat.readVersion("le", vPre).count() === 4L,
       "time travel must keep the pre-delete multi-generation state")
-    // tuple-addressed verbs that take EXPLICIT tuples still refuse (a
-    // caller's tuples are in one spec's arity); branches too
-    val e2 = intercept[IllegalArgumentException](
-      cat.appendToBranch("le", "wap",
-        Seq((9L, 90L, 2020, 9)).toDF("k", "v", "y", "m")))
-    assert(e2.getMessage.contains("compactGenerationsVersioned"),
-      e2.getMessage)
-    val e3 = intercept[IllegalArgumentException](
-      cat.dropPartitionsVersioned("le", Seq(Seq(Some("2020")))))
-    assert(e3.getMessage.contains("compactGenerationsVersioned"),
-      e3.getMessage)
+    // tuple-addressed verbs route PER GENERATION too (r16): explicit
+    // tuples address the CURRENT spec; matching rows purge from every
+    // generation under its own layout, all as ONE snapshot commit.
+    // k=2 (y=2021, m=2) lives in gen0's y=2021 leaf (m re-derived),
+    // k=4 (y=2020, m=4) in _g1's y=2020/m=4 leaf.
+    val vd0 = cat.currentVersion("le").get
+    cat.dropPartitionsVersioned("le",
+      Seq(Seq(Some("2020"), Some("4")), Seq(Some("2021"), Some("2"))))
+    assert(cat.currentVersion("le") === Some(vd0 + 1L),
+      "cross-generation drop must land as ONE commit")
+    assert(cat.read("le").count() === 0L)
+    assert(cat.readVersion("le", vd0).count() === 2L,
+      "time travel keeps the pre-drop multi-generation state")
+    // branch staging + publish on the multi-generation tree: staged
+    // rows land in the current generation's subtree, the audit reads
+    // base ∪ staged, publish carries the prefixed leaf paths through
+    cat.appendToBranch("le", "wap",
+      Seq((9L, 90L, 2020, 9)).toDF("k", "v", "y", "m"))
+    assert(cat.readBranch("le", "wap").select("k").as[Long].collect()
+      .toSeq === Seq(9L))
+    assert(spark.sql(s"SELECT k FROM $g.`le@wap`").as[Long]
+      .collect().toSeq === Seq(9L),
+      "SQL audit of a multi-generation pv branch")
+    cat.publishBranch("le", "wap")
+    assert(cat.read("le").select("k").as[Long].collect().toSeq ===
+      Seq(9L))
     // RESTORE to the pre-evolution snapshot still works (links its tree)
     val vr = cat.restore("le", 2L)
     assert(cat.read("le").count() === 2L)

@@ -1,0 +1,255 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** r16 — MULTI-GENERATION pv verbs (VERDICT r15 next #1) and the
+  * crash-ordered generation compaction (ADVICE r15 medium): explicit
+  * tuple overwrite/drop, per-leaf OPTIMIZE and branch staging all
+  * route per spec generation, and the collapse intent (`collapseAt` +
+  * provenance UUID in the sidecar) keeps every crash state between
+  * the compaction's pointer flip and its finalize sidecar readable
+  * under the spec each snapshot was written with. */
+class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private var seq = 0
+  private def freshSqlCat(): (TableCatalog, String) = {
+    val root = Files.createTempDirectory("pvmg").toString
+    seq += 1
+    val name = s"gmg$seq"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    (new TableCatalog(spark, root), name)
+  }
+
+  /** A 2-generation pv table: gen0 partitioned by y holding
+    * (1,2020,1) and (2,2021,2); `_g1` partitioned by (y,m) holding
+    * (3,2021,3) and (4,2020,4). */
+  private def twoGen(cat: TableCatalog, t: String): Unit = {
+    cat.createPartitionedVersioned(t,
+      Seq((0L, 0L, 0, 0)).toDF("k", "v", "y", "m").schema, Seq("y"))
+    cat.appendPartitionedVersioned(t,
+      Seq((1L, 10L, 2020, 1), (2L, 20L, 2021, 2)).toDF("k", "v", "y", "m"))
+    cat.repartitionTableLazy(t,
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.appendPartitionedVersioned(t,
+      Seq((3L, 30L, 2021, 3), (4L, 40L, 2020, 4)).toDF("k", "v", "y", "m"))
+  }
+
+  test("explicit-tuple OVERWRITE routes per generation: replacement " +
+      "rows land in the current generation, old-generation leaves " +
+      "purge matches and keep survivors, ONE commit") {
+    val (cat, _) = freshSqlCat()
+    twoGen(cat, "ow")
+    val v0 = cat.currentVersion("ow").get
+    // tuple (y=2021, m=2) holds k=2 — which lives in gen0's y=2021
+    // leaf; replace it with k=20
+    val v1 = cat.overwritePartitionTuplesVersioned("ow",
+      Seq((20L, 200L, 2021, 2)).toDF("k", "v", "y", "m"),
+      Seq(Seq(Some("2021"), Some("2"))), v0)
+    assert(v1 === v0 + 1L, "one snapshot commit")
+    assert(cat.read("ow").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 4L, 20L))
+    // the replacement landed in the CURRENT generation's subtree
+    assert(Files.exists(Paths.get(cat.path("ow"), s"_v$v1", "_g1",
+      "y=2021", "m=2")), "replacement rows route into _g1")
+    // gen0's y=2021 leaf was rewritten WITHOUT k=2 — but nothing else
+    // in gen0 moved (y=2020 leaf carried by link)
+    assert(cat.readVersion("ow", v0).select("k").as[Long].collect()
+      .sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+      "time travel keeps the pre-overwrite state")
+    // a second overwrite claiming a tuple with matches in BOTH
+    // generations: (y=2020, m=1) → k=1 in gen0, (y=2020, m=4) → k=4
+    // in _g1, replaced by one new row each
+    val v2 = cat.overwritePartitionTuplesVersioned("ow",
+      Seq((100L, 1L, 2020, 1), (400L, 4L, 2020, 4))
+        .toDF("k", "v", "y", "m"),
+      Seq(Seq(Some("2020"), Some("1")), Seq(Some("2020"), Some("4"))), v1)
+    assert(cat.read("ow").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(3L, 20L, 100L, 400L))
+    assert(cat.currentVersion("ow") === Some(v2))
+  }
+
+  test("INSERT OVERWRITE (replacePartitionedVersioned) on a " +
+      "multi-generation table lands everything under the current spec") {
+    val (cat, g) = freshSqlCat()
+    twoGen(cat, "rp")
+    val v = cat.replacePartitionedVersioned("rp",
+      Seq((7L, 70L, 2022, 7)).toDF("k", "v", "y", "m"))
+    assert(cat.read("rp").select("k").as[Long].collect().toSeq === Seq(7L))
+    assert(Files.exists(Paths.get(cat.path("rp"), s"_v$v", "_g1",
+      "y=2022", "m=7")), "REPLACE routes into the current generation")
+    assert(spark.sql(s"SELECT k FROM $g.rp").as[Long].collect().toSeq ===
+      Seq(7L))
+  }
+
+  test("OPTIMIZE (compactPartitionsVersioned) is generation-local: " +
+      "each leaf compacts under its own generation's data schema, " +
+      "rows unchanged") {
+    val (cat, _) = freshSqlCat()
+    twoGen(cat, "op")
+    // force several files per leaf: extra appends into both layouts
+    cat.appendPartitionedVersioned("op",
+      Seq((5L, 50L, 2020, 1), (6L, 60L, 2021, 3)).toDF("k", "v", "y", "m"))
+    cat.appendPartitionedVersioned("op",
+      Seq((7L, 70L, 2020, 1), (8L, 80L, 2021, 3)).toDF("k", "v", "y", "m"))
+    val before = cat.read("op").orderBy("k").collect().toSeq
+    val report = cat.compactPartitionsVersioned("op", minFiles = 2)
+    assert(report.nonEmpty, "some leaf must have compacted")
+    assert(report.exists(_._1.startsWith("_g1/")),
+      s"a _g1 leaf must be in the report: $report")
+    assert(report.forall { case (_, b, a) => a < b },
+      s"every compacted leaf must shrink its file count: $report")
+    assert(cat.read("op").orderBy("k").collect().toSeq === before,
+      "OPTIMIZE must not change rows")
+  }
+
+  test("generation compaction is crash-ordered: a committed-but-" +
+      "unfinalized collapse intent serves the collapsed view, heals " +
+      "on the next maintenance verb; a STALE (pre-commit) intent " +
+      "stays inert even when the version line reaches it") {
+    val (cat, g) = freshSqlCat()
+    twoGen(cat, "cc")
+    val specFile = Paths.get(cat.path("cc"), "_partspec.json")
+    val multiGenSpec = new String(Files.readAllBytes(specFile), UTF_8)
+    val v = cat.compactGenerationsVersioned("cc")
+    assert(cat.specGenerations("cc").size === 1)
+    // recover the compaction commit's provenance UUID from history
+    val histDir = Paths.get(cat.path("cc"), "_history")
+    import scala.jdk.CollectionConverters._
+    val pubs = {
+      val s = Files.list(histDir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap(p => new String(Files.readAllBytes(p), UTF_8)
+          .linesIterator)
+        .flatMap { l =>
+          val m = """"version":(\d+).*?"pub":"([^"]+)"""".r
+            .findFirstMatchIn(l)
+          m.map(x => x.group(1).toLong -> x.group(2))
+        }.toMap
+      finally s.close()
+    }
+    val pub = pubs(v)
+    assert(pub.startsWith("gc-"), s"compaction commit must stamp: $pubs")
+    // SIMULATE the crash window: the finalize sidecar never landed —
+    // the sidecar still holds the full generation list + the intent
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(multiGenSpec)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("collapseAt", v)
+    node.put("collapsePub", pub)
+    val tmp = Files.createTempFile(Paths.get(cat.path("cc")), "_tmp_", "")
+    Files.write(tmp, om.writeValueAsString(node).getBytes(UTF_8))
+    Files.move(tmp, specFile, StandardCopyOption.REPLACE_EXISTING)
+    val cat2 = new TableCatalog(spark, Paths.get(cat.path("cc"))
+      .getParent.toString) // fresh catalog: no warm spec cache
+    assert(cat2.specGenerations("cc").size === 1,
+      "committed intent ⇒ the HEAD view is the collapsed generation")
+    assert(cat2.specGenerationsAt("cc", v - 1L).size === 2,
+      "pre-collapse snapshots keep their multi-generation description")
+    assert(cat2.read("cc").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L), "reads are correct in the crash window")
+    assert(spark.sql(s"SELECT count(*) FROM $g.cc").head().getLong(0) ===
+      4L)
+    // the next maintenance verb heals: plain single-gen sidecar
+    cat2.compactGenerationsVersioned("cc")
+    val healed = new String(Files.readAllBytes(specFile), UTF_8)
+    assert(!healed.contains("collapseAt"),
+      s"heal must land the finalize sidecar: $healed")
+    assert(cat2.read("cc").count() === 4L)
+
+    // STALE intent: a pre-commit crash left collapseAt pointing at a
+    // version a later unrelated commit will take — the provenance
+    // gate must keep the multi-generation view
+    val (cat3, _) = freshSqlCat()
+    twoGen(cat3, "st")
+    val cur = cat3.currentVersion("st").get
+    val spec3 = Paths.get(cat3.path("st"), "_partspec.json")
+    val raw3 = new String(Files.readAllBytes(spec3), UTF_8)
+    val n3 = om.readTree(raw3)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n3.put("collapseAt", cur + 1L)
+    n3.put("collapsePub", "gc-dead-attempt")
+    val tmp3 = Files.createTempFile(Paths.get(cat3.path("st")), "_t", "")
+    Files.write(tmp3, om.writeValueAsString(n3).getBytes(UTF_8))
+    Files.move(tmp3, spec3, StandardCopyOption.REPLACE_EXISTING)
+    val root3 = Paths.get(cat3.path("st")).getParent.toString
+    val cat3b = new TableCatalog(spark, root3)
+    // an unrelated append takes version cur+1
+    cat3b.appendPartitionedVersioned("st",
+      Seq((9L, 90L, 2022, 9)).toDF("k", "v", "y", "m"))
+    assert(cat3b.currentVersion("st") === Some(cur + 1L))
+    assert(cat3b.specGenerations("st").size === 2,
+      "a foreign commit at the intent version must NOT flip the view")
+    assert(cat3b.read("st").select("k").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 9L))
+    // re-running the compaction converges and clears the stale intent
+    cat3b.compactGenerationsVersioned("st")
+    assert(cat3b.specGenerations("st").size === 1)
+    assert(!new String(Files.readAllBytes(spec3), UTF_8)
+      .contains("collapseAt"))
+    assert(cat3b.read("st").count() === 5L)
+  }
+
+  test("eager spec evolution on a pv table (repartitionTableTransformed)" +
+      " = lazy evolve + generation compaction, history preserved") {
+    val (cat, g) = freshSqlCat()
+    cat.createPartitionedVersioned("ev",
+      Seq((0L, 0L, 0, 0)).toDF("k", "v", "y", "m").schema, Seq("y"))
+    cat.appendPartitionedVersioned("ev",
+      Seq((1L, 10L, 2020, 1), (2L, 20L, 2021, 2)).toDF("k", "v", "y", "m"))
+    cat.repartitionTable("ev", Seq("y", "m"))
+    assert(cat.specGenerations("ev").size === 1)
+    assert(cat.specGenerations("ev").head.partCols === Seq("y", "m"))
+    val v = cat.currentVersion("ev").get
+    assert(Files.exists(Paths.get(cat.path("ev"), s"_v$v",
+      "y=2021", "m=2")), "rows rewrite under the new spec at root")
+    assert(cat.read("ev").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+    assert(spark.sql(s"SELECT k FROM $g.ev WHERE y=2020 AND m=1")
+      .as[Long].collect().toSeq === Seq(1L))
+    // history survived: the REPARTITION commit is one more version
+    assert(cat.history("ev").count() >= 3L)
+    // DML works immediately after
+    cat.dropPartitionsVersioned("ev", Seq(Seq(Some("2020"), Some("1"))))
+    assert(cat.read("ev").select("k").as[Long].collect().toSeq === Seq(2L))
+    // same-spec call is a no-op
+    val vSame = cat.currentVersion("ev").get
+    cat.repartitionTable("ev", Seq("y", "m"))
+    assert(cat.currentVersion("ev") === Some(vSame))
+  }
+
+  test("exactly-once pv batch replay ignores an ORPHAN history stamp " +
+      "whose commit never landed (ADVICE r15 high)") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("rb",
+      Seq((0L, 0L, "x")).toDF("k", "v", "dt").schema, Seq("dt"))
+    cat.appendPartitionedVersionedBatch("rb",
+      Seq((1L, 10L, "2024-01-01")).toDF("k", "v", "dt"), 0L, "tok")
+    val cur = cat.currentVersion("rb").get
+    // SIMULATE the crash: a history entry for batch 1 stamped at
+    // version cur+1 exists, but the pointer rename never happened —
+    // the batch's rows are NOT in any committed snapshot
+    val orphan = s"""{"version":${cur + 1L},"tsMillis":${0L},""" +
+      s""""op":"APPEND","files":1,"bytes":1,"pub":"sb-tok-1"}"""
+    Files.write(Paths.get(cat.path("rb"), "_history",
+      f"h${cur + 1L}%012d-orphan.json"), orphan.getBytes(UTF_8))
+    // the replayed batch must COMMIT (an orphan stamp is not proof)
+    val v = cat.appendPartitionedVersionedBatch("rb",
+      Seq((2L, 20L, "2024-01-02")).toDF("k", "v", "dt"), 1L, "tok")
+    assert(v === cur + 1L, "the replay must land the batch")
+    assert(cat.read("rb").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L), "the batch's rows must exist — an orphan stamp " +
+        "must never swallow a batch")
+    // and now that it IS committed, a true replay no-ops
+    cat.appendPartitionedVersionedBatch("rb",
+      Seq((2L, 20L, "2024-01-02")).toDF("k", "v", "dt"), 1L, "tok")
+    assert(cat.read("rb").count() === 2L)
+  }
+}
