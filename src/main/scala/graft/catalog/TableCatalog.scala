@@ -2877,9 +2877,36 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
           s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
       // base snapshot ∪ the staged leaf tree, both under the declared
-      // spec schema — the pv would-be state (append mode only)
-      return readPartVersionedAt(table, meta.base).unionByName(
-        readLeafTreeAt(table, branchDataDir(table, name, meta.epoch)))
+      // spec schema — the pv would-be state. A REPLACE-mode branch
+      // excludes its claimed partitions from the base first: the
+      // staged tree IS those partitions' would-be content.
+      val dir = branchDataDir(table, name, meta.epoch)
+      val base0 = readPartVersionedAt(table, meta.base)
+      val base =
+        if (meta.mode != "replace") base0
+        else {
+          import org.apache.spark.sql.functions.{col, lit, coalesce}
+          val claims = readBranchClaims(dir)
+          if (claims.isEmpty) base0
+          else {
+            val (pcols, _) = partitionSpec(table).getOrElse(
+              throw new IllegalStateException(
+                s"'$table' lost its partition spec"))
+            val gen = partitionGen(table)
+            val pcs = pcols.map { c =>
+              gen.find(_.name == c) match {
+                case Some(g) => TableCatalog
+                  .genExpr(g, base0.schema(g.src).dataType).cast("string")
+                case None => col(c).cast("string")
+              }
+            }
+            val claimed = claims.map(t => pcs.zip(t).map { case (pc, v) =>
+              v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _))
+              .reduce(_ || _)
+            base0.filter(!coalesce(claimed, lit(false)))
+          }
+        }
+      return base.unionByName(readLeafTreeAt(table, dir))
     }
     val (paths, sch) = branchReadParts(table, name).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
@@ -3019,12 +3046,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           wouldBe.schema)
       staged.withColumn("change_type", lit("add"))
     } else {
-      val baseSch = resolveSchema(table, meta.base)
-      val baseRaw = baseSch match {
-        case Some(b) =>
-          spark.read.schema(b).parquet(snapDir(table, meta.base).toString)
-        case None => spark.read.parquet(snapDir(table, meta.base).toString)
-      }
+      val baseRaw =
+        // a pv base snapshot is a Hive leaf tree — read it under the
+        // declared spec (identity partition values from dir names),
+        // never by flat footer discovery
+        if (partitionSpecVersioned(table))
+          readPartVersionedAt(table, meta.base)
+        else resolveSchema(table, meta.base) match {
+          case Some(b) =>
+            spark.read.schema(b).parquet(snapDir(table, meta.base).toString)
+          case None => spark.read.parquet(snapDir(table, meta.base).toString)
+        }
       val aligned = baseRaw.select(wouldBe.schema.fields.map(f =>
         if (baseRaw.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
@@ -3361,9 +3393,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val meta = branchMeta(table, name).getOrElse(
         throw new IllegalArgumentException(s"no branch '$name' on '$table' " +
           s"(branches: ${branches(table).keys.toSeq.sorted.mkString(", ")})"))
-      require(meta.mode == "append",
+      require(meta.mode == "append" || meta.mode == "replace",
         s"branch '$name' of partitioned versioned '$table' is " +
-          s"${meta.mode}-mode — pv branches publish append-only")
+          s"${meta.mode}-mode — pv branches publish append or replace")
       val dir = branchDataDir(table, name, meta.epoch)
       // the audit, unlocked, against the CURRENT constraint set
       val cons0 = constraintsOf(table)
@@ -3402,10 +3434,18 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           case Some(_) =>
             val hasDataL = Files.exists(dir) &&
               listParquetUrisAt(dir).nonEmpty
-            if (!hasDataL) { consumeBranchLocked(table, name, dir); Some(cur) }
+            // a replace-mode branch's CLAIMS are work even with zero
+            // staged rows (a partition DROP under audit)
+            val claims =
+              if (meta.mode == "replace") readBranchClaims(dir)
+              else Seq.empty
+            if (!hasDataL && claims.isEmpty) {
+              consumeBranchLocked(table, name, dir); Some(cur)
+            }
             else if (constraintsOf(table) != cons0 && !last) None // re-audit
             else {
-              if (constraintsOf(table) != cons0) // degrade: audit under lock
+              if (hasDataL && constraintsOf(table) != cons0)
+                // degrade: audit under lock
                 enforced(table, readLeafTreeAt(table, dir)).count()
               // one WALK under the lock drives everything: the root
               // sidecars feed the publish high-water mark, the
@@ -3433,8 +3473,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               writeBranchPend(table, name,
                 BranchPend(cur + 1L, meta.epoch, pubId, marks, dataNames))
               afterPend()
+              // replace-mode: the claimed leaves do NOT carry into the
+              // next snapshot — the branch's staged tree replaces them
+              // (a claim with no staged rows drops the partition)
+              val skipRels = claims.map(t =>
+                partitionSpec(table).get._1.zip(t).map { case (c, v) =>
+                  val dn = v.fold(org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+                    org.apache.spark.sql.catalyst.catalog
+                      .ExternalCatalogUtils.escapePathName)
+                  s"$c=$dn"
+                }.mkString("/"))
               val v = commitPartVersionedLocked(table, cur, "PUBLISH",
-                skip = Seq.empty, scratch = None, linkAdopt = Some(dir),
+                skip = skipRels, scratch = None, linkAdopt = Some(dir),
                 pub = pubId)
               afterCommit()
               // record, consume, THEN drop the intent — the flat

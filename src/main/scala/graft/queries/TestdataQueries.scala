@@ -5112,14 +5112,45 @@ object TestdataQueries {
       require(cat.currentVersion("pv").contains(3L) &&
         headLeafFiles() == before,
         "a dropped branch must leave the head byte-identical")
-      // result: per-date head state + published insert counts
+      // REPLACE leg (r16 verdict next #3): GDPR-excise okey%5==0 from
+      // the y1 partition UNDER AUDIT — stage the rewritten partition
+      // on a replace-mode branch, audit the would-be state, publish
+      // the partition swap as one commit, CDC classifies the replace
+      val headN = baseN + stagedN
+      val y1head = s.sql(
+        s"SELECT count(*) FROM $cname.pv WHERE dt = '$y1'")
+        .head().getLong(0)
+      val survivors = cat.read("pv")
+        .filter(col("dt") === y1 && pmod(col("okey"), lit(5)) =!= 0)
+      val survN = survivors.count()
+      cat.replacePartitionsOnBranch("pv", "gdpr", survivors)
+      require(s.sql(s"SELECT count(*) FROM $cname.pv").head().getLong(0)
+        == headN, "main must be untouched by replace staging")
+      require(s.sql(s"SELECT count(*) FROM $cname.`pv@gdpr` " +
+        s"WHERE dt = '$y1'").head().getLong(0) == survN,
+        "the SQL audit must serve the rewritten partition")
+      require(cat.auditBranch("pv", "gdpr") == headN - y1head + survN,
+        "the branch view is base minus the claimed leaf plus staged")
+      val vR = cat.publishBranch("pv", "gdpr")
+      require(cat.branches("pv").isEmpty,
+        "publish must consume the replace branch")
+      // the KEYED feed nets the unchanged survivors out: the excised
+      // rows classify as pure deletes and nothing else survives
+      val feedR = cat.changesBetween("pv", vR - 1L, vR, Seq("okey"))
+      require(feedR.filter(col("change_type") === "delete").count()
+        == y1head - survN &&
+        feedR.filter(col("change_type") =!= "delete").count() == 0L,
+        "the keyed replace feed must be exactly the excised deletes")
+      // result: per-date head state + published insert/replace counts
       val headAgg = s.sql(s"SELECT dt, CAST(count(*) AS BIGINT) AS n_now, " +
         s"sum(price_c) AS sum_now_c FROM $cname.pv GROUP BY dt")
       val pubAgg = feed.groupBy("dt")
         .agg(count(lit(1)).cast("long").as("n_pub"))
       headAgg.join(pubAgg, Seq("dt"), "left")
         .select(col("dt"), col("n_now"), col("sum_now_c"),
-          coalesce(col("n_pub"), lit(0L)).as("n_pub"))
+          coalesce(col("n_pub"), lit(0L)).as("n_pub"),
+          when(col("dt") === y1, lit(survN)).otherwise(lit(0L))
+            .cast("long").as("n_repl"))
     }),
       Some("""WITH pre AS (SELECT o_orderkey AS okey,
              |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
@@ -5127,16 +5158,24 @@ object TestdataQueries {
              |head AS (SELECT * FROM pre WHERE okey % 3 <> 0
              |  OR dt IN ((SELECT min(dt) FROM pre),
              |            (SELECT max(dt) FROM pre))),
+             |head2 AS (SELECT * FROM head
+             |  WHERE NOT (dt = (SELECT min(dt) FROM pre)
+             |             AND okey % 5 = 0)),
              |pub AS (SELECT dt, CAST(count(*) AS BIGINT) AS n_pub
              |  FROM pre WHERE okey % 3 = 0
              |  AND dt IN ((SELECT min(dt) FROM pre),
-             |             (SELECT max(dt) FROM pre)) GROUP BY dt)
+             |             (SELECT max(dt) FROM pre)) GROUP BY dt),
+             |repl AS (SELECT dt, CAST(count(*) AS BIGINT) AS n_repl
+             |  FROM head WHERE dt = (SELECT min(dt) FROM pre)
+             |  AND okey % 5 <> 0 GROUP BY dt)
              |SELECT h.dt AS dt, h.n_now, h.sum_now_c,
-             |  COALESCE(p.n_pub, 0) AS n_pub
+             |  COALESCE(p.n_pub, 0) AS n_pub,
+             |  COALESCE(r.n_repl, 0) AS n_repl
              |FROM (SELECT dt, CAST(count(*) AS BIGINT) AS n_now,
              |    CAST(sum(price_c) AS BIGINT) AS sum_now_c
-             |  FROM head GROUP BY dt) h
-             |LEFT JOIN pub p ON h.dt = p.dt""".stripMargin)),
+             |  FROM head2 GROUP BY dt) h
+             |LEFT JOIN pub p ON h.dt = p.dt
+             |LEFT JOIN repl r ON h.dt = r.dt""".stripMargin)),
 
     // ------------------- LAZY partition-spec evolution (r13 verdict #2)
     // The Iceberg rule: evolving a spec moves ZERO data — old files

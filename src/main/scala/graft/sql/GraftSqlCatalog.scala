@@ -205,7 +205,9 @@ class GraftSqlCatalog extends DsV2TableCatalog
           partCols = Some(pcols), genSpec = gen,
           declaredSchema = Some(declared),
           multiGens = cat.specGenerations(t),
-          branchRoots = Some(paths))
+          branchRoots = Some(paths),
+          branchClaims = cat.branchReplaceClaimsPv(t, br)
+            .getOrElse(Seq.empty))
       }
       val parts = cat.branchReadParts(t, br).orElse {
         // an un-created branch resolves for the WRITE half only —
@@ -512,6 +514,42 @@ object GraftSqlCatalog {
   private[sql] def genType(g: graft.catalog.TableCatalog.GenCol)
       : org.apache.spark.sql.types.DataType =
     graft.catalog.TableCatalog.genDataType(g)
+
+  /** NOT(claimed-tuple ∨ …) as a catalyst expression over a spec's
+    * partition columns — the base-tree exclusion of a REPLACE-mode pv
+    * branch read. Every referenced column is a partition column (the
+    * staging verb requires a single-generation spec), so the inner
+    * file scan consumes this as a pure partition filter: exact
+    * plan-time directory pruning, never a row-group heuristic. */
+  private[sql] def claimsExclusionExpr(pcols: Seq[String],
+      gen: Seq[graft.catalog.TableCatalog.GenCol],
+      declared: StructType, claims: Seq[Seq[Option[String]]])
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    if (claims.isEmpty) return None
+    val tz = Some(SparkSession.active.sessionState.conf
+      .sessionLocalTimeZone)
+    def attrOf(c: String): AttributeReference = {
+      val dt = gen.find(_.name == c).map(genType)
+        .getOrElse(declared(c).dataType)
+      AttributeReference(c, dt, nullable = true)()
+    }
+    val one = claims.map { t =>
+      pcols.zip(t).map { case (c, v) =>
+        val a = attrOf(c)
+        v match {
+          case Some(x) if a.dataType ==
+              org.apache.spark.sql.types.StringType =>
+            EqualTo(a, Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(x), a.dataType)): Expression
+          case Some(x) =>
+            EqualTo(a, Cast(Literal(x), a.dataType, tz)): Expression
+          case None => IsNull(a): Expression
+        }
+      }.reduce[Expression](And(_, _))
+    }.reduce[Expression](Or(_, _))
+    Some(Not(one))
+  }
 
   /** Scan builder for HIDDEN (transform) partitioning: leaf-prunes the
     * served paths from pushed predicates on the SOURCE column — the
@@ -1127,7 +1165,8 @@ object GraftSqlCatalog {
       partVersioned: Boolean = false, scanRoot: Option[String] = None,
       declaredSchema: Option[StructType] = None,
       multiGens: Seq[graft.catalog.TableCatalog.SpecGen] = Seq.empty,
-      branchRoots: Option[Seq[String]] = None)
+      branchRoots: Option[Seq[String]] = None,
+      branchClaims: Seq[Seq[Option[String]]] = Seq.empty)
       extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     private val genNames = genSpec.map(_.name).toSet
@@ -1246,15 +1285,25 @@ object GraftSqlCatalog {
             "swept by retention while the branch was open; drop the " +
             "branch or restore the snapshot")
         // each root is itself a (possibly multi-generation) leaf tree:
-        // one leg per (root, spec generation)
+        // one leg per (root, spec generation). A REPLACE-mode branch
+        // excludes its claimed partitions from the BASE root's legs —
+        // the exclusion is a pure partition predicate under the
+        // (single) spec, so the inner scan prunes the claimed leaf
+        // dirs exactly at plan time; the staged root serves their
+        // would-be content.
         val gens =
           if (multiGens.nonEmpty) multiGens
           else Seq(graft.catalog.TableCatalog.SpecGen(
             partCols.getOrElse(Seq.empty), genSpec, ""))
+        val baseRoot = branchRoots.get.head
+        val exclusion = GraftSqlCatalog.claimsExclusionExpr(
+          partCols.getOrElse(Seq.empty), genSpec,
+          declaredSchema.getOrElse(schema()), branchClaims)
         new MultiGenScanBuilder(cat, table,
           declaredSchema.getOrElse(schema()),
           branchRoots.get.flatMap(r => gens.map(sg =>
-            (if (sg.dir.isEmpty) r else s"$r/${sg.dir}", sg))),
+            (if (sg.dir.isEmpty) r else s"$r/${sg.dir}", sg,
+              if (r == baseRoot) exclusion.toSeq else Seq.empty))),
           options)
       }
       else if (multiGens.size > 1)

@@ -34,7 +34,8 @@ import graft.catalog.TableCatalog
   *    compaction verb collapses. */
 private[sql] final class MultiGenScanBuilder(
     cat: TableCatalog, table: String, declared: StructType,
-    legs: Seq[(String, TableCatalog.SpecGen)],
+    legs: Seq[(String, TableCatalog.SpecGen,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression])],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     // NOTE (ADVICE r15 low #5): SupportsPushDownCatalystFilters is a
@@ -55,7 +56,8 @@ private[sql] final class MultiGenScanBuilder(
       options: CaseInsensitiveStringMap) =
     this(cat, table, declared,
       gens.map(sg => (if (sg.dir.isEmpty) root else s"$root/${sg.dir}",
-        sg)), options)
+        sg, Seq.empty[org.apache.spark.sql.catalyst.expressions
+          .Expression])), options)
 
   private var catalystFilters
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
@@ -88,10 +90,10 @@ private[sql] final class MultiGenScanBuilder(
     // create their `_g<k>` dirs eagerly, but a pv SNAPSHOT only grows
     // a generation's subtree at its first post-evolution append —
     // pre-evolution snapshots (time travel) simply lack the dir
-    val inners = legs.filter { case (dir, _) =>
+    val inners = legs.filter { case (dir, _, _) =>
       java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir.stripPrefix("file:")))
-    }.map { case (genDir, sg) =>
+    }.map { case (genDir, sg, extra) =>
       val full = StructType(declared.fields ++ sg.gen.map(g =>
         org.apache.spark.sql.types.StructField(g.name,
           TableCatalog.genDataType(g), nullable = true)))
@@ -106,8 +108,13 @@ private[sql] final class MultiGenScanBuilder(
             .SupportsPushDownCatalystFilters =>
           // the inner splits partition vs data filters under ITS spec;
           // partition filters bind to directory values BY NAME, so the
-          // outer plan's attributes resolve regardless of expr ids
-          f.pushFilters(catalystFilters); ()
+          // outer plan's attributes resolve regardless of expr ids.
+          // `extra` carries leg-LOCAL filters the caller guarantees are
+          // pure partition predicates (a replace-mode branch's
+          // claimed-leaf exclusion on the base tree) — exact at plan
+          // time because every referenced column is a partition column
+          // of this leg's spec.
+          f.pushFilters(catalystFilters ++ extra); ()
         case _ => ()
       }
       b match {

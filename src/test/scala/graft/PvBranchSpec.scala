@@ -342,8 +342,8 @@ class PvBranchSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("f").count() === 7L)
   }
 
-  test("pv branches refuse the flat repair verbs and SQL loudly; " +
-      "replace-mode never exists on the leaf-tree layout") {
+  test("pv branches refuse the flat repair verbs and SQL loudly " +
+      "(partition-scoped replace has its own verb)") {
     val cat = freshCat()
     pvTable(cat)
     cat.appendToBranch("f", "wap", fact("2024-01-02", 10 until 12))
@@ -364,5 +364,148 @@ class PvBranchSpec extends AnyFunSuite with SparkTestSession {
         mergeSchema = true))
     assert(e4.getMessage.contains("mergeSchema"))
     cat.dropBranch("f", "wap")
+  }
+
+  // ---------------- REPLACE-mode pv branches (r16 verdict next #3):
+  // partition REWRITE under audit — the GDPR-delete / repriced-
+  // backfill / compaction-under-audit loop WAP could not express.
+
+  test("replace-mode pv branch: a claimed partition reads REPLACED on " +
+      "the branch (Scala and SQL, base leaves pruned), main untouched; " +
+      "publish swaps the claimed leaves as ONE commit with CDC") {
+    val root = Files.createTempDirectory("pvbrrp").toString
+    val g = "gpvrp1"
+    spark.conf.set(s"spark.sql.catalog.$g",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    val cat = new TableCatalog(spark, root)
+    pvTable(cat)                                   // 2024-01-01: k=0..4
+    cat.appendPartitionedVersioned("f", fact("2024-01-02", 10 until 14))
+    // GDPR-delete under audit: rewrite 2024-01-01 WITHOUT k<2
+    val base = cat.replacePartitionsOnBranch("f", "gdpr",
+      fact("2024-01-01", 2 until 5))
+    assert(base === cat.currentVersion("f").get)
+    assert(cat.read("f").count() === 9L, "main untouched until publish")
+    val br = cat.readBranch("f", "gdpr")
+    assert(br.count() === 7L)
+    assert(br.filter($"dt" === "2024-01-01").select("k").as[Long]
+      .collect().sorted.toSeq === Seq(2L, 3L, 4L),
+      "the claimed partition reads as its staged replacement")
+    assert(br.filter($"dt" === "2024-01-02").count() === 4L,
+      "unclaimed partitions read from base")
+    // SQL audit agrees, and the base's claimed leaf is PRUNED from the
+    // plan (the exclusion is a partition filter, not a row filter)
+    val sqlBr = spark.sql(s"SELECT k FROM $g.`f@gdpr` " +
+      "WHERE dt = '2024-01-01' ORDER BY k")
+    assert(sqlBr.as[Long].collect().toSeq === Seq(2L, 3L, 4L))
+    val audit = spark.sql(s"SELECT count(*) FROM $g.`f@gdpr`")
+    assert(audit.head().getLong(0) === 7L)
+    val baseLeafFiles = spark.sql(s"SELECT * FROM $g.`f@gdpr`")
+      .inputFiles.filter(_.contains(s"_v$base/dt=2024-01-01"))
+    assert(baseLeafFiles.isEmpty,
+      "the base's claimed leaf must not be scanned on the branch")
+    // diff = removes of the excised rows (k=0,1)
+    val d = cat.diffBranch("f", "gdpr")
+    assert(d.filter($"change_type" === "remove").select("k").as[Long]
+      .collect().sorted.toSeq === Seq(0L, 1L))
+    assert(d.filter($"change_type" === "add").count() === 0L)
+    // repair loop: re-staging the claimed partition SWAPS the staging
+    cat.replacePartitionsOnBranch("f", "gdpr",
+      fact("2024-01-01", 3 until 5))
+    assert(cat.readBranch("f", "gdpr").count() === 6L)
+    // publish: one commit; the claimed leaf swaps; CDC classifies
+    val vPre = cat.currentVersion("f").get
+    val v = cat.publishBranch("f", "gdpr")
+    assert(v === vPre + 1L)
+    assert(cat.read("f").filter($"dt" === "2024-01-01").select("k")
+      .as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+    assert(cat.read("f").count() === 6L)
+    assert(cat.branches("f").isEmpty, "publish consumes the branch")
+    val (ins, del, _, _) = cat.changedRowsBetween("f", vPre, v)
+    assert(del.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L, 3L, 4L),
+      "CDC sees the claimed leaf's old files removed")
+    assert(ins.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(3L, 4L), "…and the staged replacement added")
+    // time travel keeps the pre-publish state
+    assert(cat.readVersion("f", vPre).count() === 9L)
+  }
+
+  test("replace-mode pv branch: a claim with no staged rows is a " +
+      "partition DROP under audit; publish commits the drop") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendPartitionedVersioned("f", fact("2024-01-02", 10 until 13))
+    cat.replacePartitionsOnBranch("f", "ret",
+      fact("x", 0 until 0), // zero staged rows
+      dropParts = Seq(Seq(Some("2024-01-02"))))
+    assert(cat.readBranch("f", "ret").count() === 5L,
+      "the dropped partition must vanish from the branch view")
+    assert(cat.read("f").count() === 8L, "main untouched")
+    val v = cat.publishBranch("f", "ret")
+    assert(cat.read("f").count() === 5L)
+    assert(cat.read("f").filter($"dt" === "2024-01-02").count() === 0L)
+    assert(cat.readVersion("f", v - 1L).count() === 8L)
+    assert(cat.branches("f").isEmpty)
+  }
+
+  test("replace-mode pv publish crash windows: pre-commit loses " +
+      "nothing; post-commit recovery consumes without re-publishing") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendPartitionedVersioned("f", fact("2024-01-02", 10 until 13))
+    cat.replacePartitionsOnBranch("f", "bf",
+      fact("2024-01-02", 20 until 22))
+    // pre-commit crash: the intent is written, the commit never lands
+    intercept[RuntimeException](
+      cat.publishBranchHooked("f", "bf",
+        afterPend = () => throw new RuntimeException("crash-pre-commit"),
+        afterCommit = () => ()))
+    assert(cat.read("f").count() === 8L, "nothing published")
+    assert(cat.readBranch("f", "bf").count() === 7L,
+      "the staged replacement survives the crash")
+    // retry publishes exactly once
+    val v = cat.publishBranch("f", "bf")
+    assert(cat.read("f").filter($"dt" === "2024-01-02").select("k")
+      .as[Long].collect().sorted.toSeq === Seq(20L, 21L))
+    // post-commit crash on a SECOND replace publish: recovery folds
+    // and consumes, never doubles
+    cat.replacePartitionsOnBranch("f", "bf2",
+      fact("2024-01-02", 30 until 32))
+    intercept[RuntimeException](
+      cat.publishBranchHooked("f", "bf2",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("crash-post-commit")))
+    assert(cat.read("f").filter($"dt" === "2024-01-02").select("k")
+      .as[Long].collect().sorted.toSeq === Seq(30L, 31L),
+      "the commit landed before the crash")
+    val v2 = cat.currentVersion("f").get
+    cat.publishBranch("f", "bf2") // recovery path: consume, no re-publish
+    assert(cat.currentVersion("f") === Some(v2),
+      "recovery must not publish a second commit")
+    assert(cat.read("f").filter($"dt" === "2024-01-02").count() === 2L,
+      "rows must not double")
+    assert(cat.branches("f").isEmpty)
+    assert(v2 === v + 1L)
+  }
+
+  test("replace-mode and append-mode stagings refuse each other's " +
+      "branches; claims validate arity") {
+    val cat = freshCat()
+    pvTable(cat)
+    cat.appendToBranch("f", "wap", fact("2024-01-02", 10 until 12))
+    val e1 = intercept[IllegalArgumentException](
+      cat.replacePartitionsOnBranch("f", "wap",
+        fact("2024-01-01", 0 until 1)))
+    assert(e1.getMessage.contains("append-mode"), e1.getMessage)
+    cat.replacePartitionsOnBranch("f", "fix", fact("2024-01-01", 0 until 2))
+    val e2 = intercept[IllegalArgumentException](
+      cat.appendToBranch("f", "fix", fact("2024-01-03", 0 until 1)))
+    assert(e2.getMessage.contains("replace"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      cat.replacePartitionsOnBranch("f", "fix2", fact("x", 0 until 0),
+        dropParts = Seq(Seq(Some("a"), Some("b")))))
+    assert(e3.getMessage.contains("1 values"), e3.getMessage)
+    cat.dropBranch("f", "wap"); cat.dropBranch("f", "fix")
   }
 }
