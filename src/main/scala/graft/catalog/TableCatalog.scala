@@ -249,10 +249,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       currentVersion(table).exists(m.since <= _))
     val base = prev.map(_.ids).getOrElse(Map.empty[String, Int])
     var nid = prev.map(_.nextId).getOrElse(1)
-    val ids = schema.fieldNames.map { n =>
-      n -> base.getOrElse(n, { val i = nid; nid += 1; i })
+    // NESTED assignment (r16): every struct path draws an id, so the
+    // full rewrite stamps every depth and nested RENAME/DROP become
+    // provable. A literal dot in any field name would collide with
+    // the path grammar — such schemas keep top-level-only ids.
+    def anyDotted(st: StructType): Boolean = st.fields.exists(f =>
+      f.name.contains(".") || (f.dataType match {
+        case s: StructType => anyDotted(s)
+        case _ => false
+      }))
+    val dotted = anyDotted(schema)
+    val paths =
+      if (dotted) schema.fieldNames.toSeq
+      else TableCatalog.fieldPaths(schema)
+    val ids = paths.map { p =>
+      p -> base.getOrElse(p, { val i = nid; nid += 1; i })
     }.toMap
-    TableCatalog.IdMarker(next, nid, ids)
+    TableCatalog.IdMarker(next, nid, ids, nested = !dotted)
   }
 
   /** `df` with field-id metadata on every column the assignment names —
@@ -265,8 +278,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     import org.apache.spark.sql.functions.col
     val target = TableCatalog.stampIds(df.schema, ids)
     if (target == df.schema) df // nothing to stamp or strip
-    else df.select(target.fields.map(f =>
-      col(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    else df.select(target.fields.zip(df.schema.fields).map { case (f, o) =>
+      // NESTED ids live inside the struct TYPE (r16): a cast to the
+      // stamped type plants them (same field types — a per-field
+      // no-op); top-level ids stay column metadata via the alias
+      val base = if (f.dataType == o.dataType) col(f.name)
+        else col(f.name).cast(f.dataType)
+      base.as(f.name, f.metadata)
+    }.toIndexedSeq: _*)
   }
 
   /** [[stampDf]] with no assignment: strips inherited field ids. Every
@@ -283,7 +302,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     idMarker(table) match {
       case Some(m) if m.since <= cur =>
         var nid = m.nextId
-        val fresh = dfSchema.fieldNames.filterNot(m.ids.contains).map { n =>
+        // a NESTED-capable marker extends per struct path (new nested
+        // fields of an evolving append draw ids too); a pre-nested
+        // marker extends top-level names ONLY — handing nested ids to
+        // new files while the old files lack them would make an
+        // id-matched nested read silently null-fill the old rows
+        val names =
+          if (m.nested) TableCatalog.fieldPaths(dfSchema)
+          else dfSchema.fieldNames.toSeq
+        val fresh = names.filterNot(m.ids.contains).map { n =>
           n -> { val i = nid; nid += 1; i } }
         Some(m.copy(nextId = nid, ids = m.ids ++ fresh))
       case Some(_) =>
@@ -2346,8 +2373,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       mergeSchema: Boolean, mode: String): Option[BranchMeta] = {
     val meta = ensureBranch(table, name, df.schema, mode)
     val declared = StructType.fromDDL(meta.ddl)
-    val declTypes = declared.map(f => f.name -> f.dataType).toMap
-    val dfTypes = df.schema.map(f => f.name -> f.dataType).toMap
+    val declTypes = declared.map(f =>
+      f.name -> TableCatalog.cleanType(f.dataType)).toMap
+    val dfTypes = df.schema.map(f =>
+      f.name -> TableCatalog.cleanType(f.dataType)).toMap
     val conflicts = declTypes.keySet.intersect(dfTypes.keySet)
       .filter(k => declTypes(k) != dfTypes(k)).toSeq.sorted
     require(conflicts.isEmpty,
@@ -3139,8 +3168,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"branch '$name' of '$table' is churning — replace cannot land")
       val meta = ensureBranch(table, name, df.schema, "replace")
       val declared = StructType.fromDDL(meta.ddl)
-      require(declared.map(f => f.name -> f.dataType).toMap ==
-        df.schema.map(f => f.name -> f.dataType).toMap,
+      require(declared.map(f =>
+        f.name -> TableCatalog.cleanType(f.dataType)).toMap ==
+        df.schema.map(f =>
+          f.name -> TableCatalog.cleanType(f.dataType)).toMap,
         s"branch '$name' of '$table' is declared (${declared.fieldNames
           .sorted.mkString(",")}) but this replace has " +
           s"(${df.schema.fieldNames.sorted.mkString(",")}) — align the columns")
@@ -4221,6 +4252,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
     writePartSpecGen(table, pcols,
       StructType(declared.fields ++ fields), gen)
+  }
+
+  /** Nested ADD COLUMN for a PARTITIONED (spec-sidecar) table — one
+    * metadata write: the declared schema's struct widens, old files
+    * name-clip (the missing field null-fills), inserts must supply
+    * the new shape. Partitioned tables read by name (no field ids),
+    * so DROP/RENAME at struct depth stay refused here — this is the
+    * additive half only. */
+  def addNestedColumnPartitioned(table: String, parent: Seq[String],
+      field: org.apache.spark.sql.types.StructField): Unit = {
+    requireSingleGen(table, "nested ADD COLUMN")
+    require(parent.nonEmpty &&
+      parent.forall(c => c.nonEmpty && !c.contains(".")) &&
+      !field.name.contains("."),
+      "nested ADD path components must be non-empty and dot-free")
+    require(field.nullable,
+      s"ADD COLUMN ${(parent :+ field.name).mkString(".")} NOT NULL " +
+        "is impossible here: existing rows null-fill the new field")
+    val (pcols, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' has no partition spec — use addNestedColumn"))
+    val joined = (parent :+ field.name).mkString(".")
+    val evolved = TableCatalog.transformAt(declared, parent) { st =>
+      require(!st.fieldNames.contains(field.name),
+        s"'$joined' already exists in '$table'")
+      StructType(st.fields :+ field.copy(nullable = true))
+    }
+    writePartSpecGen(table, pcols, evolved, partitionGen(table))
   }
 
   /** Materialize `table`'s generated partition columns onto `df` (a
@@ -8321,8 +8380,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // mergeable — refuse loudly.
     val curSchema = resolveSchema(table, cur).getOrElse(
       spark.read.parquet(snapDir(table, cur).toString).schema)
-    val curTypes = curSchema.map(f => f.name -> f.dataType).toMap
-    val newTypes = dfSchema.map(f => f.name -> f.dataType).toMap
+    val curTypes = curSchema.map(f =>
+      f.name -> TableCatalog.cleanType(f.dataType)).toMap
+    val newTypes = dfSchema.map(f =>
+      f.name -> TableCatalog.cleanType(f.dataType)).toMap
     val conflicts = curTypes.keySet.intersect(newTypes.keySet)
       .filter(k => curTypes(k) != newTypes(k)).toSeq.sorted
     require(conflicts.isEmpty,
@@ -8355,9 +8416,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     if (evolved || schemaLog(table).nonEmpty) {
       val entryIds = mIds.filter(_ => carriesIds)
       appendSchemaEntry(table, next, mergedSchema.toDDL,
+        // a NESTED-capable marker binds every struct path (r16) —
+        // dropping the nested ids here would flip reads back to
+        // name-matching and null-fill renamed nested fields
         ids = entryIds.map(m =>
-          mergedSchema.fieldNames.flatMap(n =>
-            m.ids.get(n).map(n -> _)).toMap).getOrElse(Map.empty),
+          (if (m.nested) TableCatalog.fieldPaths(mergedSchema)
+           else mergedSchema.fieldNames.toSeq)
+            .flatMap(n => m.ids.get(n).map(n -> _)).toMap)
+          .getOrElse(Map.empty),
         nextId = entryIds.map(_.nextId).getOrElse(0))
     }
     // the landed census first — O(new files), just written/linked
@@ -8420,11 +8486,29 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * silently stop binding), or when a registered aggregate view is
     * keyed on it. Returns the committed version. */
   def renameColumn(table: String, from: String, to: String): Long =
-    alterColumnMeta(table, "RENAME_COLUMN", from,
-      requireTo = Some(to)) { (schema, ids) =>
-      (StructType(schema.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f)),
-        ids.map { case (n, i) => (if (n == from) to else n) -> i })
+    renameColumnPath(table, Seq(from), to)
+
+  /** [[renameColumn]] at any struct depth (r16 — nested column
+    * mapping): `path` names the field ("s", "x" renames s.x), `to` the
+    * new leaf name. Metadata-only: the field's stable id — and every
+    * descendant's — re-binds to the new dotted path; files never move.
+    * Requires a NESTED-capable marker when the path is nested (one
+    * full rewrite mints it — the files must provably carry ids at
+    * struct depth, or the id-matched read would null-fill old rows). */
+  def renameColumnPath(table: String, path: Seq[String], to: String): Long =
+    alterColumnMeta(table, "RENAME_COLUMN", path, requireTo = Some(to)) {
+      (schema, ids) =>
+        val joined = path.mkString(".")
+        val newJoined = (path.init :+ to).mkString(".")
+        val renamed = TableCatalog.transformAt(schema, path.init)(st =>
+          StructType(st.fields.map(f =>
+            if (f.name == path.last) f.copy(name = to) else f)))
+        (renamed, ids.map { case (k, v) =>
+          (if (k == joined) newJoined
+           else if (k.startsWith(joined + "."))
+             newJoined + k.substring(joined.length)
+           else k) -> v
+        })
     }
 
   /** ALTER COLUMN type WIDENING as a METADATA-ONLY commit (r12 verdict
@@ -8442,21 +8526,129 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * field-id marker (the name doesn't change, so name-matched tables
     * widen too); when the table carries ids they ride along unchanged.
     * Returns the committed version; a same-type call is a no-op. */
+  /** ADD a field INSIDE a struct column as a METADATA-ONLY commit
+    * (r16 — nested schema evolution): the schema log declares the
+    * widened struct, old files name-clip (the missing nested field
+    * null-fills on read, Spark's parquet by-name struct resolution),
+    * new appends write it natively, time travel keeps the shape each
+    * version declared. On an id-stamped NESTED-capable table the new
+    * path draws a fresh id, so bytes a previously-DROPPED same-named
+    * field left in old files can never resurrect; a name-matched
+    * table gets the loud refusal instead when the schema log proves
+    * the path existed before. NOT NULL is unsatisfiable (old rows
+    * null-fill) — nullable only. */
+  def addNestedColumn(table: String, parent: Seq[String],
+      field: org.apache.spark.sql.types.StructField): Long =
+    withTableLock(table) {
+      require(parent.nonEmpty &&
+        parent.forall(c => c.nonEmpty && !c.contains(".")) &&
+        !field.name.contains("."),
+        s"nested ADD path components must be non-empty and dot-free")
+      require(field.nullable,
+        s"ADD COLUMN ${(parent :+ field.name).mkString(".")} NOT NULL " +
+          "is impossible: existing rows null-fill the new field")
+      requireFlatVersioned(table, "nested ADD COLUMN")
+      healSwap(table)
+      val cur = currentVersion(table).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$table' is not a versioned table — nested evolution is a " +
+            "schema-log commit (replaceAtomic/appendAtomic writers)"))
+      val schema = resolveSchema(table, cur).getOrElse(
+        spark.read.parquet(snapDir(table, cur).toString).schema)
+      val joined = (parent :+ field.name).mkString(".")
+      val newSchema = TableCatalog.transformAt(schema, parent) { st =>
+        require(!st.fieldNames.contains(field.name),
+          s"'$joined' already exists in '$table'")
+        StructType(st.fields :+ field.copy(nullable = true))
+      }
+      val m = idMarker(table).filter(_.since <= cur)
+      val carriesIds = schemaLog(table).lastOption.exists(_.ids.nonEmpty)
+      if (!m.exists(_.nested)) {
+        // name-matched at struct depth: re-adding a previously-dropped
+        // path would RESURRECT its old bytes — the schema log knows
+        val everHeld = schemaLog(table).exists { e =>
+          try {
+            val st = StructType.fromDDL(e.ddl)
+            TableCatalog.fieldPaths(st).contains(joined)
+          } catch { case _: Exception => false }
+        }
+        require(!everHeld,
+          s"'$joined' existed before in '$table' and its bytes still " +
+            "sit in old files — a name-matched nested re-add would " +
+            "resurrect them; use a fresh name, or run " +
+            "compactSmallFiles/optimizeZOrder once (nested column " +
+            "mapping retires dropped ids) and re-add then")
+      }
+      // the new path draws a fresh id on a nested-capable marker
+      val m2 = m.map { mk =>
+        if (!mk.nested) mk
+        else mk.copy(nextId = mk.nextId + 1,
+          ids = mk.ids + (joined -> mk.nextId))
+      }
+      val next = cur + 1L
+      deleteRecursive(snapDir(table, next))
+      Files.createDirectories(snapDir(table, next))
+      val census = linkFlatSnapshot(table, cur, next)
+      val ddl = StructType(newSchema.fields.map(f =>
+        f.copy(nullable = true,
+          metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
+      m2.foreach(writeIdMarker(table, _))
+      val entryIds = m2.filter(_ => carriesIds)
+      appendSchemaEntry(table, next, ddl,
+        ids = entryIds.map(mk =>
+          (if (mk.nested) TableCatalog.fieldPaths(newSchema)
+           else newSchema.fieldNames.toSeq)
+            .flatMap(n => mk.ids.get(n).map(n -> _)).toMap)
+          .getOrElse(Map.empty),
+        nextId = entryIds.map(_.nextId).getOrElse(0))
+      writeHistoryEntryCounted(table, next, "ADD_COLUMN", "",
+        census.size.toLong, census.valuesIterator.sum)
+      val tmp = Paths.get(path(table), "_version.tmp")
+      Files.write(tmp, next.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmp, versionFile(table))
+      pruneSnapshots(table, cur)
+      invalidateStats(table)
+      next
+    }
+
   def widenColumn(table: String, column: String,
       newType: org.apache.spark.sql.types.DataType): Long =
+    widenColumnPath(table, Seq(column), newType)
+
+  /** [[widenColumn]] at any struct depth (r16): the up-cast happens at
+    * the parquet LEAF, so nested widening needs no field ids — the
+    * name doesn't change and Spark's readers widen the old bytes
+    * wherever the leaf sits. */
+  def widenColumnPath(table: String, colPath: Seq[String],
+      newType: org.apache.spark.sql.types.DataType): Long =
     withTableLock(table) {
+      require(colPath.nonEmpty &&
+        colPath.forall(c => c.nonEmpty && !c.contains(".")),
+        s"widenColumn path components must be non-empty and dot-free " +
+          s"(${colPath.mkString(".")})")
       requireFlatVersioned(table, "widenColumn")
       healSwap(table)
+      val column = colPath.mkString(".")
       val cur = currentVersion(table).getOrElse(
         throw new IllegalArgumentException(
           s"'$table' is not a versioned table — type widening is a " +
             "schema-log commit (replaceAtomic/appendAtomic writers)"))
       val schema = resolveSchema(table, cur).getOrElse(
         spark.read.parquet(snapDir(table, cur).toString).schema)
-      require(schema.fieldNames.contains(column),
+      val parentSt = colPath.init.foldLeft(schema) { (st, c) =>
+        require(st.fieldNames.contains(c),
+          s"'$c' (of $column) is not a column of '$table'")
+        st(c).dataType match {
+          case s: StructType => s
+          case other => throw new IllegalArgumentException(
+            s"'$c' (of $column) is not a struct (${other.sql})")
+        }
+      }
+      require(parentSt.fieldNames.contains(colPath.last),
         s"'$column' is not a column of '$table' " +
-          s"(${schema.fieldNames.mkString(", ")})")
-      val oldType = schema(schema.fieldIndex(column)).dataType
+          s"(${parentSt.fieldNames.mkString(", ")})")
+      val oldType = parentSt(colPath.last).dataType
       if (oldType == newType) return cur
       require(TableCatalog.widens(oldType, newType),
         s"ALTER COLUMN $column ${oldType.sql} -> ${newType.sql} is not " +
@@ -8468,16 +8660,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // would silently join int against long; re-create it after
       mvRegistry().filter(_.factPath.startsWith(path(table) + "/"))
         .foreach { e =>
-          require(!e.keys.contains(column) && e.value != column,
-            s"aggregate view '${e.view}' is keyed on '$column' — drop " +
-              "the view first, widen, then re-create it")
+          require(!e.keys.contains(colPath.last) && e.value != colPath.last,
+            s"aggregate view '${e.view}' is keyed on '${colPath.last}' — " +
+              "drop the view first, widen, then re-create it")
         }
       val next = cur + 1L
       deleteRecursive(snapDir(table, next)) // a crashed prior attempt
       Files.createDirectories(snapDir(table, next))
       val census = linkFlatSnapshot(table, cur, next)
-      val newSchema = StructType(schema.fields.map(f =>
-        if (f.name == column) f.copy(dataType = newType) else f))
+      val newSchema = TableCatalog.transformAt(schema, colPath.init)(st =>
+        StructType(st.fields.map(f =>
+          if (f.name == colPath.last) f.copy(dataType = newType) else f)))
       val ddl = StructType(newSchema.fields.map(f => f.copy(nullable = true,
         metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
       // ids ride along when the table carries them (marker, or the
@@ -8487,7 +8680,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val ids = m.map(_.ids).orElse(lastE.map(_.ids)).getOrElse(Map.empty)
       val nid = m.map(_.nextId).orElse(lastE.map(_.nextId)).getOrElse(0)
       appendSchemaEntry(table, next, ddl,
-        ids = newSchema.fieldNames.flatMap(n => ids.get(n).map(n -> _)).toMap,
+        ids = TableCatalog.fieldPaths(newSchema)
+          .flatMap(n => ids.get(n).map(n -> _)).toMap,
         nextId = nid)
       writeHistoryEntryCounted(table, next, "WIDEN_COLUMN", "",
         census.size.toLong, census.valuesIterator.sum)
@@ -8509,19 +8703,40 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * files — the failure mode name-based layouts have and the reason
     * Delta gates DROP behind column mapping. Same preconditions as
     * [[renameColumn]]. */
-  def dropColumn(table: String, name: String): Long = {
-    alterColumnMeta(table, "DROP_COLUMN", name, requireTo = None) {
-      (schema, ids) =>
-        require(schema.fields.length > 1,
-          s"cannot drop '$name': it is the only column of '$table'")
-        (StructType(schema.fields.filterNot(_.name == name)), ids - name)
-    }
-  }
+  def dropColumn(table: String, name: String): Long =
+    dropColumnPath(table, Seq(name))
 
-  private def alterColumnMeta(table: String, op: String, target: String,
-      requireTo: Option[String])(
+  /** [[dropColumn]] at any struct depth (r16): the dropped field's id
+    * — and every descendant's — retires forever (`nextId` is
+    * monotone), so a later ADD of the same nested name draws a fresh
+    * id and can never resurrect the dropped bytes still sitting in
+    * old files. Same nested-marker precondition as
+    * [[renameColumnPath]]. */
+  def dropColumnPath(table: String, path: Seq[String]): Long =
+    alterColumnMeta(table, "DROP_COLUMN", path, requireTo = None) {
+      (schema, ids) =>
+        val joined = path.mkString(".")
+        val dropped = TableCatalog.transformAt(schema, path.init) { st =>
+          require(st.fields.length > 1,
+            s"cannot drop '$joined': it is the only field of its struct " +
+              s"in '$table'" + (if (path.size == 1) "" else
+              " — drop the whole struct column instead"))
+          StructType(st.fields.filterNot(_.name == path.last))
+        }
+        (dropped, ids.filterNot { case (k, _) =>
+          k == joined || k.startsWith(joined + ".") })
+    }
+
+  private def alterColumnMeta(table: String, op: String,
+      targetPath: Seq[String], requireTo: Option[String])(
       change: (StructType, Map[String, Int]) => (StructType, Map[String, Int]))
       : Long = withTableLock(table) {
+    require(targetPath.nonEmpty, s"$op needs a column path")
+    require(targetPath.forall(c => c.nonEmpty && !c.contains(".")),
+      s"$op path components must be non-empty and dot-free " +
+        s"(${targetPath.mkString(".")}) — the dot is the path grammar")
+    requireTo.foreach(to => require(!to.contains("."),
+      s"the new name '$to' must be a bare field name"))
     requireFlatVersioned(table, op)
     healSwap(table)
     val cur = currentVersion(table).getOrElse(throw new IllegalArgumentException(
@@ -8533,29 +8748,53 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           "proven id-stamped (pre-mapping table, or a SQL row-level " +
           "statement rewrote them); run compactSmallFiles or " +
           "optimizeZOrder once, then retry"))
+    val target = targetPath.mkString(".")
+    // nested paths demand NESTED-stamped files: a pre-nested marker
+    // proves top-level ids only, and id-matching a nested field
+    // against files that lack nested ids silently null-fills
+    require(targetPath.size == 1 || m.nested,
+      s"'$table' predates nested column mapping — its files carry " +
+        "top-level ids only; run compactSmallFiles or optimizeZOrder " +
+        s"once (a full rewrite stamps every struct depth), then $op " +
+        s"$target works as a metadata commit")
     val schema = resolveSchema(table, cur).getOrElse(
       spark.read.parquet(snapDir(table, cur).toString).schema)
-    require(schema.fieldNames.contains(target),
+    // navigate: every parent must be a struct, the leaf must exist
+    val parentSt = targetPath.init.foldLeft(schema) { (st, c) =>
+      require(st.fieldNames.contains(c),
+        s"'$c' (of $target) is not a column of '$table'")
+      st(c).dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"'$c' (of $target) is not a struct (${other.sql})")
+      }
+    }
+    require(parentSt.fieldNames.contains(targetPath.last),
       s"'$target' is not a column of '$table' " +
-        s"(${schema.fieldNames.mkString(", ")})")
-    requireTo.foreach(to => require(!schema.fieldNames.contains(to),
-      s"column '$to' already exists in '$table'"))
+        s"(${parentSt.fieldNames.mkString(", ")})")
+    requireTo.foreach(to => require(!parentSt.fieldNames.contains(to),
+      s"column '${(targetPath.init :+ to).mkString(".")}' already " +
+        s"exists in '$table'"))
     val word = java.util.regex.Pattern.compile(
-      "\\b" + java.util.regex.Pattern.quote(target) + "\\b")
+      "\\b" + java.util.regex.Pattern.quote(targetPath.last) + "\\b")
     constraintsOf(table).foreach { case (n, p) =>
       require(!word.matcher(p).find(),
-        s"constraint '$n' ($p) references '$target' — drop the " +
-          "constraint first, alter, then re-add it under the new shape")
+        s"constraint '$n' ($p) references '${targetPath.last}' — drop " +
+          "the constraint first, alter, then re-add it under the new shape")
     }
     mvRegistry().filter(_.factPath.startsWith(path(table) + "/")).foreach { e =>
-      require(!e.keys.contains(target) && e.value != target,
-        s"aggregate view '${e.view}' is keyed on '$target' — drop the " +
-          "view first, alter, then re-create it")
+      require(!e.keys.contains(targetPath.last) &&
+        e.value != targetPath.last,
+        s"aggregate view '${e.view}' is keyed on '${targetPath.last}' — " +
+          "drop the view first, alter, then re-create it")
     }
     val (newSchema, newIds) = change(schema, m.ids)
-    // every declared column must carry an id — the marker covers the
-    // current names by the stamping invariant
-    newSchema.fieldNames.foreach(n => require(newIds.contains(n),
+    // every declared path must carry an id — the marker covers the
+    // current names by the stamping invariant (all depths when nested)
+    val mustCover =
+      if (m.nested) TableCatalog.fieldPaths(newSchema)
+      else newSchema.fieldNames.toSeq
+    mustCover.foreach(n => require(newIds.contains(n),
       s"internal: no field id for '$n' in the marker of '$table'"))
     val next = cur + 1L
     deleteRecursive(snapDir(table, next)) // a crashed prior attempt
@@ -8566,8 +8805,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val ddl = StructType(newSchema.fields.map(f =>
       f.copy(nullable = true,
         metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
-    appendSchemaEntry(table, next, ddl, ids = newSchema.fieldNames.map(n =>
-      n -> newIds(n)).toMap, nextId = m.nextId)
+    appendSchemaEntry(table, next, ddl,
+      ids = mustCover.map(n => n -> newIds(n)).toMap, nextId = m.nextId)
     writeIdMarker(table, m.copy(ids = newIds)) // since unchanged: same files
     writeHistoryEntryCounted(table, next, op, "",
       census.size.toLong, census.valuesIterator.sum)
@@ -8693,8 +8932,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val endSchema = pvDeclared.getOrElse(resolveSchema(table, hi).getOrElse(
       spark.read.parquet(d2.toString).schema))
     def sameCols(a: StructType, b: StructType): Boolean =
-      a.fields.map(f => (f.name, f.dataType)).sortBy(_._1)
-        .sameElements(b.fields.map(f => (f.name, f.dataType)).sortBy(_._1))
+      a.fields.map(f => (f.name, TableCatalog.cleanType(f.dataType)))
+        .sortBy(_._1)
+        .sameElements(b.fields
+          .map(f => (f.name, TableCatalog.cleanType(f.dataType)))
+          .sortBy(_._1))
     val interior = ((lo + 1) until hi).toSeq
     val composable = interior.exists(layoutOnly) &&
       (lo to hi).forall(v => Files.exists(snapDir(table, v))) &&
@@ -8743,8 +8985,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val schema = endSchema
     val hiHasIds = schemaLog(table).filter(_.version <= hi)
       .lastOption.exists(_.ids.nonEmpty)
-    val t1 = schema1.fields.map(f => f.name -> f.dataType).toMap
-    val tH = schema.fields.map(f => f.name -> f.dataType).toMap
+    val t1 = schema1.fields.map(f =>
+      f.name -> TableCatalog.cleanType(f.dataType)).toMap
+    val tH = schema.fields.map(f =>
+      f.name -> TableCatalog.cleanType(f.dataType)).toMap
     val conflicts = (t1.keySet intersect tH.keySet)
       .filter(n => t1(n) != tH(n)).toSeq.sorted
     require(conflicts.isEmpty,
@@ -8997,15 +9241,82 @@ object TableCatalog {
     * silent NULLs. Stamped layouts must be all-or-exactly-these. */
   private[graft] def stampIds(schema: StructType,
                               ids: Map[String, Int]): StructType =
+    stampIdsAt(schema, ids, "")
+
+  /** Recursive stamping (r16 — nested column mapping): `ids` keys are
+    * DOT-JOINED paths ("s", "s.x"). Every struct level is stamped
+    * where the assignment names its path and actively STRIPPED of
+    * inherited ids where it does not — the same all-or-exactly-these
+    * rule top-level stamping always enforced, now at every depth.
+    * Pre-nested assignments (top-level keys only) leave nested fields
+    * id-free, so old files keep name-matching inside structs. Array
+    * and map element structs are NOT stamped (never carry ids, so
+    * they name-match consistently everywhere). */
+  private def stampIdsAt(schema: StructType, ids: Map[String, Int],
+                         prefix: String): StructType =
     StructType(schema.fields.map { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
       val base = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata).remove(FieldIdKey)
-      ids.get(f.name) match {
+      val dt = f.dataType match {
+        case st: StructType => stampIdsAt(st, ids, path)
+        case other => other
+      }
+      ids.get(path) match {
         case Some(id) =>
-          f.copy(metadata = base.putLong(FieldIdKey, id.toLong).build())
-        case None => f.copy(metadata = base.build())
+          f.copy(dataType = dt,
+            metadata = base.putLong(FieldIdKey, id.toLong).build())
+        case None => f.copy(dataType = dt, metadata = base.build())
       }
     })
+
+  /** `dt` with every nested StructField's metadata dropped — the
+    * comparison form for type-equality checks (r16): nested field-id
+    * stamping puts metadata INSIDE struct DataTypes, and a stamped
+    * schema must still compare equal to the same unstamped shape.
+    * Nullability is kept (it is part of the shape). */
+  private[graft] def cleanType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = cleanType(f.dataType),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = cleanType(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = cleanType(m.keyType),
+        valueType = cleanType(m.valueType))
+    case other => other
+  }
+
+  /** Apply `f` to the struct at `parent` (empty = the root schema) —
+    * the shared schema surgery of the nested evolution verbs. */
+  private[graft] def transformAt(schema: StructType, parent: Seq[String])(
+      f: StructType => StructType): StructType =
+    if (parent.isEmpty) f(schema)
+    else StructType(schema.fields.map { fd =>
+      if (fd.name != parent.head) fd
+      else fd.dataType match {
+        case st: StructType =>
+          fd.copy(dataType = transformAt(st, parent.tail)(f))
+        case other => throw new IllegalArgumentException(
+          s"'${fd.name}' is not a struct (${other.sql})")
+      }
+    })
+
+  /** Every field path of `schema`, depth-first, dot-joined — the
+    * nested id-assignment domain ("s", "s.x", …). Components with a
+    * literal dot refuse upstream (the path grammar is the separator). */
+  private[graft] def fieldPaths(schema: StructType): Seq[String] = {
+    def walk(st: StructType, prefix: String): Seq[String] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        p +: (f.dataType match {
+          case s: StructType => walk(s, p)
+          case _ => Seq.empty
+        })
+      }
+    walk(schema, "")
+  }
 
   /** The inverse guard: a schema with every field-id stripped. Applied
     * to DERIVED artifacts (change feeds, plain-table writes, exported
@@ -9076,7 +9387,15 @@ object TableCatalog {
     * planner drops column metadata, so those files are unstamped).
     * RENAME/DROP require a marker with `since <= currentVersion`;
     * anything else refuses with "full-rewrite once to stamp". */
-  final case class IdMarker(since: Long, nextId: Int, ids: Map[String, Int])
+  /** `nested = true` ⟺ this marker was minted by a full rewrite under
+    * NESTED id assignment (r16): every live file is id-stamped at
+    * every struct depth, so nested RENAME/DROP are provable metadata
+    * operations. A pre-nested marker (parse default false) proves
+    * top-level stamping only — nested field-id matching against its
+    * files would silently null-fill, so the nested verbs refuse until
+    * one full rewrite (compactSmallFiles / optimizeZOrder) re-mints. */
+  final case class IdMarker(since: Long, nextId: Int, ids: Map[String, Int],
+                            nested: Boolean = false)
 
   /** Is `from` → `to` a LOSSLESS widening Spark's parquet readers
     * up-cast natively? The [[graft.catalog.TableCatalog.widenColumn]]
@@ -9115,6 +9434,7 @@ object TableCatalog {
   private[catalog] def renderIdMarker(m: IdMarker): String = {
     val o = om.createObjectNode()
     o.put("since", m.since); o.put("next", m.nextId)
+    if (m.nested) o.put("nested", true)
     val mm = o.putObject("ids")
     m.ids.toSeq.sortBy(_._1).foreach { case (n, i) => mm.put(n, i) }
     om.writeValueAsString(o)
@@ -9127,7 +9447,8 @@ object TableCatalog {
       if (n == null || !n.has("since") || !n.has("ids")) None
       else Some(IdMarker(n.get("since").asLong, n.get("next").asInt,
         n.get("ids").properties().asScala
-          .map(p => p.getKey -> p.getValue.asInt).toMap))
+          .map(p => p.getKey -> p.getValue.asInt).toMap,
+        nested = Option(n.get("nested")).exists(_.asBoolean(false))))
     } catch { case _: Exception => None }
 
   /** A GENERATED partition column (r12 "what's missing" #3 — the

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles (`percentile_cont`) at scale — the
+  * r16 generalization of [[WeightedQuantile]]'s bounded two-phase
+  * search (VERDICT r15 next #7). Spark's exact `percentile()` buffers
+  * a group's DISTINCT VALUES on one reducer: with a handful of groups
+  * and billions of distinct values, that reducer is the query. This
+  * computes the same bit-exact result as two bounded phases over the
+  * per-(group, value) counts:
+  *
+  *   1. bucket each group's value domain (≤ `buckets` fixed-width
+  *      int64 ranges from the group's min/max) and locate, per
+  *      requested ORDER STATISTIC, the crossing bucket via a running
+  *      sum over ≤ `buckets` rows per group;
+  *   2. re-scan only the crossing buckets (≈ domain/`buckets` of the
+  *      distinct values each) for the exact k-th and (k+1)-th values,
+  *      then interpolate with EXACTLY Spark's formula
+  *      `(1−f)·x_k + f·x_{k+1}`, f = frac((n−1)·q).
+  *
+  * Positions are RATIONAL (`num/den`), so the order-statistic indices
+  * derive in exact integer arithmetic — `k = ((n−1)·num) div den` —
+  * and the interpolation fraction `f = ((n−1)·num mod den)/den` is
+  * exact in double for the dyadic quantiles every caller here uses
+  * (quarters, halves), which is what makes the result HASH-IDENTICAL
+  * to Spark's `percentile()` and DuckDB's `quantile_cont`.
+  *
+  * ADAPTIVE ROUTING: the per-(group, value) aggregation (which any
+  * exact algorithm needs) also yields each group's distinct-value
+  * count; when the LARGEST group holds ≤ `smallThreshold` distinct
+  * values the single-reducer `percentile()` is cheap and correct, and
+  * the op routes there (fewer jobs at test scale). Above it, the
+  * bounded search runs — same numbers, no reducer ever holds more
+  * than `buckets` histogram rows or one bucket's values. */
+object Quantiles {
+
+  /** Exact `percentile_cont` of integral `valueCol` per `groupCol` at
+    * each rational position `(outName, num, den)`. Returns one row per
+    * group: (groupCol, outName…) with DOUBLE percentile columns —
+    * bit-identical to `expr("percentile(valueCol, num/den)")`. */
+  def percentilesCont(df: DataFrame, groupCol: String, valueCol: String,
+      qs: Seq[(String, Long, Long)], buckets: Int = 4096,
+      smallThreshold: Long = 1L << 20): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (n, num, den) =>
+      require(num >= 0 && den > 0 && num <= den, s"bad quantile $n: $num/$den")
+    }
+    require(qs.map(_._1).distinct.size == qs.size, "duplicate out names")
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    // the exact per-(g, v) counts — the unavoidable shuffle, shared by
+    // both routes and every phase (the WeightedQuantile convention)
+    val pv = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("vw"))
+      .localCheckpoint(true)
+    val maxDistinct = pv.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .agg(max(col("nd"))).head().getLong(0)
+    if (maxDistinct <= smallThreshold) {
+      // every group's value list fits one reducer comfortably — the
+      // stock exact aggregate is the cheaper plan at this size
+      return df.groupBy(col(groupCol)).agg(
+        expr(s"percentile($valueCol, ${qs.head._2}D / ${qs.head._3}D)")
+          .as(qs.head._1),
+        qs.tail.map { case (n, num, den) =>
+          expr(s"percentile($valueCol, ${num}D / ${den}D)").as(n)
+        }: _*)
+    }
+    val bounds = pv.groupBy(col("g"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        sum(col("vw")).as("n"))
+    // the order statistics each quantile needs, in EXACT integer math:
+    // rank_lo = ((n-1)·num) div den + 1 (1-based), plus rank_lo+1 when
+    // the position has a fractional part
+    val ranks = qs.map { case (name, num, den) =>
+      bounds.select(col("g"), lit(name).as("qname"),
+        expr(s"((n - 1L) * ${num}L) div ${den}L + 1L").as("rank"),
+        expr(s"((n - 1L) * ${num}L) % ${den}L").as("fnum"),
+        lit(den).cast("long").as("fden"))
+    }.reduce(_ unionByName _)
+    val need = ranks
+      .select(col("g"), col("qname"), col("rank"), lit("lo").as("which"),
+        col("fnum"), col("fden"))
+      .unionByName(ranks.filter(col("fnum") > 0)
+        .select(col("g"), col("qname"), (col("rank") + 1L).as("rank"),
+          lit("hi").as("which"), col("fnum"), col("fden")))
+    // bucketed domain + per-bucket running counts (≤ buckets rows per
+    // group through the window) — integer `div` bucket edges, the
+    // WeightedQuantile monotonicity rule
+    val withB = pv.join(broadcast(bounds), Seq("g"))
+      .withColumn("bw",
+        greatest(lit(1L), expr(s"(vmax - vmin) div ${buckets}L + 1L")))
+      .withColumn("bkt", expr("(v - vmin) div bw"))
+    val perBucket = withB.groupBy(col("g"), col("bkt"))
+      .agg(sum(col("vw")).as("bw_sum"))
+    val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumB = perBucket
+      .withColumn("cum", sum(col("bw_sum")).over(wb))
+      .withColumn("before", col("cum") - col("bw_sum"))
+    // crossing bucket per requested rank (the needs are |groups|×|qs|×2
+    // rows — broadcast), then the exact value inside it
+    val crossing = cumB.join(broadcast(need), Seq("g"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("g"), col("qname"), col("which"))
+      .agg(min(col("bkt")).as("tb"), max(col("rank")).as("rank"))
+    val offset = cumB.select(col("g").as("go"), col("bkt").as("tbl"),
+        col("before"))
+      .join(crossing, col("go") === col("g") && col("tbl") === col("tb"))
+      .select(col("g").as("gg"), col("qname"), col("which"),
+        col("tb").as("tbb"), col("before"), col("rank"))
+    val wv = Window.partitionBy(col("g"), col("qname"), col("which"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val values = withB
+      .join(offset, col("g") === col("gg") && col("bkt") === col("tbb"))
+      .withColumn("cum_in", sum(col("vw")).over(wv))
+      .filter(col("before") + col("cum_in") >= col("rank"))
+      .groupBy(col("g"), col("qname"), col("which"))
+      .agg(min(col("v")).as("ov"))
+    // interpolate with Spark's own expression shape:
+    // (1 − f)·x_lo + f·x_hi, f exact for dyadic quantiles
+    val paired = values.groupBy(col("g"), col("qname"))
+      .agg(min(when(col("which") === "lo", col("ov"))).as("xlo"),
+        min(when(col("which") === "hi", col("ov"))).as("xhi"))
+      .join(broadcast(ranks
+        .select(col("g"), col("qname"), col("fnum"), col("fden"))
+        .distinct()), Seq("g", "qname"))
+      .withColumn("f", col("fnum").cast("double") / col("fden").cast("double"))
+      .withColumn("p", when(col("fnum") === 0L, col("xlo").cast("double"))
+        .otherwise((lit(1.0) - col("f")) * col("xlo").cast("double") +
+          col("f") * col("xhi").cast("double")))
+    // pivot the quantile names back to columns, one row per group
+    val byName = qs.map { case (name, _, _) =>
+      min(when(col("qname") === name, col("p"))).as(name)
+    }
+    paired.groupBy(col("g").as(groupCol))
+      .agg(byName.head, byName.tail: _*)
+  }
+}

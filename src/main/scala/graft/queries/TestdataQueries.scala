@@ -6922,10 +6922,13 @@ object TestdataQueries {
     "x_quality_percentile" -> (((s: SparkSession, dir: String) => {
       val q = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      val stats = q.groupBy(col("lang")).agg(
-        expr("percentile(n_tokens, 0.25)").as("p25"),
-        expr("percentile(n_tokens, 0.5)").as("p50"),
-        expr("percentile(n_tokens, 0.75)").as("p75"))
+      // the BOUNDED two-phase exact percentile (r16 — no reducer ever
+      // holds a group's whole value domain); smallThreshold = 0 pins
+      // the scale path at every gate SF, hash-identical to the stock
+      // aggregate by Quantiles' contract
+      val stats = graft.ops.Quantiles.percentilesCont(q, "lang",
+        "n_tokens", Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L)),
+        smallThreshold = 0L)
       q.join(broadcast(stats), "lang")
         .groupBy(col("lang"), col("p25"), col("p50"), col("p75"))
         .agg(count(lit(1)).as("n_docs"),
@@ -7294,12 +7297,21 @@ object TestdataQueries {
     "x_mad" -> (((s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events")
         .select(col("event_type"), cents(col("value")).as("c"))
-      val med = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(c, 0.5)").as("med_c"))
+      // ADAPTIVE exact-percentile routing (r16): the op falls back to
+      // the stock aggregate while every group's distinct-value count
+      // fits one reducer, and switches to the bounded bucketed search
+      // above the threshold — same numbers either way (QuantilesSpec)
+      val med = graft.ops.Quantiles.percentilesCont(ev, "event_type",
+        "c", Seq(("med_c", 1L, 2L)))
       val dev = ev.join(med, Seq("event_type"))
         .withColumn("dev", abs(col("c") - col("med_c")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(expr("percentile(dev, 0.5)").as("mad_c"))
+      // dev steps in halves (a median of int64s interpolates at .5) —
+      // percentile is linear, so search the EXACT doubled-int domain
+      // and halve after (a power-of-two scale, bit-exact in double)
+      val mad = graft.ops.Quantiles.percentilesCont(
+        dev.withColumn("dev2", (col("dev") * 2).cast("long")),
+        "event_type", "dev2", Seq(("mad2", 1L, 2L)))
+        .select(col("event_type"), (col("mad2") / 2.0).as("mad_c"))
       dev.join(mad, Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("med_c")).as("med_c"),
@@ -7525,9 +7537,10 @@ object TestdataQueries {
     "x_outlier_iqr" -> (((s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events")
         .select(col("event_type"), cents(col("value")).as("c"))
-      val q = ev.groupBy(col("event_type"))
-        .agg(expr("percentile(c, 0.25)").as("q1"),
-          expr("percentile(c, 0.75)").as("q3"))
+      // the bounded exact-percentile search, pinned to the scale path
+      // (smallThreshold = 0) so every gate SF proves hash parity
+      val q = graft.ops.Quantiles.percentilesCont(ev, "event_type", "c",
+          Seq(("q1", 1L, 4L), ("q3", 3L, 4L)), smallThreshold = 0L)
         .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
         .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
       ev.join(q, Seq("event_type"))
@@ -8358,6 +8371,84 @@ object TestdataQueries {
              |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
              |    AS sum_bal
              |FROM customer GROUP BY 1""".stripMargin)),
+
+    // ------------------------ NESTED schema evolution (r16 verdict
+    // next #4): ADD / RENAME / DROP / widen of struct FIELDS as
+    // metadata-only commits. The files are stamped with field ids at
+    // EVERY struct depth by the initial full rewrite, so the nested
+    // rename serves pre-rename bytes BY ID (never null-fill), the
+    // nested drop retires the field's id, old files null-fill a
+    // nested ADD, and the nested widen up-casts old leaves in place.
+    // In-query requires pin metadata-only (file names identical
+    // across all four evolution commits) and time travel to the
+    // pre-rename shape. The oracle replays the final shape
+    // relationally.
+    "x_evolution_nested" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val cat = new TableCatalog(s, scratchDir("graft_nest", dir).toString)
+      val pre = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"))
+      def packed(df: org.apache.spark.sql.DataFrame, withHalf: Boolean) =
+        df.select(col("okey"), struct(
+          (Seq(col("price_c"), col("y"), col("m")) ++
+            (if (withHalf) Seq(floor(col("price_c") / 2).cast("long")
+              .as("half")) else Seq.empty)): _*).as("info"))
+      val v1 = cat.replaceAtomic("ne",
+        packed(pre.filter(pmod(col("okey"), lit(2)) === 0),
+          withHalf = false))
+      def names(v: Long): Seq[String] = s.read
+        .parquet(cat.path("ne") + s"/_v$v")
+        .inputFiles.map(_.split('/').last).sorted.toSeq
+      val n1 = names(v1)
+      // (1) nested ADD: metadata-only, old rows null-fill
+      val v2 = cat.addNestedColumn("ne", Seq("info"),
+        org.apache.spark.sql.types.StructField("half",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      require(names(v2) == n1, "nested ADD must be metadata-only")
+      require(cat.read("ne").filter(col("info.half").isNotNull)
+        .count() == 0L, "old rows must null-fill the added field")
+      // the evolving append carries the new field
+      cat.appendAtomic("ne",
+        packed(pre.filter(pmod(col("okey"), lit(2)) === 1),
+          withHalf = true))
+      // (2) nested RENAME: old bytes serve by id under the new name
+      val v4 = cat.renameColumnPath("ne", Seq("info", "price_c"), "cents")
+      require(names(v4).size == names(v4).distinct.size &&
+        n1.forall(names(v4).contains),
+        "nested RENAME must carry the original files by link")
+      require(cat.read("ne").filter(col("info.cents").isNull).count()
+        == 0L, "pre-rename bytes must serve BY ID under the new name")
+      require(cat.readVersion("ne", v2).schema("info").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("price_c"),
+        "time travel must keep the nested name each version declared")
+      // (3) nested widen int -> bigint on m
+      cat.widenColumnPath("ne", Seq("info", "m"),
+        org.apache.spark.sql.types.LongType)
+      // (4) nested DROP of y — its id retires
+      val v6 = cat.dropColumnPath("ne", Seq("info", "y"))
+      require(names(v6).size == names(v4).size,
+        "nested DROP must be metadata-only")
+      cat.read("ne").groupBy(col("info.m").as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("info.cents")).as("sum_c"),
+          sum(col("info.half")).as("sum_h"))
+    }),
+      Some("""WITH pre AS (SELECT o_orderkey AS okey,
+             |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+             |  CAST(month(o_orderdate) AS INT) AS m FROM orders),
+             |rows_t AS (
+             |  SELECT price_c, m, CAST(NULL AS BIGINT) AS half
+             |  FROM pre WHERE okey % 2 = 0
+             |  UNION ALL
+             |  SELECT price_c, m, CAST(floor(price_c / 2.0) AS BIGINT)
+             |    AS half
+             |  FROM pre WHERE okey % 2 = 1)
+             |SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_c,
+             |  CAST(sum(half) AS BIGINT) AS sum_h
+             |FROM rows_t GROUP BY 1""".stripMargin)),
 
     // --------------------- change feed across an ADD COLUMN boundary
     // The feed no longer refuses additive evolution: old-version files

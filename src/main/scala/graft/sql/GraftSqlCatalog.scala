@@ -433,9 +433,38 @@ class GraftSqlCatalog extends DsV2TableCatalog
     if (!cat.exists(t)) throw new NoSuchTableException(ident)
     val cur = loadTable(ident).schema()
     val adds = changes.map {
+      case a: TableChange.AddColumn if a.fieldNames().length > 1 =>
+        // nested ADD (r16): a metadata-only schema commit — the struct
+        // widens in the declared schema, old files null-fill the new
+        // field on read
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported: evolved fields " +
+            "append")
+        val parent = a.fieldNames().init.toSeq
+        val f = org.apache.spark.sql.types.StructField(
+          a.fieldNames().last, a.dataType(), nullable = true)
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames().mkString(".")} NOT NULL is " +
+            "impossible here: existing rows null-fill the new field")
+        if (cat.partitionSpec(t).isDefined)
+          cat.addNestedColumnPartitioned(t, parent, f)
+        else cat.addNestedColumn(t, parent, f)
+        return loadTable(ident)
+      case r: TableChange.RenameColumn if r.fieldNames().length > 1 =>
+        // nested RENAME (r16): metadata-only via nested column mapping
+        // — requires files provably id-stamped at struct depth (the
+        // verb's own gate explains the one-time rewrite otherwise)
+        cat.renameColumnPath(t, r.fieldNames().toSeq, r.newName())
+        return loadTable(ident)
+      case d: TableChange.DeleteColumn if d.fieldNames().length > 1 =>
+        cat.dropColumnPath(t, d.fieldNames().toSeq)
+        return loadTable(ident)
+      case u: TableChange.UpdateColumnType if u.fieldNames().length > 1 =>
+        // nested widening is name-based (the up-cast happens at the
+        // parquet leaf) — no id precondition
+        cat.widenColumnPath(t, u.fieldNames().toSeq, u.newDataType())
+        return loadTable(ident)
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          s"nested ADD COLUMN is not supported: ${a.fieldNames().mkString(".")}")
         val n = a.fieldNames()(0)
         require(!cur.fieldNames.contains(n),
           s"column '$n' already exists in '$t'")
@@ -452,20 +481,13 @@ class GraftSqlCatalog extends DsV2TableCatalog
         org.apache.spark.sql.types.StructField(n, a.dataType(),
           nullable = true)
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1,
-          s"nested RENAME COLUMN is not supported: ${r.fieldNames().mkString(".")}")
         // metadata-only through the catalog's column-mapping verb
         cat.renameColumn(t, r.fieldNames()(0), r.newName())
         return loadTable(ident)
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1,
-          s"nested DROP COLUMN is not supported: ${d.fieldNames().mkString(".")}")
         cat.dropColumn(t, d.fieldNames()(0))
         return loadTable(ident)
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames().length == 1,
-          s"nested ALTER COLUMN TYPE is not supported: " +
-            u.fieldNames().mkString("."))
         // metadata-only type WIDENING (r12 verdict #4); non-widening
         // changes refuse inside the verb
         cat.widenColumn(t, u.fieldNames()(0), u.newDataType())

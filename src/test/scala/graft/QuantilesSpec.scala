@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Quantiles
+
+/** The bounded two-phase exact percentile (r16 verdict next #7): the
+  * bucketed search must agree BIT-FOR-BIT with Spark's single-reducer
+  * `percentile()` on every input shape — that equality is what lets
+  * the scale path replace the stock aggregate with oracle hashes
+  * unchanged. */
+class QuantilesSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val QS = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L))
+
+  private def stock(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("g")).agg(
+      expr("percentile(v, 0.25)").as("p25"),
+      expr("percentile(v, 0.5)").as("p50"),
+      expr("percentile(v, 0.75)").as("p75"))
+
+  private def check(rows: Seq[(String, Long)], buckets: Int = 16): Unit = {
+    val df = rows.toDF("g", "v")
+    val fast = Quantiles.percentilesCont(df, "g", "v", QS,
+      buckets = buckets, smallThreshold = 0L) // force the bucketed path
+      .orderBy("g").collect().toSeq
+    val ref = stock(df).orderBy("g").collect().toSeq
+    assert(fast.map(_.toSeq) === ref.map(_.toSeq))
+  }
+
+  test("bucketed percentiles equal the stock aggregate bit-for-bit " +
+      "on random multisets (duplicates, negatives, skew, tiny groups)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 5000).map { i =>
+      val g = s"g${rnd.nextInt(7)}"
+      val v = rnd.nextInt(2000) - 1000 + (if (rnd.nextBoolean()) 0 else i % 13)
+      (g, v.toLong)
+    } ++ Seq(("lone", 99L)) ++ (0 until 3).map(i => ("tiny", i.toLong))
+    check(rows)
+    check(rows, buckets = 2)      // degenerate bucketing still exact
+    check(rows, buckets = 100000) // more buckets than values
+  }
+
+  test("wide domains and heavy duplication stay exact") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { _ =>
+      ("w", (rnd.nextLong() % 1000000000000L))
+    } ++ (0 until 500).map(_ => ("dup", 5L)) ++
+      Seq(("dup", 6L), ("dup", 7L))
+    check(rows)
+  }
+
+  test("the adaptive small route answers identically") {
+    val rows = (0 until 100).map(i => (s"g${i % 3}", i.toLong))
+    val df = rows.toDF("g", "v")
+    val small = Quantiles.percentilesCont(df, "g", "v", QS,
+      smallThreshold = 1L << 20)
+    val big = Quantiles.percentilesCont(df, "g", "v", QS,
+      smallThreshold = 0L)
+    assert(small.orderBy("g").collect().toSeq.map(_.toSeq) ===
+      big.orderBy("g").collect().toSeq.map(_.toSeq))
+    assert(small.columns.toSeq === Seq("g", "p25", "p50", "p75"))
+  }
+}
