@@ -162,21 +162,40 @@ private[sql] final class MultiGenReaderFactory(
     factories: Array[PartitionReaderFactory],
     projs: Array[Option[IndexedSeq[Int]]], out: StructType)
     extends PartitionReaderFactory {
-  // columnar when EVERY generation's output is already in the required
-  // order (projs all None — the common case: the required columns
-  // exclude the partition fields the generations disagree on), so the
-  // inner vectorized batches union as-is (r14 verdict next #6). A
-  // mixed-layout read (some generation needs an ordinal projection)
-  // stays row-based: per-row projection cannot apply to a batch.
-  private val aligned = projs.forall(_.isEmpty)
+  // COLUMNAR whenever the inner reader is (r16, closing the r15
+  // documented cost): a generation whose pruned output order differs
+  // from the required order gets a ZERO-COPY ordinal projection — the
+  // batch's column vectors are re-ordered into a wrapper
+  // ColumnarBatch; no values move, no per-row work. (Spark's exec
+  // still demands ALL partitions agree on columnar-ness; a generation
+  // whose inner reader can't vectorize flips the whole scan to rows,
+  // which is the inner readers' rule, not this factory's.)
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val mp = partition.asInstanceOf[MultiGenPartition]
-    aligned && factories(mp.gen).supportColumnarReads(mp.inner)
+    factories(mp.gen).supportColumnarReads(mp.inner)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val mp = partition.asInstanceOf[MultiGenPartition]
-    factories(mp.gen).createColumnarReader(mp.inner)
+    val inner = factories(mp.gen).createColumnarReader(mp.inner)
+    projs(mp.gen) match {
+      case None => inner
+      case Some(ix) => new PartitionReader[
+          org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = inner.next()
+        override def get()
+            : org.apache.spark.sql.vectorized.ColumnarBatch = {
+          val b = inner.get()
+          // the wrapper shares the inner batch's vectors (closed by
+          // the inner reader, never here) — only the ORDER changes
+          val cols = ix.map(b.column)
+            .toArray[org.apache.spark.sql.vectorized.ColumnVector]
+          new org.apache.spark.sql.vectorized.ColumnarBatch(
+            cols, b.numRows())
+        }
+        override def close(): Unit = inner.close()
+      }
+    }
   }
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {

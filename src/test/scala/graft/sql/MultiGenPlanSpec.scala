@@ -102,4 +102,34 @@ class MultiGenPlanSpec extends AnyFunSuite with graft.SparkTestSession {
       "BOTH branch-read roots must prune to the probed leaf")
     cat.dropBranch("f", "wap")
   }
+
+  test("a MIXED-projection multi-generation read stays COLUMNAR: the " +
+      "generation whose pruned output order differs gets a zero-copy " +
+      "vector reorder, not the row fallback (r16)") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.cx (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.cx VALUES (1, 2020, 1), (2, 2021, 2)")
+    cat.repartitionTableLazy("cx",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.insertPartitioned("cx",
+      Seq((3L, 2021, 3), (4L, 2020, 4)).toDF("k", "y", "m"))
+    // requesting (k, y, m) puts the generations' pruned outputs in
+    // DIFFERENT orders (gen0: data (k,m) then dir-y; gen1: data (k)
+    // then dir-(y,m)) — the r15 code fell back to rows here
+    val q = spark.sql(s"SELECT k, y, m FROM $g.cx")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[MultiGenScan] => b
+    }
+    assert(scans.nonEmpty, "the read must plan through the composite")
+    assert(scans.forall(_.supportsColumnar),
+      "a mixed-projection multi-generation read must stay columnar")
+    assert(q.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq ===
+      Seq((1L, 2020, 1), (2L, 2021, 2), (3L, 2021, 3), (4L, 2020, 4)),
+      "the reordered vectors must serve the right values")
+    // and the row path (a non-columnar consumer) still projects right
+    assert(q.as[(Long, Int, Int)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, 2020, 1), (2L, 2021, 2), (3L, 2021, 3), (4L, 2020, 4)))
+  }
 }
