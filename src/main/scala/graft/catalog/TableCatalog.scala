@@ -2777,19 +2777,36 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               else {
                 val dir = branchDataDir(table, name, meta.epoch)
                 Files.createDirectories(dir)
-                // re-staging a claimed tuple REPLACES its previous
-                // staging: sweep the claimed leaves' files first
-                claimed.foreach { t =>
-                  val leaf = dir.resolve(pcols.zip(t).map { case (c, v) =>
+                import scala.jdk.CollectionConverters._
+                def leafOf(t: Seq[Option[String]]): Path =
+                  dir.resolve(pcols.zip(t).map { case (c, v) =>
                     val dn = v.fold(org.apache.spark.sql.catalyst.catalog
                       .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
                       org.apache.spark.sql.catalyst.catalog
                         .ExternalCatalogUtils.escapePathName)
                     s"$c=$dn"
                   }.mkString("/"))
-                  deleteRecursive(leaf)
+                // re-staging a claimed tuple REPLACES its previous
+                // staging — move the NEW files in first (unique
+                // prefix, no collision), delete the superseded ones
+                // after: a crash between the two leaves the leaf
+                // holding old + new rows, which the audit REFUSES
+                // loudly (doubled counts) and a re-stage converges;
+                // the sweep-first order would instead leave a claim
+                // with NO rows, and publish would silently DROP the
+                // partition the operator meant to rewrite
+                val old = claimed.flatMap { t =>
+                  val leaf = leafOf(t)
+                  if (!Files.exists(leaf)) Seq.empty
+                  else {
+                    val s0 = Files.list(leaf)
+                    try s0.iterator().asScala
+                      .filter(p => Files.isRegularFile(p) &&
+                        p.getFileName.toString.endsWith(".parquet"))
+                      .toSeq
+                    finally s0.close()
+                  }
                 }
-                import scala.jdk.CollectionConverters._
                 val s = Files.walk(scratch)
                 try {
                   s.iterator().asScala
@@ -2808,6 +2825,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                 } finally s.close()
                 writeBranchClaims(table, dir,
                   (readBranchClaims(dir) ++ claimed).distinct)
+                old.foreach(Files.deleteIfExists(_))
                 true
               }
             case _ => false

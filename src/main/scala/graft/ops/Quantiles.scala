@@ -51,9 +51,12 @@ object Quantiles {
     require(qs.map(_._1).distinct.size == qs.size, "duplicate out names")
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     // the exact per-(g, v) counts — the unavoidable shuffle, shared by
-    // both routes and every phase (the WeightedQuantile convention)
+    // both routes and every phase (the WeightedQuantile convention).
+    // NULL values drop here, matching percentile()'s null-ignoring
+    // semantics (n below counts non-null rows only).
     val pv = df.select(col(groupCol).as("g"),
         col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("vw"))
       .localCheckpoint(true)
     val maxDistinct = pv.groupBy(col("g")).agg(count(lit(1)).as("nd"))
@@ -132,11 +135,17 @@ object Quantiles {
       .withColumn("p", when(col("fnum") === 0L, col("xlo").cast("double"))
         .otherwise((lit(1.0) - col("f")) * col("xlo").cast("double") +
           col("f") * col("xhi").cast("double")))
-    // pivot the quantile names back to columns, one row per group
+    // pivot the quantile names back to columns, one row per group —
+    // LEFT-joined from the full group list so a group whose values
+    // are all NULL still answers (null percentiles), exactly like the
+    // stock aggregate
     val byName = qs.map { case (name, _, _) =>
       min(when(col("qname") === name, col("p"))).as(name)
     }
-    paired.groupBy(col("g").as(groupCol))
+    val computed = paired.groupBy(col("g"))
       .agg(byName.head, byName.tail: _*)
+    df.select(col(groupCol).as("g")).distinct()
+      .join(computed, Seq("g"), "left")
+      .withColumnRenamed("g", groupCol)
   }
 }

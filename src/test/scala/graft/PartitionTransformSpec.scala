@@ -689,8 +689,8 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("multi-generation SQL reads go columnar when the generations' " +
-      "pruned outputs align; a mixed-layout projection falls back to " +
-      "rows") {
+      "pruned outputs align — and stay columnar on a mixed-layout " +
+      "projection via the zero-copy vector reorder (r16)") {
     val (cat, g) = freshSqlCat()
     spark.sql(s"CREATE TABLE $g.cb (k BIGINT, v BIGINT, y INT, m INT) " +
       "PARTITIONED BY (y)")
@@ -711,10 +711,12 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       "aligned generations must serve vectorized batches")
     assert(aligned.as[(Long, Long)].collect().sortBy(_._1).toSeq ===
       Seq((1L, 10L), (2L, 20L), (3L, 30L)))
-    // projecting a generation-disagreeing partition column → rows
+    // projecting a generation-disagreeing partition column used to
+    // fall back to rows; the r16 ordinal vector reorder keeps it
+    // columnar with the same values
     val mixed = spark.sql(s"SELECT k, y, m FROM $g.cb")
-    assert(!scanOf(mixed).supportsColumnar,
-      "a mixed-layout projection must fall back to row-based readers")
+    assert(scanOf(mixed).supportsColumnar,
+      "a mixed-layout projection must stay columnar (vector reorder)")
     assert(mixed.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq ===
       Seq((1L, 2020, 1), (2L, 2021, 2), (3L, 2021, 3)))

@@ -51,6 +51,20 @@ class QuantilesSpec extends AnyFunSuite with SparkTestSession {
     check(rows)
   }
 
+  test("NULL values are ignored and an all-NULL group still answers " +
+      "(null percentiles) — exactly the stock aggregate's semantics") {
+    val rows: Seq[(String, java.lang.Long)] =
+      Seq(("a", 1L: java.lang.Long), ("a", null), ("a", 3L: java.lang.Long),
+        ("b", null), ("b", null))
+    val df = rows.toDF("g", "v")
+    val fast = Quantiles.percentilesCont(df, "g", "v", QS,
+      smallThreshold = 0L).orderBy("g").collect().toSeq
+    val ref = stock(df).orderBy("g").collect().toSeq
+    assert(fast.map(_.toSeq) === ref.map(_.toSeq))
+    assert(fast.size === 2, "the all-NULL group must still answer")
+    assert(fast(1).isNullAt(1), "all-NULL group ⇒ null percentile")
+  }
+
   test("the adaptive small route answers identically") {
     val rows = (0 until 100).map(i => (s"g${i % 3}", i.toLong))
     val df = rows.toDF("g", "v")
