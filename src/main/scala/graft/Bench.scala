@@ -67,8 +67,10 @@ object Bench {
           .count().select(sum(col("count"))).count()
         ()
       }))
+    // quiet-host 3-rep minima, r16 re-baseline (the 405.4 s / 271-query
+    // full run this round's SCALE.md closing section cites)
     val controlBaseline = Map(
-      "ctrl_cpu" -> 0.461, "ctrl_scan" -> 0.817, "ctrl_shuffle" -> 0.525)
+      "ctrl_cpu" -> 0.321, "ctrl_scan" -> 0.123, "ctrl_shuffle" -> 0.345)
 
     // Optional comma-separated filter for iterating on specific queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -50,17 +50,15 @@ object Quantiles {
     }
     require(qs.map(_._1).distinct.size == qs.size, "duplicate out names")
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
-    // the exact per-(g, v) counts — the unavoidable shuffle, shared by
-    // both routes and every phase (the WeightedQuantile convention).
-    // NULL values drop here, matching percentile()'s null-ignoring
-    // semantics (n below counts non-null rows only).
-    val pv = df.select(col(groupCol).as("g"),
-        col(valueCol).cast("long").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("vw"))
-      .localCheckpoint(true)
-    val maxDistinct = pv.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .agg(max(col("nd"))).head().getLong(0)
+    // the ROUTING decision first, from one cheap map-side-combined
+    // HLL pass (±2% is plenty for a capacity threshold — the exact
+    // pv shuffle + checkpoint below would be wasted work whenever the
+    // stock aggregate wins, and at test scale it always wins)
+    val maxDistinct =
+      if (smallThreshold <= 0L) Long.MaxValue
+      else df.groupBy(col(groupCol))
+        .agg(approx_count_distinct(col(valueCol)).as("nd"))
+        .agg(max(col("nd"))).head().getLong(0)
     if (maxDistinct <= smallThreshold) {
       // every group's value list fits one reducer comfortably — the
       // stock exact aggregate is the cheaper plan at this size
@@ -71,6 +69,15 @@ object Quantiles {
           expr(s"percentile($valueCol, ${num}D / ${den}D)").as(n)
         }: _*)
     }
+    // the exact per-(g, v) counts — the unavoidable shuffle of the
+    // bounded search, shared by every phase (the WeightedQuantile
+    // convention). NULL values drop here, matching percentile()'s
+    // null-ignoring semantics (n below counts non-null rows only).
+    val pv = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("vw"))
+      .localCheckpoint(true)
     val bounds = pv.groupBy(col("g"))
       .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
         sum(col("vw")).as("n"))
