@@ -4253,23 +4253,40 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * serve the empty snapshot instead of the partitioned data. */
   def addColumnsPartitioned(table: String,
       fields: Seq[org.apache.spark.sql.types.StructField]): Unit = {
-    requireSingleGen(table, "ADD COLUMN")
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no partition spec — use appendAtomic(mergeSchema)"))
-    val gen = partitionGen(table)
+    // finish a crashed compaction's committed intent first — this verb
+    // rewrites the sidecar and must not race its finalize state
+    if (partitionSpecVersioned(table)) healCollapseIntent(table)
+    val gens = specGenerations(table)
     fields.foreach { f =>
       require(!declared.fieldNames.contains(f.name),
         s"column '${f.name}' already exists in '$table'")
-      require(!gen.exists(_.name == f.name),
-        s"column '${f.name}' collides with the hidden generated " +
-          s"partition column of the same name")
+      gens.foreach(sg => require(!sg.gen.exists(_.name == f.name) &&
+        !sg.partCols.contains(f.name),
+        s"column '${f.name}' collides with a partition column of a " +
+          s"spec generation of '$table'"))
       require(f.nullable,
         s"ADD COLUMN ${f.name} NOT NULL is impossible here: existing " +
           "rows null-fill the new column")
     }
-    writePartSpecGen(table, pcols,
-      StructType(declared.fields ++ fields), gen)
+    val evolved = StructType(declared.fields ++ fields)
+    // the declared schema is ONE field list shared by every spec
+    // generation — a lazily-evolved table adds a column in place (r16),
+    // each generation keeps its own layout and old files null-fill
+    if (gens.size > 1) {
+      val tmp = Paths.get(path(table),
+        s"_tmp_partspec-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, TableCatalog.renderPartSpecGens(
+        TableCatalog.stripFieldIds(evolved).toDDL, gens,
+        versioned = partitionSpecVersioned(table),
+        collapseAt = specSidecar(table).flatMap(_.collapseAt))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, partSpecFile(table), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      invalidateSpecCache(table)
+    } else writePartSpecGen(table, pcols, evolved, partitionGen(table))
   }
 
   /** Nested ADD COLUMN for a PARTITIONED (spec-sidecar) table — one

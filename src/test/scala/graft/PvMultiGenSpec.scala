@@ -225,6 +225,27 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.currentVersion("ev") === Some(vSame))
   }
 
+  test("ADD COLUMN on a lazily-evolved table is one sidecar write: " +
+      "every generation keeps its layout, old files null-fill, new " +
+      "writes carry the column (plain and pv)") {
+    val (cat, g) = freshSqlCat()
+    twoGen(cat, "ac")
+    spark.sql(s"ALTER TABLE $g.ac ADD COLUMN note STRING")
+    assert(cat.specGenerations("ac").size === 2,
+      "ADD COLUMN must not disturb the generation list")
+    assert(cat.read("ac").columns.toSeq === Seq("k", "v", "y", "m", "note"))
+    assert(cat.read("ac").filter(col("note").isNotNull).count() === 0L)
+    cat.appendPartitionedVersioned("ac",
+      Seq((9L, 90L, 2022, 9, "late")).toDF("k", "v", "y", "m", "note"))
+    assert(spark.sql(s"SELECT k FROM $g.ac WHERE note = 'late'")
+      .as[Long].collect().toSeq === Seq(9L))
+    assert(cat.read("ac").count() === 5L)
+    // compaction collapses with the evolved shape intact
+    cat.compactGenerationsVersioned("ac")
+    assert(cat.read("ac").filter(col("note") === "late").count() === 1L)
+    assert(cat.read("ac").columns.toSeq === Seq("k", "v", "y", "m", "note"))
+  }
+
   test("exactly-once pv batch replay ignores an ORPHAN history stamp " +
       "whose commit never landed (ADVICE r15 high)") {
     val (cat, _) = freshSqlCat()

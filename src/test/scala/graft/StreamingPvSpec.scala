@@ -180,4 +180,39 @@ class StreamingPvSpec extends AnyFunSuite with SparkTestSession {
       assert(cat.read("f").distinct().count() === 13L)
     } finally q.stop()
   }
+
+  test("a LAZY spec evolution mid-stream: later batches route into the " +
+      "new generation's subtree, replays stay exactly-once across the " +
+      "boundary, and the union read serves every batch (r16)") {
+    val root = Files.createTempDirectory("spv-ev")
+    val cat = new TableCatalog(spark, root.resolve("wh").toString)
+    cat.createPartitionedVersioned("f",
+      Seq((0L, "x", 0)).toDF("k", "dt", "h").schema, Seq("dt"))
+    val rowsA = Seq((1L, "2024-01-01", 1), (2L, "2024-01-02", 2))
+      .toDF("k", "dt", "h")
+    cat.appendPartitionedVersionedBatch("f", rowsA, 0L, "tok")
+    // the evolution: new batches partition by (dt, h)
+    cat.repartitionTableLazy("f",
+      Seq(("identity", "dt", 0), ("identity", "h", 0)))
+    val rowsB = Seq((3L, "2024-01-01", 3), (4L, "2024-01-03", 4))
+      .toDF("k", "dt", "h")
+    val vB = cat.appendPartitionedVersionedBatch("f", rowsB, 1L, "tok")
+    assert(Files.exists(java.nio.file.Paths.get(cat.path("f"),
+      s"_v$vB", "_g1", "dt=2024-01-01", "h=3")),
+      "post-evolution batches must nest in the new generation")
+    // replays of BOTH sides of the boundary add zero rows
+    cat.appendPartitionedVersionedBatch("f", rowsA, 0L, "tok")
+    cat.appendPartitionedVersionedBatch("f", rowsB, 1L, "tok")
+    assert(cat.read("f").count() === 4L, "replays must no-op")
+    assert(cat.read("f").filter($"dt" === "2024-01-01").count() === 2L,
+      "the union read serves both generations' leaves")
+    // and the whole thing compacts into one layout with nothing lost
+    cat.compactGenerationsVersioned("f")
+    assert(cat.read("f").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    // a late replay after compaction still no-ops (the stamp rides
+    // the history log, not the snapshot tree)
+    cat.appendPartitionedVersionedBatch("f", rowsB, 1L, "tok")
+    assert(cat.read("f").count() === 4L)
+  }
 }
