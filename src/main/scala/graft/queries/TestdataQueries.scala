@@ -5123,7 +5123,11 @@ object TestdataQueries {
       val survivors = cat.read("pv")
         .filter(col("dt") === y1 && pmod(col("okey"), lit(5)) =!= 0)
       val survN = survivors.count()
-      cat.replacePartitionsOnBranch("pv", "gdpr", survivors)
+      // stage through the SQL face: INSERT OVERWRITE t@branch is the
+      // dynamic-partition replace under audit (r16)
+      survivors.createOrReplaceTempView("pvwap_gdpr_stage")
+      s.sql(s"INSERT OVERWRITE $cname.`pv@gdpr` " +
+        "SELECT okey, price_c, dt FROM pvwap_gdpr_stage")
       require(s.sql(s"SELECT count(*) FROM $cname.pv").head().getLong(0)
         == headN, "main must be untouched by replace staging")
       require(s.sql(s"SELECT count(*) FROM $cname.`pv@gdpr` " +

@@ -1402,10 +1402,19 @@ object GraftSqlCatalog {
                 (branch, partCols) match {
                   case (Some(br), _) =>
                     // SQL staging half of write-audit-publish: INSERT
-                    // stages onto the branch (created on first write),
-                    // OVERWRITE stages a full rewrite (REPLACE mode) —
-                    // both invisible to main until publish_branch
-                    if (overwrite || o) cat.replaceBranch(table, br, data)
+                    // stages onto the branch (created on first write);
+                    // OVERWRITE stages a rewrite — whole-table REPLACE
+                    // mode on flat tables, and on a pv table the
+                    // r16 replace-mode WAP: the staged rows' own
+                    // partitions read as REPLACED on the branch
+                    // (dynamic-partition-overwrite semantics under
+                    // audit). Both invisible to main until
+                    // publish_branch.
+                    if (overwrite || o) {
+                      if (cat.partitionSpecVersioned(table))
+                        cat.replacePartitionsOnBranch(table, br, data)
+                      else cat.replaceBranch(table, br, data)
+                    }
                     else cat.appendToBranch(table, br, data)
                     ()
                   case (None, Some(_)) if partVersioned =>

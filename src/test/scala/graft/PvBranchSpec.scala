@@ -284,12 +284,26 @@ class PvBranchSpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $g.`f@typo`").collect())
     assert(e.getMessage.contains("does not exist"), e.getMessage)
-    // OVERWRITE of a pv branch refuses (append-mode only)
+    // OVERWRITE of an APPEND-mode pv branch refuses (one branch
+    // stages one way)
     spark.sql(s"INSERT INTO $g.`f@wap2` VALUES (9, 90, '2024-01-09')")
     val e2 = intercept[Exception](
       spark.sql(s"INSERT OVERWRITE $g.`f@wap2` VALUES (8, 80, '2024-01-08')"))
     assert(e2.getMessage.contains("append-mode"), e2.getMessage)
     cat.dropBranch("f", "wap2")
+    // ...but on a FRESH branch, INSERT OVERWRITE is the SQL face of
+    // replace-mode WAP (r16): dynamic-partition-overwrite under audit
+    spark.sql(s"INSERT OVERWRITE $g.`f@fix` VALUES (7, 70, '2024-01-01')")
+    assert(spark.sql(s"SELECT k FROM $g.`f@fix` " +
+      "WHERE dt = '2024-01-01'").as[Long].collect().toSeq === Seq(7L),
+      "the staged partition reads as replaced on the branch")
+    assert(spark.sql(s"SELECT count(*) FROM $g.f WHERE dt = '2024-01-01'")
+      .head().getLong(0) === 1L, "main untouched until publish")
+    spark.sql(s"CALL $g.system.publish_branch('f', 'fix')")
+    assert(spark.sql(s"SELECT k FROM $g.f WHERE dt = '2024-01-01'")
+      .as[Long].collect().toSeq === Seq(7L),
+      "publish swaps the claimed partition")
+    assert(cat.branches("f").isEmpty)
   }
 
   test("SQL pv branch reads serve a TRANSFORM spec's hidden columns " +
