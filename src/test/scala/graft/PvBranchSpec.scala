@@ -503,6 +503,39 @@ class PvBranchSpec extends AnyFunSuite with SparkTestSession {
     assert(v2 === v + 1L)
   }
 
+  test("replace-mode WAP on a TRANSFORM spec: claims address the " +
+      "hidden generated partition tuples, the SQL audit prunes the " +
+      "claimed base leaves by derived value, publish swaps them") {
+    val root = Files.createTempDirectory("pvbrtr").toString
+    val g = "gpvtr1"
+    spark.conf.set(s"spark.sql.catalog.$g",
+      classOf[graft.sql.GraftSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    val cat = new TableCatalog(spark, root)
+    val rows = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-10")),
+      (2L, java.sql.Date.valueOf("2024-01-20")),
+      (3L, java.sql.Date.valueOf("2024-02-05"))).toDF("k", "d")
+    cat.createPartitionedVersioned("t", rows.schema,
+      Seq(("months", "d", 0)))
+    cat.appendPartitionedVersioned("t", rows)
+    // rewrite January (drop k=1, keep k=2) under audit — the claim is
+    // the HIDDEN d_month tuple, derived from the staged rows
+    cat.replacePartitionsOnBranch("t", "jan",
+      Seq((2L, java.sql.Date.valueOf("2024-01-20"))).toDF("k", "d"))
+    val br = cat.readBranch("t", "jan")
+    assert(br.select("k").as[Long].collect().sorted.toSeq === Seq(2L, 3L),
+      "the claimed month reads as its staged replacement")
+    assert(spark.sql(s"SELECT k FROM $g.`t@jan` ORDER BY k").as[Long]
+      .collect().toSeq === Seq(2L, 3L),
+      "the SQL audit agrees on the transform-claimed view")
+    assert(cat.read("t").count() === 3L, "main untouched")
+    val v = cat.publishBranch("t", "jan")
+    assert(cat.read("t").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 3L))
+    assert(cat.readVersion("t", v - 1L).count() === 3L)
+  }
+
   test("replace-mode and append-mode stagings refuse each other's " +
       "branches; claims validate arity") {
     val cat = freshCat()
