@@ -2169,7 +2169,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         .orElse(if (files.nonEmpty)
           Some(spark.read.parquet(readPath(table)).schema.fieldNames.toSeq)
         else None)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      // the operator-facing evolution state: one entry per spec
+      // generation, dir + partition columns ("root:(y)", "_g1:(y,m)")
+      specGens = specGenerations(table).map(sg =>
+        (if (sg.dir.isEmpty) "root" else sg.dir) +
+          sg.partCols.mkString(":(", ",", ")")))
   }
 
   /** Drop a tag; the snapshot it pinned becomes prunable at the next
@@ -9464,7 +9469,8 @@ object TableCatalog {
                                files: Long, bytes: Long,
                                branches: Seq[String], tags: Seq[String],
                                constraints: Seq[String],
-                               columns: Seq[String])
+                               columns: Seq[String],
+                               specGens: Seq[String] = Seq.empty)
 
   private[catalog] def renderIdMarker(m: IdMarker): String = {
     val o = om.createObjectNode()

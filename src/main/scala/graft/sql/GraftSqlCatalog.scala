@@ -1022,12 +1022,14 @@ object GraftSqlCatalog {
               val d = cat.detail(table)
               (StructType.fromDDL("version LONG, rows LONG, files LONG, " +
                 "bytes LONG, branches STRING, tags STRING, " +
-                "constraints STRING, columns STRING"),
+                "constraints STRING, columns STRING, " +
+                "spec_generations STRING"),
                 Seq(InternalRow(d.version.getOrElse(-1L), d.rows, d.files,
                   d.bytes, UTF8String.fromString(d.branches.mkString(",")),
                   UTF8String.fromString(d.tags.mkString(",")),
                   UTF8String.fromString(d.constraints.mkString(",")),
-                  UTF8String.fromString(d.columns.mkString(",")))))
+                  UTF8String.fromString(d.columns.mkString(",")),
+                  UTF8String.fromString(d.specGens.mkString(";")))))
             case "restore_timestamp" =>
               val v = cat.restoreTimestamp(table, input.getLong(1))
               (StructType.fromDDL("restored_as LONG"), Seq(InternalRow(v)))

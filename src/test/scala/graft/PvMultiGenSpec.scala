@@ -240,10 +240,16 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql(s"SELECT k FROM $g.ac WHERE note = 'late'")
       .as[Long].collect().toSeq === Seq(9L))
     assert(cat.read("ac").count() === 5L)
+    // describe_detail surfaces the evolution state
+    assert(spark.sql(s"CALL $g.system.describe_detail('ac')").head()
+      .getString(8) === "root:(y);_g1:(y,m)",
+      "spec_generations must show each generation's dir and columns")
     // compaction collapses with the evolved shape intact
     cat.compactGenerationsVersioned("ac")
     assert(cat.read("ac").filter(col("note") === "late").count() === 1L)
     assert(cat.read("ac").columns.toSeq === Seq("k", "v", "y", "m", "note"))
+    assert(spark.sql(s"CALL $g.system.describe_detail('ac')").head()
+      .getString(8) === "root:(y,m)")
   }
 
   test("exactly-once pv batch replay ignores an ORPHAN history stamp " +
