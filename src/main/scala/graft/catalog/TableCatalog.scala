@@ -6559,6 +6559,143 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * Returns (category, files, bytes) per residue class found and
     * deleted, category-sorted — the audit record an operator wants
     * from a fleet-wide vacuum pass. */
+  /** Read-only INTEGRITY check of one table — the operator's answer to
+    * "is this table healthy after that crash?" (r16). Pure driver
+    * metadata (one manifest read + file stats + sidecar parses; no
+    * data scanned, no lock taken, nothing repaired). Returns
+    * (severity, check, detail) rows — empty = clean:
+    *
+    *  - error: serves wrong/missing data NOW (manifest names a missing
+    *    file, size drift, a versioned table carrying DV sidecars);
+    *  - warn: durability at risk at the NEXT commit or awaiting
+    *    recovery (a data file the manifest does not carry — readable
+    *    today, silently dropped by the next carry; an orphan publish
+    *    intent; a committed-but-unfinalized collapse intent; a
+    *    field-id marker naming an uncommitted version);
+    *  - info: benign residue a maintenance verb will fold (scratch
+    *    dirs, a stale pre-commit intent, a pre-manifest head).
+    *
+    * Each check names the verb that heals it, so the row IS the
+    * runbook entry. */
+  def fsck(table: String): Seq[(String, String, String)] = {
+    require(exists(table), s"'$table' does not exist")
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    def row(sev: String, c: String, d: String): Unit = out += ((sev, c, d))
+    val cur = currentVersion(table)
+    // the head snapshot against its manifest
+    cur.foreach { v =>
+      val snap = snapDir(table, v)
+      if (!Files.exists(snap))
+        row("error", "head_snapshot",
+          s"pointer names _v$v but the directory is missing")
+      else readLeafManifest(snap) match {
+        case Some(m) =>
+          m.foreach { case (rel, sz) =>
+            val p = snap.resolve(rel)
+            if (!Files.exists(p))
+              row("error", "manifest_file_missing",
+                s"$rel — the snapshot serves a hole; restore from a " +
+                  "retained version or re-land the data")
+            else if (Files.size(p) != sz)
+              row("error", "manifest_size_mismatch",
+                s"$rel: manifest $sz vs disk ${Files.size(p)} bytes — " +
+                  "something rewrote an immutable snapshot file")
+          }
+          val onDisk = listParquetUrisAt(snap).map(u =>
+            snap.relativize(Paths.get(java.net.URI.create(u))).toString)
+          (onDisk -- m.keySet).toSeq.sorted.foreach(rel =>
+            row("warn", "unmanifested_file",
+              s"$rel is readable NOW but the next commit's carry will " +
+                "drop it (crashed adoption residue) — re-land its rows " +
+                "or delete it"))
+        case None =>
+          row("info", "manifest",
+            s"head _v$v predates the leaf manifest — the next commit " +
+              "pays one tree walk and mints it")
+      }
+      if (!historyEntries(table).exists(_._1 == v))
+        row("warn", "history",
+          s"head v$v has no history entry — TIMESTAMP AS OF and the " +
+            "change feed cannot prove its commit class")
+    }
+    // spec sidecar: pending generation-compaction intent
+    specSidecar(table).foreach { s =>
+      s.collapseAt.foreach { case (ca, pub) =>
+        if (cur.exists(_ >= ca) && collapseCommitted(table, ca, pub))
+          row("warn", "collapse_intent",
+            s"compaction at v$ca committed but its finalize sidecar " +
+              "never landed — reads are correct (the intent gates the " +
+              "view); run compactGenerationsVersioned to finish the " +
+              "sweep + finalize")
+        else
+          row("info", "collapse_intent",
+            s"stale pre-commit compaction intent at v$ca — inert (its " +
+              "provenance UUID can never match a foreign commit); the " +
+              "next compaction overwrites it")
+      }
+    }
+    // field-id marker vs the committed pointer
+    idMarker(table).foreach { m =>
+      if (cur.exists(m.since > _))
+        row("warn", "field_ids",
+          s"marker names uncommitted v${m.since} (a crashed rewrite) — " +
+            "appends retire it; run compactSmallFiles/optimizeZOrder " +
+            "to re-stamp before any RENAME/DROP COLUMN")
+    }
+    // versioned tables must never carry delete vectors
+    if (cur.isDefined && hasDv(table))
+      row("error", "delete_vectors",
+        "a versioned table carries _dv sidecars — the snapshot verbs " +
+          "never fold them; applyDeleteVectors on the plain layout " +
+          "they belong to")
+    // branches: live ones, orphan data dirs, publish intents
+    val live = branches(table).keySet
+    live.toSeq.sorted.foreach { n =>
+      branchMeta(table, n).foreach { meta =>
+        val dir = branchDataDir(table, n, meta.epoch)
+        if (meta.mode == "replace") {
+          val claims = readBranchClaims(dir)
+          if (claims.isEmpty)
+            row("info", "branch_claims",
+              s"replace-mode branch '$n' has no claims yet")
+        }
+      }
+    }
+    val rootList = {
+      val st = Files.list(Paths.get(path(table)))
+      try st.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally st.close()
+    }
+    rootList.filter(_.startsWith("_branchdata_")).foreach { d =>
+      val body = d.drop("_branchdata_".length)
+      if (!live.exists(n => body == n || body.startsWith(n + "-")))
+        row("warn", "orphan_branch_dir",
+          s"$d has no branch pointer (a crashed drop) — vacuum sweeps " +
+            "it past the grace window")
+    }
+    rootList.filter(_.startsWith("_brpend_")).foreach { f =>
+      val n = f.drop("_brpend_".length)
+      if (!live.contains(n))
+        row("warn", "publish_intent",
+          s"$f names a branch that no longer exists — publish/drop " +
+            "recovery folds and clears it")
+      else
+        row("info", "publish_intent",
+          s"branch '$n' carries a publish intent (a crashed publish) — " +
+            "the next publishBranch recovers it exactly-once")
+    }
+    val scratch = rootList.count(n =>
+      n.startsWith("_tmp_") || n.startsWith("_brtmp_") ||
+        n.startsWith("_tagtmp_"))
+    if (scratch > 0)
+      row("info", "scratch",
+        s"$scratch crashed-writer scratch entr${if (scratch == 1) "y"
+          else "ies"} — vacuum reclaims them past the grace window")
+    out.toSeq
+  }
+
   def vacuum(table: String, graceMs: Long = 3600000L): Seq[(String, Long, Long)] =
     withTableLock(table) {
       require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")

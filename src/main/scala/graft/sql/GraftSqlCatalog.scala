@@ -530,7 +530,7 @@ object GraftSqlCatalog {
       "clone", "describe_detail", "restore_timestamp", "analyze",
       "delete_vectorize", "apply_delete_vectors",
       "optimize_zorder", "add_constraint", "drop_constraint",
-      "repartition")
+      "repartition", "fsck")
 
   /** The generated partition column's declared type per transform. */
   private[sql] def genType(g: graft.catalog.TableCatalog.GenCol)
@@ -887,6 +887,8 @@ object GraftSqlCatalog {
       case "expire_branches" => "drop branches idle past a grace window"
       case "clone" => "zero-copy CLONE of the current snapshot"
       case "describe_detail" => "one-row operational summary (no data scan)"
+      case "fsck" =>
+        "read-only integrity check: (severity, check, detail) rows"
       case "restore_timestamp" => "restore the snapshot as of an instant"
       case "analyze" => "compute stats (rows/NDV/envelopes) for planning"
       case "delete_vectorize" => "O(matches) merge-on-read DELETE (vectors)"
@@ -927,6 +929,8 @@ object GraftSqlCatalog {
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("target", DT.StringType).build())
           case "describe_detail" => Array(
+            ProcedureParameter.in("table", DT.StringType).build())
+          case "fsck" => Array(
             ProcedureParameter.in("table", DT.StringType).build())
           case "restore_timestamp" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
@@ -1030,6 +1034,13 @@ object GraftSqlCatalog {
                   UTF8String.fromString(d.constraints.mkString(",")),
                   UTF8String.fromString(d.columns.mkString(",")),
                   UTF8String.fromString(d.specGens.mkString(";")))))
+            case "fsck" =>
+              (StructType.fromDDL(
+                "severity STRING, check STRING, detail STRING"),
+                cat.fsck(table).map { case (sev, c, d) =>
+                  InternalRow(UTF8String.fromString(sev),
+                    UTF8String.fromString(c), UTF8String.fromString(d))
+                })
             case "restore_timestamp" =>
               val v = cat.restoreTimestamp(table, input.getLong(1))
               (StructType.fromDDL("restored_as LONG"), Seq(InternalRow(v)))
