@@ -709,6 +709,54 @@ object TestdataQueries {
              |  (1, '02012021', DATE '2021-01-02'),
              |  (2, '01022021', DATE '2021-02-01')) t(ord, date_str, dt)""".stripMargin)),
 
+    // ----------------------------------------- fsck integrity checker
+    // (r16) A deterministic crash-residue scenario — stray unmanifested
+    // parquet, orphan publish intent, orphan branch dir, scratch
+    // entries, a stale collapse intent — must surface as EXACTLY these
+    // (severity, check) rows, clean before injection and after vacuum-
+    // style cleanup. The literal oracle pins the triage taxonomy.
+    "x_fsck" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_fsck", dir)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val pre = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("price_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      cat.createPartitionedVersioned("pv", pre.schema, Seq("y"))
+      val v = cat.appendPartitionedVersioned("pv", pre)
+      require(cat.fsck("pv").isEmpty, "a healthy table must be clean")
+      // inject one residue per class, deterministically
+      val snap = java.nio.file.Paths.get(cat.path("pv"), s"_v$v")
+      val leaf = {
+        val st = java.nio.file.Files.list(snap)
+        try st.iterator().asScala.filter(p =>
+          java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("y=")).toSeq
+          .minBy(_.getFileName.toString)
+        finally st.close()
+      }
+      java.nio.file.Files.write(leaf.resolve("stray-crash.parquet"),
+        Array[Byte](80, 65, 82, 49))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(cat.path("pv"), "_brpend_ghost"),
+        "{}".getBytes("UTF-8"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(cat.path("pv"), "_branchdata_ghost-e1"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(cat.path("pv"), "_tmp_ins-crashed"))
+      import s.implicits._
+      val findings = cat.fsck("pv")
+        .map { case (sev, check, _) => (sev, check) }
+        .groupBy(identity).map { case ((sev, c), xs) =>
+          (sev, c, xs.size.toLong) }.toSeq.sortBy(x => (x._1, x._2))
+      findings.toDF("severity", "check", "n")
+    }),
+      Some("""SELECT * FROM (VALUES
+             |  ('info', 'scratch', CAST(1 AS BIGINT)),
+             |  ('warn', 'orphan_branch_dir', CAST(1 AS BIGINT)),
+             |  ('warn', 'publish_intent', CAST(1 AS BIGINT)),
+             |  ('warn', 'unmanifested_file', CAST(1 AS BIGINT)))
+             |  t(severity, "check", n)""".stripMargin)),
+
     // ------------------------------------------------- S9 file archiver
     // Post-load archival (reference main.py:20-30, 117): only the
     // requested date's files move to archive/ with the .backup suffix,
