@@ -2103,7 +2103,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // leaf tree — O(files) metadata, zero bytes (links reference the
       // same immutable inodes, so retention pruning the old DIRECTORY
       // never touches the carried data; re-linked relative paths also
-      // cancel in a change feed straddling the round trip)
+      // cancel in a change feed straddling the round trip).
+      // A crashed compaction's committed collapse intent must finish
+      // FIRST: restoring a pre-collapse (multi-generation) tree as a
+      // post-collapse version would read it under the collapsed spec —
+      // the heal sweeps those snapshots, so the restore below refuses
+      // loudly instead of misreading.
+      healCollapseIntent(table)
       require(currentVersion(table).exists(v <= _),
         s"version $v of '$table' was never committed " +
           s"(pointer: ${currentVersion(table).getOrElse(-1L)})")
@@ -4678,9 +4684,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               throw new IllegalStateException(
                 s"'$table' lost its partition spec"))
             val lastGen = s.gens.lastOption.map(_.gen).getOrElse(Seq.empty)
-            (0L until ca).foreach(k => deleteRecursive(snapDir(table, k)))
-            writePartSpecGenV(table, cols, declared, lastGen,
-              versioned = true)
+            // a tag/branch minted IN the crash window may pin a
+            // pre-collapse snapshot — sweep around it and keep the
+            // intent pending (the gated view stays correct forever;
+            // finalize only once nothing below ca survives)
+            val pinned = (tags(table).values ++ branches(table).values)
+              .filter(_ < ca).toSet
+            (0L until ca).filterNot(pinned)
+              .foreach(k => deleteRecursive(snapDir(table, k)))
+            if (pinned.isEmpty)
+              writePartSpecGenV(table, cols, declared, lastGen,
+                versioned = true)
           }
         }
       }
