@@ -8784,14 +8784,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         f.copy(nullable = true,
           metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
       m2.foreach(writeIdMarker(table, _))
-      val entryIds = m2.filter(_ => carriesIds)
-      appendSchemaEntry(table, next, ddl,
-        ids = entryIds.map(mk =>
-          (if (mk.nested) TableCatalog.fieldPaths(newSchema)
+      // an ID-READING table whose marker is gone (crashed rewrite)
+      // must keep binding the SURVIVING names to their ids — the last
+      // schema entry carries them (the widenColumn rule); writing an
+      // id-less entry here would flip reads to name-matching over
+      // renamed files (silent nulls). The new path simply carries no
+      // id then (it exists in no file yet — name-matching it is
+      // exact).
+      val lastE = schemaLog(table).lastOption
+      val entryIds =
+        if (!carriesIds) Map.empty[String, Int]
+        else {
+          val ids = m2.map(_.ids).orElse(lastE.map(_.ids))
+            .getOrElse(Map.empty)
+          (if (m2.exists(_.nested)) TableCatalog.fieldPaths(newSchema)
            else newSchema.fieldNames.toSeq)
-            .flatMap(n => mk.ids.get(n).map(n -> _)).toMap)
-          .getOrElse(Map.empty),
-        nextId = entryIds.map(_.nextId).getOrElse(0))
+            .flatMap(n => ids.get(n).map(n -> _)).toMap
+        }
+      appendSchemaEntry(table, next, ddl, ids = entryIds,
+        nextId = m2.map(_.nextId)
+          .orElse(lastE.map(_.nextId)).getOrElse(0))
       writeHistoryEntryCounted(table, next, "ADD_COLUMN", "",
         census.size.toLong, census.valuesIterator.sum)
       val tmp = Paths.get(path(table), "_version.tmp")
