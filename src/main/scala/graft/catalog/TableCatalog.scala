@@ -2724,13 +2724,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * read as REPLACED by the staged rows on the branch, main untouched
     * until publish. Re-staging a claimed tuple swaps its staged rows
     * (the repair loop: stage → audit fails → re-stage → audit →
-    * publish). Claims address leaves of ONE layout, so a
-    * lazily-evolved table compacts first — old-generation rows
-    * matching a claim live inside FOREIGN leaves a partition-swap
-    * publish could never excise. Returns the branch's base version. */
+    * publish). Claims address CURRENT-spec tuples; on a lazily-evolved
+    * table the staged tree lands in the current generation's subtree
+    * of the branch dir, the branch READ excises matching
+    * old-generation rows by re-derived value, and publish pairs the
+    * current-gen leaf swap with a survivor rewrite per older
+    * generation, all one snapshot (r17 verdict next #1). Returns the
+    * branch's base version. */
   def replacePartitionsOnBranch(table: String, name: String, df: DataFrame,
       dropParts: Seq[Seq[Option[String]]] = Seq.empty): Long = {
-    requireSingleGenPv(table, "replace-mode branch staging")
     requireRoutableGen(table, "replacePartitionsOnBranch")
     val (pcols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalArgumentException(
@@ -2788,9 +2790,17 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               else {
                 val dir = branchDataDir(table, name, meta.epoch)
                 Files.createDirectories(dir)
+                // a lazily-evolved table's branch tree mirrors the
+                // snapshot layout (the stageBranchPv rule): staged
+                // replacement rows live in the CURRENT generation's
+                // subtree, so publish's linkAdopt carries the
+                // `_g<k>`-prefixed rel paths straight into the snapshot
+                val genRoot = specGenerations(table).lastOption
+                  .map(_.dir).filter(_.nonEmpty)
+                  .map(dir.resolve).getOrElse(dir)
                 import scala.jdk.CollectionConverters._
                 def leafOf(t: Seq[Option[String]]): Path =
-                  dir.resolve(pcols.zip(t).map { case (c, v) =>
+                  genRoot.resolve(pcols.zip(t).map { case (c, v) =>
                     val dn = v.fold(org.apache.spark.sql.catalyst.catalog
                       .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
                       org.apache.spark.sql.catalyst.catalog
@@ -2827,7 +2837,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
                     .foreach { p =>
                       val rel = scratch.relativize(p)
                       val leaf = Option(rel.getParent)
-                        .map(dir.resolve).getOrElse(dir)
+                        .map(genRoot.resolve).getOrElse(genRoot)
                       Files.createDirectories(leaf)
                       Files.move(p, leaf.resolve(
                         s"r${java.util.UUID.randomUUID().toString.take(8)}" +
@@ -3462,6 +3472,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val hasData = Files.exists(dir) && listParquetUrisAt(dir).nonEmpty
       if (hasData && cons0.nonEmpty)
         enforced(table, readLeafTreeAt(table, dir)).count()
+      // replace-mode on a LAZILY-EVOLVED table (r17 verdict next #1):
+      // the claims also excise matching rows inside OLDER generations'
+      // foreign leaves, which a leaf skip can't address — each older
+      // generation's survivors re-stage under its own layout, UNLOCKED
+      // (a distributed rewrite must not run under the table lock)
+      // against the current head; the locked commit below re-checks
+      // the head and the claim set and retries on movement (the
+      // optimistic posture every pv rewrite takes)
+      val gens0 = specGenerations(table)
+      val claims0 =
+        if (meta.mode == "replace" && Files.exists(dir))
+          readBranchClaims(dir)
+        else Seq.empty
+      val cur0 = currentVersion(table).getOrElse(-1L)
+      val olderStaged: Seq[(Seq[String], Path, String)] =
+        if (meta.mode == "replace" && gens0.size > 1 &&
+            claims0.nonEmpty && cur0 >= 0L)
+          stageOlderGenSurvivors(table, snapDir(table, cur0), claims0)
+        else Seq.empty
+      try {
       result = withTableLock(table) { withBranchLock(table, name) {
         val cur = currentVersion(table).getOrElse(
           throw new IllegalStateException(
@@ -3503,6 +3533,22 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               consumeBranchLocked(table, name, dir); Some(cur)
             }
             else if (constraintsOf(table) != cons0 && !last) None // re-audit
+            else if (meta.mode == "replace" && claims.nonEmpty &&
+                specGenerations(table).size > 1 &&
+                (gens0.size <= 1 || cur != cur0 ||
+                  claims.toSet != claims0.toSet)) {
+              // the unlocked survivor staging went stale: the head
+              // moved (its older-generation rows are not in the staged
+              // survivors — committing anyway would silently resurrect
+              // excised rows or drop concurrent appends), the claim
+              // set changed under a concurrent re-stage, or the spec
+              // evolved mid-publish; retry re-derives all three
+              require(!last,
+                s"'$table' keeps moving while branch '$name' publishes " +
+                  "its multi-generation replace — quiesce the writers " +
+                  "and retry")
+              None
+            }
             else {
               if (hasDataL && constraintsOf(table) != cons0)
                 // degrade: audit under lock
@@ -3535,18 +3581,21 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               afterPend()
               // replace-mode: the claimed leaves do NOT carry into the
               // next snapshot — the branch's staged tree replaces them
-              // (a claim with no staged rows drops the partition)
-              val skipRels = claims.map(t =>
-                partitionSpec(table).get._1.zip(t).map { case (c, v) =>
-                  val dn = v.fold(org.apache.spark.sql.catalyst.catalog
-                    .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
-                    org.apache.spark.sql.catalyst.catalog
-                      .ExternalCatalogUtils.escapePathName)
-                  s"$c=$dn"
-                }.mkString("/"))
+              // (a claim with no staged rows drops the partition). On
+              // a lazily-evolved table the claims address the CURRENT
+              // generation's leaves, and each older generation's
+              // affected leaves swap for their staged survivors
+              val lastDir = specGenerations(table).lastOption
+                .map(_.dir).getOrElse("")
+              val skipRels = claims.map(t => TableCatalog.prefixedRel(
+                lastDir, TableCatalog.leafRelOf(
+                  partitionSpec(table).get._1, t))) ++
+                olderStaged.flatMap(_._1)
               val v = commitPartVersionedLocked(table, cur, "PUBLISH",
                 skip = skipRels, scratch = None, linkAdopt = Some(dir),
-                pub = pubId)
+                pub = pubId,
+                scratches = olderStaged.map(o =>
+                  (o._2, Option(o._3).filter(_.nonEmpty))))
               afterCommit()
               // record, consume, THEN drop the intent — the flat
               // ordering, same reasons
@@ -3557,6 +3606,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
             }
         }
       }}
+      } finally
+        // a committed attempt's scratches were consumed by the adopt
+        // move (deleteRecursive no-ops on the emptied dir); a stale or
+        // crashed attempt's survivors must not leak until vacuum
+        olderStaged.foreach(o => deleteRecursive(o._2))
     }
     result.get
   }
@@ -5436,6 +5490,78 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** The CURRENT-spec partition VALUE of a row, derivable on ANY
+    * generation's rows: identity partition columns are declared,
+    * transform columns re-derive from their source column (a pure
+    * function of declared data). String-cast to compare against
+    * directory-rendered claim tuples. */
+  private def curSpecPcs(table: String, d: DataFrame)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    val (partCols, _) = partitionSpec(table).getOrElse(
+      throw new IllegalStateException(s"'$table' lost its partition spec"))
+    val gen = specGenerations(table).lastOption.map(_.gen)
+      .getOrElse(Seq.empty)
+    partCols.map { c =>
+      gen.find(_.name == c) match {
+        case Some(g) => TableCatalog
+          .genExpr(g, d.schema(g.src).dataType).cast("string")
+        case None => col(c).cast("string")
+      }
+    }
+  }
+
+  /** Stage the OLDER-generation survivor rewrites a CURRENT-spec claim
+    * set implies on a lazily-evolved pv table: each older generation
+    * of snapshot `snap` scans for rows whose current-spec partition
+    * tuple (re-derived via [[curSpecPcs]]) matches a claim; each
+    * affected generation-local leaf re-stages its SURVIVORS under that
+    * generation's own layout. Returns one (affected leaf rels,
+    * survivor scratch, generation dir) per older generation with
+    * matches — the multi-gen halves of a REPLACE_PARTITIONS / PUBLISH
+    * commit's `skip` + `scratches`. Shared by the tuple-DML verb and
+    * the replace-mode branch publish (r17 verdict next #1). Scale: one
+    * pruned-to-affected-leaves distributed rewrite per matching
+    * generation, O(files) link metadata; generations without matches
+    * cost one scan of their subtree (SCALE.md documents the price). */
+  private def stageOlderGenSurvivors(table: String, snap: Path,
+      parts: Seq[Seq[Option[String]]]): Seq[(Seq[String], Path, String)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (_, declared) = partitionSpec(table).getOrElse(
+      throw new IllegalStateException(s"'$table' lost its partition spec"))
+    val gens = specGenerations(table)
+    gens.init.flatMap { sg =>
+      val gd = if (sg.dir.isEmpty) snap else snap.resolve(sg.dir)
+      if (!Files.exists(gd) || listParquetUrisAt(gd).isEmpty) None
+      else {
+        val full = StructType(declared.fields ++ sg.gen.map(g =>
+          org.apache.spark.sql.types.StructField(g.name,
+            TableCatalog.genDataType(g), nullable = true)))
+        val leg = spark.read.schema(full)
+          .option("basePath", gd.toString).parquet(gd.toString)
+        val cond = parts.map(TableCatalog.tupleMatchExpr(
+          curSpecPcs(table, leg), _)).reduce(_ || _)
+        val sgPcs = sg.partCols.map(c => col(c).cast("string"))
+        def tuples(d: DataFrame): Seq[Seq[Option[String]]] =
+          d.select(sgPcs: _*).distinct().collect()
+            .map(r => sg.partCols.indices.map(i =>
+              Option(r.getString(i))): Seq[Option[String]]).toSeq
+        val affected = tuples(leg.filter(cond))
+        if (affected.isEmpty) None
+        else {
+          val inLeaf = affected.map(TableCatalog.tupleMatchExpr(sgPcs, _))
+            .reduce(_ || _)
+          val survivors = leg.filter(inLeaf)
+            .filter(!coalesce(cond, lit(false)))
+          val scratch = stageLeaves(table, survivors, sg.partCols)
+          val rels = affected.map(t => TableCatalog.prefixedRel(sg.dir,
+            TableCatalog.leafRelOf(sg.partCols, t)))
+          Some((rels, scratch, sg.dir))
+        }
+      }
+    }
+  }
+
   /** [[overwritePartitionTuplesVersioned]] for a MULTI-GENERATION pv
     * table (r16): the tuples address partitions of the CURRENT spec,
     * but matching rows can live in any generation under any layout —
@@ -5450,74 +5576,23 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def overwritePartitionTuplesVersionedMultiGen(table: String,
       df: DataFrame, parts: Seq[Seq[Option[String]]],
       expect: Long): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val (partCols, declared) = partitionSpec(table).getOrElse(
+    val (partCols, _) = partitionSpec(table).getOrElse(
       throw new IllegalStateException(s"'$table' lost its partition spec"))
     val gens = specGenerations(table)
     val last = gens.last
-    // the current-spec partition VALUE of a row, derivable on ANY
-    // generation's rows: identity partition columns are declared,
-    // transform columns re-derive from their source column
-    def curPcs(d: DataFrame): Seq[org.apache.spark.sql.Column] =
-      partCols.map { c =>
-        last.gen.find(_.name == c) match {
-          case Some(g) => TableCatalog
-            .genExpr(g, d.schema(g.src).dataType).cast("string")
-          case None => col(c).cast("string")
-        }
-      }
-    def tupleMatch(pcs: Seq[org.apache.spark.sql.Column],
-        t: Seq[Option[String]]): org.apache.spark.sql.Column =
-      pcs.zip(t).map { case (pc, v) =>
-        v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
-    def leafRelOf(cols: Seq[String], t: Seq[Option[String]]): String =
-      cols.zip(t).map { case (c, v) =>
-        val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName)
-        s"$c=$dirName"
-      }.mkString("/")
-    def prefixed(dir: String, rel: String): String =
-      if (dir.isEmpty) rel else s"$dir/$rel"
     // CURRENT generation: its layout IS the current spec, so the
     // claimed leaves are exactly the tuples — metadata-only skip
-    val lastRels = parts.map(t => prefixed(last.dir, leafRelOf(partCols, t)))
-    val snap = snapDir(table, expect)
+    val lastRels = parts.map(t =>
+      TableCatalog.prefixedRel(last.dir,
+        TableCatalog.leafRelOf(partCols, t)))
     // OLDER generations: find + rewrite the leaves holding matches
-    val older = gens.init.flatMap { sg =>
-      val gd = if (sg.dir.isEmpty) snap else snap.resolve(sg.dir)
-      if (!Files.exists(gd) || listParquetUrisAt(gd).isEmpty) None
-      else {
-        val full = StructType(declared.fields ++ sg.gen.map(g =>
-          org.apache.spark.sql.types.StructField(g.name,
-            TableCatalog.genDataType(g), nullable = true)))
-        val leg = spark.read.schema(full)
-          .option("basePath", gd.toString).parquet(gd.toString)
-        val cond = parts.map(tupleMatch(curPcs(leg), _)).reduce(_ || _)
-        val sgPcs = sg.partCols.map(c => col(c).cast("string"))
-        def tuples(d: DataFrame): Seq[Seq[Option[String]]] =
-          d.select(sgPcs: _*).distinct().collect()
-            .map(r => sg.partCols.indices.map(i =>
-              Option(r.getString(i))): Seq[Option[String]]).toSeq
-        val affected = tuples(leg.filter(cond))
-        if (affected.isEmpty) None
-        else {
-          val inLeaf = affected.map(tupleMatch(sgPcs, _)).reduce(_ || _)
-          val survivors = leg.filter(inLeaf)
-            .filter(!coalesce(cond, lit(false)))
-          val scratch = stageLeaves(table, survivors, sg.partCols)
-          val rels = affected.map(t =>
-            prefixed(sg.dir, leafRelOf(sg.partCols, t)))
-          Some((rels, scratch, sg.dir))
-        }
-      }
-    }
+    val older = stageOlderGenSurvivors(table, snapDir(table, expect), parts)
     // the replacement rows: current spec, routed into the current
     // generation's subtree; rows outside the claimed tuples drop (the
     // single-generation contract)
     val withG = withGen(table, stripDf(df))
-    val keep = parts.map(tupleMatch(curPcs(withG), _)).reduce(_ || _)
+    val keep = parts.map(TableCatalog.tupleMatchExpr(
+      curSpecPcs(table, withG), _)).reduce(_ || _)
     val newScratch = stageLeaves(table, withG.filter(keep), partCols)
     withTableLock(table) {
       if (!currentVersion(table).contains(expect)) {
@@ -9801,6 +9876,29 @@ object TableCatalog {
         else c.cast("long") - pmod(c.cast("long"), lit(truncWidth(g).toLong))
     }
   }
+
+  /** Row-matches-claimed-tuple as a Column: each partition-value
+    * expression equals its tuple slot (NULL slot → IS NULL). */
+  private[graft] def tupleMatchExpr(pcs: Seq[org.apache.spark.sql.Column],
+      t: Seq[Option[String]]): org.apache.spark.sql.Column =
+    pcs.zip(t).map { case (pc, v) =>
+      v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _)
+
+  /** The Hive leaf-relative path of a partition tuple under `cols`'s
+    * layout (directory-escaped, NULL → the default partition name). */
+  private[graft] def leafRelOf(cols: Seq[String],
+      t: Seq[Option[String]]): String =
+    cols.zip(t).map { case (c, v) =>
+      val dirName = v.fold(org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)(
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName)
+      s"$c=$dirName"
+    }.mkString("/")
+
+  /** `rel` under generation subtree `dir` ("" = the table root). */
+  private[graft] def prefixedRel(dir: String, rel: String): String =
+    if (dir.isEmpty) rel else s"$dir/$rel"
 
   /** Whether a truncate transform is the STRING flavor — recorded in
     * the spec as a negative width so the flavor survives re-parsing

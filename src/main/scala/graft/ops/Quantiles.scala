@@ -37,10 +37,20 @@ import org.apache.spark.sql.functions._
   * than `buckets` histogram rows or one bucket's values. */
 object Quantiles {
 
-  /** Exact `percentile_cont` of integral `valueCol` per `groupCol` at
+  /** Exact `percentile_cont` of numeric `valueCol` per `groupCol` at
     * each rational position `(outName, num, den)`. Returns one row per
     * group: (groupCol, outName…) with DOUBLE percentile columns —
-    * bit-identical to `expr("percentile(valueCol, num/den)")`. */
+    * bit-identical to `expr("percentile(valueCol, num/den)")`.
+    *
+    * Domains (r17 verdict next #3 — no caller pre-scaling):
+    *   - integral types run the bounded search directly;
+    *   - DOUBLE / FLOAT map through the order-preserving
+    *     [[graft.functions.DoubleSortableBits]] bijection, so the
+    *     int64 bucketed search carries over unchanged and the order
+    *     statistics invert exactly before interpolation;
+    *   - DECIMAL(p ≤ 18, s) maps to its unscaled int64 (×10^s, exact)
+    *     and inverts through BigDecimal — the same decimal→double
+    *     rounding `percentile()`'s own `toDoubleValue` applies. */
   def percentilesCont(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(String, Long, Long)], buckets: Int = 4096,
       smallThreshold: Long = 1L << 20): DataFrame = {
@@ -50,6 +60,42 @@ object Quantiles {
     }
     require(qs.map(_._1).distinct.size == qs.size, "duplicate out names")
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    import org.apache.spark.sql.types._
+    // the domain mapping: value → int64 (order-preserving, exact) and
+    // order statistic → double (the stock aggregate's own conversion)
+    val (toV: (org.apache.spark.sql.Column => org.apache.spark.sql.Column),
+         fromOv: (org.apache.spark.sql.Column => org.apache.spark.sql.Column)) =
+      df.schema(valueCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          ((c: org.apache.spark.sql.Column) => c.cast("long"),
+            (c: org.apache.spark.sql.Column) => c.cast("double"))
+        case DoubleType | FloatType =>
+          ((c: org.apache.spark.sql.Column) =>
+             graft.functions.DoubleSortableBits(c.cast("double")),
+            (c: org.apache.spark.sql.Column) =>
+              graft.functions.SortableBitsDouble(c))
+        case d: DecimalType if d.precision <= 18 =>
+          // unscaled int64 (×10^s is exact: p ≤ 18 digits fit a long);
+          // the inverse runs on |groups|×|qs| rows only, so a UDF
+          // through BigDecimal.doubleValue — bit-identical to
+          // Decimal.toDouble, which is what percentile() interpolates
+          // with — costs nothing at scale
+          val sc = d.scale
+          val pow = BigInt(10).pow(sc).toLong
+          val un2d = org.apache.spark.sql.functions.udf(
+            (u: java.lang.Long) =>
+              if (u == null) null
+              else java.lang.Double.valueOf(new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(u.longValue), sc)
+                .doubleValue))
+          ((c: org.apache.spark.sql.Column) =>
+             (c * lit(pow)).cast("long"),
+            (c: org.apache.spark.sql.Column) => un2d(c))
+        case other => throw new IllegalArgumentException(
+          s"percentilesCont: unsupported value type ${other.catalogString}" +
+            " — integral, float/double, or decimal(p<=18) (wider decimals" +
+            " exceed the int64 search domain; reduce precision first)")
+      }
     // the ROUTING decision first, from one cheap map-side-combined
     // HLL pass (±2% is plenty for a capacity threshold — the exact
     // pv shuffle + checkpoint below would be wasted work whenever the
@@ -74,7 +120,7 @@ object Quantiles {
     // convention). NULL values drop here, matching percentile()'s
     // null-ignoring semantics (n below counts non-null rows only).
     val pv = df.select(col(groupCol).as("g"),
-        col(valueCol).cast("long").as("v"))
+        toV(col(valueCol)).as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("vw"))
       .localCheckpoint(true)
@@ -98,11 +144,16 @@ object Quantiles {
           lit("hi").as("which"), col("fnum"), col("fden")))
     // bucketed domain + per-bucket running counts (≤ buckets rows per
     // group through the window) — integer `div` bucket edges, the
-    // WeightedQuantile monotonicity rule
+    // WeightedQuantile monotonicity rule. OVERFLOW-PROOF (r17): a
+    // sortable-bits double domain spans the whole int64 line, so
+    // `vmax - vmin` can overflow ANSI; halving FIRST (`div 2` is
+    // monotone, each half fits ±2^62) keeps every difference in range
+    // at the price of half the bucket resolution (the crossing-bucket
+    // rescan reads ≤ 2·domain/buckets values — same bound class)
     val withB = pv.join(broadcast(bounds), Seq("g"))
-      .withColumn("bw",
-        greatest(lit(1L), expr(s"(vmax - vmin) div ${buckets}L + 1L")))
-      .withColumn("bkt", expr("(v - vmin) div bw"))
+      .withColumn("bw", greatest(lit(1L),
+        expr(s"(vmax div 2 - vmin div 2) div ${buckets / 2}L + 1L")))
+      .withColumn("bkt", expr("(v div 2 - vmin div 2) div bw"))
     val perBucket = withB.groupBy(col("g"), col("bkt"))
       .agg(sum(col("vw")).as("bw_sum"))
     val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
@@ -139,9 +190,9 @@ object Quantiles {
         .select(col("g"), col("qname"), col("fnum"), col("fden"))
         .distinct()), Seq("g", "qname"))
       .withColumn("f", col("fnum").cast("double") / col("fden").cast("double"))
-      .withColumn("p", when(col("fnum") === 0L, col("xlo").cast("double"))
-        .otherwise((lit(1.0) - col("f")) * col("xlo").cast("double") +
-          col("f") * col("xhi").cast("double")))
+      .withColumn("p", when(col("fnum") === 0L, fromOv(col("xlo")))
+        .otherwise((lit(1.0) - col("f")) * fromOv(col("xlo")) +
+          col("f") * fromOv(col("xhi"))))
     // pivot the quantile names back to columns, one row per group —
     // LEFT-joined from the full group list so a group whose values
     // are all NULL still answers (null percentiles), exactly like the

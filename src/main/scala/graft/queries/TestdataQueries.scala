@@ -3068,9 +3068,12 @@ object TestdataQueries {
     "x_winsorize" -> (((s: SparkSession, dir: String) => {
       val q = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      val stats = q.groupBy(col("lang")).agg(
-        expr("percentile(n_tokens, 0.25)").as("p25"),
-        expr("percentile(n_tokens, 0.75)").as("p75"))
+      // routed through the bounded exact-percentile op (r17 — the last
+      // stock-percentile call site): smallThreshold = 0 pins the scale
+      // path at every gate SF, the x_quality_percentile precedent
+      val stats = graft.ops.Quantiles.percentilesCont(q, "lang",
+        "n_tokens", Seq(("p25", 1L, 4L), ("p75", 3L, 4L)),
+        smallThreshold = 0L)
       q.join(broadcast(stats), "lang")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           floor(greatest(least(col("n_tokens").cast("double"), col("p75")),
@@ -5104,6 +5107,16 @@ object TestdataQueries {
         "dt STRING) PARTITIONED BY (dt) TBLPROPERTIES ('versioned'='true')")
       cat.appendPartitionedVersioned("pv",
         pre.filter(pmod(col("okey"), lit(3)) =!= 0))          // v2 = base
+      // LAZY EVOLUTION before any WAP (r17 verdict next #1): the whole
+      // loop below — append staging, SQL audits, replace-mode claims,
+      // both publishes — runs on a 2-GENERATION table: gen0 holds the
+      // base under the (dt) layout, every later write routes into
+      // _g1's (dt, bucket(okey,2)) layout, and the replace claims must
+      // excise matching gen0 rows from inside foreign leaves
+      cat.repartitionTableLazy("pv",
+        Seq(("identity", "dt", 0), ("bucket", "okey", 2)))
+      require(cat.specGenerations("pv").size == 2,
+        "the WAP loop must exercise a lazily-evolved table")
       val years = pre.select(col("dt")).distinct().orderBy(col("dt"))
         .collect().map(_.getString(0)).toSeq
       val (y1, y2) = (years.head, years.last)
@@ -5176,6 +5189,19 @@ object TestdataQueries {
       survivors.createOrReplaceTempView("pvwap_gdpr_stage")
       s.sql(s"INSERT OVERWRITE $cname.`pv@gdpr` " +
         "SELECT okey, price_c, dt FROM pvwap_gdpr_stage")
+      // the SQL face derives claims from the staged rows' OWN tuples;
+      // under the evolved (dt, bucket(okey,2)) spec a y1 bucket no
+      // survivor happens to land in would escape the claim — claim any
+      // missing (y1, bucket) tuple explicitly (the zero-row dropParts
+      // staging, a partition DROP under audit)
+      val presentBuckets = survivors
+        .select(pmod(hash(col("okey")), lit(2)).cast("string").as("b"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val missingBuckets = Seq("0", "1").filterNot(presentBuckets)
+        .map(b => Seq(Some(y1), Some(b)))
+      if (missingBuckets.nonEmpty)
+        cat.replacePartitionsOnBranch("pv", "gdpr",
+          pre.filter(lit(false)), dropParts = missingBuckets)
       require(s.sql(s"SELECT count(*) FROM $cname.pv").head().getLong(0)
         == headN, "main must be untouched by replace staging")
       require(s.sql(s"SELECT count(*) FROM $cname.`pv@gdpr` " +
@@ -6789,17 +6815,24 @@ object TestdataQueries {
     // pins the approx within a tolerance band in-plan (the sketch path
     // is the 100 TB default — a single-pass mergeable summary instead
     // of a full sort — and the property proves it lands on target).
-    "x_approx_percentile" -> (((s: SparkSession, dir: String) =>
-      t(s, dir, "documents")
+    "x_approx_percentile" -> (((s: SparkSession, dir: String) => {
+      val base = t(s, dir, "documents")
         .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .groupBy(col("lang"))
-        .agg(expr("percentile(n_tokens, 0.5)").as("p50_exact"),
-          // accuracy 2000 → rank error ≤ n/2000; at the gate SFs the
-          // sketch lands within a rank or two of the true median
-          expr("percentile_approx(n_tokens, 0.5, 2000)").as("approx"))
+      // the exact pin routes through the adaptive bounded-percentile op
+      // (r17 — no stock single-reducer percentile call sites remain):
+      // below the distinct threshold it IS the stock aggregate, above
+      // it the bucketed search keeps the pin computable at all
+      val exact = graft.ops.Quantiles.percentilesCont(base, "lang",
+        "n_tokens", Seq(("p50_exact", 1L, 2L)))
+      base.groupBy(col("lang"))
+        // accuracy 2000 → rank error ≤ n/2000; at the gate SFs the
+        // sketch lands within a rank or two of the true median
+        .agg(expr("percentile_approx(n_tokens, 0.5, 2000)").as("approx"))
+        .join(broadcast(exact), Seq("lang"))
         .select(col("lang"), col("p50_exact"),
           (abs(col("approx") - col("p50_exact")) <=
-            greatest(col("p50_exact") * 0.1, lit(3.0))).as("approx_ok"))),
+            greatest(col("p50_exact") * 0.1, lit(3.0))).as("approx_ok"))
+    }),
       Some("""SELECT lang,
              |  quantile_cont(CAST(len(string_split(text, ' ')) AS BIGINT), 0.5) AS p50_exact,
              |  TRUE AS approx_ok
@@ -7357,13 +7390,14 @@ object TestdataQueries {
         "c", Seq(("med_c", 1L, 2L)))
       val dev = ev.join(med, Seq("event_type"))
         .withColumn("dev", abs(col("c") - col("med_c")))
-      // dev steps in halves (a median of int64s interpolates at .5) —
-      // percentile is linear, so search the EXACT doubled-int domain
-      // and halve after (a power-of-two scale, bit-exact in double)
+      // dev is DOUBLE (exact halves — a median of int64s interpolates
+      // at .5): the sortable-bits domain (r17) runs the bounded search
+      // on it directly, retiring the r16 doubled-int detour; both are
+      // bit-exact here and QuantilesSpec pins the double path against
+      // the stock aggregate
       val mad = graft.ops.Quantiles.percentilesCont(
-        dev.withColumn("dev2", (col("dev") * 2).cast("long")),
-        "event_type", "dev2", Seq(("mad2", 1L, 2L)))
-        .select(col("event_type"), (col("mad2") / 2.0).as("mad_c"))
+        dev, "event_type", "dev", Seq(("mad_c", 1L, 2L)))
+        .select(col("event_type"), col("mad_c"))
       dev.join(mad, Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("med_c")).as("med_c"),

@@ -537,12 +537,50 @@ object GraftSqlCatalog {
       : org.apache.spark.sql.types.DataType =
     graft.catalog.TableCatalog.genDataType(g)
 
+  /** NOT(claimed-tuple ∨ …) as a RESOLVED row-level expression over
+    * the DECLARED columns — the base-tree exclusion a REPLACE-mode pv
+    * branch read applies to OLDER spec generations (r17 verdict next
+    * #1), whose foreign layouts a partition predicate can't address:
+    * identity claim columns compare directly, transform claim columns
+    * re-derive from their declared source column
+    * ([[graft.catalog.TableCatalog.genExpr]], a pure function), so the
+    * match is exact PER ROW. 3VL: a NULL derivation keeps the row
+    * (claims name rendered values; only a definite match excises).
+    * Resolution runs through the analyzer against an empty relation of
+    * the declared schema, so the returned expression is bindable by
+    * name to any leg whose output carries the referenced columns. */
+  private[sql] def claimsRowExclusionExpr(pcols: Seq[String],
+      gen: Seq[graft.catalog.TableCatalog.GenCol],
+      declared: StructType, claims: Seq[Seq[Option[String]]])
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    if (claims.isEmpty) return None
+    val pcs = pcols.map { c =>
+      gen.find(_.name == c) match {
+        case Some(g) => graft.catalog.TableCatalog
+          .genExpr(g, declared(g.src).dataType).cast("string")
+        case None => col(c).cast("string")
+      }
+    }
+    val claimed = claims.map(t =>
+      graft.catalog.TableCatalog.tupleMatchExpr(pcs, t)).reduce(_ || _)
+    val df = SparkSession.active.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      declared).filter(not(coalesce(claimed, lit(false))))
+    df.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+  }
+
   /** NOT(claimed-tuple ∨ …) as a catalyst expression over a spec's
     * partition columns — the base-tree exclusion of a REPLACE-mode pv
-    * branch read. Every referenced column is a partition column (the
-    * staging verb requires a single-generation spec), so the inner
-    * file scan consumes this as a pure partition filter: exact
-    * plan-time directory pruning, never a row-group heuristic. */
+    * branch read, for the leg whose layout IS the claim spec (the
+    * CURRENT generation). Every referenced column is a partition
+    * column of that leg, so the inner file scan consumes this as a
+    * pure partition filter: exact plan-time directory pruning, never a
+    * row-group heuristic. Older generations take the row-level
+    * [[claimsRowExclusionExpr]] instead. */
   private[sql] def claimsExclusionExpr(pcols: Seq[String],
       gen: Seq[graft.catalog.TableCatalog.GenCol],
       declared: StructType, claims: Seq[Seq[Option[String]]])
@@ -1322,23 +1360,35 @@ object GraftSqlCatalog {
         // each root is itself a (possibly multi-generation) leaf tree:
         // one leg per (root, spec generation). A REPLACE-mode branch
         // excludes its claimed partitions from the BASE root's legs —
-        // the exclusion is a pure partition predicate under the
-        // (single) spec, so the inner scan prunes the claimed leaf
-        // dirs exactly at plan time; the staged root serves their
-        // would-be content.
+        // on the CURRENT generation (whose layout IS the claim spec)
+        // the exclusion is a pure partition predicate, so the inner
+        // scan prunes the claimed leaf dirs exactly at plan time; an
+        // OLDER generation's matching rows hide inside foreign leaves,
+        // so those legs take an exact ROW-level exclusion re-derived
+        // from the declared source columns (r17 verdict next #1). The
+        // staged root serves the claims' would-be content.
         val gens =
           if (multiGens.nonEmpty) multiGens
           else Seq(graft.catalog.TableCatalog.SpecGen(
             partCols.getOrElse(Seq.empty), genSpec, ""))
         val baseRoot = branchRoots.get.head
+        val lastDir = gens.last.dir
         val exclusion = GraftSqlCatalog.claimsExclusionExpr(
           partCols.getOrElse(Seq.empty), genSpec,
           declaredSchema.getOrElse(schema()), branchClaims)
+        val rowExclusion =
+          if (gens.size <= 1) None
+          else GraftSqlCatalog.claimsRowExclusionExpr(
+            partCols.getOrElse(Seq.empty), genSpec,
+            declaredSchema.getOrElse(schema()), branchClaims)
         new MultiGenScanBuilder(cat, table,
           declaredSchema.getOrElse(schema()),
           branchRoots.get.flatMap(r => gens.map(sg =>
             (if (sg.dir.isEmpty) r else s"$r/${sg.dir}", sg,
-              if (r == baseRoot) exclusion.toSeq else Seq.empty))),
+              if (r == baseRoot && sg.dir == lastDir) exclusion.toSeq
+              else Seq.empty,
+              if (r == baseRoot && sg.dir != lastDir) rowExclusion
+              else None))),
           options)
       }
       else if (multiGens.size > 1)

@@ -35,7 +35,8 @@ import graft.catalog.TableCatalog
 private[sql] final class MultiGenScanBuilder(
     cat: TableCatalog, table: String, declared: StructType,
     legs: Seq[(String, TableCatalog.SpecGen,
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression])],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      Option[org.apache.spark.sql.catalyst.expressions.Expression])],
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     // NOTE (ADVICE r15 low #5): SupportsPushDownCatalystFilters is a
@@ -57,6 +58,8 @@ private[sql] final class MultiGenScanBuilder(
     this(cat, table, declared,
       gens.map(sg => (if (sg.dir.isEmpty) root else s"$root/${sg.dir}",
         sg, Seq.empty[org.apache.spark.sql.catalyst.expressions
+          .Expression],
+        Option.empty[org.apache.spark.sql.catalyst.expressions
           .Expression])), options)
 
   private var catalystFilters
@@ -85,15 +88,16 @@ private[sql] final class MultiGenScanBuilder(
     required = Some(requiredSchema)
 
   override def build(): Scan = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
     val out = required.getOrElse(declared)
     // a leg with no directory contributes no scan: plain lazy tables
     // create their `_g<k>` dirs eagerly, but a pv SNAPSHOT only grows
     // a generation's subtree at its first post-evolution append —
     // pre-evolution snapshots (time travel) simply lack the dir
-    val inners = legs.filter { case (dir, _, _) =>
+    val inners = legs.filter { case (dir, _, _, _) =>
       java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir.stripPrefix("file:")))
-    }.map { case (genDir, sg, extra) =>
+    }.map { case (genDir, sg, extra, rowFilter) =>
       val full = StructType(declared.fields ++ sg.gen.map(g =>
         org.apache.spark.sql.types.StructField(g.name,
           TableCatalog.genDataType(g), nullable = true)))
@@ -117,18 +121,40 @@ private[sql] final class MultiGenScanBuilder(
           f.pushFilters(catalystFilters ++ extra); ()
         case _ => ()
       }
+      // a leg-local ROW filter (a replace-mode branch's claim
+      // exclusion over an OLDER generation, whose foreign layout a
+      // partition predicate can't address — r17 verdict next #1) may
+      // reference declared columns the query didn't ask for: the
+      // inner scan reads them too, the reader evaluates the filter,
+      // and the ordinal projection drops them from the output
+      val need = rowFilter.map(_.references.map(_.name).toSet
+        .diff(out.fieldNames.toSet)).getOrElse(Set.empty[String])
+      val pruneTo =
+        if (need.isEmpty) out
+        else StructType(out.fields ++
+          full.fields.filter(f => need.contains(f.name)))
       b match {
         case pr: org.apache.spark.sql.connector.read
-            .SupportsPushDownRequiredColumns => pr.pruneColumns(out)
+            .SupportsPushDownRequiredColumns => pr.pruneColumns(pruneTo)
         case _ => ()
       }
-      b.build()
+      val scan = b.build()
+      // bind the row filter to the INNER scan's actual output ordinals
+      // by name — serializable, evaluated per row on the executors
+      val bound: Option[Expression] = rowFilter.map { e =>
+        val inner = scan.readSchema()
+        e.transform { case a: AttributeReference =>
+          BoundReference(inner.fieldIndex(a.name), a.dataType, a.nullable)
+        }
+      }
+      (scan, bound)
     }
-    new MultiGenScan(inners, out)
+    new MultiGenScan(inners.map(_._1), out, inners.map(_._2))
   }
 }
 
-private[sql] final class MultiGenScan(inners: Seq[Scan], out: StructType)
+private[sql] final class MultiGenScan(inners: Seq[Scan], out: StructType,
+    conds: Seq[Option[org.apache.spark.sql.catalyst.expressions.Expression]])
     extends Scan {
   override def readSchema(): StructType = out
   override def description(): String =
@@ -148,7 +174,8 @@ private[sql] final class MultiGenScan(inners: Seq[Scan], out: StructType)
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new MultiGenReaderFactory(
-        batches.map(_.createReaderFactory()).toArray, projs, out)
+        batches.map(_.createReaderFactory()).toArray, projs, out,
+        conds.toArray)
   }
 }
 
@@ -160,7 +187,9 @@ private[sql] final case class MultiGenPartition(gen: Int,
 
 private[sql] final class MultiGenReaderFactory(
     factories: Array[PartitionReaderFactory],
-    projs: Array[Option[IndexedSeq[Int]]], out: StructType)
+    projs: Array[Option[IndexedSeq[Int]]], out: StructType,
+    conds: Array[Option[org.apache.spark.sql.catalyst.expressions.Expression]]
+      = Array.empty)
     extends PartitionReaderFactory {
   // COLUMNAR whenever the inner reader is (r16, closing the r15
   // documented cost): a generation whose pruned output order differs
@@ -169,10 +198,15 @@ private[sql] final class MultiGenReaderFactory(
   // ColumnarBatch; no values move, no per-row work. (Spark's exec
   // still demands ALL partitions agree on columnar-ness; a generation
   // whose inner reader can't vectorize flips the whole scan to rows,
-  // which is the inner readers' rule, not this factory's.)
+  // which is the inner readers' rule, not this factory's.) Any leg
+  // carrying a row-level claim exclusion flips the WHOLE scan to rows
+  // — uniformly, since the exec demands agreement — the honest cost of
+  // auditing a replace branch on a lazily-evolved table before its
+  // compaction.
+  private val anyCond = conds.exists(_.isDefined)
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val mp = partition.asInstanceOf[MultiGenPartition]
-    factories(mp.gen).supportColumnarReads(mp.inner)
+    !anyCond && factories(mp.gen).supportColumnarReads(mp.inner)
   }
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -200,7 +234,24 @@ private[sql] final class MultiGenReaderFactory(
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val mp = partition.asInstanceOf[MultiGenPartition]
-    val inner = factories(mp.gen).createReader(mp.inner)
+    val inner0 = factories(mp.gen).createReader(mp.inner)
+    // leg-local row filter first (the claim exclusion, bound to the
+    // inner output's ordinals at plan time; the predicate compiles
+    // HERE, on the executor — generated code is not serializable)
+    val inner = (if (conds.isEmpty) None else conds(mp.gen)) match {
+      case None => inner0
+      case Some(cond) => new PartitionReader[InternalRow] {
+        private val pred = org.apache.spark.sql.catalyst.expressions
+          .Predicate.create(cond)
+        pred.initialize(0)
+        override def next(): Boolean = {
+          while (inner0.next()) if (pred.eval(inner0.get())) return true
+          false
+        }
+        override def get(): InternalRow = inner0.get()
+        override def close(): Unit = inner0.close()
+      }
+    }
     projs(mp.gen) match {
       case None => inner
       case Some(ix) => new PartitionReader[InternalRow] {

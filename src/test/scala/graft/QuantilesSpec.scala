@@ -65,6 +65,62 @@ class QuantilesSpec extends AnyFunSuite with SparkTestSession {
     assert(fast(1).isNullAt(1), "all-NULL group ⇒ null percentile")
   }
 
+  private def checkDf(df: org.apache.spark.sql.DataFrame,
+      buckets: Int = 16): Unit = {
+    val fast = Quantiles.percentilesCont(df, "g", "v", QS,
+      buckets = buckets, smallThreshold = 0L)
+      .orderBy("g").collect().toSeq
+    val ref = stock(df).orderBy("g").collect().toSeq
+    assert(fast.map(_.toSeq) === ref.map(_.toSeq))
+  }
+
+  test("DOUBLE domains run the bounded search through the sortable-" +
+      "bits bijection, bit-identical to the stock aggregate — " +
+      "negatives and positives spanning the full int64 image (the " +
+      "overflow-proof halved bucketing), subnormals, infinities (r17)") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 4000).map { _ =>
+      val mag = math.pow(10.0, rnd.nextInt(40) - 20)
+      (s"g${rnd.nextInt(5)}", rnd.nextGaussian() * mag)
+    } ++ Seq(
+      ("edge", Double.MinValue), ("edge", Double.MaxValue),
+      ("edge", -0.0), ("edge", 0.0), ("edge", java.lang.Double.MIN_VALUE),
+      ("edge", -java.lang.Double.MIN_VALUE), ("edge", 1.5), ("edge", -2.5),
+      ("inf", Double.NegativeInfinity), ("inf", -1.0), ("inf", 1.0),
+      ("inf", Double.PositiveInfinity))
+    val df = rows.toDF("g", "v")
+    checkDf(df)
+    checkDf(df, buckets = 2)      // degenerate bucketing still exact
+    checkDf(df, buckets = 100000) // more buckets than values
+  }
+
+  test("FLOAT domains answer exactly the stock aggregate (per-value " +
+      "float→double, then the double machinery)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 1500).map(_ =>
+      (s"g${rnd.nextInt(4)}", (rnd.nextFloat() - 0.5f) * 1e6f))
+    checkDf(rows.toDF("g", "v"))
+  }
+
+  test("DECIMAL domains map through the exact unscaled int64 and " +
+      "invert with percentile()'s own decimal→double rounding") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 2000).map { _ =>
+      (s"g${rnd.nextInt(4)}",
+        BigDecimal(rnd.nextLong() % 1000000000000L, 3))
+    }
+    val df = rows.toDF("g", "v")
+      .withColumn("v", col("v").cast("decimal(16,3)"))
+    checkDf(df)
+    // and a precision-overflow domain refuses loudly rather than
+    // silently truncating
+    val wide = Seq(("a", BigDecimal(1))).toDF("g", "v")
+      .withColumn("v", col("v").cast("decimal(38,10)"))
+    val e = intercept[IllegalArgumentException](
+      Quantiles.percentilesCont(wide, "g", "v", QS, smallThreshold = 0L))
+    assert(e.getMessage.contains("decimal"), e.getMessage)
+  }
+
   test("the adaptive small route answers identically") {
     val rows = (0 until 100).map(i => (s"g${i % 3}", i.toLong))
     val df = rows.toDF("g", "v")

@@ -132,4 +132,58 @@ class MultiGenPlanSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(q.as[(Long, Int, Int)].collect().sortBy(_._1).toSeq ===
       Seq((1L, 2020, 1), (2L, 2021, 2), (3L, 2021, 3), (4L, 2020, 4)))
   }
+
+  test("a REPLACE-mode branch read on a 2-generation table (r17): the " +
+      "claimed CURRENT-gen base leaf prunes at plan time, the OLDER " +
+      "generation's leg carries an exact row-level exclusion (reading " +
+      "claim columns the query didn't ask for), rows flip uniformly") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.rw (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y) TBLPROPERTIES ('versioned'='true')")
+    cat.appendPartitionedVersioned("rw",
+      Seq((1L, 2020, 1), (2L, 2021, 2), (5L, 2021, 9)).toDF("k", "y", "m"))
+    cat.repartitionTableLazy("rw",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.appendPartitionedVersioned("rw",
+      Seq((3L, 2021, 3), (4L, 2020, 4)).toDF("k", "y", "m"))
+    // claims: (2021,2) excises gen0's k=2 (survivor k=5 in the same
+    // y=2021 leaf); (2020,4) is a pure current-gen leaf drop
+    cat.replacePartitionsOnBranch("rw", "br",
+      Seq((20L, 2021, 2)).toDF("k", "y", "m"),
+      dropParts = Seq(Seq(Some("2020"), Some("4"))))
+    // SELECT only k: the older-gen leg must read y (dir-derived) and
+    // m (data) for its exclusion, then drop them
+    val q = spark.sql(s"SELECT k FROM $g.`rw@br`")
+    assert(q.as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L, 20L),
+      "the branch view must excise claim matches in BOTH generations")
+    // plan evidence: the claimed current-gen leaf (_g1/y=2020/m=4) is
+    // not planned; gen0's y=2021 leaf IS planned (its survivor needs
+    // the row filter, which no leaf skip could express)
+    val files = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec =>
+        b.scan match {
+          case mg: MultiGenScan =>
+            mg.toBatch.planInputPartitions().toSeq.flatMap {
+              case MultiGenPartition(_, fp: FilePartition) =>
+                fp.files.map(_.filePath.toString)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(files.nonEmpty, "the read must plan through the composite")
+    assert(!files.exists(f => f.contains("_g1/y=2020/m=4")),
+      s"the claimed current-gen base leaf must prune at plan time: " +
+        files.mkString(", "))
+    assert(files.exists(f => f.contains("y=2021") && !f.contains("_g1")),
+      "gen0's partially-claimed leaf must still plan (row filter)")
+    // the row-level exclusion flips the scan to rows, uniformly
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[MultiGenScan] => b
+    }
+    assert(scans.nonEmpty && scans.forall(!_.supportsColumnar),
+      "a row-excluded leg must flip the whole composite to rows " +
+        "(the exec demands agreement)")
+    cat.dropBranch("rw", "br")
+  }
 }
