@@ -159,9 +159,17 @@ object Bench {
     val ctrlRatio =
       if (ratios.isEmpty) 1.0
       else math.exp(ratios.map(math.log).sum / ratios.size)
+    // control-NORMALIZED per-query minima (r17 verdict next #4): each
+    // minimum divided by this run's control ratio, so round-over-round
+    // mover analysis is host-independent BY CONSTRUCTION — SCALE.md's
+    // mover tables cite these, never the raw numbers
+    val minNormJson = minima.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"${v / ctrlRatio}%.3f" }
+      .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,""" +
-      s""""minima":$minJson,"reps":$reps,"last_total":${f"$lastTotal%.1f"},""" +
+      s""""minima":$minJson,"minima_norm":$minNormJson,"reps":$reps,""" +
+      s""""last_total":${f"$lastTotal%.1f"},""" +
       s""""controls":$ctrlJson,"control_ratio":${f"$ctrlRatio%.3f"},""" +
       s""""sf":"$sfDir","failed":${errors.size},"errors":$errJson}"""
     // Durable artifact for the board: the driver keeps only a bounded TAIL

@@ -3272,11 +3272,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   /** [[publishBranch]] with the crash-window hooks the specs fire:
     * `afterPend` between the write-ahead intent and the commit,
-    * `afterCommit` between the commit and the record/consume. */
+    * `afterCommit` between the commit and the record/consume,
+    * `beforeLock` (pv only) between the unlocked multi-gen survivor
+    * staging and the locked commit — the r17 optimistic-staleness
+    * window the claims/head re-check closes. */
   private[graft] def publishBranchHooked(table: String, name: String,
-      afterPend: () => Unit, afterCommit: () => Unit): Long = {
+      afterPend: () => Unit, afterCommit: () => Unit,
+      beforeLock: () => Unit = () => ()): Long = {
     if (partitionSpecVersioned(table))
-      return publishBranchPvHooked(table, name, afterPend, afterCommit)
+      return publishBranchPvHooked(table, name, afterPend, afterCommit,
+        beforeLock)
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -3454,7 +3459,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * onto a moved head — the carry links the CURRENT tree, whatever
     * committed since the branch's base. */
   private def publishBranchPvHooked(table: String, name: String,
-      afterPend: () => Unit, afterCommit: () => Unit): Long = {
+      afterPend: () => Unit, afterCommit: () => Unit,
+      beforeLock: () => Unit = () => ()): Long = {
     var attempt = 0
     var result = Option.empty[Long]
     while (result.isEmpty) {
@@ -3492,6 +3498,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           stageOlderGenSurvivors(table, snapDir(table, cur0), claims0)
         else Seq.empty
       try {
+      beforeLock() // the specs' staleness window (r17)
       result = withTableLock(table) { withBranchLock(table, name) {
         val cur = currentVersion(table).getOrElse(
           throw new IllegalStateException(
@@ -4651,7 +4658,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * view on the committed intent, so every crash state reads every
     * surviving snapshot under the spec it was written with, and
     * [[healCollapseIntent]] converges the housekeeping. */
-  def compactGenerationsVersioned(table: String): Long = {
+  def compactGenerationsVersioned(table: String): Long =
+    compactGenerationsVersionedHooked(table, () => ())
+
+  /** [[compactGenerationsVersioned]] with the specs' crash hook:
+    * `afterCommit` fires between the pointer flip and the sweep — the
+    * window where pre-collapse snapshots still exist on disk under a
+    * committed intent. */
+  private[graft] def compactGenerationsVersionedHooked(table: String,
+      afterCommit: () => Unit): Long = {
     require(partitionSpecVersioned(table),
       s"'$table' is not a partitioned VERSIONED table — " +
         "repartitionTableTransformed compacts plain layouts")
@@ -4713,6 +4728,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       val v = commitPartVersionedLocked(table, cur0, "REPARTITION",
         skip = Seq.empty, scratch = Some(scratch), carry = false,
         pub = pub)
+      afterCommit()
       (0L until v).foreach(k => deleteRecursive(snapDir(table, k)))
       writePartSpecGenV(table, last.partCols, declared, last.gen,
         versioned = true)
@@ -5527,9 +5543,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def stageOlderGenSurvivors(table: String, snap: Path,
       parts: Seq[Seq[Option[String]]]): Seq[(Seq[String], Path, String)] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val (_, declared) = partitionSpec(table).getOrElse(
+    val (partCols, declared) = partitionSpec(table).getOrElse(
       throw new IllegalStateException(s"'$table' lost its partition spec"))
     val gens = specGenerations(table)
+    val lastGen = gens.last
     gens.init.flatMap { sg =>
       val gd = if (sg.dir.isEmpty) snap else snap.resolve(sg.dir)
       if (!Files.exists(gd) || listParquetUrisAt(gd).isEmpty) None
@@ -5541,12 +5558,32 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           .option("basePath", gd.toString).parquet(gd.toString)
         val cond = parts.map(TableCatalog.tupleMatchExpr(
           curSpecPcs(table, leg), _)).reduce(_ || _)
+        // CLAIM-COLUMN pruning (r17 verdict next #6): a claim slot
+        // whose column is ALSO this generation's partition column —
+        // identity in both specs, or the identical transform — renders
+        // the same directory value here, so its equalities push as a
+        // pure partition predicate on this leg (every reference is a
+        // partition column, so Spark prunes the non-matching leaf dirs
+        // at plan time even through the OR). The exact row condition
+        // still applies after — the prefilter is implied by it — and a
+        // generation sharing NO claim column keeps the honest full
+        // discovery scan (SCALE.md documents that price).
+        val sharedIdx = partCols.zipWithIndex.filter { case (c, _) =>
+          sg.partCols.contains(c) &&
+            lastGen.gen.find(_.name == c) == sg.gen.find(_.name == c)
+        }.map(_._2)
+        val discover =
+          if (sharedIdx.isEmpty) leg
+          else leg.filter(parts.map(t => sharedIdx.map { i =>
+            val pc = col(partCols(i)).cast("string")
+            t(i).map(pc === _).getOrElse(pc.isNull)
+          }.reduce(_ && _)).reduce(_ || _))
         val sgPcs = sg.partCols.map(c => col(c).cast("string"))
         def tuples(d: DataFrame): Seq[Seq[Option[String]]] =
           d.select(sgPcs: _*).distinct().collect()
             .map(r => sg.partCols.indices.map(i =>
               Option(r.getString(i))): Seq[Option[String]]).toSeq
-        val affected = tuples(leg.filter(cond))
+        val affected = tuples(discover.filter(cond))
         if (affected.isEmpty) None
         else {
           val inLeaf = affected.map(TableCatalog.tupleMatchExpr(sgPcs, _))
@@ -6665,8 +6702,24 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     *    dirs, a stale pre-commit intent, a pre-manifest head).
     *
     * Each check names the verb that heals it, so the row IS the
-    * runbook entry. */
-  def fsck(table: String): Seq[(String, String, String)] = {
+    * runbook entry.
+    *
+    * `repair = true` (r17 verdict next #2) additionally APPLIES the
+    * safe healing subset after diagnosing — exactly the verbs the
+    * findings name, each already crash-idempotent and under its own
+    * lock: a committed-but-unfinalized generation compaction converges
+    * (sweep + finalize), publish intents naming a DEAD branch fold
+    * (unreachable by any recovery path — publish throws on a missing
+    * branch — and a re-created life carries a fresh epoch the pend can
+    * never match), and vacuum sweeps the residue classes (orphan
+    * branch dirs, scratch, write-asides, uncommitted snapshots) past
+    * `graceMs`. DATA-LOSS findings stay diagnose-only: a manifest
+    * hole, size drift, or unmanifested stray needs a human decision
+    * about which bytes are right — "repairing" them would just pick
+    * one silently. Returns the PRE-repair findings; run fsck again to
+    * verify convergence (the x_fsck repair-then-reverify loop). */
+  def fsck(table: String, repair: Boolean = false,
+      graceMs: Long = 3600000L): Seq[(String, String, String)] = {
     require(exists(table), s"'$table' does not exist")
     import scala.jdk.CollectionConverters._
     val out = scala.collection.mutable.ArrayBuffer
@@ -6782,6 +6835,22 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       row("info", "scratch",
         s"$scratch crashed-writer scratch entr${if (scratch == 1) "y"
           else "ies"} — vacuum reclaims them past the grace window")
+    if (repair) {
+      // the safe subset only, each verb re-checking its own
+      // precondition under its own lock (the findings above may be
+      // stale by the time the lock lands — healing is idempotent)
+      if (out.exists(f => f._1 == "warn" && f._2 == "collapse_intent"))
+        healCollapseIntent(table)
+      rootList.filter(_.startsWith("_brpend_")).foreach { f =>
+        val n = f.drop("_brpend_".length)
+        if (!branches(table).contains(n)) withBranchLock(table, n) {
+          if (!branches(table).contains(n))
+            committer.delete(branchPendFile(table, n))
+        }
+      }
+      vacuum(table, graceMs)
+      ()
+    }
     out.toSeq
   }
 
@@ -8760,8 +8829,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * descendant's — re-binds to the new dotted path; files never move.
     * Requires a NESTED-capable marker when the path is nested (one
     * full rewrite mints it — the files must provably carry ids at
-    * struct depth, or the id-matched read would null-fill old rows). */
-  def renameColumnPath(table: String, path: Seq[String], to: String): Long =
+    * struct depth, or the id-matched read would null-fill old rows).
+    * `restamp = true` (r17 verdict next #5) runs that stamping rewrite
+    * IN-VERB when the marker is missing or pre-nested — opt-in,
+    * because the rewrite is a full data pass the refusal otherwise
+    * makes the operator price consciously; a crash between the two
+    * halves leaves a stamped table without the rename, and re-running
+    * converges. */
+  def renameColumnPath(table: String, path: Seq[String], to: String,
+      restamp: Boolean = false): Long = {
+    if (restamp) ensureStampedFor(table, path.size)
     alterColumnMeta(table, "RENAME_COLUMN", path, requireTo = Some(to)) {
       (schema, ids) =>
         val joined = path.mkString(".")
@@ -8776,6 +8853,21 @@ final class TableCatalog(val spark: SparkSession, val root: String,
            else k) -> v
         })
     }
+  }
+
+  /** Mint the id stamping a RENAME/DROP at `depth` demands, when the
+    * table doesn't already carry it: one full rewrite
+    * ([[compactSmallFiles]] — stamps every struct depth and re-mints
+    * the marker). Runs OUTSIDE [[alterColumnMeta]]'s table lock (the
+    * rewrite takes its own); the alter's own preconditions re-judge
+    * the fresh marker after. No-op when the marker already proves
+    * enough. */
+  private def ensureStampedFor(table: String, depth: Int): Unit = {
+    val cur = currentVersion(table)
+    val ok = idMarker(table).exists(m => cur.exists(m.since <= _) &&
+      (depth <= 1 || m.nested))
+    if (!ok) { compactSmallFiles(table); () }
+  }
 
   /** ALTER COLUMN type WIDENING as a METADATA-ONLY commit (r12 verdict
     * #4): int-family→long, (byte|short|int)→double, float→double,
@@ -8988,9 +9080,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * — and every descendant's — retires forever (`nextId` is
     * monotone), so a later ADD of the same nested name draws a fresh
     * id and can never resurrect the dropped bytes still sitting in
-    * old files. Same nested-marker precondition as
+    * old files. Same nested-marker precondition — and the same
+    * `restamp = true` in-verb stamping rewrite — as
     * [[renameColumnPath]]. */
-  def dropColumnPath(table: String, path: Seq[String]): Long =
+  def dropColumnPath(table: String, path: Seq[String],
+      restamp: Boolean = false): Long = {
+    if (restamp) ensureStampedFor(table, path.size)
     alterColumnMeta(table, "DROP_COLUMN", path, requireTo = None) {
       (schema, ids) =>
         val joined = path.mkString(".")
@@ -9004,6 +9099,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         (dropped, ids.filterNot { case (k, _) =>
           k == joined || k.startsWith(joined + ".") })
     }
+  }
 
   private def alterColumnMeta(table: String, op: String,
       targetPath: Seq[String], requireTo: Option[String])(
@@ -9025,7 +9121,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"'$table' has no valid field-id marker — its files cannot be " +
           "proven id-stamped (pre-mapping table, or a SQL row-level " +
           "statement rewrote them); run compactSmallFiles or " +
-          "optimizeZOrder once, then retry"))
+          "optimizeZOrder once (or pass restamp = true to run the " +
+          "rewrite in-verb), then retry"))
     val target = targetPath.mkString(".")
     // nested paths demand NESTED-stamped files: a pre-nested marker
     // proves top-level ids only, and id-matching a nested field
@@ -9033,8 +9130,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(targetPath.size == 1 || m.nested,
       s"'$table' predates nested column mapping — its files carry " +
         "top-level ids only; run compactSmallFiles or optimizeZOrder " +
-        s"once (a full rewrite stamps every struct depth), then $op " +
-        s"$target works as a metadata commit")
+        "once (a full rewrite stamps every struct depth; restamp = " +
+        s"true runs it in-verb), then $op $target works as a metadata " +
+        "commit")
     val schema = resolveSchema(table, cur).getOrElse(
       spark.read.parquet(snapDir(table, cur).toString).schema)
     // navigate: every parent must be a struct, the leaf must exist

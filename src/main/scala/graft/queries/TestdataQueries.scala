@@ -744,18 +744,30 @@ object TestdataQueries {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(cat.path("pv"), "_tmp_ins-crashed"))
       import s.implicits._
-      val findings = cat.fsck("pv")
-        .map { case (sev, check, _) => (sev, check) }
-        .groupBy(identity).map { case ((sev, c), xs) =>
-          (sev, c, xs.size.toLong) }.toSeq.sortBy(x => (x._1, x._2))
-      findings.toDF("severity", "check", "n")
+      def tally(phase: String, rows: Seq[(String, String, String)]) =
+        rows.map { case (sev, check, _) => (sev, check) }
+          .groupBy(identity).map { case ((sev, c), xs) =>
+            (phase, sev, c, xs.size.toLong) }.toSeq
+      val found = tally("found", cat.fsck("pv"))
+      // repair-then-reverify (r17): the safe subset folds the intent,
+      // sweeps the orphan dir and the scratch; the DATA finding (the
+      // stray unmanifested parquet — a human decision about bytes)
+      // must survive both the repair and the re-check
+      cat.fsck("pv", repair = true, graceMs = 0L)
+      val after = tally("after_repair", cat.fsck("pv"))
+      // (the stray fake-parquet makes the table unreadable until the
+      // operator decides about it — which is the point; FsckSpec pins
+      // that repair never touches data files)
+      (found ++ after).sortBy(x => (x._1, x._2, x._3))
+        .toDF("phase", "severity", "check", "n")
     }),
       Some("""SELECT * FROM (VALUES
-             |  ('info', 'scratch', CAST(1 AS BIGINT)),
-             |  ('warn', 'orphan_branch_dir', CAST(1 AS BIGINT)),
-             |  ('warn', 'publish_intent', CAST(1 AS BIGINT)),
-             |  ('warn', 'unmanifested_file', CAST(1 AS BIGINT)))
-             |  t(severity, "check", n)""".stripMargin)),
+             |  ('found', 'info', 'scratch', CAST(1 AS BIGINT)),
+             |  ('found', 'warn', 'orphan_branch_dir', CAST(1 AS BIGINT)),
+             |  ('found', 'warn', 'publish_intent', CAST(1 AS BIGINT)),
+             |  ('found', 'warn', 'unmanifested_file', CAST(1 AS BIGINT)),
+             |  ('after_repair', 'warn', 'unmanifested_file', CAST(1 AS BIGINT)))
+             |  t(phase, severity, "check", n)""".stripMargin)),
 
     // ------------------------------------------------- S9 file archiver
     // Post-load archival (reference main.py:20-30, 117): only the

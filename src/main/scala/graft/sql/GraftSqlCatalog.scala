@@ -926,7 +926,8 @@ object GraftSqlCatalog {
       case "clone" => "zero-copy CLONE of the current snapshot"
       case "describe_detail" => "one-row operational summary (no data scan)"
       case "fsck" =>
-        "read-only integrity check: (severity, check, detail) rows"
+        "integrity check: (severity, check, detail) rows; " +
+          "repair=true applies the safe healing subset"
       case "restore_timestamp" => "restore the snapshot as of an instant"
       case "analyze" => "compute stats (rows/NDV/envelopes) for planning"
       case "delete_vectorize" => "O(matches) merge-on-read DELETE (vectors)"
@@ -969,7 +970,9 @@ object GraftSqlCatalog {
           case "describe_detail" => Array(
             ProcedureParameter.in("table", DT.StringType).build())
           case "fsck" => Array(
-            ProcedureParameter.in("table", DT.StringType).build())
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("repair", DT.BooleanType)
+              .defaultValue("false").build())
           case "restore_timestamp" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("ts_millis", DT.LongType).build())
@@ -1073,9 +1076,10 @@ object GraftSqlCatalog {
                   UTF8String.fromString(d.columns.mkString(",")),
                   UTF8String.fromString(d.specGens.mkString(";")))))
             case "fsck" =>
+              val rep = !input.isNullAt(1) && input.getBoolean(1)
               (StructType.fromDDL(
                 "severity STRING, check STRING, detail STRING"),
-                cat.fsck(table).map { case (sev, c, d) =>
+                cat.fsck(table, repair = rep).map { case (sev, c, d) =>
                   InternalRow(UTF8String.fromString(sev),
                     UTF8String.fromString(c), UTF8String.fromString(d))
                 })

@@ -65,6 +65,12 @@ private[sql] final class MultiGenScanBuilder(
   private var catalystFilters
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
   private var required: Option[StructType] = None
+  // canary state (r17 verdict next #8): how many inner builders
+  // actually ACCEPTED catalyst filters at build time — carried on the
+  // built scan so MultiGenPlanSpec can fail loudly if a Spark upgrade
+  // drops the internal trait from FileScanBuilder (pruning would
+  // silently regress to plan-every-leaf otherwise)
+  private var innerAccepted: Int = 0
 
   /** CATALYST filters, the interface the file-source builders speak
     * (r15 — the V2-Predicate interface was a dead letter here: each
@@ -118,7 +124,8 @@ private[sql] final class MultiGenScanBuilder(
           // claimed-leaf exclusion on the base tree) — exact at plan
           // time because every referenced column is a partition column
           // of this leg's spec.
-          f.pushFilters(catalystFilters ++ extra); ()
+          f.pushFilters(catalystFilters ++ extra)
+          innerAccepted += 1
         case _ => ()
       }
       // a leg-local ROW filter (a replace-mode branch's claim
@@ -149,12 +156,20 @@ private[sql] final class MultiGenScanBuilder(
       }
       (scan, bound)
     }
-    new MultiGenScan(inners.map(_._1), out, inners.map(_._2))
+    new MultiGenScan(inners.map(_._1), out, inners.map(_._2),
+      receivedFilters = catalystFilters, innerAccepted = innerAccepted)
   }
 }
 
 private[sql] final class MultiGenScan(inners: Seq[Scan], out: StructType,
-    conds: Seq[Option[org.apache.spark.sql.catalyst.expressions.Expression]])
+    conds: Seq[Option[org.apache.spark.sql.catalyst.expressions.Expression]],
+    /** What the builder RECEIVED through the internal
+      * SupportsPushDownCatalystFilters seam, and how many inner
+      * builders accepted the forward — the Spark-upgrade canary
+      * MultiGenPlanSpec reads (r17 verdict next #8). */
+    private[sql] val receivedFilters
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    private[sql] val innerAccepted: Int = 0)
     extends Scan {
   override def readSchema(): StructType = out
   override def description(): String =

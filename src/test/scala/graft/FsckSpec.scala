@@ -113,6 +113,158 @@ class FsckSpec extends AnyFunSuite with SparkTestSession {
     cat2.dropBranch("pv", "wap")
   }
 
+  test("fsck(repair = true) applies the safe healing subset: a dead-" +
+      "branch publish intent folds, orphan branch dirs and scratch " +
+      "sweep past the grace window, and a second fsck answers clean — " +
+      "while data-loss findings stay diagnose-only (r17)") {
+    val (cat, g) = freshSqlCat()
+    cat.createPartitionedVersioned("pv",
+      Seq((0L, "x")).toDF("k", "dt").schema, Seq("dt"))
+    val v = cat.appendPartitionedVersioned("pv",
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("k", "dt"))
+    // inject every sweepable residue class
+    Files.write(Paths.get(cat.path("pv"), "_brpend_ghost"),
+      "{}".getBytes("UTF-8"))
+    Files.createDirectories(
+      Paths.get(cat.path("pv"), "_branchdata_ghost-e1"))
+    Files.createDirectories(Paths.get(cat.path("pv"), "_tmp_ins-dead"))
+    val before = cat.fsck("pv")
+    assert(before.exists(_._2 == "publish_intent"), before.toString)
+    assert(before.exists(_._2 == "orphan_branch_dir"), before.toString)
+    assert(before.exists(_._2 == "scratch"), before.toString)
+    // repair returns the PRE-repair findings…
+    val reported = cat.fsck("pv", repair = true, graceMs = 0L)
+    assert(reported.map(_._2).toSet === before.map(_._2).toSet)
+    // …and a re-run proves convergence, from Scala and SQL
+    assert(cat.fsck("pv") === Seq.empty)
+    assert(!Files.exists(Paths.get(cat.path("pv"), "_brpend_ghost")))
+    assert(!Files.exists(
+      Paths.get(cat.path("pv"), "_branchdata_ghost-e1")))
+    assert(cat.read("pv").count() === 2L, "healing must not touch data")
+    assert(spark.sql(
+      s"CALL $g.system.fsck('pv', repair => true)").count() === 0L)
+    // a LIVE branch's intent and staged data are NEVER touched
+    cat.appendToBranch("pv", "wap", Seq((3L, "2024-01-03")).toDF("k", "dt"))
+    Files.write(Paths.get(cat.path("pv"), "_brpend_wap"),
+      "{}".getBytes("UTF-8"))
+    cat.fsck("pv", repair = true, graceMs = 0L)
+    assert(Files.exists(Paths.get(cat.path("pv"), "_brpend_wap")),
+      "a live branch's publish intent is the recovery path's, not ours")
+    assert(cat.readBranch("pv", "wap").count() === 3L)
+    Files.delete(Paths.get(cat.path("pv"), "_brpend_wap"))
+    cat.dropBranch("pv", "wap")
+    // data-loss findings survive repair untouched: a manifest hole is
+    // a human decision, not a sweep
+    val leaf = Paths.get(cat.path("pv"), s"_v$v", "dt=2024-01-01")
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(leaf)
+    val f = try s.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally s.close()
+    Files.delete(f)
+    val after = cat.fsck("pv", repair = true, graceMs = 0L)
+    assert(after.exists(x => x._1 == "error" &&
+      x._2 == "manifest_file_missing"), after.toString)
+    assert(cat.fsck("pv").exists(_._2 == "manifest_file_missing"),
+      "repair must not 'heal' a data hole")
+  }
+
+  test("fsck(repair = true) finishes a committed-but-unfinalized " +
+      "generation compaction: the collapse intent converges to the " +
+      "finalize sidecar and the view stays correct throughout") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("cc",
+      Seq((0L, 0L, 0, 0)).toDF("k", "v", "y", "m").schema, Seq("y"))
+    cat.appendPartitionedVersioned("cc",
+      Seq((1L, 10L, 2020, 1), (2L, 20L, 2021, 2)).toDF("k", "v", "y", "m"))
+    cat.repartitionTableLazy("cc",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.appendPartitionedVersioned("cc",
+      Seq((3L, 30L, 2021, 3)).toDF("k", "v", "y", "m"))
+    val specFile = Paths.get(cat.path("cc"), "_partspec.json")
+    val multiGenSpec = new String(Files.readAllBytes(specFile), "UTF-8")
+    val v = cat.compactGenerationsVersioned("cc")
+    // recover the compaction commit's provenance from history
+    val pubs = {
+      val hd = Paths.get(cat.path("cc"), "_history")
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(hd)
+      try st.iterator().asScala
+        .flatMap(p => new String(Files.readAllBytes(p), "UTF-8")
+          .linesIterator)
+        .flatMap { l =>
+          """"version":(\d+).*?"pub":"([^"]+)"""".r.findFirstMatchIn(l)
+            .map(x => x.group(1).toLong -> x.group(2))
+        }.toMap
+      finally st.close()
+    }
+    // simulate the crash window: pre-collapse sidecar + the intent,
+    // the finalize never landed
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(multiGenSpec)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("collapseAt", v)
+    node.put("collapsePub", pubs(v))
+    Files.write(specFile, om.writeValueAsString(node).getBytes("UTF-8"))
+    val cat2 = new TableCatalog(spark,
+      Paths.get(cat.path("cc")).getParent.toString)
+    val r = cat2.fsck("cc")
+    assert(r.exists(x => x._1 == "warn" && x._2 == "collapse_intent" &&
+      x._3.contains("committed")), r.toString)
+    cat2.fsck("cc", repair = true, graceMs = 0L)
+    assert(cat2.fsck("cc") === Seq.empty, "repair must converge")
+    assert(!new String(Files.readAllBytes(specFile), "UTF-8")
+      .contains("collapseAt"), "the finalize sidecar must have landed")
+    assert(cat2.read("cc").select("k").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L))
+  }
+
+  test("fsck mid-crash-window never misclassifies (r17 adversarial " +
+      "probe): a LIVE branch's publish intent reads info in BOTH the " +
+      "pend→commit and commit→consume windows, repair never touches " +
+      "it, and the recovery after stays exactly-once") {
+    val (cat, _) = freshSqlCat()
+    cat.createPartitionedVersioned("pv",
+      Seq((0L, "x")).toDF("k", "dt").schema, Seq("dt"))
+    cat.appendPartitionedVersioned("pv",
+      Seq((1L, "2024-01-01")).toDF("k", "dt"))
+    cat.appendToBranch("pv", "wap", Seq((2L, "2024-01-02")).toDF("k", "dt"))
+    // window 1: between the write-ahead intent and the commit
+    var inPend: Seq[(String, String, String)] = Seq.empty
+    // window 2: between the commit and the record/consume
+    var inCommit: Seq[(String, String, String)] = Seq.empty
+    cat.publishBranchHooked("pv", "wap",
+      afterPend = () => { inPend = cat.fsck("pv") },
+      afterCommit = () => { inCommit = cat.fsck("pv") })
+    def intent(rs: Seq[(String, String, String)]) =
+      rs.filter(_._2 == "publish_intent")
+    assert(intent(inPend).nonEmpty && intent(inPend).forall(_._1 == "info"),
+      s"pend→commit: a live branch's intent must read info: $inPend")
+    assert(intent(inCommit).nonEmpty &&
+      intent(inCommit).forall(_._1 == "info"),
+      s"commit→consume: still the live branch's intent: $inCommit")
+    assert(cat.fsck("pv") === Seq.empty, "post-publish: clean")
+    // now the REAL crash: commit lands, consume never runs — a
+    // mid-window repair must leave the intent for the recovery path,
+    // and the recovery must stay exactly-once after it
+    cat.appendToBranch("pv", "wap2", Seq((3L, "2024-01-03")).toDF("k", "dt"))
+    intercept[RuntimeException](
+      cat.publishBranchHooked("pv", "wap2",
+        afterPend = () => (),
+        afterCommit = () => throw new RuntimeException("crash")))
+    cat.fsck("pv", repair = true, graceMs = 0L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cat.path("pv"), "_brpend_wap2")),
+      "repair must never fold a LIVE branch's committed intent")
+    val v = cat.currentVersion("pv").get
+    cat.publishBranch("pv", "wap2") // the recovery path
+    assert(cat.currentVersion("pv") === Some(v),
+      "recovery after a mid-window repair must not double-publish")
+    assert(cat.read("pv").filter($"k" === 3L).count() === 1L,
+      "the branch's rows must exist exactly once")
+    assert(cat.fsck("pv") === Seq.empty)
+  }
+
   test("fsck never mutates: the findings are identical across calls " +
       "and the table keeps serving") {
     val (cat, _) = freshSqlCat()

@@ -144,6 +144,48 @@ class NestedEvolutionSpec extends AnyFunSuite with SparkTestSession {
       .collect().count(_ != null) === 30)
   }
 
+  test("restamp = true runs the stamping rewrite IN-VERB on a " +
+      "pre-nested marker — rename + drop work in one call each, old " +
+      "rows serve by id, and an already-stamped table pays no " +
+      "rewrite (r17)") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", structDf(30).repartition(2))
+    // simulate the pre-r16 marker (top-level ids only)
+    val mf = java.nio.file.Paths.get(cat.path("t"), "_fieldids.json")
+    val m = cat.idMarker("t").get
+    val legacyIds = m.ids.filterNot(_._1.contains(".")).toSeq.sortBy(_._1)
+      .map { case (n, i) => s""""$n":$i""" }.mkString(",")
+    java.nio.file.Files.write(mf,
+      s"""{"since":${m.since},"next":${m.nextId},"ids":{$legacyIds}}"""
+        .getBytes("UTF-8"))
+    intercept[Exception](
+      cat.renameColumnPath("t", Seq("meta", "title"), "headline"))
+    // opt-in: stamping rewrite + rename as one verb call
+    cat.renameColumnPath("t", Seq("meta", "title"), "headline",
+      restamp = true)
+    assert(cat.idMarker("t").exists(_.nested),
+      "the in-verb rewrite must re-mint the nested-capable marker")
+    assert(cat.read("t").select(col("meta.headline")).as[String]
+      .collect().count(_ != null) === 30,
+      "old rows must serve the renamed nested field by id")
+    // a second restamp call on the NOW-stamped table is metadata-only
+    // (the snapshot advances, but every data file hard-links through —
+    // same names, no rewrite)
+    val files = cat.read("t").inputFiles.map(_.split("/").last).toSet
+    cat.dropColumnPath("t", Seq("meta", "score"), restamp = true)
+    assert(cat.read("t").inputFiles.map(_.split("/").last).toSet === files,
+      "restamp on an already-nested-stamped table must not rewrite")
+    assert(cat.read("t").schema("meta").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq === Seq("headline"))
+    // and a MISSING marker (crashed rewrite / SQL row-level statement)
+    // heals the same way
+    java.nio.file.Files.delete(mf)
+    cat.renameColumnPath("t", Seq("meta", "headline"), "title",
+      restamp = true)
+    assert(cat.read("t").select(col("meta.title")).as[String]
+      .collect().count(_ != null) === 30)
+  }
+
   test("SQL ALTER TABLE speaks the nested verbs end to end") {
     val root = Files.createTempDirectory("nest-sql").toString
     val g = "gnest1"

@@ -643,6 +643,49 @@ class PvBranchSpec extends AnyFunSuite with SparkTestSession {
       .sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("multi-gen replace publish staleness races (r17 adversarial " +
+      "probes): a concurrent APPEND between the survivor staging and " +
+      "the lock forces a re-derive (no silent drop, no resurrection); " +
+      "a concurrent RE-STAGE that changes the claim set likewise") {
+    // race 1: the head moves — the appended row must survive publish
+    val cat = freshCat()
+    twoGenTable(cat, "t")
+    cat.replacePartitionsOnBranch("t", "rw",
+      Seq((20L, 200L, 2021, 2)).toDF("k", "v", "y", "m"))
+    var fired = false
+    cat.publishBranchHooked("t", "rw", () => (), () => (),
+      beforeLock = () => if (!fired) {
+        fired = true
+        // lands in _g1 (current gen) — a head the staged survivors
+        // don't know about; committing against it would drop this row
+        cat.appendPartitionedVersioned("t",
+          Seq((7L, 70L, 2022, 7)).toDF("k", "v", "y", "m"))
+      })
+    assert(cat.read("t").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 3L, 4L, 5L, 7L, 20L),
+      "the concurrent append must survive the replace publish")
+    // race 2: a re-stage changes the CLAIM SET mid-publish — the
+    // final state must honor the grown claims, not the staged ones
+    val cat2 = freshCat()
+    twoGenTable(cat2, "t")
+    cat2.replacePartitionsOnBranch("t", "rw",
+      Seq((20L, 200L, 2021, 2)).toDF("k", "v", "y", "m"))
+    var fired2 = false
+    cat2.publishBranchHooked("t", "rw", () => (), () => (),
+      beforeLock = () => if (!fired2) {
+        fired2 = true
+        // adds claim (2020,1): gen0's k=1 must ALSO excise — a publish
+        // that kept the stale survivor staging would resurrect it
+        cat2.replacePartitionsOnBranch("t", "rw",
+          Seq((30L, 300L, 2020, 1)).toDF("k", "v", "y", "m"))
+      })
+    assert(cat2.read("t").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(3L, 4L, 5L, 20L, 30L),
+      "the grown claim set must excise k=1 and land k=30 — a stale " +
+        "survivor staging would have resurrected k=1")
+    assert(cat2.branches("t").isEmpty)
+  }
+
   test("multi-gen replace publish crash windows: pre-commit loses " +
       "nothing; post-commit recovery consumes without re-running the " +
       "survivor rewrite") {

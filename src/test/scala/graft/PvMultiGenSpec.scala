@@ -75,6 +75,45 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.currentVersion("ow") === Some(v2))
   }
 
+  test("multi-gen tuple DML prunes OLD-generation discovery by the " +
+      "shared claim columns (r17): a gen0 leaf outside every claimed " +
+      "y is NEVER read — proven by corrupting its bytes — while the " +
+      "matching leaf rewrites exactly") {
+    val (cat, _) = freshSqlCat()
+    twoGen(cat, "pr")
+    val v0 = cat.currentVersion("pr").get
+    // corrupt gen0's y=2020 leaf IN PLACE (the same inode rides every
+    // snapshot's hard link): any code path that still scans the whole
+    // generation for claim matches would throw on this file's footer
+    val leaf2020 = Paths.get(cat.path("pr"), s"_v$v0", "y=2020")
+    import scala.jdk.CollectionConverters._
+    val st = Files.list(leaf2020)
+    val files = try st.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    finally st.close()
+    assert(files.nonEmpty)
+    files.foreach(f => Files.write(f, Array.fill[Byte](64)(0x7f)))
+    // claim (y=2021, m=2): y is a partition column of BOTH specs, so
+    // gen0's discovery must prune to its y=2021 leaf at plan time
+    val v1 = cat.overwritePartitionTuplesVersioned("pr",
+      Seq((20L, 200L, 2021, 2)).toDF("k", "v", "y", "m"),
+      Seq(Seq(Some("2021"), Some("2"))), v0)
+    assert(v1 === v0 + 1L)
+    // y=2021 rows are correct (k=2 replaced by k=20, _g1's k=3 kept);
+    // the corrupted y=2020 leaf carried by link, untouched and unread
+    assert(cat.read("pr").filter(col("y") === 2021).select("k").as[Long]
+      .collect().sorted.toSeq === Seq(3L, 20L))
+    assert(Files.exists(Paths.get(cat.path("pr"), s"_v$v1", "y=2020")),
+      "the unclaimed gen0 leaf must carry")
+    // the replace-mode branch publish shares the same pruned helper
+    cat.replacePartitionsOnBranch("pr", "rw",
+      Seq((21L, 210L, 2021, 2)).toDF("k", "v", "y", "m"))
+    cat.publishBranch("pr", "rw")
+    assert(cat.read("pr").filter(col("y") === 2021).select("k").as[Long]
+      .collect().sorted.toSeq === Seq(3L, 21L),
+      "the pruned publish must land the replacement")
+  }
+
   test("INSERT OVERWRITE (replacePartitionedVersioned) on a " +
       "multi-generation table lands everything under the current spec") {
     val (cat, g) = freshSqlCat()
@@ -195,6 +234,54 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     assert(!new String(Files.readAllBytes(spec3), UTF_8)
       .contains("collapseAt"))
     assert(cat3b.read("st").count() === 5L)
+  }
+
+  test("crash-window PIN vs the collapse heal (r17 adversarial probe): " +
+      "a tag on a pre-collapse snapshot keeps the intent pending — the " +
+      "heal sweeps AROUND it, the pinned version reads under its own " +
+      "multi-gen spec, the head reads collapsed — and dropping the pin " +
+      "lets the next heal finalize") {
+    val (cat, _) = freshSqlCat()
+    twoGen(cat, "hp")
+    val specFile = Paths.get(cat.path("hp"), "_partspec.json")
+    // the REAL crash window: the compaction dies between the pointer
+    // flip and the sweep — pre-collapse snapshots still on disk under
+    // a committed intent
+    intercept[RuntimeException](
+      cat.compactGenerationsVersionedHooked("hp",
+        afterCommit = () => throw new RuntimeException("crash-pre-sweep")))
+    val v = cat.currentVersion("hp").get
+    assert(Files.exists(Paths.get(cat.path("hp"), s"_v${v - 1L}")),
+      "fixture: the pre-collapse snapshot must still exist")
+    // a pin minted in the window (defensive: the protocol never mints
+    // one below the collapse point itself — this simulates an old-code
+    // writer or a restore interplay)
+    Files.write(Paths.get(cat.path("hp"), "_tag_old"),
+      (v - 1L).toString.getBytes(UTF_8))
+    val cat2 = new TableCatalog(spark,
+      Paths.get(cat.path("hp")).getParent.toString)
+    // the heal (via fsck repair — same healCollapseIntent) must sweep
+    // AROUND the pin and keep the intent pending
+    cat2.fsck("hp", repair = true, graceMs = 0L)
+    assert(new String(Files.readAllBytes(specFile), UTF_8)
+      .contains("collapseAt"),
+      "a pinned pre-collapse snapshot must keep the intent pending")
+    assert(Files.exists(Paths.get(cat2.path("hp"), s"_v${v - 1L}")),
+      "the heal must never sweep a pinned snapshot")
+    // both worlds stay correct: head collapsed, pin multi-gen
+    assert(cat2.read("hp").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    assert(cat2.specGenerationsAt("hp", v - 1L).size === 2,
+      "the pinned snapshot keeps its multi-generation description")
+    assert(cat2.readTag("hp", "old").count() === 4L)
+    // unpin → the next heal finalizes: sidecar clean, residue swept
+    cat2.dropTag("hp", "old")
+    cat2.fsck("hp", repair = true, graceMs = 0L)
+    assert(!new String(Files.readAllBytes(specFile), UTF_8)
+      .contains("collapseAt"), "unpinned ⇒ the heal must finalize")
+    assert(cat2.fsck("hp") === Seq.empty)
+    assert(cat2.read("hp").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
   }
 
   test("eager spec evolution on a pv table (repartitionTableTransformed)" +

@@ -133,6 +133,45 @@ class MultiGenPlanSpec extends AnyFunSuite with graft.SparkTestSession {
       Seq((1L, 2020, 1), (2L, 2021, 2), (3L, 2021, 3), (4L, 2020, 4)))
   }
 
+  test("SPARK-BUMP CANARY (r17): the composite builder RECEIVES " +
+      "catalyst filters through the internal " +
+      "SupportsPushDownCatalystFilters seam and every inner builder " +
+      "accepts the forward — if an upgrade drops the trait, this " +
+      "fails by name instead of pruning silently regressing") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.cn (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.cn VALUES (1, 2020, 1), (2, 2021, 2)")
+    cat.repartitionTableLazy("cn",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    cat.insertPartitioned("cn",
+      Seq((3L, 2021, 3), (4L, 2020, 4)).toDF("k", "y", "m"))
+    val q = spark.sql(s"SELECT k FROM $g.cn WHERE y = 2021")
+    assert(q.as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[MultiGenScan] =>
+        b.scan.asInstanceOf[MultiGenScan]
+    }
+    assert(scans.nonEmpty, "the read must plan through the composite")
+    scans.foreach { s =>
+      assert(s.receivedFilters.nonEmpty,
+        "SPARK UPGRADE REGRESSION: MultiGenScanBuilder received NO " +
+          "catalyst filters — Spark no longer routes partition " +
+          "predicates through " +
+          "org.apache.spark.sql.internal.connector" +
+          ".SupportsPushDownCatalystFilters; composite-scan pruning " +
+          "has silently regressed to plan-every-leaf (see " +
+          "MultiGenScan.scala's trait note)")
+      assert(s.receivedFilters.exists(_.references.exists(_.name == "y")),
+        s"the pushed filters must include the y probe: " +
+          s"${s.receivedFilters}")
+      assert(s.innerAccepted == 2,
+        "SPARK UPGRADE REGRESSION: an inner FileScanBuilder no longer " +
+          s"accepts catalyst filters (${s.innerAccepted} of 2 legs) — " +
+          "its generation now plans every leaf")
+    }
+  }
+
   test("a REPLACE-mode branch read on a 2-generation table (r17): the " +
       "claimed CURRENT-gen base leaf prunes at plan time, the OLDER " +
       "generation's leg carries an exact row-level exclusion (reading " +
