@@ -58,13 +58,18 @@ object Hilbert {
   /** [[ZOrder.withZ]]'s Hilbert analog: scaled dims `zx`/`zy` plus the
     * Hilbert index `h`, bounds from one broadcast agg pass. */
   def withH(df: DataFrame, xCol: String, yCol: String, bits: Int = 16): DataFrame = {
-    val bounds = df.agg(
-      min(col(xCol)).as("_xmin"), max(col(xCol)).as("_xmax"),
-      min(col(yCol)).as("_ymin"), max(col(yCol)).as("_ymax"))
+    // dimensions quantize through [[ZOrder.dimQuantizer]] (r17): the
+    // Hilbert curve, like the Z-curve, only needs per-dimension
+    // buckets — so double/date/timestamp/decimal dimensions cluster
+    // too (doubles in value space, the rest via exact integral scale)
+    val (ax, bx) = ZOrder.dimQuantizer(df, xCol, 0, bits)
+    val (ay, by) = ZOrder.dimQuantizer(df, yCol, 1, bits)
+    val aggs = ax ++ ay
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
     val scaled = df.crossJoin(broadcast(bounds))
-      .withColumn("zx", ZOrder.scale(col(xCol), col("_xmin"), col("_xmax"), bits))
-      .withColumn("zy", ZOrder.scale(col(yCol), col("_ymin"), col("_ymax"), bits))
-      .drop("_xmin", "_xmax", "_ymin", "_ymax")
+      .withColumn("zx", bx)
+      .withColumn("zy", by)
+      .drop("_min0", "_max0", "_min1", "_max1")
     withHilbert(scaled, "zx", "zy", bits, "h")
   }
 

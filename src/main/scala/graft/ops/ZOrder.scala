@@ -82,16 +82,91 @@ object ZOrder {
     * layout tuning wants more than two dimensions (e.g. user × time ×
     * amount for a fraud store); each extra dimension costs curve
     * resolution (bits ≤ 63/n), the standard Morton trade. */
+  /** A MONOTONE int64 image of dimension column `c` for curve keys
+    * (r17): the curve only needs ORDER, so any order-preserving map
+    * into a long that [[scale]]'s span arithmetic can't overflow on
+    * works. Integrals pass through; DOUBLE/FLOAT go through the
+    * sortable-bits bijection HALVED (the image spans the whole int64
+    * line, and max−min must stay in range — an arithmetic right shift
+    * is monotone for signed longs and costs one ulp of quantization
+    * the 2^bits bucketing never sees); DATE → epoch days, TIMESTAMP →
+    * epoch micros, DECIMAL(p ≤ 18) → the exact unscaled value.
+    * Anything else refuses loudly — a silently-mistyped dimension
+    * would cluster on garbage. NOTE: for QUANTIZATION the double image
+    * is exponent-skewed (a min-max scale over it resolves sign and
+    * exponent, not value) — [[dimQuantizer]] buckets doubles in VALUE
+    * space instead; this image is the total-order fallback. */
+  def curveDim(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(c).cast("long")
+      case DoubleType | FloatType =>
+        shiftright(graft.functions.DoubleSortableBits(
+          col(c).cast("double")), 1)
+      case DateType => unix_date(col(c)).cast("long")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case d: DecimalType if d.precision <= 18 =>
+        (col(c) * lit(BigInt(10).pow(d.scale).toLong)).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"cannot curve-cluster on '$c' (${other.catalogString}) — " +
+          "integral, float/double, date/timestamp, or decimal(p<=18) " +
+          "dimensions only")
+    }
+  }
+
+  /** Value-space quantization of a DOUBLE dimension into [0, 2^bits)
+    * — curve keys don't cross engines (no oracle recomputes a double
+    * curve), so double arithmetic is fine here and clusters linearly
+    * in VALUE where the sortable-bits image would cluster by exponent.
+    * IEEE edges handled explicitly, ANSI-safe (no NaN/∞ ever reaches
+    * the long cast): NaN buckets last (Spark's sort order); a
+    * degenerate span — constant column, ±∞ endpoints, NaN pollution
+    * of min/max, or a finite span that overflows to ∞ — parks every
+    * row in bucket 0 (unclustered on this dim, never wrong). */
+  private[ops] def doubleScale(v: Column, minV: Column, maxV: Column,
+      bits: Int): Column = {
+    val top = lit((1L << bits) - 1L)
+    val w = (maxV - minV) / lit((1L << bits).toDouble)
+    when(isnull(v), lit(null).cast("long"))
+      .when(isnan(v), top)
+      .when(isnan(w) || !(w > 0.0) ||
+        w === lit(Double.PositiveInfinity), lit(0L))
+      .when(v >= maxV, top)
+      .when(v <= minV, lit(0L))
+      .otherwise(least(top, floor((v - minV) / w).cast("long")))
+  }
+
+  /** One curve dimension's (bounds aggregates, bucket expression):
+    * doubles/floats quantize in value space via [[doubleScale]],
+    * everything else through the exact integral [[scale]] over its
+    * [[curveDim]] image. The bucket expression reads the bounds as
+    * `_min<i>` / `_max<i>` columns (the broadcast bounds row). */
+  private[ops] def dimQuantizer(df: DataFrame, c: String, i: Int,
+      bits: Int): (Seq[Column], Column) = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        val v = col(c).cast("double")
+        (Seq(min(v).as(s"_min$i"), max(v).as(s"_max$i")),
+          doubleScale(v, col(s"_min$i"), col(s"_max$i"), bits))
+      case _ =>
+        val v = curveDim(df, c)
+        (Seq(min(v).as(s"_min$i"), max(v).as(s"_max$i")),
+          scale(v, col(s"_min$i"), col(s"_max$i"), bits))
+    }
+  }
+
   def withZN(df: DataFrame, cols: Seq[String], bits: Int = 10): DataFrame = {
     require(cols.nonEmpty && cols.size * bits <= 63,
       s"n*bits must fit 63 bits, got ${cols.size}*$bits")
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).as(s"_min$i"), max(col(c)).as(s"_max$i"))
-    }
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      dimQuantizer(df, c, i, bits) }
+    val aggs = qs.flatMap(_._1)
     val bounds = df.agg(aggs.head, aggs.tail: _*)
-    val scaled = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
-      case (acc, (c, i)) => acc.withColumn(s"z$i",
-        scale(col(c), col(s"_min$i"), col(s"_max$i"), bits))
+    val scaled = qs.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+      case (acc, ((_, b), i)) => acc.withColumn(s"z$i", b)
     }
     scaled
       .withColumn("z",

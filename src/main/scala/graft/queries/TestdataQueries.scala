@@ -3890,6 +3890,43 @@ object TestdataQueries {
              |WHERE l_orderkey BETWEEN 1 AND 1000
              |  AND l_partkey BETWEEN 1 AND 500""".stripMargin)),
 
+    // --------------------------- Z-ORDER on a DOUBLE dimension (r17)
+    // optimizeZOrder previously demanded integral dims (the exact
+    // integral scale). Doubles now quantize in VALUE space
+    // (ZOrder.dimQuantizer) — this pins the end-to-end loop on a real
+    // double column: cluster events by (value, user_id), prune a 2-D
+    // box through the long-probe envelope contract (truncating
+    // envelopes are exact for integer-endpoint probes), and the
+    // aggregate hash-matches DuckDB computing the same box unclustered.
+    // The in-plan require proves pruning HAPPENED (fewer files opened).
+    "x_zorder_double" -> (((s: SparkSession, dir: String) => {
+      import graft.catalog.TableCatalog
+      val scratch = scratchDir("graft_zdouble", dir)
+      val cat = new TableCatalog(s, scratch.toString)
+      val ev = readEvents(s, dir).select(
+        col("user_id").cast("long").as("uid"),
+        col("value").cast("double").as("v"))
+      cat.replaceAtomic("ev_zd", ev.repartition(8))
+      cat.optimizeZOrder("ev_zd", Seq("v", "uid"), bits = 8,
+        numPartitions = 8)
+      val allFiles = cat.read("ev_zd").inputFiles.length
+      val pr = cat.prunedRead("ev_zd",
+        Seq(("v", 50L, 150L), ("uid", 0L, 3L)))
+      require(pr.inputFiles.length < allFiles,
+        s"the double-dim z-order must prune files " +
+          s"(${pr.inputFiles.length} of $allFiles)")
+      pr.agg(count(lit(1)).as("n_rows"),
+        sum(cents(col("v"))).as("sum_v_c"),
+        countDistinct(col("uid")).as("n_users"))
+    }),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_v_c,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events
+             |WHERE value >= 50 AND value <= 150
+             |  AND user_id BETWEEN 0 AND 3""".stripMargin)),
+
     // --------------------------------- OPTIMIZE small-file compaction
     // The other maintenance verb: a 64-tiny-file orders projection is
     // committed, compacted by TableCatalog.compactSmallFiles (coalesce

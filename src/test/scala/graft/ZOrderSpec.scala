@@ -82,6 +82,61 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
     assert(spans.getDouble(2) < 12.0, s"w envelope too wide: ${spans.getDouble(2)}")
   }
 
+  test("curveDim is a monotone int64 image on every supported type " +
+      "(r17): doubles through halved sortable bits — negatives, " +
+      "subnormals, infinities — decimals through the unscaled value, " +
+      "timestamps through epoch micros; strings refuse loudly") {
+    val rnd = new scala.util.Random(11)
+    val doubles = (0 until 500).map(_ =>
+      rnd.nextGaussian() * math.pow(10.0, rnd.nextInt(30) - 15)) ++
+      Seq(Double.MinValue, Double.MaxValue, -0.0, 0.0,
+        java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE,
+        Double.NegativeInfinity, Double.PositiveInfinity)
+    val dd = doubles.toDF("v")
+    val got = dd.select(col("v"),
+      ZOrder.curveDim(dd, "v").as("img"))
+      .orderBy("v").select("img").as[Long].collect().toSeq
+    assert(got === got.sorted,
+      "the double image must be monotone in value order")
+    val dec = Seq(BigDecimal("-12.345"), BigDecimal("0.001"),
+      BigDecimal("99.990")).toDF("v")
+      .withColumn("v", col("v").cast("decimal(10,3)"))
+    assert(dec.select(ZOrder.curveDim(dec, "v").as("i")).orderBy("i")
+      .as[Long].collect().toSeq === Seq(-12345L, 1L, 99990L))
+    val ts = Seq("2024-01-01 00:00:00", "2024-01-01 00:00:01")
+      .toDF("s").withColumn("v", col("s").cast("timestamp"))
+    assert(ts.select(ZOrder.curveDim(ts, "v").as("i")).as[Long]
+      .collect().toSeq.distinct.size === 2)
+    val bad = Seq("a").toDF("v")
+    val e = intercept[IllegalArgumentException](ZOrder.curveDim(bad, "v"))
+    assert(e.getMessage.contains("curve-cluster"), e.getMessage)
+  }
+
+  test("clusterN on a DOUBLE x LONG grid boxes BOTH dims (r17): the " +
+      "sortable-bits dimension clusters as tightly as a native long") {
+    val grid = (0 until 4096)
+      .map(i => (((i % 64) - 32) * 0.25, (i / 64).toLong)).toDF("x", "y")
+    val dir = Files.createTempDirectory("zorder-dbl").toString
+    ZOrder.clusterN(grid, Seq("x", "y"), bits = 6, numPartitions = 16)
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 4096L)
+    assert(back.select("x", "y").as[(Double, Long)].collect().toSet
+      === grid.as[(Double, Long)].collect().toSet,
+      "clustering must not perturb double values")
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(avg($"sx").as("ax"), avg($"sy").as("ay"), count(lit(1)).as("nf"))
+      .head()
+    val (ax, ay, nf) = (spans.getDouble(0), spans.getDouble(1), spans.getLong(2))
+    assert(nf >= 8, s"expected a multi-file layout, got $nf files")
+    // x spans [-8, 7.75] (global 15.75), y [0, 63]: both must box
+    // well below global — the double dim through sortable bits must
+    // not degrade vs a native long dim
+    assert(ax < 8.0, s"double-dim envelope too wide: $ax")
+    assert(ay < 32.0, s"y envelope too wide: $ay")
+  }
+
   test("clustered write yields tight per-file envelopes on BOTH dims") {
     // a full 64x64 grid; insertion order irrelevant (cluster reshuffles)
     val grid = (0 until 4096)
