@@ -40,18 +40,40 @@ object WeightedQuantile {
     * qDen·cumw(v) ≥ qNum·totw — the comparison stays in exact int64,
     * so any engine lands on the same row (a floating q would make the
     * crossover row rounding-dependent). Same bounded two-phase search
-    * as the median. */
+    * as the median.
+    *
+    * Domains (r17, the percentilesCont rule): integral values answer
+    * as-is (long); DOUBLE/FLOAT search through the order-preserving
+    * sortable-bits int64 bijection and the crossover inverts EXACTLY
+    * (no interpolation here — the answer is one of the input values,
+    * returned as the double it was). Decimals pre-scale to integral
+    * units (exact) rather than round-tripping through double. */
   def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String, qNum: Long, qDen: Long,
                        buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"need at least 2 buckets, got $buckets")
     require(qNum >= 0 && qDen > 0 && qNum <= qDen, s"bad quantile $qNum/$qDen")
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Column
+    val (toV, fromOv): (Column => Column, Column => Column) =
+      df.schema(valueCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          ((c: Column) => c.cast("long"), (c: Column) => c)
+        case DoubleType | FloatType =>
+          ((c: Column) => graft.functions.DoubleSortableBits(
+             c.cast("double")),
+           (c: Column) => graft.functions.SortableBitsDouble(c))
+        case other => throw new IllegalArgumentException(
+          s"weightedQuantile: unsupported value type " +
+            s"${other.catalogString} — integral or float/double " +
+            "(pre-scale decimals to exact integral units)")
+      }
     // the exact per-(g, v) weights — the unavoidable shuffle. It feeds
     // THREE subtrees (bounds, the bucket histogram, the phase-2 probe);
     // the eager checkpoint materializes the raw-data aggregation once
     // (the Dedup.components convention — measured 3× end-to-end
     // without it).
-    val pv = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"),
+    val pv = df.select(col(groupCol).as("g"), toV(col(valueCol)).as("v"),
         col(weightCol).cast("long").as("w"))
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
       .localCheckpoint(true)
@@ -62,11 +84,15 @@ object WeightedQuantile {
     // fixed bucket width ≥ 1; bucket id ≤ `buckets`
     // integer `div`, not `/`: double division would round bucket edges
     // for domains past 2^53 and could misplace edge values into a
-    // neighbouring bucket, breaking the crossing search's monotonicity
+    // neighbouring bucket, breaking the crossing search's monotonicity.
+    // OVERFLOW-PROOF halving (r17, the Quantiles rule): a sortable-bits
+    // double domain spans the whole int64 line, so halve before the
+    // span subtraction — monotone, half the resolution, same bound
+    // class on the phase-2 rescan
     val withB = pv.join(broadcast(bounds), Seq("g"))
-      .withColumn("bw",
-        greatest(lit(1L), expr(s"(vmax - vmin) div ${buckets}L + 1L")))
-      .withColumn("bkt", expr("(v - vmin) div bw"))
+      .withColumn("bw", greatest(lit(1L),
+        expr(s"(vmax div 2 - vmin div 2) div ${buckets / 2}L + 1L")))
+      .withColumn("bkt", expr("(v div 2 - vmin div 2) div bw"))
     // phase 1: crossing bucket per group (window over ≤ buckets rows)
     val perBucket = withB.groupBy(col("g"), col("bkt"))
       .agg(sum(col("vw")).as("bw_sum"))
@@ -93,6 +119,8 @@ object WeightedQuantile {
       .withColumn("cum_in", sum(col("vw")).over(wv))
       .filter((col("before") + col("cum_in")) * qDen >= col("tw2") * qNum)
       .groupBy(col("g"))
-      .agg(min(col("v")).as("wquantile_c"), max(col("tw2")).as("total_w"))
+      .agg(min(col("v")).as("_ov"), max(col("tw2")).as("total_w"))
+      .select(col("g"), fromOv(col("_ov")).as("wquantile_c"),
+        col("total_w"))
   }
 }

@@ -72,4 +72,33 @@ class WeightedQuantileSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("DOUBLE domains (r17): the sortable-bits search equals the one-" +
+      "window form on doubles spanning signs and exponents — the " +
+      "crossover value round-trips bit-exactly, no interpolation") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 600).map { _ =>
+      (s"g${rnd.nextInt(4)}",
+        rnd.nextGaussian() * math.pow(10.0, rnd.nextInt(24) - 12),
+        (rnd.nextInt(9) + 1).toLong)
+    } ++ Seq(("edge", -0.0, 1L), ("edge", 0.0, 1L),
+      ("edge", Double.MinValue, 2L), ("edge", Double.MaxValue, 1L))
+    val df = rows.toDF("g", "v", "w")
+    val pv = df.groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = pv.withColumn("cw", sum(col("vw")).over(wcum))
+      .withColumn("tw", sum(col("vw")).over(Window.partitionBy(col("g"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("m"), max(col("tw")).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    Seq(2, 64, 4096).foreach { b =>
+      val got = WeightedQuantile.weightedMedian(df, "g", "v", "w", b)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(got === reference, s"buckets=$b")
+    }
+  }
 }
