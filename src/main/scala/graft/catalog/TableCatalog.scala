@@ -4597,11 +4597,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"'$table' has no partition spec — lazy evolution needs one"))
     val (newCols, newGen) = TableCatalog.validatedGenSpec(declared, parts)
     val pv = partitionSpecVersioned(table)
-    // a pv branch's staged leaf tree is laid out under the CURRENT
-    // spec, and publish refuses multi-generation snapshots — evolving
-    // under an open branch would strand the staged rows in a refusal
-    // loop (publish says compact, compact says drop the branch).
-    // Refuse up front instead: publish or drop, then evolve.
+    // a pv branch's staged leaf tree is laid out under the spec it
+    // staged with, and a REPLACE branch's claims carry the CURRENT
+    // spec's tuple arity — evolving under an open branch would strand
+    // the staged tree in the wrong generation subtree and make every
+    // claim tuple zip-mismatch the new partition columns (r17: publish
+    // handles multi-generation snapshots fine, but only when staging
+    // and publish agree on the spec the claims name). Refuse up front:
+    // publish or drop, then evolve. The staging loop's partSpecPin
+    // re-check closes the race with an in-flight stage.
     if (pv) require(branches(table).isEmpty,
       s"'$table' has open branches (${branches(table).keys.toSeq.sorted
         .mkString(", ")}) — publish or drop them before lazy spec " +

@@ -145,15 +145,21 @@ object Quantiles {
     // bucketed domain + per-bucket running counts (≤ buckets rows per
     // group through the window) — integer `div` bucket edges, the
     // WeightedQuantile monotonicity rule. OVERFLOW-PROOF (r17): a
-    // sortable-bits double domain spans the whole int64 line, so
-    // `vmax - vmin` can overflow ANSI; halving FIRST (`div 2` is
-    // monotone, each half fits ±2^62) keeps every difference in range
-    // at the price of half the bucket resolution (the crossing-bucket
-    // rescan reads ≤ 2·domain/buckets values — same bound class)
+    // sortable-bits double domain spans the whole int64 line, where
+    // `vmax - vmin` overflows ANSI — such groups bucket on HALVED
+    // values (`div 2` is monotone, each half fits ±2^62; the
+    // crossing-bucket rescan bound doubles, same class). Groups whose
+    // span provably fits (the half-space test never overflows) keep
+    // the full-resolution exact edges; the CASE branches per GROUP.
+    val safeSpan = s"(vmax div 2 - vmin div 2) < ${1L << 61}L"
     val withB = pv.join(broadcast(bounds), Seq("g"))
       .withColumn("bw", greatest(lit(1L),
-        expr(s"(vmax div 2 - vmin div 2) div ${buckets / 2}L + 1L")))
-      .withColumn("bkt", expr("(v div 2 - vmin div 2) div bw"))
+        expr(s"IF($safeSpan, (vmax - vmin) div ${buckets}L + 1L, " +
+          s"(vmax div 2 - vmin div 2) div ${math.max(1, buckets / 2)}L" +
+          " + 1L)")))
+      .withColumn("bkt",
+        expr(s"IF($safeSpan, (v - vmin) div bw, " +
+          "(v div 2 - vmin div 2) div bw)"))
     val perBucket = withB.groupBy(col("g"), col("bkt"))
       .agg(sum(col("vw")).as("bw_sum"))
     val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))
