@@ -6858,6 +6858,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     out.toSeq
   }
 
+  /** [[fsck]] over EVERY table under this catalog root — the
+    * fleet-wide integrity sweep an operator runs after a node crash
+    * (r17): (table, severity, check, detail) rows, table-sorted,
+    * empty = the whole catalog is clean. Same repair semantics,
+    * per-table (one sick table never blocks the sweep — a table whose
+    * fsck itself throws reports as an `error/fsck_failed` row instead
+    * of aborting the fleet pass). Driver-side metadata only. */
+  def fsckAll(repair: Boolean = false, graceMs: Long = 3600000L)
+      : Seq[(String, String, String, String)] = {
+    val root = Paths.get(this.root)
+    if (!Files.exists(root)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(root)
+    val names = try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+    names.filter(exists).flatMap { t =>
+      try fsck(t, repair, graceMs).map { case (sev, c, d) => (t, sev, c, d) }
+      catch { case e: Exception =>
+        Seq((t, "error", "fsck_failed",
+          Option(e.getMessage).getOrElse(e.toString).take(300)))
+      }
+    }
+  }
+
   def vacuum(table: String, graceMs: Long = 3600000L): Seq[(String, Long, Long)] =
     withTableLock(table) {
       require(graceMs >= 0L, s"graceMs must be >= 0, got $graceMs")
@@ -7255,7 +7283,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         }
       }
     val numFiltered = ranges.foldLeft(base) { case (d, (c, lo, hi)) =>
-      d.filter(col(c) >= lo && col(c) <= hi) }
+      // a TIMESTAMP skip column probes in EPOCH SECONDS (r17) — the
+      // exact unit its envelopes were built in (`cast long` truncates
+      // timestamps to seconds), and the same cast here keeps the row
+      // predicate envelope-consistent where a raw timestamp-vs-long
+      // compare would refuse analysis. Other numerics compare raw
+      // (casting a double row would CHANGE the probe's semantics).
+      val probe = d.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          col(c).cast("long")
+        case _ => col(c)
+      }
+      d.filter(probe >= lo && probe <= hi) }
     strRanges.foldLeft(numFiltered) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
   }

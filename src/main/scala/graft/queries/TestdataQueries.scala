@@ -758,6 +758,10 @@ object TestdataQueries {
       // (the stray fake-parquet makes the table unreadable until the
       // operator decides about it — which is the point; FsckSpec pins
       // that repair never touches data files)
+      // the fleet sweep agrees with the per-table verdict (r17)
+      require(cat.fsckAll().map { case (t2, s2, c2, _) => (t2, s2, c2) }
+        .toSet == after.map(x => ("pv", x._2, x._3)).toSet,
+        "fsckAll must report exactly the per-table findings")
       (found ++ after).sortBy(x => (x._1, x._2, x._3))
         .toDF("phase", "severity", "check", "n")
     }),

@@ -530,7 +530,7 @@ object GraftSqlCatalog {
       "clone", "describe_detail", "restore_timestamp", "analyze",
       "delete_vectorize", "apply_delete_vectors",
       "optimize_zorder", "add_constraint", "drop_constraint",
-      "repartition", "fsck")
+      "repartition", "fsck", "fsck_all")
 
   /** The generated partition column's declared type per transform. */
   private[sql] def genType(g: graft.catalog.TableCatalog.GenCol)
@@ -928,6 +928,9 @@ object GraftSqlCatalog {
       case "fsck" =>
         "integrity check: (severity, check, detail) rows; " +
           "repair=true applies the safe healing subset"
+      case "fsck_all" =>
+        "fsck over every table in the catalog: (table, severity, " +
+          "check, detail) rows"
       case "restore_timestamp" => "restore the snapshot as of an instant"
       case "analyze" => "compute stats (rows/NDV/envelopes) for planning"
       case "delete_vectorize" => "O(matches) merge-on-read DELETE (vectors)"
@@ -973,6 +976,9 @@ object GraftSqlCatalog {
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("repair", DT.BooleanType)
               .defaultValue("false").build())
+          case "fsck_all" => Array(
+            ProcedureParameter.in("repair", DT.BooleanType)
+              .defaultValue("false").build())
           case "restore_timestamp" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("ts_millis", DT.LongType).build())
@@ -1004,7 +1010,11 @@ object GraftSqlCatalog {
 
         override def call(input: InternalRow)
             : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
-          val table = input.getUTF8String(0).toString
+          // every procedure's first parameter is the table EXCEPT the
+          // catalog-wide fsck_all (whose first is the repair flag)
+          val table =
+            if (proc == "fsck_all") ""
+            else input.getUTF8String(0).toString
           val (resultSchema, resultRows): (StructType, Seq[InternalRow]) =
             proc match {
             case "describe_history" =>
@@ -1081,6 +1091,15 @@ object GraftSqlCatalog {
                 "severity STRING, check STRING, detail STRING"),
                 cat.fsck(table, repair = rep).map { case (sev, c, d) =>
                   InternalRow(UTF8String.fromString(sev),
+                    UTF8String.fromString(c), UTF8String.fromString(d))
+                })
+            case "fsck_all" =>
+              val rep = !input.isNullAt(0) && input.getBoolean(0)
+              (StructType.fromDDL("table STRING, severity STRING, " +
+                "check STRING, detail STRING"),
+                cat.fsckAll(repair = rep).map { case (t2, sev, c, d) =>
+                  InternalRow(UTF8String.fromString(t2),
+                    UTF8String.fromString(sev),
                     UTF8String.fromString(c), UTF8String.fromString(d))
                 })
             case "restore_timestamp" =>

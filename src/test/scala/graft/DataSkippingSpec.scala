@@ -154,4 +154,32 @@ class DataSkippingSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](
       cat.prunedReadRanges("t", Seq.empty, Seq(("v", "a", "z"))))
   }
+
+  test("TIMESTAMP skip columns probe in epoch seconds (r17): the time-" +
+      "range scan — THE hot path at scale — prunes files and equals " +
+      "the full filter") {
+    import graft.catalog.TableCatalog
+    val cat = new TableCatalog(spark,
+      Files.createTempDirectory("skip-ts").toString)
+    // 40 days of events, one hour apart, range-clustered by time
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 960).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 3600L * 1000L))
+    }.toDF("k", "ts")
+    cat.overwriteIndexed("t",
+      rows.repartitionByRange(16, col("ts")), Seq("ts", "k"))
+    // probe days 10..12 by epoch-second range
+    val lo = base / 1000L + 10L * 86400L
+    val hi = base / 1000L + 12L * 86400L - 1L
+    val pruned = cat.prunedRead("t", Seq(("ts", lo, hi)))
+    val expect = rows.filter(col("ts").cast("long") >= lo &&
+      col("ts").cast("long") <= hi).select("k").as[Long].collect().sorted
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq ===
+      expect.toSeq)
+    assert(expect.nonEmpty)
+    val opened = pruned.inputFiles.length
+    val total = cat.read("t").inputFiles.length
+    assert(opened <= 3 && total >= 12,
+      s"timestamp envelope did not prune: opened $opened of $total")
+  }
 }

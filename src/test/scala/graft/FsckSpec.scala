@@ -265,6 +265,34 @@ class FsckSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.fsck("pv") === Seq.empty)
   }
 
+  test("fsckAll sweeps the whole catalog (r17): per-table findings " +
+      "tagged by table, a sick table reports instead of aborting the " +
+      "fleet pass, repair heals everything healable, from Scala and SQL") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("clean", Seq((1L, 1)).toDF("k", "v"))
+    cat.createPartitionedVersioned("dirty",
+      Seq((0L, "x")).toDF("k", "dt").schema, Seq("dt"))
+    cat.appendPartitionedVersioned("dirty",
+      Seq((1L, "2024-01-01")).toDF("k", "dt"))
+    Files.createDirectories(
+      Paths.get(cat.path("dirty"), "_branchdata_ghost-e1"))
+    Files.write(Paths.get(cat.path("dirty"), "_brpend_ghost"),
+      "{}".getBytes("UTF-8"))
+    val sweep = cat.fsckAll()
+    assert(sweep.forall(_._1 == "dirty"),
+      s"only the dirty table may report: $sweep")
+    assert(sweep.exists(_._3 == "orphan_branch_dir"), sweep.toString)
+    assert(sweep.exists(_._3 == "publish_intent"), sweep.toString)
+    assert(spark.sql(s"CALL $g.system.fsck_all()").count() ===
+      sweep.size.toLong)
+    cat.fsckAll(repair = true, graceMs = 0L)
+    assert(cat.fsckAll() === Seq.empty, "the fleet repair must converge")
+    assert(spark.sql(s"CALL $g.system.fsck_all(repair => true)")
+      .count() === 0L)
+    assert(cat.read("clean").count() === 1L)
+    assert(cat.read("dirty").count() === 1L)
+  }
+
   test("fsck never mutates: the findings are identical across calls " +
       "and the table keeps serving") {
     val (cat, _) = freshSqlCat()
