@@ -4532,13 +4532,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "compact first (repartitionTable / repartitionTableTransformed " +
         "collapses the generations) or read via readPartitioned")
 
-  /** The one remaining single-layout pv verb: the SQL row-level
-    * commit half ([[replacePartitionsFromStagedVersioned]]), whose
-    * scan/clobber protocol addresses leaves of one layout (the SQL
-    * planner refuses multi-generation row-level statements upstream
-    * too). Every OTHER pv verb — append, DELETE/UPDATE, tuple
-    * overwrite/drop, OPTIMIZE, branch staging/publish — routes per
-    * generation since r16. */
+  /** The single-layout pv commit half of PARTITION-GRANULAR row-level
+    * SQL ([[replacePartitionsFromStagedVersioned]]), whose
+    * scan/clobber protocol addresses leaves of one layout. Since r17
+    * the SQL planner no longer refuses multi-generation statements —
+    * it routes them to the whole-table copy-on-write commit
+    * ([[replacePartitionedVersionedFromStaged]]) instead of here, so
+    * this guard only ever fires on a direct mis-call. Every other pv
+    * verb routes per generation since r16. */
   private def requireSingleGenPv(table: String, verb: String): Unit =
     require(specGenerations(table).size <= 1,
       s"'$table' carries multiple partition-spec generations (lazy " +
@@ -5807,6 +5808,50 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           "the WHERE to non-partition columns")
       overwritePartitionTuplesVersioned(table, stagedDf,
         parts ++ outside, expect)
+      ()
+    } finally deleteRecursive(staged)
+  }
+
+  /** Commit already-staged rows as a partitioned versioned table's
+    * WHOLE new snapshot — the commit half of a SQL row-level statement
+    * on a MULTI-GENERATION pv table (r17): with rows spread across
+    * foreign layouts, partition-granular replace cannot address the
+    * statement's groups, so the rewrite is whole-table copy-on-write
+    * (exactly the unpartitioned posture) — the staged state (fixed ∪
+    * copied rows) lands under the CURRENT spec as one REPLACE
+    * snapshot, older generations empty from here on. `expect` pins the
+    * snapshot the statement scanned; any commit since makes the staged
+    * state stale and refuses loudly. Honest price, documented in
+    * SCALE.md: one full rewrite per row-level statement until
+    * compaction collapses the generations. Consumes the staging. */
+  def replacePartitionedVersionedFromStaged(table: String, staged: Path,
+      schema: StructType, expect: Long): Unit = {
+    try {
+      val (pcols, _) = partitionSpec(table).getOrElse(
+        throw new IllegalArgumentException(s"'$table' has no partition spec"))
+      require(partitionSpecVersioned(table),
+        s"'$table' is a partitioned PLAIN table")
+      val stagedDf = spark.read
+        .schema(TableCatalog.stripFieldIds(schema)).parquet(staged.toString)
+      if (constraintsOf(table).nonEmpty) enforced(table, stagedDf).count()
+      val pin = partSpecPin(table)
+      val scratch = stageLeaves(table,
+        withGen(table, stripDf(stagedDf)), pcols)
+      withTableLock(table) {
+        if (!currentVersion(table).contains(expect) ||
+            partSpecPin(table) != pin) {
+          deleteRecursive(scratch)
+          require(false,
+            s"'$table' moved (expected v$expect, now " +
+              s"v${currentVersion(table).getOrElse(0L)}) or evolved its " +
+              "spec — this row-level statement's staged rewrite is " +
+              "stale; re-run")
+        }
+        commitPartVersionedLocked(table, expect, "REPLACE",
+          skip = Seq.empty, scratch = Some(scratch), carry = false,
+          adoptUnder = specGenerations(table).lastOption
+            .map(_.dir).filter(_.nonEmpty))
+      }
       ()
     } finally deleteRecursive(staged)
   }

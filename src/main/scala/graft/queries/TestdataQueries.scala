@@ -3894,6 +3894,58 @@ object TestdataQueries {
              |WHERE l_orderkey BETWEEN 1 AND 1000
              |  AND l_partkey BETWEEN 1 AND 500""".stripMargin)),
 
+    // ------------------- SQL row-level DML on a MULTI-GEN pv table
+    // (r17 — the last row-level refusal lifted): UPDATE, rewrite-DELETE
+    // (non-translatable predicate) and MERGE on a lazily-evolved table
+    // degrade to whole-table copy-on-write under the current spec, one
+    // snapshot each; the oracle replays the statements relationally.
+    "x_sql_dml_multigen" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlmg", dir)
+      val cname = "gsm_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("total_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      s.sql(s"CREATE TABLE $cname.pv (okey BIGINT, total_c BIGINT, " +
+        "y STRING) PARTITIONED BY (y) TBLPROPERTIES ('versioned'='true')")
+      cat.appendPartitionedVersioned("pv", base.filter(col("okey") % 2 === 0))
+      cat.repartitionTableLazy("pv",
+        Seq(("identity", "y", 0), ("bucket", "okey", 2)))
+      cat.appendPartitionedVersioned("pv", base.filter(col("okey") % 2 === 1))
+      require(cat.specGenerations("pv").size == 2,
+        "the DML must run on a lazily-evolved table")
+      val v0 = cat.currentVersion("pv").get
+      s.sql(s"UPDATE $cname.pv SET total_c = total_c + 7 " +
+        "WHERE okey % 10 = 3")
+      s.sql(s"DELETE FROM $cname.pv WHERE okey % 10 = 7")
+      base.filter(col("okey") % 100 === 0)
+        .createOrReplaceTempView("sqlmg_src")
+      s.sql(s"""MERGE INTO $cname.pv t USING sqlmg_src s ON t.okey = s.okey
+        WHEN MATCHED THEN UPDATE SET total_c = 0""")
+      require(cat.currentVersion("pv").contains(v0 + 3L),
+        "each statement must commit exactly one snapshot")
+      require(cat.readVersion("pv", v0).count() == base.count(),
+        "time travel must keep the pre-DML state")
+      s.sql(s"SELECT y, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(total_c) AS sum_c FROM $cname.pv GROUP BY y")
+    }),
+      Some("""WITH base AS (SELECT o_orderkey AS okey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c,
+             |    CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
+             |upd AS (SELECT okey, CASE WHEN okey % 10 = 3
+             |    THEN total_c + 7 ELSE total_c END AS total_c, y FROM base),
+             |del AS (SELECT * FROM upd WHERE okey % 10 <> 7),
+             |mrg AS (SELECT okey, CASE WHEN okey % 100 = 0
+             |    THEN CAST(0 AS BIGINT) ELSE total_c END AS total_c, y
+             |  FROM del)
+             |SELECT y, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(total_c) AS BIGINT) AS sum_c
+             |FROM mrg GROUP BY y""".stripMargin)),
+
     // --------------------------- Z-ORDER on a DOUBLE dimension (r17)
     // optimizeZOrder previously demanded integral dims (the exact
     // integral scale). Doubles now quantize in VALUE space

@@ -1343,17 +1343,23 @@ object GraftSqlCatalog {
         s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
           "row-level SQL fixes an EXISTING branch; stage rows with " +
           "INSERT INTO first")
-      require(multiGens.size <= 1,
+      // a lazily-evolved PV table (r17): the statement degrades to a
+      // whole-table copy-on-write rewrite under the current spec (the
+      // unpartitioned posture — partition-granular groups cannot
+      // address rows inside foreign layouts); a lazily-evolved PLAIN
+      // table keeps the refusal, its live root has no snapshot to pin.
+      require(multiGens.size <= 1 || partVersioned,
         s"'$table' carries multiple partition-spec generations (lazy " +
-          "evolution) — row-level SQL operates on one layout; compact " +
-          "first (CALL system.repartition)")
+          "evolution) — row-level SQL on the plain layout operates on " +
+          "one layout; compact first (CALL system.repartition)")
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build()
             : org.apache.spark.sql.connector.write.RowLevelOperation =
           new GraftRowLevelOperation(delegate, cat, table, loadedVersion,
             info.command(), partCols,
             branchTarget = branch.map(b => (b, branchEpoch.get)),
-            genSpec = genSpec, partVersioned = partVersioned)
+            genSpec = genSpec, partVersioned = partVersioned,
+            multiGens = multiGens)
       }
     }
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -1550,7 +1556,8 @@ object GraftSqlCatalog {
       partCols: Option[Seq[String]],
       branchTarget: Option[(String, String)] = None,
       genSpec: Seq[graft.catalog.TableCatalog.GenCol] = Seq.empty,
-      partVersioned: Boolean = false)
+      partVersioned: Boolean = false,
+      multiGens: Seq[graft.catalog.TableCatalog.SpecGen] = Seq.empty)
       extends org.apache.spark.sql.connector.write.RowLevelOperation {
     import org.apache.spark.sql.connector.read.Scan
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
@@ -1671,6 +1678,28 @@ object GraftSqlCatalog {
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       partCols match {
+        case Some(_) if partVersioned && multiGens.size > 1 =>
+          // MULTI-GENERATION pv (r17): group pinning cannot address
+          // rows inside foreign layouts, so the statement is a
+          // whole-table copy-on-write — the scan serves EVERY
+          // generation of the pinned snapshot through the composite
+          // and deliberately accepts NO filter pushdown: any pruning
+          // here would narrow what the write stages, and the commit
+          // replaces the WHOLE table (column pruning alone forwards;
+          // the rewrite needs the full row output anyway).
+          new ScanBuilder with org.apache.spark.sql.connector.read
+              .SupportsPushDownRequiredColumns {
+            private var required: Option[StructType] = None
+            override def pruneColumns(r: StructType): Unit =
+              required = Some(r)
+            override def build()
+                : org.apache.spark.sql.connector.read.Scan = {
+              val b = new MultiGenScanBuilder(cat, table, delegate.schema,
+                multiGens, scanRootPath, options)
+              required.foreach(b.pruneColumns)
+              b.build()
+            }
+          }
         case None =>
           // no FILTER pushdown — see class doc. COLUMN pruning does
           // forward: the rewrite always requires the full relation
@@ -1807,6 +1836,17 @@ object GraftSqlCatalog {
                   // lives mid-statement (r12 verdict #2)
                   cat.replaceBranchFromStaged(table, br, epoch, staging,
                     info.schema())
+                case (None, Some(pcs))
+                    if partVersioned && multiGens.size > 1 =>
+                  // multi-generation pv (r17): the scan served the
+                  // WHOLE pinned snapshot across layouts, so the
+                  // staged state is the full fixed ∪ copied row set —
+                  // commit it as one REPLACE snapshot under the
+                  // current spec (expect refuses a concurrent commit)
+                  cat.replacePartitionedVersionedFromStaged(table,
+                    staging, info.schema(), expect.getOrElse(
+                      throw new IllegalStateException(
+                        s"'$table' loaded without a pinned version")))
                 case (None, Some(pcs)) =>
                   // partition-granular: replace EXACTLY the leaves the
                   // scan pinned at build time — never a recomputed

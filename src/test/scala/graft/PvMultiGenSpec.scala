@@ -284,6 +284,49 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("SQL UPDATE / MERGE / rewrite-DELETE on a 2-generation pv table " +
+      "(r17 — the last row-level refusal lifted): the statement " +
+      "degrades to a whole-table copy-on-write under the current " +
+      "spec, ONE snapshot, time travel intact, nothing lost outside " +
+      "the predicate") {
+    val (cat, g) = freshSqlCat()
+    twoGen(cat, "rl")
+    val v0 = cat.currentVersion("rl").get
+    // UPDATE touches k=2 (gen0's y=2021 leaf); every OTHER row must
+    // survive verbatim even though the rewrite is whole-table
+    spark.sql(s"UPDATE $g.rl SET v = v * 10 WHERE k = 2")
+    val v1 = cat.currentVersion("rl").get
+    assert(v1 === v0 + 1L, "one snapshot commit")
+    assert(cat.read("rl").orderBy("k").select("k", "v")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L)))
+    // the rewrite landed under the CURRENT spec: _g1 leaves only
+    assert(Files.exists(Paths.get(cat.path("rl"), s"_v$v1", "_g1",
+      "y=2021", "m=2")), "rows rewrite under the current generation")
+    assert(!Files.exists(Paths.get(cat.path("rl"), s"_v$v1", "y=2021")),
+      "older generations are empty in the new snapshot")
+    assert(cat.readVersion("rl", v0).select("v").as[Long].collect()
+      .sorted.toSeq === Seq(10L, 20L, 30L, 40L),
+      "time travel keeps the pre-statement multi-gen state")
+    // MERGE: update one row, insert another, via the same machinery
+    Seq((3L, 999L, 2021, 3), (9L, 90L, 2022, 9))
+      .toDF("k", "v", "y", "m").createOrReplaceTempView("rl_src")
+    spark.sql(s"""MERGE INTO $g.rl t USING rl_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v, y, m) VALUES (s.k, s.v, s.y, s.m)""")
+    assert(cat.read("rl").orderBy("k").select("k", "v")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 200L), (3L, 999L), (4L, 40L), (9L, 90L)))
+    // rewrite-DELETE (a predicate canDeleteWhere cannot translate
+    // routes through the same row-level rewrite)
+    spark.sql(s"DELETE FROM $g.rl WHERE k % 2 = 1")
+    assert(cat.read("rl").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L))
+    // SQL reads agree end to end
+    assert(spark.sql(s"SELECT sum(v) FROM $g.rl").head().getLong(0) ===
+      240L)
+  }
+
   test("eager spec evolution on a pv table (repartitionTableTransformed)" +
       " = lazy evolve + generation compaction, history preserved") {
     val (cat, g) = freshSqlCat()
