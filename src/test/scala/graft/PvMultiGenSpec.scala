@@ -325,6 +325,16 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     // SQL reads agree end to end
     assert(spark.sql(s"SELECT sum(v) FROM $g.rl").head().getLong(0) ===
       240L)
+    // a PLAIN lazily-evolved table keeps the refusal: its live root
+    // has no snapshot to pin the whole-table rewrite against
+    spark.sql(s"CREATE TABLE $g.pl (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    spark.sql(s"INSERT INTO $g.pl VALUES (1, 2020, 1)")
+    cat.repartitionTableLazy("pl",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $g.pl SET k = 2 WHERE k = 1"))
+    assert(e.getMessage.contains("plain layout"), e.getMessage)
   }
 
   test("eager spec evolution on a pv table (repartitionTableTransformed)" +
