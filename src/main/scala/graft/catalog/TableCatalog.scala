@@ -2961,16 +2961,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               throw new IllegalStateException(
                 s"'$table' lost its partition spec"))
             val gen = partitionGen(table)
-            val pcs = pcols.map { c =>
-              gen.find(_.name == c) match {
-                case Some(g) => TableCatalog
-                  .genExpr(g, base0.schema(g.src).dataType).cast("string")
-                case None => col(c).cast("string")
-              }
-            }
-            val claimed = claims.map(t => pcs.zip(t).map { case (pc, v) =>
-              v.map(pc === _).getOrElse(pc.isNull) }.reduce(_ && _))
-              .reduce(_ || _)
+            val pcs = TableCatalog.curSpecPcsFor(pcols, gen,
+              n => base0.schema(n).dataType)
+            val claimed = claims
+              .map(TableCatalog.tupleMatchExpr(pcs, _)).reduce(_ || _)
             base0.filter(!coalesce(claimed, lit(false)))
           }
         }
@@ -5518,18 +5512,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * directory-rendered claim tuples. */
   private def curSpecPcs(table: String, d: DataFrame)
       : Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.col
     val (partCols, _) = partitionSpec(table).getOrElse(
       throw new IllegalStateException(s"'$table' lost its partition spec"))
     val gen = specGenerations(table).lastOption.map(_.gen)
       .getOrElse(Seq.empty)
-    partCols.map { c =>
-      gen.find(_.name == c) match {
-        case Some(g) => TableCatalog
-          .genExpr(g, d.schema(g.src).dataType).cast("string")
-        case None => col(c).cast("string")
-      }
-    }
+    TableCatalog.curSpecPcsFor(partCols, gen, n => d.schema(n).dataType)
   }
 
   /** Stage the OLDER-generation survivor rewrites a CURRENT-spec claim
@@ -7249,7 +7236,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * its index (plain append, manual compaction) must error, because a
     * missing-from-index file would be silently skipped and its rows
     * lost. Range columns must be indexed skip columns — a typo'd column
-    * errors rather than silently scanning everything. */
+    * errors rather than silently scanning everything. TIMESTAMP skip
+    * columns probe in EPOCH SECONDS (both envelope and row predicate
+    * truncate to seconds — a row 0.5s past `hi` still matches; pick
+    * bounds at second granularity). */
   def prunedRead(table: String, ranges: Seq[(String, Long, Long)]): DataFrame =
     prunedReadRanges(table, ranges, Seq.empty)
 
@@ -8927,7 +8917,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * converges. */
   def renameColumnPath(table: String, path: Seq[String], to: String,
       restamp: Boolean = false): Long = {
-    if (restamp) ensureStampedFor(table, path.size)
+    if (restamp) {
+      // validate the TARGET before paying the stamping rewrite — a
+      // mistyped path must fail free, never after a full data pass
+      // and a spurious OPTIMIZE commit (r17 review)
+      validateAlterTarget(table, "RENAME_COLUMN", path, Some(to))
+      ensureStampedFor(table, path.size)
+    }
     alterColumnMeta(table, "RENAME_COLUMN", path, requireTo = Some(to)) {
       (schema, ids) =>
         val joined = path.mkString(".")
@@ -9174,7 +9170,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * [[renameColumnPath]]. */
   def dropColumnPath(table: String, path: Seq[String],
       restamp: Boolean = false): Long = {
-    if (restamp) ensureStampedFor(table, path.size)
+    if (restamp) {
+      validateAlterTarget(table, "DROP_COLUMN", path, None)
+      ensureStampedFor(table, path.size)
+    }
     alterColumnMeta(table, "DROP_COLUMN", path, requireTo = None) {
       (schema, ids) =>
         val joined = path.mkString(".")
@@ -9190,10 +9189,15 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }
   }
 
-  private def alterColumnMeta(table: String, op: String,
-      targetPath: Seq[String], requireTo: Option[String])(
-      change: (StructType, Map[String, Int]) => (StructType, Map[String, Int]))
-      : Long = withTableLock(table) {
+  /** The cheap, read-only validations a RENAME/DROP target must pass
+    * — run by [[alterColumnMeta]] under the lock, and by the
+    * `restamp = true` wrappers BEFORE their full-table stamping
+    * rewrite (r17 review): a mistyped path, a non-versioned table, or
+    * a conflicting name must fail FREE, never after hours of rewrite
+    * plus a spurious OPTIMIZE commit. Everything except the marker
+    * checks, which restamp exists to fix. */
+  private def validateAlterTarget(table: String, op: String,
+      targetPath: Seq[String], requireTo: Option[String]): Unit = {
     require(targetPath.nonEmpty, s"$op needs a column path")
     require(targetPath.forall(c => c.nonEmpty && !c.contains(".")),
       s"$op path components must be non-empty and dot-free " +
@@ -9201,6 +9205,47 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     requireTo.foreach(to => require(!to.contains("."),
       s"the new name '$to' must be a bare field name"))
     requireFlatVersioned(table, op)
+    val cur = currentVersion(table).getOrElse(throw new IllegalArgumentException(
+      s"'$table' is not a versioned table — column mapping needs the " +
+        "snapshot layout (replaceAtomic/appendAtomic writers)"))
+    val target = targetPath.mkString(".")
+    val schema = resolveSchema(table, cur).getOrElse(
+      spark.read.parquet(snapDir(table, cur).toString).schema)
+    val parentSt = targetPath.init.foldLeft(schema) { (st, c) =>
+      require(st.fieldNames.contains(c),
+        s"'$c' (of $target) is not a column of '$table'")
+      st(c).dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"'$c' (of $target) is not a struct (${other.sql})")
+      }
+    }
+    require(parentSt.fieldNames.contains(targetPath.last),
+      s"'$target' is not a column of '$table' " +
+        s"(${parentSt.fieldNames.mkString(", ")})")
+    requireTo.foreach(to => require(!parentSt.fieldNames.contains(to),
+      s"column '${(targetPath.init :+ to).mkString(".")}' already " +
+        s"exists in '$table'"))
+    val word = java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(targetPath.last) + "\\b")
+    constraintsOf(table).foreach { case (n, pr) =>
+      require(!word.matcher(pr).find(),
+        s"constraint '$n' ($pr) references '${targetPath.last}' — drop " +
+          "the constraint first, alter, then re-add it under the new shape")
+    }
+    mvRegistry().filter(_.factPath.startsWith(path(table) + "/")).foreach { e =>
+      require(!e.keys.contains(targetPath.last) &&
+        e.value != targetPath.last,
+        s"aggregate view '${e.view}' is keyed on '${targetPath.last}' — " +
+          "drop the view first, alter, then re-create it")
+    }
+  }
+
+  private def alterColumnMeta(table: String, op: String,
+      targetPath: Seq[String], requireTo: Option[String])(
+      change: (StructType, Map[String, Int]) => (StructType, Map[String, Int]))
+      : Long = withTableLock(table) {
+    validateAlterTarget(table, op, targetPath, requireTo)
     healSwap(table)
     val cur = currentVersion(table).getOrElse(throw new IllegalArgumentException(
       s"'$table' is not a versioned table — column mapping needs the " +
@@ -9222,37 +9267,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "once (a full rewrite stamps every struct depth; restamp = " +
         s"true runs it in-verb), then $op $target works as a metadata " +
         "commit")
+    // target/name/constraint validation happened in
+    // validateAlterTarget above (shared with the restamp wrappers) —
+    // only the schema derivation the change callback needs remains
     val schema = resolveSchema(table, cur).getOrElse(
       spark.read.parquet(snapDir(table, cur).toString).schema)
-    // navigate: every parent must be a struct, the leaf must exist
-    val parentSt = targetPath.init.foldLeft(schema) { (st, c) =>
-      require(st.fieldNames.contains(c),
-        s"'$c' (of $target) is not a column of '$table'")
-      st(c).dataType match {
-        case s: StructType => s
-        case other => throw new IllegalArgumentException(
-          s"'$c' (of $target) is not a struct (${other.sql})")
-      }
-    }
-    require(parentSt.fieldNames.contains(targetPath.last),
-      s"'$target' is not a column of '$table' " +
-        s"(${parentSt.fieldNames.mkString(", ")})")
-    requireTo.foreach(to => require(!parentSt.fieldNames.contains(to),
-      s"column '${(targetPath.init :+ to).mkString(".")}' already " +
-        s"exists in '$table'"))
-    val word = java.util.regex.Pattern.compile(
-      "\\b" + java.util.regex.Pattern.quote(targetPath.last) + "\\b")
-    constraintsOf(table).foreach { case (n, p) =>
-      require(!word.matcher(p).find(),
-        s"constraint '$n' ($p) references '${targetPath.last}' — drop " +
-          "the constraint first, alter, then re-add it under the new shape")
-    }
-    mvRegistry().filter(_.factPath.startsWith(path(table) + "/")).foreach { e =>
-      require(!e.keys.contains(targetPath.last) &&
-        e.value != targetPath.last,
-        s"aggregate view '${e.view}' is keyed on '${targetPath.last}' — " +
-          "drop the view first, alter, then re-create it")
-    }
     val (newSchema, newIds) = change(schema, m.ids)
     // every declared path must carry an id — the marker covers the
     // current names by the stamping invariant (all depths when nested)
@@ -10063,6 +10082,26 @@ object TableCatalog {
         else c.cast("long") - pmod(c.cast("long"), lit(truncWidth(g).toLong))
     }
   }
+
+  /** The CURRENT-spec partition-value columns over ANY generation's
+    * rows — identity partition columns compare directly, transform
+    * columns re-derive from their source column (pure functions), all
+    * string-cast to match directory-rendered values. ONE shared
+    * derivation for every excision site (multi-gen DML discovery, the
+    * native branch-read exclusion, the SQL row-exclusion builder), so
+    * they can never drift apart (r17 review). */
+  private[graft] def curSpecPcsFor(partCols: Seq[String],
+      gen: Seq[GenCol],
+      srcType: String => org.apache.spark.sql.types.DataType)
+      : Seq[org.apache.spark.sql.Column] =
+    partCols.map { c =>
+      gen.find(_.name == c) match {
+        case Some(g) =>
+          genExpr(g, srcType(g.src)).cast("string")
+        case None =>
+          org.apache.spark.sql.functions.col(c).cast("string")
+      }
+    }
 
   /** Row-matches-claimed-tuple as a Column: each partition-value
     * expression equals its tuple slot (NULL slot → IS NULL). */

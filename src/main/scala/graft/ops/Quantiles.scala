@@ -37,6 +37,21 @@ import org.apache.spark.sql.functions._
   * than `buckets` histogram rows or one bucket's values. */
 object Quantiles {
 
+  /** The overflow-proof bucket (width, index) SQL expressions both
+    * bounded searches share, over columns `v`/`vmin`/`vmax`/`bw`
+    * (r17 review — one copy of the monotonicity-critical arithmetic):
+    * spans that provably fit int64 (the half-space test itself cannot
+    * overflow) keep full-resolution exact edges; genuinely wide
+    * domains — sortable-bits doubles spanning signs at magnitude —
+    * bucket on halved values (`div 2` is monotone, each half fits
+    * ±2^62) at half the resolution, same rescan bound class. */
+  private[ops] def boundedBucketExprs(buckets: Int): (String, String) = {
+    val safe = s"(vmax div 2 - vmin div 2) < ${1L << 61}L"
+    (s"IF($safe, (vmax - vmin) div ${buckets}L + 1L, " +
+       s"(vmax div 2 - vmin div 2) div ${math.max(1, buckets / 2)}L + 1L)",
+     s"IF($safe, (v - vmin) div bw, (v div 2 - vmin div 2) div bw)")
+  }
+
   /** Exact `percentile_cont` of numeric `valueCol` per `groupCol` at
     * each rational position `(outName, num, den)`. Returns one row per
     * group: (groupCol, outName…) with DOUBLE percentile columns —
@@ -151,15 +166,10 @@ object Quantiles {
     // crossing-bucket rescan bound doubles, same class). Groups whose
     // span provably fits (the half-space test never overflows) keep
     // the full-resolution exact edges; the CASE branches per GROUP.
-    val safeSpan = s"(vmax div 2 - vmin div 2) < ${1L << 61}L"
+    val (bwExpr, bktExpr) = Quantiles.boundedBucketExprs(buckets)
     val withB = pv.join(broadcast(bounds), Seq("g"))
-      .withColumn("bw", greatest(lit(1L),
-        expr(s"IF($safeSpan, (vmax - vmin) div ${buckets}L + 1L, " +
-          s"(vmax div 2 - vmin div 2) div ${math.max(1, buckets / 2)}L" +
-          " + 1L)")))
-      .withColumn("bkt",
-        expr(s"IF($safeSpan, (v - vmin) div bw, " +
-          "(v div 2 - vmin div 2) div bw)"))
+      .withColumn("bw", greatest(lit(1L), expr(bwExpr)))
+      .withColumn("bkt", expr(bktExpr))
     val perBucket = withB.groupBy(col("g"), col("bkt"))
       .agg(sum(col("vw")).as("bw_sum"))
     val wb = Window.partitionBy(col("g")).orderBy(col("bkt"))

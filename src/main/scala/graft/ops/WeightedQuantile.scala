@@ -85,20 +85,13 @@ object WeightedQuantile {
     // integer `div`, not `/`: double division would round bucket edges
     // for domains past 2^53 and could misplace edge values into a
     // neighbouring bucket, breaking the crossing search's monotonicity.
-    // OVERFLOW-PROOF (r17, the Quantiles rule): a sortable-bits double
-    // domain spans the whole int64 line, where `vmax - vmin` overflows
-    // ANSI — such groups bucket on HALVED values (monotone, each half
-    // fits ±2^62); groups whose span provably fits keep the
-    // full-resolution exact edges, branched per GROUP.
-    val safeSpan = s"(vmax div 2 - vmin div 2) < ${1L << 61}L"
+    // OVERFLOW-PROOF (r17): the bucket arithmetic is the ONE shared
+    // copy in [[Quantiles.boundedBucketExprs]] — see there for the
+    // per-group full-resolution / halved-span branch rationale.
+    val (bwExpr, bktExpr) = Quantiles.boundedBucketExprs(buckets)
     val withB = pv.join(broadcast(bounds), Seq("g"))
-      .withColumn("bw", greatest(lit(1L),
-        expr(s"IF($safeSpan, (vmax - vmin) div ${buckets}L + 1L, " +
-          s"(vmax div 2 - vmin div 2) div ${math.max(1, buckets / 2)}L" +
-          " + 1L)")))
-      .withColumn("bkt",
-        expr(s"IF($safeSpan, (v - vmin) div bw, " +
-          "(v div 2 - vmin div 2) div bw)"))
+      .withColumn("bw", greatest(lit(1L), expr(bwExpr)))
+      .withColumn("bkt", expr(bktExpr))
     // phase 1: crossing bucket per group (window over ≤ buckets rows)
     val perBucket = withB.groupBy(col("g"), col("bkt"))
       .agg(sum(col("vw")).as("bw_sum"))

@@ -553,15 +553,13 @@ object GraftSqlCatalog {
       gen: Seq[graft.catalog.TableCatalog.GenCol],
       declared: StructType, claims: Seq[Seq[Option[String]]])
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     if (claims.isEmpty) return None
-    val pcs = pcols.map { c =>
-      gen.find(_.name == c) match {
-        case Some(g) => graft.catalog.TableCatalog
-          .genExpr(g, declared(g.src).dataType).cast("string")
-        case None => col(c).cast("string")
-      }
-    }
+    // ONE shared derivation with the native readBranch exclusion and
+    // the publish-time survivor rewrite — the three excision sites
+    // must agree on every row (r17 review)
+    val pcs = graft.catalog.TableCatalog.curSpecPcsFor(pcols, gen,
+      n => declared(n).dataType)
     val claimed = claims.map(t =>
       graft.catalog.TableCatalog.tupleMatchExpr(pcs, t)).reduce(_ || _)
     val df = SparkSession.active.createDataFrame(

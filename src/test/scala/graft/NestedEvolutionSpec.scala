@@ -184,6 +184,16 @@ class NestedEvolutionSpec extends AnyFunSuite with SparkTestSession {
       restamp = true)
     assert(cat.read("t").select(col("meta.title")).as[String]
       .collect().count(_ != null) === 30)
+    // the TARGET validates BEFORE the stamping rewrite: a typo'd path
+    // fails FREE — no data pass, no spurious commit (r17 review)
+    val vBefore = cat.currentVersion("t")
+    intercept[Exception](
+      cat.renameColumnPath("t", Seq("meta", "no_such"), "x",
+        restamp = true))
+    intercept[Exception](
+      cat.dropColumnPath("t", Seq("meta", "no_such"), restamp = true))
+    assert(cat.currentVersion("t") === vBefore,
+      "a mistyped restamp call must commit nothing")
   }
 
   test("SQL ALTER TABLE speaks the nested verbs end to end") {
