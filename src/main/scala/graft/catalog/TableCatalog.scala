@@ -4530,10 +4530,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * SQL ([[replacePartitionsFromStagedVersioned]]), whose
     * scan/clobber protocol addresses leaves of one layout. Since r17
     * the SQL planner no longer refuses multi-generation statements —
-    * it routes them to the whole-table copy-on-write commit
-    * ([[replacePartitionedVersionedFromStaged]]) instead of here, so
-    * this guard only ever fires on a direct mis-call. Every other pv
-    * verb routes per generation since r16. */
+    * it routes them to the cross-generation leaf-granular commit
+    * ([[replaceLeavesAcrossGensFromStaged]], r18; whole-table CoW in
+    * r17) instead of here, so this guard only ever fires on a direct
+    * mis-call. Every other pv verb routes per generation since r16. */
   private def requireSingleGenPv(table: String, verb: String): Unit =
     require(specGenerations(table).size <= 1,
       s"'$table' carries multiple partition-spec generations (lazy " +
@@ -5799,25 +5799,34 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     } finally deleteRecursive(staged)
   }
 
-  /** Commit already-staged rows as a partitioned versioned table's
-    * WHOLE new snapshot — the commit half of a SQL row-level statement
-    * on a MULTI-GENERATION pv table (r17): with rows spread across
-    * foreign layouts, partition-granular replace cannot address the
-    * statement's groups, so the rewrite is whole-table copy-on-write
-    * (exactly the unpartitioned posture) — the staged state (fixed ∪
-    * copied rows) lands under the CURRENT spec as one REPLACE
-    * snapshot, older generations empty from here on. `expect` pins the
-    * snapshot the statement scanned; any commit since makes the staged
-    * state stale and refuses loudly. Honest price, documented in
-    * SCALE.md: one full rewrite per row-level statement until
-    * compaction collapses the generations. Consumes the staging. */
-  def replacePartitionedVersionedFromStaged(table: String, staged: Path,
-      schema: StructType, expect: Long): Unit = {
+  /** Commit already-staged replacement rows into a MULTI-GENERATION
+    * partitioned versioned table at LEAF granularity (r18, lifting the
+    * r17 whole-table posture when the statement's predicate prunes):
+    * `skipRels` are the generation-prefixed leaf rels the statement's
+    * scan SERVED (pinned at scan-build time against the immutable
+    * `_v<expect>` snapshot) — the new snapshot carries every other
+    * leaf by hard link and adopts the staged rewrite (fixed ∪ copied
+    * rows of the scanned leaves) under the CURRENT generation's
+    * subtree. A scanned older-generation leaf thus MIGRATES its rows
+    * into the current layout — partial compaction as a side effect,
+    * never a loss: the skip removes exactly what the staging
+    * re-provides. A staged row an UPDATE moved into an existing
+    * UNSCANNED leaf merges ADDITIVELY (the carry links the leaf's
+    * files, the adopt drops the new file beside them) — the clobber
+    * hazard the single-generation tuple-replace refuses cannot arise
+    * here. `expect` pins the scanned snapshot; any commit since makes
+    * the staged state stale and refuses loudly. With NOTHING derivable
+    * from the predicate every leaf pins, and the commit degenerates to
+    * exactly the r17 whole-table copy-on-write. Consumes the
+    * staging. */
+  def replaceLeavesAcrossGensFromStaged(table: String, staged: Path,
+      skipRels: Seq[String], schema: StructType, expect: Long): Unit = {
     try {
       val (pcols, _) = partitionSpec(table).getOrElse(
         throw new IllegalArgumentException(s"'$table' has no partition spec"))
       require(partitionSpecVersioned(table),
         s"'$table' is a partitioned PLAIN table")
+      if (skipRels.isEmpty) return // nothing scanned → nothing replaced
       val stagedDf = spark.read
         .schema(TableCatalog.stripFieldIds(schema)).parquet(staged.toString)
       if (constraintsOf(table).nonEmpty) enforced(table, stagedDf).count()
@@ -5834,8 +5843,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               "spec — this row-level statement's staged rewrite is " +
               "stale; re-run")
         }
-        commitPartVersionedLocked(table, expect, "REPLACE",
-          skip = Seq.empty, scratch = Some(scratch), carry = false,
+        commitPartVersionedLocked(table, expect, "REPLACE_PARTITIONS",
+          skip = skipRels, scratch = Some(scratch),
           adoptUnder = specGenerations(table).lastOption
             .map(_.dir).filter(_.nonEmpty))
       }

@@ -3895,10 +3895,14 @@ object TestdataQueries {
              |  AND l_partkey BETWEEN 1 AND 500""".stripMargin)),
 
     // ------------------- SQL row-level DML on a MULTI-GEN pv table
-    // (r17 — the last row-level refusal lifted): UPDATE, rewrite-DELETE
-    // (non-translatable predicate) and MERGE on a lazily-evolved table
-    // degrade to whole-table copy-on-write under the current spec, one
-    // snapshot each; the oracle replays the statements relationally.
+    // (r17 lifted the refusal; r18 made it LEAF-GRANULAR): an UPDATE
+    // whose predicate carries a partition-source conjunct (y, identity
+    // in BOTH generations) rewrites only the matching leaves per
+    // generation — the in-query require pins an untouched leaf's file
+    // names across the statement, the proof it was not the r17
+    // whole-table copy-on-write. A rewrite-DELETE and a MERGE whose
+    // predicates derive nothing keep the whole-table posture. The
+    // oracle replays all three statements relationally.
     "x_sql_dml_multigen" -> (((s: SparkSession, dir: String) => {
       val scratch = scratchDir("graft_sqlmg", dir)
       val cname = "gsm_" +
@@ -3919,8 +3923,35 @@ object TestdataQueries {
       require(cat.specGenerations("pv").size == 2,
         "the DML must run on a lazily-evolved table")
       val v0 = cat.currentVersion("pv").get
+      // file names under a leaf that the pruned UPDATE must NOT touch
+      // (either generation's 1996 subtree), walked relative to the
+      // snapshot root — hard-linked carries keep names across commits
+      def leafNames(v: Long, rel: String): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(scratch.toString, "pv", s"_v$v", rel)
+        if (!java.nio.file.Files.exists(p)) Set.empty
+        else {
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => p.relativize(f).toString).toSet
+          finally st.close()
+        }
+      }
+      val g0Pin = leafNames(v0, "y=1996")
+      val g1Pin = leafNames(v0, "_g1/y=1996")
+      require(g0Pin.nonEmpty && g1Pin.nonEmpty,
+        "both generations must hold a 1996 leaf to pin")
+      // LEAF-GRANULAR: the y conjunct is partition-source in both
+      // generations — only the y=1995 leaves rewrite
       s.sql(s"UPDATE $cname.pv SET total_c = total_c + 7 " +
-        "WHERE okey % 10 = 3")
+        "WHERE okey % 10 = 3 AND y = '1995'")
+      val v1 = cat.currentVersion("pv").get
+      require(leafNames(v1, "y=1996") == g0Pin &&
+        leafNames(v1, "_g1/y=1996") == g1Pin,
+        "a pruned UPDATE must carry unmatched leaves byte-identical " +
+          "in EVERY generation (r18 leaf-granular DML)")
+      // whole-table posture retained for data-column predicates
       s.sql(s"DELETE FROM $cname.pv WHERE okey % 10 = 7")
       base.filter(col("okey") % 100 === 0)
         .createOrReplaceTempView("sqlmg_src")
@@ -3936,7 +3967,7 @@ object TestdataQueries {
       Some("""WITH base AS (SELECT o_orderkey AS okey,
              |    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c,
              |    CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
-             |upd AS (SELECT okey, CASE WHEN okey % 10 = 3
+             |upd AS (SELECT okey, CASE WHEN okey % 10 = 3 AND y = '1995'
              |    THEN total_c + 7 ELSE total_c END AS total_c, y FROM base),
              |del AS (SELECT * FROM upd WHERE okey % 10 <> 7),
              |mrg AS (SELECT okey, CASE WHEN okey % 100 = 0

@@ -1583,6 +1583,10 @@ object GraftSqlCatalog {
         : Option[Seq[Seq[Option[String]]]] = None
     @volatile private var pinnedPrint
         : Map[String, Seq[(String, Long)]] = Map.empty
+    // the multi-generation pv route's pinned set: the generation-
+    // prefixed leaf rels the scan SERVED — the commit replaces exactly
+    // these (r18, the leaf-granular lift of the r17 whole-table CoW)
+    @volatile private var pinnedGenRels: Option[Seq[String]] = None
 
     /** (file name, size) per scanned leaf dir — the cheap pre-image the
       * commit re-checks. O(scanned-leaf files) metadata, the cost the
@@ -1611,9 +1615,19 @@ object GraftSqlCatalog {
       * statement at 100 TB). The pushed partition predicate is then
       * evaluated EXACTLY as Spark would, over a tiny local DataFrame
       * of the tuples under the partition columns' declared types. */
-    private def scannedTuples(pcs: Seq[String]): Seq[Seq[Option[String]]] = {
+    private def scannedTuples(pcs: Seq[String]): Seq[Seq[Option[String]]] =
+      scannedTuplesAt(scanRootPath, pcs, partPred)
+
+    /** [[scannedTuples]] rooted at an arbitrary subtree under an
+      * arbitrary layout — the per-GENERATION form the multi-gen pv
+      * leaf-granular route walks (r18): `rootPath` is one generation's
+      * subtree inside the pinned snapshot, `pcs` ITS partition columns,
+      * `pred` the conjuncts referencing only ITS identity columns. */
+    private def scannedTuplesAt(rootPath: String, pcs: Seq[String],
+        pred: Option[org.apache.spark.sql.Column])
+        : Seq[Seq[Option[String]]] = {
       import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      val root = Paths.get(scanRootPath)
+      val root = Paths.get(rootPath)
       if (!Files.exists(root)) return Seq.empty
       def walk(dir: java.nio.file.Path, level: Int,
           acc: Seq[Option[String]]): Seq[Seq[Option[String]]] =
@@ -1634,7 +1648,7 @@ object GraftSqlCatalog {
           }
         }
       val tuples = walk(root, 0, Seq.empty)
-      partPred match {
+      pred match {
         case None => tuples
         case Some(pred) =>
           if (tuples.isEmpty) return Seq.empty
@@ -1677,25 +1691,105 @@ object GraftSqlCatalog {
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       partCols match {
         case Some(_) if partVersioned && multiGens.size > 1 =>
-          // MULTI-GENERATION pv (r17): group pinning cannot address
-          // rows inside foreign layouts, so the statement is a
-          // whole-table copy-on-write — the scan serves EVERY
-          // generation of the pinned snapshot through the composite
-          // and deliberately accepts NO filter pushdown: any pruning
-          // here would narrow what the write stages, and the commit
-          // replaces the WHOLE table (column pruning alone forwards;
-          // the rewrite needs the full row output anyway).
-          new ScanBuilder with org.apache.spark.sql.connector.read
-              .SupportsPushDownRequiredColumns {
+          // MULTI-GENERATION pv, LEAF-GRANULAR (r18, lifting the r17
+          // whole-table posture): every generation pins the leaves
+          // that MIGHT match — identity-column conjuncts evaluate over
+          // that generation's tuple directory values exactly as Spark
+          // would, transform conjuncts derive via GenPrune (the same
+          // inversion plain reads use) — and the scan serves exactly
+          // the pinned leaves across generations, each under its own
+          // layout, unioned through the MultiGenScan ordinal
+          // projection. The commit then replaces exactly the pinned
+          // rels and adopts the staged rewrite under the CURRENT
+          // generation's subtree. EVERY predicate is returned to Spark
+          // un-consumed (row filters always apply), so pruning is
+          // conservative by construction; a data-column-only predicate
+          // derives nothing, pins every leaf, and the statement keeps
+          // the r17 whole-table copy-on-write posture.
+          new ScanBuilder
+              with org.apache.spark.sql.connector.read
+                .SupportsPushDownV2Filters
+              with org.apache.spark.sql.connector.read
+                .SupportsPushDownRequiredColumns {
+            import org.apache.spark.sql.connector.expressions.filter.Predicate
+            private var allPreds: Array[Predicate] = Array.empty
             private var required: Option[StructType] = None
             override def pruneColumns(r: StructType): Unit =
               required = Some(r)
-            override def build()
-                : org.apache.spark.sql.connector.read.Scan = {
-              val b = new MultiGenScanBuilder(cat, table, delegate.schema,
-                multiGens, scanRootPath, options)
-              required.foreach(b.pruneColumns)
-              b.build()
+            override def pushPredicates(predicates: Array[Predicate])
+                : Array[Predicate] = {
+              allPreds = predicates // remembered for pruning, none consumed
+              predicates
+            }
+            override def pushedPredicates(): Array[Predicate] = Array.empty
+            override def build(): Scan = {
+              import graft.catalog.TableCatalog.SpecGen
+              val out = required.getOrElse(delegate.schema)
+              val cmps = GenPrune.comparisons(allPreds)
+              val pinned: Seq[(SpecGen, Seq[Seq[Option[String]]])] =
+                multiGens.map { sg =>
+                  val genRoot =
+                    if (sg.dir.isEmpty) scanRootPath
+                    else s"$scanRootPath/${sg.dir}"
+                  val idCols = sg.partCols
+                    .filter(c => !sg.gen.exists(_.name == c))
+                  // conjuncts referencing only THIS generation's
+                  // identity partition columns narrow its tuple walk
+                  val pred = allPreds.toSeq
+                    .filter(p => p.references().forall(r =>
+                      r.fieldNames().length == 1 &&
+                        idCols.contains(r.fieldNames()(0))))
+                    .flatMap(v2ToColumn(_)).reduceOption(_ && _)
+                  val t0 = scannedTuplesAt(genRoot, sg.partCols, pred)
+                  val keeps = GenPrune.keepFns(sg.gen, cmps)
+                  val t1 =
+                    if (keeps.isEmpty) t0
+                    else t0.filter(t =>
+                      sg.partCols.zip(t).forall { case (c, v) =>
+                        keeps.get(c) match {
+                          case Some(keep) => v.exists(keep)
+                          case None => true
+                        }
+                      })
+                  (sg, t1)
+                }
+              pinnedGenRels = Some(pinned.flatMap { case (sg, ts) =>
+                ts.map(t => graft.catalog.TableCatalog.prefixedRel(sg.dir,
+                  graft.catalog.TableCatalog.leafRelOf(sg.partCols, t)))
+              })
+              val inners = pinned.flatMap { case (sg, ts) =>
+                if (ts.isEmpty) None
+                else {
+                  val genRoot =
+                    if (sg.dir.isEmpty) scanRootPath
+                    else s"$scanRootPath/${sg.dir}"
+                  val paths = ts.map(t => genRoot + "/" +
+                      graft.catalog.TableCatalog.leafRelOf(sg.partCols, t))
+                    .filter(p => Files.exists(Paths.get(p)))
+                  if (paths.isEmpty) None
+                  else {
+                    val full = StructType(delegate.schema.fields ++
+                      sg.gen.map(g => org.apache.spark.sql.types
+                        .StructField(g.name,
+                          graft.catalog.TableCatalog.genDataType(g),
+                          nullable = true)))
+                    val opts = new java.util.HashMap[String, String](options)
+                    opts.put("basePath", genRoot)
+                    val csm = new CaseInsensitiveStringMap(opts)
+                    val b = ParquetTable(s"$table-rlo-gen-${sg.dir}",
+                      SparkSession.active, csm, paths, Some(full),
+                      classOf[ParquetFileFormat]).newScanBuilder(csm)
+                    b match {
+                      case pr: org.apache.spark.sql.connector.read
+                          .SupportsPushDownRequiredColumns =>
+                        pr.pruneColumns(out)
+                      case _ => ()
+                    }
+                    Some(b.build())
+                  }
+                }
+              }
+              new MultiGenScan(inners, out, inners.map(_ => None))
             }
           }
         case None =>
@@ -1836,13 +1930,22 @@ object GraftSqlCatalog {
                     info.schema())
                 case (None, Some(pcs))
                     if partVersioned && multiGens.size > 1 =>
-                  // multi-generation pv (r17): the scan served the
-                  // WHOLE pinned snapshot across layouts, so the
-                  // staged state is the full fixed ∪ copied row set —
-                  // commit it as one REPLACE snapshot under the
-                  // current spec (expect refuses a concurrent commit)
-                  cat.replacePartitionedVersionedFromStaged(table,
-                    staging, info.schema(), expect.getOrElse(
+                  // multi-generation pv (r18, leaf-granular): the scan
+                  // pinned the leaves that might match per generation
+                  // and served exactly those — the commit replaces
+                  // exactly the pinned rels (untouched leaves in every
+                  // generation hard-link through) and adopts the
+                  // staged fixed ∪ copied rows under the current
+                  // generation's subtree (expect refuses a concurrent
+                  // commit). A data-column predicate pinned every
+                  // leaf — the r17 whole-table posture, retained.
+                  cat.replaceLeavesAcrossGensFromStaged(table,
+                    staging, pinnedGenRels.getOrElse(
+                      throw new IllegalStateException(
+                        s"row-level write on '$table' committed " +
+                          "without a built scan — cannot determine " +
+                          "the replaced leaf set")),
+                    info.schema(), expect.getOrElse(
                       throw new IllegalStateException(
                         s"'$table' loaded without a pinned version")))
                 case (None, Some(pcs)) =>

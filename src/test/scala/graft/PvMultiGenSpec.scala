@@ -337,6 +337,73 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("plain layout"), e.getMessage)
   }
 
+  test("LEAF-GRANULAR row-level SQL on a 2-generation pv table (r18): " +
+      "a partition-source predicate pins only the matching leaves per " +
+      "generation — untouched leaves in EVERY generation carry with " +
+      "their file names intact, scanned rows migrate into the current " +
+      "layout, one commit, time travel intact") {
+    val (cat, g) = freshSqlCat()
+    twoGen(cat, "lg")
+    val v0 = cat.currentVersion("lg").get
+    def leafNames(v: Long, rel: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(cat.path("lg"), s"_v$v", rel)
+      if (!Files.exists(p)) Set.empty
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally st.close()
+      }
+    }
+    val g0Untouched = leafNames(v0, "y=2020")
+    val g1Untouched = leafNames(v0, "_g1/y=2020/m=4")
+    assert(g0Untouched.nonEmpty && g1Untouched.nonEmpty)
+    // y is identity partition-source in BOTH generations: the
+    // statement must pin gen0's y=2021 leaf and gen1's y=2021/m=3
+    // leaf only — k=2 (gen0) and k=3 (gen1) rewrite, k=1/k=4 carry
+    spark.sql(s"UPDATE $g.lg SET v = v + 1 WHERE y = 2021")
+    val v1 = cat.currentVersion("lg").get
+    assert(v1 === v0 + 1L, "one snapshot commit")
+    assert(cat.read("lg").orderBy("k").select("k", "v")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 21L), (3L, 31L), (4L, 40L)))
+    // untouched leaves in BOTH generations hard-link through with
+    // their file names byte-identical — the proof the rewrite was
+    // leaf-granular, not the r17 whole-table copy-on-write
+    assert(leafNames(v1, "y=2020") === g0Untouched,
+      "gen0's unmatched leaf must carry, not rewrite")
+    assert(leafNames(v1, "_g1/y=2020/m=4") === g1Untouched,
+      "gen1's unmatched leaf must carry, not rewrite")
+    // the scanned gen0 leaf migrated into the current layout
+    assert(leafNames(v1, "y=2021").isEmpty,
+      "the scanned old-generation leaf is replaced, not carried")
+    assert(leafNames(v1, "_g1/y=2021/m=2").nonEmpty,
+      "its rows land under the current generation's layout")
+    assert(cat.readVersion("lg", v0).select("v").as[Long].collect()
+      .sorted.toSeq === Seq(10L, 20L, 30L, 40L), "time travel intact")
+    // an UPDATE that MOVES a row into an existing UNSCANNED leaf
+    // merges additively: the carried files stay, the moved row's file
+    // lands beside them (the clobber hazard the single-generation
+    // tuple replace refuses cannot arise under skip+adopt)
+    spark.sql(s"UPDATE $g.lg SET y = 2020, m = 4 " +
+      "WHERE y = 2021 AND m = 3")
+    val v2 = cat.currentVersion("lg").get
+    assert(v2 === v1 + 1L)
+    assert(cat.read("lg").orderBy("k").select("k", "y", "m")
+      .as[(Long, Int, Int)].collect().toSeq ===
+      Seq((1L, 2020, 1), (2L, 2021, 2), (3L, 2020, 4), (4L, 2020, 4)))
+    val merged = leafNames(v2, "_g1/y=2020/m=4")
+    assert(g1Untouched.subsetOf(merged) && merged.size > g1Untouched.size,
+      s"the moved row must ADD to the unscanned leaf ($merged vs " +
+        s"$g1Untouched)")
+    assert(leafNames(v2, "_g1/y=2021/m=3").isEmpty,
+      "the emptied source leaf is not carried")
+    assert(leafNames(v2, "_g1/y=2021/m=2") === leafNames(v1,
+      "_g1/y=2021/m=2"), "a leaf outside the pinned set must carry " +
+      "even inside a scanned generation")
+  }
+
   test("eager spec evolution on a pv table (repartitionTableTransformed)" +
       " = lazy evolve + generation compaction, history preserved") {
     val (cat, g) = freshSqlCat()
