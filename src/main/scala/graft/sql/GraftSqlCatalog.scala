@@ -1408,14 +1408,35 @@ object GraftSqlCatalog {
           else GraftSqlCatalog.claimsRowExclusionExpr(
             partCols.getOrElse(Seq.empty), genSpec,
             declaredSchema.getOrElse(schema()), branchClaims)
+        // r18 (VERDICT r17 next #2): an OLDER generation whose layout
+        // ALSO materializes every claim column identically — identity
+        // in both specs, or the SAME GenCol (full equality: bucket(k,2)
+        // never matches an older bucket(k,4) sharing the name) — takes
+        // the same PLAN-TIME partition exclusion as the current
+        // generation: exact directory pruning, and the leg stays
+        // COLUMNAR instead of paying the row-exclusion flip. Anything
+        // weaker keeps the exact row-level exclusion — a plan-time
+        // expression over a column the older leg stores as DATA would
+        // demote to an inexact row-group filter and leak claimed rows.
+        def claimColsPartitionSourceIn(
+            sg: graft.catalog.TableCatalog.SpecGen): Boolean =
+          partCols.getOrElse(Seq.empty).forall { c =>
+            sg.partCols.contains(c) && (genSpec.find(_.name == c) match {
+              case None => !sg.gen.exists(_.name == c)
+              case Some(g) => sg.gen.contains(g)
+            })
+          }
         new MultiGenScanBuilder(cat, table,
           declaredSchema.getOrElse(schema()),
-          branchRoots.get.flatMap(r => gens.map(sg =>
+          branchRoots.get.flatMap(r => gens.map { sg =>
+            val planTime =
+              sg.dir == lastDir || claimColsPartitionSourceIn(sg)
             (if (sg.dir.isEmpty) r else s"$r/${sg.dir}", sg,
-              if (r == baseRoot && sg.dir == lastDir) exclusion.toSeq
+              if (r == baseRoot && planTime) exclusion.toSeq
               else Seq.empty,
-              if (r == baseRoot && sg.dir != lastDir) rowExclusion
-              else None))),
+              if (r == baseRoot && !planTime) rowExclusion
+              else None)
+          }),
           options)
       }
       else if (multiGens.size > 1)

@@ -172,6 +172,58 @@ class MultiGenPlanSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
+  test("a REPLACE-mode branch audit on a 2-generation table whose " +
+      "OLDER spec also materializes every claim column (r18): the " +
+      "exclusion stays PLAN-TIME in both generations — claimed leaves " +
+      "unplanned everywhere, scan COLUMNAR, no row-exclusion flip") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.rc (k BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y, m) TBLPROPERTIES ('versioned'='true')")
+    cat.appendPartitionedVersioned("rc",
+      Seq((1L, 2020, 1), (2L, 2021, 2)).toDF("k", "y", "m"))
+    // NARROWING evolution (y, m) → (y): the claim column y is
+    // identity partition-source in BOTH specs
+    cat.repartitionTableLazy("rc", Seq(("identity", "y", 0)))
+    cat.appendPartitionedVersioned("rc",
+      Seq((3L, 2021, 3), (4L, 2020, 4)).toDF("k", "y", "m"))
+    // claim the whole y=2021 slice onto a branch
+    cat.replacePartitionsOnBranch("rc", "br",
+      Seq((20L, 2021, 9)).toDF("k", "y", "m"),
+      dropParts = Seq.empty)
+    val q = spark.sql(s"SELECT k FROM $g.`rc@br`")
+    assert(q.as[Long].collect().sorted.toSeq === Seq(1L, 4L, 20L),
+      "the audit must serve the branch state: base minus the claimed " +
+        "slice plus the staged rows")
+    val files = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec =>
+        b.scan match {
+          case mg: MultiGenScan =>
+            mg.toBatch.planInputPartitions().toSeq.flatMap {
+              case MultiGenPartition(_, fp: FilePartition) =>
+                fp.files.map(_.filePath.toString)
+              case _ => Seq.empty[String]
+            }
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(files.nonEmpty, "the read must plan through the composite")
+    // plan-time exclusion in BOTH generations: no base y=2021 file is
+    // planned anywhere (the staged root's y=2021 replacement is)
+    val baseClaimed = files.filter(f => f.contains("y=2021") &&
+      !f.contains("_branch"))
+    assert(baseClaimed.isEmpty,
+      s"claimed leaves must prune at plan time in EVERY generation " +
+        s"when the claim columns are partition-source in both specs: " +
+        baseClaimed.mkString(", "))
+    // and the composite stays columnar — no row-exclusion leg
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[MultiGenScan] => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "a shared-claim-column audit must stay columnar pre-compaction")
+    cat.dropBranch("rc", "br")
+  }
+
   test("a REPLACE-mode branch read on a 2-generation table (r17): the " +
       "claimed CURRENT-gen base leaf prunes at plan time, the OLDER " +
       "generation's leg carries an exact row-level exclusion (reading " +
