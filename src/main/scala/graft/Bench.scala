@@ -120,6 +120,11 @@ object Bench {
     // last run's times (the r8 artifact shape), minima across runs, and
     // every failure from any rep (a query that fails intermittently is a
     // failure, loudly — never silently billed at its fastest good run)
+    // PLUS every pass's full per-query table (r18, VERDICT r17 next
+    // #6): SCALE.md's same-code host-band analysis — how far apart
+    // identical-code passes land — previously hand-merged separate
+    // invocations; with `runs[]` in the artifact the spread and the
+    // min-across-passes floor derive mechanically from ONE json.
     val results = runs.last
     val errByName = runs.flatten
       .collect { case (n, _, Some(e)) => n -> e }.toMap
@@ -166,10 +171,19 @@ object Bench {
     val minNormJson = minima.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"${v / ctrlRatio}%.3f" }
       .mkString("{", ",", "}")
+    val runsJson = runs.zipWithIndex.map { case (r, i) =>
+      val okTotal = r.collect { case (_, v, None) => v }.sum
+      val qj = r.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val cj = ctrlRuns(i)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"total":${f"$okTotal%.1f"},"queries":$qj,"controls":$cj}"""
+    }.mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs,""" +
       s""""minima":$minJson,"minima_norm":$minNormJson,"reps":$reps,""" +
-      s""""last_total":${f"$lastTotal%.1f"},""" +
+      s""""last_total":${f"$lastTotal%.1f"},"runs":$runsJson,""" +
       s""""controls":$ctrlJson,"control_ratio":${f"$ctrlRatio%.3f"},""" +
       s""""sf":"$sfDir","failed":${errors.size},"errors":$errJson}"""
     // Durable artifact for the board: the driver keeps only a bounded TAIL

@@ -42,12 +42,16 @@ object WeightedQuantile {
     * crossover row rounding-dependent). Same bounded two-phase search
     * as the median.
     *
-    * Domains (r17, the percentilesCont rule): integral values answer
-    * as-is (long); DOUBLE/FLOAT search through the order-preserving
-    * sortable-bits int64 bijection and the crossover inverts EXACTLY
-    * (no interpolation here — the answer is one of the input values,
-    * returned as the double it was). Decimals pre-scale to integral
-    * units (exact) rather than round-tripping through double. */
+    * Domains (r17/r18, the percentilesCont rule — no caller
+    * pre-scaling): integral values answer as-is (long); DOUBLE/FLOAT
+    * search through the order-preserving sortable-bits int64 bijection
+    * and the crossover inverts EXACTLY (no interpolation here — the
+    * answer is one of the input values, returned as the double it
+    * was); DECIMAL(p ≤ 18, s) maps to its unscaled int64 (×10^s,
+    * exact) and the crossover inverts through BigDecimal at the source
+    * scale — bit-exact both directions, the answer column keeps the
+    * input's decimal type. Wider decimals exceed the int64 search
+    * domain and refuse loudly. */
   def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String, qNum: Long, qDen: Long,
                        buckets: Int = 4096): DataFrame = {
@@ -63,10 +67,27 @@ object WeightedQuantile {
           ((c: Column) => graft.functions.DoubleSortableBits(
              c.cast("double")),
            (c: Column) => graft.functions.SortableBitsDouble(c))
+        case d: DecimalType if d.precision <= 18 =>
+          // the Quantiles decimal mapping: unscaled int64 is exact
+          // (p ≤ 18 digits fit a long) and order-preserving; the
+          // inverse runs on |groups| rows only, so a UDF through
+          // BigDecimal at the SOURCE scale costs nothing at scale —
+          // and unlike percentilesCont there is no interpolation, so
+          // the round trip is bit-exact, not double-rounded
+          val sc = d.scale
+          val pow = BigInt(10).pow(sc).toLong
+          val un2dec = org.apache.spark.sql.functions.udf(
+            (u: java.lang.Long) =>
+              if (u == null) null
+              else new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(u.longValue), sc))
+          ((c: Column) => (c * lit(pow)).cast("long"),
+           (c: Column) => un2dec(c).cast(d))
         case other => throw new IllegalArgumentException(
           s"weightedQuantile: unsupported value type " +
-            s"${other.catalogString} — integral or float/double " +
-            "(pre-scale decimals to exact integral units)")
+            s"${other.catalogString} — integral, float/double, or " +
+            "decimal(p<=18) (wider decimals exceed the int64 search " +
+            "domain; reduce precision first)")
       }
     // the exact per-(g, v) weights — the unavoidable shuffle. It feeds
     // THREE subtrees (bounds, the bucket histogram, the phase-2 probe);

@@ -101,4 +101,55 @@ class WeightedQuantileSpec extends AnyFunSuite with SparkTestSession {
       assert(got === reference, s"buckets=$b")
     }
   }
+
+  test("DECIMAL domains (r18, matching the unweighted family): the " +
+      "unscaled-int64 search equals the one-window form, the answer " +
+      "keeps the input's decimal type bit-exactly, decimal(38) " +
+      "refuses loudly") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 500).map { _ =>
+      (s"g${rnd.nextInt(4)}",
+        BigDecimal(rnd.nextInt(2000001) - 1000000L, 2), // ±10000.00
+        (rnd.nextInt(9) + 1).toLong)
+    } ++ Seq(("edge", BigDecimal("-99999999999999.99"), 2L),
+      ("edge", BigDecimal("0.00"), 1L),
+      ("edge", BigDecimal("99999999999999.99"), 1L))
+    val df = rows.toDF("g", "v", "w")
+      .withColumn("v", col("v").cast("decimal(16,2)"))
+    assert(df.schema("v").dataType ===
+      org.apache.spark.sql.types.DecimalType(16, 2))
+    val pv = df.groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = pv.withColumn("cw", sum(col("vw")).over(wcum))
+      .withColumn("tw", sum(col("vw")).over(Window.partitionBy(col("g"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("m"), max(col("tw")).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+    Seq(2, 64, 4096).foreach { b =>
+      val out = WeightedQuantile.weightedMedian(df, "g", "v", "w", b)
+      assert(out.schema("wmedian_c").dataType ===
+        org.apache.spark.sql.types.DecimalType(16, 2),
+        "the answer column must keep the input's decimal type")
+      val got = out.collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+      assert(got === reference, s"buckets=$b")
+    }
+    // p90 on decimals takes the same exact crossover
+    val p90 = WeightedQuantile.weightedQuantile(df, "g", "v", "w", 9L, 10L)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val refP90 = pv.withColumn("cw", sum(col("vw")).over(wcum))
+      .withColumn("tw", sum(col("vw")).over(Window.partitionBy(col("g"))))
+      .filter(col("cw") * 10 >= col("tw") * 9)
+      .groupBy(col("g")).agg(min(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(p90 === refP90)
+    val wide = Seq(("a", BigDecimal(1), 1L)).toDF("g", "v", "w")
+      .withColumn("v", col("v").cast("decimal(38,10)"))
+    val e = intercept[IllegalArgumentException](
+      WeightedQuantile.weightedMedian(wide, "g", "v", "w"))
+    assert(e.getMessage.contains("decimal(p<=18)"), e.getMessage)
+  }
 }
