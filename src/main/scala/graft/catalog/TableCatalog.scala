@@ -2162,6 +2162,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val st = stats(table)
     val statsFresh = st.exists(s => s.version == cur &&
       (cur.isDefined || s.fileCount == 0L || s.fileCount == files.size.toLong))
+    val (dmlStmts, dmlBytes) = dmlAmp(table)
     TableCatalog.TableDetail(
       version = cur,
       rows = if (statsFresh) st.map(_.rows).getOrElse(-1L) else -1L,
@@ -2170,8 +2171,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       branches = branches(table).keys.toSeq.sorted,
       tags = tags(table).keys.toSeq.sorted,
       constraints = constraintsOf(table).map(_._1),
-      columns = cur.flatMap(v => resolveSchema(table, v))
-        .map(_.fieldNames.toSeq)
+      // a partitioned table's declared shape comes from its spec
+      // sidecar — the footer-inference fallback below cannot even SEE
+      // a multi-generation snapshot's `_g<k>` subtrees (r18)
+      columns = partitionSpec(table).map(_._2.fieldNames.toSeq)
+        .orElse(cur.flatMap(v => resolveSchema(table, v))
+          .map(_.fieldNames.toSeq))
         .orElse(if (files.nonEmpty)
           Some(spark.read.parquet(readPath(table)).schema.fieldNames.toSeq)
         else None)
@@ -2180,8 +2185,55 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       // generation, dir + partition columns ("root:(y)", "_g1:(y,m)")
       specGens = specGenerations(table).map(sg =>
         (if (sg.dir.isEmpty) "root" else sg.dir) +
-          sg.partCols.mkString(":(", ",", ")")))
+          sg.partCols.mkString(":(", ",", ")")),
+      dmlStatements = dmlStmts,
+      dmlRewrittenBytes = dmlBytes)
   }
+
+  // ------------------- compaction advisor (r18, VERDICT r17 next #3)
+  // Row-level SQL on a lazily-evolved table rewrites every scanned
+  // leaf — leaf-granular since r18, but a predicate an OLDER spec
+  // cannot prune still rewrites that whole generation, and a data-
+  // column predicate rewrites everything. The `_dml_amp` sidecar
+  // accumulates (statements, bytes-rewritten) across row-level
+  // statements while the table holds >1 generation; evolution resets
+  // it, compaction deletes it. When the accumulated rewrite bytes
+  // exceed one full pass of the table, `CALL system.repartition`
+  // (generation compaction) has already paid for itself — fsck and
+  // describe_detail surface exactly that comparison so the operator
+  // sees the amplification BEFORE the next 100 TB statement, not in
+  // the bill after it.
+
+  private def dmlAmpFile(table: String): Path =
+    Paths.get(path(table), "_dml_amp")
+
+  /** (row-level statements, bytes their commits rewrote) since the
+    * last spec evolution/compaction — (0, 0) when never bumped. */
+  private[graft] def dmlAmp(table: String): (Long, Long) =
+    try {
+      val p = dmlAmpFile(table)
+      if (!Files.exists(p)) (0L, 0L)
+      else {
+        val parts = new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+        (parts(0).toLong, parts(1).toLong)
+      }
+    } catch { case _: Exception => (0L, 0L) }
+
+  /** Accumulate one row-level statement's rewrite cost. Caller holds
+    * the table lock (every bump site is a commit). */
+  private def bumpDmlAmp(table: String, bytes: Long): Unit = {
+    val (n, b) = dmlAmp(table)
+    val tmp = Paths.get(path(table), "_dml_amp.tmp")
+    Files.write(tmp, s"${n + 1L},${b + bytes}".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    committer.atomicRename(tmp, dmlAmpFile(table))
+  }
+
+  /** A spec evolution starts a fresh amplification epoch; generation
+    * compaction ends the multi-generation state entirely. */
+  private def resetDmlAmp(table: String): Unit =
+    committer.delete(dmlAmpFile(table))
 
   /** Drop a tag; the snapshot it pinned becomes prunable at the next
     * retention sweep (it is NOT deleted here — an in-flight reader that
@@ -4635,6 +4687,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.move(tmp, partSpecFile(table),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      resetDmlAmp(table) // a fresh amplification epoch (the advisor)
       invalidateSpecCache(table)
       invalidateStats(table)
     }
@@ -4731,6 +4784,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       (0L until v).foreach(k => deleteRecursive(snapDir(table, k)))
       writePartSpecGenV(table, last.partCols, declared, last.gen,
         versioned = true)
+      resetDmlAmp(table) // single layout again — the advisor retires
       v
     }
   }
@@ -5843,13 +5897,101 @@ final class TableCatalog(val spark: SparkSession, val root: String,
               "spec — this row-level statement's staged rewrite is " +
               "stale; re-run")
         }
+        // the compaction advisor's input: what this statement's
+        // replace actually cost — the bytes of every leaf it claimed
+        // (from the pinned snapshot's manifest, already on disk)
+        val replacedBytes = readLeafManifest(snapDir(table, expect))
+          .map(_.collect { case (rel, sz) if skipRels.exists(pre =>
+            rel == pre || rel.startsWith(pre + "/")) => sz }.sum)
+          .getOrElse(0L)
         commitPartVersionedLocked(table, expect, "REPLACE_PARTITIONS",
           skip = skipRels, scratch = Some(scratch),
           adoptUnder = specGenerations(table).lastOption
             .map(_.dir).filter(_.nonEmpty))
+        bumpDmlAmp(table, replacedBytes)
       }
       ()
     } finally deleteRecursive(staged)
+  }
+
+  /** [[replaceLeavesAcrossGensFromStaged]] for a PLAIN lazily-evolved
+    * table (r18 — the last row-level SQL refusal lifted): the live
+    * root has no snapshot to pin, so freshness is the PINNED-LISTING
+    * protocol — the scan pinned each served leaf's (file name, size)
+    * print at build time, and the commit re-checks every print UNDER
+    * THE WRITER LOCK before swapping: delete exactly the pinned leaf
+    * dirs, adopt the staged rewrite into the current generation's
+    * subtree (file-by-file, so a row moved into an existing unscanned
+    * leaf merges additively). A print that moved — a concurrent write
+    * landed inside a scanned leaf — refuses loudly and the statement
+    * re-runs; writes into UNSCANNED leaves are untouched and need no
+    * check, the single-generation plain posture. In-place and
+    * unversioned by design: plain tables trade time travel for zero
+    * snapshot overhead, exactly like their single-generation DML.
+    * Consumes the staging. */
+  def replaceLeavesAcrossGensFromStagedPlain(table: String, staged: Path,
+      pinnedPrint: Map[String, Seq[(String, Long)]],
+      schema: StructType): Unit = {
+    try {
+      val (pcols, _) = partitionSpec(table).getOrElse(
+        throw new IllegalArgumentException(s"'$table' has no partition spec"))
+      require(!partitionSpecVersioned(table),
+        s"'$table' is versioned — use replaceLeavesAcrossGensFromStaged")
+      if (pinnedPrint.isEmpty) return // nothing scanned → nothing replaced
+      val stagedDf = spark.read
+        .schema(TableCatalog.stripFieldIds(schema)).parquet(staged.toString)
+      if (constraintsOf(table).nonEmpty) enforced(table, stagedDf).count()
+      val pin = partSpecPin(table)
+      val scratch = stageLeaves(table,
+        withGen(table, stripDf(stagedDf)), pcols)
+      val committed = withTableLock(table) {
+        if (partSpecPin(table) != pin) {
+          deleteRecursive(scratch)
+          require(false,
+            s"'$table' evolved its partition spec mid-statement — the " +
+              "staged rewrite is stale; re-run")
+        }
+        val moved = pinnedPrint.collect {
+          case (p, pre) if leafPrintAt(p) != pre => p
+        }
+        if (moved.nonEmpty) deleteRecursive(scratch)
+        require(moved.isEmpty,
+          s"leaf(s) ${moved.take(3).mkString(", ")} of '$table' changed " +
+            "since this row-level statement scanned them — the staged " +
+            "rewrite is stale; re-run")
+        pinnedPrint.keysIterator.foreach(p =>
+          deleteRecursive(Paths.get(p)))
+        val cur = specGenerations(table).lastOption
+          .map(_.dir).filter(_.nonEmpty)
+        adoptStagedInto(cur.map(Paths.get(path(table), _))
+          .getOrElse(Paths.get(path(table))), scratch)
+        // the compaction advisor's input: the pinned prints already
+        // carry every replaced file's size
+        bumpDmlAmp(table,
+          pinnedPrint.valuesIterator.flatten.map(_._2).sum)
+        true
+      }
+      if (committed) invalidateStats(table)
+      ()
+    } finally deleteRecursive(staged)
+  }
+
+  /** The (file name, size) print of one leaf directory — the
+    * pinned-listing unit the plain row-level protocols expect-check.
+    * O(leaf files) metadata. */
+  private[graft] def leafPrintAt(dir: String): Seq[(String, Long)] = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .map(f => (d.relativize(f).toString, Files.size(f)))
+          .toSeq.sorted
+      } finally s.close()
+    }
   }
 
   /** Drop whole partitions of a partitioned versioned table —
@@ -6100,6 +6242,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           .foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
       } finally s2.close()
       writePartSpecGen(table, newCols, declared, newGen)
+      resetDmlAmp(table) // single layout again — the advisor retires
       deleteRecursive(scratch)
       invalidateStats(table)
     }
@@ -6837,6 +6980,26 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         "a versioned table carries _dv sidecars — the snapshot verbs " +
           "never fold them; applyDeleteVectors on the plain layout " +
           "they belong to")
+    // compaction advisor (r18, VERDICT r17 next #3): when the
+    // cumulative rewrite cost of row-level DML since the evolution
+    // exceeds one full pass of the table, generation compaction has
+    // already paid for itself — say so BEFORE the next 100 TB
+    // statement, not in the bill after it. Advice, not a fault: the
+    // table is healthy, just priced suboptimally.
+    locally {
+      val gens = specGenerations(table)
+      if (gens.size > 1) {
+        val (stmts, rewritten) = dmlAmp(table)
+        val live = dataBytes(readPath(table))
+        if (stmts > 0 && rewritten >= live && live > 0)
+          row("advice", "compaction_advised",
+            s"${gens.size} spec generations; $stmts row-level " +
+              s"statement(s) since evolution rewrote $rewritten bytes " +
+              s"vs $live live — CALL system.repartition (generation " +
+              "compaction) now costs less than the DML already paid " +
+              "and restores single-layout pruning")
+      }
+    }
     // branches: live ones, orphan data dirs, publish intents
     val live = branches(table).keySet
     live.toSeq.sorted.foreach { n =>
@@ -6881,20 +7044,38 @@ final class TableCatalog(val spark: SparkSession, val root: String,
         s"$scratch crashed-writer scratch entr${if (scratch == 1) "y"
           else "ies"} — vacuum reclaims them past the grace window")
     if (repair) {
-      // the safe subset only, each verb re-checking its own
-      // precondition under its own lock (the findings above may be
-      // stale by the time the lock lands — healing is idempotent)
-      if (out.exists(f => f._1 == "warn" && f._2 == "collapse_intent"))
-        healCollapseIntent(table)
-      rootList.filter(_.startsWith("_brpend_")).foreach { f =>
-        val n = f.drop("_brpend_".length)
-        if (!branches(table).contains(n)) withBranchLock(table, n) {
-          if (!branches(table).contains(n))
-            committer.delete(branchPendFile(table, n))
+      // a LIVE writer (fresh-heartbeat `_writer.lock`) means every
+      // locking heal verb below would block a full lease and then
+      // fail — a fleet pass must never stall behind one busy table
+      // (r18 adversarial probe: fsck_all(repair) racing a publisher).
+      // Diagnose-only this pass, loudly; healing is idempotent and
+      // the next pass converges once the writer settles.
+      val lock = Paths.get(path(table), "_writer.lock")
+      val writerLive =
+        try Files.exists(lock) && System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis <= 60000L
+        catch { case _: java.io.IOException => false }
+      if (writerLive)
+        row("info", "repair_skipped",
+          "a live writer holds the table lock — repair would stall " +
+            "a full lease behind it; findings above are diagnose-only " +
+            "this pass, re-run repair when the writer settles")
+      else {
+        // the safe subset only, each verb re-checking its own
+        // precondition under its own lock (the findings above may be
+        // stale by the time the lock lands — healing is idempotent)
+        if (out.exists(f => f._1 == "warn" && f._2 == "collapse_intent"))
+          healCollapseIntent(table)
+        rootList.filter(_.startsWith("_brpend_")).foreach { f =>
+          val n = f.drop("_brpend_".length)
+          if (!branches(table).contains(n)) withBranchLock(table, n) {
+            if (!branches(table).contains(n))
+              committer.delete(branchPendFile(table, n))
+          }
         }
+        vacuum(table, graceMs)
+        ()
       }
-      vacuum(table, graceMs)
-      ()
     }
     out.toSeq
   }
@@ -7800,7 +7981,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
 
   private def dvDir(table: String): Path = Paths.get(path(table), "_dv")
 
-  private def hasDv(table: String): Boolean =
+  private[graft] def hasDv(table: String): Boolean =
     listParquetFilesUnder(dvDir(table)).nonEmpty
 
   // identity of the current deletion-vector state — vector part files
@@ -9235,6 +9416,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     requireTo.foreach(to => require(!parentSt.fieldNames.contains(to),
       s"column '${(targetPath.init :+ to).mkString(".")}' already " +
         s"exists in '$table'"))
+    // open branches are NOT blocked here: a RENAME/DROP (or the
+    // restamp rewrite) changes the table's id assignment, and publish
+    // already refuses a branch whose recorded stamps disagree with it
+    // ("the branch's stamps are stale; drop and re-stage") — loud at
+    // the publish, never silent nulls. The r18 adversarial probe in
+    // NestedEvolutionSpec pins that interleave end to end.
     val word = java.util.regex.Pattern.compile(
       "\\b" + java.util.regex.Pattern.quote(targetPath.last) + "\\b")
     constraintsOf(table).foreach { case (n, pr) =>
@@ -9923,7 +10110,16 @@ object TableCatalog {
                                branches: Seq[String], tags: Seq[String],
                                constraints: Seq[String],
                                columns: Seq[String],
-                               specGens: Seq[String] = Seq.empty)
+                               specGens: Seq[String] = Seq.empty,
+                               /** row-level statements since the last
+                                 * spec evolution/compaction (>1-gen
+                                 * tables only — the advisor input) */
+                               dmlStatements: Long = 0L,
+                               /** bytes those statements' commits
+                                 * rewrote — compare against `bytes`:
+                                 * past one full table pass, generation
+                                 * compaction has paid for itself */
+                               dmlRewrittenBytes: Long = 0L)
 
   private[catalog] def renderIdMarker(m: IdMarker): String = {
     val o = om.createObjectNode()

@@ -3977,6 +3977,79 @@ object TestdataQueries {
              |  CAST(sum(total_c) AS BIGINT) AS sum_c
              |FROM mrg GROUP BY y""".stripMargin)),
 
+    // ---------------- SQL row-level DML on a PLAIN lazily-evolved
+    // table (r18 — the LAST row-level refusal lifted): the live root
+    // has no snapshot to pin, so the statement's freshness is the
+    // pinned-listing protocol — each scanned leaf's file print is
+    // pinned at scan build and expect-checked under the writer lock at
+    // commit. A partition-source conjunct rewrites only the matching
+    // leaves per generation (in-query file-name pins prove it); data-
+    // column predicates keep the whole-table posture. Oracle replays
+    // the statements relationally.
+    "x_sql_dml_plain_lazy" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlpl", dir)
+      val cname = "gspl_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("total_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      s.sql(s"CREATE TABLE $cname.pl (okey BIGINT, total_c BIGINT, " +
+        "y STRING) PARTITIONED BY (y)")
+      cat.insertPartitioned("pl", base.filter(col("okey") % 2 === 0))
+      cat.repartitionTableLazy("pl",
+        Seq(("identity", "y", 0), ("bucket", "okey", 2)))
+      cat.insertPartitioned("pl", base.filter(col("okey") % 2 === 1))
+      require(cat.specGenerations("pl").size == 2,
+        "the DML must run on a lazily-evolved PLAIN table")
+      def leafNames(rel: String): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(scratch.toString, "pl", rel)
+        if (!java.nio.file.Files.exists(p)) Set.empty
+        else {
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => p.relativize(f).toString).toSet
+          finally st.close()
+        }
+      }
+      val g0Pin = leafNames("y=1996")
+      val g1Pin = leafNames("_g1/y=1996")
+      require(g0Pin.nonEmpty && g1Pin.nonEmpty,
+        "both generations must hold a 1996 leaf to pin")
+      // leaf-granular: only the y=1995 leaves rewrite, in place
+      s.sql(s"UPDATE $cname.pl SET total_c = total_c + 7 " +
+        "WHERE okey % 10 = 3 AND y = '1995'")
+      require(leafNames("y=1996") == g0Pin &&
+        leafNames("_g1/y=1996") == g1Pin,
+        "a pruned UPDATE must leave unmatched leaves in place " +
+          "byte-identical in EVERY generation (r18 pinned-listing DML)")
+      // whole-table posture for data-column predicates
+      s.sql(s"DELETE FROM $cname.pl WHERE okey % 10 = 7")
+      base.filter(col("okey") % 100 === 0)
+        .createOrReplaceTempView("sqlpl_src")
+      s.sql(s"""MERGE INTO $cname.pl t USING sqlpl_src s ON t.okey = s.okey
+        WHEN MATCHED THEN UPDATE SET total_c = 0""")
+      s.sql(s"SELECT y, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(total_c) AS sum_c FROM $cname.pl GROUP BY y")
+    }),
+      Some("""WITH base AS (SELECT o_orderkey AS okey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c,
+             |    CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
+             |upd AS (SELECT okey, CASE WHEN okey % 10 = 3 AND y = '1995'
+             |    THEN total_c + 7 ELSE total_c END AS total_c, y FROM base),
+             |del AS (SELECT * FROM upd WHERE okey % 10 <> 7),
+             |mrg AS (SELECT okey, CASE WHEN okey % 100 = 0
+             |    THEN CAST(0 AS BIGINT) ELSE total_c END AS total_c, y
+             |  FROM del)
+             |SELECT y, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(total_c) AS BIGINT) AS sum_c
+             |FROM mrg GROUP BY y""".stripMargin)),
+
     // --------------------------- Z-ORDER on a DOUBLE dimension (r17)
     // optimizeZOrder previously demanded integral dims (the exact
     // integral scale). Doubles now quantize in VALUE space

@@ -293,8 +293,9 @@ class GraftSqlCatalog extends DsV2TableCatalog
     // (one per spec generation) — reads go through the composite
     // per-generation scan ([[MultiGenScanBuilder]]); INSERT, DELETE,
     // INSERT OVERWRITE and the maintenance procedures route per
-    // generation (r16); only row-level UPDATE/MERGE still refuses
-    // until compaction (its scan/clobber protocol speaks one layout)
+    // generation (r16); row-level UPDATE/MERGE pins and replaces
+    // leaves per generation too (r18 — pv via the snapshot expect,
+    // plain via the pinned-listing protocol)
     // version-pinned loads resolve the generations AS OF that snapshot
     // — a pending generation-compaction intent (crash window) means
     // pre-collapse snapshots still hold the multi-generation layout
@@ -1073,16 +1074,22 @@ object GraftSqlCatalog {
               (StructType.fromDDL("cloned_as LONG"), Seq(InternalRow(v)))
             case "describe_detail" =>
               val d = cat.detail(table)
+              // dml_* — the compaction advisor (r18): row-level
+              // statements since the last spec evolution and the bytes
+              // their commits rewrote; past `bytes`, CALL
+              // system.repartition has already paid for itself
               (StructType.fromDDL("version LONG, rows LONG, files LONG, " +
                 "bytes LONG, branches STRING, tags STRING, " +
                 "constraints STRING, columns STRING, " +
-                "spec_generations STRING"),
+                "spec_generations STRING, dml_statements LONG, " +
+                "dml_rewritten_bytes LONG"),
                 Seq(InternalRow(d.version.getOrElse(-1L), d.rows, d.files,
                   d.bytes, UTF8String.fromString(d.branches.mkString(",")),
                   UTF8String.fromString(d.tags.mkString(",")),
                   UTF8String.fromString(d.constraints.mkString(",")),
                   UTF8String.fromString(d.columns.mkString(",")),
-                  UTF8String.fromString(d.specGens.mkString(";")))))
+                  UTF8String.fromString(d.specGens.mkString(";")),
+                  d.dmlStatements, d.dmlRewrittenBytes)))
             case "fsck" =>
               val rep = !input.isNullAt(1) && input.getBoolean(1)
               (StructType.fromDDL(
@@ -1341,15 +1348,17 @@ object GraftSqlCatalog {
         s"branch '${branch.getOrElse("")}' of '$table' does not exist — " +
           "row-level SQL fixes an EXISTING branch; stage rows with " +
           "INSERT INTO first")
-      // a lazily-evolved PV table (r17): the statement degrades to a
-      // whole-table copy-on-write rewrite under the current spec (the
-      // unpartitioned posture — partition-granular groups cannot
-      // address rows inside foreign layouts); a lazily-evolved PLAIN
-      // table keeps the refusal, its live root has no snapshot to pin.
-      require(multiGens.size <= 1 || partVersioned,
-        s"'$table' carries multiple partition-spec generations (lazy " +
-          "evolution) — row-level SQL on the plain layout operates on " +
-          "one layout; compact first (CALL system.repartition)")
+      // a lazily-evolved table (r18 — the last row-level refusal
+      // lifted): pv statements pin leaves against the immutable
+      // snapshot; PLAIN statements pin each served leaf's file print
+      // and expect-check it under the writer lock (the pinned-listing
+      // protocol). The multi-generation scan reads each generation's
+      // tree directly, so live delete vectors must fold first — the
+      // deleteWhereParts multi-gen rule.
+      require(multiGens.size <= 1 || partVersioned || !cat.hasDv(table),
+        s"'$table' carries live deletion vectors — multi-generation " +
+          "DML reads each generation's tree directly; " +
+          "applyDeleteVectors first")
       new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
         override def build()
             : org.apache.spark.sql.connector.write.RowLevelOperation =
@@ -1611,24 +1620,12 @@ object GraftSqlCatalog {
 
     /** (file name, size) per scanned leaf dir — the cheap pre-image the
       * commit re-checks. O(scanned-leaf files) metadata, the cost the
-      * scan's own file listing already paid. */
+      * scan's own file listing already paid. ONE derivation with the
+      * commit side's locked re-check ([[graft.catalog.TableCatalog
+      * .leafPrintAt]]) — the pin and the expectation must never
+      * drift (the r17 review rule). */
     private def leafPrint(paths: Seq[String]): Map[String, Seq[(String, Long)]] =
-      paths.map { p =>
-        val dir = Paths.get(p)
-        val fs =
-          if (!Files.exists(dir)) Seq.empty[(String, Long)]
-          else {
-            val s = Files.walk(dir)
-            try {
-              import scala.jdk.CollectionConverters._
-              s.iterator().asScala
-                .filter(f => f.getFileName.toString.endsWith(".parquet"))
-                .map(f => (dir.relativize(f).toString, Files.size(f)))
-                .toSeq.sorted
-            } finally s.close()
-          }
-        p -> fs
-      }.toMap
+      paths.map(p => p -> cat.leafPrintAt(p)).toMap
 
     /** The tuple universe is the leaf DIRECTORY tree — O(leaf dirs)
       * driver metadata, never a table scan (projecting partition
@@ -1711,22 +1708,25 @@ object GraftSqlCatalog {
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       partCols match {
-        case Some(_) if partVersioned && multiGens.size > 1 =>
-          // MULTI-GENERATION pv, LEAF-GRANULAR (r18, lifting the r17
-          // whole-table posture): every generation pins the leaves
-          // that MIGHT match — identity-column conjuncts evaluate over
-          // that generation's tuple directory values exactly as Spark
-          // would, transform conjuncts derive via GenPrune (the same
-          // inversion plain reads use) — and the scan serves exactly
-          // the pinned leaves across generations, each under its own
-          // layout, unioned through the MultiGenScan ordinal
-          // projection. The commit then replaces exactly the pinned
-          // rels and adopts the staged rewrite under the CURRENT
-          // generation's subtree. EVERY predicate is returned to Spark
-          // un-consumed (row filters always apply), so pruning is
-          // conservative by construction; a data-column-only predicate
-          // derives nothing, pins every leaf, and the statement keeps
-          // the r17 whole-table copy-on-write posture.
+        case Some(_) if multiGens.size > 1 =>
+          // MULTI-GENERATION, LEAF-GRANULAR (r18, lifting the r17
+          // whole-table pv posture AND the plain-lazy refusal): every
+          // generation pins the leaves that MIGHT match —
+          // identity-column conjuncts evaluate over that generation's
+          // tuple directory values exactly as Spark would, transform
+          // conjuncts derive via GenPrune (the same inversion plain
+          // reads use) — and the scan serves exactly the pinned leaves
+          // across generations, each under its own layout, unioned
+          // through the MultiGenScan ordinal projection. The commit
+          // then replaces exactly the pinned rels and adopts the
+          // staged rewrite under the CURRENT generation's subtree —
+          // expect-checked against the pinned snapshot version (pv) or
+          // the pinned leaf prints under the writer lock (plain, whose
+          // live root has no snapshot to pin). EVERY predicate is
+          // returned to Spark un-consumed (row filters always apply),
+          // so pruning is conservative by construction; a
+          // data-column-only predicate derives nothing, pins every
+          // leaf, and the statement keeps the whole-table posture.
           new ScanBuilder
               with org.apache.spark.sql.connector.read
                 .SupportsPushDownV2Filters
@@ -1745,7 +1745,14 @@ object GraftSqlCatalog {
             override def pushedPredicates(): Array[Predicate] = Array.empty
             override def build(): Scan = {
               import graft.catalog.TableCatalog.SpecGen
-              val out = required.getOrElse(delegate.schema)
+              // the DECLARED (gen-free) shape: the delegate's schema
+              // carries the CURRENT spec's hidden columns appended —
+              // each leg re-appends ITS OWN generation's, so strip
+              // them here or the current generation's leg would
+              // declare them twice
+              val declaredNoGen = StructType(delegate.schema.fields
+                .filterNot(f => genSpec.exists(_.name == f.name)))
+              val out = required.getOrElse(declaredNoGen)
               val cmps = GenPrune.comparisons(allPreds)
               val pinned: Seq[(SpecGen, Seq[Seq[Option[String]]])] =
                 multiGens.map { sg =>
@@ -1778,6 +1785,17 @@ object GraftSqlCatalog {
                 ts.map(t => graft.catalog.TableCatalog.prefixedRel(sg.dir,
                   graft.catalog.TableCatalog.leafRelOf(sg.partCols, t)))
               })
+              // PLAIN lazy tables expect-check the pinned listing at
+              // commit time — pin each served leaf's print NOW, before
+              // the distributed write starts
+              if (!partVersioned)
+                pinnedPrint = leafPrint(pinned.flatMap { case (sg, ts) =>
+                  val genRoot =
+                    if (sg.dir.isEmpty) scanRootPath
+                    else s"$scanRootPath/${sg.dir}"
+                  ts.map(t => genRoot + "/" + graft.catalog.TableCatalog
+                    .leafRelOf(sg.partCols, t))
+                }.filter(p => Files.exists(Paths.get(p))))
               val inners = pinned.flatMap { case (sg, ts) =>
                 if (ts.isEmpty) None
                 else {
@@ -1789,7 +1807,7 @@ object GraftSqlCatalog {
                     .filter(p => Files.exists(Paths.get(p)))
                   if (paths.isEmpty) None
                   else {
-                    val full = StructType(delegate.schema.fields ++
+                    val full = StructType(declaredNoGen.fields ++
                       sg.gen.map(g => org.apache.spark.sql.types
                         .StructField(g.name,
                           graft.catalog.TableCatalog.genDataType(g),
@@ -1949,26 +1967,37 @@ object GraftSqlCatalog {
                   // lives mid-statement (r12 verdict #2)
                   cat.replaceBranchFromStaged(table, br, epoch, staging,
                     info.schema())
-                case (None, Some(pcs))
-                    if partVersioned && multiGens.size > 1 =>
-                  // multi-generation pv (r18, leaf-granular): the scan
+                case (None, Some(pcs)) if multiGens.size > 1 =>
+                  // multi-generation (r18, leaf-granular): the scan
                   // pinned the leaves that might match per generation
                   // and served exactly those — the commit replaces
-                  // exactly the pinned rels (untouched leaves in every
-                  // generation hard-link through) and adopts the
-                  // staged fixed ∪ copied rows under the current
-                  // generation's subtree (expect refuses a concurrent
-                  // commit). A data-column predicate pinned every
-                  // leaf — the r17 whole-table posture, retained.
-                  cat.replaceLeavesAcrossGensFromStaged(table,
-                    staging, pinnedGenRels.getOrElse(
-                      throw new IllegalStateException(
-                        s"row-level write on '$table' committed " +
-                          "without a built scan — cannot determine " +
-                          "the replaced leaf set")),
-                    info.schema(), expect.getOrElse(
-                      throw new IllegalStateException(
-                        s"'$table' loaded without a pinned version")))
+                  // exactly the pinned set (untouched leaves in every
+                  // generation carry) and adopts the staged fixed ∪
+                  // copied rows under the current generation's
+                  // subtree. pv: hard-linked snapshot commit, expect
+                  // refuses a concurrent commit; PLAIN: in-place swap
+                  // whose freshness is the pinned-listing expect-check
+                  // under the writer lock. A data-column predicate
+                  // pinned every leaf — the whole-table posture,
+                  // retained.
+                  if (partVersioned)
+                    cat.replaceLeavesAcrossGensFromStaged(table,
+                      staging, pinnedGenRels.getOrElse(
+                        throw new IllegalStateException(
+                          s"row-level write on '$table' committed " +
+                            "without a built scan — cannot determine " +
+                            "the replaced leaf set")),
+                      info.schema(), expect.getOrElse(
+                        throw new IllegalStateException(
+                          s"'$table' loaded without a pinned version")))
+                  else {
+                    require(pinnedGenRels.isDefined,
+                      s"row-level write on '$table' committed without " +
+                        "a built scan — cannot determine the replaced " +
+                        "leaf set")
+                    cat.replaceLeavesAcrossGensFromStagedPlain(table,
+                      staging, pinnedPrint, info.schema())
+                  }
                 case (None, Some(pcs)) =>
                   // partition-granular: replace EXACTLY the leaves the
                   // scan pinned at build time — never a recomputed

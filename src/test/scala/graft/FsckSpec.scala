@@ -293,6 +293,98 @@ class FsckSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("dirty").count() === 1L)
   }
 
+  test("fsck_all(repair = true) racing a LIVE publisher across TWO " +
+      "tables (r18 adversarial probe): the fleet pass inside both " +
+      "publish crash windows must heal only the healable on the " +
+      "OTHER table, never fold the live intent, and the publish " +
+      "stays exactly-once") {
+    val (cat, _) = freshSqlCat()
+    // table A: the publisher mid-flight
+    cat.createPartitionedVersioned("pa",
+      Seq((0L, "x")).toDF("k", "dt").schema, Seq("dt"))
+    cat.appendPartitionedVersioned("pa",
+      Seq((1L, "2024-01-01")).toDF("k", "dt"))
+    cat.appendToBranch("pa", "wap", Seq((2L, "2024-01-02")).toDF("k", "dt"))
+    // table B: healthy but carrying healable residue the fleet pass
+    // must still repair while A is mid-window
+    cat.createPartitionedVersioned("pb",
+      Seq((0L, "x")).toDF("k", "dt").schema, Seq("dt"))
+    cat.appendPartitionedVersioned("pb",
+      Seq((9L, "2024-02-01")).toDF("k", "dt"))
+    Files.createDirectories(
+      Paths.get(cat.path("pb"), "_branchdata_ghost-e1"))
+    val vb = cat.currentVersion("pb").get
+    var sweepPend: Seq[(String, String, String, String)] = Seq.empty
+    var sweepCommit: Seq[(String, String, String, String)] = Seq.empty
+    cat.publishBranchHooked("pa", "wap",
+      afterPend = () => {
+        sweepPend = cat.fsckAll(repair = true, graceMs = 0L)
+      },
+      afterCommit = () => {
+        sweepCommit = cat.fsckAll(repair = true, graceMs = 0L)
+      })
+    // the fleet pass inside window 1 saw A's live intent as info and
+    // healed B's orphan dir; inside window 2 the same — per-table
+    // locks never interleaved into a misclassification
+    def of(t: String, rs: Seq[(String, String, String, String)]) =
+      rs.filter(_._1 == t)
+    assert(of("pa", sweepPend).forall(_._2 == "info"),
+      s"window 1: A's live publish state must read info: $sweepPend")
+    assert(of("pa", sweepCommit).forall(_._2 == "info"),
+      s"window 2: A's live publish state must read info: $sweepCommit")
+    assert(of("pb", sweepPend).exists(_._3 == "orphan_branch_dir") ||
+      !Files.exists(Paths.get(cat.path("pb"), "_branchdata_ghost-e1")),
+      "the fleet pass must still judge B while A is mid-window")
+    // exactly-once: the publish completed despite two mid-window
+    // fleet repairs; B's version never moved
+    assert(cat.read("pa").filter($"k" === 2L).count() === 1L)
+    assert(cat.currentVersion("pb") === Some(vb),
+      "the fleet repair must never commit anything on a healthy table")
+    assert(cat.read("pb").count() === 1L)
+    assert(cat.fsckAll() === Seq.empty, "the fleet converges clean")
+  }
+
+  test("compaction advisor (r18): row-level DML on a multi-generation " +
+      "table accumulates its rewrite cost; once it exceeds one full " +
+      "table pass, fsck advises CALL system.repartition and " +
+      "describe_detail carries the counters; compaction retires both") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.amp (k BIGINT, v BIGINT, y INT) " +
+      "PARTITIONED BY (y) TBLPROPERTIES ('versioned'='true')")
+    cat.appendPartitionedVersioned("amp",
+      Seq((1L, 10L, 2020), (2L, 20L, 2021)).toDF("k", "v", "y"))
+    cat.repartitionTableLazy("amp",
+      Seq(("identity", "y", 0), ("bucket", "k", 2)))
+    cat.appendPartitionedVersioned("amp",
+      Seq((3L, 30L, 2021)).toDF("k", "v", "y"))
+    assert(cat.detail("amp").dmlStatements === 0L)
+    assert(cat.fsck("amp") === Seq.empty, "healthy, no advice yet")
+    // two whole-table-posture statements (data-column predicates):
+    // each rewrites every live leaf, so the accumulated cost provably
+    // clears one full pass of the table
+    spark.sql(s"UPDATE $g.amp SET v = v + 1 WHERE k % 2 = 0")
+    spark.sql(s"UPDATE $g.amp SET v = v + 1 WHERE k % 2 = 1")
+    val d = cat.detail("amp")
+    assert(d.dmlStatements === 2L)
+    assert(d.dmlRewrittenBytes > d.bytes,
+      s"two full rewrites must exceed one live pass " +
+        s"(${d.dmlRewrittenBytes} vs ${d.bytes})")
+    val advice = cat.fsck("amp").filter(_._2 == "compaction_advised")
+    assert(advice.nonEmpty && advice.forall(_._1 == "advice"),
+      cat.fsck("amp").toString)
+    // surfaced through SQL too
+    assert(spark.sql(s"CALL $g.system.describe_detail('amp')")
+      .select("dml_statements").head().getLong(0) === 2L)
+    assert(spark.sql(s"CALL $g.system.fsck('amp')")
+      .filter(col("check") === "compaction_advised").count() === 1L)
+    // following the advice retires it
+    cat.compactGenerationsVersioned("amp")
+    assert(cat.detail("amp").dmlStatements === 0L)
+    assert(cat.fsck("amp") === Seq.empty, "compacted: clean, no advice")
+    assert(cat.read("amp").select("v").as[Long].collect().sorted.toSeq ===
+      Seq(11L, 21L, 31L), "the DML's values survive the whole loop")
+  }
+
   test("fsck never mutates: the findings are identical across calls " +
       "and the table keeps serving") {
     val (cat, _) = freshSqlCat()

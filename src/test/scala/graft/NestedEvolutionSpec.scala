@@ -196,6 +196,55 @@ class NestedEvolutionSpec extends AnyFunSuite with SparkTestSession {
       "a mistyped restamp call must commit nothing")
   }
 
+  test("restamp racing an OPEN branch (r18 adversarial probe): the " +
+      "branch staged under the pre-restamp mapping REFUSES publish " +
+      "loudly after the rename — never silent nulls — drop + re-stage " +
+      "converges, and a crash between the stamping rewrite and the " +
+      "rename half re-runs metadata-only") {
+    val cat = freshCat()
+    cat.replaceAtomic("t", structDf(30).repartition(2))
+    // regress the marker to the pre-nested (top-level ids) state
+    val mf = java.nio.file.Paths.get(cat.path("t"), "_fieldids.json")
+    val m0 = cat.idMarker("t").get
+    val legacyIds = m0.ids.filterNot(_._1.contains(".")).toSeq.sortBy(_._1)
+      .map { case (n, i) => s""""$n":$i""" }.mkString(",")
+    java.nio.file.Files.write(mf,
+      s"""{"since":${m0.since},"next":${m0.nextId},"ids":{$legacyIds}}"""
+        .getBytes("UTF-8"))
+    // the branch stages under the LEGACY mapping; the restamp + rename
+    // then change the table's id assignment underneath it
+    cat.appendToBranch("t", "b", structDf(40).filter(col("k") >= 30L))
+    // CRASH INTERLEAVE: the stamping half (exactly what restamp runs)
+    // lands, the rename half doesn't — re-running the verb must
+    // converge without a second data pass
+    cat.compactSmallFiles("t")
+    val files = cat.read("t").inputFiles.map(_.split("/").last).toSet
+    cat.renameColumnPath("t", Seq("meta", "title"), "headline",
+      restamp = true) // the re-run: marker already nested → no rewrite
+    assert(cat.read("t").inputFiles.map(_.split("/").last).toSet === files,
+      "the re-run after the crash must be metadata-only")
+    assert(cat.read("t").select(col("meta.headline")).as[String]
+      .collect().count(_ != null) === 30)
+    // the open branch's stamps are now STALE — publish must refuse
+    // loudly (silently linking its files would serve NULL for the
+    // renamed nested field on every branch row)
+    val e = intercept[IllegalArgumentException](cat.publishBranch("t", "b"))
+    assert(e.getMessage.contains("stamps are stale"), e.getMessage)
+    assert(cat.read("t").count() === 30L,
+      "the refused publish must land nothing")
+    // the message's remedy converges: drop, re-stage under the CURRENT
+    // mapping, publish — exactly-once, values intact
+    cat.dropBranch("t", "b")
+    cat.appendToBranch("t", "b", structDf(40).filter(col("k") >= 30L)
+      .select(col("k"), struct(col("meta.title").as("headline"),
+        col("meta.score").as("score")).as("meta")))
+    cat.publishBranch("t", "b")
+    assert(cat.read("t").count() === 40L)
+    assert(cat.read("t").select(col("meta.headline")).as[String]
+      .collect().count(_ != null) === 40,
+      "re-staged branch rows serve the renamed field after publish")
+  }
+
   test("SQL ALTER TABLE speaks the nested verbs end to end") {
     val root = Files.createTempDirectory("nest-sql").toString
     val g = "gnest1"

@@ -592,11 +592,13 @@ class PartitionTransformSpec extends AnyFunSuite with SparkTestSession {
       "per-generation values must survive the union projection")
     assert(spark.sql(s"SELECT sum(m) FROM $g.lz WHERE y = 2021")
       .head().getLong(0) === 3L)
-    // the SQL row-level statement path is still single-tree; the Scala
-    // DML verbs route per generation (the dedicated test below)
-    val e3 = intercept[Exception](
-      spark.sql(s"UPDATE $g.lz SET m = 9 WHERE k = 1"))
-    assert(e3.getMessage.contains("generations"), e3.getMessage)
+    // SQL row-level statements route leaf-granular across generations
+    // since r18 (PvMultiGenSpec pins the full pinned-listing contract;
+    // here just the former refusal staying green)
+    spark.sql(s"UPDATE $g.lz SET m = 9 WHERE k = 1")
+    assert(spark.sql(s"SELECT m FROM $g.lz WHERE k = 1")
+      .head().getInt(0) === 9)
+    spark.sql(s"UPDATE $g.lz SET m = 1 WHERE k = 1") // restore
     // the eager rewrite is the COMPACTION that collapses generations
     cat.repartitionTableTransformed("lz",
       Seq(("identity", "y", 0), ("identity", "m", 0)))

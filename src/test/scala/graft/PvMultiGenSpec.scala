@@ -325,16 +325,95 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     // SQL reads agree end to end
     assert(spark.sql(s"SELECT sum(v) FROM $g.rl").head().getLong(0) ===
       240L)
-    // a PLAIN lazily-evolved table keeps the refusal: its live root
-    // has no snapshot to pin the whole-table rewrite against
+    // a PLAIN lazily-evolved table works too since r18 (the pinned-
+    // listing protocol) — the dedicated leaf-granular test below pins
+    // the full contract; here just the former refusal staying green
     spark.sql(s"CREATE TABLE $g.pl (k BIGINT, y INT, m INT) " +
       "PARTITIONED BY (y)")
     spark.sql(s"INSERT INTO $g.pl VALUES (1, 2020, 1)")
     cat.repartitionTableLazy("pl",
       Seq(("identity", "y", 0), ("identity", "m", 0)))
-    val e = intercept[Exception](
-      spark.sql(s"UPDATE $g.pl SET k = 2 WHERE k = 1"))
-    assert(e.getMessage.contains("plain layout"), e.getMessage)
+    spark.sql(s"UPDATE $g.pl SET k = 2 WHERE k = 1")
+    assert(spark.sql(s"SELECT k FROM $g.pl").as[Long].collect().toSeq ===
+      Seq(2L), "the r17 plain-lazy refusal is lifted (r18)")
+  }
+
+  test("LEAF-GRANULAR row-level SQL on a PLAIN lazily-evolved table " +
+      "(r18 — the last row-level refusal lifted): the pinned-listing " +
+      "protocol replaces exactly the scanned leaves in place, " +
+      "untouched leaves keep their files, a concurrent write into a " +
+      "scanned leaf refuses the stale rewrite loudly") {
+    val (cat, g) = freshSqlCat()
+    // 2-generation PLAIN table: gen0 by y, _g1 (current) by (y, m)
+    spark.sql(s"CREATE TABLE $g.pg (k BIGINT, v BIGINT, y INT, m INT) " +
+      "PARTITIONED BY (y)")
+    Seq((1L, 10L, 2020, 1), (2L, 20L, 2021, 2)).toDF("k", "v", "y", "m")
+      .createOrReplaceTempView("pg_seed")
+    spark.sql(s"INSERT INTO $g.pg SELECT * FROM pg_seed")
+    cat.repartitionTableLazy("pg",
+      Seq(("identity", "y", 0), ("identity", "m", 0)))
+    Seq((3L, 30L, 2021, 3), (4L, 40L, 2020, 4)).toDF("k", "v", "y", "m")
+      .createOrReplaceTempView("pg_seed2")
+    spark.sql(s"INSERT INTO $g.pg SELECT * FROM pg_seed2")
+    assert(cat.specGenerations("pg").size === 2)
+    def leafNames(rel: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(cat.path("pg"), rel)
+      if (!Files.exists(p)) Set.empty
+      else {
+        val st = Files.list(p)
+        try st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally st.close()
+      }
+    }
+    val g0Pin = leafNames("y=2020")
+    val g1Pin = leafNames("_g1/y=2020/m=4")
+    assert(g0Pin.nonEmpty && g1Pin.nonEmpty)
+    // pruned UPDATE: y is identity in both generations (reads go
+    // through SQL — the composite multi-generation scan; a bare
+    // root-parquet read cannot see the _g<k> subtrees by design)
+    spark.sql(s"UPDATE $g.pg SET v = v + 1 WHERE y = 2021")
+    assert(spark.sql(s"SELECT k, v FROM $g.pg ORDER BY k")
+      .as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 21L), (3L, 31L), (4L, 40L)))
+    assert(leafNames("y=2020") === g0Pin,
+      "gen0's unmatched leaf must keep its files in place")
+    assert(leafNames("_g1/y=2020/m=4") === g1Pin,
+      "gen1's unmatched leaf must keep its files in place")
+    // the scanned gen0 leaf migrated into the current layout in place
+    assert(leafNames("y=2021").isEmpty,
+      "the scanned old-generation leaf is deleted")
+    assert(leafNames("_g1/y=2021/m=2").nonEmpty,
+      "its rows land under the current generation's layout")
+    // whole-table posture for a data-column predicate still works
+    spark.sql(s"UPDATE $g.pg SET v = 0 WHERE k = 1")
+    assert(spark.sql(s"SELECT v FROM $g.pg ORDER BY k")
+      .as[Long].collect().toSeq === Seq(0L, 21L, 31L, 40L))
+    // the pinned-listing expect-check: a write that lands inside a
+    // scanned leaf between scan and commit must refuse the staged
+    // rewrite (never silently drop the concurrent rows). The race
+    // window is deterministic at the VERB level: pin a leaf's print,
+    // let a concurrent INSERT land inside it, then drive the commit
+    // half directly with the stale pin — exactly the state a
+    // statement paused between scan and commit would hand it.
+    val leaf = Paths.get(cat.path("pg"), "_g1", "y=2021", "m=2")
+    val pinned = cat.leafPrintAt(leaf.toString)
+    Seq((9L, 90L, 2021, 2)).toDF("k", "v", "y", "m")
+      .createOrReplaceTempView("pg_rush")
+    spark.sql(s"INSERT INTO $g.pg SELECT * FROM pg_rush")
+    val staged = Files.createTempDirectory("pg_staged")
+    Seq((2L, 999L, 2021, 2)).toDF("k", "v", "y", "m")
+      .write.mode("overwrite").parquet(staged.toString)
+    val e = intercept[IllegalArgumentException](
+      cat.replaceLeavesAcrossGensFromStagedPlain("pg", staged,
+        Map(leaf.toString -> pinned),
+        cat.readPartitioned("pg").schema))
+    assert(e.getMessage.contains("changed since"), e.getMessage)
+    // nothing was lost: the concurrent row and the pre-statement rows
+    // all survive the refused commit
+    assert(spark.sql(s"SELECT k FROM $g.pg").as[Long].collect()
+      .sorted.toSeq === Seq(1L, 2L, 3L, 4L, 9L))
   }
 
   test("LEAF-GRANULAR row-level SQL on a 2-generation pv table (r18): " +
@@ -402,6 +481,35 @@ class PvMultiGenSpec extends AnyFunSuite with SparkTestSession {
     assert(leafNames(v2, "_g1/y=2021/m=2") === leafNames(v1,
       "_g1/y=2021/m=2"), "a leaf outside the pinned set must carry " +
       "even inside a scanned generation")
+  }
+
+  test("multi-gen DML commit racing a concurrent append (r18 " +
+      "adversarial probe): the expect-check must refuse the staged " +
+      "rewrite — the appended rows survive, nothing is silently " +
+      "dropped, and the re-run converges") {
+    val (cat, g) = freshSqlCat()
+    twoGen(cat, "rc2")
+    val v0 = cat.currentVersion("rc2").get
+    // the DML's scan pinned leaves against _v{v0}; before its commit
+    // lands, a concurrent append commits v0+1 — exactly the interleave
+    // a paused statement hands the commit verb
+    val staged = Files.createTempDirectory("rc2_staged")
+    Seq((2L, 999L, 2021, 2)).toDF("k", "v", "y", "m")
+      .write.mode("overwrite").parquet(staged.toString)
+    cat.appendPartitionedVersioned("rc2",
+      Seq((9L, 90L, 2021, 9)).toDF("k", "v", "y", "m"))
+    val e = intercept[IllegalArgumentException](
+      cat.replaceLeavesAcrossGensFromStaged("rc2", staged,
+        Seq("y=2021"), cat.read("rc2").schema, expect = v0))
+    assert(e.getMessage.contains("moved"), e.getMessage)
+    // nothing dropped: the append's row AND the pre-statement rows
+    assert(cat.read("rc2").select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 9L))
+    // the re-run (fresh scan against the NEW head) converges
+    spark.sql(s"UPDATE $g.rc2 SET v = 999 WHERE k = 2")
+    assert(cat.read("rc2").filter($"k" === 2L).select("v")
+      .as[Long].head() === 999L)
+    assert(cat.read("rc2").count() === 5L)
   }
 
   test("eager spec evolution on a pv table (repartitionTableTransformed)" +
