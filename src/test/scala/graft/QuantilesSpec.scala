@@ -112,13 +112,41 @@ class QuantilesSpec extends AnyFunSuite with SparkTestSession {
     val df = rows.toDF("g", "v")
       .withColumn("v", col("v").cast("decimal(16,3)"))
     checkDf(df)
-    // and a precision-overflow domain refuses loudly rather than
-    // silently truncating
-    val wide = Seq(("a", BigDecimal(1))).toDF("g", "v")
+  }
+
+  test("WIDE DECIMAL domains (p > 18, r18 — closing the last domain " +
+      "refusal): the double route is bit-identical to the stock " +
+      "aggregate because monotone rounding commutes with order " +
+      "statistics — full 38-digit magnitudes, dense low-word-only " +
+      "differences, and negatives") {
+    val rnd = new scala.util.Random(41)
+    // values travel as STRINGS (the Scala BigDecimal encoder is fixed
+    // at decimal(38,18) and cannot hold 28 integer digits) and cast
+    // exactly to the declared decimal(38,10)
+    def bigDec(digits: Int): String = {
+      val s = (1 to digits).map(_ => rnd.nextInt(10)).mkString
+      val sign = if (rnd.nextBoolean()) "-" else ""
+      BigDecimal(BigInt(sign + s), 10).bigDecimal.toPlainString
+    }
+    val rows = (0 until 2000).map(_ =>
+      (s"g${rnd.nextInt(4)}", bigDec(rnd.nextInt(38) + 1))) ++
+      // a cluster whose members differ ONLY in the unscaled low word
+      // (same 128-bit high word) — distinct decimals that also round
+      // to DISTINCT doubles, so ranks inside one hi-slice matter
+      (0 until 50).map(i => ("lo",
+        BigDecimal((BigInt(1) << 100) + (BigInt(i) << 40), 10)
+          .bigDecimal.toPlainString)) ++
+      Seq(("edge", BigDecimal(BigInt(10).pow(38) - 1, 10)
+          .bigDecimal.toPlainString),
+        ("edge", BigDecimal(-(BigInt(10).pow(38) - 1), 10)
+          .bigDecimal.toPlainString),
+        ("edge", "0"))
+    val df = rows.toDF("g", "v")
       .withColumn("v", col("v").cast("decimal(38,10)"))
-    val e = intercept[IllegalArgumentException](
-      Quantiles.percentilesCont(wide, "g", "v", QS, smallThreshold = 0L))
-    assert(e.getMessage.contains("decimal"), e.getMessage)
+    assert(df.schema("v").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 10))
+    checkDf(df)
+    checkDf(df, buckets = 2)
   }
 
   test("the adaptive small route answers identically") {

@@ -146,10 +146,95 @@ class WeightedQuantileSpec extends AnyFunSuite with SparkTestSession {
       .groupBy(col("g")).agg(min(col("v")).as("m"))
       .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
     assert(p90 === refP90)
-    val wide = Seq(("a", BigDecimal(1), 1L)).toDF("g", "v", "w")
+  }
+
+  test("WIDE DECIMAL domains (p > 18, r18 — the two-word hierarchical " +
+      "search, closing VERDICT r17 missing #5): equals the one-window " +
+      "form BIT-EXACTLY on decimal(38,10) spanning full 38-digit " +
+      "magnitudes, low-word-only clusters (the slice phase does real " +
+      "work), and negatives — the answer keeps the input type") {
+    val rnd = new scala.util.Random(43)
+    // values travel as STRINGS (the Scala BigDecimal encoder is fixed
+    // at decimal(38,18) and cannot hold 28 integer digits) and cast
+    // exactly to the declared decimal(38,10)
+    def str(b: BigDecimal): String = b.bigDecimal.toPlainString
+    def bigDec(digits: Int): String = {
+      val s = (1 to digits).map(_ => rnd.nextInt(10)).mkString
+      val sign = if (rnd.nextBoolean()) "-" else ""
+      str(BigDecimal(BigInt(sign + s), 10))
+    }
+    val rows = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(4)}", bigDec(rnd.nextInt(38) + 1),
+        (rnd.nextInt(9) + 1).toLong)) ++
+      // same 128-bit HIGH word, distinct LOW words: the crossover must
+      // resolve INSIDE one hi-slice through the offset re-search
+      (0 until 60).map(i => ("lo",
+        str(BigDecimal((BigInt(1) << 100) + BigInt(i * 7), 10)),
+        (i % 5 + 1).toLong)) ++
+      // values straddling a 2^64 boundary of the unscaled integer
+      // (adjacent hi words): the hi-phase must order them correctly
+      (-3 to 3).map(i => ("hi",
+        str(BigDecimal((BigInt(1) << 64) + BigInt(i), 10)), 2L)) ++
+      Seq(("edge", str(BigDecimal(BigInt(10).pow(38) - 1, 10)), 1L),
+        ("edge", str(BigDecimal(-(BigInt(10).pow(38) - 1), 10)), 2L),
+        ("edge", "0", 1L))
+    val df = rows.toDF("g", "v", "w")
       .withColumn("v", col("v").cast("decimal(38,10)"))
-    val e = intercept[IllegalArgumentException](
-      WeightedQuantile.weightedMedian(wide, "g", "v", "w"))
-    assert(e.getMessage.contains("decimal(p<=18)"), e.getMessage)
+    assert(df.schema("v").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 10))
+    val pv = df.groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def refQ(n: Long, d: Long) = pv
+      .withColumn("cw", sum(col("vw")).over(wcum))
+      .withColumn("tw", sum(col("vw")).over(Window.partitionBy(col("g"))))
+      .filter(col("cw") * d >= col("tw") * n)
+      .groupBy(col("g")).agg(min(col("v")).as("m"), max(col("tw")).as("t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+    Seq(2, 64, 4096).foreach { b =>
+      val out = WeightedQuantile.weightedMedian(df, "g", "v", "w", b)
+      assert(out.schema("wmedian_c").dataType ===
+        org.apache.spark.sql.types.DecimalType(38, 10),
+        "the answer column must keep the input's decimal type")
+      val got = out.collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+      assert(got === refQ(1L, 2L), s"buckets=$b")
+    }
+    // p90 takes the same hierarchical crossover
+    val p90 = WeightedQuantile.weightedQuantile(df, "g", "v", "w", 9L, 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1), r.getLong(2)))).toMap
+    assert(p90 === refQ(9L, 10L))
+  }
+
+  test("Decimal128Bits is an order-preserving bijection: lexicographic " +
+      "(hi, lo) signed order equals BigDecimal order, and recompose " +
+      "round-trips bit-exactly across the full decimal(38) range") {
+    import graft.functions.Decimal128Bits
+    val rnd = new scala.util.Random(47)
+    def dec(digits: Int): java.math.BigDecimal = {
+      val s = (1 to digits).map(_ => rnd.nextInt(10)).mkString
+      val sign = if (rnd.nextBoolean()) "-" else ""
+      new java.math.BigDecimal(new java.math.BigInteger(sign + s), 6)
+    }
+    val vals = (0 until 3000).map(_ => dec(rnd.nextInt(38) + 1)) ++
+      (-5 to 5).map(i => new java.math.BigDecimal(
+        java.math.BigInteger.ONE.shiftLeft(64)
+          .add(java.math.BigInteger.valueOf(i.toLong)), 6)) ++
+      Seq(java.math.BigDecimal.ZERO.setScale(6))
+    def words(bd: java.math.BigDecimal): (Long, Long) = {
+      val d = org.apache.spark.sql.types.Decimal(bd, 38, 6)
+      (Decimal128Bits.hiBits(d), Decimal128Bits.loBits(d))
+    }
+    vals.foreach { bd =>
+      val (hi, lo) = words(bd)
+      assert(Decimal128Bits.recompose(hi, lo, 6)
+        .compareTo(bd) === 0, s"round-trip $bd")
+    }
+    val sortedByValue = vals.sortWith(_.compareTo(_) < 0)
+    val sortedByWords = vals.sortBy(words) // (Long, Long) lexicographic
+    assert(sortedByWords.map(_.toString) ===
+      sortedByValue.map(_.toString), "word order must equal value order")
   }
 }
