@@ -7503,7 +7503,7 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   private def listParquetUris(table: String): Set[String] =
     listParquetUrisAt(Paths.get(readPath(table)))
 
-  private def listParquetUrisAt(root: Path): Set[String] = {
+  private[graft] def listParquetUrisAt(root: Path): Set[String] = {
     import scala.jdk.CollectionConverters._
     if (!Files.exists(root)) Set.empty
     else {

@@ -4108,6 +4108,76 @@ object TestdataQueries {
              |  CAST(sum(total_c) AS BIGINT) AS sum_c
              |FROM mrg GROUP BY y""".stripMargin)),
 
+    // --------------- ENVELOPE-PRUNED row-level DML (r18): the last
+    // whole-table posture in row-level SQL was a DATA-column predicate
+    // — nothing plan-time could exclude a leaf. With a FRESH skipping
+    // index (CALL system.analyze skip_cols at exactly this layout
+    // state), per-file min/max envelopes prune the pinned set: leaves
+    // provably holding no match carry byte-identical (in-query
+    // file-name pins prove it), and a stale index silently disengages
+    // (the prunedRead freshness rule — DML never REQUIRES an index).
+    // The oracle replays the statements relationally.
+    "x_sql_dml_envelope" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlenv", dir)
+      val cname = "gse_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("total_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      s.sql(s"CREATE TABLE $cname.e (okey BIGINT, total_c BIGINT, " +
+        "y STRING) PARTITIONED BY (y)")
+      cat.insertPartitioned("e", base)
+      cat.analyze("e", skipCols = Seq("okey"))
+      // okey envelopes overlap every year leaf (keys interleave), so
+      // pick the probe from the data: the single leaf holding min(okey)
+      // is the only one a `okey <= min` conjunct can match
+      val minKey = base.agg(min(col("okey"))).head().getLong(0)
+      val minYear = base.filter(col("okey") === minKey)
+        .head().getAs[String]("y")
+      def leafNames(rel: String): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(scratch.toString, "e", rel)
+        if (!java.nio.file.Files.exists(p)) Set.empty
+        else {
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => p.relativize(f).toString).toSet
+          finally st.close()
+        }
+      }
+      val years = base.select(col("y")).distinct().collect()
+        .map(_.getString(0)).sorted
+      val others = years.filterNot(_ == minYear)
+      require(others.nonEmpty, "need >1 year leaf to prove pruning")
+      val pins = others.map(yv => yv -> leafNames(s"y=$yv")).toMap
+      s.sql(s"UPDATE $cname.e SET total_c = total_c + 5 " +
+        s"WHERE okey <= $minKey")
+      require(others.forall(yv => leafNames(s"y=$yv") == pins(yv)),
+        "an envelope-pruned UPDATE must leave every provably-disjoint " +
+          "year leaf byte-identical (r18 envelope DML pruning)")
+      // a data-column DELETE with NO fresh index (the UPDATE above
+      // invalidated it) keeps the whole-table posture and still lands
+      s.sql(s"DELETE FROM $cname.e WHERE okey % 10 = 7")
+      s.sql(s"SELECT y, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(total_c) AS sum_c FROM $cname.e GROUP BY y")
+    }),
+      Some("""WITH base AS (SELECT o_orderkey AS okey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c,
+             |    CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
+             |mk AS (SELECT min(okey) AS m FROM base),
+             |upd AS (SELECT okey, CASE WHEN okey <= (SELECT m FROM mk)
+             |    THEN total_c + 5 ELSE total_c END AS total_c, y
+             |  FROM base),
+             |del AS (SELECT * FROM upd WHERE okey % 10 <> 7)
+             |SELECT y, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(total_c) AS BIGINT) AS sum_c
+             |FROM del GROUP BY y""".stripMargin)),
+
     // ---------------- SQL row-level DML on a PLAIN lazily-evolved
     // table (r18 — the LAST row-level refusal lifted): the live root
     // has no snapshot to pin, so the statement's freshness is the

@@ -1636,6 +1636,120 @@ object GraftSqlCatalog {
     // these (r18, the leaf-granular lift of the r17 whole-table CoW)
     @volatile private var pinnedGenRels: Option[Seq[String]] = None
 
+    /** ENVELOPE leaf pruning for DATA-COLUMN conjuncts (r18): the one
+      * whole-table posture left in row-level SQL was a predicate over
+      * non-partition columns — nothing plan-time could exclude a leaf.
+      * When the table carries a FRESH skipping index (`CALL
+      * system.analyze(skip_cols)` at exactly this layout state), the
+      * per-file min/max envelopes CAN: a leaf every one of whose files
+      * provably holds no matching row is dropped from the pinned set —
+      * not served, not rewritten, carried byte-identical.
+      *
+      * Safety is the whole design (a wrong skip = a silently missed
+      * UPDATE):
+      *   - pruning only engages when the envelope manifest lists
+      *     EXACTLY the scanned root's on-disk files (the prunedRead
+      *     freshness rule) — any append/rewrite since analyze, or an
+      *     index built at another snapshot, disengages it silently
+      *     (the statement keeps the whole-table posture; DML never
+      *     REQUIRES an index);
+      *   - file paths are content-stable here (staged files adopt
+      *     under fresh unique names; snapshot carries are hard links),
+      *     so a listed file's envelope can never describe other bytes;
+      *   - comparisons use RELAXED bounds (`<`/`<=` both keep any file
+      *     with min ≤ v — exact strictness never drops a hairline
+      *     file) and the envelope's own cast("long") semantics per
+      *     type (timestamps compare in floor-seconds, the indexed
+      *     granularity); string envelopes compare in unsigned UTF-8
+      *     order (utf8Cmp), the order that built them;
+      *   - a non-derivable literal type keeps the conjunct
+      *     un-judgeable → every leaf kept for it;
+      *   - a file with NO bound for an indexed column is all-NULL
+      *     there — comparisons are null-rejecting, so it cannot hold
+      *     a match (the prunedRead rule).
+      * Conservative by construction: dropping a leaf needs POSITIVE
+      * disjointness proof from every file in it; everything else keeps.
+      * Multi-generation tables keep the whole-table posture for data
+      * columns (their envelopes describe one layout, not a composite).
+      * Known price: a row-level rewrite mints new files, so the index
+      * is stale for the NEXT statement until re-analyze — targeted-fix
+      * workloads re-analyze between statements (appendIndexed-style
+      * incremental envelope maintenance is the obvious lift if that
+      * ever measures hot).
+      */
+    private def envelopePrune(tuples: Seq[Seq[Option[String]]],
+        pcs: Seq[String],
+        allPreds: Array[org.apache.spark.sql.connector.expressions
+          .filter.Predicate]): Seq[Seq[Option[String]]] = {
+      import graft.catalog.TableCatalog
+      import org.apache.spark.sql.types._
+      val skipCols = cat.stats(table).map(_.skipCols).getOrElse(Seq.empty)
+      if (skipCols.isEmpty) return tuples
+      val fields = delegate.schema.fieldNames.toSet
+      val cmps = GenPrune.comparisons(allPreds)
+        .filter(c => skipCols.contains(c._1) && !pcs.contains(c._1) &&
+          fields.contains(c._1))
+        .map { case (c, op, vals) =>
+          // NULL literals never match a comparison — drop them from
+          // IN-lists; an all-NULL list is left un-judgeable (the row
+          // filter answers; it matches nothing anyway)
+          (c, op, vals.filter(_._1 != null))
+        }
+        .filter(_._3.nonEmpty)
+      if (cmps.isEmpty) return tuples
+      val envs = cat.fileEnvelopes(table)
+      if (envs.isEmpty) return tuples
+      val onDisk = cat.listParquetUrisAt(Paths.get(scanRootPath))
+      if (envs.map(_.file).toSet != onDisk) return tuples // stale index
+      val byFile = envs.map(f => f.file -> f).toMap
+      def litLong(v: Any, dt: DataType): Option[Long] = dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(v.asInstanceOf[Number].longValue)
+        case DateType => Some(v.asInstanceOf[Int].toLong)
+        case TimestampType =>
+          Some(Math.floorDiv(v.asInstanceOf[Long], 1000000L))
+        case _ => None
+      }
+      def couldMatch(fs: TableCatalog.FileStats): Boolean =
+        cmps.forall { case (c, op, vals) =>
+          delegate.schema(c).dataType match {
+            case StringType => (fs.smin.get(c), fs.smax.get(c)) match {
+              case (Some(lo), Some(hi)) => vals.exists { case (v, _) =>
+                val s = v.toString
+                op match {
+                  case "=" | "in" =>
+                    TableCatalog.utf8Cmp(s, lo) >= 0 &&
+                      TableCatalog.utf8Cmp(s, hi) <= 0
+                  case "<" | "<=" => TableCatalog.utf8Cmp(lo, s) <= 0
+                  case _ => TableCatalog.utf8Cmp(hi, s) >= 0
+                }
+              }
+              case _ => false // all-NULL in this file: no match possible
+            }
+            case _ => (fs.min.get(c), fs.max.get(c)) match {
+              case (Some(lo), Some(hi)) => vals.exists { case (v, vdt) =>
+                litLong(v, vdt) match {
+                  case None => true // un-judgeable literal: keep
+                  case Some(x) => op match {
+                    case "=" | "in" => x >= lo && x <= hi
+                    case "<" | "<=" => lo <= x
+                    case _ => hi >= x
+                  }
+                }
+              }
+              case _ => false // all-NULL in this file: no match possible
+            }
+          }
+        }
+      tuples.filter { t =>
+        val p0 = Paths.get(leafPath(pcs, t)).toUri.toString
+        val prefix = if (p0.endsWith("/")) p0 else p0 + "/"
+        val leafFiles = onDisk.filter(_.startsWith(prefix))
+        leafFiles.isEmpty ||
+          leafFiles.exists(f => byFile.get(f).forall(couldMatch))
+      }
+    }
+
     /** (file name, size) per scanned leaf dir — the cheap pre-image the
       * commit re-checks. O(scanned-leaf files) metadata, the cost the
       * scan's own file listing already paid. ONE derivation with the
@@ -1919,7 +2033,7 @@ object GraftSqlCatalog {
                 if (genSpec.isEmpty) Map.empty[String, String => Boolean]
                 else GenPrune.keepFns(genSpec, GenPrune.comparisons(allPreds))
               val tuples0 = scannedTuples(pcs)
-              val tuples =
+              val tuples1 =
                 if (genKeeps.isEmpty) tuples0
                 else tuples0.filter(t => pcs.zip(t).forall { case (c, v) =>
                   genKeeps.get(c) match {
@@ -1930,12 +2044,16 @@ object GraftSqlCatalog {
                     case _ => true
                   }
                 })
+              // data-column conjuncts prune by per-file envelope when
+              // the skipping index is fresh (r18) — see envelopePrune
+              val tuples = envelopePrune(tuples1, pcs, allPreds)
               pinnedTuples = Some(tuples)
               val leafPaths = tuples.map(t => leafPath(pcs, t))
                 .filter(p => Files.exists(Paths.get(p)))
               pinnedPrint = leafPrint(leafPaths)
               val paths =
-                if (partPred.isEmpty && genKeeps.isEmpty) Seq(scanRootPath)
+                if (partPred.isEmpty && genKeeps.isEmpty &&
+                    tuples.size == tuples1.size) Seq(scanRootPath)
                 else leafPaths
               val opts = new java.util.HashMap[String, String](options)
               opts.put("basePath", scanRootPath)
