@@ -162,9 +162,14 @@ object Quantiles {
       .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("vw"))
       .localCheckpoint(true)
+    // |groups|-sized, but consumed by EVERY per-quantile ranks leg plus
+    // the bucket join and the final interpolation join — as a lazy
+    // subtree each consumer would re-run the groupBy over pv (r18,
+    // the WeightedQuantile wide-path lesson); one eager checkpoint
     val bounds = pv.groupBy(col("g"))
       .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
         sum(col("vw")).as("n"))
+      .localCheckpoint(true)
     // the order statistics each quantile needs, in EXACT integer math:
     // rank_lo = ((n-1)·num) div den + 1 (1-based), plus rank_lo+1 when
     // the position has a fractional part

@@ -123,7 +123,11 @@ object WeightedQuantile {
     * (weight known to sit below every v in `pv`), which is what lets
     * the wide-decimal path re-run the same search over one high-word
     * SLICE with the below-slice weight folded in. Flat domains pass
-    * off = 0 and this is exactly the r17 search. Returns (g, _ov, tw).
+    * off = 0 and this is exactly the r17 search. Returns (g, _ov, tw,
+    * beforeOv) — beforeOv is the cumulative mass strictly BELOW the
+    * crossover (offset included), which is precisely the next phase's
+    * offset: the hierarchical caller gets it for free from the
+    * crossover row instead of paying another full pass over pv.
     *
     * fixed bucket width ≥ 1; bucket id ≤ `buckets`.
     * integer `div`, not `/`: double division would round bucket edges
@@ -170,7 +174,8 @@ object WeightedQuantile {
       .withColumn("cum_in", sum(col("vw")).over(wv))
       .filter((col("obefore") + col("cum_in")) * qDen >= col("tw2") * qNum)
       .groupBy(col("g"))
-      .agg(min(col("v")).as("_ov"), max(col("tw2")).as("tw"))
+      .agg(min(col("v")).as("_ov"), max(col("tw2")).as("tw"),
+        expr("min_by(obefore + cum_in - vw, v)").as("beforeOv"))
   }
 
   /** DECIMAL(p > 18) weighted quantile (r18): the unscaled integer
@@ -194,20 +199,28 @@ object WeightedQuantile {
       .filter(col("vhi").isNotNull)
       .groupBy(col("g"), col("vhi"), col("vlo")).agg(sum(col("w")).as("vw"))
       .localCheckpoint(true)
+    // per-group totals and each phase's crossover are |groups|-sized —
+    // but as LAZY subtrees each would re-evaluate its WHOLE upstream
+    // search every time it appears under a different join (the hi
+    // search alone is ~10 stages, and hiCross feeds three consumers:
+    // the lo offsets, the lo slice, and the final recompose join —
+    // measured 3-4× re-execution, the bulk of the wide path's local
+    // cost). Eagerly checkpoint the tiny frames once.
     val totals = pv.groupBy(col("g")).agg(sum(col("vw")).as("tw"))
+      .localCheckpoint(true)
     val off0 = totals.select(col("g"), lit(0L).as("off"), col("tw"))
-    // phase HI: the crossover high word, weights collapsed per hi
+    // phase HI: the crossover high word, weights collapsed per hi.
+    // The search's own crossover row carries the mass strictly below
+    // the slice (beforeOv) — the LO phase's offset, no extra pass.
     val hiCross = crossoverSearch(
       pv.groupBy(col("g"), col("vhi")).agg(sum(col("vw")).as("vw"))
         .select(col("g"), col("vhi").as("v"), col("vw")),
       off0, qNum, qDen, buckets)
-      .select(col("g").as("gh"), col("_ov").as("hiv"))
-    // weight strictly below the crossover slice = the LO phase's offset
-    val beforeHi = pv.join(broadcast(hiCross), col("g") === col("gh"))
-      .filter(col("vhi") < col("hiv"))
-      .groupBy(col("g")).agg(sum(col("vw")).as("off"))
-    val off1 = totals.join(beforeHi, Seq("g"), "left")
-      .select(col("g"), coalesce(col("off"), lit(0L)).as("off"), col("tw"))
+      .select(col("g").as("gh"), col("_ov").as("hiv"),
+        col("beforeOv").as("off1"))
+      .localCheckpoint(true)
+    val off1 = totals.join(broadcast(hiCross), col("g") === col("gh"))
+      .select(col("g"), col("off1").as("off"), col("tw"))
     // phase LO: the same bounded search over the one slice's low words
     val loCross = crossoverSearch(
       pv.join(broadcast(hiCross),
