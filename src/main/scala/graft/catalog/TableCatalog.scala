@@ -2224,7 +2224,10 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * the table lock (every bump site is a commit). */
   private def bumpDmlAmp(table: String, bytes: Long): Unit = {
     val (n, b) = dmlAmp(table)
-    val tmp = Paths.get(path(table), "_dml_amp.tmp")
+    // scratch under the vacuum-swept `_tmp_` prefix: a crash between
+    // write and rename leaves reclaimable residue, not a stray sidecar
+    val tmp = Paths.get(path(table),
+      s"_tmp_dmlamp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, s"${n + 1L},${b + bytes}".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     committer.atomicRename(tmp, dmlAmpFile(table))
@@ -6956,7 +6959,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     require(reason.trim.nonEmpty, "quarantine needs a reason — it is " +
       "shown to every refused writer")
     withTableLock(table, ignoreQuarantine = true) {
-      val tmp = Paths.get(path(table), "_quarantine.tmp")
+      // scratch under the vacuum-swept `_tmp_` prefix (crash residue)
+      val tmp = Paths.get(path(table),
+        s"_tmp_quar-${java.util.UUID.randomUUID()}")
       Files.write(tmp, s"${System.currentTimeMillis()}\t${reason.trim}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       committer.atomicRename(tmp, quarantineFile(table))

@@ -170,4 +170,89 @@ class DmlEnvelopePruneSpec extends AnyFunSuite with SparkTestSession {
     assert(cat.read("t").filter(col("y") === "n").count() === 0L)
     assert(cat.read("t").count() === 99L)
   }
+
+  test("VERSIONED pv tables prune against the pinned snapshot: the " +
+      "envelope index built at the scanned version engages, disjoint " +
+      "leaves hard-link through with their file NAMES intact, and the " +
+      "post-commit (stale-by-version) index disengages") {
+    val (cat, g) = freshSqlCat()
+    cat.createPartitionedVersioned("pv",
+      Seq((0L, 0L, "x")).toDF("k", "v", "y").schema, Seq("y"))
+    cat.appendPartitionedVersioned("pv",
+      ((0L to 49L).map(k => (k, k, "a")) ++
+        (100L to 149L).map(k => (k, k, "b"))).toDF("k", "v", "y"))
+    cat.analyze("pv", skipCols = Seq("k"))
+    val v0 = cat.currentVersion("pv").get
+    def snapLeafNames(v: Long, rel: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(cat.path("pv"), s"_v$v", rel)
+      if (!Files.exists(p)) Set.empty
+      else {
+        val st = Files.walk(p)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.getFileName.toString).toSet
+        finally st.close()
+      }
+    }
+    val aPin = snapLeafNames(v0, "y=a")
+    assert(aPin.nonEmpty)
+    // k=120 lives only in y=b — y=a must hard-link through unchanged
+    spark.sql(s"UPDATE $g.pv SET v = -1 WHERE k = 120")
+    val v1 = cat.currentVersion("pv").get
+    assert(v1 > v0)
+    assert(snapLeafNames(v1, "y=a") === aPin,
+      "a pruned pv UPDATE must carry the disjoint leaf's files " +
+        "by name into the new snapshot")
+    assert(cat.read("pv").filter(col("k") === 120L).head().getLong(1)
+      === -1L)
+    // the index named _v0 paths — stale for the new snapshot, so the
+    // next data-column statement keeps the whole-table posture and
+    // still lands
+    spark.sql(s"UPDATE $g.pv SET v = -2 WHERE k = 25")
+    assert(cat.read("pv").filter(col("k") === 25L).head().getLong(1)
+      === -2L)
+    assert(cat.read("pv").count() === 100L)
+    // time travel serves every pre-statement snapshot
+    assert(cat.readVersion("pv", v0).filter(col("k") === 120L)
+      .head().getLong(1) === 120L)
+  }
+
+  test("ADVERSARIAL: an UPDATE that moves rows INTO an envelope-" +
+      "pruned-out leaf refuses loudly (the clobber guard) — a " +
+      "partition-scoped rewrite must never wipe an unscanned leaf — " +
+      "and nothing is lost") {
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v BIGINT, y STRING) " +
+      "PARTITIONED BY (y)")
+    cat.insertPartitioned("t",
+      ((0L to 49L).map(k => (k, k, "a")) ++
+        (100L to 149L).map(k => (k, k, "b"))).toDF("k", "v", "y"))
+    cat.analyze("t", skipCols = Seq("k"))
+    val aPin = leafFiles(cat, "t", "y=a")
+    // k=120 lives only in y=b, so the envelope prunes y=a out of the
+    // pinned set — but SET y='a' routes the fixed row INTO y=a, whose
+    // whole-leaf replace would wipe the 50 existing rows. Refuse.
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $g.t SET y = 'a' WHERE k = 120"))
+    def rootMsg(ex: Throwable): String = {
+      var c: Throwable = ex; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("unscanned partition"), rootMsg(e))
+    // nothing lost, nothing moved: both leaves intact, row unchanged
+    assert(leafFiles(cat, "t", "y=a") === aPin)
+    assert(cat.read("t").count() === 100L)
+    assert(cat.read("t").filter(col("k") === 120L)
+      .head().getAs[String]("y") === "b")
+    // once the index is stale (an append since analyze), the same
+    // statement takes the whole-table posture — every leaf is pinned,
+    // so the cross-leaf move lands fine
+    cat.insertPartitioned("t", Seq((999L, 999L, "b")).toDF("k", "v", "y"))
+    spark.sql(s"UPDATE $g.t SET y = 'a' WHERE k = 120")
+    assert(cat.read("t").filter(col("k") === 120L)
+      .head().getAs[String]("y") === "a")
+    assert(cat.read("t").count() === 101L)
+  }
 }

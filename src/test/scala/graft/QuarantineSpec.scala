@@ -132,6 +132,34 @@ class QuarantineSpec extends AnyFunSuite with SparkTestSession {
       x._3.contains("quarantined")), f3.toString)
   }
 
+  test("fsck_all(repair) with ONE quarantined table in the catalog: " +
+      "the fleet pass heals the healthy table, reports the fence and " +
+      "skips repair on the fenced one, and never stalls") {
+    val (cat, g) = freshSqlCat()
+    cat.replaceAtomic("sick", Seq((1L, 1)).toDF("k", "v"))
+    cat.replaceAtomic("fine", Seq((2L, 2)).toDF("k", "v"))
+    // healable residue on BOTH: a dead-branch publish intent
+    Seq("sick", "fine").foreach { t =>
+      Files.write(Paths.get(cat.path(t), "_brpend_ghost"),
+        "{}".getBytes("UTF-8"))
+    }
+    cat.quarantine("sick", "under investigation")
+    val rows = cat.fsckAll(repair = true, graceMs = 0L)
+    assert(rows.exists(r => r._1 == "sick" && r._3 == "quarantined"),
+      rows.toString)
+    assert(rows.exists(r => r._1 == "sick" && r._3 == "repair_skipped" &&
+      r._4.contains("quarantined")), rows.toString)
+    // the healthy table healed: its intent folded during THIS pass
+    assert(!Files.exists(Paths.get(cat.path("fine"), "_brpend_ghost")))
+    // the fenced table's residue is untouched (healing is a writer)
+    assert(Files.exists(Paths.get(cat.path("sick"), "_brpend_ghost")))
+    // lift, re-run: the fleet pass converges
+    assert(cat.unquarantine("sick"))
+    cat.fsckAll(repair = true, graceMs = 0L)
+    assert(!Files.exists(Paths.get(cat.path("sick"), "_brpend_ghost")))
+    assert(spark.sql(s"CALL $g.system.fsck_all()").count() === 0L)
+  }
+
   test("quarantine waits for an in-flight writer's lease rather than " +
       "bisecting its commit, and re-quarantine updates the reason") {
     val (cat, _) = freshSqlCat()
