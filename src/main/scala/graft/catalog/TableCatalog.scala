@@ -1065,14 +1065,32 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     // leaf pruning composes with file skipping (r13 verdict #3)
     val df = partitionSpec(table) match {
       case Some((_, declared)) =>
-        requireSingleGen(table, "ANALYZE")
-        val full = StructType(declared.fields ++ partitionGen(table).map(g =>
-          org.apache.spark.sql.types.StructField(g.name,
-            TableCatalog.genDataType(g), nullable = true)))
-        spark.read.schema(full).option("basePath", pinnedDir)
-          .parquet(pinnedDir)
-          .select(declared.fieldNames.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*)
+        // a lazily-evolved table analyzes the COMPOSITE (r18): one leg
+        // per spec generation, each under its own layout + basePath —
+        // identity partition values type from that generation's dir
+        // names, and input_file_name keys per-file envelopes across
+        // the whole tree, which is what lets row-level DML's envelope
+        // pruning engage per generation. A single basePath read would
+        // silently skip the `_g<k>` subtrees (underscore = hidden).
+        val gens = specGenerations(table)
+        val legs = gens.flatMap { sg =>
+          val gd = if (sg.dir.isEmpty) pinnedDir
+            else s"$pinnedDir/${sg.dir}"
+          if (!Files.exists(Paths.get(gd)) ||
+              listParquetUrisAt(Paths.get(gd)).isEmpty) None
+          else {
+            val full = StructType(declared.fields ++ sg.gen.map(g =>
+              org.apache.spark.sql.types.StructField(g.name,
+                TableCatalog.genDataType(g), nullable = true)))
+            Some(spark.read.schema(full).option("basePath", gd)
+              .parquet(gd)
+              .select(declared.fieldNames
+                .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+          }
+        }
+        legs.reduceOption(_ unionByName _).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared))
       case None => ver.flatMap(v => resolveSchema(table, v)) match {
         case Some(sch) => spark.read.schema(sch).parquet(pinnedDir)
         case None => spark.read.parquet(pinnedDir)
@@ -7563,6 +7581,13 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * re-applies after. */
   def prunedReadRanges(table: String, ranges: Seq[(String, Long, Long)],
                        strRanges: Seq[(String, String, String)]): DataFrame = {
+    // ANALYZE accepts multi-generation tables since r18 (DML envelope
+    // pruning serves each generation under its own layout), but THIS
+    // read's kept-files-under-one-basePath shape cannot — a mixed
+    // layout would mistype partition values. Loud, not silent.
+    require(specGenerations(table).size <= 1,
+      s"'$table' carries multiple partition-spec generations — " +
+        "prunedRead serves one layout; compact first (repartitionTable)")
     val st = stats(table).filter(_.skipCols.nonEmpty).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no skipping index — write it via overwriteIndexed"))
@@ -7741,6 +7766,9 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     * and is dropped (no row to match). */
   def pointKeepFiles(table: String,
                      probes: Seq[(String, Any)]): Seq[String] = {
+    require(specGenerations(table).size <= 1,
+      s"'$table' carries multiple partition-spec generations — " +
+        "point-pruned reads serve one layout; compact first")
     val st = stats(table).filter(_.bloomCols.nonEmpty).getOrElse(
       throw new IllegalArgumentException(
         s"'$table' has no bloom index — analyze with bloomCols first"))

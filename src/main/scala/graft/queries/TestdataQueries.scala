@@ -4194,6 +4194,73 @@ object TestdataQueries {
              |  CAST(sum(total_c) AS BIGINT) AS sum_c
              |FROM del GROUP BY y""".stripMargin)),
 
+    // ------- ENVELOPE-PRUNED DML on a MULTI-GENERATION table (r18,
+    // second sitting): analyze now reads the lazily-evolved composite
+    // (one leg per generation, partition values path-derived per
+    // file), so data-column row-level statements prune EVERY
+    // generation's pinned leaf set by per-file envelope under the same
+    // freshness rule. The in-query proof: a whole-table posture
+    // rewrites every leaf (all pinned → all replaced → every file name
+    // changes); after the pruned UPDATE, BOTH generations must still
+    // hold byte-identical leaves. Oracle replays relationally.
+    "x_sql_dml_envelope_multigen" -> (((s: SparkSession, dir: String) => {
+      val scratch = scratchDir("graft_sqlenvmg", dir)
+      val cname = "gsem_" +
+        scratch.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+      s.conf.set(s"spark.sql.catalog.$cname",
+        classOf[graft.sql.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cname.root", scratch.toString)
+      val cat = new graft.catalog.TableCatalog(s, scratch.toString)
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        cents(col("o_totalprice")).as("total_c"),
+        year(col("o_orderdate")).cast("string").as("y"))
+      s.sql(s"CREATE TABLE $cname.m (okey BIGINT, total_c BIGINT, " +
+        "y STRING) PARTITIONED BY (y)")
+      cat.insertPartitioned("m", base.filter(col("okey") % 2 === 0))
+      cat.repartitionTableLazy("m",
+        Seq(("identity", "y", 0), ("bucket", "okey", 2)))
+      cat.insertPartitioned("m", base.filter(col("okey") % 2 === 1))
+      require(cat.specGenerations("m").size == 2,
+        "the DML must run on a lazily-evolved table")
+      cat.analyze("m", skipCols = Seq("total_c"))
+      val minC = base.agg(min(col("total_c"))).head().getLong(0)
+      def allLeaves(): Map[String, Set[String]] = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(scratch.toString, "m")
+        val st = java.nio.file.Files.walk(root)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => root.relativize(f).toString)
+          .toSeq.groupBy(rel => rel.substring(0, rel.lastIndexOf('/')))
+          .map { case (d, fs) => d -> fs.map(_.split('/').last).toSet }
+        finally st.close()
+      }
+      val before = allLeaves()
+      s.sql(s"UPDATE $cname.m SET total_c = total_c + 3 " +
+        s"WHERE total_c <= $minC")
+      val after = allLeaves()
+      def untouched(prefix: Boolean) = after.count { case (d, fs) =>
+        (if (prefix) d.startsWith("_g1/") else !d.startsWith("_g1/")) &&
+          before.get(d).contains(fs)
+      }
+      require(untouched(false) > 0 && untouched(true) > 0,
+        "an envelope-pruned multi-gen UPDATE must leave provably-" +
+          "disjoint leaves byte-identical in BOTH generations " +
+          s"(untouched: gen0=${untouched(false)} gen1=${untouched(true)})")
+      s.sql(s"SELECT y, CAST(count(*) AS BIGINT) AS n, " +
+        s"sum(total_c) AS sum_c FROM $cname.m GROUP BY y")
+    }),
+      Some("""WITH base AS (SELECT o_orderkey AS okey,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) AS total_c,
+             |    CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
+             |mc AS (SELECT min(total_c) AS m FROM base),
+             |upd AS (SELECT okey, CASE WHEN total_c <= (SELECT m FROM mc)
+             |    THEN total_c + 3 ELSE total_c END AS total_c, y
+             |  FROM base)
+             |SELECT y, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(total_c) AS BIGINT) AS sum_c
+             |FROM upd GROUP BY y""".stripMargin)),
+
     // ---------------- SQL row-level DML on a PLAIN lazily-evolved
     // table (r18 — the LAST row-level refusal lifted): the live root
     // has no snapshot to pin, so the statement's freshness is the

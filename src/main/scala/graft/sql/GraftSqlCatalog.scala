@@ -1669,8 +1669,12 @@ object GraftSqlCatalog {
       *     a match (the prunedRead rule).
       * Conservative by construction: dropping a leaf needs POSITIVE
       * disjointness proof from every file in it; everything else keeps.
-      * Multi-generation tables keep the whole-table posture for data
-      * columns (their envelopes describe one layout, not a composite).
+      * MULTI-GENERATION tables prune the same way (r18, second
+      * sitting): analyze reads the composite — one plain parquet leg
+      * per generation, partition values path-derived per file — so
+      * the envelope manifest covers every generation's files under
+      * the same freshness rule, and each generation's pinned tuple
+      * list filters by its own leaf paths.
       * Known price: a row-level rewrite mints new files, so the index
       * is stale for the NEXT statement until re-analyze — targeted-fix
       * workloads re-analyze between statements (appendIndexed-style
@@ -1680,14 +1684,31 @@ object GraftSqlCatalog {
     private def envelopePrune(tuples: Seq[Seq[Option[String]]],
         pcs: Seq[String],
         allPreds: Array[org.apache.spark.sql.connector.expressions
-          .filter.Predicate]): Seq[Seq[Option[String]]] = {
+          .filter.Predicate]): Seq[Seq[Option[String]]] =
+      envelopeKeepFn(pcs.toSet, allPreds) match {
+        case None => tuples
+        case Some(keep) => tuples.filter(t => keep(leafPath(pcs, t)))
+      }
+
+    /** The engaged form of the envelope prune: Some(leafPath => keep)
+      * when a fresh index and judgeable conjuncts exist, None when
+      * pruning is disengaged (no index, stale index, or nothing to
+      * judge). `excludeCols` drops conjuncts already handled by
+      * partition pruning (the single-layout caller passes its
+      * partition columns; the multi-gen caller passes none — judging
+      * a partition-source conjunct again is redundant but sound,
+      * because analyze materializes path-derived values into each
+      * file's envelope too). */
+    private def envelopeKeepFn(excludeCols: Set[String],
+        allPreds: Array[org.apache.spark.sql.connector.expressions
+          .filter.Predicate]): Option[String => Boolean] = {
       import graft.catalog.TableCatalog
       import org.apache.spark.sql.types._
       val skipCols = cat.stats(table).map(_.skipCols).getOrElse(Seq.empty)
-      if (skipCols.isEmpty) return tuples
+      if (skipCols.isEmpty) return None
       val fields = delegate.schema.fieldNames.toSet
       val cmps = GenPrune.comparisons(allPreds)
-        .filter(c => skipCols.contains(c._1) && !pcs.contains(c._1) &&
+        .filter(c => skipCols.contains(c._1) && !excludeCols.contains(c._1) &&
           fields.contains(c._1))
         .map { case (c, op, vals) =>
           // NULL literals never match a comparison — drop them from
@@ -1696,11 +1717,11 @@ object GraftSqlCatalog {
           (c, op, vals.filter(_._1 != null))
         }
         .filter(_._3.nonEmpty)
-      if (cmps.isEmpty) return tuples
+      if (cmps.isEmpty) return None
       val envs = cat.fileEnvelopes(table)
-      if (envs.isEmpty) return tuples
+      if (envs.isEmpty) return None
       val onDisk = cat.listParquetUrisAt(Paths.get(scanRootPath))
-      if (envs.map(_.file).toSet != onDisk) return tuples // stale index
+      if (envs.map(_.file).toSet != onDisk) return None // stale index
       val byFile = envs.map(f => f.file -> f).toMap
       def litLong(v: Any, dt: DataType): Option[Long] = dt match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -1741,8 +1762,8 @@ object GraftSqlCatalog {
             }
           }
         }
-      tuples.filter { t =>
-        val p0 = Paths.get(leafPath(pcs, t)).toUri.toString
+      Some { leafPathStr =>
+        val p0 = Paths.get(leafPathStr).toUri.toString
         val prefix = if (p0.endsWith("/")) p0 else p0 + "/"
         val leafFiles = onDisk.filter(_.startsWith(prefix))
         leafFiles.isEmpty ||
@@ -1913,7 +1934,23 @@ object GraftSqlCatalog {
                       })
                   (sg, t1)
                 }
-              pinnedGenRels = Some(pinned.flatMap { case (sg, ts) =>
+              // DATA-COLUMN conjuncts refine each generation's pinned
+              // set by per-file envelope when the skipping index is
+              // fresh (r18 — same engine as the single-layout path;
+              // analyze's composite read covers every generation's
+              // files, path-derived partition values included)
+              val envKeep = envelopeKeepFn(Set.empty, allPreds)
+              val pinnedEnv = envKeep match {
+                case None => pinned
+                case Some(keep) => pinned.map { case (sg, ts) =>
+                  val genRoot =
+                    if (sg.dir.isEmpty) scanRootPath
+                    else s"$scanRootPath/${sg.dir}"
+                  (sg, ts.filter(t => keep(genRoot + "/" +
+                    graft.catalog.TableCatalog.leafRelOf(sg.partCols, t))))
+                }
+              }
+              pinnedGenRels = Some(pinnedEnv.flatMap { case (sg, ts) =>
                 ts.map(t => graft.catalog.TableCatalog.prefixedRel(sg.dir,
                   graft.catalog.TableCatalog.leafRelOf(sg.partCols, t)))
               })
@@ -1921,14 +1958,14 @@ object GraftSqlCatalog {
               // commit time — pin each served leaf's print NOW, before
               // the distributed write starts
               if (!partVersioned)
-                pinnedPrint = leafPrint(pinned.flatMap { case (sg, ts) =>
+                pinnedPrint = leafPrint(pinnedEnv.flatMap { case (sg, ts) =>
                   val genRoot =
                     if (sg.dir.isEmpty) scanRootPath
                     else s"$scanRootPath/${sg.dir}"
                   ts.map(t => genRoot + "/" + graft.catalog.TableCatalog
                     .leafRelOf(sg.partCols, t))
                 }.filter(p => Files.exists(Paths.get(p))))
-              val inners = pinned.flatMap { case (sg, ts) =>
+              val inners = pinnedEnv.flatMap { case (sg, ts) =>
                 if (ts.isEmpty) None
                 else {
                   val genRoot =

@@ -218,6 +218,75 @@ class DmlEnvelopePruneSpec extends AnyFunSuite with SparkTestSession {
       .head().getLong(1) === 120L)
   }
 
+  test("MULTI-GENERATION tables prune data-column DML by envelope too " +
+      "(r18 second sitting): a fresh composite index drops disjoint " +
+      "leaves in EVERY generation — plain (pinned-listing commit) and " +
+      "pv (snapshot commit) both carry them byte-identical") {
+    // ---- PLAIN lazily-evolved
+    val (cat, g) = freshSqlCat()
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v BIGINT, y STRING) " +
+      "PARTITIONED BY (y)")
+    def rows(lo: Long) = ((lo to lo + 24L).map(k => (k, k, "a")) ++
+      (lo + 1000L to lo + 1024L).map(k => (k, k, "b")))
+    cat.insertPartitioned("t", rows(0L).toDF("k", "v", "y"))
+    cat.repartitionTableLazy("t",
+      Seq(("identity", "y", 0), ("bucket", "k", 2)))
+    cat.insertPartitioned("t", rows(100L).toDF("k", "v", "y"))
+    assert(cat.specGenerations("t").size === 2)
+    cat.analyze("t", skipCols = Seq("v"))
+    def walk(rel: String): Set[String] = leafFiles(cat, "t", rel)
+    val pins = Seq("y=a", "_g1/y=a").map(r => r -> walk(r)).toMap
+    assert(pins.values.forall(_.nonEmpty), pins.toString)
+    // v=1105 lives only in generation-1 y=b leaves — BOTH generations'
+    // y=a subtrees must carry byte-identical
+    spark.sql(s"UPDATE $g.t SET v = -5 WHERE v = 1105")
+    pins.foreach { case (r, fs) => assert(walk(r) === fs,
+      s"disjoint leaf $r must carry byte-identical (multi-gen envelope)") }
+    // readPartitioned is the multi-generation PLAIN reader (cat.read
+    // sees only the root layout — `_g1` is underscore-hidden to it)
+    assert(cat.readPartitioned("t").filter(col("k") === 1105L)
+      .head().getLong(1) === -5L)
+    assert(cat.readPartitioned("t").count() === 100L)
+
+    // ---- VERSIONED pv lazily-evolved: same engine, snapshot commit
+    cat.createPartitionedVersioned("pv",
+      Seq((0L, 0L, "x")).toDF("k", "v", "y").schema, Seq("y"))
+    cat.appendPartitionedVersioned("pv", rows(0L).toDF("k", "v", "y"))
+    cat.repartitionTableLazy("pv",
+      Seq(("identity", "y", 0), ("bucket", "k", 2)))
+    cat.appendPartitionedVersioned("pv", rows(100L).toDF("k", "v", "y"))
+    assert(cat.specGenerations("pv").size === 2)
+    cat.analyze("pv", skipCols = Seq("v"))
+    val v0 = cat.currentVersion("pv").get
+    def snapNames(v: Long, rel: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(cat.path("pv"), s"_v$v", rel)
+      if (!Files.exists(p)) Set.empty
+      else {
+        val st = Files.walk(p)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.getFileName.toString).toSet
+        finally st.close()
+      }
+    }
+    val aPin0 = snapNames(v0, "y=a")
+    val aPin1 = snapNames(v0, "_g1/y=a")
+    assert(aPin0.nonEmpty && aPin1.nonEmpty)
+    spark.sql(s"UPDATE $g.pv SET v = -7 WHERE v = 1105")
+    val v1 = cat.currentVersion("pv").get
+    assert(snapNames(v1, "y=a") === aPin0,
+      "gen-0 disjoint leaf must hard-link through by name")
+    assert(snapNames(v1, "_g1/y=a") === aPin1,
+      "gen-1 disjoint leaf must hard-link through by name")
+    assert(cat.read("pv").filter(col("k") === 1105L).head().getLong(1)
+      === -7L)
+    assert(cat.read("pv").count() === 100L)
+    // time travel serves the pre-statement multi-gen snapshot
+    assert(cat.readVersion("pv", v0).filter(col("k") === 1105L)
+      .head().getLong(1) === 1105L)
+  }
+
   test("ADVERSARIAL: an UPDATE that moves rows INTO an envelope-" +
       "pruned-out leaf refuses loudly (the clobber guard) — a " +
       "partition-scoped rewrite must never wipe an unscanned leaf — " +
