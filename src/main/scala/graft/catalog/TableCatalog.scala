@@ -2612,8 +2612,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           if (scratch != null) deleteRecursive(scratch)
           scratch = Paths.get(path(table),
             s"_brtmp_stage-${java.util.UUID.randomUUID()}")
-          enforced(table, withGen(table, stripDf(df)))
-            .write.partitionBy(pcols: _*).parquet(scratch.toString)
+          distributeByParts(enforced(table, withGen(table, stripDf(df))),
+            pcols).write.partitionBy(pcols: _*).parquet(scratch.toString)
           scratchPin = pin
         }
         afterStage()
@@ -2844,7 +2844,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           scratch = Paths.get(path(table),
             s"_brtmp_stage-${java.util.UUID.randomUUID()}")
           val withG = enforced(table, withGen(table, stripDf(df)))
-          withG.write.partitionBy(pcols: _*).parquet(scratch.toString)
+          distributeByParts(withG, pcols).write.partitionBy(pcols: _*)
+            .parquet(scratch.toString)
           val pcs = pcols.map(c => col(c).cast("string"))
           // a pure partition DROP under audit stages zero rows
           staged =
@@ -4894,6 +4895,43 @@ final class TableCatalog(val spark: SparkSession, val root: String,
   /** The UNLOCKED half of every partitioned plain write: `df` lands in
     * a fresh `_tmp_ins-` scratch (vacuum's `_tmp_` class) in the Hive
     * leaf layout. */
+  /** Hash-distribute rows by the physical partition columns before a
+    * dynamic-partition parquet write. Without it the write's
+    * parallelism is the INPUT's partition count — an INSERT..SELECT
+    * whose source collapses to one scan split writes every leaf from a
+    * single task (measured 4.4 s of a 7 s query at bench SF) — and
+    * with a many-partition input each task sprays a file into every
+    * leaf it touches (M×L small files). Clustering by the partition
+    * columns gives one file per leaf and write parallelism = distinct
+    * leaves, bounded by spark.sql.shuffle.partitions + AQE coalescing,
+    * so the same code sizes itself at 100 TB (Iceberg's
+    * write.distribution-mode=hash posture). Skew note: a single hot
+    * leaf serializes into one task — exactly the pre-change behaviour
+    * for EVERY leaf, so never worse; callers with known-hot leaves
+    * can pre-split upstream. */
+  private def distributeByParts(df: DataFrame,
+      pcols: Seq[String]): DataFrame =
+    if (pcols.isEmpty || df.rdd.getNumPartitions > 1) df
+    else {
+      // SINGLE-partition inputs only: a multi-partition input's layout
+      // is the CALLER's — e.g. a repartitionByRange'd append that
+      // deliberately lands k-disjoint files per leaf so per-file
+      // min/max skipping has something to prune (PartitionedVersioned
+      // Spec pins exactly that) — and fanning it out would erase the
+      // clustering. A one-partition input carries no such structure
+      // (every leaf gets exactly one file either way), only the
+      // serial-writer problem.
+      //
+      // EXPLICIT partition count: a bare repartition(cols) is an
+      // AQE-coalescible shuffle, and at staging sizes AQE folds the
+      // tiny-by-BYTES exchange back to one task — but the cost here is
+      // per-FILE writer work (one parquet writer per leaf), which AQE
+      // cannot see. repartition(n, cols) pins the fan-out; n follows
+      // spark.sql.shuffle.partitions, the session's own scale knob.
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      df.repartition(n, pcols.map(df.col): _*)
+    }
+
   private def stageLeaves(table: String, df: DataFrame,
       pcols: Seq[String]): Path = {
     // advisory fast-fail (r18): the AUTHORITATIVE quarantine check is
@@ -4903,7 +4941,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
     requireNotQuarantinedDir(Paths.get(path(table)))
     val scratch = Paths.get(path(table),
       s"_tmp_ins-${java.util.UUID.randomUUID()}")
-    df.write.partitionBy(pcols: _*).parquet(scratch.toString)
+    distributeByParts(df, pcols).write.partitionBy(pcols: _*)
+      .parquet(scratch.toString)
     scratch
   }
 
@@ -6305,7 +6344,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
       }
       val scratch = Paths.get(path(table),
         s"_tmp_repart-${java.util.UUID.randomUUID()}")
-      stripDf(df).write.partitionBy(newCols: _*).parquet(scratch.toString)
+      distributeByParts(stripDf(df), newCols).write
+        .partitionBy(newCols: _*).parquet(scratch.toString)
       scratch
     }
     // pin and stage across ALL spec generations: the rewrite's input
@@ -8333,7 +8373,8 @@ final class TableCatalog(val spark: SparkSession, val root: String,
           s"part-dvapply-$i-${java.util.UUID.randomUUID()}.parquet"))
       }
     } else {
-      survivors.write.partitionBy(partCols: _*).parquet(staging.toString)
+      distributeByParts(survivors, partCols).write
+        .partitionBy(partCols: _*).parquet(staging.toString)
       // drop every OLD partition directory (a fully-deleted partition
       // must disappear — same rule as deleteWhere's explicit removal),
       // then move the staged partition directories in wholesale. The

@@ -212,8 +212,10 @@ object Dedup {
     * signature pipeline (the same trick ngramJaccard uses on `shingle`). */
   private def lshBanded(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"))
+    val sh = flooredParallelism(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("_txt")),
+        "doc_id")
+      .select(col("doc_id"), shingles(col("_txt"), shingleN).as("sh"))
       // a doc with fewer than n tokens has NO shingles and therefore no
       // MinHash signature (array_min over empty = all-NULL sig) — left
       // in, every such doc would share one constant hash(NULL-slice)
@@ -308,7 +310,7 @@ object Dedup {
     * `ord('')` = -1 in DuckDB). */
   def simhashFingerprints(docs: DataFrame, idCol: String, textCol: String,
                           tokenHasher: Column => Column = xxhash64(_)): DataFrame =
-    docs
+    flooredParallelism(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol).as("doc_id"),
         transform(
           filter(array_distinct(split(col(textCol), "\\s+")), t => length(t) > 0),
@@ -371,8 +373,10 @@ object Dedup {
     // round 3 (7.9 → 3.0 s at sf0.1, with the carried n_sh). The cost is
     // one exchange of the exploded index, cheap next to re-shingling the
     // corpus per consumer.
-    val sh = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("shs"))
+    val sh = flooredParallelism(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("_txt")),
+        "doc_id")
+      .select(col("doc_id"), shingles(col("_txt"), n).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"),
         explode(col("shs")).as("shingle"))
       .repartition(col("shingle"))

@@ -57,7 +57,10 @@ object Ivf {
     * underscore-prefixed sidecar dir that Spark's file listing ignores
     * when reading the main table. */
   def writeIndexed(index: Index, path: String): Unit = {
-    index.assigned.write.mode("overwrite")
+    // cluster by the partition column before the dynamic write: one
+    // file per cell and write parallelism = cells, instead of every
+    // input task spraying a small file into every cell it touches
+    index.assigned.repartition(col("ivf_cell")).write.mode("overwrite")
       .partitionBy("ivf_cell").parquet(path)
     val spark = index.assigned.sparkSession
     import spark.implicits._
@@ -121,6 +124,7 @@ object Ivf {
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
              newVectors: DataFrame, idCol: String, vecCol: String): Unit =
     assignCells(readCentroids(spark, path), newVectors, idCol, vecCol)
+      .repartition(col("ivf_cell"))
       .write.mode("append").partitionBy("ivf_cell").parquet(path)
 
   /** The nProbe cells whose centroids are cosine-nearest to the query —

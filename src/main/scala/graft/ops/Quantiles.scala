@@ -155,18 +155,23 @@ object Quantiles {
     }
     // the exact per-(g, v) counts — the unavoidable shuffle of the
     // bounded search, shared by every phase (the WeightedQuantile
-    // convention). NULL values drop here, matching percentile()'s
-    // null-ignoring semantics (n below counts non-null rows only).
+    // convention). NULL-value rows are KEPT through this aggregation
+    // (one (g, null) row per group that has them) and dropped into
+    // `pvv` below: the group list for the final left join then reads
+    // off this tiny checkpoint instead of a second full-input
+    // distinct pass (r18 opt — one fewer scan+shuffle of the raw
+    // data), while the search still sees non-null rows only,
+    // matching percentile()'s null-ignoring semantics.
     val pv = df.select(col(groupCol).as("g"),
         toV(col(valueCol)).as("v"))
-      .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("vw"))
       .localCheckpoint(true)
+    val pvv = pv.filter(col("v").isNotNull)
     // |groups|-sized, but consumed by EVERY per-quantile ranks leg plus
     // the bucket join and the final interpolation join — as a lazy
     // subtree each consumer would re-run the groupBy over pv (r18,
     // the WeightedQuantile wide-path lesson); one eager checkpoint
-    val bounds = pv.groupBy(col("g"))
+    val bounds = pvv.groupBy(col("g"))
       .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
         sum(col("vw")).as("n"))
       .localCheckpoint(true)
@@ -195,7 +200,7 @@ object Quantiles {
     // span provably fits (the half-space test never overflows) keep
     // the full-resolution exact edges; the CASE branches per GROUP.
     val (bwExpr, bktExpr) = Quantiles.boundedBucketExprs(buckets)
-    val withB = pv.join(broadcast(bounds), Seq("g"))
+    val withB = pvv.join(broadcast(bounds), Seq("g"))
       .withColumn("bw", greatest(lit(1L), expr(bwExpr)))
       .withColumn("bkt", expr(bktExpr))
     val perBucket = withB.groupBy(col("g"), col("bkt"))
@@ -211,6 +216,10 @@ object Quantiles {
       .filter(col("cum") >= col("rank"))
       .groupBy(col("g"), col("qname"), col("which"))
       .agg(min(col("bkt")).as("tb"), max(col("rank")).as("rank"))
+    // crossing/offset joins stay UN-hinted (r18 opt note): AQE
+    // converts them to broadcast at runtime while reusing the shared
+    // exchanges; forcing broadcast() re-runs the small side's chain
+    // as a separate broadcast-build job and measured slower.
     val offset = cumB.select(col("g").as("go"), col("bkt").as("tbl"),
         col("before"))
       .join(crossing, col("go") === col("g") && col("tbl") === col("tb"))
@@ -246,7 +255,11 @@ object Quantiles {
     }
     val computed = paired.groupBy(col("g"))
       .agg(byName.head, byName.tail: _*)
-    df.select(col(groupCol).as("g")).distinct()
+    // group list from the pv checkpoint (it kept NULL-value rows, so a
+    // group whose values are all NULL is still present and answers
+    // NULL percentiles, exactly like the stock aggregate) — the
+    // pre-r18 form re-scanned and re-shuffled the whole input here
+    pv.select(col("g")).distinct()
       .join(computed, Seq("g"), "left")
       .withColumnRenamed("g", groupCol)
   }

@@ -154,8 +154,10 @@ object SetJoin {
     * [[prefixJaccardJoin]]). */
   private def orderedTokens(docs: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), Dedup.shingles(col(textCol), n).as("shs"))
+    val sh = flooredParallelism(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("_txt")),
+        "doc_id")
+      .select(col("doc_id"), Dedup.shingles(col("_txt"), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
       .repartition(col("shingle"))

@@ -133,8 +133,8 @@ object TextAnalysis {
       transform(array(split(col(textCol), " ")), toks =>
         transform(sequence(lit(0), size(toks) - lit(n)),
           i => array_join(slice(toks, i + lit(1), lit(n)), " "))), 1)
-    docs
-      .select(col(idCol).as("doc_id"), col(textCol))
+    flooredParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id")
       .filter(size(split(col(textCol), " ")) >= n)
       .select(col("doc_id"), explode(grams).as("gram"))
   }
@@ -518,8 +518,8 @@ object TextAnalysis {
               transform(array(gramsOf(th)), g => selOf(g)), 1)),
           1)),
       1)
-    docs
-      .select(col(idCol).as("doc_id"), col(textCol))
+    flooredParallelism(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id")
       .filter(size(split(col(textCol), " ")) >= k)
       .select(col("doc_id"), explode(sel).as("_s"))
       .select(col("doc_id"), col("_s.pos").cast("long").as("pos"),

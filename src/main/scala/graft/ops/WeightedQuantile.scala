@@ -163,6 +163,12 @@ object WeightedQuantile {
       .groupBy(col("g"))
       .agg(min(col("bkt")).as("target_bkt"))
       .select(col("g").as("gc"), col("target_bkt"))
+    // crossing/offset joins stay UN-hinted (r18 opt note): they are
+    // |groups|-sized and AQE already converts these to broadcast at
+    // runtime while REUSING the exchanges; forcing broadcast() was
+    // measured 10-50% SLOWER at bench SF because the hint makes the
+    // small side's whole chain re-run as a separate broadcast-build
+    // job instead of reading the shared shuffle output.
     val offset = cumB.join(crossing,
         col("g") === col("gc") && col("bkt") === col("target_bkt"))
       .select(col("g").as("go"), col("target_bkt").as("tb"),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.call_function
 
 /** Shared expression helpers for the operator package. */
@@ -14,4 +14,27 @@ package object ops {
     * `a - pmod(a, b)` first (pmod is non-negative). */
   private[graft] def intDiv(a: Column, b: Column): Column =
     call_function("div", a, b)
+
+  /** Parallelism FLOOR for compute-dense kernels (shingling, n-gram
+    * explode, signature hashing) whose input may arrive as a handful
+    * of scan splits — the guide §2.5 "one huge unsplittable file"
+    * case: a small-by-bytes parquet file is one row group, so the
+    * scan is ONE task and every downstream map-side kernel runs
+    * single-threaded regardless of cores (measured: the whole
+    * shingle+explode pass of a dedup query serialized on one task at
+    * bench SF). When the input already carries at least the session's
+    * parallelism this is a NO-OP — at cluster scale inputs have
+    * thousands of splits and no shuffle is added; the floor only
+    * engages on few-split inputs, where the repartition moves a
+    * proportionally tiny payload once. Hash-distributes by `keyCol`
+    * (deterministic; round-robin would pay the sort-before-repartition
+    * pass and retry-instability, §2.5). */
+  private[ops] def flooredParallelism(df: DataFrame,
+      keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sessionState.conf.numShufflePartitions
+    val floor = math.min(target, spark.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions >= floor) df
+    else df.repartition(target, df.col(keyCol))
+  }
 }

@@ -14,10 +14,33 @@ object WideDecProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import org.apache.spark.sql.functions._
+    // per-phase job/stage accounting (same listener as QueryProbe)
+    val jobStart = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val agg = new java.util.concurrent.atomic.AtomicLong()
+    val njobs = new java.util.concurrent.atomic.AtomicLong()
+    val nstages = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobStart(e.jobId) = System.nanoTime(); njobs.incrementAndGet()
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobStart.remove(e.jobId).foreach(t0 =>
+            agg.addAndGet(System.nanoTime() - t0))
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          nstages.incrementAndGet()
+      })
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
+      val j0 = njobs.get(); val s0 = nstages.get(); val a0 = agg.get()
       val r = f
-      println(f"[widedec] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      Thread.sleep(200)
+      println(f"[widedec] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"jobs=${njobs.get() - j0} stages=${nstages.get() - s0} " +
+        f"jobWall=${(agg.get() - a0) / 1e9}%.2f s")
       r
     }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
