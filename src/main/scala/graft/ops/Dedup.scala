@@ -414,8 +414,9 @@ object Dedup {
                          n: Int = 3, minOverlap: Double = 0.5,
                          maxDocFreq: Long = 1000): DataFrame = {
     def side(df: DataFrame, id: String, text: String, pfx: String) =
-      df.select(col(id).as(s"${pfx}_id"),
-          shingles(col(text), n).as("shs"))
+      flooredParallelism(df.select(col(id).as(s"${pfx}_id"),
+          col(text).as("_txt")), s"${pfx}_id")
+        .select(col(s"${pfx}_id"), shingles(col("_txt"), n).as("shs"))
         .select(col(s"${pfx}_id"), size(col("shs")).as(s"${pfx}_n_sh"),
           explode(col("shs")).as("shingle"))
     val c = side(corpus, corpusId, corpusText, "corpus")

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
+  // NO parallelism floor here (r18 opt note): this explode is a plain
+  // whitespace split — not compute-dense — and the floor's extra
+  // exchange per termCounts consumer measured SLOWER (x_bm25_pruned
+  // 1.8 → 2.3 s); the floor stays on the shingling/winnow/gram kernels
+  // where per-row CPU dominates.
   private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), "\\s+")).as("term"))

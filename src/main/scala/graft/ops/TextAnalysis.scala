@@ -173,12 +173,19 @@ object TextAnalysis {
   def rougeN(docs: DataFrame, idCol: String, textCol: String,
              pairs: DataFrame, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // each of these frames feeds TWO consumers below (the ref and cand
+    // sides / the overlap and final joins) — lazy, every consumer
+    // re-ran the gram explode, the token count, and the caller's whole
+    // pair-generation pipeline (the x_rouge final plan carried 24
+    // document scans); one eager checkpoint each (r18 opt)
     val cnt = gramExplode(docs, idCol, textCol, n)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = docs.select(col(idCol).as("doc_id"),
       greatest(size(split(col(textCol), " ")) - lit(n) + 1, lit(0))
         .cast("long").as("ng"))
-    val p = pairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val ov = p
       .join(cnt.select(col("doc_id").as("id_a"), col("gram"),
         col("c").as("ca")), Seq("id_a"))

@@ -2489,6 +2489,7 @@ object TestdataQueries {
       val blacklist = users.filter(col("user_id") % 17 === 0)
         .select(concat(lit("P"), col("user_id")).as("passport_num"))
       val withClient = FraudRules.txnWithClient(txn, cards, accounts, clients)
+        .localCheckpoint(true) // feeds BOTH rules — flatten once (r18 opt)
       val rule4 = FraudRules.crossCityRule(
         FraudRules.cityOfTransactions(withClient, terminals))
       val rule5 = FraudRules.bruteForceRule(withClient)
@@ -2641,6 +2642,7 @@ object TestdataQueries {
       val blacklist = users.filter(col("user_id") % 17 === 0)
         .select(concat(lit("P"), col("user_id")).as("passport_num"))
       val withClient = FraudRules.txnWithClient(ruleTxn, cards, accounts, clients)
+        .localCheckpoint(true) // feeds BOTH rules — flatten once (r18 opt)
       val rule4 = FraudRules.crossCityRule(
         FraudRules.cityOfTransactions(withClient, terminals))
       val rule5 = FraudRules.bruteForceRule(withClient)
