@@ -165,7 +165,14 @@ object Bpe {
         val row = top.head
         val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((r, a, b, c))
-        cur = cur.withColumn("toks", mergeOnce(col("toks"), a, b))
+        // rewrite through the codegen'd one-pass kernel (r19): a
+        // single-entry table is contractually bit-equal to
+        // `mergeOnce(toks, a, b)` ([[graft.functions.BpeApply]] pins
+        // "EXACTLY merges.foldLeft(toks)(Bpe.mergeOnce)"; BpeSpec
+        // properties cover it), but runs linear native code per row
+        // instead of the interpreted `aggregate` fold, whose per-token
+        // array concat is quadratic in document length
+        cur = cur.withColumn("toks", applyMerges(col("toks"), Seq((a, b))))
           .localCheckpoint(true)
       }
     }

@@ -482,27 +482,25 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     val nodes = base.select(explode(array(col("u"), col("v"))).as("id")).distinct()
-    var edges = base.filter(col("u") =!= col("v"))
-    var prevCnt = edges.count()
-    var converged = prevCnt == 0L
-    while (!converged) {
-      // large-star: from each node u, hang every LARGER neighbor off the
-      // minimum of u's closed neighborhood. Processing the symmetrized
-      // edge list keeps every undirected edge represented (emitted from
-      // its smaller endpoint) while strictly-smaller neighbors contract.
-      // No dedup here: duplicates don't multiply within a round, and the
-      // small-star distinct collapses them one shuffle later.
-      val sym = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // one alternating large-star/small-star contraction round.
+    // large-star: from each node u, hang every LARGER neighbor off the
+    // minimum of u's closed neighborhood. Processing the symmetrized
+    // edge list keeps every undirected edge represented (emitted from
+    // its smaller endpoint) while strictly-smaller neighbors contract.
+    // No dedup before the windows: duplicates don't multiply within a
+    // round, and the small-star distinct collapses them one shuffle
+    // later. small-star: orient edges large→small; hang u and all its
+    // smaller neighbors off the minimum neighbor. (v,m) with v==m
+    // self-loops drop; (u,m) never does (m < u by construction).
+    def starRound(es: DataFrame): DataFrame = {
+      val sym = es.select(col("u"), col("v"))
+        .union(es.select(col("v").as("u"), col("u").as("v")))
       val large = sym
         .withColumn("m", min(least(col("v"), col("u")))
           .over(Window.partitionBy("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      // small-star: orient edges large→small; hang u and all its smaller
-      // neighbors off the minimum neighbor. (v,m) with v==m self-loops
-      // drop; (u,m) never does (m < u by construction).
-      val small = large
+      large
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
@@ -511,14 +509,60 @@ object Dedup {
           struct(col("u").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
-      val cnt = small.count()
-      // Fixpoint: the edge set is stable. Counts match every round near
-      // convergence, so the (shuffle-cheap, contracted-edges-only) exact
-      // set comparison runs only then — no hash-checksum leap of faith.
-      converged = cnt == prevCnt && small.exceptAll(edges).isEmpty
-      edges = small
-      prevCnt = cnt
+    }
+    var edges = base.filter(col("u") =!= col("v"))
+    var prevCnt = edges.count()
+    var converged = prevCnt == 0L
+    // The contraction loop is FIXED-OVERHEAD-bound, not data-bound
+    // (r19 QueryProbe: ~43 sub-110 ms jobs dominate x_winnow_dedup —
+    // under AQE every one of the ~3 shuffles per round is its own
+    // ~100 ms stage-job plus driver re-planning). Two perf-only knobs
+    // for the loop's own queries, restored in `finally`:
+    //   - AQE off: one action = ONE job over all of the cycle's
+    //     stages instead of one job per exchange. Nothing is lost —
+    //     AQE's skew splitting does not apply to window operators,
+    //     and its partition coalescing is replaced by the next knob;
+    //   - shuffle partitions derived from the measured edge count
+    //     (~1M contracted 16-byte edges per task, capped at the
+    //     session setting) — scale-adaptive, NOT a local-mode
+    //     constant: at cluster scale a big pair graph keeps the
+    //     session's full width, while the bench's few-hundred-edge
+    //     graphs stop paying 32 empty tasks per stage. The edge list
+    //     only CONTRACTS round over round, so sizing from the initial
+    //     count never under-provisions a later round.
+    // Results are config-independent; OpsSpec pins label equality
+    // against GraphX on structured and random graphs either way.
+    val sess = pairs.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = sess.conf.get("spark.sql.shuffle.partitions",
+      sess.sessionState.conf.numShufflePartitions.toString)
+    val loopParts = math.max(1L, math.min(
+      sess.sessionState.conf.numShufflePartitions.toLong,
+      (prevCnt + 999999L) / 1000000L)).toString
+    try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+      while (!converged) {
+        // ONE star round per checkpoint/count cycle: near-dup pair
+        // graphs are cliques-with-fringe and converge in 1-2 rounds
+        // (CcProbe at sf0.1: 256 edges, converged after round 2), so
+        // batching two rounds per cycle — tried first in r19 — ran
+        // twice the star-round work for the same convergence and
+        // measured net slower; the AQE-off/adaptive-partition knobs
+        // above are what actually cut the per-round fixed cost.
+        val small = starRound(edges).localCheckpoint(true)
+        val cnt = small.count()
+        // Fixpoint: the edge set is stable. Counts match every round
+        // near convergence, so the (shuffle-cheap, contracted-edges-
+        // only) exact set comparison runs only then — no
+        // hash-checksum leap of faith.
+        converged = cnt == prevCnt && small.exceptAll(edges).isEmpty
+        edges = small
+        prevCnt = cnt
+      }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      sess.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
     // At fixpoint the edges form stars (node → component-minimum root);
     // roots and isolated nodes label themselves. `edges` is already a

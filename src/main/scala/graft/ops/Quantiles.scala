@@ -211,20 +211,21 @@ object Quantiles {
       .withColumn("cum", sum(col("bw_sum")).over(wb))
       .withColumn("before", col("cum") - col("bw_sum"))
     // crossing bucket per requested rank (the needs are |groups|×|qs|×2
-    // rows — broadcast), then the exact value inside it
-    val crossing = cumB.join(broadcast(need), Seq("g"))
+    // rows — broadcast), WITH its below-mass in the same aggregation
+    // (r19): `min_by(before, bkt)` reads the crossing bucket's running
+    // offset off the same rows, so the old two-step — group for the
+    // minimum bucket, then join back into cumB to fetch `before` —
+    // collapses, and cumB's histogram+window chain executes once
+    // instead of twice. Joins stay UN-hinted (r18 opt note): AQE
+    // converts |groups|-sized sides to broadcast at runtime while
+    // reusing the shared exchanges.
+    val offset = cumB.join(broadcast(need), Seq("g"))
       .filter(col("cum") >= col("rank"))
       .groupBy(col("g"), col("qname"), col("which"))
-      .agg(min(col("bkt")).as("tb"), max(col("rank")).as("rank"))
-    // crossing/offset joins stay UN-hinted (r18 opt note): AQE
-    // converts them to broadcast at runtime while reusing the shared
-    // exchanges; forcing broadcast() re-runs the small side's chain
-    // as a separate broadcast-build job and measured slower.
-    val offset = cumB.select(col("g").as("go"), col("bkt").as("tbl"),
-        col("before"))
-      .join(crossing, col("go") === col("g") && col("tbl") === col("tb"))
+      .agg(min(col("bkt")).as("tbb"), max(col("rank")).as("rank"),
+        expr("min_by(before, bkt)").as("before"))
       .select(col("g").as("gg"), col("qname"), col("which"),
-        col("tb").as("tbb"), col("before"), col("rank"))
+        col("tbb"), col("before"), col("rank"))
     val wv = Window.partitionBy(col("g"), col("qname"), col("which"))
       .orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

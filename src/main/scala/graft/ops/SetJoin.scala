@@ -70,11 +70,21 @@ object SetJoin {
     // aggregate, not the aggregate itself). At corpus scale the
     // ordered-token frame is the artifact you'd persist as a table.
     val ordered = orderedTokens(docs, idCol, textCol, n)
+    // pinned fan-out for the candidate self-join (r19): the prefix
+    // frame is small BY BYTES (ids + one token per row), so AQE
+    // coalesces the join exchange to 1-2 tasks, but the join and the
+    // pair dedup above it are the operator's compute (QueryProbe: a
+    // 3.2 s-wall 2-task join stage). An explicit count is exempt from
+    // AQE coalescing; both sides are the same frame, so ONE reused
+    // exchange feeds the join at full width. The count is the session
+    // setting — what the exchange would use at scale anyway.
     val prefixed = ordered
       .withColumn("plen",
         (col("sz") - ceil(lit(minJaccard) * col("sz") - lit(1e-9)) + 1).cast("int"))
       .select(col("doc_id"), col("sz"),
         explode(expr("slice(toks, 1, plen)")).as("ptok"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("ptok"))
 
     val a = prefixed.alias("a")
     val b = prefixed.alias("b")
@@ -84,6 +94,12 @@ object SetJoin {
         least(col("a.sz"), col("b.sz")).cast("double") >=
           lit(minJaccard) * greatest(col("a.sz"), col("b.sz")) - lit(1e-9))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // pinned width again (r19): the candidate-pair dedup feeds the
+      // fetch-back verification whose array_intersect is the next
+      // compute-dense pass — without the pin AQE coalesces the dedup
+      // exchange to 1-2 tasks and the verification serializes there
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     val ta = ordered.select(col("doc_id").as("id_a"), col("toks").as("toks_a"),
@@ -122,16 +138,26 @@ object SetJoin {
     require(minContainment > 0 && minContainment <= 1,
       s"minContainment=$minContainment must be in (0, 1]")
     val ordered = orderedTokens(docs, idCol, textCol, n)
+    // both join inputs carry a pinned-width exchange on the join key
+    // (r19, same rationale as prefixJaccardJoin): tiny-by-bytes token
+    // frames + compute-dense join means AQE's byte-based coalescing
+    // serializes the operator's real work onto 1-2 tasks
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val probe = ordered
       .withColumn("plen",
         (col("sz") - ceil(lit(minContainment) * col("sz") - lit(1e-9)) + 1).cast("int"))
       .select(col("doc_id").as("id_a"),
         explode(expr("slice(toks, 1, plen)")).as("ptok"))
+      .repartition(nParts, col("ptok"))
     val index = ordered
       .select(col("doc_id").as("id_b"), explode(col("toks")).as("ptok"))
+      .repartition(nParts, col("ptok"))
     val candidates = probe.join(index,
         probe("ptok") === index("ptok") && col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
+      // pinned width for the dedup exchange feeding the fetch-back
+      // verification (same rationale as prefixJaccardJoin's)
+      .repartition(nParts, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val ta = ordered.select(col("doc_id").as("id_a"), col("toks").as("toks_a"),
       col("sz").as("n_a"))
@@ -161,8 +187,20 @@ object SetJoin {
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
       .repartition(col("shingle"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(dfreq, Seq("shingle"))
+    // per-shingle document frequency as a WINDOW over the one shingle
+    // exchange (r19): the old groupBy+join-back consumed `sh` twice,
+    // and column pruning under the aggregate branch (doc_id dropped)
+    // made its exchange non-identical to the join side's, so
+    // ReuseExchange never fired and the whole shingle explode ran
+    // TWICE (QueryProbe: two ~5 s-cpuSum explode stages per pass).
+    // The window's required distribution is satisfied by the
+    // repartition, so this is ONE explode pass, one exchange, and no
+    // join — the window's per-partition sort by shingle replaces the
+    // join's shuffle. Bounded state: a window partition is one
+    // shingle's postings, the same rows the join's build side held.
+    val wdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
+    sh.withColumn("df", count(lit(1)).over(wdf))
       .groupBy("doc_id")
       .agg(transform(sort_array(collect_list(struct(col("df"), col("shingle")))),
         x => x.getField("shingle")).as("toks"))

@@ -542,13 +542,32 @@ object TextAnalysis {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
                   maxDocFreq: Int = 100): DataFrame = {
+    // the (doc_id, fp) set feeds THREE subtrees (the doc-frequency
+    // filter and both sides of the inverted-index self-join) and the
+    // winnow selection above it is the op's real CPU — as a lazy
+    // subtree each consumer re-ran the whole fingerprint kernel
+    // (r19 QueryProbe: three ~10 s-cpuSum kernel stages per pass, 8
+    // parquet scans in the returned plan). One eager checkpoint of the
+    // compact (doc_id, fp) frame makes it one kernel pass (the rougeN
+    // convention; eager-materialization caveat noted there applies).
     val fps = winnow(docs, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint(true)
     val keep = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDocFreq)
       .select(col("fp"))
+    // pin the self-join fan-out (r19): the index frame is small BY
+    // BYTES (ids + fingerprints), so AQE coalesces the join exchange
+    // to one task, but the bucket self-join + pair aggregation above
+    // it is compute-dense (QueryProbe: 0.7 s cpuSum on 1 task). An
+    // explicit count is exempt from AQE coalescing, and both join
+    // sides are the same frame, so ONE reused exchange feeds the join
+    // at full width; the count is the session setting — exactly what
+    // the exchange would use at scale, no local-mode constant.
     val idx = fps.join(keep, Seq("fp"))
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("fp"))
     idx.as("a").join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

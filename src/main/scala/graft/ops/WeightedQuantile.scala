@@ -110,9 +110,9 @@ object WeightedQuantile {
         col(weightCol).cast("long").as("w"))
       .groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
       .localCheckpoint(true)
-    val totals = pv.groupBy(col("g")).agg(sum(col("vw")).as("tw"))
-    val offsets = totals.select(col("g"), lit(0L).as("off"), col("tw"))
-    crossoverSearch(pv, offsets, qNum, qDen, buckets)
+    // offsets = None: the flat path's totals ride the search's own
+    // bounds aggregation (r19 — one pass over pv instead of two)
+    crossoverSearch(pv, None, qNum, qDen, buckets)
       .select(col("g"), fromOv(col("_ov")).as("wquantile_c"),
         col("tw").as("total_w"))
   }
@@ -136,12 +136,25 @@ object WeightedQuantile {
     * OVERFLOW-PROOF (r17): the bucket arithmetic is the ONE shared
     * copy in [[Quantiles.boundedBucketExprs]] — see there for the
     * per-group full-resolution / halved-span branch rationale. */
-  private def crossoverSearch(pv: DataFrame, offsets: DataFrame,
+  private def crossoverSearch(pv: DataFrame, offsets: Option[DataFrame],
       qNum: Long, qDen: Long, buckets: Int): DataFrame = {
-    // per-group domain bounds, offset and total: tiny, broadcast back
-    val bounds = pv.groupBy(col("g"))
-      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-      .join(offsets, Seq("g"))
+    // per-group domain bounds, offset and total: tiny, broadcast back.
+    // offsets = None (the flat path) folds the total-weight aggregation
+    // into this same pass — one aggregation over pv instead of two.
+    // EAGERLY checkpointed (r19): `bounds` feeds withB AND cumB, and as
+    // a lazy subtree each consumer re-ran the aggregation (plus, for
+    // the wide-decimal caller, the whole per-slice pv derivation) —
+    // the returned plans carried 26 pv re-scans across the search
+    // phases; the checkpoint is |groups| rows.
+    val bounds = (offsets match {
+      case Some(off) => pv.groupBy(col("g"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .join(off, Seq("g"))
+      case None => pv.groupBy(col("g"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+          sum(col("vw")).as("tw"))
+        .withColumn("off", lit(0L))
+    }).localCheckpoint(true)
     val (bwExpr, bktExpr) = Quantiles.boundedBucketExprs(buckets)
     val withB = pv.join(broadcast(bounds), Seq("g"))
       .withColumn("bw", greatest(lit(1L), expr(bwExpr)))
@@ -156,23 +169,21 @@ object WeightedQuantile {
       .withColumn("before", col("cum") - col("bw_sum"))
       .join(broadcast(bounds.select(col("g"), col("off"), col("tw"))),
         Seq("g"))
-    // renamed keys break the shared lineage (cumB → crossing is a
-    // self-join Spark would otherwise reject as ambiguous)
-    val crossing = cumB
+    // crossing bucket AND its below-mass in ONE aggregation (r19):
+    // `min_by(before, bkt)` reads the crossing bucket's running offset
+    // off the same rows, so the old two-step — group for the minimum
+    // bucket, then join back into cumB to fetch `before` — collapses;
+    // cumB (whose lazy subtree is the whole pv→histogram→window chain)
+    // now executes ONCE instead of twice. Joins stay UN-hinted (r18
+    // note): AQE converts |groups|-sized sides to broadcast at runtime
+    // while reusing the shared exchanges.
+    val offset = cumB
       .filter((col("off") + col("cum")) * qDen >= col("tw") * qNum)
       .groupBy(col("g"))
-      .agg(min(col("bkt")).as("target_bkt"))
-      .select(col("g").as("gc"), col("target_bkt"))
-    // crossing/offset joins stay UN-hinted (r18 opt note): they are
-    // |groups|-sized and AQE already converts these to broadcast at
-    // runtime while REUSING the exchanges; forcing broadcast() was
-    // measured 10-50% SLOWER at bench SF because the hint makes the
-    // small side's whole chain re-run as a separate broadcast-build
-    // job instead of reading the shared shuffle output.
-    val offset = cumB.join(crossing,
-        col("g") === col("gc") && col("bkt") === col("target_bkt"))
-      .select(col("g").as("go"), col("target_bkt").as("tb"),
-        (col("off") + col("before")).as("obefore"), col("tw").as("tw2"))
+      .agg(min(col("bkt")).as("tb"),
+        expr("min_by(off + before, bkt)").as("obefore"),
+        min(col("tw")).as("tw2"))
+      .select(col("g").as("go"), col("tb"), col("obefore"), col("tw2"))
     // phase 2: exact crossover inside the one crossing bucket
     val wv = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -221,7 +232,7 @@ object WeightedQuantile {
     val hiCross = crossoverSearch(
       pv.groupBy(col("g"), col("vhi")).agg(sum(col("vw")).as("vw"))
         .select(col("g"), col("vhi").as("v"), col("vw")),
-      off0, qNum, qDen, buckets)
+      Some(off0), qNum, qDen, buckets)
       .select(col("g").as("gh"), col("_ov").as("hiv"),
         col("beforeOv").as("off1"))
       .localCheckpoint(true)
@@ -232,7 +243,7 @@ object WeightedQuantile {
       pv.join(broadcast(hiCross),
           col("g") === col("gh") && col("vhi") === col("hiv"))
         .select(col("g"), col("vlo").as("v"), col("vw")),
-      off1, qNum, qDen, buckets)
+      Some(off1), qNum, qDen, buckets)
     // via plain string, NOT a BigDecimal-returning UDF: that would
     // type as the default decimal(38,18) and overflow wide integer
     // parts; string → decimal(p,s) parses exactly. |groups| rows only.
