@@ -226,14 +226,14 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sig = sh.select(col("doc_id"),
       minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-    sig.select(
+    pinnedWidth(sig.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-      .repartition(col("band"), col("bucket"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket")),
+      col("band"), col("bucket"))
   }
 
   /** Audit of what [[minhashLsh]]'s cap skipped: one row per over-cap
@@ -336,10 +336,12 @@ object Dedup {
           shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("ckey"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("fp"), col("cc.chunk"), col("cc.ckey"))
-      // one exchange, reused by both self-join sides (see minhashLsh)
-      .repartition(col("chunk"), col("ckey"))
-    val a = chunked.alias("a")
-    val b = chunked.alias("b")
+    // one exchange, reused by both self-join sides (see minhashLsh);
+    // pinned width (r19) so AQE's byte-based coalescing doesn't
+    // serialize the hamming pair join
+    val chunkedP = pinnedWidth(chunked, col("chunk"), col("ckey"))
+    val a = chunkedP.alias("a")
+    val b = chunkedP.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -379,11 +381,24 @@ object Dedup {
       .select(col("doc_id"), shingles(col("_txt"), n).as("shs"))
       .select(col("doc_id"), size(col("shs")).as("n_sh"),
         explode(col("shs")).as("shingle"))
-      .repartition(col("shingle"))
-    val filtered = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("shingle"),
-      Seq("shingle"))
+    // pinnedWidth (r19): AQE coalesced this exchange to ~10 tasks by
+    // bytes while the pair join above it carries the operator's CPU
+    val shP = pinnedWidth(sh, col("shingle"))
+    // document frequency as a WINDOW over the one shingle exchange
+    // (r19): the original groupBy+join-back stopped sharing the
+    // exchange once column pruning dropped (doc_id, n_sh) under the
+    // aggregate branch — non-identical exchange children defeat
+    // ReuseExchange, so the CPU-heavy shingle explode ran TWICE
+    // (QueryProbe on x_curation_pipeline: two ~10 s-cpuSum explode
+    // stages). The window's required distribution is satisfied by the
+    // repartition: one explode pass, one exchange, no join; a window
+    // partition is one shingle's postings — the same rows the join's
+    // build side held, so the memory bound is unchanged.
+    val filtered = shP
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .select("doc_id", "n_sh", "shingle")
     val a = filtered.alias("a")
     val b = filtered.alias("b")
     a.join(b, col("a.shingle") === col("b.shingle") &&
@@ -419,12 +434,18 @@ object Dedup {
         .select(col(s"${pfx}_id"), shingles(col("_txt"), n).as("shs"))
         .select(col(s"${pfx}_id"), size(col("shs")).as(s"${pfx}_n_sh"),
           explode(col("shs")).as("shingle"))
-    val c = side(corpus, corpusId, corpusText, "corpus")
-      .repartition(col("shingle"))
-    val keep = c.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq).select("shingle")
+    val c = pinnedWidth(side(corpus, corpusId, corpusText, "corpus"),
+      col("shingle"))
+    // corpus-side document frequency as a window over the one shingle
+    // exchange — the ngramJaccard r19 fix (pruning under the aggregate
+    // branch forked the exchange and re-ran the corpus shingling)
+    val cKept = c
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("corpus_id"), col("corpus_n_sh"), col("shingle"))
     side(bench, benchId, benchText, "bench")
-      .join(c.join(keep, Seq("shingle")), Seq("shingle"))
+      .join(cKept, Seq("shingle"))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("common"), min(col("bench_n_sh")).as("bench_n_sh"))
       .withColumn("bench_overlap",
@@ -642,10 +663,11 @@ object Dedup {
     // Norms are materialized per vector BEFORE the pair join — computing
     // cosine() pairwise would re-derive both norms for every candidate
     // pair (3× the vector passes, measured ~3× wall-clock).
-    val bucketed = Similarity.withLshBucket(embs, vecCol, planes, dim)
+    val bucketed0 = Similarity.withLshBucket(embs, vecCol, planes, dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"), col("lsh_bucket"))
       .withColumn("nrm", Similarity.norm(col("v")))
-      .repartition(col("lsh_bucket"))
+    // pinned width (r19): the cosine pair join is the compute
+    val bucketed = pinnedWidth(bucketed0, col("lsh_bucket"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("lsh_bucket")))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")

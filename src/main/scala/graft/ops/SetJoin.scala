@@ -186,7 +186,7 @@ object SetJoin {
       .select(col("doc_id"), Dedup.shingles(col("_txt"), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
-      .repartition(col("shingle"))
+    val shP = pinnedWidth(sh, col("shingle"))
     // per-shingle document frequency as a WINDOW over the one shingle
     // exchange (r19): the old groupBy+join-back consumed `sh` twice,
     // and column pruning under the aggregate branch (doc_id dropped)
@@ -200,7 +200,7 @@ object SetJoin {
     // shingle's postings, the same rows the join's build side held.
     val wdf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shingle"))
-    sh.withColumn("df", count(lit(1)).over(wdf))
+    shP.withColumn("df", count(lit(1)).over(wdf))
       .groupBy("doc_id")
       .agg(transform(sort_array(collect_list(struct(col("df"), col("shingle")))),
         x => x.getField("shingle")).as("toks"))

@@ -222,10 +222,11 @@ object Similarity {
     * cheaper join and lower recall. */
   def knnGraph(embs: DataFrame, idCol: String, vecCol: String,
                k: Int = 3, planes: Int = 4, dim: Int = 64): DataFrame = {
-    val bucketed = withLshBucket(embs, vecCol, planes, dim)
+    // pinned width (r19): the bucket self-join's dot products are the
+    // compute; AQE's byte-based coalescing would serialize them
+    val bucketed = pinnedWidth(withLshBucket(embs, vecCol, planes, dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"), col("lsh_bucket"))
-      .withColumn("nrm", norm(col("v")))
-      .repartition(col("lsh_bucket"))
+      .withColumn("nrm", norm(col("v"))), col("lsh_bucket"))
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     val pairs = a.join(b, col("a.lsh_bucket") === col("b.lsh_bucket") &&

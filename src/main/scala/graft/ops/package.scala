@@ -34,7 +34,30 @@ package object ops {
     val spark = df.sparkSession
     val target = spark.sessionState.conf.numShufflePartitions
     val floor = math.min(target, spark.sparkContext.defaultParallelism)
+    // CONTRACT (r19, per review): callers must pass SCAN-ROOTED frames
+    // (a projection/filter over a source read) — `df.rdd` is plan-only
+    // for those; on a shuffle-bearing derived frame it would
+    // materialize the upstream AQE stages whose output the subsequent
+    // repartition then discards, silently doubling upstream work.
+    // Every current caller passes a plain projected scan.
     if (df.rdd.getNumPartitions >= floor) df
     else df.repartition(target, df.col(keyCol))
   }
+
+  /** PINNED-width hash distribution for exchanges whose downstream is
+    * compute-dense but tiny BY BYTES (shingle/band/bucket inverted
+    * indexes feeding self-joins, window doc-frequency passes, pair
+    * verification): AQE's byte-based partition coalescing folds such
+    * exchanges to 1-2 tasks and serializes the operator's real CPU
+    * (r19 QueryProbe: a 3.2 s-wall 2-task verification stage in
+    * x_setjoin_containment, a 913 ms 10-task pair join in ngramJaccard).
+    * An explicit partition count (`REPARTITION_BY_NUM`) is exempt from
+    * coalescing; the count is the SESSION shuffle-partition setting —
+    * exactly the width an un-coalesced exchange would use at cluster
+    * scale, so this pins behavior, it does not add a local-mode
+    * constant. Per-task CPU stays bounded by the key's group size
+    * either way. */
+  private[ops] def pinnedWidth(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      cols: _*)
 }
