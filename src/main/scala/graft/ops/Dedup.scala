@@ -537,32 +537,10 @@ object Dedup {
     // The contraction loop is FIXED-OVERHEAD-bound, not data-bound
     // (r19 QueryProbe: ~43 sub-110 ms jobs dominate x_winnow_dedup —
     // under AQE every one of the ~3 shuffles per round is its own
-    // ~100 ms stage-job plus driver re-planning). Two perf-only knobs
-    // for the loop's own queries, restored in `finally`:
-    //   - AQE off: one action = ONE job over all of the cycle's
-    //     stages instead of one job per exchange. Nothing is lost —
-    //     AQE's skew splitting does not apply to window operators,
-    //     and its partition coalescing is replaced by the next knob;
-    //   - shuffle partitions derived from the measured edge count
-    //     (~1M contracted 16-byte edges per task, capped at the
-    //     session setting) — scale-adaptive, NOT a local-mode
-    //     constant: at cluster scale a big pair graph keeps the
-    //     session's full width, while the bench's few-hundred-edge
-    //     graphs stop paying 32 empty tasks per stage. The edge list
-    //     only CONTRACTS round over round, so sizing from the initial
-    //     count never under-provisions a later round.
-    // Results are config-independent; OpsSpec pins label equality
-    // against GraphX on structured and random graphs either way.
-    val sess = pairs.sparkSession
-    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = sess.conf.get("spark.sql.shuffle.partitions",
-      sess.sessionState.conf.numShufflePartitions.toString)
-    val loopParts = math.max(1L, math.min(
-      sess.sessionState.conf.numShufflePartitions.toLong,
-      (prevCnt + 999999L) / 1000000L)).toString
-    try {
-      sess.conf.set("spark.sql.adaptive.enabled", "false")
-      sess.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // ~100 ms stage-job plus driver re-planning); see
+    // [[graft.ops.withLoopConf]]. OpsSpec pins label equality against
+    // GraphX on structured and random graphs either way.
+    withLoopConf(pairs.sparkSession, prevCnt) {
       while (!converged) {
         // ONE star round per checkpoint/count cycle: near-dup pair
         // graphs are cliques-with-fringe and converge in 1-2 rounds
@@ -581,9 +559,6 @@ object Dedup {
         edges = small
         prevCnt = cnt
       }
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      sess.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
     // At fixpoint the edges form stars (node → component-minimum root);
     // roots and isolated nodes label themselves. `edges` is already a

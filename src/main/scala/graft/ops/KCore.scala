@@ -50,22 +50,27 @@ object KCore {
     var n = e.count()
     var rounds = 0
     var done = n == 0
-    while (!done) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("id"))
-      val e2 = e
-        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val n2 = e2.count()
-      done = n2 == n
-      e = e2; n = n2; rounds += 1
-      if (!done && rounds >= maxRounds)
-        throw new IllegalStateException(
-          s"k-core peel did not reach fixpoint within $maxRounds rounds " +
-            s"($n surviving edge directions, k=$k) — raise maxRounds; " +
-            "deep cascades are linear in graph size on path-like graphs")
+    // fixed-overhead-bound loop at bench SF — see [[graft.ops.withLoopConf]]
+    // (r19): one job per peel round instead of one per shuffle stage.
+    // The edge list only shrinks, so sizing from the initial count holds.
+    withLoopConf(edges.sparkSession, n) {
+      while (!done) {
+        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("id"))
+        val e2 = e
+          .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        val n2 = e2.count()
+        done = n2 == n
+        e = e2; n = n2; rounds += 1
+        if (!done && rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"k-core peel did not reach fixpoint within $maxRounds rounds " +
+              s"($n surviving edge directions, k=$k) — raise maxRounds; " +
+              "deep cascades are linear in graph size on path-like graphs")
+      }
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }

@@ -50,17 +50,22 @@ object PageRank {
     if (n == 0L) return nodes.withColumn("pr_e12", lit(0L))
     val base = (Scale * 15L / 100L) / n
     var pr = nodes.withColumn("pr", lit(Scale / n))
-    for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(pr, e("src") === pr("id"))
-        .join(deg, Seq("src"))
-        .select(col("dst"), intDiv(col("pr"), col("deg")).as("c"))
-      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      pr = nodes.join(inSum, nodes("id") === inSum("dst"), "left")
-        .select(col("id"),
-          (lit(base) + intDiv(lit(85L) * coalesce(col("m"), lit(0L)), lit(100L)))
-            .as("pr"))
-        .localCheckpoint(true)
+    // fixed-overhead-bound loop at bench SF — see [[graft.ops.withLoopConf]]
+    // (r19): one job per damped round instead of one per shuffle stage.
+    // Sized from |E| — the contrib join is the round's largest shuffle.
+    withLoopConf(edges.sparkSession, e.count()) {
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(pr, e("src") === pr("id"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), intDiv(col("pr"), col("deg")).as("c"))
+        val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        pr = nodes.join(inSum, nodes("id") === inSum("dst"), "left")
+          .select(col("id"),
+            (lit(base) + intDiv(lit(85L) * coalesce(col("m"), lit(0L)), lit(100L)))
+              .as("pr"))
+          .localCheckpoint(true)
+      }
     }
     pr.select(col("id"), col("pr").as("pr_e12"))
   }
@@ -98,17 +103,21 @@ object PageRank {
           .otherwise(lit(0L)).as("pr"))
       .localCheckpoint(true)
     var pr = seeded.select(col("id"), col("pr"))
-    for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(pr, e("src") === pr("id"))
-        .join(deg, Seq("src"))
-        .select(col("dst"), intDiv(col("pr"), col("deg")).as("c"))
-      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      pr = seeded.join(inSum, seeded("id") === inSum("dst"), "left")
-        .select(col("id"),
-          (col("base") + intDiv(lit(85L) * coalesce(col("m"), lit(0L)), lit(100L)))
-            .as("pr"))
-        .localCheckpoint(true)
+    // same fixed-overhead rationale as [[run]] — see withLoopConf (r19);
+    // sized from |E|, the round's largest shuffle
+    withLoopConf(edges.sparkSession, e.count()) {
+      for (_ <- 1 to iterations) {
+        val contrib = e
+          .join(pr, e("src") === pr("id"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), intDiv(col("pr"), col("deg")).as("c"))
+        val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        pr = seeded.join(inSum, seeded("id") === inSum("dst"), "left")
+          .select(col("id"),
+            (col("base") + intDiv(lit(85L) * coalesce(col("m"), lit(0L)), lit(100L)))
+              .as("pr"))
+          .localCheckpoint(true)
+      }
     }
     pr.select(col("id"), col("pr").as("pr_e12"))
   }

@@ -60,4 +60,42 @@ package object ops {
   private[ops] def pinnedWidth(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
       cols: _*)
+
+  /** Session tuning for ITERATIVE DataFrame loops (components, k-core
+    * peel, PageRank power iteration), restored in `finally`. The loops
+    * are fixed-overhead-bound at bench SF, not data-bound: under AQE
+    * every shuffle of every round is its own ~100 ms stage-job plus a
+    * driver re-planning pass, so a 3-shuffle round costs ~5 jobs
+    * regardless of data. Two perf-only knobs for the loop's own
+    * queries:
+    *   - AQE off: one action = ONE job over all of the round's stages.
+    *     Nothing is lost — AQE's skew splitting does not apply to the
+    *     window/aggregate operators these loops run, and its partition
+    *     coalescing is replaced by the next knob;
+    *   - shuffle partitions derived from the measured row count
+    *     (~1M compact rows per task, capped at the session setting) —
+    *     scale-adaptive, NOT a local-mode constant: a big graph keeps
+    *     the session's full width, a few-hundred-edge bench graph
+    *     stops paying 32 near-empty tasks per stage. Iterative state
+    *     only CONTRACTS (or stays fixed) round over round, so sizing
+    *     from the initial count never under-provisions a later round.
+    * Results are config-independent; the graph specs pin label/rank
+    * equality either way. */
+  private[ops] def withLoopConf[A](
+      spark: org.apache.spark.sql.SparkSession, rows: Long)(body: => A): A = {
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions",
+      spark.sessionState.conf.numShufflePartitions.toString)
+    val loopParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (rows + 999999L) / 1000000L)).toString
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      body
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+    }
+  }
 }
