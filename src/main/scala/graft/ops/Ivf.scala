@@ -59,8 +59,12 @@ object Ivf {
   def writeIndexed(index: Index, path: String): Unit = {
     // cluster by the partition column before the dynamic write: one
     // file per cell and write parallelism = cells, instead of every
-    // input task spraying a small file into every cell it touches
-    index.assigned.repartition(col("ivf_cell")).write.mode("overwrite")
+    // input task spraying a small file into every cell it touches.
+    // PINNED count (r19, per review): a bare repartition(cols) is an
+    // AQE-coalescible exchange, and per-leaf writer fan-out is
+    // invisible to AQE's byte heuristic — the same rule as
+    // TableCatalog.distributeByParts and the c9b fact write.
+    pinnedWidth(index.assigned, col("ivf_cell")).write.mode("overwrite")
       .partitionBy("ivf_cell").parquet(path)
     val spark = index.assigned.sparkSession
     import spark.implicits._
@@ -123,8 +127,10 @@ object Ivf {
     * meanwhile every probe sees new vectors immediately. */
   def append(spark: org.apache.spark.sql.SparkSession, path: String,
              newVectors: DataFrame, idCol: String, vecCol: String): Unit =
-    assignCells(readCentroids(spark, path), newVectors, idCol, vecCol)
-      .repartition(col("ivf_cell"))
+    // pinned count — same rule as writeIndexed's clustering exchange
+    pinnedWidth(
+      assignCells(readCentroids(spark, path), newVectors, idCol, vecCol),
+      col("ivf_cell"))
       .write.mode("append").partitionBy("ivf_cell").parquet(path)
 
   /** The nProbe cells whose centroids are cosine-nearest to the query —

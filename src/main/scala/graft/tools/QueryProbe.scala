@@ -16,8 +16,13 @@ object QueryProbe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // ad-hoc conf experiments (dev-only): PROBE_CONF="k=v;k=v"
+    val extra = sys.env.get("PROBE_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2)).collect {
+        case Array(k, v) => (k, v)
+      }
+    val spark = extra.foldLeft(SparkSession.builder()
+      .master(s"local[$cpus]"))((b, kv) => b.config(kv._1, kv._2))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
