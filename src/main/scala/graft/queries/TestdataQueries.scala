@@ -2855,7 +2855,12 @@ object TestdataQueries {
       val docs = t(s, dir, "documents")
       // shingled ONCE (r18 opt): both sides of the verify join consume
       // this frame — lazy, each re-shingled the whole corpus
-      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      // pinned fan-out (r19): the documents scan is one row group, so
+      // the shingle pass serialized on one task (QueryProbe: 0.8 s
+      // single-task checkpoint stage); session width, not a constant
+      val sh = docs.select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
       val common = size(array_intersect(col("sh_a"), col("sh_b")))
       val jac = common.cast("double") /
@@ -2896,7 +2901,12 @@ object TestdataQueries {
         "doc_id", "text")
       // shingled ONCE (r18 opt): both sides of the verify join consume
       // this frame — lazy, each re-shingled the whole corpus
-      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      // pinned fan-out (r19): the documents scan is one row group, so
+      // the shingle pass serialized on one task (QueryProbe: 0.8 s
+      // single-task checkpoint stage); session width, not a constant
+      val sh = docs.select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
       val common = size(array_intersect(col("sh_a"), col("sh_b")))
       val jac = common.cast("double") /
@@ -10547,7 +10557,12 @@ object TestdataQueries {
       }
       // shingled ONCE (r18 opt): both sides of the verify join consume
       // this frame — lazy, each re-shingled the whole corpus
-      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      // pinned fan-out (r19): the documents scan is one row group, so
+      // the shingle pass serialized on one task (QueryProbe: 0.8 s
+      // single-task checkpoint stage); session width, not a constant
+      val sh = docs.select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
       val common = size(array_intersect(col("sh_a"), col("sh_b")))
       val jac = common.cast("double") /
