@@ -394,11 +394,18 @@ object Dedup {
     // repartition: one explode pass, one exchange, no join; a window
     // partition is one shingle's postings — the same rows the join's
     // build side held, so the memory bound is unchanged.
+    // EAGER checkpoint (r19): both self-join sides consume `filtered`,
+    // and above the shared exchange each side re-executed the window's
+    // per-partition sort + count (QueryProbe on x_triplets: a 41 s-cpuSum
+    // join stage, ~half of it the duplicated window). Materialized once,
+    // the join sides read blocks; storage is the posting list the
+    // exchange already held (MEMORY_AND_DISK, spills at scale).
     val filtered = shP
       .withColumn("df", count(lit(1))
         .over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDocFreq)
       .select("doc_id", "n_sh", "shingle")
+      .localCheckpoint(true)
     val a = filtered.alias("a")
     val b = filtered.alias("b")
     a.join(b, col("a.shingle") === col("b.shingle") &&
