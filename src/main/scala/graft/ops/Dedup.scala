@@ -91,7 +91,12 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val banded = lshBanded(docs, idCol, textCol, shingleN, bands, rowsPerBand)
       // per-bucket population over the SAME partitioning (no added
-      // exchange); over-cap buckets sit out of pair generation
+      // exchange); over-cap buckets sit out of pair generation.
+      // NO eager checkpoint here (r19 negative result): unlike
+      // ngramJaccard's compact posting list, this frame carries the
+      // 8x-banded signature arrays — materializing it cost MORE than
+      // the duplicated window sort it saves (paired A/B: 0.88-0.98x
+      // across the whole minhash family). Don't re-try.
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bsz") <= maxBucketSize)
       .drop("bsz")
